@@ -16,7 +16,8 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   private def modules: Seq[QueryModule] = Seq(
-    ops.Relational)
+    ops.Relational,
+    ops.Chunking)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

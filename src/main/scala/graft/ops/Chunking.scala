@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.text.Chunker
+
+/** Chunking pipeline (SURVEY.md §2.9 V1, §2.5 A3, §2.3 P2/P3).
+  *
+  * documents → validate → split into chunks (recursive character splitter,
+  * reference defaults at `chunk_cisa_kev.py:23-24`) → posexplode → chunk id
+  * `"{doc_id}_chunk_{i+1}"` (`chunk_cisa_kev.py:152`), chunk_number,
+  * total_chunks (`chunk_cisa_kev.py:148-155`).
+  *
+  * Scale: the splitter is a deterministic narrow map (one UDF call per doc,
+  * no shuffle, no state); `total_chunks` comes from `size(chunks)` *before*
+  * the explode, so per-parent numbering needs no window/shuffle. At 100 TB
+  * this pipeline is scan → map → explode → write, embarrassingly parallel.
+  */
+object Chunking extends QueryModule {
+
+  def splitUdf(chunkSize: Int, overlap: Int) =
+    udf((text: String) =>
+      if (text == null) Array.empty[String]
+      else Chunker.split(text, chunkSize, overlap).toArray)
+
+  /** Validated documents (P1/P2 analog: non-null id, non-blank text). */
+  def validDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id").isNotNull && length(trim(col("text"))) > 0)
+
+  /** Full chunking pipeline over a documents frame. */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    val exploded = validDocs(docs)
+      .withColumn("chunks", splitUdf(chunkSize, overlap)(col("text")))
+      .withColumn("total_chunks", size(col("chunks")))
+      .select(col("doc_id"), col("lang"), col("source"), col("total_chunks"),
+        posexplode(col("chunks")).as(Seq("pos", "chunk_text")))
+      .filter(length(trim(col("chunk_text"))) > 0) // P3 empty-chunk filter
+    exploded
+      .withColumn("chunk_number", (col("pos") + 1).cast("int"))
+      .withColumn("chunk_id",
+        concat(col("doc_id").cast("string"), lit("_chunk_"), col("chunk_number")))
+      .select("chunk_id", "doc_id", "chunk_text", "chunk_number",
+        "total_chunks", "lang", "source")
+  }
+
+  /** Multi-chunk split (size 200 / overlap 30 so sf docs actually split).
+    * Not SQL-expressible → rows-only driver check + unit/property specs.
+    */
+  def chunkDocs200(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(Tables.documents(spark, dir), chunkSize = 200, overlap = 30)
+
+  /** Reference-default split (1000/150). Every sf document is shorter than
+    * 1000 chars, so each yields exactly one chunk equal to its trimmed text —
+    * which makes the default-config chunker DuckDB-checkable end to end.
+    */
+  def chunkDocsDefault(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(
+      Tables.documents(spark, dir).filter(length(col("text")) <= 1000),
+      Chunker.DefaultChunkSize, Chunker.DefaultOverlap)
+
+  val chunkDocsDefaultSql: String =
+    """SELECT doc_id || '_chunk_1' AS chunk_id, doc_id,
+      | trim(text) AS chunk_text, 1 AS chunk_number, 1 AS total_chunks,
+      | lang, source
+      |FROM documents
+      |WHERE doc_id IS NOT NULL AND length(trim(text)) > 0
+      |  AND length(text) <= 1000""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_docs_200" -> chunkDocs200,
+    "chunk_docs_default" -> chunkDocsDefault)
+
+  def oracles: Map[String, String] = Map(
+    "chunk_docs_default" -> chunkDocsDefaultSql)
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkSpec {
+
+  test("chunk_docs_200 explodes docs into numbered chunks with consistent totals") {
+    val df = SparkEntry.queries("chunk_docs_200")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(df.count() >= docs, "every doc yields at least one chunk")
+    // chunk_number runs 1..total_chunks within each doc
+    val bad = df.groupBy("doc_id")
+      .agg(max("chunk_number").as("mx"), count(lit(1)).as("n"),
+        first("total_chunks").as("t"))
+      .filter(col("mx") =!= col("n") || col("n") =!= col("t"))
+      .count()
+    assert(bad === 0, "chunk numbering inconsistent")
+    // ids are unique
+    assert(df.select("chunk_id").distinct().count() === df.count())
+    // every chunk respects the size bound
+    assert(df.filter(length(col("chunk_text")) > 200).count() === 0)
+  }
+
+  test("chunk_docs_default gives one chunk per short doc equal to trimmed text") {
+    val df = SparkEntry.queries("chunk_docs_default")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .filter(length(col("text")) <= 1000 && length(trim(col("text"))) > 0)
+    assert(df.count() === docs.count())
+    assert(df.filter(col("total_chunks") =!= 1).count() === 0)
+  }
+}
