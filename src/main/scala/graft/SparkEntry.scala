@@ -17,7 +17,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     ops.Relational,
-    ops.Chunking)
+    ops.Chunking,
+    ops.VectorSearch)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

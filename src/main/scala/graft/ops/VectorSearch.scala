@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.vector.{Embedding, VectorFunctions => V}
+
+/** Exact k-NN similarity search surface (SURVEY.md §2.9 V3/V4, §2.6 T1,
+  * §2.5 A2, §2.4 J4).
+  *
+  * Pattern: the query vector(s) are a tiny frame broadcast against the
+  * corpus (J4 — "broadcast join of query vector vs corpus"); scoring is a
+  * codegen'd higher-order-function expression (no UDF); global top-k plans
+  * as TakeOrderedAndProject (per-partition partial top-k, merged on the
+  * driver — only k rows ever cross an exchange); per-query-group top-k uses
+  * a window over a shuffle keyed by query id. This is the shape that holds
+  * at 100 TB: corpus never moves, queries broadcast, k rows come back.
+  *
+  * Scores are rounded to 6 dp in BOTH engine and oracle before ordering /
+  * filtering so float summation-order ulps and top-k tie membership agree
+  * (SURVEY.md §7.5). Self-matches are kept where the reference keeps them
+  * (Chroma returns the query doc itself when it is in the corpus).
+  */
+object VectorSearch extends QueryModule {
+
+  /** Corpus scored against one stored query vector (vec_id = `queryId`). */
+  private def scoredAgainst(spark: SparkSession, dir: String, queryId: Long): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_embedding"))
+    e.crossJoin(broadcast(q))
+      .withColumn("score", round(V.cosineUnit(col("embedding"), col("query_embedding")), 6))
+  }
+
+  /** T1: exact top-10 neighbors of vec_id 0 (score desc, id tiebreak). */
+  def knnExactTopk(spark: SparkSession, dir: String): DataFrame =
+    scoredAgainst(spark, dir, 0L)
+      .select(col("vec_id"), col("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+
+  private val knnExactTopkSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |       round(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS score
+      |FROM embeddings e, q
+      |ORDER BY score DESC, e.vec_id ASC
+      |LIMIT 10""".stripMargin
+
+  /** V4/P7: threshold on raw cosine (calibrated to the synthetic data). */
+  def knnThreshold(spark: SparkSession, dir: String): DataFrame =
+    scoredAgainst(spark, dir, 0L)
+      .filter(col("score") >= 0.2)
+      .select(col("vec_id"), col("score"))
+
+  private val knnThresholdSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |       round(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS score
+      |FROM embeddings e, q
+      |WHERE round(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) >= 0.2""".stripMargin
+
+  /** P7 faithful: relevance = (1+cos)/2 in [0,1], default threshold 0.75
+    * (`Auto_query_rag_database.py:67`).
+    */
+  def knnRelevanceThreshold(spark: SparkSession, dir: String): DataFrame =
+    scoredAgainst(spark, dir, 0L)
+      .withColumn("relevance", round((lit(1.0) + col("score")) / 2.0, 6))
+      .filter(col("relevance") >= 0.75)
+      .select(col("vec_id"), col("relevance"))
+
+  private val knnRelevanceThresholdSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT e.vec_id,
+      |        round(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS score
+      |      FROM embeddings e, q)
+      |SELECT vec_id, round((1.0 + score) / 2.0, 6) AS relevance
+      |FROM s WHERE round((1.0 + score) / 2.0, 6) >= 0.75""".stripMargin
+
+  /** Batch k-NN: top-5 neighbors (self excluded) for each of the first 10
+    * vectors — the approxSimilarityJoin-shaped workload, exact path.
+    */
+  def knnBatchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(V.cosineUnit(col("embedding"), col("query_embedding")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  private val knnBatchTopkSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         round(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS score
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk
+      |  FROM scored)
+      |SELECT query_id, vec_id, score, rnk::INTEGER AS rank
+      |FROM ranked WHERE rnk <= 5""".stripMargin
+
+  /** A2: score stats over the candidate set (min/max/avg display that
+    * drives interactive thresholding, `Auto_query_rag_database.py:328-331`).
+    */
+  def cosineScoreStats(spark: SparkSession, dir: String): DataFrame =
+    scoredAgainst(spark, dir, 0L)
+      .agg(
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"),
+        round(avg(col("score")), 6).as("avg_score"),
+        count(lit(1)).as("n_candidates"))
+
+  private val cosineScoreStatsSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT round(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS score
+      |      FROM embeddings e, q)
+      |SELECT round(min(score), 6) AS min_score, round(max(score), 6) AS max_score,
+      |       round(avg(score), 6) AS avg_score, count(*) AS n_candidates
+      |FROM s""".stripMargin
+
+  /** V2+V3 end to end: hash-embed document text, retrieve top-10 for an
+    * embedded constant query string — same embed function both sides, as the
+    * reference does (`query_rag_database.py:125-133`). Not SQL-expressible
+    * (hashing embedder) → rows-only driver check + EmbeddingSpec.
+    */
+  def embedDocumentsKnn(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 256
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val qv = Embedding.hashingEmbed("spark shuffle hash join window merge", dim)
+    Tables.documents(spark, dir)
+      .withColumn("embedding", embed(col("text")))
+      .withColumn("score", round(V.cosineUnit(col("embedding"), typedlit(qv.toSeq)), 6))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_exact_topk" -> knnExactTopk,
+    "knn_threshold" -> knnThreshold,
+    "knn_relevance_threshold" -> knnRelevanceThreshold,
+    "knn_batch_topk" -> knnBatchTopk,
+    "cosine_score_stats" -> cosineScoreStats,
+    "embed_documents_knn" -> embedDocumentsKnn)
+
+  def oracles: Map[String, String] = Map(
+    "knn_exact_topk" -> knnExactTopkSql,
+    "knn_threshold" -> knnThresholdSql,
+    "knn_relevance_threshold" -> knnRelevanceThresholdSql,
+    "knn_batch_topk" -> knnBatchTopkSql,
+    "cosine_score_stats" -> cosineScoreStatsSql)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.vector.{Embedding, VectorFunctions => V}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EmbeddingSpec extends AnyFunSuite {
+
+  test("embedding is unit-norm for non-empty text") {
+    val v = Embedding.hashingEmbed("the quick brown fox", 128)
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(v.length === 128)
+  }
+
+  test("embedding is deterministic and input-sensitive") {
+    val a1 = Embedding.hashingEmbed("spark catalyst optimizer", 256)
+    val a2 = Embedding.hashingEmbed("spark catalyst optimizer", 256)
+    val b = Embedding.hashingEmbed("completely different words here", 256)
+    assert(a1.toSeq === a2.toSeq)
+    assert(a1.toSeq !== b.toSeq)
+  }
+
+  test("null/empty text embeds to the zero vector") {
+    assert(Embedding.hashingEmbed(null, 64).forall(_ == 0f))
+    assert(Embedding.hashingEmbed("", 64).forall(_ == 0f))
+    assert(Embedding.hashingEmbed("  !!! ", 64).forall(_ == 0f))
+  }
+
+  test("similar texts score higher than dissimilar ones") {
+    val q = Embedding.hashingEmbed("hash join shuffle partition", 512)
+    val near = Embedding.hashingEmbed("the hash join shuffle partition plan", 512)
+    val far = Embedding.hashingEmbed("violets are blue roses are red", 512)
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(dot(q, near) > dot(q, far))
+  }
+
+  test("tokenizer lowercases and splits on non-alphanumerics") {
+    assert(Embedding.tokenize("Hello, World! 123").toSeq === Seq("hello", "world", "123"))
+    assert(Embedding.tokenize(null).isEmpty)
+  }
+}
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/cosine columns match a driver-side computation") {
+    val df = Seq(
+      (Array(1.0f, 0f, 0f), Array(0.6f, 0.8f, 0f)),
+      (Array(0f, 1.0f, 0f), Array(0.6f, 0.8f, 0f))).toDF("a", "b")
+    val got = df.select(V.dot($"a", $"b").as("d"), V.cosine($"a", $"b").as("c"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(math.abs(got(0)._1 - 0.6) < 1e-6 && math.abs(got(0)._2 - 0.6) < 1e-6)
+    assert(math.abs(got(1)._1 - 0.8) < 1e-6 && math.abs(got(1)._2 - 0.8) < 1e-6)
+  }
+
+  test("l2Normalize produces unit vectors and zero stays zero") {
+    val df = Seq(Tuple1(Array(3.0f, 4.0f)), Tuple1(Array(0f, 0f))).toDF("a")
+    val norms = df.select(sqrt(V.normSq(V.l2Normalize($"a"))).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(norms(0) - 1.0) < 1e-9)
+    assert(norms(1) === 0.0)
+  }
+}
+
+class VectorSearchSpec extends SparkSpec {
+
+  test("knn_exact_topk: self is rank 1 with score 1.0") {
+    val rows = SparkEntry.queries("knn_exact_topk")(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.head.getAs[Long]("vec_id") === 0L)
+    assert(math.abs(rows.head.getAs[Double]("score") - 1.0) < 1e-4)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse), "descending by score")
+  }
+
+  test("knn_batch_topk: 10 queries x 5 neighbors, no self-matches") {
+    val df = SparkEntry.queries("knn_batch_topk")(spark, sf).cache()
+    assert(df.count() === 50)
+    assert(df.filter(col("vec_id") === col("query_id")).count() === 0)
+    assert(df.groupBy("query_id").count().filter(col("count") =!= 5).count() === 0)
+  }
+
+  test("knn_relevance_threshold keeps only relevance >= 0.75 (self qualifies)") {
+    val rows = SparkEntry.queries("knn_relevance_threshold")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("relevance") >= 0.75))
+    assert(rows.exists(_.getAs[Long]("vec_id") == 0L))
+  }
+
+  test("embed_documents_knn returns 10 scored docs") {
+    val rows = SparkEntry.queries("embed_documents_knn")(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(r => !r.isNullAt(1)))
+  }
+}
