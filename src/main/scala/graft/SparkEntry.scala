@@ -18,7 +18,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     ops.Relational,
     ops.Chunking,
-    ops.VectorSearch)
+    ops.VectorSearch,
+    ops.AnnIndex)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

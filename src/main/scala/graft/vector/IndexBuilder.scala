@@ -1,0 +1,141 @@
+package graft.vector
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch-built ANN index structures (SURVEY.md §2.9 V5).
+  *
+  * The reference's vector store is an online HNSW index inside ChromaDB
+  * (`ingest_chunks_to_chromadb.py:81,221`); per BASELINE.json the Spark-native
+  * analog is a BATCH-built index: the "index" is ordinary data — extra
+  * pruning columns on the corpus table — and querying it is partition-pruned
+  * scanning plus exact re-scoring. Two structures:
+  *
+  *  - Random-hyperplane LSH (Charikar 2002, "Similarity Estimation Techniques
+  *    from Rounding Algorithms"): `nBits` seeded Gaussian hyperplanes; the
+  *    sign pattern of v·h_i is the bucket id. Multi-probe = also scan buckets
+  *    within Hamming radius r of the query signature.
+  *  - IVF via MLlib KMeans: cluster centroids are the coarse quantizer;
+  *    query scans the nProbe nearest clusters only.
+  *
+  * At 100 TB: the corpus parquet is written `partitionBy(bucket)` (or
+  * cluster_id), so a query's candidate scan is file-pruned at the source —
+  * the full corpus is never read. Probe-set selection happens driver-side on
+  * O(nBits) planes / O(k) centroids; candidates are re-scored exactly with
+  * the codegen'd dot product and reduced via TakeOrderedAndProject.
+  */
+object IndexBuilder {
+
+  /** Deterministic random-hyperplane LSH. `java.util.Random` has a fixed,
+    * documented algorithm, so signatures are bit-stable everywhere.
+    */
+  final class RandomHyperplaneLsh(val dim: Int, val nBits: Int, val seed: Long)
+      extends Serializable {
+    require(nBits > 0 && nBits <= 30, "nBits must be in (0, 30]")
+
+    val planes: Array[Array[Double]] = {
+      val rnd = new java.util.Random(seed)
+      Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+
+    def signature(v: Seq[Float]): Int = {
+      var sig = 0
+      var b = 0
+      while (b < nBits) {
+        val p = planes(b)
+        var d = 0.0
+        var i = 0
+        val n = math.min(dim, v.length)
+        while (i < n) { d += p(i) * v(i); i += 1 }
+        if (d >= 0) sig |= (1 << b)
+        b += 1
+      }
+      sig
+    }
+
+    /** All signatures within Hamming distance `radius` (multi-probe set). */
+    def probes(sig: Int, radius: Int): Seq[Int] = {
+      var acc = Set(sig)
+      var frontier = Set(sig)
+      (1 to radius).foreach { _ =>
+        frontier = for {
+          s <- frontier
+          b <- (0 until nBits).toSet[Int]
+        } yield s ^ (1 << b)
+        acc ++= frontier
+      }
+      acc.toSeq.sorted
+    }
+  }
+
+  /** Add the LSH bucket column (narrow map; index build = this + write). */
+  def withLshBucket(df: DataFrame, embCol: String, lsh: RandomHyperplaneLsh,
+      bucketCol: String = "bucket"): DataFrame = {
+    val sigUdf = udf((v: Seq[Float]) => if (v == null) -1 else lsh.signature(v))
+    df.withColumn(bucketCol, sigUdf(col(embCol)))
+  }
+
+  /** Persist the corpus as an LSH-partitioned index table: query-time bucket
+    * filters become partition (file) pruning at the parquet source.
+    */
+  def buildLshIndex(df: DataFrame, embCol: String, lsh: RandomHyperplaneLsh,
+      path: String): Unit =
+    withLshBucket(df, embCol, lsh)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** LSH-pruned exact top-k: scan only the multi-probe buckets, re-score
+    * exactly, keep k (score desc, id tiebreak).
+    */
+  def lshTopK(corpus: DataFrame, embCol: String, idCol: String,
+      lsh: RandomHyperplaneLsh, queryVec: Array[Float], k: Int,
+      radius: Int): DataFrame = {
+    val qSig = lsh.signature(queryVec)
+    val probeSet = lsh.probes(qSig, radius)
+    withLshBucket(corpus, embCol, lsh)
+      .filter(col("bucket").isin(probeSet: _*))
+      .withColumn("score",
+        round(VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)), 6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF index: KMeans cluster assignment column (seeded, batch-fit). */
+  def withIvfCluster(df: DataFrame, embCol: String, numClusters: Int,
+      seed: Long): (DataFrame, Array[MlVector]) = {
+    val feat = df.withColumn("_features", array_to_vector(col(embCol)))
+    val model = new KMeans()
+      .setK(numClusters).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("_features").setPredictionCol("cluster_id")
+      .fit(feat)
+    (model.transform(feat).drop("_features"), model.clusterCenters)
+  }
+
+  /** IVF-pruned exact top-k: rank centroids by distance to the query on the
+    * driver (centroids are tiny), scan the nProbe nearest clusters, re-score.
+    */
+  def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
+      queryVec: Array[Float], k: Int, numClusters: Int, nProbe: Int,
+      seed: Long): DataFrame = {
+    val (clustered, centers) = withIvfCluster(corpus, embCol, numClusters, seed)
+    val probeIds = centers.zipWithIndex
+      .map { case (c, i) =>
+        val arr = c.toArray
+        var d = 0.0
+        var j = 0
+        while (j < math.min(arr.length, queryVec.length)) {
+          val diff = arr(j) - queryVec(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }
+      .sortBy(_._1).take(nProbe).map(_._2)
+    clustered
+      .filter(col("cluster_id").isin(probeIds: _*))
+      .withColumn("score",
+        round(VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)), 6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

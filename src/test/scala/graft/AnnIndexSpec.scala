@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.AnnIndex
+import graft.vector.IndexBuilder
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class AnnIndexSpec extends SparkSpec {
+
+  private def exactTop(k: Int): Seq[Long] =
+    SparkEntry.queries("knn_exact_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).take(k).toSeq
+
+  test("lsh buckets are deterministic and cover all vectors") {
+    val a = SparkEntry.queries("lsh_buckets")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val b = SparkEntry.queries("lsh_buckets")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(a.sameElements(b), "bucket assignment must be deterministic")
+    assert(a.length === Tables.embeddings(spark, sf).count())
+    assert(a.forall(_._2 >= 0))
+  }
+
+  test("lsh probe set: radius 0 = self, radius grows monotonically") {
+    val lsh = AnnIndex.defaultLsh
+    val sig = 0x15
+    assert(lsh.probes(sig, 0) === Seq(sig))
+    val r1 = lsh.probes(sig, 1)
+    assert(r1.length === 1 + lsh.nBits)
+    assert(lsh.probes(sig, 2).toSet.subsetOf(lsh.probes(sig, 3).toSet) ||
+      lsh.probes(sig, 2).toSet == lsh.probes(sig, 3).toSet)
+  }
+
+  test("ann_lsh_topk: query vector itself is always found (same bucket) and scores are exact") {
+    val pruned = SparkEntry.queries("ann_lsh_topk")(spark, sf).collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.head.getAs[Long]("vec_id") === 0L, "self shares its own bucket")
+    // re-scored candidates carry the same rounded score as the exact path
+    val exact = SparkEntry.queries("knn_exact_topk")(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toMap
+    pruned.filter(r => exact.contains(r.getAs[Long]("vec_id"))).foreach { r =>
+      assert(r.getAs[Double]("score") === exact(r.getAs[Long]("vec_id")))
+    }
+  }
+
+  test("ann_ivf_topk achieves reasonable recall vs exact top-10") {
+    val ivf = SparkEntry.queries("ann_ivf_topk")(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = exactTop(10).count(ivf.contains).toDouble / 10
+    // random unit vectors are LSH/IVF's adversarial case; clustered real
+    // embeddings do far better. 6/16 clusters probed.
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+    assert(ivf.contains(0L), "self must be found")
+  }
+
+  test("buildLshIndex writes a bucket-partitioned parquet index (partition pruning path)") {
+    val dir = Files.createTempDirectory("lsh_index").toString
+    IndexBuilder.buildLshIndex(
+      Tables.embeddings(spark, sf), "embedding", AnnIndex.defaultLsh, dir)
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() === Tables.embeddings(spark, sf).count())
+    // bucket is a partition column → filters on it prune files at the source
+    val somebucket = idx.select("bucket").head().getInt(0)
+    val plan = idx.filter(col("bucket") === somebucket)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("bucket#"),
+      s"expected partition pruning in plan")
+  }
+}
