@@ -19,7 +19,8 @@ object SparkEntry {
     ops.Relational,
     ops.Chunking,
     ops.VectorSearch,
-    ops.AnnIndex)
+    ops.AnnIndex,
+    ops.Dedup)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

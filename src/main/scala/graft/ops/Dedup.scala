@@ -1,0 +1,327 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Deduplication suite for large-scale corpus curation (SURVEY.md §2.4 J1/J2,
+  * §2.7 U2, plus the training-data-pipeline requirement): exact dedup,
+  * token-shingle Jaccard, MinHash+LSH near-dup, SimHash near-dup, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup groups on a 128-bit content hash, never on the raw text —
+  *    the shuffle moves 16-byte keys + ids, not document bodies.
+  *  - Pairwise similarity is NEVER all-pairs: MinHash/SimHash/LSH generate
+  *    candidates via equi-joins on band/bucket keys (shuffle on small keys),
+  *    then verify exactly on the candidates only. The all-pairs Jaccard
+  *    query caps its input and exists for oracle cross-checking.
+  *  - Signatures are computed with SQL higher-order functions over seeded
+  *    affine permutations of xxhash64 — whole-stage codegen, no UDF, and
+  *    bit-stable across partitionings (deterministic dedup survives re-runs).
+  *  - The reference's dedup is id-membership only (`ingest_chunks_to_chromadb
+  *    .py:175-189`); the content-based family generalizes it to the fuzzy
+  *    dedup a training pipeline needs.
+  */
+object Dedup extends QueryModule {
+
+  // ---- shared text → tokens → shingles columns (codegen'd HOFs) ----
+
+  /** Lowercased word tokens; mirrors graft.vector.Embedding.tokenize. */
+  def tokensCol(c: Column): Column =
+    filter(split(lower(c), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Token n-gram shingles (space-joined). Short docs yield one shingle of
+    * all tokens so they still participate in similarity.
+    */
+  def shinglesCol(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+
+  // ---- exact dedup ----
+
+  /** U2/exact dedup: one survivor per distinct text (min doc_id wins).
+    * Grouping key at scale = md5(text) (16-byte shuffle key); survivor and
+    * group size via one aggregation. Output keeps the hash so downstream
+    * incremental runs can anti-join on it.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "content_hash", "n_copies")
+      .orderBy("doc_id")
+
+  private val dedupExactSql =
+    """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  /** Duplicate-rate stats: how much of the corpus survives exact dedup. */
+  def dedupExactStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        round(lit(1.0) - countDistinct(md5(col("text"))) / count(lit(1)).cast("double"), 6)
+          .as("dup_ratio"))
+
+  private val dedupExactStatsSql =
+    """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+      |       round(1.0 - count(DISTINCT md5(text)) / count(*)::DOUBLE, 6) AS dup_ratio
+      |FROM documents""".stripMargin
+
+  /** J1/J2 incremental anti-join: only-new-keys semantics
+    * (`ingest_chunks_to_chromadb.py:175-189`). The "state" side (already
+    * ingested ids) is simulated as doc_id % 10 < 3; at scale the state table
+    * is an id-only parquet — Catalyst broadcasts it when small, AQE picks
+    * shuffle strategy when not.
+    */
+  def incrementalNewDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val state = docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(10)) < 3)
+    docs.join(state, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val incrementalNewDocsSql =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 < 3)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- n-gram Jaccard (exact pairwise on a capped subset; oracle anchor) ----
+
+  /** Distinct (doc_id, shingle) pairs for a capped doc subset. */
+  private def docShingles(spark: SparkSession, dir: String, n: Int, cap: Long): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < cap && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesCol(tokensCol(col("text")), n))).as("shingle"))
+
+  /** Exact 3-gram Jaccard similar pairs (>= 0.5) among doc_id < 200.
+    * Shape: explode → self-equi-join on shingle (NOT a cross join) → pair
+    * intersection counts → join per-doc sizes → Jaccard. The equi-join on
+    * the shingle key is exactly how this scales: only docs sharing a shingle
+    * ever meet.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir, 3, 200).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = sh.withColumnRenamed("doc_id", "doc_a")
+    val b = sh.withColumnRenamed("doc_id", "doc_b")
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("n_common") / (col("size_a") + col("size_b") - col("n_common")).cast("double"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ngramJaccardPairsSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                     t -> length(t) > 0) AS tok
+      |  FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle
+      |  FROM toks, UNNEST(
+      |    CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+      |         ELSE list_transform(generate_series(0, len(tok) - 3),
+      |                             i -> array_to_string(tok[i+1:i+3], ' '))
+      |    END) AS u(shingle)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b,
+      |       round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- MinHash + LSH banding ----
+
+  /** 64 permutations, 16 bands × 4 rows: P(candidate) ≈ 1-(1-j^4)^16 —
+    * ~0.97 at j=0.7, ~0.04 at j=0.2.
+    */
+  val NumHashes = 64
+  val NumBands = 16
+  val RowsPerBand: Int = NumHashes / NumBands
+  private val MersennePrime = 2147483647L // 2^31 - 1 (products stay < 2^62: no ANSI overflow)
+
+  /** Seeded affine permutation coefficients (deterministic across runs). */
+  private lazy val (hashA, hashB): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(42L)
+    def next(): Long = { val v = math.abs(rnd.nextLong()) % (MersennePrime - 1); v + 1 }
+    (Array.fill(NumHashes)(next()), Array.fill(NumHashes)(next()))
+  }
+
+  /** MinHash signature column: sig[i] = min over shingles of
+    * (a_i * xxhash64(shingle) + b_i) mod p. Pure HOF — codegen'd, no UDF.
+    */
+  def minhashSignature(shingles: Column): Column = {
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(MersennePrime)))
+    transform(sequence(lit(0), lit(NumHashes - 1)), i =>
+      array_min(transform(hashes, h =>
+        pmod(element_at(typedlit(hashA.toSeq), i + 1) * h
+          + element_at(typedlit(hashB.toSeq), i + 1), lit(MersennePrime)))))
+  }
+
+  /** (band_id, band_hash) rows per doc — the LSH bucket join keys. */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sig = minhashSignature(array_distinct(shinglesCol(tokensCol(col(textCol)), n)))
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), sig.as("sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(NumBands - 1)),
+          b => xxhash64(array_join(
+            transform(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)), _.cast("string")),
+            ",")))).as(Seq("band_id", "band_hash")))
+  }
+
+  /** MinHash near-dup candidate pairs with estimated Jaccard from signature
+    * agreement. Candidates = docs sharing any (band_id, band_hash) bucket;
+    * estimate = fraction of agreeing signature slots. At 100 TB both joins
+    * shuffle on compact keys only; document text never moves.
+    */
+  def minhashNearDupes(spark: SparkSession, dir: String, cap: Long = 2000,
+      estThreshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < cap)
+    val sigs = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        minhashSignature(array_distinct(shinglesCol(tokensCol(col("text")), 3))).as("sig"))
+      .cache()
+    val bands = sigs.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(NumBands - 1)),
+        b => xxhash64(array_join(
+          transform(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)), _.cast("string")),
+          ",")))).as(Seq("band_id", "band_hash")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+          / lit(NumHashes.toDouble), 6))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over token hashes. The per-doc bit accumulation is a
+    * tight loop over 64 bits × tokens — a deliberate narrow-map UDF
+    * (SURVEY.md §2.10); everything around it stays relational.
+    */
+  def simhash64(tokens: Seq[String]): Long = {
+    if (tokens == null || tokens.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(t, 0x5bd1e995).toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  private val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  /** SimHash near-dup pairs: candidates via 4×16-bit chunk equality (any
+    * pair within Hamming distance 3 shares at least one exact chunk —
+    * pigeonhole), verified with bit_count(xor) <= maxHamming.
+    */
+  def simhashNearDupes(spark: SparkSession, dir: String, cap: Long = 2000,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < cap && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), simhashUdf(tokensCol(col("text"))).as("sig"))
+      .cache()
+    val chunks = sigs.select(col("doc_id"), col("sig"), posexplode(
+      array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+      .as(Seq("chunk_id", "chunk_val")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+        col("x.chunk_val") === col("y.chunk_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- embedding-cosine near-dup ----
+
+  /** Exact cosine near-dup pairs on a capped embedding subset (oracle
+    * anchor). The scale path replaces the O(n²) join with the LSH bucket
+    * candidate join (same verify step) — see AnnIndexSpec.
+    */
+  def embeddingNearDupes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 300)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(graft.vector.VectorFunctions.cosineUnit(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cosine") >= 0.4)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val embeddingNearDupesSql =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE a.vec_id < 300 AND b.vec_id < 300
+      |  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  def minhashNearDupesQ(spark: SparkSession, dir: String): DataFrame =
+    minhashNearDupes(spark, dir)
+
+  def simhashNearDupesQ(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDupes(spark, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_exact_stats" -> dedupExactStats,
+    "incremental_new_docs" -> incrementalNewDocs,
+    "ngram_jaccard_pairs" -> ngramJaccardPairs,
+    "minhash_near_dupes" -> minhashNearDupesQ,
+    "simhash_near_dupes" -> simhashNearDupesQ,
+    "embedding_near_dupes" -> embeddingNearDupes)
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_exact_stats" -> dedupExactStatsSql,
+    "incremental_new_docs" -> incrementalNewDocsSql,
+    "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+    "embedding_near_dupes" -> embeddingNearDupesSql)
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup_exact keeps one survivor per distinct text, min doc_id") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"), (4L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    assert(out === Map(1L -> 3L, 3L -> 1L))
+  }
+
+  test("incremental_new_docs excludes all state ids (anti-join invariant)") {
+    val out = SparkEntry.queries("incremental_new_docs")(spark, sf)
+      .select("doc_id").as[Long].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_ % 10 >= 3), "no state id may survive the anti-join")
+  }
+
+  test("shingles: short docs yield one shingle, others n-grams in order") {
+    val df = Seq("a b", "a b c d").toDF("text")
+      .select(Dedup.shinglesCol(Dedup.tokensCol(col("text")), 3).as("sh"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) === Seq("a b"))
+    assert(rows(1) === Seq("a b c", "b c d"))
+  }
+
+  test("minhash signature: identical text → identical sig; est jaccard sane") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark shuffle partitions here"))
+      .toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"),
+      Dedup.minhashSignature(array_distinct(
+        Dedup.shinglesCol(Dedup.tokensCol(col("text")), 3))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(sigs(1L) === sigs(2L), "equal text must hash to equal signature")
+    assert(sigs(1L).length === Dedup.NumHashes)
+    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree < Dedup.NumHashes / 4, s"disjoint docs agreed on $agree slots")
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val base = "spark executes queries as a dag of stages separated by " +
+      "shuffle boundaries and each stage runs whole stage generated code " +
+      "over columnar batches with partitions sized to fit executor memory"
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " with one extra trailing clause appended"),
+      (2L, "entirely unrelated text about cooking pasta with tomato sauce " +
+        "and fresh basil leaves in a large pot of salted boiling water"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("minhash_test_docs")
+    val bands = Dedup.minhashBands(docs, "doc_id", "text", 3)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 1L)), "near-dup pair must share a band bucket")
+    assert(!cand.contains((0L, 2L)) && !cand.contains((1L, 2L)),
+      "unrelated doc must not collide in any band")
+  }
+
+  test("simhash: identical → distance 0, near → small, far → large") {
+    val t1 = "spark shuffle hash join broadcast exchange partition codegen stage task".split(" ").toSeq
+    val t2 = t1.updated(3, "sort")
+    val t3 = "pasta tomato basil olive garlic oven pizza dough flour yeast".split(" ").toSeq
+    val s1 = Dedup.simhash64(t1)
+    assert(s1 === Dedup.simhash64(t1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s1, Dedup.simhash64(t2)) < ham(s1, Dedup.simhash64(t3)),
+      "one-token edit must be closer than disjoint text")
+  }
+
+  test("driver queries: near-dup surfaces run and self-consistency holds") {
+    val mh = SparkEntry.queries("minhash_near_dupes")(spark, sf).collect()
+    mh.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+    val sh = SparkEntry.queries("simhash_near_dupes")(spark, sf).collect()
+    sh.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("ngram jaccard pairs are symmetric-free and thresholded") {
+    val out = SparkEntry.queries("ngram_jaccard_pairs")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+}
