@@ -20,7 +20,8 @@ object SparkEntry {
     ops.Chunking,
     ops.VectorSearch,
     ops.AnnIndex,
-    ops.Dedup)
+    ops.Dedup,
+    ops.TextAnalysis)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,103 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text_quality metrics on a hand-computed sample") {
+    val df = Seq((1L, "The cat sat on the mat, twice.")).toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokensCol(col("text")))
+    val r = df.select(
+      length(col("text")).as("n"),
+      size(col("toks")).as("w"),
+      size(regexp_extract_all(col("text"), lit("""[.,;:!?'"()\[\]{}-]"""), lit(0))).as("p"))
+      .head()
+    assert(r.getAs[Int]("n") === 30)
+    assert(r.getAs[Int]("w") === 7)
+    assert(r.getAs[Int]("p") === 2) // comma + period
+  }
+
+  test("token_counts: three tokenizers agree on simple text") {
+    val out = Seq((1L, "hello world 42 foo-bar")).toDF("doc_id", "text")
+    val r = out.select(
+      size(split(trim(col("text")), "[ \\t\\n]+")).as("ws"),
+      size(TextAnalysis.tokensCol(col("text"))).as("word"),
+      size(regexp_extract_all(col("text"),
+        lit("""\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n]+"""), lit(0))).as("bpe"))
+      .head()
+    assert(r.getAs[Int]("ws") === 4)
+    assert(r.getAs[Int]("word") === 5) // hello world 42 foo bar
+    assert(r.getAs[Int]("bpe") === 6) // hello world 42 foo - bar
+  }
+
+  test("lang_id identifies real-language sentences") {
+    val samples = Seq(
+      ("en", "The quick brown fox jumps over the lazy dog and it was not seen again for a while."),
+      ("en", "It is a truth universally acknowledged that a single man in possession of a good fortune must be in want of a wife."),
+      ("de", "Der alte Mann und das Meer ist ein Buch das ich nicht mit einem anderen vergleichen kann und sie wissen das."),
+      ("de", "Ich bin der Meinung dass die Sonne nicht mit dem Mond zu vergleichen ist und ein jeder das weiss."),
+      ("fr", "Je ne pas comprendre pourquoi vous ne venez pas dans le jardin avec les enfants et une amie."),
+      ("fr", "La vie est belle et je pense que vous ne devriez pas la passer dans une chambre sombre."),
+      ("es", "El perro y el gato no son amigos pero viven en una casa con un jardin por el que pasean."),
+      ("es", "No es que no quiera ir es que no puedo porque los trenes no pasan por la estacion."),
+      ("zh", "今天天气很好我们一起去公园散步吧然后吃晚饭"),
+      ("zh", "机器学习模型需要大量的训练数据才能达到良好的效果"))
+    val df = samples.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "expected")
+      .withColumn("pred", TextAnalysis.langIdCol(col("text")))
+    val rows = df.select(col("expected"), col("pred.lang").as("got")).collect()
+    val correct = rows.count(r => r.getString(0) == r.getString(1))
+    assert(correct === rows.length,
+      s"misclassified: ${rows.filter(r => r.getString(0) != r.getString(1)).mkString(", ")}")
+  }
+
+  test("fingerprints: deterministic; identical docs share all, disjoint share none") {
+    val df = Seq(
+      (1L, "spark executes queries as a dag of stages separated by shuffles"),
+      (2L, "spark executes queries as a dag of stages separated by shuffles"),
+      (3L, "pasta tomato basil olive garlic oven pizza dough flour yeast salt"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.fingerprintCol(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+    assert(fps(1L).nonEmpty)
+  }
+
+  test("fingerprint overlap finds planted containment") {
+    val base = "the winnowing algorithm selects the minimum hash in each window " +
+      "of consecutive k gram hashes guaranteeing that matches longer than the " +
+      "guarantee threshold are always detected between documents"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " with extra appended commentary at the end of the document"),
+      (3L, "unrelated text about gardening tomatoes peppers basil and the many " +
+        "joys of watering plants every morning before the sun rises over the hill"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), explode(TextAnalysis.fingerprintCol(col("text"))).as("fp"))
+    val byDoc = df.collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val c12 = byDoc(1L).intersect(byDoc(2L)).size.toDouble / math.min(byDoc(1L).size, byDoc(2L).size)
+    val c13 = byDoc(1L).intersect(byDoc(3L)).size.toDouble / math.min(byDoc(1L).size, byDoc(3L).size)
+    assert(c12 >= 0.5, s"containment of near-identical docs was $c12")
+    assert(c13 < 0.3, s"containment of unrelated docs was $c13")
+  }
+
+  test("driver queries run and are internally consistent") {
+    val q = SparkEntry.queries("text_quality")(spark, sf).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val s = r.getAs[Double]("quality_score")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Double]("space_ratio") < 1.0)
+    }
+    val tc = SparkEntry.queries("token_counts")(spark, sf).collect()
+    tc.foreach { r =>
+      assert(r.getAs[Int]("n_word_tokens") >= r.getAs[Int]("n_ws_tokens") - 1)
+      assert(r.getAs[Int]("n_bpe_pieces") >= r.getAs[Int]("n_word_tokens"))
+    }
+    assert(SparkEntry.queries("doc_fingerprints")(spark, sf).count() > 0)
+  }
+}
