@@ -11,9 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full RAG lifecycle slice (SURVEY.md §7.3): chunk → embed →
+    * retrieve → rerank → threshold → ranked context rows.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("rag_pipeline_topk")(spark, "/root/testdata/sf0.001")
 
   private def modules: Seq[QueryModule] = Seq(
     ops.Relational,
@@ -21,7 +24,8 @@ object SparkEntry {
     ops.VectorSearch,
     ops.AnnIndex,
     ops.Dedup,
-    ops.TextAnalysis)
+    ops.TextAnalysis,
+    ops.Rag)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Rag
+import org.apache.spark.sql.functions._
+
+class RagSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lexicalScore: hand-computed overlap cosine") {
+    // q = {spark, shuffle}; d = {spark, join, shuffle, fast} → inter = 2
+    // score = 2 / sqrt(2*4) = 0.707107
+    val r = Seq(("spark shuffle", "spark join shuffle fast spark")).toDF("q", "t")
+      .select(Rag.lexicalScore(col("q"), col("t")).as("s")).head()
+    assert(r.getDouble(0) === 0.707107)
+  }
+
+  test("lexicalScore: no overlap → 0, identical distinct sets → 1") {
+    val rows = Seq(
+      ("alpha beta", "gamma delta"),
+      ("alpha beta", "beta alpha alpha")).toDF("q", "t")
+      .select(Rag.lexicalScore(col("q"), col("t")).as("s")).collect()
+    assert(rows(0).getDouble(0) === 0.0)
+    assert(rows(1).getDouble(0) === 1.0)
+  }
+
+  test("rerank_topn is ordered desc with id tiebreak and capped at 20") {
+    val out = SparkEntry.queries("rerank_topn")(spark, sf).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    val pairs = out.map(r => (r.getAs[Double]("relevance_score"), r.getAs[Long]("doc_id")))
+    pairs.sliding(2).foreach {
+      case Array((s1, d1), (s2, d2)) =>
+        assert(s1 > s2 || (s1 == s2 && d1 < d2), "ordering violated")
+      case _ =>
+    }
+  }
+
+  test("rag_context assembles exactly the top-5 in rank order") {
+    val row = SparkEntry.queries("rag_context")(spark, sf).head()
+    val ctx = row.getAs[String]("context")
+    assert(row.getAs[Long]("n_docs") === 5)
+    val headers = "Source (\\d+) ".r.findAllMatchIn(ctx).map(_.group(1).toInt).toList
+    assert(headers === List(1, 2, 3, 4, 5), s"headers out of order: $headers")
+    assert(ctx.split("\n\n").length === 5)
+  }
+
+  test("rag_pipeline_topk: end-to-end slice returns ranked, thresholded chunks") {
+    val out = SparkEntry.entry(spark)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(rows.map(_.getAs[Int]("rank")).toList === (1 to rows.length).toList)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("relevance_score") > 0.0)
+      assert(r.getAs[Int]("chunk_number") >= 1)
+      assert(r.getAs[Int]("chunk_number") <= r.getAs[Int]("total_chunks"))
+      assert(r.getAs[String]("chunk_text").length <= 200)
+    }
+  }
+
+  test("pipeline candidate stage plans a TakeOrderedAndProject (no full sort)") {
+    val plan = SparkEntry.queries("rerank_topn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should not plan a global sort:\n$plan")
+  }
+}
