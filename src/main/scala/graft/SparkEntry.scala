@@ -25,7 +25,8 @@ object SparkEntry {
     ops.AnnIndex,
     ops.Dedup,
     ops.TextAnalysis,
-    ops.Rag)
+    ops.Rag,
+    ops.Ingest)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
