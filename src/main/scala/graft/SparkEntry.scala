@@ -26,7 +26,8 @@ object SparkEntry {
     ops.Dedup,
     ops.TextAnalysis,
     ops.Rag,
-    ops.Ingest)
+    ops.Ingest,
+    streaming.EventStreams)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

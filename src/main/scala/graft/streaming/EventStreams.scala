@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryModule, Tables}
+
+/** Event-stream analytics (SURVEY.md §2.10: additive — the reference has no
+  * streaming; chat memory A5 and incremental logs are its only stateful
+  * notions). Batch and streaming share the same event-time semantics:
+  * tumbling windows = `window(ts, …)`, sessions = `session_window(ts, gap)`,
+  * running state = window functions (batch) / mapGroupsWithState
+  * (streaming, exercised in StreamingSpec).
+  *
+  * Scale: windowed aggregation shuffles once on (window, key) with partial
+  * aggregation map-side; sessionization shuffles on user_id only;
+  * watermarks bound streaming state. All expressions stay codegen'd.
+  */
+object EventStreams extends QueryModule {
+
+  /** Tumbling 1-hour windows per event type: count + value sum/avg.
+    * Window start for aligned hourly windows equals date_trunc('hour'),
+    * which is the oracle formulation.
+    */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("avg_value"))
+      .orderBy("window_start", "event_type")
+
+  private val eventsHourlySql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value,
+      |       round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Session windows: per-user sessions closed by a 30-minute inactivity
+    * gap. Output (user, session_start = first event, last_event, n_events,
+    * value sum) — formulated identically in the oracle via the classic
+    * lag/flag/cumulative-sum rewrite.
+    */
+  def eventsSessions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("last_event"))
+      .select("user_id", "session_start", "last_event", "n_events", "sum_value")
+      .orderBy("user_id", "session_start")
+
+  private val eventsSessionsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   > INTERVAL 30 MINUTE
+      |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS last_event,
+      |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** A5-analog running state per user: event history accumulated in order
+    * (running count, running value sum, previous event type) — the batch
+    * formulation of chat-memory accumulation
+    * (`query_rag_database.py:379,602`).
+    */
+  def userRunningState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        count(lit(1)).over(w).as("n_so_far"),
+        round(sum(col("value")).over(w), 4).as("value_so_far"),
+        coalesce(lag(col("event_type"), 1).over(wLag), lit("none")).as("prev_event"))
+      .orderBy("user_id", "ts")
+  }
+
+  private val userRunningStateSql =
+    """SELECT user_id, ts, event_type,
+      |       count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |                      ROWS UNBOUNDED PRECEDING) AS n_so_far,
+      |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+      |                              ROWS UNBOUNDED PRECEDING), 4) AS value_so_far,
+      |       coalesce(lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts),
+      |                'none') AS prev_event
+      |FROM events WHERE user_id < 10 ORDER BY user_id, ts""".stripMargin
+
+  /** Streaming builders (driven by StreamingSpec with a memory source;
+    * same transforms run on any readStream source in production).
+    */
+
+  /** Watermarked tumbling-window counts for a streaming events frame. */
+  def hourlyCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly" -> eventsHourly,
+    "events_sessions" -> eventsSessions,
+    "user_running_state" -> userRunningState)
+
+  def oracles: Map[String, String] = Map(
+    "events_hourly" -> eventsHourlySql,
+    "events_sessions" -> eventsSessionsSql,
+    "user_running_state" -> userRunningStateSql)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("batch session_window matches the lag/cumsum formulation on a hand case") {
+    // user 1: events at 0, 10, 55 min (one session: gaps 10, 45>30 → two sessions)
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(55), 3.0),
+      (2L, ts(5), 4.0))
+      .toDF("user_id", "ts", "value")
+    val sessions = df
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("start"))
+      .select("user_id", "start", "n")
+      .orderBy("user_id", "start")
+      .collect()
+    assert(sessions.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    assert(sessions(0).getTimestamp(1) === ts(0))
+    assert(sessions(1).getTimestamp(1) === ts(55))
+  }
+
+  test("streaming: watermarked hourly window counts over a memory source") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val q = EventStreams.hourlyCountsStream(events)
+      .writeStream.format("memory").queryName("hourly_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((ts(5), "click"), (ts(15), "click"), (ts(65), "view"))
+      q.processAllAvailable()
+      val out = spark.table("hourly_counts")
+        .groupBy("window_start", "event_type").agg(max("n_events").as("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(out === Set(
+        (ts(0), "click", 2L),
+        (ts(60), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming: mapGroupsWithState keeps running per-user counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val counts = mem.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = rows.toSeq
+          val updated = (c0 + batch.size, s0 + batch.map(_._2).sum)
+          state.update(updated)
+          (user, updated._1, updated._2)
+      }
+      .toDF("user_id", "n_events", "value_sum")
+    val q = counts.writeStream.format("memory").queryName("user_state")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, 4.0))
+      q.processAllAvailable()
+      val latest = spark.table("user_state")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("value_sum").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(latest === Set((1L, 3L, 7.0), (2L, 1L, 5.0)),
+        "state must accumulate across micro-batches")
+    } finally q.stop()
+  }
+
+  test("driver batch queries: hourly windows partition the event count") {
+    val hourly = SparkEntry.queries("events_hourly")(spark, sf)
+    val total = hourly.agg(sum("n_events")).head().getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+    val sessions = SparkEntry.queries("events_sessions")(spark, sf)
+    val stotal = sessions.agg(sum("n_events")).head().getLong(0)
+    assert(stotal === total, "sessions must also partition all events")
+  }
+}
