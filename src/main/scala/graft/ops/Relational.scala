@@ -49,9 +49,170 @@ object Relational extends QueryModule {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q5-style revenue by region: fact table joined through the
+    * supplier→nation→region dimension chain — all three dims explicitly
+    * broadcast (at 100 TB the fact side never shuffles for these joins).
+    */
+  def q2RevenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"r_name")
+  }
+
+  private val q2RevenueByRegionSql =
+    """SELECT r_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** TPC-H Q3-style top unshipped-revenue orders: fact-fact join
+    * (orders⋈lineitem shuffles on the key, AQE-replanned) + broadcast
+    * customer filter + global top-10 via TakeOrderedAndProject.
+    */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  private val q3TopOrdersSql =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Semi join (EXISTS): orders with at least one line item shipped after
+    * the order date window start — per-priority counts (TPC-H Q4 shape).
+    */
+  def q4PriorityCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey").distinct()
+    Tables.orders(spark, dir)
+      .join(li, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q4PriorityCountsSql =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Anti join: customers that placed no orders. */
+  def customersNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  private val customersNoOrdersSql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Distinct aggregation: per-nation supplier/customer distinct counts
+    * plus account-balance stats over a broadcast dim join.
+    */
+  def nationAccountStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(countDistinct($"c_custkey").as("n_customers"),
+        countDistinct($"c_mktsegment").as("n_segments"),
+        round(sum($"c_acctbal"), 2).as("total_acctbal"),
+        round(avg($"c_acctbal"), 4).as("avg_acctbal"))
+      .orderBy($"n_name")
+  }
+
+  private val nationAccountStatsSql =
+    """SELECT n_name, count(DISTINCT c_custkey) AS n_customers,
+      |       count(DISTINCT c_mktsegment) AS n_segments,
+      |       round(sum(c_acctbal), 2) AS total_acctbal,
+      |       round(avg(c_acctbal), 4) AS avg_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Rollup: revenue at (returnflag, linestatus), per-flag subtotals, and
+    * grand total — grouping-set breadth with null-marker parity.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_extendedprice"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  private val revenueRollupSql =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Per-group top-k via window: highest-balance supplier per nation. */
+  def topSupplierPerNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"s_nationkey").orderBy($"s_acctbal".desc, $"s_suppkey".asc)
+    Tables.supplier(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" === 1)
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"n_name", $"s_suppkey", $"s_name", round($"s_acctbal", 2).as("acctbal"))
+      .orderBy($"n_name")
+  }
+
+  private val topSupplierPerNationSql =
+    """WITH ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY s_nationkey
+      |                               ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+      |  FROM supplier)
+      |SELECT n_name, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+      |FROM ranked JOIN nation ON s_nationkey = n_nationkey
+      |WHERE rnk = 1 ORDER BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> q1PricingSummary)
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_revenue_by_region" -> q2RevenueByRegion,
+    "q3_top_orders" -> q3TopOrders,
+    "q4_priority_counts" -> q4PriorityCounts,
+    "customers_no_orders" -> customersNoOrders,
+    "nation_account_stats" -> nationAccountStats,
+    "revenue_rollup" -> revenueRollup,
+    "top_supplier_per_nation" -> topSupplierPerNation)
 
   def oracles: Map[String, String] = Map(
-    "q1_pricing_summary" -> q1PricingSummarySql)
+    "q1_pricing_summary" -> q1PricingSummarySql,
+    "q2_revenue_by_region" -> q2RevenueByRegionSql,
+    "q3_top_orders" -> q3TopOrdersSql,
+    "q4_priority_counts" -> q4PriorityCountsSql,
+    "customers_no_orders" -> customersNoOrdersSql,
+    "nation_account_stats" -> nationAccountStatsSql,
+    "revenue_rollup" -> revenueRollupSql,
+    "top_supplier_per_nation" -> topSupplierPerNationSql)
 }

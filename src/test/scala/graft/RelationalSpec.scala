@@ -27,4 +27,42 @@ class RelationalSpec extends SparkSpec {
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("dimension joins plan as broadcast hash joins (no fact-side shuffle)") {
+    val plan = SparkEntry.queries("q2_revenue_by_region")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "dim joins must not sort-merge the fact table")
+  }
+
+  test("q3 top-10 plans TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("q3_top_orders")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("anti/semi join results reconcile") {
+    val cust = Tables.customer(spark, sf)
+    val ords = Tables.orders(spark, sf)
+    val nCust = cust.count()
+    val without = SparkEntry.queries("customers_no_orders")(spark, sf).count()
+    val withOrders = cust
+      .join(ords, cust("c_custkey") === ords("o_custkey"), "left_semi").count()
+    assert(without + withOrders === nCust)
+  }
+
+  test("rollup row count = detail + per-flag subtotals + grand total") {
+    val rows = SparkEntry.queries("revenue_rollup")(spark, sf).collect()
+    val detail = rows.count(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val subtotal = rows.count(r => !r.isNullAt(0) && r.isNullAt(1))
+    val grand = rows.count(r => r.isNullAt(0))
+    assert(grand === 1)
+    assert(rows.length === detail + subtotal + grand)
+    // grand total equals the sum of detail revenues
+    val g = rows.filter(_.isNullAt(0)).head.getAs[Double]("revenue")
+    val d = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(_.getAs[Double]("revenue")).sum
+    assert(math.abs(g - d) < 1.0)
+  }
 }
