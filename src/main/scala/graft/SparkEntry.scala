@@ -27,6 +27,7 @@ object SparkEntry {
     ops.TextAnalysis,
     ops.Rag,
     ops.Ingest,
+    ops.Multimodal,
     streaming.EventStreams)
 
   /** One entry per implemented operator from SURVEY.md §2. */

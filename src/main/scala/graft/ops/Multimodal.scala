@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.vector.VectorFunctions
+
+/** Multimodal column plumbing (training-data-pipeline requirement):
+  * image/audio/video as opaque binary columns with typed metadata, plus
+  * decode / feature-extract / resize / frame-sample operators.
+  *
+  * The actual codecs (image decode, audio resample, video demux) are NOT
+  * available in this environment, so the byte-level decode step is a
+  * clearly-marked deterministic STUB — but everything Spark-side is real
+  * and tested: the schema (binary payload + metadata struct), the
+  * partition-batched execution shape (one "model"/codec init per
+  * partition, records processed in fixed-size batches — the mapPartitions
+  * analog of mapInPandas batching), the feature schema (fixed-dim
+  * float array compatible with the vector-search surface), and the
+  * partitioning behavior (narrow maps, no shuffle).
+  *
+  * At 100 TB: payloads live in the parquet as binary; feature extraction
+  * is a narrow map whose cost dominates, so partition sizing
+  * (`spark.sql.files.maxPartitionBytes`) controls batch memory; extracted
+  * features (small) flow into the ANN index build, payloads are never
+  * shuffled.
+  */
+object Multimodal extends QueryModule {
+
+  val FeatureDim = 64
+  val BatchSize = 64
+
+  /** Typed media record: opaque payload + modality-specific metadata. */
+  case class MediaMeta(width: Int, height: Int, sampleRate: Int, nFrames: Int)
+  case class MediaRow(media_id: Long, modality: String, content: Array[Byte],
+    meta: MediaMeta)
+  case class MediaFeatures(media_id: Long, modality: String,
+    features: Array[Float], batch_id: Int, partition_id: Int)
+
+  /** Deterministic synthetic media table derived from documents: payload =
+    * utf-8 text bytes (stands in for real image/audio/video bytes; makes
+    * byte-level results oracle-reconstructable), modality by id, metadata
+    * derived from payload length.
+    */
+  def syntheticMedia(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(typedlit(Seq("image", "audio", "video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        encode(col("text"), "UTF-8").as("content"),
+        struct(
+          (lit(64) + pmod(col("n_chars"), lit(448))).cast("int").as("width"),
+          (lit(64) + pmod(col("n_chars") * 7, lit(448))).cast("int").as("height"),
+          lit(16000).as("sampleRate"),
+          (lit(1) + pmod(col("n_chars"), lit(120))).cast("int").as("nFrames")).as("meta"))
+
+  /** STUB decode/feature-extract: a real implementation would decode the
+    * payload with an image/audio codec and run a feature model; offline we
+    * hash byte windows into a fixed-dim unit-norm vector — deterministic,
+    * modality-tagged, same shape/contract as the real thing.
+    */
+  def stubFeatures(content: Array[Byte], modality: String): Array[Float] = {
+    val acc = new Array[Double](FeatureDim)
+    if (content != null) {
+      var i = 0
+      while (i < content.length) {
+        val idx = java.lang.Byte.toUnsignedInt(content(i)) % FeatureDim
+        acc(idx) += (if (((content(i) >> 3) & 1) == 0) 1.0 else -1.0)
+        i += 1
+      }
+    }
+    val modSeed = modality.hashCode.abs % FeatureDim
+    acc(modSeed) += 2.0
+    var ss = 0.0
+    var j = 0
+    while (j < FeatureDim) { ss += acc(j) * acc(j); j += 1 }
+    val out = new Array[Float](FeatureDim)
+    if (ss > 0) {
+      val inv = 1.0 / math.sqrt(ss)
+      j = 0
+      while (j < FeatureDim) { out(j) = (acc(j) * inv).toFloat; j += 1 }
+    }
+    out
+  }
+
+  /** Feature extraction with the production execution shape: per-partition
+    * "codec" initialization (once), then fixed-size batches — the
+    * mapPartitions analog of mapInPandas batch processing. Narrow map:
+    * payloads never shuffle.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val partitionId = org.apache.spark.TaskContext.getPartitionId()
+      // real pipeline: load codec/model here, once per partition
+      rows.grouped(BatchSize).zipWithIndex.flatMap { case (batch, batchId) =>
+        batch.map(r => MediaFeatures(r.media_id, r.modality,
+          stubFeatures(r.content, r.modality), batchId, partitionId))
+      }
+    }.toDF()
+  }
+
+  /** STUB resize: metadata-correct resize of an image payload — scales the
+    * byte budget to the target pixel count (real impl: decode → scale →
+    * re-encode). Deterministic truncation/padding keeps tests exact.
+    */
+  def resizeStub(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val resize = udf((content: Array[Byte], w: Int, h: Int) =>
+      if (content == null) null
+      else {
+        val targetLen = math.max(1,
+          (content.length.toLong * (targetW.toLong * targetH) / math.max(1L, w.toLong * h)).toInt)
+        if (targetLen <= content.length) content.take(targetLen)
+        else content ++ Array.fill[Byte](targetLen - content.length)(0)
+      })
+    df.withColumn("content", resize(col("content"), col("meta.width"), col("meta.height")))
+      .withColumn("meta", struct(
+        lit(targetW).as("width"), lit(targetH).as("height"),
+        col("meta.sampleRate").as("sampleRate"), col("meta.nFrames").as("nFrames")))
+  }
+
+  /** Frame sampling for video payloads: split the payload into nFrames
+    * equal byte windows ("frames"), keep every stride-th — the
+    * uniform-temporal-sampling shape. Output one row per sampled frame.
+    */
+  def sampleFrames(df: DataFrame, stride: Int): DataFrame = {
+    val frames = udf((content: Array[Byte], nFrames: Int) =>
+      if (content == null || nFrames <= 0) Array.empty[Array[Byte]]
+      else {
+        val frameLen = math.max(1, content.length / nFrames)
+        (0 until nFrames by stride).map { f =>
+          content.slice(f * frameLen, math.min((f + 1) * frameLen, content.length))
+        }.filter(_.nonEmpty).toArray
+      })
+    df.filter(col("modality") === "video")
+      .select(col("media_id"),
+        posexplode(frames(col("content"), col("meta.nFrames"))).as(Seq("frame_idx", "frame")))
+      .select(col("media_id"), (col("frame_idx") * stride).cast("int").as("frame_number"),
+        col("frame"))
+  }
+
+  // ---- driver queries ----
+
+  /** Payload stats per modality — byte-level, so the oracle reconstructs
+    * the synthetic payload with encode() and must agree exactly.
+    */
+  def multimodalStats(spark: SparkSession, dir: String): DataFrame =
+    syntheticMedia(spark, dir)
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_media"),
+        sum(length(col("content"))).as("total_bytes"),
+        min(length(col("content"))).as("min_bytes"),
+        max(length(col("content"))).as("max_bytes"),
+        round(avg(col("meta.width")), 4).as("avg_width"))
+      .orderBy("modality")
+
+  private val multimodalStatsSql =
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |       count(*) AS n_media,
+      |       sum(octet_length(encode(text))) AS total_bytes,
+      |       min(octet_length(encode(text))) AS min_bytes,
+      |       max(octet_length(encode(text))) AS max_bytes,
+      |       round(avg(64 + n_chars % 448), 4) AS avg_width
+      |FROM documents WHERE length(text) > 0
+      |GROUP BY 1 ORDER BY modality""".stripMargin
+
+  /** Feature extraction + similarity search over media features: the
+    * multimodal retrieval path (extract → cosine vs a query media's
+    * features → top-10). Rows-only (stub features are engine-specific).
+    */
+  def multimodalKnn(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(syntheticMedia(spark, dir))
+    val q = feats.filter(col("media_id") === 0L)
+      .select(col("features").as("query_features"))
+    feats.crossJoin(broadcast(q))
+      .withColumn("score",
+        round(VectorFunctions.cosineUnit(col("features"), col("query_features")), 6))
+      .select("media_id", "modality", "score")
+      .orderBy(col("score").desc, col("media_id").asc)
+      .limit(10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_stats" -> multimodalStats,
+    "multimodal_knn" -> multimodalKnn)
+
+  def oracles: Map[String, String] = Map(
+    "multimodal_stats" -> multimodalStatsSql)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.syntheticMedia(spark, sf)
+
+  test("synthetic media schema: binary payload + typed metadata struct") {
+    val schema = media.schema
+    assert(schema("content").dataType.typeName === "binary")
+    val meta = schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq === Seq("width", "height", "sampleRate", "nFrames"))
+    assert(media.select("modality").distinct().as[String].collect().toSet ===
+      Set("image", "audio", "video"))
+  }
+
+  test("feature extraction: deterministic, unit-norm, fixed dim, batched shape") {
+    val f1 = Multimodal.extractFeatures(media).collect()
+    val f2 = Multimodal.extractFeatures(media).collect()
+    assert(f1.map(_.getSeq[Float](2).toList).toList ===
+      f2.map(_.getSeq[Float](2).toList).toList, "features must be deterministic")
+    f1.foreach { r =>
+      val v = r.getSeq[Float](2)
+      assert(v.length === Multimodal.FeatureDim)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"unit norm, got $norm")
+      assert(r.getAs[Int]("batch_id") >= 0)
+      assert(r.getAs[Int]("partition_id") >= 0)
+    }
+    // batch ids restart per partition and cap at ceil(rows/batch)
+    val perPartition = f1.groupBy(_.getAs[Int]("partition_id"))
+    perPartition.foreach { case (_, rows) =>
+      val maxBatch = rows.map(_.getAs[Int]("batch_id")).max
+      assert(maxBatch <= rows.size / Multimodal.BatchSize + 1)
+    }
+  }
+
+  test("modality shifts features: same payload, different modality → different vector") {
+    val bytes = "identical payload".getBytes("UTF-8")
+    val a = Multimodal.stubFeatures(bytes, "image")
+    val b = Multimodal.stubFeatures(bytes, "audio")
+    assert(!a.sameElements(b))
+  }
+
+  test("resize: metadata updated, byte budget scales with pixel count") {
+    val resized = Multimodal.resizeStub(media.filter($"modality" === "image"), 32, 32)
+    val r = resized.select("meta.width", "meta.height").head()
+    assert((r.getInt(0), r.getInt(1)) === (32, 32))
+    val src = media.filter($"modality" === "image")
+      .select(col("media_id"), length(col("content")).as("len"),
+        col("meta.width").as("w"), col("meta.height").as("h"))
+    val out = resized.select(col("media_id"), length(col("content")).as("len2"))
+    val joined = src.join(out, "media_id").collect()
+    joined.foreach { row =>
+      val expected = math.max(1L,
+        row.getAs[Int]("len").toLong * (32L * 32) /
+          (row.getAs[Int]("w").toLong * row.getAs[Int]("h")))
+      assert(row.getAs[Int]("len2").toLong === expected)
+    }
+  }
+
+  test("frame sampling: every stride-th frame, counts match metadata") {
+    val sampled = Multimodal.sampleFrames(media, stride = 3)
+    val counts = sampled.groupBy("media_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = media.filter($"modality" === "video")
+      .select(col("media_id"), col("meta.nFrames")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1) + 2) / 3).toLong).toMap
+    counts.foreach { case (id, n) =>
+      assert(n <= expected(id), s"media $id: sampled $n > expected max ${expected(id)}")
+      assert(n >= 1)
+    }
+    val fn = sampled.select("frame_number").as[Int].collect()
+    assert(fn.forall(_ % 3 === 0), "only stride-aligned frames")
+  }
+
+  test("multimodal knn: self-match first with score 1") {
+    val out = SparkEntry.queries("multimodal_knn")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("media_id") === 0L)
+    assert(out.head.getAs[Double]("score") === 1.0)
+  }
+
+  test("extraction plan is a narrow map (no shuffle upstream of features)") {
+    val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"feature extraction must not shuffle:\n$plan")
+  }
+}
