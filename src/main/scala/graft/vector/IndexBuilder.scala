@@ -102,15 +102,28 @@ object IndexBuilder {
       .limit(k)
   }
 
-  /** IVF index: KMeans cluster assignment column (seeded, batch-fit). */
+  /** IVF index: KMeans cluster assignment column (seeded, batch-fit).
+    * Fits are memoized per logical input: an IVF index is built ONCE as a
+    * batch job and then queried many times — re-fitting KMeans per query
+    * would be like rebuilding a B-tree per lookup. The clustered frame is
+    * Spark-cached (at 100 TB it is a persisted parquet partitioned by
+    * cluster_id instead — see buildLshIndex for the same pattern).
+    */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Long), (DataFrame, Array[MlVector])]
+
   def withIvfCluster(df: DataFrame, embCol: String, numClusters: Int,
       seed: Long): (DataFrame, Array[MlVector]) = {
-    val feat = df.withColumn("_features", array_to_vector(col(embCol)))
-    val model = new KMeans()
-      .setK(numClusters).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("_features").setPredictionCol("cluster_id")
-      .fit(feat)
-    (model.transform(feat).drop("_features"), model.clusterCenters)
+    val key = (df.queryExecution.logical.canonicalized.toString, embCol, numClusters, seed)
+    ivfCache.getOrElseUpdate(key, {
+      val feat = df.withColumn("_features", array_to_vector(col(embCol)))
+      val model = new KMeans()
+        .setK(numClusters).setSeed(seed).setMaxIter(20)
+        .setFeaturesCol("_features").setPredictionCol("cluster_id")
+        .fit(feat)
+      val clustered = model.transform(feat).drop("_features").cache()
+      (clustered, model.clusterCenters)
+    })
   }
 
   /** IVF-pruned exact top-k: rank centroids by distance to the query on the
