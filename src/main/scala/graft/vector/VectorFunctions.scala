@@ -13,8 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two float/double array columns, computed in double. */
+  /** Dot product of two float/double array columns, computed in double.
+    * Backed by the native codegen'd expression (org.apache.spark.sql.graft
+    * .DotProduct); dotHof is the pure-SQL formulation it replaced — same
+    * left-to-right double summation, so results are bit-identical (asserted
+    * in VectorFunctionsSpec).
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.dot(a, b)
+
+  /** Higher-order-function dot product (interpreted lambda path; kept for
+    * cross-checking the native expression).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -62,6 +62,33 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(norms(0) - 1.0) < 1e-9)
     assert(norms(1) === 0.0)
   }
+
+  test("native DotProduct expression is bit-identical to the HOF formulation") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val both = e.crossJoin(broadcast(q))
+      .select(V.dot($"embedding", $"qe").as("native"), V.dotHof($"embedding", $"qe").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1),
+      s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
+  }
+
+  test("native DotProduct evaluates null-safely and in codegen") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(1.0f))),
+      (Some(Array(1.0f)), None)).toDF("a", "b")
+    val rows = df.select(V.dot($"a", $"b").as("d")).collect()
+    assert(rows(0).getDouble(0) === 11.0)
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+    val plan = Tables.embeddings(spark, sf)
+      .select(V.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [graft_dot"),
+      s"expected the projection inside a codegen stage:\n$plan")
+  }
 }
 
 class VectorSearchSpec extends SparkSpec {
