@@ -28,6 +28,7 @@ object SparkEntry {
     ops.Rag,
     ops.Ingest,
     ops.Multimodal,
+    ops.Functions,
     streaming.EventStreams)
 
   /** One entry per implemented operator from SURVEY.md §2. */
