@@ -29,6 +29,7 @@ object SparkEntry {
     ops.Ingest,
     ops.Multimodal,
     ops.Functions,
+    ops.SessionLogs,
     streaming.EventStreams)
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+
+/** Session/conversation log analytics (SURVEY.md §1.1d, §2.2 K3, A6):
+  * the reference appends one JSON log per session — a summary header plus
+  * per-turn entries carrying the full retrieved docs with JSON-stringified
+  * metadata (`query_rag_database.py:606-650`,
+  * `Auto_query_rag_database.py:196-217,575`).
+  *
+  * The engine models this as: events = turns, user = session; turn
+  * numbering is a rank window per session; the nested log record is built
+  * with struct/collect_list and serialized with to_json (F9) — and
+  * parsed back with from_json, round-trip-tested in SessionLogsSpec.
+  *
+  * Scale: one shuffle keyed by session id; per-session turn arrays are
+  * bounded by the session cap (top-n caps in the reference guarantee
+  * bounded groups — here we cap turns collected per session at 50).
+  */
+object SessionLogs extends QueryModule {
+
+  val MaxTurnsKept = 50
+
+  /** Turn-level frame: session, turn number, mode, input, value. */
+  def turns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("turn", row_number().over(w))
+      .select(col("user_id").as("session_id"), col("turn"),
+        col("event_type").as("mode"), col("ts"), col("value"), col("props"))
+  }
+
+  /** K3: one nested log record per session, serialized as JSON — summary
+    * header + capped turn array with stringified metadata. Rows-only
+    * (JSON key ordering is engine-specific); round-trip checked in spec.
+    */
+  def sessionLogs(spark: SparkSession, dir: String): DataFrame =
+    turns(spark, dir)
+      .filter(col("turn") <= MaxTurnsKept)
+      .groupBy(col("session_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        min(col("ts")).as("started_at"),
+        max(col("ts")).as("ended_at"),
+        array_sort(collect_list(struct(
+          col("turn"), col("mode"),
+          col("value"), col("props").as("metadata_json")))).as("conversation_turns"))
+      .withColumn("log_json", to_json(struct(
+        struct(col("session_id"), col("n_turns"),
+          col("started_at").cast("string").as("started_at"),
+          col("ended_at").cast("string").as("ended_at")).as("session_summary"),
+        col("conversation_turns"))))
+      .select("session_id", "n_turns", "log_json")
+      .orderBy("session_id")
+
+  /** Schema for parsing the log back (F9 decode side). */
+  val LogSchema: StructType = StructType(Seq(
+    StructField("session_summary", StructType(Seq(
+      StructField("session_id", LongType),
+      StructField("n_turns", LongType),
+      StructField("started_at", StringType),
+      StructField("ended_at", StringType)))),
+    StructField("conversation_turns", ArrayType(StructType(Seq(
+      StructField("turn", IntegerType),
+      StructField("mode", StringType),
+      StructField("value", DoubleType),
+      StructField("metadata_json", StringType)))))))
+
+  /** Oracle-checked session summary: per-session turn count, modes used,
+    * duration, value stats — the A6 summary header as a relational query.
+    */
+  def sessionSummaries(spark: SparkSession, dir: String): DataFrame =
+    turns(spark, dir)
+      .groupBy(col("session_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        countDistinct(col("mode")).as("n_modes"),
+        round(sum(col("value")), 4).as("total_value"),
+        min(col("ts")).as("started_at"),
+        max(col("ts")).as("ended_at"))
+      .withColumn("duration_sec",
+        col("ended_at").cast("long") - col("started_at").cast("long"))
+      .orderBy("session_id")
+
+  private val sessionSummariesSql =
+    """SELECT user_id AS session_id, count(*) AS n_turns,
+      |       count(DISTINCT event_type) AS n_modes,
+      |       round(sum(value), 4) AS total_value,
+      |       min(ts) AS started_at, max(ts) AS ended_at,
+      |       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+      |FROM events GROUP BY user_id ORDER BY session_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_logs" -> sessionLogs,
+    "session_summaries" -> sessionSummaries)
+
+  def oracles: Map[String, String] = Map(
+    "session_summaries" -> sessionSummariesSql)
+}
