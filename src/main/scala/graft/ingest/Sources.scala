@@ -1,0 +1,88 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-based source readers (SURVEY.md §2.1 S2-S4, §2.2 K4) beyond the
+  * JSONL chunk scan in ops.Ingest.
+  *
+  * All readers are declarative `spark.read` scans: directory recursion,
+  * extension filtering, and hidden-file pruning happen at file-listing
+  * time (the S4/P8 scan-time pruning the reference hand-codes with
+  * os.walk), and per-record parsing is distributed — no driver loops.
+  */
+object Sources {
+
+  /** Video source record schema (FIXTURES.md A2, subset used by the
+    * chunker consumer `chunk_youtube_transcripts.py:144-173`).
+    */
+  val VideoSchema: StructType = StructType(Seq(
+    StructField("video_id", StringType),
+    StructField("title", StringType),
+    StructField("channel_folder", StringType),
+    StructField("upload_date", StringType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("view_count", LongType),
+    StructField("duration_seconds", LongType),
+    StructField("transcript", StringType),
+    StructField("status", StringType)))
+
+  /** S2: per-file JSON document scan — recursive walk, .json filter,
+    * hidden files pruned by the default listing, one multi-line record per
+    * file (`chunk_youtube_transcripts.py:113-145`). P2 transcript validity
+    * filter applied.
+    */
+  def readVideoJsonDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema(VideoSchema)
+      .option("multiLine", true)
+      .option("recursiveFileLookup", true)
+      .option("pathGlobFilter", "*.json")
+      .json(dir)
+      .filter(col("video_id").isNotNull &&
+        col("transcript").isNotNull && length(trim(col("transcript"))) > 0)
+
+  /** S3: JSON array scan — one file holding a catalog object whose
+    * `vulnerabilities` array is the record stream
+    * (`chunk_cisa_kev.py:98-113`): read multiLine, explode the array.
+    */
+  def readKevCatalog(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+      .select(explode(col("vulnerabilities")).as("v"))
+      .select("v.*")
+
+  /** S4: binary scan + text extraction — recursive listing with extension
+    * filter via binaryFile (content, path, length, modificationTime), then
+    * a per-file extraction step. Real PDF extraction needs a codec library
+    * (e.g. PDFBox) that is unavailable offline, so the extractor is a
+    * deterministic STUB (UTF-8 decode); the scan plumbing — pruned
+    * listing, binary payloads, extraction-failure → null → filter (the
+    * reference's corrupt-file skip, `chunk_local_pdfs.py:138-158`) — is
+    * real.
+    */
+  def readBinaryDocs(spark: SparkSession, dir: String, glob: String): DataFrame = {
+    val extract = udf((bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else
+        try {
+          val s = new String(bytes, "UTF-8")
+          if (s.contains('�')) null else s // undecodable → corrupt → skip
+        } catch { case _: Exception => null })
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", true)
+      .load(dir)
+      .withColumn("text", extract(col("content")))
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("path"), col("length"), col("text"))
+  }
+
+  /** K4: partitioned JSON sink — the scalable replacement for the
+    * reference's one-file-per-record layout (`scrape_youtube_metadata
+    * .py:146-152`): records land under partition directories keyed by the
+    * grouping column.
+    */
+  def writePartitionedJson(df: DataFrame, partitionCol: String, outDir: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).json(outDir)
+}
