@@ -28,8 +28,27 @@ object Chunking extends QueryModule {
   def validDocs(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id").isNotNull && length(trim(col("text"))) > 0)
 
-  /** Full chunking pipeline over a documents frame. */
-  def chunkDocuments(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+  /** Full chunking pipeline over a documents frame — native Generator
+    * path: one pass, no per-row chunk array materialized, total_chunks
+    * emitted at split time (no window/shuffle). Row-for-row identical to
+    * chunkDocumentsUdf (asserted in ChunkingSpec).
+    */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame =
+    validDocs(docs)
+      .select(col("doc_id"), col("lang"), col("source"),
+        org.apache.spark.sql.graft.ChunkSplit(col("text"), chunkSize, overlap)
+          .as(Seq("pos", "total_chunks", "chunk_text")))
+      .filter(length(trim(col("chunk_text"))) > 0) // P3 empty-chunk filter
+      .withColumn("chunk_number", (col("pos") + 1).cast("int"))
+      .withColumn("chunk_id",
+        concat(col("doc_id").cast("string"), lit("_chunk_"), col("chunk_number")))
+      .select("chunk_id", "doc_id", "chunk_text", "chunk_number",
+        "total_chunks", "lang", "source")
+
+  /** UDF + posexplode formulation (the portable baseline the Generator
+    * replaced; kept for cross-checking).
+    */
+  def chunkDocumentsUdf(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
     val exploded = validDocs(docs)
       .withColumn("chunks", splitUdf(chunkSize, overlap)(col("text")))
       .withColumn("total_chunks", size(col("chunks")))

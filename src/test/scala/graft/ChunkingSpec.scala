@@ -28,4 +28,21 @@ class ChunkingSpec extends SparkSpec {
     assert(df.count() === docs.count())
     assert(df.filter(col("total_chunks") =!= 1).count() === 0)
   }
+
+  test("native ChunkSplit generator is row-identical to the UDF+posexplode path") {
+    val docs = Tables.documents(spark, sf)
+    val gen = graft.ops.Chunking.chunkDocuments(docs, 200, 30)
+      .orderBy("chunk_id").collect()
+    val udfP = graft.ops.Chunking.chunkDocumentsUdf(docs, 200, 30)
+      .orderBy("chunk_id").collect()
+    assert(gen.length === udfP.length)
+    gen.zip(udfP).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("generator plans a Generate node with no shuffle") {
+    val plan = graft.ops.Chunking.chunkDocuments(
+      Tables.documents(spark, sf), 200, 30).queryExecution.executedPlan.toString
+    assert(plan.contains("Generate chunk_split"), s"expected chunk_split Generate:\n$plan")
+    assert(!plan.contains("Exchange"), s"chunking must be a narrow map:\n$plan")
+  }
 }
