@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Plan-shape audit: the properties that make these queries survive a
+  * 100 TB scale-up — filters reaching the parquet scan, scans reading only
+  * referenced columns, no accidental cartesian products, AQE enabled.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // sparkPlan, not executedPlan: AQE wraps execution in
+  // AdaptiveSparkPlanExec whose children are not visible to collect()
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+
+  test("predicate pushdown: q1 shipdate filter reaches the lineitem scan") {
+    val s = scans(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    assert(s.nonEmpty)
+    val pushed = s.head.metadata("PushedFilters")
+    assert(pushed.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed: $pushed")
+  }
+
+  test("column pruning: dedup_exact reads only doc_id and text") {
+    val s = scans(SparkEntry.queries("dedup_exact")(spark, sf))
+    val cols = s.head.requiredSchema.fieldNames.toSet
+    assert(cols === Set("doc_id", "text"),
+      s"scan reads more than needed: $cols")
+  }
+
+  test("column pruning: knn_exact_topk never reads the label column") {
+    val all = scans(SparkEntry.queries("knn_exact_topk")(spark, sf))
+    all.foreach { s =>
+      assert(!s.requiredSchema.fieldNames.contains("label"),
+        s"label read but unused: ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+
+  test("pushdown: vec_id point filter reaches the embeddings scan") {
+    val s = scans(SparkEntry.queries("knn_exact_topk")(spark, sf))
+    val pushed = s.map(_.metadata("PushedFilters")).mkString(" ")
+    assert(pushed.contains("EqualTo(vec_id,0)"), s"point filter not pushed: $pushed")
+  }
+
+  test("no real cartesian products: query-vector joins are broadcast, 1-row side") {
+    // the only cross joins in the surface broadcast a <=10-row query side
+    val plan = SparkEntry.queries("knn_batch_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query-side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "a CartesianProduct here would shuffle the corpus against itself")
+  }
+
+  test("aggregations are partial (map-side combine before the exchange)") {
+    val plan = SparkEntry.queries("events_hourly")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val firstHashAgg = plan.indexOf("HashAggregate")
+    val firstExchange = plan.indexOf("Exchange")
+    assert(firstHashAgg >= 0 && firstExchange >= 0)
+    // plan prints top-down: final agg, exchange, partial agg — a partial
+    // HashAggregate must appear BELOW (after) the exchange in the tree
+    assert(plan.lastIndexOf("HashAggregate") > firstExchange,
+      s"no partial aggregate below the exchange:\n$plan")
+  }
+
+  test("AQE is on in the test session (runtime re-planning at scale)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+  }
+}
