@@ -1,8 +1,5 @@
 package graft.vector
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.{Vector => MlVector}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -102,27 +99,117 @@ object IndexBuilder {
       .limit(k)
   }
 
-  /** IVF index: KMeans cluster assignment column (seeded, batch-fit).
-    * Fits are memoized per logical input: an IVF index is built ONCE as a
-    * batch job and then queried many times — re-fitting KMeans per query
-    * would be like rebuilding a B-tree per lookup. The clustered frame is
-    * Spark-cached (at 100 TB it is a persisted parquet partitioned by
-    * cluster_id instead — see buildLshIndex for the same pattern).
+  /** IVF coarse quantizer: seeded Lloyd's KMeans fit driver-side on a
+    * BOUNDED sample of the corpus (the FAISS training pattern — centroids
+    * are O(k·dim) bytes; training them does not need the cluster). A
+    * distributed fit spends seconds of job-scheduling overhead per
+    * iteration to compute 16 centroids; the sample fit is milliseconds and
+    * bit-stable (seeded kmeans++ init, fixed iteration cap). At 100 TB the
+    * sample cap, not the corpus size, bounds training cost.
+    */
+  def fitIvfCentroids(df: DataFrame, embCol: String, numClusters: Int,
+      seed: Long, sampleCap: Int = 16384, maxIter: Int = 15): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = df.select(col(embCol)).limit(sampleCap)
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "cannot fit IVF centroids on an empty corpus")
+    val k = math.min(numClusters, sample.length)
+    val dim = sample.head.length
+    val rnd = new java.util.Random(seed)
+
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    // kmeans++ seeding
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = sample(rnd.nextInt(sample.length)).clone()
+    val minD2 = sample.map(d2(_, centers(0)))
+    var c = 1
+    while (c < k) {
+      val total = minD2.sum
+      var r = rnd.nextDouble() * total
+      var pick = 0
+      while (pick < sample.length - 1 && r > minD2(pick)) { r -= minD2(pick); pick += 1 }
+      centers(c) = sample(pick).clone()
+      var i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), centers(c))
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+      c += 1
+    }
+
+    // Lloyd's iterations
+    val assign = new Array[Int](sample.length)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < k) {
+          val d = d2(sample(i), centers(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < sample.length) {
+        val s = sums(assign(i)); val v = sample(i)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(assign(i)) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var m = 0
+          while (m < dim) { centers(j)(m) = sums(j)(m) / counts(j); m += 1 }
+        }
+        j += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
+  /** IVF cluster-assignment column: nearest centroid per row — a narrow
+    * map over broadcast-size centroids. Fits are memoized per logical
+    * input: an IVF index is built ONCE as a batch job and then queried
+    * many times — re-fitting per query would be like rebuilding a B-tree
+    * per lookup (at 100 TB the assigned frame is persisted parquet
+    * partitioned by cluster_id — see buildLshIndex for the same pattern).
     */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Long), (DataFrame, Array[MlVector])]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Long), (DataFrame, Array[Array[Double]])]
 
   def withIvfCluster(df: DataFrame, embCol: String, numClusters: Int,
-      seed: Long): (DataFrame, Array[MlVector]) = {
+      seed: Long): (DataFrame, Array[Array[Double]]) = {
     val key = (df.queryExecution.logical.canonicalized.toString, embCol, numClusters, seed)
     ivfCache.getOrElseUpdate(key, {
-      val feat = df.withColumn("_features", array_to_vector(col(embCol)))
-      val model = new KMeans()
-        .setK(numClusters).setSeed(seed).setMaxIter(20)
-        .setFeaturesCol("_features").setPredictionCol("cluster_id")
-        .fit(feat)
-      val clustered = model.transform(feat).drop("_features").cache()
-      (clustered, model.clusterCenters)
+      val centers = fitIvfCentroids(df, embCol, numClusters, seed)
+      val assignUdf = udf { (v: Seq[Float]) =>
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < centers.length) {
+          val cj = centers(j)
+          var s = 0.0; var i = 0
+          val n = math.min(cj.length, v.length)
+          while (i < n) { val d = cj(i) - v(i); s += d * d; i += 1 }
+          if (s < bestD) { bestD = s; best = j }
+          j += 1
+        }
+        best
+      }
+      (df.withColumn("cluster_id", assignUdf(col(embCol))), centers)
     })
   }
 
@@ -134,8 +221,7 @@ object IndexBuilder {
       seed: Long): DataFrame = {
     val (clustered, centers) = withIvfCluster(corpus, embCol, numClusters, seed)
     val probeIds = centers.zipWithIndex
-      .map { case (c, i) =>
-        val arr = c.toArray
+      .map { case (arr, i) =>
         var d = 0.0
         var j = 0
         while (j < math.min(arr.length, queryVec.length)) {
