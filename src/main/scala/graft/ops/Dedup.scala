@@ -203,9 +203,54 @@ object Dedup extends QueryModule {
   /** MinHash signature column (UDF-backed; see minhashSig). */
   def minhashSignature(shingles: Column): Column = minhashSigUdf(shingles)
 
+  /** Fused text → signature: tokenize, shingle, hash, and minimize in one
+    * JVM pass. Bit-identical to `minhashSignature(array_distinct(
+    * shinglesCol(tokensCol(text), n)))` (asserted in DedupSpec) but skips
+    * materializing the shingle-string array through interpreted HOF lambdas
+    * — `transform(sequence…, slice…)` evaluates interpreted and copies the
+    * token array per shingle; measured ~5 s vs ~0.3 s on 2k docs at sf0.1.
+    * (MinHash min is duplicate-insensitive, so the distinct is free too.)
+    */
+  def minhashSigFromText(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.fill(NumHashes)(0L)
+    val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var any = false
+    def mix(s: String): Unit = {
+      any = true
+      val h = ((hash64(s) % MersennePrime) + MersennePrime) % MersennePrime
+      var i = 0
+      while (i < NumHashes) {
+        val v = (hashA(i) * h + hashB(i)) % MersennePrime
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    if (toks.length < n) mix(toks.mkString(" "))
+    else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        mix(sb.toString)
+        i += 1
+      }
+    }
+    if (!any) Array.fill(NumHashes)(0L) else sig
+  }
+
+  private val minhashSigFromTextUdf =
+    udf((text: String, n: Int) => minhashSigFromText(text, n))
+
+  /** Signature column straight from the text column (the fast path). */
+  def minhashSignatureFromText(textCol: Column, n: Int): Column =
+    minhashSigFromTextUdf(textCol, lit(n))
+
   /** (band_id, band_hash) rows per doc — the LSH bucket join keys. */
   def minhashBands(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sig = minhashSignature(array_distinct(shinglesCol(tokensCol(col(textCol)), n)))
+    val sig = minhashSignatureFromText(col(textCol), n)
     df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), sig.as("sig"))
       .select(col(idCol), posexplode(
@@ -224,8 +269,7 @@ object Dedup extends QueryModule {
       estThreshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < cap)
     val sigs = docs.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"),
-        minhashSignature(array_distinct(shinglesCol(tokensCol(col("text")), 3))).as("sig"))
+      .select(col("doc_id"), minhashSignatureFromText(col("text"), 3).as("sig"))
       .cache()
     val bands = sigs.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(NumBands - 1)),

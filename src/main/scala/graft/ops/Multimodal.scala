@@ -152,8 +152,8 @@ object Multimodal extends QueryModule {
       .groupBy("modality")
       .agg(count(lit(1)).as("n_media"),
         sum(length(col("content"))).as("total_bytes"),
-        min(length(col("content"))).as("min_bytes"),
-        max(length(col("content"))).as("max_bytes"),
+        min(length(col("content"))).cast("long").as("min_bytes"),
+        max(length(col("content"))).cast("long").as("max_bytes"),
         round(avg(col("meta.width")), 4).as("avg_width"))
       .orderBy("modality")
 

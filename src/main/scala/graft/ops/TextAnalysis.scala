@@ -248,13 +248,19 @@ object TextAnalysis extends QueryModule {
 
   def fingerprintCol(textCol: Column): Column = fingerprintUdf(textCol)
 
-  /** Per-doc fingerprint set + size (rows-only; engine-specific hash). */
+  /** Per-doc fingerprint set + size (rows-only; engine-specific hash).
+    * The fingerprint set is emitted as a scalar digest + joined string, not
+    * a raw array column — scalar columns keep the result sortable/hashable
+    * by any downstream comparator.
+    */
   def docFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprints"))
-      .select(col("doc_id"), col("fingerprints"),
-        size(col("fingerprints")).as("n_fingerprints"))
+      .select(col("doc_id"),
+        size(col("fingerprints")).as("n_fingerprints"),
+        xxhash64(array_join(transform(col("fingerprints"),
+          f => f.cast("string")), ",")).as("fp_digest"))
       .orderBy("doc_id")
 
   /** Fingerprint-overlap containment pairs: docs sharing >= 30% of the

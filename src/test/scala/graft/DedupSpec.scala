@@ -47,6 +47,25 @@ class DedupSpec extends SparkSpec {
     assert(agree < Dedup.NumHashes / 4, s"disjoint docs agreed on $agree slots")
   }
 
+  test("fused text→sig path is bit-identical to the column path") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a b",                      // fewer tokens than shingle width
+      "!!! ...",                  // punctuation only → empty token list
+      "Mixed CASE Text with   runs\tof\nwhitespace and 123 numbers 123",
+      "")
+    val df = texts.toDF("text")
+    val both = df.select(
+      Dedup.minhashSignature(array_distinct(
+        Dedup.shinglesCol(Dedup.tokensCol(col("text")), 3))).as("col_path"),
+      Dedup.minhashSignatureFromText(col("text"), 3).as("fused"))
+      .collect()
+    both.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+        s"signature mismatch for text: '$t'")
+    }
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = "spark executes queries as a dag of stages separated by " +
       "shuffle boundaries and each stage runs whole stage generated code " +
