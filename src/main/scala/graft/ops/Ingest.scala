@@ -148,9 +148,17 @@ object Ingest extends QueryModule {
     */
   def filterProcessed(inputs: DataFrame, statePath: String, keyCol: String): DataFrame = {
     val spark = inputs.sparkSession
+    // Only a missing state table means "first run". Anything else —
+    // including a corrupt table (AnalysisException too, but a different
+    // error condition) — must fail loudly: treating it as empty would
+    // silently re-ingest everything and break exactly-once-per-key.
     val state =
       try spark.read.parquet(statePath).select(col(keyCol))
-      catch { case _: Exception => spark.emptyDataFrame.withColumn(keyCol, lit(null)) }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          spark.emptyDataFrame.withColumn(keyCol, lit(null))
+      }
     if (state.schema.isEmpty) inputs
     else inputs.join(state, Seq(keyCol), "left_anti")
   }
@@ -158,13 +166,55 @@ object Ingest extends QueryModule {
   def markProcessed(df: DataFrame, statePath: String, keyCol: String): Unit =
     df.select(col(keyCol)).write.mode("append").parquet(statePath)
 
+  /** P4 driver query: the reference's exact metadata-coercion semantics
+    * (`ingest_chunks_to_chromadb.py:132-155`) surfaced end-to-end — a
+    * struct with a nullable scalar, a long, a boolean, an array that is
+    * null / empty / populated by row, and an always-null key, coerced and
+    * emitted as sorted map entries. The most port-error-prone behavior in
+    * the reference, now hash-compared against a DuckDB replica.
+    */
+  def metadataCoercion(spark: SparkSession, dir: String): DataFrame = {
+    val withMeta = Tables.documents(spark, dir)
+      .select(col("doc_id"), struct(
+        nullif(col("source"), lit("src3")).as("source"),
+        col("n_chars").as("n_chars"),
+        (col("doc_id") % 2 === 0).as("even"),
+        when(col("doc_id") % 5 === 0, lit(null).cast("array<string>"))
+          .when(col("doc_id") % 5 === 1, array().cast("array<string>"))
+          .otherwise(array(col("lang"), col("source"))).as("tags"),
+        lit(null).cast("string").as("missing")).as("metadata"))
+    coerceMetadata(withMeta, "metadata")
+      .select(col("doc_id"), explode(col("metadata")).as(Seq("key", "value")))
+      .orderBy("doc_id", "key")
+  }
+
+  private val metadataCoercionSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         coalesce(nullif(source, 'src3'), 'N/A') AS source_v,
+      |         CAST(n_chars AS VARCHAR) AS n_chars_v,
+      |         CAST(doc_id % 2 = 0 AS VARCHAR) AS even_v,
+      |         CASE WHEN doc_id % 5 IN (0, 1) THEN 'N/A'
+      |              ELSE lang || ', ' || source END AS tags_v,
+      |         'N/A' AS missing_v
+      |  FROM documents)
+      |SELECT doc_id, key, value FROM (
+      |  SELECT doc_id, 'source' AS key, source_v AS value FROM m
+      |  UNION ALL SELECT doc_id, 'n_chars', n_chars_v FROM m
+      |  UNION ALL SELECT doc_id, 'even', even_v FROM m
+      |  UNION ALL SELECT doc_id, 'tags', tags_v FROM m
+      |  UNION ALL SELECT doc_id, 'missing', missing_v FROM m)
+      |ORDER BY doc_id, key""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_union" -> sourceUnion,
     "events_json_props" -> eventsJsonProps,
-    "title_fallback" -> titleFallback)
+    "title_fallback" -> titleFallback,
+    "metadata_coercion" -> metadataCoercion)
 
   def oracles: Map[String, String] = Map(
     "source_union" -> sourceUnionSql,
     "events_json_props" -> eventsJsonPropsSql,
-    "title_fallback" -> titleFallbackSql)
+    "title_fallback" -> titleFallbackSql,
+    "metadata_coercion" -> metadataCoercionSql)
 }

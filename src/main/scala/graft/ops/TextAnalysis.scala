@@ -153,9 +153,16 @@ object TextAnalysis extends QueryModule {
     * pure-Column formulation — `filter(toks, array_contains(...))` per
     * profile — evaluates its lambdas interpreted and re-materializes the
     * token array per profile: measured ~5 ms/doc vs ~10 µs/doc here.)
+    *
+    * Scores are exact integer micro-units ((1e6·hits) div denom): pure
+    * integer arithmetic is bit-identical in any engine, which makes the
+    * whole classifier DuckDB-expressible (see langIdSql) — a float ratio
+    * would round differently at the last ulp. Argmax over the floored
+    * micro score equals argmax over raw hits because every profile shares
+    * the doc's denominator.
     */
-  def langIdScala(text: String): (Double, String) = {
-    if (text == null || text.isEmpty) return (0.0, LangProfiles.head._1)
+  def langIdScala(text: String): (Long, String) = {
+    if (text == null || text.isEmpty) return (0L, LangProfiles.head._1)
     var han = 0; var nonSpace = 0; var i = 0
     while (i < text.length) {
       val ch = text.charAt(i)
@@ -165,21 +172,20 @@ object TextAnalysis extends QueryModule {
       }
       i += 1
     }
-    val hanRatio = han.toDouble / math.max(nonSpace, 1)
-    if (hanRatio >= 0.3)
-      return (math.rint(hanRatio * 1e6) / 1e6, "zh")
+    val ns = math.max(nonSpace, 1)
+    if (10L * han >= 3L * ns) // hanRatio >= 0.3, exactly
+      return (1000000L * han / ns, "zh")
     val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
-    val denom = math.max(toks.length, 1).toDouble
-    var bestScore = -1.0; var bestLang = LangProfiles.head._1
+    val denom = math.max(toks.length, 1)
+    var bestHits = -1; var bestLang = LangProfiles.head._1
     profileSets.foreach { case (lang, words) =>
       val hits = toks.count(words.contains)
-      val score = hits / denom
-      // ties break by lang string desc, matching array_max on (score, lang)
-      if (score > bestScore || (score == bestScore && lang > bestLang)) {
-        bestScore = score; bestLang = lang
+      // ties break by lang string desc, matching max on (hits, lang) structs
+      if (hits > bestHits || (hits == bestHits && lang > bestLang)) {
+        bestHits = hits; bestLang = lang
       }
     }
-    (math.rint(bestScore * 1e6) / 1e6, bestLang)
+    (1000000L * bestHits / denom, bestLang)
   }
 
   private val langIdUdf = udf(langIdScala _)
@@ -189,16 +195,46 @@ object TextAnalysis extends QueryModule {
     struct(p.getField("_1").as("score"), p.getField("_2").as("lang"))
   }
 
-  /** Language-ID over documents (rows-only: profile scoring is engine-
-    * specific; accuracy asserted in TextAnalysisSpec on labeled samples).
+  /** Language-ID over documents. Oracle-checked: the stopword-profile
+    * argmax and Han-ratio branch are replicated in DuckDB SQL (integer
+    * micro-unit scores keep the compare exact).
     */
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .withColumn("pred", langIdCol(col("text")))
       .select(col("doc_id"), col("pred.lang").as("pred_lang"),
-        col("pred.score").as("lang_score"))
+        col("pred.score").as("lang_score_micro"))
       .orderBy("doc_id")
+
+  private def profileStructSql(lang: String, words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"{'hits': len(list_filter(tok, x -> list_contains($lst, x))), 'lang': '$lang'}"
+  }
+
+  /** DuckDB replica of langIdScala. Struct max compares (hits, lang)
+    * lexicographically — the same tie-break as the Scala loop.
+    */
+  private val langIdSql = {
+    val cands = LangProfiles.map { case (l, ws) => profileStructSql(l, ws) }
+      .mkString("[", ",\n           ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+       |                     x -> length(x) > 0) AS tok,
+       |         len(regexp_extract_all(text, '\\p{Han}')) AS han,
+       |         greatest(len(regexp_extract_all(text, '[^ \\t\\n]')), 1) AS nonspace
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |s AS (
+       |  SELECT doc_id, han, nonspace, greatest(len(tok), 1) AS denom,
+       |         list_max($cands) AS best
+       |  FROM t)
+       |SELECT doc_id,
+       |       CASE WHEN 10*han >= 3*nonspace THEN 'zh' ELSE best.lang END AS pred_lang,
+       |       CASE WHEN 10*han >= 3*nonspace THEN (1000000*han) // nonspace
+       |            ELSE (1000000*best.hits) // denom END AS lang_score_micro
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   // ---- document fingerprinting (winnowing) ----
 
@@ -298,5 +334,6 @@ object TextAnalysis extends QueryModule {
   def oracles: Map[String, String] = Map(
     "text_quality" -> textQualitySql,
     "quality_histogram" -> qualityHistogramSql,
-    "token_counts" -> tokenCountsSql)
+    "token_counts" -> tokenCountsSql,
+    "lang_id" -> langIdSql)
 }

@@ -83,6 +83,27 @@ class IngestSpec extends SparkSpec {
     assert(r3.count() === 0, "fixpoint: nothing new on re-run")
   }
 
+  test("K5/J2: corrupt state table fails loudly, never silently re-ingests") {
+    val dir = Files.createTempDirectory("corrupt_state").toString + "/keys"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.write(java.nio.file.Paths.get(s"$dir/part-00000.parquet"),
+      "this is not a parquet file".getBytes)
+    val batch = Seq("k1").toDF("key")
+    intercept[Exception] {
+      Ingest.filterProcessed(batch, dir, "key").count()
+    }
+  }
+
+  test("P4: metadata_coercion driver query emits coerced entries") {
+    val out = SparkEntry.queries("metadata_coercion")(spark, sf)
+    val byKey = out.filter(col("doc_id") === 0L)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(byKey("missing") === "N/A")
+    assert(byKey("tags") === "N/A") // doc_id 0: null array branch
+    assert(byKey("even") === "true")
+    assert(out.filter(col("value").isNull).count() === 0)
+  }
+
   test("driver queries: union null-fill counts match the split") {
     val out = SparkEntry.queries("source_union")(spark, sf)
     val n = Tables.documents(spark, sf).count()
