@@ -373,6 +373,24 @@ object Dedup extends QueryModule {
   def minhashNearDupesQ(spark: SparkSession, dir: String): DataFrame =
     minhashNearDupes(spark, dir)
 
+  /** Structural oracle for the probabilistic path: every exact-Jaccard
+    * near-dup pair (doc_id < 200, j >= 0.5) must ALSO be surfaced by the
+    * MinHash+LSH pipeline with a signature estimate within 0.25 of the
+    * exact value. The query emits the exact pairs that pass this agreement
+    * filter, and the DuckDB oracle recomputes the exact pairs — so a
+    * missed candidate (LSH false negative) or a drifted estimate drops a
+    * row and turns the driver's hash compare red. With 16 bands × 4 rows,
+    * a fixed seed, and the fixed test corpus the result is deterministic.
+    */
+  def minhashVsExact(spark: SparkSession, dir: String): DataFrame = {
+    val exact = ngramJaccardPairs(spark, dir)
+    val est = minhashNearDupes(spark, dir, cap = 200, estThreshold = 0.3)
+    exact.join(est, Seq("doc_a", "doc_b"))
+      .filter(abs(col("est_jaccard") - col("jaccard")) <= 0.25)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def simhashNearDupesQ(spark: SparkSession, dir: String): DataFrame =
     simhashNearDupes(spark, dir)
 
@@ -382,6 +400,7 @@ object Dedup extends QueryModule {
     "incremental_new_docs" -> incrementalNewDocs,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_near_dupes" -> minhashNearDupesQ,
+    "minhash_vs_exact" -> minhashVsExact,
     "simhash_near_dupes" -> simhashNearDupesQ,
     "embedding_near_dupes" -> embeddingNearDupes)
 
@@ -390,5 +409,6 @@ object Dedup extends QueryModule {
     "dedup_exact_stats" -> dedupExactStatsSql,
     "incremental_new_docs" -> incrementalNewDocsSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+    "minhash_vs_exact" -> ngramJaccardPairsSql,
     "embedding_near_dupes" -> embeddingNearDupesSql)
 }

@@ -98,21 +98,28 @@ object Rag extends QueryModule {
   def ragContext(spark: SparkSession, dir: String): DataFrame = {
     val top = rerankTopn(spark, dir).limit(5)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source")), Seq("doc_id"))
-    val ranked = top
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("relevance_score").desc, col("doc_id").asc)))
+    // Rank comes from sorting the collected (already ≤5-row) frame, not a
+    // global row_number window: an unpartitioned WindowExec moves all rows
+    // to one partition and its warning noise would mask a real unbounded
+    // window if one ever appeared.
+    top
       .withColumn("source_label",
         coalesce(nullif(col("source"), lit("")), concat(lit("doc_"), col("doc_id"))))
-      .withColumn("fmt", concat(
-        lit("Source "), col("rank"),
-        lit(" ("), col("source_label"),
-        lit(", score "), round(col("relevance_score") * 1000).cast("int"),
-        lit("): "), col("text")))
-    ranked.agg(
-      array_join(transform(array_sort(collect_list(struct(col("rank"), col("fmt")))),
-        x => x.getField("fmt")), "\n\n").as("context"),
-      count(lit(1)).as("n_docs"))
+      .agg(
+        array_sort(collect_list(struct(
+          (-col("relevance_score")).as("neg_score"), col("doc_id"),
+          col("source_label"),
+          round(col("relevance_score") * 1000).cast("int").as("milli"),
+          col("text")))).as("docs"),
+        count(lit(1)).as("n_docs"))
+      .select(
+        array_join(transform(col("docs"),
+          (d, i) => concat(
+            lit("Source "), i + 1,
+            lit(" ("), d.getField("source_label"),
+            lit(", score "), d.getField("milli"),
+            lit("): "), d.getField("text"))), "\n\n").as("context"),
+        col("n_docs"))
   }
 
   private val ragContextSql =
@@ -155,26 +162,104 @@ object Rag extends QueryModule {
       .withColumn("similarity", round(V.cosineUnit(col("embedding"), typedlit(qv.toSeq)), 6))
       .orderBy(col("similarity").desc, col("chunk_id").asc)
       .limit(50)
+    // Rank via posexplode of the sorted collected frame (≤5 rows) — no
+    // unpartitioned row_number window (see ragContext).
     candidates
       .withColumn("relevance_score", lexicalScore(lit(DefaultQuery), col("chunk_text")))
       .filter(col("relevance_score") > 0.0)
       .orderBy(col("relevance_score").desc, col("chunk_id").asc)
       .limit(5)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("relevance_score").desc, col("chunk_id").asc)))
-      .select("rank", "chunk_id", "doc_id", "chunk_number", "total_chunks",
-        "similarity", "relevance_score", "chunk_text")
+      .agg(array_sort(collect_list(struct(
+        (-col("relevance_score")).as("neg_score"), col("chunk_id").as("tie"),
+        struct(col("chunk_id"), col("doc_id"), col("chunk_number"),
+          col("total_chunks"), col("similarity"), col("relevance_score"),
+          col("chunk_text")).as("r")))).as("rows"))
+      .select(posexplode(col("rows")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("x.r.chunk_id"), col("x.r.doc_id"), col("x.r.chunk_number"),
+        col("x.r.total_chunks"), col("x.r.similarity"),
+        col("x.r.relevance_score"), col("x.r.chunk_text"))
   }
+
+  /** Ordered candidate frame for the zip-join stages: top-20 by lexical
+    * similarity, the §3.3 stage-1 retrieval order.
+    */
+  private def zipCandidates(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("sim", lexicalScore(lit(DefaultQuery), col("text")))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+      .limit(20)
+
+  /** J3 positional-zip rerank (`Auto_query_rag_database.py:317-325`): the
+    * candidate doc list and the rerank score list are produced by SEPARATE
+    * stages that only share ordering; they are zipped by position —
+    * posexplode each side, equi-join on the position index — with the
+    * reference's length-mismatch guard (counts disagree → all docs fall
+    * back to unscored, exactly as the reference logs-and-continues).
+    */
+  def rerankZip(spark: SparkSession, dir: String,
+      scores: Option[DataFrame] = None): DataFrame = {
+    val cand = zipCandidates(spark, dir)
+    // Stage A: the ordered doc-id list.
+    val docsPos = cand
+      .agg(array_sort(collect_list(struct((-col("sim")).as("neg"), col("doc_id")))).as("arr"))
+      .select(posexplode(transform(col("arr"), x => x.getField("doc_id"))).as(Seq("pos", "doc_id")))
+    // Stage B: scores from an independent scorer (distinct-token count),
+    // emitted positionally parallel to stage A — no doc ids attached.
+    val scoresPos = scores.getOrElse(
+      cand
+        .withColumn("relevance_score",
+          round(size(array_distinct(Dedup.tokensCol(col("text")))) / lit(100.0), 6))
+        .agg(array_sort(collect_list(struct(
+          (-col("sim")).as("neg"), col("doc_id"), col("relevance_score")))).as("arr"))
+        .select(posexplode(transform(col("arr"), x => x.getField("relevance_score")))
+          .as(Seq("pos", "relevance_score"))))
+    // The zip: equi-join on position + the length-mismatch guard.
+    val counts = docsPos.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(scoresPos.agg(count(lit(1)).as("n_scores")))
+    docsPos.join(scoresPos, Seq("pos"), "left")
+      .crossJoin(broadcast(counts))
+      .select((col("pos") + 1).cast("int").as("rank"), col("doc_id"),
+        when(col("n_docs") === col("n_scores"), col("relevance_score"))
+          .as("relevance_score"))
+      .orderBy("rank")
+  }
+
+  private def rerankZipQ(spark: SparkSession, dir: String): DataFrame =
+    rerankZip(spark, dir)
+
+  private val rerankZipSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    round(
+       |      len(list_intersect(
+       |        list_distinct(list_filter(string_split_regex(lower('$DefaultQuery'), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0)),
+       |        list_distinct(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0))))
+       |      / sqrt(
+       |          len(list_distinct(list_filter(string_split_regex(lower('$DefaultQuery'), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0)))::DOUBLE
+       |        * len(list_distinct(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0)))::DOUBLE), 6)
+       |      AS sim
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |top20 AS (
+       |  SELECT doc_id, text, sim FROM scored
+       |  ORDER BY sim DESC, doc_id ASC LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS INTEGER) AS rank,
+       |       doc_id,
+       |       round(len(list_distinct(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+       |                                           x -> length(x) > 0))) / 100.0, 6) AS relevance_score
+       |FROM top20 ORDER BY rank""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rerank_topn" -> rerankTopn,
     "rerank_score_stats" -> rerankScoreStats,
+    "rerank_zip" -> rerankZipQ,
     "rag_context" -> ragContext,
     "rag_pipeline_topk" -> ragPipelineTopk)
 
   def oracles: Map[String, String] = Map(
     "rerank_topn" -> rerankTopnSql,
     "rerank_score_stats" -> rerankScoreStatsSql,
+    "rerank_zip" -> rerankZipSql,
     "rag_context" -> ragContextSql)
 }

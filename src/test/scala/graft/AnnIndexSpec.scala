@@ -53,6 +53,16 @@ class AnnIndexSpec extends SparkSpec {
     assert(ivf.contains(0L), "self must be found")
   }
 
+  test("IVF centroids are stable under input reordering (content-defined sample)") {
+    val e = Tables.embeddings(spark, sf)
+    val forward = IndexBuilder.fitIvfCentroids(e, "embedding", 8, seed = 7L)
+    val shuffled = IndexBuilder.fitIvfCentroids(
+      e.orderBy(col("vec_id").desc).repartition(7), "embedding", 8, seed = 7L)
+    forward.zip(shuffled).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.toSeq === b.toSeq, s"centroid $i changed when input was reordered")
+    }
+  }
+
   test("buildLshIndex writes a bucket-partitioned parquet index (partition pruning path)") {
     val dir = Files.createTempDirectory("lsh_index").toString
     IndexBuilder.buildLshIndex(

@@ -56,6 +56,25 @@ class RagSpec extends SparkSpec {
     }
   }
 
+  test("rerank_zip: positions align docs with independently-staged scores") {
+    val out = SparkEntry.queries("rerank_zip")(spark, sf).collect()
+    assert(out.length === 20)
+    assert(out.map(_.getAs[Int]("rank")).toList === (1 to 20).toList)
+    out.foreach(r => assert(!r.isNullAt(r.fieldIndex("relevance_score")),
+      "equal-length lists must zip fully scored"))
+  }
+
+  test("rerank_zip: length mismatch falls back to unscored docs (J3 guard)") {
+    // a scores stage that emits one fewer row than the candidate list
+    val shortScores = SparkEntry.queries("rerank_zip")(spark, sf)
+      .filter(col("rank") <= 19)
+      .select((col("rank") - 1).as("pos"), col("relevance_score"))
+    val out = Rag.rerankZip(spark, sf, scores = Some(shortScores)).collect()
+    assert(out.length === 20, "docs list wins: all docs survive")
+    out.foreach(r => assert(r.isNullAt(r.fieldIndex("relevance_score")),
+      "mismatched lengths must unscore every doc, not just the tail"))
+  }
+
   test("pipeline candidate stage plans a TakeOrderedAndProject (no full sort)") {
     val plan = SparkEntry.queries("rerank_topn")(spark, sf)
       .queryExecution.executedPlan.toString
