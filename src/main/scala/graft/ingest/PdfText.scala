@@ -1,0 +1,358 @@
+package graft.ingest
+
+/** Minimal pure-Scala PDF text extractor (SURVEY.md §2.1 S4; replaces the
+  * round-1 UTF-8 stub). Mirrors the reference's extraction semantics
+  * (`chunk_local_pdfs.py:138-158`): per-page text in reading order (sorted
+  * by descending y, then x), pages joined with "\n\n", and document
+  * metadata (/Title /Author /Subject /Keywords) captured from the Info
+  * dictionary.
+  *
+  * Scope: the standard simple-PDF subset — uncompressed or FlateDecode
+  * content streams, literal `(…)` and hex `<…>` strings, simple
+  * (Latin-1-ish) and UTF-16BE string encodings, page tree via /Root →
+  * /Pages → /Kids. No CMap/ToUnicode, no encryption, no object streams
+  * (xref streams' compressed objects) — out-of-scope files return None and
+  * flow into the corrupt-file skip path, exactly like the reference's
+  * per-file try/except.
+  *
+  * Everything here is a driver-free pure function: it runs inside the
+  * binaryFile scan's narrow map, one call per file, no shuffle.
+  */
+object PdfText {
+
+  final case class PdfDoc(
+    pages: Seq[String],
+    title: Option[String],
+    author: Option[String],
+    subject: Option[String],
+    keywords: Option[String]) {
+    def text: String = pages.mkString("\n\n")
+  }
+
+  /** Extract text + metadata; None = not a parseable PDF (corrupt-skip). */
+  def extract(bytes: Array[Byte]): Option[PdfDoc] = {
+    if (bytes == null || bytes.length < 8) return None
+    // Latin-1 gives a 1:1 byte↔char mapping, keeping regex offsets aligned
+    // with byte offsets in the mixed binary/ASCII PDF syntax.
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!raw.startsWith("%PDF-")) return None
+    try {
+      val objects = parseObjects(raw, bytes)
+      if (objects.isEmpty) return None
+      val pageOrder = pageObjectOrder(objects, raw)
+      val pages = pageOrder.flatMap { pageNum =>
+        objects.get(pageNum).map { page =>
+          contentsOf(page.dict).flatMap(objects.get)
+            .map(o => decodeStream(o, bytes))
+            .map(extractTextOps)
+            .reduceOption(_ ++ _)
+            .map(renderReadingOrder)
+            .getOrElse("")
+        }
+      }.filter(_.nonEmpty)
+      val info = infoDict(raw, objects)
+      Some(PdfDoc(
+        pages,
+        info.flatMap(stringValue(_, "Title")),
+        info.flatMap(stringValue(_, "Author")),
+        info.flatMap(stringValue(_, "Subject")),
+        info.flatMap(stringValue(_, "Keywords"))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  // ---- object-level parsing ----
+
+  private final case class PdfObject(dict: String, streamStart: Int, streamEnd: Int)
+
+  private val ObjRe = """(?s)(\d+)\s+\d+\s+obj\b""".r
+  private val StreamRe = """stream\r?\n""".r
+
+  /** All indirect objects: number → (dict text, stream byte range). */
+  private def parseObjects(raw: String, bytes: Array[Byte]): Map[Int, PdfObject] =
+    ObjRe.findAllMatchIn(raw).flatMap { m =>
+      val num = m.group(1).toInt
+      val bodyStart = m.end
+      val bodyEnd = raw.indexOf("endobj", bodyStart) match {
+        case -1 => raw.length
+        case e => e
+      }
+      val body = raw.substring(bodyStart, bodyEnd)
+      StreamRe.findFirstMatchIn(body) match {
+        case Some(sm) =>
+          val dataStart = bodyStart + sm.end
+          val dataEnd = raw.indexOf("endstream", dataStart) match {
+            case -1 => bodyEnd
+            case e => e
+          }
+          Some(num -> PdfObject(body.substring(0, sm.start), dataStart, dataEnd))
+        case None =>
+          Some(num -> PdfObject(body, -1, -1))
+      }
+    }.toMap
+
+  /** Pages in /Root → /Pages → /Kids traversal order; falls back to the
+    * file order of /Type /Page objects when the tree is unresolvable.
+    */
+  private def pageObjectOrder(objects: Map[Int, PdfObject], raw: String): Seq[Int] = {
+    val rootRef = """/Root\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(raw).map(_.group(1).toInt)
+    val fromTree = rootRef.flatMap(objects.get).flatMap { root =>
+      """/Pages\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(root.dict).map(_.group(1).toInt)
+    }.map(walkKids(objects, _, depth = 0)).getOrElse(Seq.empty)
+    if (fromTree.nonEmpty) fromTree
+    else objects.toSeq.sortBy(_._1)
+      .filter { case (_, o) => """/Type\s*/Page\b""".r.findFirstIn(o.dict).isDefined }
+      .map(_._1)
+  }
+
+  private def walkKids(objects: Map[Int, PdfObject], num: Int, depth: Int): Seq[Int] = {
+    if (depth > 32) return Seq.empty // cyclic page tree guard
+    objects.get(num).toSeq.flatMap { o =>
+      if ("""/Type\s*/Page\b""".r.findFirstIn(o.dict).isDefined) Seq(num)
+      else
+        """/Kids\s*\[([^\]]*)\]""".r.findFirstMatchIn(o.dict).toSeq.flatMap { km =>
+          """(\d+)\s+\d+\s+R""".r.findAllMatchIn(km.group(1))
+            .flatMap(r => walkKids(objects, r.group(1).toInt, depth + 1)).toSeq
+        }
+    }
+  }
+
+  /** Content stream object numbers for a page (/Contents ref or array). */
+  private def contentsOf(pageDict: String): Seq[Int] = {
+    val arr = """/Contents\s*\[([^\]]*)\]""".r.findFirstMatchIn(pageDict)
+    arr match {
+      case Some(m) =>
+        """(\d+)\s+\d+\s+R""".r.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq
+      case None =>
+        """/Contents\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(pageDict)
+          .map(_.group(1).toInt).toSeq
+    }
+  }
+
+  /** Stream payload, inflated when /FlateDecode (or when it inflates). */
+  private def decodeStream(o: PdfObject, bytes: Array[Byte]): String = {
+    if (o.streamStart < 0) return ""
+    var end = o.streamEnd
+    // strip the EOL the writer put before `endstream`
+    while (end > o.streamStart && (bytes(end - 1) == '\n' || bytes(end - 1) == '\r')) end -= 1
+    val data = java.util.Arrays.copyOfRange(bytes, o.streamStart, end)
+    val flate = """/Filter\s*(?:\[\s*)?/FlateDecode""".r.findFirstIn(o.dict).isDefined
+    if (!flate) new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    else {
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(data)
+        val out = new java.io.ByteArrayOutputStream(data.length * 4)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+        }
+        new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
+      } finally inf.end()
+    }
+  }
+
+  // ---- content-stream text operators ----
+
+  /** One text-showing op with its text-space position. */
+  private final case class TextRun(y: Double, x: Double, text: String)
+
+  /** Walk BT…ET blocks tracking the text position: `Tm` sets (x,y), `Td`/
+    * `TD` translate, `T*`/`'` advance a line. Shows: `Tj`, `'`, `"`, `TJ`
+    * (kerning numbers < -200 text-units become a space — the conventional
+    * word-gap heuristic when fonts kern spaces away).
+    */
+  private def extractTextOps(content: String): Seq[TextRun] = {
+    val runs = scala.collection.mutable.ArrayBuffer.empty[TextRun]
+    var x = 0.0; var y = 0.0; var leading = 12.0
+    var lineX = 0.0 // Td/TD/Tm set the line start; T* returns to it
+    val toks = tokenize(content)
+    var i = 0
+    def num(j: Int): Double = toks(j).toDoubleOption.getOrElse(0.0)
+    while (i < toks.length) {
+      toks(i) match {
+        case "BT" => // begin-text resets the text matrix to identity
+          x = 0.0; y = 0.0; lineX = 0.0
+        case "Tm" if i >= 6 =>
+          x = num(i - 2); y = num(i - 1); lineX = x
+        case "Td" if i >= 2 =>
+          lineX += num(i - 2); y += num(i - 1); x = lineX
+        case "TD" if i >= 2 =>
+          lineX += num(i - 2); y += num(i - 1); x = lineX
+          leading = -num(i - 1)
+        case "TL" if i >= 1 =>
+          leading = num(i - 1)
+        case "T*" =>
+          y -= leading; x = lineX
+        case "Tj" | "'" if i >= 1 =>
+          if (toks(i) == "'") { y -= leading; x = lineX }
+          runs += TextRun(y, x, pdfString(toks(i - 1)))
+        case "\"" if i >= 1 =>
+          y -= leading; x = lineX
+          runs += TextRun(y, x, pdfString(toks(i - 1)))
+        case "TJ" if i >= 1 =>
+          runs += TextRun(y, x, tjArray(toks(i - 1)))
+        case _ =>
+      }
+      i += 1
+    }
+    runs.toSeq.filter(_.text.nonEmpty)
+  }
+
+  /** Tokenizer for the operator stream: strings and arrays come out as
+    * single tokens (with delimiters), everything else whitespace-split.
+    */
+  private def tokenize(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = s.length
+    val cur = new java.lang.StringBuilder()
+    def flush(): Unit = if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
+    while (i < n) {
+      s.charAt(i) match {
+        case '(' =>
+          flush()
+          val start = i
+          var depth = 0
+          var j = i
+          var done = false
+          while (j < n && !done) {
+            s.charAt(j) match {
+              case '\\' => j += 1
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) done = true
+              case _ =>
+            }
+            j += 1
+          }
+          out += s.substring(start, j); i = j
+        case '[' =>
+          flush()
+          val start = i
+          var j = i
+          var depth = 0
+          var done = false
+          while (j < n && !done) {
+            s.charAt(j) match {
+              case '\\' => j += 1
+              case '[' => depth += 1
+              case ']' => depth -= 1; if (depth == 0) done = true
+              case '(' => // skip over strings inside the array
+                var d2 = 0
+                var k = j
+                var sdone = false
+                while (k < n && !sdone) {
+                  s.charAt(k) match {
+                    case '\\' => k += 1
+                    case '(' => d2 += 1
+                    case ')' => d2 -= 1; if (d2 == 0) sdone = true
+                    case _ =>
+                  }
+                  k += 1
+                }
+                j = k - 1
+              case _ =>
+            }
+            j += 1
+          }
+          out += s.substring(start, j); i = j
+        case '<' if i + 1 < n && s.charAt(i + 1) != '<' =>
+          flush()
+          val start = i
+          val close = s.indexOf('>', i)
+          val j = if (close == -1) n else close + 1
+          out += s.substring(start, j); i = j
+        case c if c == ' ' || c == '\t' || c == '\r' || c == '\n' =>
+          flush(); i += 1
+        case c =>
+          cur.append(c); i += 1
+      }
+    }
+    flush()
+    out.toArray
+  }
+
+  /** Decode a `(literal)` or `<hex>` PDF string token to text. */
+  def pdfString(tok: String): String = {
+    if (tok.startsWith("(")) decodeLiteral(tok.substring(1, math.max(1, tok.length - 1)))
+    else if (tok.startsWith("<")) decodeHex(tok.substring(1, math.max(1, tok.length - 1)))
+    else ""
+  }
+
+  private def decodeLiteral(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '(' => sb.append('('); i += 2
+          case ')' => sb.append(')'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case d if d >= '0' && d <= '7' =>
+            var j = i + 1
+            var v = 0
+            while (j < s.length && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+              v = v * 8 + (s.charAt(j) - '0'); j += 1
+            }
+            sb.append(v.toChar); i = j
+          case '\n' => i += 2 // line continuation
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    utf16IfBom(sb.toString)
+  }
+
+  private def decodeHex(s: String): String = {
+    val hex = s.filter(c => Character.digit(c, 16) >= 0)
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    val chars = padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+    utf16IfBom(chars)
+  }
+
+  /** Metadata strings may be UTF-16BE with a BOM; content text is not. */
+  private def utf16IfBom(s: String): String =
+    if (s.length >= 2 && s.charAt(0) == 0xFE.toChar && s.charAt(1) == 0xFF.toChar) {
+      val bytes = s.toCharArray.map(c => (c & 0xff).toByte)
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE).stripPrefix("﻿")
+    } else s
+
+  /** `[(a) -300 (b)] TJ`: concatenate strings; a kern < -200 is a word gap. */
+  private def tjArray(tok: String): String = {
+    val inner = tok.stripPrefix("[").stripSuffix("]")
+    val sb = new java.lang.StringBuilder()
+    """\((?:\\.|[^\\)])*\)|<[0-9A-Fa-f\s]*>|[-+]?[0-9.]+""".r.findAllIn(inner).foreach { t =>
+      if (t.startsWith("(") || t.startsWith("<")) sb.append(pdfString(t))
+      else t.toDoubleOption.foreach(v => if (v < -200) sb.append(' '))
+    }
+    sb.toString
+  }
+
+  /** Reading order (`chunk_local_pdfs.py` sort): lines by descending y,
+    * runs within a line by x; runs joined by space, lines by newline.
+    */
+  private def renderReadingOrder(runs: Seq[TextRun]): String =
+    runs.groupBy(r => math.round(r.y))
+      .toSeq.sortBy(-_._1)
+      .map { case (_, line) => line.sortBy(_.x).map(_.text.trim).filter(_.nonEmpty).mkString(" ") }
+      .filter(_.nonEmpty)
+      .mkString("\n")
+
+  // ---- metadata ----
+
+  private def infoDict(raw: String, objects: Map[Int, PdfObject]): Option[String] =
+    """/Info\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toInt).flatMap(objects.get).map(_.dict)
+
+  private def stringValue(dict: String, key: String): Option[String] =
+    (s"""/$key\\s*(\\((?:\\\\.|[^\\\\)])*\\)|<[0-9A-Fa-f\\s]*>)""").r
+      .findFirstMatchIn(dict)
+      .map(m => pdfString(m.group(1)))
+      .filter(_.nonEmpty)
+}

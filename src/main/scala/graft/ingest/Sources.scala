@@ -52,14 +52,12 @@ object Sources {
       .select(explode(col("vulnerabilities")).as("v"))
       .select("v.*")
 
-  /** S4: binary scan + text extraction — recursive listing with extension
-    * filter via binaryFile (content, path, length, modificationTime), then
-    * a per-file extraction step. Real PDF extraction needs a codec library
-    * (e.g. PDFBox) that is unavailable offline, so the extractor is a
-    * deterministic STUB (UTF-8 decode); the scan plumbing — pruned
-    * listing, binary payloads, extraction-failure → null → filter (the
-    * reference's corrupt-file skip, `chunk_local_pdfs.py:138-158`) — is
-    * real.
+  /** S4 (generic): binary scan + text extraction — recursive listing with
+    * extension filter via binaryFile (content, path, length,
+    * modificationTime), then a per-file extraction step (UTF-8 decode;
+    * extraction-failure → null → filter reproduces the reference's
+    * corrupt-file skip, `chunk_local_pdfs.py:138-158`). For PDFs use
+    * readPdfDir below, which extracts real text.
     */
   def readBinaryDocs(spark: SparkSession, dir: String, glob: String): DataFrame = {
     val extract = udf((bytes: Array[Byte]) =>
@@ -76,6 +74,35 @@ object Sources {
       .withColumn("text", extract(col("content")))
       .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
       .select(col("path"), col("length"), col("text"))
+  }
+
+  /** S4 (PDF): binary scan + native text extraction (graft.ingest.PdfText)
+    * — per-page text in reading order joined with "\n\n" and the document
+    * metadata the reference captures (`chunk_local_pdfs.py:138-158`:
+    * title/author/subject/keywords). Unparseable files → null → filtered,
+    * the same corrupt-skip path. The extractor runs inside the scan's
+    * narrow map: payload bytes never shuffle.
+    */
+  def readPdfDir(spark: SparkSession, dir: String): DataFrame = {
+    val extract = udf((bytes: Array[Byte]) =>
+      PdfText.extract(bytes).map(d => (
+        d.text, d.pages.length,
+        d.title.orNull, d.author.orNull, d.subject.orNull, d.keywords.orNull)))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .option("recursiveFileLookup", true)
+      .load(dir)
+      .withColumn("doc", extract(col("content")))
+      .filter(col("doc").isNotNull && length(trim(col("doc._1"))) > 0)
+      .select(
+        col("path"),
+        col("length"),
+        col("doc._1").as("text"),
+        col("doc._2").as("n_pages"),
+        col("doc._3").as("pdf_title"),
+        col("doc._4").as("pdf_author"),
+        col("doc._5").as("pdf_subject"),
+        col("doc._6").as("pdf_keywords"))
   }
 
   /** K4: partitioned JSON sink — the scalable replacement for the

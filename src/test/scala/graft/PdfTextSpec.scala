@@ -1,0 +1,143 @@
+package graft
+
+import graft.ingest.{PdfText, Sources}
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+class PdfTextSpec extends SparkSpec {
+
+  /** Assemble a syntactically-minimal PDF from numbered object bodies.
+    * The extractor never reads xref/startxref, so offsets are fake.
+    */
+  private def buildPdf(objects: Seq[(Int, Array[Byte])], trailer: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(ISO_8859_1))
+    objects.foreach { case (num, body) =>
+      out.write(s"$num 0 obj\n".getBytes(ISO_8859_1))
+      out.write(body)
+      out.write("\nendobj\n".getBytes(ISO_8859_1))
+    }
+    out.write(s"trailer\n$trailer\n%%EOF\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  private def streamObj(dict: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"$dict\nstream\n".getBytes(ISO_8859_1))
+    out.write(data)
+    out.write("\nendstream".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  private def deflate(s: String): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(s.getBytes(ISO_8859_1)); d.finish()
+    val buf = new Array[Byte](8192)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def singlePagePdf(content: String, compress: Boolean = false,
+      info: String = ""): Array[Byte] = {
+    val (dict, data) =
+      if (compress) (s"<< /Filter /FlateDecode >>", deflate(content))
+      else ("<< >>", content.getBytes(ISO_8859_1))
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(ISO_8859_1),
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(ISO_8859_1),
+      4 -> streamObj(dict, data)) ++
+      (if (info.nonEmpty) Seq(5 -> info.getBytes(ISO_8859_1)) else Seq.empty)
+    val trailer =
+      if (info.nonEmpty) "<< /Root 1 0 R /Info 5 0 R >>" else "<< /Root 1 0 R >>"
+    buildPdf(objs, trailer)
+  }
+
+  test("Tj text extraction from an uncompressed page") {
+    val doc = PdfText.extract(singlePagePdf(
+      "BT /F1 12 Tf 72 700 Td (Hello world) Tj ET")).get
+    assert(doc.pages === Seq("Hello world"))
+  }
+
+  test("reading order: lines sort by descending y, runs within a line by x") {
+    val content =
+      "BT 72 650 Td (second line) Tj ET " +
+        "BT 200 700 Td (world) Tj ET " +
+        "BT 72 700 Td (hello) Tj ET"
+    val doc = PdfText.extract(singlePagePdf(content)).get
+    assert(doc.pages === Seq("hello world\nsecond line"))
+  }
+
+  test("FlateDecode content streams inflate") {
+    val doc = PdfText.extract(singlePagePdf(
+      "BT 72 700 Td (compressed text) Tj ET", compress = true)).get
+    assert(doc.pages === Seq("compressed text"))
+  }
+
+  test("TJ arrays: concatenate strings, kern < -200 becomes a word gap") {
+    val doc = PdfText.extract(singlePagePdf(
+      "BT 72 700 Td [(Hel) -100 (lo) -300 (world)] TJ ET")).get
+    assert(doc.pages === Seq("Hello world"))
+  }
+
+  test("T* and ' advance lines; escapes and hex strings decode") {
+    val content =
+      "BT 20 TL 72 700 Td (first \\(escaped\\)) Tj (second) ' <54 68 69 72 64> Tj ET"
+    val doc = PdfText.extract(singlePagePdf(content)).get
+    // ' drops one leading below 700; hex Third shows at the same position
+    assert(doc.pages.head.startsWith("first (escaped)"))
+    assert(doc.pages.head.contains("second Third"))
+  }
+
+  test("multi-page: Kids order wins, pages join with blank line") {
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      2 -> "<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>".getBytes(ISO_8859_1),
+      // file order 3,4,5,6 but Kids order is 5 then 3
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(ISO_8859_1),
+      4 -> streamObj("<< >>", "BT 72 700 Td (page two) Tj ET".getBytes(ISO_8859_1)),
+      5 -> "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>".getBytes(ISO_8859_1),
+      6 -> streamObj("<< >>", "BT 72 700 Td (page one) Tj ET".getBytes(ISO_8859_1)))
+    val doc = PdfText.extract(buildPdf(objs, "<< /Root 1 0 R >>")).get
+    assert(doc.pages === Seq("page one", "page two"))
+    assert(doc.text === "page one\n\npage two")
+  }
+
+  test("Info metadata: literal and UTF-16BE-hex strings") {
+    val info = "<< /Title (A Study of Shuffles) /Author <FEFF004A006F> /Subject (spark) >>"
+    val doc = PdfText.extract(singlePagePdf(
+      "BT 72 700 Td (body) Tj ET", info = info)).get
+    assert(doc.title === Some("A Study of Shuffles"))
+    assert(doc.author === Some("Jo")) // UTF-16BE with BOM
+    assert(doc.subject === Some("spark"))
+    assert(doc.keywords === None)
+  }
+
+  test("corrupt / non-PDF bytes return None (skip path)") {
+    assert(PdfText.extract("not a pdf at all".getBytes(ISO_8859_1)) === None)
+    assert(PdfText.extract(Array.empty[Byte]) === None)
+    assert(PdfText.extract(null) === None)
+    // valid header, garbage body
+    assert(PdfText.extract("%PDF-1.4\ngarbage".getBytes(ISO_8859_1)) === None)
+  }
+
+  test("readPdfDir: scan extracts text + metadata, skips corrupt files") {
+    val dir = Files.createTempDirectory("pdfs").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/good.pdf"),
+      singlePagePdf("BT 72 700 Td (scanned content here) Tj ET",
+        compress = true, info = "<< /Title (Good Doc) >>"))
+    Files.write(java.nio.file.Paths.get(s"$dir/bad.pdf"),
+      "%PDF-1.4\nbroken".getBytes(ISO_8859_1))
+    Files.write(java.nio.file.Paths.get(s"$dir/ignored.txt"),
+      "not scanned".getBytes(ISO_8859_1))
+    val out = Sources.readPdfDir(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("text") === "scanned content here")
+    assert(r.getAs[Int]("n_pages") === 1)
+    assert(r.getAs[String]("pdf_title") === "Good Doc")
+    assert(r.getAs[String]("path").endsWith("good.pdf"))
+  }
+}
