@@ -318,12 +318,12 @@ object Dedup extends QueryModule {
 
   /** SimHash near-dup pairs: candidates via 4×16-bit chunk equality (any
     * pair within Hamming distance 3 shares at least one exact chunk —
-    * pigeonhole), verified with bit_count(xor) <= maxHamming.
+    * pigeonhole), verified with bit_count(xor) <= maxHamming. Operates on
+    * any (doc_id, text) frame.
     */
-  def simhashNearDupes(spark: SparkSession, dir: String, cap: Long = 2000,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = Tables.documents(spark, dir)
-      .filter(col("doc_id") < cap && length(trim(col("text"))) > 0)
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = docs
+      .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), simhashUdf(tokensCol(col("text"))).as("sig"))
       .cache()
     val chunks = sigs.select(col("doc_id"), col("sig"), posexplode(
@@ -342,6 +342,35 @@ object Dedup extends QueryModule {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  def simhashNearDupes(spark: SparkSession, dir: String, cap: Long = 2000,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairs(Tables.documents(spark, dir).filter(col("doc_id") < cap), maxHamming)
+
+  /** Structural oracle for SimHash: plant an exact duplicate of every doc
+    * with doc_id < 100 (salted id +100000) and require the pipeline to
+    * recover each planted pair at Hamming distance 0 — identical text must
+    * produce identical signatures and survive candidate generation. The
+    * DuckDB oracle enumerates the planted pairs, so a missed pair (a
+    * candidate-generation or signature bug) drops a row and fails the
+    * driver's compare.
+    */
+  def simhashPlantedDupes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    simhashPairs(docs.union(planted), maxHamming = 0)
+      .filter(col("doc_b") === col("doc_a") + 100000)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a")
+  }
+
+  private val simhashPlantedDupesSql =
+    """SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b, CAST(0 AS INTEGER) AS hamming
+      |FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0
+      |ORDER BY doc_a""".stripMargin
 
   // ---- embedding-cosine near-dup ----
 
@@ -402,6 +431,7 @@ object Dedup extends QueryModule {
     "minhash_near_dupes" -> minhashNearDupesQ,
     "minhash_vs_exact" -> minhashVsExact,
     "simhash_near_dupes" -> simhashNearDupesQ,
+    "simhash_planted_dupes" -> simhashPlantedDupes,
     "embedding_near_dupes" -> embeddingNearDupes)
 
   def oracles: Map[String, String] = Map(
@@ -410,5 +440,6 @@ object Dedup extends QueryModule {
     "incremental_new_docs" -> incrementalNewDocsSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_vs_exact" -> ngramJaccardPairsSql,
+    "simhash_planted_dupes" -> simhashPlantedDupesSql,
     "embedding_near_dupes" -> embeddingNearDupesSql)
 }

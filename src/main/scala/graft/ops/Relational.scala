@@ -196,7 +196,22 @@ object Relational extends QueryModule {
       |FROM ranked JOIN nation ON s_nationkey = n_nationkey
       |WHERE rnk = 1 ORDER BY n_name""".stripMargin
 
+  /** T3: sorted distinct list (`query_rag_database.py:80-83` —
+    * `sorted(set(models))` for display): distinct (source, lang) pairs in
+    * order. distinct() is a hash aggregate on the two columns; at scale
+    * only the distinct pairs cross the exchange, never the documents.
+    */
+  def distinctSources(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"))
+      .distinct()
+      .orderBy("source", "lang")
+
+  private val distinctSourcesSql =
+    "SELECT DISTINCT source, lang FROM documents ORDER BY source, lang"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "distinct_sources" -> distinctSources,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_revenue_by_region" -> q2RevenueByRegion,
     "q3_top_orders" -> q3TopOrders,
@@ -207,6 +222,7 @@ object Relational extends QueryModule {
     "top_supplier_per_nation" -> topSupplierPerNation)
 
   def oracles: Map[String, String] = Map(
+    "distinct_sources" -> distinctSourcesSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q2_revenue_by_region" -> q2RevenueByRegionSql,
     "q3_top_orders" -> q3TopOrdersSql,

@@ -299,13 +299,14 @@ object TextAnalysis extends QueryModule {
           f => f.cast("string")), ",")).as("fp_digest"))
       .orderBy("doc_id")
 
-  /** Fingerprint-overlap containment pairs: docs sharing >= 30% of the
-    * smaller doc's fingerprints (explode → equi-join on hash → count —
-    * the same never-all-pairs shape as Dedup).
+  /** Fingerprint-overlap containment pairs: docs sharing >= threshold of
+    * the smaller doc's fingerprints (explode → equi-join on hash → count —
+    * the same never-all-pairs shape as Dedup). Operates on any
+    * (doc_id, text) frame.
     */
-  def fingerprintOverlaps(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.documents(spark, dir)
-      .filter(col("doc_id") < 500 && length(trim(col("text"))) > 0)
+  def fingerprintContainment(docs: DataFrame, threshold: Double): DataFrame = {
+    val fp = docs
+      .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), explode(fingerprintCol(col("text"))).as("fp"))
       .cache()
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
@@ -318,10 +319,37 @@ object TextAnalysis extends QueryModule {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")), Seq("doc_b"))
       .withColumn("containment",
         round(col("n_shared") / least(col("fp_a"), col("fp_b")).cast("double"), 6))
-      .filter(col("containment") >= 0.3)
+      .filter(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
       .orderBy("doc_a", "doc_b")
   }
+
+  def fingerprintOverlaps(spark: SparkSession, dir: String): DataFrame =
+    fingerprintContainment(
+      Tables.documents(spark, dir).filter(col("doc_id") < 500), 0.3)
+
+  /** Structural oracle for winnowing fingerprints: plant an exact copy of
+    * every doc with doc_id < 100 (salted id +100000); identical text must
+    * yield identical fingerprint sets, so each planted pair must surface
+    * with containment exactly 1.0. The DuckDB oracle enumerates the
+    * planted pairs — a missed or inexact pair fails the driver compare.
+    */
+  def fingerprintPlantedContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200 && length(trim(col("text"))) > 0)
+      .select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    fingerprintContainment(docs.union(planted), threshold = 0.3)
+      .filter(col("doc_b") === col("doc_a") + 100000 && col("containment") === 1.0)
+      .select("doc_a", "doc_b", "containment")
+      .orderBy("doc_a")
+  }
+
+  private val fingerprintPlantedContainmentSql =
+    """SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b, 1.0::DOUBLE AS containment
+      |FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0
+      |ORDER BY doc_a""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> textQuality,
@@ -329,11 +357,13 @@ object TextAnalysis extends QueryModule {
     "token_counts" -> tokenCounts,
     "lang_id" -> langId,
     "doc_fingerprints" -> docFingerprints,
-    "fingerprint_overlaps" -> fingerprintOverlaps)
+    "fingerprint_overlaps" -> fingerprintOverlaps,
+    "fingerprint_planted_containment" -> fingerprintPlantedContainment)
 
   def oracles: Map[String, String] = Map(
     "text_quality" -> textQualitySql,
     "quality_histogram" -> qualityHistogramSql,
     "token_counts" -> tokenCountsSql,
-    "lang_id" -> langIdSql)
+    "lang_id" -> langIdSql,
+    "fingerprint_planted_containment" -> fingerprintPlantedContainmentSql)
 }
