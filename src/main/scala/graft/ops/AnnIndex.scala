@@ -53,11 +53,45 @@ object AnnIndex extends QueryModule {
       queryVec(spark, dir, 0L), k = 10, numClusters = 16, nProbe = 6, seed = 42L)
       .select("vec_id", "score")
 
+  /** Structural oracle for the LSH near-dup path: plant an exact copy of
+    * every vec_id < 50 (salted id +100000); identical vectors land in the
+    * same bucket by construction, so the bucket-equi-join candidate
+    * generator MUST surface each planted pair and the exact re-score must
+    * give cosine 1.0 on unit vectors. The DuckDB oracle enumerates the
+    * planted pairs — a bucketing or scoring regression drops a row and
+    * fails the driver's hash compare. This is the scale shape of
+    * embedding-cosine near-dup (bucket join, never all-pairs) finally under
+    * an oracle.
+    */
+  def lshPlantedNearDupes(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 200)
+      .select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val bucketed = IndexBuilder.withLshBucket(base.union(planted), "embedding", defaultLsh)
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") === col("y.vec_id") - 100000)
+      .withColumn("cosine", round(
+        graft.vector.VectorFunctions.cosineUnit(col("x.embedding"), col("y.embedding")), 6))
+      .filter(col("cosine") === 1.0)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cosine"))
+      .orderBy("vec_a")
+  }
+
+  private val lshPlantedNearDupesSql =
+    """SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b, 1.0::DOUBLE AS cosine
+      |FROM embeddings WHERE vec_id < 50
+      |ORDER BY vec_a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lsh_buckets" -> lshBuckets,
     "lsh_bucket_stats" -> lshBucketStats,
     "ann_lsh_topk" -> annLshTopk,
-    "ann_ivf_topk" -> annIvfTopk)
+    "ann_ivf_topk" -> annIvfTopk,
+    "lsh_planted_near_dupes" -> lshPlantedNearDupes)
 
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    "lsh_planted_near_dupes" -> lshPlantedNearDupesSql)
 }

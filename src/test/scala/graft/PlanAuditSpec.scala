@@ -68,4 +68,45 @@ class PlanAuditSpec extends SparkSpec {
   test("AQE is on in the test session (runtime re-planning at scale)") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
   }
+
+  test("column pruning: lang_id and doc_fingerprints read only doc_id and text") {
+    Seq("lang_id", "doc_fingerprints").foreach { q =>
+      val s = scans(SparkEntry.queries(q)(spark, sf))
+      val cols = s.head.requiredSchema.fieldNames.toSet
+      assert(cols === Set("doc_id", "text"), s"$q scan reads more than needed: $cols")
+    }
+  }
+
+  test("rerank_zip: the count guard broadcasts, candidate top-k is TakeOrdered") {
+    val plan = SparkEntry.queries("rerank_zip")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"candidate stage should plan a top-k, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row count guard must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "count guard must not shuffle-cartesian")
+  }
+
+  test("planted near-dup joins stay equi-joins (never all-pairs)") {
+    Seq("simhash_planted_dupes", "fingerprint_planted_containment",
+      "lsh_planted_near_dupes").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q candidate generation must be a hash equi-join:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin"), s"$q expected a hash/merge equi-join:\n$plan")
+    }
+  }
+
+  test("minhash near-dup: only compact keys shuffle, text never does") {
+    val df = SparkEntry.queries("minhash_near_dupes")(spark, sf)
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val shuffled = e.child.output.map(_.name).toSet
+      assert(!shuffled.contains("text"),
+        s"document text crossed an exchange: ${shuffled.mkString(",")}")
+    }
+  }
 }
