@@ -54,10 +54,15 @@ object IngestPipeline {
     // V1: chunk (native Generator, narrow map)
     val chunks = Chunking.chunkDocuments(newDocs, cfg.chunkSize, cfg.overlap)
 
-    // J1: drop chunk ids already present in the index
+    // J1: drop chunk ids already present in the index. Only a MISSING
+    // index means "first run" — a corrupt index must fail loudly, not
+    // silently re-ingest (same contract as Ingest.filterProcessed).
     val existingIds: Option[DataFrame] =
       try Some(spark.read.parquet(cfg.indexPath).select("chunk_id"))
-      catch { case _: Exception => None }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
     val newChunks = existingIds match {
       case Some(ids) => chunks.join(ids, Seq("chunk_id"), "left_anti")
       case None => chunks
@@ -84,6 +89,24 @@ object IngestPipeline {
     RunStats(docsIn, docsNew, chunksNew,
       embedCounter.map(_.value.longValue()).getOrElse(-1L))
   }
+
+  /** Streaming ingest: the same exactly-once pipeline driven by a
+    * streaming documents source via foreachBatch — each micro-batch runs
+    * the batch `run` (J2 state anti-join, chunk, J1 index anti-join, embed,
+    * bucketed append, K5 mark), so duplicate documents arriving in LATER
+    * micro-batches are dropped by the same state table that makes batch
+    * re-runs idempotent. This is the production shape for continuous
+    * corpus ingestion: bounded per-batch work, index growing in place.
+    */
+  def runStream(docsStream: DataFrame, cfg: Config,
+      checkpointDir: String,
+      embedCounter: Option[LongAccumulator] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        run(batch.toDF(), cfg, embedCounter): Unit
+      }
+      .start()
 
   /** Retrieval against the built index: LSH multi-probe pruned top-k
     * (§3.2 lifecycle on the pipeline's own output). Filters the STORED

@@ -112,6 +112,19 @@ object EventStreams extends QueryModule {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Streaming exact dedup: keep the first arrival per key, dropping
+    * duplicates that arrive in any later micro-batch — the streaming
+    * analog of U2/J1 (and the first stage of a streaming training-data
+    * pipeline). The watermark bounds the dedup state: keys older than the
+    * delay are evicted, so state size is (keys per watermark window), not
+    * (all keys ever).
+    */
+  def dedupStream(records: DataFrame, keyCol: String, tsCol: String,
+      watermarkDelay: String): DataFrame =
+    records
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> eventsHourly,
     "events_sessions" -> eventsSessions,

@@ -42,6 +42,33 @@ class IngestPipelineSpec extends SparkSpec {
     assert(idx.select("bucket").distinct().count() > 1)
   }
 
+  test("streaming ingest: micro-batches dedupe against the same state, index stays unique") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("pipeline_stream").toString
+    val c = cfg(root)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val docsStream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("stream"))
+    val acc = spark.sparkContext.longAccumulator("stream_embed")
+    val q = IngestPipeline.runStream(docsStream, c, s"$root/ckpt", Some(acc))
+    try {
+      mem.addData((1L, "spark executes queries as a dag of shuffle stages"),
+        (2L, "catalyst optimizes logical plans into physical plans"))
+      q.processAllAvailable()
+      val afterBatch1 = acc.value.longValue()
+      assert(afterBatch1 > 0, "first batch embeds its chunks")
+      // batch 2 re-sends doc 1 (duplicate) plus one new doc
+      mem.addData((1L, "spark executes queries as a dag of shuffle stages"),
+        (3L, "tungsten generates jvm bytecode for whole stages"))
+      q.processAllAvailable()
+      val idx = spark.read.parquet(c.indexPath)
+      assert(idx.select("chunk_id").distinct().count() === idx.count(),
+        "re-sent doc must not duplicate index rows")
+      assert(idx.select("doc_id").distinct().count() === 3)
+    } finally q.stop()
+  }
+
   test("search over the built index returns pruned, scored top-k") {
     val root = Files.createTempDirectory("pipeline2").toString
     val c = cfg(root)

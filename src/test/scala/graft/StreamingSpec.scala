@@ -78,6 +78,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: later-batch duplicates are dropped, watermark bounds state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val deduped = EventStreams.dedupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "a-dup"))
+      q.processAllAvailable()
+      mem.addData((2L, ts(3), "b-dup"), (3L, ts(4), "c"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(out === Map(1L -> "a", 2L -> "b", 3L -> "c"),
+        "first arrival wins; duplicates in the same or later batches drop")
+    } finally q.stop()
+  }
+
   test("driver batch queries: hourly windows partition the event count") {
     val hourly = SparkEntry.queries("events_hourly")(spark, sf)
     val total = hourly.agg(sum("n_events")).head().getLong(0)
