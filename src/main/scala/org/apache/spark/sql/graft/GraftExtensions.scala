@@ -1,0 +1,53 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions entry point: exposes the engine's native
+  * Catalyst expressions as SQL functions, so the library is usable from
+  * pure `spark.sql(...)` — the (c)-level extension surface
+  * (SURVEY.md §2.10, §7.4).
+  *
+  *   spark-submit --conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
+  *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
+  *   SELECT chunk_split(text, 1000, 150) FROM documents
+  *
+  * For an already-built session (REPL, tests) use
+  * `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_dot(array<float|double>, array<float|double>)")
+        DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("chunk_split"),
+      new ExpressionInfo(classOf[ChunkSplit].getName, "chunk_split"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "usage: chunk_split(text, chunk_size, overlap)")
+        new ChunkSplit(args(0), intLit(args(1), "chunk_size"), intLit(args(2), "overlap"))
+      }))
+
+  /** Register the functions into an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
