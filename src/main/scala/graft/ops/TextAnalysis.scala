@@ -351,7 +351,46 @@ object TextAnalysis extends QueryModule {
       |FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0
       |ORDER BY doc_a""".stripMargin
 
+  /** End-to-end corpus curation (the C4/Gopher-style pipeline, composed
+    * from this module's operators): language-ID filter → quality-score
+    * floor → exact dedup (min doc_id survives per distinct text) → per-doc
+    * curation record. One narrow scoring pass, one 16-byte-key shuffle for
+    * the dedup — the whole pipeline is two stages at any scale. The oracle
+    * replays every stage in DuckDB, so a regression anywhere in the chain
+    * (classifier, scorer, survivor rule) fails one compare.
+    */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = textQuality(spark, dir)
+      .join(langId(spark, dir), Seq("doc_id"))
+      .filter(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    scored.join(docs, Seq("doc_id"))
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"))
+      .join(scored.select(col("doc_id"), col("n_words"), col("quality_score"),
+        col("lang_score_micro")), Seq("doc_id"))
+      .select("doc_id", "n_words", "quality_score", "lang_score_micro", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  private val corpusCurationSql =
+    s"""WITH q AS ($textQualitySql),
+       |l AS ($langIdSql),
+       |scored AS (
+       |  SELECT q.doc_id, q.n_words, q.quality_score, l.lang_score_micro
+       |  FROM q JOIN l ON q.doc_id = l.doc_id
+       |  WHERE l.pred_lang = 'en' AND q.quality_score >= 0.5),
+       |surv AS (
+       |  SELECT min(s.doc_id) AS doc_id, count(*) AS n_copies
+       |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+       |  GROUP BY md5(d.text))
+       |SELECT s.doc_id, n_words, quality_score, lang_score_micro, n_copies
+       |FROM surv JOIN scored s ON surv.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curation" -> corpusCuration,
     "text_quality" -> textQuality,
     "quality_histogram" -> qualityHistogram,
     "token_counts" -> tokenCounts,
@@ -361,6 +400,7 @@ object TextAnalysis extends QueryModule {
     "fingerprint_planted_containment" -> fingerprintPlantedContainment)
 
   def oracles: Map[String, String] = Map(
+    "corpus_curation" -> corpusCurationSql,
     "text_quality" -> textQualitySql,
     "quality_histogram" -> qualityHistogramSql,
     "token_counts" -> tokenCountsSql,
