@@ -42,13 +42,6 @@ object TextAnalysis extends QueryModule {
     val nPunct = size(regexp_extract_all(col("text"), lit("""[.,;:!?'"()\[\]{}-]"""), lit(0)))
     val nDigits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
     val nSpaces = size(regexp_extract_all(col("text"), lit("[ \\t\\n]"), lit(0)))
-    // Composite score in exact integer milli-units: products of rounded
-    // ratios land on decimal half-way points where Spark and DuckDB round
-    // differently — integer arithmetic sidesteps the tie entirely.
-    val qualityMilli =
-      least(lit(400), col("n_words") * 8) +
-        when(col("avg_word_len").between(3.0, 10.0), 300).otherwise(0) +
-        least(lit(300), expr("(1500 * stop_hits) DIV n_words"))
     Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(
@@ -61,8 +54,22 @@ object TextAnalysis extends QueryModule {
         round(nPunct / nChars.cast("double"), 6).as("punct_ratio"),
         round(nDigits / nChars.cast("double"), 6).as("digit_ratio"),
         round(nSpaces / nChars.cast("double"), 6).as("space_ratio"))
-      .withColumn("quality_score", (qualityMilli / lit(1000.0)).cast("double"))
+      .withColumn("quality_score", qualityScoreCol)
       .orderBy("doc_id")
+  }
+
+  /** Composite score over materialized `n_words`/`avg_word_len`/`stop_hits`
+    * columns, in exact integer milli-units: products of rounded ratios land
+    * on decimal half-way points where Spark and DuckDB round differently —
+    * integer arithmetic sidesteps the tie entirely. Shared by textQuality
+    * and corpusCuration so the two can never drift.
+    */
+  private def qualityScoreCol: Column = {
+    val qualityMilli =
+      least(lit(400), col("n_words") * 8) +
+        when(col("avg_word_len").between(3.0, 10.0), 300).otherwise(0) +
+        least(lit(300), expr("(1500 * stop_hits) DIV n_words"))
+    (qualityMilli / lit(1000.0)).cast("double")
   }
 
   private val stopListSql = EnglishStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -351,26 +358,43 @@ object TextAnalysis extends QueryModule {
       |FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0
       |ORDER BY doc_a""".stripMargin
 
-  /** End-to-end corpus curation (the C4/Gopher-style pipeline, composed
-    * from this module's operators): language-ID filter → quality-score
-    * floor → exact dedup (min doc_id survives per distinct text) → per-doc
-    * curation record. One narrow scoring pass, one 16-byte-key shuffle for
-    * the dedup — the whole pipeline is two stages at any scale. The oracle
-    * replays every stage in DuckDB, so a regression anywhere in the chain
-    * (classifier, scorer, survivor rule) fails one compare.
+  /** End-to-end corpus curation (the C4/Gopher-style pipeline): language-ID
+    * filter → quality-score floor → exact dedup (min doc_id survives per
+    * distinct text) → per-doc curation record. Quality metrics and the
+    * language classifier evaluate in ONE narrow projection over the scan
+    * (no self-joins — the first formulation joined textQuality⋈langId and
+    * re-joined the survivors, evaluating the classifier twice and adding
+    * three shuffles; measured 7.2 s → this shape at sf0.1), and `min_by`
+    * picks the survivor's attributes inside the single content-hash
+    * shuffle. Two stages at any scale. The oracle replays every stage in
+    * DuckDB, so a regression anywhere in the chain (classifier, scorer,
+    * survivor rule) fails one compare.
     */
   def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
-    val scored = textQuality(spark, dir)
-      .join(langId(spark, dir), Seq("doc_id"))
-      .filter(col("pred_lang") === "en" && col("quality_score") >= 0.5)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    scored.join(docs, Seq("doc_id"))
+    val toks = tokensCol(col("text"))
+    val nWords = size(toks)
+    val wordChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val stopHits = size(filter(toks, t => array_contains(typedlit(EnglishStopwords), t)))
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        col("doc_id"), col("text"),
+        nWords.as("n_words"),
+        stopHits.as("stop_hits"),
+        round(wordChars / nWords.cast("double"), 6).as("avg_word_len"),
+        langIdCol(col("text")).as("pred"))
+      .withColumn("quality_score", qualityScoreCol)
+      .filter(col("pred.lang") === "en" && col("quality_score") >= 0.5)
       .groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(col("doc_id")).as("doc_id"),
+      .agg(
+        min_by(
+          struct(col("doc_id"), col("n_words"), col("quality_score"),
+            col("pred.score").as("lang_score_micro")),
+          col("doc_id")).as("surv"),
         count(lit(1)).as("n_copies"))
-      .join(scored.select(col("doc_id"), col("n_words"), col("quality_score"),
-        col("lang_score_micro")), Seq("doc_id"))
-      .select("doc_id", "n_words", "quality_score", "lang_score_micro", "n_copies")
+      .select(col("surv.doc_id").as("doc_id"), col("surv.n_words").as("n_words"),
+        col("surv.quality_score").as("quality_score"),
+        col("surv.lang_score_micro").as("lang_score_micro"), col("n_copies"))
       .orderBy("doc_id")
   }
 
