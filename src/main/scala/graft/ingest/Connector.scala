@@ -90,7 +90,16 @@ object Connector {
   /** Resumable acquisition run: anti-join seeds against the processed-key
     * state (J2), fetch the remainder, append results to the JSON sink (K4
     * layout) and successful keys to the state table (K5) — the reference's
-    * scraper loop as one idempotent batch job.
+    * scraper loop as one resumable batch job.
+    *
+    * Delivery contract: the sink is **at-least-once, keyed by `keyCol`**.
+    * Results are appended to `outDir` *before* the state marker is written;
+    * a crash between the two re-fetches and re-appends those keys on the
+    * next run. This is deliberate — the alternative (marker first) silently
+    * *loses* fetched data on a crash, and lost rows are unrecoverable while
+    * duplicate rows are a `dropDuplicates(keyCol)` away. Downstream
+    * consumers must dedup by key, exactly as the ingest pipeline's J1
+    * anti-join already does for every sink in this engine.
     */
   def resumableRun(seeds: DataFrame, keyCol: String, fetcher: Fetcher,
       outDir: String, statePath: String,

@@ -62,12 +62,25 @@ object PdfText {
 
   // ---- object-level parsing ----
 
-  private final case class PdfObject(dict: String, streamStart: Int, streamEnd: Int)
+  /** `exactEnd` = streamEnd came from a validated /Length (no EOL strip
+    * needed — and stripping would corrupt flate data ending in 0x0A).
+    */
+  private final case class PdfObject(dict: String, streamStart: Int, streamEnd: Int,
+    exactEnd: Boolean = false)
 
   private val ObjRe = """(?s)(\d+)\s+\d+\s+obj\b""".r
   private val StreamRe = """stream\r?\n""".r
+  // optional group 2 present ⇒ indirect-ref length (`/Length 5 0 R`) — skip
+  private val LengthRe = """/Length\s+(\d+)(\s+\d+\s+R)?""".r
 
-  /** All indirect objects: number → (dict text, stream byte range). */
+  /** All indirect objects: number → (dict text, stream byte range).
+    *
+    * Stream extent prefers the dict's direct /Length (FlateDecode payloads
+    * are arbitrary bytes and may contain the literal `endstream`, which
+    * would truncate a substring scan); the scan is the fallback when
+    * /Length is absent, indirect, or fails validation against the actual
+    * `endstream` position.
+    */
   private def parseObjects(raw: String, bytes: Array[Byte]): Map[Int, PdfObject] =
     ObjRe.findAllMatchIn(raw).flatMap { m =>
       val num = m.group(1).toInt
@@ -79,12 +92,27 @@ object PdfText {
       val body = raw.substring(bodyStart, bodyEnd)
       StreamRe.findFirstMatchIn(body) match {
         case Some(sm) =>
+          val dict = body.substring(0, sm.start)
           val dataStart = bodyStart + sm.end
-          val dataEnd = raw.indexOf("endstream", dataStart) match {
-            case -1 => bodyEnd
-            case e => e
+          val byLength = LengthRe.findFirstMatchIn(dict)
+            .filter(_.group(2) == null)
+            .map(lm => dataStart + lm.group(1).toInt)
+            .filter { e => // declared end must be followed by ws* + endstream
+              e >= dataStart && e <= raw.length &&
+                """\s{0,4}endstream""".r.pattern
+                  .matcher(raw.substring(e, math.min(e + 13, raw.length)))
+                  .lookingAt()
+            }
+          val obj = byLength match {
+            case Some(e) => PdfObject(dict, dataStart, e, exactEnd = true)
+            case None =>
+              val e = raw.indexOf("endstream", dataStart) match {
+                case -1 => bodyEnd
+                case x => x
+              }
+              PdfObject(dict, dataStart, e)
           }
-          Some(num -> PdfObject(body.substring(0, sm.start), dataStart, dataEnd))
+          Some(num -> obj)
         case None =>
           Some(num -> PdfObject(body, -1, -1))
       }
@@ -128,12 +156,21 @@ object PdfText {
     }
   }
 
+  /** Hard cap on a single inflated content stream (64 MiB). A content
+    * stream is text operators — real ones are KBs; a zip bomb is not.
+    */
+  private val MaxInflatedBytes = 64 << 20
+
   /** Stream payload, inflated when /FlateDecode (or when it inflates). */
   private def decodeStream(o: PdfObject, bytes: Array[Byte]): String = {
     if (o.streamStart < 0) return ""
     var end = o.streamEnd
-    // strip the EOL the writer put before `endstream`
-    while (end > o.streamStart && (bytes(end - 1) == '\n' || bytes(end - 1) == '\r')) end -= 1
+    // strip the EOL the writer put before `endstream` (scan-derived extent
+    // only — an exact /Length extent includes no trailing EOL, and flate
+    // data legitimately ends in 0x0A one time in 256)
+    if (!o.exactEnd) {
+      while (end > o.streamStart && (bytes(end - 1) == '\n' || bytes(end - 1) == '\r')) end -= 1
+    }
     val data = java.util.Arrays.copyOfRange(bytes, o.streamStart, end)
     val flate = """/Filter\s*(?:\[\s*)?/FlateDecode""".r.findFirstIn(o.dict).isDefined
     if (!flate) new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -141,11 +178,22 @@ object PdfText {
       val inf = new java.util.zip.Inflater()
       try {
         inf.setInput(data)
-        val out = new java.io.ByteArrayOutputStream(data.length * 4)
+        val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 20))
         val buf = new Array[Byte](8192)
-        while (!inf.finished() && !inf.needsInput()) {
+        var stalled = false
+        while (!inf.finished() && !inf.needsInput() && !stalled) {
           val n = inf.inflate(buf)
-          if (n > 0) out.write(buf, 0, n)
+          if (n > 0) {
+            if (out.size + n > MaxInflatedBytes)
+              // oversized stream → extract()'s NonFatal corrupt-skip path
+              throw new java.io.IOException("inflated stream exceeds cap")
+            out.write(buf, 0, n)
+          } else {
+            // inflate()==0 with neither finished nor needsInput set means
+            // the stream wants a preset dictionary (FDICT) or is stuck —
+            // stop instead of spinning forever
+            stalled = true
+          }
         }
         new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
       } finally inf.end()

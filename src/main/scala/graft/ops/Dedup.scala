@@ -213,7 +213,10 @@ object Dedup extends QueryModule {
     */
   def minhashSigFromText(text: String, n: Int): Array[Long] = {
     if (text == null) return Array.fill(NumHashes)(0L)
-    val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    // Locale.ROOT: Spark's lower() is locale-independent; the documented
+    // bit-equivalence with the column path must not depend on the JVM
+    // default locale (Turkish 'I' → 'ı' would diverge).
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     var any = false
     def mix(s: String): Unit = {

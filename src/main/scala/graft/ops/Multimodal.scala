@@ -145,7 +145,10 @@ object Multimodal extends QueryModule {
   // ---- driver queries ----
 
   /** Payload stats per modality — byte-level, so the oracle reconstructs
-    * the synthetic payload with encode() and must agree exactly.
+    * the synthetic payload with encode() and must agree exactly. The mean
+    * width is emitted in exact integer 1e-4 units (floor(sum*10000/count))
+    * rather than round(avg,4): Spark and DuckDB disagree in the last ulp
+    * of float averaging, integer division cannot.
     */
   def multimodalStats(spark: SparkSession, dir: String): DataFrame =
     syntheticMedia(spark, dir)
@@ -154,7 +157,7 @@ object Multimodal extends QueryModule {
         sum(length(col("content"))).as("total_bytes"),
         min(length(col("content"))).cast("long").as("min_bytes"),
         max(length(col("content"))).cast("long").as("max_bytes"),
-        round(avg(col("meta.width")), 4).as("avg_width"))
+        expr("(sum(meta.width) * 10000) div count(1)").as("avg_width_e4"))
       .orderBy("modality")
 
   private val multimodalStatsSql =
@@ -163,7 +166,7 @@ object Multimodal extends QueryModule {
       |       sum(octet_length(encode(text))) AS total_bytes,
       |       min(octet_length(encode(text))) AS min_bytes,
       |       max(octet_length(encode(text))) AS max_bytes,
-      |       round(avg(64 + n_chars % 448), 4) AS avg_width
+      |       CAST(sum(64 + n_chars % 448) * 10000 // count(*) AS BIGINT) AS avg_width_e4
       |FROM documents WHERE length(text) > 0
       |GROUP BY 1 ORDER BY modality""".stripMargin
 

@@ -182,7 +182,7 @@ object TextAnalysis extends QueryModule {
     val ns = math.max(nonSpace, 1)
     if (10L * han >= 3L * ns) // hanRatio >= 0.3, exactly
       return (1000000L * han / ns, "zh")
-    val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
     val denom = math.max(toks.length, 1)
     var bestHits = -1; var bestLang = LangProfiles.head._1
     profileSets.foreach { case (lang, words) =>
@@ -258,7 +258,7 @@ object TextAnalysis extends QueryModule {
     */
   def winnowFingerprint(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
     if (text == null) return Array.empty
-    val norm = text.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ")
+    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^\\p{L}\\p{N}]+", " ")
     if (norm.length < k) {
       return if (norm.isEmpty) Array.empty
       else Array(scala.util.hashing.MurmurHash3.stringHash(norm, 0x1b873593).toLong)

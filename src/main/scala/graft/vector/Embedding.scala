@@ -26,7 +26,7 @@ object Embedding {
 
   def tokenize(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    else text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
 
   /** Unit-norm hashed embedding; all-zeros for empty/null text. */
   def hashingEmbed(text: String, dim: Int = DefaultDim): Array[Float] = {
