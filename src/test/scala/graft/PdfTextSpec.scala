@@ -115,6 +115,68 @@ class PdfTextSpec extends SparkSpec {
     assert(doc.keywords === None)
   }
 
+  test("/Length extent survives a literal 'endstream' inside the payload") {
+    // Without /Length the substring scan truncates at the embedded token
+    // and the trailing text is lost; the validated /Length recovers it.
+    val content = "BT 72 700 Td (before endstream after) Tj ET"
+    val data = content.getBytes(ISO_8859_1)
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(ISO_8859_1),
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(ISO_8859_1),
+      4 -> streamObj(s"<< /Length ${data.length} >>", data))
+    val doc = PdfText.extract(buildPdf(objs, "<< /Root 1 0 R >>")).get
+    assert(doc.pages === Seq("before endstream after"))
+  }
+
+  test("indirect or bogus /Length falls back to the endstream scan") {
+    val content = "BT 72 700 Td (fallback works) Tj ET"
+    val mk = (dict: String) => PdfText.extract(buildPdf(Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(ISO_8859_1),
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(ISO_8859_1),
+      4 -> streamObj(dict, content.getBytes(ISO_8859_1))),
+      "<< /Root 1 0 R >>")).get
+    assert(mk("<< /Length 9 0 R >>").pages === Seq("fallback works"))
+    assert(mk("<< /Length 999999 >>").pages === Seq("fallback works"))
+  }
+
+  test("zlib stream demanding a preset dictionary terminates, not spins") {
+    // CMF=0x78, FLG=0x20: FDICT set, (0x78*256+0x20) % 31 == 0. inflate()
+    // returns 0 with neither finished nor needsInput — the stall guard
+    // must break out instead of looping forever.
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0x5A, 0x5A)
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(ISO_8859_1),
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(ISO_8859_1),
+      4 -> streamObj("<< /Filter /FlateDecode >>", fdict))
+    val doc = PdfText.extract(buildPdf(objs, "<< /Root 1 0 R >>"))
+    assert(doc.exists(_.pages.isEmpty)) // decoded nothing, but returned
+  }
+
+  test("zip-bomb content stream hits the inflate cap and skips the file") {
+    // ~96 MiB of zeros deflates to ~100 KB; inflating must stop at the
+    // 64 MiB cap and surface as the corrupt-skip None, not an OOM.
+    val d = new java.util.zip.Deflater()
+    val zeros = new Array[Byte](1 << 20)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    (0 until 96).foreach { _ =>
+      d.setInput(zeros)
+      while (!d.needsInput()) out.write(buf, 0, d.deflate(buf))
+    }
+    d.finish()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(ISO_8859_1),
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(ISO_8859_1),
+      4 -> streamObj("<< /Filter /FlateDecode >>", out.toByteArray))
+    assert(PdfText.extract(buildPdf(objs, "<< /Root 1 0 R >>")) === None)
+  }
+
   test("corrupt / non-PDF bytes return None (skip path)") {
     assert(PdfText.extract("not a pdf at all".getBytes(ISO_8859_1)) === None)
     assert(PdfText.extract(Array.empty[Byte]) === None)
