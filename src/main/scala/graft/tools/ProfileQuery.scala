@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiler: run one registered query N times and print per-iteration
+  * wall time — separates one-time planning/codegen cost (iteration 1) from
+  * steady-state execution (iterations 2+).
+  *
+  * Usage: runMain graft.tools.ProfileQuery <queryName> [sfDir] [n]
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val n = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    if (sys.env.contains("PROFILE_EXPLAIN")) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      println(s"[profile] UDF count in plan: ${"UDF".r.findAllIn(plan).length}")
+      println(plan)
+    }
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}
