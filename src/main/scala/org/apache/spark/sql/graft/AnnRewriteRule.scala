@@ -1,0 +1,136 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
+
+import graft.vector.IndexBuilder.RandomHyperplaneLsh
+
+/** Optimizer rule: rewrite an exact k-NN plan over an LSH-indexed corpus
+  * into a multi-probe bucket-pruned scan (SURVEY.md §4's optional
+  * perf-only rewrite — the declarative analog of ChromaDB answering a
+  * similarity query from its HNSW index instead of a full scan,
+  * `query_rag_database.py:361`).
+  *
+  * Pattern:  Limit k ─ Sort [score DESC, …] ─ …plan whose output carries a
+  * `bucket` column and whose `score` is (any expression over)
+  * `graft_dot(embedding, <literal query vector>)`.
+  *
+  * Rewrite:  the same plan with `bucket IN <multi-probe set>` injected
+  * below the Sort. The probe set is computed at plan time from the literal
+  * query vector with the SAME seeded hyperplanes that built the index;
+  * Catalyst then pushes the IN-filter to the scan, where it becomes
+  * partition/file pruning on a `partitionBy("bucket")` index table — the
+  * full corpus is never read.
+  *
+  * This trades exactness for scan volume (ANN semantics: recall < 1.0 is
+  * possible), so it is strictly OPT-IN via session conf and OFF by
+  * default — enabling it is the user declaring "my ORDER BY dot LIMIT k
+  * queries may be answered approximately from the index":
+  *
+  *   spark.graft.ann.rewrite = true        // master switch (default false)
+  *   spark.graft.ann.nBits   = <int>       // must match the index build
+  *   spark.graft.ann.seed    = <long>      // must match the index build
+  *   spark.graft.ann.radius  = <int>       // multi-probe Hamming radius
+  */
+object AnnRewriteRule extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.ann.rewrite"
+  val NBitsKey = "spark.graft.ann.nBits"
+  val SeedKey = "spark.graft.ann.seed"
+  val RadiusKey = "spark.graft.ann.radius"
+
+  // Hyperplanes are O(nBits*dim) doubles and deterministic in (dim, nBits,
+  // seed) — memoized so repeated optimizer invocations don't re-draw them.
+  private val lshCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Long), RandomHyperplaneLsh]
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
+    val nBits = conf.getConfString(NBitsKey, "16").toInt
+    val seed = conf.getConfString(SeedKey, "42").toLong
+    val radius = conf.getConfString(RadiusKey, "1").toInt
+    plan.transformDown {
+      case l @ Limit(le, sort @ Sort(
+            SortOrder(scoreRef, Descending, _, _) +: _, true, child, _))
+          if !alreadyPruned(child) =>
+        val rewritten = for {
+          score <- resolveScore(scoreRef, child)
+          qvec <- queryVector(score)
+          lsh = lshCache.getOrElseUpdate((qvec.length, nBits, seed),
+            new RandomHyperplaneLsh(qvec.length, nBits, seed))
+          probes = lsh.probes(lsh.signature(qvec.toSeq), radius)
+          pruned <- injectProbeFilter(child, probes)
+        } yield Limit(le, sort.copy(child = pruned))
+        rewritten.getOrElse(l)
+    }
+  }
+
+  /** The plan's `bucket` column (the LSH index signature column). */
+  private def bucketAttr(plan: LogicalPlan): Option[Attribute] =
+    plan.output.find(a => a.name == "bucket" && a.dataType == IntegerType)
+
+  /** Place `bucket IN probes` at the topmost node that still outputs the
+    * bucket column. Column pruning may have projected `bucket` away above
+    * the scan (a k-NN query selects id/score, not the index column), so
+    * descend — but only through operators a filter passes unchanged
+    * (Project/Filter/aliasing); anything else (aggregate, limit, join…)
+    * stops the descent rather than risk changing semantics. Returns None
+    * when no reachable node outputs `bucket` (nothing to prune on).
+    */
+  private def injectProbeFilter(plan: LogicalPlan, probes: Seq[Int]): Option[LogicalPlan] =
+    bucketAttr(plan) match {
+      case Some(b) =>
+        Some(Filter(In(b, probes.map(Literal(_, IntegerType))), plan))
+      case None => plan match {
+        case p @ (_: Project | _: Filter | _: SubqueryAlias) =>
+          injectProbeFilter(p.children.head, probes)
+            .map(nc => p.withNewChildren(Seq(nc)))
+        case _ => None
+      }
+    }
+
+  /** A sort on a bare attribute resolves through the Alias that computes
+    * it somewhere below; an inline sort expression is used as-is.
+    */
+  private def resolveScore(e: Expression, plan: LogicalPlan): Option[Expression] =
+    e match {
+      case a: AttributeReference =>
+        plan.collectFirst {
+          case p: Project => p.projectList.collectFirst {
+            case al @ Alias(expr, _) if al.exprId == a.exprId => expr
+          }
+        }.flatten
+      case other => Some(other)
+    }
+
+  /** The literal query vector inside the score's graft_dot call. */
+  private def queryVector(score: Expression): Option[Array[Float]] = {
+    def lit(e: Expression): Option[Array[Float]] = e match {
+      case Literal(arr: ArrayData, ArrayType(FloatType, _)) =>
+        Some(arr.toFloatArray())
+      case Literal(arr: ArrayData, ArrayType(DoubleType, _)) =>
+        Some(arr.toDoubleArray().map(_.toFloat))
+      case _ => None
+    }
+    score.collectFirst {
+      case DotProduct(a, b) if lit(a).orElse(lit(b)).isDefined =>
+        lit(a).orElse(lit(b)).get
+    }
+  }
+
+  /** Idempotence: skip when a bucket-membership filter already exists
+    * anywhere below the sort (ours from a previous pass, a hand-written
+    * prune, or one the optimizer has already pushed toward the scan).
+    */
+  private def alreadyPruned(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case Filter(cond, _) if cond.exists {
+            case In(a: Attribute, _) => a.name == "bucket"
+            case InSet(a: Attribute, _) => a.name == "bucket"
+            case _ => false
+          } => ()
+    }.isDefined
+}

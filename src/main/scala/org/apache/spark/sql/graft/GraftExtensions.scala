@@ -18,8 +18,13 @@ import org.apache.spark.sql.types.IntegerType
   * `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // Opt-in ANN rewrite (spark.graft.ann.rewrite=true): ORDER BY
+    // graft_dot(emb, qvec) DESC LIMIT k over an LSH-indexed table becomes
+    // a multi-probe bucket-pruned scan. Off by default; see AnnRewriteRule.
+    ext.injectOptimizerRule(_ => AnnRewriteRule)
+  }
 }
 
 object GraftExtensions {
@@ -44,10 +49,14 @@ object GraftExtensions {
         new ChunkSplit(args(0), intLit(args(1), "chunk_size"), intLit(args(2), "overlap"))
       }))
 
-  /** Register the functions into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register the functions + optimizer rule into an existing session. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    val em = spark.experimental
+    if (!em.extraOptimizations.contains(AnnRewriteRule))
+      em.extraOptimizations = em.extraOptimizations :+ AnnRewriteRule
+  }
 }

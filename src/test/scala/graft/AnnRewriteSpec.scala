@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{AnnRewriteRule, GraftExtensions}
+import graft.vector.{IndexBuilder, VectorFunctions}
+import graft.vector.IndexBuilder.RandomHyperplaneLsh
+
+/** The opt-in ANN optimizer rewrite: ORDER BY graft_dot(emb, qvec) DESC
+  * LIMIT k over a bucket-carrying plan becomes a multi-probe bucket-pruned
+  * scan (partition pruning on a partitioned index table).
+  */
+class AnnRewriteSpec extends SparkSpec {
+
+  GraftExtensions.register(spark)
+
+  private val nBits = 6
+  private val seed = 42L
+  private val lsh = new RandomHyperplaneLsh(64, nBits, seed)
+
+  private def corpus: DataFrame = Tables.embeddings(spark, sf)
+
+  private lazy val qvec: Array[Float] = corpus
+    .filter(col("vec_id") === 0L)
+    .select("embedding").head().getSeq[Float](0).toArray
+
+  private def knnQuery(indexed: DataFrame, k: Int = 10): DataFrame =
+    indexed
+      .withColumn("score",
+        round(VectorFunctions.cosineUnit(col("embedding"), typedlit(qvec.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+
+  private def withAnnRewrite(radius: Int = 1)(body: => Unit): Unit = {
+    spark.conf.set(AnnRewriteRule.EnabledKey, "true")
+    spark.conf.set(AnnRewriteRule.NBitsKey, nBits.toString)
+    spark.conf.set(AnnRewriteRule.SeedKey, seed.toString)
+    spark.conf.set(AnnRewriteRule.RadiusKey, radius.toString)
+    try body
+    finally spark.conf.set(AnnRewriteRule.EnabledKey, "false")
+  }
+
+  private def optimizedPlan(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  private val BucketIn = """bucket#\d+ IN \(""".r
+
+  test("off by default: the k-NN plan keeps its full scan") {
+    val plan = optimizedPlan(knnQuery(
+      IndexBuilder.withLshBucket(corpus, "embedding", lsh)))
+    assert(BucketIn.findFirstIn(plan).isEmpty, s"unexpected rewrite:\n$plan")
+  }
+
+  test("enabled: bucket IN filter is injected and matches lshTopK exactly") {
+    withAnnRewrite(radius = 1) {
+      val indexed = IndexBuilder.withLshBucket(corpus, "embedding", lsh)
+      val df = knnQuery(indexed)
+      val plan = optimizedPlan(df)
+      assert(BucketIn.findFirstIn(plan).isDefined, s"no bucket filter injected:\n$plan")
+      // identical semantics to the hand-written pruned path
+      val expected = IndexBuilder
+        .lshTopK(corpus, "embedding", "vec_id", lsh, qvec, k = 10, radius = 1)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+      assert(got === expected)
+    }
+  }
+
+  test("enabled: top-1 self-match survives pruning (query's own bucket probed)") {
+    withAnnRewrite() {
+      val indexed = IndexBuilder.withLshBucket(corpus, "embedding", lsh)
+      val top = knnQuery(indexed, k = 1).select("vec_id").head().getLong(0)
+      assert(top === 0L) // cosine(q, q) = 1.0 is unbeatable
+    }
+  }
+
+  test("enabled: a sort without a literal query vector is left alone") {
+    withAnnRewrite() {
+      val indexed = IndexBuilder.withLshBucket(corpus, "embedding", lsh)
+      // sort on a non-dot column
+      val p1 = optimizedPlan(indexed.orderBy(col("vec_id").desc).limit(5))
+      assert(BucketIn.findFirstIn(p1).isEmpty, s"false-positive rewrite:\n$p1")
+      // dot of two column references (no literal to derive a probe set from)
+      val p2 = optimizedPlan(indexed
+        .withColumn("score", VectorFunctions.cosineUnit(col("embedding"), col("embedding")))
+        .orderBy(col("score").desc).limit(5))
+      assert(BucketIn.findFirstIn(p2).isEmpty, s"false-positive rewrite:\n$p2")
+    }
+  }
+
+  test("enabled: rewrite is idempotent over an already-pruned plan") {
+    withAnnRewrite() {
+      val indexed = IndexBuilder.withLshBucket(corpus, "embedding", lsh)
+      val handPruned = knnQuery(
+        indexed.filter(col("bucket").isin(lsh.probes(lsh.signature(qvec.toSeq), 1): _*)))
+      val plan = optimizedPlan(handPruned)
+      // exactly one bucket membership predicate, not a stacked second one
+      val hits = "bucket".r.findAllIn(plan).length
+      assert(hits >= 1 && plan.split("Filter").length <= 3, s"stacked filters:\n$plan")
+    }
+  }
+
+  test("enabled on a partitioned index table: the filter becomes partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_index").toString
+    IndexBuilder.buildLshIndex(corpus, "embedding", lsh, dir)
+    withAnnRewrite() {
+      val indexed = spark.read.parquet(dir)
+      val df = knnQuery(indexed)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters") && !physical.contains("PartitionFilters: []"),
+        s"bucket filter did not reach partition pruning:\n$physical")
+      // pruned result still finds the self-match
+      assert(df.select("vec_id").head().getLong(0) === 0L)
+
+      // A projection that drops the bucket column must NOT defeat the
+      // rewrite: column pruning removes bucket from the Project, but the
+      // partition column still exists on the relation, where the rule
+      // injects the probe filter.
+      val prunedProjection = knnQuery(indexed).select("vec_id", "score")
+      val plan2 = prunedProjection.queryExecution.executedPlan.toString
+      assert(plan2.contains("PartitionFilters") && !plan2.contains("PartitionFilters: []"),
+        s"rewrite defeated by column pruning:\n$plan2")
+      val expected = IndexBuilder
+        .lshTopK(corpus, "embedding", "vec_id", lsh, qvec, k = 10, radius = 1)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+      val got = prunedProjection.collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+      assert(got === expected)
+    }
+  }
+}
