@@ -20,13 +20,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen compilation, parquet footer reads, and
-    // shuffle init otherwise land entirely on whichever query sorts first;
+    // shuffle init otherwise land entirely on whichever query sorts first
+    // (observed: ann_ivf_topk, alphabetically first, absorbing the first
+    // touch of every table it reads). One warmup per base-table family —
+    // lineitem/orders, embeddings, documents, events — so each table's
+    // footers and the shared codegen paths are hot before timing starts;
     // steady-state per-query cost is what a long-running cluster sees.
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
-    }
+    Seq("q1_pricing_summary", "knn_exact_topk", "text_quality", "events_hourly")
+      .foreach { w =>
+        try SparkEntry.queries(w)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")
+        }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -86,10 +86,41 @@ object Chunking extends QueryModule {
       |WHERE doc_id IS NOT NULL AND length(trim(text)) > 0
       |  AND length(text) <= 1000""".stripMargin
 
+  /** Driver-visible chunker invariants over the multi-chunk split: the
+    * splitter algorithm itself is not SQL-expressible, but its CONTRACT is
+    * — every chunk ≤ chunkSize chars, numbering dense 1..total_chunks,
+    * total_chunks consistent with the actual row count. The query emits
+    * one row per violation and the oracle asserts the empty set, so a
+    * chunker regression at data scale (not just on spec fixtures) turns a
+    * green CORRECTNESS row red.
+    */
+  def chunkInvariants(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkDocs200(spark, dir)
+    val rowLevel = chunks
+      .filter(length(col("chunk_text")) > 200 ||
+        col("chunk_number") < 1 || col("chunk_number") > col("total_chunks"))
+      .select(col("doc_id"), lit("row_bounds").as("violation"))
+    val docLevel = chunks
+      .groupBy(col("doc_id"), col("total_chunks"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("chunk_number")).as("n_distinct"),
+        min(col("chunk_number")).as("mn"),
+        max(col("chunk_number")).as("mx"))
+      .filter(col("n") =!= col("total_chunks") || col("n_distinct") =!= col("n") ||
+        col("mn") =!= 1 || col("mx") =!= col("total_chunks"))
+      .select(col("doc_id"), lit("numbering").as("violation"))
+    rowLevel.union(docLevel).orderBy("doc_id", "violation")
+  }
+
+  private val chunkInvariantsSql =
+    """SELECT NULL::BIGINT AS doc_id, NULL::VARCHAR AS violation WHERE false""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk_docs_200" -> chunkDocs200,
-    "chunk_docs_default" -> chunkDocsDefault)
+    "chunk_docs_default" -> chunkDocsDefault,
+    "chunk_invariants" -> chunkInvariants)
 
   def oracles: Map[String, String] = Map(
-    "chunk_docs_default" -> chunkDocsDefaultSql)
+    "chunk_docs_default" -> chunkDocsDefaultSql,
+    "chunk_invariants" -> chunkInvariantsSql)
 }

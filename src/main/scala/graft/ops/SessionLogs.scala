@@ -94,10 +94,47 @@ object SessionLogs extends QueryModule {
       |       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
       |FROM events GROUP BY user_id ORDER BY session_id""".stripMargin
 
+  /** F9 encode→decode under a real oracle: serialize each session log with
+    * to_json, parse it back with from_json, and emit scalars recomputed
+    * FROM THE PARSED STRUCT — turn count from the summary header, the
+    * first turn's mode, and the value total summed over the parsed turn
+    * array. DuckDB computes the same numbers straight from events, so any
+    * mangling in the JSON round trip (field order, value formatting, array
+    * sort, the 50-turn cap) breaks the compare. The exact log_json STRING
+    * stays rows-only (JSON key order is engine-specific); this checks its
+    * CONTENT instead.
+    */
+  def sessionLogRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    sessionLogs(spark, dir)
+      .withColumn("parsed", from_json(col("log_json"), LogSchema))
+      .select(
+        col("session_id"),
+        col("parsed.session_summary.n_turns").as("n_turns_parsed"),
+        element_at(col("parsed.conversation_turns"), 1)
+          .getField("mode").as("first_mode"),
+        round(aggregate(col("parsed.conversation_turns"), lit(0.0),
+          (a, t) => a + coalesce(t.getField("value"), lit(0.0))), 4)
+          .as("total_value_parsed"))
+      .orderBy("session_id")
+
+  private val sessionLogRoundtripSql =
+    """WITH t AS (
+      |  SELECT user_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn
+      |  FROM events),
+      |c AS (SELECT * FROM t WHERE turn <= 50)
+      |SELECT user_id AS session_id,
+      |       count(*) AS n_turns_parsed,
+      |       max(CASE WHEN turn = 1 THEN event_type END) AS first_mode,
+      |       round(coalesce(sum(value), 0.0), 4) AS total_value_parsed
+      |FROM c GROUP BY user_id ORDER BY session_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_logs" -> sessionLogs,
-    "session_summaries" -> sessionSummaries)
+    "session_summaries" -> sessionSummaries,
+    "session_log_roundtrip" -> sessionLogRoundtrip)
 
   def oracles: Map[String, String] = Map(
-    "session_summaries" -> sessionSummariesSql)
+    "session_summaries" -> sessionSummariesSql,
+    "session_log_roundtrip" -> sessionLogRoundtripSql)
 }

@@ -144,18 +144,64 @@ object VectorSearch extends QueryModule {
       .limit(10)
   }
 
+  /** Embedding determinism + batch k-NN + tie-break under a real oracle:
+    * plant an exact copy (doc_id + 100000) of every md5-unique document
+    * with doc_id < 20, hash-embed base ∪ planted, and return each planted
+    * query's exact top-1 by (cosine desc, doc_id asc). Identical text ⇒
+    * identical embedding ⇒ the original ties the query's self-score
+    * exactly, and the id tie-break picks the ORIGINAL — so DuckDB can
+    * enumerate the answers without replicating the embedder. A
+    * non-deterministic embedder, a broken tie-break, or a knn regression
+    * each produce a different top-1 and fail the hash compare. (Distinct
+    * texts with proportional token multisets would also embed identically;
+    * verified absent in the testdata, and the md5-uniqueness filter keeps
+    * the construction honest for the md5-expressible oracle.)
+    */
+  def embedSelfKnnPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 256
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val uniqueIds = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"))
+      .filter(col("n") === 1)
+      .select("doc_id")
+    val queryDocs = docs.join(uniqueIds, "doc_id").filter(col("doc_id") < 20)
+    val planted = queryDocs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val corpus = docs.union(planted).withColumn("embedding", embed(col("text")))
+    val qEmb = corpus.filter(col("doc_id") >= 100000)
+      .select(col("doc_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    corpus.crossJoin(broadcast(qEmb)) // ≤20 queries broadcast; corpus never moves
+      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("doc_id").as("top1_doc_id"))
+      .orderBy("query_id")
+  }
+
+  private val embedSelfKnnPlantedSql =
+    """WITH uniq AS (
+      |  SELECT md5(text) AS h FROM documents GROUP BY md5(text) HAVING count(*) = 1)
+      |SELECT d.doc_id + 100000 AS query_id, d.doc_id AS top1_doc_id
+      |FROM documents d JOIN uniq u ON md5(d.text) = u.h
+      |WHERE d.doc_id < 20 ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact_topk" -> knnExactTopk,
     "knn_threshold" -> knnThreshold,
     "knn_relevance_threshold" -> knnRelevanceThreshold,
     "knn_batch_topk" -> knnBatchTopk,
     "cosine_score_stats" -> cosineScoreStats,
-    "embed_documents_knn" -> embedDocumentsKnn)
+    "embed_documents_knn" -> embedDocumentsKnn,
+    "embed_selfknn_planted" -> embedSelfKnnPlanted)
 
   def oracles: Map[String, String] = Map(
     "knn_exact_topk" -> knnExactTopkSql,
     "knn_threshold" -> knnThresholdSql,
     "knn_relevance_threshold" -> knnRelevanceThresholdSql,
     "knn_batch_topk" -> knnBatchTopkSql,
-    "cosine_score_stats" -> cosineScoreStatsSql)
+    "cosine_score_stats" -> cosineScoreStatsSql,
+    "embed_selfknn_planted" -> embedSelfKnnPlantedSql)
 }

@@ -29,6 +29,10 @@ class ChunkingSpec extends SparkSpec {
     assert(df.filter(col("total_chunks") =!= 1).count() === 0)
   }
 
+  test("chunk_invariants finds no contract violations on the test corpus") {
+    assert(ops.Chunking.chunkInvariants(spark, sf).count() === 0)
+  }
+
   test("native ChunkSplit generator is row-identical to the UDF+posexplode path") {
     val docs = Tables.documents(spark, sf)
     val gen = graft.ops.Chunking.chunkDocuments(docs, 200, 30)

@@ -121,4 +121,13 @@ class VectorSearchSpec extends SparkSpec {
     assert(rows.length === 10)
     assert(rows.forall(r => !r.isNullAt(1)))
   }
+
+  test("planted self-knn: every planted query's top-1 is its original doc") {
+    val rows = SparkEntry.queries("embed_selfknn_planted")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1) + 100000,
+        s"query ${r.getLong(0)} retrieved ${r.getLong(1)}")
+    }
+  }
 }

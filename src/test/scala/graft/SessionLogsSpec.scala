@@ -47,4 +47,18 @@ class SessionLogsSpec extends SparkSpec {
       .agg(sum("n_turns")).head().getLong(0)
     assert(total === Tables.events(spark, sf).count())
   }
+
+  test("roundtrip scalars recomputed from the parsed JSON match the turn frame") {
+    val rt = SessionLogs.sessionLogRoundtrip(spark, sf)
+    val direct = SessionLogs.turns(spark, sf)
+      .filter(col("turn") <= SessionLogs.MaxTurnsKept)
+      .groupBy(col("session_id"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("turn") === 1, col("mode"))).as("m"),
+        round(sum(coalesce(col("value"), lit(0.0))), 4).as("v"))
+    val joined = rt.join(direct, "session_id")
+    assert(joined.count() === rt.count())
+    assert(joined.filter(col("n_turns_parsed") =!= col("n") ||
+      col("first_mode") =!= col("m")).count() === 0)
+  }
 }
