@@ -85,13 +85,46 @@ object AnnIndex extends QueryModule {
       |FROM embeddings WHERE vec_id < 50
       |ORDER BY vec_a""".stripMargin
 
+  /** The IVF analog of lshPlantedNearDupes: identical planted vectors must
+    * be assigned the SAME nearest centroid (the assignment is a pure
+    * function of the vector and the deterministic seeded fit), so the
+    * cluster-equi-join must surface every planted pair at cosine 1.0. A
+    * fit-determinism or assignment regression drops rows against the
+    * enumerating oracle — the IVF path's first driver-visible correctness
+    * anchor.
+    */
+  def ivfPlantedNearDupes(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 200)
+      .select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val (clustered, _) = IndexBuilder.withIvfCluster(
+      base.union(planted), "embedding", numClusters = 16, seed = 42L)
+    clustered.as("x").join(clustered.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+        col("x.vec_id") === col("y.vec_id") - 100000)
+      .withColumn("cosine", round(
+        graft.vector.VectorFunctions.cosineUnit(col("x.embedding"), col("y.embedding")), 6))
+      .filter(col("cosine") === 1.0)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cosine"))
+      .orderBy("vec_a")
+  }
+
+  private val ivfPlantedNearDupesSql =
+    """SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b, 1.0::DOUBLE AS cosine
+      |FROM embeddings WHERE vec_id < 50
+      |ORDER BY vec_a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lsh_buckets" -> lshBuckets,
     "lsh_bucket_stats" -> lshBucketStats,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
-    "lsh_planted_near_dupes" -> lshPlantedNearDupes)
+    "lsh_planted_near_dupes" -> lshPlantedNearDupes,
+    "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
 
   def oracles: Map[String, String] = Map(
-    "lsh_planted_near_dupes" -> lshPlantedNearDupesSql)
+    "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
+    "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)
 }

@@ -186,10 +186,44 @@ object Multimodal extends QueryModule {
       .limit(10)
   }
 
+  /** Structural oracle for the multimodal retrieval path: plant an exact
+    * copy (media_id + 100000) of every media row with media_id < 30; the
+    * feature extractor is a pure function of (payload bytes, modality), so
+    * each planted pair must score cosine exactly 1.0 under the batched
+    * extraction pipeline. A nondeterministic extractor, batching artifact,
+    * or scoring regression drops rows against the enumerating oracle.
+    */
+  def multimodalPlantedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = syntheticMedia(spark, dir).filter(col("media_id") < 200)
+    val planted = base.filter(col("media_id") < 30)
+      .select((col("media_id") + 100000).as("media_id"),
+        col("modality"), col("content"), col("meta"))
+    val feats = extractFeatures(base.union(planted))
+      .select("media_id", "modality", "features")
+    feats.as("x").join(feats.as("y"),
+        col("x.modality") === col("y.modality") &&
+        col("x.media_id") === col("y.media_id") - 100000)
+      .withColumn("cosine", round(
+        VectorFunctions.cosineUnit(col("x.features"), col("y.features")), 6))
+      .filter(col("cosine") === 1.0)
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        col("x.modality").as("modality"), col("cosine"))
+      .orderBy("media_a")
+  }
+
+  private val multimodalPlantedPairsSql =
+    """SELECT doc_id AS media_a, doc_id + 100000 AS media_b,
+      |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |       1.0::DOUBLE AS cosine
+      |FROM documents WHERE doc_id < 30 AND length(text) > 0
+      |ORDER BY media_a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stats" -> multimodalStats,
-    "multimodal_knn" -> multimodalKnn)
+    "multimodal_knn" -> multimodalKnn,
+    "multimodal_planted_pairs" -> multimodalPlantedPairs)
 
   def oracles: Map[String, String] = Map(
-    "multimodal_stats" -> multimodalStatsSql)
+    "multimodal_stats" -> multimodalStatsSql,
+    "multimodal_planted_pairs" -> multimodalPlantedPairsSql)
 }

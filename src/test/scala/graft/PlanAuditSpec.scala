@@ -109,4 +109,14 @@ class PlanAuditSpec extends SparkSpec {
         s"document text crossed an exchange: ${shuffled.mkString(",")}")
     }
   }
+
+  test("corpus_curation evaluates the fused metrics UDF exactly once per row") {
+    // Regression guard: filter pushdown once substituted the struct fields
+    // and evaluated the UDF (and its tokenize) SEVEN times per row; the
+    // UDF is non-deterministic-flagged precisely to prevent that.
+    val plan = SparkEntry.queries("corpus_curation")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val calls = "UDF\\(".r.findAllIn(plan).length
+    assert(calls === 1, s"expected exactly 1 UDF call in the plan, got $calls:\n$plan")
+  }
 }
