@@ -210,7 +210,33 @@ object Relational extends QueryModule {
   private val distinctSourcesSql =
     "SELECT DISTINCT source, lang FROM documents ORDER BY source, lang"
 
+  /** Sketch-based cardinality estimation — the 100 TB counterpart of exact
+    * distinct (an exact countDistinct shuffles every distinct value; the
+    * HLL++ sketch shuffles a few KB per group). The query emits the exact
+    * count AND a boolean "approx within 5% of exact" computed in-engine;
+    * the oracle recomputes the exact count and asserts the boolean
+    * literally true, so the driver compare pins the sketch's error bound
+    * without requiring DuckDB to replicate Spark's HLL++ (rsd 0.01 on
+    * these cardinalities is comfortably inside 5%).
+    */
+  def approxDistinctDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(md5(col("text"))).as("exact_distinct"),
+        approx_count_distinct(md5(col("text")), rsd = 0.01).as("approx"))
+      .select(col("lang"), col("exact_distinct"),
+        (abs(col("approx") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("approx_within_5pct"))
+      .orderBy("lang")
+
+  private val approxDistinctDocsSql =
+    """SELECT lang, count(DISTINCT md5(text)) AS exact_distinct,
+      |       true AS approx_within_5pct
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_distinct_docs" -> approxDistinctDocs,
     "distinct_sources" -> distinctSources,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_revenue_by_region" -> q2RevenueByRegion,
@@ -222,6 +248,7 @@ object Relational extends QueryModule {
     "top_supplier_per_nation" -> topSupplierPerNation)
 
   def oracles: Map[String, String] = Map(
+    "approx_distinct_docs" -> approxDistinctDocsSql,
     "distinct_sources" -> distinctSourcesSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q2_revenue_by_region" -> q2RevenueByRegionSql,
