@@ -250,16 +250,75 @@ object Rag extends QueryModule {
        |                                           x -> length(x) > 0))) / 100.0, 6) AS relevance_score
        |FROM top20 ORDER BY rank""".stripMargin
 
+  /** Okapi BM25 (Robertson et al., the standard probabilistic-IR scorer;
+    * k1 = 1.2, b = 0.75) as a second V6 rerank option — unlike the
+    * lexical-cosine substitute, BM25 weights matches by corpus rarity
+    * (idf) and saturates term frequency. Everything is relational:
+    * document frequencies and lengths come from equi-join aggregations,
+    * the two corpus constants (N, avgdl) broadcast as a 1-row frame, and
+    * each per-(doc, term) partial is a codegen'd scalar expression — the
+    * exact shape that holds at 100 TB (tokens shuffle once, text never).
+    * Constants appear as identical decimal literals in engine and oracle
+    * so both parse to the same doubles.
+    */
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("hash", "join", "merge", "sort", "window")
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 500) // candidate cap (reference reranks candidates, not the corpus)
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("part",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("part")), 4).as("bm25"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy("doc_id")
+  }
+
+  private val bm25ScoresSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                     x -> length(x) > 0) AS toks
+      |  FROM documents WHERE doc_id < 500),
+      |dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+      |s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+      |t AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd),
+      |tt AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+      |       WHERE term IN ('hash','join','merge','sort','window')
+      |       GROUP BY doc_id, dl, term),
+      |dft AS (SELECT term, count(*) AS df FROM tt GROUP BY term)
+      |SELECT tt.doc_id,
+      |       round(sum(ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+      |                 * (tt.tf * 2.2)
+      |                 / (tt.tf + 1.2 * (0.25 + 0.75 * tt.dl / s.avgdl))), 4) AS bm25,
+      |       count(*) AS n_terms_matched
+      |FROM tt JOIN dft ON tt.term = dft.term CROSS JOIN s
+      |GROUP BY tt.doc_id ORDER BY tt.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rerank_topn" -> rerankTopn,
     "rerank_score_stats" -> rerankScoreStats,
     "rerank_zip" -> rerankZipQ,
     "rag_context" -> ragContext,
-    "rag_pipeline_topk" -> ragPipelineTopk)
+    "rag_pipeline_topk" -> ragPipelineTopk,
+    "bm25_scores" -> bm25Scores)
 
   def oracles: Map[String, String] = Map(
     "rerank_topn" -> rerankTopnSql,
     "rerank_score_stats" -> rerankScoreStatsSql,
     "rerank_zip" -> rerankZipSql,
-    "rag_context" -> ragContextSql)
+    "rag_context" -> ragContextSql,
+    "bm25_scores" -> bm25ScoresSql)
 }

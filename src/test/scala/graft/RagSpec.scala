@@ -81,4 +81,19 @@ class RagSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k should not plan a global sort:\n$plan")
   }
+
+  test("bm25: positive scores, bounded match counts, tf saturation holds") {
+    val rows = SparkEntry.queries("bm25_scores")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0.0)
+      val m = r.getLong(2)
+      assert(m >= 1 && m <= 5) // 5 query terms
+    }
+    // saturation/idf sanity: no score exceeds sum of all idf*(k1+1) caps
+    // (tf term is < k1+1 = 2.2; idf < ln(N+1) with N = corpus size)
+    val n = Tables.documents(spark, sf).count()
+    val cap = 5 * 2.2 * math.log(n + 1.0)
+    assert(rows.forall(_.getDouble(1) < cap))
+  }
 }
