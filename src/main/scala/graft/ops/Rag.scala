@@ -307,18 +307,35 @@ object Rag extends QueryModule {
       |FROM tt JOIN dft ON tt.term = dft.term CROSS JOIN s
       |GROUP BY tt.doc_id ORDER BY tt.doc_id""".stripMargin
 
+  /** T2 over the BM25 scorer: top-20 candidates by (rounded score desc,
+    * doc_id asc). Ordering on the ROUNDED score keeps top-k tie membership
+    * identical across engines (SURVEY.md §7.5 tie-break rule).
+    */
+  def bm25Topn(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("bm25"), col("n_terms_matched"))
+
+  private val bm25TopnSql =
+    s"""WITH scored AS ($bm25ScoresSql)
+       |SELECT doc_id, bm25, n_terms_matched FROM scored
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rerank_topn" -> rerankTopn,
     "rerank_score_stats" -> rerankScoreStats,
     "rerank_zip" -> rerankZipQ,
     "rag_context" -> ragContext,
     "rag_pipeline_topk" -> ragPipelineTopk,
-    "bm25_scores" -> bm25Scores)
+    "bm25_scores" -> bm25Scores,
+    "bm25_topn" -> bm25Topn)
 
   def oracles: Map[String, String] = Map(
     "rerank_topn" -> rerankTopnSql,
     "rerank_score_stats" -> rerankScoreStatsSql,
     "rerank_zip" -> rerankZipSql,
     "rag_context" -> ragContextSql,
-    "bm25_scores" -> bm25ScoresSql)
+    "bm25_scores" -> bm25ScoresSql,
+    "bm25_topn" -> bm25TopnSql)
 }
