@@ -104,9 +104,16 @@ object SessionLogs extends QueryModule {
     * stays rows-only (JSON key order is engine-specific); this checks its
     * CONTENT instead.
     */
+  /** Identity barrier: Catalyst's JSON-expression optimization rewrites
+    * from_json(to_json(x)) to x, which would eliminate the codec and make
+    * the round-trip check vacuous (verified in the optimized plan). An
+    * opaque UDF forces the serialize → parse to actually execute.
+    */
+  private val jsonBarrier = udf((s: String) => s)
+
   def sessionLogRoundtrip(spark: SparkSession, dir: String): DataFrame =
     sessionLogs(spark, dir)
-      .withColumn("parsed", from_json(col("log_json"), LogSchema))
+      .withColumn("parsed", from_json(jsonBarrier(col("log_json")), LogSchema))
       .select(
         col("session_id"),
         col("parsed.session_summary.n_turns").as("n_turns_parsed"),

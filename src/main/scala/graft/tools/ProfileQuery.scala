@@ -24,7 +24,10 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
     if (sys.env.contains("PROFILE_EXPLAIN")) {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val qe = fn(spark, sfDir).queryExecution
+      println("[profile] === ANALYZED ===")
+      println(qe.analyzed.toString)
+      val plan = qe.executedPlan.toString
       println(s"[profile] UDF count in plan: ${"UDF".r.findAllIn(plan).length}")
       println(plan)
     }
