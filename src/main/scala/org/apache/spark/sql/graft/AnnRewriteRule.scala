@@ -48,10 +48,23 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
     scala.collection.concurrent.TrieMap.empty[(Int, Int, Long), RandomHyperplaneLsh]
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
-    val nBits = conf.getConfString(NBitsKey, "16").toInt
-    val seed = conf.getConfString(SeedKey, "42").toLong
-    val radius = conf.getConfString(RadiusKey, "1").toInt
+    // A malformed conf value must disable the rewrite, not throw inside
+    // the optimizer (which would fail EVERY query in the session).
+    if (!conf.getConfString(EnabledKey, "false").equalsIgnoreCase("true")) return plan
+    val parsed = try {
+      (conf.getConfString(NBitsKey, "16").trim.toInt,
+        conf.getConfString(SeedKey, "42").trim.toLong,
+        conf.getConfString(RadiusKey, "1").trim.toInt)
+    } catch {
+      case _: NumberFormatException =>
+        logWarning(s"graft ANN rewrite disabled: non-numeric $NBitsKey/$SeedKey/$RadiusKey")
+        return plan
+    }
+    val (nBits, seed, radius) = parsed
+    if (nBits <= 0 || nBits > 30 || radius < 0) {
+      logWarning(s"graft ANN rewrite disabled: out-of-range nBits=$nBits radius=$radius")
+      return plan
+    }
     plan.transformDown {
       case l @ Limit(le, sort @ Sort(
             SortOrder(scoreRef, Descending, _, _) +: _, true, child, _))

@@ -75,6 +75,21 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("malformed conf values disable the rewrite instead of breaking queries") {
+    spark.conf.set(AnnRewriteRule.EnabledKey, "true")
+    spark.conf.set(AnnRewriteRule.NBitsKey, "not-a-number")
+    try {
+      val indexed = IndexBuilder.withLshBucket(corpus, "embedding", lsh)
+      val df = knnQuery(indexed)
+      assert(BucketIn.findFirstIn(optimizedPlan(df)).isEmpty)
+      assert(df.count() === 10) // and unrelated queries still run
+      assert(corpus.count() > 0)
+    } finally {
+      spark.conf.set(AnnRewriteRule.EnabledKey, "false")
+      spark.conf.set(AnnRewriteRule.NBitsKey, nBits.toString)
+    }
+  }
+
   test("enabled: a sort without a literal query vector is left alone") {
     withAnnRewrite() {
       val indexed = IndexBuilder.withLshBucket(corpus, "embedding", lsh)
