@@ -223,14 +223,13 @@ object IndexBuilder {
     })
   }
 
-  /** IVF-pruned exact top-k: rank centroids by distance to the query on the
-    * driver (centroids are tiny), scan the nProbe nearest clusters, re-score.
+  /** The nProbe nearest centroids to a query vector (L2; ties keep
+    * centroid-index order — `sortBy` is stable). Shared by ivfTopK and the
+    * ANN optimizer rewrite so both compute the SAME probe set.
     */
-  def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
-      queryVec: Array[Float], k: Int, numClusters: Int, nProbe: Int,
-      seed: Long): DataFrame = {
-    val (clustered, centers) = withIvfCluster(corpus, embCol, numClusters, seed)
-    val probeIds = centers.zipWithIndex
+  def nearestClusters(centers: Array[Array[Double]], queryVec: Array[Float],
+      nProbe: Int): Seq[Int] =
+    centers.zipWithIndex
       .map { case (arr, i) =>
         var d = 0.0
         var j = 0
@@ -239,12 +238,54 @@ object IndexBuilder {
         }
         (d, i)
       }
-      .sortBy(_._1).take(nProbe).map(_._2)
+      .sortBy(_._1).take(nProbe).map(_._2).toSeq
+
+  /** IVF-pruned exact top-k: rank centroids by distance to the query on the
+    * driver (centroids are tiny), scan the nProbe nearest clusters, re-score.
+    */
+  def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
+      queryVec: Array[Float], k: Int, numClusters: Int, nProbe: Int,
+      seed: Long): DataFrame = {
+    val (clustered, centers) = withIvfCluster(corpus, embCol, numClusters, seed)
+    val probeIds = nearestClusters(centers, queryVec, nProbe)
     clustered
       .filter(col("cluster_id").isin(probeIds: _*))
       .withColumn("score",
         round(VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)), 6))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Centroid sidecar filename inside an IVF index table directory. The
+    * underscore prefix makes Spark/Hadoop readers ignore it as data.
+    */
+  val IvfCentroidsFile = "_graft_ivf_centroids.txt"
+
+  /** Persist the corpus as an IVF-partitioned index table: cluster filters
+    * become partition pruning, and the centroids are written as a tiny
+    * text sidecar (`Double.toString` round-trips exactly) so query-time
+    * components — including the plan-time optimizer rewrite — can rank
+    * clusters without refitting.
+    */
+  def buildIvfIndex(df: DataFrame, embCol: String, numClusters: Int,
+      seed: Long, path: String): Array[Array[Double]] = {
+    val (clustered, centers) = withIvfCluster(df, embCol, numClusters, seed)
+    clustered.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    val text = centers.map(_.map(java.lang.Double.toString).mkString(","))
+      .mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, IvfCentroidsFile),
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    centers
+  }
+
+  /** Load a centroid sidecar written by buildIvfIndex. */
+  def loadIvfCentroids(path: String): Array[Array[Double]] = {
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, IvfCentroidsFile)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    raw.split("\n").filter(_.nonEmpty)
+      .map(_.split(",").map(java.lang.Double.parseDouble))
   }
 }

@@ -34,6 +34,13 @@ import graft.vector.IndexBuilder.RandomHyperplaneLsh
   *   spark.graft.ann.nBits   = <int>       // must match the index build
   *   spark.graft.ann.seed    = <long>      // must match the index build
   *   spark.graft.ann.radius  = <int>       // multi-probe Hamming radius
+  *
+  * Plans carrying a `cluster_id` column instead take the IVF route:
+  * `cluster_id IN <nProbe nearest centroids>`, ranked at plan time against
+  * the centroid sidecar of the index table —
+  *
+  *   spark.graft.ann.ivf.centroidsPath = <index table dir>
+  *   spark.graft.ann.ivf.nProbe        = <int>   (default 4)
   */
 object AnnRewriteRule extends Rule[LogicalPlan] {
 
@@ -41,11 +48,20 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
   val NBitsKey = "spark.graft.ann.nBits"
   val SeedKey = "spark.graft.ann.seed"
   val RadiusKey = "spark.graft.ann.radius"
+  // IVF variant: plans carrying a `cluster_id` column prune to the nProbe
+  // clusters nearest the literal query vector, ranked against the centroid
+  // sidecar written by IndexBuilder.buildIvfIndex.
+  val IvfCentroidsPathKey = "spark.graft.ann.ivf.centroidsPath"
+  val IvfNProbeKey = "spark.graft.ann.ivf.nProbe"
 
   // Hyperplanes are O(nBits*dim) doubles and deterministic in (dim, nBits,
   // seed) — memoized so repeated optimizer invocations don't re-draw them.
   private val lshCache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int, Long), RandomHyperplaneLsh]
+
+  // Centroid sidecars are O(k*dim) doubles; memoized per path.
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // A malformed conf value must disable the rewrite, not throw inside
@@ -72,34 +88,67 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
         val rewritten = for {
           score <- resolveScore(scoreRef, child)
           qvec <- queryVector(score)
-          lsh = lshCache.getOrElseUpdate((qvec.length, nBits, seed),
-            new RandomHyperplaneLsh(qvec.length, nBits, seed))
-          probes = lsh.probes(lsh.signature(qvec.toSeq), radius)
-          pruned <- injectProbeFilter(child, probes)
+          pruned <- pruneLsh(child, qvec, nBits, seed, radius)
+            .orElse(pruneIvf(child, qvec))
         } yield Limit(le, sort.copy(child = pruned))
         rewritten.getOrElse(l)
     }
   }
 
-  /** The plan's `bucket` column (the LSH index signature column). */
-  private def bucketAttr(plan: LogicalPlan): Option[Attribute] =
-    plan.output.find(a => a.name == "bucket" && a.dataType == IntegerType)
+  /** LSH variant: `bucket IN <multi-probe set>` from the seeded planes. */
+  private def pruneLsh(child: LogicalPlan, qvec: Array[Float],
+      nBits: Int, seed: Long, radius: Int): Option[LogicalPlan] = {
+    lazy val probes = {
+      val lsh = lshCache.getOrElseUpdate((qvec.length, nBits, seed),
+        new RandomHyperplaneLsh(qvec.length, nBits, seed))
+      lsh.probes(lsh.signature(qvec.toSeq), radius)
+    }
+    injectProbeFilter(child, "bucket", probes)
+  }
 
-  /** Place `bucket IN probes` at the topmost node that still outputs the
-    * bucket column. Column pruning may have projected `bucket` away above
-    * the scan (a k-NN query selects id/score, not the index column), so
+  /** IVF variant: `cluster_id IN <nProbe nearest centroids>` ranked
+    * against the sidecar written by IndexBuilder.buildIvfIndex. Any
+    * missing/unreadable sidecar or bad nProbe disables (never throws).
+    */
+  private def pruneIvf(child: LogicalPlan, qvec: Array[Float]): Option[LogicalPlan] = {
+    val path = conf.getConfString(IvfCentroidsPathKey, "")
+    if (path.isEmpty) return None
+    val centersOpt =
+      try Some(centroidCache.getOrElseUpdate(path,
+        graft.vector.IndexBuilder.loadIvfCentroids(path)))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"graft ANN IVF rewrite disabled: cannot read centroids at $path: $e")
+          None
+      }
+    for {
+      centers <- centersOpt
+      nProbe <- conf.getConfString(IvfNProbeKey, "4").trim.toIntOption.filter(_ > 0)
+      pruned <- injectProbeFilter(child, "cluster_id",
+        graft.vector.IndexBuilder.nearestClusters(centers, qvec, nProbe))
+    } yield pruned
+  }
+
+  /** The plan's index column (`bucket` or `cluster_id`). */
+  private def indexAttr(plan: LogicalPlan, name: String): Option[Attribute] =
+    plan.output.find(a => a.name == name && a.dataType == IntegerType)
+
+  /** Place `<indexCol> IN probes` at the topmost node that still outputs
+    * the index column. Column pruning may have projected it away above the
+    * scan (a k-NN query selects id/score, not the index column), so
     * descend — but only through operators a filter passes unchanged
     * (Project/Filter/aliasing); anything else (aggregate, limit, join…)
     * stops the descent rather than risk changing semantics. Returns None
-    * when no reachable node outputs `bucket` (nothing to prune on).
+    * when no reachable node outputs the column (nothing to prune on).
     */
-  private def injectProbeFilter(plan: LogicalPlan, probes: Seq[Int]): Option[LogicalPlan] =
-    bucketAttr(plan) match {
+  private def injectProbeFilter(plan: LogicalPlan, name: String,
+      probes: => Seq[Int]): Option[LogicalPlan] =
+    indexAttr(plan, name) match {
       case Some(b) =>
         Some(Filter(In(b, probes.map(Literal(_, IntegerType))), plan))
       case None => plan match {
         case p @ (_: Project | _: Filter | _: SubqueryAlias) =>
-          injectProbeFilter(p.children.head, probes)
+          injectProbeFilter(p.children.head, name, probes)
             .map(nc => p.withNewChildren(Seq(nc)))
         case _ => None
       }
@@ -134,15 +183,17 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** Idempotence: skip when a bucket-membership filter already exists
-    * anywhere below the sort (ours from a previous pass, a hand-written
-    * prune, or one the optimizer has already pushed toward the scan).
+  private val IndexCols = Set("bucket", "cluster_id")
+
+  /** Idempotence: skip when an index-column membership filter already
+    * exists anywhere below the sort (ours from a previous pass, a
+    * hand-written prune, or one the optimizer pushed toward the scan).
     */
   private def alreadyPruned(plan: LogicalPlan): Boolean =
     plan.collectFirst {
       case Filter(cond, _) if cond.exists {
-            case In(a: Attribute, _) => a.name == "bucket"
-            case InSet(a: Attribute, _) => a.name == "bucket"
+            case In(a: Attribute, _) => IndexCols(a.name)
+            case InSet(a: Attribute, _) => IndexCols(a.name)
             case _ => false
           } => ()
     }.isDefined

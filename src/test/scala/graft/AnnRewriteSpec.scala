@@ -116,6 +116,36 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("IVF route: cluster_id pruning from the centroid sidecar matches ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    IndexBuilder.buildIvfIndex(corpus, "embedding", numClusters = 16, seed = 42L, dir)
+    spark.conf.set(AnnRewriteRule.EnabledKey, "true")
+    spark.conf.set(AnnRewriteRule.IvfCentroidsPathKey, dir)
+    spark.conf.set(AnnRewriteRule.IvfNProbeKey, "6")
+    try {
+      val indexed = spark.read.parquet(dir)
+      val df = knnQuery(indexed).select("vec_id", "score")
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters") && !physical.contains("PartitionFilters: []"),
+        s"cluster filter did not reach partition pruning:\n$physical")
+      val expected = IndexBuilder
+        .ivfTopK(corpus, "embedding", "vec_id", qvec, k = 10,
+          numClusters = 16, nProbe = 6, seed = 42L)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+      val got = df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+      assert(got === expected)
+
+      // missing sidecar path → IVF route declines, plan unchanged
+      spark.conf.set(AnnRewriteRule.IvfCentroidsPathKey, dir + "/nonexistent")
+      val p2 = optimizedPlan(knnQuery(spark.read.parquet(dir)))
+      assert("""cluster_id#\d+ IN \(""".r.findFirstIn(p2).isEmpty, s"should decline:\n$p2")
+    } finally {
+      spark.conf.set(AnnRewriteRule.EnabledKey, "false")
+      spark.conf.unset(AnnRewriteRule.IvfCentroidsPathKey)
+      spark.conf.unset(AnnRewriteRule.IvfNProbeKey)
+    }
+  }
+
   test("enabled on a partitioned index table: the filter becomes partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("lsh_index").toString
     IndexBuilder.buildLshIndex(corpus, "embedding", lsh, dir)
