@@ -242,7 +242,31 @@ object Relational extends QueryModule {
       |       true AS approx_within_5pct
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Salted two-stage distinct aggregation — the skew-proof shape for
+    * counting distinct values under a hot grouping key. A plain
+    * `groupBy(key).agg(countDistinct(v))` shuffles every (key, v) pair to
+    * ONE reducer per key; with few huge groups (exactly this data: a
+    * handful of event types over all events) that reducer is the straggler.
+    * Salting by hash(v) % nSalts splits each group into disjoint value
+    * ranges — distinct counts over hash-disjoint partitions are ADDITIVE,
+    * so stage 2 just sums 16 small rows per key. Exact, not approximate,
+    * which is why the oracle can be a plain COUNT(DISTINCT).
+    */
+  def saltedDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        pmod(xxhash64(col("user_id")), lit(16)).as("salt"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("d")).as("n_distinct_users"))
+      .orderBy("event_type")
+
+  private val saltedDistinctUsersSql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "salted_distinct_users" -> saltedDistinctUsers,
     "approx_distinct_docs" -> approxDistinctDocs,
     "distinct_sources" -> distinctSources,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -255,6 +279,7 @@ object Relational extends QueryModule {
     "top_supplier_per_nation" -> topSupplierPerNation)
 
   def oracles: Map[String, String] = Map(
+    "salted_distinct_users" -> saltedDistinctUsersSql,
     "approx_distinct_docs" -> approxDistinctDocsSql,
     "distinct_sources" -> distinctSourcesSql,
     "q1_pricing_summary" -> q1PricingSummarySql,

@@ -110,6 +110,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables co-locate: the fact-fact join plans with zero exchanges") {
+    // The 100 TB answer to the orders⋈lineitem shuffle: write both sides
+    // bucketed+sorted on the join key, and the sort-merge join reads
+    // co-located buckets with NO Exchange on either side.
+    val wh = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val orders = Tables.orders(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
+    lineitem.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").mode("overwrite").saveAsTable("lineitem_b")
+    try {
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      // disable broadcast so the join strategy is genuinely sort-merge
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val exchanges = joined.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exchanges.isEmpty,
+          s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
+        assert(joined.count() === lineitem.count()) // every lineitem has its order
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("corpus_curation evaluates the fused metrics UDF exactly once per row") {
     // Regression guard: filter pushdown once substituted the struct fields
     // and evaluated the UDF (and its tokenize) SEVEN times per row; the
