@@ -26,7 +26,8 @@ object Bench {
     // lineitem/orders, embeddings, documents, events — so each table's
     // footers and the shared codegen paths are hot before timing starts;
     // steady-state per-query cost is what a long-running cluster sees.
-    Seq("q1_pricing_summary", "knn_exact_topk", "text_quality", "events_hourly")
+    Seq("q1_pricing_summary", "q2_revenue_by_region", "knn_exact_topk",
+        "text_quality", "events_hourly")
       .foreach { w =>
         try SparkEntry.queries(w)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()

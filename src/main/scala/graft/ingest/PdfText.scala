@@ -96,7 +96,10 @@ object PdfText {
           val dataStart = bodyStart + sm.end
           val byLength = LengthRe.findFirstMatchIn(dict)
             .filter(_.group(2) == null)
-            .map(lm => dataStart + lm.group(1).toInt)
+            // toIntOption: an Int-overflowing /Length (hostile/corrupt) must
+            // fall back to the scan, not throw past extract()'s catch and
+            // drop the whole document
+            .flatMap(lm => lm.group(1).toIntOption.map(dataStart + _))
             .filter { e => // declared end must be followed by ws* + endstream
               e >= dataStart && e <= raw.length &&
                 """\s{0,4}endstream""".r.pattern

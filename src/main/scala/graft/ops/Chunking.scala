@@ -88,11 +88,14 @@ object Chunking extends QueryModule {
 
   /** Driver-visible chunker invariants over the multi-chunk split: the
     * splitter algorithm itself is not SQL-expressible, but its CONTRACT is
-    * — every chunk ≤ chunkSize chars, numbering dense 1..total_chunks,
-    * total_chunks consistent with the actual row count. The query emits
-    * one row per violation and the oracle asserts the empty set, so a
-    * chunker regression at data scale (not just on spec fixtures) turns a
-    * green CORRECTNESS row red.
+    * — every chunk ≤ chunkSize chars, chunk_number within [1,
+    * total_chunks] and duplicate-free, row count ≤ total_chunks. NOT
+    * asserted: dense numbering and count == total — the P3 empty-chunk
+    * filter legally drops a whitespace-only chunk AFTER total_chunks is
+    * computed, leaving a legitimate gap. The query emits one row per
+    * violation and the oracle asserts the empty set, so a chunker
+    * regression at data scale (not just on spec fixtures) turns a green
+    * CORRECTNESS row red.
     */
   def chunkInvariants(spark: SparkSession, dir: String): DataFrame = {
     val chunks = chunkDocs200(spark, dir)
@@ -103,11 +106,8 @@ object Chunking extends QueryModule {
     val docLevel = chunks
       .groupBy(col("doc_id"), col("total_chunks"))
       .agg(count(lit(1)).as("n"),
-        countDistinct(col("chunk_number")).as("n_distinct"),
-        min(col("chunk_number")).as("mn"),
-        max(col("chunk_number")).as("mx"))
-      .filter(col("n") =!= col("total_chunks") || col("n_distinct") =!= col("n") ||
-        col("mn") =!= 1 || col("mx") =!= col("total_chunks"))
+        countDistinct(col("chunk_number")).as("n_distinct"))
+      .filter(col("n") > col("total_chunks") || col("n_distinct") =!= col("n"))
       .select(col("doc_id"), lit("numbering").as("violation"))
     rowLevel.union(docLevel).orderBy("doc_id", "violation")
   }

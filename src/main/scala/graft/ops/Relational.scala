@@ -229,7 +229,7 @@ object Relational extends QueryModule {
     val exact = docs.groupBy(col("lang"))
       .agg(countDistinct(md5(col("text"))).as("exact_distinct"))
     val approx = docs.groupBy(col("lang"))
-      .agg(approx_count_distinct(md5(col("text")), rsd = 0.02).as("approx"))
+      .agg(approx_count_distinct(md5(col("text")), rsd = 0.01).as("approx"))
     exact.join(approx, "lang")
       .select(col("lang"), col("exact_distinct"),
         (abs(col("approx") - col("exact_distinct")) <=

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, NumericType}
 
 import graft.vector.IndexBuilder.RandomHyperplaneLsh
 
@@ -59,9 +59,17 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
   private val lshCache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int, Long), RandomHyperplaneLsh]
 
-  // Centroid sidecars are O(k*dim) doubles; memoized per path.
+  // Centroid sidecars are O(k*dim) doubles; memoized per (path, mtime,
+  // size) so rebuilding an index at the same path invalidates the entry
+  // instead of serving stale centroids for the JVM's lifetime.
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Array[Array[Double]]]
+
+  /** Hard cap on the injected IN-list: beyond this the rewrite stops
+    * helping (plan bloat) and a hostile radius could otherwise make
+    * probes() enumerate a combinatorial signature set at plan time.
+    */
+  private val MaxProbes = 1024
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // A malformed conf value must disable the rewrite, not throw inside
@@ -77,7 +85,11 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
         return plan
     }
     val (nBits, seed, radius) = parsed
-    if (nBits <= 0 || nBits > 30 || radius < 0) {
+    // radius <= 6: the multi-probe set is sum_{i<=r} C(nBits, i); an
+    // unbounded radius would enumerate a combinatorial Hamming ball inside
+    // the optimizer (every query in the session stalls) — the same failure
+    // class the NumberFormatException guard above prevents.
+    if (nBits <= 0 || nBits > 30 || radius < 0 || radius > 6) {
       logWarning(s"graft ANN rewrite disabled: out-of-range nBits=$nBits radius=$radius")
       return plan
     }
@@ -95,9 +107,22 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** LSH variant: `bucket IN <multi-probe set>` from the seeded planes. */
+  /** LSH variant: `bucket IN <multi-probe set>` from the seeded planes.
+    * Declines when the probe set exceeds MaxProbes (pruning that scans
+    * most buckets is all plan-bloat, no benefit).
+    */
   private def pruneLsh(child: LogicalPlan, qvec: Array[Float],
       nBits: Int, seed: Long, radius: Int): Option[LogicalPlan] = {
+    // Hamming-ball size, computed arithmetically BEFORE enumerating: a
+    // too-large probe set is declined without ever materializing it.
+    val ballSize = (0 to radius).map { i =>
+      (0 until i).map(j => (nBits - j).toLong).product /
+        (1 to math.max(i, 1)).map(_.toLong).product
+    }.sum
+    if (ballSize > MaxProbes) {
+      logWarning(s"graft ANN rewrite declined: ~$ballSize probes > $MaxProbes")
+      return None
+    }
     lazy val probes = {
       val lsh = lshCache.getOrElseUpdate((qvec.length, nBits, seed),
         new RandomHyperplaneLsh(qvec.length, nBits, seed))
@@ -114,9 +139,15 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
     val path = conf.getConfString(IvfCentroidsPathKey, "")
     if (path.isEmpty) return None
     val centersOpt =
-      try Some(centroidCache.getOrElseUpdate(path,
-        graft.vector.IndexBuilder.loadIvfCentroids(path)))
-      catch {
+      try {
+        val sidecar = java.nio.file.Paths.get(path,
+          graft.vector.IndexBuilder.IvfCentroidsFile)
+        val stamp = (path,
+          java.nio.file.Files.getLastModifiedTime(sidecar).toMillis,
+          java.nio.file.Files.size(sidecar))
+        Some(centroidCache.getOrElseUpdate(stamp,
+          graft.vector.IndexBuilder.loadIvfCentroids(path)))
+      } catch {
         case scala.util.control.NonFatal(e) =>
           logWarning(s"graft ANN IVF rewrite disabled: cannot read centroids at $path: $e")
           None
@@ -168,19 +199,40 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
       case other => Some(other)
     }
 
-  /** The literal query vector inside the score's graft_dot call. */
+  /** The literal query vector — accepted ONLY when the score expression is
+    * monotonically non-decreasing in the dot product: bare graft_dot,
+    * round/cast of it, + or - a constant, * or / a POSITIVE constant, and
+    * nestings thereof. A descending sort on a decreasing function of the
+    * dot (e.g. `1 - graft_dot(...)`, a distance) is a farthest-first
+    * query; pruning it to buckets NEAR the literal would invert its
+    * semantics, so such scores must not match.
+    */
   private def queryVector(score: Expression): Option[Array[Float]] = {
-    def lit(e: Expression): Option[Array[Float]] = e match {
+    def vecLit(e: Expression): Option[Array[Float]] = e match {
       case Literal(arr: ArrayData, ArrayType(FloatType, _)) =>
         Some(arr.toFloatArray())
       case Literal(arr: ArrayData, ArrayType(DoubleType, _)) =>
         Some(arr.toDoubleArray().map(_.toFloat))
       case _ => None
     }
-    score.collectFirst {
-      case DotProduct(a, b) if lit(a).orElse(lit(b)).isDefined =>
-        lit(a).orElse(lit(b)).get
+    def numConst(e: Expression): Option[Double] = e match {
+      case Literal(v, _: NumericType) if v != null =>
+        scala.util.Try(v.toString.toDouble).toOption
+      case _ => None
     }
+    def mono(e: Expression): Option[Array[Float]] = e match {
+      case DotProduct(a, b) => vecLit(a).orElse(vecLit(b))
+      case r: Round => mono(r.child)
+      case c: Cast => mono(c.child)
+      case Add(l, r, _) if numConst(r).isDefined => mono(l)
+      case Add(l, r, _) if numConst(l).isDefined => mono(r)
+      case Subtract(l, r, _) if numConst(r).isDefined => mono(l)
+      case Multiply(l, r, _) if numConst(r).exists(_ > 0) => mono(l)
+      case Multiply(l, r, _) if numConst(l).exists(_ > 0) => mono(r)
+      case Divide(l, r, _) if numConst(r).exists(_ > 0) => mono(l)
+      case _ => None
+    }
+    mono(score)
   }
 
   private val IndexCols = Set("bucket", "cluster_id")

@@ -101,6 +101,19 @@ class AnnRewriteSpec extends SparkSpec {
         .withColumn("score", VectorFunctions.cosineUnit(col("embedding"), col("embedding")))
         .orderBy(col("score").desc).limit(5))
       assert(BucketIn.findFirstIn(p2).isEmpty, s"false-positive rewrite:\n$p2")
+      // a DECREASING function of the dot (a distance): descending sort means
+      // farthest-first — pruning to near buckets would invert the semantics
+      val p3 = optimizedPlan(indexed
+        .withColumn("dist", lit(1.0) -
+          VectorFunctions.cosineUnit(col("embedding"), typedlit(qvec.toSeq)))
+        .orderBy(col("dist").desc, col("vec_id").asc).limit(5))
+      assert(BucketIn.findFirstIn(p3).isEmpty, s"farthest-first query was rewritten:\n$p3")
+      // but a monotonic affine transform of the dot still rewrites
+      val p4 = optimizedPlan(indexed
+        .withColumn("relevance", (VectorFunctions.cosineUnit(col("embedding"),
+          typedlit(qvec.toSeq)) + lit(1.0)) / lit(2.0))
+        .orderBy(col("relevance").desc, col("vec_id").asc).limit(5))
+      assert(BucketIn.findFirstIn(p4).isDefined, s"monotonic score not rewritten:\n$p4")
     }
   }
 

@@ -127,11 +127,13 @@ class PlanAuditSpec extends SparkSpec {
       // disable broadcast so the join strategy is genuinely sort-merge
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        val exchanges = joined.queryExecution.executedPlan.collect {
-          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-        }
-        assert(exchanges.isEmpty,
-          s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
+        // String check, not .collect{ShuffleExchangeExec}: under AQE the
+        // executed plan is an AdaptiveSparkPlanExec LEAF, so collect never
+        // descends and an exchange-bearing plan would pass vacuously.
+        val planStr = joined.queryExecution.executedPlan.toString
+        assert(planStr.contains("SortMergeJoin"), s"expected SMJ:\n$planStr")
+        assert(!planStr.contains("Exchange"),
+          s"bucketed join still shuffles:\n$planStr")
         assert(joined.count() === lineitem.count()) // every lineitem has its order
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     } finally {

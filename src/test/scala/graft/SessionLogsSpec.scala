@@ -59,6 +59,7 @@ class SessionLogsSpec extends SparkSpec {
     val joined = rt.join(direct, "session_id")
     assert(joined.count() === rt.count())
     assert(joined.filter(col("n_turns_parsed") =!= col("n") ||
-      col("first_mode") =!= col("m")).count() === 0)
+      col("first_mode") =!= col("m") ||
+      col("total_value_parsed") =!= col("v")).count() === 0)
   }
 }
