@@ -49,6 +49,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retrieval: stream-static bucket join matches the batch threshold path") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.QueryStreams
+    import graft.vector.{IndexBuilder, VectorFunctions}
+    val lsh = new IndexBuilder.RandomHyperplaneLsh(64, 6, 42L)
+    val corpus = IndexBuilder.withLshBucket(
+      Tables.embeddings(spark, sf), "embedding", lsh)
+    val qvecs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(0L, 1L, 2L))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val queries = mem.toDF().toDF("query_id", "qvec")
+    val stream = QueryStreams.retrieveStream(queries, corpus, lsh,
+      threshold = 0.2, radius = 1)
+    val q = stream.writeStream.format("memory").queryName("retrieved")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(qvecs.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("retrieved").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch reference: same probe buckets, same score, same threshold
+      val expected = qvecs.flatMap { case (qid, qv) =>
+        val probes = lsh.probes(lsh.signature(qv), 1)
+        corpus.filter(col("bucket").isin(probes: _*))
+          .withColumn("score", round(
+            VectorFunctions.cosineUnit(col("embedding"), typedlit(qv)), 6))
+          .filter(col("score") >= 0.2)
+          .select(col("vec_id"), col("score")).collect()
+          .map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }.toSet
+      assert(got === expected)
+      assert(got.exists { case (qid, vid, s) => qid == vid && s == 1.0 },
+        "each query should at least retrieve itself at score 1.0")
+    } finally q.stop()
+  }
+
   test("streaming: mapGroupsWithState keeps running per-user counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
