@@ -1,0 +1,63 @@
+package graft.ingest
+
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for append-mode sinks (SURVEY.md §2.2 K1, §7.5).
+  *
+  * The reference appends one JSONL line per chunk to a single file
+  * (`chunk_cisa_kev.py:157-158`); the Spark analog appends a part-file per
+  * task per batch, and many incremental runs leave a directory of small
+  * files whose open/footer cost dominates the scan at 100 TB. Compaction
+  * is itself a Spark job — read, repartition to the byte-budgeted file
+  * count, rewrite — followed by a directory swap, so it scales with the
+  * cluster like any other batch job and never buffers data on the driver.
+  *
+  * Swap protocol: write to `<dir>.compact.tmp`, rename `<dir>` →
+  * `<dir>.compact.bak`, tmp → dir, delete bak. Readers racing the two
+  * renames can see a missing directory (same window any overwrite-mode
+  * Spark write has); a crash leaves either the original or the `.bak` to
+  * recover from — data is never deleted before the rewrite is complete.
+  */
+object Compaction {
+
+  final case class CompactionStats(
+    filesBefore: Int, filesAfter: Int, rows: Long, bytes: Long)
+
+  /** Compact a parquet (default) or json directory to roughly
+    * `targetFileBytes` per output file. Returns before/after stats.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      format: String = "parquet"): CompactionStats = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+
+    val before = dataFiles(hadoopPath)
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+
+    val df = spark.read.format(format).load(dir)
+    val rows = df.count()
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir + ".compact.bak")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    df.repartition(nOut).write.format(format).mode("overwrite").save(tmp.toString)
+
+    if (!fs.rename(hadoopPath, bak))
+      throw new java.io.IOException(s"compaction: cannot move $dir aside")
+    if (!fs.rename(tmp, hadoopPath)) {
+      fs.rename(bak, hadoopPath) // roll back
+      throw new java.io.IOException(s"compaction: cannot install compacted $dir")
+    }
+    fs.delete(bak, true)
+    // refresh any cached file listings for this path
+    spark.catalog.refreshByPath(dir)
+    CompactionStats(before.size, dataFiles(hadoopPath).size, rows, bytes)
+  }
+}
