@@ -23,8 +23,22 @@ object Compaction {
   final case class CompactionStats(
     filesBefore: Int, filesAfter: Int, rows: Long, bytes: Long)
 
-  /** Compact a parquet (default) or json directory to roughly
+  /** Compact a FLAT parquet (default) or json directory to roughly
     * `targetFileBytes` per output file. Returns before/after stats.
+    *
+    * Partitioned layouts (`partitionBy` subdirectories, e.g. the LSH
+    * index table) are REJECTED loudly: a flat rewrite would both funnel
+    * them through one task and destroy the partition pruning their
+    * readers depend on — compact those per partition directory instead.
+    *
+    * Concurrent appends: files that land AFTER the snapshot listing are
+    * swept aside by the directory swap but NOT lost — before deleting the
+    * `.bak` directory, any data file not in the compacted snapshot is
+    * moved back into the live directory (part-file names are unique, so
+    * this cannot collide). Appends racing the two renames themselves can
+    * still fail on a transiently-missing directory, so prefer quiescing
+    * writers; the guarantee here is no silent data loss, not lock-free
+    * concurrency.
     */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
@@ -32,28 +46,41 @@ object Compaction {
     val hadoopPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    def isData(n: String) = !n.startsWith("_") && !n.startsWith(".")
     def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(p).toSeq.filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
+      fs.listStatus(p).toSeq.filter(st => st.isFile && isData(st.getPath.getName))
+
+    val entries = fs.listStatus(hadoopPath).toSeq
+    val partitionDirs = entries.filter(st => st.isDirectory && isData(st.getPath.getName))
+    require(partitionDirs.isEmpty,
+      s"compaction: $dir has partition subdirectories " +
+        s"(${partitionDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "compact each partition directory instead of flattening the layout")
 
     val before = dataFiles(hadoopPath)
+    val beforeNames = before.map(_.getPath.getName).toSet
     val bytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
 
     val df = spark.read.format(format).load(dir)
-    val rows = df.count()
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
     val bak = new org.apache.hadoop.fs.Path(dir + ".compact.bak")
     fs.delete(tmp, true); fs.delete(bak, true)
     df.repartition(nOut).write.format(format).mode("overwrite").save(tmp.toString)
+    // row count from the COMPACTED output, not a second input scan
+    // (parquet answers this from footer metadata)
+    val rows = spark.read.format(format).load(tmp.toString).count()
 
     if (!fs.rename(hadoopPath, bak))
       throw new java.io.IOException(s"compaction: cannot move $dir aside")
     if (!fs.rename(tmp, hadoopPath)) {
       fs.rename(bak, hadoopPath) // roll back
       throw new java.io.IOException(s"compaction: cannot install compacted $dir")
+    }
+    // rescue late-arriving appends (present in bak, absent from snapshot)
+    dataFiles(bak).filterNot(st => beforeNames(st.getPath.getName)).foreach { st =>
+      fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(hadoopPath, st.getPath.getName))
     }
     fs.delete(bak, true)
     // refresh any cached file listings for this path

@@ -82,9 +82,35 @@ class StreamingSpec extends SparkSpec {
           .map(r => (qid, r.getLong(0), r.getDouble(1)))
       }.toSet
       assert(got === expected)
-      assert(got.exists { case (qid, vid, s) => qid == vid && s == 1.0 },
-        "each query should at least retrieve itself at score 1.0")
+      qvecs.foreach { case (qid, _) =>
+        assert(got.exists { case (g, vid, s) => g == qid && vid == qid && s == 1.0 },
+          s"query $qid should at least retrieve itself at score 1.0")
+      }
     } finally q.stop()
+  }
+
+  test("streaming retrieval micro-batch path: literal probe set prunes a partitioned index") {
+    import graft.streaming.QueryStreams
+    import graft.vector.IndexBuilder
+    val lsh = new IndexBuilder.RandomHyperplaneLsh(64, 6, 42L)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx_stream").toString
+    IndexBuilder.buildLshIndex(Tables.embeddings(spark, sf), "embedding", lsh, dir)
+    val corpus = spark.read.parquet(dir)
+    import spark.implicits._
+    val batch = Tables.embeddings(spark, sf).filter(col("vec_id").isin(0L, 1L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = QueryStreams.retrieveMicroBatch(batch, corpus, lsh, threshold = 0.2)
+    val plan = out.queryExecution.executedPlan.toString
+    // the CORPUS scan must carry the bucket partition filter (the query
+    // side is unpartitioned and legitimately shows an empty filter list)
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"probe set did not reach partition pruning on the corpus scan:\n$plan")
+    // identical to the unpruned stream-static join semantics
+    val unpruned = QueryStreams.retrieveStream(batch, corpus, lsh, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned === unpruned)
+    assert(Seq(0L, 1L).forall(q => pruned.contains((q, q, 1.0))))
   }
 
   test("streaming: mapGroupsWithState keeps running per-user counts across batches") {
