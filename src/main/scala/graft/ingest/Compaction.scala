@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
 object Compaction {
 
   final case class CompactionStats(
-    filesBefore: Int, filesAfter: Int, rows: Long, bytes: Long)
+    filesBefore: Int, filesAfter: Int, rows: Long, bytes: Long) {
+    def +(o: CompactionStats): CompactionStats = CompactionStats(
+      filesBefore + o.filesBefore, filesAfter + o.filesAfter,
+      rows + o.rows, bytes + o.bytes)
+  }
 
   /** Compact a FLAT parquet (default) or json directory to roughly
     * `targetFileBytes` per output file. Returns before/after stats.
@@ -86,5 +90,36 @@ object Compaction {
     // refresh any cached file listings for this path
     spark.catalog.refreshByPath(dir)
     CompactionStats(before.size, dataFiles(hadoopPath).size, rows, bytes)
+  }
+
+  /** Compact a `partitionBy` table (e.g. the LSH/IVF index) partition by
+    * partition: each `key=value` subdirectory is a flat leaf compacted
+    * independently, so the partition layout — and the file pruning that
+    * depends on it — is preserved. The loop is driver-side but bounded by
+    * the partition count (64 LSH buckets / k IVF clusters), and each
+    * partition's rewrite is its own Spark job. Skips partitions already
+    * at one file. Returns summed stats over compacted partitions.
+    */
+  def compactPartitioned(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      format: String = "parquet"): CompactionStats = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitions = fs.listStatus(hadoopPath).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && !n.startsWith("_") && !n.startsWith(".") && n.contains("=")
+    }
+    require(partitions.nonEmpty,
+      s"compactPartitioned: $dir has no key=value partition directories — use compact()")
+    val stats = partitions.flatMap { p =>
+      val files = fs.listStatus(p.getPath).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (files <= 1) None
+      else Some(compact(spark, p.getPath.toString, targetFileBytes, format))
+    }
+    spark.catalog.refreshByPath(dir)
+    stats.foldLeft(CompactionStats(0, 0, 0L, 0L))(_ + _)
   }
 }

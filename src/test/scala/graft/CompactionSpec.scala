@@ -25,6 +25,37 @@ class CompactionSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("partitioned index tables compact per partition, preserving layout and pruning") {
+    import graft.vector.IndexBuilder
+    val lsh = new IndexBuilder.RandomHyperplaneLsh(64, 4, 42L)
+    val dir = java.nio.file.Files.createTempDirectory("compact_idx").toString + "/index"
+    val emb = Tables.embeddings(spark, sf)
+    // two incremental appends -> >=2 files in touched partitions
+    IndexBuilder.withLshBucket(emb.filter(col("vec_id") < 250), "embedding", lsh)
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+    IndexBuilder.withLshBucket(emb.filter(col("vec_id") >= 250), "embedding", lsh)
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .groupBy("bucket").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+
+    // flat compact must refuse the partitioned root
+    intercept[IllegalArgumentException] {
+      graft.ingest.Compaction.compact(spark, dir)
+    }
+    val stats = graft.ingest.Compaction.compactPartitioned(spark, dir)
+    assert(stats.filesBefore > stats.filesAfter)
+
+    val after = spark.read.parquet(dir)
+      .groupBy("bucket").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(after === before, "per-bucket contents must be unchanged")
+    // pruning still works on the compacted layout
+    val plan = spark.read.parquet(dir).filter(col("bucket") === before.keySet.head)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"))
+  }
+
   test("compaction works for json directories (the K1 JSONL sink layout)") {
     val dir = java.nio.file.Files.createTempDirectory("compactj").toString + "/jsonl"
     import spark.implicits._
