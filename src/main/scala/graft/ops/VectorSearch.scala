@@ -188,7 +188,21 @@ object VectorSearch extends QueryModule {
       |FROM documents d JOIN uniq u ON md5(d.text) = u.h
       |WHERE d.doc_id < 20 ORDER BY query_id""".stripMargin
 
+  /** Int8-quantized coarse scan + exact rescore (graft.vector.Quantization)
+    * for stored query vec 0. The oracle is the EXACT top-10 SQL: with the
+    * 4× overscan margin the coarse pass must not lose a true neighbor, so
+    * any quantization bug that perturbs the candidate set breaks the
+    * compare against an engine that never quantizes at all.
+    */
+  def quantizedKnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    graft.vector.Quantization.quantizedKnn(e, "embedding", "vec_id", qv, k = 10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantized_knn_topk" -> quantizedKnnTopk,
     "knn_exact_topk" -> knnExactTopk,
     "knn_threshold" -> knnThreshold,
     "knn_relevance_threshold" -> knnRelevanceThreshold,
@@ -198,6 +212,7 @@ object VectorSearch extends QueryModule {
     "embed_selfknn_planted" -> embedSelfKnnPlanted)
 
   def oracles: Map[String, String] = Map(
+    "quantized_knn_topk" -> knnExactTopkSql, // quantized path must equal exact
     "knn_exact_topk" -> knnExactTopkSql,
     "knn_threshold" -> knnThresholdSql,
     "knn_relevance_threshold" -> knnRelevanceThresholdSql,

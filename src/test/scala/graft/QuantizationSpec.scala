@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vector.Quantization
+
+class QuantizationSpec extends SparkSpec {
+
+  private def randVec(seed: Int, dim: Int = 64): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    val v = Array.fill(dim)(r.nextGaussian().toFloat)
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  test("quantize round-trip error is bounded by scale/2 per component") {
+    (0 until 50).foreach { s =>
+      val v = randVec(s)
+      val (scale, codes) = Quantization.quantize(v.toSeq)
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-7)
+      }
+    }
+  }
+
+  test("quantized dot approximates the exact dot within the error envelope") {
+    (0 until 50).foreach { s =>
+      val a = randVec(s); val b = randVec(s + 1000)
+      val (sa, ca) = Quantization.quantize(a.toSeq)
+      val (sb, cb) = Quantization.quantize(b.toSeq)
+      val exact = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val approx = Quantization.dotQ(sa, ca, sb, cb)
+      // per-component error <= scale/2 each side; envelope is loose but
+      // catches sign/scale bugs instantly
+      val bound = 64 * (sa / 2.0 + sb / 2.0) + 0.01
+      assert(math.abs(exact - approx) <= bound,
+        s"exact $exact vs approx $approx (bound $bound)")
+    }
+  }
+
+  test("zero and empty vectors quantize safely") {
+    val (se, ce) = Quantization.quantize(Seq.empty)
+    assert(se === 0f && ce.isEmpty)
+    val (s0, c0) = Quantization.quantize(Seq(0f, 0f, 0f))
+    assert(s0 === 0f && c0.forall(_ === 0))
+    assert(Quantization.dotQ(0f, c0, 0f, c0) === 0.0)
+  }
+
+  test("quantized coarse + exact rescore reproduces the exact top-10 on test data") {
+    val got = SparkEntry.queries("quantized_knn_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = SparkEntry.queries("knn_exact_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exact)
+  }
+}
