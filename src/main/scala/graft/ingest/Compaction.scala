@@ -27,6 +27,13 @@ object Compaction {
       rows + o.rows, bytes + o.bytes)
   }
 
+  /** Spark's hidden-file convention: names starting with `_` or `.` are
+    * invisible to readers and partition discovery. One definition, used by
+    * every listing below AND for naming the scratch directories.
+    */
+  private def isData(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
   /** Compact a FLAT parquet (default) or json directory to roughly
     * `targetFileBytes` per output file. Returns before/after stats.
     *
@@ -50,7 +57,6 @@ object Compaction {
     val hadoopPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    def isData(n: String) = !n.startsWith("_") && !n.startsWith(".")
     def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.filter(st => st.isFile && isData(st.getPath.getName))
 
@@ -67,8 +73,13 @@ object Compaction {
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
 
     val df = spark.read.format(format).load(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
-    val bak = new org.apache.hadoop.fs.Path(dir + ".compact.bak")
+    // DOT-PREFIXED scratch names: when `dir` is a partition leaf inside a
+    // table root, the siblings must stay invisible to partition discovery
+    // (a crash-left 'bucket=5.compact.bak' would otherwise be read as a
+    // duplicate string-typed partition — '.bucket=5.compact.bak' is not)
+    val parent = hadoopPath.getParent
+    val tmp = new org.apache.hadoop.fs.Path(parent, s".${hadoopPath.getName}.compact.tmp")
+    val bak = new org.apache.hadoop.fs.Path(parent, s".${hadoopPath.getName}.compact.bak")
     fs.delete(tmp, true); fs.delete(bak, true)
     df.repartition(nOut).write.format(format).mode("overwrite").save(tmp.toString)
     // row count from the COMPACTED output, not a second input scan
@@ -105,20 +116,30 @@ object Compaction {
       format: String = "parquet"): CompactionStats = {
     val hadoopPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partitions = fs.listStatus(hadoopPath).toSeq.filter { st =>
-      val n = st.getPath.getName
-      st.isDirectory && !n.startsWith("_") && !n.startsWith(".") && n.contains("=")
-    }
-    require(partitions.nonEmpty,
-      s"compactPartitioned: $dir has no key=value partition directories — use compact()")
-    val stats = partitions.flatMap { p =>
-      val files = fs.listStatus(p.getPath).count { st =>
+
+    def partitionDirs(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).toSeq.filter { st =>
         val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        st.isDirectory && isData(n) && n.contains("=")
       }
-      if (files <= 1) None
-      else Some(compact(spark, p.getPath.toString, targetFileBytes, format))
+
+    // Recurse through multi-level partitioning (partitionBy("a","b") nests
+    // a=…/b=… directories); only a LEAF — a dir with data files and no
+    // key=value children — is compacted. Silently skipping a non-leaf
+    // would report "nothing to compact" on nested tables.
+    def walk(p: org.apache.hadoop.fs.Path): Seq[CompactionStats] = {
+      val children = partitionDirs(p)
+      if (children.nonEmpty) children.flatMap(c => walk(c.getPath))
+      else {
+        val files = fs.listStatus(p).count(st => st.isFile && isData(st.getPath.getName))
+        if (files <= 1) Seq.empty
+        else Seq(compact(spark, p.toString, targetFileBytes, format))
+      }
     }
+
+    require(partitionDirs(hadoopPath).nonEmpty,
+      s"compactPartitioned: $dir has no key=value partition directories — use compact()")
+    val stats = walk(hadoopPath)
     spark.catalog.refreshByPath(dir)
     stats.foldLeft(CompactionStats(0, 0, 0L, 0L))(_ + _)
   }

@@ -61,20 +61,32 @@ object Quantization {
     dotQUdf(sa, a, sb, b)
 
   /** Quantized-coarse / exact-fine top-k: rank by the quantized dot, keep
-    * `k * overscan` candidates, rescore those exactly, return top-k. The
-    * corpus float column is only read for the overscan survivors — at
-    * scale, pair this with a quantized-only projection of the index table
-    * so the coarse pass never touches float data.
+    * every candidate scoring at or above the `k * overscan`-th quantized
+    * score (ties INCLUDED — int8 collapses distinct vectors to identical
+    * codes, so a tie at the cut boundary is structural, and an id-ordered
+    * truncation there could drop a true neighbor), rescore the survivors
+    * exactly, return top-k.
+    *
+    * If the corpus already carries `q_scale`/`q_codes` (a pre-quantized
+    * index projection — the at-scale shape, where the coarse pass reads
+    * codes only), they are used as-is; otherwise they are derived from
+    * the float column on the fly (convenient, but then the coarse pass
+    * reads the floats it was meant to avoid).
     */
   def quantizedKnn(corpus: DataFrame, embCol: String, idCol: String,
       queryVec: Array[Float], k: Int, overscan: Int = 4): DataFrame = {
     val (qs, qc) = quantize(queryVec.toSeq)
-    val coarse = withQuantized(corpus, embCol)
-      .withColumn("q_score",
-        dotQCol(lit(qs), lit(qc), col("q_scale"), col("q_codes")))
-      .orderBy(col("q_score").desc, col(idCol).asc)
-      .limit(k * overscan)
-    coarse
+    val quantized =
+      if (corpus.columns.contains("q_scale") && corpus.columns.contains("q_codes")) corpus
+      else withQuantized(corpus, embCol)
+    val scored = quantized.withColumn("q_score",
+      dotQCol(lit(qs), lit(qc), col("q_scale"), col("q_codes")))
+    // boundary quantized score of the overscan set: one TakeOrdered over
+    // the codes, one scalar to the driver
+    val cutoff = scored.select(col("q_score"))
+      .orderBy(col("q_score").desc).limit(k * overscan)
+      .agg(org.apache.spark.sql.functions.min(col("q_score"))).head().getDouble(0)
+    scored.filter(col("q_score") >= cutoff)
       .withColumn("score", round(
         VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)), 6))
       .orderBy(col("score").desc, col(idCol).asc)

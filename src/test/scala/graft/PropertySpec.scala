@@ -63,18 +63,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("minhash: estimated jaccard is bounded by [0,1] and monotone under containment") {
-    val base = samples(Gen.listOfN(30, Gen.identifier), 100)
-    base.foreach { sh =>
-      val whole = sh.distinct
-      if (whole.size >= 4) {
+  test("minhash: containment estimates dominate disjoint-set estimates") {
+    def est(a: Seq[String], b: Seq[String]): Double = {
+      val (sa, sb) = (Dedup.minhashSig(a), Dedup.minhashSig(b))
+      sa.zip(sb).count { case (x, y) => x == y } / 64.0
+    }
+    var containSum = 0.0; var disjointSum = 0.0; var n = 0
+    samples(Gen.listOfN(30, Gen.identifier), 100).foreach { sh =>
+      val whole = sh.distinct.filter(_.nonEmpty)
+      if (whole.size >= 8) {
         val half = whole.take(whole.size / 2)
-        val sigW = Dedup.minhashSig(whole)
-        val sigH = Dedup.minhashSig(half)
-        val est = sigW.zip(sigH).count { case (a, b) => a == b } / 64.0
-        assert(est >= 0.0 && est <= 1.0)
+        val disjoint = whole.map(_ + "_disjoint_suffix")
+        val eC = est(whole, half)
+        val eD = est(whole, disjoint)
+        assert(eC >= 0.0 && eC <= 1.0 && eD >= 0.0 && eD <= 1.0)
+        containSum += eC; disjointSum += eD; n += 1
       }
     }
+    assert(n > 20)
+    // half ⊂ whole has true jaccard ~0.5; disjoint sets have jaccard 0 —
+    // the averaged estimates must reflect that with a wide margin
+    assert(containSum / n > 0.3, s"containment est too low: ${containSum / n}")
+    assert(disjointSum / n < 0.1, s"disjoint est too high: ${disjointSum / n}")
+    assert(containSum / n > disjointSum / n + 0.2)
   }
 
   test("simhash: deterministic, multiset-order-invariant, identical sets at hamming 0") {
@@ -86,16 +97,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("winnowing: deterministic, nonempty for long-enough text, subset-closed under append") {
-    samples(textGen.suchThat(_.length >= 20), 100).foreach { t =>
+  test("winnowing: deterministic, nonempty for long-enough text, shared-substring detection") {
+    samples(textGen.suchThat(_.length >= 40), 100).foreach { t =>
       val fp = TextAnalysis.winnowFingerprint(t)
       assert(fp.toSeq === TextAnalysis.winnowFingerprint(t).toSeq)
       val norm = t.toLowerCase(java.util.Locale.ROOT).replaceAll("[^\\p{L}\\p{N}]+", " ").trim
       if (norm.length >= 8) assert(fp.nonEmpty)
-      // winnowing guarantee: a doc CONTAINS its prefix's selected hashes
-      // only heuristically; assert the robust direction instead — every
-      // fingerprint of t appears among t's own k-gram hashes, i.e. the
-      // set is stable when recomputed from the same text (covered above).
+      // Schleimer's winnowing guarantee: two docs sharing a substring of
+      // length >= w + k - 1 share at least one selected fingerprint. Embed
+      // t verbatim inside unrelated text and assert detection.
+      if (norm.length >= 12) {
+        val containing = "zzz unrelated prefix 999 " + t + " qqq unrelated suffix 111"
+        val fpC = TextAnalysis.winnowFingerprint(containing)
+        assert(fp.toSet.intersect(fpC.toSet).nonEmpty,
+          s"winnowing missed an embedded copy of: ${t.take(40)}")
+      }
     }
   }
 
