@@ -452,7 +452,33 @@ object TextAnalysis extends QueryModule {
        |FROM surv JOIN scored s ON surv.doc_id = s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** Deterministic stratified sampling for training-data mixing: keep a
+    * document iff the first hex digit of md5(text) falls under its
+    * language's quota (en keeps 8/16 ≈ 50%, everything else 4/16 = 25%).
+    * Content-hash gating — not rand() — so the sample is reproducible
+    * across runs, partitionings, and engines (SURVEY §7.5 determinism
+    * rule), dedup-stable (identical texts sample identically), and
+    * embarrassingly parallel: a pure filter, no shuffle at any scale.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket16",
+        expr("locate(substring(md5(text), 1, 1), '0123456789abcdef') - 1"))
+      .filter((col("lang") === "en" && col("bucket16") < 8) ||
+        (col("lang") =!= "en" && col("bucket16") < 4))
+      .select(col("doc_id"), col("lang"), col("bucket16").cast("int").as("bucket16"))
+      .orderBy("doc_id")
+
+  private val stratifiedSampleSql =
+    """SELECT doc_id, lang,
+      |       CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INTEGER) AS bucket16
+      |FROM documents
+      |WHERE (lang = 'en' AND strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 8)
+      |   OR (lang <> 'en' AND strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 4)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stratified_sample" -> stratifiedSample,
     "corpus_curation" -> corpusCuration,
     "text_quality" -> textQuality,
     "quality_histogram" -> qualityHistogram,
@@ -463,6 +489,7 @@ object TextAnalysis extends QueryModule {
     "fingerprint_planted_containment" -> fingerprintPlantedContainment)
 
   def oracles: Map[String, String] = Map(
+    "stratified_sample" -> stratifiedSampleSql,
     "corpus_curation" -> corpusCurationSql,
     "text_quality" -> textQualitySql,
     "quality_histogram" -> qualityHistogramSql,
