@@ -369,6 +369,69 @@ object TextAnalysis extends QueryModule {
       |FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0
       |ORDER BY doc_a""".stripMargin
 
+  /** Benchmark decontamination — the train/test-overlap removal every
+    * training pipeline needs: flag corpus documents that CONTAIN a
+    * benchmark document's fingerprints (≥ threshold of the BENCHMARK's
+    * set — leakage means eval content present in a training doc; scoring
+    * against the smaller of the two sets instead would flag any short doc
+    * whose few fingerprints coincidentally all occur in some benchmark).
+    * Same never-all-pairs shape as the near-dup family: explode both
+    * sides to (id, fp), equi-join on the fingerprint hash, count,
+    * threshold — at 100 TB only fingerprint hashes shuffle and the
+    * benchmark side (thousands of eval docs, not billions) broadcasts.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double): DataFrame = {
+    def fps(df: DataFrame, idAs: String) = df
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id").as(idAs), explode(fingerprintCol(col("text"))).as("fp"))
+    val corpusFp = fps(corpus, "doc_id")
+    val benchFp = fps(benchmark, "bench_id")
+    val benchSizes = benchFp.groupBy("bench_id").agg(count(lit(1)).as("bench_n_fp"))
+    corpusFp.join(broadcast(benchFp), Seq("fp"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(benchSizes), Seq("bench_id"))
+      .withColumn("containment",
+        round(col("n_shared") / col("bench_n_fp").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(max(col("containment")).as("max_containment"),
+        count(lit(1)).as("n_benchmarks_hit"))
+      .orderBy("doc_id")
+  }
+
+  /** Planted decontamination oracle, enumerable at ANY scale factor: the
+    * "benchmark" is 40 synthetic docs over a vocabulary disjoint from the
+    * corpus ("zqNNNNN" tokens never occur in the testdata), and an exact
+    * copy of each is planted INTO the corpus (doc_id 700000+i). The
+    * flagged set must be exactly those planted copies — the real corpus
+    * cannot share a single fingerprint with the benchmark, so any extra
+    * row is a false-positive bug and any missing row a detection bug.
+    * (The natural direction — benchmark = copies of real corpus docs —
+    * is NOT enumerable: this corpus contains genuine near-dup/superset
+    * pairs that a correct decontaminator also flags.)
+    */
+  def decontaminatePlanted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val benchTexts = (0 until 40).map { i =>
+      val r = new scala.util.Random(7000 + i) // seeded: bit-stable everywhere
+      (i, (0 until 80).map(_ => "zq" + r.nextInt(100000)).mkString(" "))
+    }
+    val benchmark = benchTexts
+      .map { case (i, t) => (500000L + i, t) }.toDF("doc_id", "text")
+    val planted = benchTexts
+      .map { case (i, t) => (700000L + i, t) }.toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .union(planted)
+    decontaminate(corpus, benchmark, threshold = 0.8)
+  }
+
+  private val decontaminatePlantedSql =
+    """SELECT 700000 + range AS doc_id, 1.0::DOUBLE AS max_containment,
+      |       1::BIGINT AS n_benchmarks_hit
+      |FROM range(40) ORDER BY doc_id""".stripMargin
+
   /** End-to-end corpus curation (the C4/Gopher-style pipeline): language-ID
     * filter → quality-score floor → exact dedup (min doc_id survives per
     * distinct text) → per-doc curation record. Quality metrics and the
@@ -479,6 +542,7 @@ object TextAnalysis extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stratified_sample" -> stratifiedSample,
+    "decontaminate_planted" -> decontaminatePlanted,
     "corpus_curation" -> corpusCuration,
     "text_quality" -> textQuality,
     "quality_histogram" -> qualityHistogram,
@@ -490,6 +554,7 @@ object TextAnalysis extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "stratified_sample" -> stratifiedSampleSql,
+    "decontaminate_planted" -> decontaminatePlantedSql,
     "corpus_curation" -> corpusCurationSql,
     "text_quality" -> textQualitySql,
     "quality_histogram" -> qualityHistogramSql,
