@@ -317,16 +317,22 @@ object TextAnalysis extends QueryModule {
           f => f.cast("string")), ",")).as("fp_digest"))
       .orderBy("doc_id")
 
+  /** Shared (id, fp) projection: validate non-blank text, winnow, explode.
+    * The one place the empty-text rule and fingerprint column live for
+    * every fingerprint-join operator below.
+    */
+  private def explodeFingerprints(docs: DataFrame, idAs: String): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id").as(idAs), explode(fingerprintCol(col("text"))).as("fp"))
+
   /** Fingerprint-overlap containment pairs: docs sharing >= threshold of
     * the smaller doc's fingerprints (explode → equi-join on hash → count —
     * the same never-all-pairs shape as Dedup). Operates on any
     * (doc_id, text) frame.
     */
   def fingerprintContainment(docs: DataFrame, threshold: Double): DataFrame = {
-    val fp = docs
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), explode(fingerprintCol(col("text"))).as("fp"))
-      .cache()
+    val fp = explodeFingerprints(docs, "doc_id").cache()
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val shared = fp.as("x").join(fp.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
@@ -382,11 +388,10 @@ object TextAnalysis extends QueryModule {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double): DataFrame = {
-    def fps(df: DataFrame, idAs: String) = df
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id").as(idAs), explode(fingerprintCol(col("text"))).as("fp"))
-    val corpusFp = fps(corpus, "doc_id")
-    val benchFp = fps(benchmark, "bench_id")
+    val corpusFp = explodeFingerprints(corpus, "doc_id")
+    // cached: used twice (join side + sizes); without it the benchmark
+    // scan and winnowing UDF execute twice
+    val benchFp = explodeFingerprints(benchmark, "bench_id").cache()
     val benchSizes = benchFp.groupBy("bench_id").agg(count(lit(1)).as("bench_n_fp"))
     corpusFp.join(broadcast(benchFp), Seq("fp"))
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))

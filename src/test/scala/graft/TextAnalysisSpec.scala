@@ -100,4 +100,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(SparkEntry.queries("doc_fingerprints")(spark, sf).count() > 0)
   }
+
+  test("stratified sample: deterministic, rate near per-lang quota, subset of corpus") {
+    val s1 = SparkEntry.queries("stratified_sample")(spark, sf).collect()
+    val s2 = SparkEntry.queries("stratified_sample")(spark, sf).collect()
+    assert(s1.map(_.getLong(0)).toSeq === s2.map(_.getLong(0)).toSeq)
+    val total = Tables.documents(spark, sf).count().toDouble
+    // blended expectation between the 25% and 50% quotas, loose bounds
+    assert(s1.length > total * 0.15 && s1.length < total * 0.55,
+      s"sample size ${s1.length} of $total out of expected band")
+    s1.foreach { r =>
+      val b = r.getInt(2)
+      assert(b >= 0 && b < (if (r.getString(1) == "en") 8 else 4))
+    }
+  }
+
+  test("decontamination flags exactly the planted benchmark copies") {
+    val rows = SparkEntry.queries("decontaminate_planted")(spark, sf).collect()
+    assert(rows.length === 40)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 700000L && r.getLong(0) < 700040L)
+      assert(r.getDouble(1) === 1.0)
+      assert(r.getLong(2) === 1L)
+    }
+  }
 }
