@@ -545,8 +545,48 @@ object TextAnalysis extends QueryModule {
       |   OR (lang <> 'en' AND strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 4)
       |ORDER BY doc_id""".stripMargin
 
+  /** Epoch-weighted mixture materialization — the training-mix step that
+    * up/down-samples sources by repetition weight (en ×2.0, de ×1.0,
+    * fr ×0.5, others ×0.25 here). Weights are sixteenths: every doc gets
+    * `w div 16` full copies plus one more iff its md5 hex digit falls
+    * under `w mod 16` — the same content-hash gate as stratifiedSample,
+    * so the materialized mix is reproducible and engine-checkable, and
+    * the fractional part is exact in expectation per hash bucket rather
+    * than approximate per rand() draw.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val w16 = when(col("lang") === "en", 32)
+      .when(col("lang") === "de", 16)
+      .when(col("lang") === "fr", 8)
+      .otherwise(4)
+    val bucket16 =
+      expr("locate(substring(md5(text), 1, 1), '0123456789abcdef') - 1")
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        (w16.divide(16).cast("long") +
+          when(bucket16 < w16 % 16, 1L).otherwise(0L)).as("n_copies"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_copies")).as("weighted_docs"),
+        count(when(col("n_copies") > 0, 1)).as("docs_contributing"),
+        count(lit(1)).as("docs_total"))
+      .orderBy("lang")
+  }
+
+  private val mixtureWeightsSql =
+    """WITH w AS (
+      |  SELECT lang,
+      |         CASE lang WHEN 'en' THEN 32 WHEN 'de' THEN 16 WHEN 'fr' THEN 8 ELSE 4 END AS w16,
+      |         strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS bucket16
+      |  FROM documents)
+      |SELECT lang,
+      |       sum(w16 // 16 + CASE WHEN bucket16 < w16 % 16 THEN 1 ELSE 0 END)::BIGINT AS weighted_docs,
+      |       count(CASE WHEN w16 // 16 + CASE WHEN bucket16 < w16 % 16 THEN 1 ELSE 0 END > 0 THEN 1 END) AS docs_contributing,
+      |       count(*) AS docs_total
+      |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stratified_sample" -> stratifiedSample,
+    "mixture_weights" -> mixtureWeights,
     "decontaminate_planted" -> decontaminatePlanted,
     "corpus_curation" -> corpusCuration,
     "text_quality" -> textQuality,
@@ -559,6 +599,7 @@ object TextAnalysis extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "stratified_sample" -> stratifiedSampleSql,
+    "mixture_weights" -> mixtureWeightsSql,
     "decontaminate_planted" -> decontaminatePlantedSql,
     "corpus_curation" -> corpusCurationSql,
     "text_quality" -> textQualitySql,
