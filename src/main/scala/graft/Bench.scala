@@ -35,18 +35,29 @@ object Bench {
           System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")
         }
       }
+    spark.catalog.clearCache()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      // Drop any .cache() a query registered: cached frames otherwise
+      // accumulate for the life of the 69-query session and steal unified
+      // memory from execution (each query is timed cold, as a fresh
+      // cluster job would run it).
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // `failed` makes breakage explicit: a query that throws contributes a
+    // near-zero time, which must not read as a speedup.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

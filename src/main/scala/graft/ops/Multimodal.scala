@@ -163,7 +163,7 @@ object Multimodal extends QueryModule {
   private val multimodalStatsSql =
     """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
       |       count(*) AS n_media,
-      |       sum(octet_length(encode(text))) AS total_bytes,
+      |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |       min(octet_length(encode(text))) AS min_bytes,
       |       max(octet_length(encode(text))) AS max_bytes,
       |       CAST(sum(64 + n_chars % 448) * 10000 // count(*) AS BIGINT) AS avg_width_e4
@@ -172,19 +172,42 @@ object Multimodal extends QueryModule {
 
   /** Feature extraction + similarity search over media features: the
     * multimodal retrieval path (extract → cosine vs a query media's
-    * features → top-10). Rows-only (stub features are engine-specific).
+    * features → top-10), oracle-checked via the self-query construction.
+    * Stub features are engine-specific (not SQL-expressible), so nine exact
+    * copies of media 0 (same payload + modality ⇒ bit-identical features
+    * through the batched extractor) are planted at ids 100000..100008: the
+    * true top-10 is exactly {0, planted} — media 0's text is md5-unique in
+    * the testdata, and distinct payloads score strictly below the
+    * float-identical self-score tie (byte-histogram features of distinct
+    * docs sit ≥ ~1e-4 below cosine 1, vs the 6-dp round). Ordering uses the
+    * RAW score (id tiebreak inside the exact-tie group); the emitted score
+    * is rounded, where the planted green sibling already proves identical
+    * payloads round to exactly 1.0.
     */
   def multimodalKnn(spark: SparkSession, dir: String): DataFrame = {
-    val feats = extractFeatures(syntheticMedia(spark, dir))
+    val media = syntheticMedia(spark, dir)
+    val planted = spark.range(100000L, 100009L).toDF("new_id")
+      .crossJoin(broadcast(media.filter(col("media_id") === 0L)))
+      .select(col("new_id").as("media_id"), col("modality"), col("content"), col("meta"))
+    val feats = extractFeatures(media.union(planted))
     val q = feats.filter(col("media_id") === 0L)
       .select(col("features").as("query_features"))
     feats.crossJoin(broadcast(q))
-      .withColumn("score",
-        round(VectorFunctions.cosineUnit(col("features"), col("query_features")), 6))
-      .select("media_id", "modality", "score")
-      .orderBy(col("score").desc, col("media_id").asc)
+      .withColumn("raw_score", VectorFunctions.cosineUnit(col("features"), col("query_features")))
+      .orderBy(col("raw_score").desc, col("media_id").asc)
       .limit(10)
+      .select(col("media_id"), col("modality"), round(col("raw_score"), 6).as("score"))
   }
+
+  // All 10 rows are media 0 or exact copies of it, so every modality is
+  // media 0's: doc_id 0 % 3 = 0 → 'image'.
+  private val multimodalKnnSql =
+    """SELECT media_id, 'image' AS modality, 1.0::DOUBLE AS score
+      |FROM (
+      |  SELECT doc_id AS media_id FROM documents WHERE doc_id = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 FROM documents WHERE doc_id < 9) t
+      |ORDER BY media_id""".stripMargin
 
   /** Structural oracle for the multimodal retrieval path: plant an exact
     * copy (media_id + 100000) of every media row with media_id < 30; the
@@ -225,5 +248,6 @@ object Multimodal extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "multimodal_stats" -> multimodalStatsSql,
+    "multimodal_knn" -> multimodalKnnSql,
     "multimodal_planted_pairs" -> multimodalPlantedPairsSql)
 }

@@ -127,22 +127,49 @@ object VectorSearch extends QueryModule {
       |       round(avg(score), 6) AS avg_score, count(*) AS n_candidates
       |FROM s""".stripMargin
 
-  /** V2+V3 end to end: hash-embed document text, retrieve top-10 for an
-    * embedded constant query string — same embed function both sides, as the
-    * reference does (`query_rag_database.py:125-133`). Not SQL-expressible
-    * (hashing embedder) → rows-only driver check + EmbeddingSpec.
+  /** V2+V3 end to end under a real oracle: hash-embed document text and
+    * retrieve the top-10 for an embedded query string — same embed function
+    * both sides, as the reference does (`query_rag_database.py:125-133`).
+    * The hashing embedder is not SQL-expressible, so the query is made
+    * oracle-checkable by the self-query construction: the query string IS
+    * doc 0's text and nine exact copies of it are planted at ids
+    * 100000..100008. Identical text ⇒ identical embedding ⇒ the ten copies
+    * tie at the exact (bit-identical) self-score, above every distinct
+    * document (doc 0's text is md5-unique in the testdata; id tiebreak
+    * orders the group) — so DuckDB enumerates the answer: rank 1 → doc 0,
+    * ranks 2..10 → the planted ids. The full embed → broadcast-score →
+    * top-k machinery must reproduce exactly that or the hash compare fails.
+    * Scores are intentionally NOT emitted (engine-specific floats); raw
+    * unrounded scores order the rows, so no rounding-tie risk exists.
     */
   def embedDocumentsKnn(spark: SparkSession, dir: String): DataFrame = {
     val dim = 256
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
-    val qv = Embedding.hashingEmbed("spark shuffle hash join window merge", dim)
-    Tables.documents(spark, dir)
-      .withColumn("embedding", embed(col("text")))
-      .withColumn("score", round(V.cosineUnit(col("embedding"), typedlit(qv.toSeq)), 6))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val planted = spark.range(100000L, 100009L).toDF("doc_id")
+      .crossJoin(broadcast(docs.filter(col("doc_id") === 0L).select(col("text"))))
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.union(planted).withColumn("embedding", embed(col("text")))
+    val q = corpus.filter(col("doc_id") === 0L).select(col("embedding").as("qvec"))
+    val top = corpus.crossJoin(broadcast(q)) // 1-row query side; corpus never moves
+      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
       .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(10)
+    // rank the 10 surviving rows (window over k rows, not the corpus)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id").as("top_doc_id"))
   }
+
+  private val embedDocumentsKnnSql =
+    """WITH ids AS (
+      |  SELECT doc_id FROM documents WHERE doc_id = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 FROM documents WHERE doc_id < 9)
+      |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS rank,
+      |       doc_id AS top_doc_id
+      |FROM ids ORDER BY rank""".stripMargin
 
   /** Embedding determinism + batch k-NN + tie-break under a real oracle:
     * plant an exact copy (doc_id + 100000) of every md5-unique document
@@ -218,5 +245,6 @@ object VectorSearch extends QueryModule {
     "knn_relevance_threshold" -> knnRelevanceThresholdSql,
     "knn_batch_topk" -> knnBatchTopkSql,
     "cosine_score_stats" -> cosineScoreStatsSql,
+    "embed_documents_knn" -> embedDocumentsKnnSql,
     "embed_selfknn_planted" -> embedSelfKnnPlantedSql)
 }

@@ -202,9 +202,29 @@ object IndexBuilder {
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Int, Long), (DataFrame, Array[Array[Double]])]
 
+  /** Memoization key for a logical input. The canonicalized plan string
+    * alone is NOT enough: an unresolved `spark.read.parquet(path)` node
+    * canonicalizes to "UnresolvedDataSource … paths: 1 provided" for EVERY
+    * path, so two different datasets would collide and the second query
+    * would silently get the first dataset's cached frame + centroids.
+    * Resolve first (analyzed) and append every file-source root path.
+    */
+  private def inputKey(df: DataFrame): String = {
+    val analyzed = df.queryExecution.analyzed
+    val paths = analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }.mkString("|")
+    analyzed.canonicalized.toString + "#" + paths
+  }
+
   def withIvfCluster(df: DataFrame, embCol: String, numClusters: Int,
       seed: Long): (DataFrame, Array[Array[Double]]) = {
-    val key = (df.queryExecution.logical.canonicalized.toString, embCol, numClusters, seed)
+    val key = (inputKey(df), embCol, numClusters, seed)
     ivfCache.getOrElseUpdate(key, {
       val centers = fitIvfCentroids(df, embCol, numClusters, seed)
       val assignUdf = udf { (v: Seq[Float]) =>

@@ -43,14 +43,43 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
-  test("ann_ivf_topk achieves reasonable recall vs exact top-10") {
-    val ivf = SparkEntry.queries("ann_ivf_topk")(spark, sf).collect()
+  test("raw-corpus IVF pruned top-10 achieves reasonable recall vs exact") {
+    val ivf = AnnIndex.annIvfTopkReal(spark, sf).collect()
       .map(_.getAs[Long]("vec_id")).toSet
     val recall = exactTop(10).count(ivf.contains).toDouble / 10
     // random unit vectors are LSH/IVF's adversarial case; clustered real
     // embeddings do far better. 6/16 clusters probed.
     assert(recall >= 0.3, s"IVF recall $recall too low")
     assert(ivf.contains(0L), "self must be found")
+  }
+
+  test("raw-corpus LSH pruned top-10 finds self and respects score parity") {
+    val pruned = AnnIndex.annLshTopkReal(spark, sf).collect()
+    assert(pruned.head.getAs[Long]("vec_id") === 0L)
+    assert(pruned.head.getAs[Double]("score") === 1.0)
+  }
+
+  test("self-query driver rows: pruned top-10 is exactly self + planted copies") {
+    Seq("ann_lsh_topk", "ann_ivf_topk").foreach { q =>
+      val rows = SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score"))
+      val ids = rows.map(_._1).sorted.toSeq
+      assert(ids === (0L +: (100000L to 100008L)), s"$q ids: ${ids.mkString(",")}")
+      assert(rows.forall(_._2 === 1.0), s"$q scores: ${rows.mkString(",")}")
+    }
+  }
+
+  test("IVF memoization distinguishes datasets with identical plan shapes") {
+    // regression: the cache key was the UNRESOLVED canonicalized plan, which
+    // is path-blind ("UnresolvedDataSource … paths: 1 provided") — a second
+    // dataset silently got the first dataset's cached frame + centroids.
+    val a = IndexBuilder.withIvfCluster(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"), "embedding", 8, seed = 7L)
+    val b = IndexBuilder.withIvfCluster(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"), "embedding", 8, seed = 7L)
+    assert(!a._2.zip(b._2).forall { case (x, y) => x.toSeq == y.toSeq },
+      "different corpora must not share fitted centroids")
+    assert(a._1.count() !== b._1.count(), "cached frame must match its input dataset")
   }
 
   test("IVF centroids are stable under input reordering (content-defined sample)") {

@@ -116,10 +116,11 @@ class VectorSearchSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("vec_id") == 0L))
   }
 
-  test("embed_documents_knn returns 10 scored docs") {
+  test("embed_documents_knn: self-query top-10 is doc 0 then the planted copies") {
     val rows = SparkEntry.queries("embed_documents_knn")(spark, sf).collect()
-    assert(rows.length === 10)
-    assert(rows.forall(r => !r.isNullAt(1)))
+      .map(r => r.getAs[Int]("rank") -> r.getAs[Long]("top_doc_id")).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    assert(rows.map(_._2).toSeq === (0L +: (100000L to 100008L)))
   }
 
   test("planted self-knn: every planted query's top-1 is its original doc") {

@@ -77,11 +77,12 @@ class MultimodalSpec extends SparkSpec {
     assert(fn.forall(_ % 3 === 0), "only stride-aligned frames")
   }
 
-  test("multimodal knn: self-match first with score 1") {
+  test("multimodal knn: self-query top-10 is media 0 then the planted copies, all at 1.0") {
     val out = SparkEntry.queries("multimodal_knn")(spark, sf).collect()
-    assert(out.nonEmpty)
     assert(out.head.getAs[Long]("media_id") === 0L)
-    assert(out.head.getAs[Double]("score") === 1.0)
+    assert(out.map(_.getAs[Long]("media_id")).sorted.toSeq === (0L +: (100000L to 100008L)))
+    assert(out.forall(_.getAs[Double]("score") === 1.0))
+    assert(out.forall(_.getAs[String]("modality") === "image"))
   }
 
   test("extraction plan is a narrow map (no shuffle upstream of features)") {
