@@ -228,8 +228,30 @@ object VectorSearch extends QueryModule {
     graft.vector.Quantization.quantizedKnn(e, "embedding", "vec_id", qv, k = 10)
   }
 
+  /** The PRE-quantized index path end-to-end, under the same exact oracle:
+    * persist the corpus with its q_scale/q_codes projection (the at-scale
+    * index layout), read it back from parquet, and run the coarse/exact
+    * k-NN against the stored codes. quantizedKnn honors pre-quantized
+    * columns, so the coarse pass scans the 4×-smaller codes only (the plan
+    * audit asserts the coarse scan's ReadSchema has no float column) and
+    * the parquet round-trip of scale/codes must be lossless — a storage or
+    * codec regression perturbs the candidate set and breaks the compare
+    * against an engine that never quantizes at all.
+    */
+  def quantizedIndexKnn(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qindex_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    graft.vector.Quantization.buildQuantizedIndex(e, "embedding", path)
+    val index = spark.read.parquet(path)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    graft.vector.Quantization.quantizedKnn(index, "embedding", "vec_id", qv, k = 10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quantized_knn_topk" -> quantizedKnnTopk,
+    "quantized_index_knn" -> quantizedIndexKnn,
     "knn_exact_topk" -> knnExactTopk,
     "knn_threshold" -> knnThreshold,
     "knn_relevance_threshold" -> knnRelevanceThreshold,
@@ -240,6 +262,7 @@ object VectorSearch extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "quantized_knn_topk" -> knnExactTopkSql, // quantized path must equal exact
+    "quantized_index_knn" -> knnExactTopkSql, // stored-codes path must equal exact too
     "knn_exact_topk" -> knnExactTopkSql,
     "knn_threshold" -> knnThresholdSql,
     "knn_relevance_threshold" -> knnRelevanceThresholdSql,

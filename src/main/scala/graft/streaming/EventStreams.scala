@@ -125,13 +125,41 @@ object EventStreams extends QueryModule {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** The streaming-retrieval serving path (QueryStreams.retrieveMicroBatch
+    * — the foreachBatch body with probe-bucket partition pruning) made
+    * driver-visible under a real oracle. A micro-batch of 5 queries = the
+    * stored vectors 0..4 themselves; with threshold 0.9 the only pairs
+    * that can pass are exact self-matches (max non-self cosine in the
+    * testdata is 0.41), and a query's own bucket is always probed — so the
+    * result is provably (i, i, 1.0) for i < 5 regardless of LSH recall,
+    * while the real machinery (probe explode, collected-bucket isin
+    * pruning, bucket equi-join, re-score, threshold) runs. Stream/batch
+    * equivalence of this body is asserted in StreamingSpec against
+    * retrieveStream.
+    */
+  def streamingRetrievalSelfmatch(spark: SparkSession, dir: String): DataFrame = {
+    val lsh = graft.ops.AnnIndex.defaultLsh
+    val e = Tables.embeddings(spark, dir)
+    val corpus = graft.vector.IndexBuilder.withLshBucket(e, "embedding", lsh)
+    val batch = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    QueryStreams.retrieveMicroBatch(batch, corpus, lsh, threshold = 0.9, radius = 1)
+      .orderBy("query_id")
+  }
+
+  private val streamingRetrievalSelfmatchSql =
+    """SELECT vec_id AS query_id, vec_id, 1.0::DOUBLE AS score
+      |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> eventsHourly,
     "events_sessions" -> eventsSessions,
+    "streaming_retrieval_selfmatch" -> streamingRetrievalSelfmatch,
     "user_running_state" -> userRunningState)
 
   def oracles: Map[String, String] = Map(
     "events_hourly" -> eventsHourlySql,
     "events_sessions" -> eventsSessionsSql,
+    "streaming_retrieval_selfmatch" -> streamingRetrievalSelfmatchSql,
     "user_running_state" -> userRunningStateSql)
 }

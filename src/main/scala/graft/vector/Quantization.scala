@@ -60,6 +60,24 @@ object Quantization {
   def dotQCol(sa: Column, a: Column, sb: Column, b: Column): Column =
     dotQUdf(sa, a, sb, b)
 
+  /** Persist a corpus with its quantized projection as an index table: the
+    * at-scale layout where the coarse pass scans 4×-smaller codes and the
+    * float column is read only for the exact rescore of survivors. (Same
+    * builder pattern as IndexBuilder.buildLshIndex.)
+    */
+  def buildQuantizedIndex(df: DataFrame, embCol: String, path: String): Unit =
+    withQuantized(df, embCol).write.mode("overwrite").parquet(path)
+
+  /** Coarse quantized scores for a query vector over an already-quantized
+    * corpus. Exposed separately so the plan audit can assert the coarse
+    * branch's parquet scan reads codes only (no float column).
+    */
+  def coarseScores(quantized: DataFrame, queryVec: Array[Float]): DataFrame = {
+    val (qs, qc) = quantize(queryVec.toSeq)
+    quantized.withColumn("q_score",
+      dotQCol(lit(qs), lit(qc), col("q_scale"), col("q_codes")))
+  }
+
   /** Quantized-coarse / exact-fine top-k: rank by the quantized dot, keep
     * every candidate scoring at or above the `k * overscan`-th quantized
     * score (ties INCLUDED — int8 collapses distinct vectors to identical
@@ -75,12 +93,10 @@ object Quantization {
     */
   def quantizedKnn(corpus: DataFrame, embCol: String, idCol: String,
       queryVec: Array[Float], k: Int, overscan: Int = 4): DataFrame = {
-    val (qs, qc) = quantize(queryVec.toSeq)
     val quantized =
       if (corpus.columns.contains("q_scale") && corpus.columns.contains("q_codes")) corpus
       else withQuantized(corpus, embCol)
-    val scored = quantized.withColumn("q_score",
-      dotQCol(lit(qs), lit(qc), col("q_scale"), col("q_codes")))
+    val scored = coarseScores(quantized, queryVec)
     // boundary quantized score of the overscan set: one TakeOrdered over
     // the codes, one scalar to the driver
     val cutoff = scored.select(col("q_score"))

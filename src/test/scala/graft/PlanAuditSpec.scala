@@ -142,6 +142,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pre-quantized index: the coarse scan reads codes only, no float column") {
+    val dir = java.nio.file.Files.createTempDirectory("qindex_audit").toString
+    graft.vector.Quantization.buildQuantizedIndex(
+      Tables.embeddings(spark, sf), "embedding", dir)
+    val index = spark.read.parquet(dir)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // the cutoff branch of quantizedKnn: coarse scores projected alone
+    val coarse = graft.vector.Quantization.coarseScores(index, qv).select("q_score")
+    val cols = scans(coarse).head.requiredSchema.fieldNames.toSet
+    assert(cols === Set("q_scale", "q_codes"),
+      s"coarse pass must read only the quantized columns, got: $cols")
+  }
+
   test("corpus_curation evaluates the fused metrics UDF exactly once per row") {
     // Regression guard: filter pushdown once substituted the struct fields
     // and evaluated the UDF (and its tokenize) SEVEN times per row; the
