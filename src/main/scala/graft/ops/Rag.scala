@@ -151,12 +151,20 @@ object Rag extends QueryModule {
     * (T2) → ordered context columns (A4 inputs). Rows-only (hash embedder
     * is not SQL-expressible); this is `SparkEntry.entry`.
     */
-  def ragPipelineTopk(spark: SparkSession, dir: String): DataFrame = {
+  def ragPipelineTopk(spark: SparkSession, dir: String): DataFrame =
+    ragPipeline(Tables.documents(spark, dir), DefaultQuery,
+      chunkSize = 200, overlap = 30)
+
+  /** Shared lifecycle body for the flagship and its planted-oracle sibling —
+    * the SAME code path, so the sibling's green oracle row certifies the
+    * flagship's stage wiring, not a parallel reimplementation.
+    */
+  private def ragPipeline(docs: DataFrame, queryText: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
     val dim = 256
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
-    val qv = Embedding.hashingEmbed(DefaultQuery, dim)
-    val chunks = Chunking.chunkDocuments(
-      Tables.documents(spark, dir), chunkSize = 200, overlap = 30)
+    val qv = Embedding.hashingEmbed(queryText, dim)
+    val chunks = Chunking.chunkDocuments(docs, chunkSize, overlap)
     val candidates = chunks
       .withColumn("embedding", embed(col("chunk_text")))
       .withColumn("similarity", round(V.cosineUnit(col("embedding"), typedlit(qv.toSeq)), 6))
@@ -165,7 +173,7 @@ object Rag extends QueryModule {
     // Rank via posexplode of the sorted collected frame (≤5 rows) — no
     // unpartitioned row_number window (see ragContext).
     candidates
-      .withColumn("relevance_score", lexicalScore(lit(DefaultQuery), col("chunk_text")))
+      .withColumn("relevance_score", lexicalScore(lit(queryText), col("chunk_text")))
       .filter(col("relevance_score") > 0.0)
       .orderBy(col("relevance_score").desc, col("chunk_id").asc)
       .limit(5)
@@ -180,6 +188,48 @@ object Rag extends QueryModule {
         col("x.r.total_chunks"), col("x.r.similarity"),
         col("x.r.relevance_score"), col("x.r.chunk_text"))
   }
+
+  /** The full lifecycle under a REAL oracle via the planted self-query
+    * construction (the embed_selfknn_planted pattern, applied to the whole
+    * pipeline): nine exact copies of doc 308's text are planted at ids
+    * 900000..900008 and the query IS doc 308's trimmed text. Default
+    * chunking (1000/150) makes every chunk its whole trimmed document, the
+    * self-group embeds bit-identically (similarity rounds to exactly 1.0)
+    * and reranks to exactly 1.0 (identical distinct-token sets: n/sqrt(n·n)
+    * is exact in double for integer n), while every foreign document stays
+    * strictly below on BOTH scores — doc 308 is the one document whose max
+    * non-self distinct-token overlap is < 0.85 at sf0.001, sf0.01 AND
+    * sf0.1 (the testdata plants near-duplicate twins for most other ids,
+    * e.g. docs 0/82 at sf0.001 share an exact token set). The top-5 is
+    * therefore provably doc 308 + planted 900000..900003 (chunk-id string
+    * tiebreak: "308_…" < "900000_…" < …), every column SQL-enumerable,
+    * while the real chunk → embed → cosine-top-50 → rerank → threshold →
+    * top-5 machinery runs unmodified.
+    */
+  def ragPipelinePlanted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") === 308L)
+    // bounded driver collect: exactly one row (the query text)
+    val queryText = base.select(trim(col("text"))).head().getString(0)
+    val planted = spark.range(900000L, 900009L).toDF("new_id")
+      .crossJoin(broadcast(base.drop("doc_id")))
+      .withColumnRenamed("new_id", "doc_id")
+    ragPipeline(docs.unionByName(planted.select(docs.columns.map(col): _*)),
+      queryText, Chunker.DefaultChunkSize, Chunker.DefaultOverlap)
+  }
+
+  private val ragPipelinePlantedSql =
+    """WITH q AS (SELECT trim(text) AS t FROM documents WHERE doc_id = 308),
+      |ids(rank, chunk_id, doc_id) AS (VALUES
+      |  (1, '308_chunk_1', 308::BIGINT),
+      |  (2, '900000_chunk_1', 900000::BIGINT),
+      |  (3, '900001_chunk_1', 900001::BIGINT),
+      |  (4, '900002_chunk_1', 900002::BIGINT),
+      |  (5, '900003_chunk_1', 900003::BIGINT))
+      |SELECT ids.rank, ids.chunk_id, ids.doc_id, 1 AS chunk_number,
+      |       1 AS total_chunks, 1.0::DOUBLE AS similarity,
+      |       1.0::DOUBLE AS relevance_score, q.t AS chunk_text
+      |FROM ids, q ORDER BY ids.rank""".stripMargin
 
   /** Ordered candidate frame for the zip-join stages: top-20 by lexical
     * similarity, the §3.3 stage-1 retrieval order.
@@ -328,6 +378,7 @@ object Rag extends QueryModule {
     "rerank_zip" -> rerankZipQ,
     "rag_context" -> ragContext,
     "rag_pipeline_topk" -> ragPipelineTopk,
+    "rag_pipeline_planted" -> ragPipelinePlanted,
     "bm25_scores" -> bm25Scores,
     "bm25_topn" -> bm25Topn)
 
@@ -336,6 +387,7 @@ object Rag extends QueryModule {
     "rerank_score_stats" -> rerankScoreStatsSql,
     "rerank_zip" -> rerankZipSql,
     "rag_context" -> ragContextSql,
+    "rag_pipeline_planted" -> ragPipelinePlantedSql,
     "bm25_scores" -> bm25ScoresSql,
     "bm25_topn" -> bm25TopnSql)
 }

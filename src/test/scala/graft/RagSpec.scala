@@ -23,6 +23,17 @@ class RagSpec extends SparkSpec {
     assert(rows(1).getDouble(0) === 1.0)
   }
 
+  test("rag_pipeline_planted: top-5 is exactly the self-query group at 1.0/1.0") {
+    // sf0.001 is the adversarial case: most docs have planted token-set
+    // twins (e.g. 0/82); the construction's margin claim must hold here too.
+    val out = SparkEntry.queries("rag_pipeline_planted")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ===
+      Seq(308L, 900000L, 900001L, 900002L, 900003L))
+    assert(out.forall(_.getAs[Double]("similarity") === 1.0))
+    assert(out.forall(_.getAs[Double]("relevance_score") === 1.0))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3, 4, 5))
+  }
+
   test("rerank_topn is ordered desc with id tiebreak and capped at 20") {
     val out = SparkEntry.queries("rerank_topn")(spark, sf).collect()
     assert(out.length <= 20 && out.nonEmpty)
