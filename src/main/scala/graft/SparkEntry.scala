@@ -25,6 +25,7 @@ object SparkEntry {
     ops.AnnIndex,
     ops.Dedup,
     ops.TextAnalysis,
+    ops.QualityFilters,
     ops.Rag,
     ops.Ingest,
     ops.Multimodal,

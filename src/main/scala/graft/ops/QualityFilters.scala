@@ -1,0 +1,268 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Corpus quality FILTERS for training-data pipelines — the pruning stage
+  * that runs before dedup/mixing (SURVEY.md §2.8 extension family):
+  *
+  *  - Gopher-style repetition metrics (Rae et al. 2021, §A1.2): top
+  *    adjacent-bigram fraction and distinct-word fraction, the signals that
+  *    catch boilerplate/spam whose character n-grams repeat pathologically.
+  *  - C4-style line filtering (Raffel et al. 2020, §2.2): per-line keep/drop
+  *    with the classic rules (minimum words, terminal punctuation, brace and
+  *    "lorem ipsum" blocklists) and the cleaned text reassembled.
+  *  - PII redaction: email/IPv4/phone detection counts + placeholder
+  *    substitution, the scrub every public corpus release runs.
+  *
+  * Scale shape: line filtering and redaction are pure narrow projections
+  * (regex + higher-order functions inside whole-stage codegen — zero
+  * shuffle at any corpus size). Repetition metrics explode adjacent bigrams
+  * and aggregate on (doc_id, bigram) then (doc_id) — equi-key shuffles that
+  * partition cleanly at 100 TB; nothing is ever all-pairs and the raw text
+  * never moves (only doc-local token pairs).
+  *
+  * Regexes are restricted to syntax with identical Java/RE2 semantics, and
+  * fractions are emitted in exact integer 1e-6 units (integer DIV — float
+  * division lands on cross-engine rounding ties), so every query here is
+  * DuckDB-oracle-checkable. Line-filter and PII rows that need structure the
+  * synthetic word-salad corpus lacks (multi-line docs, addresses) come from
+  * planted literals constructed identically in the engine and the oracle;
+  * the 500 real docs double as the no-false-positives case.
+  */
+object QualityFilters extends QueryModule {
+
+  private def toksOf(c: Column): Column = Dedup.tokensCol(c)
+
+  // ---- Gopher repetition metrics ----
+
+  /** Per-document repetition metrics over adjacent token bigrams. The
+    * relational shape (explode → count per (doc, bigram) → max per doc)
+    * keeps per-doc work linear in doc length; a per-row quadratic HOF
+    * (filter+count per distinct bigram) would blow up on long documents.
+    */
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), toksOf(col("text")).as("tok"))
+      .filter(size(col("tok")) > 0) // punctuation-only docs have no words
+    val stats = t.select(
+      col("doc_id"),
+      size(col("tok")).as("n_words"),
+      size(array_distinct(col("tok"))).as("n_distinct"))
+    val bigrams = t.select(
+      col("doc_id"),
+      explode(zip_with(
+        slice(col("tok"), lit(1), greatest(size(col("tok")) - 1, lit(0))),
+        slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val top = bigrams
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_bigram_count"))
+    stats.join(top, Seq("doc_id"), "left")
+      .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
+      .withColumn("top_bigram_frac_e6",
+        expr("(top_bigram_count * 1000000) DIV nullif(n_words - 1, 0)"))
+      .withColumn("distinct_word_frac_e6",
+        expr("(CAST(n_distinct AS BIGINT) * 1000000) DIV n_words"))
+      // Gopher drops docs whose most common 2-gram exceeds 20% of the doc
+      .withColumn("keep_repetition", col("top_bigram_frac_e6") <= 200000)
+      .select("doc_id", "n_words", "n_distinct", "top_bigram_count",
+        "top_bigram_frac_e6", "distinct_word_frac_e6", "keep_repetition")
+      .orderBy("doc_id")
+  }
+
+  private val repetitionMetricsSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                     x -> length(x) > 0) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |b AS (
+      |  SELECT doc_id, len(tok) AS n_words, len(list_distinct(tok)) AS n_distinct,
+      |         list_transform(generate_series(1, len(tok) - 1),
+      |                        i -> tok[i] || ' ' || tok[i + 1]) AS bigrams
+      |  FROM t WHERE len(tok) > 0),
+      |e AS (SELECT doc_id, unnest(bigrams) AS bigram FROM b),
+      |c AS (SELECT doc_id, bigram, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |m AS (SELECT doc_id, max(cnt) AS top_bigram_count FROM c GROUP BY 1)
+      |SELECT b.doc_id, b.n_words, b.n_distinct,
+      |       coalesce(m.top_bigram_count, 0) AS top_bigram_count,
+      |       (coalesce(m.top_bigram_count, 0) * 1000000) // nullif(b.n_words - 1, 0)
+      |         AS top_bigram_frac_e6,
+      |       (b.n_distinct * 1000000) // b.n_words AS distinct_word_frac_e6,
+      |       (coalesce(m.top_bigram_count, 0) * 1000000) // nullif(b.n_words - 1, 0)
+      |         <= 200000 AS keep_repetition
+      |FROM b LEFT JOIN m USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- C4-style line filtering ----
+
+  /** Planted multi-line docs exercising every rule bucket; the real corpus
+    * is single-line so these carry the line-level coverage. Literals are
+    * duplicated in the oracle SQL — they must stay byte-identical.
+    */
+  private val plantedLineDocs = Seq(
+    (910000L,
+      "This is a kept line with terminal punctuation.\n" +
+        "short line\n" +
+        "This line contains a { brace so it drops.\n" +
+        "lorem ipsum dolor sit amet consectetur.\n" +
+        "Another good line stays right here."),
+    (910001L,
+      "Ends without punctuation here indeed\n" +
+        "Is this kept despite being a question?\n" +
+        "tiny\n" +
+        "The last good line survives the filter!"))
+
+  /** Rule buckets, first-match-wins: short (< 5 words) → brace → lorem →
+    * no terminal punctuation → kept. One pass over the lines array, pure
+    * projection.
+    */
+  def lineFilterC4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = plantedLineDocs.toDF("doc_id", "text")
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val lines = split(col("text"), "\n")
+    def wordsOf(l: Column) = size(toksOf(l))
+    def bucket(l: Column): Column =
+      when(wordsOf(l) < 5, "short")
+        .when(l.contains("{"), "brace")
+        .when(lower(l).contains("lorem ipsum"), "lorem")
+        .when(!trim(l).rlike("[.!?]$"), "nopunct")
+        .otherwise("kept")
+    val buckets = transform(lines, l => bucket(l))
+    def n(b: String): Column = size(filter(buckets, x => x === b))
+    docs.select(
+      col("doc_id"),
+      size(lines).as("n_lines"),
+      n("kept").as("kept"),
+      n("short").as("dropped_short"),
+      n("brace").as("dropped_brace"),
+      n("lorem").as("dropped_lorem"),
+      n("nopunct").as("dropped_nopunct"),
+      array_join(
+        filter(zip_with(lines, buckets, (l, b) => when(b === "kept", l)),
+          x => x.isNotNull), "\n").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  private def sqlQuote(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+  private val plantedLineDocsSql = plantedLineDocs
+    .map { case (id, text) => s"($id, ${sqlQuote(text)})" }
+    .mkString(",\n    ")
+
+  private val lineFilterC4Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    $plantedLineDocsSql) AS planted(doc_id, text)),
+       |lb AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+       |         list_transform(string_split(text, chr(10)), l ->
+       |           CASE
+       |             WHEN len(list_filter(string_split_regex(lower(l), '[^\\p{L}\\p{N}]+'),
+       |                                  x -> length(x) > 0)) < 5 THEN 'short'
+       |             WHEN contains(l, '{') THEN 'brace'
+       |             WHEN contains(lower(l), 'lorem ipsum') THEN 'lorem'
+       |             WHEN NOT regexp_matches(trim(l), '[.!?]$$') THEN 'nopunct'
+       |             ELSE 'kept'
+       |           END) AS buckets
+       |  FROM docs)
+       |SELECT doc_id, len(lines) AS n_lines,
+       |       len(list_filter(buckets, b -> b = 'kept')) AS kept,
+       |       len(list_filter(buckets, b -> b = 'short')) AS dropped_short,
+       |       len(list_filter(buckets, b -> b = 'brace')) AS dropped_brace,
+       |       len(list_filter(buckets, b -> b = 'lorem')) AS dropped_lorem,
+       |       len(list_filter(buckets, b -> b = 'nopunct')) AS dropped_nopunct,
+       |       coalesce(array_to_string(
+       |         list_filter(
+       |           list_transform(generate_series(1, len(lines)),
+       |             i -> CASE WHEN buckets[i] = 'kept' THEN lines[i] END),
+       |           l -> l IS NOT NULL), chr(10)), '') AS cleaned_text
+       |FROM lb ORDER BY doc_id""".stripMargin
+
+  // ---- PII redaction ----
+
+  /** Planted documents carrying addresses; the 500 real docs (no digits, no
+    * '@') prove the patterns fire zero false positives on clean text.
+    */
+  private val plantedPiiDocs = Seq(
+    (920000L, "Contact alice@example.com or bob.smith@mail.example.org for details."),
+    (920001L, "Server at 192.168.1.100 and 10.0.0.1 responded quickly."),
+    (920002L, "Call +1 555-123-4567 or 555 987 6543 before noon."),
+    (920003L, "Mixed case: carol@test.io connects from 172.16.254.3 phone 555-000-1111."))
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private val PhoneRe = "\\+?\\d[\\d\\- ]{6,}\\d"
+
+  /** Detection counts on the original text plus the redacted text (email →
+    * ip → phone substitution order: each later pattern runs on the prior
+    * pass's output, so an address never double-matches). Pure projection.
+    */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = plantedPiiDocs.toDF("doc_id", "text")
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val redacted = regexp_replace(afterIp, PhoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).as("n_phones"),
+      redacted.as("redacted_text"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_phones") > 0)
+      .orderBy("doc_id")
+  }
+
+  private val plantedPiiDocsSql = plantedPiiDocs
+    .map { case (id, text) => s"($id, ${sqlQuote(text)})" }
+    .mkString(",\n    ")
+
+  private val piiRedactionSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    $plantedPiiDocsSql) AS planted(doc_id, text)),
+       |r AS (
+       |  SELECT doc_id, text,
+       |         regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS after_email
+       |  FROM docs),
+       |r2 AS (
+       |  SELECT *, regexp_replace(after_email, '$Ipv4Re', '<IP>', 'g') AS after_ip
+       |  FROM r)
+       |SELECT doc_id,
+       |       len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |       len(regexp_extract_all(after_email, '$Ipv4Re')) AS n_ips,
+       |       len(regexp_extract_all(after_ip, '$PhoneRe')) AS n_phones,
+       |       regexp_replace(after_ip, '$PhoneRe', '<PHONE>', 'g') AS redacted_text,
+       |       len(regexp_extract_all(text, '$EmailRe'))
+       |         + len(regexp_extract_all(after_email, '$Ipv4Re'))
+       |         + len(regexp_extract_all(after_ip, '$PhoneRe')) > 0 AS has_pii
+       |FROM r2 ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "repetition_metrics" -> repetitionMetrics,
+    "line_filter_c4" -> lineFilterC4,
+    "pii_redaction" -> piiRedaction)
+
+  def oracles: Map[String, String] = Map(
+    "repetition_metrics" -> repetitionMetricsSql,
+    "line_filter_c4" -> lineFilterC4Sql,
+    "pii_redaction" -> piiRedactionSql)
+}
