@@ -156,6 +156,33 @@ class PlanAuditSpec extends SparkSpec {
       s"coarse pass must read only the quantized columns, got: $cols")
   }
 
+  test("quality filters: line_filter_c4 and pii_redaction plan zero exchanges") {
+    // pure narrow projections — the 100 TB contract is no shuffle at all
+    // (the final orderBy is presentation-only; audit the pre-sort plan)
+    Seq("line_filter_c4", "pii_redaction").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      // executedPlan: exchanges exist only after EnsureRequirements
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange (?!SinglePartition)".r.findAllIn(plan)
+        .count(_ => true)
+      // one rangepartitioning exchange for the output orderBy is allowed;
+      // nothing else may shuffle
+      assert(exchanges <= 1, s"$q shuffles beyond the output sort:\n$plan")
+    }
+  }
+
+  test("repetition_metrics: both aggregations combine map-side, scan prunes to doc_id+text") {
+    val df = SparkEntry.queries("repetition_metrics")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val firstExchange = plan.indexOf("Exchange")
+    assert(firstExchange >= 0)
+    assert(plan.lastIndexOf("HashAggregate") > firstExchange,
+      s"no partial aggregate below the exchange:\n$plan")
+    val cols = scans(df).map(_.requiredSchema.fieldNames.toSet)
+    cols.foreach(c => assert(c.subsetOf(Set("doc_id", "text")),
+      s"repetition scan reads more than needed: $c"))
+  }
+
   test("corpus_curation evaluates the fused metrics UDF exactly once per row") {
     // Regression guard: filter pushdown once substituted the struct fields
     // and evaluated the UDF (and its tokenize) SEVEN times per row; the
