@@ -7,13 +7,15 @@ package graft.ingest
   * metadata (/Title /Author /Subject /Keywords) captured from the Info
   * dictionary.
   *
-  * Scope: the standard simple-PDF subset — uncompressed or FlateDecode
-  * content streams, literal `(…)` and hex `<…>` strings, simple
-  * (Latin-1-ish) and UTF-16BE string encodings, page tree via /Root →
-  * /Pages → /Kids. No CMap/ToUnicode, no encryption, no object streams
-  * (xref streams' compressed objects) — out-of-scope files return None and
-  * flow into the corrupt-file skip path, exactly like the reference's
-  * per-file try/except.
+  * Scope: uncompressed or FlateDecode content streams, literal `(…)` and
+  * hex `<…>` strings, simple (Latin-1-ish) and UTF-16BE string encodings,
+  * page tree via /Root → /Pages → /Kids, PDF 1.5+ object streams (/ObjStm
+  * compressed objects — the modern-writer layout), and /ToUnicode CMaps
+  * (bfchar + bfrange, 1- and 2-byte codes) resolved through each page's
+  * /Resources → /Font chain with /Parent inheritance. Still out of scope:
+  * encryption and filters beyond Flate (DCT/JBIG2 images are never text) —
+  * out-of-scope files return None and flow into the corrupt-file skip
+  * path, exactly like the reference's per-file try/except.
   *
   * Everything here is a driver-free pure function: it runs inside the
   * binaryFile scan's narrow map, one call per file, no shuffle.
@@ -37,14 +39,15 @@ object PdfText {
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!raw.startsWith("%PDF-")) return None
     try {
-      val objects = parseObjects(raw, bytes)
+      val objects = expandObjectStreams(parseObjects(raw, bytes), bytes)
       if (objects.isEmpty) return None
       val pageOrder = pageObjectOrder(objects, raw)
       val pages = pageOrder.flatMap { pageNum =>
         objects.get(pageNum).map { page =>
+          val fonts = fontCMaps(page.dict, objects, bytes)
           contentsOf(page.dict).flatMap(objects.get)
             .map(o => decodeStream(o, bytes))
-            .map(extractTextOps)
+            .map(extractTextOps(_, fonts))
             .reduceOption(_ ++ _)
             .map(renderReadingOrder)
             .getOrElse("")
@@ -120,6 +123,45 @@ object PdfText {
           Some(num -> PdfObject(body, -1, -1))
       }
     }.toMap
+
+  /** PDF 1.5+ object streams: a /Type /ObjStm stream holds N compressed
+    * dict-only objects (spec forbids nested streams), laid out as a header
+    * of N (objnum, offset) integer pairs followed at /First by the
+    * concatenated bodies. Expanding them into the object map is what makes
+    * modern-writer PDFs (compressed xref layout) parse — the page tree and
+    * font dicts usually live inside one. Direct objects win number
+    * collisions: an incremental update appends the replacement object
+    * uncompressed after the original ObjStm.
+    */
+  private def expandObjectStreams(objects: Map[Int, PdfObject],
+      bytes: Array[Byte]): Map[Int, PdfObject] = {
+    val objStms = objects.values.filter { o =>
+      o.streamStart >= 0 && """/Type\s*/ObjStm\b""".r.findFirstIn(o.dict).isDefined
+    }
+    if (objStms.isEmpty) return objects
+    val embedded = objStms.flatMap { o =>
+      val header = for {
+        n <- """/N\s+(\d+)""".r.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
+        first <- """/First\s+(\d+)""".r.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
+      } yield (n, first)
+      header.toSeq.flatMap { case (n, first) =>
+        val content = decodeStream(o, bytes)
+        if (first > content.length) Seq.empty
+        else {
+          val pairs = """(\d+)\s+(\d+)""".r.findAllMatchIn(content.substring(0, first))
+            .take(n).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+          pairs.zipWithIndex.map { case ((num, off), idx) =>
+            val start = math.min(first + off, content.length)
+            val end = math.min(
+              if (idx + 1 < pairs.length) first + pairs(idx + 1)._2 else content.length,
+              content.length)
+            num -> PdfObject(content.substring(start, math.max(start, end)), -1, -1)
+          }
+        }
+      }
+    }.toMap
+    embedded ++ objects
+  }
 
   /** Pages in /Root → /Pages → /Kids traversal order; falls back to the
     * file order of /Type /Page objects when the tree is unresolvable.
@@ -203,20 +245,120 @@ object PdfText {
     }
   }
 
+  // ---- ToUnicode CMaps ----
+
+  /** A font's code→text mapping from its /ToUnicode CMap. `codeLen` is the
+    * code width in bytes (1 for simple fonts, 2 for CID/Identity-H).
+    */
+  private[ingest] final case class CMap(codeLen: Int, map: Map[Int, String])
+
+  /** Parse bfchar + bfrange sections of a ToUnicode CMap stream. Range
+    * destinations support both the scalar form (`<lo> <hi> <dstLo>`, last
+    * code unit incremented per step) and the array form
+    * (`<lo> <hi> [<d0> <d1> …]`).
+    */
+  private[ingest] def parseCMap(s: String): Option[CMap] = {
+    val entries = scala.collection.mutable.Map.empty[Int, String]
+    var codeLen = 1
+    def noteSrc(hex: String): Int = {
+      codeLen = math.max(codeLen, hex.length / 2)
+      Integer.parseInt(hex, 16)
+    }
+    def dstText(hex: String): String =
+      if (hex.length <= 2 && hex.nonEmpty) Integer.parseInt(hex, 16).toChar.toString
+      else hex.grouped(4).filter(_.length == 4)
+        .map(h => Integer.parseInt(h, 16).toChar).mkString
+    """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(s).foreach { block =>
+      """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>""".r.findAllMatchIn(block.group(1))
+        .foreach(m => entries(noteSrc(m.group(1))) = dstText(m.group(2)))
+    }
+    """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(s).foreach { block =>
+      val entryRe =
+        """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]*)>|\[((?:\s*<[0-9A-Fa-f]*>)*)\s*\])""".r
+      entryRe.findAllMatchIn(block.group(1)).foreach { m =>
+        val lo = noteSrc(m.group(1))
+        val hi = Integer.parseInt(m.group(2), 16)
+        if (hi >= lo && hi - lo < 65536) {
+          if (m.group(3) != null) {
+            val base = dstText(m.group(3))
+            (lo to hi).foreach { c =>
+              // increment the LAST code unit (the CMap spec's rule)
+              val off = c - lo
+              entries(c) =
+                if (base.isEmpty) ""
+                else base.dropRight(1) + (base.last + off).toChar
+            }
+          } else {
+            val dsts = """<([0-9A-Fa-f]*)>""".r.findAllMatchIn(m.group(4))
+              .map(d => dstText(d.group(1))).toSeq
+            (lo to hi).zip(dsts).foreach { case (c, t) => entries(c) = t }
+          }
+        }
+      }
+    }
+    if (entries.isEmpty) None else Some(CMap(codeLen, entries.toMap))
+  }
+
+  /** Map raw string bytes through a CMap, `codeLen` bytes per code;
+    * unmapped 2-byte codes fall back to UTF-16BE, 1-byte to Latin-1.
+    */
+  private def mapCodes(codes: Seq[Int], cmap: CMap): String =
+    codes.grouped(cmap.codeLen).map { g =>
+      val code = g.foldLeft(0)((a, b) => (a << 8) | (b & 0xff))
+      cmap.map.getOrElse(code,
+        if (cmap.codeLen == 2) new String(Character.toChars(code))
+        else (code & 0xff).toChar.toString)
+    }.mkString
+
+  /** Resolve the page's font name → CMap table: /Resources (direct or ref,
+    * inherited via /Parent up to 3 hops — the page-tree convention) →
+    * /Font (direct or ref) → each font's /ToUnicode stream.
+    */
+  private def fontCMaps(pageDict: String, objects: Map[Int, PdfObject],
+      bytes: Array[Byte]): Map[String, CMap] = {
+    val ResRef = """/Resources\s+(\d+)\s+\d+\s+R""".r
+    val ParentRef = """/Parent\s+(\d+)\s+\d+\s+R""".r
+    def resourcesOf(dict: String, depth: Int): Option[String] =
+      ResRef.findFirstMatchIn(dict).map(_.group(1).toInt)
+        .flatMap(objects.get).map(_.dict)
+        .orElse(if (dict.contains("/Resources")) Some(dict) else None)
+        .orElse(if (depth >= 3) None
+        else ParentRef.findFirstMatchIn(dict).map(_.group(1).toInt)
+          .flatMap(objects.get).flatMap(p => resourcesOf(p.dict, depth + 1)))
+    val fontBlock = resourcesOf(pageDict, 0).flatMap { rd =>
+      """/Font\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(rd).map(_.group(1).toInt)
+        .flatMap(objects.get).map(_.dict)
+        .orElse("""(?s)/Font\s*<<(.*?)>>""".r.findFirstMatchIn(rd).map(_.group(1)))
+    }
+    fontBlock.map { fb =>
+      """/([\w.-]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fb).flatMap { m =>
+        for {
+          fobj <- objects.get(m.group(2).toInt)
+          tu <- """/ToUnicode\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fobj.dict)
+          tuObj <- objects.get(tu.group(1).toInt)
+          cmap <- parseCMap(decodeStream(tuObj, bytes))
+        } yield m.group(1) -> cmap
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
   // ---- content-stream text operators ----
 
   /** One text-showing op with its text-space position. */
   private final case class TextRun(y: Double, x: Double, text: String)
 
   /** Walk BT…ET blocks tracking the text position: `Tm` sets (x,y), `Td`/
-    * `TD` translate, `T*`/`'` advance a line. Shows: `Tj`, `'`, `"`, `TJ`
-    * (kerning numbers < -200 text-units become a space — the conventional
-    * word-gap heuristic when fonts kern spaces away).
+    * `TD` translate, `T*`/`'` advance a line, `Tf` selects the font whose
+    * ToUnicode CMap (if any) decodes subsequent shows. Shows: `Tj`, `'`,
+    * `"`, `TJ` (kerning numbers < -200 text-units become a space — the
+    * conventional word-gap heuristic when fonts kern spaces away).
     */
-  private def extractTextOps(content: String): Seq[TextRun] = {
+  private def extractTextOps(content: String,
+      fonts: Map[String, CMap] = Map.empty): Seq[TextRun] = {
     val runs = scala.collection.mutable.ArrayBuffer.empty[TextRun]
     var x = 0.0; var y = 0.0; var leading = 12.0
     var lineX = 0.0 // Td/TD/Tm set the line start; T* returns to it
+    var cmap: Option[CMap] = None
     val toks = tokenize(content)
     var i = 0
     def num(j: Int): Double = toks(j).toDoubleOption.getOrElse(0.0)
@@ -224,6 +366,9 @@ object PdfText {
       toks(i) match {
         case "BT" => // begin-text resets the text matrix to identity
           x = 0.0; y = 0.0; lineX = 0.0
+        case "Tf" if i >= 2 =>
+          cmap = Some(toks(i - 2)).filter(_.startsWith("/"))
+            .flatMap(t => fonts.get(t.stripPrefix("/")))
         case "Tm" if i >= 6 =>
           x = num(i - 2); y = num(i - 1); lineX = x
         case "Td" if i >= 2 =>
@@ -237,12 +382,12 @@ object PdfText {
           y -= leading; x = lineX
         case "Tj" | "'" if i >= 1 =>
           if (toks(i) == "'") { y -= leading; x = lineX }
-          runs += TextRun(y, x, pdfString(toks(i - 1)))
+          runs += TextRun(y, x, showText(toks(i - 1), cmap))
         case "\"" if i >= 1 =>
           y -= leading; x = lineX
-          runs += TextRun(y, x, pdfString(toks(i - 1)))
+          runs += TextRun(y, x, showText(toks(i - 1), cmap))
         case "TJ" if i >= 1 =>
-          runs += TextRun(y, x, tjArray(toks(i - 1)))
+          runs += TextRun(y, x, tjArray(toks(i - 1), cmap))
         case _ =>
       }
       i += 1
@@ -330,7 +475,30 @@ object PdfText {
     else ""
   }
 
-  private def decodeLiteral(s: String): String = {
+  /** A show op's text under the current font: CMap-decoded when the font
+    * carries a ToUnicode table, the simple-encoding path otherwise.
+    */
+  private def showText(tok: String, cmap: Option[CMap]): String = cmap match {
+    case None => pdfString(tok)
+    case Some(cm) => mapCodes(stringBytes(tok), cm)
+  }
+
+  /** Raw string bytes (escapes processed, no BOM/encoding applied) — the
+    * code units a CMap maps.
+    */
+  private def stringBytes(tok: String): Seq[Int] = {
+    val raw =
+      if (tok.startsWith("("))
+        decodeLiteralRaw(tok.substring(1, math.max(1, tok.length - 1)))
+      else if (tok.startsWith("<"))
+        decodeHexRaw(tok.substring(1, math.max(1, tok.length - 1)))
+      else ""
+    raw.map(_.toInt & 0xff)
+  }
+
+  private def decodeLiteral(s: String): String = utf16IfBom(decodeLiteralRaw(s))
+
+  private def decodeLiteralRaw(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -357,14 +525,15 @@ object PdfText {
         }
       } else { sb.append(c); i += 1 }
     }
-    utf16IfBom(sb.toString)
+    sb.toString
   }
 
-  private def decodeHex(s: String): String = {
+  private def decodeHex(s: String): String = utf16IfBom(decodeHexRaw(s))
+
+  private def decodeHexRaw(s: String): String = {
     val hex = s.filter(c => Character.digit(c, 16) >= 0)
     val padded = if (hex.length % 2 == 1) hex + "0" else hex
-    val chars = padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
-    utf16IfBom(chars)
+    padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
   }
 
   /** Metadata strings may be UTF-16BE with a BOM; content text is not. */
@@ -375,11 +544,11 @@ object PdfText {
     } else s
 
   /** `[(a) -300 (b)] TJ`: concatenate strings; a kern < -200 is a word gap. */
-  private def tjArray(tok: String): String = {
+  private def tjArray(tok: String, cmap: Option[CMap] = None): String = {
     val inner = tok.stripPrefix("[").stripSuffix("]")
     val sb = new java.lang.StringBuilder()
     """\((?:\\.|[^\\)])*\)|<[0-9A-Fa-f\s]*>|[-+]?[0-9.]+""".r.findAllIn(inner).foreach { t =>
-      if (t.startsWith("(") || t.startsWith("<")) sb.append(pdfString(t))
+      if (t.startsWith("(") || t.startsWith("<")) sb.append(showText(t, cmap))
       else t.toDoubleOption.foreach(v => if (v < -200) sb.append(' '))
     }
     sb.toString

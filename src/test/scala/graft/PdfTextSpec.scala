@@ -115,6 +115,107 @@ class PdfTextSpec extends SparkSpec {
     assert(doc.keywords === None)
   }
 
+  test("object streams: page tree inside a FlateDecode ObjStm parses") {
+    // The modern-writer layout: catalog, pages node, and page dict live
+    // compressed inside one /ObjStm; only the content stream is direct.
+    val embedded = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    var off = 0
+    val offsets = embedded.map { case (num, body) =>
+      val o = (num, off); off += body.length + 1; o
+    }
+    val header = offsets.map { case (n, o) => s"$n $o" }.mkString(" ")
+    val bodies = embedded.map(_._2).mkString("\n") + "\n"
+    val payload = deflate(bodies)
+    val objStm = streamObj(
+      s"<< /Type /ObjStm /N 3 /First ${header.length + 1} /Filter /FlateDecode >>",
+      deflate(header + "\n" + bodies))
+    val objs = Seq(
+      7 -> objStm,
+      4 -> streamObj("<< >>", "BT 72 700 Td (from objstm) Tj ET".getBytes(ISO_8859_1)))
+    val doc = PdfText.extract(buildPdf(objs, "<< /Root 1 0 R >>")).get
+    assert(doc.pages === Seq("from objstm"))
+    assert(payload.nonEmpty) // silence unused warning paranoia
+  }
+
+  test("object streams: a direct object overrides its ObjStm copy") {
+    val bodies = "<< /Type /Page /Parent 2 0 R /Contents 9 0 R >>"
+    val objStm = streamObj(
+      s"<< /Type /ObjStm /N 1 /First 4 >>",
+      ("3 0\n" + bodies).getBytes(ISO_8859_1))
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(ISO_8859_1),
+      8 -> objStm,
+      // incremental update: direct object 3 replaces the compressed one
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(ISO_8859_1),
+      4 -> streamObj("<< >>", "BT 72 700 Td (direct wins) Tj ET".getBytes(ISO_8859_1)))
+    val doc = PdfText.extract(buildPdf(objs, "<< /Root 1 0 R >>")).get
+    assert(doc.pages === Seq("direct wins"))
+  }
+
+  test("ToUnicode CMap: bfchar + bfrange decode 2-byte hex show strings") {
+    val cmapSrc =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |2 begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <0069>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <0041>
+        |endbfrange
+        |endcmap""".stripMargin
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(ISO_8859_1),
+      3 -> ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F9 5 0 R >> >> >>").getBytes(ISO_8859_1),
+      // <0001><0002> = "Hi", <001000110012> = "ABC" via the range
+      4 -> streamObj("<< >>",
+        "BT /F9 12 Tf 72 700 Td <00010002> Tj 0 -20 Td <001000110012> Tj ET"
+          .getBytes(ISO_8859_1)),
+      5 -> "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>".getBytes(ISO_8859_1),
+      6 -> streamObj("<< /Filter /FlateDecode >>", deflate(cmapSrc)))
+    val doc = PdfText.extract(buildPdf(objs, "<< /Root 1 0 R >>")).get
+    assert(doc.pages === Seq("Hi\nABC"))
+  }
+
+  test("ToUnicode CMap: 1-byte codes, literal strings, Resources via Parent") {
+    val cmapSrc =
+      """1 beginbfrange
+        |<61> <7A> <0041>
+        |endbfrange""".stripMargin // a..z → A..Z
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      // Resources inherited from the Pages node, not the page itself
+      2 -> ("<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>").getBytes(ISO_8859_1),
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(ISO_8859_1),
+      4 -> streamObj("<< >>",
+        "BT /F1 10 Tf 72 700 Td (abc) Tj ET".getBytes(ISO_8859_1)),
+      5 -> "<< /Type /Font /ToUnicode 6 0 R >>".getBytes(ISO_8859_1),
+      6 -> streamObj("<< >>", cmapSrc.getBytes(ISO_8859_1)))
+    val doc = PdfText.extract(buildPdf(objs, "<< /Root 1 0 R >>")).get
+    assert(doc.pages === Seq("ABC"))
+  }
+
+  test("fonts without ToUnicode keep the simple-encoding path") {
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(ISO_8859_1),
+      3 -> ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>").getBytes(ISO_8859_1),
+      4 -> streamObj("<< >>",
+        "BT /F1 10 Tf 72 700 Td (plain text) Tj ET".getBytes(ISO_8859_1)),
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>".getBytes(ISO_8859_1))
+    val doc = PdfText.extract(buildPdf(objs, "<< /Root 1 0 R >>")).get
+    assert(doc.pages === Seq("plain text"))
+  }
+
   test("/Length extent survives a literal 'endstream' inside the payload") {
     // Without /Length the substring scan truncates at the embedded token
     // and the trailing text is lost; the validated /Length recovers it.
