@@ -175,7 +175,50 @@ object AnnIndex extends QueryModule {
       |FROM embeddings WHERE vec_id < 50
       |ORDER BY vec_a""".stripMargin
 
+  /** Driver-visible recall FLOOR for the pruned retrieval paths, in the
+    * empty-violation pattern (chunk_invariants): mean recall@10 over five
+    * stored-vector queries, LSH (radius 2, 22/64 buckets probed) and IVF
+    * (6/16 clusters), against the exact top-10 — one violation row per
+    * method falling below its floor, oracle asserts the empty set. Floors
+    * (LSH 0.35, IVF 0.50) sit ≥ 0.2 under every measured mean on this data
+    * (LSH 0.54–0.62, IVF 0.72–0.82 across sf0.001/0.01/0.1) — random unit
+    * vectors are the pruning-adversarial case, so real clustered
+    * embeddings only gain margin. A recall regression (probe enumeration,
+    * bucket assignment, centroid fit) now turns a green driver row red
+    * instead of hiding in spec-only territory.
+    */
+  def annRecallGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val nQueries = 5
+    val perQuery = (0L until nQueries.toLong).map { qid =>
+      val qv = queryVec(spark, dir, qid)
+      val exact = e.select(col("vec_id"),
+          graft.vector.VectorFunctions.cosineUnit(
+            col("embedding"), typedlit(qv.toSeq)).as("s"))
+        .orderBy(col("s").desc, col("vec_id").asc).limit(10).select("vec_id")
+      def hits(pruned: DataFrame, m: String): DataFrame =
+        pruned.select("vec_id").join(exact, Seq("vec_id"))
+          .agg(count(lit(1)).as("hits")).withColumn("method", lit(m))
+      hits(IndexBuilder.lshTopK(e, "embedding", "vec_id", defaultLsh, qv,
+        k = 10, radius = 2), "lsh")
+        .union(hits(IndexBuilder.ivfTopK(e, "embedding", "vec_id", qv,
+          k = 10, numClusters = 16, nProbe = 6, seed = 42L), "ivf"))
+    }
+    perQuery.reduce(_ union _)
+      .groupBy("method")
+      .agg(expr(s"sum(hits) * 1000000 DIV (${nQueries} * 10)").as("mean_recall_e6"))
+      .withColumn("floor_e6",
+        when(col("method") === "lsh", 350000L).otherwise(500000L))
+      .filter(col("mean_recall_e6") < col("floor_e6"))
+      .orderBy("method")
+  }
+
+  private val annRecallGateSql =
+    """SELECT NULL::VARCHAR AS method, NULL::BIGINT AS mean_recall_e6,
+      |       NULL::BIGINT AS floor_e6 WHERE false""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_gate" -> annRecallGate,
     "lsh_buckets" -> lshBuckets,
     "lsh_bucket_stats" -> lshBucketStats,
     "ann_lsh_topk" -> annLshTopk,
@@ -184,6 +227,7 @@ object AnnIndex extends QueryModule {
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
 
   def oracles: Map[String, String] = Map(
+    "ann_recall_gate" -> annRecallGateSql,
     "ann_lsh_topk" -> annSelfQueryTopkSql,
     "ann_ivf_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,

@@ -43,6 +43,12 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("ann_recall_gate: mean pruned recall clears both floors (empty violations)") {
+    val out = SparkEntry.queries("ann_recall_gate")(spark, sf).collect()
+    assert(out.isEmpty,
+      s"recall floor violated: ${out.map(_.toString).mkString(", ")}")
+  }
+
   test("raw-corpus IVF pruned top-10 achieves reasonable recall vs exact") {
     val ivf = AnnIndex.annIvfTopkReal(spark, sf).collect()
       .map(_.getAs[Long]("vec_id")).toSet
