@@ -106,6 +106,21 @@ object AnnIndex extends QueryModule {
       k = 10, numClusters = 16, nProbe = 6, seed = 42L)
       .select("vec_id", "score")
 
+  /** IVF-SQ8 composed retrieval under the planted self-query oracle: the
+    * full at-scale stack — nProbe cluster pruning, int8 codes-only coarse
+    * rank, exact rescore of the overscan set — must still surface exactly
+    * {0, planted copies}. The copies quantize bit-identically to vector 0
+    * (quantization is a pure per-vector function), assign to its cluster,
+    * and coarse-score at the shared maximum, so they survive every stage
+    * by construction; a regression in ANY of the three stages (probe
+    * selection, quantized scoring, tie-safe cutoff) perturbs the row set.
+    */
+  def annIvfSq8Topk(spark: SparkSession, dir: String): DataFrame =
+    graft.vector.Quantization.ivfSq8TopK(
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 10, numClusters = 16, nProbe = 6, seed = 42L)
+
   /** IVF pruned top-10 over the raw corpus (spec-only recall anchor). */
   def annIvfTopkReal(spark: SparkSession, dir: String): DataFrame =
     IndexBuilder.ivfTopK(Tables.embeddings(spark, dir), "embedding", "vec_id",
@@ -252,6 +267,7 @@ object AnnIndex extends QueryModule {
     "lsh_bucket_stats" -> lshBucketStats,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
+    "ann_ivf_sq8_topk" -> annIvfSq8Topk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
 
@@ -259,6 +275,7 @@ object AnnIndex extends QueryModule {
     "ann_recall_gate" -> annRecallGateSql,
     "ann_lsh_topk" -> annSelfQueryTopkSql,
     "ann_ivf_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)
 }

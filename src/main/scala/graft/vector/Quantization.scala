@@ -109,4 +109,23 @@ object Quantization {
       .limit(k)
       .select(col(idCol), col("score"))
   }
+
+  /** IVF-SQ8 composed retrieval (the FAISS `IVFx,SQ8` shape — Johnson et
+    * al. 2017): nProbe-nearest-centroid cluster pruning cuts the scanned
+    * fraction to ~nProbe/numClusters, the int8 coarse pass ranks the
+    * survivors on 4×-smaller codes, and only the overscan set is rescored
+    * exactly. At 100 TB this is the index layout that keeps BOTH the scan
+    * (partition pruning on cluster_id) and the bandwidth (codes-only
+    * coarse read) sublinear; the float column is touched for ~k·overscan
+    * rows per query.
+    */
+  def ivfSq8TopK(corpus: DataFrame, embCol: String, idCol: String,
+      queryVec: Array[Float], k: Int, numClusters: Int, nProbe: Int,
+      seed: Long, overscan: Int = 4): DataFrame = {
+    val (clustered, centers) =
+      IndexBuilder.withIvfCluster(corpus, embCol, numClusters, seed)
+    val probes = IndexBuilder.nearestClusters(centers, queryVec, nProbe)
+    quantizedKnn(clustered.filter(col("cluster_id").isin(probes: _*)),
+      embCol, idCol, queryVec, k, overscan)
+  }
 }

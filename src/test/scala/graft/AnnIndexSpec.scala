@@ -66,7 +66,7 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("self-query driver rows: pruned top-10 is exactly self + planted copies") {
-    Seq("ann_lsh_topk", "ann_ivf_topk").foreach { q =>
+    Seq("ann_lsh_topk", "ann_ivf_topk", "ann_ivf_sq8_topk").foreach { q =>
       val rows = SparkEntry.queries(q)(spark, sf).collect()
         .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score"))
       val ids = rows.map(_._1).sorted.toSeq
