@@ -115,12 +115,59 @@ object Chunking extends QueryModule {
   private val chunkInvariantsSql =
     """SELECT NULL::BIGINT AS doc_id, NULL::VARCHAR AS violation WHERE false""".stripMargin
 
+  /** The MULTI-chunk 200/30 splitting path under a real hash oracle —
+    * chunk_docs_200 over the word-salad corpus is not SQL-expressible
+    * (word-level overlap carry), but the splitter's semantics are fully
+    * hand-traceable on uniform-character paragraphs, which DuckDB
+    * enumerates with repeat():
+    *
+    *  - doc 930000 (a×120 ¶ b×25 ¶ c×150): the 25-char middle paragraph is
+    *    under the 30-char overlap, so it carries BACK into the next chunk
+    *    → chunks "a¶b" and "b¶c" (the overlap rule, observable in output).
+    *  - doc 930001 (three 180-char paragraphs): each exceeds the overlap,
+    *    so chunks are exactly the paragraphs — the no-carry rule.
+    *  - doc 930002 (x×450, no separator at all): character-level recursion
+    *    → exact 200/30 sliding windows [1,200], [171,370], [341,450].
+    *
+    * A regression in separator choice, greedy merge, overlap pop, or the
+    * character-level fallback changes at least one chunk against the
+    * enumerated oracle. Row-parity of the native Generator with
+    * Chunker.split is separately asserted in ChunkingSpec.
+    */
+  def chunkPlantedParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Seq(
+      (930000L, ("a" * 120) + "\n\n" + ("b" * 25) + "\n\n" + ("c" * 150)),
+      (930001L, ("p" * 180) + "\n\n" + ("q" * 180) + "\n\n" + ("r" * 180)),
+      (930002L, "x" * 450))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("planted"))
+    chunkDocuments(docs, chunkSize = 200, overlap = 30).orderBy("chunk_id")
+  }
+
+  private val chunkPlantedParagraphsSql =
+    """WITH expected(chunk_id, doc_id, chunk_text, chunk_number, total_chunks) AS (VALUES
+      |  ('930000_chunk_1', 930000::BIGINT, repeat('a', 120) || chr(10) || chr(10) || repeat('b', 25), 1, 2),
+      |  ('930000_chunk_2', 930000::BIGINT, repeat('b', 25) || chr(10) || chr(10) || repeat('c', 150), 2, 2),
+      |  ('930001_chunk_1', 930001::BIGINT, repeat('p', 180), 1, 3),
+      |  ('930001_chunk_2', 930001::BIGINT, repeat('q', 180), 2, 3),
+      |  ('930001_chunk_3', 930001::BIGINT, repeat('r', 180), 3, 3),
+      |  ('930002_chunk_1', 930002::BIGINT, repeat('x', 200), 1, 3),
+      |  ('930002_chunk_2', 930002::BIGINT, repeat('x', 200), 2, 3),
+      |  ('930002_chunk_3', 930002::BIGINT, repeat('x', 110), 3, 3))
+      |SELECT chunk_id, doc_id, chunk_text, chunk_number, total_chunks,
+      |       'en' AS lang, 'planted' AS source
+      |FROM expected ORDER BY chunk_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk_docs_200" -> chunkDocs200,
     "chunk_docs_default" -> chunkDocsDefault,
+    "chunk_planted_paragraphs" -> chunkPlantedParagraphs,
     "chunk_invariants" -> chunkInvariants)
 
   def oracles: Map[String, String] = Map(
     "chunk_docs_default" -> chunkDocsDefaultSql,
+    "chunk_planted_paragraphs" -> chunkPlantedParagraphsSql,
     "chunk_invariants" -> chunkInvariantsSql)
 }

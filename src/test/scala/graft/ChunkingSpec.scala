@@ -43,6 +43,19 @@ class ChunkingSpec extends SparkSpec {
     gen.zip(udfP).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("planted paragraph docs chunk exactly as the hand-traced oracle enumerates") {
+    import graft.text.Chunker
+    // overlap carry-back: the 25-char middle paragraph rides into chunk 2
+    assert(Chunker.split(("a" * 120) + "\n\n" + ("b" * 25) + "\n\n" + ("c" * 150), 200, 30) ===
+      List(("a" * 120) + "\n\n" + ("b" * 25), ("b" * 25) + "\n\n" + ("c" * 150)))
+    // no carry: 180-char paragraphs exceed the 30-char overlap budget
+    assert(Chunker.split(("p" * 180) + "\n\n" + ("q" * 180) + "\n\n" + ("r" * 180), 200, 30) ===
+      List("p" * 180, "q" * 180, "r" * 180))
+    // character-level fallback: exact 200/30 sliding windows over 450 chars
+    assert(Chunker.split("x" * 450, 200, 30) ===
+      List("x" * 200, "x" * 200, "x" * 110))
+  }
+
   test("generator plans a Generate node with no shuffle") {
     val plan = graft.ops.Chunking.chunkDocuments(
       Tables.documents(spark, sf), 200, 30).queryExecution.executedPlan.toString
