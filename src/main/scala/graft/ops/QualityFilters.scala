@@ -256,13 +256,67 @@ object QualityFilters extends QueryModule {
        |         + len(regexp_extract_all(after_ip, '$PhoneRe')) > 0 AS has_pii
        |FROM r2 ORDER BY doc_id""".stripMargin
 
+  // ---- URL / domain extraction ----
+
+  /** Planted docs with URLs; the real corpus has none (no '/' or ':'), so
+    * it again doubles as the no-false-positives case.
+    */
+  private val plantedUrlDocs = Seq(
+    (930100L, "See https://docs.example.com/spark/tuning and http://example.com/faq for more."),
+    (930101L, "Mirrors: https://cdn.mirror.org/a/b/c.html plus https://docs.example.com/other page."),
+    (930102L, "Bare domain text example.com is not a link; ftp://old.example.net/file is."))
+
+  private val UrlRe = "(?:https?|ftp)://[A-Za-z0-9.-]+(?:/[^ ]*)?"
+  private val DomainRe = "(?:https?|ftp)://([A-Za-z0-9.-]+)"
+
+  /** Per-domain link counts over the corpus — the domain-blocklist /
+    * mixture-by-source signal every web-corpus pipeline computes. Explode
+    * the extracted URLs, regex out the host, aggregate on (domain): one
+    * equi-key shuffle of short strings, text never moves.
+    */
+  def urlDomains(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = plantedUrlDocs.toDF("doc_id", "text")
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"), regexp_extract(col("url"), DomainRe, 1).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("domain")
+  }
+
+  private val plantedUrlDocsSql = plantedUrlDocs
+    .map { case (id, text) => s"($id, ${sqlQuote(text)})" }
+    .mkString(",\n    ")
+
+  private val urlDomainsSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    $plantedUrlDocsSql) AS planted(doc_id, text)),
+       |u AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '$UrlRe')) AS url
+       |  FROM docs)
+       |SELECT regexp_extract(url, '$DomainRe', 1) AS domain,
+       |       count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+       |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_metrics" -> repetitionMetrics,
     "line_filter_c4" -> lineFilterC4,
-    "pii_redaction" -> piiRedaction)
+    "pii_redaction" -> piiRedaction,
+    "url_domains" -> urlDomains)
 
   def oracles: Map[String, String] = Map(
     "repetition_metrics" -> repetitionMetricsSql,
     "line_filter_c4" -> lineFilterC4Sql,
-    "pii_redaction" -> piiRedactionSql)
+    "pii_redaction" -> piiRedactionSql,
+    "url_domains" -> urlDomainsSql)
 }

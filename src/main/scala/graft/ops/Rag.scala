@@ -372,7 +372,84 @@ object Rag extends QueryModule {
        |SELECT doc_id, bm25, n_terms_matched FROM scored
        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** The reference's interactive loop made driver-visible end to end
+    * (`Auto_query_rag_database.py:541-563`: conversation follow-ups reuse
+    * prior context; mode toggles change k / threshold / reranker between
+    * turns). A scripted three-turn session, entirely on the
+    * SQL-expressible retrieval paths so the WHOLE session hash-compares:
+    *
+    *  - turn 1 (defaults): lexical top-3 for the base query, threshold 0;
+    *  - turn 2 (follow-up + threshold toggle): the query is the follow-up
+    *    text CONCATENATED with turn 1's top-1 document — context reuse as
+    *    a declarative broadcast, no driver round-trip — threshold 0.15;
+    *  - turn 3 (reranker toggle): BM25 ordering instead of lexical
+    *    cosine, top-3.
+    *
+    * Output is (turn, rank, doc_id, score); per-turn rank windows run over
+    * limit-3 frames (bounded partitions at any scale).
+    */
+  def interactiveReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val followUp = "shuffle partition skew"
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+    val lex1 = docs.withColumn("score", lexicalScore(lit(DefaultQuery), col("text")))
+    val t1 = lex1.orderBy(col("score").desc, col("doc_id").asc).limit(3)
+      .select(lit(1).as("turn"), col("doc_id"), col("score"))
+    val ctx = lex1.orderBy(col("score").desc, col("doc_id").asc).limit(1)
+      .select(col("text").as("ctx"))
+    val t2 = docs.crossJoin(broadcast(ctx))
+      .withColumn("score",
+        lexicalScore(concat(lit(followUp + " "), col("ctx")), col("text")))
+      .filter(col("score") > 0.15)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(3)
+      .select(lit(2).as("turn"), col("doc_id"), col("score"))
+    val t3 = bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(3)
+      .select(lit(3).as("turn"), col("doc_id"), col("bm25").as("score"))
+    val w = Window.partitionBy(col("turn"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    t1.union(t2).union(t3)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select("turn", "rank", "doc_id", "score")
+      .orderBy("turn", "rank")
+  }
+
+  private def lexListSql(queryExpr: String): String =
+    s"""round(
+       |      len(list_intersect(
+       |        list_distinct(list_filter(string_split_regex(lower($queryExpr), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0)),
+       |        list_distinct(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0))))
+       |      / sqrt(
+       |          len(list_distinct(list_filter(string_split_regex(lower($queryExpr), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0)))::DOUBLE
+       |        * len(list_distinct(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0)))::DOUBLE), 6)""".stripMargin
+
+  private val interactiveReplaySql =
+    s"""WITH lex1 AS (
+       |  SELECT doc_id, text, ${lexListSql(s"'$DefaultQuery'")} AS score
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |t1 AS (SELECT 1 AS turn, doc_id, score FROM lex1
+       |       ORDER BY score DESC, doc_id ASC LIMIT 3),
+       |ctx AS (SELECT text AS ctxt FROM lex1 ORDER BY score DESC, doc_id ASC LIMIT 1),
+       |lex2 AS (
+       |  SELECT d.doc_id,
+       |         ${lexListSql("'shuffle partition skew ' || ctx.ctxt")} AS score
+       |  FROM (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0) d
+       |       CROSS JOIN ctx),
+       |t2 AS (SELECT 2 AS turn, doc_id, score FROM lex2 WHERE score > 0.15
+       |       ORDER BY score DESC, doc_id ASC LIMIT 3),
+       |bm AS ($bm25ScoresSql),
+       |t3 AS (SELECT 3 AS turn, doc_id, bm25 AS score FROM bm
+       |       ORDER BY bm25 DESC, doc_id ASC LIMIT 3),
+       |u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3)
+       |SELECT turn,
+       |       CAST(row_number() OVER (PARTITION BY turn ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       |       doc_id, score
+       |FROM u ORDER BY turn, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interactive_replay" -> interactiveReplay,
     "rerank_topn" -> rerankTopn,
     "rerank_score_stats" -> rerankScoreStats,
     "rerank_zip" -> rerankZipQ,
@@ -383,6 +460,7 @@ object Rag extends QueryModule {
     "bm25_topn" -> bm25Topn)
 
   def oracles: Map[String, String] = Map(
+    "interactive_replay" -> interactiveReplaySql,
     "rerank_topn" -> rerankTopnSql,
     "rerank_score_stats" -> rerankScoreStatsSql,
     "rerank_zip" -> rerankZipSql,

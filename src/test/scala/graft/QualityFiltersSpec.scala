@@ -87,6 +87,17 @@ class QualityFiltersSpec extends SparkSpec {
       "Mixed case: <EMAIL> connects from <IP> phone <PHONE>.")
   }
 
+  test("url_domains: planted links aggregate by host, corpus contributes none") {
+    val out = SparkEntry.queries("url_domains")(spark, sf).collect()
+    val byDomain = out.map(r => r.getAs[String]("domain") ->
+      (r.getAs[Long]("n_links"), r.getAs[Long]("n_docs"))).toMap
+    assert(byDomain("docs.example.com") === ((2L, 2L)))
+    assert(byDomain("example.com") === ((1L, 1L)))
+    assert(byDomain("cdn.mirror.org") === ((1L, 1L)))
+    assert(byDomain("old.example.net") === ((1L, 1L)))
+    assert(out.map(_.getAs[Long]("n_links")).sum === 5L) // nothing from the corpus
+  }
+
   test("pii_redaction: zero false positives on the clean corpus") {
     val clean = SparkEntry.queries("pii_redaction")(spark, sf)
       .filter("doc_id < 900000 AND has_pii").count()

@@ -34,6 +34,16 @@ class RagSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3, 4, 5))
   }
 
+  test("interactive_replay: three turns, ranks dense per turn, follow-up nonempty") {
+    val out = SparkEntry.queries("interactive_replay")(spark, sf).collect()
+    val byTurn = out.groupBy(_.getAs[Int]("turn"))
+    assert(byTurn.keySet === Set(1, 2, 3))
+    byTurn.foreach { case (turn, rows) =>
+      assert(rows.nonEmpty && rows.length <= 3, s"turn $turn: ${rows.length} rows")
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
   test("rerank_topn is ordered desc with id tiebreak and capped at 20") {
     val out = SparkEntry.queries("rerank_topn")(spark, sf).collect()
     assert(out.length <= 20 && out.nonEmpty)
