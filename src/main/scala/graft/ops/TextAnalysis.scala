@@ -584,7 +584,53 @@ object TextAnalysis extends QueryModule {
       |       count(*) AS docs_total
       |FROM w GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Sequence packing / shard assignment by cumulative token budget — the
+    * step that turns a curated corpus into fixed-size pretraining shards
+    * (each shard holds ~seqLen tokens of consecutive documents). Documents
+    * are laid out deterministically (per-lang, doc_id order), a running
+    * token sum places each doc, and its shard is the bin its START offset
+    * falls in: `shard = (cum - n_tokens) DIV seqLen`. Pure window
+    * arithmetic — identical in DuckDB, so the whole layout hash-compares.
+    *
+    * Scale note: the running sum partitions by lang, which is unbounded at
+    * 100 TB; production runs the same expression partitioned by
+    * (lang, content-hash prefix) so every window partition is bounded —
+    * the layout stays deterministic, only the partition key widens.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqLen = 4096
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(tokensCol(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard",
+        expr(s"(cum_tokens - n_tokens) DIV $seqLen"))
+      .withColumn("offset_in_shard",
+        expr(s"(cum_tokens - n_tokens) % $seqLen"))
+      .orderBy("lang", "doc_id")
+  }
+
+  private val packSequencesSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                         x -> length(x) > 0)) AS n_tokens
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+      |           AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens, cum_tokens,
+      |       (cum_tokens - n_tokens) // 4096 AS shard,
+      |       (cum_tokens - n_tokens) % 4096 AS offset_in_shard
+      |FROM c ORDER BY lang, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
     "mixture_weights" -> mixtureWeights,
     "decontaminate_planted" -> decontaminatePlanted,
@@ -598,6 +644,7 @@ object TextAnalysis extends QueryModule {
     "fingerprint_planted_containment" -> fingerprintPlantedContainment)
 
   def oracles: Map[String, String] = Map(
+    "pack_sequences" -> packSequencesSql,
     "stratified_sample" -> stratifiedSampleSql,
     "mixture_weights" -> mixtureWeightsSql,
     "decontaminate_planted" -> decontaminatePlantedSql,

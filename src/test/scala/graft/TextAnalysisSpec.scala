@@ -115,6 +115,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("pack_sequences: contiguous per-lang layout, offsets bounded by seqLen") {
+    val out = SparkEntry.queries("pack_sequences")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      var prevCum = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        // contiguous layout: each doc starts where the previous ended
+        assert(r.getAs[Long]("cum_tokens") ===
+          prevCum + r.getAs[Int]("n_tokens"))
+        val start = r.getAs[Long]("cum_tokens") - r.getAs[Int]("n_tokens")
+        assert(r.getAs[Long]("shard") === start / 4096)
+        assert(r.getAs[Long]("offset_in_shard") === start % 4096)
+        prevCum = r.getAs[Long]("cum_tokens")
+      }
+    }
+  }
+
   test("decontamination flags exactly the planted benchmark copies") {
     val rows = SparkEntry.queries("decontaminate_planted")(spark, sf).collect()
     assert(rows.length === 40)
