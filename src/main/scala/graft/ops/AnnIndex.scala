@@ -42,6 +42,33 @@ object AnnIndex extends QueryModule {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("bucket"))
 
+  /** Contract oracle for the bucket histogram (the lsh_buckets /
+    * lsh_bucket_stats pair is engine-seeded and can't hash-compare, but
+    * its INVARIANTS can): every vector assigned exactly one bucket in
+    * [0, 2^nBits), histogram total equals the corpus count, at most
+    * 2^nBits buckets. One violation row per breach; oracle = empty set.
+    */
+  def lshBucketInvariants(spark: SparkSession, dir: String): DataFrame = {
+    val stats = lshBucketStats(spark, dir)
+    val nBuckets = 1 << 6 // defaultLsh nBits
+    val corpusCount = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("n")).select(col("n"))
+    val outOfRange = stats
+      .filter(col("bucket") < 0 || col("bucket") >= nBuckets)
+      .select(lit("bucket_range").as("violation"), col("bucket").cast("long").as("detail"))
+    val totals = stats.agg(sum(col("n_vectors")).as("total"),
+        count(lit(1)).as("n_buckets"))
+      .crossJoin(corpusCount)
+    val badTotal = totals.filter(col("total") =!= col("n"))
+      .select(lit("total_mismatch").as("violation"), col("total").cast("long").as("detail"))
+    val badCardinality = totals.filter(col("n_buckets") > nBuckets)
+      .select(lit("too_many_buckets").as("violation"), col("n_buckets").cast("long").as("detail"))
+    outOfRange.union(badTotal).union(badCardinality).orderBy("violation")
+  }
+
+  private val lshBucketInvariantsSql =
+    """SELECT NULL::VARCHAR AS violation, NULL::BIGINT AS detail WHERE false""".stripMargin
+
   /** Nine exact copies of stored vector 0 at ids 100000..100008 — the
     * self-query construction that makes the pruned top-k oracle-checkable:
     * identical vectors share vector 0's bucket/cluster by construction and
@@ -263,6 +290,7 @@ object AnnIndex extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_gate" -> annRecallGate,
+    "lsh_bucket_invariants" -> lshBucketInvariants,
     "lsh_buckets" -> lshBuckets,
     "lsh_bucket_stats" -> lshBucketStats,
     "ann_lsh_topk" -> annLshTopk,
@@ -273,6 +301,7 @@ object AnnIndex extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "ann_recall_gate" -> annRecallGateSql,
+    "lsh_bucket_invariants" -> lshBucketInvariantsSql,
     "ann_lsh_topk" -> annSelfQueryTopkSql,
     "ann_ivf_topk" -> annSelfQueryTopkSql,
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,

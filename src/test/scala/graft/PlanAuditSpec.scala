@@ -183,6 +183,29 @@ class PlanAuditSpec extends SparkSpec {
       s"repetition scan reads more than needed: $c"))
   }
 
+  test("url_domains and pack_sequences: partial aggs / single window exchange") {
+    val ud = SparkEntry.queries("url_domains")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val firstExchange = ud.indexOf("Exchange")
+    assert(firstExchange >= 0 && ud.lastIndexOf("HashAggregate") > firstExchange,
+      s"url_domains: no partial aggregate below the exchange:\n$ud")
+    val ps = SparkEntry.queries("pack_sequences")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one hashpartitioning exchange feeds the window; the rest is the
+    // presentation sort
+    assert("Exchange hashpartitioning".r.findAllIn(ps).length === 1,
+      s"pack_sequences must shuffle exactly once for the window:\n$ps")
+  }
+
+  test("interactive_replay: context reuse broadcasts, turns are TakeOrdered") {
+    val plan = SparkEntry.queries("interactive_replay")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"turn-2 context must broadcast its single row:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"per-turn top-k must plan TakeOrdered, not a full sort:\n$plan")
+  }
+
   test("corpus_curation evaluates the fused metrics UDF exactly once per row") {
     // Regression guard: filter pushdown once substituted the struct fields
     // and evaluated the UDF (and its tokenize) SEVEN times per row; the
