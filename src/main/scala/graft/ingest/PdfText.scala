@@ -250,14 +250,14 @@ object PdfText {
   /** A font's code→text mapping from its /ToUnicode CMap. `codeLen` is the
     * code width in bytes (1 for simple fonts, 2 for CID/Identity-H).
     */
-  private[ingest] final case class CMap(codeLen: Int, map: Map[Int, String])
+  private[graft] final case class CMap(codeLen: Int, map: Map[Int, String])
 
   /** Parse bfchar + bfrange sections of a ToUnicode CMap stream. Range
     * destinations support both the scalar form (`<lo> <hi> <dstLo>`, last
     * code unit incremented per step) and the array form
     * (`<lo> <hi> [<d0> <d1> …]`).
     */
-  private[ingest] def parseCMap(s: String): Option[CMap] = {
+  private[graft] def parseCMap(s: String): Option[CMap] = {
     val entries = scala.collection.mutable.Map.empty[Int, String]
     var codeLen = 1
     def noteSrc(hex: String): Int = {

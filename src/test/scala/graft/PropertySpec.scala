@@ -115,6 +115,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("parseCMap: random bfchar tables round-trip every entry") {
+    import graft.ingest.PdfText
+    val entryGen = for {
+      n <- Gen.choose(1, 30)
+      codes <- Gen.listOfN(n, Gen.choose(1, 0xFFFE))
+      dsts <- Gen.listOfN(n, Gen.choose(0x20, 0xD700)) // below surrogates
+    } yield codes.distinct.zip(dsts)
+    samples(entryGen, 100).filter(_.nonEmpty).foreach { entries =>
+      val src = "2 beginbfchar\n" +
+        entries.map { case (c, d) => f"<$c%04X> <$d%04X>" }.mkString("\n") +
+        "\nendbfchar"
+      val cm = PdfText.parseCMap(src).get
+      assert(cm.codeLen === 2)
+      entries.foreach { case (c, d) =>
+        assert(cm.map(c) === d.toChar.toString,
+          f"code $c%04X should map to $d%04X")
+      }
+    }
+  }
+
+  test("parseCMap: bfrange scalar form increments the last code unit per step") {
+    import graft.ingest.PdfText
+    val g = for {
+      lo <- Gen.choose(0x100, 0xF000)
+      len <- Gen.choose(0, 50)
+      dst <- Gen.choose(0x41, 0xD000)
+    } yield (lo, lo + len, dst)
+    samples(g, 100).foreach { case (lo, hi, dst) =>
+      val src = f"1 beginbfrange%n<$lo%04X> <$hi%04X> <$dst%04X>%nendbfrange"
+      val cm = PdfText.parseCMap(src).get
+      (lo to hi).foreach { c =>
+        assert(cm.map(c) === (dst + (c - lo)).toChar.toString)
+      }
+    }
+  }
+
   test("langId: deterministic, score in [0, 1e6], known-language sentences classify") {
     samples(textGen).foreach { t =>
       val (s1, l1) = TextAnalysis.langIdScala(t)
