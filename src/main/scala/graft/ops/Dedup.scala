@@ -426,7 +426,106 @@ object Dedup extends QueryModule {
   def simhashNearDupesQ(spark: SparkSession, dir: String): DataFrame =
     simhashNearDupes(spark, dir)
 
+  // ---- near-dup cluster resolution (connected components) ----
+
+  /** Connected components over a duplicate-pair graph by join-based
+    * min-label propagation — the cluster-resolution step every production
+    * dedup pipeline runs after pair generation (keep ONE representative
+    * per component, not per pair). Each iteration sends every node's label
+    * across its edges and keeps the minimum; convergence in O(component
+    * diameter) iterations, each a pair-key equi-join + min aggregation.
+    * The driver loop only checks a scalar convergence flag per iteration
+    * (the standard Spark CC pattern; at extreme scale the large-star/
+    * small-star variant — Kiveris et al. 2014 — lowers the iteration
+    * count, same join shape). Labels cache per iteration and the previous
+    * iteration unpersists, so peak storage is two label tables.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label")).union(msgs)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count() // scalar convergence probe, bounded driver cost
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
+  /** Planted edge structure exercising multi-hop propagation: a 5-node
+    * chain (min sits at one END — labels must travel the full diameter),
+    * a 4-node star, and an isolated pair. Literals are mirrored in the
+    * oracle, which resolves components independently via a recursive
+    * reachability CTE.
+    */
+  private val plantedEdges = Seq(
+    (800004L, 800003L), (800003L, 800002L), (800002L, 800001L), (800001L, 800000L),
+    (800010L, 800011L), (800010L, 800012L), (800010L, 800013L),
+    (800020L, 800021L))
+
+  /** Cluster resolution driver row: planted chain/star/pair edges UNIONED
+    * with the corpus's real exact-dup pairs (each non-representative doc
+    * edged to its md5-group min — present at sf0.1, empty at smaller SFs;
+    * the oracle derives them identically). Label propagation must agree
+    * with the oracle's independent recursive-CTE reachability answer.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = plantedEdges.toDF("src", "dst")
+    val md5Edges = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("src"), collect_set(col("doc_id")).as("ids"))
+      .select(col("src"), explode(col("ids")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val comp = connectedComponents(planted.union(md5Edges))
+    val sizes = comp.groupBy(col("label"))
+      .agg(count(lit(1)).as("component_size"))
+    comp.join(sizes, Seq("label"))
+      .select(col("node"), col("label").as("component"), col("component_size"))
+      .orderBy("node")
+  }
+
+  private val plantedEdgesSql = plantedEdges
+    .map { case (s, d) => s"($s::BIGINT, $d::BIGINT)" }.mkString(", ")
+
+  private val dedupComponentsSql =
+    s"""WITH RECURSIVE
+       |dup AS (SELECT doc_id, md5(text) AS h FROM documents
+       |        WHERE length(trim(text)) > 0),
+       |g AS (SELECT h, min(doc_id) AS rep FROM dup GROUP BY h HAVING count(*) > 1),
+       |md5e AS (SELECT g.rep AS src, d.doc_id AS dst
+       |         FROM g JOIN dup d USING (h) WHERE d.doc_id != g.rep),
+       |edges AS (SELECT * FROM (VALUES $plantedEdgesSql) AS v(src, dst)
+       |          UNION ALL SELECT src, dst FROM md5e),
+       |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |walk(node, reach) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+       |comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
+       |SELECT c.node, c.component, s.component_size
+       |FROM comp c JOIN (SELECT component, count(*) AS component_size
+       |                  FROM comp GROUP BY component) s USING (component)
+       |ORDER BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> dedupComponents,
     "dedup_exact" -> dedupExact,
     "dedup_exact_stats" -> dedupExactStats,
     "incremental_new_docs" -> incrementalNewDocs,
@@ -438,6 +537,7 @@ object Dedup extends QueryModule {
     "embedding_near_dupes" -> embeddingNearDupes)
 
   def oracles: Map[String, String] = Map(
+    "dedup_components" -> dedupComponentsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_stats" -> dedupExactStatsSql,
     "incremental_new_docs" -> incrementalNewDocsSql,

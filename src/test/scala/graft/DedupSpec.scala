@@ -118,4 +118,26 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("jaccard") >= 0.5)
     }
   }
+
+  test("dedup_components: chain propagates min across full diameter, star and pair resolve") {
+    val out = SparkEntry.queries("dedup_components")(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("component"), r.getAs[Long]("component_size"))).toMap
+    // 5-node chain: min (800000) sits at one end, 4 hops from 800004
+    (800000L to 800004L).foreach(n => assert(out(n) === ((800000L, 5L)), s"chain node $n"))
+    // 4-node star centered on 800010
+    (800010L to 800013L).foreach(n => assert(out(n) === ((800010L, 4L)), s"star node $n"))
+    // isolated pair
+    assert(out(800020L) === ((800020L, 2L)))
+    assert(out(800021L) === ((800020L, 2L)))
+  }
+
+  test("connectedComponents merges two chains linked by a bridge edge") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (3L, 10L))
+      .toDF("src", "dst")
+    val comp = graft.ops.Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    Seq(1L, 2L, 3L, 10L, 11L, 12L).foreach(n => assert(comp(n) === 1L))
+  }
 }
