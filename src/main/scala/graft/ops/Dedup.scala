@@ -441,9 +441,13 @@ object Dedup extends QueryModule {
     * iteration unpersists, so peak storage is two label tables.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // cache the symmetrized edges: every iteration's message join AND
+    // convergence probe traverses them, and the edge lineage may embed an
+    // expensive pair-generation DAG (md5 aggregation, LSH banding, …)
+    // that must not replay once per iteration
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct().cache()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).cache()
     var converged = false
