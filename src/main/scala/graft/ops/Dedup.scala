@@ -441,15 +441,18 @@ object Dedup extends QueryModule {
     * iteration unpersists, so peak storage is two label tables.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // cache the symmetrized edges: every iteration's message join AND
-    // convergence probe traverses them, and the edge lineage may embed an
-    // expensive pair-generation DAG (md5 aggregation, LSH banding, …)
-    // that must not replay once per iteration
+    // localCheckpoint, not cache: each iteration's plan references the
+    // previous labels TWICE (identity ∪ messages), so an un-truncated
+    // logical plan doubles per iteration and Catalyst analysis time goes
+    // exponential — the classic iterative-Spark trap. Checkpointing cuts
+    // the lineage to a materialized RDD, keeping every iteration's plan
+    // constant-size; it also stops the edge lineage (md5 aggregation, LSH
+    // banding, …) replaying once per iteration.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+      .withColumn("label", col("node")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -457,12 +460,11 @@ object Dedup extends QueryModule {
         .select(sym("src").as("node"), col("label"))
       val next = labels.select(col("node"), col("label")).union(msgs)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label"))
         .limit(1).count() // scalar convergence probe, bounded driver cost
-      labels.unpersist()
       labels = next
       converged = changed == 0L
       iter += 1
