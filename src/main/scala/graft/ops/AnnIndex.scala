@@ -119,6 +119,33 @@ object AnnIndex extends QueryModule {
       defaultLsh, queryVec(spark, dir, 0L), k = 10, radius = 2)
       .select("vec_id", "score")
 
+  /** The PERSISTED LSH index path end-to-end under the same self-query
+    * oracle (the quantized_index_knn pattern for the partition-pruned
+    * scan): build the partitionBy(bucket) parquet index, read it back, and
+    * retrieve with a literal probe-bucket filter — which Spark turns into
+    * PARTITION pruning at the source (only radius-2 probe directories are
+    * listed/read; the plan audit asserts the PartitionFilters). A
+    * regression in index layout, bucket partitioning, or the probe filter
+    * perturbs the row set against the exact oracle.
+    */
+  def annLshIndexTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshindex_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    IndexBuilder.buildLshIndex(
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", defaultLsh, path)
+    val index = spark.read.parquet(path)
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    index.filter(col("bucket").isin(probes: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
   /** IVF analog of annLshTopk: the planted copies assign to vector 0's
     * cluster (assignment is a pure function of the vector under the
     * deterministic seeded fit) and vec 0's own cluster is by definition the
@@ -294,6 +321,7 @@ object AnnIndex extends QueryModule {
     "lsh_buckets" -> lshBuckets,
     "lsh_bucket_stats" -> lshBucketStats,
     "ann_lsh_topk" -> annLshTopk,
+    "ann_lsh_index_topk" -> annLshIndexTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_sq8_topk" -> annIvfSq8Topk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
@@ -303,6 +331,7 @@ object AnnIndex extends QueryModule {
     "ann_recall_gate" -> annRecallGateSql,
     "lsh_bucket_invariants" -> lshBucketInvariantsSql,
     "ann_lsh_topk" -> annSelfQueryTopkSql,
+    "ann_lsh_index_topk" -> annSelfQueryTopkSql,
     "ann_ivf_topk" -> annSelfQueryTopkSql,
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,

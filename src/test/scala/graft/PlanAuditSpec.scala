@@ -142,6 +142,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("persisted LSH index: probe filter becomes partition pruning at the scan") {
+    val df = SparkEntry.queries("ann_lsh_index_topk")(spark, sf)
+    val s = scans(df)
+    assert(s.nonEmpty)
+    val partFilters = s.head.partitionFilters.mkString(" ")
+    assert(partFilters.contains("bucket"),
+      s"probe set must prune bucket partitions, got: $partFilters")
+    // pruned scan must NOT read the bucket column as data (it's a
+    // partition key) nor carry a data-level bucket filter
+    assert(!s.head.requiredSchema.fieldNames.contains("bucket"),
+      "bucket must be a partition column, not data")
+  }
+
   test("pre-quantized index: the coarse scan reads codes only, no float column") {
     val dir = java.nio.file.Files.createTempDirectory("qindex_audit").toString
     graft.vector.Quantization.buildQuantizedIndex(
