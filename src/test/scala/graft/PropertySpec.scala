@@ -151,6 +151,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PdfText.extract: arbitrary byte blobs never throw, corrupt input yields None") {
+    import graft.ingest.PdfText
+    val blobGen = for {
+      n <- Gen.choose(0, 4096)
+      prefix <- Gen.oneOf("", "%PDF-1.4\n", "%PDF-")
+      bytes <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield prefix.getBytes("ISO-8859-1") ++ bytes
+    samples(blobGen, 150).foreach { blob =>
+      // contract: total function — corrupt input is a None, never an
+      // exception or a hang (the executor-task safety property)
+      val r = PdfText.extract(blob)
+      assert(r == null || r.isEmpty || r.isDefined) // any Option is fine
+    }
+    // structured-ish garbage: objects with streams of random bytes
+    val structured = for {
+      body <- Gen.listOfN(200, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield ("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /ObjStm /N 9999 /First 3 /Filter /FlateDecode >>\nstream\n")
+      .getBytes("ISO-8859-1") ++ body ++ "\nendstream\nendobj\n".getBytes("ISO-8859-1")
+    samples(structured, 50).foreach { blob =>
+      PdfText.extract(blob) // must return, whatever the value
+    }
+  }
+
   test("langId: deterministic, score in [0, 1e6], known-language sentences classify") {
     samples(textGen).foreach { t =>
       val (s1, l1) = TextAnalysis.langIdScala(t)
