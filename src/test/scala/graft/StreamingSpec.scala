@@ -161,6 +161,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: line filter + hash dedup compose in a stream with batch parity") {
+    // the curation stages are narrow projections + keyed dedup, so the
+    // SAME operators run unmodified inside a structured stream; the
+    // streaming answer must equal the batch answer on the same rows
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts(0), "This line is long enough to keep and ends well.\nshort"),
+      (2L, ts(1), "Another keeper line with the needed words here!"),
+      (3L, ts(2), "This line is long enough to keep and ends well.\nshort"), // dup of 1 by text
+      (4L, ts(3), "lorem ipsum dolor sit amet consectetur adipiscing."))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val lines = split(col("text"), "\n")
+      val kept = filter(lines, l =>
+        size(graft.ops.Dedup.tokensCol(l)) >= 5 &&
+          !l.contains("{") && !lower(l).contains("lorem ipsum") &&
+          trim(l).rlike("[.!?]$"))
+      df.withColumn("cleaned", array_join(kept, "\n"))
+        .filter(length(col("cleaned")) > 0)
+        .withColumn("content_hash", md5(col("cleaned")))
+    }
+    val streamed = EventStreams.dedupStream(
+      curate(mem.toDF().toDF("doc_id", "ts", "text")), "content_hash", "ts", "1 hour")
+    val q = streamed.writeStream.format("memory").queryName("curated_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val stream = spark.table("curated_stream")
+        .select("doc_id", "cleaned").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = curate(rows.toDF("doc_id", "ts", "text"))
+        .groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("cleaned")).as("cleaned"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("cleaned")).toMap
+      assert(stream === batch, "stream and batch curation must agree")
+      assert(stream.keySet === Set(1L, 2L), "doc 3 dedups against 1, doc 4 is all-lorem")
+    } finally q.stop()
+  }
+
   test("driver batch queries: hourly windows partition the event count") {
     val hourly = SparkEntry.queries("events_hourly")(spark, sf)
     val total = hourly.agg(sum("n_events")).head().getLong(0)
