@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 
@@ -489,17 +490,22 @@ object Dedup extends QueryModule {
     * the oracle derives them identically). Label propagation must agree
     * with the oracle's independent recursive-CTE reachability answer.
     */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val planted = plantedEdges.toDF("src", "dst")
-    val md5Edges = Tables.documents(spark, dir)
+  /** Exact-duplicate edges: each non-representative doc edged to its
+    * md5-group minimum (empty when the corpus has no exact dups).
+    */
+  private def md5DupEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("src"), collect_set(col("doc_id")).as("ids"))
       .select(col("src"), explode(col("ids")).as("dst"))
       .filter(col("src") =!= col("dst"))
-    val comp = connectedComponents(planted.union(md5Edges))
+
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = plantedEdges.toDF("src", "dst")
+    val comp = connectedComponents(planted.union(md5DupEdges(spark, dir)))
     val sizes = comp.groupBy(col("label"))
       .agg(count(lit(1)).as("component_size"))
     comp.join(sizes, Seq("label"))
@@ -530,8 +536,65 @@ object Dedup extends QueryModule {
        |                  FROM comp GROUP BY component) s USING (component)
        |ORDER BY node""".stripMargin
 
+  /** The dedup END STATE: near-dup pairs (exact n-gram Jaccard ≥ 0.5 on
+    * the capped window, the LSH-verified route at scale) plus exact md5
+    * dups resolved into clusters, then ONE canonical representative kept
+    * per cluster — longest text wins, doc_id breaks ties (the keep-best
+    * policy every production dedup pipeline ends with; pair lists alone
+    * under- or over-delete). Emits every clustered doc with its component,
+    * its cluster's canonical doc, and the keep/drop verdict; the oracle
+    * re-resolves clusters independently via recursive-CTE reachability.
+    *
+    * Scale: edges and labels shuffle by id only (text never moves);
+    * the canonical pick is one window over components — bounded by the
+    * largest near-dup cluster, not the corpus.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val jaccardEdges = ngramJaccardPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = connectedComponents(jaccardEdges.union(md5DupEdges(spark, dir)))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val wPick = Window.partitionBy(col("label"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    comp.join(docs, comp("node") === docs("doc_id"))
+      .select(col("doc_id"), col("label").as("component"), col("n_chars"),
+        first(col("doc_id")).over(wPick).as("canonical_doc"))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_doc"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupCanonicalSql =
+    s"""WITH RECURSIVE
+       |jp AS ($ngramJaccardPairsSql),
+       |dup AS (SELECT doc_id, md5(text) AS h FROM documents
+       |        WHERE length(trim(text)) > 0),
+       |g AS (SELECT h, min(doc_id) AS rep FROM dup GROUP BY h HAVING count(*) > 1),
+       |md5e AS (SELECT g.rep AS src, d.doc_id AS dst
+       |         FROM g JOIN dup d USING (h) WHERE d.doc_id != g.rep),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+       |          UNION ALL SELECT src, dst FROM md5e),
+       |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |walk(node, reach) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+       |comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
+       |SELECT c.node AS doc_id, c.component, d.n_chars,
+       |       first_value(c.node) OVER (
+       |         PARTITION BY c.component ORDER BY d.n_chars DESC, c.node ASC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |         AS canonical_doc,
+       |       c.node = first_value(c.node) OVER (
+       |         PARTITION BY c.component ORDER BY d.n_chars DESC, c.node ASC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |         AS is_canonical
+       |FROM comp c JOIN documents d ON d.doc_id = c.node
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> dedupComponents,
+    "dedup_canonical" -> dedupCanonical,
     "dedup_exact" -> dedupExact,
     "dedup_exact_stats" -> dedupExactStats,
     "incremental_new_docs" -> incrementalNewDocs,
@@ -544,6 +607,7 @@ object Dedup extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "dedup_components" -> dedupComponentsSql,
+    "dedup_canonical" -> dedupCanonicalSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_stats" -> dedupExactStatsSql,
     "incremental_new_docs" -> incrementalNewDocsSql,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 
@@ -110,6 +111,74 @@ object TextAnalysis extends QueryModule {
        |SELECT CAST(floor(quality_score * 10) AS INTEGER) AS quality_decile,
        |       count(*) AS n_docs, round(avg(n_words), 4) AS avg_words
        |FROM q GROUP BY 1 ORDER BY quality_decile""".stripMargin
+
+  /** Per-language quality-threshold calibration: discrete percentiles of
+    * the quality score (p10/p25/p50/p90) plus the adaptive-keep count at
+    * the per-language p25 — the "keep the best 75% of EACH language"
+    * curation policy, which a single global threshold can't express
+    * (languages with shorter average documents would be wiped out).
+    *
+    * Quantiles are DISCRETE (value at rank ⌈q·n⌉) computed in pure integer
+    * arithmetic — `(n*p + 99) DIV 100` — because interpolated percentiles
+    * and float rank positions (`0.1 * n`) both produce engine-dependent
+    * last-ulp/decimal-vs-binary disagreements. All outputs are BIGINT.
+    *
+    * Scale: one sort per language partition (the rank window), one 5-row
+    * broadcast back for the keep count. At 100 TB the window key stays
+    * `lang` (bounded cardinality ⇒ potential skew — production would
+    * compute ranks via a two-pass histogram instead; same contract).
+    */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val nWords = size(toks)
+    val wordChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val stopHits = size(filter(toks, t => array_contains(typedlit(EnglishStopwords), t)))
+    val scored = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"),
+        nWords.as("n_words"),
+        round(wordChars / nWords.cast("double"), 6).as("avg_word_len"),
+        stopHits.as("stop_hits"))
+      .withColumn("quality_score", qualityScoreCol)
+      .select(col("lang"),
+        round(col("quality_score") * 1000).cast("long").as("score_milli"))
+    val ranked = scored.select(col("lang"), col("score_milli"),
+      row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("score_milli"))).as("rn"),
+      count(lit(1)).over(Window.partitionBy(col("lang"))).as("n"))
+    def pAt(p: Int): Column =
+      min(when(col("rn") === expr(s"(n * $p + 99) DIV 100"), col("score_milli")))
+        .as(s"p${p}_milli")
+    val thresholds = ranked.groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"), pAt(10), pAt(25), pAt(50), pAt(90))
+    val kept = scored
+      .join(broadcast(thresholds.select(col("lang"), col("p25_milli"))), Seq("lang"))
+      .filter(col("score_milli") >= col("p25_milli"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_keep"))
+    thresholds.join(kept, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("p10_milli"), col("p25_milli"),
+        col("p50_milli"), col("p90_milli"), col("n_keep"))
+      .orderBy("lang")
+  }
+
+  private val qualityCalibrationSql =
+    s"""WITH base AS ($textQualitySql),
+       |q AS (SELECT d.lang, CAST(round(b.quality_score * 1000) AS BIGINT) AS score_milli
+       |      FROM base b JOIN documents d USING (doc_id)),
+       |r AS (SELECT lang, score_milli,
+       |             row_number() OVER (PARTITION BY lang ORDER BY score_milli) AS rn,
+       |             count(*) OVER (PARTITION BY lang) AS n
+       |      FROM q),
+       |t AS (SELECT lang, max(n) AS n_docs,
+       |             min(CASE WHEN rn = (n * 10 + 99) // 100 THEN score_milli END) AS p10_milli,
+       |             min(CASE WHEN rn = (n * 25 + 99) // 100 THEN score_milli END) AS p25_milli,
+       |             min(CASE WHEN rn = (n * 50 + 99) // 100 THEN score_milli END) AS p50_milli,
+       |             min(CASE WHEN rn = (n * 90 + 99) // 100 THEN score_milli END) AS p90_milli
+       |      FROM r GROUP BY lang)
+       |SELECT lang, n_docs, p10_milli, p25_milli, p50_milli, p90_milli,
+       |       (SELECT count(*) FROM q
+       |        WHERE q.lang = t.lang AND q.score_milli >= t.p25_milli) AS n_keep
+       |FROM t ORDER BY lang""".stripMargin
 
   // ---- token counting ----
 
@@ -637,6 +706,7 @@ object TextAnalysis extends QueryModule {
     "corpus_curation" -> corpusCuration,
     "text_quality" -> textQuality,
     "quality_histogram" -> qualityHistogram,
+    "quality_calibration" -> qualityCalibration,
     "token_counts" -> tokenCounts,
     "lang_id" -> langId,
     "doc_fingerprints" -> docFingerprints,
@@ -651,6 +721,7 @@ object TextAnalysis extends QueryModule {
     "corpus_curation" -> corpusCurationSql,
     "text_quality" -> textQualitySql,
     "quality_histogram" -> qualityHistogramSql,
+    "quality_calibration" -> qualityCalibrationSql,
     "token_counts" -> tokenCountsSql,
     "lang_id" -> langIdSql,
     "fingerprint_planted_containment" -> fingerprintPlantedContainmentSql)

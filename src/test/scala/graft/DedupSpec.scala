@@ -132,6 +132,22 @@ class DedupSpec extends SparkSpec {
     assert(out(800021L) === ((800020L, 2L)))
   }
 
+  test("dedup_canonical: one canonical per component, and it is the longest member") {
+    val rows = SparkEntry.queries("dedup_canonical")(spark, sf).collect()
+    val byComponent = rows.groupBy(_.getAs[Long]("component"))
+    assert(byComponent.nonEmpty, "expected at least one near-dup cluster at sf0.001")
+    byComponent.foreach { case (c, members) =>
+      assert(members.length >= 2, s"component $c: clusters come from pairs")
+      val canon = members.filter(_.getAs[Boolean]("is_canonical"))
+      assert(canon.length === 1, s"component $c: exactly one canonical")
+      val maxChars = members.map(_.getAs[Long]("n_chars")).max
+      assert(canon.head.getAs[Long]("n_chars") === maxChars,
+        s"component $c: canonical must be the longest member")
+      assert(members.map(_.getAs[Long]("canonical_doc")).distinct.length === 1,
+        s"component $c: members agree on the canonical doc")
+    }
+  }
+
   test("connectedComponents merges two chains linked by a bridge edge") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (3L, 10L))

@@ -101,6 +101,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(SparkEntry.queries("doc_fingerprints")(spark, sf).count() > 0)
   }
 
+  test("quality_calibration: ordered percentiles, per-lang adaptive keep near 75%") {
+    val rows = SparkEntry.queries("quality_calibration")(spark, sf).collect()
+    val langs = Tables.documents(spark, sf)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getAs[String]("lang")).toSet === langs)
+    rows.foreach { r =>
+      val Seq(p10, p25, p50, p90) = Seq("p10_milli", "p25_milli", "p50_milli", "p90_milli")
+        .map(r.getAs[Long])
+      assert(p10 <= p25 && p25 <= p50 && p50 <= p90, s"percentiles ordered: $r")
+      assert(p10 >= 0 && p90 <= 1000, "score_milli lives in [0, 1000]")
+      val n = r.getAs[Long]("n_docs")
+      val keep = r.getAs[Long]("n_keep")
+      // at least everything at rank >= ceil(0.25 n) survives; ties only add
+      assert(keep >= n - (n * 25 + 99) / 100 + 1 && keep <= n,
+        s"lang ${r.getAs[String]("lang")}: keep $keep of $n")
+    }
+  }
+
   test("stratified sample: deterministic, rate near per-lang quota, subset of corpus") {
     val s1 = SparkEntry.queries("stratified_sample")(spark, sf).collect()
     val s2 = SparkEntry.queries("stratified_sample")(spark, sf).collect()
