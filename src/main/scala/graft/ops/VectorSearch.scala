@@ -249,7 +249,60 @@ object VectorSearch extends QueryModule {
     graft.vector.Quantization.quantizedKnn(index, "embedding", "vec_id", qv, k = 10)
   }
 
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims: a ±1 sign
+    * matrix (Achlioptas 2003 — database-friendly random projections)
+    * applied as a pure narrow map, the standard trick to cut ANN memory
+    * and bandwidth 4× before bucketing. The matrix is derived from md5
+    * parity so BOTH engines construct bit-identical signs, and the dot
+    * product folds strictly left-to-right in both (Spark `aggregate`,
+    * DuckDB `list_reduce`) — float addition isn't associative, so agreeing
+    * on the fold order is what makes the oracle compare exact.
+    *
+    * Scale: zero shuffle — the sign matrix is a plan literal (~1 KB) and
+    * each row projects independently; at 100 TB this is a map-only stage
+    * fused into whatever scan precedes it.
+    */
+  def embeddingProjection(spark: SparkSession, dir: String): DataFrame = {
+    val signs: Seq[Seq[Double]] = (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${i}_${j}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if ("02468ace".contains(hex.charAt(0))) 1.0 else -1.0
+      }
+    }
+    val m = typedlit(signs)
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(15)), j =>
+          round(
+            aggregate(
+              zip_with(col("embedding"), element_at(m, j + 1),
+                (x, s) => x.cast("double") * s),
+              lit(0.0), (acc, x) => acc + x) / 4.0,
+            6)).as("proj"))
+      .orderBy("vec_id")
+  }
+
+  private val embeddingProjectionSql =
+    """WITH m AS (
+      |  SELECT i.i, j.j,
+      |         CASE WHEN strpos('02468ace', substr(md5(i.i || '_' || j.j), 1, 1)) > 0
+      |              THEN 1.0 ELSE -1.0 END AS s
+      |  FROM generate_series(0, 63) i(i), generate_series(0, 15) j(j)),
+      |mm AS (SELECT j, list(s ORDER BY i) AS signs FROM m GROUP BY j)
+      |SELECT e.vec_id,
+      |       list(round(list_reduce(list_transform(generate_series(1, 64),
+      |              k -> e.embedding[k]::DOUBLE * mm.signs[k]),
+      |            (a, b) -> a + b) / 4.0, 6) ORDER BY mm.j) AS proj
+      |FROM embeddings e, mm
+      |WHERE e.vec_id < 200
+      |GROUP BY e.vec_id
+      |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_projection" -> embeddingProjection,
     "quantized_knn_topk" -> quantizedKnnTopk,
     "quantized_index_knn" -> quantizedIndexKnn,
     "knn_exact_topk" -> knnExactTopk,
@@ -261,6 +314,7 @@ object VectorSearch extends QueryModule {
     "embed_selfknn_planted" -> embedSelfKnnPlanted)
 
   def oracles: Map[String, String] = Map(
+    "embedding_projection" -> embeddingProjectionSql,
     "quantized_knn_topk" -> knnExactTopkSql, // quantized path must equal exact
     "quantized_index_knn" -> knnExactTopkSql, // stored-codes path must equal exact too
     "knn_exact_topk" -> knnExactTopkSql,

@@ -123,6 +123,30 @@ class VectorSearchSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq === (0L +: (100000L to 100008L)))
   }
 
+  test("embedding_projection: JL map preserves relative distances on average") {
+    import org.apache.spark.sql.functions.col
+    val proj = SparkEntry.queries("embedding_projection")(spark, sf)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("proj").toArray).toMap
+    val orig = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    assert(proj.keySet === orig.keySet)
+    assert(proj.values.forall(_.length === 16))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // JL with k=16: individual pair error can be large, the MEAN over many
+    // pairs concentrates. Pairs (i, i+1): mean |cos_proj - cos_orig| small.
+    val ids = proj.keys.toSeq.sorted
+    val errs = ids.sliding(2).collect { case Seq(a, b) =>
+      math.abs(cos(proj(a), proj(b)) - cos(orig(a), orig(b)))
+    }.toSeq
+    val meanErr = errs.sum / errs.size
+    assert(meanErr < 0.2, f"mean cosine distortion $meanErr%.3f too large for k=16")
+  }
+
   test("planted self-knn: every planted query's top-1 is its original doc") {
     val rows = SparkEntry.queries("embed_selfknn_planted")(spark, sf).collect()
     assert(rows.nonEmpty)
