@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.{QueryModule, Tables}
 
 /** Event-stream analytics (SURVEY.md §2.10: additive — the reference has no
@@ -119,6 +122,59 @@ object EventStreams extends QueryModule {
     * delay are evicted, so state size is (keys per watermark window), not
     * (all keys ever).
     */
+  /** Streaming as-of attribution — the streaming face of
+    * `ops.Temporal.asofJoin`. One event stream per user carries both
+    * reference rows (clicks) and probe rows (purchases); per-user state is
+    * ONLY the most recent click `(tsMicros, clickId)` — constant per key,
+    * no event buffering. Each micro-batch's rows are sorted by (event
+    * time, click-before-purchase, id) before folding, so on equal
+    * timestamps a click attributes to a purchase in the same batch and
+    * duplicate click timestamps resolve to the max id — byte-for-byte the
+    * batch operator's tie rules. Exact batch parity therefore holds
+    * whenever event time is non-decreasing per key ACROSS micro-batches
+    * (the per-key-ordered log deployment); a cross-batch late click is
+    * simply ignored by the newer-wins state merge, and a purchase always
+    * attributes to the newest click seen so far (StreamingSpec asserts the
+    * ordered-parity case against the oracled batch query).
+    */
+  def attributionStream(
+      events: Dataset[(Long, Timestamp, String, Long)],
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, String, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy { case (_, t, typ, id) =>
+            (micros(t), if (typ == "click") 0 else 1, id)
+          }
+          val out = Seq.newBuilder[(Long, Long, Option[Long], Option[Long])]
+          var last = state.getOption
+          sorted.foreach {
+            case (_, t, "click", id) =>
+              val m = micros(t)
+              last match {
+                case Some((lm, lid)) if lm > m || (lm == m && lid >= id) => ()
+                case _ => last = Some((m, id))
+              }
+            case (_, t, "purchase", id) =>
+              val m = micros(t)
+              val hit = last.filter { case (cm, _) =>
+                toleranceSeconds.forall(tol => (m - cm) / 1000000L <= tol)
+              }
+              out += ((id, user, hit.map(_._2), hit.map(c => (m - c._1) / 1000000L)))
+            case _ => () // other event types pass through unattributed
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("purchase_id", "user_id", "click_id", "gap_seconds")
+  }
+
   def dedupStream(records: DataFrame, keyCol: String, tsCol: String,
       watermarkDelay: String): DataFrame =
     records

@@ -142,6 +142,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of attribution: hand case across batches, newest click wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Long)]
+    val out = EventStreams.attributionStream(mem.toDS(), toleranceSeconds = Some(3600L))
+    val q = out.writeStream.format("memory").queryName("attribution_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: click then a same-batch purchase at the same instant
+      mem.addData((1L, ts(0), "click", 10L), (1L, ts(0), "purchase", 90L))
+      q.processAllAvailable()
+      // batch 2: a purchase using state from batch 1, then a newer click + purchase
+      mem.addData((1L, ts(5), "purchase", 91L),
+        (1L, ts(10), "click", 11L), (1L, ts(20), "purchase", 92L))
+      q.processAllAvailable()
+      // batch 3: stale-by-tolerance purchase (70 min after click 11)
+      mem.addData((1L, ts(80), "purchase", 93L), (2L, ts(80), "purchase", 94L))
+      q.processAllAvailable()
+      val got = spark.table("attribution_stream").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      assert(got === Map(90L -> 10L, 91L -> 10L, 92L -> 11L, 93L -> -1L, 94L -> -1L))
+    } finally q.stop()
+  }
+
+  test("streaming as-of attribution: exact parity with the oracled batch query") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .orderBy("ts")
+      .as[(Long, Timestamp, String, Long)]
+      .collect()
+    val mem = MemoryStream[(Long, Timestamp, String, Long)]
+    val out = EventStreams.attributionStream(mem.toDS(),
+      toleranceSeconds = Some(7L * 24 * 3600))
+    val q = out.writeStream.format("memory").queryName("attribution_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // event-time-ordered feed in three micro-batches (the per-key-ordered
+      // log deployment the operator documents)
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row): (Long, Long, Long, Long) =
+        (r.getLong(r.fieldIndex("purchase_id")), r.getLong(r.fieldIndex("user_id")),
+          if (r.isNullAt(r.fieldIndex("click_id"))) -1L else r.getLong(r.fieldIndex("click_id")),
+          if (r.isNullAt(r.fieldIndex("gap_seconds"))) -1L else r.getLong(r.fieldIndex("gap_seconds")))
+      val streamed = spark.table("attribution_parity").collect().map(key).toSet
+      val batch = SparkEntry.queries("asof_attribution")(spark, sf).collect().map(key).toSet
+      assert(streamed === batch, "stream must equal the oracled batch as-of join")
+    } finally q.stop()
+  }
+
   test("streaming dedup: later-batch duplicates are dropped, watermark bounds state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
