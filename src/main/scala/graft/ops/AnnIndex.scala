@@ -146,6 +146,36 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** Incremental index maintenance under the same self-query oracle: build
+    * the persisted index WITHOUT the planted copies, then APPEND them via
+    * `appendToLshIndex` (the arriving-documents path — no rebuild), and
+    * retrieve. The appended rows are findable only if the append hashed
+    * them with the same hyperplanes into the same partition directories
+    * the pruned probe scan reads — layout drift, a reseeded signature, or
+    * append-mode clobbering all perturb the row set against the exact
+    * oracle. The overwrite-then-append pair also keeps the run idempotent
+    * (the base build clears the directory each time).
+    */
+  def annLshIncrementalTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshincr_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    IndexBuilder.buildLshIndex(base, "embedding", defaultLsh, path)
+    val arrivals = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+      .filter(col("vec_id") >= 100000L)
+    IndexBuilder.appendToLshIndex(arrivals, "embedding", defaultLsh, path)
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
   /** IVF analog of annLshTopk: the planted copies assign to vector 0's
     * cluster (assignment is a pure function of the vector under the
     * deterministic seeded fit) and vec 0's own cluster is by definition the
@@ -322,6 +352,7 @@ object AnnIndex extends QueryModule {
     "lsh_bucket_stats" -> lshBucketStats,
     "ann_lsh_topk" -> annLshTopk,
     "ann_lsh_index_topk" -> annLshIndexTopk,
+    "ann_lsh_incremental_topk" -> annLshIncrementalTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_sq8_topk" -> annIvfSq8Topk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
@@ -332,6 +363,7 @@ object AnnIndex extends QueryModule {
     "lsh_bucket_invariants" -> lshBucketInvariantsSql,
     "ann_lsh_topk" -> annSelfQueryTopkSql,
     "ann_lsh_index_topk" -> annSelfQueryTopkSql,
+    "ann_lsh_incremental_topk" -> annSelfQueryTopkSql,
     "ann_ivf_topk" -> annSelfQueryTopkSql,
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,

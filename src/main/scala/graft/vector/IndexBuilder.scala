@@ -83,6 +83,19 @@ object IndexBuilder {
     withLshBucket(df, embCol, lsh)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Incremental index maintenance: hash new vectors with the SAME seeded
+    * hyperplanes and append into the existing bucket directories — no
+    * rebuild, no touch of existing files. The deterministic signature is
+    * what makes this sound: old and new rows with equal vectors land in
+    * the same partition, so query-time probe pruning sees both. Steady
+    * appends accumulate small files; `graft.ingest.Compaction` is the
+    * companion maintenance job (it preserves `partitionBy` layouts).
+    */
+  def appendToLshIndex(df: DataFrame, embCol: String, lsh: RandomHyperplaneLsh,
+      path: String): Unit =
+    withLshBucket(df, embCol, lsh)
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
   /** LSH-pruned exact top-k: scan only the multi-probe buckets, re-score
     * exactly, keep k (score desc, id tiebreak).
     */

@@ -4,6 +4,7 @@ import graft.ops.AnnIndex
 import graft.vector.IndexBuilder
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 class AnnIndexSpec extends SparkSpec {
 
@@ -110,5 +111,28 @@ class AnnIndexSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || !plan.contains("bucket#"),
       s"expected partition pruning in plan")
+  }
+
+  test("appendToLshIndex merges arrivals into existing bucket dirs without rebuild") {
+    val dir = Files.createTempDirectory("lsh_incr").toString
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") < 30)
+    val arrivals = e.filter(col("vec_id") >= 30 && col("vec_id") < 60)
+    IndexBuilder.buildLshIndex(base, "embedding", AnnIndex.defaultLsh, dir)
+    val baseFiles = Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    IndexBuilder.appendToLshIndex(arrivals, "embedding", AnnIndex.defaultLsh, dir)
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() === 60, "append must not clobber the base build")
+    val afterFiles = Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(afterFiles > baseFiles, "append adds files instead of rewriting")
+    // appended rows carry the same deterministic buckets as a fresh build
+    val fresh = IndexBuilder.withLshBucket(arrivals, "embedding", AnnIndex.defaultLsh)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    idx.filter(col("vec_id") >= 30).select("vec_id", "bucket").collect()
+      .foreach(r => assert(r.getInt(1) === fresh(r.getLong(0)),
+        s"vec ${r.getLong(0)}: appended bucket drifted"))
   }
 }
