@@ -176,6 +176,36 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** IVF incremental maintenance under the self-query oracle: the base
+    * build persists the cluster-partitioned table plus the centroid
+    * sidecar; arrivals are assigned against the SIDECAR (no refit — the
+    * add-after-train contract) and appended. The planted copies surface in
+    * the pruned top-10 only if sidecar round-trip + fixed-centroid
+    * assignment put them in vector 0's cluster directory, so centroid
+    * drift, sidecar corruption, or append clobbering all fail the exact
+    * oracle.
+    */
+  def annIvfIncrementalTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfincr_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    IndexBuilder.buildIvfIndex(base, "embedding", numClusters = 16, seed = 42L, path)
+    val arrivals = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+      .filter(col("vec_id") >= 100000L)
+    IndexBuilder.appendToIvfIndex(arrivals, "embedding", path)
+    val qv = queryVec(spark, dir, 0L)
+    val probeIds = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(path), qv, nProbe = 6)
+    spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probeIds: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
   /** IVF analog of annLshTopk: the planted copies assign to vector 0's
     * cluster (assignment is a pure function of the vector under the
     * deterministic seeded fit) and vec 0's own cluster is by definition the
@@ -353,6 +383,7 @@ object AnnIndex extends QueryModule {
     "ann_lsh_topk" -> annLshTopk,
     "ann_lsh_index_topk" -> annLshIndexTopk,
     "ann_lsh_incremental_topk" -> annLshIncrementalTopk,
+    "ann_ivf_incremental_topk" -> annIvfIncrementalTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_sq8_topk" -> annIvfSq8Topk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
@@ -364,6 +395,7 @@ object AnnIndex extends QueryModule {
     "ann_lsh_topk" -> annSelfQueryTopkSql,
     "ann_lsh_index_topk" -> annSelfQueryTopkSql,
     "ann_lsh_incremental_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_incremental_topk" -> annSelfQueryTopkSql,
     "ann_ivf_topk" -> annSelfQueryTopkSql,
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,

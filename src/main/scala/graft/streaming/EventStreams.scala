@@ -103,6 +103,64 @@ object EventStreams extends QueryModule {
       |                'none') AS prev_event
       |FROM events WHERE user_id < 10 ORDER BY user_id, ts""".stripMargin
 
+  /** Ordered conversion funnel signup → click → purchase: per user, the
+    * first signup, the first click strictly after it, the first purchase
+    * strictly after that click; emitted as one row per stage with the
+    * surviving-user count and the summed stage-transition time (integer
+    * seconds, so the compare is exact). The sequential dependency (each
+    * stage's window opens at the previous stage's event) is what plain
+    * per-type counts can't express.
+    *
+    * Scale: three aggregations all keyed on user_id — co-partitioned, so
+    * the stage joins reuse one shuffle's partitioning; event rows never
+    * carry payload beyond (user, ts).
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t_signup"))
+    val c = ev.filter(col("event_type") === "click").select(col("user_id"), col("ts"))
+      .join(s, "user_id").filter(col("ts") > col("t_signup"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t_click"), min(col("t_signup")).as("t_signup"))
+    val p = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"))
+      .join(c.select(col("user_id"), col("t_click")), "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t_purchase"), min(col("t_click")).as("t_click"))
+    def gapSum(a: String, b: String) = coalesce(
+      sum(expr(s"CAST((unix_micros($a) - unix_micros($b)) DIV 1000000 AS BIGINT)")),
+      lit(0L)).as("sum_gap_seconds")
+    s.agg(count(lit(1)).as("n_users"), lit(0L).as("sum_gap_seconds"))
+      .withColumn("stage", lit("1_signup"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"), gapSum("t_click", "t_signup"))
+        .withColumn("stage", lit("2_click")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"), gapSum("t_purchase", "t_click"))
+        .withColumn("stage", lit("3_purchase")))
+      .select("stage", "n_users", "sum_gap_seconds")
+      .orderBy("stage")
+  }
+
+  private val funnelStagesSql =
+    """WITH s AS (SELECT user_id, min(ts) AS t_signup FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click, min(s.t_signup) AS t_signup
+      |      FROM events e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > s.t_signup
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase, min(c.t_click) AS t_click
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |      GROUP BY e.user_id)
+      |SELECT '1_signup' AS stage, count(*) AS n_users, 0::BIGINT AS sum_gap_seconds FROM s
+      |UNION ALL
+      |SELECT '2_click', count(*),
+      |       COALESCE(sum((epoch_us(t_click) - epoch_us(t_signup)) // 1000000), 0)::BIGINT FROM c
+      |UNION ALL
+      |SELECT '3_purchase', count(*),
+      |       COALESCE(sum((epoch_us(t_purchase) - epoch_us(t_click)) // 1000000), 0)::BIGINT FROM p
+      |ORDER BY stage""".stripMargin
+
   /** Streaming builders (driven by StreamingSpec with a memory source;
     * same transforms run on any readStream source in production).
     */
@@ -210,12 +268,14 @@ object EventStreams extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> eventsHourly,
     "events_sessions" -> eventsSessions,
+    "funnel_stages" -> funnelStages,
     "streaming_retrieval_selfmatch" -> streamingRetrievalSelfmatch,
     "user_running_state" -> userRunningState)
 
   def oracles: Map[String, String] = Map(
     "events_hourly" -> eventsHourlySql,
     "events_sessions" -> eventsSessionsSql,
+    "funnel_stages" -> funnelStagesSql,
     "streaming_retrieval_selfmatch" -> streamingRetrievalSelfmatchSql,
     "user_running_state" -> userRunningStateSql)
 }

@@ -240,20 +240,25 @@ object IndexBuilder {
     val key = (inputKey(df), embCol, numClusters, seed)
     ivfCache.getOrElseUpdate(key, {
       val centers = fitIvfCentroids(df, embCol, numClusters, seed)
-      val assignUdf = udf { (v: Seq[Float]) =>
-        var best = 0; var bestD = Double.MaxValue; var j = 0
-        while (j < centers.length) {
-          val cj = centers(j)
-          var s = 0.0; var i = 0
-          val n = math.min(cj.length, v.length)
-          while (i < n) { val d = cj(i) - v(i); s += d * d; i += 1 }
-          if (s < bestD) { bestD = s; best = j }
-          j += 1
-        }
-        best
-      }
-      (df.withColumn("cluster_id", assignUdf(col(embCol))), centers)
+      (df.withColumn("cluster_id", assignUdf(centers)(col(embCol))), centers)
     })
+  }
+
+  /** Nearest-centroid (L2) assignment against FIXED centroids — shared by
+    * the fitting build and the incremental append so both paths assign
+    * identically (ties keep the lowest centroid index in both).
+    */
+  private def assignUdf(centers: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
+    var best = 0; var bestD = Double.MaxValue; var j = 0
+    while (j < centers.length) {
+      val cj = centers(j)
+      var s = 0.0; var i = 0
+      val n = math.min(cj.length, v.length)
+      while (i < n) { val d = cj(i) - v(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = j }
+      j += 1
+    }
+    best
   }
 
   /** The nProbe nearest centroids to a query vector (L2; ties keep
@@ -310,6 +315,20 @@ object IndexBuilder {
       java.nio.file.Paths.get(path, IvfCentroidsFile),
       text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     centers
+  }
+
+  /** Incremental IVF maintenance: assign arrivals against the PERSISTED
+    * centroid sidecar (no refit — the FAISS add-after-train contract) and
+    * append into the existing cluster directories. Because assignment is a
+    * pure function of (vector, centroids) and the sidecar round-trips
+    * doubles exactly, appended rows land in precisely the partitions a
+    * fresh build would have put them in. Small-file accumulation is
+    * `graft.ingest.Compaction`'s job, as with LSH appends.
+    */
+  def appendToIvfIndex(df: DataFrame, embCol: String, path: String): Unit = {
+    val centers = loadIvfCentroids(path)
+    df.withColumn("cluster_id", assignUdf(centers)(col(embCol)))
+      .write.mode("append").partitionBy("cluster_id").parquet(path)
   }
 
   /** Load a centroid sidecar written by buildIvfIndex. */
