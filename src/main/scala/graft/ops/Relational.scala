@@ -219,6 +219,50 @@ object Relational extends QueryModule {
     * without requiring DuckDB to replicate Spark's HLL++ (rsd 0.01 on
     * these cardinalities is comfortably inside 5%).
     */
+  /** Count-min-sketch heavy-hitter gate. Production shape at 100 TB: the
+    * KB-size CMS replaces a full shuffle for frequency estimation, the
+    * candidate set it nominates is then verified with exact counts on a
+    * bounded join — here the gate checks the property that makes that
+    * sound, CMS NEVER undercounts (estimate ≥ true count, always). One
+    * violation row per breach on the top-20 users; oracle = empty set. The
+    * top-20 collect is the bounded candidate set of the two-pass pattern.
+    */
+  def cmsOvercountGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val sketch = ev.stat.countMinSketch(col("user_id"),
+      eps = 0.001, confidence = 0.99, seed = 42)
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id").asc).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    top.collect { case (uid, exact) if sketch.estimateCount(uid) < exact =>
+        ("cms_undercount", uid)
+      }.toSeq.toDF("violation", "detail")
+      .select(col("violation"), col("detail").cast("long"))
+  }
+
+  /** Bloom-filter membership gate — the accelerator for incremental-ingest
+    * anti-joins (J1/J2): a doc the filter says is ABSENT can skip the
+    * exact index lookup entirely, which is only sound because Bloom
+    * filters have no false negatives. The gate bloom-builds over the
+    * stored-id set, then emits every stored id the filter fails to claim
+    * (must be none). Filter is ~KB and broadcast; the membership test is a
+    * narrow map over the corpus.
+    */
+  def bloomMembershipGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stored = docs.filter(col("doc_id") < 250).select(col("doc_id"))
+    val bloom = stored.stat.bloomFilter(col("doc_id"),
+      expectedNumItems = 1000L, fpp = 0.01)
+    val mightContain = udf((id: Long) => bloom.mightContainLong(id))
+    stored.filter(!mightContain(col("doc_id")))
+      .select(lit("bloom_false_negative").as("violation"),
+        col("doc_id").cast("long").as("detail"))
+  }
+
+  private val emptyViolationsSql =
+    """SELECT NULL::VARCHAR AS violation, NULL::BIGINT AS detail WHERE false""".stripMargin
+
   def approxDistinctDocs(spark: SparkSession, dir: String): DataFrame = {
     // Separate aggregations joined on the 5-row group key: combining
     // countDistinct with approx_count_distinct in ONE agg forces the HLL
@@ -267,6 +311,8 @@ object Relational extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "salted_distinct_users" -> saltedDistinctUsers,
+    "cms_overcount_gate" -> cmsOvercountGate,
+    "bloom_membership_gate" -> bloomMembershipGate,
     "approx_distinct_docs" -> approxDistinctDocs,
     "distinct_sources" -> distinctSources,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -280,6 +326,8 @@ object Relational extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "salted_distinct_users" -> saltedDistinctUsersSql,
+    "cms_overcount_gate" -> emptyViolationsSql,
+    "bloom_membership_gate" -> emptyViolationsSql,
     "approx_distinct_docs" -> approxDistinctDocsSql,
     "distinct_sources" -> distinctSourcesSql,
     "q1_pricing_summary" -> q1PricingSummarySql,

@@ -161,6 +161,41 @@ object EventStreams extends QueryModule {
       |       COALESCE(sum((epoch_us(t_purchase) - epoch_us(t_click)) // 1000000), 0)::BIGINT FROM p
       |ORDER BY stage""".stripMargin
 
+  /** Weekly retention cohorts: users grouped by signup week, counted as
+    * active in each subsequent week they emit any event. Week buckets are
+    * pure integer day arithmetic (`epoch-day DIV 7`, offset = days since
+    * signup DIV 7) rather than calendar `date_trunc` — identical in every
+    * engine, no week-start or timezone convention to disagree on.
+    *
+    * Scale: one shuffle keyed on user_id for the cohort join (events carry
+    * only (user, day)), then a (cohort, offset)-keyed count-distinct —
+    * bounded by users, not events, after the first aggregation.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(expr("unix_micros(ts) DIV 86400000000")).as("day0"))
+    ev.select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .join(cohorts, "user_id")
+      .filter(col("d") >= col("day0"))
+      .select(col("user_id"), expr("day0 DIV 7").as("cohort_week"),
+        expr("(d - day0) DIV 7").as("offset_week"))
+      .groupBy("cohort_week", "offset_week")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "offset_week")
+  }
+
+  private val retentionCohortsSql =
+    """WITH c AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day0
+      |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |a AS (SELECT e.user_id, epoch_us(e.ts) // 86400000000 AS d, c.day0
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE epoch_us(e.ts) // 86400000000 >= c.day0)
+      |SELECT day0 // 7 AS cohort_week, (d - day0) // 7 AS offset_week,
+      |       count(DISTINCT user_id) AS n_active
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Streaming builders (driven by StreamingSpec with a memory source;
     * same transforms run on any readStream source in production).
     */
@@ -269,6 +304,7 @@ object EventStreams extends QueryModule {
     "events_hourly" -> eventsHourly,
     "events_sessions" -> eventsSessions,
     "funnel_stages" -> funnelStages,
+    "retention_cohorts" -> retentionCohorts,
     "streaming_retrieval_selfmatch" -> streamingRetrievalSelfmatch,
     "user_running_state" -> userRunningState)
 
@@ -276,6 +312,7 @@ object EventStreams extends QueryModule {
     "events_hourly" -> eventsHourlySql,
     "events_sessions" -> eventsSessionsSql,
     "funnel_stages" -> funnelStagesSql,
+    "retention_cohorts" -> retentionCohortsSql,
     "streaming_retrieval_selfmatch" -> streamingRetrievalSelfmatchSql,
     "user_running_state" -> userRunningStateSql)
 }

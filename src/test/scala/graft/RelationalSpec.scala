@@ -65,4 +65,18 @@ class RelationalSpec extends SparkSpec {
       .map(_.getAs[Double]("revenue")).sum
     assert(math.abs(g - d) < 1.0)
   }
+
+  test("sketch gates: no violations, and the sketches are actually useful") {
+    import org.apache.spark.sql.functions.col
+    assert(SparkEntry.queries("cms_overcount_gate")(spark, sf).count() === 0)
+    assert(SparkEntry.queries("bloom_membership_gate")(spark, sf).count() === 0)
+    // utility direction: the bloom filter built on stored ids rejects the
+    // vast majority of absent ids (fpp 1%), which is what lets an
+    // incremental ingest skip exact index lookups
+    val stored = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 250).select(col("doc_id"))
+    val bloom = stored.stat.bloomFilter(col("doc_id"), 1000L, 0.01)
+    val absentHits = (1000000L until 1000200L).count(bloom.mightContainLong)
+    assert(absentHits <= 20, s"bloom passed $absentHits of 200 absent ids (fpp 1%)")
+  }
 }
