@@ -144,7 +144,9 @@ class VectorSearchSpec extends SparkSpec {
       math.abs(cos(proj(a), proj(b)) - cos(orig(a), orig(b)))
     }.toSeq
     val meanErr = errs.sum / errs.size
-    assert(meanErr < 0.2, f"mean cosine distortion $meanErr%.3f too large for k=16")
+    // k=16 JL: per-pair |Δcos| has mean ≈ √(2/π)/√k ≈ 0.20 — bound well
+    // above the expectation but far below what a broken map produces
+    assert(meanErr < 0.3, f"mean cosine distortion $meanErr%.3f too large for k=16")
   }
 
   test("planted self-knn: every planted query's top-1 is its original doc") {

@@ -86,6 +86,57 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() === 1)
   }
 
+  test("asof randomized: agrees with a brute-force reference across seeds") {
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(seed)
+      def t(m: Int) = new Timestamp(1704067200000L + m * 60000L) // minutes past epoch-ish base
+      val rights = (0 until rnd.nextInt(15))
+        .map(i => (rnd.nextInt(3).toLong, t(rnd.nextInt(100)), 100L + i))
+        .groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq // unique (key, ts)
+      val lefts = (0 until 1 + rnd.nextInt(15))
+        .map(i => (rnd.nextInt(3).toLong, t(rnd.nextInt(100)), 900L + i))
+      val tol = if (rnd.nextBoolean()) Some(1800L) else None
+      val expected = lefts.map { case (k, lts, lid) =>
+        val cand = rights.filter(r => r._1 == k && !r._2.after(lts))
+          .sortBy(r => (r._2.getTime, r._3)).lastOption
+          .filter(r => tol.forall(s => (lts.getTime - r._2.getTime) / 1000 <= s))
+        lid -> cand.map(_._3).getOrElse(-1L)
+      }.toMap
+      val got = Temporal.asofJoin(
+          lefts.toDF("user_id", "ts", "left_id"),
+          rights.toDF("user_id", "ts", "right_id"),
+          Seq("user_id"), "ts", "ts", tol)
+        .select($"left_id", $"asof.right_id".as("rid"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      assert(got === expected, s"seed $seed (tol=$tol)")
+    }
+  }
+
+  test("interval randomized: agrees with a brute-force reference across seeds") {
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(seed)
+      def t(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+      val ivs = (0 until 1 + rnd.nextInt(10)).map { i =>
+        val start = rnd.nextInt(100)
+        (rnd.nextInt(3).toLong, t(start), t(start + rnd.nextInt(200)), i.toLong)
+      }
+      val pts = (0 until rnd.nextInt(15))
+        .map(i => (rnd.nextInt(3).toLong, t(rnd.nextInt(300)), 500L + i))
+      val expected = (for {
+        (k, s, e, wid) <- ivs
+        (pk, pt0, pid) <- pts
+        if pk == k && !pt0.before(s) && pt0.before(e)
+      } yield (wid, pid)).toSet
+      val got = Temporal.intervalJoin(
+          ivs.toDF("user_id", "w_start", "w_end", "win_id"),
+          pts.toDF("user_id", "ts", "point_id"),
+          Seq("user_id"), "w_start", "w_end", "ts", bucketSeconds = 3600L)
+        .select($"win_id", $"point_id").as[(Long, Long)].collect().toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("plan: temporal joins stay equi-joins — no nested-loop, no cartesian") {
     for (q <- Seq(Temporal.asofAttribution _, Temporal.intervalClickCounts _)) {
       val plan = q(spark, sf).queryExecution.executedPlan.toString
