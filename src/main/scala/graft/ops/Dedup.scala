@@ -153,6 +153,74 @@ object Dedup extends QueryModule {
       |WHERE round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- duplicate n-gram coverage (exact-substring dedup signal) ----
+
+  /** Per-document coverage by corpus-duplicated 8-token shingles — the
+    * scalable relative of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", which the
+    * suffix-array ExactSubstr tool approximates at 50-BPE granularity).
+    * A shingle is "duplicated" when it occurs in ≥2 distinct documents;
+    * a document whose duplicated-shingle fraction exceeds 50% is flagged
+    * for removal, catching boilerplate and partial copies that doc-level
+    * exact/MinHash dedup both miss.
+    *
+    * Scale shape: shingles are digested to fixed-width md5 before the
+    * exchange, so only 32-byte digests + ids ever shuffle — never text.
+    * The duplicate set comes from a count per digest (map-side partial
+    * agg), joined back on the digest equi-key. Both aggregations and the
+    * join partition cleanly at 100 TB; nothing is all-pairs.
+    */
+  def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupNgramCoverageOf(Tables.documents(spark, dir))
+
+  /** Frame-level form over any (doc_id, text) frame. */
+  def dupNgramCoverageOf(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesCol(tokensCol(col("text")), 8))).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("digest"))
+    // array_distinct above makes (doc_id, digest) unique per doc, so a plain
+    // count per digest IS the distinct-document count (no count-distinct).
+    val dupDigests = sh.groupBy("digest").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select("digest")
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val dupPerDoc = sh.join(dupDigests, Seq("digest"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_shingles"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup_shingles", coalesce(col("n_dup_shingles"), lit(0L)))
+      .withColumn("dup_frac_e6", expr("(n_dup_shingles * 1000000) DIV n_shingles"))
+      .withColumn("keep_dup_coverage", col("dup_frac_e6") <= 500000)
+      .select("doc_id", "n_shingles", "n_dup_shingles", "dup_frac_e6",
+        "keep_dup_coverage")
+      .orderBy("doc_id")
+  }
+
+  private val dupNgramCoverageSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                     t -> length(t) > 0) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, md5(shingle) AS digest
+      |  FROM toks, UNNEST(
+      |    CASE WHEN len(tok) < 8 THEN [array_to_string(tok, ' ')]
+      |         ELSE list_transform(generate_series(0, len(tok) - 8),
+      |                             i -> array_to_string(tok[i+1:i+8], ' '))
+      |    END) AS u(shingle)),
+      |dup AS (SELECT digest FROM sh GROUP BY digest HAVING count(*) >= 2),
+      |per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      |dupdoc AS (SELECT doc_id, count(*) AS n_dup FROM sh JOIN dup USING (digest)
+      |           GROUP BY doc_id)
+      |SELECT p.doc_id, p.n_shingles,
+      |       coalesce(d.n_dup, 0) AS n_dup_shingles,
+      |       coalesce(d.n_dup, 0) * 1000000 // p.n_shingles AS dup_frac_e6,
+      |       (coalesce(d.n_dup, 0) * 1000000 // p.n_shingles) <= 500000
+      |         AS keep_dup_coverage
+      |FROM per_doc p LEFT JOIN dupdoc d USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
   // ---- MinHash + LSH banding ----
 
   /** 64 permutations, 16 bands × 4 rows: P(candidate) ≈ 1-(1-j^4)^16 —
@@ -598,6 +666,7 @@ object Dedup extends QueryModule {
     "dedup_exact" -> dedupExact,
     "dedup_exact_stats" -> dedupExactStats,
     "incremental_new_docs" -> incrementalNewDocs,
+    "dup_ngram_coverage" -> dupNgramCoverage,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_near_dupes" -> minhashNearDupesQ,
     "minhash_vs_exact" -> minhashVsExact,
@@ -611,6 +680,7 @@ object Dedup extends QueryModule {
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_stats" -> dedupExactStatsSql,
     "incremental_new_docs" -> incrementalNewDocsSql,
+    "dup_ngram_coverage" -> dupNgramCoverageSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_vs_exact" -> ngramJaccardPairsSql,
     "simhash_planted_dupes" -> simhashPlantedDupesSql,

@@ -156,4 +156,23 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
     Seq(1L, 2L, 3L, 10L, 11L, 12L).foreach(n => assert(comp(n) === 1L))
   }
+
+  test("dup_ngram_coverage: exact copies fully covered, unique doc untouched") {
+    val base = (1 to 20).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                    // copy A
+      (2L, base),                                    // copy B — every shingle dup
+      (3L, (100 to 130).map(i => s"only$i").mkString(" ")), // unique
+      (4L, base + " trailing unique suffix tokens here now extra")) // partial copy
+      .toDF("doc_id", "text")
+    val out = Dedup.dupNgramCoverageOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_frac_e6"), r.getAs[Boolean]("keep_dup_coverage"))).toMap
+    assert(out(1L)._1 === 1000000L, "exact copy: all shingles duplicated")
+    assert(out(2L)._1 === 1000000L)
+    assert(!out(1L)._2 && !out(2L)._2, "full copies must be flagged for drop")
+    assert(out(3L) === ((0L, true)), "unique doc has zero dup coverage")
+    assert(out(4L)._1 > 500000L && !out(4L)._2,
+      "a mostly-copied doc crosses the 50% coverage threshold")
+  }
 }
