@@ -372,6 +372,94 @@ object Rag extends QueryModule {
        |SELECT doc_id, bm25, n_terms_matched FROM scored
        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** Retrieval-quality evaluation: self-rank MRR over a BM25 query batch —
+    * the offline eval every retrieval system ships with (the reference
+    * exposes scores but no quality metric; this closes that gap). Every
+    * 50th document becomes a query (its own distinct tokens as terms) and
+    * its known-relevant answer is itself; the output is each query's rank
+    * of its source doc, reciprocal rank in exact 1e-6 units, and a
+    * hit@10 flag — MRR/recall@10 are their plain averages.
+    *
+    * Scale shape: the inverted index (term → doc postings with tf) is the
+    * big side and shuffles once on the term key; the query-term set and
+    * per-term df are broadcast. Scoring every query against the full
+    * posting lists of its terms — never against the whole corpus — is the
+    * standard impact-ordered evaluation shape. Ranking sorts the ROUNDED
+    * score (ties broken by doc_id) so rank membership is cross-engine
+    * deterministic.
+    */
+  def bm25SelfRankMrr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val qt = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_doc"),
+        explode(array_distinct(col("toks"))).as("term"))
+    // Prune the inverted index to the query vocabulary BEFORE computing df:
+    // at corpus scale dft over all terms is vocabulary-sized for no reason.
+    val tfq = tf.join(broadcast(qt.select("term").distinct()), "term")
+    val dfT = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tfq
+      .join(broadcast(qt), "term")
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("part",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_doc"), col("doc_id"))
+      .agg(round(sum(col("part")), 4).as("bm25"))
+    scored
+      .withColumn("self_rank", row_number().over(
+        Window.partitionBy(col("query_doc"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("doc_id") === col("query_doc"))
+      .select(col("query_doc"), col("self_rank"),
+        expr("1000000 DIV self_rank").as("rr_e6"),
+        (col("self_rank") <= 10).as("hit_at_10"))
+      .orderBy("query_doc")
+  }
+
+  private val bm25SelfRankMrrSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                     x -> length(x) > 0) AS toks
+      |  FROM documents WHERE doc_id < 500),
+      |dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+      |s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+      |t AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+      |qt AS (SELECT DISTINCT query_doc, term FROM (
+      |         SELECT doc_id AS query_doc, unnest(toks) AS term
+      |         FROM dd WHERE doc_id % 50 = 0) u),
+      |tfq AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) v
+      |        USING (term)),
+      |dft AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+      |scored AS (
+      |  SELECT qt.query_doc, tfq.doc_id,
+      |         round(sum(ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+      |                   * (tfq.tf * 2.2)
+      |                   / (tfq.tf + 1.2 * (0.25 + 0.75 * tfq.dl / s.avgdl))),
+      |               4) AS bm25
+      |  FROM tfq JOIN qt USING (term) JOIN dft USING (term) CROSS JOIN s
+      |  GROUP BY qt.query_doc, tfq.doc_id),
+      |ranked AS (
+      |  SELECT query_doc, doc_id,
+      |         row_number() OVER (PARTITION BY query_doc
+      |                            ORDER BY bm25 DESC, doc_id ASC) AS rnk
+      |  FROM scored)
+      |SELECT query_doc, rnk AS self_rank, 1000000 // rnk AS rr_e6,
+      |       rnk <= 10 AS hit_at_10
+      |FROM ranked WHERE doc_id = query_doc ORDER BY query_doc""".stripMargin
+
   /** The reference's interactive loop made driver-visible end to end
     * (`Auto_query_rag_database.py:541-563`: conversation follow-ups reuse
     * prior context; mode toggles change k / threshold / reranker between
@@ -457,7 +545,8 @@ object Rag extends QueryModule {
     "rag_pipeline_topk" -> ragPipelineTopk,
     "rag_pipeline_planted" -> ragPipelinePlanted,
     "bm25_scores" -> bm25Scores,
-    "bm25_topn" -> bm25Topn)
+    "bm25_topn" -> bm25Topn,
+    "bm25_selfrank_mrr" -> bm25SelfRankMrr)
 
   def oracles: Map[String, String] = Map(
     "interactive_replay" -> interactiveReplaySql,
@@ -467,5 +556,6 @@ object Rag extends QueryModule {
     "rag_context" -> ragContextSql,
     "rag_pipeline_planted" -> ragPipelinePlantedSql,
     "bm25_scores" -> bm25ScoresSql,
-    "bm25_topn" -> bm25TopnSql)
+    "bm25_topn" -> bm25TopnSql,
+    "bm25_selfrank_mrr" -> bm25SelfRankMrrSql)
 }

@@ -117,4 +117,17 @@ class RagSpec extends SparkSpec {
     val cap = 5 * 2.2 * math.log(n + 1.0)
     assert(rows.forall(_.getDouble(1) < cap))
   }
+
+  test("bm25_selfrank_mrr: one row per query, ranks valid, rr exact-integer") {
+    val rows = SparkEntry.queries("bm25_selfrank_mrr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val corpus = Tables.documents(spark, sf).filter("doc_id < 500").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_doc") % 50 === 0)
+      val rank = r.getAs[Long]("self_rank")
+      assert(rank >= 1 && rank <= corpus)
+      assert(r.getAs[Long]("rr_e6") === 1000000L / rank)
+      assert(r.getAs[Boolean]("hit_at_10") === (rank <= 10))
+    }
+  }
 }
