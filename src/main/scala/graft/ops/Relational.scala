@@ -309,8 +309,51 @@ object Relational extends QueryModule {
     """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Salted skew JOIN — the companion technique to the salted aggregation
+    * above, for the join a hot key would straggle. Scenario: joining
+    * per-source corpus stats back onto every document. At 100 TB the
+    * per-domain stats table is ~10⁸ rows (NOT broadcastable) and the doc
+    * distribution over domains is Zipf — the hot domain's partition gets
+    * ~all the rows of a plain shuffle join. Salting splits each fact key
+    * into `nSalts` disjoint slices (deterministic hash of the row id) and
+    * replicates only the DIM row per salt, so the hot key spreads over
+    * nSalts reducers while every fact row still meets exactly one copy of
+    * its dim row. Exact, not approximate — the oracle is the plain join.
+    * The shuffle_hash hint pins the shuffle-join plan the technique
+    * targets (a broadcast would hide the skew problem AND its fix); AQE's
+    * skew-join handles the sort-merge case, salting covers hash joins and
+    * pre-AQE engines.
+    */
+  def saltedSourceJoin(spark: SparkSession, dir: String): DataFrame = {
+    val nSalts = 8
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val dim = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("src_docs"), sum(col("n_chars")).as("src_sum_chars"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(nSalts - 1L))))
+    val fact = docs.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(nSalts)))
+    fact.join(dim.hint("shuffle_hash"), Seq("source", "salt"))
+      // integer-exact "longer than the source's mean": chars * n >= sum
+      .withColumn("above_avg", col("n_chars") * col("src_docs") >= col("src_sum_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("above_avg"), lit(1))).as("n_above_avg"))
+      .orderBy("source")
+  }
+
+  private val saltedSourceJoinSql =
+    """WITH dim AS (
+      |  SELECT source, count(*) AS src_docs, sum(n_chars) AS src_sum_chars
+      |  FROM documents GROUP BY source)
+      |SELECT source, count(*) AS n_docs,
+      |       count(*) FILTER (WHERE d.n_chars * src_docs >= src_sum_chars)
+      |         AS n_above_avg
+      |FROM documents d JOIN dim USING (source)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "salted_distinct_users" -> saltedDistinctUsers,
+    "salted_source_join" -> saltedSourceJoin,
     "cms_overcount_gate" -> cmsOvercountGate,
     "bloom_membership_gate" -> bloomMembershipGate,
     "approx_distinct_docs" -> approxDistinctDocs,
@@ -326,6 +369,7 @@ object Relational extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "salted_distinct_users" -> saltedDistinctUsersSql,
+    "salted_source_join" -> saltedSourceJoinSql,
     "cms_overcount_gate" -> emptyViolationsSql,
     "bloom_membership_gate" -> emptyViolationsSql,
     "approx_distinct_docs" -> approxDistinctDocsSql,

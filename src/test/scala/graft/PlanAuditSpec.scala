@@ -228,4 +228,20 @@ class PlanAuditSpec extends SparkSpec {
     val calls = "UDF\\(".r.findAllIn(plan).length
     assert(calls === 1, s"expected exactly 1 UDF call in the plan, got $calls:\n$plan")
   }
+
+  test("salted_source_join: shuffle join on (source, salt), never broadcast") {
+    val plan = SparkEntry.queries("salted_source_join")(spark, sf)
+      .queryExecution.sparkPlan
+    val planStr = plan.toString
+    assert(planStr.contains("ShuffledHashJoin"),
+      s"salting targets the shuffle join; plan was:\n$planStr")
+    assert(!planStr.contains("BroadcastHashJoin"),
+      "a broadcast would defeat the skew-spread demonstration")
+    val joinKeys = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.map(_.sql).mkString(",")
+    }
+    assert(joinKeys.exists(k => k.contains("salt") && k.contains("source")),
+      s"salt must be part of the join key: $joinKeys")
+  }
 }
