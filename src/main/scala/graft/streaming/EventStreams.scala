@@ -196,6 +196,58 @@ object EventStreams extends QueryModule {
       |       count(DISTINCT user_id) AS n_active
       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Event-rate anomaly detection: flag hours whose event count exceeds 3×
+    * the trailing-24-hour mean for that event type — the ops alarm every
+    * event pipeline runs (bot bursts, retry storms, broken clients). The
+    * RANGE frame (hour-id units, not rows) keeps the trailing window
+    * honest across gap hours, and the spike test is pure integer
+    * cross-multiplication (`cnt · win_hours > 3 · win_events`) so the
+    * oracle compare is exact; hours with under half the window present
+    * never alarm (cold start / sparse types).
+    *
+    * Scale shape: one shuffle to (event_type, hour) counts — map-side
+    * partial — then one window per event type over ~hours rows, thousands
+    * of rows per type regardless of corpus size.
+    */
+  def eventRateAnomaly(spark: SparkSession, dir: String): DataFrame =
+    eventRateAnomalyOf(Tables.events(spark, dir))
+
+  /** Frame-level form over any (ts, event_type) frame. */
+  def eventRateAnomalyOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("hour_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_id"))
+      .rangeBetween(-24, -1)
+    hourly
+      .withColumn("win_hours", count(lit(1)).over(w))
+      .withColumn("win_events", coalesce(sum(col("n_events")).over(w), lit(0L)))
+      .withColumn("is_spike",
+        col("win_hours") >= 12 &&
+          col("n_events") * col("win_hours") > col("win_events") * 3)
+      .select("event_type", "hour_id", "n_events", "win_hours", "win_events",
+        "is_spike")
+      .orderBy("event_type", "hour_id")
+  }
+
+  private val eventRateAnomalySql =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |win AS (
+      |  SELECT event_type, hour_id, n_events,
+      |         count(*) OVER w AS win_hours,
+      |         coalesce(sum(n_events) OVER w, 0) AS win_events
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+      |               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hour_id, n_events, win_hours, win_events,
+      |       (win_hours >= 12 AND n_events * win_hours > win_events * 3)
+      |         AS is_spike
+      |FROM win ORDER BY event_type, hour_id""".stripMargin
+
   /** Streaming builders (driven by StreamingSpec with a memory source;
     * same transforms run on any readStream source in production).
     */
@@ -303,6 +355,7 @@ object EventStreams extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> eventsHourly,
     "events_sessions" -> eventsSessions,
+    "event_rate_anomaly" -> eventRateAnomaly,
     "funnel_stages" -> funnelStages,
     "retention_cohorts" -> retentionCohorts,
     "streaming_retrieval_selfmatch" -> streamingRetrievalSelfmatch,
@@ -311,6 +364,7 @@ object EventStreams extends QueryModule {
   def oracles: Map[String, String] = Map(
     "events_hourly" -> eventsHourlySql,
     "events_sessions" -> eventsSessionsSql,
+    "event_rate_anomaly" -> eventRateAnomalySql,
     "funnel_stages" -> funnelStagesSql,
     "retention_cohorts" -> retentionCohortsSql,
     "streaming_retrieval_selfmatch" -> streamingRetrievalSelfmatchSql,

@@ -265,4 +265,21 @@ class StreamingSpec extends SparkSpec {
     val stotal = sessions.agg(sum("n_events")).head().getLong(0)
     assert(stotal === total, "sessions must also partition all events")
   }
+
+  test("event_rate_anomaly: planted 10x burst alarms, steady traffic never does") {
+    // 30 steady hours at 4 events/hour, then one hour with 40 events.
+    val base = 1700000000L * 1000000L // epoch micros, hour-aligned enough
+    val steady = for (h <- 0 until 30; i <- 0 until 4)
+      yield (new Timestamp((base / 1000L) + h * 3600000L + i * 60000L), "click")
+    val burst = for (i <- 0 until 40)
+      yield (new Timestamp((base / 1000L) + 30 * 3600000L + i * 1000L), "click")
+    val events = (steady ++ burst).toDF("ts", "event_type")
+    val out = EventStreams.eventRateAnomalyOf(events).collect()
+    val spikes = out.filter(_.getAs[Boolean]("is_spike"))
+    assert(spikes.length === 1, s"exactly the burst hour alarms: ${spikes.toSeq}")
+    assert(spikes.head.getAs[Long]("n_events") === 40L)
+    // cold start: the first 12 hours can never alarm regardless of counts
+    out.sortBy(_.getAs[Long]("hour_id")).take(12)
+      .foreach(r => assert(!r.getAs[Boolean]("is_spike")))
+  }
 }
