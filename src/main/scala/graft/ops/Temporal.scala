@@ -190,11 +190,47 @@ object Temporal extends QueryModule {
       |GROUP BY w.win_id, w.user_id
       |ORDER BY w.win_id""".stripMargin
 
+  /** Click→purchase pair attribution: every (click, purchase) pair of the
+    * same user with the purchase inside 10 minutes after the click — the
+    * batch twin of the stream-stream event-time join
+    * (`graft.streaming.EventStreams.clickPurchaseJoinStream`, parity
+    * pinned by StreamingSpec). Gap is emitted in exact integer seconds.
+    */
+  def clickPurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("c_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    intervalJoin(clicks, purchases, Seq("user_id"),
+      "c_ts", "c_end", "p_ts", bucketSeconds = 600L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000")
+          .as("gap_seconds"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  private val clickPurchasePairsSql =
+    """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.click_id, p.purchase_id,
+      |       (epoch_us(p_ts) - epoch_us(c_ts)) // 1000000 AS gap_seconds
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.p_ts >= c.c_ts AND p.p_ts < c.c_ts + INTERVAL 10 MINUTE
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_attribution" -> asofAttribution,
+    "click_purchase_pairs" -> clickPurchasePairs,
     "interval_click_counts" -> intervalClickCounts)
 
   def oracles: Map[String, String] = Map(
     "asof_attribution" -> asofAttributionSql,
+    "click_purchase_pairs" -> clickPurchasePairsSql,
     "interval_click_counts" -> intervalClickCountsSql)
 }

@@ -320,6 +320,35 @@ object EventStreams extends QueryModule {
       .toDF("purchase_id", "user_id", "click_id", "gap_seconds")
   }
 
+  /** Stream-stream event-time interval join: every purchase pairs with
+    * every same-user click it follows within `windowSeconds` — Spark's
+    * native watermarked two-sided join (no custom state). Both sides carry
+    * a watermark and the range condition bounds the buffered state: a
+    * click can be dropped once the purchase watermark passes
+    * click.ts + window, which is exactly the bound Spark derives from the
+    * join condition. Batch parity with `graft.ops.Temporal
+    * .clickPurchasePairs` (the oracled driver query) is pinned in
+    * StreamingSpec.
+    *
+    * Inputs are pre-projected frames (user_id, click_id, c_ts) and
+    * (user_id, purchase_id, p_ts), streaming or batch.
+    */
+  def clickPurchaseJoinStream(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowSeconds: Long = 600L,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("c_ts", watermarkDelay)
+    val p = purchases.withWatermark("p_ts", watermarkDelay)
+    c.join(p,
+      c("user_id") === p("user_id") &&
+        p("p_ts") >= c("c_ts") &&
+        p("p_ts") < c("c_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(c("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000")
+          .as("gap_seconds"))
+  }
+
   def dedupStream(records: DataFrame, keyCol: String, tsCol: String,
       watermarkDelay: String): DataFrame =
     records

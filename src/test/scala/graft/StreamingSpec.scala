@@ -266,6 +266,36 @@ class StreamingSpec extends SparkSpec {
     assert(stotal === total, "sessions must also partition all events")
   }
 
+  test("stream-stream click-purchase join matches the oracled batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.clickPurchaseJoinStream(
+      cMem.toDF().toDF("user_id", "click_id", "c_ts"),
+      pMem.toDF().toDF("user_id", "purchase_id", "p_ts"))
+      .writeStream.format("memory").queryName("cp_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      cMem.addData(clicks.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))))
+      pMem.addData(purchases.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))))
+      q.processAllAvailable()
+      val stream = spark.table("cp_join")
+        .select("user_id", "click_id", "purchase_id", "gap_seconds")
+        .collect().map(_.toSeq).toSet
+      val batch = SparkEntry.queries("click_purchase_pairs")(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty, "sf0.001 must contain at least one attributed pair")
+      assert(stream === batch, "stream-stream join must equal the batch interval join")
+    } finally q.stop()
+  }
+
   test("event_rate_anomaly: planted 10x burst alarms, steady traffic never does") {
     // 30 steady hours at 4 events/hour, then one hour with 40 events.
     val base = 1700000000L * 1000000L // epoch micros, hour-aligned enough
