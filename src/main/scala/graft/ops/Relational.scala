@@ -263,6 +263,34 @@ object Relational extends QueryModule {
   private val emptyViolationsSql =
     """SELECT NULL::VARCHAR AS violation, NULL::BIGINT AS detail WHERE false""".stripMargin
 
+  /** Approximate-quantile gate: `approx_percentile` (Greenwald-Khanna at
+    * accuracy 10⁴) must land inside the exact [45th, 55th] discrete
+    * percentile band of per-language doc lengths — the contract that lets
+    * length-quantile corpus reports run as one sketch pass instead of a
+    * per-key rank sort at 100 TB. Violations (must be none) name the
+    * language; the exact band comes from the same rank-window construction
+    * quality_calibration oracles.
+    */
+  def approxQuantileGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("n_chars"))
+    val approx = docs.groupBy("lang")
+      .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("approx_med"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+    val ranked = docs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val bounds = ranked
+      .filter(col("rk") === expr("(n * 45 + 99) DIV 100") ||
+        col("rk") === expr("(n * 55 + 99) DIV 100"))
+      .groupBy("lang")
+      .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    approx.join(bounds, Seq("lang"))
+      .filter(col("approx_med") < col("lo") || col("approx_med") > col("hi"))
+      .select(concat(lit("quantile_out_of_band_"), col("lang")).as("violation"),
+        col("approx_med").cast("long").as("detail"))
+  }
+
   def approxDistinctDocs(spark: SparkSession, dir: String): DataFrame = {
     // Separate aggregations joined on the 5-row group key: combining
     // countDistinct with approx_count_distinct in ONE agg forces the HLL
@@ -351,11 +379,37 @@ object Relational extends QueryModule {
       |FROM documents d JOIN dim USING (source)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Pivot (long → wide): the day × event-type count matrix every
+    * analytics surface renders. The value list is passed EXPLICITLY so the
+    * pivot stays one job — omitting it makes Spark run a distinct-values
+    * job first and embed unbounded-width columns; at 100 TB the schema
+    * must come from the catalog, not a scan. Unseen (day, type) cells are
+    * 0, not null, so the matrix is dense and the compare exact.
+    */
+  def eventsPivotDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day_id")
+
+  private val eventsPivotDailySql =
+    """SELECT epoch_us(ts) // 86400000000 AS day_id,
+      |       count(*) FILTER (WHERE event_type = 'click')    AS click,
+      |       count(*) FILTER (WHERE event_type = 'error')    AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view')     AS view
+      |FROM events GROUP BY 1 ORDER BY day_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pivot_daily" -> eventsPivotDaily,
     "salted_distinct_users" -> saltedDistinctUsers,
     "salted_source_join" -> saltedSourceJoin,
     "cms_overcount_gate" -> cmsOvercountGate,
     "bloom_membership_gate" -> bloomMembershipGate,
+    "approx_quantile_gate" -> approxQuantileGate,
     "approx_distinct_docs" -> approxDistinctDocs,
     "distinct_sources" -> distinctSources,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -368,10 +422,12 @@ object Relational extends QueryModule {
     "top_supplier_per_nation" -> topSupplierPerNation)
 
   def oracles: Map[String, String] = Map(
+    "events_pivot_daily" -> eventsPivotDailySql,
     "salted_distinct_users" -> saltedDistinctUsersSql,
     "salted_source_join" -> saltedSourceJoinSql,
     "cms_overcount_gate" -> emptyViolationsSql,
     "bloom_membership_gate" -> emptyViolationsSql,
+    "approx_quantile_gate" -> emptyViolationsSql,
     "approx_distinct_docs" -> approxDistinctDocsSql,
     "distinct_sources" -> distinctSourcesSql,
     "q1_pricing_summary" -> q1PricingSummarySql,

@@ -79,4 +79,39 @@ class RelationalSpec extends SparkSpec {
     val absentHits = (1000000L until 1000200L).count(bloom.mightContainLong)
     assert(absentHits <= 20, s"bloom passed $absentHits of 200 absent ids (fpp 1%)")
   }
+
+  test("events_pivot_daily: dense matrix, row sums partition the event count") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("events_pivot_daily")(spark, sf)
+    val cols = out.columns.toSeq
+    assert(cols === Seq("day_id", "click", "error", "purchase", "signup", "view"))
+    val total = out.select(
+      sum(expr("click + error + purchase + signup + view"))).head().getLong(0)
+    assert(total === Tables.events(spark, sf).count(),
+      "pivot cells must partition all events")
+    assert(out.collect().forall(r => (1 to 5).forall(!r.isNullAt(_))),
+      "unseen cells must be 0, never null")
+  }
+
+  test("approx_quantile_gate: empty, and the exact band is genuinely narrow") {
+    import org.apache.spark.sql.functions.col
+    assert(SparkEntry.queries("approx_quantile_gate")(spark, sf).count() === 0)
+    // the gate only means something if the band it checks is tight:
+    // per-lang [45th, 55th] discrete percentiles must sit strictly inside
+    // the per-lang [min, max]
+    val docs = Tables.documents(spark, sf).select("lang", "n_chars")
+    val mm = docs.groupBy("lang").agg(
+      org.apache.spark.sql.functions.min("n_chars").as("mn"),
+      org.apache.spark.sql.functions.max("n_chars").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val med = docs.groupBy("lang")
+      .agg(org.apache.spark.sql.functions
+        .percentile_approx(col("n_chars"), org.apache.spark.sql.functions.lit(0.5),
+          org.apache.spark.sql.functions.lit(10000)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    med.foreach { case (lang, m) =>
+      val (mn, mx) = mm(lang)
+      assert(m > mn && m < mx, s"$lang median $m degenerate vs [$mn,$mx]")
+    }
+  }
 }
