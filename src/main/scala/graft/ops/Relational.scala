@@ -379,6 +379,50 @@ object Relational extends QueryModule {
       |FROM documents d JOIN dim USING (source)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Incremental view maintenance with mergeable state — the pattern that
+    * turns a 100 TB daily-refresh aggregate into a delta-sized job. The
+    * materialized summary stores MERGEABLE partials per (event_type, day):
+    * count, an exact integer value sum (micro-units via floor — float sums
+    * don't merge deterministically), min/max timestamps. Refresh reads the
+    * small summary plus ONLY the new days (the day filter pushes to the
+    * delta scan — history is never rescanned) and re-merges: count/sum by
+    * addition, min/max by min/max. The oracle is the full recompute — the
+    * whole point is merge ≡ recompute, which only holds because every
+    * stored aggregate is associative; avg is served as sum/count, never
+    * stored.
+    */
+  def ivmEventSummary(spark: SparkSession, dir: String): DataFrame = {
+    val cutDay = 19738L // 2024-01-16; testdata spans 2024-01-01..30
+    def partials(df: DataFrame): DataFrame = df
+      .withColumn("day_id", expr("unix_micros(ts) DIV 86400000000"))
+      .groupBy(col("event_type"), col("day_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("sum_value_e6"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivm_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    // day-one materialization of history (in production this already exists)
+    partials(Tables.events(spark, dir)
+      .filter(expr("unix_micros(ts) DIV 86400000000") < cutDay))
+      .write.mode("overwrite").parquet(path)
+    // the refresh job: stored summary ∪ delta-only partials, re-merged
+    val stored = spark.read.parquet(path)
+    val delta = partials(Tables.events(spark, dir)
+      .filter(expr("unix_micros(ts) DIV 86400000000") >= cutDay))
+    stored.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_value_e6")).as("sum_value_e6"),
+        min(col("first_ts")).as("first_ts"), max(col("last_ts")).as("last_ts"))
+      .orderBy("event_type")
+  }
+
+  private val ivmEventSummarySql =
+    """SELECT event_type, count(*) AS n_events,
+      |       sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_e6,
+      |       min(ts) AS first_ts, max(ts) AS last_ts
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Pivot (long → wide): the day × event-type count matrix every
     * analytics surface renders. The value list is passed EXPLICITLY so the
     * pivot stays one job — omitting it makes Spark run a distinct-values
@@ -405,6 +449,7 @@ object Relational extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_pivot_daily" -> eventsPivotDaily,
+    "ivm_event_summary" -> ivmEventSummary,
     "salted_distinct_users" -> saltedDistinctUsers,
     "salted_source_join" -> saltedSourceJoin,
     "cms_overcount_gate" -> cmsOvercountGate,
@@ -423,6 +468,7 @@ object Relational extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "events_pivot_daily" -> eventsPivotDailySql,
+    "ivm_event_summary" -> ivmEventSummarySql,
     "salted_distinct_users" -> saltedDistinctUsersSql,
     "salted_source_join" -> saltedSourceJoinSql,
     "cms_overcount_gate" -> emptyViolationsSql,

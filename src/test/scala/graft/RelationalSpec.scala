@@ -80,6 +80,20 @@ class RelationalSpec extends SparkSpec {
     assert(absentHits <= 20, s"bloom passed $absentHits of 200 absent ids (fpp 1%)")
   }
 
+  test("ivm_event_summary: delta merge equals single-pass recompute") {
+    import org.apache.spark.sql.functions._
+    val merged = SparkEntry.queries("ivm_event_summary")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("sum_value_e6"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(merged === direct, "merging stored partials with the delta must " +
+      "be indistinguishable from recomputing over all history")
+  }
+
   test("events_pivot_daily: dense matrix, row sums partition the event count") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("events_pivot_daily")(spark, sf)
