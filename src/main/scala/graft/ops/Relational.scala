@@ -423,6 +423,40 @@ object Relational extends QueryModule {
       |       min(ts) AS first_ts, max(ts) AS last_ts
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Time-partitioned warehouse layout: events land in `day_id=` parquet
+    * partitions (the universal time-series layout), so a date-range query
+    * prunes to exactly the covered days at PLANNING time — at 100 TB a
+    * 3-day report touches 3 days of files, not 3 years. The one-shuffle
+    * `repartition(day_id)` before the write keeps it one file per day per
+    * writer instead of days × tasks small files (the small-files problem
+    * Compaction otherwise mops up). Partition pruning is pinned in
+    * PlanAuditSpec; the oracle is the plain filtered aggregate.
+    */
+  def rangeLayoutScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_daylayout_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    Tables.events(spark, dir)
+      .withColumn("day_id", expr("unix_micros(ts) DIV 86400000000"))
+      .repartition(col("day_id"))
+      .write.mode("overwrite").partitionBy("day_id").parquet(path)
+    rangeLayoutRead(spark, path)
+  }
+
+  /** The read side, separated so the plan audit can inspect the scan. */
+  def rangeLayoutRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("day_id").between(19733L, 19735L)) // 2024-01-11..13
+      .groupBy(col("day_id").cast("long").as("day_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("day_id", "event_type")
+
+  private val rangeLayoutScanSql =
+    """SELECT epoch_us(ts) // 86400000000 AS day_id, event_type,
+      |       count(*) AS n_events
+      |FROM events
+      |WHERE epoch_us(ts) // 86400000000 BETWEEN 19733 AND 19735
+      |GROUP BY 1, 2 ORDER BY day_id, event_type""".stripMargin
+
   /** Pivot (long → wide): the day × event-type count matrix every
     * analytics surface renders. The value list is passed EXPLICITLY so the
     * pivot stays one job — omitting it makes Spark run a distinct-values
@@ -450,6 +484,7 @@ object Relational extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_pivot_daily" -> eventsPivotDaily,
     "ivm_event_summary" -> ivmEventSummary,
+    "range_layout_scan" -> rangeLayoutScan,
     "salted_distinct_users" -> saltedDistinctUsers,
     "salted_source_join" -> saltedSourceJoin,
     "cms_overcount_gate" -> cmsOvercountGate,
@@ -469,6 +504,7 @@ object Relational extends QueryModule {
   def oracles: Map[String, String] = Map(
     "events_pivot_daily" -> eventsPivotDailySql,
     "ivm_event_summary" -> ivmEventSummarySql,
+    "range_layout_scan" -> rangeLayoutScanSql,
     "salted_distinct_users" -> saltedDistinctUsersSql,
     "salted_source_join" -> saltedSourceJoinSql,
     "cms_overcount_gate" -> emptyViolationsSql,

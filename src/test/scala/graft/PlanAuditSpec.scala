@@ -229,6 +229,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(calls === 1, s"expected exactly 1 UDF call in the plan, got $calls:\n$plan")
   }
 
+  test("range_layout_scan: day filter prunes partitions, one file per day") {
+    // materialize the layout, then audit the read side
+    SparkEntry.queries("range_layout_scan")(spark, sf).collect()
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_daylayout_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val s = scans(graft.ops.Relational.rangeLayoutRead(spark, path))
+    assert(s.nonEmpty)
+    val partFilters = s.head.partitionFilters.mkString(" ")
+    assert(partFilters.contains("day_id"),
+      s"date range must prune day partitions, got: $partFilters")
+    assert(!s.head.requiredSchema.fieldNames.contains("day_id"),
+      "day_id must be a partition column, not data")
+    // repartition(day_id) before the write: each day dir holds ONE part file
+    val dayDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day_id="))
+    assert(dayDirs.length === 30, s"expected 30 day partitions, ${dayDirs.length}")
+    dayDirs.foreach { d =>
+      val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts === 1, s"${d.getName}: $parts part files (small-files leak)")
+    }
+  }
+
   test("salted_source_join: shuffle join on (source, salt), never broadcast") {
     val plan = SparkEntry.queries("salted_source_join")(spark, sf)
       .queryExecution.sparkPlan
