@@ -698,7 +698,56 @@ object TextAnalysis extends QueryModule {
       |       (cum_tokens - n_tokens) % 4096 AS offset_in_shard
       |FROM c ORDER BY lang, doc_id""".stripMargin
 
+  /** Heavy-hitter n-grams per language: the top-5 token bigrams by corpus
+    * frequency — the boilerplate/template detector every corpus report
+    * leads with (a bigram that dominates a language is a scraper artifact
+    * or licence header, not language). Rank is (count desc, bigram asc) so
+    * tie membership is deterministic cross-engine. Shape: doc-local
+    * bigrams explode to (lang, bigram) counts — map-side partial — then
+    * one rank window over the distinct-bigram aggregate, never the corpus.
+    */
+  def topNgramsPerLang(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("lang"), Dedup.tokensCol(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 2)
+    val bigrams = toks.select(col("lang"),
+      explode(zip_with(
+        slice(col("tok"), lit(1), greatest(size(col("tok")) - 1, lit(0))),
+        slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    bigrams.groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("bigram").asc)).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("lang", "rank", "bigram", "n")
+      .orderBy("lang", "rank")
+  }
+
+  private val topNgramsPerLangSql =
+    """WITH toks AS (
+      |  SELECT lang,
+      |         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                     t -> length(t) > 0) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |b AS (
+      |  SELECT lang, bigram
+      |  FROM toks, UNNEST(list_transform(generate_series(1, len(tok) - 1),
+      |         i -> tok[i] || ' ' || tok[i+1])) AS u(bigram)
+      |  WHERE len(tok) >= 2),
+      |c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+      |r AS (SELECT lang, bigram, n,
+      |             row_number() OVER (PARTITION BY lang
+      |                                ORDER BY n DESC, bigram ASC) AS rank
+      |      FROM c)
+      |SELECT lang, rank, bigram, n FROM r WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top_ngrams_per_lang" -> topNgramsPerLang,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
     "mixture_weights" -> mixtureWeights,
@@ -714,6 +763,7 @@ object TextAnalysis extends QueryModule {
     "fingerprint_planted_containment" -> fingerprintPlantedContainment)
 
   def oracles: Map[String, String] = Map(
+    "top_ngrams_per_lang" -> topNgramsPerLangSql,
     "pack_sequences" -> packSequencesSql,
     "stratified_sample" -> stratifiedSampleSql,
     "mixture_weights" -> mixtureWeightsSql,

@@ -285,6 +285,33 @@ object VectorSearch extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Embedding-space hygiene report: the L2-norm histogram per label — the
+    * first thing to look at before cosine search or quantization (norm
+    * collapse, un-normalized batches and dead vectors all show up here).
+    * The norm is a strict left fold over the vector (same construction
+    * that makes `embedding_projection` bit-exact cross-engine: per-row,
+    * order-fixed, no shuffle-order float sums), sqrt is IEEE
+    * correctly-rounded in both engines, and the bucket floor is exact
+    * integer. Pure narrow projection + one small-key aggregation.
+    */
+  def embeddingNormHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        expr("CAST(floor(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 10) AS BIGINT)")
+          .as("norm_bucket"))
+      .groupBy(col("label"), col("norm_bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("label", "norm_bucket")
+
+  private val embeddingNormHistogramSql =
+    """SELECT label,
+      |       CAST(floor(sqrt(list_reduce(list_transform(embedding,
+      |              x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) * 10)
+      |            AS BIGINT) AS norm_bucket,
+      |       count(*) AS n_vectors
+      |FROM embeddings GROUP BY 1, 2 ORDER BY label, norm_bucket""".stripMargin
+
   private val embeddingProjectionSql =
     """WITH m AS (
       |  SELECT i.i, j.j,
@@ -303,6 +330,7 @@ object VectorSearch extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_projection" -> embeddingProjection,
+    "embedding_norm_histogram" -> embeddingNormHistogram,
     "quantized_knn_topk" -> quantizedKnnTopk,
     "quantized_index_knn" -> quantizedIndexKnn,
     "knn_exact_topk" -> knnExactTopk,
@@ -315,6 +343,7 @@ object VectorSearch extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "embedding_projection" -> embeddingProjectionSql,
+    "embedding_norm_histogram" -> embeddingNormHistogramSql,
     "quantized_knn_topk" -> knnExactTopkSql, // quantized path must equal exact
     "quantized_index_knn" -> knnExactTopkSql, // stored-codes path must equal exact too
     "knn_exact_topk" -> knnExactTopkSql,

@@ -159,4 +159,25 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getLong(2) === 1L)
     }
   }
+
+  test("top_ngrams_per_lang: 5 ranked rows per language, counts non-increasing") {
+    val rows = SparkEntry.queries("top_ngrams_per_lang")(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).toSeq.sorted === (1L to rs.length),
+        s"$lang: ranks must be 1..n")
+      val counts = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("n"))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"$lang: counts must be non-increasing down the ranks")
+    }
+  }
+
+  test("embedding_norm_histogram: buckets partition all vectors") {
+    val out = SparkEntry.queries("embedding_norm_histogram")(spark, sf)
+    val total = out.agg(org.apache.spark.sql.functions.sum("n_vectors"))
+      .head().getLong(0)
+    assert(total === Tables.embeddings(spark, sf).count())
+    out.collect().foreach(r => assert(r.getAs[Long]("norm_bucket") >= 0L))
+  }
 }
