@@ -372,6 +372,64 @@ object Rag extends QueryModule {
        |SELECT doc_id, bm25, n_terms_matched FROM scored
        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009,
+    * k = 60): the modern two-tower serving shape — a lexical ranking
+    * (BM25 over the standing query terms) and a semantic ranking (exact
+    * cosine against stored vector 0) fused by summing 1/(k + rank), here
+    * in exact 1e-6 integer units so the oracle compare is bit-exact. A
+    * doc absent from one retriever's list simply contributes nothing from
+    * that side (standard RRF).
+    *
+    * Scale shape: RRF only ever sees each retriever's top-k — both sides
+    * truncate to their top-100 BEFORE ranks are assigned, so the fusion
+    * join is k-sized regardless of corpus size. Both cuts and both rank
+    * orders are (rounded score desc, doc_id asc) — cross-engine
+    * deterministic.
+    */
+  def hybridRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val sem = VectorSearch.scoredAgainst(spark, dir, 0L)
+      .select(col("vec_id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(100)
+      .withColumn("r_sem", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full")
+      .withColumn("rrf_e6",
+        coalesce(expr("1000000 DIV (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + r_sem)"), lit(0L)))
+      .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+      .limit(20)
+      .select("doc_id", "rrf_e6")
+  }
+
+  private val hybridRrfFusionSql =
+    s"""WITH bm AS ($bm25ScoresSql),
+       |lex_top AS (SELECT doc_id, bm25 FROM bm
+       |            ORDER BY bm25 DESC, doc_id ASC LIMIT 100),
+       |lex AS (SELECT doc_id, row_number() OVER (
+       |          ORDER BY bm25 DESC, doc_id ASC) AS r_lex FROM lex_top),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |sc AS (SELECT e.vec_id AS doc_id,
+       |              round(list_dot_product(e.embedding::DOUBLE[],
+       |                                     q.qe::DOUBLE[]), 6) AS score
+       |       FROM embeddings e, q),
+       |sem_top AS (SELECT doc_id, score FROM sc
+       |            ORDER BY score DESC, doc_id ASC LIMIT 100),
+       |sem AS (SELECT doc_id, row_number() OVER (
+       |          ORDER BY score DESC, doc_id ASC) AS r_sem FROM sem_top),
+       |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |             coalesce(1000000 // (60 + r_lex), 0)
+       |               + coalesce(1000000 // (60 + r_sem), 0) AS rrf_e6
+       |      FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, rrf_e6 FROM f
+       |ORDER BY rrf_e6 DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** Retrieval-quality evaluation: self-rank MRR over a BM25 query batch —
     * the offline eval every retrieval system ships with (the reference
     * exposes scores but no quality metric; this closes that gap). Every
@@ -546,7 +604,8 @@ object Rag extends QueryModule {
     "rag_pipeline_planted" -> ragPipelinePlanted,
     "bm25_scores" -> bm25Scores,
     "bm25_topn" -> bm25Topn,
-    "bm25_selfrank_mrr" -> bm25SelfRankMrr)
+    "bm25_selfrank_mrr" -> bm25SelfRankMrr,
+    "hybrid_rrf_fusion" -> hybridRrfFusion)
 
   def oracles: Map[String, String] = Map(
     "interactive_replay" -> interactiveReplaySql,
@@ -557,5 +616,6 @@ object Rag extends QueryModule {
     "rag_pipeline_planted" -> ragPipelinePlantedSql,
     "bm25_scores" -> bm25ScoresSql,
     "bm25_topn" -> bm25TopnSql,
-    "bm25_selfrank_mrr" -> bm25SelfRankMrrSql)
+    "bm25_selfrank_mrr" -> bm25SelfRankMrrSql,
+    "hybrid_rrf_fusion" -> hybridRrfFusionSql)
 }

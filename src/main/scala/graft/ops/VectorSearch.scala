@@ -25,7 +25,7 @@ import graft.vector.{Embedding, VectorFunctions => V}
 object VectorSearch extends QueryModule {
 
   /** Corpus scored against one stored query vector (vec_id = `queryId`). */
-  private def scoredAgainst(spark: SparkSession, dir: String, queryId: Long): DataFrame = {
+  private[ops] def scoredAgainst(spark: SparkSession, dir: String, queryId: Long): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("query_embedding"))

@@ -118,6 +118,18 @@ class RagSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(1) < cap))
   }
 
+  test("hybrid_rrf_fusion: both retrievers contribute, scores bounded by RRF caps") {
+    val rows = SparkEntry.queries("hybrid_rrf_fusion")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Long]("rrf_e6"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "sorted desc")
+    // max possible: rank 1 on both sides = 2 * (1000000 / 61)
+    assert(scores.head <= 2 * (1000000L / 61L))
+    // each side has a rank-1 doc scoring 1e6/61 alone, so the fused
+    // maximum can never fall below that floor
+    assert(scores.head >= 1000000L / 61L)
+  }
+
   test("bm25_selfrank_mrr: one row per query, ranks valid, rr exact-integer") {
     val rows = SparkEntry.queries("bm25_selfrank_mrr")(spark, sf).collect()
     assert(rows.nonEmpty)
