@@ -481,7 +481,42 @@ object Relational extends QueryModule {
       |       count(*) FILTER (WHERE event_type = 'view')     AS view
       |FROM events GROUP BY 1 ORDER BY day_id""".stripMargin
 
+  /** Grouped top-k via the native bounded-buffer aggregate
+    * (`org.apache.spark.sql.graft.GroupTopK`): top-3 orders per priority
+    * class by price. The window-rank idiom shuffles and sorts EVERY order
+    * row; the aggregate ships at most k entries per (group, partition)
+    * through a partial→final ObjectHashAggregate — the shape that holds
+    * at 100 TB (shuffle volume O(groups·k·partitions), not O(rows)).
+    * Total order (price_e2 DESC, okey ASC) makes ties deterministic, so
+    * the oracle is the plain `row_number()` window SQL.
+    */
+  def groupedTopkNative(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GroupTopK
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(GroupTopK.topK(
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)"),
+        col("o_orderkey").cast("string"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").as("price_e2"), col("col.payload").as("okey"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
+  private val groupedTopkNativeSql =
+    """SELECT o_orderpriority, rank, price_e2, okey FROM (
+      |  SELECT o_orderpriority,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_e2,
+      |         CAST(o_orderkey AS VARCHAR) AS okey,
+      |         row_number() OVER (
+      |           PARTITION BY o_orderpriority
+      |           ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC,
+      |                    CAST(o_orderkey AS VARCHAR) ASC) AS rank
+      |  FROM orders) WHERE rank <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouped_topk_native" -> groupedTopkNative,
     "events_pivot_daily" -> eventsPivotDaily,
     "ivm_event_summary" -> ivmEventSummary,
     "range_layout_scan" -> rangeLayoutScan,
@@ -502,6 +537,7 @@ object Relational extends QueryModule {
     "top_supplier_per_nation" -> topSupplierPerNation)
 
   def oracles: Map[String, String] = Map(
+    "grouped_topk_native" -> groupedTopkNativeSql,
     "events_pivot_daily" -> eventsPivotDailySql,
     "ivm_event_summary" -> ivmEventSummarySql,
     "range_layout_scan" -> rangeLayoutScanSql,
