@@ -20,6 +20,7 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     ops.Relational,
+    ops.Lakehouse,
     ops.Temporal,
     ops.Chunking,
     ops.VectorSearch,

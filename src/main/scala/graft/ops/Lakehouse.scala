@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Lakehouse table-maintenance patterns: merge-on-read snapshots and
+  * file-level zone-map skipping. Neither exists in the reference (its
+  * vector store rewrites the whole collection on update — SURVEY.md §2.2
+  * K2); both are what make a 100 TB table updatable and scannable without
+  * rewriting or reading all of it.
+  */
+object Lakehouse extends QueryModule {
+
+  private def tmpPath(prefix: String, dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      prefix + "_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+
+  // ---- merge-on-read snapshot ----
+
+  /** Merge-on-read upsert/delete (the Hudi/Iceberg MOR shape): the base
+    * table is IMMUTABLE; changes land as a small seq-stamped delta log
+    * (upserts carry new values, deletes are tombstones); a snapshot read
+    * merges latest-wins per key at query time. At 100 TB the write cost
+    * scales with the delta, never the base — the alternative
+    * (copy-on-write) rewrites every touched file.
+    *
+    * The planted delta is derived deterministically from the data (10% of
+    * keys upserted with a price bump, 4% tombstoned) so the DuckDB oracle
+    * can replay the identical merge. Tombstones use non-null sentinels
+    * ('' / -1) — both engines' arg/max_by null semantics stay out of the
+    * compare.
+    */
+  def morSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_mor", dir)
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus").as("status"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_e2"))
+    base.write.mode("overwrite").parquet(tmp + "/base")
+    val upserts = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("status"),
+        (col("price_e2") + 10000L).as("price_e2"),
+        lit(false).as("tombstone"), lit(1L).as("seq"))
+    val deletes = base.filter(col("o_orderkey") % 25 === 0)
+      .select(col("o_orderkey"), lit("").as("status"),
+        lit(-1L).as("price_e2"), lit(true).as("tombstone"), lit(2L).as("seq"))
+    upserts.unionByName(deletes).write.mode("overwrite").parquet(tmp + "/delta")
+    morRead(spark, tmp)
+  }
+
+  /** The snapshot read, separated so specs can drive it against a base
+    * whose files they can prove untouched. Latest-wins is ONE max_by
+    * aggregation (map-side partials, no window sort): per key the highest
+    * seq's row survives, tombstones drop. seq is unique per key by
+    * construction (base 0, upsert 1, delete 2), so max_by is total.
+    */
+  def morRead(spark: SparkSession, tmp: String): DataFrame = {
+    val base = spark.read.parquet(tmp + "/base")
+      .withColumn("tombstone", lit(false)).withColumn("seq", lit(0L))
+    val delta = spark.read.parquet(tmp + "/delta")
+    base.unionByName(delta)
+      .groupBy("o_orderkey")
+      .agg(max_by(struct(col("status"), col("price_e2"), col("tombstone")),
+        col("seq")).as("r"))
+      .filter(!col("r.tombstone"))
+      .select(col("o_orderkey"), col("r.status").as("status"),
+        col("r.price_e2").as("price_e2"))
+      .orderBy("o_orderkey")
+  }
+
+  private val morSnapshotSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus AS status,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_e2,
+      |         FALSE AS tombstone, 0 AS seq
+      |  FROM orders),
+      |delta AS (
+      |  SELECT o_orderkey, 'U' AS status, price_e2 + 10000 AS price_e2,
+      |         FALSE AS tombstone, 1 AS seq
+      |  FROM base WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, '', -1, TRUE, 2 FROM base WHERE o_orderkey % 25 = 0),
+      |merged AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
+      |SELECT o_orderkey, status, price_e2
+      |FROM merged WHERE rn = 1 AND NOT tombstone
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- zone-map file skipping ----
+
+  /** File-level data skipping below partition granularity (the
+    * Delta/Iceberg manifest-stats pattern): data is range-clustered on
+    * the filter column at write time so each file covers a tight value
+    * slice, and a per-file min/max sidecar (the "manifest") lets the
+    * query prune to overlapping files BEFORE any data is read. At 100 TB
+    * the sidecar is catalog-scale (one row per file), so the driver-side
+    * file-list filter is bounded by file count, not data size.
+    *
+    * Here the sidecar is backfilled with one scan over `_metadata
+    * .file_path`; in production it is written from parquet footer stats
+    * at commit time. The oracle is the plain filtered aggregate —
+    * pruning must be invisible to results (spec pins that files ARE
+    * skipped).
+    */
+  def zonemapScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_zonemap", dir)
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.mode("overwrite").parquet(tmp + "/data")
+    spark.read.parquet(tmp + "/data")
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min("o_orderdate").as("min_d"), max("o_orderdate").as("max_d"))
+      .write.mode("overwrite").parquet(tmp + "/stats")
+    zonemapRead(spark, tmp, "1996-01-01", "1996-06-30")._1
+  }
+
+  /** The pruned read: returns (result, prunedFiles, totalFiles) so the
+    * spec can assert real skipping. The collect is over the sidecar —
+    * file-count-bounded, the same cardinality a catalog lookup returns.
+    */
+  def zonemapRead(spark: SparkSession, tmp: String, lo: String, hi: String)
+      : (DataFrame, Int, Int) = {
+    val stats = spark.read.parquet(tmp + "/stats")
+    val total = stats.count().toInt
+    val files = stats
+      .filter(col("min_d") <= lit(hi).cast("timestamp") &&
+        col("max_d") >= lit(lo).cast("timestamp"))
+      .select("file").collect().map(_.getString(0))
+    val pruned =
+      if (files.isEmpty) spark.read.parquet(tmp + "/data").limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    val out = pruned
+      .filter(col("o_orderdate").between(
+        lit(lo).cast("timestamp"), lit(hi).cast("timestamp")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("revenue_e2"))
+      .orderBy("o_orderstatus")
+    (out, files.length, total)
+  }
+
+  private val zonemapScanSql =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_e2
+      |FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mor_snapshot" -> morSnapshot,
+    "zonemap_pruned_scan" -> zonemapScan)
+
+  def oracles: Map[String, String] = Map(
+    "mor_snapshot" -> morSnapshotSql,
+    "zonemap_pruned_scan" -> zonemapScanSql)
+}

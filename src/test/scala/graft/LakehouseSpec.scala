@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.window.WindowExec
+import graft.ops.Lakehouse
+
+/** Merge-on-read snapshots and zone-map file skipping: merge semantics,
+  * base immutability (the point of MOR), real file pruning (the point of
+  * zone maps), and the plan shape (aggregation, not a window sort).
+  */
+class LakehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mor: latest-wins merge updates, deletes, and passes through") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mor_spec").toString
+    Seq((1L, "O", 100L), (2L, "O", 200L), (3L, "F", 300L))
+      .toDF("o_orderkey", "status", "price_e2")
+      .write.parquet(tmp + "/base")
+    Seq((2L, "U", 250L, false, 1L), (3L, "", -1L, true, 2L))
+      .toDF("o_orderkey", "status", "price_e2", "tombstone", "seq")
+      .write.parquet(tmp + "/delta")
+    val out = Lakehouse.morRead(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, "O", 100L), (2L, "U", 250L))) // 3 tombstoned
+  }
+
+  test("mor: the delta write leaves every base file byte-identical") {
+    val tmp = Lakehouse.morSnapshot(spark, sf) // builds base then delta
+    val baseDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_mor_" + Integer.toHexString(sf.hashCode) + "/base")
+    def listing = baseDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = listing
+    // a second delta-only write cycle must not touch base files
+    val n = Lakehouse.morRead(spark,
+      baseDir.getParentFile.getAbsolutePath).count()
+    assert(n > 0)
+    assert(listing === before, "base files changed under a MOR read")
+  }
+
+  test("mor: snapshot plan merges via aggregation, not a window sort") {
+    val plan = SparkEntry.queries("mor_snapshot")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"latest-wins should be max_by aggregation, found a window:\n$plan")
+  }
+
+  test("zonemap: prunes files and the pruned result matches the full scan") {
+    SparkEntry.queries("zonemap_pruned_scan")(spark, sf) // builds layout+stats
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_zonemap_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val (pruned, nSel, nTotal) =
+      Lakehouse.zonemapRead(spark, tmp, "1996-01-01", "1996-06-30")
+    assert(nTotal >= 8, s"expected >=8 range-clustered files, got $nTotal")
+    assert(nSel < nTotal, s"no pruning: $nSel of $nTotal files selected")
+    val full = spark.read.parquet(tmp + "/data")
+      .filter(col("o_orderdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1996-06-30").cast("timestamp")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("revenue_e2"))
+      .orderBy("o_orderstatus")
+    assert(pruned.collect().toSeq === full.collect().toSeq)
+  }
+
+  test("zonemap: a range outside all file bounds reads zero files") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_zonemap_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val (out, nSel, _) =
+      Lakehouse.zonemapRead(spark, tmp, "2030-01-01", "2030-12-31")
+    assert(nSel === 0)
+    assert(out.count() === 0)
+  }
+}
