@@ -22,6 +22,7 @@ object SparkEntry {
     ops.Relational,
     ops.Lakehouse,
     ops.Linkage,
+    ops.Graph,
     ops.Temporal,
     ops.Chunking,
     ops.VectorSearch,
