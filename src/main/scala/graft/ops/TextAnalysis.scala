@@ -746,7 +746,59 @@ object TextAnalysis extends QueryModule {
       |SELECT lang, rank, bigram, n FROM r WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  // ---- integer surprisal scoring (unigram-LM cross-entropy, in bits) ----
+
+  /** Per-document surprisal against the corpus's own unigram LM — the
+    * CCNet/Gopher "perplexity bucket" quality signal, made cross-engine
+    * exact by computing floor(log2) in PURE INTEGER arithmetic:
+    * `s(tok) = len(bin(N DIV cnt)) - 1` bits (N = corpus token count,
+    * cnt = token frequency), doc surprisal = Σ occurrences · s(tok).
+    * No float log ever runs, so the DuckDB oracle reproduces every score
+    * bit-for-bit. Boilerplate-heavy docs (common tokens) score low;
+    * rare-vocabulary docs score high — the mixture/filtering axis.
+    *
+    * Scale: tokens shuffle as (doc_id, tok) then tok — text never
+    * crosses an exchange (the bm25 discipline); the LM "training" is one
+    * token-key aggregation; the scoring join is a token equi-join; the
+    * corpus total is a 1-row broadcast.
+    */
+  def surprisalScores(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(filter(
+        split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+        t => length(t) > 0)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val vocab = perDoc.groupBy("tok").agg(sum(col("c")).as("cnt"))
+    val totalN = vocab.agg(sum(col("cnt")).as("n_total"))
+    perDoc.join(vocab, "tok")
+      .crossJoin(broadcast(totalN))
+      .withColumn("s_tok",
+        (length(bin(expr("n_total DIV cnt"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("s_tok")).as("surprisal_bits"))
+      .withColumn("mean_mbits", expr("1000000 * surprisal_bits DIV n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val surprisalScoresSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                x -> length(x) > 0)) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |dt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |vocab AS (SELECT tok, sum(c) AS cnt FROM dt GROUP BY tok),
+      |tot AS (SELECT sum(cnt) AS n_total FROM vocab),
+      |s AS (SELECT d.doc_id, d.c, length(bin(t.n_total // v.cnt)) - 1 AS s_tok
+      |      FROM dt d JOIN vocab v USING (tok) CROSS JOIN tot t)
+      |SELECT doc_id, sum(c) AS n_tokens, sum(c * s_tok) AS surprisal_bits,
+      |       (1000000 * sum(c * s_tok)) // sum(c) AS mean_mbits
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "surprisal_scores" -> surprisalScores,
     "top_ngrams_per_lang" -> topNgramsPerLang,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
@@ -763,6 +815,7 @@ object TextAnalysis extends QueryModule {
     "fingerprint_planted_containment" -> fingerprintPlantedContainment)
 
   def oracles: Map[String, String] = Map(
+    "surprisal_scores" -> surprisalScoresSql,
     "top_ngrams_per_lang" -> topNgramsPerLangSql,
     "pack_sequences" -> packSequencesSql,
     "stratified_sample" -> stratifiedSampleSql,

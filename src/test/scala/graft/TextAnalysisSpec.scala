@@ -173,6 +173,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("surprisal_scores: integer invariants and rare-vs-common ordering") {
+    val rows = SparkEntry.queries("surprisal_scores")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, bits, mean) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && bits >= 0)
+      assert(mean === 1000000L * bits / n, "mean_mbits must be exact integer division")
+    }
+    // a corpus-wide sanity: the doc with the rarest vocabulary (highest
+    // mean) must beat the most boilerplate one (lowest mean) strictly,
+    // i.e. the signal differentiates
+    val means = rows.map(_.getLong(3))
+    assert(means.max > means.min)
+  }
+
   test("embedding_norm_histogram: buckets partition all vectors") {
     val out = SparkEntry.queries("embedding_norm_histogram")(spark, sf)
     val total = out.agg(org.apache.spark.sql.functions.sum("n_vectors"))
