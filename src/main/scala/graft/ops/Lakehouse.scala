@@ -148,11 +148,68 @@ object Lakehouse extends QueryModule {
       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- storage-format interchange ----
+
+  /** Fidelity aggregate used on both sides of a format round-trip: if any
+    * row, column value, or text byte was damaged in transit the md5
+    * distinct-count or the sums shift. Computed over the round-tripped
+    * copy in Spark and over the original parquet in DuckDB.
+    */
+  private def fidelitySummary(df: DataFrame): DataFrame = df
+    .groupBy(col("source"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    .orderBy("source")
+
+  private val fidelitySql =
+    """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      |       count(DISTINCT md5(text)) AS n_distinct_texts
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** ORC round-trip: the other columnar warehouse format Spark reads and
+    * writes natively (same pushdown/pruning machinery as parquet). The
+    * oracle never sees the ORC copy — it recomputes from the original
+    * parquet, so a pass proves the transit was lossless.
+    */
+  def orcInterchange(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_orc", dir)
+    Tables.documents(spark, dir).write.mode("overwrite").orc(tmp)
+    fidelitySummary(spark.read.orc(tmp))
+  }
+
+  /** CSV round-trip with the hostile parts of real CSV: multi-line text
+    * fields, embedded quotes and commas. RFC 4180 quote-doubling
+    * (escape = quote) on BOTH sides plus multiLine read — the asymmetric-
+    * escape default is the classic corruption source this pins down.
+    * CSV carries no types, so the read declares the schema explicitly
+    * (at scale the catalog owns it; inference would be a second full
+    * scan and a type lottery).
+    */
+  def csvInterchange(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_csv", dir)
+    Tables.documents(spark, dir).write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(tmp)
+    val back = spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .csv(tmp)
+      // empty string and NULL are the same thing in CSV; normalize like
+      // the writer did (non-null text in, so read-side nulls are '')
+      .na.fill("", Seq("text"))
+    fidelitySummary(back)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mor_snapshot" -> morSnapshot,
-    "zonemap_pruned_scan" -> zonemapScan)
+    "zonemap_pruned_scan" -> zonemapScan,
+    "orc_interchange" -> orcInterchange,
+    "csv_interchange" -> csvInterchange)
 
   def oracles: Map[String, String] = Map(
     "mor_snapshot" -> morSnapshotSql,
-    "zonemap_pruned_scan" -> zonemapScanSql)
+    "zonemap_pruned_scan" -> zonemapScanSql,
+    "orc_interchange" -> fidelitySql,
+    "csv_interchange" -> fidelitySql)
 }

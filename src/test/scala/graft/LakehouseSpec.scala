@@ -64,6 +64,16 @@ class LakehouseSpec extends SparkSpec {
     assert(pruned.collect().toSeq === full.collect().toSeq)
   }
 
+  test("format interchange: ORC and CSV round-trips preserve every text byte") {
+    val viaParquet = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+      .orderBy("source").collect().toSeq
+    assert(SparkEntry.queries("orc_interchange")(spark, sf).collect().toSeq === viaParquet)
+    assert(SparkEntry.queries("csv_interchange")(spark, sf).collect().toSeq === viaParquet)
+  }
+
   test("zonemap: a range outside all file bounds reads zero files") {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_zonemap_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
