@@ -249,6 +249,21 @@ object VectorSearch extends QueryModule {
     graft.vector.Quantization.quantizedKnn(index, "embedding", "vec_id", qv, k = 10)
   }
 
+  /** Product-quantized ADC coarse scan + exact rescore
+    * (graft.vector.ProductQuantization — the FAISS PQ8 shape: 64-dim
+    * float32 → 8 code bytes, 32× smaller) for stored query vec 0, under
+    * the same EXACT top-10 oracle as the SQ8 paths: with the tie-
+    * inclusive 16× overscan margin the ADC pass must not lose a true
+    * neighbor, so a codebook/encode/LUT bug that perturbs the candidate
+    * set breaks the compare against an engine that never quantizes.
+    */
+  def pqKnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    graft.vector.ProductQuantization.pqKnn(e, "embedding", "vec_id", qv, k = 10)
+  }
+
   /** Johnson–Lindenstrauss random projection 64 → 16 dims: a ±1 sign
     * matrix (Achlioptas 2003 — database-friendly random projections)
     * applied as a pure narrow map, the standard trick to cut ANN memory
@@ -333,6 +348,7 @@ object VectorSearch extends QueryModule {
     "embedding_norm_histogram" -> embeddingNormHistogram,
     "quantized_knn_topk" -> quantizedKnnTopk,
     "quantized_index_knn" -> quantizedIndexKnn,
+    "pq_knn_topk" -> pqKnnTopk,
     "knn_exact_topk" -> knnExactTopk,
     "knn_threshold" -> knnThreshold,
     "knn_relevance_threshold" -> knnRelevanceThreshold,
@@ -346,6 +362,7 @@ object VectorSearch extends QueryModule {
     "embedding_norm_histogram" -> embeddingNormHistogramSql,
     "quantized_knn_topk" -> knnExactTopkSql, // quantized path must equal exact
     "quantized_index_knn" -> knnExactTopkSql, // stored-codes path must equal exact too
+    "pq_knn_topk" -> knnExactTopkSql, // PQ-ADC path must equal exact too
     "knn_exact_topk" -> knnExactTopkSql,
     "knn_threshold" -> knnThresholdSql,
     "knn_relevance_threshold" -> knnRelevanceThresholdSql,

@@ -122,19 +122,34 @@ object IndexBuilder {
     */
   def fitIvfCentroids(df: DataFrame, embCol: String, numClusters: Int,
       seed: Long, sampleCap: Int = 16384, maxIter: Int = 15): Array[Array[Double]] = {
-    // Content-defined sample: order by a hash of the vector itself, so the
-    // training set is a deterministic pseudo-random draw from the WHOLE
-    // corpus regardless of partition/file order. A bare limit() would train
-    // on whichever file is delivered first — at 100 TB that is one file's
-    // distribution and the quantizer degrades. TakeOrderedAndProject keeps
-    // this a per-partition top-cap heap, not a global sort.
-    // (Hash ties are identical vectors up to a 2^-64 collision, so the
-    // sampled multiset is deterministic without a secondary sort key.)
-    val sample: Array[Array[Double]] = df.select(col(embCol))
+    val sample = hashSample(df, embCol, sampleCap)
+    require(sample.nonEmpty, "cannot fit IVF centroids on an empty corpus")
+    kmeansFit(sample, numClusters, seed, maxIter)
+  }
+
+  /** Content-defined bounded sample: order by a hash of the vector itself,
+    * so the training set is a deterministic pseudo-random draw from the
+    * WHOLE corpus regardless of partition/file order. A bare limit() would
+    * train on whichever file is delivered first — at 100 TB that is one
+    * file's distribution and the quantizer degrades. TakeOrderedAndProject
+    * keeps this a per-partition top-cap heap, not a global sort. (Hash
+    * ties are identical vectors up to a 2^-64 collision, so the sampled
+    * multiset is deterministic without a secondary sort key.)
+    */
+  private[vector] def hashSample(df: DataFrame, embCol: String,
+      sampleCap: Int): Array[Array[Double]] =
+    df.select(col(embCol))
       .orderBy(xxhash64(col(embCol)))
       .limit(sampleCap)
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    require(sample.nonEmpty, "cannot fit IVF centroids on an empty corpus")
+
+  /** Seeded kmeans++ init + Lloyd's iterations on a driver-side sample —
+    * shared by the IVF coarse quantizer and the per-subspace PQ codebook
+    * fit. Bit-stable: fixed seed, fixed iteration cap, sequential
+    * arithmetic.
+    */
+  private[vector] def kmeansFit(sample: Array[Array[Double]], numClusters: Int,
+      seed: Long, maxIter: Int): Array[Array[Double]] = {
     val k = math.min(numClusters, sample.length)
     val dim = sample.head.length
     val rnd = new java.util.Random(seed)

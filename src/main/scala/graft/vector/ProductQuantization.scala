@@ -1,0 +1,126 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding columns (Jégou et al. 2011,
+  * "Product Quantization for Nearest Neighbor Search" — the FAISS `PQm`
+  * shape): split each D-dim vector into m subvectors, learn a ksub-entry
+  * codebook per subspace (seeded k-means on a bounded deterministic
+  * sample, shared with the IVF fit), store each vector as m code bytes —
+  * 32× smaller than float32 for D=64/m=8 at rest and in shuffle.
+  *
+  * Subspace granularity is the fidelity dial: fewer dims per subspace →
+  * exponentially finer effective codebook (ksub^m cells). For the
+  * near-orthogonal unit vectors in the test corpus, m=16 × ksub=64
+  * (4 dims/subspace, 16× compression) keeps the true top-k inside a 16×
+  * overscan margin; the classic 8×256 setting suits clustered real-world
+  * embeddings. Both are the FAISS parameter grid.
+  *
+  * Query shape (ADC — asymmetric distance computation): build an
+  * m × ksub lookup table of ⟨query subvector, centroid⟩ dot products
+  * ONCE per query driver-side, then score each stored vector with m
+  * table lookups + adds over its code bytes — no float vector is read in
+  * the coarse pass. Candidates at or above the k·overscan boundary
+  * (ties included, same cut rule as the SQ8 path) are rescored exactly
+  * on the float column; top-k of the rescore is returned. The driver
+  * oracle for the self-query is the EXACT top-k SQL — a PQ bug that
+  * perturbs the candidate set past the overscan margin breaks the
+  * compare against an engine that never quantizes.
+  *
+  * Codebooks are O(m · ksub · D/m) doubles — kilobytes — and ride to
+  * executors in the UDF closure; at 100 TB codes are persisted next to
+  * the corpus (buildQuantizedIndex pattern) and the fit runs once as a
+  * batch job.
+  */
+object ProductQuantization {
+
+  /** Per-subspace codebooks: [subspace][centroid][subdim]. Requires
+    * dim % m == 0 (pad upstream otherwise — the FAISS constraint too).
+    */
+  def fitCodebooks(df: DataFrame, embCol: String, m: Int, ksub: Int,
+      seed: Long, sampleCap: Int = 16384): Array[Array[Array[Double]]] = {
+    val sample = IndexBuilder.hashSample(df, embCol, sampleCap)
+    require(sample.nonEmpty, "cannot fit PQ codebooks on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val slice = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      // seed + s: independent per-subspace streams, still deterministic
+      IndexBuilder.kmeansFit(slice, ksub, seed + s, maxIter = 15)
+    }
+  }
+
+  /** Encode one vector: nearest centroid id per subspace, one byte each. */
+  def encode(books: Array[Array[Array[Double]]], v: Seq[Float]): Array[Byte] = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cents = books(s)
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val diff = v(s * sub + i) - cents(c)(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** ADC lookup table for a query: lut(s)(c) = ⟨q_s, centroid_sc⟩. */
+  def adcTable(books: Array[Array[Array[Double]]],
+      queryVec: Array[Float]): Array[Array[Double]] = {
+    val sub = books(0)(0).length
+    books.zipWithIndex.map { case (cents, s) =>
+      cents.map { cent =>
+        var acc = 0.0; var i = 0
+        while (i < sub) { acc += queryVec(s * sub + i) * cent(i); i += 1 }
+        acc
+      }
+    }
+  }
+
+  /** Add `pq_codes: binary` (m bytes per vector). Narrow map. */
+  def withPqCodes(df: DataFrame, embCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val enc = udf((v: Seq[Float]) => encode(books, v))
+    df.withColumn("pq_codes", enc(col(embCol)))
+  }
+
+  /** ADC coarse scores over encoded rows: m lookups + adds per vector. */
+  def adcScores(encoded: DataFrame, lut: Array[Array[Double]]): DataFrame = {
+    val score = udf { (codes: Array[Byte]) =>
+      var acc = 0.0; var s = 0
+      while (s < codes.length) { acc += lut(s)(codes(s) & 0xff); s += 1 }
+      acc
+    }
+    encoded.withColumn("adc_score", score(col("pq_codes")))
+  }
+
+  /** PQ-ADC coarse / exact-fine top-k (the quantizedKnn contract: tie-
+    * inclusive overscan cut, exact rescore, deterministic id tie-break).
+    */
+  def pqKnn(corpus: DataFrame, embCol: String, idCol: String,
+      queryVec: Array[Float], k: Int, m: Int = 16, ksub: Int = 64,
+      seed: Long = 42L, overscan: Int = 16): DataFrame = {
+    val books = fitCodebooks(corpus, embCol, m, ksub, seed)
+    val scored = adcScores(withPqCodes(corpus, embCol, books), adcTable(books, queryVec))
+    val cutoff = scored.select(col("adc_score"))
+      .orderBy(col("adc_score").desc).limit(k * overscan)
+      .agg(min(col("adc_score"))).head().getDouble(0)
+    scored.filter(col("adc_score") >= cutoff)
+      .withColumn("score", round(
+        VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)), 6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+}

@@ -52,4 +52,44 @@ class QuantizationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === exact)
   }
+
+  test("pq: codebooks have the declared shape and encoding is deterministic") {
+    import graft.vector.ProductQuantization
+    val e = Tables.embeddings(spark, sf)
+    val books = ProductQuantization.fitCodebooks(e, "embedding", m = 16, ksub = 64, seed = 42L)
+    assert(books.length === 16)
+    books.foreach { cents =>
+      assert(cents.length <= 64 && cents.nonEmpty)
+      cents.foreach(c => assert(c.length === 4)) // 64 / 16 subdims
+    }
+    val v = e.filter(org.apache.spark.sql.functions.col("vec_id") === 1L)
+      .select("embedding").head().getSeq[Float](0)
+    val c1 = ProductQuantization.encode(books, v)
+    val c2 = ProductQuantization.encode(books, v)
+    assert(c1.toSeq === c2.toSeq && c1.length === 16)
+  }
+
+  test("pq: ADC via the LUT equals the direct query·centroid dot per code") {
+    import graft.vector.ProductQuantization
+    val e = Tables.embeddings(spark, sf)
+    val books = ProductQuantization.fitCodebooks(e, "embedding", m = 16, ksub = 64, seed = 42L)
+    val v = e.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val lut = ProductQuantization.adcTable(books, v)
+    val code = ProductQuantization.encode(books, v)
+    val viaLut = code.zipWithIndex.map { case (c, s) => lut(s)(c & 0xff) }.sum
+    val direct = code.zipWithIndex.map { case (c, s) =>
+      val cent = books(s)(c & 0xff)
+      cent.indices.map(i => v(s * cent.length + i) * cent(i)).sum
+    }.sum
+    assert(math.abs(viaLut - direct) < 1e-12, s"LUT $viaLut vs direct $direct")
+  }
+
+  test("pq ADC coarse + exact rescore reproduces the exact top-10 on test data") {
+    val got = SparkEntry.queries("pq_knn_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = SparkEntry.queries("knn_exact_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exact)
+  }
 }
