@@ -241,13 +241,98 @@ object Multimodal extends QueryModule {
       |FROM documents WHERE doc_id < 30 AND length(text) > 0
       |ORDER BY media_a""".stripMargin
 
+  // ---- perceptual-hash near-dup (aHash + banded hamming join) ----
+
+  /** Average hash (aHash — the classic perceptual image hash): decode to
+    * an 8×8 grid, bit = cell above the grid mean, 64 bits total. The
+    * decode is the module's deterministic stub (64 equal byte windows,
+    * window average = "pixel"); the aHash stage on top is the real
+    * algorithm, so identical payloads hash identically and small payload
+    * edits perturb few cells.
+    */
+  def pHash(content: Array[Byte]): Long = {
+    if (content == null || content.isEmpty) return 0L
+    val n = content.length
+    val cells = new Array[Double](64)
+    var j = 0
+    while (j < 64) {
+      val from = (j.toLong * n / 64).toInt
+      val until = ((j + 1).toLong * n / 64).toInt
+      if (until > from) {
+        var s = 0.0
+        var i = from
+        while (i < until) { s += java.lang.Byte.toUnsignedInt(content(i)); i += 1 }
+        cells(j) = s / (until - from)
+      }
+      j += 1
+    }
+    val mean = cells.sum / 64
+    var bits = 0L
+    j = 0
+    while (j < 64) {
+      if (cells(j) > mean) bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+
+  /** Perceptual near-dup pairs via the SimHash discipline: 64-bit hash →
+    * 8 × 8-bit chunks; by pigeonhole any pair within hamming distance 7
+    * shares at least one chunk, so candidates come from an equi-join on
+    * (chunk index, chunk value) — never all-pairs — and exact
+    * `bit_count(a ^ b)` refines. Payloads never shuffle; 8 (id, byte)
+    * rows per media cross the exchange.
+    *
+    * Driver row: exact copies planted at media_id + 900000 for ids < 30
+    * (hamming 0 ⇒ must be found through the banded join); the output is
+    * restricted to the planted pairs so the DuckDB oracle can enumerate
+    * it. Organic near-dup pairs are the production output; the spec
+    * exercises them on perturbed payloads.
+    */
+  def phashPlantedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val media = syntheticMedia(spark, dir)
+    val planted = media.filter(col("media_id") < 30)
+      .select((col("media_id") + 900000L).as("media_id"),
+        col("modality"), col("content"), col("meta"))
+    phashNearDupes(media.unionByName(planted), maxHamming = 7)
+      .filter(col("media_b") === col("media_a") + 900000L)
+      .orderBy("media_a")
+  }
+
+  /** The reusable operator: hash, band, join, refine. */
+  def phashNearDupes(media: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit banding only pigeonholes hamming <= 7")
+    val hashUdf = udf((c: Array[Byte]) => pHash(c))
+    val hashed = media.select(col("media_id"), hashUdf(col("content")).as("ph"))
+    val chunks = hashed.select(col("media_id"), col("ph"),
+      posexplode(expr(
+        "transform(sequence(0, 7), c -> (ph >> (c * 8)) & 255)"))
+        .as(Seq("chunk_idx", "chunk")))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        expr("CAST(bit_count(a.ph ^ b.ph) AS BIGINT)").as("hamming"))
+      .distinct() // a pair can share several chunks
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private val phashPlantedPairsSql =
+    """SELECT doc_id AS media_a, doc_id + 900000 AS media_b,
+      |       CAST(0 AS BIGINT) AS hamming
+      |FROM documents WHERE doc_id < 30 AND length(text) > 0
+      |ORDER BY media_a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stats" -> multimodalStats,
     "multimodal_knn" -> multimodalKnn,
-    "multimodal_planted_pairs" -> multimodalPlantedPairs)
+    "multimodal_planted_pairs" -> multimodalPlantedPairs,
+    "phash_planted_pairs" -> phashPlantedPairs)
 
   def oracles: Map[String, String] = Map(
     "multimodal_stats" -> multimodalStatsSql,
     "multimodal_knn" -> multimodalKnnSql,
-    "multimodal_planted_pairs" -> multimodalPlantedPairsSql)
+    "multimodal_planted_pairs" -> multimodalPlantedPairsSql,
+    "phash_planted_pairs" -> phashPlantedPairsSql)
 }

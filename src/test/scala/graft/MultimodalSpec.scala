@@ -85,6 +85,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("modality") === "image"))
   }
 
+  test("phash: identical payloads hash identically; edits perturb few bits") {
+    val bytes = ("The quick brown fox jumps over the lazy dog. " * 30).getBytes("UTF-8")
+    val h1 = Multimodal.pHash(bytes)
+    assert(h1 === Multimodal.pHash(bytes.clone()))
+    // perturb one byte window's worth at the tail: a local edit
+    val edited = bytes.clone()
+    (bytes.length - 10 until bytes.length).foreach(i => edited(i) = 'z'.toByte)
+    val dist = java.lang.Long.bitCount(h1 ^ Multimodal.pHash(edited))
+    assert(dist < 16, s"local edit flipped $dist/64 bits")
+    assert(Multimodal.pHash(Array.empty[Byte]) === 0L)
+  }
+
+  test("phash near-dupes: banded join finds perturbed payloads within the bound") {
+    import spark.implicits._
+    val base = ("A reasonably long synthetic payload for hashing " * 20).getBytes("UTF-8")
+    val perturbed = base.clone()
+    (base.length - 8 until base.length).foreach(i => perturbed(i) = '!'.toByte)
+    val actual = java.lang.Long.bitCount(
+      Multimodal.pHash(base) ^ Multimodal.pHash(perturbed))
+    assume(actual <= 7, s"perturbation landed at hamming $actual; test needs <= 7")
+    val media = Seq((1L, base), (2L, perturbed),
+      (3L, ("entirely different content " * 40).getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val pairs = Multimodal.phashNearDupes(media, maxHamming = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == actual.toLong })
+  }
+
+  test("phash pigeonhole: hamming <= 7 always shares an 8-bit chunk") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val h1 = rnd.nextLong()
+      // flip <= 7 random bits
+      val flips = rnd.nextInt(8)
+      val h2 = (1 to flips).foldLeft(h1)((h, _) => h ^ (1L << rnd.nextInt(64)))
+      val shares = (0 until 8).exists(c => ((h1 >>> (c * 8)) & 0xff) === ((h2 >>> (c * 8)) & 0xff))
+      assert(shares, f"no shared chunk for $h1%x vs $h2%x")
+    }
+  }
+
   test("extraction plan is a narrow map (no shuffle upstream of features)") {
     val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"feature extraction must not shuffle:\n$plan")
