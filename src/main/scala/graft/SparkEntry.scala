@@ -21,6 +21,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     ops.Relational,
     ops.Lakehouse,
+    ops.DataQuality,
     ops.Linkage,
     ops.Graph,
     ops.Temporal,

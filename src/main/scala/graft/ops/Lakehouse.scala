@@ -148,6 +148,79 @@ object Lakehouse extends QueryModule {
       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- versioned manifests: time travel + compaction invariance ----
+
+  /** Manifest-driven versioned reads (the Iceberg/Delta snapshot model):
+    * each table version is a MANIFEST row set listing its data files —
+    * readers never list directories (at 100 TB listing is the scaling
+    * pain and gives no isolation), they read the manifest for version v
+    * and open exactly those files. Version 1 = base files; version 2 =
+    * base + delta files (an append commits by writing files THEN adding
+    * manifest rows, so readers of v1 never see a torn append).
+    *
+    * The driver row reads BOTH versions through manifests and emits
+    * per-version totals; the oracle recomputes them from the logical
+    * construction. The manifest read is file-count-bounded (catalog
+    * scale), same contract as the zone-map sidecar.
+    */
+  def timeTravelScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_tt", dir)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_e2"))
+    base.write.mode("overwrite").parquet(tmp + "/base")
+    // the appended commit: every 10th key re-landed with a price bump
+    base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), (col("price_e2") + 10000L).as("price_e2"))
+      .write.mode("overwrite").parquet(tmp + "/append")
+    def files(sub: String): Seq[(String, Long)] =
+      new java.io.File(tmp + "/" + sub).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, 1L)).toIndexedSeq
+    val manifest = (files("base").map { case (f, _) => (1L, f) } ++
+      files("base").map { case (f, _) => (2L, f) } ++
+      files("append").map { case (f, _) => (2L, f) })
+    import spark.implicits._
+    manifest.toDF("version", "file").write.mode("overwrite").parquet(tmp + "/manifest")
+    val m = spark.read.parquet(tmp + "/manifest")
+    def readVersion(v: Long): DataFrame = {
+      val fs = m.filter(col("version") === v).select("file")
+        .collect().map(_.getString(0)) // manifest: file-count-bounded
+      spark.read.parquet(fs.toIndexedSeq: _*)
+        .agg(lit(v).as("version"), count(lit(1)).as("n_rows"),
+          sum(col("price_e2")).as("total_e2"))
+    }
+    readVersion(1L).unionByName(readVersion(2L))
+      .select(col("version"), col("n_rows"), col("total_e2"))
+      .orderBy("version")
+  }
+
+  private val timeTravelScanSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_e2
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey, price_e2 + 10000 FROM base WHERE o_orderkey % 10 = 0)
+      |SELECT 1 AS version, count(*) AS n_rows, sum(price_e2) AS total_e2 FROM base
+      |UNION ALL
+      |SELECT 2, count(*), sum(price_e2) FROM v2
+      |ORDER BY version""".stripMargin
+
+  /** Major compaction of the MOR table: fold the delta into a NEW base
+    * (latest-wins materialized once) and read the compacted copy back.
+    * The invariant that makes compaction safe to run online — it changes
+    * LAYOUT, never CONTENT — is pinned by reusing the uncompacted
+    * snapshot's oracle verbatim: both must hash identically.
+    */
+  def morCompact(spark: SparkSession, dir: String): DataFrame = {
+    morSnapshot(spark, dir) // ensure base + delta exist
+    val tmp = tmpPath("graft_mor", dir)
+    val compacted = tmpPath("graft_mor_compacted", dir)
+    morRead(spark, tmp).write.mode("overwrite").parquet(compacted)
+    spark.read.parquet(compacted).orderBy("o_orderkey")
+  }
+
   // ---- storage-format interchange ----
 
   /** Fidelity aggregate used on both sides of a format round-trip: if any
@@ -203,12 +276,16 @@ object Lakehouse extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mor_snapshot" -> morSnapshot,
+    "mor_compact" -> morCompact,
+    "time_travel_scan" -> timeTravelScan,
     "zonemap_pruned_scan" -> zonemapScan,
     "orc_interchange" -> orcInterchange,
     "csv_interchange" -> csvInterchange)
 
   def oracles: Map[String, String] = Map(
     "mor_snapshot" -> morSnapshotSql,
+    "mor_compact" -> morSnapshotSql, // compaction changes layout, never content
+    "time_travel_scan" -> timeTravelScanSql,
     "zonemap_pruned_scan" -> zonemapScanSql,
     "orc_interchange" -> fidelitySql,
     "csv_interchange" -> fidelitySql)

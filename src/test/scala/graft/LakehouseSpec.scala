@@ -64,6 +64,24 @@ class LakehouseSpec extends SparkSpec {
     assert(pruned.collect().toSeq === full.collect().toSeq)
   }
 
+  test("time travel: v1 never sees the append; v2 sees base + append") {
+    val rows = SparkEntry.queries("time_travel_scan")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L))
+    val base = Tables.orders(spark, sf).count()
+    val appended = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 10 === 0).count()
+    assert(rows(0)._2 === base)
+    assert(rows(1)._2 === base + appended)
+    assert(rows(1)._3 > rows(0)._3) // appended rows carry the price bump
+  }
+
+  test("mor compaction changes layout, never content") {
+    val snapshot = SparkEntry.queries("mor_snapshot")(spark, sf).collect().toSeq
+    val compacted = SparkEntry.queries("mor_compact")(spark, sf).collect().toSeq
+    assert(compacted === snapshot)
+  }
+
   test("format interchange: ORC and CSV round-trips preserve every text byte") {
     val viaParquet = Tables.documents(spark, sf)
       .groupBy(col("source"))
