@@ -515,7 +515,42 @@ object Relational extends QueryModule {
       |  FROM orders) WHERE rank <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** Materialized-view routing end-to-end: build the per-event-type count
+    * summary (one aggregation job), register it with the optimizer
+    * (`MvRewriteRule`, opt-in conf), then run the ORIGINAL grouped-count
+    * query over the raw events scan. The optimizer must answer it from
+    * the summary — MvRewriteSpec pins that the executed scan reads the MV
+    * parquet and never touches events.parquet — while the DuckDB oracle
+    * recomputes from raw events, so the routed answer must be exact.
+    * The conf registration is session-level by design (it IS the MV
+    * catalog entry); the rule's strict shape match (bare scan of exactly
+    * this source, single event_type group, plain counts) keeps every
+    * other query untouched.
+    */
+  def mvRewriteCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{GraftExtensions, MvRewriteRule}
+    val src = s"$dir/events.parquet"
+    val mvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_mv_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    spark.read.parquet(src).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(mvPath)
+    GraftExtensions.register(spark)
+    spark.conf.set(MvRewriteRule.SourceKey, src)
+    spark.conf.set(MvRewriteRule.PathKey, mvPath)
+    spark.conf.set(MvRewriteRule.EnabledKey, "true")
+    spark.read.parquet(src)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  private val mvRewriteCountsSql =
+    """SELECT event_type, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_rewrite_counts" -> mvRewriteCounts,
     "grouped_topk_native" -> groupedTopkNative,
     "events_pivot_daily" -> eventsPivotDaily,
     "ivm_event_summary" -> ivmEventSummary,
@@ -537,6 +572,7 @@ object Relational extends QueryModule {
     "top_supplier_per_nation" -> topSupplierPerNation)
 
   def oracles: Map[String, String] = Map(
+    "mv_rewrite_counts" -> mvRewriteCountsSql,
     "grouped_topk_native" -> groupedTopkNativeSql,
     "events_pivot_daily" -> eventsPivotDailySql,
     "ivm_event_summary" -> ivmEventSummarySql,

@@ -797,7 +797,40 @@ object TextAnalysis extends QueryModule {
       |       (1000000 * sum(c * s_tok)) // sum(c) AS mean_mbits
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Deterministic per-group sample via the native bounded top-k
+    * aggregate: the 5 docs with the SMALLEST md5 prefix per language — a
+    * reproducible, dedup-stable uniform draw (the stratifiedSample
+    * contract) that ships k rows per (group, partition) through a
+    * partial aggregate instead of window-sorting every row per group.
+    * Score = negated hex-prefix value (GroupTopK keeps maxima); a fixed-
+    * width lowercase hex string orders identically to its numeric value,
+    * which is what lets the oracle sort by the string.
+    */
+  def groupedSampleNative(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GroupTopK
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(GroupTopK.topK(
+        expr("-CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"),
+        col("doc_id").cast("string"), 5).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.payload").as("doc_id_str"))
+      .orderBy("lang", "rank")
+  }
+
+  private val groupedSampleNativeSql =
+    """SELECT lang, rank, doc_id_str FROM (
+      |  SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id_str,
+      |         row_number() OVER (
+      |           PARTITION BY lang
+      |           ORDER BY substr(md5(text), 1, 15) ASC,
+      |                    CAST(doc_id AS VARCHAR) ASC) AS rank
+      |  FROM documents) WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouped_sample_native" -> groupedSampleNative,
     "surprisal_scores" -> surprisalScores,
     "top_ngrams_per_lang" -> topNgramsPerLang,
     "pack_sequences" -> packSequences,
@@ -815,6 +848,7 @@ object TextAnalysis extends QueryModule {
     "fingerprint_planted_containment" -> fingerprintPlantedContainment)
 
   def oracles: Map[String, String] = Map(
+    "grouped_sample_native" -> groupedSampleNativeSql,
     "surprisal_scores" -> surprisalScoresSql,
     "top_ngrams_per_lang" -> topNgramsPerLangSql,
     "pack_sequences" -> packSequencesSql,

@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft_dot(emb, qvec) DESC LIMIT k over an LSH-indexed table becomes
     // a multi-probe bucket-pruned scan. Off by default; see AnnRewriteRule.
     ext.injectOptimizerRule(_ => AnnRewriteRule)
+    // Opt-in MV routing (spark.graft.mv.rewrite=true): grouped COUNT over
+    // the registered fact table is answered from its materialized summary.
+    ext.injectOptimizerRule(_ => MvRewriteRule)
   }
 }
 
@@ -58,5 +61,7 @@ object GraftExtensions {
     val em = spark.experimental
     if (!em.extraOptimizations.contains(AnnRewriteRule))
       em.extraOptimizations = em.extraOptimizations :+ AnnRewriteRule
+    if (!em.extraOptimizations.contains(MvRewriteRule))
+      em.extraOptimizations = em.extraOptimizations :+ MvRewriteRule
   }
 }

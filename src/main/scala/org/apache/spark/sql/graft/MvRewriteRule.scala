@@ -1,0 +1,117 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Optimizer rule: answer a grouped COUNT over a fact table from a
+  * pre-aggregated materialized summary (the materialized-view routing
+  * every warehouse does — at 100 TB a `GROUP BY event_type` over raw
+  * events rescans the table; the MV answer is catalog-scale).
+  *
+  * Pattern:  Aggregate(group = [<groupCol>],
+  *                     aggs  = [<groupCol>, count(<literal>) …])
+  *           over a bare scan (optionally a pruning Project) of the
+  *           registered SOURCE path — no filters, no other aggregates,
+  *           count never DISTINCT or FILTERed. Anything stricter-than-
+  *           matched stays untouched: a filtered or differently-grouped
+  *           query would be WRONG from the summary.
+  *
+  * Rewrite:  Aggregate(group = [<groupCol>], sum(cnt) …) over the MV
+  *           parquet. Counts are mergeable, so summing the stored
+  *           partial counts is exact — the refresh job's guarantee
+  *           (ivm_event_summary is the maintenance pattern). Output
+  *           aliases keep the ORIGINAL exprIds, so parents resolve
+  *           unchanged.
+  *
+  * Strictly OPT-IN via session conf (freshness is the user's contract —
+  * enabling it declares "the MV at `path` reflects `source`"):
+  *
+  *   spark.graft.mv.rewrite  = true     // master switch (default false)
+  *   spark.graft.mv.source   = <fact table dir or file>
+  *   spark.graft.mv.path     = <summary parquet: (<groupCol>, cnt)>
+  *   spark.graft.mv.groupCol = <group column> (default event_type)
+  *
+  * A malformed conf or unreadable MV declines the rewrite rather than
+  * failing the query (the AnnRewriteRule discipline).
+  */
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.mv.rewrite"
+  val SourceKey = "spark.graft.mv.source"
+  val PathKey = "spark.graft.mv.path"
+  val GroupColKey = "spark.graft.mv.groupCol"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "false").equalsIgnoreCase("true")) return plan
+    val source = conf.getConfString(SourceKey, "")
+    val mvPath = conf.getConfString(PathKey, "")
+    val groupCol = conf.getConfString(GroupColKey, "event_type")
+    if (source.isEmpty || mvPath.isEmpty) return plan
+
+    plan.transformUp {
+      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
+          if g.name == groupCol && scansSource(child, source) &&
+            aggExprs.forall(shapeOk(_, g)) && aggExprs.exists(isCountAlias) =>
+        rewrite(agg, g, aggExprs, mvPath, groupCol).getOrElse(agg)
+    }
+  }
+
+  /** Bare scan of the registered source, optionally under a pruning
+    * Project (attribute-only — an expression would change semantics).
+    */
+  private def scansSource(child: LogicalPlan, source: String): Boolean = child match {
+    case Project(projectList, grandchild)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      scansSource(grandchild, source)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.exists(_.toString.contains(source))
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def isCountAlias(e: NamedExpression): Boolean = e match {
+    case Alias(ae: AggregateExpression, _) =>
+      ae.aggregateFunction.isInstanceOf[Count] && !ae.isDistinct &&
+        ae.filter.isEmpty &&
+        ae.aggregateFunction.children.forall(_.foldable)
+    case _ => false
+  }
+
+  private def shapeOk(e: NamedExpression, g: AttributeReference): Boolean =
+    (e match {
+      case a: AttributeReference => a.exprId == g.exprId
+      case _ => false
+    }) || isCountAlias(e)
+
+  private def rewrite(agg: Aggregate, g: AttributeReference,
+      aggExprs: Seq[NamedExpression], mvPath: String,
+      groupCol: String): Option[LogicalPlan] = {
+    try {
+      val mv = SparkSession.active.read.parquet(mvPath)
+        .queryExecution.analyzed
+      val mvG = mv.output.find(_.name == groupCol)
+      val mvC = mv.output.find(_.name == "cnt")
+      if (mvG.isEmpty || mvC.isEmpty ||
+        mvG.get.dataType != g.dataType) return None
+      val newExprs: Seq[NamedExpression] = aggExprs.map {
+        case a: AttributeReference => // the group column
+          Alias(mvG.get, a.name)(exprId = a.exprId)
+        case al @ Alias(_: AggregateExpression, name) =>
+          Alias(AggregateExpression(Sum(mvC.get), Complete, isDistinct = false),
+            name)(exprId = al.exprId)
+        case other => return None // unreachable given shapeOk
+      }
+      logInfo(s"graft MV rewrite: answering count-by-$groupCol from $mvPath")
+      Some(Aggregate(Seq(mvG.get), newExprs, mv, None))
+    } catch {
+      // unreadable/missing MV: decline, never fail the query
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+}

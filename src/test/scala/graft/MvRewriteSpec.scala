@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.graft.{GraftExtensions, MvRewriteRule}
+
+/** MV routing: the rewritten query reads the summary and never the fact
+  * table, produces the exact raw answer, and everything outside the
+  * strict shape (filters, distinct, other group keys, missing MV)
+  * declines untouched.
+  */
+class MvRewriteSpec extends SparkSpec {
+
+  private val src = s"$sf/events.parquet"
+  private val mvPath = new java.io.File(
+    System.getProperty("java.io.tmpdir"),
+    "graft_mvspec_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+
+  // sparkPlan, not executedPlan: AQE hides children from collect()
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+
+  private def withMv[A](path: String)(f: => A): A = {
+    GraftExtensions.register(spark)
+    spark.conf.set(MvRewriteRule.SourceKey, src)
+    spark.conf.set(MvRewriteRule.PathKey, path)
+    spark.conf.set(MvRewriteRule.EnabledKey, "true")
+    try f finally {
+      spark.conf.set(MvRewriteRule.EnabledKey, "false")
+    }
+  }
+
+  private def rawCounts = spark.read.parquet(src)
+    .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    .orderBy("event_type")
+
+  test("routed query scans the MV, not the fact table, and is exact") {
+    spark.read.parquet(src).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(mvPath)
+    val direct = rawCounts.collect().toSeq
+    withMv(mvPath) {
+      val routed = rawCounts
+      val paths = scanPaths(routed)
+      assert(paths.exists(_.contains(mvPath)), s"MV not read: $paths")
+      assert(!paths.exists(_.contains("events.parquet")),
+        s"fact table still read: $paths")
+      assert(routed.collect().toSeq === direct)
+    }
+  }
+
+  test("filters, distinct counts, and other group keys decline") {
+    withMv(mvPath) {
+      val filtered = spark.read.parquet(src)
+        .filter(col("user_id") > 100)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      assert(scanPaths(filtered).exists(_.contains("events.parquet")))
+
+      val distinct = spark.read.parquet(src)
+        .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      assert(scanPaths(distinct).exists(_.contains("events.parquet")))
+
+      val otherKey = spark.read.parquet(src)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      assert(scanPaths(otherKey).exists(_.contains("events.parquet")))
+    }
+  }
+
+  test("a missing MV path declines instead of failing the query") {
+    withMv(mvPath + "_does_not_exist") {
+      val q = rawCounts
+      assert(scanPaths(q).exists(_.contains("events.parquet")))
+      assert(q.count() > 0)
+    }
+  }
+
+  test("disabled by default: no conf, no rewrite") {
+    GraftExtensions.register(spark)
+    assert(scanPaths(rawCounts).exists(_.contains("events.parquet")))
+  }
+}
