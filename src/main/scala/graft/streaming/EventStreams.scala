@@ -355,6 +355,35 @@ object EventStreams extends QueryModule {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming maintenance of the count-by-key materialized view that
+    * `MvRewriteRule` routes to: each micro-batch folds its partial counts
+    * into the stored summary (counts are mergeable, so merge ≡ recompute
+    * — the ivm_event_summary argument), keeping the MV fresh while the
+    * optimizer keeps serving grouped counts from it. The merged summary
+    * is group-cardinality-bounded (catalog scale, NOT data scale — event
+    * types, not events), which is what makes the collect-and-rewrite
+    * refresh safe; a billion-group MV would instead write versioned
+    * partial files and compact (the Lakehouse manifest pattern).
+    * Returns the writer; callers start it with their own trigger.
+    */
+  def mvMaintenanceWriter(events: DataFrame, groupCol: String, mvPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val partial = batch.groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
+        val merged =
+          if (new java.io.File(mvPath).exists())
+            spark.read.parquet(mvPath).unionByName(partial)
+              .groupBy(col(groupCol)).agg(sum(col("cnt")).as("cnt"))
+          else partial
+        // bounded materialization breaks the read-own-path cycle
+        val rows = merged.collect().toIndexedSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), merged.schema)
+          .write.mode("overwrite").parquet(mvPath)
+    }
+
   /** The streaming-retrieval serving path (QueryStreams.retrieveMicroBatch
     * — the foreachBatch body with probe-bucket partition pruning) made
     * driver-visible under a real oracle. A micro-batch of 5 queries = the
