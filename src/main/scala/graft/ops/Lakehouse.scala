@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 
@@ -106,7 +106,7 @@ object Lakehouse extends QueryModule {
   def zonemapScan(spark: SparkSession, dir: String): DataFrame = {
     val tmp = tmpPath("graft_zonemap", dir)
     Tables.orders(spark, dir)
-      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
       .repartitionByRange(8, col("o_orderdate"))
       .write.mode("overwrite").parquet(tmp + "/data")
     spark.read.parquet(tmp + "/data")
@@ -146,6 +146,89 @@ object Lakehouse extends QueryModule {
       |       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_e2
       |FROM orders
       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- Z-order clustering (multi-dimensional zone maps) ----
+
+  /** Bit-interleave two 16-bit column values into one Z-value — a pure
+    * codegen'd shift/or expression chain, no UDF. Z-ordering is WHY
+    * multi-dimensional data skipping works: linear clustering on one
+    * column gives the other column full-range min/max in every file, so
+    * its predicates prune nothing; interleaved bits keep BOTH columns
+    * locally bounded per file.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order layout over (order date, customer key) + a two-column
+    * min/max sidecar; the driver row filters on a CUSTOMER-KEY range —
+    * the dimension the 1-D date clustering cannot skip on (the spec
+    * shows exactly that contrast) — and must still prune files. Oracle =
+    * the plain filtered aggregate; pruning is invisible to results.
+    */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_zorder", dir)
+    // NTZ-safe epoch day (session TZ is UTC everywhere)
+    val day = expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+    // Normalize BOTH dimensions to the full 16-bit range before
+    // interleaving: with raw values a wide dimension's high bits dominate
+    // the curve and the narrow dimension never partitions across files
+    // (observed: ~14-bit day vs ~8-bit custkey → zero custkey pruning).
+    // Production z-writers do the same via sampled rank normalization;
+    // the one-row min/max aggregate is its linear equivalent here.
+    val bounds = Tables.orders(spark, dir)
+      .agg(min(day).as("d0"), max(day).as("d1"),
+        min(col("o_custkey")).as("c0"), max(col("o_custkey")).as("c1"))
+      .head()
+    val (d0, d1) = (bounds.getLong(0), bounds.getLong(1))
+    val (c0, c1) = (bounds.getLong(2), bounds.getLong(3))
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else (c - lit(lo)) * lit(65535L) / lit(hi - lo)
+    val z = zValue(norm(day.cast("long"), d0, d1).cast("long"),
+      norm(col("o_custkey"), c0, c1).cast("long"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), z.as("zv"))
+      .repartitionByRange(8, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").parquet(tmp + "/data")
+    spark.read.parquet(tmp + "/data")
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min("o_orderdate").as("min_d"), max("o_orderdate").as("max_d"),
+        min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"))
+      .write.mode("overwrite").parquet(tmp + "/stats")
+    zorderReadByCustkey(spark, tmp, 100L, 400L)._1
+  }
+
+  /** Pruned read on the customer-key dimension; returns (result,
+    * prunedFiles, totalFiles) for the spec.
+    */
+  def zorderReadByCustkey(spark: SparkSession, tmp: String, lo: Long, hi: Long)
+      : (DataFrame, Int, Int) = {
+    val stats = spark.read.parquet(tmp + "/stats")
+    val total = stats.count().toInt
+    val files = stats.filter(col("min_ck") <= hi && col("max_ck") >= lo)
+      .select("file").collect().map(_.getString(0))
+    val pruned =
+      if (files.isEmpty) spark.read.parquet(tmp + "/data").limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    val out = pruned.filter(col("o_custkey").between(lo, hi))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("revenue_e2"))
+      .orderBy("o_orderstatus")
+    (out, files.length, total)
+  }
+
+  private val zorderScanSql =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_e2
+      |FROM orders WHERE o_custkey BETWEEN 100 AND 400
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---- versioned manifests: time travel + compaction invariance ----
@@ -279,6 +362,7 @@ object Lakehouse extends QueryModule {
     "mor_compact" -> morCompact,
     "time_travel_scan" -> timeTravelScan,
     "zonemap_pruned_scan" -> zonemapScan,
+    "zorder_pruned_scan" -> zorderScan,
     "orc_interchange" -> orcInterchange,
     "csv_interchange" -> csvInterchange)
 
@@ -287,6 +371,7 @@ object Lakehouse extends QueryModule {
     "mor_compact" -> morSnapshotSql, // compaction changes layout, never content
     "time_travel_scan" -> timeTravelScanSql,
     "zonemap_pruned_scan" -> zonemapScanSql,
+    "zorder_pruned_scan" -> zorderScanSql,
     "orc_interchange" -> fidelitySql,
     "csv_interchange" -> fidelitySql)
 }

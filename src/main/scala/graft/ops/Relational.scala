@@ -515,6 +515,40 @@ object Relational extends QueryModule {
       |  FROM orders) WHERE rank <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** Sketch table + range union: per-day HLL sketches of distinct users
+    * persisted as a BINARY column (Apache DataSketches via Spark's
+    * hll_sketch_agg), then any date range answered by UNIONING the
+    * stored sketches — the only way "distinct users last N days" stays
+    * sublinear at 100 TB, because distinct counts are not additive but
+    * sketches are mergeable. The estimate is gated against the exact
+    * in-engine count (approx_distinct_docs' oracle-pinned-bound
+    * pattern); the parquet round-trip proves sketches are storable.
+    */
+  def sketchUnionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hllsk_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.events(spark, dir)
+      .withColumn("day_id", expr("unix_micros(ts) DIV 86400000000"))
+    e.groupBy("day_id")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .write.mode("overwrite").parquet(path)
+    val est = spark.read.parquet(path)
+      .filter(col("day_id").between(19733L, 19741L)) // 9-day window
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+    val exact = e.filter(col("day_id").between(19733L, 19741L))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact.crossJoin(est)
+      .select(col("exact_distinct"),
+        (abs(col("approx") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("approx_within_5pct"))
+  }
+
+  private val sketchUnionDistinctSql =
+    """SELECT count(DISTINCT user_id) AS exact_distinct,
+      |       true AS approx_within_5pct
+      |FROM events
+      |WHERE epoch_us(ts) // 86400000000 BETWEEN 19733 AND 19741""".stripMargin
+
   /** Materialized-view routing end-to-end: build the per-event-type count
     * summary (one aggregation job), register it with the optimizer
     * (`MvRewriteRule`, opt-in conf), then run the ORIGINAL grouped-count
@@ -550,6 +584,7 @@ object Relational extends QueryModule {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_union_distinct" -> sketchUnionDistinct,
     "mv_rewrite_counts" -> mvRewriteCounts,
     "grouped_topk_native" -> groupedTopkNative,
     "events_pivot_daily" -> eventsPivotDaily,
@@ -572,6 +607,7 @@ object Relational extends QueryModule {
     "top_supplier_per_nation" -> topSupplierPerNation)
 
   def oracles: Map[String, String] = Map(
+    "sketch_union_distinct" -> sketchUnionDistinctSql,
     "mv_rewrite_counts" -> mvRewriteCountsSql,
     "grouped_topk_native" -> groupedTopkNativeSql,
     "events_pivot_daily" -> eventsPivotDailySql,

@@ -64,6 +64,48 @@ class LakehouseSpec extends SparkSpec {
     assert(pruned.collect().toSeq === full.collect().toSeq)
   }
 
+  test("zvalue: bit interleave puts a-bits even, b-bits odd") {
+    import graft.ops.Lakehouse.zValue
+    val df = Seq((3L, 0L), (0L, 3L), (1L, 1L)).toDF("a", "b")
+      .select(zValue(col("a"), col("b")).as("z"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(5L, 10L, 3L))
+  }
+
+  test("zorder prunes BOTH dimensions; 1-D date clustering cannot prune custkey") {
+    SparkEntry.queries("zorder_pruned_scan")(spark, sf) // builds layout+stats
+    val ztmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_zorder_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val (zOut, zSel, zTotal) =
+      Lakehouse.zorderReadByCustkey(spark, ztmp, 10L, 40L)
+    assert(zTotal >= 8)
+    assert(zSel < zTotal, s"z-order did not prune custkey range: $zSel/$zTotal")
+    // correctness under pruning
+    val expect = spark.read.parquet(ztmp + "/data")
+      .filter(col("o_custkey").between(10L, 40L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("revenue_e2"))
+      .orderBy("o_orderstatus")
+    assert(zOut.collect().toSeq === expect.collect().toSeq)
+    // the date dimension still prunes too (Z keeps both locally bounded)
+    val stats = spark.read.parquet(ztmp + "/stats")
+    val dSel = stats.filter(
+      col("min_d") <= lit("1995-06-30").cast("timestamp") &&
+        col("max_d") >= lit("1995-01-01").cast("timestamp")).count()
+    assert(dSel < zTotal, "date range should prune some z-ordered files")
+    // CONTRAST: the 1-D date-clustered layout gives custkey full range in
+    // every file — its per-file custkey bounds all overlap the range
+    SparkEntry.queries("zonemap_pruned_scan")(spark, sf)
+    val dtmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_zonemap_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val ckBounds = spark.read.parquet(dtmp + "/data")
+      .groupBy(col("_metadata.file_path"))
+      .agg(min("o_custkey").as("mn"), max("o_custkey").as("mx"))
+      .filter(col("mn") <= 40L && col("mx") >= 10L).count()
+    assert(ckBounds === spark.read.parquet(dtmp + "/stats").count(),
+      "date-clustered files should ALL overlap the custkey range (no skipping)")
+  }
+
   test("time travel: v1 never sees the append; v2 sees base + append") {
     val rows = SparkEntry.queries("time_travel_scan")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -128,4 +128,10 @@ class RelationalSpec extends SparkSpec {
       assert(m > mn && m < mx, s"$lang median $m degenerate vs [$mn,$mx]")
     }
   }
+
+  test("sketch_union_distinct: unioned per-day sketches land within the bound") {
+    val row = SparkEntry.queries("sketch_union_distinct")(spark, sf).head()
+    assert(row.getLong(0) > 0)
+    assert(row.getBoolean(1), "HLL union estimate fell outside 5% of exact")
+  }
 }
