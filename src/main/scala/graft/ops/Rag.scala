@@ -594,7 +594,48 @@ object Rag extends QueryModule {
        |       doc_id, score
        |FROM u ORDER BY turn, rank""".stripMargin
 
+  // ---- trigram inverted index (substring search) ----
+
+  private val TrigramNeedle = "customer stream"
+
+  /** Substring search served from a trigram inverted index — how engines
+    * answer `LIKE '%needle%'` without scanning every text (pg_trgm /
+    * hybrid-search shape). Index = distinct character trigrams per doc;
+    * a query intersects the needle's trigram posting lists (candidates
+    * must contain ALL of them — a count aggregation on the doc key, no
+    * set intersection materialized), then verifies the actual substring
+    * only on the candidates. The oracle is the plain LIKE scan, so a
+    * posting/intersection bug that drops a true match breaks the compare.
+    *
+    * Scale: the postings build is one explode + distinct (the index job;
+    * production persists it partitioned by trigram prefix); the query
+    * touches ONLY the needle's ~|needle| posting lists via an
+    * equi-filter, and full text is read for candidate rows alone.
+    */
+  def trigramSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("norm"))
+    val postings = docs.select(col("doc_id"), explode(array_distinct(
+      expr("""filter(transform(sequence(1, greatest(length(norm) - 2, 1)),
+             |       i -> substring(norm, i, 3)),
+             |       t -> length(t) = 3)""".stripMargin))).as("tg"))
+    val needleTgs = TrigramNeedle.sliding(3).toSeq.distinct
+    val candidates = postings.filter(col("tg").isin(needleTgs: _*))
+      .groupBy("doc_id").agg(countDistinct(col("tg")).as("n_tg"))
+      .filter(col("n_tg") === needleTgs.size)
+    candidates.join(docs, "doc_id")
+      .filter(col("norm").contains(TrigramNeedle))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val trigramSearchSql =
+    s"""SELECT doc_id FROM documents
+       |WHERE contains(lower(text), '$TrigramNeedle')
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "trigram_search" -> trigramSearch,
     "interactive_replay" -> interactiveReplay,
     "rerank_topn" -> rerankTopn,
     "rerank_score_stats" -> rerankScoreStats,
@@ -608,6 +649,7 @@ object Rag extends QueryModule {
     "hybrid_rrf_fusion" -> hybridRrfFusion)
 
   def oracles: Map[String, String] = Map(
+    "trigram_search" -> trigramSearchSql,
     "interactive_replay" -> interactiveReplaySql,
     "rerank_topn" -> rerankTopnSql,
     "rerank_score_stats" -> rerankScoreStatsSql,

@@ -142,4 +142,16 @@ class RagSpec extends SparkSpec {
       assert(r.getAs[Boolean]("hit_at_10") === (rank <= 10))
     }
   }
+
+  test("trigram_search equals the direct LIKE scan (no candidate lost)") {
+    import org.apache.spark.sql.functions._
+    val viaIndex = SparkEntry.queries("trigram_search")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val direct = Tables.documents(spark, sf)
+      .filter(lower(col("text")).contains("customer stream"))
+      .select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaIndex === direct)
+    assert(direct === direct.sorted)
+  }
 }
