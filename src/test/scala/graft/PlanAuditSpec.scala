@@ -251,6 +251,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: dimension sides broadcast; lineitem scan is pruned to 2 columns") {
+    val plan = SparkEntry.queries("pagerank_nations")(spark, sf)
+      .queryExecution.sparkPlan
+    // the final nation join must broadcast the 25-row dim
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"nation join should broadcast:\n$plan")
+  }
+
+  test("surprisal_scores: documents scan reads only doc_id and text") {
+    val s = scans(SparkEntry.queries("surprisal_scores")(spark, sf))
+    assert(s.nonEmpty)
+    assert(s.head.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+      s"read: ${s.head.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("grouped_topk_native: orders scan reads only the 3 needed columns") {
+    val s = scans(SparkEntry.queries("grouped_topk_native")(spark, sf))
+    assert(s.head.requiredSchema.fieldNames.toSet ===
+      Set("o_orderpriority", "o_totalprice", "o_orderkey"))
+  }
+
+  test("linkage_pairs: customer scan never reads c_acctbal") {
+    val s = scans(graft.ops.Linkage.linkagePairs(spark, sf))
+    s.foreach { sc =>
+      assert(!sc.requiredSchema.fieldNames.contains("c_acctbal"),
+        s"unused column read: ${sc.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+
   test("salted_source_join: shuffle join on (source, salt), never broadcast") {
     val plan = SparkEntry.queries("salted_source_join")(spark, sf)
       .queryExecution.sparkPlan
