@@ -515,6 +515,94 @@ object Relational extends QueryModule {
       |  FROM orders) WHERE rank <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** GROUP BY CUBE over (returnflag, linestatus): all four grouping-set
+    * combinations in ONE pass (Spark expands the sets below a single
+    * shuffle — no 4× rescan), NULL marking the rolled-up dimensions.
+    * Completes the §2.5 grouping-set surface next to revenue_rollup.
+    */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("revenue_e2"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val revenueCubeSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS revenue_e2
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** INTERSECT / EXCEPT set semantics (§2.7): users active in BOTH halves
+    * of the month vs. first-half-only churners, one row each — set-op
+    * deduplication semantics (not UNION ALL arithmetic) is the point.
+    */
+  def userSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("day_id", expr("unix_micros(ts) DIV 86400000000"))
+    val first = e.filter(col("day_id") < 19738L).select(col("user_id")).distinct()
+    val second = e.filter(col("day_id") >= 19738L).select(col("user_id")).distinct()
+    val both = first.intersect(second).agg(count(lit(1)).as("n"))
+      .select(lit("retained").as("cohort"), col("n"))
+    val churned = first.except(second).agg(count(lit(1)).as("n"))
+      .select(lit("churned").as("cohort"), col("n"))
+    both.unionByName(churned).orderBy("cohort")
+  }
+
+  private val userSetOpsSql =
+    """WITH f AS (SELECT DISTINCT user_id FROM events
+      |           WHERE epoch_us(ts) // 86400000000 < 19738),
+      |s AS (SELECT DISTINCT user_id FROM events
+      |      WHERE epoch_us(ts) // 86400000000 >= 19738)
+      |SELECT 'churned' AS cohort, count(*) AS n
+      |FROM (SELECT user_id FROM f EXCEPT SELECT user_id FROM s)
+      |UNION ALL
+      |SELECT 'retained', count(*)
+      |FROM (SELECT user_id FROM f INTERSECT SELECT user_id FROM s)
+      |ORDER BY cohort""".stripMargin
+
+  /** TPC-H Q5-shaped local-supplier volume, executed through the PURE SQL
+    * surface: temp views + `spark.sql(...)` text — proving the library's
+    * query capability is reachable without any DataFrame code (the
+    * SparkSessionExtensions story's batch-SQL half). Catalyst plans the
+    * text identically to the builder API: dims broadcast, one fact-fact
+    * shuffle.
+    */
+  def q5LocalSupplierSql(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(
+      """SELECT n.n_name AS nation,
+        |       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+        |         AS revenue_e2
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |              AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n.n_name
+        |ORDER BY revenue_e2 DESC, nation""".stripMargin)
+  }
+
+  private val q5LocalSupplierSqlOracle =
+    """SELECT n.n_name AS nation,
+      |       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+      |         AS revenue_e2
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |              AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name IN ('ASIA', 'EUROPE')
+      |GROUP BY n.n_name
+      |ORDER BY revenue_e2 DESC, nation""".stripMargin
+
   /** Sketch table + range union: per-day HLL sketches of distinct users
     * persisted as a BINARY column (Apache DataSketches via Spark's
     * hll_sketch_agg), then any date range answered by UNIONING the
@@ -584,6 +672,9 @@ object Relational extends QueryModule {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_cube" -> revenueCube,
+    "user_set_ops" -> userSetOps,
+    "q5_local_supplier_sql" -> q5LocalSupplierSql,
     "sketch_union_distinct" -> sketchUnionDistinct,
     "mv_rewrite_counts" -> mvRewriteCounts,
     "grouped_topk_native" -> groupedTopkNative,
@@ -607,6 +698,9 @@ object Relational extends QueryModule {
     "top_supplier_per_nation" -> topSupplierPerNation)
 
   def oracles: Map[String, String] = Map(
+    "revenue_cube" -> revenueCubeSql,
+    "user_set_ops" -> userSetOpsSql,
+    "q5_local_supplier_sql" -> q5LocalSupplierSqlOracle,
     "sketch_union_distinct" -> sketchUnionDistinctSql,
     "mv_rewrite_counts" -> mvRewriteCountsSql,
     "grouped_topk_native" -> groupedTopkNativeSql,

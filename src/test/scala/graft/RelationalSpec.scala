@@ -129,6 +129,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("revenue_cube: all four grouping sets present, margins sum to the total") {
+    val rows = SparkEntry.queries("revenue_cube")(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    val detail = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(detail.map(_.getLong(2)).sum === grand.head.getLong(2))
+    val flagMargins = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(flagMargins.map(_.getLong(2)).sum === grand.head.getLong(2))
+  }
+
+  test("user_set_ops: retained and churned partition the first-half users") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("user_set_ops")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val firstHalf = Tables.events(spark, sf)
+      .filter(expr("unix_micros(ts) DIV 86400000000") < 19738L)
+      .select("user_id").distinct().count()
+    assert(out("retained") + out("churned") === firstHalf)
+  }
+
+  test("q5 via the pure SQL surface plans broadcast dims") {
+    val plan = SparkEntry.queries("q5_local_supplier_sql")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
+  }
+
   test("sketch_union_distinct: unioned per-day sketches land within the bound") {
     val row = SparkEntry.queries("sketch_union_distinct")(spark, sf).head()
     assert(row.getLong(0) > 0)
