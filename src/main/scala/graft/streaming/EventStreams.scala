@@ -349,6 +349,29 @@ object EventStreams extends QueryModule {
           .as("gap_seconds"))
   }
 
+  /** LEFT OUTER variant of the watermarked interval join: clicks with no
+    * purchase inside the window surface with NULL purchase columns — but
+    * only once the purchase-side watermark has passed the end of the
+    * click's window, because until then a match could still arrive. This
+    * is the abandonment/timeout detection the inner join cannot express;
+    * state stays bounded by the same watermark + range condition.
+    */
+  def clickAbandonmentStream(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowSeconds: Long = 600L,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("c_ts", watermarkDelay)
+    val p = purchases.withWatermark("p_ts", watermarkDelay)
+    c.join(p,
+        c("user_id") === p("user_id") &&
+          p("p_ts") >= c("c_ts") &&
+          p("p_ts") < c("c_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+        "left_outer")
+      .select(c("user_id"), col("click_id"),
+        col("purchase_id").isNull.as("abandoned"))
+  }
+
   def dedupStream(records: DataFrame, keyCol: String, tsCol: String,
       watermarkDelay: String): DataFrame =
     records

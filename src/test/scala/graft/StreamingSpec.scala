@@ -296,6 +296,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream join: abandoned clicks emit only after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    // base offset off epoch-0: rows AT the initial watermark are late-dropped
+    def t(min: Int) = new Timestamp(86400000L + min * 60000L)
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.clickAbandonmentStream(
+      cMem.toDF().toDF("user_id", "click_id", "c_ts"),
+      pMem.toDF().toDF("user_id", "purchase_id", "p_ts"),
+      windowSeconds = 600L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("cp_abandon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 converts inside the window; user 2 never purchases
+      cMem.addData((1L, 100L, t(0)), (2L, 200L, t(0)))
+      pMem.addData((1L, 900L, t(5)))
+      q.processAllAvailable()
+      val early = spark.table("cp_abandon").collect()
+      // user 2's NULL row cannot emit yet: a purchase could still arrive
+      assert(!early.exists(r => r.getLong(0) == 2L),
+        s"abandonment emitted before the watermark: ${early.toSeq}")
+      // advance BOTH watermarks far past click window + delay (the global
+      // watermark is the min across inputs — a silent click side pins it)
+      cMem.addData((98L, 800L, t(60)))
+      pMem.addData((99L, 901L, t(60)))
+      q.processAllAvailable()
+      cMem.addData((98L, 801L, t(120)))
+      pMem.addData((99L, 902L, t(120)))
+      q.processAllAvailable()
+      val rows = spark.table("cp_abandon").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(rows.contains((1L, 100L, false)), s"converted click missing: $rows")
+      assert(rows.contains((2L, 200L, true)), s"abandoned click missing: $rows")
+    } finally q.stop()
+  }
+
   test("event_rate_anomaly: planted 10x burst alarms, steady traffic never does") {
     // 30 steady hours at 4 events/hour, then one hour with 40 events.
     val base = 1700000000L * 1000000L // epoch micros, hour-aligned enough
