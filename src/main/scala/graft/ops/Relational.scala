@@ -515,6 +515,112 @@ object Relational extends QueryModule {
       |  FROM orders) WHERE rank <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** FULL OUTER reconciliation (§2.4's last uncovered join type): per
+    * customer, orders-side and lineitem-spend-side totals with NULL-safe
+    * indicator buckets — the both/left-only/right-only audit every
+    * migration runs. Buckets are counted so the output is small and the
+    * compare exact.
+    */
+  def fullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    // pre-1998 orders only, so customers active solely after the cutoff
+    // appear on the right side alone — all three buckets are real
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("n_orders"))
+    // high-value lineitems only, so the right side genuinely misses keys
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_extendedprice") > 50000)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("ck2"))
+      .agg(count(lit(1)).as("n_big_items"))
+    o.join(l, col("ck") === col("ck2"), "full_outer")
+      .select(
+        when(col("ck").isNotNull && col("ck2").isNotNull, "both")
+          .when(col("ck").isNotNull, "orders_only")
+          .otherwise("bigitems_only").as("bucket"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_big_items"), lit(0L)).as("n_big_items"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("sum_orders"),
+        sum(col("n_big_items")).as("sum_big_items"))
+      .orderBy("bucket")
+  }
+
+  private val fullOuterReconcileSql =
+    """WITH o AS (SELECT o_custkey AS ck, count(*) AS n_orders
+      |           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |           GROUP BY o_custkey),
+      |l AS (SELECT o.o_custkey AS ck2, count(*) AS n_big_items
+      |      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+      |      WHERE li.l_extendedprice > 50000 GROUP BY o.o_custkey)
+      |SELECT CASE WHEN ck IS NOT NULL AND ck2 IS NOT NULL THEN 'both'
+      |            WHEN ck IS NOT NULL THEN 'orders_only'
+      |            ELSE 'bigitems_only' END AS bucket,
+      |       count(*) AS n_customers,
+      |       sum(coalesce(n_orders, 0)) AS sum_orders,
+      |       sum(coalesce(n_big_items, 0)) AS sum_big_items
+      |FROM o FULL OUTER JOIN l ON ck = ck2
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** Window-function breadth in one oracled pass (§2.10): per-user event
+    * sequence with lag gaps, lead lookahead, running ordinal, and
+    * quartile bucket — every value integer or exact, ordering totalized
+    * by (ts, event_id). Limited to 20 users to keep the compare small.
+    */
+  def windowBreadth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("seq"),
+        coalesce(expr("unix_micros(ts)") -
+          lag(expr("unix_micros(ts)"), 1).over(w), lit(-1L)).as("gap_us"),
+        coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_event"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("user_id", "seq")
+  }
+
+  private val windowBreadthSql =
+    """SELECT user_id, event_id,
+      |       CAST(row_number() OVER w AS BIGINT) AS seq,
+      |       coalesce(epoch_us(ts) - lag(epoch_us(ts), 1) OVER w, -1) AS gap_us,
+      |       coalesce(lead(event_id, 1) OVER w, -1) AS next_event,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM events WHERE user_id < 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, seq""".stripMargin
+
+  /** Calendar-spine gap filling: the dense day × type matrix built by
+    * joining daily counts onto a generated date spine — missing days
+    * become explicit zeros (time-series resampling; every downstream
+    * rate/anomaly computation needs the dense form — the RANGE-frame
+    * anomaly window is the alternative for hour gaps). The spine comes
+    * from sequence()+explode, not a scan.
+    */
+  def calendarSpineFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("day_id", expr("unix_micros(ts) DIV 86400000000"))
+    val daily = e.filter(col("event_type") === "purchase")
+      .groupBy("day_id").agg(count(lit(1)).as("n"))
+    val spine = spark.range(1)
+      .select(explode(expr("sequence(19723L, 19752L)")).as("day_id"))
+    spine.join(daily, Seq("day_id"), "left")
+      .select(col("day_id"), coalesce(col("n"), lit(0L)).as("n_purchases"))
+      .orderBy("day_id")
+  }
+
+  private val calendarSpineFillSql =
+    """WITH spine AS (SELECT unnest(generate_series(19723, 19752)) AS day_id),
+      |daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day_id, count(*) AS n
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT s.day_id, coalesce(d.n, 0) AS n_purchases
+      |FROM spine s LEFT JOIN daily d USING (day_id)
+      |ORDER BY day_id""".stripMargin
+
   /** GROUP BY CUBE over (returnflag, linestatus): all four grouping-set
     * combinations in ONE pass (Spark expands the sets below a single
     * shuffle — no 4× rescan), NULL marking the rolled-up dimensions.
@@ -672,6 +778,9 @@ object Relational extends QueryModule {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "full_outer_reconcile" -> fullOuterReconcile,
+    "window_breadth" -> windowBreadth,
+    "calendar_spine_fill" -> calendarSpineFill,
     "revenue_cube" -> revenueCube,
     "user_set_ops" -> userSetOps,
     "q5_local_supplier_sql" -> q5LocalSupplierSql,
@@ -698,6 +807,9 @@ object Relational extends QueryModule {
     "top_supplier_per_nation" -> topSupplierPerNation)
 
   def oracles: Map[String, String] = Map(
+    "full_outer_reconcile" -> fullOuterReconcileSql,
+    "window_breadth" -> windowBreadthSql,
+    "calendar_spine_fill" -> calendarSpineFillSql,
     "revenue_cube" -> revenueCubeSql,
     "user_set_ops" -> userSetOpsSql,
     "q5_local_supplier_sql" -> q5LocalSupplierSqlOracle,

@@ -155,6 +155,20 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
   }
 
+  test("full outer reconcile surfaces all three buckets on sf0.001+") {
+    val buckets = SparkEntry.queries("full_outer_reconcile")(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(buckets.contains("both"))
+    assert(buckets.subsetOf(Set("both", "orders_only", "bigitems_only")))
+  }
+
+  test("calendar spine: exactly 30 dense days, gaps filled with zero") {
+    val rows = SparkEntry.queries("calendar_spine_fill")(spark, sf).collect()
+    assert(rows.length === 30)
+    assert(rows.map(_.getLong(0)).toSeq === (19723L to 19752L))
+    assert(rows.forall(_.getLong(1) >= 0L))
+  }
+
   test("sketch_union_distinct: unioned per-day sketches land within the bound") {
     val row = SparkEntry.queries("sketch_union_distinct")(spark, sf).head()
     assert(row.getLong(0) > 0)
