@@ -797,6 +797,39 @@ object TextAnalysis extends QueryModule {
       |       (1000000 * sum(c * s_tok)) // sum(c) AS mean_mbits
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Weighted deterministic sampling WITHOUT randomness: keep a doc iff
+    * its md5 prefix, read as a 60-bit hex number, falls below a
+    * per-doc threshold proportional to its weight (here n_chars) — so
+    * inclusion probability ∝ weight, yet membership is a pure function
+    * of content (reproducible across runs, dedup-stable, engine-
+    * checkable — the stratifiedSample contract extended to weights).
+    * The numeric compare happens in HEX-STRING space on both sides
+    * (fixed-width lowercase hex orders identically to its value;
+    * `format_string`/`printf` '%015x' emit identical text), so neither
+    * engine ever parses a 60-bit hex literal.
+    * Threshold arithmetic `(2^58 DIV max_w) * w` is ordered to stay in
+    * Long range; both engines truncate identically. Zero shuffle — a
+    * pure filter against a 1-row broadcast maximum.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val maxW = docs.agg(max(col("n_chars")).as("max_w"))
+    docs.crossJoin(broadcast(maxW))
+      // 2^58 = 16^15 / 4: average keep rate ≈ avg_w / (4·max_w)
+      .withColumn("thr_hex", format_string("%015x",
+        expr("(288230376151711744L DIV max_w) * n_chars")))
+      .filter(substring(md5(col("text")), 1, 15) < col("thr_hex"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val weightedSampleSql =
+    """SELECT doc_id, n_chars
+      |FROM documents CROSS JOIN (SELECT max(n_chars) AS max_w FROM documents)
+      |WHERE substr(md5(text), 1, 15) <
+      |      printf('%015x', (288230376151711744 // max_w) * n_chars)
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic per-group sample via the native bounded top-k
     * aggregate: the 5 docs with the SMALLEST md5 prefix per language — a
     * reproducible, dedup-stable uniform draw (the stratifiedSample
@@ -830,6 +863,7 @@ object TextAnalysis extends QueryModule {
       |ORDER BY lang, rank""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weighted_sample" -> weightedSample,
     "grouped_sample_native" -> groupedSampleNative,
     "surprisal_scores" -> surprisalScores,
     "top_ngrams_per_lang" -> topNgramsPerLang,
@@ -848,6 +882,7 @@ object TextAnalysis extends QueryModule {
     "fingerprint_planted_containment" -> fingerprintPlantedContainment)
 
   def oracles: Map[String, String] = Map(
+    "weighted_sample" -> weightedSampleSql,
     "grouped_sample_native" -> groupedSampleNativeSql,
     "surprisal_scores" -> surprisalScoresSql,
     "top_ngrams_per_lang" -> topNgramsPerLangSql,

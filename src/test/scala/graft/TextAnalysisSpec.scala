@@ -173,6 +173,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("weighted_sample: deterministic and biased toward heavier docs") {
+    val a = SparkEntry.queries("weighted_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = SparkEntry.queries("weighted_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a === b, "content-hash sampling must be exactly reproducible")
+    assert(a.nonEmpty)
+    // deterministic for this fixture: kept docs skew heavier than corpus
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    val keptMean = a.map(_._2).sum.toDouble / a.length
+    assert(keptMean > corpusMean,
+      f"weighting had no effect: kept $keptMean%.1f vs corpus $corpusMean%.1f")
+  }
+
   test("surprisal_scores: integer invariants and rare-vs-common ordering") {
     val rows = SparkEntry.queries("surprisal_scores")(spark, sf).collect()
     assert(rows.nonEmpty)
