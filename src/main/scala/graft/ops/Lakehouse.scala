@@ -304,6 +304,40 @@ object Lakehouse extends QueryModule {
     spark.read.parquet(compacted).orderBy("o_orderkey")
   }
 
+  // ---- schema evolution ----
+
+  /** Additive schema evolution: generation 1 files lack a column that
+    * generation 2 adds (the only always-safe evolution; renames/drops
+    * need a column-mapping catalog). A `mergeSchema` read unifies the
+    * generations — old rows surface NULL for the new column — and the
+    * aggregate proves values land in the right generation. At 100 TB
+    * schema-per-file merging is why appends never rewrite history.
+    * Oracle: the same union computed logically from `orders`.
+    */
+  def schemaEvolutionScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_schemaevo", dir)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_e2"))
+    base.filter(col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(tmp + "/gen=1")
+    base.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("priority_class", lit("tracked"))
+      .write.mode("overwrite").parquet(tmp + "/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(coalesce(col("priority_class"), lit("untracked")).as("priority_class"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_e2")).as("total_e2"))
+      .orderBy("priority_class")
+  }
+
+  private val schemaEvolutionScanSql =
+    """WITH u AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_e2,
+      |         CASE WHEN o_orderkey % 2 = 1 THEN 'tracked' ELSE 'untracked' END
+      |           AS priority_class
+      |  FROM orders)
+      |SELECT priority_class, count(*) AS n_orders, sum(price_e2) AS total_e2
+      |FROM u GROUP BY priority_class ORDER BY priority_class""".stripMargin
+
   // ---- storage-format interchange ----
 
   /** Fidelity aggregate used on both sides of a format round-trip: if any
@@ -363,6 +397,7 @@ object Lakehouse extends QueryModule {
     "time_travel_scan" -> timeTravelScan,
     "zonemap_pruned_scan" -> zonemapScan,
     "zorder_pruned_scan" -> zorderScan,
+    "schema_evolution_scan" -> schemaEvolutionScan,
     "orc_interchange" -> orcInterchange,
     "csv_interchange" -> csvInterchange)
 
@@ -372,6 +407,7 @@ object Lakehouse extends QueryModule {
     "time_travel_scan" -> timeTravelScanSql,
     "zonemap_pruned_scan" -> zonemapScanSql,
     "zorder_pruned_scan" -> zorderScanSql,
+    "schema_evolution_scan" -> schemaEvolutionScanSql,
     "orc_interchange" -> fidelitySql,
     "csv_interchange" -> fidelitySql)
 }

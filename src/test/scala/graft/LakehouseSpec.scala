@@ -124,6 +124,14 @@ class LakehouseSpec extends SparkSpec {
     assert(compacted === snapshot)
   }
 
+  test("schema evolution: merged read unifies generations, old rows get NULLs") {
+    val rows = SparkEntry.queries("schema_evolution_scan")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.keySet === Set("tracked", "untracked"))
+    assert(rows.values.sum === total, "generations must partition all orders")
+  }
+
   test("format interchange: ORC and CSV round-trips preserve every text byte") {
     val viaParquet = Tables.documents(spark, sf)
       .groupBy(col("source"))
