@@ -304,6 +304,57 @@ object Lakehouse extends QueryModule {
     spark.read.parquet(compacted).orderBy("o_orderkey")
   }
 
+  // ---- incremental zone-map maintenance ----
+
+  /** Zone-map stats maintained INCREMENTALLY under append: the initial
+    * layout covers pre-1998 orders; a later commit appends 1998+ files;
+    * the stats job then reads ONLY the not-yet-covered files (set
+    * difference of actual files vs sidecar rows — both catalog-scale)
+    * and appends their min/max rows. A date query over the appended
+    * range prunes to the new files through the updated sidecar, and the
+    * oracle recomputes from raw orders — stale or missing stats rows
+    * would surface as lost rows. Mirrors the LSH/IVF index-append
+    * discipline: maintenance cost scales with the delta, never the
+    * table.
+    */
+  def zonemapAppendScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_zmappend", dir)
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val cut = lit("1998-01-01").cast("timestamp")
+    // initial build + stats
+    orders.filter(col("o_orderdate") < cut)
+      .repartitionByRange(6, col("o_orderdate"))
+      .write.mode("overwrite").parquet(tmp + "/data")
+    def statsOf(df: DataFrame): DataFrame = df
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min("o_orderdate").as("min_d"), max("o_orderdate").as("max_d"))
+    statsOf(spark.read.parquet(tmp + "/data"))
+      .write.mode("overwrite").parquet(tmp + "/stats")
+    // the append commit: new files land, history untouched
+    orders.filter(col("o_orderdate") >= cut)
+      .repartitionByRange(2, col("o_orderdate"))
+      .write.mode("append").parquet(tmp + "/data")
+    // incremental stats: only files the sidecar has no row for
+    val covered = spark.read.parquet(tmp + "/stats")
+      .select("file").collect().map(_.getString(0)).toSet
+    val newFiles = new java.io.File(tmp + "/data").listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath)
+      .filterNot(f => covered.exists(_.endsWith(f.substring(f.lastIndexOf('/')))))
+    if (newFiles.nonEmpty)
+      statsOf(spark.read.parquet(newFiles.toIndexedSeq: _*))
+        .write.mode("append").parquet(tmp + "/stats")
+    zonemapRead(spark, tmp, "1998-02-01", "2002-12-31")._1
+  }
+
+  private val zonemapAppendScanSql =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_e2
+      |FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1998-02-01' AND TIMESTAMP '2002-12-31'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---- schema evolution ----
 
   /** Additive schema evolution: generation 1 files lack a column that
@@ -398,6 +449,7 @@ object Lakehouse extends QueryModule {
     "zonemap_pruned_scan" -> zonemapScan,
     "zorder_pruned_scan" -> zorderScan,
     "schema_evolution_scan" -> schemaEvolutionScan,
+    "zonemap_append_scan" -> zonemapAppendScan,
     "orc_interchange" -> orcInterchange,
     "csv_interchange" -> csvInterchange)
 
@@ -408,6 +460,7 @@ object Lakehouse extends QueryModule {
     "zonemap_pruned_scan" -> zonemapScanSql,
     "zorder_pruned_scan" -> zorderScanSql,
     "schema_evolution_scan" -> schemaEvolutionScanSql,
+    "zonemap_append_scan" -> zonemapAppendScanSql,
     "orc_interchange" -> fidelitySql,
     "csv_interchange" -> fidelitySql)
 }

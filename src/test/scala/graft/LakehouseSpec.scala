@@ -124,6 +124,25 @@ class LakehouseSpec extends SparkSpec {
     assert(compacted === snapshot)
   }
 
+  test("zonemap append: sidecar covers every file; appended range prunes to new files") {
+    SparkEntry.queries("zonemap_append_scan")(spark, sf) // build + append + stats
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_zmappend_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val nFiles = new java.io.File(tmp + "/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val nStats = spark.read.parquet(tmp + "/stats").count()
+    assert(nStats === nFiles.toLong, s"sidecar rows $nStats != files $nFiles")
+    val (out, nSel, nTotal) =
+      Lakehouse.zonemapRead(spark, tmp, "1998-02-01", "2002-12-31")
+    assert(nTotal === nFiles)
+    assert(nSel < nTotal, s"appended-range query did not prune: $nSel/$nTotal")
+    assert(out.collect().map(_.getLong(1)).sum ===
+      Tables.orders(spark, sf)
+        .filter(col("o_orderdate").between(
+          lit("1998-02-01").cast("timestamp"), lit("2002-12-31").cast("timestamp")))
+        .count())
+  }
+
   test("schema evolution: merged read unifies generations, old rows get NULLs") {
     val rows = SparkEntry.queries("schema_evolution_scan")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
