@@ -95,15 +95,14 @@ object ProductQuantization {
     df.withColumn("pq_codes", enc(col(embCol)))
   }
 
-  /** ADC coarse scores over encoded rows: m lookups + adds per vector. */
-  def adcScores(encoded: DataFrame, lut: Array[Array[Double]]): DataFrame = {
-    val score = udf { (codes: Array[Byte]) =>
-      var acc = 0.0; var s = 0
-      while (s < codes.length) { acc += lut(s)(codes(s) & 0xff); s += 1 }
-      acc
-    }
-    encoded.withColumn("adc_score", score(col("pq_codes")))
-  }
+  /** ADC coarse scores over encoded rows: m lookups + adds per vector,
+    * run by the native codegen expression (org.apache.spark.sql.graft
+    * .AdcScore) — the PQ scan's inner loop stays inside whole-stage
+    * codegen instead of paying per-row UDF dispatch.
+    */
+  def adcScores(encoded: DataFrame, lut: Array[Array[Double]]): DataFrame =
+    encoded.withColumn("adc_score",
+      org.apache.spark.sql.graft.AdcScore(col("pq_codes"), lut))
 
   /** PQ-ADC coarse / exact-fine top-k (the quantizedKnn contract: tie-
     * inclusive overscan cut, exact rescore, deterministic id tie-break).

@@ -85,6 +85,32 @@ class QuantizationSpec extends SparkSpec {
     assert(math.abs(viaLut - direct) < 1e-12, s"LUT $viaLut vs direct $direct")
   }
 
+  test("AdcScore expression matches the direct LUT sum and stays in codegen") {
+    import graft.vector.ProductQuantization
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val books = ProductQuantization.fitCodebooks(e, "embedding", m = 16, ksub = 64, seed = 42L)
+    val v = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val lut = ProductQuantization.adcTable(books, v)
+    val scored = ProductQuantization.adcScores(
+      ProductQuantization.withPqCodes(e, "embedding", books), lut)
+    // expression result == driver-side recomputation for a sample of rows
+    val rows = scored.select(col("vec_id"), col("pq_codes"), col("adc_score"))
+      .orderBy("vec_id").limit(20).collect()
+    rows.foreach { r =>
+      val codes = r.getAs[Array[Byte]](1)
+      val direct = codes.zipWithIndex.map { case (c, s) => lut(s)(c & 0xff) }.sum
+      assert(math.abs(r.getDouble(2) - direct) < 1e-12,
+        s"vec ${r.getLong(0)}: expr ${r.getDouble(2)} vs direct $direct")
+    }
+    // the scoring projection runs inside a WholeStageCodegen stage
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("adc_score"), s"expression missing from plan:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && plan.contains("*("),
+      s"ADC scoring fell out of codegen:\n$plan")
+  }
+
   test("pq ADC coarse + exact rescore reproduces the exact top-10 on test data") {
     val got = SparkEntry.queries("pq_knn_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
