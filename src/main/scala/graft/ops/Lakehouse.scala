@@ -304,6 +304,49 @@ object Lakehouse extends QueryModule {
     spark.read.parquet(compacted).orderBy("o_orderkey")
   }
 
+  // ---- partition-scoped backfill (dynamic partition overwrite) ----
+
+  /** Idempotent backfill of a slice of a partitioned table with DYNAMIC
+    * partition overwrite: rewriting days 11–13 replaces exactly those
+    * `day_id=` directories and cannot touch siblings (static overwrite
+    * mode would drop the whole table — the classic backfill disaster).
+    * The backfill here recomputes the same data plus a correction marker
+    * column, so the oracle can verify corrected days carry the marker
+    * and untouched days don't, all from raw events.
+    */
+  def backfillPartitions(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_backfill", dir)
+    val daily = Tables.events(spark, dir)
+      .withColumn("day_id", expr("unix_micros(ts) DIV 86400000000"))
+      .groupBy("day_id", "event_type").agg(count(lit(1)).as("n_events"))
+      .withColumn("corrected", lit(false))
+    daily.repartition(col("day_id"))
+      .write.mode("overwrite").partitionBy("day_id").parquet(tmp)
+    // the backfill job: recompute ONLY the target days, marker set
+    val target = col("day_id").between(19733L, 19735L)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      daily.filter(target).withColumn("corrected", lit(true))
+        .repartition(col("day_id"))
+        .write.mode("overwrite").partitionBy("day_id").parquet(tmp)
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    }
+    spark.read.parquet(tmp)
+      .groupBy(col("corrected"))
+      .agg(countDistinct(col("day_id")).as("n_days"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("corrected")
+  }
+
+  private val backfillPartitionsSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day_id, count(*) AS n
+      |  FROM events GROUP BY 1, event_type)
+      |SELECT day_id BETWEEN 19733 AND 19735 AS corrected,
+      |       count(DISTINCT day_id) AS n_days, sum(n) AS n_events
+      |FROM daily GROUP BY 1 ORDER BY corrected""".stripMargin
+
   // ---- incremental zone-map maintenance ----
 
   /** Zone-map stats maintained INCREMENTALLY under append: the initial
@@ -450,6 +493,7 @@ object Lakehouse extends QueryModule {
     "zorder_pruned_scan" -> zorderScan,
     "schema_evolution_scan" -> schemaEvolutionScan,
     "zonemap_append_scan" -> zonemapAppendScan,
+    "backfill_partitions" -> backfillPartitions,
     "orc_interchange" -> orcInterchange,
     "csv_interchange" -> csvInterchange)
 
@@ -461,6 +505,7 @@ object Lakehouse extends QueryModule {
     "zorder_pruned_scan" -> zorderScanSql,
     "schema_evolution_scan" -> schemaEvolutionScanSql,
     "zonemap_append_scan" -> zonemapAppendScanSql,
+    "backfill_partitions" -> backfillPartitionsSql,
     "orc_interchange" -> fidelitySql,
     "csv_interchange" -> fidelitySql)
 }

@@ -143,6 +143,22 @@ class LakehouseSpec extends SparkSpec {
         .count())
   }
 
+  test("backfill: dynamic overwrite corrects target days, siblings untouched") {
+    SparkEntry.queries("backfill_partitions")(spark, sf)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_backfill_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val byDay = spark.read.parquet(tmp)
+      .groupBy("day_id").agg(collect_set("corrected").as("flags"))
+      .collect() // day_id comes back int-typed from partition-dir inference
+      .map(r => (r.getAs[Number](0).longValue, r.getSeq[Boolean](1).toSet)).toMap
+    byDay.foreach { case (day, flags) =>
+      val expected = if (day >= 19733L && day <= 19735L) Set(true) else Set(false)
+      assert(flags === expected, s"day $day flags $flags")
+    }
+    assert(byDay.keys.exists(d => d >= 19733L && d <= 19735L))
+    assert(byDay.keys.exists(d => d < 19733L || d > 19735L))
+  }
+
   test("schema evolution: merged read unifies generations, old rows get NULLs") {
     val rows = SparkEntry.queries("schema_evolution_scan")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
