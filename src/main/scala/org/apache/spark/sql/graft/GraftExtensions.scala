@@ -50,6 +50,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "usage: chunk_split(text, chunk_size, overlap)")
         new ChunkSplit(args(0), intLit(args(1), "chunk_size"), intLit(args(2), "overlap"))
+      }),
+    // aggregate builders return the bare AggregateFunction — the analyzer
+    // wraps it in an AggregateExpression (the built-in registry pattern)
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[GroupTopK].getName, "graft_topk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "usage: graft_topk(score_bigint, payload_string, k)")
+        GroupTopK(args(0), args(1), intLit(args(2), "k"))
       }))
 
   /** Register the functions + optimizer rule into an existing session. */

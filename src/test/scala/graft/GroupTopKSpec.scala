@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.GroupTopK
+import org.apache.spark.sql.graft.{GroupTopK, TopKBuffer}
 import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
 
 /** Native bounded top-k-per-group aggregate: equivalence with the
@@ -75,6 +75,44 @@ class GroupTopKSpec extends SparkSpec {
     assert(aggs.size === 2, s"expected partial+final ObjectHashAggregate, got:\n$plan")
     val modes = aggs.flatMap(_.aggregateExpressions.map(_.mode.toString)).toSet
     assert(modes === Set("Partial", "Final"), s"modes: $modes")
+  }
+
+  test("graft_topk is callable from pure SQL") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    (1 to 50).map(i => (s"g${i % 2}", i.toLong, s"p$i")).toDF("g", "s", "p")
+      .createOrReplaceTempView("topk_input")
+    val rows = spark.sql(
+      """SELECT g, t.score, t.payload
+        |FROM (SELECT g, graft_topk(s, p, 2) AS top FROM topk_input GROUP BY g)
+        |LATERAL VIEW explode(top) AS t
+        |ORDER BY g, t.score DESC""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows === Seq(
+      ("g0", 50L, "p50"), ("g0", 48L, "p48"),
+      ("g1", 49L, "p49"), ("g1", 47L, "p47")))
+  }
+
+  test("property: buffer top-k under random inserts+merges equals sort-based top-k") {
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val k = 1 + rnd.nextInt(6)
+      val n = rnd.nextInt(40)
+      val items = Seq.fill(n)((rnd.nextInt(10).toLong,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"p${rnd.nextInt(8)}")))
+      // split into random partial buffers, then merge — the shuffle path
+      val parts = items.grouped(1 + rnd.nextInt(5)).toSeq
+      val bufs = parts.map { p =>
+        val b = new TopKBuffer(k)
+        p.foreach { case (s, u) => b.insert(s, u) }
+        b
+      }
+      val merged = bufs.foldLeft(new TopKBuffer(k))(_ mergeFrom _)
+      val got = merged.sorted.map { case (s, p) => (s, p.toString) }.toSeq
+      val want = items.map { case (s, p) => (s, p.toString) }
+        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .take(k)
+      assert(got === want, s"k=$k items=$items")
+    }
   }
 
   test("driver query grouped_topk_native matches its oracle shape on sf0.001") {
