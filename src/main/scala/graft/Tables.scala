@@ -37,4 +37,12 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Per-(prefix, sfDir) scratch directory under java.io.tmpdir — the ONE
+    * place the naming scheme lives (specs reconstruct these paths, and
+    * scattered copies of the expression would have to change together).
+    */
+  def scratchPath(prefix: String, dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      prefix + "_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
 }

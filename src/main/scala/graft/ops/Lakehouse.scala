@@ -13,8 +13,7 @@ import graft.{QueryModule, Tables}
 object Lakehouse extends QueryModule {
 
   private def tmpPath(prefix: String, dir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      prefix + "_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    Tables.scratchPath(prefix, dir)
 
   // ---- merge-on-read snapshot ----
 
@@ -255,13 +254,13 @@ object Lakehouse extends QueryModule {
     base.filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), (col("price_e2") + 10000L).as("price_e2"))
       .write.mode("overwrite").parquet(tmp + "/append")
-    def files(sub: String): Seq[(String, Long)] =
+    def files(sub: String): Seq[String] =
       new java.io.File(tmp + "/" + sub).listFiles()
         .filter(_.getName.endsWith(".parquet"))
-        .map(f => (f.getAbsolutePath, 1L)).toIndexedSeq
-    val manifest = (files("base").map { case (f, _) => (1L, f) } ++
-      files("base").map { case (f, _) => (2L, f) } ++
-      files("append").map { case (f, _) => (2L, f) })
+        .map(_.getAbsolutePath).toIndexedSeq
+    val baseFiles = files("base")
+    val manifest = baseFiles.map((1L, _)) ++ baseFiles.map((2L, _)) ++
+      files("append").map((2L, _))
     import spark.implicits._
     manifest.toDF("version", "file").write.mode("overwrite").parquet(tmp + "/manifest")
     val m = spark.read.parquet(tmp + "/manifest")
@@ -324,13 +323,19 @@ object Lakehouse extends QueryModule {
       .write.mode("overwrite").partitionBy("day_id").parquet(tmp)
     // the backfill job: recompute ONLY the target days, marker set
     val target = col("day_id").between(19733L, 19735L)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       daily.filter(target).withColumn("corrected", lit(true))
         .repartition(col("day_id"))
         .write.mode("overwrite").partitionBy("day_id").parquet(tmp)
     } finally {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      // restore what the session had — forcing "static" would arm the
+      // whole-table-drop behavior on a user who had chosen dynamic
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
     spark.read.parquet(tmp)
       .groupBy(col("corrected"))

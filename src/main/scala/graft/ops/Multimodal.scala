@@ -314,8 +314,10 @@ object Multimodal extends QueryModule {
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         expr("CAST(bit_count(a.ph ^ b.ph) AS BIGINT)").as("hamming"))
-      .distinct() // a pair can share several chunks
+      // filter BEFORE distinct: most chunk collisions on organic data sit
+      // at hamming 8..64 and would otherwise ride the dedup exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a surviving pair can share several chunks
   }
 
   private val phashPlantedPairsSql =

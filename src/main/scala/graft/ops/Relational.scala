@@ -399,8 +399,7 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("sum_value_e6"),
         min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_ivm_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val path = Tables.scratchPath("graft_ivm", dir)
     // day-one materialization of history (in production this already exists)
     partials(Tables.events(spark, dir)
       .filter(expr("unix_micros(ts) DIV 86400000000") < cutDay))
@@ -433,8 +432,7 @@ object Relational extends QueryModule {
     * PlanAuditSpec; the oracle is the plain filtered aggregate.
     */
   def rangeLayoutScan(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_daylayout_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val path = Tables.scratchPath("graft_daylayout", dir)
     Tables.events(spark, dir)
       .withColumn("day_id", expr("unix_micros(ts) DIV 86400000000"))
       .repartition(col("day_id"))
@@ -719,8 +717,7 @@ object Relational extends QueryModule {
     * pattern); the parquet round-trip proves sketches are storable.
     */
   def sketchUnionDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_hllsk_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val path = Tables.scratchPath("graft_hllsk", dir)
     val e = Tables.events(spark, dir)
       .withColumn("day_id", expr("unix_micros(ts) DIV 86400000000"))
     e.groupBy("day_id")
@@ -758,19 +755,35 @@ object Relational extends QueryModule {
   def mvRewriteCounts(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.{GraftExtensions, MvRewriteRule}
     val src = s"$dir/events.parquet"
-    val mvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_mv_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val mvPath = Tables.scratchPath("graft_mv", dir)
     spark.read.parquet(src).groupBy("event_type")
       .agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(mvPath)
     GraftExtensions.register(spark)
+    val prev = Seq(MvRewriteRule.SourceKey, MvRewriteRule.PathKey,
+      MvRewriteRule.EnabledKey).map(k => k -> spark.conf.getOption(k))
     spark.conf.set(MvRewriteRule.SourceKey, src)
     spark.conf.set(MvRewriteRule.PathKey, mvPath)
     spark.conf.set(MvRewriteRule.EnabledKey, "true")
-    spark.read.parquet(src)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .orderBy("event_type")
+    try {
+      // materialize WHILE the registration is armed (5 rows — group-
+      // cardinality bounded), then return a local frame: the session conf
+      // is restored before this query hands control back, so no later
+      // query can be silently routed to a by-then-stale MV
+      val routed = spark.read.parquet(src)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+      val rows = routed.collect().toIndexedSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), routed.schema)
+        .orderBy("event_type")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
   }
 
   private val mvRewriteCountsSql =

@@ -239,8 +239,7 @@ object VectorSearch extends QueryModule {
     * against an engine that never quantizes at all.
     */
   def quantizedIndexKnn(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_qindex_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val path = Tables.scratchPath("graft_qindex", dir)
     val e = Tables.embeddings(spark, dir)
     graft.vector.Quantization.buildQuantizedIndex(e, "embedding", path)
     val index = spark.read.parquet(path)

@@ -392,19 +392,51 @@ object EventStreams extends QueryModule {
   def mvMaintenanceWriter(events: DataFrame, groupCol: String, mvPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val partial = batch.groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
-        val merged =
-          if (new java.io.File(mvPath).exists())
-            spark.read.parquet(mvPath).unionByName(partial)
-              .groupBy(col(groupCol)).agg(sum(col("cnt")).as("cnt"))
-          else partial
-        // bounded materialization breaks the read-own-path cycle
-        val rows = merged.collect().toIndexedSeq
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), merged.schema)
-          .write.mode("overwrite").parquet(mvPath)
+        val dir = new java.io.File(mvPath)
+        // foreachBatch is AT-LEAST-ONCE: after crash recovery the same
+        // micro-batch replays, and a blind merge would double-count it.
+        // The applied batch id travels INSIDE the summary dir (swapped
+        // atomically with the data), so replay detection can't desync.
+        val markerName = "_applied_batch"
+        val lastApplied = {
+          val f = new java.io.File(dir, markerName)
+          if (f.exists())
+            scala.util.Try(new String(
+              java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong).getOrElse(-1L)
+          else -1L
+        }
+        if (batchId > lastApplied) {
+          val partial = batch.groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
+          val merged =
+            if (dir.exists())
+              spark.read.parquet(mvPath).unionByName(partial)
+                .groupBy(col(groupCol)).agg(sum(col("cnt")).as("cnt"))
+            else partial
+          // bounded materialization breaks the read-own-path cycle
+          val rows = merged.collect().toIndexedSeq
+          def rmTree(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rmTree)
+            f.delete(); ()
+          }
+          // stage next to a sibling, then swap via renames: a reader (or
+          // a crash) sees the old summary, a missing one — which the MV
+          // rewrite declines gracefully — or the new one; never a mix
+          val next = new java.io.File(mvPath + ".next")
+          if (next.exists()) rmTree(next)
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), merged.schema)
+            .write.mode("overwrite").parquet(next.getAbsolutePath)
+          java.nio.file.Files.write(
+            new java.io.File(next, markerName).toPath,
+            batchId.toString.getBytes("UTF-8"))
+          val old = new java.io.File(mvPath + ".old")
+          if (old.exists()) rmTree(old)
+          if (dir.exists()) java.nio.file.Files.move(dir.toPath, old.toPath)
+          java.nio.file.Files.move(next.toPath, dir.toPath)
+          rmTree(old)
+        }
     }
 
   /** The streaming-retrieval serving path (QueryStreams.retrieveMicroBatch

@@ -34,8 +34,11 @@ case class AdcScore(child: Expression, lut: Array[Double], ksub: Int)
     var acc = 0.0
     var s = 0
     while (s < codes.length) {
-      val idx = s * ksub + (codes(s) & 0xff)
-      if (idx < lut.length) acc += lut(idx)
+      val c = codes(s) & 0xff
+      // guard per subspace: an overlong flat-index check would silently
+      // read a LATER subspace's entry for a corrupt byte
+      val idx = s * ksub + c
+      if (c < ksub && idx < lut.length) acc += lut(idx)
       s += 1
     }
     acc
@@ -47,11 +50,13 @@ case class AdcScore(child: Expression, lut: Array[Double], ksub: Int)
       val acc = ctx.freshName("acc")
       val s = ctx.freshName("s")
       val idx = ctx.freshName("idx")
+      val code = ctx.freshName("code")
       s"""
          |double $acc = 0.0;
          |for (int $s = 0; $s < $c.length; $s++) {
-         |  int $idx = $s * $ksub + ($c[$s] & 0xff);
-         |  if ($idx < $lutRef.length) $acc += $lutRef[$idx];
+         |  int $code = $c[$s] & 0xff;
+         |  int $idx = $s * $ksub + $code;
+         |  if ($code < $ksub && $idx < $lutRef.length) $acc += $lutRef[$idx];
          |}
          |${ev.value} = $acc;
        """.stripMargin

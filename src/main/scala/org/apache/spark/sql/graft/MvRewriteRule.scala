@@ -62,6 +62,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
   /** Bare scan of the registered source, optionally under a pruning
     * Project (attribute-only — an expression would change semantics).
+    * Matching is EXACT on the scheme-stripped path: a substring match
+    * would route scans of sibling tables (`…/events_archive` when
+    * `…/events` is registered) to the wrong MV.
     */
   private def scansSource(child: LogicalPlan, source: String): Boolean = child match {
     case Project(projectList, grandchild)
@@ -69,7 +72,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       scansSource(grandchild, source)
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.exists(_.toString.contains(source))
+        val want = new org.apache.hadoop.fs.Path(source).toUri.getPath
+        fs.location.rootPaths.exists(_.toUri.getPath == want)
       case _ => false
     }
     case _ => false

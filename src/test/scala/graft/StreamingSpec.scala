@@ -368,5 +368,23 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1))).toMap
       assert(mv === Map("click" -> 3L, "view" -> 3L, "purchase" -> 1L))
     } finally q.stop()
+
+    // replay protection: a delivery whose batchId was already applied is
+    // skipped (foreachBatch is at-least-once; the applied id travels
+    // inside the summary dir). A fresh query restarts at batchId 0 — both
+    // its batches are ≤ the applied id 1, so the MV must not change.
+    val mem2 = MemoryStream[String]
+    val q2 = EventStreams.mvMaintenanceWriter(
+      mem2.toDF().toDF("event_type"), "event_type", mvPath).start()
+    try {
+      mem2.addData("click", "click", "click")
+      q2.processAllAvailable()
+      mem2.addData("view")
+      q2.processAllAvailable()
+      val after = spark.read.parquet(mvPath).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(after === Map("click" -> 3L, "view" -> 3L, "purchase" -> 1L),
+        s"replayed batch ids must not re-merge: $after")
+    } finally q2.stop()
   }
 }
