@@ -289,6 +289,25 @@ object Lakehouse extends QueryModule {
       |SELECT 2, count(*), sum(price_e2) FROM v2
       |ORDER BY version""".stripMargin
 
+  /** Manifest vacuum: delete data files referenced by NO version in the
+    * manifest — the garbage left behind by failed writes and expired
+    * versions. Readers resolve files through manifests alone, so a
+    * vacuum can never break a registered version; the spec proves both
+    * version reads survive while a planted orphan disappears. Returns
+    * the deleted paths (catalog-scale).
+    */
+  def vacuumUnreferenced(spark: SparkSession, tmp: String): Seq[String] = {
+    val referenced = spark.read.parquet(tmp + "/manifest")
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val dirs = Seq("base", "append").map(s => new java.io.File(tmp + "/" + s))
+    dirs.flatMap { d =>
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !referenced.contains(f.getAbsolutePath))
+        .map { f => f.delete(); f.getAbsolutePath }
+    }
+  }
+
   /** Major compaction of the MOR table: fold the delta into a NEW base
     * (latest-wins materialized once) and read the compacted copy back.
     * The invariant that makes compaction safe to run online — it changes

@@ -118,6 +118,28 @@ class LakehouseSpec extends SparkSpec {
     assert(rows(1)._3 > rows(0)._3) // appended rows carry the price bump
   }
 
+  test("vacuum deletes only unreferenced files; both manifest versions still read") {
+    val before = SparkEntry.queries("time_travel_scan")(spark, sf).collect().toSeq
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_tt_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    // plant an orphan data file no manifest references (a failed write)
+    val orphan = new java.io.File(tmp + "/base/part-orphan-deadbeef.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val deleted = Lakehouse.vacuumUnreferenced(spark, tmp)
+    assert(deleted === Seq(orphan.getAbsolutePath), s"deleted: $deleted")
+    assert(!orphan.exists())
+    // re-read both versions through manifests: identical results
+    val m = spark.read.parquet(tmp + "/manifest")
+    Seq(1L, 2L).foreach { v =>
+      val fs = m.filter(col("version") === v).select("file")
+        .collect().map(_.getString(0))
+      assert(fs.forall(f => new java.io.File(f).exists()),
+        s"vacuum deleted a referenced v$v file")
+    }
+    val after = SparkEntry.queries("time_travel_scan")(spark, sf).collect().toSeq
+    assert(after === before)
+  }
+
   test("mor compaction changes layout, never content") {
     val snapshot = SparkEntry.queries("mor_snapshot")(spark, sf).collect().toSeq
     val compacted = SparkEntry.queries("mor_compact")(spark, sf).collect().toSeq
