@@ -38,6 +38,9 @@ object DataQuality extends QueryModule {
       check("orders_custkey_fk", orders
         .join(broadcast(customer.select("c_custkey")),
           orders("o_custkey") === customer("c_custkey"), "left_anti")),
+      // together with orders_custkey_fk and customer_pk_unique this is
+      // the full contract FkJoinEliminationRule relies on
+      check("orders_custkey_complete", orders.filter(col("o_custkey").isNull)),
       check("lineitem_orderkey_fk", lineitem
         .join(orders.select("o_orderkey"),
           lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")),
@@ -65,6 +68,8 @@ object DataQuality extends QueryModule {
       |  UNION ALL
       |  SELECT 'orders_custkey_fk', count(*) FROM orders o
       |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'orders_custkey_complete', count(*) FROM orders WHERE o_custkey IS NULL
       |  UNION ALL
       |  SELECT 'lineitem_orderkey_fk', count(*) FROM lineitem l
       |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)

@@ -707,6 +707,49 @@ object Relational extends QueryModule {
       |GROUP BY n.n_name
       |ORDER BY revenue_e2 DESC, nation""".stripMargin
 
+  /** PK-FK join elimination end-to-end: the query JOINS orders to
+    * customer but reads no customer column, the registered constraint
+    * (verified by dq_constraints: FK-complete, PK-unique, FK-non-null)
+    * lets `FkJoinEliminationRule` drop the join, and the DuckDB oracle
+    * COMPUTES THE JOIN — so the optimized plan must produce exactly what
+    * the unoptimized semantics promise. Conf is restored before
+    * returning (the mvRewriteCounts discipline); FkElimSpec pins that
+    * the armed plan really has no join operator.
+    */
+  def fkJoinElimination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{FkJoinEliminationRule => R, GraftExtensions}
+    GraftExtensions.register(spark)
+    val keys = Seq(
+      R.FactSourceKey -> s"$dir/orders.parquet", R.FkColKey -> "o_custkey",
+      R.DimSourceKey -> s"$dir/customer.parquet", R.PkColKey -> "c_custkey",
+      R.EnabledKey -> "true")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.read.parquet(s"$dir/orders.parquet")
+        .join(spark.read.parquet(s"$dir/customer.parquet"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("revenue_e2"))
+        .orderBy("o_orderpriority")
+      val rows = q.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), q.schema)
+        .orderBy("o_orderpriority")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  private val fkJoinEliminationSql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_e2
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Sketch table + range union: per-day HLL sketches of distinct users
     * persisted as a BINARY column (Apache DataSketches via Spark's
     * hll_sketch_agg), then any date range answered by UNIONING the
@@ -798,6 +841,7 @@ object Relational extends QueryModule {
     "user_set_ops" -> userSetOps,
     "q5_local_supplier_sql" -> q5LocalSupplierSql,
     "sketch_union_distinct" -> sketchUnionDistinct,
+    "fk_join_elimination" -> fkJoinElimination,
     "mv_rewrite_counts" -> mvRewriteCounts,
     "grouped_topk_native" -> groupedTopkNative,
     "events_pivot_daily" -> eventsPivotDaily,
@@ -827,6 +871,7 @@ object Relational extends QueryModule {
     "user_set_ops" -> userSetOpsSql,
     "q5_local_supplier_sql" -> q5LocalSupplierSqlOracle,
     "sketch_union_distinct" -> sketchUnionDistinctSql,
+    "fk_join_elimination" -> fkJoinEliminationSql,
     "mv_rewrite_counts" -> mvRewriteCountsSql,
     "grouped_topk_native" -> groupedTopkNativeSql,
     "events_pivot_daily" -> eventsPivotDailySql,

@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in MV routing (spark.graft.mv.rewrite=true): grouped COUNT over
     // the registered fact table is answered from its materialized summary.
     ext.injectOptimizerRule(_ => MvRewriteRule)
+    // Opt-in PK-FK join elimination (spark.graft.fkelim.enabled=true):
+    // an unused dimension join is dropped under DQ-verified constraints.
+    ext.injectOptimizerRule(_ => FkJoinEliminationRule)
   }
 }
 
@@ -71,5 +74,7 @@ object GraftExtensions {
       em.extraOptimizations = em.extraOptimizations :+ AnnRewriteRule
     if (!em.extraOptimizations.contains(MvRewriteRule))
       em.extraOptimizations = em.extraOptimizations :+ MvRewriteRule
+    if (!em.extraOptimizations.contains(FkJoinEliminationRule))
+      em.extraOptimizations = em.extraOptimizations :+ FkJoinEliminationRule
   }
 }

@@ -12,7 +12,8 @@ class DataQualitySpec extends SparkSpec {
   test("dq_constraints: one row per check, PK/FK checks clean on testdata") {
     val rows = SparkEntry.queries("dq_constraints")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(rows.size === 10)
+    assert(rows.size === 11)
+    assert(rows("orders_custkey_complete") === 0L)
     assert(rows("orders_pk_unique") === 0L)
     assert(rows("customer_pk_unique") === 0L)
     assert(rows("orders_custkey_fk") === 0L)
