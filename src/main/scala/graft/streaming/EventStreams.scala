@@ -378,6 +378,39 @@ object EventStreams extends QueryModule {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Continuous per-group leaderboard: the bounded top-k contract of the
+    * batch aggregate (org.apache.spark.sql.graft.GroupTopK — score DESC,
+    * payload ASC total order) maintained incrementally over a stream
+    * with `mapGroupsWithState`. State per group is exactly the k-entry
+    * list — insertion reuses TopKBuffer, so stream and batch can never
+    * disagree on tie semantics — and stays k-bounded no matter how many
+    * events flow through (no watermark needed: a leaderboard never
+    * expires entries, it only displaces them).
+    *
+    * Input columns: (group: String, score: Long, payload: String).
+    * Output per update: one row per group with the current ranked board.
+    */
+  def leaderboardStream(events: DataFrame, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.unsafe.types.UTF8String
+    events.as[(String, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[(Long, String)], (String, Seq[(Long, String)])](
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        val buf = new org.apache.spark.sql.graft.TopKBuffer(k)
+        state.getOption.getOrElse(Seq.empty).foreach { case (s, p) =>
+          buf.insert(s, UTF8String.fromString(p))
+        }
+        rows.foreach { case (_, s, p) => buf.insert(s, UTF8String.fromString(p)) }
+        val board = buf.sorted.map { case (s, p) => (s, p.toString) }.toSeq
+        state.update(board)
+        (key, board)
+      }
+      .toDF("group", "board")
+  }
+
   /** Streaming maintenance of the count-by-key materialized view that
     * `MvRewriteRule` routes to: each micro-batch folds its partial counts
     * into the stored summary (counts are mergeable, so merge ≡ recompute

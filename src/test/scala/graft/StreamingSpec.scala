@@ -332,6 +332,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("leaderboard stream: state stays k-bounded and equals the batch top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val q = EventStreams.leaderboardStream(
+      mem.toDF().toDF("group", "score", "payload"), k = 3)
+      .writeStream.format("memory").queryName("leaderboard")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def boards: Set[(String, List[(Long, String)])] =
+        spark.table("leaderboard").collect()
+          .map(r => (r.getString(0), r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getLong(0), x.getString(1))).toList)).toSet
+      mem.addData(("a", 5L, "p1"), ("a", 9L, "p2"), ("a", 1L, "p3"), ("b", 4L, "q1"))
+      q.processAllAvailable()
+      assert(boards.contains(("a", List((9L, "p2"), (5L, "p1"), (1L, "p3")))))
+      mem.addData(("a", 7L, "p4"), ("a", 9L, "p0"), ("b", 2L, "q2"))
+      q.processAllAvailable()
+      // cumulative top-3 under (score DESC, payload ASC): p0 ties p2 at 9
+      // and sorts first; p4 displaces p1; p3 falls off the board
+      assert(boards.contains(("a", List((9L, "p0"), (9L, "p2"), (7L, "p4")))))
+      assert(boards.contains(("b", List((4L, "q1"), (2L, "q2")))))
+    } finally q.stop()
+  }
+
   test("event_rate_anomaly: planted 10x burst alarms, steady traffic never does") {
     // 30 steady hours at 4 events/hour, then one hour with 40 events.
     val base = 1700000000L * 1000000L // epoch micros, hour-aligned enough
