@@ -707,6 +707,25 @@ object Relational extends QueryModule {
       |GROUP BY n.n_name
       |ORDER BY revenue_e2 DESC, nation""".stripMargin
 
+  /** Arm session confs, materialize the (group-cardinality-bounded)
+    * result WHILE armed, restore the confs, hand back a local frame — so
+    * an optimizer-rule registration can never leak past its driver query
+    * into the rest of the Verify/Bench session.
+    */
+  private def withConfsLocalized(spark: SparkSession,
+      confs: Seq[(String, String)])(build: => DataFrame): DataFrame = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = build
+      val rows = df.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** PK-FK join elimination end-to-end: the query JOINS orders to
     * customer but reads no customer column, the registered constraint
     * (verified by dq_constraints: FK-complete, PK-unique, FK-non-null)
@@ -719,29 +738,18 @@ object Relational extends QueryModule {
   def fkJoinElimination(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.{FkJoinEliminationRule => R, GraftExtensions}
     GraftExtensions.register(spark)
-    val keys = Seq(
+    withConfsLocalized(spark, Seq(
       R.FactSourceKey -> s"$dir/orders.parquet", R.FkColKey -> "o_custkey",
       R.DimSourceKey -> s"$dir/customer.parquet", R.PkColKey -> "c_custkey",
-      R.EnabledKey -> "true")
-    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
-    keys.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val q = spark.read.parquet(s"$dir/orders.parquet")
+      R.EnabledKey -> "true")) {
+      spark.read.parquet(s"$dir/orders.parquet")
         .join(spark.read.parquet(s"$dir/customer.parquet"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("revenue_e2"))
         .orderBy("o_orderpriority")
-      val rows = q.collect().toIndexedSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), q.schema)
-        .orderBy("o_orderpriority")
-    } finally {
-      prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-    }
+    }.orderBy("o_orderpriority")
   }
 
   private val fkJoinEliminationSql =
@@ -803,30 +811,17 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(mvPath)
     GraftExtensions.register(spark)
-    val prev = Seq(MvRewriteRule.SourceKey, MvRewriteRule.PathKey,
-      MvRewriteRule.EnabledKey).map(k => k -> spark.conf.getOption(k))
-    spark.conf.set(MvRewriteRule.SourceKey, src)
-    spark.conf.set(MvRewriteRule.PathKey, mvPath)
-    spark.conf.set(MvRewriteRule.EnabledKey, "true")
-    try {
-      // materialize WHILE the registration is armed (5 rows — group-
-      // cardinality bounded), then return a local frame: the session conf
-      // is restored before this query hands control back, so no later
-      // query can be silently routed to a by-then-stale MV
-      val routed = spark.read.parquet(src)
+    // materialized WHILE the registration is armed (5 rows — group-
+    // cardinality bounded); the conf restore means no later query can be
+    // silently routed to a by-then-stale MV
+    withConfsLocalized(spark, Seq(
+      MvRewriteRule.SourceKey -> src, MvRewriteRule.PathKey -> mvPath,
+      MvRewriteRule.EnabledKey -> "true")) {
+      spark.read.parquet(src)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
-      val rows = routed.collect().toIndexedSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), routed.schema)
-        .orderBy("event_type")
-    } finally {
-      prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-    }
+    }.orderBy("event_type")
   }
 
   private val mvRewriteCountsSql =
