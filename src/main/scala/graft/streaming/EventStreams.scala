@@ -308,8 +308,11 @@ object EventStreams extends QueryModule {
               }
             case (_, t, "purchase", id) =>
               val m = micros(t)
+              // compare in MICROS like Temporal.asofJoin's inTolerance —
+              // a truncating seconds division would attribute gaps up to
+              // ~1s staler than the batch twin
               val hit = last.filter { case (cm, _) =>
-                toleranceSeconds.forall(tol => (m - cm) / 1000000L <= tol)
+                toleranceSeconds.forall(tol => m - cm <= tol * 1000000L)
               }
               out += ((id, user, hit.map(_._2), hit.map(c => (m - c._1) / 1000000L)))
             case _ => () // other event types pass through unattributed
@@ -355,6 +358,14 @@ object EventStreams extends QueryModule {
     * click's window, because until then a match could still arrive. This
     * is the abandonment/timeout detection the inner join cannot express;
     * state stays bounded by the same watermark + range condition.
+    *
+    * Output is one row PER (click, purchase) PAIR plus one NULL-marked
+    * row per abandoned click (`purchase_id` kept so consumers can see
+    * which): a click converting N times emits N matched rows, so
+    * conversion metrics must count DISTINCT click_id — streaming
+    * append-mode cannot deduplicate after an outer join without
+    * unbounded state, and collapsing here would silently undercount
+    * multi-purchase attributions.
     */
   def clickAbandonmentStream(
       clicks: DataFrame,
@@ -368,7 +379,7 @@ object EventStreams extends QueryModule {
           p("p_ts") >= c("c_ts") &&
           p("p_ts") < c("c_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
         "left_outer")
-      .select(c("user_id"), col("click_id"),
+      .select(c("user_id"), col("click_id"), col("purchase_id"),
         col("purchase_id").isNull.as("abandoned"))
   }
 
@@ -426,49 +437,68 @@ object EventStreams extends QueryModule {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        import org.apache.hadoop.fs.Path
         val spark = batch.sparkSession
-        val dir = new java.io.File(mvPath)
+        // Hadoop FS API, not java.io.File: Spark resolves mvPath against
+        // the default filesystem, and a local-disk marker probe on a
+        // cluster would silently disable the replay guard.
+        val dir = new Path(mvPath)
+        val next = new Path(mvPath + ".next")
+        val old = new Path(mvPath + ".old")
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        def marker(base: Path) = new Path(base, "_applied_batch")
+        def readMarker(base: Path): Long =
+          if (fs.exists(marker(base)))
+            scala.util.Try {
+              val in = fs.open(marker(base))
+              try {
+                val buf = new Array[Byte](64)
+                val n = in.read(buf)
+                new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+              } finally in.close()
+            }.getOrElse(-1L)
+          else -1L
+        // crash recovery: a crash between the two swap renames leaves
+        // `dir` missing — complete the swap from a fully-staged `next`
+        // (its marker is written last, so presence ⇒ complete), else
+        // restore `old`. Without this, a replayed batch would rebuild
+        // the summary from itself alone and history would be lost.
+        if (!fs.exists(dir)) {
+          if (readMarker(next) >= 0L) { fs.rename(next, dir); () }
+          else if (fs.exists(old)) { fs.rename(old, dir); () }
+        }
         // foreachBatch is AT-LEAST-ONCE: after crash recovery the same
         // micro-batch replays, and a blind merge would double-count it.
         // The applied batch id travels INSIDE the summary dir (swapped
-        // atomically with the data), so replay detection can't desync.
-        val markerName = "_applied_batch"
-        val lastApplied = {
-          val f = new java.io.File(dir, markerName)
-          if (f.exists())
-            scala.util.Try(new String(
-              java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong).getOrElse(-1L)
-          else -1L
-        }
+        // with the data), so replay detection can't desync.
+        val lastApplied = readMarker(dir)
         if (batchId > lastApplied) {
           val partial = batch.groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
           val merged =
-            if (dir.exists())
+            if (fs.exists(dir))
               spark.read.parquet(mvPath).unionByName(partial)
                 .groupBy(col(groupCol)).agg(sum(col("cnt")).as("cnt"))
             else partial
           // bounded materialization breaks the read-own-path cycle
           val rows = merged.collect().toIndexedSeq
-          def rmTree(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rmTree)
-            f.delete(); ()
-          }
-          // stage next to a sibling, then swap via renames: a reader (or
-          // a crash) sees the old summary, a missing one — which the MV
-          // rewrite declines gracefully — or the new one; never a mix
-          val next = new java.io.File(mvPath + ".next")
-          if (next.exists()) rmTree(next)
+          // stage next to a sibling, then swap via renames. Single-writer
+          // protocol: a NEW read resolves the old summary, nothing (the
+          // MV rewrite declines gracefully), or the new summary — but a
+          // reader holding file handles from a pre-swap listing can see
+          // its files vanish mid-scan; concurrent serve-while-refresh
+          // needs a manifest/txn-log indirection (timeTravelScan's
+          // pattern), not bare renames.
+          if (fs.exists(next)) fs.delete(next, true)
           spark.createDataFrame(
             spark.sparkContext.parallelize(rows, 1), merged.schema)
-            .write.mode("overwrite").parquet(next.getAbsolutePath)
-          java.nio.file.Files.write(
-            new java.io.File(next, markerName).toPath,
-            batchId.toString.getBytes("UTF-8"))
-          val old = new java.io.File(mvPath + ".old")
-          if (old.exists()) rmTree(old)
-          if (dir.exists()) java.nio.file.Files.move(dir.toPath, old.toPath)
-          java.nio.file.Files.move(next.toPath, dir.toPath)
-          rmTree(old)
+            .write.mode("overwrite").parquet(next.toString)
+          val out = fs.create(marker(next), true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+          if (fs.exists(old)) fs.delete(old, true)
+          if (fs.exists(dir)) fs.rename(dir, old)
+          fs.rename(next, dir)
+          fs.delete(old, true)
+          ()
         }
     }
 

@@ -67,6 +67,17 @@ case class AdcScore(child: Expression, lut: Array[Double], ksub: Int)
     copy(child = newChild)
 
   override def prettyName: String = "adc_score"
+
+  // Array fields compare by reference in case-class equality, which would
+  // break semanticEquals/canonicalization (identical scoring branches
+  // would never deduplicate); compare LUT contents instead.
+  override def equals(other: Any): Boolean = other match {
+    case a: AdcScore =>
+      a.child == child && a.ksub == ksub && java.util.Arrays.equals(a.lut, lut)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode + ksub) + java.util.Arrays.hashCode(lut)
 }
 
 object AdcScore {

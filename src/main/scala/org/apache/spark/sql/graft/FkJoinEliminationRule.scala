@@ -55,16 +55,14 @@ object FkJoinEliminationRule extends Rule[LogicalPlan] {
       return plan
 
     plan.transformUp {
-      case j @ Join(fact, dimSide, Inner, Some(EqualTo(a, b)), _)
-          if scansOnly(fact, factSource) =>
-        (pkOnlyScan(dimSide, dimSource, pkCol), a, b) match {
-          case (Some(pk), fk: AttributeReference, pkRef: AttributeReference)
-              if pkRef.exprId == pk.exprId && fk.name == fkCol &&
-                fact.outputSet.contains(fk) =>
+      case j @ Join(fact, dimSide, Inner, Some(EqualTo(a, b)), _) =>
+        (factBaseFk(fact, factSource, fkCol),
+          pkOnlyScan(dimSide, dimSource, pkCol), a, b) match {
+          case (Some(baseFk), Some(pk), fk: AttributeReference, pkRef: AttributeReference)
+              if pkRef.exprId == pk.exprId && fk.exprId == baseFk.exprId =>
             eliminate(fact, fk, pk)
-          case (Some(pk), pkRef: AttributeReference, fk: AttributeReference)
-              if pkRef.exprId == pk.exprId && fk.name == fkCol &&
-                fact.outputSet.contains(fk) =>
+          case (Some(baseFk), Some(pk), pkRef: AttributeReference, fk: AttributeReference)
+              if pkRef.exprId == pk.exprId && fk.exprId == baseFk.exprId =>
             eliminate(fact, fk, pk)
           case _ => j
         }
@@ -111,13 +109,24 @@ object FkJoinEliminationRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The fact side may be any subtree whose scans are the registered
-    * fact path (filters/projections over the fact are fine — they don't
-    * change FK totality); any OTHER relation inside declines.
+  /** The fact side must be an attribute-preserving Project/Filter chain
+    * over ONE scan of the registered fact path, and the join key must be
+    * the BASE fk column's own attribute (matched by exprId, not name) —
+    * the registered constraints hold for the stored column only. A
+    * derived column merely NAMED like the fk (`custkey + 1 AS custkey`)
+    * or an fk passing through an outer self-join (which can manufacture
+    * nulls) has no FK guarantee, so anything beyond the simple chain
+    * declines. Returns the base fk attribute when the shape qualifies.
     */
-  private def scansOnly(plan: LogicalPlan, source: String): Boolean = {
-    val rels = plan.collect { case lr: LogicalRelation => lr }
-    rels.nonEmpty && rels.forall(isSource(_, source))
+  private def factBaseFk(plan: LogicalPlan, source: String,
+      fkCol: String): Option[AttributeReference] = plan match {
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      factBaseFk(child, source, fkCol)
+    case Filter(_, child) => factBaseFk(child, source, fkCol)
+    case lr: LogicalRelation if isSource(lr, source) =>
+      lr.output.find(_.name == fkCol).map(_.asInstanceOf[AttributeReference])
+    case _ => None
   }
 
   private def isSource(lr: LogicalRelation, source: String): Boolean =

@@ -101,8 +101,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         .queryExecution.analyzed
       val mvG = mv.output.find(_.name == groupCol)
       val mvC = mv.output.find(_.name == "cnt")
+      // cnt must be LongType: the rewrite reuses the original count's
+      // exprId whose parent-bound references are LongType — a drifted MV
+      // schema must decline here, not fail at physical planning
       if (mvG.isEmpty || mvC.isEmpty ||
-        mvG.get.dataType != g.dataType) return None
+        mvG.get.dataType != g.dataType ||
+        mvC.get.dataType != org.apache.spark.sql.types.LongType) return None
       val newExprs: Seq[NamedExpression] = aggExprs.map {
         case a: AttributeReference => // the group column
           Alias(mvG.get, a.name)(exprId = a.exprId)

@@ -326,9 +326,10 @@ class StreamingSpec extends SparkSpec {
       pMem.addData((99L, 902L, t(120)))
       q.processAllAvailable()
       val rows = spark.table("cp_abandon").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-      assert(rows.contains((1L, 100L, false)), s"converted click missing: $rows")
-      assert(rows.contains((2L, 200L, true)), s"abandoned click missing: $rows")
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSet
+      assert(rows.contains((1L, 100L, 900L, false)), s"converted click missing: $rows")
+      assert(rows.contains((2L, 200L, -1L, true)), s"abandoned click missing: $rows")
     } finally q.stop()
   }
 
