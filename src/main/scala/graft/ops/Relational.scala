@@ -513,6 +513,26 @@ object Relational extends QueryModule {
       |  FROM orders) WHERE rank <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** Ordered string aggregation (LISTAGG semantics, §2.5): the
+    * distinct-sorted-joined form is the only one that's deterministic
+    * under distributed aggregation — collect order varies by partition
+    * delivery, so the sort must be explicit before the join.
+    */
+  def orderedStringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+        .as("statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  private val orderedStringAggSql =
+    """SELECT o_orderpriority,
+      |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+      |         AS statuses,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** FULL OUTER reconciliation (§2.4's last uncovered join type): per
     * customer, orders-side and lineitem-spend-side totals with NULL-safe
     * indicator buckets — the both/left-only/right-only audit every
@@ -830,6 +850,7 @@ object Relational extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "full_outer_reconcile" -> fullOuterReconcile,
+    "ordered_string_agg" -> orderedStringAgg,
     "window_breadth" -> windowBreadth,
     "calendar_spine_fill" -> calendarSpineFill,
     "revenue_cube" -> revenueCube,
@@ -860,6 +881,7 @@ object Relational extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "full_outer_reconcile" -> fullOuterReconcileSql,
+    "ordered_string_agg" -> orderedStringAggSql,
     "window_breadth" -> windowBreadthSql,
     "calendar_spine_fill" -> calendarSpineFillSql,
     "revenue_cube" -> revenueCubeSql,
