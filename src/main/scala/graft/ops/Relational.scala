@@ -513,6 +513,31 @@ object Relational extends QueryModule {
       |  FROM orders) WHERE rank <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** Error-safe scalar surface (ANSI-adjacent `try_*` semantics): a
+    * malformed cast and a division by zero yield NULL instead of failing
+    * the job — at 100 TB one poisoned row must never kill a stage. The
+    * oracle mirrors try_divide with an explicit zero guard and try_cast
+    * with DuckDB's TRY_CAST.
+    */
+  def tryFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line"),
+        round(expr("try_divide(l_quantity, l_linenumber % 3)"), 6).as("per_bucket"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_as_int"),
+        expr("try_cast(CAST(l_linenumber AS STRING) AS INT)").cast("long").as("roundtrip"))
+      .orderBy("l_orderkey", "line")
+
+  private val tryFunctionsSql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line,
+      |       round(CASE WHEN l_linenumber % 3 = 0 THEN NULL
+      |                  ELSE l_quantity / (l_linenumber % 3) END, 6) AS per_bucket,
+      |       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+      |       CAST(TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS BIGINT)
+      |         AS roundtrip
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, line""".stripMargin
+
   /** Ordered string aggregation (LISTAGG semantics, §2.5): the
     * distinct-sorted-joined form is the only one that's deterministic
     * under distributed aggregation — collect order varies by partition
@@ -851,6 +876,7 @@ object Relational extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "full_outer_reconcile" -> fullOuterReconcile,
     "ordered_string_agg" -> orderedStringAgg,
+    "try_functions" -> tryFunctions,
     "window_breadth" -> windowBreadth,
     "calendar_spine_fill" -> calendarSpineFill,
     "revenue_cube" -> revenueCube,
@@ -882,6 +908,7 @@ object Relational extends QueryModule {
   def oracles: Map[String, String] = Map(
     "full_outer_reconcile" -> fullOuterReconcileSql,
     "ordered_string_agg" -> orderedStringAggSql,
+    "try_functions" -> tryFunctionsSql,
     "window_breadth" -> windowBreadthSql,
     "calendar_spine_fill" -> calendarSpineFillSql,
     "revenue_cube" -> revenueCubeSql,
