@@ -20,16 +20,18 @@ object Functions extends QueryModule {
       .filter($"o_orderkey" < 2000)
       .select(
         $"o_orderkey",
-        year($"o_orderdate").as("order_year"),
-        month($"o_orderdate").as("order_month"),
-        quarter($"o_orderdate").as("order_quarter"),
-        dayofweek($"o_orderdate").as("order_dow"),
+        // long date/length parts: Spark's year()/datediff()/length() are
+        // int32 where DuckDB's EXTRACT/datediff/length are int64
+        year($"o_orderdate").cast("long").as("order_year"),
+        month($"o_orderdate").cast("long").as("order_month"),
+        quarter($"o_orderdate").cast("long").as("order_quarter"),
+        dayofweek($"o_orderdate").cast("long").as("order_dow"),
         date_format($"o_orderdate", "yyyy-MM").as("order_ym"),
         datediff(lit("1998-12-31").cast("date"), $"o_orderdate".cast("date"))
-          .as("days_to_cutoff"),
+          .cast("long").as("days_to_cutoff"),
         regexp_extract($"o_orderpriority", "^(\\d+)", 1).cast("int").as("priority_rank"),
         lower(substring($"o_orderstatus", 1, 1)).as("status_initial"),
-        length($"o_orderpriority").as("priority_len"),
+        length($"o_orderpriority").cast("long").as("priority_len"),
         concat_ws("|", $"o_orderstatus", $"o_orderpriority").as("status_priority"),
         round($"o_totalprice", 0).cast("long").as("price_rounded"),
         ($"o_totalprice" > 100000.0).as("is_large"),

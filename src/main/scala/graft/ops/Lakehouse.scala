@@ -140,9 +140,12 @@ object Lakehouse extends QueryModule {
     (out, files.length, total)
   }
 
+  // CAST the sum: DuckDB sum(BIGINT) returns HUGEINT, which the driver's
+  // pandas frame widens to float64 against Spark's int64 — hash-red on
+  // identical values (the r4 lesson, applied everywhere).
   private val zonemapScanSql =
     """SELECT o_orderstatus, count(*) AS n_orders,
-      |       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_e2
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2
       |FROM orders
       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
@@ -226,7 +229,7 @@ object Lakehouse extends QueryModule {
 
   private val zorderScanSql =
     """SELECT o_orderstatus, count(*) AS n_orders,
-      |       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_e2
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2
       |FROM orders WHERE o_custkey BETWEEN 100 AND 400
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -284,9 +287,10 @@ object Lakehouse extends QueryModule {
       |  SELECT * FROM base
       |  UNION ALL
       |  SELECT o_orderkey, price_e2 + 10000 FROM base WHERE o_orderkey % 10 = 0)
-      |SELECT 1 AS version, count(*) AS n_rows, sum(price_e2) AS total_e2 FROM base
+      |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+      |       CAST(sum(price_e2) AS BIGINT) AS total_e2 FROM base
       |UNION ALL
-      |SELECT 2, count(*), sum(price_e2) FROM v2
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(price_e2) AS BIGINT) FROM v2
       |ORDER BY version""".stripMargin
 
   /** Manifest vacuum: delete data files referenced by NO version in the
@@ -368,7 +372,7 @@ object Lakehouse extends QueryModule {
       |  SELECT epoch_us(ts) // 86400000000 AS day_id, count(*) AS n
       |  FROM events GROUP BY 1, event_type)
       |SELECT day_id BETWEEN 19733 AND 19735 AS corrected,
-      |       count(DISTINCT day_id) AS n_days, sum(n) AS n_events
+      |       count(DISTINCT day_id) AS n_days, CAST(sum(n) AS BIGINT) AS n_events
       |FROM daily GROUP BY 1 ORDER BY corrected""".stripMargin
 
   // ---- incremental zone-map maintenance ----
@@ -417,7 +421,7 @@ object Lakehouse extends QueryModule {
 
   private val zonemapAppendScanSql =
     """SELECT o_orderstatus, count(*) AS n_orders,
-      |       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_e2
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2
       |FROM orders
       |WHERE o_orderdate BETWEEN TIMESTAMP '1998-02-01' AND TIMESTAMP '2002-12-31'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
@@ -453,7 +457,8 @@ object Lakehouse extends QueryModule {
       |         CASE WHEN o_orderkey % 2 = 1 THEN 'tracked' ELSE 'untracked' END
       |           AS priority_class
       |  FROM orders)
-      |SELECT priority_class, count(*) AS n_orders, sum(price_e2) AS total_e2
+      |SELECT priority_class, count(*) AS n_orders,
+      |       CAST(sum(price_e2) AS BIGINT) AS total_e2
       |FROM u GROUP BY priority_class ORDER BY priority_class""".stripMargin
 
   // ---- storage-format interchange ----
@@ -471,7 +476,7 @@ object Lakehouse extends QueryModule {
     .orderBy("source")
 
   private val fidelitySql =
-    """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |       count(DISTINCT md5(text)) AS n_distinct_texts
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 

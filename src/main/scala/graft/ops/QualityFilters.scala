@@ -49,8 +49,10 @@ object QualityFilters extends QueryModule {
       .filter(size(col("tok")) > 0) // punctuation-only docs have no words
     val stats = t.select(
       col("doc_id"),
-      size(col("tok")).as("n_words"),
-      size(array_distinct(col("tok"))).as("n_distinct"))
+      // long counts: Spark's size() is int32, DuckDB's len() is int64 —
+      // the dumped parquet must agree with the oracle frame dtype-for-dtype
+      size(col("tok")).cast("long").as("n_words"),
+      size(array_distinct(col("tok"))).cast("long").as("n_distinct"))
     val bigrams = t.select(
       col("doc_id"),
       explode(zip_with(
@@ -136,10 +138,10 @@ object QualityFilters extends QueryModule {
         .when(!trim(l).rlike("[.!?]$"), "nopunct")
         .otherwise("kept")
     val buckets = transform(lines, l => bucket(l))
-    def n(b: String): Column = size(filter(buckets, x => x === b))
+    def n(b: String): Column = size(filter(buckets, x => x === b)).cast("long")
     docs.select(
       col("doc_id"),
-      size(lines).as("n_lines"),
+      size(lines).cast("long").as("n_lines"),
       n("kept").as("kept"),
       n("short").as("dropped_short"),
       n("brace").as("dropped_brace"),
@@ -220,9 +222,9 @@ object QualityFilters extends QueryModule {
     val redacted = regexp_replace(afterIp, PhoneRe, "<PHONE>")
     docs.select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).as("n_ips"),
-      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
       redacted.as("redacted_text"))
       .withColumn("has_pii",
         col("n_emails") + col("n_ips") + col("n_phones") > 0)

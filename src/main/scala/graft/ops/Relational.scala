@@ -413,13 +413,19 @@ object Relational extends QueryModule {
       .agg(sum(col("n_events")).as("n_events"),
         sum(col("sum_value_e6")).as("sum_value_e6"),
         min(col("first_ts")).as("first_ts"), max(col("last_ts")).as("last_ts"))
+      // epoch micros, not timestamps: Spark parquet timestamps land as
+      // datetime64[ns] in the driver frame vs DuckDB's [us] — same instant,
+      // different dtype, hash-red. BIGINT micros is unit-exact on both sides.
+      .select(col("event_type"), col("n_events"), col("sum_value_e6"),
+        expr("unix_micros(first_ts)").as("first_ts_us"),
+        expr("unix_micros(last_ts)").as("last_ts_us"))
       .orderBy("event_type")
   }
 
   private val ivmEventSummarySql =
     """SELECT event_type, count(*) AS n_events,
-      |       sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_e6,
-      |       min(ts) AS first_ts, max(ts) AS last_ts
+      |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6,
+      |       epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Time-partitioned warehouse layout: events land in `day_id=` parquet
@@ -602,8 +608,8 @@ object Relational extends QueryModule {
       |            WHEN ck IS NOT NULL THEN 'orders_only'
       |            ELSE 'bigitems_only' END AS bucket,
       |       count(*) AS n_customers,
-      |       sum(coalesce(n_orders, 0)) AS sum_orders,
-      |       sum(coalesce(n_big_items, 0)) AS sum_big_items
+      |       CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS sum_orders,
+      |       CAST(sum(coalesce(n_big_items, 0)) AS BIGINT) AS sum_big_items
       |FROM o FULL OUTER JOIN l ON ck = ck2
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
@@ -678,7 +684,8 @@ object Relational extends QueryModule {
 
   private val revenueCubeSql =
     """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-      |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS revenue_e2
+      |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_e2
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
@@ -739,7 +746,8 @@ object Relational extends QueryModule {
 
   private val q5LocalSupplierSqlOracle =
     """SELECT n.n_name AS nation,
-      |       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+      |       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT)
       |         AS revenue_e2
       |FROM customer c
       |JOIN orders o ON c.c_custkey = o.o_custkey
@@ -799,7 +807,8 @@ object Relational extends QueryModule {
 
   private val fkJoinEliminationSql =
     """SELECT o_orderpriority, count(*) AS n_orders,
-      |       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_e2
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_e2
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

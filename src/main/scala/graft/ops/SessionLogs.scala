@@ -84,6 +84,10 @@ object SessionLogs extends QueryModule {
         max(col("ts")).as("ended_at"))
       .withColumn("duration_sec",
         col("ended_at").cast("long") - col("started_at").cast("long"))
+      // naive µs timestamps for the dump (same dtype DuckDB emits); the
+      // duration above is computed on the tz-adjusted originals
+      .withColumn("started_at", col("started_at").cast("timestamp_ntz"))
+      .withColumn("ended_at", col("ended_at").cast("timestamp_ntz"))
       .orderBy("session_id")
 
   private val sessionSummariesSql =

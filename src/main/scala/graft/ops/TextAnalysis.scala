@@ -47,9 +47,10 @@ object TextAnalysis extends QueryModule {
       .filter(length(trim(col("text"))) > 0)
       .select(
         col("doc_id"),
-        nChars.as("n_chars_measured"),
-        nWords.as("n_words"),
-        stopHits.as("stop_hits"),
+        // long counts: length()/size() are int32 in Spark, int64 in DuckDB
+        nChars.cast("long").as("n_chars_measured"),
+        nWords.cast("long").as("n_words"),
+        stopHits.cast("long").as("stop_hits"),
         round(wordChars / nWords.cast("double"), 6).as("avg_word_len"),
         round(stopHits / nWords.cast("double"), 6).as("stopword_ratio"),
         round(nPunct / nChars.cast("double"), 6).as("punct_ratio"),
@@ -191,10 +192,10 @@ object TextAnalysis extends QueryModule {
       .filter(length(trim(col("text"))) > 0)
       .select(
         col("doc_id"),
-        size(split(trim(col("text")), "[ \\t\\n]+")).as("n_ws_tokens"),
-        size(tokensCol(col("text"))).as("n_word_tokens"),
+        size(split(trim(col("text")), "[ \\t\\n]+")).cast("long").as("n_ws_tokens"),
+        size(tokensCol(col("text"))).cast("long").as("n_word_tokens"),
         size(regexp_extract_all(col("text"),
-          lit("""\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n]+"""), lit(0))).as("n_bpe_pieces"),
+          lit("""\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n]+"""), lit(0))).cast("long").as("n_bpe_pieces"),
         ceil(length(col("text")) / lit(4.0)).cast("long").as("est_subword_tokens"))
       .orderBy("doc_id")
 
@@ -555,8 +556,8 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("text"), docMetricsUdf(col("text")).as("m"))
       .select(
         col("doc_id"), col("text"),
-        col("m._1").as("n_words"),
-        col("m._2").as("stop_hits"),
+        col("m._1").cast("long").as("n_words"),
+        col("m._2").cast("long").as("stop_hits"),
         round(col("m._3") / col("m._1").cast("double"), 6).as("avg_word_len"),
         struct(col("m._4").as("score"), col("m._5").as("lang")).as("pred"))
       .withColumn("quality_score", qualityScoreCol)
@@ -673,7 +674,7 @@ object TextAnalysis extends QueryModule {
     Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("lang"),
-        size(tokensCol(col("text"))).as("n_tokens"))
+        size(tokensCol(col("text"))).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("shard",
         expr(s"(cum_tokens - n_tokens) DIV $seqLen"))
@@ -793,8 +794,9 @@ object TextAnalysis extends QueryModule {
       |tot AS (SELECT sum(cnt) AS n_total FROM vocab),
       |s AS (SELECT d.doc_id, d.c, length(bin(t.n_total // v.cnt)) - 1 AS s_tok
       |      FROM dt d JOIN vocab v USING (tok) CROSS JOIN tot t)
-      |SELECT doc_id, sum(c) AS n_tokens, sum(c * s_tok) AS surprisal_bits,
-      |       (1000000 * sum(c * s_tok)) // sum(c) AS mean_mbits
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(sum(c * s_tok) AS BIGINT) AS surprisal_bits,
+      |       CAST((1000000 * sum(c * s_tok)) // sum(c) AS BIGINT) AS mean_mbits
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Weighted deterministic sampling WITHOUT randomness: keep a doc iff

@@ -286,17 +286,22 @@ object VectorSearch extends QueryModule {
       }
     }
     val m = typedlit(signs)
+    // Long form (vec_id, j, proj_e6), one row per output dimension: the
+    // driver's checker sorts rows in pandas and an array<double> column
+    // is unsortable there (unhashable ndarray — the one r4 checker
+    // crash). Integer micro-units also remove the float column entirely;
+    // floor(d * 1e6) of the bit-identical fold is exact on both engines.
     Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 200)
       .select(col("vec_id"),
-        transform(sequence(lit(0), lit(15)), j =>
-          round(
-            aggregate(
-              zip_with(col("embedding"), element_at(m, j + 1),
-                (x, s) => x.cast("double") * s),
-              lit(0.0), (acc, x) => acc + x) / 4.0,
-            6)).as("proj"))
-      .orderBy("vec_id")
+        posexplode(transform(sequence(lit(0), lit(15)), j =>
+          aggregate(
+            zip_with(col("embedding"), element_at(m, j + 1),
+              (x, s) => x.cast("double") * s),
+            lit(0.0), (acc, x) => acc + x) / 4.0)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        expr("CAST(floor(col * 1000000) AS BIGINT)").as("proj_e6"))
+      .orderBy("vec_id", "j")
   }
 
   /** Embedding-space hygiene report: the L2-norm histogram per label — the
@@ -333,14 +338,13 @@ object VectorSearch extends QueryModule {
       |              THEN 1.0 ELSE -1.0 END AS s
       |  FROM generate_series(0, 63) i(i), generate_series(0, 15) j(j)),
       |mm AS (SELECT j, list(s ORDER BY i) AS signs FROM m GROUP BY j)
-      |SELECT e.vec_id,
-      |       list(round(list_reduce(list_transform(generate_series(1, 64),
+      |SELECT e.vec_id, CAST(mm.j AS BIGINT) AS j,
+      |       CAST(floor(list_reduce(list_transform(generate_series(1, 64),
       |              k -> e.embedding[k]::DOUBLE * mm.signs[k]),
-      |            (a, b) -> a + b) / 4.0, 6) ORDER BY mm.j) AS proj
+      |            (a, b) -> a + b) / 4.0 * 1000000) AS BIGINT) AS proj_e6
       |FROM embeddings e, mm
       |WHERE e.vec_id < 200
-      |GROUP BY e.vec_id
-      |ORDER BY vec_id""".stripMargin
+      |ORDER BY vec_id, j""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_projection" -> embeddingProjection,

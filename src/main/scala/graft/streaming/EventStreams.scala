@@ -31,8 +31,12 @@ object EventStreams extends QueryModule {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
         round(avg(col("value")), 6).as("avg_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"), col("avg_value"))
+      // timestamp_ntz output: the session TZ is UTC, so the wall-clock
+      // value is unchanged, but parquet then carries naive µs — the same
+      // pandas dtype (datetime64[us]) DuckDB hands the driver, where the
+      // tz-adjusted TimestampType lands as ns or tz-aware and diverges.
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
       .orderBy("window_start", "event_type")
 
   private val eventsHourlySql =
@@ -52,8 +56,8 @@ object EventStreams extends QueryModule {
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("last_event"))
+        min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("last_event"))
       .select("user_id", "session_start", "last_event", "n_events", "sum_value")
       .orderBy("user_id", "session_start")
 
@@ -86,7 +90,8 @@ object EventStreams extends QueryModule {
     val wLag = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     Tables.events(spark, dir)
       .filter(col("user_id") < 10)
-      .select(col("user_id"), col("ts"), col("event_type"),
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"),
         count(lit(1)).over(w).as("n_so_far"),
         round(sum(col("value")).over(w), 4).as("value_so_far"),
         coalesce(lag(col("event_type"), 1).over(wLag), lit("none")).as("prev_event"))
@@ -239,7 +244,7 @@ object EventStreams extends QueryModule {
       |win AS (
       |  SELECT event_type, hour_id, n_events,
       |         count(*) OVER w AS win_hours,
-      |         coalesce(sum(n_events) OVER w, 0) AS win_events
+      |         CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS win_events
       |  FROM hourly
       |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
       |               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
@@ -447,14 +452,19 @@ object EventStreams extends QueryModule {
         val old = new Path(mvPath + ".old")
         val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
         def marker(base: Path) = new Path(base, "_applied_batch")
+        // Read the marker COMPLETELY before parsing: Hadoop streams may
+        // return short reads, and a truncated "12" of "123" parses to a
+        // smaller batch id — silently disarming the replay guard.
         def readMarker(base: Path): Long =
           if (fs.exists(marker(base)))
             scala.util.Try {
               val in = fs.open(marker(base))
               try {
+                val out = new java.io.ByteArrayOutputStream(64)
                 val buf = new Array[Byte](64)
-                val n = in.read(buf)
-                new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+                var n = in.read(buf)
+                while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+                new String(out.toByteArray, "UTF-8").trim.toLong
               } finally in.close()
             }.getOrElse(-1L)
           else -1L

@@ -45,6 +45,48 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   val PathKey = "spark.graft.mv.path"
   val GroupColKey = "spark.graft.mv.groupCol"
 
+  /** Analyzed MV relation cache, keyed by path and invalidated on the MV
+    * directory's modification time: without it every optimization pass of
+    * every matching query re-lists the MV files and re-reads the footer
+    * schema (driver-side RPCs inside the optimizer). The mtime probe is
+    * ONE getFileStatus; a refresh that rewrites the directory bumps it.
+    */
+  private case class CachedMv(mtime: Long, rel: LogicalRelation)
+  private val mvCache = new java.util.concurrent.ConcurrentHashMap[String, CachedMv]()
+
+  /** The session whose conf registered the MV, not whichever session
+    * happens to be thread-active: prefer the one whose SQLConf is the
+    * very instance this rule is reading its keys from (multi-session
+    * apps can have a different `SparkSession.active`).
+    */
+  private def resolveSession(): Option[SparkSession] = {
+    val candidates =
+      SparkSession.getActiveSession.toSeq ++ SparkSession.getDefaultSession.toSeq
+    candidates.find(_.sessionState.conf eq conf).orElse(candidates.headOption)
+  }
+
+  /** Fresh-output copy of the (cached) analyzed MV relation. A new
+    * instance per rewrite keeps exprIds unique even if two aggregates in
+    * one query both route to the same MV.
+    */
+  private def analyzedMv(mvPath: String): Option[LogicalRelation] = {
+    val session = resolveSession().getOrElse(return None)
+    val hPath = new org.apache.hadoop.fs.Path(mvPath)
+    val fs = hPath.getFileSystem(session.sessionState.newHadoopConf())
+    val mtime = fs.getFileStatus(hPath).getModificationTime
+    val cached = mvCache.get(mvPath)
+    val rel =
+      if (cached != null && cached.mtime == mtime) cached.rel
+      else {
+        val analyzed = session.read.parquet(mvPath).queryExecution.analyzed
+        val lr = analyzed.collectFirst { case l: LogicalRelation => l }
+          .getOrElse(return None)
+        mvCache.put(mvPath, CachedMv(mtime, lr))
+        lr
+      }
+    Some(rel.newInstance())
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "false").equalsIgnoreCase("true")) return plan
     val source = conf.getConfString(SourceKey, "")
@@ -97,8 +139,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression], mvPath: String,
       groupCol: String): Option[LogicalPlan] = {
     try {
-      val mv = SparkSession.active.read.parquet(mvPath)
-        .queryExecution.analyzed
+      val mv = analyzedMv(mvPath).getOrElse(return None)
       val mvG = mv.output.find(_.name == groupCol)
       val mvC = mv.output.find(_.name == "cnt")
       // cnt must be LongType: the rewrite reuses the original count's

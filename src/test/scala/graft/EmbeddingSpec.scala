@@ -125,9 +125,14 @@ class VectorSearchSpec extends SparkSpec {
 
   test("embedding_projection: JL map preserves relative distances on average") {
     import org.apache.spark.sql.functions.col
+    // long form (vec_id, j, proj_e6) — reassemble per-vector arrays
     val proj = SparkEntry.queries("embedding_projection")(spark, sf)
-      .collect().map(r => r.getAs[Long]("vec_id") ->
-        r.getAs[scala.collection.Seq[Double]]("proj").toArray).toMap
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("j"),
+        r.getAs[Long]("proj_e6") / 1e6))
+      .groupBy(_._1)
+      .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3) }
+      .toMap
     val orig = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
       .collect().map(r => r.getAs[Long]("vec_id") ->
         r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap

@@ -8,7 +8,7 @@ class QualityFiltersSpec extends SparkSpec {
     val out = SparkEntry.queries("repetition_metrics")(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val nWords = r.getAs[Int]("n_words")
+      val nWords = r.getAs[Long]("n_words")
       val top = r.getAs[Long]("top_bigram_count")
       assert(nWords > 0)
       assert(top >= (if (nWords > 1) 1L else 0L) && top <= math.max(nWords - 1, 0))
@@ -37,18 +37,18 @@ class QualityFiltersSpec extends SparkSpec {
   test("line_filter_c4: planted docs land in the documented buckets") {
     val out = SparkEntry.queries("line_filter_c4")(spark, sf).collect()
     val d0 = out.find(_.getAs[Long]("doc_id") == 910000L).get
-    assert(d0.getAs[Int]("n_lines") === 5)
-    assert(d0.getAs[Int]("kept") === 2)
-    assert(d0.getAs[Int]("dropped_short") === 1)
-    assert(d0.getAs[Int]("dropped_brace") === 1)
-    assert(d0.getAs[Int]("dropped_lorem") === 1)
-    assert(d0.getAs[Int]("dropped_nopunct") === 0)
+    assert(d0.getAs[Long]("n_lines") === 5)
+    assert(d0.getAs[Long]("kept") === 2)
+    assert(d0.getAs[Long]("dropped_short") === 1)
+    assert(d0.getAs[Long]("dropped_brace") === 1)
+    assert(d0.getAs[Long]("dropped_lorem") === 1)
+    assert(d0.getAs[Long]("dropped_nopunct") === 0)
     assert(d0.getAs[String]("cleaned_text") ===
       "This is a kept line with terminal punctuation.\nAnother good line stays right here.")
     val d1 = out.find(_.getAs[Long]("doc_id") == 910001L).get
-    assert(d1.getAs[Int]("kept") === 2) // the question and the exclamation
-    assert(d1.getAs[Int]("dropped_nopunct") === 1)
-    assert(d1.getAs[Int]("dropped_short") === 1) // "tiny"
+    assert(d1.getAs[Long]("kept") === 2) // the question and the exclamation
+    assert(d1.getAs[Long]("dropped_nopunct") === 1)
+    assert(d1.getAs[Long]("dropped_short") === 1) // "tiny"
   }
 
   test("line_filter_c4: single-line word-salad docs all drop as nopunct") {
@@ -56,9 +56,9 @@ class QualityFiltersSpec extends SparkSpec {
       .filter("doc_id < 900000").collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      assert(r.getAs[Int]("n_lines") === 1)
+      assert(r.getAs[Long]("n_lines") === 1)
       // word salad: >= 5 words but no terminal punctuation
-      assert(r.getAs[Int]("kept") === 0)
+      assert(r.getAs[Long]("kept") === 0)
       assert(r.getAs[String]("cleaned_text") === "")
     }
   }
@@ -67,21 +67,21 @@ class QualityFiltersSpec extends SparkSpec {
     val out = SparkEntry.queries("pii_redaction")(spark, sf).collect()
     val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
     val emails = byId(920000L)
-    assert(emails.getAs[Int]("n_emails") === 2)
+    assert(emails.getAs[Long]("n_emails") === 2)
     assert(emails.getAs[String]("redacted_text") ===
       "Contact <EMAIL> or <EMAIL> for details.")
     val ips = byId(920001L)
-    assert(ips.getAs[Int]("n_ips") === 2)
+    assert(ips.getAs[Long]("n_ips") === 2)
     assert(ips.getAs[String]("redacted_text") ===
       "Server at <IP> and <IP> responded quickly.")
     val phones = byId(920002L)
-    assert(phones.getAs[Int]("n_phones") === 2)
+    assert(phones.getAs[Long]("n_phones") === 2)
     assert(phones.getAs[String]("redacted_text") ===
       "Call <PHONE> or <PHONE> before noon.")
     val mixed = byId(920003L)
-    assert(mixed.getAs[Int]("n_emails") === 1)
-    assert(mixed.getAs[Int]("n_ips") === 1)
-    assert(mixed.getAs[Int]("n_phones") === 1)
+    assert(mixed.getAs[Long]("n_emails") === 1)
+    assert(mixed.getAs[Long]("n_ips") === 1)
+    assert(mixed.getAs[Long]("n_phones") === 1)
     assert(mixed.getAs[Boolean]("has_pii"))
     assert(mixed.getAs[String]("redacted_text") ===
       "Mixed case: <EMAIL> connects from <IP> phone <PHONE>.")

@@ -88,7 +88,8 @@ class RelationalSpec extends SparkSpec {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("sum_value_e6"),
-        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        min(expr("unix_micros(ts)")).as("first_ts_us"),
+        max(expr("unix_micros(ts)")).as("last_ts_us"))
       .collect().map(_.toSeq).toSet
     assert(merged === direct, "merging stored partials with the delta must " +
       "be indistinguishable from recomputing over all history")

@@ -95,8 +95,8 @@ class TextAnalysisSpec extends SparkSpec {
     }
     val tc = SparkEntry.queries("token_counts")(spark, sf).collect()
     tc.foreach { r =>
-      assert(r.getAs[Int]("n_word_tokens") >= r.getAs[Int]("n_ws_tokens") - 1)
-      assert(r.getAs[Int]("n_bpe_pieces") >= r.getAs[Int]("n_word_tokens"))
+      assert(r.getAs[Long]("n_word_tokens") >= r.getAs[Long]("n_ws_tokens") - 1)
+      assert(r.getAs[Long]("n_bpe_pieces") >= r.getAs[Long]("n_word_tokens"))
     }
     assert(SparkEntry.queries("doc_fingerprints")(spark, sf).count() > 0)
   }
@@ -141,8 +141,8 @@ class TextAnalysisSpec extends SparkSpec {
       rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
         // contiguous layout: each doc starts where the previous ended
         assert(r.getAs[Long]("cum_tokens") ===
-          prevCum + r.getAs[Int]("n_tokens"))
-        val start = r.getAs[Long]("cum_tokens") - r.getAs[Int]("n_tokens")
+          prevCum + r.getAs[Long]("n_tokens"))
+        val start = r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens")
         assert(r.getAs[Long]("shard") === start / 4096)
         assert(r.getAs[Long]("offset_in_shard") === start % 4096)
         prevCum = r.getAs[Long]("cum_tokens")

@@ -54,7 +54,7 @@ class TextFunctionsSpec extends SparkSpec {
   test("scalar_functions driver query: spot-check one row") {
     val r = SparkEntry.queries("scalar_functions")(spark, sf)
       .filter(col("o_orderkey") === 1).head()
-    assert(r.getAs[Int]("order_year") >= 1992 && r.getAs[Int]("order_year") <= 1998)
+    assert(r.getAs[Long]("order_year") >= 1992L && r.getAs[Long]("order_year") <= 1998L)
     assert(r.getAs[Int]("priority_rank") >= 1 && r.getAs[Int]("priority_rank") <= 5)
     assert(r.getAs[String]("status_priority").contains("|"))
   }

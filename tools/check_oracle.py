@@ -1,46 +1,86 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's DuckDB-oracle correctness gate.
+"""Local replica of the driver's DuckDB-oracle correctness gate — STRICT.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [name ...]
 
 For each query dumped by graft.Verify (<out>/<name>/ parquet dir) run the
 matching SQL from <out>/oracle_sql.json in DuckDB against the same parquet
-tables, then compare: columns sorted by name, rows sorted, values compared
-exactly (floats to 9 significant digits). Dev tool only — the engine itself
-never depends on DuckDB.
+tables, then compare the way the driver does:
+
+  * both sides load into pandas (spark parquet via pyarrow, oracle via
+    duckdb's .df()), columns sorted by name;
+  * any non-scalar output column (list / ndarray / dict / struct) is an
+    outright FAIL — the driver's pandas sort throws on these;
+  * pandas dtypes must match EXACTLY (int64 vs float64 vs datetime64 units
+    all count — DuckDB HUGEINT aggregates come back float64 and the driver
+    hash rejects them against Spark's int64);
+  * values must be byte-identical after a stable row sort (no float
+    rounding, no list→tuple normalization).
+
+Round-4 history: the previous lenient replica (floats to 9 sig digits,
+lists tupled) said PASS on 16 rows the driver scored red. Dev tool only —
+the engine itself never depends on DuckDB.
 """
 import json
-import math
 import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, norm(x)) for k, x in v.items()))
-    return str(v)
+def nonscalar_cols(df):
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            sample = df[c].dropna().head(20)
+            if any(isinstance(v, (list, dict, np.ndarray, tuple))
+                   for v in sample):
+                bad.append(c)
+    return bad
 
 
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
+def canon(df):
+    """Columns sorted by name, rows sorted stably over all columns."""
+    df = df[sorted(df.columns)]
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(name, spark_df, duck_df):
+    """Return None if identical under driver semantics, else reason."""
+    ns = nonscalar_cols(spark_df)
+    if ns:
+        return f"non-scalar spark output columns {ns} (driver checker would crash)"
+    nd = nonscalar_cols(duck_df)
+    if nd:
+        return f"non-scalar oracle output columns {nd}"
+    s, d = canon(spark_df), canon(duck_df)
+    if list(s.columns) != list(d.columns):
+        return f"columns differ spark={list(s.columns)} duck={list(d.columns)}"
+    sdt, ddt = [str(t) for t in s.dtypes], [str(t) for t in d.dtypes]
+    if sdt != ddt:
+        diffs = [(c, a, b) for c, a, b in zip(s.columns, sdt, ddt) if a != b]
+        return f"dtype mismatch (spark vs duck): {diffs}"
+    if len(s) != len(d):
+        return f"row count spark={len(s)} duck={len(d)}"
+    if not s.equals(d):
+        neq = ~(s.eq(d) | (s.isna() & d.isna()))
+        bad_rows = neq.any(axis=1)
+        idx = list(s.index[bad_rows][:3])
+        samples = [(i, s.loc[i].to_dict(), d.loc[i].to_dict()) for i in idx]
+        return f"values differ on {int(bad_rows.sum())} rows, first: {samples}"
+    return None
 
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -48,36 +88,32 @@ def main():
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         res_dir = Path(out_dir, name)
         if not res_dir.is_dir():
             print(f"FAIL {name}: no spark result dir")
             n_fail += 1
             continue
         try:
-            duck = con.execute(sql)
-            duck_cols = [d[0] for d in duck.description]
-            duck_rows = duck.fetchall()
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
+            duck_df = con.execute(sql).df()
+            spark_df = pd.read_parquet(res_dir)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        dc, dr = canon(duck_cols, duck_rows)
-        gc, gr = canon(got_cols, got_rows)
-        if dc != gc:
-            print(f"FAIL {name}: columns differ spark={gc} duck={dc}")
+        try:
+            reason = compare(name, spark_df, duck_df)
+        except Exception as e:
+            print(f"FAIL {name}: comparator crashed: {e}")
             n_fail += 1
-        elif dr != gr:
-            diffs = [(a, b) for a, b in zip(gr, dr) if a != b]
-            print(f"FAIL {name}: rows spark={len(gr)} duck={len(dr)}, "
-                  f"first diffs: {diffs[:3]}")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(gr)} rows)")
+            continue
+        if reason is None:
+            print(f"PASS {name} ({len(spark_df)} rows)")
             n_pass += 1
+        else:
+            print(f"FAIL {name}: {reason}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
