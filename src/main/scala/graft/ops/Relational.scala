@@ -882,6 +882,45 @@ object Relational extends QueryModule {
     """SELECT event_type, count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** MV routing for SUMS of integer units (the second registered MV
+    * shape): a derived fact table (event_type, value_e6 BIGINT) is
+    * summarized per type as (cnt, sum_value_e6); with the summary
+    * registered, the ORIGINAL count+sum query over the fact scan is
+    * answered from the MV — integer partial sums merge exactly, which is
+    * why the rule refuses float sums. MvRewriteSpec pins that the routed
+    * plan reads the MV parquet and never the fact table; the DuckDB
+    * oracle recomputes from raw events, so the routed answer must be
+    * exact end to end.
+    */
+  def mvRewriteSums(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{GraftExtensions, MvRewriteRule}
+    val srcPath = Tables.scratchPath("graft_mv_units_src", dir)
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_e6"))
+      .write.mode("overwrite").parquet(srcPath)
+    val mvPath = Tables.scratchPath("graft_mv_sums", dir)
+    spark.read.parquet(srcPath).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("value_e6")).as("sum_value_e6"))
+      .write.mode("overwrite").parquet(mvPath)
+    GraftExtensions.register(spark)
+    withConfsLocalized(spark, Seq(
+      MvRewriteRule.SourceKey -> srcPath, MvRewriteRule.PathKey -> mvPath,
+      MvRewriteRule.SumColKey -> "value_e6",
+      MvRewriteRule.EnabledKey -> "true")) {
+      spark.read.parquet(srcPath)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value_e6")).as("total_e6"))
+        .orderBy("event_type")
+    }.orderBy("event_type")
+  }
+
+  private val mvRewriteSumsSql =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+      |         AS total_e6
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "full_outer_reconcile" -> fullOuterReconcile,
     "ordered_string_agg" -> orderedStringAgg,
@@ -894,6 +933,7 @@ object Relational extends QueryModule {
     "sketch_union_distinct" -> sketchUnionDistinct,
     "fk_join_elimination" -> fkJoinElimination,
     "mv_rewrite_counts" -> mvRewriteCounts,
+    "mv_rewrite_sums" -> mvRewriteSums,
     "grouped_topk_native" -> groupedTopkNative,
     "events_pivot_daily" -> eventsPivotDaily,
     "ivm_event_summary" -> ivmEventSummary,
@@ -926,6 +966,7 @@ object Relational extends QueryModule {
     "sketch_union_distinct" -> sketchUnionDistinctSql,
     "fk_join_elimination" -> fkJoinEliminationSql,
     "mv_rewrite_counts" -> mvRewriteCountsSql,
+    "mv_rewrite_sums" -> mvRewriteSumsSql,
     "grouped_topk_native" -> groupedTopkNativeSql,
     "events_pivot_daily" -> eventsPivotDailySql,
     "ivm_event_summary" -> ivmEventSummarySql,

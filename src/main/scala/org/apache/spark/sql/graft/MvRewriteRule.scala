@@ -25,7 +25,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *           partial counts is exact — the refresh job's guarantee
   *           (ivm_event_summary is the maintenance pattern). Output
   *           aliases keep the ORIGINAL exprIds, so parents resolve
-  *           unchanged.
+  *           unchanged. With `spark.graft.mv.sumCol=<col>` registered,
+  *           plain `sum(<col>)` (LongType integer units) routes the
+  *           same way to the MV column `sum_<col>` — sums of integer
+  *           partials are as mergeable as counts; float sums are never
+  *           routed (shuffle-order addition isn't associative).
   *
   * Strictly OPT-IN via session conf (freshness is the user's contract —
   * enabling it declares "the MV at `path` reflects `source`"):
@@ -44,6 +48,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   val SourceKey = "spark.graft.mv.source"
   val PathKey = "spark.graft.mv.path"
   val GroupColKey = "spark.graft.mv.groupCol"
+
+  /** Optional second routed shape: `sum(<sumCol>)` over the fact scan is
+    * answered from the MV column `sum_<sumCol>` (both LongType — integer
+    * units only, because float partial sums don't merge deterministically;
+    * the ivm_event_summary mergeability argument). Empty = counts only.
+    */
+  val SumColKey = "spark.graft.mv.sumCol"
 
   /** Analyzed MV relation cache, keyed by path and invalidated on the MV
     * directory's modification time: without it every optimization pass of
@@ -92,13 +103,15 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val source = conf.getConfString(SourceKey, "")
     val mvPath = conf.getConfString(PathKey, "")
     val groupCol = conf.getConfString(GroupColKey, "event_type")
+    val sumCol = conf.getConfString(SumColKey, "")
     if (source.isEmpty || mvPath.isEmpty) return plan
 
     plan.transformUp {
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
           if g.name == groupCol && scansSource(child, source) &&
-            aggExprs.forall(shapeOk(_, g)) && aggExprs.exists(isCountAlias) =>
-        rewrite(agg, g, aggExprs, mvPath, groupCol).getOrElse(agg)
+            aggExprs.forall(shapeOk(_, g, sumCol)) &&
+            aggExprs.exists(e => isCountAlias(e) || isSumAlias(e, sumCol)) =>
+        rewrite(agg, g, aggExprs, mvPath, groupCol, sumCol).getOrElse(agg)
     }
   }
 
@@ -129,34 +142,63 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def shapeOk(e: NamedExpression, g: AttributeReference): Boolean =
+  /** `sum(<sumCol>)`, plain (no DISTINCT/FILTER), over the LongType fact
+    * column registered for sum routing — the only sum the stored integer
+    * partials can answer exactly.
+    */
+  private def isSumAlias(e: NamedExpression, sumCol: String): Boolean =
+    sumCol.nonEmpty && (e match {
+      case Alias(ae: AggregateExpression, _) =>
+        !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+          case s: Sum => s.child match {
+            case a: AttributeReference =>
+              a.name == sumCol &&
+                a.dataType == org.apache.spark.sql.types.LongType
+            case _ => false
+          }
+          case _ => false
+        })
+      case _ => false
+    })
+
+  private def shapeOk(e: NamedExpression, g: AttributeReference,
+      sumCol: String): Boolean =
     (e match {
       case a: AttributeReference => a.exprId == g.exprId
       case _ => false
-    }) || isCountAlias(e)
+    }) || isCountAlias(e) || isSumAlias(e, sumCol)
 
   private def rewrite(agg: Aggregate, g: AttributeReference,
       aggExprs: Seq[NamedExpression], mvPath: String,
-      groupCol: String): Option[LogicalPlan] = {
+      groupCol: String, sumCol: String): Option[LogicalPlan] = {
     try {
       val mv = analyzedMv(mvPath).getOrElse(return None)
+      val longType = org.apache.spark.sql.types.LongType
       val mvG = mv.output.find(_.name == groupCol)
       val mvC = mv.output.find(_.name == "cnt")
-      // cnt must be LongType: the rewrite reuses the original count's
-      // exprId whose parent-bound references are LongType — a drifted MV
-      // schema must decline here, not fail at physical planning
-      if (mvG.isEmpty || mvC.isEmpty ||
-        mvG.get.dataType != g.dataType ||
-        mvC.get.dataType != org.apache.spark.sql.types.LongType) return None
+      val mvS = mv.output.find(_.name == s"sum_$sumCol")
+      if (mvG.isEmpty || mvG.get.dataType != g.dataType) return None
+      // the needed MV columns must exist with LongType: the rewrite
+      // reuses the original aggregates' exprIds whose parent-bound
+      // references are LongType — a drifted MV schema must decline here,
+      // not fail at physical planning
+      if (aggExprs.exists(isCountAlias) &&
+        !mvC.exists(_.dataType == longType)) return None
+      if (aggExprs.exists(isSumAlias(_, sumCol)) &&
+        !mvS.exists(_.dataType == longType)) return None
       val newExprs: Seq[NamedExpression] = aggExprs.map {
         case a: AttributeReference => // the group column
           Alias(mvG.get, a.name)(exprId = a.exprId)
-        case al @ Alias(_: AggregateExpression, name) =>
+        case al @ Alias(_: AggregateExpression, name) if isCountAlias(al) =>
           Alias(AggregateExpression(Sum(mvC.get), Complete, isDistinct = false),
+            name)(exprId = al.exprId)
+        case al @ Alias(_: AggregateExpression, name) =>
+          // isSumAlias by shapeOk: re-sum the stored per-group partials
+          Alias(AggregateExpression(Sum(mvS.get), Complete, isDistinct = false),
             name)(exprId = al.exprId)
         case other => return None // unreachable given shapeOk
       }
-      logInfo(s"graft MV rewrite: answering count-by-$groupCol from $mvPath")
+      logInfo(s"graft MV rewrite: answering grouped agg by $groupCol from $mvPath")
       Some(Aggregate(Seq(mvG.get), newExprs, mv, None))
     } catch {
       // unreadable/missing MV: decline, never fail the query

@@ -68,6 +68,51 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("sum routing: integer-unit sums route to the MV; float sums decline") {
+    val unitsSrc = mvPath + "_units_src"
+    val sumsMv = mvPath + "_sums"
+    spark.read.parquet(src)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_e6"),
+        col("value"))
+      .write.mode("overwrite").parquet(unitsSrc)
+    spark.read.parquet(unitsSrc).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("value_e6")).as("sum_value_e6"))
+      .write.mode("overwrite").parquet(sumsMv)
+    GraftExtensions.register(spark)
+    spark.conf.set(MvRewriteRule.SourceKey, unitsSrc)
+    spark.conf.set(MvRewriteRule.PathKey, sumsMv)
+    spark.conf.set(MvRewriteRule.SumColKey, "value_e6")
+    try {
+      def q = spark.read.parquet(unitsSrc).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_e6")).as("t"))
+        .orderBy("event_type")
+      spark.conf.set(MvRewriteRule.EnabledKey, "false")
+      val direct = q.collect().toSeq
+      spark.conf.set(MvRewriteRule.EnabledKey, "true")
+      val routed = q
+      val paths = scanPaths(routed)
+      assert(paths.exists(_.contains(sumsMv)), s"MV not read: $paths")
+      assert(!paths.exists(_.contains(unitsSrc)), s"fact table still read: $paths")
+      assert(routed.collect().toSeq === direct)
+      // a FLOAT sum must decline: shuffle-order float addition isn't
+      // associative, so stored partials can't answer it exactly
+      val floatSum = spark.read.parquet(unitsSrc).groupBy(col("event_type"))
+        .agg(sum(col("value")).as("t"))
+      assert(scanPaths(floatSum).exists(_.contains(unitsSrc)))
+      // a sum of a column OTHER than the registered one must decline too
+      val otherSum = spark.read.parquet(unitsSrc)
+        .select(col("event_type"), (col("value_e6") * 2).as("doubled"))
+        .groupBy(col("event_type")).agg(sum(col("doubled")).as("t"))
+      assert(scanPaths(otherSum).exists(_.contains(unitsSrc)))
+    } finally {
+      spark.conf.set(MvRewriteRule.EnabledKey, "false")
+      spark.conf.unset(MvRewriteRule.SumColKey)
+      spark.conf.set(MvRewriteRule.SourceKey, src)
+      spark.conf.set(MvRewriteRule.PathKey, mvPath)
+    }
+  }
+
   test("a missing MV path declines instead of failing the query") {
     withMv(mvPath + "_does_not_exist") {
       val q = rawCounts
