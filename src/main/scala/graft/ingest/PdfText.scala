@@ -10,9 +10,11 @@ package graft.ingest
   * Scope: uncompressed or FlateDecode content streams, literal `(…)` and
   * hex `<…>` strings, simple (Latin-1-ish) and UTF-16BE string encodings,
   * page tree via /Root → /Pages → /Kids, PDF 1.5+ object streams (/ObjStm
-  * compressed objects — the modern-writer layout), and /ToUnicode CMaps
+  * compressed objects — the modern-writer layout), /ToUnicode CMaps
   * (bfchar + bfrange, 1- and 2-byte codes) resolved through each page's
-  * /Resources → /Font chain with /Parent inheritance. Still out of scope:
+  * /Resources → /Font chain with /Parent inheritance, and a
+  * Type0/Identity-H fallback (2-byte CIDs read as UTF-16 code units when
+  * no ToUnicode table exists). Still out of scope:
   * encryption and filters beyond Flate (DCT/JBIG2 images are never text) —
   * out-of-scope files return None and flow into the corrupt-file skip
   * path, exactly like the reference's per-file try/except.
@@ -332,12 +334,24 @@ object PdfText {
     }
     fontBlock.map { fb =>
       """/([\w.-]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fb).flatMap { m =>
-        for {
-          fobj <- objects.get(m.group(2).toInt)
-          tu <- """/ToUnicode\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fobj.dict)
-          tuObj <- objects.get(tu.group(1).toInt)
-          cmap <- parseCMap(decodeStream(tuObj, bytes))
-        } yield m.group(1) -> cmap
+        objects.get(m.group(2).toInt).flatMap { fobj =>
+          val toUnicode = for {
+            tu <- """/ToUnicode\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fobj.dict)
+            tuObj <- objects.get(tu.group(1).toInt)
+            cmap <- parseCMap(decodeStream(tuObj, bytes))
+          } yield cmap
+          // Type0/Identity-H|V without a ToUnicode table: show strings are
+          // 2-byte CIDs. An empty 2-byte CMap routes them through the
+          // UTF-16 fallback in mapCodes — exact when CIDs coincide with
+          // Unicode (the common identity-embedded-TTF layout), and never
+          // worse than the 1-byte path's NUL-interleaved mangling.
+          val identityFallback =
+            if ("""/Subtype\s*/Type0\b""".r.findFirstIn(fobj.dict).isDefined &&
+              """/Encoding\s*/Identity-[HV]\b""".r.findFirstIn(fobj.dict).isDefined)
+              Some(CMap(2, Map.empty))
+            else None
+          toUnicode.orElse(identityFallback).map(m.group(1) -> _)
+        }
       }.toMap
     }.getOrElse(Map.empty)
   }

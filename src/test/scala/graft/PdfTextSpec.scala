@@ -203,6 +203,22 @@ class PdfTextSpec extends SparkSpec {
     assert(doc.pages === Seq("ABC"))
   }
 
+  test("Type0 /Identity-H without ToUnicode decodes 2-byte CIDs as UTF-16 units") {
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(ISO_8859_1),
+      3 -> ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F2 5 0 R >> >> >>").getBytes(ISO_8859_1),
+      4 -> streamObj("<< >>",
+        "BT /F2 12 Tf 72 700 Td <00480065006C006C006F> Tj ET".getBytes(ISO_8859_1)),
+      // the identity-embedded-TTF layout: no ToUnicode table at all
+      5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /NotoSans " +
+        "/Encoding /Identity-H >>").getBytes(ISO_8859_1))
+    val doc = PdfText.extract(buildPdf(objs, "<< /Root 1 0 R >>")).get
+    // without the fallback the 1-byte path would NUL-interleave: "\0H\0e…"
+    assert(doc.pages === Seq("Hello"))
+  }
+
   test("fonts without ToUnicode keep the simple-encoding path") {
     val objs = Seq(
       1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
