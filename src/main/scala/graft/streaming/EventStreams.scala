@@ -438,7 +438,8 @@ object EventStreams extends QueryModule {
     * partial files and compact (the Lakehouse manifest pattern).
     * Returns the writer; callers start it with their own trigger.
     */
-  def mvMaintenanceWriter(events: DataFrame, groupCol: String, mvPath: String)
+  def mvMaintenanceWriter(events: DataFrame, groupCol: String, mvPath: String,
+      sumCol: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -483,11 +484,19 @@ object EventStreams extends QueryModule {
         // with the data), so replay detection can't desync.
         val lastApplied = readMarker(dir)
         if (batchId > lastApplied) {
-          val partial = batch.groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
+          // optional integer-units sum partials next to counts — the
+          // `sum_<col>` column MvRewriteRule's sum routing reads; both
+          // merge by addition, so merge ≡ recompute holds for the pair
+          val partialAggs = count(lit(1)).as("cnt") +:
+            sumCol.toSeq.map(c => sum(col(c)).as(s"sum_$c"))
+          val partial = batch.groupBy(col(groupCol))
+            .agg(partialAggs.head, partialAggs.tail: _*)
+          val mergeAggs = sum(col("cnt")).as("cnt") +:
+            sumCol.toSeq.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
           val merged =
             if (fs.exists(dir))
               spark.read.parquet(mvPath).unionByName(partial)
-                .groupBy(col(groupCol)).agg(sum(col("cnt")).as("cnt"))
+                .groupBy(col(groupCol)).agg(mergeAggs.head, mergeAggs.tail: _*)
             else partial
           // bounded materialization breaks the read-own-path cycle
           val rows = merged.collect().toIndexedSeq

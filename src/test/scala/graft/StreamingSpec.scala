@@ -394,6 +394,25 @@ class StreamingSpec extends SparkSpec {
       assert(mv === Map("click" -> 3L, "view" -> 3L, "purchase" -> 1L))
     } finally q.stop()
 
+    // sum partials: the second MV shape (counts + integer-unit sums)
+    // maintained by the same writer, merge ≡ recompute for the pair
+    val mvPathSums = java.nio.file.Files
+      .createTempDirectory("graft_stream_mv_sums").toString + "/mv"
+    val memS = MemoryStream[(String, Long)]
+    val qS = EventStreams.mvMaintenanceWriter(
+      memS.toDF().toDF("event_type", "value_e6"),
+      "event_type", mvPathSums, sumCol = Some("value_e6")).start()
+    try {
+      memS.addData(("click", 10L), ("click", 5L), ("view", 7L))
+      qS.processAllAvailable()
+      memS.addData(("click", 1L), ("view", 2L))
+      qS.processAllAvailable()
+      val mvS = spark.read.parquet(mvPathSums).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("cnt"), r.getAs[Long]("sum_value_e6")))).toMap
+      assert(mvS === Map("click" -> ((3L, 16L)), "view" -> ((2L, 9L))))
+    } finally qS.stop()
+
     // replay protection: a delivery whose batchId was already applied is
     // skipped (foreachBatch is at-least-once; the applied id travels
     // inside the summary dir). A fresh query restarts at batchId 0 — both
