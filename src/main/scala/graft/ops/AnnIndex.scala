@@ -241,6 +241,94 @@ object AnnIndex extends QueryModule {
       queryVec(spark, dir, 0L), k = 10, numClusters = 16, nProbe = 6, seed = 42L)
       .select("vec_id", "score")
 
+  /** Metadata-FILTERED ANN retrieval (the filtered-search surface every
+    * production vector store exposes: "top-k among vectors WHERE
+    * <predicate>"): the index table carries the metadata column, and the
+    * predicate is applied INSIDE the pruned scan — partition pruning on
+    * the probe buckets AND an ordinary pushed data filter on `tier`, so
+    * at 100 TB the query reads probe directories only and row-group
+    * statistics skip non-matching tiers. Pre-filtering (filter → rank)
+    * is the correct semantics — post-filtering a top-k loses results
+    * when the filter is selective.
+    *
+    * Oracle by construction: 9 planted copies of vector 0 carry
+    * tier gold (even offsets, 5) or silver (4); the corpus is tier
+    * 'corpus'. Filtered top-5 for tier='gold' is provably exactly the 5
+    * gold copies at cosine 1.0 — a regression in predicate placement,
+    * bucket pruning, or rescoring perturbs the row set.
+    */
+  def annFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshfilter_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), lit("corpus").as("tier"))
+    val copies = spark.range(100000L, 100009L).toDF("vec_id")
+      .crossJoin(broadcast(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"),
+        when(col("vec_id") % 2 === 0, "gold").otherwise("silver").as("tier"))
+    IndexBuilder.buildLshIndex(base.unionByName(copies), "embedding", defaultLsh, path)
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*) && col("tier") === "gold")
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select("vec_id", "score")
+  }
+
+  private val annFilteredTopkSql =
+    """SELECT vec_id + 100000 AS vec_id, 1.0::DOUBLE AS score
+      |FROM embeddings WHERE vec_id < 9 AND vec_id % 2 = 0
+      |ORDER BY vec_id""".stripMargin
+
+  /** DELETE from the ANN index without a rebuild: deletes land as a
+    * delta-sized tombstone sidecar (the MOR discipline — index files are
+    * never touched), and the query path anti-joins the broadcast
+    * tombstone set after the pruned scan. At 100 TB a delete costs one
+    * tiny write; compaction (graft.ingest.Compaction) folds tombstones
+    * into the partitions on its own schedule. The reference rebuilds the
+    * whole collection on delete (SURVEY §2.2 K2) — this is the scale
+    * path.
+    *
+    * Oracle by construction: delete 5 of the 9 planted copies; top-5 must
+    * be exactly {vector 0, the 4 surviving copies} at cosine 1.0 — a
+    * tombstone leak (deleted row still served) or over-delete both
+    * perturb the row set.
+    */
+  def annDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    IndexBuilder.buildLshIndex(
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", defaultLsh, path)
+    // the delete commit: tombstones only, index untouched
+    spark.range(100000L, 100005L).toDF("vec_id")
+      .write.mode("overwrite").parquet(path + "_tombstones")
+    val tombstones = spark.read.parquet(path + "_tombstones")
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select("vec_id", "score")
+  }
+
+  private val annDeleteTopkSql =
+    """SELECT vec_id, 1.0::DOUBLE AS score FROM (
+      |  SELECT vec_id FROM embeddings WHERE vec_id = 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id BETWEEN 5 AND 8) t
+      |ORDER BY vec_id""".stripMargin
+
   /** Structural oracle for the LSH near-dup path: plant an exact copy of
     * every vec_id < 50 (salted id +100000); identical vectors land in the
     * same bucket by construction, so the bucket-equi-join candidate
@@ -386,6 +474,8 @@ object AnnIndex extends QueryModule {
     "ann_ivf_incremental_topk" -> annIvfIncrementalTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_sq8_topk" -> annIvfSq8Topk,
+    "ann_filtered_topk" -> annFilteredTopk,
+    "ann_delete_topk" -> annDeleteTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
 
@@ -398,6 +488,8 @@ object AnnIndex extends QueryModule {
     "ann_ivf_incremental_topk" -> annSelfQueryTopkSql,
     "ann_ivf_topk" -> annSelfQueryTopkSql,
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
+    "ann_filtered_topk" -> annFilteredTopkSql,
+    "ann_delete_topk" -> annDeleteTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)
 }

@@ -113,6 +113,26 @@ class AnnIndexSpec extends SparkSpec {
       s"expected partition pruning in plan")
   }
 
+  test("ann_filtered_topk: predicate applies pre-rank and pushes into the scan") {
+    val rows = SparkEntry.queries("ann_filtered_topk")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq ===
+      Seq(100000L, 100002L, 100004L, 100006L, 100008L))
+    assert(rows.forall(_.getDouble(1) === 1.0))
+    // the tier predicate must reach the parquet source (pre-filter, not a
+    // post-rank filter): PushedFilters carries the EqualTo on tier
+    val plan = SparkEntry.queries("ann_filtered_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("tier"),
+      s"tier filter not pushed to the scan:\n$plan")
+  }
+
+  test("ann_delete_topk: tombstoned vectors stop being served, survivors remain") {
+    val rows = SparkEntry.queries("ann_delete_topk")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq ===
+      Seq(0L, 100005L, 100006L, 100007L, 100008L))
+    assert(rows.forall(_.getDouble(1) === 1.0))
+  }
+
   test("appendToLshIndex merges arrivals into existing bucket dirs without rebuild") {
     val dir = Files.createTempDirectory("lsh_incr").toString
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
