@@ -329,6 +329,50 @@ object AnnIndex extends QueryModule {
       |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id BETWEEN 5 AND 8) t
       |ORDER BY vec_id""".stripMargin
 
+  /** KEYSET pagination over ANN results (the serving-path "next page"):
+    * page 2 resumes strictly after page 1's last (score, id) cursor —
+    * `score < s OR (score = s AND id > i)` — instead of OFFSET, which
+    * re-ranks and discards the whole prefix on every page (at 100 TB an
+    * OFFSET 1M page re-scores a million rows per request; the keyset
+    * predicate prunes them at the scan). The 5-row cursor collect is the
+    * bounded serving-path step, same contract as a client holding the
+    * cursor. Tie-safety is the point of the compound predicate: all nine
+    * planted copies tie at 1.0, so an id-blind `score <` cursor would
+    * skip the rest of the tied band — the enumerable oracle (page 1 =
+    * {0, first 4 copies}, page 2 = next 5 copies) fails on exactly that
+    * bug.
+    */
+  def annPagedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    val scored = IndexBuilder.withLshBucket(corpus, "embedding", defaultLsh)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .select("vec_id", "score")
+    val page1 = scored.orderBy(col("score").desc, col("vec_id").asc).limit(5)
+    val cursor = page1.collect().last // 5 rows — the client's cursor
+    val (cs, ci) = (cursor.getDouble(1), cursor.getLong(0))
+    val page2 = scored
+      .filter(col("score") < cs || (col("score") === cs && col("vec_id") > ci))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+    page1.withColumn("page", lit(1L))
+      .union(page2.withColumn("page", lit(2L)))
+      .orderBy("page", "vec_id")
+  }
+
+  private val annPagedTopkSql =
+    """SELECT vec_id, 1.0::DOUBLE AS score, CAST(1 AS BIGINT) AS page FROM (
+      |  SELECT vec_id FROM embeddings WHERE vec_id = 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id < 4) t
+      |UNION ALL
+      |SELECT vec_id + 100000, 1.0::DOUBLE, CAST(2 AS BIGINT)
+      |FROM embeddings WHERE vec_id BETWEEN 4 AND 8
+      |ORDER BY page, vec_id""".stripMargin
+
   /** Structural oracle for the LSH near-dup path: plant an exact copy of
     * every vec_id < 50 (salted id +100000); identical vectors land in the
     * same bucket by construction, so the bucket-equi-join candidate
@@ -476,6 +520,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_topk" -> annIvfSq8Topk,
     "ann_filtered_topk" -> annFilteredTopk,
     "ann_delete_topk" -> annDeleteTopk,
+    "ann_paged_topk" -> annPagedTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
 
@@ -490,6 +535,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_delete_topk" -> annDeleteTopkSql,
+    "ann_paged_topk" -> annPagedTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)
 }

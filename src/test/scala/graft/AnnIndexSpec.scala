@@ -133,6 +133,16 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(1) === 1.0))
   }
 
+  test("ann_paged_topk: keyset pages are disjoint and cover the tied band") {
+    val rows = SparkEntry.queries("ann_paged_topk")(spark, sf).collect()
+    val byPage = rows.groupBy(_.getAs[Long]("page"))
+    val p1 = byPage(1L).map(_.getLong(0)).toSet
+    val p2 = byPage(2L).map(_.getLong(0)).toSet
+    assert(p1.size === 5 && p2.size === 5 && (p1 & p2).isEmpty)
+    // the tie-safe cursor must NOT skip the rest of the 1.0-scored band
+    assert(p2 === Set(100004L, 100005L, 100006L, 100007L, 100008L))
+  }
+
   test("appendToLshIndex merges arrivals into existing bucket dirs without rebuild") {
     val dir = Files.createTempDirectory("lsh_incr").toString
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
