@@ -304,6 +304,104 @@ object VectorSearch extends QueryModule {
       .orderBy("vec_id", "j")
   }
 
+  /** Maximal Marginal Relevance diversity rerank (Carbonell & Goldstein
+    * 1998 — the `search_type="mmr"` retriever mode in LangChain/Chroma
+    * deployments like the reference): greedy selection of k=5 from the
+    * exact top-20 candidates, each step maximizing
+    * `λ·rel − (1−λ)·max_sim_to_selected` (λ=½; scores kept ×2 in integer
+    * micro-units so no division — `mmr_e6 = rel_e6 − max_sim_e6` orders
+    * identically and avoids engine-dependent negative-division semantics).
+    *
+    * The query is the NORMALIZED MIDPOINT of stored vectors 0 and 1 (a
+    * non-corpus point, derived with the same elementwise IEEE ops in both
+    * engines): querying WITH a stored vector degenerates MMR — once the
+    * query's twin is selected, every candidate's penalty equals its
+    * relevance and all scores collapse to 0.
+    *
+    * Scale shape: candidate generation is the distributed exact (or ANN)
+    * top-k; the 20×20 pairwise-sim join is broadcast-bounded; the greedy
+    * loop runs driver-side over k·n bounded state — the serving-path
+    * step, same contract as the pagination cursor. The oracle replays the
+    * identical greedy in a DuckDB recursive CTE, so a wrong penalty
+    * (e.g. sim-to-last instead of max-over-selected) changes the picks.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val Seq(v0, v1) = Seq(0L, 1L).map(id =>
+      e.filter(col("vec_id") === id).select("embedding").head().getSeq[Float](0))
+    val s = v0.zip(v1).map { case (a, b) => a.toDouble + b.toDouble }
+    val norm = math.sqrt(s.map(x => x * x).sum) // left fold = list_dot_product(s,s)
+    val qvec = s.map(_ / norm)
+    val cand = e
+      .withColumn("rel_e6",
+        floor(V.cosineUnit(col("embedding"), typedlit(qvec)) * 1000000).cast("long"))
+      .orderBy(col("rel_e6").desc, col("vec_id").asc)
+      .limit(20)
+      .select("vec_id", "rel_e6", "embedding")
+    val c2 = cand.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val sims = cand.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .crossJoin(broadcast(c2)) // 20×20, candidate-bounded by construction
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        floor(V.cosineUnit(col("ea"), col("eb")) * 1000000).cast("long").as("sim_e6"))
+    // bounded serving-path state: 20 rels + 380 sims
+    val relsArr = cand.select("vec_id", "rel_e6").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val relMap = relsArr.toMap
+    val simMap = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bySeed = relsArr.sortBy { case (id, rel) => (-rel, id) }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val remaining = scala.collection.mutable.SortedSet(bySeed.map(_._1): _*)
+    for (rank <- 1 to 5) {
+      val (id, mmr) =
+        if (rank == 1) bySeed.head
+        else remaining.toSeq
+          .map(id => id -> (relMap(id) - chosen.map(c => simMap((id, c._2))).max))
+          .minBy { case (i, m) => (-m, i) }
+      chosen += ((rank.toLong, id, mmr))
+      remaining -= id
+    }
+    chosen.toSeq.toDF("rank", "vec_id", "mmr_e6").orderBy("rank")
+  }
+
+  private val mmrRerankSql =
+    """WITH RECURSIVE
+      |qraw AS (
+      |  SELECT list_transform(generate_series(1, 64),
+      |           i -> a.embedding[i]::DOUBLE + b.embedding[i]::DOUBLE) AS s
+      |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) a,
+      |       (SELECT embedding FROM embeddings WHERE vec_id = 1) b),
+      |q AS (SELECT list_transform(s, x -> x / sqrt(list_dot_product(s, s))) AS qe
+      |      FROM qraw),
+      |cand AS (
+      |  SELECT e.vec_id,
+      |         CAST(floor(list_dot_product(e.embedding::DOUBLE[], q.qe) * 1000000)
+      |              AS BIGINT) AS rel_e6,
+      |         e.embedding
+      |  FROM embeddings e, q
+      |  ORDER BY rel_e6 DESC, e.vec_id ASC LIMIT 20),
+      |sims AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |         CAST(floor(list_dot_product(a.embedding::DOUBLE[],
+      |                                     b.embedding::DOUBLE[]) * 1000000)
+      |              AS BIGINT) AS sim_e6
+      |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+      |sel AS (
+      |  (SELECT 1 AS rank, vec_id, rel_e6 AS mmr_e6, [vec_id] AS chosen FROM cand
+      |   ORDER BY rel_e6 DESC, vec_id ASC LIMIT 1)
+      |  UNION ALL
+      |  (SELECT s.rank + 1, c.vec_id, c.rel_e6 - ms.m, list_append(s.chosen, c.vec_id)
+      |   FROM sel s, cand c,
+      |        LATERAL (SELECT max(sim_e6) AS m FROM sims
+      |                 WHERE va = c.vec_id AND list_contains(s.chosen, vb)) ms
+      |   WHERE s.rank < 5 AND NOT list_contains(s.chosen, c.vec_id)
+      |   ORDER BY c.rel_e6 - ms.m DESC, c.vec_id ASC LIMIT 1)
+      |)
+      |SELECT CAST(rank AS BIGINT) AS rank, vec_id, mmr_e6 FROM sel
+      |ORDER BY rank""".stripMargin
+
   /** Embedding-space hygiene report: the L2-norm histogram per label — the
     * first thing to look at before cosine search or quantization (norm
     * collapse, un-normalized batches and dead vectors all show up here).
@@ -353,6 +451,7 @@ object VectorSearch extends QueryModule {
     "quantized_index_knn" -> quantizedIndexKnn,
     "pq_knn_topk" -> pqKnnTopk,
     "knn_exact_topk" -> knnExactTopk,
+    "mmr_rerank" -> mmrRerank,
     "knn_threshold" -> knnThreshold,
     "knn_relevance_threshold" -> knnRelevanceThreshold,
     "knn_batch_topk" -> knnBatchTopk,
@@ -367,6 +466,7 @@ object VectorSearch extends QueryModule {
     "quantized_index_knn" -> knnExactTopkSql, // stored-codes path must equal exact too
     "pq_knn_topk" -> knnExactTopkSql, // PQ-ADC path must equal exact too
     "knn_exact_topk" -> knnExactTopkSql,
+    "mmr_rerank" -> mmrRerankSql,
     "knn_threshold" -> knnThresholdSql,
     "knn_relevance_threshold" -> knnRelevanceThresholdSql,
     "knn_batch_topk" -> knnBatchTopkSql,

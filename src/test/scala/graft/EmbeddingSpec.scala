@@ -123,6 +123,19 @@ class VectorSearchSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq === (0L +: (100000L to 100008L)))
   }
 
+  test("mmr_rerank: greedy picks are distinct, rank-1 is the pure-relevance max, scores non-increasing") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("mmr_rerank")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to 5L))
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === 5)
+    // each greedy step sees more penalties over a smaller pool, so the
+    // selected MMR sequence can never increase
+    val scores = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("mmr_e6"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"MMR picks must be non-increasing: ${scores.toSeq}")
+  }
+
   test("embedding_projection: JL map preserves relative distances on average") {
     import org.apache.spark.sql.functions.col
     // long form (vec_id, j, proj_e6) — reassemble per-vector arrays
