@@ -430,6 +430,81 @@ object Rag extends QueryModule {
        |SELECT doc_id, rrf_e6 FROM f
        |ORDER BY rrf_e6 DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** Hybrid retrieval via WEIGHTED SCORE fusion — the other standard
+    * fusion mode next to RRF (the `alpha` blend production hybrid APIs
+    * expose): each retriever's top-100 scores are min-max normalized
+    * WITHIN the retrieved set, then blended 0.7·lex + 0.3·sem. Everything
+    * is exact integer arithmetic — scores enter as rounded integer units
+    * (bm25 ×1e4, cosine ×1e6), normalization is `(x−min)·1e6 DIV
+    * (max−min)` on non-negatives (floor division agrees across engines
+    * there), and the weights are ×10 integers — so the oracle compare is
+    * bit-exact. A doc absent from one list contributes 0 from that side,
+    * same contract as RRF.
+    *
+    * Scale shape: identical to RRF — only the two top-k lists are ever
+    * normalized or joined, so fusion cost is k-bounded regardless of
+    * corpus size; the min/max are 1-row broadcast aggregates of a k-row
+    * frame.
+    */
+  def hybridWeightedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val lexTop = bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+      .withColumn("lex_i", expr("CAST(round(bm25 * 10000, 0) AS BIGINT)"))
+    val lex = lexTop.crossJoin(broadcast(
+        lexTop.agg(min("lex_i").as("lmin"), max("lex_i").as("lmax"))))
+      .withColumn("lex_norm_e6",
+        when(col("lmax") === col("lmin"), lit(1000000L))
+          .otherwise(expr("(lex_i - lmin) * 1000000 DIV (lmax - lmin)")))
+      .select("doc_id", "lex_norm_e6")
+    val semTop = VectorSearch.scoredAgainst(spark, dir, 0L)
+      .select(col("vec_id").as("doc_id"),
+        expr("CAST(round(score * 1000000, 0) AS BIGINT)").as("sem_i"))
+      .orderBy(col("sem_i").desc, col("doc_id").asc).limit(100)
+    val sem = semTop.crossJoin(broadcast(
+        semTop.agg(min("sem_i").as("smin"), max("sem_i").as("smax"))))
+      .withColumn("sem_norm_e6",
+        when(col("smax") === col("smin"), lit(1000000L))
+          .otherwise(expr("(sem_i - smin) * 1000000 DIV (smax - smin)")))
+      .select("doc_id", "sem_norm_e6")
+    lex.join(sem, Seq("doc_id"), "full")
+      .withColumn("hybrid_e7",
+        coalesce(col("lex_norm_e6"), lit(0L)) * 7 +
+          coalesce(col("sem_norm_e6"), lit(0L)) * 3)
+      .orderBy(col("hybrid_e7").desc, col("doc_id").asc)
+      .limit(20)
+      .select("doc_id", "hybrid_e7")
+  }
+
+  private val hybridWeightedTopkSql =
+    s"""WITH bm AS ($bm25ScoresSql),
+       |lex_top AS (SELECT doc_id, CAST(round(bm25 * 10000, 0) AS BIGINT) AS lex_i
+       |            FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 100),
+       |lex_mm AS (SELECT min(lex_i) AS lmin, max(lex_i) AS lmax FROM lex_top),
+       |lex AS (SELECT doc_id,
+       |               CASE WHEN lmax = lmin THEN 1000000
+       |                    ELSE (lex_i - lmin) * 1000000 // (lmax - lmin) END
+       |                 AS lex_norm_e6
+       |        FROM lex_top CROSS JOIN lex_mm),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |sem_top AS (SELECT e.vec_id AS doc_id,
+       |                   CAST(round(round(list_dot_product(e.embedding::DOUBLE[],
+       |                                                     q.qe::DOUBLE[]), 6)
+       |                              * 1000000, 0) AS BIGINT) AS sem_i
+       |            FROM embeddings e, q
+       |            ORDER BY sem_i DESC, doc_id ASC LIMIT 100),
+       |sem_mm AS (SELECT min(sem_i) AS smin, max(sem_i) AS smax FROM sem_top),
+       |sem AS (SELECT doc_id,
+       |               CASE WHEN smax = smin THEN 1000000
+       |                    ELSE (sem_i - smin) * 1000000 // (smax - smin) END
+       |                 AS sem_norm_e6
+       |        FROM sem_top CROSS JOIN sem_mm),
+       |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |             coalesce(lex_norm_e6, 0) * 7 + coalesce(sem_norm_e6, 0) * 3
+       |               AS hybrid_e7
+       |      FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, CAST(hybrid_e7 AS BIGINT) AS hybrid_e7 FROM f
+       |ORDER BY hybrid_e7 DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** Retrieval-quality evaluation: self-rank MRR over a BM25 query batch —
     * the offline eval every retrieval system ships with (the reference
     * exposes scores but no quality metric; this closes that gap). Every
@@ -646,7 +721,8 @@ object Rag extends QueryModule {
     "bm25_scores" -> bm25Scores,
     "bm25_topn" -> bm25Topn,
     "bm25_selfrank_mrr" -> bm25SelfRankMrr,
-    "hybrid_rrf_fusion" -> hybridRrfFusion)
+    "hybrid_rrf_fusion" -> hybridRrfFusion,
+    "hybrid_weighted_topk" -> hybridWeightedTopk)
 
   def oracles: Map[String, String] = Map(
     "trigram_search" -> trigramSearchSql,
@@ -659,5 +735,6 @@ object Rag extends QueryModule {
     "bm25_scores" -> bm25ScoresSql,
     "bm25_topn" -> bm25TopnSql,
     "bm25_selfrank_mrr" -> bm25SelfRankMrrSql,
-    "hybrid_rrf_fusion" -> hybridRrfFusionSql)
+    "hybrid_rrf_fusion" -> hybridRrfFusionSql,
+    "hybrid_weighted_topk" -> hybridWeightedTopkSql)
 }

@@ -130,6 +130,18 @@ class RagSpec extends SparkSpec {
     assert(scores.head >= 1000000L / 61L)
   }
 
+  test("hybrid_weighted_topk: blended scores bounded, normalized maxima present") {
+    val rows = SparkEntry.queries("hybrid_weighted_topk")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Long]("hybrid_e7"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "sorted desc")
+    // weights are 7 + 3 over [0, 1e6]-normalized sides
+    assert(scores.forall(s => s >= 0L && s <= 10000000L))
+    // each side's best doc is normalized to exactly 1e6, so the fused
+    // max can never fall below the larger single-side weight
+    assert(scores.head >= 7000000L)
+  }
+
   test("bm25_selfrank_mrr: one row per query, ranks valid, rr exact-integer") {
     val rows = SparkEntry.queries("bm25_selfrank_mrr")(spark, sf).collect()
     assert(rows.nonEmpty)
