@@ -329,6 +329,63 @@ object AnnIndex extends QueryModule {
       |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id BETWEEN 5 AND 8) t
       |ORDER BY vec_id""".stripMargin
 
+  /** UPSERT into the ANN index without a rebuild — the "document was
+    * re-embedded" flow, composed from the two maintenance primitives: the
+    * old version is tombstoned and the NEW vector is appended through the
+    * same seeded hyperplanes (`appendToLshIndex`), landing in whatever
+    * bucket the new embedding hashes to. Rows carry a commit `seq` and
+    * the tombstone is a WATERMARK (`kill vec_id rows with seq ≤
+    * upto_seq`) — an id-level tombstone would also kill the replacement,
+    * and plain latest-wins-without-tombstones breaks under probe pruning
+    * (the old and new versions live in different bucket partitions, so a
+    * query probing only the old version's bucket would serve the stale
+    * row). Upsert cost = one tiny sidecar write + one append; nothing is
+    * rebuilt, and compaction folds both later.
+    *
+    * Oracle by construction: copy 100000 is upserted from vector 0's
+    * embedding to vector 1's. The vec-0 query's top-5 must then be
+    * {0, 100001..100004} — serving the stale version (missed tombstone)
+    * keeps 100000 at score 1.0 and perturbs the row set.
+    */
+  def annUpsertTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    IndexBuilder.buildLshIndex(
+      withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
+      "embedding", defaultLsh, path)
+    // the upsert commit: watermark-tombstone the old version, append the new
+    import org.apache.spark.sql.functions.{lit => flit}
+    spark.range(100000L, 100001L).toDF("t_vec_id")
+      .withColumn("upto_seq", flit(0L))
+      .write.mode("overwrite").parquet(path + "_tombstones")
+    val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
+      .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), flit(1L).as("seq"))
+    IndexBuilder.appendToLshIndex(reEmbedded, "embedding", defaultLsh, path)
+    val tombstones = spark.read.parquet(path + "_tombstones")
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .join(broadcast(tombstones),
+        col("vec_id") === col("t_vec_id") && col("seq") <= col("upto_seq"),
+        "left_anti")
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select("vec_id", "score")
+  }
+
+  private val annUpsertTopkSql =
+    """SELECT vec_id, 1.0::DOUBLE AS score FROM (
+      |  SELECT vec_id FROM embeddings WHERE vec_id = 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id BETWEEN 1 AND 4) t
+      |ORDER BY vec_id""".stripMargin
+
   /** KEYSET pagination over ANN results (the serving-path "next page"):
     * page 2 resumes strictly after page 1's last (score, id) cursor —
     * `score < s OR (score = s AND id > i)` — instead of OFFSET, which
@@ -520,6 +577,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_topk" -> annIvfSq8Topk,
     "ann_filtered_topk" -> annFilteredTopk,
     "ann_delete_topk" -> annDeleteTopk,
+    "ann_upsert_topk" -> annUpsertTopk,
     "ann_paged_topk" -> annPagedTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
@@ -535,6 +593,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_delete_topk" -> annDeleteTopkSql,
+    "ann_upsert_topk" -> annUpsertTopkSql,
     "ann_paged_topk" -> annPagedTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)

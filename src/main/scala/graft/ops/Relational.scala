@@ -485,6 +485,34 @@ object Relational extends QueryModule {
       |       count(*) FILTER (WHERE event_type = 'view')     AS view
       |FROM events GROUP BY 1 ORDER BY day_id""".stripMargin
 
+  /** UNPIVOT — the melt that completes the §2.5 reshaping pair: the dense
+    * daily matrix goes back to long (day_id, event_type, n_events) rows
+    * via Spark's native `unpivot` (stack under the hood, one narrow
+    * projection — no shuffle beyond the pivot's own aggregation). Zeros
+    * survive the round trip (the dense form is the point of the pivot),
+    * and the oracle recomputes the dense long form from raw events with a
+    * day×type spine, so a dropped combination or a lost zero fails the
+    * compare.
+    */
+  def eventsUnpivotDaily(spark: SparkSession, dir: String): DataFrame =
+    eventsPivotDaily(spark, dir)
+      .unpivot(
+        Array(col("day_id")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "n_events")
+      .orderBy("day_id", "event_type")
+
+  private val eventsUnpivotDailySql =
+    """WITH days AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_id FROM events),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |c AS (SELECT epoch_us(ts) // 86400000000 AS day_id, event_type,
+      |             count(*) AS n
+      |      FROM events GROUP BY 1, 2)
+      |SELECT d.day_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+      |FROM days d CROSS JOIN types t
+      |LEFT JOIN c ON c.day_id = d.day_id AND c.event_type = t.event_type
+      |ORDER BY d.day_id, t.event_type""".stripMargin
+
   /** Grouped top-k via the native bounded-buffer aggregate
     * (`org.apache.spark.sql.graft.GroupTopK`): top-3 orders per priority
     * class by price. The window-rank idiom shuffles and sorts EVERY order
@@ -936,6 +964,7 @@ object Relational extends QueryModule {
     "mv_rewrite_sums" -> mvRewriteSums,
     "grouped_topk_native" -> groupedTopkNative,
     "events_pivot_daily" -> eventsPivotDaily,
+    "events_unpivot_daily" -> eventsUnpivotDaily,
     "ivm_event_summary" -> ivmEventSummary,
     "range_layout_scan" -> rangeLayoutScan,
     "salted_distinct_users" -> saltedDistinctUsers,
@@ -969,6 +998,7 @@ object Relational extends QueryModule {
     "mv_rewrite_sums" -> mvRewriteSumsSql,
     "grouped_topk_native" -> groupedTopkNativeSql,
     "events_pivot_daily" -> eventsPivotDailySql,
+    "events_unpivot_daily" -> eventsUnpivotDailySql,
     "ivm_event_summary" -> ivmEventSummarySql,
     "range_layout_scan" -> rangeLayoutScanSql,
     "salted_distinct_users" -> saltedDistinctUsersSql,

@@ -133,6 +133,14 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(1) === 1.0))
   }
 
+  test("ann_upsert_topk: stale version dies, replacement survives under its id") {
+    val rows = SparkEntry.queries("ann_upsert_topk")(spark, sf).collect()
+    // 100000 was re-embedded away from the query vector: gone from top-5
+    assert(rows.map(_.getLong(0)).toSeq ===
+      Seq(0L, 100001L, 100002L, 100003L, 100004L))
+    assert(rows.forall(_.getDouble(1) === 1.0))
+  }
+
   test("ann_paged_topk: keyset pages are disjoint and cover the tied band") {
     val rows = SparkEntry.queries("ann_paged_topk")(spark, sf).collect()
     val byPage = rows.groupBy(_.getAs[Long]("page"))

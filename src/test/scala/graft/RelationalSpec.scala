@@ -95,6 +95,17 @@ class RelationalSpec extends SparkSpec {
       "be indistinguishable from recomputing over all history")
   }
 
+  test("events_unpivot_daily: melt round-trips the pivot, totals preserved") {
+    import org.apache.spark.sql.functions._
+    val long = SparkEntry.queries("events_unpivot_daily")(spark, sf)
+    assert(long.columns.toSeq === Seq("day_id", "event_type", "n_events"))
+    // dense: every (day, type) combination once, zeros included
+    val wide = SparkEntry.queries("events_pivot_daily")(spark, sf)
+    assert(long.count() === wide.count() * 5)
+    assert(long.agg(sum("n_events")).head().getLong(0) ===
+      Tables.events(spark, sf).count())
+  }
+
   test("events_pivot_daily: dense matrix, row sums partition the event count") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("events_pivot_daily")(spark, sf)
