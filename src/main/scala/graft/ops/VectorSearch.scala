@@ -421,6 +421,63 @@ object VectorSearch extends QueryModule {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("label", "norm_bucket")
 
+  /** Embedding DRIFT between two corpus snapshots — the observability
+    * check every embedding pipeline needs before serving a re-embedded
+    * corpus (a model/preprocessing change shifts centroids; cosine
+    * thresholds silently rot). Per (label, dimension): integer-unit
+    * coordinate sums over snapshot A (vec_id < 250) and snapshot B (the
+    * full corpus); the centroid shift |sA/nA − sB/nB| is compared WITHOUT
+    * division via cross-multiplication |sA·nB − sB·nA| — pure BIGINT, so
+    * the oracle is exact. Output: each label's worst dimension and its
+    * drift numerator (denominator nA·nB is constant per label).
+    *
+    * Scale shape: one posexplode + one (label, dim)-keyed partial-agg
+    * sum per snapshot — integer sums are order-insensitive (the reason
+    * the metric is built on floor(x·1e6), not float addition) — then a
+    * labels×64 join and a rank window over labels×64 rows.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    def sums(df: DataFrame, sName: String, nName: String): DataFrame = df
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").cast("long").as("j"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("x_e6"))
+      .groupBy("label", "j")
+      .agg(sum("x_e6").as(sName), count(lit(1)).as(nName))
+    val a = sums(e.filter(col("vec_id") < 250), "s_a", "n_a")
+    val b = sums(e, "s_b", "n_b")
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("drift_x").desc, col("j").asc)
+    a.join(b, Seq("label", "j"))
+      .withColumn("drift_x", abs(col("s_a") * col("n_b") - col("s_b") * col("n_a")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("j"), col("drift_x"))
+      .orderBy("label")
+  }
+
+  private val embeddingDriftSql =
+    """WITH x AS (
+      |  SELECT label, vec_id, g.j,
+      |         CAST(floor(embedding[g.j]::DOUBLE * 1000000) AS BIGINT) AS x_e6
+      |  FROM embeddings, generate_series(1, 64) AS g(j)),
+      |a AS (SELECT label, j, CAST(sum(x_e6) AS BIGINT) AS s_a,
+      |             count(*) AS n_a
+      |      FROM x WHERE vec_id < 250 GROUP BY label, j),
+      |b AS (SELECT label, j, CAST(sum(x_e6) AS BIGINT) AS s_b,
+      |             count(*) AS n_b
+      |      FROM x GROUP BY label, j),
+      |m AS (SELECT a.label, a.j,
+      |             CAST(abs(a.s_a * b.n_b - b.s_b * a.n_a) AS BIGINT) AS drift_x
+      |      FROM a JOIN b ON a.label = b.label AND a.j = b.j),
+      |r AS (SELECT label, j, drift_x,
+      |             row_number() OVER (PARTITION BY label
+      |                                ORDER BY drift_x DESC, j ASC) AS rn
+      |      FROM m)
+      |SELECT label, CAST(j - 1 AS BIGINT) AS j, drift_x FROM r WHERE rn = 1
+      |ORDER BY label""".stripMargin
+
   private val embeddingNormHistogramSql =
     """SELECT label,
       |       CAST(floor(sqrt(list_reduce(list_transform(embedding,
@@ -447,6 +504,7 @@ object VectorSearch extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_projection" -> embeddingProjection,
     "embedding_norm_histogram" -> embeddingNormHistogram,
+    "embedding_drift" -> embeddingDrift,
     "quantized_knn_topk" -> quantizedKnnTopk,
     "quantized_index_knn" -> quantizedIndexKnn,
     "pq_knn_topk" -> pqKnnTopk,
@@ -462,6 +520,7 @@ object VectorSearch extends QueryModule {
   def oracles: Map[String, String] = Map(
     "embedding_projection" -> embeddingProjectionSql,
     "embedding_norm_histogram" -> embeddingNormHistogramSql,
+    "embedding_drift" -> embeddingDriftSql,
     "quantized_knn_topk" -> knnExactTopkSql, // quantized path must equal exact
     "quantized_index_knn" -> knnExactTopkSql, // stored-codes path must equal exact too
     "pq_knn_topk" -> knnExactTopkSql, // PQ-ADC path must equal exact too

@@ -123,6 +123,19 @@ class VectorSearchSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq === (0L +: (100000L to 100008L)))
   }
 
+  test("embedding_drift: one worst dimension per label, integer metric well-formed") {
+    val rows = SparkEntry.queries("embedding_drift")(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(rows.length === labels)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("j") >= 0L && r.getAs[Long]("j") < 64L)
+      // snapshots genuinely differ (A is half of B), so the worst
+      // dimension's cross-multiplied shift is strictly positive
+      assert(r.getAs[Long]("drift_x") > 0L)
+    }
+  }
+
   test("mmr_rerank: greedy picks are distinct, rank-1 is the pure-relevance max, scores non-increasing") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("mmr_rerank")(spark, sf).collect()
