@@ -119,11 +119,14 @@ class AnnIndexSpec extends SparkSpec {
       Seq(100000L, 100002L, 100004L, 100006L, 100008L))
     assert(rows.forall(_.getDouble(1) === 1.0))
     // the tier predicate must reach the parquet source (pre-filter, not a
-    // post-rank filter): PushedFilters carries the EqualTo on tier
+    // post-rank filter): PushedFilters carries the EqualTo on tier, and
+    // the probe-bucket IN list lands in PartitionFilters (file pruning)
     val plan = SparkEntry.queries("ann_filtered_topk")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("tier"),
       s"tier filter not pushed to the scan:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket probes not pruned at partition level:\n$plan")
   }
 
   test("ann_delete_topk: tombstoned vectors stop being served, survivors remain") {
