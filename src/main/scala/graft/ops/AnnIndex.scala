@@ -329,6 +329,39 @@ object AnnIndex extends QueryModule {
       |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id BETWEEN 5 AND 8) t
       |ORDER BY vec_id""".stripMargin
 
+  /** EXACTLY-ONCE streaming index ingestion end-to-end: micro-batches of
+    * arriving vectors land via `IndexBuilder.stageLshBatch` (deterministic
+    * per-batch directory + overwrite), and the batch that delivered the
+    * planted copies is REPLAYED — the at-least-once delivery every
+    * foreachBatch sink sees after a crash. Because the replay rewrites
+    * the same `batch=1` directory instead of appending, each copy exists
+    * exactly once, and the pruned top-10 equals the enumerable self-query
+    * oracle. An append-mode regression duplicates the copies, the
+    * duplicates displace true neighbors in the limit-10, and the row set
+    * breaks the compare — the driver row IS the exactly-once proof.
+    */
+  def annStreamingIngestTopk(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshstream_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    val base = e.select("vec_id", "embedding")
+    val arrivals = withPlantedSelfCopies(spark, e).filter(col("vec_id") >= 100000L)
+    IndexBuilder.stageLshBatch(base, "embedding", defaultLsh, root, batchId = 0L)
+    IndexBuilder.stageLshBatch(arrivals, "embedding", defaultLsh, root, batchId = 1L)
+    // crash-replay of batch 1: same rows, same batch id, second delivery
+    IndexBuilder.stageLshBatch(arrivals, "embedding", defaultLsh, root, batchId = 1L)
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    spark.read.parquet(root)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
   /** UPSERT into the ANN index without a rebuild — the "document was
     * re-embedded" flow, composed from the two maintenance primitives: the
     * old version is tombstoned and the NEW vector is appended through the
@@ -579,6 +612,7 @@ object AnnIndex extends QueryModule {
     "ann_delete_topk" -> annDeleteTopk,
     "ann_upsert_topk" -> annUpsertTopk,
     "ann_paged_topk" -> annPagedTopk,
+    "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
 
@@ -595,6 +629,7 @@ object AnnIndex extends QueryModule {
     "ann_delete_topk" -> annDeleteTopkSql,
     "ann_upsert_topk" -> annUpsertTopkSql,
     "ann_paged_topk" -> annPagedTopkSql,
+    "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)
 }

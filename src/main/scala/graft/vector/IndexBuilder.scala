@@ -96,6 +96,24 @@ object IndexBuilder {
     withLshBucket(df, embCol, lsh)
       .write.mode("append").partitionBy("bucket").parquet(path)
 
+  /** EXACTLY-ONCE streaming index ingestion over an at-least-once channel
+    * (`foreachBatch` replays whole micro-batches after a crash): each
+    * batch stages into its OWN deterministic partition directory
+    * (`batch=<id>/bucket=<b>/…`) with OVERWRITE — a replay rewrites the
+    * identical directory instead of appending duplicate rows, which would
+    * silently corrupt top-k results (a duplicated vector displaces a true
+    * neighbor). `mode("append")` is exactly the bug here; idempotence
+    * comes from the deterministic path + overwrite, the same discipline
+    * as the MV writer's staged swap. The read side treats `batch` as just
+    * another partition column, so probe-bucket pruning still prunes files
+    * (every batch dir's `bucket=<probed>` children only).
+    */
+  def stageLshBatch(df: DataFrame, embCol: String, lsh: RandomHyperplaneLsh,
+      root: String, batchId: Long): Unit =
+    withLshBucket(df, embCol, lsh)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/batch=$batchId")
+
   /** LSH-pruned exact top-k: scan only the multi-probe buckets, re-score
     * exactly, keep k (score desc, id tiebreak).
     */

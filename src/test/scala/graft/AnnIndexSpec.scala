@@ -136,6 +136,16 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(1) === 1.0))
   }
 
+  test("ann_streaming_ingest_topk: replayed batch stages idempotently, no dupes") {
+    val rows = SparkEntry.queries("ann_streaming_ingest_topk")(spark, sf).collect()
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids === Seq(0L, 100000L, 100001L, 100002L, 100003L, 100004L,
+      100005L, 100006L, 100007L, 100008L))
+    // exactly once: each planted copy appears a single time despite the
+    // double delivery of batch 1 (append mode would duplicate them here)
+    assert(ids.distinct.length === ids.length)
+  }
+
   test("ann_upsert_topk: stale version dies, replacement survives under its id") {
     val rows = SparkEntry.queries("ann_upsert_topk")(spark, sf).collect()
     // 100000 was re-embedded away from the query vector: gone from top-5
