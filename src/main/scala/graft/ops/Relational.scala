@@ -485,6 +485,45 @@ object Relational extends QueryModule {
       |       count(*) FILTER (WHERE event_type = 'view')     AS view
       |FROM events GROUP BY 1 ORDER BY day_id""".stripMargin
 
+  /** Derived partition pruning end-to-end (the 4th opt-in rule): the
+    * day-partitioned layout is queried with a predicate on the TIMESTAMP
+    * column only — no `day_id` anywhere in the query — and
+    * `PartitionPruneRule` infers the implied day bounds, which
+    * FileSourceStrategy turns into directory pruning (PartitionPruneSpec
+    * pins PartitionFilters on `day_id` in the physical scan). The DuckDB
+    * oracle recomputes from raw events under the same ts predicate, so
+    * an unsound inference (wrong floor, off-by-one day) loses or gains
+    * rows and fails the compare.
+    */
+  def partitionPruneScan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{GraftExtensions, PartitionPruneRule => P}
+    val path = Tables.scratchPath("graft_ppr", dir)
+    Tables.events(spark, dir)
+      .withColumn("day_id", expr("unix_micros(ts) DIV 86400000000"))
+      .repartition(col("day_id"))
+      .write.mode("overwrite").partitionBy("day_id").parquet(path)
+    GraftExtensions.register(spark)
+    withConfsLocalized(spark, Seq(
+      P.SourceKey -> path, P.TsColKey -> "ts", P.PartColKey -> "day_id",
+      P.EnabledKey -> "true")) {
+      spark.read.parquet(path)
+        .filter(col("ts") >= lit("2024-01-11").cast("timestamp") &&
+          col("ts") < lit("2024-01-14").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("sum_value_e6"))
+        .orderBy("event_type")
+    }.orderBy("event_type")
+  }
+
+  private val partitionPruneScanSql =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+      |         AS sum_value_e6
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-14'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** UNPIVOT — the melt that completes the §2.5 reshaping pair: the dense
     * daily matrix goes back to long (day_id, event_type, n_events) rows
     * via Spark's native `unpivot` (stack under the hood, one narrow
@@ -965,6 +1004,7 @@ object Relational extends QueryModule {
     "grouped_topk_native" -> groupedTopkNative,
     "events_pivot_daily" -> eventsPivotDaily,
     "events_unpivot_daily" -> eventsUnpivotDaily,
+    "partition_prune_scan" -> partitionPruneScan,
     "ivm_event_summary" -> ivmEventSummary,
     "range_layout_scan" -> rangeLayoutScan,
     "salted_distinct_users" -> saltedDistinctUsers,
@@ -999,6 +1039,7 @@ object Relational extends QueryModule {
     "grouped_topk_native" -> groupedTopkNativeSql,
     "events_pivot_daily" -> eventsPivotDailySql,
     "events_unpivot_daily" -> eventsUnpivotDailySql,
+    "partition_prune_scan" -> partitionPruneScanSql,
     "ivm_event_summary" -> ivmEventSummarySql,
     "range_layout_scan" -> rangeLayoutScanSql,
     "salted_distinct_users" -> saltedDistinctUsersSql,

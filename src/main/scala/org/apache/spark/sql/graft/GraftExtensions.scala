@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in PK-FK join elimination (spark.graft.fkelim.enabled=true):
     // an unused dimension join is dropped under DQ-verified constraints.
     ext.injectOptimizerRule(_ => FkJoinEliminationRule)
+    // Opt-in derived partition pruning (spark.graft.partprune.enabled=true):
+    // literal tsCol bounds imply epoch-day partCol bounds on the registered
+    // day-partitioned table.
+    ext.injectOptimizerRule(_ => PartitionPruneRule)
   }
 }
 
@@ -76,5 +80,7 @@ object GraftExtensions {
       em.extraOptimizations = em.extraOptimizations :+ MvRewriteRule
     if (!em.extraOptimizations.contains(FkJoinEliminationRule))
       em.extraOptimizations = em.extraOptimizations :+ FkJoinEliminationRule
+    if (!em.extraOptimizations.contains(PartitionPruneRule))
+      em.extraOptimizations = em.extraOptimizations :+ PartitionPruneRule
   }
 }
