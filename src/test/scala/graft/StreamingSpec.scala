@@ -89,6 +89,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index ingestion: foreachBatch stages exactly-once under replay") {
+    import graft.vector.IndexBuilder
+    implicit val sqlCtx = spark.sqlContext
+    val lsh = new IndexBuilder.RandomHyperplaneLsh(64, 6, 42L)
+    val root = java.nio.file.Files.createTempDirectory("lsh_stream_ingest").toString + "/idx"
+    val arrivals = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 40).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val writer = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode(OutputMode.Append()).foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          IndexBuilder.stageLshBatch(batch, "embedding", lsh, root, batchId)
+      }
+    val q = writer.start()
+    try {
+      mem.addData(arrivals.take(20).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(20).toSeq: _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(root).count() === 40)
+    } finally q.stop()
+    // crash-replay: a fresh query re-delivers from batch 0 — the staged
+    // directories are rewritten in place, never duplicated
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = mem2.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode(OutputMode.Append()).foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          IndexBuilder.stageLshBatch(batch, "embedding", lsh, root, batchId)
+      }.start()
+    try {
+      mem2.addData(arrivals.take(20).toSeq: _*)
+      q2.processAllAvailable()
+      val idx = spark.read.parquet(root)
+      assert(idx.count() === 40, "replayed batch must not duplicate rows")
+      // buckets identical to a fresh batch hash (same seeded hyperplanes)
+      val fresh = IndexBuilder.withLshBucket(
+        Tables.embeddings(spark, sf).filter(col("vec_id") < 40),
+        "embedding", lsh).select("vec_id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      idx.select("vec_id", "bucket").collect()
+        .foreach(r => assert(r.getInt(1) === fresh(r.getLong(0))))
+    } finally q2.stop()
+  }
+
   test("streaming retrieval micro-batch path: literal probe set prunes a partitioned index") {
     import graft.streaming.QueryStreams
     import graft.vector.IndexBuilder
