@@ -225,7 +225,8 @@ object TextAnalysis extends QueryModule {
   private val profileSets: Seq[(String, Set[String])] =
     LangProfiles.map { case (l, ws) => (l, ws.toSet) }
 
-  /** Argmax over stopword hit-rates; zh via Han-char ratio. One narrow-map
+  /** Argmax over stopword hit-rates; non-Latin scripts via char-script
+    * ratios (ja/zh/ru/ar/ko — see scriptCheck). One narrow-map
     * pass: tokenize once, score every profile against a hash set. (The
     * pure-Column formulation — `filter(toks, array_contains(...))` per
     * profile — evaluates its lambdas interpreted and re-materializes the
@@ -242,19 +243,41 @@ object TextAnalysis extends QueryModule {
   private def tokenize(text: String): Array[String] =
     text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
 
-  /** Han-script branch: Some((score, "zh")) when hanRatio >= 0.3 exactly. */
-  private def hanCheck(text: String): Option[(Long, String)] = {
-    var han = 0; var nonSpace = 0; var i = 0
+  /** Script-detection branch for non-Latin scripts, checked in a FIXED
+    * priority order (deterministic cross-engine): kana first at a LOWER
+    * 0.2 threshold — Japanese text is kanji-heavy, so a Han-first check
+    * would claim it for zh while kana occurs only in Japanese — then
+    * Han/Cyrillic/Arabic/Hangul at 0.3. Ratios are exact integer
+    * comparisons (`10·count >= k·nonspace`); the stopword argmax handles
+    * Latin-script languages below.
+    */
+  private def scriptCheck(text: String): Option[(Long, String)] = {
+    import Character.UnicodeScript._
+    var kana = 0; var han = 0; var cyr = 0; var arab = 0; var hang = 0
+    var nonSpace = 0; var i = 0
     while (i < text.length) {
       val ch = text.charAt(i)
       if (ch != ' ' && ch != '\t' && ch != '\n') {
         nonSpace += 1
-        if (Character.UnicodeScript.of(ch) == Character.UnicodeScript.HAN) han += 1
+        Character.UnicodeScript.of(ch) match {
+          case HIRAGANA | KATAKANA => kana += 1
+          case HAN => han += 1
+          case CYRILLIC => cyr += 1
+          case ARABIC => arab += 1
+          case HANGUL => hang += 1
+          case _ =>
+        }
       }
       i += 1
     }
     val ns = math.max(nonSpace, 1)
-    if (10L * han >= 3L * ns) Some((1000000L * han / ns, "zh")) else None
+    def score(c: Int): Long = 1000000L * c / ns
+    if (10L * kana >= 2L * ns) Some((score(kana), "ja"))
+    else if (10L * han >= 3L * ns) Some((score(han), "zh"))
+    else if (10L * cyr >= 3L * ns) Some((score(cyr), "ru"))
+    else if (10L * arab >= 3L * ns) Some((score(arab), "ar"))
+    else if (10L * hang >= 3L * ns) Some((score(hang), "ko"))
+    else None
   }
 
   /** Stopword-profile argmax over pre-tokenized text. */
@@ -273,7 +296,7 @@ object TextAnalysis extends QueryModule {
 
   def langIdScala(text: String): (Long, String) = {
     if (text == null || text.isEmpty) return (0L, LangProfiles.head._1)
-    hanCheck(text).getOrElse(profileArgmax(tokenize(text)))
+    scriptCheck(text).getOrElse(profileArgmax(tokenize(text)))
   }
 
   private val langIdUdf = udf(langIdScala _)
@@ -310,16 +333,30 @@ object TextAnalysis extends QueryModule {
        |  SELECT doc_id,
        |         list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
        |                     x -> length(x) > 0) AS tok,
+       |         len(regexp_extract_all(text, '[\\p{Hiragana}\\p{Katakana}]')) AS kana,
        |         len(regexp_extract_all(text, '\\p{Han}')) AS han,
+       |         len(regexp_extract_all(text, '\\p{Cyrillic}')) AS cyr,
+       |         len(regexp_extract_all(text, '\\p{Arabic}')) AS arab,
+       |         len(regexp_extract_all(text, '\\p{Hangul}')) AS hang,
        |         greatest(len(regexp_extract_all(text, '[^ \\t\\n]')), 1) AS nonspace
        |  FROM documents WHERE length(trim(text)) > 0),
        |s AS (
-       |  SELECT doc_id, han, nonspace, greatest(len(tok), 1) AS denom,
+       |  SELECT doc_id, kana, han, cyr, arab, hang, nonspace,
+       |         greatest(len(tok), 1) AS denom,
        |         list_max($cands) AS best
        |  FROM t)
        |SELECT doc_id,
-       |       CASE WHEN 10*han >= 3*nonspace THEN 'zh' ELSE best.lang END AS pred_lang,
-       |       CASE WHEN 10*han >= 3*nonspace THEN (1000000*han) // nonspace
+       |       CASE WHEN 10*kana >= 2*nonspace THEN 'ja'
+       |            WHEN 10*han  >= 3*nonspace THEN 'zh'
+       |            WHEN 10*cyr  >= 3*nonspace THEN 'ru'
+       |            WHEN 10*arab >= 3*nonspace THEN 'ar'
+       |            WHEN 10*hang >= 3*nonspace THEN 'ko'
+       |            ELSE best.lang END AS pred_lang,
+       |       CASE WHEN 10*kana >= 2*nonspace THEN (1000000*kana) // nonspace
+       |            WHEN 10*han  >= 3*nonspace THEN (1000000*han)  // nonspace
+       |            WHEN 10*cyr  >= 3*nonspace THEN (1000000*cyr)  // nonspace
+       |            WHEN 10*arab >= 3*nonspace THEN (1000000*arab) // nonspace
+       |            WHEN 10*hang >= 3*nonspace THEN (1000000*hang) // nonspace
        |            ELSE (1000000*best.hits) // denom END AS lang_score_micro
        |FROM s ORDER BY doc_id""".stripMargin
   }
@@ -540,7 +577,7 @@ object TextAnalysis extends QueryModule {
     }
     val (score, lang) =
       if (text == null || text.isEmpty) (0L, LangProfiles.head._1)
-      else hanCheck(text).getOrElse(profileArgmax(toks))
+      else scriptCheck(text).getOrElse(profileArgmax(toks))
     (toks.length, stopHits, wordChars, score, lang)
   }
 

@@ -43,7 +43,14 @@ class TextAnalysisSpec extends SparkSpec {
       ("es", "El perro y el gato no son amigos pero viven en una casa con un jardin por el que pasean."),
       ("es", "No es que no quiera ir es que no puedo porque los trenes no pasan por la estacion."),
       ("zh", "今天天气很好我们一起去公园散步吧然后吃晚饭"),
-      ("zh", "机器学习模型需要大量的训练数据才能达到良好的效果"))
+      ("zh", "机器学习模型需要大量的训练数据才能达到良好的效果"),
+      // kana priority: kanji-heavy Japanese must NOT fall to zh
+      ("ja", "今日はとても良い天気なので公園へ散歩に行きましょう"),
+      ("ja", "機械学習モデルには大量の学習データが必要です"),
+      ("ru", "Сегодня хорошая погода и мы пойдем гулять в парк вместе"),
+      ("ru", "Машинное обучение требует большого количества данных"),
+      ("ar", "الطقس جميل اليوم فلنذهب الى الحديقة معا للتنزه"),
+      ("ko", "오늘은 날씨가 좋아서 공원에 산책하러 갑니다"))
     val df = samples.zipWithIndex
       .map { case ((l, t), i) => (i.toLong, t, l) }
       .toDF("doc_id", "text", "expected")
