@@ -533,13 +533,18 @@ object Relational extends QueryModule {
     * day×type spine, so a dropped combination or a lost zero fails the
     * compare.
     */
-  def eventsUnpivotDaily(spark: SparkSession, dir: String): DataFrame =
-    eventsPivotDaily(spark, dir)
-      .unpivot(
-        Array(col("day_id")),
-        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
-        "event_type", "n_events")
+  def eventsUnpivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = eventsPivotDaily(spark, dir)
+    // value columns come from the pivot's OUTPUT SCHEMA, not a hardcoded
+    // type list: the oracle derives its spine from DISTINCT event_type, so
+    // a dataset variant with an extra/missing type must track on both
+    // sides (and fail loudly on a real divergence) rather than silently
+    // zero-fill or drop
+    val valueCols = pivoted.columns.filter(_ != "day_id").sorted.map(col)
+    pivoted
+      .unpivot(Array(col("day_id")), valueCols, "event_type", "n_events")
       .orderBy("day_id", "event_type")
+  }
 
   private val eventsUnpivotDailySql =
     """WITH days AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_id FROM events),

@@ -255,11 +255,15 @@ object TextAnalysis extends QueryModule {
     import Character.UnicodeScript._
     var kana = 0; var han = 0; var cyr = 0; var arab = 0; var hang = 0
     var nonSpace = 0; var i = 0
+    // iterate CODEPOINTS, not UTF-16 units: a supplementary-plane char
+    // (e.g. CJK Extension B, classified Han) must count once with its
+    // real script — per-unit iteration would count it as two UNKNOWNs,
+    // diverging from any codepoint-based regex oracle
     while (i < text.length) {
-      val ch = text.charAt(i)
-      if (ch != ' ' && ch != '\t' && ch != '\n') {
+      val cp = text.codePointAt(i)
+      if (cp != ' ' && cp != '\t' && cp != '\n') {
         nonSpace += 1
-        Character.UnicodeScript.of(ch) match {
+        Character.UnicodeScript.of(cp) match {
           case HIRAGANA | KATAKANA => kana += 1
           case HAN => han += 1
           case CYRILLIC => cyr += 1
@@ -268,7 +272,7 @@ object TextAnalysis extends QueryModule {
           case _ =>
         }
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     val ns = math.max(nonSpace, 1)
     def score(c: Int): Long = 1000000L * c / ns

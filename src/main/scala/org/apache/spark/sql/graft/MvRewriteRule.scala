@@ -56,13 +56,18 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     */
   val SumColKey = "spark.graft.mv.sumCol"
 
-  /** Analyzed MV relation cache, keyed by path and invalidated on the MV
-    * directory's modification time: without it every optimization pass of
-    * every matching query re-lists the MV files and re-reads the footer
-    * schema (driver-side RPCs inside the optimizer). The mtime probe is
-    * ONE getFileStatus; a refresh that rewrites the directory bumps it.
+  /** Analyzed MV relation cache, keyed by path and invalidated on a
+    * LISTING SIGNATURE (file count + max file mtime + total bytes):
+    * without it every optimization pass of every matching query re-reads
+    * the footer schema (driver-side RPCs inside the optimizer). A bare
+    * directory-mtime probe is unreliable off local FS — S3A synthesizes
+    * directory statuses (mtime 0, never changes) and some filesystems
+    * have 1 s mtime granularity — so a refreshed MV could keep serving
+    * the stale cached relation. The signature is one listStatus over the
+    * MV directory (MVs are few small files by construction), and any
+    * refresh that adds/removes/rewrites a data file changes it.
     */
-  private case class CachedMv(mtime: Long, rel: LogicalRelation)
+  private case class CachedMv(signature: (Int, Long, Long), rel: LogicalRelation)
   private val mvCache = new java.util.concurrent.ConcurrentHashMap[String, CachedMv]()
 
   /** The session whose conf registered the MV, not whichever session
@@ -84,15 +89,19 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val session = resolveSession().getOrElse(return None)
     val hPath = new org.apache.hadoop.fs.Path(mvPath)
     val fs = hPath.getFileSystem(session.sessionState.newHadoopConf())
-    val mtime = fs.getFileStatus(hPath).getModificationTime
+    val files = fs.listStatus(hPath).filter(_.isFile)
+    val signature = (
+      files.length,
+      if (files.isEmpty) 0L else files.map(_.getModificationTime).max,
+      files.map(_.getLen).sum)
     val cached = mvCache.get(mvPath)
     val rel =
-      if (cached != null && cached.mtime == mtime) cached.rel
+      if (cached != null && cached.signature == signature) cached.rel
       else {
         val analyzed = session.read.parquet(mvPath).queryExecution.analyzed
         val lr = analyzed.collectFirst { case l: LogicalRelation => l }
           .getOrElse(return None)
-        mvCache.put(mvPath, CachedMv(mtime, lr))
+        mvCache.put(mvPath, CachedMv(signature, lr))
         lr
       }
     Some(rel.newInstance())

@@ -17,12 +17,18 @@ import org.apache.spark.sql.types.TimestampType
   * directories at planning time — at 100 TB the difference between a
   * 3-day read and a full-history read.
   *
-  * Soundness: for rows of the registered table,
-  * `ts ≥ X ⇒ day_id ≥ floorDiv(X, µs/day)` and
-  * `ts ≤ Y ⇒ day_id ≤ floorDiv(Y, µs/day)` (floorDiv is monotone), so
-  * the added predicate is IMPLIED by the existing one — results never
-  * change, only files read. Strict `>`/`<` use the same inclusive day
-  * bound (conservative: the boundary day may still hold matching rows).
+  * Soundness: the layout convention is Spark's `DIV` (IntegralDivide),
+  * which TRUNCATES toward zero — so the inference must too. Truncating
+  * division by a positive divisor is monotone non-decreasing, hence for
+  * rows of the registered table
+  * `ts ≥ X ⇒ day_id ≥ trunc(X / µs/day)` and
+  * `ts ≤ Y ⇒ day_id ≤ trunc(Y / µs/day)`, and the added predicate is
+  * IMPLIED by the existing one — results never change, only files read.
+  * (floorDiv would be UNSOUND pre-epoch: a row with ts in (-1 day, 0)
+  * stores day_id 0, but floorDiv of a negative literal yields -1 and
+  * would prune the partition the row lives in.) Strict `>`/`<` use the
+  * same inclusive day bound (conservative: the boundary day may still
+  * hold matching rows).
   *
   * Strictly OPT-IN via session conf (the derivation is the registrant's
   * contract that `partCol` really is the epoch-day of `tsCol`):
@@ -86,7 +92,9 @@ object PartitionPruneRule extends Rule[LogicalPlan] with PredicateHelper {
   /** (lower, upper) day-id bounds implied by literal tsCol comparisons. */
   private def dayBounds(preds: Seq[Expression], tsCol: String)
       : (Option[Long], Option[Long]) = {
-    def day(v: Any): Long = Math.floorDiv(v.asInstanceOf[Long], MicrosPerDay)
+    // trunc-div, NOT floorDiv: must match the layout's IntegralDivide
+    // semantics or pre-epoch bounds prune partitions that hold rows
+    def day(v: Any): Long = v.asInstanceOf[Long] / MicrosPerDay
     def isTs(e: Expression): Option[Unit] = e match {
       case a: AttributeReference if a.name == tsCol => Some(())
       case _ => None

@@ -77,4 +77,31 @@ class PartitionPruneSpec extends SparkSpec {
     GraftExtensions.register(spark)
     assert(!partitionFilters(tsQuery).exists(_.contains("day_id")))
   }
+
+  test("pre-epoch bounds stay sound: trunc-div matches the DIV layout") {
+    // a row with ts in (-1 day, 0) stores day_id 0 under the layout's
+    // IntegralDivide; an upper bound `ts <= -1h` must therefore infer
+    // day_id <= 0 (trunc), NOT <= -1 (floorDiv) — the floorDiv bound
+    // would prune the partition this row lives in
+    val prePath = path + "_preepoch"
+    import spark.implicits._
+    Seq(
+      ("a", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(-7200L))),
+      ("b", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(86400L * 3)))
+    ).toDF("id", "ts")
+      .withColumn("day_id", expr("unix_micros(ts) DIV 86400000000"))
+      .write.mode("overwrite").partitionBy("day_id").parquet(prePath)
+    armed {
+      spark.conf.set(P.SourceKey, prePath)
+      try {
+        val q = spark.read.parquet(prePath)
+          .filter(col("ts") <= lit(java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(-3600L))))
+        assert(q.count() === 1L, "pre-epoch row pruned away: unsound bound")
+        val pf = partitionFilters(q)
+        assert(pf.exists(f => f.contains("day_id") && f.contains("<= 0")),
+          s"expected inferred day_id <= 0 (trunc), got: $pf")
+      } finally spark.conf.set(P.SourceKey, path)
+    }
+  }
 }

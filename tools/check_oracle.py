@@ -34,12 +34,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def nonscalar_cols(df):
+    # scan EVERY value, not a head() sample: a column scalar in early rows
+    # but list-valued later must still be rejected, like the driver would
     bad = []
     for c in df.columns:
         if df[c].dtype == object:
-            sample = df[c].dropna().head(20)
-            if any(isinstance(v, (list, dict, np.ndarray, tuple))
-                   for v in sample):
+            vals = df[c].dropna()
+            if vals.map(
+                    lambda v: isinstance(v, (list, dict, np.ndarray, tuple))
+            ).any():
                 bad.append(c)
     return bad
 
