@@ -1,6 +1,7 @@
 package graft.ingest
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Small-file compaction for append-mode sinks (SURVEY.md §2.2 K1, §7.5).
   *
@@ -142,5 +143,99 @@ object Compaction {
     val stats = walk(hadoopPath)
     spark.catalog.refreshByPath(dir)
     stats.foldLeft(CompactionStats(0, 0, 0L, 0L))(_ + _)
+  }
+
+  final case class FoldStats(
+    partitionsRewritten: Int, rowsDeleted: Long, tombstonesFolded: Long)
+
+  /** Fold the delete/upsert tombstone sidecar into a `partitionBy` index
+    * table (the promised second half of the MOR delete lifecycle in
+    * `graft.ops.AnnIndex`: deletes land as a sidecar so the commit is one
+    * tiny write; THIS job folds them in on its own schedule so sidecars
+    * don't accumulate forever and queries stop paying the anti-join).
+    *
+    * Two sidecar shapes, distinguished by schema:
+    *   - plain ids (`<idCol>`): kill every index row with that id;
+    *   - watermark (`t_<idCol>`, `upto_seq`): kill rows with
+    *     `id = t_id AND seq <= upto_seq` — the upsert shape, which must
+    *     NOT kill the appended replacement (its seq is above the mark).
+    *
+    * Scale shape: only AFFECTED partitions are rewritten — a semi-join of
+    * the index against the broadcast sidecar (column-pruned to the id/seq
+    * columns, so the scan never materializes embeddings) yields the
+    * partition values to touch; every other partition directory is never
+    * read for rewrite and stays byte-identical. Each rewrite is a leaf
+    * anti-join + the same dot-prefixed tmp/bak swap `compact` uses, and
+    * the sidecar is truncated (overwritten empty, schema kept) only after
+    * every affected partition is installed — a crash mid-fold leaves
+    * tombstones in place and the next fold redoes the (idempotent) work;
+    * rows are anti-joined away, never double-deleted.
+    */
+  def foldTombstones(spark: SparkSession, indexPath: String,
+      tombstonePath: String, idCol: String = "vec_id"): FoldStats = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombPath = new org.apache.hadoop.fs.Path(tombstonePath)
+    if (!fs.exists(tombPath)) return FoldStats(0, 0L, 0L)
+    val tomb = spark.read.parquet(tombstonePath)
+    val nTomb = tomb.count()
+    if (nTomb == 0L) return FoldStats(0, 0L, nTomb)
+    val watermark = tomb.columns.contains("upto_seq")
+
+    val partDirs = fs.listStatus(hadoopPath).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && isData(n) && n.contains("=")
+    }
+    require(partDirs.nonEmpty,
+      s"foldTombstones: $indexPath has no key=value partition directories")
+    val partitionCol = partDirs.head.getPath.getName.split("=", 2)(0)
+
+    def killed(part: DataFrame, joinType: String): DataFrame =
+      if (watermark)
+        part.join(broadcast(tomb),
+          part(idCol) === tomb(s"t_$idCol") && part("seq") <= tomb("upto_seq"),
+          joinType)
+      else
+        part.join(broadcast(tomb.select(col(idCol))), Seq(idCol), joinType)
+
+    // which partitions hold doomed rows — id/seq columns only (pruned scan)
+    val probeCols = Seq(idCol, partitionCol) ++ (if (watermark) Seq("seq") else Nil)
+    val idx = spark.read.parquet(indexPath).select(probeCols.map(col): _*)
+    val affected = killed(idx, "left_semi")
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.get(0).toString) // bounded by the partition count (≤ 2^nBits buckets)
+
+    var rewritten = 0
+    var deleted = 0L
+    affected.foreach { v =>
+      val leaf = new org.apache.hadoop.fs.Path(hadoopPath, s"$partitionCol=$v")
+      val part = spark.read.parquet(leaf.toString)
+      val beforeRows = part.count() // parquet footer metadata, no data scan
+      val tmp = new org.apache.hadoop.fs.Path(
+        hadoopPath, s".$partitionCol=$v.fold.tmp")
+      val bak = new org.apache.hadoop.fs.Path(
+        hadoopPath, s".$partitionCol=$v.fold.bak")
+      fs.delete(tmp, true); fs.delete(bak, true)
+      killed(part, "left_anti").write.mode("overwrite").parquet(tmp.toString)
+      val afterRows = spark.read.parquet(tmp.toString).count()
+      if (!fs.rename(leaf, bak))
+        throw new java.io.IOException(s"foldTombstones: cannot move $leaf aside")
+      if (afterRows == 0L) fs.delete(tmp, true) // partition fully deleted
+      else if (!fs.rename(tmp, leaf)) {
+        fs.rename(bak, leaf) // roll back
+        throw new java.io.IOException(s"foldTombstones: cannot install $leaf")
+      }
+      fs.delete(bak, true)
+      rewritten += 1
+      deleted += beforeRows - afterRows
+    }
+    // truncate the sidecar LAST (crash-safe ordering), keeping its schema
+    // so the query path's anti-join keeps planning against an empty set
+    spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), tomb.schema)
+      .write.mode("overwrite").parquet(tombstonePath)
+    spark.catalog.refreshByPath(indexPath)
+    spark.catalog.refreshByPath(tombstonePath)
+    FoldStats(rewritten, deleted, nTomb)
   }
 }

@@ -329,6 +329,41 @@ object AnnIndex extends QueryModule {
       |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id BETWEEN 5 AND 8) t
       |ORDER BY vec_id""".stripMargin
 
+  /** COMPACTION folds the tombstone sidecar into the index — the second
+    * half of the MOR delete lifecycle (annDeleteTopk is the commit; this
+    * is the maintenance job): `Compaction.foldTombstones` anti-joins only
+    * the AFFECTED bucket partitions against the broadcast sidecar,
+    * rewrites them via the tmp/bak swap, and truncates the sidecar — so
+    * steady deletes can't accumulate an ever-growing anti-join tax on
+    * every query. The invariance-pinning trick (mor_compact): the oracle
+    * is annDeleteTopkSql VERBATIM, but the query here runs with NO
+    * tombstone anti-join — the index alone must no longer serve the
+    * deleted rows. A fold leak (doomed row survives), over-delete, or a
+    * fold that corrupts an untouched bucket all perturb the row set.
+    * CompactionSpec additionally pins untouched buckets byte-identical
+    * and the sidecar empty after the fold.
+    */
+  def annCompactedDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshcdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    IndexBuilder.buildLshIndex(
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", defaultLsh, path)
+    spark.range(100000L, 100005L).toDF("vec_id")
+      .write.mode("overwrite").parquet(path + "_tombstones")
+    graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select("vec_id", "score")
+  }
+
   /** EXACTLY-ONCE streaming index ingestion end-to-end: micro-batches of
     * arriving vectors land via `IndexBuilder.stageLshBatch` (deterministic
     * per-batch directory + overwrite), and the batch that delivered the
@@ -418,6 +453,42 @@ object AnnIndex extends QueryModule {
       |  UNION ALL
       |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id BETWEEN 1 AND 4) t
       |ORDER BY vec_id""".stripMargin
+
+  /** The WATERMARK-tombstone fold — upsert's maintenance half: the fold
+    * must kill exactly the rows with `seq <= upto_seq` and KEEP the
+    * appended replacement (seq above the mark), which lives in a
+    * different bucket partition than the row it replaces. Same
+    * invariance pinning as annCompactedDeleteTopk: annUpsertTopkSql
+    * verbatim, no anti-join in the query — if the fold killed the
+    * replacement too (id-level delete bug) or kept the stale version,
+    * the row set breaks.
+    */
+  def annCompactedUpsertTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshcupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    IndexBuilder.buildLshIndex(
+      withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
+      "embedding", defaultLsh, path)
+    spark.range(100000L, 100001L).toDF("t_vec_id")
+      .withColumn("upto_seq", lit(0L))
+      .write.mode("overwrite").parquet(path + "_tombstones")
+    val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
+      .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+    IndexBuilder.appendToLshIndex(reEmbedded, "embedding", defaultLsh, path)
+    graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select("vec_id", "score")
+  }
 
   /** KEYSET pagination over ANN results (the serving-path "next page"):
     * page 2 resumes strictly after page 1's last (score, id) cursor —
@@ -610,7 +681,9 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_topk" -> annIvfSq8Topk,
     "ann_filtered_topk" -> annFilteredTopk,
     "ann_delete_topk" -> annDeleteTopk,
+    "ann_compacted_delete_topk" -> annCompactedDeleteTopk,
     "ann_upsert_topk" -> annUpsertTopk,
+    "ann_compacted_upsert_topk" -> annCompactedUpsertTopk,
     "ann_paged_topk" -> annPagedTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
@@ -627,7 +700,9 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_delete_topk" -> annDeleteTopkSql,
+    "ann_compacted_delete_topk" -> annDeleteTopkSql,
     "ann_upsert_topk" -> annUpsertTopkSql,
+    "ann_compacted_upsert_topk" -> annUpsertTopkSql,
     "ann_paged_topk" -> annPagedTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,

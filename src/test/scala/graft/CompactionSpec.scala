@@ -56,6 +56,89 @@ class CompactionSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"))
   }
 
+  private def md5Of(f: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(java.nio.file.Files.readAllBytes(f.toPath))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** (relative path, md5) of every data file under a partition leaf. */
+  private def leafFingerprint(root: java.io.File, leaf: String): Seq[(String, String)] = {
+    val dir = new java.io.File(root, leaf)
+    if (!dir.isDirectory) Seq.empty
+    else dir.listFiles().toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => (f.getName, md5Of(f))).sortBy(_._1)
+  }
+
+  test("foldTombstones rewrites only affected partitions; untouched buckets byte-identical; sidecar truncated") {
+    import graft.vector.IndexBuilder
+    import spark.implicits._
+    val lsh = new IndexBuilder.RandomHyperplaneLsh(64, 4, 42L)
+    val root = java.nio.file.Files.createTempDirectory("fold_idx").toString
+    val dir = root + "/index"
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 400)
+    IndexBuilder.buildLshIndex(emb, "embedding", lsh, dir)
+
+    // tombstone 10 specific ids; find which buckets they live in
+    val doomed = (0L until 10L)
+    val bucketOf = IndexBuilder.withLshBucket(emb, "embedding", lsh)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val affectedBuckets = doomed.map(bucketOf).toSet
+    val untouched = bucketOf.values.toSet -- affectedBuckets
+    assert(untouched.nonEmpty, "test needs at least one untouched bucket")
+    val rowsBefore = spark.read.parquet(dir).count()
+    val beforePrints = untouched.map(b =>
+      b -> leafFingerprint(new java.io.File(dir), s"bucket=$b")).toMap
+
+    doomed.toDF("vec_id").write.mode("overwrite").parquet(dir + "_tombstones")
+    val stats = graft.ingest.Compaction.foldTombstones(spark, dir, dir + "_tombstones")
+
+    assert(stats.tombstonesFolded === 10L)
+    assert(stats.rowsDeleted === 10L)
+    assert(stats.partitionsRewritten === affectedBuckets.size)
+    // untouched partitions: every data file byte-identical
+    untouched.foreach { b =>
+      assert(leafFingerprint(new java.io.File(dir), s"bucket=$b") === beforePrints(b),
+        s"untouched bucket=$b was rewritten")
+    }
+    // deleted rows gone, everything else intact
+    val after = spark.read.parquet(dir)
+    assert(after.count() === rowsBefore - 10L)
+    assert(after.filter(col("vec_id") < 10).count() === 0L)
+    // sidecar truncated but schema preserved (query anti-joins still plan)
+    val sidecar = spark.read.parquet(dir + "_tombstones")
+    assert(sidecar.count() === 0L && sidecar.columns.toSeq === Seq("vec_id"))
+    // second fold is a no-op (idempotent maintenance)
+    val again = graft.ingest.Compaction.foldTombstones(spark, dir, dir + "_tombstones")
+    assert(again.partitionsRewritten === 0 && again.rowsDeleted === 0L)
+  }
+
+  test("foldTombstones watermark shape keeps the upserted replacement") {
+    import graft.vector.IndexBuilder
+    import spark.implicits._
+    val lsh = new IndexBuilder.RandomHyperplaneLsh(64, 4, 42L)
+    val root = java.nio.file.Files.createTempDirectory("fold_ups").toString
+    val dir = root + "/index"
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+    IndexBuilder.buildLshIndex(emb.withColumn("seq", lit(0L)), "embedding", lsh, dir)
+    // upsert vec 0: watermark-tombstone seq<=0, append replacement with vec 1's
+    // embedding at seq=1 (lands in a different bucket than the stale row)
+    Seq((0L, 0L)).toDF("t_vec_id", "upto_seq")
+      .write.mode("overwrite").parquet(dir + "_tombstones")
+    val replacement = emb.filter(col("vec_id") === 1L)
+      .select(lit(0L).as("vec_id"), col("embedding"), lit(1L).as("seq"))
+    IndexBuilder.appendToLshIndex(replacement, "embedding", lsh, dir)
+
+    val stats = graft.ingest.Compaction.foldTombstones(spark, dir, dir + "_tombstones")
+    assert(stats.rowsDeleted === 1L)
+    val survivors = spark.read.parquet(dir).filter(col("vec_id") === 0L)
+      .select("seq").collect().map(_.getLong(0)).toSeq
+    assert(survivors === Seq(1L), "only the seq=1 replacement must survive")
+    assert(spark.read.parquet(dir + "_tombstones").count() === 0L)
+  }
+
   test("compaction works for json directories (the K1 JSONL sink layout)") {
     val dir = java.nio.file.Files.createTempDirectory("compactj").toString + "/jsonl"
     import spark.implicits._
