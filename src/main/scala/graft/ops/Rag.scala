@@ -447,19 +447,29 @@ object Rag extends QueryModule {
     * frame.
     */
   def hybridWeightedTopk(spark: SparkSession, dir: String): DataFrame = {
-    val lexTop = bm25Scores(spark, dir)
+    val semTop = VectorSearch.scoredAgainst(spark, dir, 0L)
+      .select(col("vec_id").as("doc_id"),
+        expr("CAST(round(score * 1000000, 0) AS BIGINT)").as("sem_i"))
+      .orderBy(col("sem_i").desc, col("doc_id").asc).limit(100)
+    weightedFuse(lexTop100(spark, dir), semTop)
+  }
+
+  private def lexTop100(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
       .withColumn("lex_i", expr("CAST(round(bm25 * 10000, 0) AS BIGINT)"))
+
+  /** The normalize-and-blend stage over two k-bounded retriever lists —
+    * shared by the exact and index-pruned semantic candidate generators so
+    * both driver rows pin ONE fusion implementation.
+    */
+  private def weightedFuse(lexTop: DataFrame, semTop: DataFrame): DataFrame = {
     val lex = lexTop.crossJoin(broadcast(
         lexTop.agg(min("lex_i").as("lmin"), max("lex_i").as("lmax"))))
       .withColumn("lex_norm_e6",
         when(col("lmax") === col("lmin"), lit(1000000L))
           .otherwise(expr("(lex_i - lmin) * 1000000 DIV (lmax - lmin)")))
       .select("doc_id", "lex_norm_e6")
-    val semTop = VectorSearch.scoredAgainst(spark, dir, 0L)
-      .select(col("vec_id").as("doc_id"),
-        expr("CAST(round(score * 1000000, 0) AS BIGINT)").as("sem_i"))
-      .orderBy(col("sem_i").desc, col("doc_id").asc).limit(100)
     val sem = semTop.crossJoin(broadcast(
         semTop.agg(min("sem_i").as("smin"), max("sem_i").as("smax"))))
       .withColumn("sem_norm_e6",
@@ -474,6 +484,88 @@ object Rag extends QueryModule {
       .limit(20)
       .select("doc_id", "hybrid_e7")
   }
+
+  /** Weighted hybrid fusion with the SEMANTIC side routed through the
+    * pruned persisted LSH index — the 100 TB serving shape
+    * (hybridWeightedTopk's exact scan is O(corpus) per query; this scan
+    * reads only the radius-2 probe partitions, plan-audited). Same lex
+    * side, same weightedFuse.
+    *
+    * Oracle by construction (the mmr_rerank_indexed discipline): 99 exact
+    * copies of stored vector 0 are planted and the query IS vector 0, so
+    * the 100 perfect-scoring rows {0, 100000..100098} share vector 0's
+    * bucket, exactly fill the sem top-100, and provably survive the
+    * pruned scan — DuckDB replays the whole fusion over the SQL-augmented
+    * corpus. The all-equal sem list exercises the min-max degenerate
+    * branch (everything normalizes to 1e6) while the real spread stays
+    * pinned by hybrid_weighted_topk; THIS row pins the index routing.
+    */
+  def hybridWeightedIndexed(spark: SparkSession, dir: String): DataFrame =
+    weightedFuse(lexTop100(spark, dir), semIndexedTop(spark, dir))
+
+  /** The pruned-scan semantic stage of hybridWeightedIndexed, exposed so
+    * PlanAuditSpec can pin partition pruning on the very frame the
+    * driver row consumes.
+    */
+  private[graft] def semIndexedTop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.vector.IndexBuilder
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshhyb_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = graft.Tables.embeddings(spark, dir)
+    val copies = spark.range(100000L, 100099L).toDF("vec_id")
+      .crossJoin(broadcast(e.filter(col("vec_id") === 0L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"))
+    val lsh = AnnIndex.defaultLsh
+    IndexBuilder.buildLshIndex(
+      e.select("vec_id", "embedding").union(copies), "embedding", lsh, path)
+    val qv = e.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val probes = lsh.probes(lsh.signature(qv), radius = 2)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv)), 6))
+      .select(col("vec_id").as("doc_id"),
+        expr("CAST(round(score * 1000000, 0) AS BIGINT)").as("sem_i"))
+      .orderBy(col("sem_i").desc, col("doc_id").asc).limit(100)
+  }
+
+  private val hybridWeightedIndexedSql =
+    s"""WITH bm AS ($bm25ScoresSql),
+       |lex_top AS (SELECT doc_id, CAST(round(bm25 * 10000, 0) AS BIGINT) AS lex_i
+       |            FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 100),
+       |lex_mm AS (SELECT min(lex_i) AS lmin, max(lex_i) AS lmax FROM lex_top),
+       |lex AS (SELECT doc_id,
+       |               CASE WHEN lmax = lmin THEN 1000000
+       |                    ELSE (lex_i - lmin) * 1000000 // (lmax - lmin) END
+       |                 AS lex_norm_e6
+       |        FROM lex_top CROSS JOIN lex_mm),
+       |aug AS (SELECT vec_id, embedding FROM embeddings
+       |        UNION ALL
+       |        SELECT e2.vec_id + 100000 AS vec_id, e.embedding
+       |        FROM embeddings e2,
+       |             (SELECT embedding FROM embeddings WHERE vec_id = 0) e
+       |        WHERE e2.vec_id < 99),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |sem_top AS (SELECT a.vec_id AS doc_id,
+       |                   CAST(round(round(list_dot_product(a.embedding::DOUBLE[],
+       |                                                     q.qe::DOUBLE[]), 6)
+       |                              * 1000000, 0) AS BIGINT) AS sem_i
+       |            FROM aug a, q
+       |            ORDER BY sem_i DESC, doc_id ASC LIMIT 100),
+       |sem_mm AS (SELECT min(sem_i) AS smin, max(sem_i) AS smax FROM sem_top),
+       |sem AS (SELECT doc_id,
+       |               CASE WHEN smax = smin THEN 1000000
+       |                    ELSE (sem_i - smin) * 1000000 // (smax - smin) END
+       |                 AS sem_norm_e6
+       |        FROM sem_top CROSS JOIN sem_mm),
+       |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |             coalesce(lex_norm_e6, 0) * 7 + coalesce(sem_norm_e6, 0) * 3
+       |               AS hybrid_e7
+       |      FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, CAST(hybrid_e7 AS BIGINT) AS hybrid_e7 FROM f
+       |ORDER BY hybrid_e7 DESC, doc_id ASC LIMIT 20""".stripMargin
 
   private val hybridWeightedTopkSql =
     s"""WITH bm AS ($bm25ScoresSql),
@@ -722,7 +814,8 @@ object Rag extends QueryModule {
     "bm25_topn" -> bm25Topn,
     "bm25_selfrank_mrr" -> bm25SelfRankMrr,
     "hybrid_rrf_fusion" -> hybridRrfFusion,
-    "hybrid_weighted_topk" -> hybridWeightedTopk)
+    "hybrid_weighted_topk" -> hybridWeightedTopk,
+    "hybrid_weighted_indexed" -> hybridWeightedIndexed)
 
   def oracles: Map[String, String] = Map(
     "trigram_search" -> trigramSearchSql,
@@ -736,5 +829,6 @@ object Rag extends QueryModule {
     "bm25_topn" -> bm25TopnSql,
     "bm25_selfrank_mrr" -> bm25SelfRankMrrSql,
     "hybrid_rrf_fusion" -> hybridRrfFusionSql,
-    "hybrid_weighted_topk" -> hybridWeightedTopkSql)
+    "hybrid_weighted_topk" -> hybridWeightedTopkSql,
+    "hybrid_weighted_indexed" -> hybridWeightedIndexedSql)
 }

@@ -339,13 +339,24 @@ object VectorSearch extends QueryModule {
       .orderBy(col("rel_e6").desc, col("vec_id").asc)
       .limit(20)
       .select("vec_id", "rel_e6", "embedding")
+    mmrGreedySelect(spark, cand, k = 5)
+  }
+
+  /** The MMR selection stage over a bounded candidate frame of
+    * (vec_id, rel_e6, embedding): pairwise sims via a candidate-bounded
+    * broadcast crossJoin (20×20), then the k-step greedy over collected
+    * state (20 rels + 380 sims — the bounded serving-path step, same
+    * contract as the pagination cursor). Shared by the exact and the
+    * index-pruned candidate generators, so the driver rows pin ONE greedy.
+    */
+  private def mmrGreedySelect(spark: SparkSession, cand: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
     val c2 = cand.select(col("vec_id").as("vb"), col("embedding").as("eb"))
     val sims = cand.select(col("vec_id").as("va"), col("embedding").as("ea"))
       .crossJoin(broadcast(c2)) // 20×20, candidate-bounded by construction
       .filter(col("va") =!= col("vb"))
       .select(col("va"), col("vb"),
         floor(V.cosineUnit(col("ea"), col("eb")) * 1000000).cast("long").as("sim_e6"))
-    // bounded serving-path state: 20 rels + 380 sims
     val relsArr = cand.select("vec_id", "rel_e6").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     val relMap = relsArr.toMap
@@ -354,7 +365,7 @@ object VectorSearch extends QueryModule {
     val bySeed = relsArr.sortBy { case (id, rel) => (-rel, id) }
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     val remaining = scala.collection.mutable.SortedSet(bySeed.map(_._1): _*)
-    for (rank <- 1 to 5) {
+    for (rank <- 1 to k) {
       val (id, mmr) =
         if (rank == 1) bySeed.head
         else remaining.toSeq
@@ -365,6 +376,90 @@ object VectorSearch extends QueryModule {
     }
     chosen.toSeq.toDF("rank", "vec_id", "mmr_e6").orderBy("rank")
   }
+
+  /** MMR with candidate generation routed through the PRUNED persisted
+    * LSH index — the 100 TB serving shape (mmrRerank's exact top-k is
+    * O(corpus) per query; here the scan reads only the radius-2 probe
+    * partitions, plan-audited in PlanAuditSpec). Same greedy, same
+    * recursive-CTE replay oracle.
+    *
+    * Oracle by construction: 20 exact copies of stored vector 0 are
+    * planted and the query IS vector 0, so all 21 perfect-scoring rows
+    * share vector 0's bucket (the signature is a pure function of the
+    * vector) and the pruned top-20 provably equals the exact top-20 of
+    * the augmented corpus — {0, 100000..100018} by the id tie-break —
+    * which DuckDB enumerates by augmenting `embeddings` in SQL. The
+    * degenerate sims (all candidates identical ⇒ every post-seed pick
+    * scores rel−sim = 0, ordered by id) are themselves replayed by the
+    * same CTE, and the non-degenerate greedy stays pinned by mmr_rerank;
+    * THIS row pins the routing: a probe-set, bucket-layout, or
+    * candidate-cutoff regression perturbs the candidate set and the picks.
+    */
+  def mmrRerankIndexed(spark: SparkSession, dir: String): DataFrame =
+    mmrGreedySelect(spark, mmrIndexedCandidates(spark, dir), k = 5)
+
+  /** The pruned-scan candidate stage of mmrRerankIndexed, exposed so
+    * PlanAuditSpec can pin partition pruning on the very frame the
+    * driver row consumes.
+    */
+  private[graft] def mmrIndexedCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import graft.vector.IndexBuilder
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshmmr_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    val copies = spark.range(100000L, 100020L).toDF("vec_id")
+      .crossJoin(broadcast(e.filter(col("vec_id") === 0L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"))
+    val lsh = AnnIndex.defaultLsh
+    IndexBuilder.buildLshIndex(
+      e.select("vec_id", "embedding").union(copies), "embedding", lsh, path)
+    val qv = e.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val probes = lsh.probes(lsh.signature(qv), radius = 2)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("rel_e6",
+        floor(V.cosineUnit(col("embedding"), typedlit(qv)) * 1000000).cast("long"))
+      .orderBy(col("rel_e6").desc, col("vec_id").asc)
+      .limit(20)
+      .select("vec_id", "rel_e6", "embedding")
+  }
+
+  private val mmrRerankIndexedSql =
+    """WITH RECURSIVE
+      |aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT e2.vec_id + 100000 AS vec_id, e.embedding
+      |  FROM embeddings e2, (SELECT embedding FROM embeddings WHERE vec_id = 0) e
+      |  WHERE e2.vec_id < 20),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT a.vec_id,
+      |         CAST(floor(list_dot_product(a.embedding::DOUBLE[], q.qe::DOUBLE[])
+      |                    * 1000000) AS BIGINT) AS rel_e6,
+      |         a.embedding
+      |  FROM aug a, q
+      |  ORDER BY rel_e6 DESC, a.vec_id ASC LIMIT 20),
+      |sims AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |         CAST(floor(list_dot_product(a.embedding::DOUBLE[],
+      |                                     b.embedding::DOUBLE[]) * 1000000)
+      |              AS BIGINT) AS sim_e6
+      |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+      |sel AS (
+      |  (SELECT 1 AS rank, vec_id, rel_e6 AS mmr_e6, [vec_id] AS chosen FROM cand
+      |   ORDER BY rel_e6 DESC, vec_id ASC LIMIT 1)
+      |  UNION ALL
+      |  (SELECT s.rank + 1, c.vec_id, c.rel_e6 - ms.m, list_append(s.chosen, c.vec_id)
+      |   FROM sel s, cand c,
+      |        LATERAL (SELECT max(sim_e6) AS m FROM sims
+      |                 WHERE va = c.vec_id AND list_contains(s.chosen, vb)) ms
+      |   WHERE s.rank < 5 AND NOT list_contains(s.chosen, c.vec_id)
+      |   ORDER BY c.rel_e6 - ms.m DESC, c.vec_id ASC LIMIT 1)
+      |)
+      |SELECT CAST(rank AS BIGINT) AS rank, vec_id, mmr_e6 FROM sel
+      |ORDER BY rank""".stripMargin
 
   private val mmrRerankSql =
     """WITH RECURSIVE
@@ -510,6 +605,7 @@ object VectorSearch extends QueryModule {
     "pq_knn_topk" -> pqKnnTopk,
     "knn_exact_topk" -> knnExactTopk,
     "mmr_rerank" -> mmrRerank,
+    "mmr_rerank_indexed" -> mmrRerankIndexed,
     "knn_threshold" -> knnThreshold,
     "knn_relevance_threshold" -> knnRelevanceThreshold,
     "knn_batch_topk" -> knnBatchTopk,
@@ -526,6 +622,7 @@ object VectorSearch extends QueryModule {
     "pq_knn_topk" -> knnExactTopkSql, // PQ-ADC path must equal exact too
     "knn_exact_topk" -> knnExactTopkSql,
     "mmr_rerank" -> mmrRerankSql,
+    "mmr_rerank_indexed" -> mmrRerankIndexedSql,
     "knn_threshold" -> knnThresholdSql,
     "knn_relevance_threshold" -> knnRelevanceThresholdSql,
     "knn_batch_topk" -> knnBatchTopkSql,

@@ -155,6 +155,28 @@ class PlanAuditSpec extends SparkSpec {
       "bucket must be a partition column, not data")
   }
 
+  test("mmr_rerank_indexed: candidate generation partition-prunes on probe buckets") {
+    val cand = ops.VectorSearch.mmrIndexedCandidates(spark, sf)
+    // the index scan (bucket partition column) must carry partition
+    // filters — the serving path reads probe directories, not the corpus
+    val idxScan = scans(cand).find(_.relation.partitionSchema.fieldNames.contains("bucket"))
+    assert(idxScan.isDefined, "no bucket-partitioned scan in the candidate plan")
+    val partFilters = idxScan.get.partitionFilters.mkString(" ")
+    assert(partFilters.contains("bucket"),
+      s"probe set must prune bucket partitions, got: $partFilters")
+    assert(!idxScan.get.requiredSchema.fieldNames.contains("bucket"),
+      "bucket must be a partition column, not data")
+  }
+
+  test("hybrid_weighted_indexed: semantic side partition-prunes on probe buckets") {
+    val sem = ops.Rag.semIndexedTop(spark, sf)
+    val idxScan = scans(sem).find(_.relation.partitionSchema.fieldNames.contains("bucket"))
+    assert(idxScan.isDefined, "no bucket-partitioned scan in the semantic plan")
+    val partFilters = idxScan.get.partitionFilters.mkString(" ")
+    assert(partFilters.contains("bucket"),
+      s"probe set must prune bucket partitions, got: $partFilters")
+  }
+
   test("pre-quantized index: the coarse scan reads codes only, no float column") {
     val dir = java.nio.file.Files.createTempDirectory("qindex_audit").toString
     graft.vector.Quantization.buildQuantizedIndex(
