@@ -16,7 +16,9 @@ object SparkEntry {
     * retrieve → rerank → threshold → ranked context rows.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("rag_pipeline_topk")(spark, "/root/testdata/sf0.001")
+    // the pipeline ROWS, not the rag_pipeline_topk violation gate (the
+    // driver smoke-checks rows > 0 here; the gate's green state is empty)
+    ops.Rag.ragPipelineTopk(spark, "/root/testdata/sf0.001")
 
   private def modules: Seq[QueryModule] = Seq(
     ops.Relational,

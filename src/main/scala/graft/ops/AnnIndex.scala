@@ -69,6 +69,74 @@ object AnnIndex extends QueryModule {
   private val lshBucketInvariantsSql =
     """SELECT NULL::VARCHAR AS violation, NULL::BIGINT AS detail WHERE false""".stripMargin
 
+  /** Driver gate for the bucket projection itself (formerly a rows-only
+    * dump — the seeded hyperplanes aren't SQL-expressible, their contract
+    * is): one violation row per breach, oracle = empty set.
+    *
+    *  - DETERMINISM: a FRESH RandomHyperplaneLsh instance with the same
+    *    (dim, nBits, seed) must assign every vector the same bucket — the
+    *    signature is a pure function of (vector, seed), and instance-
+    *    dependent state would silently split the index from its queries;
+    *  - COMPLETENESS: every corpus vector appears in the projection
+    *    exactly once (anti-join both ways against embeddings).
+    */
+  def lshBucketsGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = IndexBuilder.withLshBucket(e, "embedding", defaultLsh)
+      .select(col("vec_id"), col("bucket").as("b1"))
+    val b = IndexBuilder.withLshBucket(e, "embedding",
+        new RandomHyperplaneLsh(Dim, nBits = 6, seed = 42L))
+      .select(col("vec_id"), col("bucket").as("b2"))
+    val nondeterm = a.join(b, Seq("vec_id"))
+      .filter(col("b1") =!= col("b2"))
+      .select(col("vec_id"), lit("instance_dependent_bucket").as("violation"))
+    val proj = lshBuckets(spark, dir)
+    val missing = e.select("vec_id")
+      .join(proj, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit("vector_missing").as("violation"))
+    val extra = proj.select("vec_id")
+      .join(e.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit("unknown_vector").as("violation"))
+    val multi = proj.groupBy("vec_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("vec_id"), lit("multiple_buckets").as("violation"))
+    nondeterm.union(missing).union(extra).union(multi)
+      .orderBy("vec_id", "violation")
+  }
+
+  private val lshBucketsGateSql =
+    """SELECT NULL::BIGINT AS vec_id, NULL::VARCHAR AS violation WHERE false""".stripMargin
+
+  /** Driver gate for the bucket histogram (formerly a rows-only dump;
+    * totals/range live in lsh_bucket_invariants): DISTRIBUTION USABILITY —
+    * the property the index design depends on. One violation row per
+    * breach, oracle = empty set.
+    *
+    *  - SKEW: no bucket holds more than 25% of the corpus (uniform would
+    *    be ~1.6% at 64 buckets; a skew-collapsed index loses its pruning);
+    *  - OCCUPANCY: at least min(corpus, 2^nBits)/8 buckets are non-empty
+    *    (hyperplane degeneration empties the table into few buckets).
+    * Floors sit ≥ 10× under measured values on every sf (64/64 occupied,
+    * max share ~3% at sf0.01) — only a real regression trips them.
+    */
+  def lshBucketStatsGate(spark: SparkSession, dir: String): DataFrame = {
+    val stats = lshBucketStats(spark, dir)
+    val totals = stats.agg(sum(col("n_vectors")).as("total"),
+      count(lit(1)).as("n_buckets"))
+    val skew = stats.crossJoin(broadcast(totals))
+      .filter(col("n_vectors") * 4 > col("total"))
+      .select(lit("bucket_skew").as("violation"),
+        col("bucket").cast("long").as("detail"))
+    val occupancy = totals
+      .filter(col("n_buckets") * 8 < least(col("total"), lit(64L)))
+      .select(lit("low_occupancy").as("violation"),
+        col("n_buckets").cast("long").as("detail"))
+    skew.union(occupancy).orderBy("violation")
+  }
+
+  private val lshBucketStatsGateSql =
+    """SELECT NULL::VARCHAR AS violation, NULL::BIGINT AS detail WHERE false""".stripMargin
+
   /** Nine exact copies of stored vector 0 at ids 100000..100008 — the
     * self-query construction that makes the pruned top-k oracle-checkable:
     * identical vectors share vector 0's bucket/cluster by construction and
@@ -671,8 +739,8 @@ object AnnIndex extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_gate" -> annRecallGate,
     "lsh_bucket_invariants" -> lshBucketInvariants,
-    "lsh_buckets" -> lshBuckets,
-    "lsh_bucket_stats" -> lshBucketStats,
+    "lsh_buckets" -> lshBucketsGate,
+    "lsh_bucket_stats" -> lshBucketStatsGate,
     "ann_lsh_topk" -> annLshTopk,
     "ann_lsh_index_topk" -> annLshIndexTopk,
     "ann_lsh_incremental_topk" -> annLshIncrementalTopk,
@@ -692,6 +760,8 @@ object AnnIndex extends QueryModule {
   def oracles: Map[String, String] = Map(
     "ann_recall_gate" -> annRecallGateSql,
     "lsh_bucket_invariants" -> lshBucketInvariantsSql,
+    "lsh_buckets" -> lshBucketsGateSql,
+    "lsh_bucket_stats" -> lshBucketStatsGateSql,
     "ann_lsh_topk" -> annSelfQueryTopkSql,
     "ann_lsh_index_topk" -> annSelfQueryTopkSql,
     "ann_lsh_incremental_topk" -> annSelfQueryTopkSql,

@@ -64,10 +64,44 @@ object Chunking extends QueryModule {
   }
 
   /** Multi-chunk split (size 200 / overlap 30 so sf docs actually split).
-    * Not SQL-expressible → rows-only driver check + unit/property specs.
+    * The splitter itself is not SQL-expressible; the DRIVER row for this
+    * config is the violation gate chunkDocs200Gate below.
     */
   def chunkDocs200(spark: SparkSession, dir: String): DataFrame =
     chunkDocuments(Tables.documents(spark, dir), chunkSize = 200, overlap = 30)
+
+  /** Driver gate for the multi-chunk 200/30 path (formerly a rows-only
+    * dump): one violation row per breach, oracle = the empty set. Three
+    * checks the per-row chunk_invariants gate can't see:
+    *
+    *  - PARITY: the native ChunkSplit Generator and the UDF+posexplode
+    *    baseline must agree row-for-row on the full corpus (symmetric
+    *    anti-join both ways — previously spec-only on fixtures);
+    *  - CONTAINMENT: every chunk_text must appear verbatim inside its
+    *    source document (chunks are segments rejoined with their original
+    *    separators, so any splice corruption breaks `instr`);
+    *  - ID UNIQUENESS: chunk_id is globally unique (it keys the vector
+    *    store upsert — a collision silently overwrites a chunk).
+    */
+  def chunkDocs200Gate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gen = chunkDocuments(docs, chunkSize = 200, overlap = 30)
+    val viaUdf = chunkDocumentsUdf(docs, chunkSize = 200, overlap = 30)
+    val parity = gen.exceptAll(viaUdf).select(col("chunk_id"))
+      .union(viaUdf.exceptAll(gen).select(col("chunk_id")))
+      .select(col("chunk_id"), lit("generator_udf_parity").as("violation"))
+    val containment = gen
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(instr(col("text"), col("chunk_text")) === 0)
+      .select(col("chunk_id"), lit("not_substring_of_source").as("violation"))
+    val idDupes = gen.groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("chunk_id"), lit("duplicate_chunk_id").as("violation"))
+    parity.union(containment).union(idDupes).orderBy("chunk_id", "violation")
+  }
+
+  private val chunkDocs200GateSql =
+    """SELECT NULL::VARCHAR AS chunk_id, NULL::VARCHAR AS violation WHERE false""".stripMargin
 
   /** Reference-default split (1000/150). Every sf document is shorter than
     * 1000 chars, so each yields exactly one chunk equal to its trimmed text —
@@ -161,12 +195,13 @@ object Chunking extends QueryModule {
       |FROM expected ORDER BY chunk_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "chunk_docs_200" -> chunkDocs200,
+    "chunk_docs_200" -> chunkDocs200Gate,
     "chunk_docs_default" -> chunkDocsDefault,
     "chunk_planted_paragraphs" -> chunkPlantedParagraphs,
     "chunk_invariants" -> chunkInvariants)
 
   def oracles: Map[String, String] = Map(
+    "chunk_docs_200" -> chunkDocs200GateSql,
     "chunk_docs_default" -> chunkDocsDefaultSql,
     "chunk_planted_paragraphs" -> chunkPlantedParagraphsSql,
     "chunk_invariants" -> chunkInvariantsSql)

@@ -343,8 +343,15 @@ object Dedup extends QueryModule {
     * shuffle on compact keys only; document text never moves.
     */
   def minhashNearDupes(spark: SparkSession, dir: String, cap: Long = 2000,
+      estThreshold: Double = 0.5): DataFrame =
+    minhashPairsOver(Tables.documents(spark, dir).filter(col("doc_id") < cap),
+      estThreshold)
+
+  /** The MinHash+LSH pair pipeline over any (doc_id, text) frame — shared
+    * by the real-data query, the agreement check, and the planted gate.
+    */
+  def minhashPairsOver(docs: DataFrame,
       estThreshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") < cap)
     val sigs = docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), minhashSignatureFromText(col("text"), 3).as("sig"))
       .cache()
@@ -479,6 +486,44 @@ object Dedup extends QueryModule {
   def minhashNearDupesQ(spark: SparkSession, dir: String): DataFrame =
     minhashNearDupes(spark, dir)
 
+  /** Driver gate for the MinHash+LSH pipeline over REAL data (formerly a
+    * rows-only dump; the seeded permutations are not SQL-expressible, the
+    * contract is): one violation row per breach, oracle = empty set.
+    *
+    *  - PAIR DISCIPLINE: doc_a < doc_b, no duplicate pairs, estimate in
+    *    [0.5 .. 1.0] (the threshold and the 64-slot ceiling);
+    *  - EXACT-DUP RECALL: plant a byte-identical copy of every doc_id <
+    *    50 — identical text minhashes identically, every band agrees, so
+    *    each planted pair MUST surface with estimate exactly 1.0. A miss
+    *    is a banding/candidate-join/signature regression at data scale,
+    *    exactly where a spec fixture wouldn't see it.
+    */
+  def minhashNearDupesGate(spark: SparkSession, dir: String): DataFrame = {
+    val real = minhashNearDupes(spark, dir).cache()
+    val badPair = real.filter(col("doc_a") >= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit("pair_order").as("violation"))
+    val dupPair = real.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("doc_a"), col("doc_b"), lit("duplicate_pair").as("violation"))
+    val range = real.filter(col("est_jaccard") < 0.5 || col("est_jaccard") > 1.0)
+      .select(col("doc_a"), col("doc_b"), lit("estimate_range").as("violation"))
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val augmented = minhashPairsOver(docs.union(planted))
+    val missed = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000).as("doc_b"))
+      .join(augmented.filter(col("est_jaccard") === 1.0), Seq("doc_a", "doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), lit("planted_dup_missed").as("violation"))
+    badPair.union(dupPair).union(range).union(missed)
+      .orderBy("doc_a", "doc_b", "violation")
+  }
+
+  private val minhashNearDupesGateSql =
+    """SELECT NULL::BIGINT AS doc_a, NULL::BIGINT AS doc_b,
+      |       NULL::VARCHAR AS violation WHERE false""".stripMargin
+
   /** Structural oracle for the probabilistic path: every exact-Jaccard
     * near-dup pair (doc_id < 200, j >= 0.5) must ALSO be surfaced by the
     * MinHash+LSH pipeline with a signature estimate within 0.25 of the
@@ -499,6 +544,40 @@ object Dedup extends QueryModule {
 
   def simhashNearDupesQ(spark: SparkSession, dir: String): DataFrame =
     simhashNearDupes(spark, dir)
+
+  /** Driver gate for the SimHash pipeline over REAL data (formerly a
+    * rows-only dump) — the minhashNearDupesGate discipline: pair order,
+    * duplicate-free, Hamming within the query's [0, 3] band, and planted
+    * exact-dup recall at Hamming 0 over the FULL corpus (the separate
+    * simhash_planted_dupes row enumerates pairs at maxHamming=0; this
+    * gate exercises the real query's maxHamming=3 pigeonhole join and
+    * asserts the planted pairs survive it).
+    */
+  def simhashNearDupesGate(spark: SparkSession, dir: String): DataFrame = {
+    val real = simhashNearDupes(spark, dir).cache()
+    val badPair = real.filter(col("doc_a") >= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit("pair_order").as("violation"))
+    val dupPair = real.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("doc_a"), col("doc_b"), lit("duplicate_pair").as("violation"))
+    val range = real.filter(col("hamming") < 0 || col("hamming") > 3)
+      .select(col("doc_a"), col("doc_b"), lit("hamming_range").as("violation"))
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val augmented = simhashPairs(docs.union(planted), maxHamming = 3)
+    val missed = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000).as("doc_b"))
+      .join(augmented.filter(col("hamming") === 0), Seq("doc_a", "doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), lit("planted_dup_missed").as("violation"))
+    badPair.union(dupPair).union(range).union(missed)
+      .orderBy("doc_a", "doc_b", "violation")
+  }
+
+  private val simhashNearDupesGateSql =
+    """SELECT NULL::BIGINT AS doc_a, NULL::BIGINT AS doc_b,
+      |       NULL::VARCHAR AS violation WHERE false""".stripMargin
 
   // ---- near-dup cluster resolution (connected components) ----
 
@@ -673,9 +752,9 @@ object Dedup extends QueryModule {
     "incremental_new_docs" -> incrementalNewDocs,
     "dup_ngram_coverage" -> dupNgramCoverage,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
-    "minhash_near_dupes" -> minhashNearDupesQ,
+    "minhash_near_dupes" -> minhashNearDupesGate,
     "minhash_vs_exact" -> minhashVsExact,
-    "simhash_near_dupes" -> simhashNearDupesQ,
+    "simhash_near_dupes" -> simhashNearDupesGate,
     "simhash_planted_dupes" -> simhashPlantedDupes,
     "embedding_near_dupes" -> embeddingNearDupes)
 
@@ -687,7 +766,9 @@ object Dedup extends QueryModule {
     "incremental_new_docs" -> incrementalNewDocsSql,
     "dup_ngram_coverage" -> dupNgramCoverageSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+    "minhash_near_dupes" -> minhashNearDupesGateSql,
     "minhash_vs_exact" -> ngramJaccardPairsSql,
+    "simhash_near_dupes" -> simhashNearDupesGateSql,
     "simhash_planted_dupes" -> simhashPlantedDupesSql,
     "embedding_near_dupes" -> embeddingNearDupesSql)
 }

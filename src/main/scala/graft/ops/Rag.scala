@@ -189,6 +189,56 @@ object Rag extends QueryModule {
         col("x.r.relevance_score"), col("x.r.chunk_text"))
   }
 
+  /** Driver gate for the flagship pipeline over REAL data (formerly a
+    * rows-only dump; SparkEntry.entry still returns the pipeline rows for
+    * the driver's rows>0 smoke check, and rag_pipeline_planted pins the
+    * stage wiring under a value oracle — this gate pins the serving
+    * CONTRACT on the unplanted corpus): one violation row per breach,
+    * oracle = empty set.
+    *
+    *  - RESULT SHAPE: at most 5 rows, rank dense from 1;
+    *  - ORDER: relevance_score non-increasing by rank, ties broken by
+    *    chunk_id ascending;
+    *  - THRESHOLD: every served score strictly positive (P6);
+    *  - SCORE RANGE: similarity and relevance in [-1, 1] (cosine/overlap
+    *    bounds — an unnormalized embedding shows up here);
+    *  - PROVENANCE: every served chunk_id exists in the chunking of its
+    *    source document with the same text (no fabricated or stale rows).
+    */
+  def ragPipelineTopkGate(spark: SparkSession, dir: String): DataFrame = {
+    val top = ragPipelineTopk(spark, dir).cache()
+    val shape = top.agg(count(lit(1)).as("n"), min(col("rank")).as("minr"),
+        max(col("rank")).as("maxr"), countDistinct(col("rank")).as("nr"))
+      .filter(col("n") > 5 || (col("n") > 0 &&
+        (col("minr") =!= 1 || col("maxr") =!= col("n") || col("nr") =!= col("n"))))
+      .select(lit("rank_shape").cast("string").as("chunk_id"),
+        lit("result_shape").as("violation"))
+    // rank-successor self-join, not an unpartitioned lag window (house
+    // rule — see ragContext), and the frame is ≤5 rows anyway
+    val order = top.as("a").join(top.as("b"), col("a.rank") === col("b.rank") + 1)
+      .filter(col("a.relevance_score") > col("b.relevance_score") ||
+        (col("a.relevance_score") === col("b.relevance_score") &&
+         col("a.chunk_id") <= col("b.chunk_id")))
+      .select(col("a.chunk_id").as("chunk_id"), lit("rerank_order").as("violation"))
+    val threshold = top.filter(col("relevance_score") <= 0.0)
+      .select(col("chunk_id"), lit("threshold").as("violation"))
+    val range = top.filter(
+        col("similarity") < -1.0 || col("similarity") > 1.0 ||
+        col("relevance_score") < -1.0 || col("relevance_score") > 1.0)
+      .select(col("chunk_id"), lit("score_range").as("violation"))
+    val chunks = Chunking.chunkDocuments(
+      Tables.documents(spark, dir), chunkSize = 200, overlap = 30)
+    val provenance = top.join(chunks,
+        Seq("chunk_id", "doc_id", "chunk_number", "total_chunks", "chunk_text"),
+        "left_anti")
+      .select(col("chunk_id"), lit("provenance").as("violation"))
+    shape.union(order).union(threshold).union(range).union(provenance)
+      .orderBy("chunk_id", "violation")
+  }
+
+  private val ragPipelineTopkGateSql =
+    """SELECT NULL::VARCHAR AS chunk_id, NULL::VARCHAR AS violation WHERE false""".stripMargin
+
   /** The full lifecycle under a REAL oracle via the planted self-query
     * construction (the embed_selfknn_planted pattern, applied to the whole
     * pipeline): nine exact copies of doc 308's text are planted at ids
@@ -808,7 +858,7 @@ object Rag extends QueryModule {
     "rerank_score_stats" -> rerankScoreStats,
     "rerank_zip" -> rerankZipQ,
     "rag_context" -> ragContext,
-    "rag_pipeline_topk" -> ragPipelineTopk,
+    "rag_pipeline_topk" -> ragPipelineTopkGate,
     "rag_pipeline_planted" -> ragPipelinePlanted,
     "bm25_scores" -> bm25Scores,
     "bm25_topn" -> bm25Topn,
@@ -824,6 +874,7 @@ object Rag extends QueryModule {
     "rerank_score_stats" -> rerankScoreStatsSql,
     "rerank_zip" -> rerankZipSql,
     "rag_context" -> ragContextSql,
+    "rag_pipeline_topk" -> ragPipelineTopkGateSql,
     "rag_pipeline_planted" -> ragPipelinePlantedSql,
     "bm25_scores" -> bm25ScoresSql,
     "bm25_topn" -> bm25TopnSql,

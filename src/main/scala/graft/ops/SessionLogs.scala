@@ -140,12 +140,56 @@ object SessionLogs extends QueryModule {
       |       round(coalesce(sum(value), 0.0), 4) AS total_value_parsed
       |FROM c GROUP BY user_id ORDER BY session_id""".stripMargin
 
+  /** Driver gate for the serialized log itself (formerly a rows-only dump;
+    * the JSON string's exact bytes stay engine-specific, its STRUCTURE
+    * does not): parse every log_json back through the typed schema and
+    * emit one violation row per breach — oracle = empty set.
+    *
+    *  - PARSEABLE: from_json must yield a non-null struct with a non-null
+    *    summary header (a malformed log is unreadable by the F9 decode
+    *    side);
+    *  - HEADER CONSISTENCY: parsed session_id and n_turns must equal the
+    *    frame's own columns;
+    *  - TURN DISCIPLINE: the parsed turn array has exactly n_turns
+    *    entries, numbered densely 1..n in array order (array_sort on the
+    *    struct guarantees it — a sort-key regression lands here);
+    *  - TIME ORDER: started_at <= ended_at in the header.
+    */
+  def sessionLogsGate(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = sessionLogs(spark, dir)
+      .withColumn("p", from_json(jsonBarrier(col("log_json")), LogSchema))
+    val unparseable = parsed
+      .filter(col("p").isNull || col("p.session_summary").isNull)
+      .select(col("session_id"), lit("unparseable").as("violation"))
+    val header = parsed.filter(col("p.session_summary").isNotNull &&
+        (col("p.session_summary.session_id") =!= col("session_id") ||
+         col("p.session_summary.n_turns") =!= col("n_turns")))
+      .select(col("session_id"), lit("header_mismatch").as("violation"))
+    val turnCount = parsed.filter(col("p").isNotNull &&
+        size(col("p.conversation_turns")) =!= col("n_turns"))
+      .select(col("session_id"), lit("turn_count_mismatch").as("violation"))
+    val numbering = parsed.filter(col("p").isNotNull &&
+        exists(zip_with(col("p.conversation_turns"),
+            sequence(lit(1), greatest(size(col("p.conversation_turns")), lit(1))),
+            (t, i) => t.getField("turn") =!= i), x => x))
+      .select(col("session_id"), lit("turn_numbering").as("violation"))
+    val timeOrder = parsed.filter(col("p.session_summary").isNotNull &&
+        col("p.session_summary.started_at") > col("p.session_summary.ended_at"))
+      .select(col("session_id"), lit("time_order").as("violation"))
+    unparseable.union(header).union(turnCount).union(numbering).union(timeOrder)
+      .orderBy("session_id", "violation")
+  }
+
+  private val sessionLogsGateSql =
+    """SELECT NULL::BIGINT AS session_id, NULL::VARCHAR AS violation WHERE false""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "session_logs" -> sessionLogs,
+    "session_logs" -> sessionLogsGate,
     "session_summaries" -> sessionSummaries,
     "session_log_roundtrip" -> sessionLogRoundtrip)
 
   def oracles: Map[String, String] = Map(
+    "session_logs" -> sessionLogsGateSql,
     "session_summaries" -> sessionSummariesSql,
     "session_log_roundtrip" -> sessionLogRoundtripSql)
 }

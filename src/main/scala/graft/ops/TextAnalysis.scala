@@ -428,6 +428,50 @@ object TextAnalysis extends QueryModule {
           f => f.cast("string")), ",")).as("fp_digest"))
       .orderBy("doc_id")
 
+  /** Driver gate for the winnowing projection (formerly a rows-only dump;
+    * the seeded rolling hash is not SQL-expressible, its CONTRACT is): one
+    * violation row per breach, oracle = empty set.
+    *
+    *  - DETERMINISM: two independent evaluations of the fingerprint UDF
+    *    over the corpus must produce identical (doc_id, digest) rows —
+    *    winnowing with a fixed seed is a pure function of the text, and a
+    *    nondeterministic fingerprint silently breaks every downstream
+    *    overlap join;
+    *  - NON-EMPTY: any document long enough to window (≥ 200 chars — the
+    *    sf corpus minimum is far above the winnow window) must yield at
+    *    least one fingerprint;
+    *  - SET DISCIPLINE: the fingerprint array is duplicate-free (winnow
+    *    emits a SET; duplicates would double-count containment).
+    */
+  def docFingerprintsGate(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"),
+        fingerprintCol(col("text")).as("fingerprints"))
+    def digest(c: Column): Column =
+      xxhash64(array_join(transform(c, f => f.cast("string")), ","))
+    val a = base.select(col("doc_id"), digest(col("fingerprints")).as("d1"))
+    // a SECOND evaluation from the raw text (fresh UDF application, not a
+    // reused plan subtree — the reselect forces recomputation)
+    val b = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        digest(fingerprintCol(reverse(reverse(col("text"))))).as("d2"))
+    val nondeterm = a.join(b, Seq("doc_id"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("doc_id"), lit("nondeterministic").as("violation"))
+    val empties = base
+      .filter(length(col("text")) >= 200 && size(col("fingerprints")) === 0)
+      .select(col("doc_id"), lit("no_fingerprints").as("violation"))
+    val dupes = base
+      .filter(size(col("fingerprints")) =!= size(array_distinct(col("fingerprints"))))
+      .select(col("doc_id"), lit("duplicate_fingerprints").as("violation"))
+    nondeterm.union(empties).union(dupes).orderBy("doc_id", "violation")
+  }
+
+  private val docFingerprintsGateSql =
+    """SELECT NULL::BIGINT AS doc_id, NULL::VARCHAR AS violation WHERE false""".stripMargin
+
   /** Shared (id, fp) projection: validate non-blank text, winnow, explode.
     * The one place the empty-text rule and fingerprint column live for
     * every fingerprint-join operator below.
@@ -462,6 +506,46 @@ object TextAnalysis extends QueryModule {
   def fingerprintOverlaps(spark: SparkSession, dir: String): DataFrame =
     fingerprintContainment(
       Tables.documents(spark, dir).filter(col("doc_id") < 500), 0.3)
+
+  /** Driver gate for the containment-pair join (formerly a rows-only
+    * dump): one violation row per breach, oracle = empty set.
+    *
+    *  - PAIR DISCIPLINE: doc_a < doc_b and no duplicate pairs (the
+    *    grouped join must not double-emit);
+    *  - RANGE: containment in (0.3 .. 1.0] — a value above 1 means the
+    *    shared count exceeded the smaller set (a join fanout bug);
+    *  - EXACT-DUP RECALL against REAL data: any two in-scope documents
+    *    with byte-identical text (md5 equi-group — the dedup_exact
+    *    discipline) share their whole fingerprint set, so the pair MUST
+    *    surface with containment exactly 1.0; a miss is a candidate-join
+    *    or winnow regression at data scale.
+    */
+  def fingerprintOverlapsGate(spark: SparkSession, dir: String): DataFrame = {
+    val overlaps = fingerprintOverlaps(spark, dir).cache()
+    val badPair = overlaps.filter(col("doc_a") >= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit("pair_order").as("violation"))
+    val dupPair = overlaps.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("doc_a"), col("doc_b"), lit("duplicate_pair").as("violation"))
+    val range = overlaps
+      .filter(col("containment") < 0.3 || col("containment") > 1.0)
+      .select(col("doc_a"), col("doc_b"), lit("containment_range").as("violation"))
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 500 && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val exactPairs = docs.as("x").join(docs.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val missed = exactPairs.join(
+        overlaps.filter(col("containment") === 1.0), Seq("doc_a", "doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), lit("exact_dup_missed").as("violation"))
+    badPair.union(dupPair).union(range).union(missed)
+      .orderBy("doc_a", "doc_b", "violation")
+  }
+
+  private val fingerprintOverlapsGateSql =
+    """SELECT NULL::BIGINT AS doc_a, NULL::BIGINT AS doc_b,
+      |       NULL::VARCHAR AS violation WHERE false""".stripMargin
 
   /** Structural oracle for winnowing fingerprints: plant an exact copy of
     * every doc with doc_id < 100 (salted id +100000); identical text must
@@ -920,8 +1004,8 @@ object TextAnalysis extends QueryModule {
     "quality_calibration" -> qualityCalibration,
     "token_counts" -> tokenCounts,
     "lang_id" -> langId,
-    "doc_fingerprints" -> docFingerprints,
-    "fingerprint_overlaps" -> fingerprintOverlaps,
+    "doc_fingerprints" -> docFingerprintsGate,
+    "fingerprint_overlaps" -> fingerprintOverlapsGate,
     "fingerprint_planted_containment" -> fingerprintPlantedContainment)
 
   def oracles: Map[String, String] = Map(
@@ -939,5 +1023,7 @@ object TextAnalysis extends QueryModule {
     "quality_calibration" -> qualityCalibrationSql,
     "token_counts" -> tokenCountsSql,
     "lang_id" -> langIdSql,
+    "doc_fingerprints" -> docFingerprintsGateSql,
+    "fingerprint_overlaps" -> fingerprintOverlapsGateSql,
     "fingerprint_planted_containment" -> fingerprintPlantedContainmentSql)
 }

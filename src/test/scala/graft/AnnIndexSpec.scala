@@ -13,9 +13,10 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).take(k).toSeq
 
   test("lsh buckets are deterministic and cover all vectors") {
-    val a = SparkEntry.queries("lsh_buckets")(spark, sf).collect()
+    // the raw projection (the driver row is now its violation gate)
+    val a = ops.AnnIndex.lshBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
-    val b = SparkEntry.queries("lsh_buckets")(spark, sf).collect()
+    val b = ops.AnnIndex.lshBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
     assert(a.sameElements(b), "bucket assignment must be deterministic")
     assert(a.length === Tables.embeddings(spark, sf).count())

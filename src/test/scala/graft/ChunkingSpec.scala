@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 class ChunkingSpec extends SparkSpec {
 
   test("chunk_docs_200 explodes docs into numbered chunks with consistent totals") {
-    val df = SparkEntry.queries("chunk_docs_200")(spark, sf).cache()
+    // the raw chunk frame (the driver row is now its violation gate)
+    val df = ops.Chunking.chunkDocs200(spark, sf).cache()
     val docs = Tables.documents(spark, sf).count()
     assert(df.count() >= docs, "every doc yields at least one chunk")
     // chunk_number runs 1..total_chunks within each doc

@@ -101,13 +101,14 @@ class DedupSpec extends SparkSpec {
   }
 
   test("driver queries: near-dup surfaces run and self-consistency holds") {
-    val mh = SparkEntry.queries("minhash_near_dupes")(spark, sf).collect()
+    // the raw pair frames (the driver rows are now their violation gates)
+    val mh = ops.Dedup.minhashNearDupesQ(spark, sf).collect()
     mh.foreach { r =>
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
       val j = r.getAs[Double]("est_jaccard")
       assert(j >= 0.5 && j <= 1.0)
     }
-    val sh = SparkEntry.queries("simhash_near_dupes")(spark, sf).collect()
+    val sh = ops.Dedup.simhashNearDupesQ(spark, sf).collect()
     sh.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
   }
 

@@ -70,8 +70,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("column pruning: lang_id and doc_fingerprints read only doc_id and text") {
-    Seq("lang_id", "doc_fingerprints").foreach { q =>
-      val s = scans(SparkEntry.queries(q)(spark, sf))
+    // doc_fingerprints the raw projection (the driver row is now its gate)
+    val frames = Seq(
+      "lang_id" -> SparkEntry.queries("lang_id")(spark, sf),
+      "doc_fingerprints" -> ops.TextAnalysis.docFingerprints(spark, sf))
+    frames.foreach { case (q, df) =>
+      val s = scans(df)
       val cols = s.head.requiredSchema.fieldNames.toSet
       assert(cols === Set("doc_id", "text"), s"$q scan reads more than needed: $cols")
     }
@@ -99,7 +103,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("minhash near-dup: only compact keys shuffle, text never does") {
-    val df = SparkEntry.queries("minhash_near_dupes")(spark, sf)
+    val df = ops.Dedup.minhashNearDupesQ(spark, sf)
     val exchanges = df.queryExecution.sparkPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }

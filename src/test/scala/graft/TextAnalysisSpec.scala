@@ -105,7 +105,7 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("n_word_tokens") >= r.getAs[Long]("n_ws_tokens") - 1)
       assert(r.getAs[Long]("n_bpe_pieces") >= r.getAs[Long]("n_word_tokens"))
     }
-    assert(SparkEntry.queries("doc_fingerprints")(spark, sf).count() > 0)
+    assert(ops.TextAnalysis.docFingerprints(spark, sf).count() > 0)
   }
 
   test("quality_calibration: ordered percentiles, per-lang adaptive keep near 75%") {
