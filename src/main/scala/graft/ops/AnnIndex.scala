@@ -353,6 +353,62 @@ object AnnIndex extends QueryModule {
       |FROM embeddings WHERE vec_id < 9 AND vec_id % 2 = 0
       |ORDER BY vec_id""".stripMargin
 
+  /** The OPTIMIZER-DRIVEN filtered-ANN shape: the query is written as the
+    * NATURAL exact k-NN — `WHERE tier = 'gold' ORDER BY cosine DESC LIMIT
+    * 5` with no probe filter anywhere in user code — and the opt-in
+    * `AnnRewriteRule` injects `bucket IN <probe set>` below the sort,
+    * descending through the user's tier Filter (the rule's
+    * injectProbeFilter passes Project/Filter transparently). Catalyst
+    * then classifies the injected IN as PARTITION pruning and the tier
+    * predicate as an ordinary pushed data filter — both on the same scan
+    * (plan-pinned in AnnRewriteSpec). Same index, corpus, and oracle as
+    * annFilteredTopk, so the rewritten plan must reproduce the
+    * hand-pruned row set exactly; conf arming is localized so the rule
+    * can't leak into other driver queries.
+    */
+  def annRewriteFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{AnnRewriteRule => R, GraftExtensions}
+    GraftExtensions.register(spark)
+    val path = buildFilteredTierIndex(spark, dir)
+    val qv = queryVec(spark, dir, 0L)
+    Relational.withConfsLocalized(spark, Seq(
+      R.EnabledKey -> "true", R.NBitsKey -> "6",
+      R.SeedKey -> "42", R.RadiusKey -> "2")) {
+      annRewriteFilteredFrame(spark, path, qv)
+    }.orderBy("vec_id")
+  }
+
+  /** The armed query frame, exposed so AnnRewriteSpec can audit the very
+    * plan the driver row runs (partition filters AND pushed tier filter).
+    */
+  private[graft] def annRewriteFilteredFrame(spark: SparkSession,
+      path: String, qv: Array[Float]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("tier") === "gold")
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select("vec_id", "score")
+
+  /** The tier-tagged planted index shared by the hand-pruned and the
+    * rewrite-driven filtered rows (annFilteredTopk's construction).
+    */
+  private[graft] def buildFilteredTierIndex(spark: SparkSession, dir: String): String = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshrw_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), lit("corpus").as("tier"))
+    val copies = spark.range(100000L, 100009L).toDF("vec_id")
+      .crossJoin(broadcast(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"),
+        when(col("vec_id") % 2 === 0, "gold").otherwise("silver").as("tier"))
+    IndexBuilder.buildLshIndex(base.unionByName(copies), "embedding", defaultLsh, path)
+    path
+  }
+
   /** DELETE from the ANN index without a rebuild: deletes land as a
     * delta-sized tombstone sidecar (the MOR discipline — index files are
     * never touched), and the query path anti-joins the broadcast
@@ -748,6 +804,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_sq8_topk" -> annIvfSq8Topk,
     "ann_filtered_topk" -> annFilteredTopk,
+    "ann_rewrite_filtered_topk" -> annRewriteFilteredTopk,
     "ann_delete_topk" -> annDeleteTopk,
     "ann_compacted_delete_topk" -> annCompactedDeleteTopk,
     "ann_upsert_topk" -> annUpsertTopk,
@@ -769,6 +826,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_topk" -> annSelfQueryTopkSql,
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
+    "ann_rewrite_filtered_topk" -> annFilteredTopkSql,
     "ann_delete_topk" -> annDeleteTopkSql,
     "ann_compacted_delete_topk" -> annDeleteTopkSql,
     "ann_upsert_topk" -> annUpsertTopkSql,

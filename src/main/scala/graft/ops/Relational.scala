@@ -837,7 +837,7 @@ object Relational extends QueryModule {
     * an optimizer-rule registration can never leak past its driver query
     * into the rest of the Verify/Bench session.
     */
-  private def withConfsLocalized(spark: SparkSession,
+  private[ops] def withConfsLocalized(spark: SparkSession,
       confs: Seq[(String, String)])(build: => DataFrame): DataFrame = {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -159,6 +159,31 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("filtered-ANN shape: rewrite descends through the tier predicate; " +
+      "partition filters AND pushed data filter on one scan") {
+    val path = ops.AnnIndex.buildFilteredTierIndex(spark, sf)
+    withAnnRewrite(radius = 2) {
+      val df = ops.AnnIndex.annRewriteFilteredFrame(spark, path, qvec)
+      // the injected probe filter must land despite the user's tier Filter
+      // sitting between the sort and the relation
+      val optimized = optimizedPlan(df)
+      assert(BucketIn.findFirstIn(optimized).isDefined,
+        s"no bucket filter injected through the tier predicate:\n$optimized")
+      val scan = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      val partFilters = scan.partitionFilters.mkString(" ")
+      assert(partFilters.contains("bucket"),
+        s"probe set must prune bucket partitions, got: $partFilters")
+      val pushed = scan.metadata("PushedFilters")
+      assert(pushed.contains("tier"),
+        s"tier predicate must push to the scan as a data filter: $pushed")
+      // and the pruned result is the hand-enumerable gold set
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === Seq(100000L, 100002L, 100004L, 100006L, 100008L).map((_, 1.0)))
+    }
+  }
+
   test("enabled on a partitioned index table: the filter becomes partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("lsh_index").toString
     IndexBuilder.buildLshIndex(corpus, "embedding", lsh, dir)
