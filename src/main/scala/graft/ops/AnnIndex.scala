@@ -303,6 +303,24 @@ object AnnIndex extends QueryModule {
       "embedding", "vec_id", queryVec(spark, dir, 0L),
       k = 10, numClusters = 16, nProbe = 6, seed = 42L)
 
+  /** IVF-PQ composed retrieval under the planted self-query oracle — the
+    * FAISS `IVFx,PQy` default, all three stages real: nProbe cluster
+    * pruning → m-byte ADC coarse rank (native codegen AdcScore) → exact
+    * rescore of the tie-inclusive overscan set. The planted copies encode
+    * to vector 0's exact PQ code bytes (encoding is a pure function of
+    * the vector under the seeded per-subspace fits), assign to its
+    * cluster, ADC-score at the shared maximum, and rescore to cosine 1.0
+    * — so the composed top-10 provably equals the enumerated oracle
+    * while 10/16 clusters are genuinely pruned and the coarse pass reads
+    * codes only. A regression in any stage (probe ranking, codebook
+    * determinism, LUT scoring, cutoff tie rule) perturbs the row set.
+    */
+  def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.vector.ProductQuantization.ivfPqTopK(
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 10, numClusters = 16, nProbe = 6, seed = 42L)
+
   /** IVF pruned top-10 over the raw corpus (spec-only recall anchor). */
   def annIvfTopkReal(spark: SparkSession, dir: String): DataFrame =
     IndexBuilder.ivfTopK(Tables.embeddings(spark, dir), "embedding", "vec_id",
@@ -803,6 +821,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_incremental_topk" -> annIvfIncrementalTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_sq8_topk" -> annIvfSq8Topk,
+    "ann_ivf_pq_topk" -> annIvfPqTopk,
     "ann_filtered_topk" -> annFilteredTopk,
     "ann_rewrite_filtered_topk" -> annRewriteFilteredTopk,
     "ann_delete_topk" -> annDeleteTopk,
@@ -825,6 +844,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_incremental_topk" -> annSelfQueryTopkSql,
     "ann_ivf_topk" -> annSelfQueryTopkSql,
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_pq_topk" -> annSelfQueryTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_rewrite_filtered_topk" -> annFilteredTopkSql,
     "ann_delete_topk" -> annDeleteTopkSql,

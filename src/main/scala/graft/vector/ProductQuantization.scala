@@ -111,6 +111,16 @@ object ProductQuantization {
       queryVec: Array[Float], k: Int, m: Int = 16, ksub: Int = 64,
       seed: Long = 42L, overscan: Int = 16): DataFrame = {
     val books = fitCodebooks(corpus, embCol, m, ksub, seed)
+    pqKnnWithBooks(corpus, embCol, idCol, books, queryVec, k, overscan)
+  }
+
+  /** The query-side half of pqKnn over PRE-FIT codebooks — shared by the
+    * flat-PQ and IVF-PQ paths (train once, probe many: the codebooks are
+    * a property of the corpus distribution, not of any one probe set).
+    */
+  def pqKnnWithBooks(corpus: DataFrame, embCol: String, idCol: String,
+      books: Array[Array[Array[Double]]], queryVec: Array[Float],
+      k: Int, overscan: Int): DataFrame = {
     val scored = adcScores(withPqCodes(corpus, embCol, books), adcTable(books, queryVec))
     val cutoff = scored.select(col("adc_score"))
       .orderBy(col("adc_score").desc).limit(k * overscan)
@@ -121,5 +131,26 @@ object ProductQuantization {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
+  }
+
+  /** IVF-PQ composed retrieval (the FAISS `IVFx,PQy` default index): the
+    * nProbe nearest-centroid clusters bound the SCAN (partition pruning on
+    * cluster_id), the m-byte PQ codes bound the BANDWIDTH of the coarse
+    * ADC pass over the survivors, and only the tie-inclusive overscan set
+    * touches the float column for the exact rescore. Codebooks are fit on
+    * the full corpus with the same seed discipline as the IVF fit — an
+    * arriving probe set never re-trains. At 100 TB this is the layout
+    * where per-query cost is ~(nProbe/numClusters)·m bytes per stored
+    * vector plus k·overscan float reads.
+    */
+  def ivfPqTopK(corpus: DataFrame, embCol: String, idCol: String,
+      queryVec: Array[Float], k: Int, numClusters: Int, nProbe: Int,
+      seed: Long, m: Int = 16, ksub: Int = 64, overscan: Int = 16): DataFrame = {
+    val books = fitCodebooks(corpus, embCol, m, ksub, seed)
+    val (clustered, centers) =
+      IndexBuilder.withIvfCluster(corpus, embCol, numClusters, seed)
+    val probes = IndexBuilder.nearestClusters(centers, queryVec, nProbe)
+    pqKnnWithBooks(clustered.filter(col("cluster_id").isin(probes: _*)),
+      embCol, idCol, books, queryVec, k, overscan)
   }
 }

@@ -118,4 +118,27 @@ class QuantizationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === exact)
   }
+
+  test("ivf-pq composed: raw-corpus recall matches the plain IVF path's") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val exact = SparkEntry.queries("knn_exact_topk")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    // PQ's overscan margin covers quantization error, so composed recall
+    // must equal the IVF pruning's own recall (PQ adds no loss here)
+    val ivf = graft.vector.IndexBuilder.ivfTopK(e, "embedding", "vec_id",
+        qv, k = 10, numClusters = 16, nProbe = 6, seed = 42L)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val composed = graft.vector.ProductQuantization.ivfPqTopK(e, "embedding",
+        "vec_id", qv, k = 10, numClusters = 16, nProbe = 6, seed = 42L)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((composed & exact).size >= (ivf & exact).size - 1,
+      s"PQ coarse pass lost recall beyond its overscan margin: " +
+        s"ivf=${(ivf & exact).size} composed=${(composed & exact).size}")
+    // the self-match always survives (its cluster is probed, its code is
+    // the query's own encoding, rescore is unbeatable)
+    assert(composed.contains(0L))
+  }
 }
