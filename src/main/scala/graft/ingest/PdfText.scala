@@ -14,10 +14,12 @@ package graft.ingest
   * (bfchar + bfrange, 1- and 2-byte codes) resolved through each page's
   * /Resources → /Font chain with /Parent inheritance, and a
   * Type0/Identity-H fallback (2-byte CIDs read as UTF-16 code units when
-  * no ToUnicode table exists). Still out of scope:
-  * encryption and filters beyond Flate (DCT/JBIG2 images are never text) —
-  * out-of-scope files return None and flow into the corrupt-file skip
-  * path, exactly like the reference's per-file try/except.
+  * no ToUnicode table exists). Encrypted files are DETECTED (the trailer's
+  * /Encrypt entry) and reported as a typed `encrypted` status rather than
+  * silently corrupt-skipped — decryption itself stays out of scope, as do
+  * filters beyond Flate (DCT/JBIG2 images are never text); out-of-scope
+  * files return None and flow into the corrupt-file skip path, exactly
+  * like the reference's per-file try/except.
   *
   * Everything here is a driver-free pure function: it runs inside the
   * binaryFile scan's narrow map, one call per file, no shuffle.
@@ -33,13 +35,47 @@ object PdfText {
     def text: String = pages.mkString("\n\n")
   }
 
-  /** Extract text + metadata; None = not a parseable PDF (corrupt-skip). */
+  /** /Encrypt in a trailer dictionary (or the xref-stream dict that
+    * replaces it in PDF 1.5+ layouts): the document's strings and streams
+    * are RC4/AES-encrypted and any "text" we'd extract would be
+    * ciphertext. Both layouts put the dict near EOF, so only the tail is
+    * scanned — a content stream that merely CONTAINS the bytes
+    * "/Encrypt" earlier in the file cannot false-positive.
+    */
+  private val EncryptRe = """/Encrypt\s+\d+\s+\d+\s+R|/Encrypt\s*<<""".r
+
+  def isEncrypted(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 8) return false
+    val tail = new String(bytes, math.max(0, bytes.length - 4096),
+      math.min(bytes.length, 4096), java.nio.charset.StandardCharsets.ISO_8859_1)
+    EncryptRe.findFirstIn(tail).isDefined
+  }
+
+  /** Typed per-file extraction status — the reference records a status
+    * string per fetched item (`scrape_youtube_metadata.py:45-48`) instead
+    * of folding every failure into one skip bucket; this mirrors that for
+    * the PDF scan: `ok`, `encrypted` (parseable but ciphertext — needs a
+    * password, not a better parser), `not_pdf`, or `corrupt`.
+    */
+  def extractionStatus(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 8) "corrupt"
+    else if (!new String(bytes, 0, 8,
+        java.nio.charset.StandardCharsets.ISO_8859_1).startsWith("%PDF-")) "not_pdf"
+    else if (isEncrypted(bytes)) "encrypted"
+    else if (extract(bytes).isDefined) "ok"
+    else "corrupt"
+  }
+
+  /** Extract text + metadata; None = not a parseable PDF (corrupt-skip;
+    * encrypted files also return None here — extractionStatus types them).
+    */
   def extract(bytes: Array[Byte]): Option[PdfDoc] = {
     if (bytes == null || bytes.length < 8) return None
     // Latin-1 gives a 1:1 byte↔char mapping, keeping regex offsets aligned
     // with byte offsets in the mixed binary/ASCII PDF syntax.
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!raw.startsWith("%PDF-")) return None
+    if (isEncrypted(bytes)) return None // ciphertext, not extractable text
     try {
       val objects = expandObjectStreams(parseObjects(raw, bytes), bytes)
       if (objects.isEmpty) return None

@@ -105,6 +105,23 @@ object Sources {
         col("doc._6").as("pdf_keywords"))
   }
 
+  /** Typed per-file status companion to readPdfDir — `ok` / `encrypted` /
+    * `not_pdf` / `corrupt` per file instead of one silent skip bucket
+    * (the reference's typed fetch statuses,
+    * `scrape_youtube_metadata.py:45-48`): an ingest run can now report
+    * "3 skipped: 2 encrypted, 1 corrupt" and route encrypted files to a
+    * password queue rather than losing them indistinguishably. Same
+    * narrow-map scan shape; payload bytes never shuffle.
+    */
+  def readPdfDirStatuses(spark: SparkSession, dir: String): DataFrame = {
+    val status = udf((bytes: Array[Byte]) => PdfText.extractionStatus(bytes))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .option("recursiveFileLookup", true)
+      .load(dir)
+      .select(col("path"), col("length"), status(col("content")).as("status"))
+  }
+
   /** K4: partitioned JSON sink — the scalable replacement for the
     * reference's one-file-per-record layout (`scrape_youtube_metadata
     * .py:146-152`): records land under partition directories keyed by the

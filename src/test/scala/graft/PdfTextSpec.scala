@@ -302,6 +302,54 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.extract("%PDF-1.4\ngarbage".getBytes(ISO_8859_1)) === None)
   }
 
+  /** RC4-stub fixture: a structurally valid PDF whose trailer points at a
+    * standard-security-handler /Encrypt dict and whose "content" is
+    * ciphertext-like garbage — what any RC4-encrypted writer emits. Only
+    * detection is in scope; decryption needs the password.
+    */
+  private def encryptedPdf(): Array[Byte] = {
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(ISO_8859_1),
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(ISO_8859_1),
+      4 -> streamObj("<< >>",
+        Array[Byte](0x7f, -0x35, 0x11, -0x7a, 0x03, 0x5e, -0x12, 0x44)),
+      5 -> ("<< /Filter /Standard /V 1 /R 2 /O <28bf4e5e4e758a41> " +
+        "/U <64756d6d79> /P -44 >>").getBytes(ISO_8859_1))
+    buildPdf(objs, "<< /Root 1 0 R /Encrypt 5 0 R >>")
+  }
+
+  test("encrypted PDFs: typed status instead of a silent corrupt-skip") {
+    val enc = encryptedPdf()
+    assert(PdfText.isEncrypted(enc))
+    assert(PdfText.extract(enc) === None, "ciphertext must not extract as text")
+    assert(PdfText.extractionStatus(enc) === "encrypted")
+    // the plain statuses stay distinguishable
+    assert(PdfText.extractionStatus(
+      singlePagePdf("BT 72 700 Td (ok) Tj ET")) === "ok")
+    assert(PdfText.extractionStatus("%PDF-1.4\nbroken".getBytes(ISO_8859_1)) === "corrupt")
+    assert(PdfText.extractionStatus("plain text".getBytes(ISO_8859_1)) === "not_pdf")
+    // an unencrypted doc whose CONTENT mentions /Encrypt is not flagged
+    // (detection scans the trailer region, and the marker must be a ref
+    // or inline dict — prose never matches)
+    val decoy = singlePagePdf("BT 72 700 Td (about the /Encrypt key) Tj ET")
+    assert(PdfText.extractionStatus(decoy) === "ok")
+  }
+
+  test("readPdfDirStatuses: per-file typed statuses over a mixed directory") {
+    val dir = Files.createTempDirectory("pdfstat").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/good.pdf"),
+      singlePagePdf("BT 72 700 Td (fine) Tj ET"))
+    Files.write(java.nio.file.Paths.get(s"$dir/locked.pdf"), encryptedPdf())
+    Files.write(java.nio.file.Paths.get(s"$dir/bad.pdf"),
+      "%PDF-1.4\nbroken".getBytes(ISO_8859_1))
+    val statuses = Sources.readPdfDirStatuses(spark, dir).collect()
+      .map(r => r.getAs[String]("path").split('/').last -> r.getAs[String]("status"))
+      .toMap
+    assert(statuses === Map(
+      "good.pdf" -> "ok", "locked.pdf" -> "encrypted", "bad.pdf" -> "corrupt"))
+  }
+
   test("readPdfDir: scan extracts text + metadata, skips corrupt files") {
     val dir = Files.createTempDirectory("pdfs").toString
     Files.write(java.nio.file.Paths.get(s"$dir/good.pdf"),
