@@ -78,9 +78,19 @@ object IndexBuilder {
   /** Persist the corpus as an LSH-partitioned index table: query-time bucket
     * filters become partition (file) pruning at the parquet source.
     */
+  /** Cluster rows by the partition key before the partitioned write: an
+    * unclustered `partitionBy` has EVERY input task open a writer per
+    * bucket it sees (up to tasks × 2^nBits tiny files — the classic
+    * dynamic-partition file explosion); one shuffle on the key writes one
+    * file per bucket per owning task, which is also the layout the
+    * compaction job would otherwise have to repair.
+    */
+  private def clusteredBy(df: DataFrame, key: String, nParts: Int): DataFrame =
+    df.repartition(nParts, col(key))
+
   def buildLshIndex(df: DataFrame, embCol: String, lsh: RandomHyperplaneLsh,
       path: String): Unit =
-    withLshBucket(df, embCol, lsh)
+    clusteredBy(withLshBucket(df, embCol, lsh), "bucket", 1 << lsh.nBits)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Incremental index maintenance: hash new vectors with the SAME seeded
@@ -93,7 +103,7 @@ object IndexBuilder {
     */
   def appendToLshIndex(df: DataFrame, embCol: String, lsh: RandomHyperplaneLsh,
       path: String): Unit =
-    withLshBucket(df, embCol, lsh)
+    clusteredBy(withLshBucket(df, embCol, lsh), "bucket", 1 << lsh.nBits)
       .write.mode("append").partitionBy("bucket").parquet(path)
 
   /** EXACTLY-ONCE streaming index ingestion over an at-least-once channel
@@ -110,7 +120,7 @@ object IndexBuilder {
     */
   def stageLshBatch(df: DataFrame, embCol: String, lsh: RandomHyperplaneLsh,
       root: String, batchId: Long): Unit =
-    withLshBucket(df, embCol, lsh)
+    clusteredBy(withLshBucket(df, embCol, lsh), "bucket", 1 << lsh.nBits)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/batch=$batchId")
 
@@ -341,7 +351,8 @@ object IndexBuilder {
   def buildIvfIndex(df: DataFrame, embCol: String, numClusters: Int,
       seed: Long, path: String): Array[Array[Double]] = {
     val (clustered, centers) = withIvfCluster(df, embCol, numClusters, seed)
-    clustered.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    clusteredBy(clustered, "cluster_id", numClusters)
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
     val text = centers.map(_.map(java.lang.Double.toString).mkString(","))
       .mkString("\n")
     java.nio.file.Files.write(
@@ -360,7 +371,8 @@ object IndexBuilder {
     */
   def appendToIvfIndex(df: DataFrame, embCol: String, path: String): Unit = {
     val centers = loadIvfCentroids(path)
-    df.withColumn("cluster_id", assignUdf(centers)(col(embCol)))
+    clusteredBy(df.withColumn("cluster_id", assignUdf(centers)(col(embCol))),
+        "cluster_id", centers.length)
       .write.mode("append").partitionBy("cluster_id").parquet(path)
   }
 
