@@ -326,6 +326,122 @@ object Lakehouse extends QueryModule {
     spark.read.parquet(compacted).orderBy("o_orderkey")
   }
 
+  // ---- CDC change feed (Delta CDF / Debezium row-level changes) ----
+
+  /** Change-data-capture feed for one MOR commit: classify the commit's
+    * delta into `insert` / `delete` / `update_preimage` /
+    * `update_postimage` rows (the Delta Lake CDF vocabulary), so
+    * downstream consumers (index maintenance, replication, IVM) see
+    * row-level changes without diffing snapshots.
+    *
+    * Scale shape: snapshot-diff CDC (v2 FULL OUTER JOIN v1) shuffles the
+    * whole table twice; here the base NEVER crosses an exchange — the
+    * only touch is one broadcast-hash inner join against the commit's
+    * net keys to harvest preimages (map-side, delta-sized output), and
+    * every join after that is between delta-sized frames. Multiple
+    * changes to one key inside the commit net to the highest-seq row
+    * first (a tombstone after an upsert is just a delete), matching how
+    * Delta CDF nets per-version changes.
+    *
+    * The commit is derived deterministically from the data (10% of keys
+    * upserted, 4% tombstoned — tombstone wins where both land, brand-new
+    * keys re-landed at +10_000_000 for the insert class) so the DuckDB
+    * oracle replays the identical classification via a LEFT JOIN.
+    */
+  def cdcChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_cdc", dir)
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus").as("status"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_e2"))
+    base.write.mode("overwrite").parquet(tmp + "/base")
+    val upserts = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("status"),
+        (col("price_e2") + 10000L).as("price_e2"),
+        lit(false).as("tombstone"), lit(1L).as("seq"))
+    val inserts = base.filter(col("o_orderkey") % 40 === 7)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("N").as("status"), col("price_e2"),
+        lit(false).as("tombstone"), lit(1L).as("seq"))
+    val deletes = base.filter(col("o_orderkey") % 25 === 0)
+      .select(col("o_orderkey"), lit("").as("status"),
+        lit(-1L).as("price_e2"), lit(true).as("tombstone"), lit(2L).as("seq"))
+    upserts.unionByName(inserts).unionByName(deletes)
+      .write.mode("overwrite").parquet(tmp + "/delta")
+    cdcRead(spark, tmp)
+  }
+
+  /** The classification read, separated so specs can drive it against
+    * planted base/delta files (tombstone-for-missing-key no-op, one key
+    * netting upsert→tombstone into a single delete).
+    */
+  def cdcRead(spark: SparkSession, tmp: String): DataFrame = {
+    val base = spark.read.parquet(tmp + "/base")
+    val net = spark.read.parquet(tmp + "/delta")
+      .groupBy("o_orderkey")
+      .agg(max_by(struct(col("status"), col("price_e2"), col("tombstone")),
+        col("seq")).as("d"))
+      .select(col("o_orderkey"), col("d.status").as("status"),
+        col("d.price_e2").as("price_e2"), col("d.tombstone").as("tombstone"))
+    // preimages: the base's single touch — broadcast the net keys, no
+    // base-side exchange; output is delta-sized
+    val pre = base.join(broadcast(net.select("o_orderkey")), Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("status").as("pre_status"),
+        col("price_e2").as("pre_price_e2"))
+    val j = net.join(pre, Seq("o_orderkey"), "left")
+    val ins = j.filter(col("pre_status").isNull && !col("tombstone"))
+      .select(col("o_orderkey"), lit("insert").as("change_type"),
+        col("status"), col("price_e2"))
+    val del = j.filter(col("pre_status").isNotNull && col("tombstone"))
+      .select(col("o_orderkey"), lit("delete").as("change_type"),
+        col("pre_status").as("status"), col("pre_price_e2").as("price_e2"))
+    val updPre = j.filter(col("pre_status").isNotNull && !col("tombstone"))
+      .select(col("o_orderkey"), lit("update_preimage").as("change_type"),
+        col("pre_status").as("status"), col("pre_price_e2").as("price_e2"))
+    val updPost = j.filter(col("pre_status").isNotNull && !col("tombstone"))
+      .select(col("o_orderkey"), lit("update_postimage").as("change_type"),
+        col("status"), col("price_e2"))
+    // a tombstone for a key absent from the base nets to nothing
+    ins.unionByName(del).unionByName(updPre).unionByName(updPost)
+      .orderBy("o_orderkey", "change_type")
+  }
+
+  private val cdcChangeFeedSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus AS status,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_e2
+      |  FROM orders),
+      |delta AS (
+      |  SELECT o_orderkey, 'U' AS status, price_e2 + 10000 AS price_e2,
+      |         FALSE AS tombstone, 1 AS seq
+      |  FROM base WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'N', price_e2, FALSE, 1
+      |  FROM base WHERE o_orderkey % 40 = 7
+      |  UNION ALL
+      |  SELECT o_orderkey, '', CAST(-1 AS BIGINT), TRUE, 2
+      |  FROM base WHERE o_orderkey % 25 = 0),
+      |net AS (
+      |  SELECT o_orderkey, arg_max(status, seq) AS status,
+      |         arg_max(price_e2, seq) AS price_e2,
+      |         arg_max(tombstone, seq) AS tombstone
+      |  FROM delta GROUP BY 1),
+      |j AS (
+      |  SELECT n.o_orderkey, n.status, n.price_e2, n.tombstone,
+      |         b.status AS pre_status, b.price_e2 AS pre_price_e2
+      |  FROM net n LEFT JOIN base b USING (o_orderkey))
+      |SELECT o_orderkey, 'insert' AS change_type, status, price_e2
+      |FROM j WHERE pre_status IS NULL AND NOT tombstone
+      |UNION ALL
+      |SELECT o_orderkey, 'delete', pre_status, pre_price_e2
+      |FROM j WHERE pre_status IS NOT NULL AND tombstone
+      |UNION ALL
+      |SELECT o_orderkey, 'update_preimage', pre_status, pre_price_e2
+      |FROM j WHERE pre_status IS NOT NULL AND NOT tombstone
+      |UNION ALL
+      |SELECT o_orderkey, 'update_postimage', status, price_e2
+      |FROM j WHERE pre_status IS NOT NULL AND NOT tombstone
+      |ORDER BY o_orderkey, change_type""".stripMargin
+
   // ---- partition-scoped backfill (dynamic partition overwrite) ----
 
   /** Idempotent backfill of a slice of a partitioned table with DYNAMIC
@@ -524,7 +640,8 @@ object Lakehouse extends QueryModule {
     "zonemap_append_scan" -> zonemapAppendScan,
     "backfill_partitions" -> backfillPartitions,
     "orc_interchange" -> orcInterchange,
-    "csv_interchange" -> csvInterchange)
+    "csv_interchange" -> csvInterchange,
+    "cdc_change_feed" -> cdcChangeFeed)
 
   def oracles: Map[String, String] = Map(
     "mor_snapshot" -> morSnapshotSql,
@@ -536,5 +653,6 @@ object Lakehouse extends QueryModule {
     "zonemap_append_scan" -> zonemapAppendScanSql,
     "backfill_partitions" -> backfillPartitionsSql,
     "orc_interchange" -> fidelitySql,
-    "csv_interchange" -> fidelitySql)
+    "csv_interchange" -> fidelitySql,
+    "cdc_change_feed" -> cdcChangeFeedSql)
 }

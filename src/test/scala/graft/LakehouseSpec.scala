@@ -207,4 +207,55 @@ class LakehouseSpec extends SparkSpec {
     assert(nSel === 0)
     assert(out.count() === 0)
   }
+
+  test("cdc: classifies insert/delete/update and nets multi-change keys") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_spec").toString
+    Seq((1L, "O", 100L), (2L, "O", 200L), (3L, "F", 300L))
+      .toDF("o_orderkey", "status", "price_e2")
+      .write.parquet(tmp + "/base")
+    Seq(
+      (2L, "U", 250L, false, 1L),  // update of an existing key
+      (3L, "U", 350L, false, 1L),  // upsert then tombstone: nets to delete
+      (3L, "", -1L, true, 2L),
+      (9L, "N", 900L, false, 1L),  // brand-new key: insert
+      (7L, "", -1L, true, 2L))     // tombstone for a missing key: no-op
+      .toDF("o_orderkey", "status", "price_e2", "tombstone", "seq")
+      .write.parquet(tmp + "/delta")
+    val out = Lakehouse.cdcRead(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(out === Seq(
+      (2L, "update_postimage", "U", 250L),
+      (2L, "update_preimage", "O", 200L),
+      (3L, "delete", "F", 300L),
+      (9L, "insert", "N", 900L)))
+  }
+
+  test("cdc: the base reaches its broadcast join without an exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // AQE off for this one plan walk: under AQE the executed plan is an
+    // AdaptiveSparkPlanExec leaf that collect() cannot descend into
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("cdc_change_feed")(spark, sf)
+        .queryExecution.executedPlan
+      // the delta-sized net agg and the final sort may shuffle, but the
+      // base scan must feed its (preimage-harvesting) broadcast join with
+      // no ShuffleExchange in between
+      val ok = plan.collect { case j: BroadcastHashJoinExec => j }.exists {
+        _.children.exists { c =>
+          c.collect {
+            case s: FileSourceScanExec if s.relation.location.rootPaths
+              .exists(p => p.toString.contains("graft_cdc") &&
+                p.toString.endsWith("/base")) => s
+          }.nonEmpty &&
+          c.collect { case e: ShuffleExchangeExec => e }.isEmpty
+        }
+      }
+      assert(ok,
+        s"base scan must reach its broadcast join without an exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
