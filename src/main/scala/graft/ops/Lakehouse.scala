@@ -150,6 +150,116 @@ object Lakehouse extends QueryModule {
       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- bloom-filter file skipping (point lookups below zone maps) ----
+
+  /** Bits per file-level bloom filter (2^21 = 32768 words) and hash
+    * count. At ~20k keys/file the fill is ~5%, so a point probe's
+    * false-positive rate is ~0.05^6 — effectively one data file read
+    * per present key, zero for absent keys.
+    */
+  private val BloomBitsLog2 = 21
+  private val BloomSeeds = 6
+
+  /** The k bloom positions of a key — ONE expression shared by the index
+    * build and the probe, so the two can never disagree on hashing.
+    */
+  private def bloomPositions(key: Column): Column =
+    transform(sequence(lit(0), lit(BloomSeeds - 1)),
+      s => pmod(xxhash64(key, s), lit(1L << BloomBitsLog2)))
+
+  /** File-level bloom sidecar for point lookups (the Iceberg Puffin /
+    * Parquet bloom pattern lifted to the manifest): zone maps prune
+    * RANGE predicates on the clustering column, but a point lookup on a
+    * non-clustered key overlaps every file's min/max — a bloom sidecar
+    * prunes those. Complementary to `zonemapScan` over the SAME
+    * date-clustered layout: dates prune by range, keys by bloom.
+    *
+    * The build is one distributed scan: each row explodes to k (file,
+    * bit-position) pairs, folded per (file, word) with `bit_or` — no
+    * driver-side bitmap ever materializes. The sidecar stores occupied
+    * 64-bit words as rows clustered by word_idx, so a probe reads only
+    * the k words it needs (pushed `word_idx IN` filter → row-group
+    * pruning), not the whole bitmap: probe cost is k·files ROWS even
+    * when the sidecar holds millions of words.
+    *
+    * The driver row looks up the 3 smallest orderkeys through the index;
+    * the oracle is the plain IN-subquery lookup — like zone maps,
+    * pruning must be invisible to results (the spec pins that files are
+    * actually skipped and absent keys read nothing).
+    */
+  def bloomScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_bloom", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_e2"),
+        col("o_orderdate"))
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.mode("overwrite").parquet(tmp + "/data")
+    spark.read.parquet(tmp + "/data")
+      .select(col("_metadata.file_path").as("file"),
+        explode(bloomPositions(col("o_orderkey"))).as("pos"))
+      .select(col("file"), expr("pos DIV 64").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .groupBy("file", "word_idx")
+      .agg(expr("bit_or(mask)").as("word"))
+      .sortWithinPartitions("word_idx") // cluster for probe row-group pruning
+      .write.mode("overwrite").parquet(tmp + "/bloom")
+    val needles = spark.read.parquet(tmp + "/data")
+      .select("o_orderkey").orderBy("o_orderkey").limit(3)
+      .collect().map(_.getLong(0)).toIndexedSeq // serving-path: 3 rows
+    bloomLookup(spark, tmp, needles)._1
+  }
+
+  /** The pruned point lookup: returns (result, candidateFiles,
+    * totalFiles) so the spec can assert real skipping. Collects are the
+    * needles' bit positions (≤ k·|keys| rows) and the candidate file
+    * list (catalog-scale) — never data or sidecar bulk.
+    */
+  def bloomLookup(spark: SparkSession, tmp: String, keys: Seq[Long])
+      : (DataFrame, Int, Int) = {
+    import spark.implicits._
+    val total = new java.io.File(tmp + "/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // the needles' positions, computed by the SAME Spark expression as
+    // the build, then pinned driver-side for the pushable IN filter
+    val probeRows = keys.toDF("needle")
+      .select(col("needle"),
+        explode(array_distinct(bloomPositions(col("needle")))).as("pos"))
+      .select(col("needle"), expr("pos DIV 64").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nReq = probeRows.groupBy(_._1).view.mapValues(_.length).toMap
+    val wordIdxs = probeRows.map(_._2).distinct
+    val probe = probeRows.toIndexedSeq.toDF("needle", "word_idx", "mask")
+    val candFiles = spark.read.parquet(tmp + "/bloom")
+      .filter(col("word_idx").isin(wordIdxs: _*)) // pushed: k·files rows read
+      .join(broadcast(probe), Seq("word_idx"))
+      .filter((col("word").bitwiseAND(col("mask"))) =!= 0L)
+      .groupBy("needle", "file").agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(nReq.toSeq.toDF("needle", "n_req")), Seq("needle"))
+      .filter(col("n_hit") === col("n_req"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)) // catalog-scale candidate list
+    val out =
+      if (candFiles.isEmpty)
+        spark.read.parquet(tmp + "/data").limit(0)
+          .select("o_orderkey", "status", "price_e2")
+      else
+        spark.read.parquet(candFiles.toIndexedSeq: _*)
+          .filter(col("o_orderkey").isin(keys: _*))
+          .select("o_orderkey", "status", "price_e2")
+          .orderBy("o_orderkey")
+    (out, candFiles.length, total)
+  }
+
+  private val bloomScanSql =
+    """SELECT o_orderkey, o_orderstatus AS status,
+      |       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_e2
+      |FROM orders
+      |WHERE o_orderkey IN (
+      |  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- Z-order clustering (multi-dimensional zone maps) ----
 
   /** Bit-interleave two 16-bit column values into one Z-value — a pure
@@ -641,7 +751,8 @@ object Lakehouse extends QueryModule {
     "backfill_partitions" -> backfillPartitions,
     "orc_interchange" -> orcInterchange,
     "csv_interchange" -> csvInterchange,
-    "cdc_change_feed" -> cdcChangeFeed)
+    "cdc_change_feed" -> cdcChangeFeed,
+    "bloom_pruned_lookup" -> bloomScan)
 
   def oracles: Map[String, String] = Map(
     "mor_snapshot" -> morSnapshotSql,
@@ -654,5 +765,6 @@ object Lakehouse extends QueryModule {
     "backfill_partitions" -> backfillPartitionsSql,
     "orc_interchange" -> fidelitySql,
     "csv_interchange" -> fidelitySql,
-    "cdc_change_feed" -> cdcChangeFeedSql)
+    "cdc_change_feed" -> cdcChangeFeedSql,
+    "bloom_pruned_lookup" -> bloomScanSql)
 }

@@ -208,6 +208,29 @@ class LakehouseSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("bloom: prunes to the containing file and never misses a present key") {
+    SparkEntry.queries("bloom_pruned_lookup")(spark, sf) // builds data+bloom
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bloom_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val all = spark.read.parquet(tmp + "/data")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    // probe an arbitrary present key: found, and from a pruned file set
+    val key = all(all.length / 2)
+    val (out, nSel, nTotal) = Lakehouse.bloomLookup(spark, tmp, Seq(key))
+    assert(nTotal >= 8, s"expected >=8 date-clustered files, got $nTotal")
+    assert(nSel < nTotal, s"no pruning: $nSel of $nTotal files selected")
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(key), "present key missed")
+  }
+
+  test("bloom: an absent key prunes every file and returns no rows") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bloom_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val (out, nSel, _) = Lakehouse.bloomLookup(spark, tmp, Seq(-987654321L))
+    assert(nSel === 0, s"absent key selected $nSel files")
+    assert(out.count() === 0)
+  }
+
   test("cdc: classifies insert/delete/update and nets multi-change keys") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_spec").toString
     Seq((1L, "O", 100L), (2L, "O", 200L), (3L, "F", 300L))
