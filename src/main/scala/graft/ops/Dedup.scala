@@ -164,8 +164,9 @@ object Dedup extends QueryModule {
     * for removal, catching boilerplate and partial copies that doc-level
     * exact/MinHash dedup both miss.
     *
-    * Scale shape: shingles are digested to fixed-width md5 before the
-    * exchange, so only 32-byte digests + ids ever shuffle — never text.
+    * Scale shape: shingles are digested to a fixed-width 128-bit hash
+    * before the exchange, so only 16 digest bytes + ids ever shuffle —
+    * never text.
     * The duplicate set comes from a count per digest (map-side partial
     * agg), joined back on the digest equi-key. Both aggregations and the
     * join partition cleanly at 100 TB; nothing is all-pairs.
@@ -182,14 +183,22 @@ object Dedup extends QueryModule {
     * sf0.1); the window shuffles the already-digested rows once instead.
     * array_distinct upstream makes (doc_id, digest) unique per doc, so a
     * plain count per digest IS the distinct-document count.
+    *
+    * Digests are two salted xxhash64 lanes kept as FLAT long columns:
+    * 16 digest bytes + ids are all that shuffle (vs 32-byte hex md5),
+    * and the window sort runs on radix-friendly longs — a struct digest
+    * measurably regresses here because complex-type sort keys fall back
+    * to the interpreted comparator. 128 bits keeps the corpus
+    * collision-free well past 10^12 shingles.
     */
   def dupNgramCoverageOf(docs: DataFrame): DataFrame = {
     val sh = docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"),
         explode(array_distinct(shinglesCol(tokensCol(col("text")), 8))).as("shingle"))
-      .select(col("doc_id"), md5(col("shingle")).as("digest"))
-    val wDigest = Window.partitionBy(col("digest"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h1"),
+        xxhash64(lit(1), col("shingle")).as("h2"))
+    val wDigest = Window.partitionBy(col("h1"), col("h2"))
     sh.withColumn("n_docs", count(lit(1)).over(wDigest))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
