@@ -321,6 +321,28 @@ object AnnIndex extends QueryModule {
       "embedding", "vec_id", queryVec(spark, dir, 0L),
       k = 10, numClusters = 16, nProbe = 6, seed = 42L)
 
+  /** The PERSISTED IVF-PQ index end-to-end (the FAISS write_index/
+    * read_index lifecycle under the self-query oracle): build the
+    * `partitionBy(cluster_id)` table with stored m-byte codes + trained
+    * sidecars once, then retrieve with NO fit and NO encode — centroid
+    * ranking from the sidecar prunes partitions, the stored codes drive
+    * the ADC coarse pass, and only the overscan survivors touch floats.
+    * A regression in sidecar round-tripping, code persistence, partition
+    * layout, or the pruned scan perturbs the row set against the exact
+    * oracle. (ann_ivf_pq_topk is the in-memory form that re-fits per
+    * call; this row is the serving layout a 100 TB corpus queries.)
+    */
+  def annIvfPqIndexTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpqidx_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    graft.vector.ProductQuantization.buildIvfPqIndex(
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", numClusters = 16, seed = 42L, path)
+    graft.vector.ProductQuantization.ivfPqIndexTopK(
+      spark, path, "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 10, nProbe = 6)
+  }
+
   /** IVF pruned top-10 over the raw corpus (spec-only recall anchor). */
   def annIvfTopkReal(spark: SparkSession, dir: String): DataFrame =
     IndexBuilder.ivfTopK(Tables.embeddings(spark, dir), "embedding", "vec_id",
@@ -822,6 +844,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_sq8_topk" -> annIvfSq8Topk,
     "ann_ivf_pq_topk" -> annIvfPqTopk,
+    "ann_ivf_pq_index_topk" -> annIvfPqIndexTopk,
     "ann_filtered_topk" -> annFilteredTopk,
     "ann_rewrite_filtered_topk" -> annRewriteFilteredTopk,
     "ann_delete_topk" -> annDeleteTopk,
@@ -845,6 +868,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_topk" -> annSelfQueryTopkSql,
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
     "ann_ivf_pq_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_pq_index_topk" -> annSelfQueryTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_rewrite_filtered_topk" -> annFilteredTopkSql,
     "ann_delete_topk" -> annDeleteTopkSql,

@@ -85,7 +85,7 @@ object IndexBuilder {
     * file per bucket per owning task, which is also the layout the
     * compaction job would otherwise have to repair.
     */
-  private def clusteredBy(df: DataFrame, key: String, nParts: Int): DataFrame =
+  private[vector] def clusteredBy(df: DataFrame, key: String, nParts: Int): DataFrame =
     df.repartition(nParts, col(key))
 
   def buildLshIndex(df: DataFrame, embCol: String, lsh: RandomHyperplaneLsh,

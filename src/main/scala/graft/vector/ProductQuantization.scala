@@ -120,8 +120,19 @@ object ProductQuantization {
     */
   def pqKnnWithBooks(corpus: DataFrame, embCol: String, idCol: String,
       books: Array[Array[Array[Double]]], queryVec: Array[Float],
+      k: Int, overscan: Int): DataFrame =
+    pqSearchEncoded(withPqCodes(corpus, embCol, books), embCol, idCol,
+      books, queryVec, k, overscan)
+
+  /** ADC coarse + exact rescore over rows that ALREADY carry `pq_codes`
+    * (the persisted-index path: codes come off disk, never re-encoded).
+    * The cutoff subquery projects only `adc_score` — column pruning keeps
+    * the embedding column out of the coarse pass.
+    */
+  def pqSearchEncoded(encoded: DataFrame, embCol: String, idCol: String,
+      books: Array[Array[Array[Double]]], queryVec: Array[Float],
       k: Int, overscan: Int): DataFrame = {
-    val scored = adcScores(withPqCodes(corpus, embCol, books), adcTable(books, queryVec))
+    val scored = adcScores(encoded, adcTable(books, queryVec))
     val cutoff = scored.select(col("adc_score"))
       .orderBy(col("adc_score").desc).limit(k * overscan)
       .agg(min(col("adc_score"))).head().getDouble(0)
@@ -151,6 +162,87 @@ object ProductQuantization {
       IndexBuilder.withIvfCluster(corpus, embCol, numClusters, seed)
     val probes = IndexBuilder.nearestClusters(centers, queryVec, nProbe)
     pqKnnWithBooks(clustered.filter(col("cluster_id").isin(probes: _*)),
+      embCol, idCol, books, queryVec, k, overscan)
+  }
+
+  // ---- persisted IVF-PQ index (the FAISS write_index/read_index shape) ----
+
+  val PqCodebooksFile = "_graft_pq_codebooks.txt"
+
+  /** Persist the corpus as an IVF-PQ index table: rows land in
+    * `partitionBy(cluster_id)` directories carrying their m-byte
+    * `pq_codes` next to the float column, and the trained state
+    * (centroids + codebooks) is written as tiny text sidecars
+    * (`Double.toString` round-trips exactly). A query then pays NO
+    * training and NO encoding — nProbe partition pruning bounds the
+    * scan, the stored codes bound coarse bandwidth, and only the
+    * overscan survivors touch the float column. `ivfPqTopK` (above)
+    * re-fits per call and is the oracle-anchored in-memory form; this is
+    * the layout a 100 TB corpus actually serves from.
+    */
+  def buildIvfPqIndex(df: DataFrame, embCol: String, numClusters: Int,
+      seed: Long, path: String, m: Int = 16, ksub: Int = 64): Unit = {
+    val books = fitCodebooks(df, embCol, m, ksub, seed)
+    val (clustered, centers) =
+      IndexBuilder.withIvfCluster(df, embCol, numClusters, seed)
+    IndexBuilder.clusteredBy(
+        withPqCodes(clustered, embCol, books), "cluster_id", numClusters)
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    val centText = centers.map(_.map(java.lang.Double.toString).mkString(","))
+      .mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, IndexBuilder.IvfCentroidsFile),
+      centText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bookText = (s"$m,$ksub" +:
+      books.flatMap(_.map(_.map(java.lang.Double.toString).mkString(","))).toSeq)
+      .mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, PqCodebooksFile),
+      bookText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a codebook sidecar written by buildIvfPqIndex. */
+  def loadPqCodebooks(path: String): Array[Array[Array[Double]]] = {
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, PqCodebooksFile)),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    val Array(m, ksub) = lines.head.split(",").map(_.trim.toInt)
+    val flat = lines.tail.map(_.split(",").map(java.lang.Double.parseDouble))
+    require(flat.length == m * ksub,
+      s"codebook sidecar holds ${flat.length} rows, expected ${m * ksub}")
+    Array.tabulate(m)(s => Array.tabulate(ksub)(c => flat(s * ksub + c)))
+  }
+
+  /** Add vectors to a persisted IVF-PQ index WITHOUT retraining (the
+    * FAISS add-after-train contract): assignment and encoding are pure
+    * functions of (vector, sidecar state), so arrivals land in exactly
+    * the partitions and codes a fresh build would give them.
+    */
+  def appendToIvfPqIndex(df: DataFrame, embCol: String, path: String): Unit = {
+    val centers = IndexBuilder.loadIvfCentroids(path)
+    val books = loadPqCodebooks(path)
+    val assign = udf { (v: Seq[Float]) =>
+      IndexBuilder.nearestClusters(centers, v.toArray, 1).head
+    }
+    IndexBuilder.clusteredBy(
+        withPqCodes(df.withColumn("cluster_id", assign(col(embCol))), embCol, books),
+        "cluster_id", centers.length)
+      .write.mode("append").partitionBy("cluster_id").parquet(path)
+  }
+
+  /** Query the persisted index: sidecar-ranked nProbe partition pruning,
+    * stored-code ADC coarse pass, exact rescore of the tie-inclusive
+    * overscan set. No fit, no encode — the serving path.
+    */
+  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      embCol: String, idCol: String, queryVec: Array[Float], k: Int,
+      nProbe: Int, overscan: Int = 16): DataFrame = {
+    val centers = IndexBuilder.loadIvfCentroids(path)
+    val books = loadPqCodebooks(path)
+    val probes = IndexBuilder.nearestClusters(centers, queryVec, nProbe)
+    pqSearchEncoded(
+      spark.read.parquet(path).filter(col("cluster_id").isin(probes: _*)),
       embCol, idCol, books, queryVec, k, overscan)
   }
 }

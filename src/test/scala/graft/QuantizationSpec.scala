@@ -141,4 +141,37 @@ class QuantizationSpec extends SparkSpec {
     // the query's own encoding, rescore is unbeatable)
     assert(composed.contains(0L))
   }
+
+  test("ivf-pq persisted: sidecars round-trip and serving equals the in-memory path") {
+    import org.apache.spark.sql.functions.col
+    import graft.vector.{IndexBuilder, ProductQuantization => PQ}
+    val e = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("graft_pqidx_spec").toString + "/idx"
+    PQ.buildIvfPqIndex(e, "embedding", numClusters = 16, seed = 42L, path)
+    // trained state round-trips exactly (Double.toString is lossless)
+    val books = PQ.fitCodebooks(e, "embedding", m = 16, ksub = 64, seed = 42L)
+    val loaded = PQ.loadPqCodebooks(path)
+    assert(loaded.length === books.length)
+    assert(loaded.flatten.flatten.toSeq === books.flatten.flatten.toSeq)
+    // serving from stored codes returns what the fit-per-call path returns
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val served = PQ.ivfPqIndexTopK(spark, path, "embedding", "vec_id", qv,
+        k = 10, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMem = PQ.ivfPqTopK(e, "embedding", "vec_id", qv,
+        k = 10, numClusters = 16, nProbe = 6, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === inMem)
+    // add-after-train: appended copies of vec 0 land queryable, no retrain
+    val copies = spark.range(200000L, 200003L).toDF("vec_id")
+      .crossJoin(e.filter(col("vec_id") === 0L).select(col("embedding")))
+      .select(col("vec_id"), col("embedding"))
+    PQ.appendToIvfPqIndex(copies, "embedding", path)
+    val after = PQ.ivfPqIndexTopK(spark, path, "embedding", "vec_id", qv,
+        k = 4, nProbe = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(after === Set(0L, 200000L, 200001L, 200002L),
+      s"appended copies must dominate the self-query top-4, got $after")
+  }
 }
