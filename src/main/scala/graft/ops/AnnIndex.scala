@@ -343,6 +343,28 @@ object AnnIndex extends QueryModule {
       k = 10, nProbe = 6)
   }
 
+  /** GRAPH-based ANN (NSW / HNSW layer 0) under the self-query oracle —
+    * the index family where recall comes from connectivity, not
+    * bucketing: build the persisted adjacency (LSH-equi-join candidate
+    * generation, per-node top-M edges, symmetrized), then beam-search
+    * from fixed hash-sampled entry points. The planted copies are each
+    * other's nearest neighbors, so the walk that reaches ANY of the
+    * cluster's in-edges drains the whole cluster; a regression in edge
+    * selection, symmetrization, frontier management, or scoring perturbs
+    * the row set. Deterministic end-to-end (seeded planes, id-tie-broken
+    * windows and beams), so the row is stable across runs.
+    */
+  def annGraphTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nsw_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    graft.vector.GraphAnn.buildNswGraph(
+      corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    graft.vector.GraphAnn.nswSearch(
+      spark, path, corpus, "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 10)
+  }
+
   /** IVF pruned top-10 over the raw corpus (spec-only recall anchor). */
   def annIvfTopkReal(spark: SparkSession, dir: String): DataFrame =
     IndexBuilder.ivfTopK(Tables.embeddings(spark, dir), "embedding", "vec_id",
@@ -845,6 +867,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_topk" -> annIvfSq8Topk,
     "ann_ivf_pq_topk" -> annIvfPqTopk,
     "ann_ivf_pq_index_topk" -> annIvfPqIndexTopk,
+    "ann_graph_topk" -> annGraphTopk,
     "ann_filtered_topk" -> annFilteredTopk,
     "ann_rewrite_filtered_topk" -> annRewriteFilteredTopk,
     "ann_delete_topk" -> annDeleteTopk,
@@ -869,6 +892,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
     "ann_ivf_pq_topk" -> annSelfQueryTopkSql,
     "ann_ivf_pq_index_topk" -> annSelfQueryTopkSql,
+    "ann_graph_topk" -> annSelfQueryTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_rewrite_filtered_topk" -> annFilteredTopkSql,
     "ann_delete_topk" -> annDeleteTopkSql,

@@ -187,4 +187,37 @@ class AnnIndexSpec extends SparkSpec {
       .foreach(r => assert(r.getInt(1) === fresh(r.getLong(0)),
         s"vec ${r.getLong(0)}: appended bucket drifted"))
   }
+
+  test("nsw graph: adjacency contract holds and raw-corpus recall clears the floor") {
+    import graft.vector.GraphAnn
+    val e = Tables.embeddings(spark, sf)
+    val path = Files.createTempDirectory("nsw_spec").toString + "/graph"
+    GraphAnn.buildNswGraph(e, "embedding", "vec_id", AnnIndex.defaultLsh,
+      m = 8, path)
+    val adj = spark.read.parquet(path)
+    // every node has an adjacency row; out-degree ≤ 2M; no self-edges
+    assert(adj.count() === e.count())
+    assert(adj.select(max(size(col("neighbors")))).head().getInt(0) <= 16)
+    assert(adj.filter(array_contains(col("neighbors"), col("node_id"))).count() === 0)
+    // deterministic rebuild: identical adjacency both times
+    val path2 = Files.createTempDirectory("nsw_spec2").toString + "/graph"
+    GraphAnn.buildNswGraph(e, "embedding", "vec_id", AnnIndex.defaultLsh,
+      m = 8, path2)
+    val a1 = adj.orderBy("node_id").collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1)))
+    val a2 = spark.read.parquet(path2).orderBy("node_id").collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1)))
+    assert(a1 === a2, "graph build is not deterministic")
+    // raw-corpus recall floor (measured 10/10 at sf0.001; fixed data +
+    // deterministic walk → stable). The floor leaves a wide margin.
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val got = GraphAnn.nswSearch(spark, path, e, "embedding", "vec_id", qv, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("knn_exact_topk")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert((got & exact).size >= 7,
+      s"nsw recall@10 = ${(got & exact).size}, expected >= 7")
+    assert(got.contains(0L), "the self-match must be found")
+  }
 }
