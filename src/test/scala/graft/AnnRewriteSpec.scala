@@ -159,6 +159,35 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("IVF route composes with the persisted IVF-PQ index table unchanged") {
+    // the PQ index carries the same cluster_id partition layout, so the
+    // SAME rewrite rule routes the natural exact query through it — the
+    // optimizer needs no PQ awareness for partition pruning, and the
+    // float rescore over probed clusters equals the plain-IVF result
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rw").toString + "/idx"
+    graft.vector.ProductQuantization.buildIvfPqIndex(
+      corpus, "embedding", numClusters = 16, seed = 42L, dir)
+    spark.conf.set(AnnRewriteRule.EnabledKey, "true")
+    spark.conf.set(AnnRewriteRule.IvfCentroidsPathKey, dir)
+    spark.conf.set(AnnRewriteRule.IvfNProbeKey, "6")
+    try {
+      val df = knnQuery(spark.read.parquet(dir)).select("vec_id", "score")
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters") && !physical.contains("PartitionFilters: []"),
+        s"cluster filter did not prune the PQ index partitions:\n$physical")
+      val expected = IndexBuilder
+        .ivfTopK(corpus, "embedding", "vec_id", qvec, k = 10,
+          numClusters = 16, nProbe = 6, seed = 42L)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+      val got = df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+      assert(got === expected)
+    } finally {
+      spark.conf.set(AnnRewriteRule.EnabledKey, "false")
+      spark.conf.unset(AnnRewriteRule.IvfCentroidsPathKey)
+      spark.conf.unset(AnnRewriteRule.IvfNProbeKey)
+    }
+  }
+
   test("filtered-ANN shape: rewrite descends through the tier predicate; " +
       "partition filters AND pushed data filter on one scan") {
     val path = ops.AnnIndex.buildFilteredTierIndex(spark, sf)
