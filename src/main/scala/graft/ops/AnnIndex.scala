@@ -365,6 +365,39 @@ object AnnIndex extends QueryModule {
       queryVec(spark, dir, 0L), k = 10)
   }
 
+  /** INCREMENTAL graph maintenance under the self-query oracle: build
+    * the NSW adjacency over the RAW corpus, then append the planted
+    * copies WITHOUT a rebuild — new nodes link via the same LSH
+    * candidate equi-join, and the affected existing nodes' rows are
+    * re-landed as seq-stamped delta rows carrying the new IN-edges
+    * (without that reverse maintenance the appended vectors would be
+    * unreachable out-only sinks, and this row would lose them). The
+    * vec-0 query must then surface all nine appended copies through the
+    * merged (latest-wins) adjacency.
+    */
+  def annGraphIncrementalTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswincr_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    graft.vector.GraphAnn.buildNswGraph(
+      e, "embedding", "vec_id", defaultLsh, m = 8, path)
+    // deltas accumulate by design (MOR); reset between driver re-runs so
+    // the row is a pure function of the data
+    val deltaDir = new java.io.File(path + "_delta")
+    if (deltaDir.exists()) {
+      java.nio.file.Files.walk(deltaDir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val copies = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+      .filter(col("vec_id") >= 100000L)
+    graft.vector.GraphAnn.appendToNswGraph(
+      spark, copies, "embedding", "vec_id", defaultLsh, m = 8, path, e)
+    graft.vector.GraphAnn.nswSearch(
+      spark, path, withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", "vec_id", queryVec(spark, dir, 0L), k = 10)
+  }
+
   /** IVF pruned top-10 over the raw corpus (spec-only recall anchor). */
   def annIvfTopkReal(spark: SparkSession, dir: String): DataFrame =
     IndexBuilder.ivfTopK(Tables.embeddings(spark, dir), "embedding", "vec_id",
@@ -868,6 +901,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_pq_topk" -> annIvfPqTopk,
     "ann_ivf_pq_index_topk" -> annIvfPqIndexTopk,
     "ann_graph_topk" -> annGraphTopk,
+    "ann_graph_incremental_topk" -> annGraphIncrementalTopk,
     "ann_filtered_topk" -> annFilteredTopk,
     "ann_rewrite_filtered_topk" -> annRewriteFilteredTopk,
     "ann_delete_topk" -> annDeleteTopk,
@@ -893,6 +927,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_pq_topk" -> annSelfQueryTopkSql,
     "ann_ivf_pq_index_topk" -> annSelfQueryTopkSql,
     "ann_graph_topk" -> annSelfQueryTopkSql,
+    "ann_graph_incremental_topk" -> annSelfQueryTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_rewrite_filtered_topk" -> annFilteredTopkSql,
     "ann_delete_topk" -> annDeleteTopkSql,

@@ -83,13 +83,98 @@ object GraphAnn {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Deterministic entry points: the E corpus ids with the smallest
+  /** Merged adjacency view: the base build (seq 0) overlaid by append
+    * deltas at `<path>_delta`, latest-wins per node — the MOR discipline
+    * applied to the graph, so appends never rewrite the base files.
+    */
+  def readNswAdjacency(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path).withColumn("seq", lit(0L))
+    val all =
+      if (new java.io.File(path + "_delta").exists())
+        base.unionByName(spark.read.parquet(path + "_delta"))
+      else base
+    all.groupBy("node_id")
+      .agg(max_by(col("neighbors"), col("seq")).as("neighbors"))
+  }
+
+  /** Add vectors to a persisted NSW graph without a rebuild — the HNSW
+    * insert generalized to batches. New nodes link through the SAME LSH
+    * candidate equi-join (against existing + new home buckets); existing
+    * nodes touched by a reverse edge get their adjacency row RECOMPUTED
+    * (current edges re-scored by point lookups + the new in-edges,
+    * re-topped at 2M) and re-landed as a delta row — without this in-edge
+    * maintenance, appended vectors would be unreachable out-only sinks.
+    * Cost scales with |new|·M affected rows, never the graph. Deltas are
+    * seq-stamped (prior max + 1 — deterministic); readers merge
+    * latest-wins via readNswAdjacency.
+    */
+  def appendToNswGraph(spark: SparkSession, newNodes: DataFrame,
+      embCol: String, idCol: String, lsh: IndexBuilder.RandomHyperplaneLsh,
+      m: Int, path: String, corpus: DataFrame): Unit = {
+    import spark.implicits._
+    val probeUdf = udf { (v: Seq[Float]) =>
+      lsh.probes(lsh.signature(v), radius = 1)
+    }
+    val sigUdf = udf { (v: Seq[Float]) => lsh.signature(v) }
+    val newN = newNodes.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val nodesAll = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .unionByName(newN)
+    val home = nodesAll.withColumn("bucket", sigUdf(col("emb")))
+    val probedNew = newN.select(col("id"), col("emb"),
+      explode(probeUdf(col("emb"))).as("bucket"))
+    val pairs = probedNew.as("a")
+      .join(home.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        VectorFunctions.cosineUnit(col("a.emb"), col("b.emb")).as("score"))
+      .groupBy("src", "dst").agg(max("score").as("score"))
+    val wSrc = Window.partitionBy("src")
+      .orderBy(col("score").desc, col("dst").asc)
+    val topM = pairs.withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= m).select("src", "dst", "score")
+    val newAdj = topM
+      .groupBy(col("src").as("node_id"))
+      .agg(sort_array(collect_list(struct(
+        (-col("score")).as("neg"), col("dst"))))
+        .getField("dst").as("neighbors"))
+    // reverse edges into EXISTING nodes: recompute those nodes' rows
+    val existingIds = corpus.select(col(idCol).as("id"))
+    val rev = topM.join(existingIds.withColumnRenamed("id", "dst"), Seq("dst"))
+      .select(col("dst").as("src"), col("src").as("dst"), col("score"))
+    val affected = rev.select(col("src").as("node_id")).distinct()
+    val cur = readNswAdjacency(spark, path)
+      .join(affected, Seq("node_id"))
+      .select(col("node_id").as("src"), explode(col("neighbors")).as("dst"))
+      .join(nodesAll.select(col("id").as("src"), col("emb").as("src_emb")), Seq("src"))
+      .join(nodesAll.select(col("id").as("dst"), col("emb").as("dst_emb")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        VectorFunctions.cosineUnit(col("src_emb"), col("dst_emb")).as("score"))
+    val mergedRows = cur.unionByName(rev)
+      .groupBy("src", "dst").agg(max("score").as("score"))
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= 2 * m)
+      .groupBy(col("src").as("node_id"))
+      .agg(sort_array(collect_list(struct(
+        (-col("score")).as("neg"), col("dst"))))
+        .getField("dst").as("neighbors"))
+    val deltaDir = new java.io.File(path + "_delta")
+    val nextSeq =
+      if (deltaDir.exists())
+        spark.read.parquet(path + "_delta")
+          .agg(max(col("seq"))).head().getLong(0) + 1L
+      else 1L
+    newAdj.unionByName(mergedRows)
+      .withColumn("seq", lit(nextSeq))
+      .repartition(2, col("node_id"))
+      .write.mode("append").parquet(path + "_delta")
+  }
+
+  /** Deterministic entry points: the E graph ids with the smallest
     * xxhash64 — a fixed, query-independent sample (catalog-scale read of
     * id + hash only).
     */
-  private def entryPoints(spark: SparkSession, path: String, e: Int): Seq[Long] =
-    spark.read.parquet(path)
-      .select(col("node_id"), xxhash64(col("node_id")).as("h"))
+  private def entryPoints(spark: SparkSession, adj: DataFrame, e: Int): Seq[Long] =
+    adj.select(col("node_id"), xxhash64(col("node_id")).as("h"))
       .orderBy(col("h").asc, col("node_id").asc).limit(e)
       .collect().map(_.getLong(0)).toIndexedSeq // serving-path: E rows
 
@@ -108,8 +193,11 @@ object GraphAnn {
         .select(col(idCol),
           VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val adj = spark.read.parquet(path)
-    var visited = scoreOf(entryPoints(spark, path, entries)) // ≤ E entries
+    // no cache: the frontier isin filter is on the merge's GROUPING key,
+    // so Catalyst pushes it below the latest-wins aggregate into both the
+    // base and delta scans — each hop reads only the frontier's rows
+    val adj = readNswAdjacency(spark, path)
+    var visited = scoreOf(entryPoints(spark, adj, entries)) // ≤ E entries
     var expanded = Set.empty[Long]
     var hop = 0
     while (hop < hops) {

@@ -220,4 +220,32 @@ class AnnIndexSpec extends SparkSpec {
       s"nsw recall@10 = ${(got & exact).size}, expected >= 7")
     assert(got.contains(0L), "the self-match must be found")
   }
+
+  test("nsw append: new nodes become reachable through delta in-edges, base untouched") {
+    import graft.vector.GraphAnn
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") < 400)
+    val arrivals = e.filter(col("vec_id") >= 400)
+    val path = Files.createTempDirectory("nsw_appspec").toString + "/graph"
+    GraphAnn.buildNswGraph(base, "embedding", "vec_id", AnnIndex.defaultLsh,
+      m = 8, path)
+    def baseListing = Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => (p.toString, p.toFile.length, p.toFile.lastModified)).toSet
+    val before = baseListing
+    GraphAnn.appendToNswGraph(spark, arrivals, "embedding", "vec_id",
+      AnnIndex.defaultLsh, m = 8, path, base)
+    assert(baseListing === before, "append must not rewrite base graph files")
+    val merged = GraphAnn.readNswAdjacency(spark, path)
+    assert(merged.count() === e.count(), "every node needs an adjacency row")
+    // an appended node must be FINDABLE: its self-query reaches it through
+    // the reverse edges folded into affected existing rows
+    val target = 450L
+    val qv = e.filter(col("vec_id") === target)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val got = GraphAnn.nswSearch(spark, path, e, "embedding", "vec_id", qv, k = 5)
+      .collect().map(_.getLong(0))
+    assert(got.head === target,
+      s"appended node $target not reachable, top-5 = ${got.toSeq}")
+  }
 }
