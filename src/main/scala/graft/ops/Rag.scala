@@ -422,6 +422,74 @@ object Rag extends QueryModule {
        |SELECT doc_id, bm25, n_terms_matched FROM scored
        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  // ---- persisted BM25 inverted index (postings as a table) ----
+
+  /** Build the inverted index bm25Scores recomputes per query: full
+    * postings (term, doc_id, tf, dl) hash-clustered and sorted by term
+    * (a probe's `term IN` filter pushes to the scan and row-group stats
+    * skip everything else), per-term document frequencies, and the two
+    * corpus constants as a 1-row table. The full tokenize→explode pass
+    * is the INDEX JOB's cost, paid once — the trigram-postings lesson
+    * applied to ranked retrieval. dl rides denormalized in the posting
+    * row (the standard posting payload) so scoring joins nothing
+    * corpus-sized.
+    */
+  def buildBm25Index(docs: DataFrame, path: String): Unit = {
+    val dd = docs
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val postings = dd
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    postings
+      .repartition(8, col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(path + "/postings")
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartition(8, col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(path + "/dfs")
+    dd.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(path + "/stats")
+  }
+
+  /** BM25 served from the persisted index: the query touches k posting
+    * lists and k df rows (pushed `term IN` filters) plus the 1-row stats
+    * broadcast — the corpus text is never read. Same scoring expression
+    * as bm25Scores; the driver row's oracle is bm25TopnSql VERBATIM, so
+    * the index path must reproduce the from-scratch computation exactly.
+    */
+  def bm25IndexedScores(spark: SparkSession, path: String,
+      qTerms: Seq[String]): DataFrame = {
+    val postings = spark.read.parquet(path + "/postings")
+      .filter(col("term").isin(qTerms: _*)) // pushed: k posting lists
+    val dfs = spark.read.parquet(path + "/dfs")
+      .filter(col("term").isin(qTerms: _*))
+    val stats = spark.read.parquet(path + "/stats")
+    postings.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("part",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("part")), 4).as("bm25"),
+        count(lit(1)).as("n_terms_matched"))
+  }
+
+  /** Driver row: build the index over the same capped candidate set and
+    * serve the standing query from it — top-20 must equal the
+    * from-scratch BM25 oracle.
+    */
+  def bm25IndexedTopn(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25idx_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    buildBm25Index(Tables.documents(spark, dir).filter(col("doc_id") < 500), path)
+    bm25IndexedScores(spark, path, Seq("hash", "join", "merge", "sort", "window"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("bm25"), col("n_terms_matched"))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009,
     * k = 60): the modern two-tower serving shape — a lexical ranking
     * (BM25 over the standing query terms) and a semantic ranking (exact
@@ -869,6 +937,7 @@ object Rag extends QueryModule {
     "rag_pipeline_planted" -> ragPipelinePlanted,
     "bm25_scores" -> bm25Scores,
     "bm25_topn" -> bm25Topn,
+    "bm25_indexed_topn" -> bm25IndexedTopn,
     "bm25_selfrank_mrr" -> bm25SelfRankMrr,
     "hybrid_rrf_fusion" -> hybridRrfFusion,
     "hybrid_weighted_topk" -> hybridWeightedTopk,
@@ -885,6 +954,7 @@ object Rag extends QueryModule {
     "rag_pipeline_planted" -> ragPipelinePlantedSql,
     "bm25_scores" -> bm25ScoresSql,
     "bm25_topn" -> bm25TopnSql,
+    "bm25_indexed_topn" -> bm25TopnSql,
     "bm25_selfrank_mrr" -> bm25SelfRankMrrSql,
     "hybrid_rrf_fusion" -> hybridRrfFusionSql,
     "hybrid_weighted_topk" -> hybridWeightedTopkSql,

@@ -166,4 +166,27 @@ class RagSpec extends SparkSpec {
     assert(viaIndex === direct)
     assert(direct === direct.sorted)
   }
+
+  test("bm25 index: serving equals the from-scratch scorer; term filter pushes") {
+    import org.apache.spark.sql.functions._
+    val served = SparkEntry.queries("bm25_indexed_topn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val scratch = SparkEntry.queries("bm25_topn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(served === scratch, "index path diverged from from-scratch BM25")
+    // the probe reads k posting lists, not the corpus: term IN pushes to
+    // the postings scan and no documents-table scan appears in the plan
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25idx_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val q = graft.ops.Rag.bm25IndexedScores(spark, path, Seq("hash", "join"))
+    val scans = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.forall(!_.relation.location.rootPaths.exists(
+      _.toString.contains("documents"))), "corpus text read at query time")
+    val postingsScan = scans.find(_.relation.location.rootPaths
+      .exists(_.toString.endsWith("/postings"))).get
+    assert(postingsScan.metadata("PushedFilters").contains("In(term"),
+      s"term probe not pushed: ${postingsScan.metadata("PushedFilters")}")
+  }
 }
