@@ -373,7 +373,9 @@ object AnnIndex extends QueryModule {
     * (without that reverse maintenance the appended vectors would be
     * unreachable out-only sinks, and this row would lose them). The
     * vec-0 query must then surface all nine appended copies through the
-    * merged (latest-wins) adjacency.
+    * merged (latest-wins) adjacency. (Like the compacted rows, the
+    * measured driver-row time is ~85% in-query graph build + append —
+    * not search latency.)
     */
   def annGraphIncrementalTopk(spark: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -133,9 +133,13 @@ object ProductQuantization {
       books: Array[Array[Array[Double]]], queryVec: Array[Float],
       k: Int, overscan: Int): DataFrame = {
     val scored = adcScores(encoded, adcTable(books, queryVec))
-    val cutoff = scored.select(col("adc_score"))
+    val cutRow = scored.select(col("adc_score"))
       .orderBy(col("adc_score").desc).limit(k * overscan)
-      .agg(min(col("adc_score"))).head().getDouble(0)
+      .agg(min(col("adc_score"))).head()
+    // empty candidate set (empty corpus / fully-pruned scan): min is NULL
+    if (cutRow.isNullAt(0))
+      return encoded.select(col(idCol), lit(0.0d).as("score")).limit(0)
+    val cutoff = cutRow.getDouble(0)
     scored.filter(col("adc_score") >= cutoff)
       .withColumn("score", round(
         VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)), 6))

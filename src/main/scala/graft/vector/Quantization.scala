@@ -99,9 +99,13 @@ object Quantization {
     val scored = coarseScores(quantized, queryVec)
     // boundary quantized score of the overscan set: one TakeOrdered over
     // the codes, one scalar to the driver
-    val cutoff = scored.select(col("q_score"))
+    val cutRow = scored.select(col("q_score"))
       .orderBy(col("q_score").desc).limit(k * overscan)
-      .agg(org.apache.spark.sql.functions.min(col("q_score"))).head().getDouble(0)
+      .agg(org.apache.spark.sql.functions.min(col("q_score"))).head()
+    // empty candidate set (empty corpus / fully-pruned scan): min is NULL
+    if (cutRow.isNullAt(0))
+      return quantized.select(col(idCol), lit(0.0d).as("score")).limit(0)
+    val cutoff = cutRow.getDouble(0)
     scored.filter(col("q_score") >= cutoff)
       .withColumn("score", round(
         VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)), 6))

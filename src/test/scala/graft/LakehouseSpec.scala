@@ -231,6 +231,24 @@ class LakehouseSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("bloom: an empty key list selects no files and returns no rows") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bloom_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val (out, nSel, _) = Lakehouse.bloomLookup(spark, tmp, Seq.empty)
+    assert(nSel === 0)
+    assert(out.count() === 0)
+  }
+
+  test("cdc: an empty commit delta produces an empty change feed") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_empty").toString
+    Seq((1L, "O", 100L)).toDF("o_orderkey", "status", "price_e2")
+      .write.parquet(tmp + "/base")
+    Seq.empty[(Long, String, Long, Boolean, Long)]
+      .toDF("o_orderkey", "status", "price_e2", "tombstone", "seq")
+      .coalesce(1).write.parquet(tmp + "/delta")
+    assert(Lakehouse.cdcRead(spark, tmp).count() === 0)
+  }
+
   test("cdc: classifies insert/delete/update and nets multi-change keys") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_spec").toString
     Seq((1L, "O", 100L), (2L, "O", 200L), (3L, "F", 300L))

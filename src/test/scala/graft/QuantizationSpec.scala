@@ -174,4 +174,18 @@ class QuantizationSpec extends SparkSpec {
     assert(after === Set(0L, 200000L, 200001L, 200002L),
       s"appended copies must dominate the self-query top-4, got $after")
   }
+
+  test("pq/sq8: an empty candidate set returns an empty result, not an NPE") {
+    import org.apache.spark.sql.functions.col
+    import graft.vector.{ProductQuantization => PQ}
+    val e = Tables.embeddings(spark, sf)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val books = PQ.fitCodebooks(e, "embedding", m = 16, ksub = 64, seed = 42L)
+    val empty = e.filter(col("vec_id") < 0) // fully-pruned scan analog
+    assert(PQ.pqSearchEncoded(PQ.withPqCodes(empty, "embedding", books),
+      "embedding", "vec_id", books, qv, k = 10, overscan = 16).count() === 0)
+    assert(Quantization.quantizedKnn(empty, "embedding", "vec_id", qv,
+      k = 10).count() === 0)
+  }
 }

@@ -189,4 +189,12 @@ class RagSpec extends SparkSpec {
     assert(postingsScan.metadata("PushedFilters").contains("In(term"),
       s"term probe not pushed: ${postingsScan.metadata("PushedFilters")}")
   }
+
+  test("bm25 index: out-of-vocabulary terms yield an empty result") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25idx_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    SparkEntry.queries("bm25_indexed_topn")(spark, sf) // ensure built
+    assert(graft.ops.Rag.bm25IndexedScores(spark, path,
+      Seq("zzzz_not_a_term")).count() === 0)
+  }
 }
