@@ -515,6 +515,59 @@ object Lakehouse extends QueryModule {
       .orderBy("o_orderkey", "change_type")
   }
 
+  /** The consuming half of CDC — apply the feed to a replica (the
+    * Debezium-sink / Delta MERGE shape): survivors = base rows whose key
+    * carries no change, plus insert/update postimages. The replica after
+    * apply must equal the source's post-commit snapshot — feed and apply
+    * are inverses around the commit, which the oracle replays
+    * independently. Same exchange discipline as the feed: the base's
+    * only touch is a broadcast anti-join on the feed's delta-sized key
+    * set; nothing corpus-sized shuffles.
+    */
+  def cdcApplyReplica(spark: SparkSession, dir: String): DataFrame = {
+    cdcChangeFeed(spark, dir) // materialize base + commit delta
+    cdcApply(spark, tmpPath("graft_cdc", dir))
+  }
+
+  /** The apply itself, over any base/delta pair (spec-driveable). */
+  def cdcApply(spark: SparkSession, tmp: String): DataFrame = {
+    val feed = cdcRead(spark, tmp)
+    val base = spark.read.parquet(tmp + "/base")
+    val changedKeys = feed.select("o_orderkey").distinct()
+    val untouched = base.join(broadcast(changedKeys), Seq("o_orderkey"), "left_anti")
+    val landed = feed
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .select("o_orderkey", "status", "price_e2")
+    untouched.unionByName(landed).orderBy("o_orderkey")
+  }
+
+  private val cdcApplyReplicaSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus AS status,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_e2
+      |  FROM orders),
+      |delta AS (
+      |  SELECT o_orderkey, 'U' AS status, price_e2 + 10000 AS price_e2,
+      |         FALSE AS tombstone, 1 AS seq
+      |  FROM base WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'N', price_e2, FALSE, 1
+      |  FROM base WHERE o_orderkey % 40 = 7
+      |  UNION ALL
+      |  SELECT o_orderkey, '', CAST(-1 AS BIGINT), TRUE, 2
+      |  FROM base WHERE o_orderkey % 25 = 0),
+      |net AS (
+      |  SELECT o_orderkey, arg_max(status, seq) AS status,
+      |         arg_max(price_e2, seq) AS price_e2,
+      |         arg_max(tombstone, seq) AS tombstone
+      |  FROM delta GROUP BY 1)
+      |SELECT b.o_orderkey, b.status, b.price_e2
+      |FROM base b LEFT JOIN net n USING (o_orderkey)
+      |WHERE n.o_orderkey IS NULL
+      |UNION ALL
+      |SELECT o_orderkey, status, price_e2 FROM net WHERE NOT tombstone
+      |ORDER BY o_orderkey""".stripMargin
+
   private val cdcChangeFeedSql =
     """WITH base AS (
       |  SELECT o_orderkey, o_orderstatus AS status,
@@ -752,7 +805,8 @@ object Lakehouse extends QueryModule {
     "orc_interchange" -> orcInterchange,
     "csv_interchange" -> csvInterchange,
     "cdc_change_feed" -> cdcChangeFeed,
-    "bloom_pruned_lookup" -> bloomScan)
+    "bloom_pruned_lookup" -> bloomScan,
+    "cdc_apply_replica" -> cdcApplyReplica)
 
   def oracles: Map[String, String] = Map(
     "mor_snapshot" -> morSnapshotSql,
@@ -766,5 +820,6 @@ object Lakehouse extends QueryModule {
     "orc_interchange" -> fidelitySql,
     "csv_interchange" -> fidelitySql,
     "cdc_change_feed" -> cdcChangeFeedSql,
-    "bloom_pruned_lookup" -> bloomScanSql)
+    "bloom_pruned_lookup" -> bloomScanSql,
+    "cdc_apply_replica" -> cdcApplyReplicaSql)
 }

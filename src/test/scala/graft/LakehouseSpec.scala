@@ -272,6 +272,23 @@ class LakehouseSpec extends SparkSpec {
       (9L, "insert", "N", 900L)))
   }
 
+  test("cdc apply: replica after apply equals the post-commit snapshot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_apply").toString
+    Seq((1L, "O", 100L), (2L, "O", 200L), (3L, "F", 300L))
+      .toDF("o_orderkey", "status", "price_e2")
+      .write.parquet(tmp + "/base")
+    Seq(
+      (2L, "U", 250L, false, 1L),  // update
+      (3L, "", -1L, true, 2L),     // delete
+      (9L, "N", 900L, false, 1L),  // insert
+      (7L, "", -1L, true, 2L))     // no-op tombstone for a missing key
+      .toDF("o_orderkey", "status", "price_e2", "tombstone", "seq")
+      .write.parquet(tmp + "/delta")
+    val replica = Lakehouse.cdcApply(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(replica === Seq((1L, "O", 100L), (2L, "U", 250L), (9L, "N", 900L)))
+  }
+
   test("cdc: the base reaches its broadcast join without an exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
