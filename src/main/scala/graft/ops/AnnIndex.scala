@@ -214,6 +214,47 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** BATCH retrieval through the persisted index: five query vectors
+    * answered by ONE probe-explode + bucket equi-join + grouped top-k job
+    * (`IndexBuilder.lshBatchTopK`) — the offline-RAG shape where a million
+    * retrievals are a join, not a million scans. The planted construction
+    * extends the self-query oracle to the batch case: each query vector
+    * q ∈ {0..4} gets nine exact copies with salted ids (100000 + 100·q + j),
+    * which hash into q's own radius-0 bucket by construction, so each
+    * query's pruned top-10 is provably its self row plus its nine copies —
+    * all at score 1.0 — and the whole answer set is enumerable in SQL.
+    * A regression in per-row signatures, mask enumeration, the bucket
+    * join, e6 re-scoring, or the bounded GroupTopK reduction perturbs the
+    * 50-row set and fails the driver compare. Real-data parity with the
+    * single-query path is spec'd in AnnIndexSpec.
+    */
+  def annLshBatchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshbatch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qbase = e.filter(col("vec_id") < 5L)
+    val copies = broadcast(qbase)
+      .crossJoin(spark.range(0L, 9L).toDF("j"))
+      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
+        col("embedding"))
+    IndexBuilder.buildLshIndex(e.unionByName(copies), "embedding",
+      defaultLsh, path)
+    IndexBuilder.lshBatchTopK(
+      spark.read.parquet(path),
+      qbase.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", defaultLsh, k = 10, radius = 2)
+      .orderBy("qid", "vec_id")
+  }
+
+  private val annLshBatchTopkSql =
+    """SELECT qid, vec_id, 1.0::DOUBLE AS score FROM (
+      |  SELECT vec_id AS qid, vec_id FROM embeddings WHERE vec_id < 5
+      |  UNION ALL
+      |  SELECT e.vec_id AS qid, 100000 + e.vec_id * 100 + j.j AS vec_id
+      |  FROM embeddings e CROSS JOIN (SELECT unnest(range(9)) AS j) j
+      |  WHERE e.vec_id < 5) t
+      |ORDER BY qid, vec_id""".stripMargin
+
   /** Incremental index maintenance under the same self-query oracle: build
     * the persisted index WITHOUT the planted copies, then APPEND them via
     * `appendToLshIndex` (the arriving-documents path — no rebuild), and
@@ -896,6 +937,7 @@ object AnnIndex extends QueryModule {
     "lsh_bucket_stats" -> lshBucketStatsGate,
     "ann_lsh_topk" -> annLshTopk,
     "ann_lsh_index_topk" -> annLshIndexTopk,
+    "ann_lsh_batch_topk" -> annLshBatchTopk,
     "ann_lsh_incremental_topk" -> annLshIncrementalTopk,
     "ann_ivf_incremental_topk" -> annIvfIncrementalTopk,
     "ann_ivf_topk" -> annIvfTopk,
@@ -922,6 +964,7 @@ object AnnIndex extends QueryModule {
     "lsh_bucket_stats" -> lshBucketStatsGateSql,
     "ann_lsh_topk" -> annSelfQueryTopkSql,
     "ann_lsh_index_topk" -> annSelfQueryTopkSql,
+    "ann_lsh_batch_topk" -> annLshBatchTopkSql,
     "ann_lsh_incremental_topk" -> annSelfQueryTopkSql,
     "ann_ivf_incremental_topk" -> annSelfQueryTopkSql,
     "ann_ivf_topk" -> annSelfQueryTopkSql,

@@ -140,6 +140,54 @@ object IndexBuilder {
       .limit(k)
   }
 
+  /** All XOR masks of popcount ≤ radius: the static, data-independent half
+    * of multi-probe enumeration (the per-row signature is the other half).
+    * `sig ^ mask` over these masks is exactly `probes(sig, radius)`, so
+    * exploding the mask list turns batch probe-set generation into a
+    * columnar expression — no driver-side per-query work.
+    */
+  def probeMasks(nBits: Int, radius: Int): Seq[Int] =
+    (0 until (1 << nBits)).filter(m => Integer.bitCount(m) <= radius)
+
+  /** BATCH LSH retrieval: answer ALL queries in one job — explode each
+    * query's probe masks into (qid, bucket) rows, equi-join against the
+    * bucket-partitioned index, re-score exactly, and reduce per query with
+    * the bounded GroupTopK aggregate (shuffle volume O(queries·k), never
+    * O(candidates)). This is the offline-RAG shape at 100 TB: a million
+    * retrievals are ONE join, not a million scans. With a broadcastable
+    * query batch the bucket join also drives DYNAMIC partition pruning on
+    * the index scan — only the union of probed bucket directories is read.
+    * For query batches too large to broadcast, drop the hint: both sides
+    * hash-partition on bucket and the corpus side arrives pre-clustered
+    * from the index layout.
+    *
+    * Scores are kept in integer e6 units through the aggregate (the repo's
+    * cross-engine float discipline); `score = score_e6 / 1e6` equals the
+    * single-query path's `round(cos, 6)`.
+    */
+  def lshBatchTopK(index: DataFrame, queries: DataFrame, qidCol: String,
+      qvecCol: String, lsh: RandomHyperplaneLsh, k: Int, radius: Int,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.graft.GroupTopK
+    val masks = probeMasks(lsh.nBits, radius)
+    val probed = withLshBucket(
+        queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")),
+        "qvec", lsh, "qsig")
+      .withColumn("mask", explode(typedlit(masks)))
+      .select(col("qid"), col("qvec"),
+        col("qsig").bitwiseXOR(col("mask")).as("bucket"))
+    index.join(broadcast(probed), Seq("bucket"))
+      .withColumn("score_e6",
+        round(VectorFunctions.cosineUnit(col(embCol), col("qvec")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("qid"))
+      .agg(GroupTopK.topK(col("score_e6"),
+        format_string("%012d", col(idCol)), k).as("top"))
+      .select(col("qid"), explode(col("top")))
+      .select(col("qid"), col("col.payload").cast("long").as("vec_id"),
+        (col("col.score") / 1e6).as("score"))
+  }
+
   /** IVF coarse quantizer: seeded Lloyd's KMeans fit driver-side on a
     * BOUNDED sample of the corpus (the FAISS training pattern — centroids
     * are O(k·dim) bytes; training them does not need the cluster). A

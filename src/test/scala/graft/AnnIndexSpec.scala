@@ -77,6 +77,52 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("ann_lsh_batch_topk: each query's batch answer is self + its planted copies") {
+    val rows = SparkEntry.queries("ann_lsh_batch_topk")(spark, sf).collect()
+    assert(rows.length === 50)
+    (0L to 4L).foreach { q =>
+      val ids = rows.filter(_.getAs[Long]("qid") == q)
+        .map(_.getAs[Long]("vec_id")).sorted.toSeq
+      assert(ids === (q +: (0L to 8L).map(j => 100000L + q * 100 + j)),
+        s"qid $q ids: ${ids.mkString(",")}")
+    }
+    assert(rows.forall(_.getAs[Double]("score") === 1.0))
+  }
+
+  test("ann_lsh_batch_topk plan: dynamic partition pruning + partial grouped top-k") {
+    val plan = SparkEntry.queries("ann_lsh_batch_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the bucket equi-join must drive DYNAMIC partition pruning on the
+    // index scan — only the union of probed bucket directories is read
+    assert(plan.contains("dynamicpruningexpression"),
+      s"batch join did not trigger dynamic partition pruning:\n$plan")
+    // the per-query reduction must be the bounded aggregate with a
+    // map-side partial (shuffle O(queries·k), never O(candidates))
+    assert(plan.contains("partial_group_topk"),
+      s"expected partial group_topk before the exchange:\n$plan")
+  }
+
+  test("batch LSH retrieval matches the single-query pruned path on real data") {
+    val dir = Files.createTempDirectory("lsh_batch").toString
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    IndexBuilder.buildLshIndex(e, "embedding", AnnIndex.defaultLsh, dir)
+    val queries = e.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = IndexBuilder.lshBatchTopK(spark.read.parquet(dir), queries,
+      "qid", "qvec", AnnIndex.defaultLsh, k = 10, radius = 2).collect()
+    (0L to 2L).foreach { q =>
+      val qv = e.filter(col("vec_id") === q)
+        .head.getAs[Seq[Float]]("embedding").toArray
+      val single = IndexBuilder.lshTopK(e, "embedding", "vec_id",
+        AnnIndex.defaultLsh, qv, k = 10, radius = 2)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+        .toSet
+      val got = batch.filter(_.getAs[Long]("qid") == q)
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSet
+      assert(got === single, s"qid $q: batch result diverges from single-query path")
+    }
+  }
+
   test("IVF memoization distinguishes datasets with identical plan shapes") {
     // regression: the cache key was the UNRESOLVED canonicalized plan, which
     // is path-blind ("UnresolvedDataSource … paths: 1 provided") — a second
