@@ -255,6 +255,48 @@ object AnnIndex extends QueryModule {
       |  WHERE e.vec_id < 5) t
       |ORDER BY qid, vec_id""".stripMargin
 
+  /** k-NN SELF-join: every corpus vector's top-k neighbors computed by one
+    * probe-explode + bucket equi-join job (`IndexBuilder.lshKnnJoin`) — the
+    * corpus-graph / semantic-dedup building block where the query side IS
+    * the corpus and nothing broadcasts. The planted construction makes the
+    * lossy self-join exactly enumerable: five families of ten identical
+    * vectors (base q ∈ {0..4} + nine salted copies) share a bucket by
+    * construction, so with k = 9 and self-pairs excluded every family
+    * member's top-9 is provably the OTHER nine members, all at score 1.0 —
+    * 450 rows a DuckDB family×family join writes down. Any regression in
+    * the stored-signature reuse, the self-exclusion, the join, or the
+    * bounded reduction perturbs the set. The full self-join over the whole
+    * corpus runs (that is the operator); the output is filtered to the
+    * families because only their answers are provable.
+    */
+  def knnSelfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_knnjoin_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qbase = e.filter(col("vec_id") < 5L)
+    val copies = broadcast(qbase)
+      .crossJoin(spark.range(0L, 9L).toDF("j"))
+      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
+        col("embedding"))
+    IndexBuilder.buildLshIndex(e.unionByName(copies), "embedding",
+      defaultLsh, path)
+    IndexBuilder.lshKnnJoin(spark.read.parquet(path), defaultLsh,
+      k = 9, radius = 1)
+      .filter(col("qid") < 5L || col("qid") >= 100000L)
+      .orderBy("qid", "vec_id")
+  }
+
+  private val knnSelfJoinSql =
+    """WITH fam AS (
+      |  SELECT vec_id AS q, vec_id AS member FROM embeddings WHERE vec_id < 5
+      |  UNION ALL
+      |  SELECT e.vec_id AS q, 100000 + e.vec_id * 100 + j.j AS member
+      |  FROM embeddings e CROSS JOIN (SELECT unnest(range(9)) AS j) j
+      |  WHERE e.vec_id < 5)
+      |SELECT a.member AS qid, b.member AS vec_id, 1.0::DOUBLE AS score
+      |FROM fam a JOIN fam b ON a.q = b.q AND a.member <> b.member
+      |ORDER BY qid, vec_id""".stripMargin
+
   /** Incremental index maintenance under the same self-query oracle: build
     * the persisted index WITHOUT the planted copies, then APPEND them via
     * `appendToLshIndex` (the arriving-documents path — no rebuild), and
@@ -938,6 +980,7 @@ object AnnIndex extends QueryModule {
     "ann_lsh_topk" -> annLshTopk,
     "ann_lsh_index_topk" -> annLshIndexTopk,
     "ann_lsh_batch_topk" -> annLshBatchTopk,
+    "knn_self_join" -> knnSelfJoin,
     "ann_lsh_incremental_topk" -> annLshIncrementalTopk,
     "ann_ivf_incremental_topk" -> annIvfIncrementalTopk,
     "ann_ivf_topk" -> annIvfTopk,
@@ -965,6 +1008,7 @@ object AnnIndex extends QueryModule {
     "ann_lsh_topk" -> annSelfQueryTopkSql,
     "ann_lsh_index_topk" -> annSelfQueryTopkSql,
     "ann_lsh_batch_topk" -> annLshBatchTopkSql,
+    "knn_self_join" -> knnSelfJoinSql,
     "ann_lsh_incremental_topk" -> annSelfQueryTopkSql,
     "ann_ivf_incremental_topk" -> annSelfQueryTopkSql,
     "ann_ivf_topk" -> annSelfQueryTopkSql,

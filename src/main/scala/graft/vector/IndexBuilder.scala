@@ -188,6 +188,44 @@ object IndexBuilder {
         (col("col.score") / 1e6).as("score"))
   }
 
+  /** k-NN SELF-join over the persisted index: every corpus vector's top-k
+    * neighbors in ONE job — the corpus-graph / semantic-dedup building
+    * block. The query side IS the corpus, so nothing broadcasts: probe
+    * rows reuse the STORED bucket as the query signature (no re-hash of
+    * the corpus), both sides hash-partition on bucket, and the index side
+    * arrives pre-clustered from the write layout. Each corpus row lives in
+    * exactly one bucket, so a (query, candidate) pair joins at most once —
+    * no dedup pass. Self-pairs are excluded (a vector is trivially its own
+    * nearest neighbor). Shuffle volume is corpus × |masks| probe rows in,
+    * O(corpus·k) out of the bounded GroupTopK aggregate — the candidate
+    * pairs themselves never cross an exchange. At production bit-widths
+    * (nBits 16–20) the bucket key has enough cardinality to spread; at toy
+    * widths parallelism is capped at 2^nBits partitions.
+    */
+  def lshKnnJoin(index: DataFrame, lsh: RandomHyperplaneLsh, k: Int,
+      radius: Int, embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.graft.GroupTopK
+    val masks = probeMasks(lsh.nBits, radius)
+    val probed = index
+      .select(col(idCol).as("qid"), col(embCol).as("qvec"),
+        col("bucket").as("qsig"))
+      .withColumn("mask", explode(typedlit(masks)))
+      .select(col("qid"), col("qvec"),
+        col("qsig").bitwiseXOR(col("mask")).as("bucket"))
+    index.join(probed, Seq("bucket"))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("score_e6",
+        round(VectorFunctions.cosineUnit(col(embCol), col("qvec")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("qid"))
+      .agg(GroupTopK.topK(col("score_e6"),
+        format_string("%012d", col(idCol)), k).as("top"))
+      .select(col("qid"), explode(col("top")))
+      .select(col("qid"), col("col.payload").cast("long").as("vec_id"),
+        (col("col.score") / 1e6).as("score"))
+  }
+
   /** IVF coarse quantizer: seeded Lloyd's KMeans fit driver-side on a
     * BOUNDED sample of the corpus (the FAISS training pattern — centroids
     * are O(k·dim) bytes; training them does not need the cluster). A

@@ -123,6 +123,44 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("knn_self_join: each family member's top-9 is the other nine members") {
+    val rows = SparkEntry.queries("knn_self_join")(spark, sf).collect()
+    assert(rows.length === 50 * 9)
+    val fam = (0L to 4L).map { q =>
+      q -> (q +: (0L to 8L).map(j => 100000L + q * 100 + j)).toSet
+    }.toMap
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val q = if (qid < 5) qid else (qid - 100000L) / 100
+      assert(fam(q).contains(r.getAs[Long]("vec_id")) &&
+        r.getAs[Long]("vec_id") != qid,
+        s"qid $qid got non-family neighbor ${r.getAs[Long]("vec_id")}")
+      assert(r.getAs[Double]("score") === 1.0)
+    }
+  }
+
+  test("knn self-join matches the single-query pruned path on real data") {
+    val dir = Files.createTempDirectory("knn_join").toString
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    IndexBuilder.buildLshIndex(e, "embedding", AnnIndex.defaultLsh, dir)
+    val joined = IndexBuilder.lshKnnJoin(spark.read.parquet(dir),
+      AnnIndex.defaultLsh, k = 9, radius = 2)
+      .filter(col("qid") < 3L).collect()
+    (0L to 2L).foreach { q =>
+      val qv = e.filter(col("vec_id") === q)
+        .head.getAs[Seq[Float]]("embedding").toArray
+      // same probe set, same ranking discipline: the single-query pruned
+      // top-10 minus the self row is exactly the self-join's top-9
+      val single = IndexBuilder.lshTopK(e, "embedding", "vec_id",
+        AnnIndex.defaultLsh, qv, k = 10, radius = 2)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+        .filter(_._1 != q).take(9).toSet
+      val got = joined.filter(_.getAs[Long]("qid") == q)
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSet
+      assert(got === single, s"qid $q: self-join diverges from single-query path")
+    }
+  }
+
   test("IVF memoization distinguishes datasets with identical plan shapes") {
     // regression: the cache key was the UNRESOLVED canonicalized plan, which
     // is path-blind ("UnresolvedDataSource … paths: 1 provided") — a second
