@@ -762,6 +762,75 @@ object Dedup extends QueryModule {
        |FROM comp c JOIN documents d ON d.doc_id = c.node
        |ORDER BY doc_id""".stripMargin
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): cluster the embedding space with the
+    * seeded IVF coarse quantizer, threshold pairwise cosine WITHIN each
+    * cluster, resolve the resulting dup graph with min-label connected
+    * components, and keep one exemplar (the min id) per component.
+    *
+    * Scale shape: candidate pairs come from a cluster_id equi-join, never
+    * all-pairs — the paper's own trick; per-cluster pair cost is the
+    * accepted O(Σ|cluster|²) with numClusters scaled so clusters stay
+    * bounded. Only (id, embedding) rows cross the exchange; identical
+    * vectors provably co-cluster (deterministic lowest-index tie-break in
+    * the assigner), so exact copies can never be split across clusters and
+    * missed.
+    *
+    * Returns the full decision table: (vec_id, canonical_id) for EVERY
+    * input row — canonical_id = vec_id means kept, a smaller canonical_id
+    * means this row is a semantic duplicate of that exemplar.
+    */
+  def semanticDedupOf(vectors: DataFrame, embCol: String, idCol: String,
+      numClusters: Int, tau: Double, seed: Long): DataFrame = {
+    val (clustered, _) = graft.vector.IndexBuilder.withIvfCluster(
+      vectors.select(col(idCol), col(embCol)), embCol, numClusters, seed)
+    val a = clustered.select(col("cluster_id"), col(idCol).as("src"),
+      col(embCol).as("emb_a"))
+    val b = clustered.select(col("cluster_id"), col(idCol).as("dst"),
+      col(embCol).as("emb_b"))
+    val edges = a.join(b, Seq("cluster_id"))
+      .filter(col("src") < col("dst"))
+      .filter(round(graft.vector.VectorFunctions
+          .cosineUnit(col("emb_a"), col("emb_b")) * 1e6, 0).cast("long")
+        >= math.round(tau * 1e6))
+      .select("src", "dst")
+    val labels = connectedComponents(edges)
+    vectors.select(col(idCol).as("vec_id"))
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("canonical_id"))
+  }
+
+  /** Driver row: the planted five-family construction makes the semantic
+    * dedup decision exactly enumerable. τ = 0.8 sits strictly between the
+    * measured max real-pair cosine (0.60 at sf0.1, 0.51 at sf0.01, 0.48 at
+    * sf0.001) and the exact-copy cosine 1.0, so the only components are
+    * the five planted families and every real row must keep itself —
+    * the WHOLE decision table is written down in SQL. A clustering split
+    * of a family, a missed edge, a spurious real-pair edge, or a wrong
+    * canonical choice each perturb the table.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qbase = e.filter(col("vec_id") < 5L)
+    val copies = broadcast(qbase)
+      .crossJoin(spark.range(0L, 9L).toDF("j"))
+      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
+        col("embedding"))
+    semanticDedupOf(e.unionByName(copies), "embedding", "vec_id",
+      numClusters = 16, tau = 0.8, seed = 7L)
+      .orderBy("vec_id")
+  }
+
+  private val semanticDedupSql =
+    """SELECT vec_id, vec_id AS canonical_id FROM embeddings
+      |UNION ALL
+      |SELECT 100000 + e.vec_id * 100 + j.j AS vec_id, e.vec_id AS canonical_id
+      |FROM embeddings e CROSS JOIN (SELECT unnest(range(9)) AS j) j
+      |WHERE e.vec_id < 5
+      |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> dedupComponents,
     "dedup_canonical" -> dedupCanonical,
@@ -774,7 +843,8 @@ object Dedup extends QueryModule {
     "minhash_vs_exact" -> minhashVsExact,
     "simhash_near_dupes" -> simhashNearDupesGate,
     "simhash_planted_dupes" -> simhashPlantedDupes,
-    "embedding_near_dupes" -> embeddingNearDupes)
+    "embedding_near_dupes" -> embeddingNearDupes,
+    "semantic_dedup" -> semanticDedup)
 
   def oracles: Map[String, String] = Map(
     "dedup_components" -> dedupComponentsSql,
@@ -788,5 +858,6 @@ object Dedup extends QueryModule {
     "minhash_vs_exact" -> ngramJaccardPairsSql,
     "simhash_near_dupes" -> simhashNearDupesGateSql,
     "simhash_planted_dupes" -> simhashPlantedDupesSql,
-    "embedding_near_dupes" -> embeddingNearDupesSql)
+    "embedding_near_dupes" -> embeddingNearDupesSql,
+    "semantic_dedup" -> semanticDedupSql)
 }

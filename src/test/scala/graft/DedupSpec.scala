@@ -23,6 +23,30 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_ % 10 >= 3), "no state id may survive the anti-join")
   }
 
+  test("semantic_dedup: planted families collapse to the base exemplar, reals keep themselves") {
+    val rows = SparkEntry.queries("semantic_dedup")(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("canonical_id")).toMap
+    val nReal = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.size === nReal + 45)
+    rows.foreach { case (id, canon) =>
+      if (id >= 100000L) assert(canon === (id - 100000L) / 100,
+        s"copy $id should collapse to its family base, got $canon")
+      else assert(canon === id, s"real row $id must keep itself, got $canon")
+    }
+  }
+
+  test("semanticDedupOf on a hand-built corpus: clique collapses, isolated rows survive") {
+    // three identical unit vectors (one clique), one orthogonal singleton
+    val v = Array.fill(64)(0.0f); v(0) = 1.0f
+    val w = Array.fill(64)(0.0f); w(1) = 1.0f
+    val df = Seq((10L, v.toSeq), (11L, v.toSeq), (12L, v.toSeq), (20L, w.toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupOf(df, "embedding", "vec_id",
+        numClusters = 2, tau = 0.8, seed = 7L)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(out === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
   test("shingles: short docs yield one shingle, others n-grams in order") {
     val df = Seq("a b", "a b c d").toDF("text")
       .select(Dedup.shinglesCol(Dedup.tokensCol(col("text")), 3).as("sh"))
