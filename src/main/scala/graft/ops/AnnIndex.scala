@@ -246,6 +246,33 @@ object AnnIndex extends QueryModule {
       .orderBy("qid", "vec_id")
   }
 
+  /** IVF analog of the batch row: same planted five-family construction,
+    * same enumerable 50-row answer, but probe generation is columnar
+    * nProbe centroid ranking (`IndexBuilder.ivfBatchTopK`) against the
+    * persisted index's centroid sidecar — each query's own cluster is by
+    * definition its rank-1 probe, so the family rows are reachable at any
+    * nProbe ≥ 1 and only a drift between the columnar L2 ranking and the
+    * driver-side `nearestClusters` (or a broken sidecar round-trip) can
+    * perturb the answer.
+    */
+  def annIvfBatchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfbatch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qbase = e.filter(col("vec_id") < 5L)
+    val copies = broadcast(qbase)
+      .crossJoin(spark.range(0L, 9L).toDF("j"))
+      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
+        col("embedding"))
+    IndexBuilder.buildIvfIndex(e.unionByName(copies), "embedding",
+      numClusters = 16, seed = 42L, path)
+    IndexBuilder.ivfBatchTopK(
+      spark.read.parquet(path), IndexBuilder.loadIvfCentroids(path),
+      qbase.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nProbe = 6)
+      .orderBy("qid", "vec_id")
+  }
+
   private val annLshBatchTopkSql =
     """SELECT qid, vec_id, 1.0::DOUBLE AS score FROM (
       |  SELECT vec_id AS qid, vec_id FROM embeddings WHERE vec_id < 5
@@ -980,6 +1007,7 @@ object AnnIndex extends QueryModule {
     "ann_lsh_topk" -> annLshTopk,
     "ann_lsh_index_topk" -> annLshIndexTopk,
     "ann_lsh_batch_topk" -> annLshBatchTopk,
+    "ann_ivf_batch_topk" -> annIvfBatchTopk,
     "knn_self_join" -> knnSelfJoin,
     "ann_lsh_incremental_topk" -> annLshIncrementalTopk,
     "ann_ivf_incremental_topk" -> annIvfIncrementalTopk,
@@ -1008,6 +1036,7 @@ object AnnIndex extends QueryModule {
     "ann_lsh_topk" -> annSelfQueryTopkSql,
     "ann_lsh_index_topk" -> annSelfQueryTopkSql,
     "ann_lsh_batch_topk" -> annLshBatchTopkSql,
+    "ann_ivf_batch_topk" -> annLshBatchTopkSql,
     "knn_self_join" -> knnSelfJoinSql,
     "ann_lsh_incremental_topk" -> annSelfQueryTopkSql,
     "ann_ivf_incremental_topk" -> annSelfQueryTopkSql,

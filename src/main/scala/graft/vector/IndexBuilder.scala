@@ -1,6 +1,7 @@
 package graft.vector
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch-built ANN index structures (SURVEY.md §2.9 V5).
@@ -168,7 +169,6 @@ object IndexBuilder {
   def lshBatchTopK(index: DataFrame, queries: DataFrame, qidCol: String,
       qvecCol: String, lsh: RandomHyperplaneLsh, k: Int, radius: Int,
       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.sql.graft.GroupTopK
     val masks = probeMasks(lsh.nBits, radius)
     val probed = withLshBucket(
         queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")),
@@ -176,7 +176,19 @@ object IndexBuilder {
       .withColumn("mask", explode(typedlit(masks)))
       .select(col("qid"), col("qvec"),
         col("qsig").bitwiseXOR(col("mask")).as("bucket"))
-    index.join(broadcast(probed), Seq("bucket"))
+    scoreReduceTopK(index.join(broadcast(probed), Seq("bucket")),
+      k, embCol, idCol)
+  }
+
+  /** Shared tail of every batch-retrieval join: exact e6-unit re-scoring of
+    * the joined candidates and the bounded per-query GroupTopK reduction
+    * (map-side partial, O(queries·k) across the exchange). Expects columns
+    * `qid`, `qvec`, `embCol`, `idCol` on the input.
+    */
+  private def scoreReduceTopK(cands: DataFrame, k: Int, embCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.GroupTopK
+    cands
       .withColumn("score_e6",
         round(VectorFunctions.cosineUnit(col(embCol), col("qvec")) * 1e6, 0)
           .cast("long"))
@@ -213,17 +225,43 @@ object IndexBuilder {
       .withColumn("mask", explode(typedlit(masks)))
       .select(col("qid"), col("qvec"),
         col("qsig").bitwiseXOR(col("mask")).as("bucket"))
-    index.join(probed, Seq("bucket"))
-      .filter(col(idCol) =!= col("qid"))
-      .withColumn("score_e6",
-        round(VectorFunctions.cosineUnit(col(embCol), col("qvec")) * 1e6, 0)
-          .cast("long"))
-      .groupBy(col("qid"))
-      .agg(GroupTopK.topK(col("score_e6"),
-        format_string("%012d", col(idCol)), k).as("top"))
-      .select(col("qid"), explode(col("top")))
-      .select(col("qid"), col("col.payload").cast("long").as("vec_id"),
-        (col("col.score") / 1e6).as("score"))
+    scoreReduceTopK(
+      index.join(probed, Seq("bucket")).filter(col(idCol) =!= col("qid")),
+      k, embCol, idCol)
+  }
+
+  /** BATCH IVF retrieval: the `lshBatchTopK` shape with nProbe centroid
+    * pruning as the probe generator, computed COLUMNARLY — each query row
+    * explodes against the literal centroid table (numClusters × dim
+    * doubles, plan-time constant), per-(qid, cluster) L2 is a zip_with /
+    * aggregate fold evaluating in the same sequential order as the
+    * driver-side `nearestClusters` (bit-equal distances, same
+    * (d2, cluster_id) tie-break), and a per-qid window keeps the nProbe
+    * nearest. The probe join against the cluster-partitioned index then
+    * drives partition pruning exactly as the single-query path's
+    * `cluster_id IN` filter does, and the reduction is the shared bounded
+    * GroupTopK tail.
+    */
+  def ivfBatchTopK(index: DataFrame, centers: Array[Array[Double]],
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      nProbe: Int, embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val centroidRows: Seq[(Int, Seq[Double])] =
+      centers.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val probed = queries
+      .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+      .withColumn("c", explode(typedlit(centroidRows)))
+      .withColumn("d2", aggregate(
+        zip_with(col("qvec"), col("c._2"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("d2").asc, col("c._1").asc)))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("qvec"), col("c._1").as("cluster_id"))
+    scoreReduceTopK(index.join(broadcast(probed), Seq("cluster_id")),
+      k, embCol, idCol)
   }
 
   /** IVF coarse quantizer: seeded Lloyd's KMeans fit driver-side on a

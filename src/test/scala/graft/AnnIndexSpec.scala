@@ -123,6 +123,40 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_batch_topk: each query's batch answer is self + its planted copies") {
+    val rows = SparkEntry.queries("ann_ivf_batch_topk")(spark, sf).collect()
+    assert(rows.length === 50)
+    (0L to 4L).foreach { q =>
+      val ids = rows.filter(_.getAs[Long]("qid") == q)
+        .map(_.getAs[Long]("vec_id")).sorted.toSeq
+      assert(ids === (q +: (0L to 8L).map(j => 100000L + q * 100 + j)),
+        s"qid $q ids: ${ids.mkString(",")}")
+    }
+    assert(rows.forall(_.getAs[Double]("score") === 1.0))
+  }
+
+  test("batch IVF probe sets match the driver-side nearestClusters ranking") {
+    val dir = Files.createTempDirectory("ivf_batch").toString
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val centers = IndexBuilder.buildIvfIndex(e, "embedding",
+      numClusters = 16, seed = 42L, dir)
+    val queries = e.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = IndexBuilder.ivfBatchTopK(spark.read.parquet(dir), centers,
+      queries, "qid", "qvec", k = 10, nProbe = 6).collect()
+    (0L to 2L).foreach { q =>
+      val qv = e.filter(col("vec_id") === q)
+        .head.getAs[Seq[Float]]("embedding").toArray
+      val single = IndexBuilder.ivfTopK(e, "embedding", "vec_id", qv,
+        k = 10, numClusters = 16, nProbe = 6, seed = 42L)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+        .toSet
+      val got = batch.filter(_.getAs[Long]("qid") == q)
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSet
+      assert(got === single, s"qid $q: batch IVF diverges from single-query path")
+    }
+  }
+
   test("knn_self_join: each family member's top-9 is the other nine members") {
     val rows = SparkEntry.queries("knn_self_join")(spark, sf).collect()
     assert(rows.length === 50 * 9)
