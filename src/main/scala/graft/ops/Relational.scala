@@ -428,6 +428,67 @@ object Relational extends QueryModule {
       |       epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Incremental maintenance of a JOIN view (fact ⋈ dim) — the enrichment
+    * MV every warehouse serves next to the aggregate MV (`ivmEventSummary`
+    * covers the agg case; this is the join case). Deltas on BOTH sides
+    * stay delta-scoped:
+    *  - Δfact (late-arriving orders): only the arriving rows join the
+    *    current dim and land as a new commit — cost |Δfact|, history
+    *    untouched.
+    *  - Δdim (customer corrections): only the AFFECTED KEYS' view rows are
+    *    re-derived — the fact side is reduced with a broadcast left-semi
+    *    join on the changed custkeys (at scale the fact table's
+    *    custkey clustering turns this into a pruned point-lookup, cf.
+    *    `zorderScan`) — and lands seq-stamped; readers merge latest-wins
+    *    per o_orderkey with ONE max_by aggregation (the MOR discipline,
+    *    no window sort). Cost = the changed keys' fan-out, never |fact|.
+    * The final snapshot must equal the full recompute on the true tables:
+    * the oracle is the plain join, so stale seeds surviving, a missed
+    * affected key, or broken latest-wins all diverge.
+    */
+  def ivmJoinView(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.scratchPath("graft_ivmjoin", dir)
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"),
+      col("c_name"), col("c_nationkey").cast("long").as("c_nationkey"))
+    val lateFact = col("o_orderkey") % 10L === 0L
+    val staleDim = col("c_custkey") % 7L === 0L
+    // day-one dim state: the %7 customers carry a value the later
+    // correction must overwrite — if any "(stale)" survives to the
+    // snapshot, the dim-delta path failed and the oracle compare is red
+    val dim0 = cust.withColumn("c_name",
+      when(staleDim, lit("(stale)")).otherwise(col("c_name")))
+    def joined(f: DataFrame, d: DataFrame): DataFrame =
+      f.join(d, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_nationkey"))
+    joined(orders.filter(!lateFact), dim0)
+      .withColumn("seq", lit(0L))
+      .write.mode("overwrite").parquet(path + "/commit=0")
+    joined(orders.filter(lateFact), dim0)
+      .withColumn("seq", lit(1L))
+      .write.mode("overwrite").parquet(path + "/commit=1")
+    val deltaDim = cust.filter(staleDim)
+    joined(orders.join(
+        broadcast(deltaDim.select(col("c_custkey").as("o_custkey"))),
+        Seq("o_custkey"), "leftsemi"), deltaDim)
+      .withColumn("seq", lit(2L))
+      .write.mode("overwrite").parquet(path + "/commit=2")
+    spark.read.parquet(path)
+      .groupBy("o_orderkey")
+      .agg(max_by(struct(col("o_custkey"), col("c_name"),
+        col("c_nationkey")), col("seq")).as("r"))
+      .select(col("o_orderkey"), col("r.o_custkey").as("o_custkey"),
+        col("r.c_name").as("c_name"), col("r.c_nationkey").as("c_nationkey"))
+      .orderBy("o_orderkey")
+  }
+
+  private val ivmJoinViewSql =
+    """SELECT o_orderkey, o_custkey, c_name,
+      |       CAST(c_nationkey AS BIGINT) AS c_nationkey
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Time-partitioned warehouse layout: events land in `day_id=` parquet
     * partitions (the universal time-series layout), so a date-range query
     * prunes to exactly the covered days at PLANNING time — at 100 TB a
@@ -1011,6 +1072,7 @@ object Relational extends QueryModule {
     "events_unpivot_daily" -> eventsUnpivotDaily,
     "partition_prune_scan" -> partitionPruneScan,
     "ivm_event_summary" -> ivmEventSummary,
+    "ivm_join_view" -> ivmJoinView,
     "range_layout_scan" -> rangeLayoutScan,
     "salted_distinct_users" -> saltedDistinctUsers,
     "salted_source_join" -> saltedSourceJoin,
@@ -1046,6 +1108,7 @@ object Relational extends QueryModule {
     "events_unpivot_daily" -> eventsUnpivotDailySql,
     "partition_prune_scan" -> partitionPruneScanSql,
     "ivm_event_summary" -> ivmEventSummarySql,
+    "ivm_join_view" -> ivmJoinViewSql,
     "range_layout_scan" -> rangeLayoutScanSql,
     "salted_distinct_users" -> saltedDistinctUsersSql,
     "salted_source_join" -> saltedSourceJoinSql,

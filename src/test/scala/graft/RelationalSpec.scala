@@ -95,6 +95,33 @@ class RelationalSpec extends SparkSpec {
       "be indistinguishable from recomputing over all history")
   }
 
+  test("ivm_join_view: incremental commits converge to the full recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ivm_join_view")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"),
+      col("c_name"), col("c_nationkey").cast("long").as("c_nationkey"))
+    val direct = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name", "c_nationkey")
+      .collect().map(_.toSeq).toSet
+    assert(got === direct,
+      "three incremental commits must equal the one-shot join")
+    assert(!got.exists(_.toString.contains("(stale)")),
+      "a seeded stale dim value survived the dim-delta commit")
+  }
+
+  test("ivm_join_view dim-delta commit is scoped to the affected keys' fan-out") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("ivm_join_view")(spark, sf).collect()
+    val path = Tables.scratchPath("graft_ivmjoin", sf)
+    val commit2 = spark.read.parquet(path + "/commit=2").count()
+    val affected = Tables.orders(spark, sf)
+      .filter(col("o_custkey") % 7L === 0L).count()
+    assert(commit2 === affected,
+      s"dim-delta rewrote $commit2 rows; the affected-key fan-out is $affected")
+  }
+
   test("events_unpivot_daily: melt round-trips the pivot, totals preserved") {
     import org.apache.spark.sql.functions._
     val long = SparkEntry.queries("events_unpivot_daily")(spark, sf)
