@@ -22,6 +22,7 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     ops.Relational,
+    ops.CatalogStats,
     ops.Lakehouse,
     ops.DataQuality,
     ops.Linkage,

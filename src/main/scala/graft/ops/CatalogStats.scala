@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Catalog statistics + cost-based optimization (SURVEY.md §4's "let
+  * Catalyst optimize" made concrete with REAL stats).
+  *
+  * Spark's default join planning is file-size-driven: a table is broadcast
+  * iff its on-disk bytes fall under the threshold, and a FILTERED relation
+  * keeps a crude estimate, so selective dimension filters don't unlock
+  * broadcasts and multi-join orders are taken as written. The fix is the
+  * warehouse-standard one, not a custom rule: register the corpus as
+  * EXTERNAL catalog tables (metadata only — no data copy; at 100 TB the
+  * catalog points at the lake), run `ANALYZE TABLE … COMPUTE STATISTICS
+  * FOR ALL COLUMNS` (a one-pass distributed agg producing count / NDV /
+  * min-max / null-count per column), and turn on `spark.sql.cbo.enabled`
+  * + join reorder so Catalyst's own cost model consumes them. Column
+  * stats make filter selectivity real (NDV-based), which cascades into
+  * join-size estimates, broadcast decisions, and star-schema join order.
+  *
+  * ANALYZE cost at scale: one scan per refresh, amortized across every
+  * query planned against the table — the same economics as building a
+  * zone map. Stats staleness is bounded by the refresh cadence, and a
+  * stale rowCount degrades to the pre-CBO plan, never to a wrong answer
+  * (cost models affect plan CHOICE only).
+  */
+object CatalogStats extends QueryModule {
+
+  /** Catalog-safe table name for (table, sfDir) — hex suffix isolates
+    * scale factors sharing one warehouse, as scratchPath does for /tmp.
+    */
+  def tableName(table: String, dir: String): String =
+    s"graft_cbo_${table}_" + Integer.toHexString(dir.hashCode)
+
+  /** Register `tables` as external parquet catalog tables over the sfDir
+    * files (idempotent; DROP of an external table never touches data) and
+    * collect full column statistics.
+    */
+  def registerAndAnalyze(spark: SparkSession, dir: String,
+      tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      val name = tableName(t, dir)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(
+        s"CREATE TABLE $name USING parquet LOCATION '$dir/$t.parquet'")
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+
+  /** Run `body` with the cost-based optimizer (and stats-based join
+    * reorder) enabled, forcing physical planning INSIDE the window so the
+    * returned DataFrame keeps its CBO-chosen plan after the confs are
+    * restored (queryExecution pins lazily-computed plans).
+    */
+  def withCbo[A <: DataFrame](spark: SparkSession)(body: => A): A = {
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "true"))
+    try {
+      val df = body
+      df.queryExecution.executedPlan // pin the CBO plan before restoring
+      df
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Star join planned by the cost-based optimizer over ANALYZEd catalog
+    * tables: fact (orders) against two dims (customer, nation) with a
+    * selective dim predicate. With column stats the optimizer KNOWS the
+    * nation filter keeps 2-of-25 rows and that customer joins 1:1, so both
+    * dim sides broadcast and the fact table is never shuffled — the plan
+    * shape is pinned in CatalogStatsSpec; this row pins the ANSWER (plain
+    * SQL oracle), because a cost model may only change plans, never
+    * results.
+    */
+  def cboStarJoin(spark: SparkSession, dir: String): DataFrame = {
+    registerAndAnalyze(spark, dir, Seq("orders", "customer", "nation"))
+    val (o, c, n) = (tableName("orders", dir), tableName("customer", dir),
+      tableName("nation", dir))
+    withCbo(spark) {
+      spark.sql(
+        s"""SELECT n.n_name, count(*) AS n_orders
+           |FROM $o o JOIN $c c ON o.o_custkey = c.c_custkey
+           |JOIN $n n ON c.c_nationkey = n.n_nationkey
+           |WHERE n.n_name IN ('NATION_3', 'NATION_7')
+           |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+    }
+  }
+
+  private val cboStarJoinSql =
+    """SELECT n.n_name, count(*) AS n_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE n.n_name IN ('NATION_3', 'NATION_7')
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cbo_star_join" -> cboStarJoin)
+
+  def oracles: Map[String, String] = Map(
+    "cbo_star_join" -> cboStarJoinSql)
+}
