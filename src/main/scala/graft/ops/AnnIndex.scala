@@ -313,6 +313,30 @@ object AnnIndex extends QueryModule {
       .orderBy("qid", "vec_id")
   }
 
+  /** The skew-aware self-join under the SAME planted oracle: hotCap = 20
+    * forces most sf-scale buckets (mean occupancy ≈ corpus/64) through the
+    * salted path — including the family bucket — so the row proves the
+    * salt split + probe replication reconstruct exactly the unsalted
+    * answer. Result invariance is the contract: salting may only move
+    * rows between reducers, never change what joins.
+    */
+  def knnSelfJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_knnjoin_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qbase = e.filter(col("vec_id") < 5L)
+    val copies = broadcast(qbase)
+      .crossJoin(spark.range(0L, 9L).toDF("j"))
+      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
+        col("embedding"))
+    IndexBuilder.buildLshIndex(e.unionByName(copies), "embedding",
+      defaultLsh, path)
+    IndexBuilder.lshKnnJoinSalted(spark.read.parquet(path), defaultLsh,
+      k = 9, radius = 1, hotCap = 20L, nSalts = 8)
+      .filter(col("qid") < 5L || col("qid") >= 100000L)
+      .orderBy("qid", "vec_id")
+  }
+
   private val knnSelfJoinSql =
     """WITH fam AS (
       |  SELECT vec_id AS q, vec_id AS member FROM embeddings WHERE vec_id < 5
@@ -1009,6 +1033,7 @@ object AnnIndex extends QueryModule {
     "ann_lsh_batch_topk" -> annLshBatchTopk,
     "ann_ivf_batch_topk" -> annIvfBatchTopk,
     "knn_self_join" -> knnSelfJoin,
+    "knn_self_join_salted" -> knnSelfJoinSalted,
     "ann_lsh_incremental_topk" -> annLshIncrementalTopk,
     "ann_ivf_incremental_topk" -> annIvfIncrementalTopk,
     "ann_ivf_topk" -> annIvfTopk,
@@ -1038,6 +1063,7 @@ object AnnIndex extends QueryModule {
     "ann_lsh_batch_topk" -> annLshBatchTopkSql,
     "ann_ivf_batch_topk" -> annLshBatchTopkSql,
     "knn_self_join" -> knnSelfJoinSql,
+    "knn_self_join_salted" -> knnSelfJoinSql,
     "ann_lsh_incremental_topk" -> annSelfQueryTopkSql,
     "ann_ivf_incremental_topk" -> annSelfQueryTopkSql,
     "ann_ivf_topk" -> annSelfQueryTopkSql,

@@ -230,6 +230,49 @@ object IndexBuilder {
       k, embCol, idCol)
   }
 
+  /** Skew-aware variant of the self-join's bucket shuffle. Real LSH
+    * occupancy is skewed (the lsh_bucket_stats gate measures it); in the
+    * no-broadcast shuffle join a hot bucket lands on ONE reducer and the
+    * job runs at the straggler's pace. Buckets whose occupancy exceeds
+    * `hotCap` are split into `nSalts` deterministic sub-keys
+    * (`xxhash64(id) % nSalts` on the corpus side) and the PROBE side
+    * replicates its rows across all salts of a hot bucket — cold buckets
+    * pay nothing (salt 0, no replication). The hot-bucket list is a
+    * bounded ≤ 2^nBits-row broadcast. Every (query, candidate) pair still
+    * joins exactly once (an index row owns one salt), so results are
+    * bit-identical to the unsalted join — spec-pinned, and the driver row
+    * reuses the unsalted planted oracle verbatim. AQE's skew-join split
+    * covers sort-merge plans; explicit salting also covers shuffle-hash
+    * joins and keeps reducer key-ranges bounded BEFORE any runtime
+    * re-plan, which is what survives a 100× corpus growth.
+    */
+  def lshKnnJoinSalted(index: DataFrame, lsh: RandomHyperplaneLsh, k: Int,
+      radius: Int, hotCap: Long, nSalts: Int,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val masks = probeMasks(lsh.nBits, radius)
+    val hot = index.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotCap).select(col("bucket"), lit(true).as("hot"))
+    val salted = index.join(broadcast(hot), Seq("bucket"), "left")
+      .withColumn("salt", when(col("hot").isNotNull,
+        pmod(xxhash64(col(idCol)), lit(nSalts.toLong))).otherwise(lit(0L)))
+      .drop("hot")
+    val probed = index
+      .select(col(idCol).as("qid"), col(embCol).as("qvec"),
+        col("bucket").as("qsig"))
+      .withColumn("mask", explode(typedlit(masks)))
+      .select(col("qid"), col("qvec"),
+        col("qsig").bitwiseXOR(col("mask")).as("bucket"))
+      .join(broadcast(hot), Seq("bucket"), "left")
+      .withColumn("salt", explode(when(col("hot").isNotNull,
+        sequence(lit(0L), lit(nSalts.toLong - 1)))
+        .otherwise(sequence(lit(0L), lit(0L)))))
+      .select("qid", "qvec", "bucket", "salt")
+    scoreReduceTopK(
+      salted.join(probed, Seq("bucket", "salt"))
+        .filter(col(idCol) =!= col("qid")),
+      k, embCol, idCol)
+  }
+
   /** BATCH IVF retrieval: the `lshBatchTopK` shape with nProbe centroid
     * pruning as the probe generator, computed COLUMNARLY — each query row
     * explodes against the literal centroid table (numClusters × dim

@@ -195,6 +195,25 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("salted knn self-join is bit-identical to the unsalted join, with salting engaged") {
+    val dir = Files.createTempDirectory("knn_salt").toString
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    IndexBuilder.buildLshIndex(e, "embedding", AnnIndex.defaultLsh, dir)
+    val index = spark.read.parquet(dir)
+    val hotCap = 5L // low cap so real buckets actually split at spec scale
+    val hotBuckets = index.groupBy(col("bucket")).count()
+      .filter(col("count") > hotCap).count()
+    assert(hotBuckets > 0, "spec must exercise the salted path")
+    val plain = IndexBuilder.lshKnnJoin(index, AnnIndex.defaultLsh,
+      k = 9, radius = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = IndexBuilder.lshKnnJoinSalted(index, AnnIndex.defaultLsh,
+      k = 9, radius = 1, hotCap = hotCap, nSalts = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted === plain,
+      "salting may move rows between reducers, never change what joins")
+  }
+
   test("IVF memoization distinguishes datasets with identical plan shapes") {
     // regression: the cache key was the UNRESOLVED canonicalized plan, which
     // is path-blind ("UnresolvedDataSource … paths: 1 provided") — a second
