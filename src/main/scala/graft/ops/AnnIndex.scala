@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 import graft.vector.IndexBuilder
@@ -135,6 +136,124 @@ object AnnIndex extends QueryModule {
   }
 
   private val lshBucketStatsGateSql =
+    """SELECT NULL::VARCHAR AS violation, NULL::BIGINT AS detail WHERE false""".stripMargin
+
+  /** "Measure, don't guess" probe-radius tuning: ONE job sweeps every
+    * multi-probe radius 0..maxRadius. Probe rows carry their mask
+    * popcount — which IS the signature Hamming distance to the probed
+    * bucket, so each candidate joins once and then contributes (via a
+    * bounded sequence-explode) to every radius ≥ its distance. Per-
+    * (query, radius) pruned top-k reduces through GroupTopK alongside a
+    * candidate count, and recall is judged against an exact brute-force
+    * top-k computed in the SAME job (sample queries broadcast; the corpus
+    * never moves). Output: one row per radius with integer-ppm mean
+    * recall and the total candidates scanned — the curve an operator
+    * reads to pick the cheapest radius meeting a recall target
+    * (`chooseProbeRadius`). At 100 TB this is the nightly index-health
+    * job: sample cost is |sample|·masks probe rows, never a corpus pass
+    * beyond the one exact scoring sweep over the bounded sample.
+    */
+  def annTuningCurveOf(spark: SparkSession, dir: String, maxRadius: Int = 3,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graft.GroupTopK
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scoreE6 = round(graft.vector.VectorFunctions
+      .cosineUnit(col("embedding"), col("qvec")) * 1e6, 0).cast("long")
+    val exact = e.crossJoin(broadcast(queries))
+      .withColumn("score_e6", scoreE6)
+      .groupBy(col("qid"))
+      .agg(GroupTopK.topK(col("score_e6"),
+        format_string("%012d", col("vec_id")), k).as("top"))
+      .select(col("qid"), explode(col("top")))
+      .select(col("qid"), col("col.payload").cast("long").as("vec_id"),
+        lit(1L).as("hit"))
+    val masksWithHam: Seq[(Int, Int)] = IndexBuilder
+      .probeMasks(defaultLsh.nBits, maxRadius)
+      .map(m => (m, Integer.bitCount(m)))
+    val probed = IndexBuilder.withLshBucket(queries, "qvec", defaultLsh, "qsig")
+      .withColumn("mh", explode(typedlit(masksWithHam)))
+      .select(col("qid"), col("qvec"),
+        col("qsig").bitwiseXOR(col("mh._1")).as("bucket"),
+        col("mh._2").as("ham"))
+    val perQuery = IndexBuilder.withLshBucket(e, "embedding", defaultLsh)
+      .join(broadcast(probed), Seq("bucket"))
+      .withColumn("score_e6", scoreE6)
+      .withColumn("radius", explode(sequence(col("ham"), lit(maxRadius))))
+      .groupBy(col("qid"), col("radius"))
+      .agg(GroupTopK.topK(col("score_e6"),
+          format_string("%012d", col("vec_id")), k).as("top"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("qid"), col("radius"), col("n_candidates"),
+        explode(col("top")))
+      .select(col("qid"), col("radius"), col("n_candidates"),
+        col("col.payload").cast("long").as("vec_id"))
+      .join(exact, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"), col("radius"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        first(col("n_candidates")).as("n_candidates"))
+    perQuery.groupBy(col("radius").cast("long").as("radius"))
+      .agg((sum(col("hits")) * 1000000L).as("hits_e6"),
+        (count(lit(1)) * k).as("denom"),
+        sum(col("n_candidates")).as("total_candidates"))
+      .select(col("radius"), (col("hits_e6") / col("denom"))
+        .cast("long").as("recall_ppm"), col("total_candidates"))
+      .orderBy("radius")
+  }
+
+  /** Minimal radius on a measured curve meeting `targetPpm` recall —
+    * the serving config an operator deploys; falls back to the max
+    * measured radius when the target is unreachable.
+    */
+  def chooseProbeRadius(curve: DataFrame, targetPpm: Long): Int = {
+    val rows = curve.select("radius", "recall_ppm").collect()
+      .map(r => (r.getAs[Long]("radius"), r.getAs[Long]("recall_ppm")))
+      .sortBy(_._1)
+    rows.find(_._2 >= targetPpm).map(_._1.toInt)
+      .getOrElse(rows.last._1.toInt)
+  }
+
+  /** Driver gate over the tuning curve (engine-seeded → contract-checked):
+    *  - MONOTONE RECALL / COST: enlarging the probe radius may never lose
+    *    candidates, so both recall and candidates scanned are
+    *    non-decreasing in r (candidates(r) ⊇ candidates(r-1) by
+    *    construction — a join or explode bug breaks it);
+    *  - RANGE: recall_ppm ∈ [0, 1e6];
+    *  - SELF-HIT FLOOR: every radius ≥ 0 includes the query's own bucket,
+    *    and the query IS a corpus row, so recall can never be 0;
+    *  - CEILING FLOOR: radius-3 recall must clear 500000 ppm — measured
+    *    ≥ ~0.9e6 on every sf (radius 3 of 6 bits probes 42/64 buckets),
+    *    so only a real pruning regression trips it.
+    */
+  def annTuningGate(spark: SparkSession, dir: String): DataFrame = {
+    val curve = annTuningCurveOf(spark, dir).cache()
+    val w = Window.orderBy(col("radius"))
+    val stepped = curve
+      .withColumn("prev_recall", lag(col("recall_ppm"), 1).over(w))
+      .withColumn("prev_cands", lag(col("total_candidates"), 1).over(w))
+    val nonMonotone = stepped
+      .filter(col("prev_recall").isNotNull &&
+        (col("recall_ppm") < col("prev_recall") ||
+         col("total_candidates") < col("prev_cands")))
+      .select(lit("non_monotone").as("violation"),
+        col("radius").cast("long").as("detail"))
+    val outOfRange = curve
+      .filter(col("recall_ppm") < 0 || col("recall_ppm") > 1000000L)
+      .select(lit("recall_range").as("violation"),
+        col("radius").cast("long").as("detail"))
+    val zeroRecall = curve.filter(col("recall_ppm") === 0L)
+      .select(lit("zero_recall").as("violation"),
+        col("radius").cast("long").as("detail"))
+    val weakCeiling = curve.filter(col("radius") === 3L &&
+        col("recall_ppm") < 500000L)
+      .select(lit("weak_ceiling").as("violation"),
+        col("recall_ppm").as("detail"))
+    nonMonotone.union(outOfRange).union(zeroRecall).union(weakCeiling)
+      .orderBy("violation", "detail")
+  }
+
+  private val annTuningGateSql =
     """SELECT NULL::VARCHAR AS violation, NULL::BIGINT AS detail WHERE false""".stripMargin
 
   /** Nine exact copies of stored vector 0 at ids 100000..100008 — the
@@ -1025,6 +1144,7 @@ object AnnIndex extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_gate" -> annRecallGate,
+    "ann_tuning_gate" -> annTuningGate,
     "lsh_bucket_invariants" -> lshBucketInvariants,
     "lsh_buckets" -> lshBucketsGate,
     "lsh_bucket_stats" -> lshBucketStatsGate,
@@ -1055,6 +1175,7 @@ object AnnIndex extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "ann_recall_gate" -> annRecallGateSql,
+    "ann_tuning_gate" -> annTuningGateSql,
     "lsh_bucket_invariants" -> lshBucketInvariantsSql,
     "lsh_buckets" -> lshBucketsGateSql,
     "lsh_bucket_stats" -> lshBucketStatsGateSql,

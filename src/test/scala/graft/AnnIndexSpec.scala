@@ -214,6 +214,25 @@ class AnnIndexSpec extends SparkSpec {
       "salting may move rows between reducers, never change what joins")
   }
 
+  test("ann_tuning_gate: the measured radius curve satisfies its contract") {
+    assert(SparkEntry.queries("ann_tuning_gate")(spark, sf).count() === 0)
+  }
+
+  test("tuning curve: radius-3 recall beats radius-0, chooseProbeRadius is minimal") {
+    val curve = AnnIndex.annTuningCurveOf(spark, sf)
+    val rows = curve.collect()
+      .map(r => (r.getAs[Long]("radius"), r.getAs[Long]("recall_ppm")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(rows.last._2 > rows.head._2,
+      "widening the probe set must improve recall on random unit vectors")
+    val target = rows(2)._2 // radius-2's measured recall as the target
+    val chosen = AnnIndex.chooseProbeRadius(curve, target)
+    assert(rows(chosen)._2 >= target &&
+      (chosen == 0 || rows(chosen - 1)._2 < target),
+      s"chooseProbeRadius must return the MINIMAL radius meeting $target")
+  }
+
   test("IVF memoization distinguishes datasets with identical plan shapes") {
     // regression: the cache key was the UNRESOLVED canonicalized plan, which
     // is path-blind ("UnresolvedDataSource … paths: 1 provided") — a second
