@@ -989,8 +989,50 @@ object TextAnalysis extends QueryModule {
       |  FROM documents) WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  /** Exact, deterministic train/val/test partitioning per stratum — the
+    * split every training pipeline freezes before a run. Within each
+    * source, rows rank by (md5(text), doc_id) — a content-derived total
+    * order, so the split is reproducible across re-runs, re-partitionings
+    * and engines, and adding a document moves only ranks after its hash —
+    * and integer threshold arithmetic (rank·10 vs n·8 / n·9) carves exact
+    * 80/10/10 proportions with no float boundary ambiguity. Disjoint and
+    * exhaustive by construction (every row gets exactly one split).
+    *
+    * Scale: one shuffle on the stratum key; the rank window sorts within
+    * each stratum, so a mega-stratum is the straggler bound — at 100 TB
+    * strata of that size should use the map-only hash-split (the
+    * weighted_sample discipline) where exact proportions aren't required.
+    */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Window.partitionBy(col("source"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(
+        bySource.orderBy(md5(col("text")), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(bySource))
+      .withColumn("split",
+        when(col("rk") * 10 <= col("n") * 8, "train")
+          .when(col("rk") * 10 <= col("n") * 9, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  private val datasetSplitSql =
+    """SELECT doc_id, source,
+      |       CASE WHEN rk * 10 <= n * 8 THEN 'train'
+      |            WHEN rk * 10 <= n * 9 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(text), doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "weighted_sample" -> weightedSample,
+    "dataset_split" -> datasetSplit,
     "grouped_sample_native" -> groupedSampleNative,
     "surprisal_scores" -> surprisalScores,
     "top_ngrams_per_lang" -> topNgramsPerLang,
@@ -1010,6 +1052,7 @@ object TextAnalysis extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "weighted_sample" -> weightedSampleSql,
+    "dataset_split" -> datasetSplitSql,
     "grouped_sample_native" -> groupedSampleNativeSql,
     "surprisal_scores" -> surprisalScoresSql,
     "top_ngrams_per_lang" -> topNgramsPerLangSql,

@@ -6,6 +6,31 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dataset_split: exact per-stratum proportions, disjoint and exhaustive") {
+    val out = SparkEntry.queries("dataset_split")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() === docs.count(), "every document gets exactly one split")
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    val perStratum = out.groupBy("source")
+      .pivot("split", Seq("train", "val", "test"))
+      .count().na.fill(0L).collect()
+    perStratum.foreach { r =>
+      val (tr, va, te) = (r.getAs[Long]("train"), r.getAs[Long]("val"),
+        r.getAs[Long]("test"))
+      val n = tr + va + te
+      assert(tr === n * 8 / 10, s"${r.getString(0)}: train $tr of $n")
+      assert(va === n * 9 / 10 - n * 8 / 10, s"${r.getString(0)}: val $va of $n")
+    }
+  }
+
+  test("dataset_split is invariant under input repartitioning") {
+    val a = SparkEntry.queries("dataset_split")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.datasetSplit(spark, sf) // fresh plan, same answer
+      .repartition(7).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("text_quality metrics on a hand-computed sample") {
     val df = Seq((1L, "The cat sat on the mat, twice.")).toDF("doc_id", "text")
       .withColumn("toks", TextAnalysis.tokensCol(col("text")))
