@@ -401,6 +401,34 @@ object AnnIndex extends QueryModule {
       |  WHERE e.vec_id < 5) t
       |ORDER BY qid, vec_id""".stripMargin
 
+  /** Range search through the persisted index: every neighbor with
+    * cosine ≥ 0.95 — NO top-k limit, the answer size is data-driven
+    * (`IndexBuilder.lshRangeSearch` against the partition-pruned probe
+    * scan). The planted construction makes the threshold exact: only the
+    * self row and its nine copies can clear 0.95 (max measured real-pair
+    * cosine is ≤ 0.61 at every sf), so the unbounded range answer equals
+    * the self-query top-10 and REUSES that oracle verbatim — if the
+    * threshold filter, the probe scan, or the planted copies drift, the
+    * set changes size and the compare goes red.
+    */
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshindex_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    IndexBuilder.buildLshIndex(
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", defaultLsh, path)
+    val index = spark.read.parquet(path)
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    index.filter(col("bucket").isin(probes: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .filter(col("score") >= 0.95)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .select("vec_id", "score")
+  }
+
   /** k-NN SELF-join: every corpus vector's top-k neighbors computed by one
     * probe-explode + bucket equi-join job (`IndexBuilder.lshKnnJoin`) — the
     * corpus-graph / semantic-dedup building block where the query side IS
@@ -1150,6 +1178,7 @@ object AnnIndex extends QueryModule {
     "lsh_bucket_stats" -> lshBucketStatsGate,
     "ann_lsh_topk" -> annLshTopk,
     "ann_lsh_index_topk" -> annLshIndexTopk,
+    "ann_range_search" -> annRangeSearch,
     "ann_lsh_batch_topk" -> annLshBatchTopk,
     "ann_ivf_batch_topk" -> annIvfBatchTopk,
     "knn_self_join" -> knnSelfJoin,
@@ -1181,6 +1210,7 @@ object AnnIndex extends QueryModule {
     "lsh_bucket_stats" -> lshBucketStatsGateSql,
     "ann_lsh_topk" -> annSelfQueryTopkSql,
     "ann_lsh_index_topk" -> annSelfQueryTopkSql,
+    "ann_range_search" -> annSelfQueryTopkSql,
     "ann_lsh_batch_topk" -> annLshBatchTopkSql,
     "ann_ivf_batch_topk" -> annLshBatchTopkSql,
     "knn_self_join" -> knnSelfJoinSql,

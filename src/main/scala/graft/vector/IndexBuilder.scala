@@ -141,6 +141,29 @@ object IndexBuilder {
       .limit(k)
   }
 
+  /** Range search (the FAISS `range_search` surface): ALL neighbors with
+    * similarity ≥ `minScore`, not a fixed k — the dedup/compliance shape
+    * where the answer size is data-dependent. Same pruned probe scan as
+    * `lshTopK`; the threshold filter rides the scan, so no Limit bounds
+    * the plan and the result is every qualifying row IN THE PROBED
+    * BUCKETS (approximate beyond the probe set, like every LSH query —
+    * callers needing guaranteed completeness above a radius must widen
+    * `radius` toward nBits). No driver-side state: output stays
+    * distributed and can feed a join directly.
+    */
+  def lshRangeSearch(corpus: DataFrame, embCol: String, idCol: String,
+      lsh: RandomHyperplaneLsh, queryVec: Array[Float], minScore: Double,
+      radius: Int): DataFrame = {
+    val probeSet = lsh.probes(lsh.signature(queryVec.toSeq), radius)
+    withLshBucket(corpus, embCol, lsh)
+      .filter(col("bucket").isin(probeSet: _*))
+      .withColumn("score",
+        round(VectorFunctions.cosineUnit(col(embCol),
+          typedlit(queryVec.toSeq)), 6))
+      .filter(col("score") >= minScore)
+      .orderBy(col("score").desc, col(idCol).asc)
+  }
+
   /** All XOR masks of popcount ≤ radius: the static, data-independent half
     * of multi-probe enumeration (the per-row signature is the other half).
     * `sig ^ mask` over these masks is exactly `probes(sig, radius)`, so

@@ -214,6 +214,28 @@ class AnnIndexSpec extends SparkSpec {
       "salting may move rows between reducers, never change what joins")
   }
 
+  test("ann_range_search: unbounded threshold answer is exactly the planted family") {
+    val rows = SparkEntry.queries("ann_range_search")(spark, sf).collect()
+    assert(rows.length === 10, "only self + nine copies can clear 0.95")
+    assert(rows.map(_.getAs[Long]("vec_id")).sorted.toSeq ===
+      (0L +: (100000L to 100008L)))
+    assert(rows.forall(_.getAs[Double]("score") === 1.0))
+  }
+
+  test("lshRangeSearch widens with the threshold and never returns below it") {
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val qv = e.filter(col("vec_id") === 0L)
+      .head.getAs[Seq[Float]]("embedding").toArray
+    val tight = IndexBuilder.lshRangeSearch(e, "embedding", "vec_id",
+      AnnIndex.defaultLsh, qv, minScore = 0.5, radius = 2).collect()
+    val loose = IndexBuilder.lshRangeSearch(e, "embedding", "vec_id",
+      AnnIndex.defaultLsh, qv, minScore = 0.0, radius = 2).collect()
+    assert(tight.forall(_.getAs[Double]("score") >= 0.5))
+    assert(loose.length >= tight.length)
+    assert(tight.map(_.getAs[Long]("vec_id")).toSet
+      .subsetOf(loose.map(_.getAs[Long]("vec_id")).toSet))
+  }
+
   test("ann_tuning_gate: the measured radius curve satisfies its contract") {
     assert(SparkEntry.queries("ann_tuning_gate")(spark, sf).count() === 0)
   }
