@@ -97,9 +97,44 @@ object CatalogStats extends QueryModule {
       |WHERE n.n_name IN ('NATION_3', 'NATION_7')
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
 
+  /** The eager-aggregation rewrite end-to-end (EagerAggregationRule): the
+    * star aggregate's partial is pushed below the customer join, with the
+    * dim key's uniqueness proven from the ANALYZE stats this module
+    * collected — the fact table reaches the join as one row per
+    * (group, custkey) instead of one per order. Money stays in integer
+    * e2 units (the cross-engine float discipline). The oracle is the
+    * plain join-then-aggregate SQL: a rewrite may only change the plan,
+    * never the answer; EagerAggregationSpec pins the plan shape and the
+    * decline cases.
+    */
+  def eagerAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{EagerAggregationRule, GraftExtensions}
+    registerAndAnalyze(spark, dir, Seq("orders", "customer"))
+    GraftExtensions.register(spark)
+    val (o, c) = (tableName("orders", dir), tableName("customer", dir))
+    spark.conf.set(EagerAggregationRule.EnabledKey, "true")
+    try withCbo(spark) {
+      spark.sql(
+        s"""SELECT c.c_nationkey, count(*) AS n_orders,
+           |       sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS price_e2,
+           |       max(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS max_e2
+           |FROM $o o JOIN $c c ON o.o_custkey = c.c_custkey
+           |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
+    } finally spark.conf.unset(EagerAggregationRule.EnabledKey)
+  }
+
+  private val eagerAggPushdownSql =
+    """SELECT c.c_nationkey, count(*) AS n_orders,
+      |       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_e2,
+      |       CAST(max(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_e2
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cbo_star_join" -> cboStarJoin)
+    "cbo_star_join" -> cboStarJoin,
+    "eager_agg_pushdown" -> eagerAggPushdown)
 
   def oracles: Map[String, String] = Map(
-    "cbo_star_join" -> cboStarJoinSql)
+    "cbo_star_join" -> cboStarJoinSql,
+    "eager_agg_pushdown" -> eagerAggPushdownSql)
 }

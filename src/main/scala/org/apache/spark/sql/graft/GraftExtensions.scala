@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // literal tsCol bounds imply epoch-day partCol bounds on the registered
     // day-partitioned table.
     ext.injectOptimizerRule(_ => PartitionPruneRule)
+    // Opt-in eager aggregation (spark.graft.eageragg.enabled=true): a
+    // partial aggregate is pushed below a key-unique inner join, with
+    // uniqueness proven from ANALYZE catalog statistics.
+    ext.injectOptimizerRule(_ => EagerAggregationRule)
   }
 }
 
@@ -82,5 +86,7 @@ object GraftExtensions {
       em.extraOptimizations = em.extraOptimizations :+ FkJoinEliminationRule
     if (!em.extraOptimizations.contains(PartitionPruneRule))
       em.extraOptimizations = em.extraOptimizations :+ PartitionPruneRule
+    if (!em.extraOptimizations.contains(EagerAggregationRule))
+      em.extraOptimizations = em.extraOptimizations :+ EagerAggregationRule
   }
 }
