@@ -490,6 +490,95 @@ object Rag extends QueryModule {
       .select(col("doc_id"), col("bm25"), col("n_terms_matched"))
   }
 
+  // ---- segmented BM25 index: append without rebuild (Lucene segments) ----
+
+  /** One Lucene-style SEGMENT of the BM25 index: postings / per-term df /
+    * mergeable corpus stats for JUST these docs, written under
+    * `segment=<id>` dirs with OVERWRITE — a replayed append rewrites the
+    * identical directory instead of duplicating postings (the
+    * stageLshBatch idempotence discipline). Stats store (n_docs, sum_dl),
+    * not avgdl: sums merge exactly across segments, an average does not.
+    * A doc lives in exactly one segment, so merged df = sum of per-segment
+    * dfs with no overlap correction.
+    */
+  def writeBm25Segment(docs: DataFrame, path: String, segId: Long): Unit = {
+    val dd = docs
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val postings = dd
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    postings
+      .repartition(8, col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings/segment=$segId")
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartition(8, col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/dfs/segment=$segId")
+    dd.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/stats/segment=$segId")
+  }
+
+  /** Base build = clean slate + segment 0. Appends add segments; nothing
+    * ever rewrites an existing segment's files.
+    */
+  def buildBm25SegmentedIndex(spark: SparkSession, docs: DataFrame,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    writeBm25Segment(docs, path, 0L)
+  }
+
+  /** Serve BM25 across ALL segments: per-term df re-merges with one sum,
+    * corpus stats re-merge with two sums (exact — integer units), and the
+    * scoring expression is bm25IndexedScores' verbatim, so appending must
+    * be indistinguishable from a full rebuild. Query cost is still k
+    * pushed posting lists per segment + a segments-row stats broadcast;
+    * segment-count growth is the compaction job's concern, not the
+    * query's correctness.
+    */
+  def bm25SegmentedScores(spark: SparkSession, path: String,
+      qTerms: Seq[String]): DataFrame = {
+    val postings = spark.read.parquet(path + "/postings")
+      .filter(col("term").isin(qTerms: _*))
+    val dfs = spark.read.parquet(path + "/dfs")
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = spark.read.parquet(path + "/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_dl")).cast("double") /
+          sum(col("n_docs"))).as("avgdl"))
+    postings.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("part",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("part")), 4).as("bm25"),
+        count(lit(1)).as("n_terms_matched"))
+  }
+
+  /** Driver row: base segment over the first 300 candidate docs, the rest
+    * APPENDED as segment 1 (no rebuild — segment 0's files are never
+    * touched), served across segments. The oracle is bm25TopnSql
+    * VERBATIM: df/idf and avgdl are corpus-global, so a merge bug that
+    * under-counts df or mis-merges avgdl shifts every score and the
+    * compare goes red — append must equal rebuild exactly.
+    */
+  def bm25AppendedTopn(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25seg_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
+    buildBm25SegmentedIndex(spark, docs.filter(col("doc_id") < 300), path)
+    writeBm25Segment(docs.filter(col("doc_id") >= 300), path, 1L)
+    bm25SegmentedScores(spark, path, Seq("hash", "join", "merge", "sort", "window"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("bm25"), col("n_terms_matched"))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009,
     * k = 60): the modern two-tower serving shape — a lexical ranking
     * (BM25 over the standing query terms) and a semantic ranking (exact
@@ -938,6 +1027,7 @@ object Rag extends QueryModule {
     "bm25_scores" -> bm25Scores,
     "bm25_topn" -> bm25Topn,
     "bm25_indexed_topn" -> bm25IndexedTopn,
+    "bm25_appended_topn" -> bm25AppendedTopn,
     "bm25_selfrank_mrr" -> bm25SelfRankMrr,
     "hybrid_rrf_fusion" -> hybridRrfFusion,
     "hybrid_weighted_topk" -> hybridWeightedTopk,
@@ -955,6 +1045,7 @@ object Rag extends QueryModule {
     "bm25_scores" -> bm25ScoresSql,
     "bm25_topn" -> bm25TopnSql,
     "bm25_indexed_topn" -> bm25TopnSql,
+    "bm25_appended_topn" -> bm25TopnSql,
     "bm25_selfrank_mrr" -> bm25SelfRankMrrSql,
     "hybrid_rrf_fusion" -> hybridRrfFusionSql,
     "hybrid_weighted_topk" -> hybridWeightedTopkSql,

@@ -190,6 +190,31 @@ class RagSpec extends SparkSpec {
       s"term probe not pushed: ${postingsScan.metadata("PushedFilters")}")
   }
 
+  test("bm25 segments: append equals rebuild, replay idempotent, base files untouched") {
+    val served = SparkEntry.queries("bm25_appended_topn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val scratch = SparkEntry.queries("bm25_topn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(served === scratch, "segment merge diverged from from-scratch BM25")
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25seg_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    def seg0Files(): Map[String, Long] =
+      new java.io.File(path + "/postings/segment=0").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = seg0Files()
+    assert(before.nonEmpty)
+    // replay the append: segment 1 rewrites its own directory only
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 500)
+    Rag.writeBm25Segment(docs.filter(col("doc_id") >= 300), path, 1L)
+    assert(seg0Files() === before, "append touched the base segment's files")
+    val replayed = Rag.bm25SegmentedScores(spark, path,
+        Seq("hash", "join", "merge", "sort", "window"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(replayed === served, "a replayed append changed the answer")
+  }
+
   test("bm25 index: out-of-vocabulary terms yield an empty result") {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_bm25idx_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
