@@ -579,6 +579,53 @@ object Rag extends QueryModule {
       .select(col("doc_id"), col("bm25"), col("n_terms_matched"))
   }
 
+  /** Fold all segments into one (the Lucene merge): segment dirs are
+    * disjoint doc sets, so compaction is a pure re-layout — union the
+    * postings into a fresh `segment=0`, re-derive dfs/stats from the
+    * merged postings, and swap via a staged directory rename (readers of
+    * the old layout are never half-updated). Scores cannot change: the
+    * driver row reuses the SAME verbatim oracle after compaction.
+    */
+  def compactBm25Segments(spark: SparkSession, path: String): Unit = {
+    val staged = path + ".compacting"
+    val merged = spark.read.parquet(path + "/postings")
+      .select("term", "doc_id", "dl", "tf") // drop the segment partition col
+    merged
+      .repartition(8, col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$staged/postings/segment=0")
+    merged.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartition(8, col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$staged/dfs/segment=0")
+    // stats fold from the per-segment sums, NOT from postings — a
+    // token-less doc has no posting rows but still counts in n_docs
+    spark.read.parquet(path + "/stats")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$staged/stats/segment=0")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Driver row: build + append (two segments), COMPACT to one, serve.
+    * Same verbatim from-scratch oracle as the appended row — compaction
+    * may change layout, never content (the mor_compact pinning trick).
+    */
+  def bm25CompactedTopn(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25cpt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
+    buildBm25SegmentedIndex(spark, docs.filter(col("doc_id") < 300), path)
+    writeBm25Segment(docs.filter(col("doc_id") >= 300), path, 1L)
+    compactBm25Segments(spark, path)
+    bm25SegmentedScores(spark, path, Seq("hash", "join", "merge", "sort", "window"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("bm25"), col("n_terms_matched"))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009,
     * k = 60): the modern two-tower serving shape — a lexical ranking
     * (BM25 over the standing query terms) and a semantic ranking (exact
@@ -1028,6 +1075,7 @@ object Rag extends QueryModule {
     "bm25_topn" -> bm25Topn,
     "bm25_indexed_topn" -> bm25IndexedTopn,
     "bm25_appended_topn" -> bm25AppendedTopn,
+    "bm25_compacted_topn" -> bm25CompactedTopn,
     "bm25_selfrank_mrr" -> bm25SelfRankMrr,
     "hybrid_rrf_fusion" -> hybridRrfFusion,
     "hybrid_weighted_topk" -> hybridWeightedTopk,
@@ -1046,6 +1094,7 @@ object Rag extends QueryModule {
     "bm25_topn" -> bm25TopnSql,
     "bm25_indexed_topn" -> bm25TopnSql,
     "bm25_appended_topn" -> bm25TopnSql,
+    "bm25_compacted_topn" -> bm25TopnSql,
     "bm25_selfrank_mrr" -> bm25SelfRankMrrSql,
     "hybrid_rrf_fusion" -> hybridRrfFusionSql,
     "hybrid_weighted_topk" -> hybridWeightedTopkSql,

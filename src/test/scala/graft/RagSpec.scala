@@ -215,6 +215,19 @@ class RagSpec extends SparkSpec {
     assert(replayed === served, "a replayed append changed the answer")
   }
 
+  test("bm25 compaction: one segment remains, scores unchanged") {
+    val served = SparkEntry.queries("bm25_compacted_topn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val scratch = SparkEntry.queries("bm25_topn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(served === scratch, "compaction changed scores")
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25cpt_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val segs = new java.io.File(path + "/postings").listFiles()
+      .filter(_.getName.startsWith("segment=")).map(_.getName).toSeq
+    assert(segs === Seq("segment=0"), s"expected one folded segment, got $segs")
+  }
+
   test("bm25 index: out-of-vocabulary terms yield an empty result") {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_bm25idx_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
