@@ -23,6 +23,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     ops.Relational,
     ops.CatalogStats,
+    ops.ResultCache,
     ops.Lakehouse,
     ops.DataQuality,
     ops.Linkage,
