@@ -135,6 +135,15 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("score") === 1.0))
   }
 
+  test("ann_ivf_batch_topk plan: cluster join prunes index partitions dynamically") {
+    val plan = SparkEntry.queries("ann_ivf_batch_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"cluster equi-join did not trigger dynamic partition pruning:\n$plan")
+    assert(plan.contains("partial_group_topk"),
+      s"expected the bounded partial aggregate before the exchange:\n$plan")
+  }
+
   test("batch IVF probe sets match the driver-side nearestClusters ranking") {
     val dir = Files.createTempDirectory("ivf_batch").toString
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
