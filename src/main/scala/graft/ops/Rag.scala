@@ -518,6 +518,10 @@ object Rag extends QueryModule {
     dd.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).cast("long").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$path/stats/segment=$segId")
+    // per-segment (doc_id, dl) roster: postings alone cannot witness a
+    // token-less doc, and targeted deletion must re-derive stats exactly
+    dd.select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$path/docs/segment=$segId")
   }
 
   /** Base build = clean slate + segment 0. Appends add segments; nothing
@@ -602,12 +606,86 @@ object Rag extends QueryModule {
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("sum_dl")).cast("long").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$staged/stats/segment=0")
+    spark.read.parquet(path + "/docs").select("doc_id", "dl")
+      .write.mode("overwrite").parquet(s"$staged/docs/segment=0")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     fs.rename(new org.apache.hadoop.fs.Path(staged),
       new org.apache.hadoop.fs.Path(path))
   }
+
+  /** Targeted document deletion from the segmented index — the
+    * right-to-be-forgotten job a governed corpus needs. Only segments
+    * whose roster actually CONTAINS a target doc are rewritten (filtered
+    * postings + re-derived dfs/stats, staged then swapped per segment);
+    * every other segment's files stay byte-identical (spec-pinned).
+    * df and (n_docs, sum_dl) re-derive inside the rewritten segment, so
+    * the corpus-GLOBAL idf and avgdl shift exactly as a full rebuild
+    * without the docs would — which is precisely what the driver oracle
+    * recomputes. Replay-safe: a second identical delete finds no
+    * affected segment and is a no-op.
+    */
+  def deleteFromBm25Segments(spark: SparkSession, path: String,
+      docIds: Seq[Long]): Unit = {
+    val affected = spark.read.parquet(path + "/docs")
+      .filter(col("doc_id").isin(docIds: _*))
+      .select(col("segment")).distinct()
+      .collect().map(_.getAs[Number]("segment").longValue()) // ≤ segment count
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { seg =>
+      val keepDocs = spark.read.parquet(s"$path/docs/segment=$seg")
+        .filter(!col("doc_id").isin(docIds: _*))
+      val keepPostings = spark.read.parquet(s"$path/postings/segment=$seg")
+        .filter(!col("doc_id").isin(docIds: _*))
+      val staged = Map(
+        "docs" -> keepDocs,
+        "postings" -> keepPostings
+          .repartition(8, col("term")).sortWithinPartitions("term", "doc_id"),
+        "dfs" -> keepPostings.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+          .repartition(8, col("term")).sortWithinPartitions("term"),
+        "stats" -> keepDocs.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).cast("long").as("sum_dl")))
+      staged.foreach { case (sub, df) =>
+        df.write.mode("overwrite")
+          .parquet(s"$path/$sub/.seg$seg.staged") // materialize BEFORE swap
+      }
+      staged.keys.foreach { sub =>
+        val live = new org.apache.hadoop.fs.Path(s"$path/$sub/segment=$seg")
+        fs.delete(live, true)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$path/$sub/.seg$seg.staged"),
+          live)
+      }
+    }
+  }
+
+  /** Driver row: build + append, then DELETE every 50th candidate doc;
+    * the oracle recomputes BM25 from scratch over the corpus WITHOUT the
+    * deleted docs — df/idf/avgdl are corpus-global, so a deletion that
+    * only hid postings (without re-deriving the per-segment stats) would
+    * shift every score and fail the compare.
+    */
+  def bm25DeletedTopn(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25del_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
+    buildBm25SegmentedIndex(spark, docs.filter(col("doc_id") < 300), path)
+    writeBm25Segment(docs.filter(col("doc_id") >= 300), path, 1L)
+    deleteFromBm25Segments(spark, path, (0L until 500L by 50L).toSeq)
+    bm25SegmentedScores(spark, path, Seq("hash", "join", "merge", "sort", "window"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("bm25"), col("n_terms_matched"))
+  }
+
+  /** The from-scratch oracle minus the deleted docs — textual surgery on
+    * the shared candidate filter keeps the two queries provably aligned.
+    */
+  private val bm25DeletedTopnSql =
+    bm25TopnSql.replace("WHERE doc_id < 500",
+      "WHERE doc_id < 500 AND doc_id % 50 <> 0")
 
   /** Driver row: build + append (two segments), COMPACT to one, serve.
     * Same verbatim from-scratch oracle as the appended row — compaction
@@ -1076,6 +1154,7 @@ object Rag extends QueryModule {
     "bm25_indexed_topn" -> bm25IndexedTopn,
     "bm25_appended_topn" -> bm25AppendedTopn,
     "bm25_compacted_topn" -> bm25CompactedTopn,
+    "bm25_deleted_topn" -> bm25DeletedTopn,
     "bm25_selfrank_mrr" -> bm25SelfRankMrr,
     "hybrid_rrf_fusion" -> hybridRrfFusion,
     "hybrid_weighted_topk" -> hybridWeightedTopk,
@@ -1095,6 +1174,7 @@ object Rag extends QueryModule {
     "bm25_indexed_topn" -> bm25TopnSql,
     "bm25_appended_topn" -> bm25TopnSql,
     "bm25_compacted_topn" -> bm25TopnSql,
+    "bm25_deleted_topn" -> bm25DeletedTopnSql,
     "bm25_selfrank_mrr" -> bm25SelfRankMrrSql,
     "hybrid_rrf_fusion" -> hybridRrfFusionSql,
     "hybrid_weighted_topk" -> hybridWeightedTopkSql,
