@@ -687,6 +687,42 @@ object Rag extends QueryModule {
     bm25TopnSql.replace("WHERE doc_id < 500",
       "WHERE doc_id < 500 AND doc_id % 50 <> 0")
 
+  /** UPSERT = targeted delete + append of the new versions as their own
+    * segment — the same two primitives, composed; no rebuild, no touch of
+    * unaffected segments. The driver row re-texts every 50th candidate
+    * doc (appending a literal query term, so the edit provably changes
+    * retrieval) and the oracle recomputes from scratch over the EDITED
+    * corpus: serving the old version, double-counting old+new, or missing
+    * the stats shift each fails the compare.
+    */
+  def bm25UpsertedTopn(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25ups_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
+    buildBm25SegmentedIndex(spark, docs.filter(col("doc_id") < 300), path)
+    writeBm25Segment(docs.filter(col("doc_id") >= 300), path, 1L)
+    val targets = (0L until 500L by 50L).toSeq
+    deleteFromBm25Segments(spark, path, targets)
+    writeBm25Segment(
+      docs.filter(col("doc_id").isin(targets: _*))
+        .withColumn("text", concat(col("text"), lit(" hash"))),
+      path, 2L)
+    bm25SegmentedScores(spark, path, Seq("hash", "join", "merge", "sort", "window"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("bm25"), col("n_terms_matched"))
+  }
+
+  /** From-scratch oracle over the UPSERTED corpus — the same textual
+    * surgery discipline as the delete oracle, applied to the doc source.
+    */
+  private val bm25UpsertedTopnSql =
+    bm25TopnSql.replace("FROM documents WHERE doc_id < 500",
+      """FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 50 = 0 THEN text || ' hash' ELSE text END
+        |          AS text
+        |      FROM documents WHERE doc_id < 500)""".stripMargin)
+
   /** Driver row: build + append (two segments), COMPACT to one, serve.
     * Same verbatim from-scratch oracle as the appended row — compaction
     * may change layout, never content (the mor_compact pinning trick).
@@ -1155,6 +1191,7 @@ object Rag extends QueryModule {
     "bm25_appended_topn" -> bm25AppendedTopn,
     "bm25_compacted_topn" -> bm25CompactedTopn,
     "bm25_deleted_topn" -> bm25DeletedTopn,
+    "bm25_upserted_topn" -> bm25UpsertedTopn,
     "bm25_selfrank_mrr" -> bm25SelfRankMrr,
     "hybrid_rrf_fusion" -> hybridRrfFusion,
     "hybrid_weighted_topk" -> hybridWeightedTopk,
@@ -1175,6 +1212,7 @@ object Rag extends QueryModule {
     "bm25_appended_topn" -> bm25TopnSql,
     "bm25_compacted_topn" -> bm25TopnSql,
     "bm25_deleted_topn" -> bm25DeletedTopnSql,
+    "bm25_upserted_topn" -> bm25UpsertedTopnSql,
     "bm25_selfrank_mrr" -> bm25SelfRankMrrSql,
     "hybrid_rrf_fusion" -> hybridRrfFusionSql,
     "hybrid_weighted_topk" -> hybridWeightedTopkSql,

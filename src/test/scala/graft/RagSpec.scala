@@ -264,6 +264,25 @@ class RagSpec extends SparkSpec {
       .filter(col("doc_id") === 150L).count() === 0)
   }
 
+  test("bm25 upsert: new versions serve, old versions gone, 'hash' matches all targets") {
+    val served = SparkEntry.queries("bm25_upserted_topn")(spark, sf).collect()
+    assert(served.nonEmpty)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25ups_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    // every upserted doc must appear exactly once in the roster (no
+    // old+new double-presence) and its new version must contain 'hash'
+    val targets = (0L until 500L by 50L).toSeq
+    val roster = spark.read.parquet(path + "/docs")
+      .filter(col("doc_id").isin(targets: _*))
+      .groupBy("doc_id").count().collect()
+    assert(roster.forall(_.getLong(1) === 1L), "a doc serves two versions")
+    val hashDocs = spark.read.parquet(path + "/postings")
+      .filter(col("term") === "hash")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(targets.toSet.subsetOf(hashDocs),
+      "an upserted version is missing its new term")
+  }
+
   test("bm25 index: out-of-vocabulary terms yield an empty result") {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_bm25idx_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
