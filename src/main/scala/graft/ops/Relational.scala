@@ -803,6 +803,55 @@ object Relational extends QueryModule {
       |FROM spine s LEFT JOIN daily d USING (day_id)
       |ORDER BY day_id""".stripMargin
 
+  /** Gap-filled LOCF series (last observation carried forward) — the
+    * sensor/price panel every time-series surface serves: a dense
+    * per-(user, day) spine (cross join against the calendar — users × 30
+    * rows, never corpus-sized), the day's observation left-joined on, and
+    * gaps filled by `last(_, ignoreNulls)` over an unbounded-preceding
+    * running frame — ONE window pass per user, no iterative fill. Value
+    * stays in integer micro-units; days before a user's first observation
+    * stay NULL → coalesced to -1 (non-null sentinel keeps the driver
+    * compare engine-neutral). The daily observation is the day's MAX
+    * (deterministic under intra-day ties).
+    */
+  def locfDailyValues(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = spark.range(0, 10).toDF("user_id")
+    val spine = users.crossJoin(
+      spark.range(1).select(explode(expr("sequence(19723L, 19752L)")).as("day_id")))
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("user_id") < 10L)
+      .withColumn("day_id", expr("unix_micros(ts) DIV 86400000000"))
+      .groupBy("user_id", "day_id")
+      .agg(max(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("obs_e6"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day_id"), "left")
+      .withColumn("filled_e6",
+        coalesce(last(col("obs_e6"), ignoreNulls = true).over(w), lit(-1L)))
+      .select(col("user_id"), col("day_id"), col("filled_e6"))
+      .orderBy("user_id", "day_id")
+  }
+
+  private val locfDailyValuesSql =
+    """WITH spine AS (
+      |  SELECT u.user_id, d.day_id
+      |  FROM (SELECT unnest(range(10)) AS user_id) u
+      |  CROSS JOIN (SELECT unnest(generate_series(19723, 19752)) AS day_id) d),
+      |daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day_id,
+      |         max(CAST(floor(value * 1000000) AS BIGINT)) AS obs_e6
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND user_id < 10
+      |  GROUP BY 1, 2)
+      |SELECT s.user_id, s.day_id,
+      |       coalesce(last_value(d.obs_e6 IGNORE NULLS) OVER (
+      |         PARTITION BY s.user_id ORDER BY s.day_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+      |         AS filled_e6
+      |FROM spine s LEFT JOIN daily d USING (user_id, day_id)
+      |ORDER BY user_id, day_id""".stripMargin
+
   /** GROUP BY CUBE over (returnflag, linestatus): all four grouping-set
     * combinations in ONE pass (Spark expands the sets below a single
     * shuffle — no 4× rescan), NULL marking the rolled-up dimensions.
@@ -1060,6 +1109,7 @@ object Relational extends QueryModule {
     "try_functions" -> tryFunctions,
     "window_breadth" -> windowBreadth,
     "calendar_spine_fill" -> calendarSpineFill,
+    "locf_daily_values" -> locfDailyValues,
     "revenue_cube" -> revenueCube,
     "user_set_ops" -> userSetOps,
     "q5_local_supplier_sql" -> q5LocalSupplierSql,
@@ -1096,6 +1146,7 @@ object Relational extends QueryModule {
     "try_functions" -> tryFunctionsSql,
     "window_breadth" -> windowBreadthSql,
     "calendar_spine_fill" -> calendarSpineFillSql,
+    "locf_daily_values" -> locfDailyValuesSql,
     "revenue_cube" -> revenueCubeSql,
     "user_set_ops" -> userSetOpsSql,
     "q5_local_supplier_sql" -> q5LocalSupplierSqlOracle,

@@ -80,6 +80,20 @@ class RelationalSpec extends SparkSpec {
     assert(absentHits <= 20, s"bloom passed $absentHits of 200 absent ids (fpp 1%)")
   }
 
+  test("locf: dense spine, values persist across gaps, nothing precedes first obs") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("locf_daily_values")(spark, sf).collect()
+    assert(rows.length === 10 * 30, "spine must be dense: 10 users × 30 days")
+    rows.groupBy(_.getLong(0)).foreach { case (u, days) =>
+      val series = days.sortBy(_.getLong(1)).map(_.getLong(2))
+      // once a real value appears, no later day may fall back to the sentinel
+      val firstObs = series.indexWhere(_ != -1L)
+      if (firstObs >= 0)
+        assert(series.drop(firstObs).forall(_ != -1L),
+          s"user $u: a filled value regressed to the sentinel")
+    }
+  }
+
   test("ivm_event_summary: delta merge equals single-pass recompute") {
     import org.apache.spark.sql.functions._
     val merged = SparkEntry.queries("ivm_event_summary")(spark, sf)
