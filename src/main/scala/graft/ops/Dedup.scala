@@ -619,24 +619,34 @@ object Dedup extends QueryModule {
     // the lineage to a materialized RDD, keeping every iteration's plan
     // constant-size; it also stops the edge lineage (md5 aggregation, LSH
     // banding, …) replaying once per iteration.
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    //
+    // The input is checkpointed BEFORE symmetrizing: `edges ∪ reversed`
+    // references the edge pipeline twice, and callers feed expensive
+    // derivations (md5 over full text, the n-gram Jaccard shuffle) — an
+    // un-materialized union would run that derivation twice in one job.
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // The identity row carries the OLD label through the min-aggregate
+      // (old ≥ min by induction: labels only decrease), so convergence is
+      // read off the checkpointed result directly — no per-iteration
+      // labels⋈next diff join, halving the job count per sweep.
       val msgs = sym.join(labels, sym("dst") === labels("node"))
-        .select(sym("src").as("node"), col("label"))
-      val next = labels.select(col("node"), col("label")).union(msgs)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .select(sym("src").as("node"), col("label"), lit(null).cast("long").as("old"))
+      val next = labels.select(col("node"), col("label"), col("label").as("old"))
+        .union(msgs)
+        .groupBy(col("node")).agg(min(col("label")).as("label"),
+          max(col("old")).as("old"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count() // scalar convergence probe, bounded driver cost
-      labels = next
+      val changed = next.filter(col("label") =!= col("old"))
+        .limit(1).count() // scalar convergence probe over materialized rows
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0L
       iter += 1
     }
