@@ -256,6 +256,130 @@ object AnnIndex extends QueryModule {
   private val annTuningGateSql =
     """SELECT NULL::VARCHAR AS violation, NULL::BIGINT AS detail WHERE false""".stripMargin
 
+  /** The IVF family's "measure, don't guess" job — nProbe is the knob an
+    * IVF/IVF-PQ operator actually sweeps (the FAISS tuning loop), and it
+    * was a hardcoded guess until this curve. Same one-job shape as the
+    * LSH radius sweep: each sample query ranks ALL centroids once
+    * (centroids are tiny, the ranking is driver-side and sample-bounded),
+    * a candidate row joins its cluster's probe entry once and contributes
+    * — via a bounded sequence-explode over centroid rank — to every
+    * nProbe ≥ that rank. Per-(query, nProbe) pruned top-k reduces through
+    * GroupTopK next to a candidate count; recall is judged against an
+    * exact brute-force top-k computed in the SAME job. One row per
+    * nProbe: integer-ppm mean recall + total candidates scanned — the
+    * curve `chooseNProbe` reads. Probing all numClusters IS brute force,
+    * so the curve's last point must be exact — the gate pins it.
+    */
+  def annIvfTuningCurveOf(spark: SparkSession, dir: String,
+      numClusters: Int = 16, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graft.GroupTopK
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scoreE6 = round(graft.vector.VectorFunctions
+      .cosineUnit(col("embedding"), col("qvec")) * 1e6, 0).cast("long")
+    val exact = e.crossJoin(broadcast(queries))
+      .withColumn("score_e6", scoreE6)
+      .groupBy(col("qid"))
+      .agg(GroupTopK.topK(col("score_e6"),
+        format_string("%012d", col("vec_id")), k).as("top"))
+      .select(col("qid"), explode(col("top")))
+      .select(col("qid"), col("col.payload").cast("long").as("vec_id"),
+        lit(1L).as("hit"))
+    val (clustered, centers) = IndexBuilder.withIvfCluster(
+      e, "embedding", numClusters, seed = 42L)
+    // the full centroid ranking per sample query, driver-side: |sample| ×
+    // numClusters rows — the serving-path bound, never corpus-sized
+    val probeRows: Seq[(Long, Seq[Float], Int, Int)] =
+      queries.collect().toIndexedSeq.flatMap { r =>
+        val qid = r.getLong(0)
+        val qvec = r.getSeq[Float](1)
+        IndexBuilder.nearestClusters(centers, qvec.toArray, numClusters)
+          .zipWithIndex.map { case (cid, i) => (qid, qvec, cid, i + 1) }
+      }
+    import spark.implicits._
+    val probed = probeRows.toDF("qid", "qvec", "cluster_id", "rank")
+    val perQuery = clustered
+      .join(broadcast(probed), Seq("cluster_id"))
+      .withColumn("score_e6", scoreE6)
+      .withColumn("nprobe", explode(sequence(col("rank"), lit(numClusters))))
+      .groupBy(col("qid"), col("nprobe"))
+      .agg(GroupTopK.topK(col("score_e6"),
+          format_string("%012d", col("vec_id")), k).as("top"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("qid"), col("nprobe"), col("n_candidates"),
+        explode(col("top")))
+      .select(col("qid"), col("nprobe"), col("n_candidates"),
+        col("col.payload").cast("long").as("vec_id"))
+      .join(exact, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"), col("nprobe"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        first(col("n_candidates")).as("n_candidates"))
+    perQuery.groupBy(col("nprobe").cast("long").as("nprobe"))
+      .agg((sum(col("hits")) * 1000000L).as("hits_e6"),
+        (count(lit(1)) * k).as("denom"),
+        sum(col("n_candidates")).as("total_candidates"))
+      .select(col("nprobe"), (col("hits_e6") / col("denom"))
+        .cast("long").as("recall_ppm"), col("total_candidates"))
+      .orderBy("nprobe")
+  }
+
+  /** Minimal nProbe on a measured curve meeting `targetPpm` recall — the
+    * IVF serving config an operator deploys; the max measured nProbe
+    * (which the gate proves exact) when the target is unreachable.
+    */
+  def chooseNProbe(curve: DataFrame, targetPpm: Long): Int = {
+    val rows = curve.select("nprobe", "recall_ppm").collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("recall_ppm")))
+      .sortBy(_._1)
+    rows.find(_._2 >= targetPpm).map(_._1.toInt)
+      .getOrElse(rows.last._1.toInt)
+  }
+
+  /** Driver gate over the IVF nProbe curve (engine-seeded →
+    * contract-checked), the LSH gate's exact shape plus one stronger pin:
+    *  - MONOTONE RECALL / COST: probing one more centroid may never lose
+    *    candidates (candidates(n) ⊇ candidates(n-1) by construction);
+    *  - RANGE: recall_ppm ∈ [0, 1e6];
+    *  - SELF-HIT FLOOR: a query's assigned cluster IS its nearest
+    *    centroid, so nProbe ≥ 1 always scans the query itself — recall
+    *    can never be 0;
+    *  - FULL-PROBE EXACTNESS: nProbe = numClusters scans every cluster,
+    *    i.e. brute force — recall_ppm must be exactly 1e6 there, so any
+    *    assignment/ranking drift between the two paths trips the gate.
+    */
+  def annIvfTuningGate(spark: SparkSession, dir: String): DataFrame = {
+    val numClusters = 16
+    val curve = annIvfTuningCurveOf(spark, dir, numClusters).cache()
+    val w = Window.orderBy(col("nprobe"))
+    val stepped = curve
+      .withColumn("prev_recall", lag(col("recall_ppm"), 1).over(w))
+      .withColumn("prev_cands", lag(col("total_candidates"), 1).over(w))
+    val nonMonotone = stepped
+      .filter(col("prev_recall").isNotNull &&
+        (col("recall_ppm") < col("prev_recall") ||
+         col("total_candidates") < col("prev_cands")))
+      .select(lit("non_monotone").as("violation"),
+        col("nprobe").cast("long").as("detail"))
+    val outOfRange = curve
+      .filter(col("recall_ppm") < 0 || col("recall_ppm") > 1000000L)
+      .select(lit("recall_range").as("violation"),
+        col("nprobe").cast("long").as("detail"))
+    val zeroRecall = curve.filter(col("recall_ppm") === 0L)
+      .select(lit("zero_recall").as("violation"),
+        col("nprobe").cast("long").as("detail"))
+    val fullProbeInexact = curve
+      .filter(col("nprobe") === numClusters.toLong &&
+        col("recall_ppm") =!= 1000000L)
+      .select(lit("full_probe_not_exact").as("violation"),
+        col("recall_ppm").as("detail"))
+    nonMonotone.union(outOfRange).union(zeroRecall).union(fullProbeInexact)
+      .orderBy("violation", "detail")
+  }
+
+  private val annIvfTuningGateSql =
+    """SELECT NULL::VARCHAR AS violation, NULL::BIGINT AS detail WHERE false""".stripMargin
+
   /** Nine exact copies of stored vector 0 at ids 100000..100008 — the
     * self-query construction that makes the pruned top-k oracle-checkable:
     * identical vectors share vector 0's bucket/cluster by construction and
@@ -1173,6 +1297,7 @@ object AnnIndex extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_gate" -> annRecallGate,
     "ann_tuning_gate" -> annTuningGate,
+    "ann_ivf_tuning_gate" -> annIvfTuningGate,
     "lsh_bucket_invariants" -> lshBucketInvariants,
     "lsh_buckets" -> lshBucketsGate,
     "lsh_bucket_stats" -> lshBucketStatsGate,
@@ -1205,6 +1330,7 @@ object AnnIndex extends QueryModule {
   def oracles: Map[String, String] = Map(
     "ann_recall_gate" -> annRecallGateSql,
     "ann_tuning_gate" -> annTuningGateSql,
+    "ann_ivf_tuning_gate" -> annIvfTuningGateSql,
     "lsh_bucket_invariants" -> lshBucketInvariantsSql,
     "lsh_buckets" -> lshBucketsGateSql,
     "lsh_bucket_stats" -> lshBucketStatsGateSql,

@@ -74,11 +74,71 @@ object ResultCache extends QueryModule {
     spark.read.parquet(dir)
   }
 
+  private val TrashSuffix = "._trash"
+
+  /** Retention vacuum — the promised other half of the cache lifecycle.
+    * Every input append or plan change orphans the previous entry (its
+    * key is simply never computed again), so an unvacuumed cache grows
+    * without bound. An entry is deleted iff it is NOT in `liveKeys` AND
+    * its recorded write time (the `_SUCCESS` mtime) is at least
+    * `minAgeMs` old; callers get the two standard policies from one knob:
+    *
+    *   - key-liveness sweep: `vacuum(s, root, liveKeys)` — liveKeys are
+    *     the `cacheKey`s of the queries still being served, computed
+    *     against CURRENT inputs, so exactly the servable entries survive;
+    *   - age-based retention: `vacuum(s, root, Set.empty, retentionMs)` —
+    *     everything older than the retention window goes, the policy for
+    *     caches whose serving set is unknown.
+    *
+    * `minAgeMs` is also the concurrency safety window (the lakehouse
+    * vacuum discipline): a non-zero floor guarantees no read that began
+    * before the entry aged out is still in flight. Deletion itself is
+    * staged so a concurrent `_SUCCESS`-gated reader never sees a
+    * half-deleted entry: the `_SUCCESS` marker is removed FIRST (no new
+    * read can hit from that instant — `cached` re-executes on a missing
+    * marker), the directory is atomically renamed to a `._trash` name no
+    * key can collide with, and only the trash is recursively deleted.
+    * Interrupted trash dirs from a crashed vacuum are finished on the
+    * next sweep. Returns the deleted keys, sorted.
+    */
+  def vacuum(spark: SparkSession, cacheRoot: String, liveKeys: Set[String],
+      minAgeMs: Long = 0L): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(cacheRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(root).filter(_.isDirectory).toSeq.flatMap { st =>
+      val key = st.getPath.getName
+      if (key.endsWith(TrashSuffix)) { // finish an interrupted vacuum
+        fs.delete(st.getPath, true)
+        Some(key.stripSuffix(TrashSuffix))
+      } else {
+        val success = new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")
+        val written =
+          if (fs.exists(success)) fs.getFileStatus(success).getModificationTime
+          else st.getModificationTime
+        if (liveKeys.contains(key) || now - written < minAgeMs) None
+        else {
+          if (fs.exists(success)) fs.delete(success, false) // un-serve first
+          val trash = new org.apache.hadoop.fs.Path(root, key + TrashSuffix)
+          if (fs.rename(st.getPath, trash)) fs.delete(trash, true)
+          else fs.delete(st.getPath, true) // rename-less FS: best effort
+          Some(key)
+        }
+      }
+    }.sorted
+  }
+
   /** Driver row: the same aggregate served through the cache twice — the
     * first call materializes, the second must HIT (CachedQuerySpec pins
     * the hit by file-listing equality and the miss-on-input-change by
-    * swapping a scratch input). The oracle is the plain aggregate SQL:
-    * a cache may only change WHERE the rows come from, never the rows.
+    * swapping a scratch input). A retention vacuum runs BETWEEN the
+    * serves, with a planted orphan (a scratch-input entry whose input was
+    * rewritten, so its key is dead): the vacuum must delete the orphan
+    * and must NOT touch the live entry — the second serve still hitting,
+    * and this row still matching its oracle, is the proof. The oracle is
+    * the plain aggregate SQL: a cache may only change WHERE the rows come
+    * from, never the rows.
     */
   def cachedQuery(spark: SparkSession, dir: String): DataFrame = {
     val root = Tables.scratchPath("graft_rescache", dir)
@@ -87,7 +147,20 @@ object ResultCache extends QueryModule {
       .agg(count(lit(1)).as("n_orders"),
         sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("price_e2"))
     cached(spark, q(), root) // materialize or hit
-    cached(spark, q(), root) // must hit
+    // plant an orphan: cache over a scratch input, then rewrite the input
+    // so the cached entry's (plan, signature) key can never be computed
+    // again — the exact way real entries die under appends
+    val scratchIn = Tables.scratchPath("graft_rescache_in", dir) + "/t"
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(scratchIn)
+    def orphanQ(): DataFrame =
+      spark.read.parquet(scratchIn).agg(count(lit(1)).as("n"))
+    cached(spark, orphanQ(), root)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(scratchIn)
+    vacuum(spark, root, liveKeys = Set(cacheKey(q()), cacheKey(orphanQ())))
+    cached(spark, q(), root) // must still hit after the vacuum
       .orderBy("o_orderstatus")
   }
 

@@ -264,6 +264,28 @@ class AnnIndexSpec extends SparkSpec {
       s"chooseProbeRadius must return the MINIMAL radius meeting $target")
   }
 
+  test("ann_ivf_tuning_gate: the measured nProbe curve satisfies its contract") {
+    assert(SparkEntry.queries("ann_ivf_tuning_gate")(spark, sf).count() === 0)
+  }
+
+  test("IVF tuning curve: full probe is exact, chooseNProbe is minimal") {
+    val curve = AnnIndex.annIvfTuningCurveOf(spark, sf)
+    val rows = curve.collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("recall_ppm")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 16L),
+      "one curve point per nProbe in 1..numClusters")
+    assert(rows.last._2 === 1000000L,
+      "probing every cluster is brute force — recall must be exactly 1e6")
+    assert(rows.last._2 >= rows.head._2)
+    val target = rows(7)._2 // nProbe-8's measured recall as the target
+    val chosen = AnnIndex.chooseNProbe(curve, target)
+    val recallOf = rows.toMap
+    assert(recallOf(chosen.toLong) >= target &&
+      (chosen == 1 || recallOf(chosen.toLong - 1) < target),
+      s"chooseNProbe must return the MINIMAL nProbe meeting $target")
+  }
+
   test("IVF memoization distinguishes datasets with identical plan shapes") {
     // regression: the cache key was the UNRESOLVED canonicalized plan, which
     // is path-blind ("UnresolvedDataSource … paths: 1 provided") — a second

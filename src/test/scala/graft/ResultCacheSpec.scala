@@ -44,6 +44,73 @@ class ResultCacheSpec extends SparkSpec {
       "cache served a stale result after the input changed")
   }
 
+  test("vacuum deletes orphans, never servable entries; hits survive it") {
+    val root = Files.createTempDirectory("rescache_vac").toString
+    val input = Files.createTempDirectory("rescache_vac_in").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(input)
+    def live(): DataFrame = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    def scratch(): DataFrame =
+      spark.read.parquet(input).agg(count(lit(1)).as("n"))
+    val expected = ResultCache.cached(spark, live(), root)
+      .collect().map(_.toSeq).toSet
+    ResultCache.cached(spark, scratch(), root)
+    val orphanKey = ResultCache.cacheKey(scratch())
+    // input append → the scratch entry's key is dead
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(input)
+    val liveKey = ResultCache.cacheKey(live())
+    val before = listing(s"$root/$liveKey")
+    val deleted = ResultCache.vacuum(spark, root,
+      Set(liveKey, ResultCache.cacheKey(scratch())))
+    assert(deleted === Seq(orphanKey), "exactly the orphan is deleted")
+    assert(!new java.io.File(s"$root/$orphanKey").exists())
+    assert(listing(s"$root/$liveKey") === before,
+      "vacuum must not touch a servable entry")
+    assert(ResultCache.cached(spark, live(), root)
+      .collect().map(_.toSeq).toSet === expected)
+    assert(listing(s"$root/$liveKey") === before,
+      "the post-vacuum serve must still be a hit")
+  }
+
+  test("minAge retention window: a young orphan survives, an old one goes") {
+    val root = Files.createTempDirectory("rescache_age").toString
+    def q(): DataFrame = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus").agg(max(col("o_totalprice")).as("m"))
+    ResultCache.cached(spark, q(), root)
+    val key = ResultCache.cacheKey(q())
+    // liveKeys empty, but the entry is younger than the safety window
+    assert(ResultCache.vacuum(spark, root, Set.empty,
+      minAgeMs = 3600L * 1000).isEmpty)
+    assert(new java.io.File(s"$root/$key/_SUCCESS").exists())
+    // age the entry past the window → the age-based policy removes it
+    new java.io.File(s"$root/$key/_SUCCESS")
+      .setLastModified(System.currentTimeMillis() - 7200L * 1000)
+    assert(ResultCache.vacuum(spark, root, Set.empty,
+      minAgeMs = 3600L * 1000) === Seq(key))
+    assert(!new java.io.File(s"$root/$key").exists())
+  }
+
+  test("half-deleted entries are misses, and interrupted trash is finished") {
+    val root = Files.createTempDirectory("rescache_half").toString
+    def q(): DataFrame = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val expected = ResultCache.cached(spark, q(), root)
+      .collect().map(_.toSeq).toSet
+    val key = ResultCache.cacheKey(q())
+    // simulate a vacuum caught between un-serve and rename: _SUCCESS gone
+    assert(new java.io.File(s"$root/$key/_SUCCESS").delete())
+    assert(ResultCache.cached(spark, q(), root)
+      .collect().map(_.toSeq).toSet === expected,
+      "a marker-less entry must be re-executed, never served")
+    assert(new java.io.File(s"$root/$key/_SUCCESS").exists())
+    // simulate a vacuum caught after rename: a ._trash dir left behind
+    val trash = new java.io.File(s"$root/$key._trash")
+    assert(new java.io.File(s"$root/$key").renameTo(trash))
+    ResultCache.vacuum(spark, root, Set.empty)
+    assert(!trash.exists(), "the next sweep must finish interrupted trash")
+  }
+
   test("different plans over the same input get different keys") {
     val a = Tables.orders(spark, sf).groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"))
