@@ -388,7 +388,7 @@ object AnnIndex extends QueryModule {
     * the augmented corpus is exactly {0, 100000..100008} — enumerable by
     * DuckDB without replicating the seeded hyperplanes / KMeans fit.
     */
-  private def withPlantedSelfCopies(spark: SparkSession, e: DataFrame): DataFrame = {
+  private[graft] def withPlantedSelfCopies(spark: SparkSession, e: DataFrame): DataFrame = {
     val copies = spark.range(100000L, 100009L).toDF("vec_id")
       .crossJoin(broadcast(e.filter(col("vec_id") === 0L).select(col("embedding"))))
       .select(col("vec_id"), col("embedding"))
@@ -804,6 +804,70 @@ object AnnIndex extends QueryModule {
       spark, path, withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
       "embedding", "vec_id", queryVec(spark, dir, 0L), k = 10)
   }
+
+  private def deleteRecursively(dir: java.io.File): Unit =
+    if (dir.exists()) {
+      java.nio.file.Files.walk(dir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+
+  /** GRAPH delete under the enumerable planted oracle — the one index
+    * family that had no delete path. Build over the planted corpus,
+    * tombstone 5 of the 9 copies, search: the tombstoned ids must vanish
+    * from the emission while the graph still walks THROUGH them (their
+    * edges are what connect the copy clique pre-fold), so the surviving
+    * top-5 is exactly {0, 100005..100008} — any emission leak, or any
+    * over-eager edge removal that strands the survivors, perturbs the
+    * row. Delete cost is a tombstone append, never an adjacency rewrite.
+    */
+  def annGraphDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    deleteRecursively(new java.io.File(path + "_delta"))
+    deleteRecursively(new java.io.File(path + "_tombstones"))
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    graft.vector.GraphAnn.buildNswGraph(
+      corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    graft.vector.GraphAnn.deleteFromNswGraph(
+      spark, (100000L to 100004L), path)
+    graft.vector.GraphAnn.nswSearch(
+      spark, path, corpus, "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 5)
+  }
+
+  /** The fold that makes graph deletes durable, under the SAME oracle
+    * verbatim (fold must not change the answer — the Compaction
+    * discipline): affected adjacency rows are rewritten with bridge
+    * edges (a deleted waypoint's endpoints are wired to each other),
+    * deleted nodes' rows become removal markers, and the sidecar
+    * truncates last. The post-fold search takes NO tombstone filter —
+    * the deleted ids are structurally gone, which is what
+    * right-to-be-forgotten requires of the stored index.
+    */
+  def annGraphFoldedDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswfold_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    deleteRecursively(new java.io.File(path + "_delta"))
+    deleteRecursively(new java.io.File(path + "_tombstones"))
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    graft.vector.GraphAnn.buildNswGraph(
+      corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    graft.vector.GraphAnn.deleteFromNswGraph(
+      spark, (100000L to 100004L), path)
+    graft.vector.GraphAnn.foldNswTombstones(
+      spark, path, corpus, "embedding", "vec_id", m = 8)
+    graft.vector.GraphAnn.nswSearch(
+      spark, path, corpus, "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 5)
+  }
+
+  private val annGraphDeleteTopkSql =
+    """SELECT vec_id, 1.0::DOUBLE AS score FROM (
+      |  SELECT vec_id FROM embeddings WHERE vec_id = 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id >= 5 AND vec_id < 9) t
+      |ORDER BY vec_id""".stripMargin
 
   /** IVF pruned top-10 over the raw corpus (spec-only recall anchor). */
   def annIvfTopkReal(spark: SparkSession, dir: String): DataFrame =
@@ -1316,6 +1380,8 @@ object AnnIndex extends QueryModule {
     "ann_ivf_pq_index_topk" -> annIvfPqIndexTopk,
     "ann_graph_topk" -> annGraphTopk,
     "ann_graph_incremental_topk" -> annGraphIncrementalTopk,
+    "ann_graph_delete_topk" -> annGraphDeleteTopk,
+    "ann_graph_folded_delete_topk" -> annGraphFoldedDeleteTopk,
     "ann_filtered_topk" -> annFilteredTopk,
     "ann_rewrite_filtered_topk" -> annRewriteFilteredTopk,
     "ann_delete_topk" -> annDeleteTopk,
@@ -1349,6 +1415,8 @@ object AnnIndex extends QueryModule {
     "ann_ivf_pq_index_topk" -> annSelfQueryTopkSql,
     "ann_graph_topk" -> annSelfQueryTopkSql,
     "ann_graph_incremental_topk" -> annSelfQueryTopkSql,
+    "ann_graph_delete_topk" -> annGraphDeleteTopkSql,
+    "ann_graph_folded_delete_topk" -> annGraphDeleteTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_rewrite_filtered_topk" -> annFilteredTopkSql,
     "ann_delete_topk" -> annDeleteTopkSql,

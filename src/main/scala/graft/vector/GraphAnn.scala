@@ -85,7 +85,10 @@ object GraphAnn {
 
   /** Merged adjacency view: the base build (seq 0) overlaid by append
     * deltas at `<path>_delta`, latest-wins per node — the MOR discipline
-    * applied to the graph, so appends never rewrite the base files.
+    * applied to the graph, so appends never rewrite the base files. A
+    * delta row with NULL neighbors is a removal marker (written by
+    * `foldNswTombstones`): latest-wins resolves it like any other
+    * version, then the merged view drops the node entirely.
     */
   def readNswAdjacency(spark: SparkSession, path: String): DataFrame = {
     val base = spark.read.parquet(path).withColumn("seq", lit(0L))
@@ -94,7 +97,9 @@ object GraphAnn {
         base.unionByName(spark.read.parquet(path + "_delta"))
       else base
     all.groupBy("node_id")
-      .agg(max_by(col("neighbors"), col("seq")).as("neighbors"))
+      .agg(max_by(struct(col("seq"), col("neighbors")), col("seq"))
+        .getField("neighbors").as("neighbors"))
+      .filter(col("neighbors").isNotNull)
   }
 
   /** Add vectors to a persisted NSW graph without a rebuild — the HNSW
@@ -169,6 +174,120 @@ object GraphAnn {
       .write.mode("append").parquet(path + "_delta")
   }
 
+  /** Delete vectors from a persisted NSW graph — a tombstone sidecar
+    * append, the same O(|deleted|) delete the LSH/IVF/BM25 families use;
+    * no adjacency files are touched. Search semantics until the next
+    * fold: a tombstoned node may still be hopped THROUGH (its edges keep
+    * its neighborhood connected — dropping it from the walk could strand
+    * every region it bridges) but is never EMITTED. The emission filter
+    * is one pushed `id IN` probe over the sidecar, bounded by the visited
+    * set, so serving cost does not grow with the tombstone count.
+    */
+  def deleteFromNswGraph(spark: SparkSession, ids: Seq[Long], path: String): Unit = {
+    import spark.implicits._
+    ids.toDF("node_id").repartition(1)
+      .write.mode("append").parquet(path + "_tombstones")
+  }
+
+  /** Tombstoned node ids (empty when no delete is pending). */
+  def readNswTombstones(spark: SparkSession, path: String): DataFrame =
+    if (new java.io.File(path + "_tombstones").exists())
+      spark.read.parquet(path + "_tombstones").select("node_id").distinct()
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("node_id")
+    }
+
+  /** Fold pending tombstones into the adjacency — the right-to-be-
+    * forgotten job the other index families already have. Only AFFECTED
+    * rows are rewritten (nodes listing a deleted neighbor — bounded by
+    * the deleted set's in-degree, never the graph):
+    *
+    *  - each affected node drops its deleted neighbors and inherits the
+    *    deleted nodes' own surviving neighbors as BRIDGE candidates (the
+    *    HNSW repair heuristic: when a waypoint dies, its endpoints are
+    *    wired to each other), re-scored against real embeddings and
+    *    re-topped at 2M — so a region reachable only through deleted
+    *    nodes stays reachable around them;
+    *  - deleted nodes' own rows become NULL-neighbor removal markers,
+    *    which the merged view resolves latest-wins and drops.
+    *
+    * Both land as ONE seq-stamped delta append; the sidecar truncates
+    * LAST (the Compaction ordering), so a crash between the two leaves
+    * tombstones pending — the search filter still hides the deleted ids
+    * and a re-fold is idempotent (its recomputation reads the merged
+    * view, which already resolves to the folded rows).
+    */
+  def foldNswTombstones(spark: SparkSession, path: String, corpus: DataFrame,
+      embCol: String, idCol: String, m: Int): Unit = {
+    val tomb = readNswTombstones(spark, path).cache()
+    if (tomb.isEmpty) return
+    val adj = readNswAdjacency(spark, path)
+    val edges = adj.select(col("node_id").as("src"),
+      explode(col("neighbors")).as("dst"))
+    // bridge candidates: deleted node d's surviving neighbors, offered to
+    // every surviving node that listed d
+    val deadOut = edges.join(tomb.withColumnRenamed("node_id", "src"), Seq("src"))
+      .join(tomb.withColumnRenamed("node_id", "dst"), Seq("dst"), "left_anti")
+    val affected = edges
+      .join(tomb.withColumnRenamed("node_id", "dst"), Seq("dst"))
+      .join(tomb.withColumnRenamed("node_id", "src"), Seq("src"), "left_anti")
+      .select(col("src"), col("dst").as("via"))
+    val bridges = affected
+      .join(deadOut.withColumnRenamed("src", "via"), Seq("via"))
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val surviving = edges
+      .join(tomb.withColumnRenamed("node_id", "src"), Seq("src"), "left_anti")
+      .join(tomb.withColumnRenamed("node_id", "dst"), Seq("dst"), "left_anti")
+      .select("src", "dst")
+    val affectedIds = affected.select(col("src").as("node_id")).distinct()
+    val nodes = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val rewritten = surviving.unionByName(bridges)
+      .join(affectedIds.withColumnRenamed("node_id", "src"), Seq("src"))
+      .distinct()
+      .join(nodes.select(col("id").as("src"), col("emb").as("src_emb")), Seq("src"))
+      .join(nodes.select(col("id").as("dst"), col("emb").as("dst_emb")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        VectorFunctions.cosineUnit(col("src_emb"), col("dst_emb")).as("score"))
+      .withColumn("rn", row_number().over(Window.partitionBy("src")
+        .orderBy(col("score").desc, col("dst").asc)))
+      .filter(col("rn") <= 2 * m)
+      .groupBy(col("src").as("node_id"))
+      .agg(sort_array(collect_list(struct(
+        (-col("score")).as("neg"), col("dst"))))
+        .getField("dst").as("neighbors"))
+    // an affected node whose every edge died still needs a NEW row —
+    // an empty list, not its stale one surviving latest-wins
+    val rewrittenAll = affectedIds.join(rewritten, Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("neighbors"),
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))).as("neighbors"))
+    val removals = adj.join(tomb, Seq("node_id"))
+      .select(col("node_id"), lit(null)
+        .cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)).as("neighbors"))
+    val deltaDir = new java.io.File(path + "_delta")
+    val nextSeq =
+      if (deltaDir.exists())
+        spark.read.parquet(path + "_delta")
+          .agg(max(col("seq"))).head().getLong(0) + 1L
+      else 1L
+    rewrittenAll.unionByName(removals)
+      .withColumn("seq", lit(nextSeq))
+      .repartition(2, col("node_id"))
+      .write.mode("append").parquet(path + "_delta")
+    tomb.unpersist()
+    // sidecar truncates LAST: a crash before this point leaves tombstones
+    // pending, which is merely conservative (search keeps filtering them)
+    val tombDir = new java.io.File(path + "_tombstones")
+    if (tombDir.exists()) {
+      java.nio.file.Files.walk(tombDir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   /** Deterministic entry points: the E graph ids with the smallest
     * xxhash64 — a fixed, query-independent sample (catalog-scale read of
     * id + hash only).
@@ -216,7 +335,17 @@ object GraphAnn {
         hop += 1
       }
     }
-    visited.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+    // tombstoned nodes were legal WAYPOINTS above (their edges keep the
+    // graph connected until the next fold) but must never be EMITTED:
+    // one pushed `id IN` probe over the sidecar, bounded by |visited|
+    val visitedIds = visited.keys.toSeq
+    val dead: Set[Long] =
+      if (visitedIds.isEmpty) Set.empty
+      else readNswTombstones(spark, path)
+        .filter(col("node_id").isin(visitedIds: _*))
+        .collect().map(_.getLong(0)).toSet
+    visited.toSeq.filterNot { case (id, _) => dead.contains(id) }
+      .sortBy { case (id, s) => (-s, id) }.take(k)
       .map { case (id, s) =>
         (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }

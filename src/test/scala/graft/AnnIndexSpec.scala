@@ -430,6 +430,57 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.contains(0L), "the self-match must be found")
   }
 
+  test("nsw delete: tombstones hide emission but still route the walk") {
+    import graft.vector.GraphAnn
+    val corpus = AnnIndex.withPlantedSelfCopies(spark,
+      Tables.embeddings(spark, sf))
+    val path = Files.createTempDirectory("nsw_delspec").toString + "/graph"
+    GraphAnn.buildNswGraph(corpus, "embedding", "vec_id", AnnIndex.defaultLsh,
+      m = 8, path)
+    val qv = corpus.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // delete the ENTIRE planted neighborhood around vec 0: every hop into
+    // the copy clique now crosses only tombstoned waypoints, and vec 0
+    // must still be found THROUGH them — the hop-through contract
+    GraphAnn.deleteFromNswGraph(spark, (100000L to 100008L), path)
+    val got = GraphAnn.nswSearch(spark, path, corpus, "embedding", "vec_id",
+      qv, k = 5).collect().map(_.getLong(0))
+    assert(got.head === 0L,
+      "vec 0 must stay reachable around its fully-deleted neighborhood")
+    assert(got.forall(_ < 100000L), "a tombstoned id leaked into emission")
+  }
+
+  test("nsw fold: deleted ids are structurally gone, bridges keep survivors") {
+    import graft.vector.GraphAnn
+    val corpus = AnnIndex.withPlantedSelfCopies(spark,
+      Tables.embeddings(spark, sf))
+    val path = Files.createTempDirectory("nsw_foldspec").toString + "/graph"
+    GraphAnn.buildNswGraph(corpus, "embedding", "vec_id", AnnIndex.defaultLsh,
+      m = 8, path)
+    val qv = corpus.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    GraphAnn.deleteFromNswGraph(spark, (100000L to 100004L), path)
+    val preFold = GraphAnn.nswSearch(spark, path, corpus, "embedding",
+      "vec_id", qv, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    GraphAnn.foldNswTombstones(spark, path, corpus, "embedding", "vec_id", m = 8)
+    // sidecar truncated; the deleted ids are gone from the merged view —
+    // no row of their own, no reference from any survivor's list
+    assert(!new java.io.File(path + "_tombstones").exists())
+    val merged = GraphAnn.readNswAdjacency(spark, path).cache()
+    assert(merged.filter(col("node_id").between(100000L, 100004L)).count() === 0)
+    assert(merged.filter(exists(col("neighbors"),
+      n => n.between(100000L, 100004L))).count() === 0,
+      "a folded survivor still lists a deleted neighbor")
+    val postFold = GraphAnn.nswSearch(spark, path, corpus, "embedding",
+      "vec_id", qv, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(postFold === preFold,
+      "fold changed the answer — bridges must keep survivors reachable")
+    // idempotence: folding with no pending tombstones is a no-op
+    GraphAnn.foldNswTombstones(spark, path, corpus, "embedding", "vec_id", m = 8)
+    assert(GraphAnn.nswSearch(spark, path, corpus, "embedding", "vec_id",
+      qv, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))) === postFold)
+  }
+
   test("nsw append: new nodes become reachable through delta in-edges, base untouched") {
     import graft.vector.GraphAnn
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
