@@ -130,11 +130,43 @@ object CatalogStats extends QueryModule {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
 
+  /** AVG through the eager rewrite — Yan & Larson's sum+count
+    * decomposition end-to-end: the partial layer carries the (sum, count)
+    * pair per (group, custkey) in exact integers, the top merge divides
+    * once. Integer e2 units keep the quotient bit-identical across
+    * engines (exact long sum / exact count, one double division); the
+    * oracle is the plain join-then-aggregate SQL, because a rewrite may
+    * only change the plan, never the answer. EagerAggregationSpec pins
+    * the plan shape and the float-input decline.
+    */
+  def eagerAggAvg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{EagerAggregationRule, GraftExtensions}
+    registerAndAnalyze(spark, dir, Seq("orders", "customer"))
+    GraftExtensions.register(spark)
+    val (o, c) = (tableName("orders", dir), tableName("customer", dir))
+    spark.conf.set(EagerAggregationRule.EnabledKey, "true")
+    try withCbo(spark) {
+      spark.sql(
+        s"""SELECT c.c_nationkey, count(*) AS n_orders,
+           |       avg(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS avg_price_e2
+           |FROM $o o JOIN $c c ON o.o_custkey = c.c_custkey
+           |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
+    } finally spark.conf.unset(EagerAggregationRule.EnabledKey)
+  }
+
+  private val eagerAggAvgSql =
+    """SELECT c.c_nationkey, count(*) AS n_orders,
+      |       avg(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS avg_price_e2
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cbo_star_join" -> cboStarJoin,
-    "eager_agg_pushdown" -> eagerAggPushdown)
+    "eager_agg_pushdown" -> eagerAggPushdown,
+    "eager_agg_avg" -> eagerAggAvg)
 
   def oracles: Map[String, String] = Map(
     "cbo_star_join" -> cboStarJoinSql,
-    "eager_agg_pushdown" -> eagerAggPushdownSql)
+    "eager_agg_pushdown" -> eagerAggPushdownSql,
+    "eager_agg_avg" -> eagerAggAvgSql)
 }

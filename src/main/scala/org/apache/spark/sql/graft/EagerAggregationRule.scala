@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegralType, LongType}
 
 /** Optimizer rule: EAGER AGGREGATION (Yan & Larson, VLDB 1995) — push a
   * partial aggregate below a key-unique inner join, so the join consumes
@@ -30,13 +30,22 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *  - inner join, AND-chain of column equalities, exactly one dim key;
   *  - grouping expressions are plain attributes;
   *  - every aggregate is Sum (long/double — decimal widens its type under
-  *    re-aggregation), Min, Max, or Count, non-distinct, unfiltered, with
-  *    inputs from the fact side only;
+  *    re-aggregation), Min, Max, Count, or Average over an INTEGRAL
+  *    input, non-distinct, unfiltered, with inputs from the fact side
+  *    only. A float-input Average stays declined: its decomposition
+  *    re-associates the double sum, which is not bit-stable — the same
+  *    reason decimal Sum declines;
   *  - the fact side is not itself an Aggregate (also the idempotence
   *    guard: the rewritten plan's fact side IS one).
   *
   * Merge algebra: sum → sum(partial), count → coalesce(sum(partial), 0)
-  * (count of an empty join result), min/max → min/max(partial). At 100 TB
+  * (count of an empty join result), min/max → min/max(partial), and —
+  * the rest of Yan & Larson's algebra — avg decomposes into the
+  * (sum, count) partial PAIR, merged as sum(sums)/sum(counts) with the
+  * division done once at the top (an integral sum re-aggregates
+  * exactly, so the quotient is bit-identical to the undecomposed
+  * Average wherever the total fits a double — and unlike it, the
+  * partial layer never accumulates float error). At 100 TB
   * this is the difference between shuffling the fact table into the join
   * and shuffling one row per (group, fact-key) — the classic star-schema
   * agg goes from O(|fact|) join input to O(|keys|).
@@ -98,6 +107,9 @@ object EagerAggregationRule extends Rule[LogicalPlan] {
     ae.filter.isEmpty && !ae.isDistinct && (ae.aggregateFunction match {
       case s: Sum => s.dataType == LongType || s.dataType == DoubleType
       case _: Min | _: Max | _: Count => true
+      // integral only: a float-input Average would re-associate its
+      // double sum under decomposition (not bit-stable — declined)
+      case a: Average => a.child.dataType.isInstanceOf[IntegralType]
       case _ => false
     })
 
@@ -124,24 +136,36 @@ object EagerAggregationRule extends Rule[LogicalPlan] {
         .collect { case a: Attribute if fact.outputSet.contains(a) => a }
       val partialKeys: Seq[Attribute] = (factGroupAttrs ++ factKeys).distinct
 
-      // one partial column per distinct aggregate, plus its merge form
+      // partial columns per distinct aggregate (avg takes TWO — its sum
+      // and count halves), plus the merge form over the partial attrs
       val distinctAggs = aggExprs.groupBy(_.canonicalized).map(_._2.head).toSeq
-      val partials = distinctAggs.zipWithIndex.map { case (ae, i) =>
-        val alias = Alias(ae, s"_eager_$i")()
-        val pa = alias.toAttribute
-        val merged: Expression = ae.aggregateFunction match {
-          case _: Sum => AggregateExpression(Sum(pa), Complete, isDistinct = false)
-          case _: Min => AggregateExpression(Min(pa), Complete, isDistinct = false)
-          case _: Max => AggregateExpression(Max(pa), Complete, isDistinct = false)
-          case _: Count => Coalesce(Seq(
-            AggregateExpression(Sum(pa), Complete, isDistinct = false),
-            Literal(0L)))
+      def complete(f: AggregateFunction): AggregateExpression =
+        AggregateExpression(f, Complete, isDistinct = false)
+      val partials: Seq[(Expression, Seq[Alias], Expression)] =
+        distinctAggs.zipWithIndex.map { case (ae, i) =>
+          ae.aggregateFunction match {
+            case avg: Average =>
+              val s = Alias(complete(Sum(avg.child)), s"_eager_${i}s")()
+              val c = Alias(complete(Count(Seq(avg.child))), s"_eager_${i}c")()
+              val merged: Expression = Divide(
+                Cast(complete(Sum(s.toAttribute)), DoubleType),
+                Cast(complete(Sum(c.toAttribute)), DoubleType))
+              (ae.canonicalized, Seq(s, c), merged)
+            case f =>
+              val alias = Alias(ae, s"_eager_$i")()
+              val pa = alias.toAttribute
+              val merged: Expression = f match {
+                case _: Sum => complete(Sum(pa))
+                case _: Min => complete(Min(pa))
+                case _: Max => complete(Max(pa))
+                case _: Count => Coalesce(Seq(complete(Sum(pa)), Literal(0L)))
+              }
+              (ae.canonicalized, Seq(alias), merged)
+          }
         }
-        (ae.canonicalized, alias, merged)
-      }
       val mergeMap = partials.map(p => p._1 -> p._3).toMap
       val partialAgg = Aggregate(partialKeys,
-        partialKeys ++ partials.map(_._2), fact)
+        partialKeys ++ partials.flatMap(_._2), fact)
       val newJoin = Join(partialAgg, dim, Inner, j.condition, j.hint)
       val mergedResult = agg.aggregateExpressions.map(_.transform {
         case ae: AggregateExpression if mergeMap.contains(ae.canonicalized) =>

@@ -76,6 +76,35 @@ class EagerAggregationSpec extends SparkSpec {
     assert(!hasEagerPartial(df), "non-unique key must decline")
   }
 
+  test("avg over an integral input rewrites via sum+count and is exact") {
+    CatalogStats.registerAndAnalyze(spark, sf, Seq("orders", "customer"))
+    val (o, c) = (CatalogStats.tableName("orders", sf),
+      CatalogStats.tableName("customer", sf))
+    def q(): DataFrame = spark.sql(
+      s"""SELECT c.c_nationkey,
+         |       avg(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS avg_e2,
+         |       count(*) AS n
+         |FROM $o o JOIN $c c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_nationkey""".stripMargin)
+    val plain = q().collect().map(_.toSeq).toSet
+    val rewritten = withRule(q())
+    assert(hasEagerPartial(rewritten),
+      s"avg must decompose and push:\n${rewritten.queryExecution.optimizedPlan}")
+    assert(rewritten.collect().map(_.toSeq).toSet === plain,
+      "decomposed avg changed the answer")
+  }
+
+  test("avg over a float input stays declined — the sum is not re-associable") {
+    CatalogStats.registerAndAnalyze(spark, sf, Seq("orders", "customer"))
+    val (o, c) = (CatalogStats.tableName("orders", sf),
+      CatalogStats.tableName("customer", sf))
+    val df = withRule(spark.sql(
+      s"""SELECT c.c_nationkey, avg(o.o_totalprice) AS a
+         |FROM $o o JOIN $c c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_nationkey""".stripMargin))
+    assert(!hasEagerPartial(df), "float-input avg must not rewrite")
+  }
+
   test("count semantics survive when the join drops whole fact groups") {
     CatalogStats.registerAndAnalyze(spark, sf, Seq("orders", "customer"))
     val (o, c) = (CatalogStats.tableName("orders", sf),
