@@ -1103,6 +1103,54 @@ object Relational extends QueryModule {
       |         AS total_e6
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** MV routing for grouped MIN/MAX (the third registered shape): the
+    * derived fact table (event_type, value_e6, ts_us — all BIGINT, the
+    * cross-engine unit discipline) is summarized per type with min/max
+    * partials for BOTH columns; with `minmaxCols` registered, the
+    * ORIGINAL count+min+max query over the fact scan is answered from
+    * the summary. Extrema of stored extrema are exact for any ordered
+    * type — the reason the IVM summary could always store first/last ts
+    * partials; this closes the loop by SERVING reads from them.
+    * MvRewriteSpec pins the routed scan + declines; the DuckDB oracle
+    * recomputes from raw events.
+    */
+  def mvRewriteMinmax(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{GraftExtensions, MvRewriteRule}
+    val srcPath = Tables.scratchPath("graft_mv_mm_src", dir)
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_e6"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .write.mode("overwrite").parquet(srcPath)
+    val mvPath = Tables.scratchPath("graft_mv_minmax", dir)
+    spark.read.parquet(srcPath).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value_e6")).as("min_value_e6"),
+        max(col("value_e6")).as("max_value_e6"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"))
+      .write.mode("overwrite").parquet(mvPath)
+    GraftExtensions.register(spark)
+    withConfsLocalized(spark, Seq(
+      MvRewriteRule.SourceKey -> srcPath, MvRewriteRule.PathKey -> mvPath,
+      MvRewriteRule.MinMaxColsKey -> "value_e6,ts_us",
+      MvRewriteRule.EnabledKey -> "true")) {
+      spark.read.parquet(srcPath)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value_e6")).as("lo_e6"), max(col("value_e6")).as("hi_e6"),
+          min(col("ts_us")).as("first_ts_us"), max(col("ts_us")).as("last_ts_us"))
+        .orderBy("event_type")
+    }.orderBy("event_type")
+  }
+
+  private val mvRewriteMinmaxSql =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(min(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS lo_e6,
+      |       CAST(max(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS hi_e6,
+      |       epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "full_outer_reconcile" -> fullOuterReconcile,
     "ordered_string_agg" -> orderedStringAgg,
@@ -1117,6 +1165,7 @@ object Relational extends QueryModule {
     "fk_join_elimination" -> fkJoinElimination,
     "mv_rewrite_counts" -> mvRewriteCounts,
     "mv_rewrite_sums" -> mvRewriteSums,
+    "mv_rewrite_minmax" -> mvRewriteMinmax,
     "grouped_topk_native" -> groupedTopkNative,
     "events_pivot_daily" -> eventsPivotDaily,
     "events_unpivot_daily" -> eventsUnpivotDaily,
@@ -1154,6 +1203,7 @@ object Relational extends QueryModule {
     "fk_join_elimination" -> fkJoinEliminationSql,
     "mv_rewrite_counts" -> mvRewriteCountsSql,
     "mv_rewrite_sums" -> mvRewriteSumsSql,
+    "mv_rewrite_minmax" -> mvRewriteMinmaxSql,
     "grouped_topk_native" -> groupedTopkNativeSql,
     "events_pivot_daily" -> eventsPivotDailySql,
     "events_unpivot_daily" -> eventsUnpivotDailySql,

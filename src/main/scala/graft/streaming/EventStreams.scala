@@ -439,7 +439,7 @@ object EventStreams extends QueryModule {
     * Returns the writer; callers start it with their own trigger.
     */
   def mvMaintenanceWriter(events: DataFrame, groupCol: String, mvPath: String,
-      sumCol: Option[String] = None)
+      sumCol: Option[String] = None, minMaxCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -486,13 +486,20 @@ object EventStreams extends QueryModule {
         if (batchId > lastApplied) {
           // optional integer-units sum partials next to counts — the
           // `sum_<col>` column MvRewriteRule's sum routing reads; both
-          // merge by addition, so merge ≡ recompute holds for the pair
-          val partialAggs = count(lit(1)).as("cnt") +:
-            sumCol.toSeq.map(c => sum(col(c)).as(s"sum_$c"))
+          // merge by addition. min/max partials (`min_<c>`/`max_<c>`,
+          // the rule's third routed shape) merge by re-taking the
+          // extremum — so merge ≡ recompute holds for every stored column
+          val partialAggs = (count(lit(1)).as("cnt") +:
+            sumCol.toSeq.map(c => sum(col(c)).as(s"sum_$c"))) ++
+            minMaxCols.flatMap(c => Seq(
+              min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
           val partial = batch.groupBy(col(groupCol))
             .agg(partialAggs.head, partialAggs.tail: _*)
-          val mergeAggs = sum(col("cnt")).as("cnt") +:
-            sumCol.toSeq.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+          val mergeAggs = (sum(col("cnt")).as("cnt") +:
+            sumCol.toSeq.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))) ++
+            minMaxCols.flatMap(c => Seq(
+              min(col(s"min_$c")).as(s"min_$c"),
+              max(col(s"max_$c")).as(s"max_$c")))
           val merged =
             if (fs.exists(dir))
               spark.read.parquet(mvPath).unionByName(partial)

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -55,6 +55,15 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     * the ivm_event_summary mergeability argument). Empty = counts only.
     */
   val SumColKey = "spark.graft.mv.sumCol"
+
+  /** Optional third routed shape: `min(<c>)` / `max(<c>)` for each column
+    * in this comma-separated registration routes to the MV columns
+    * `min_<c>` / `max_<c>`. Unlike sums, min/max partials are mergeable
+    * for ANY ordered type — re-taking the extremum of stored extrema is
+    * exact — so the only guard is that the MV column's type equals the
+    * fact column's (a drifted summary schema declines, never miscasts).
+    */
+  val MinMaxColsKey = "spark.graft.mv.minmaxCols"
 
   /** Analyzed MV relation cache, keyed by path and invalidated on a
     * LISTING SIGNATURE (file count + max file mtime + total bytes):
@@ -113,13 +122,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val mvPath = conf.getConfString(PathKey, "")
     val groupCol = conf.getConfString(GroupColKey, "event_type")
     val sumCol = conf.getConfString(SumColKey, "")
+    val mmCols = conf.getConfString(MinMaxColsKey, "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     if (source.isEmpty || mvPath.isEmpty) return plan
 
     plan.transformUp {
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
           if g.name == groupCol && scansSource(child, source) &&
-            aggExprs.forall(shapeOk(_, g, sumCol)) &&
-            aggExprs.exists(e => isCountAlias(e) || isSumAlias(e, sumCol)) =>
+            aggExprs.forall(shapeOk(_, g, sumCol, mmCols)) &&
+            aggExprs.exists(e => isCountAlias(e) || isSumAlias(e, sumCol) ||
+              isMinMaxAlias(e, mmCols)) =>
         rewrite(agg, g, aggExprs, mvPath, groupCol, sumCol).getOrElse(agg)
     }
   }
@@ -170,12 +182,24 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => false
     })
 
+  /** `min(<c>)` / `max(<c>)`, plain, over a registered min/max column. */
+  private def isMinMaxAlias(e: NamedExpression, mmCols: Set[String]): Boolean =
+    mmCols.nonEmpty && (e match {
+      case Alias(ae: AggregateExpression, _) =>
+        !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+          case Min(a: AttributeReference) => mmCols.contains(a.name)
+          case Max(a: AttributeReference) => mmCols.contains(a.name)
+          case _ => false
+        })
+      case _ => false
+    })
+
   private def shapeOk(e: NamedExpression, g: AttributeReference,
-      sumCol: String): Boolean =
+      sumCol: String, mmCols: Set[String]): Boolean =
     (e match {
       case a: AttributeReference => a.exprId == g.exprId
       case _ => false
-    }) || isCountAlias(e) || isSumAlias(e, sumCol)
+    }) || isCountAlias(e) || isSumAlias(e, sumCol) || isMinMaxAlias(e, mmCols)
 
   private def rewrite(agg: Aggregate, g: AttributeReference,
       aggExprs: Seq[NamedExpression], mvPath: String,
@@ -195,16 +219,31 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         !mvC.exists(_.dataType == longType)) return None
       if (aggExprs.exists(isSumAlias(_, sumCol)) &&
         !mvS.exists(_.dataType == longType)) return None
+      // min/max route to `min_<c>` / `max_<c>` MV columns of the SAME
+      // type as the fact column — re-taking the extremum of stored
+      // extrema is exact for any ordered type; a missing or drifted
+      // column declines before any expression is built
+      def mvExtremum(prefix: String, a: AttributeReference): Option[Attribute] =
+        mv.output.find(c => c.name == s"${prefix}_${a.name}" &&
+          c.dataType == a.dataType)
       val newExprs: Seq[NamedExpression] = aggExprs.map {
         case a: AttributeReference => // the group column
           Alias(mvG.get, a.name)(exprId = a.exprId)
-        case al @ Alias(_: AggregateExpression, name) if isCountAlias(al) =>
-          Alias(AggregateExpression(Sum(mvC.get), Complete, isDistinct = false),
-            name)(exprId = al.exprId)
-        case al @ Alias(_: AggregateExpression, name) =>
-          // isSumAlias by shapeOk: re-sum the stored per-group partials
-          Alias(AggregateExpression(Sum(mvS.get), Complete, isDistinct = false),
-            name)(exprId = al.exprId)
+        case al @ Alias(ae: AggregateExpression, name) =>
+          val merged: AggregateExpression = ae.aggregateFunction match {
+            case _: Count =>
+              AggregateExpression(Sum(mvC.get), Complete, isDistinct = false)
+            case Min(a: AttributeReference) =>
+              AggregateExpression(Min(mvExtremum("min", a).getOrElse(return None)),
+                Complete, isDistinct = false)
+            case Max(a: AttributeReference) =>
+              AggregateExpression(Max(mvExtremum("max", a).getOrElse(return None)),
+                Complete, isDistinct = false)
+            case _: Sum => // isSumAlias by shapeOk: re-sum stored partials
+              AggregateExpression(Sum(mvS.get), Complete, isDistinct = false)
+            case _ => return None // unreachable given shapeOk
+          }
+          Alias(merged, name)(exprId = al.exprId)
         case other => return None // unreachable given shapeOk
       }
       logInfo(s"graft MV rewrite: answering grouped agg by $groupCol from $mvPath")

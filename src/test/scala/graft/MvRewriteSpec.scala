@@ -113,6 +113,64 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("min/max routing: registered columns route; unregistered and drifted decline") {
+    val mmSrc = mvPath + "_mm_src"
+    val mmMv = mvPath + "_mm"
+    spark.read.parquet(src)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_e6"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .write.mode("overwrite").parquet(mmSrc)
+    spark.read.parquet(mmSrc).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value_e6")).as("min_value_e6"),
+        max(col("value_e6")).as("max_value_e6"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"))
+      .write.mode("overwrite").parquet(mmMv)
+    GraftExtensions.register(spark)
+    spark.conf.set(MvRewriteRule.SourceKey, mmSrc)
+    spark.conf.set(MvRewriteRule.PathKey, mmMv)
+    spark.conf.set(MvRewriteRule.MinMaxColsKey, "value_e6,ts_us")
+    try {
+      def q = spark.read.parquet(mmSrc).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value_e6")).as("lo"), max(col("value_e6")).as("hi"),
+          min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+        .orderBy("event_type")
+      spark.conf.set(MvRewriteRule.EnabledKey, "false")
+      val direct = q.collect().toSeq
+      spark.conf.set(MvRewriteRule.EnabledKey, "true")
+      val routed = q
+      val paths = scanPaths(routed)
+      assert(paths.exists(_.contains(mmMv)), s"MV not read: $paths")
+      assert(!paths.exists(_.contains(mmSrc)), s"fact table still read: $paths")
+      assert(routed.collect().toSeq === direct)
+      // min over a column NOT in the registration must decline: the MV
+      // has no stored extremum for it
+      val unregistered = spark.read.parquet(mmSrc)
+        .select(col("event_type"), (col("value_e6") * 2).as("doubled"))
+        .groupBy(col("event_type")).agg(min(col("doubled")).as("lo"))
+      assert(scanPaths(unregistered).exists(_.contains(mmSrc)))
+      // a registered column whose MV extremum has a DRIFTED type (the
+      // summary stored ints where the fact is long) must decline too
+      val driftedMv = mvPath + "_mm_drift"
+      spark.read.parquet(mmMv)
+        .withColumn("min_value_e6", col("min_value_e6").cast("int"))
+        .write.mode("overwrite").parquet(driftedMv)
+      spark.conf.set(MvRewriteRule.PathKey, driftedMv)
+      val drifted = spark.read.parquet(mmSrc).groupBy(col("event_type"))
+        .agg(min(col("value_e6")).as("lo"))
+      assert(scanPaths(drifted).exists(_.contains(mmSrc)),
+        "drifted MV extremum type must decline, not miscast")
+    } finally {
+      spark.conf.set(MvRewriteRule.EnabledKey, "false")
+      spark.conf.unset(MvRewriteRule.MinMaxColsKey)
+      spark.conf.set(MvRewriteRule.SourceKey, src)
+      spark.conf.set(MvRewriteRule.PathKey, mvPath)
+    }
+  }
+
   test("a missing MV path declines instead of failing the query") {
     withMv(mvPath + "_does_not_exist") {
       val q = rawCounts

@@ -459,6 +459,27 @@ class StreamingSpec extends SparkSpec {
       assert(mvS === Map("click" -> ((3L, 16L)), "view" -> ((2L, 9L))))
     } finally qS.stop()
 
+    // min/max partials: the third MV shape — per-group extrema maintained
+    // next to counts; re-taking the extremum of stored extrema across
+    // micro-batches ≡ one batch recompute
+    val mvPathMm = java.nio.file.Files
+      .createTempDirectory("graft_stream_mv_mm").toString + "/mv"
+    val memM = MemoryStream[(String, Long)]
+    val qM = EventStreams.mvMaintenanceWriter(
+      memM.toDF().toDF("event_type", "value_e6"),
+      "event_type", mvPathMm, minMaxCols = Seq("value_e6")).start()
+    try {
+      memM.addData(("click", 10L), ("click", 5L), ("view", 7L))
+      qM.processAllAvailable()
+      memM.addData(("click", 1L), ("view", 20L))
+      qM.processAllAvailable()
+      val mvM = spark.read.parquet(mvPathMm).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("cnt"), r.getAs[Long]("min_value_e6"),
+            r.getAs[Long]("max_value_e6")))).toMap
+      assert(mvM === Map("click" -> ((3L, 1L, 10L)), "view" -> ((2L, 7L, 20L))))
+    } finally qM.stop()
+
     // replay protection: a delivery whose batchId was already applied is
     // skipped (foreachBatch is at-least-once; the applied id travels
     // inside the summary dir). A fresh query restarts at batchId 0 — both
