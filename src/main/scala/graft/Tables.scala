@@ -24,16 +24,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader only surfaces as a nanos Long (requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in every session
-    * builder). Truncate to micros — exactly what DuckDB's ns→µs TIMESTAMP
-    * read does, keeping oracle parity.
+  /** events.parquet has stored ts as TIMESTAMP(NANOS) in some testdata
+    * generations (Spark's parquet reader surfaces those only as a nanos
+    * Long under `spark.sql.legacy.parquet.nanosAsLong=true`, set in every
+    * session builder) and TIMESTAMP(MICROS, ntz) in others. Normalize
+    * BOTH to the same session-tz TimestampType micros column: nanos
+    * truncate exactly as DuckDB's ns→µs TIMESTAMP read does, and the ntz
+    * wall-clock reinterprets in the UTC session tz — identical instants
+    * either way, keeping oracle parity across data generations.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType)) // ntz
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
