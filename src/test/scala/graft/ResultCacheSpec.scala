@@ -111,6 +111,34 @@ class ResultCacheSpec extends SparkSpec {
     assert(!trash.exists(), "the next sweep must finish interrupted trash")
   }
 
+  test("buildIfAbsent: skips on unchanged inputs, rebuilds on change or params drift") {
+    val root = Files.createTempDirectory("rescache_build").toString
+    val input = Files.createTempDirectory("rescache_build_in").toString + "/t"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").write.parquet(input)
+    val idx = s"$root/idx"
+    var builds = 0
+    def build(): Boolean = ResultCache.buildIfAbsent(
+      spark, spark.read.parquet(input), "p=1", idx) {
+      builds += 1
+      spark.read.parquet(input).withColumn("v2", col("v") * 2)
+        .write.mode("overwrite").parquet(idx)
+    }
+    assert(!build() && builds === 1, "first call must build")
+    assert(build() && builds === 1, "unchanged inputs must be a cache hit")
+    // params drift → new key → rebuild
+    assert(!ResultCache.buildIfAbsent(
+      spark, spark.read.parquet(input), "p=2", idx) { builds += 1 })
+    assert(builds === 2)
+    // input rewrite → new signature → rebuild
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(input)
+    assert(!build() && builds === 3, "changed inputs must rebuild")
+    assert(spark.read.parquet(idx).count() === 3)
+    // a crashed build leaves no marker: simulate by deleting it
+    assert(new java.io.File(idx + "_buildkey").delete())
+    assert(!build() && builds === 4, "a marker-less index must rebuild")
+  }
+
   test("different plans over the same input get different keys") {
     val a = Tables.orders(spark, sf).groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"))
