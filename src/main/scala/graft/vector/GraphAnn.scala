@@ -1,6 +1,6 @@
 package graft.vector
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,7 +79,16 @@ object GraphAnn {
       .agg(sort_array(collect_list(struct(
         (-col("score")).as("neg"), col("dst"))))
         .getField("dst").as("neighbors"))
-    adj.repartition(8, col("node_id"))
+    // total over the input: a node alone in its bucket neighborhood (an
+    // outlier, or any node of a sparse upper HNSW layer) still gets a
+    // row — with no edges — so membership, entry sampling and search
+    // emission see the whole corpus, never just the well-connected part
+    val total = nodes.select(col("id").as("node_id"))
+      .join(adj, Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("neighbors"),
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))).as("neighbors"))
+    total.repartition(8, col("node_id"))
       .write.mode("overwrite").parquet(path)
   }
 
@@ -137,11 +146,19 @@ object GraphAnn {
       .orderBy(col("score").desc, col("dst").asc)
     val topM = pairs.withColumn("rn", row_number().over(wSrc))
       .filter(col("rn") <= m).select("src", "dst", "score")
-    val newAdj = topM
+    val newAdj0 = topM
       .groupBy(col("src").as("node_id"))
       .agg(sort_array(collect_list(struct(
         (-col("score")).as("neg"), col("dst"))))
         .getField("dst").as("neighbors"))
+    // total over the arrivals, like the build: a new node alone in its
+    // bucket neighborhood (common in sparse upper HNSW layers) still
+    // lands a row, or layer membership would silently drift
+    val newAdj = newN.select(col("id").as("node_id"))
+      .join(newAdj0, Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("neighbors"),
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))).as("neighbors"))
     // reverse edges into EXISTING nodes: recompute those nodes' rows
     val existingIds = corpus.select(col(idCol).as("id"))
     val rev = topM.join(existingIds.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -297,26 +314,27 @@ object GraphAnn {
       .orderBy(col("h").asc, col("node_id").asc).limit(e)
       .collect().map(_.getLong(0)).toIndexedSeq // serving-path: E rows
 
-  /** Beam search over the persisted graph: H hops, global beam B.
-    * `corpus` supplies (idCol, embCol) for scoring — at scale the same
-    * table the graph indexes, fetched by pushed id IN point lookups.
-    * Returns (idCol, score) rows for the k best visited, exact-scored.
+  /** Exact query scores for a bounded id set, via pushed `id IN` point
+    * lookups against the corpus table — the per-hop scoring primitive
+    * shared by the flat and hierarchical walks.
     */
-  def nswSearch(spark: SparkSession, path: String, corpus: DataFrame,
-      embCol: String, idCol: String, queryVec: Array[Float], k: Int,
-      beam: Int = 32, hops: Int = 4, entries: Int = 16): DataFrame = {
-    import spark.implicits._
-    def scoreOf(ids: Seq[Long]): Map[Long, Double] =
-      if (ids.isEmpty) Map.empty
-      else corpus.filter(col(idCol).isin(ids: _*)) // pushed point lookup
-        .select(col(idCol),
-          VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    // no cache: the frontier isin filter is on the merge's GROUPING key,
-    // so Catalyst pushes it below the latest-wins aggregate into both the
-    // base and delta scans — each hop reads only the frontier's rows
-    val adj = readNswAdjacency(spark, path)
-    var visited = scoreOf(entryPoints(spark, adj, entries)) // ≤ E entries
+  private def scorer(corpus: DataFrame, embCol: String, idCol: String,
+      queryVec: Array[Float]): Seq[Long] => Map[Long, Double] = ids =>
+    if (ids.isEmpty) Map.empty
+    else corpus.filter(col(idCol).isin(ids: _*)) // pushed point lookup
+      .select(col(idCol),
+        VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  /** The greedy beam walk: H hops over `adj` from `entryIds`, keeping the
+    * global best B visited. Each hop fetches the frontier's adjacency
+    * rows by a pushed `node_id IN` filter (the merge's grouping key, so
+    * Catalyst pushes it below the latest-wins aggregate into both base
+    * and delta scans) — driver state stays (B + E + H·B·2M) entries.
+    */
+  private def beamWalk(adj: DataFrame, scoreOf: Seq[Long] => Map[Long, Double],
+      entryIds: Seq[Long], beam: Int, hops: Int): Map[Long, Double] = {
+    var visited = scoreOf(entryIds)
     var expanded = Set.empty[Long]
     var hop = 0
     while (hop < hops) {
@@ -335,9 +353,15 @@ object GraphAnn {
         hop += 1
       }
     }
-    // tombstoned nodes were legal WAYPOINTS above (their edges keep the
-    // graph connected until the next fold) but must never be EMITTED:
-    // one pushed `id IN` probe over the sidecar, bounded by |visited|
+    visited
+  }
+
+  /** Emission: drop tombstoned ids (legal waypoints, never results) and
+    * return the k best visited as (idCol, score) rows.
+    */
+  private def emitTopK(spark: SparkSession, path: String,
+      visited: Map[Long, Double], idCol: String, k: Int): DataFrame = {
+    import spark.implicits._
     val visitedIds = visited.keys.toSeq
     val dead: Set[Long] =
       if (visitedIds.isEmpty) Set.empty
@@ -351,5 +375,113 @@ object GraphAnn {
       }
       .toDF(idCol, "score")
       .orderBy(col("score").desc, col(idCol).asc)
+  }
+
+  /** Beam search over the persisted graph: H hops, global beam B.
+    * `corpus` supplies (idCol, embCol) for scoring — at scale the same
+    * table the graph indexes, fetched by pushed id IN point lookups.
+    * Returns (idCol, score) rows for the k best visited, exact-scored.
+    */
+  def nswSearch(spark: SparkSession, path: String, corpus: DataFrame,
+      embCol: String, idCol: String, queryVec: Array[Float], k: Int,
+      beam: Int = 32, hops: Int = 4, entries: Int = 16): DataFrame = {
+    val scoreOf = scorer(corpus, embCol, idCol, queryVec)
+    val adj = readNswAdjacency(spark, path)
+    val visited =
+      beamWalk(adj, scoreOf, entryPoints(spark, adj, entries), beam, hops)
+    emitTopK(spark, path, visited, idCol, k)
+  }
+
+  // ---------------------------------------------------------------------
+  // HNSW: a coarse layer ladder above NSW layer 0 (Malkov & Yashunin
+  // 2016). Upper layers hold geometrically thinner node subsets with
+  // their own small NSW adjacency; a query greedily descends the ladder
+  // (log-hops to the right region) and hands the layer-0 beam entry
+  // points already NEAR the answer — cutting the H·B·2M point lookups
+  // a cold flat walk spends crossing the graph.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic HNSW level membership: node id belongs to every layer
+    * ℓ with xxhash64(id) ≡ 0 (mod fanout^ℓ) — the geometric level draw of
+    * HNSW made a pure function of the id, so build, append and search
+    * always agree on layer membership without stored state.
+    */
+  private def layerFilter(idCol: String, fanout: Int, level: Int): Column =
+    pmod(xxhash64(col(idCol)), lit(math.pow(fanout.toDouble, level.toDouble).toLong)) === 0L
+
+  /** Build the HNSW ladder: layer 0 is the full NSW graph at `path`;
+    * each layer ℓ ∈ [1, maxLevel] is an independent NSW graph over the
+    * ~1/fanout^ℓ node subset, persisted at `<path>_l<ℓ>`. Upper layers
+    * reuse the same LSH-equi-join candidate generation — build cost is a
+    * geometric series dominated by layer 0.
+    */
+  def buildHnswGraph(df: DataFrame, embCol: String, idCol: String,
+      lsh: IndexBuilder.RandomHyperplaneLsh, m: Int, path: String,
+      fanout: Int = 8, maxLevel: Int = 2): Unit = {
+    buildNswGraph(df, embCol, idCol, lsh, m, path)
+    var l = 1
+    while (l <= maxLevel) {
+      buildNswGraph(df.filter(layerFilter(idCol, fanout, l)),
+        embCol, idCol, lsh, m, path + "_l" + l)
+      l += 1
+    }
+  }
+
+  /** Append to the HNSW ladder without a rebuild: layer 0 takes every new
+    * node through the NSW append (candidate equi-join + reverse-edge
+    * delta maintenance); each upper layer takes exactly the new nodes its
+    * hash selects — the SAME pure level function the build used, so the
+    * ladder's membership invariant survives any append sequence. Upper-
+    * layer corpora are the hash-filtered slices of the existing corpus.
+    */
+  def appendToHnswGraph(spark: SparkSession, newNodes: DataFrame,
+      embCol: String, idCol: String, lsh: IndexBuilder.RandomHyperplaneLsh,
+      m: Int, path: String, corpus: DataFrame,
+      fanout: Int = 8, maxLevel: Int = 2): Unit = {
+    appendToNswGraph(spark, newNodes, embCol, idCol, lsh, m, path, corpus)
+    var l = 1
+    while (l <= maxLevel) {
+      val newL = newNodes.filter(layerFilter(idCol, fanout, l))
+      if (!newL.isEmpty)
+        appendToNswGraph(spark, newL, embCol, idCol, lsh, m,
+          path + "_l" + l, corpus.filter(layerFilter(idCol, fanout, l)))
+      l += 1
+    }
+  }
+
+  /** Hierarchical search: greedy-descend the ladder top-down (small beam
+    * per upper layer — the ef=1 descent of HNSW, widened a little for
+    * determinism-safe ties), then run the layer-0 beam from the descended
+    * entries UNIONED with the fixed hash-min entries — the descent buys
+    * fast convergence, the fixed entries guarantee the flat-NSW recall
+    * floor. Tombstone semantics match nswSearch (waypoints allowed,
+    * emission filtered, one sidecar for the whole ladder).
+    */
+  def hnswSearch(spark: SparkSession, path: String, corpus: DataFrame,
+      embCol: String, idCol: String, queryVec: Array[Float], k: Int,
+      beam: Int = 32, hops: Int = 4, entries: Int = 16,
+      maxLevel: Int = 2, descentBeam: Int = 4): DataFrame = {
+    val scoreOf = scorer(corpus, embCol, idCol, queryVec)
+    var carried = Seq.empty[Long] // best nodes so far, passed down the ladder
+    var l = maxLevel
+    while (l >= 1) {
+      val layerPath = path + "_l" + l
+      if (new java.io.File(layerPath).exists()) {
+        val adjL = readNswAdjacency(spark, layerPath)
+        val seeds =
+          if (carried.nonEmpty) carried
+          else entryPoints(spark, adjL, descentBeam)
+        if (seeds.nonEmpty) {
+          val walked = beamWalk(adjL, scoreOf, seeds, descentBeam, hops)
+          carried = walked.toSeq.sortBy { case (id, s) => (-s, id) }
+            .take(descentBeam).map(_._1)
+        }
+      }
+      l -= 1
+    }
+    val adj0 = readNswAdjacency(spark, path)
+    val seeds0 = (carried ++ entryPoints(spark, adj0, entries)).distinct
+    val visited = beamWalk(adj0, scoreOf, seeds0, beam, hops)
+    emitTopK(spark, path, visited, idCol, k)
   }
 }

@@ -430,6 +430,73 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.contains(0L), "the self-match must be found")
   }
 
+  test("hnsw ladder: layer membership is the id hash, recall never drops below flat NSW") {
+    import graft.vector.GraphAnn
+    val e = Tables.embeddings(spark, sf)
+    val path = Files.createTempDirectory("hnsw_spec").toString + "/graph"
+    GraphAnn.buildHnswGraph(e, "embedding", "vec_id", AnnIndex.defaultLsh,
+      m = 8, path, fanout = 8, maxLevel = 2)
+    // each upper layer holds EXACTLY the hash-selected subset (membership
+    // is a pure function of the id — build and search must agree on it)
+    for (l <- 1 to 2) {
+      val want = e.filter(
+        pmod(xxhash64(col("vec_id")), lit(math.pow(8.0, l.toDouble).toLong)) === 0L)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = spark.read.parquet(path + "_l" + l)
+        .select("node_id").collect().map(_.getLong(0)).toSet
+      assert(got === want, s"layer $l membership drifted from the id hash")
+      assert(got.size < e.count(), s"layer $l did not thin the corpus")
+    }
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val exact = SparkEntry.queries("knn_exact_topk")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val flat = GraphAnn.nswSearch(spark, path, e, "embedding", "vec_id", qv, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val hier = GraphAnn.hnswSearch(spark, path, e, "embedding", "vec_id", qv, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // parity floor: the descended entries are UNIONED with the fixed
+    // hash-min entries, so the hierarchical walk can only see more
+    assert((hier & exact).size >= (flat & exact).size,
+      s"hnsw recall ${(hier & exact).size} < flat nsw ${(flat & exact).size}")
+    assert(hier.contains(0L), "the self-match must be found")
+    // deterministic: same build + same query → same rows
+    val again = GraphAnn.hnswSearch(spark, path, e, "embedding", "vec_id", qv, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === hier, "hnsw search is not deterministic")
+  }
+
+  test("hnsw append: ladder membership invariant survives, appended nodes findable") {
+    import graft.vector.GraphAnn
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") < 400)
+    val arrivals = e.filter(col("vec_id") >= 400)
+    val path = Files.createTempDirectory("hnsw_appspec").toString + "/graph"
+    GraphAnn.buildHnswGraph(base, "embedding", "vec_id", AnnIndex.defaultLsh,
+      m = 8, path, fanout = 8, maxLevel = 2)
+    GraphAnn.appendToHnswGraph(spark, arrivals, "embedding", "vec_id",
+      AnnIndex.defaultLsh, m = 8, path, base, fanout = 8, maxLevel = 2)
+    // every layer's merged membership = the hash-selected subset of the
+    // FULL corpus — append must keep the same pure level function
+    for (l <- 1 to 2) {
+      val want = e.filter(
+        pmod(xxhash64(col("vec_id")), lit(math.pow(8.0, l.toDouble).toLong)) === 0L)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = GraphAnn.readNswAdjacency(spark, path + "_l" + l)
+        .select("node_id").collect().map(_.getLong(0)).toSet
+      assert(got === want, s"layer $l membership drifted after append")
+    }
+    assert(GraphAnn.readNswAdjacency(spark, path).count() === e.count())
+    // an appended node is findable through the full hierarchical search
+    val target = 450L
+    val qv = e.filter(col("vec_id") === target)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val got = GraphAnn.hnswSearch(spark, path, e, "embedding", "vec_id", qv, k = 5)
+      .collect().map(_.getLong(0))
+    assert(got.head === target,
+      s"appended node $target not reachable via hnsw, top-5 = ${got.toSeq}")
+  }
+
   test("nsw delete: tombstones hide emission but still route the walk") {
     import graft.vector.GraphAnn
     val corpus = AnnIndex.withPlantedSelfCopies(spark,
