@@ -1110,12 +1110,16 @@ object AnnIndex extends QueryModule {
   def annCompactedDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_lshcdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    IndexBuilder.buildLshIndex(
-      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
-      "embedding", defaultLsh, path)
-    spark.range(100000L, 100005L).toDF("vec_id")
-      .write.mode("overwrite").parquet(path + "_tombstones")
-    graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    // the fold rewrites index partitions in place, so the cached unit is
+    // the WHOLE build+tombstone+fold sequence (the buildIfAbsent rule)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=delete+fold:v1", path) {
+      IndexBuilder.buildLshIndex(corpus, "embedding", defaultLsh, path)
+      spark.range(100000L, 100005L).toDF("vec_id")
+        .write.mode("overwrite").parquet(path + "_tombstones")
+      graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
+    }
     val qv = queryVec(spark, dir, 0L)
     val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
     spark.read.parquet(path)
@@ -1231,17 +1235,22 @@ object AnnIndex extends QueryModule {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_lshcupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val e = Tables.embeddings(spark, dir)
-    IndexBuilder.buildLshIndex(
-      withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
-      "embedding", defaultLsh, path)
-    spark.range(100000L, 100001L).toDF("t_vec_id")
-      .withColumn("upto_seq", lit(0L))
-      .write.mode("overwrite").parquet(path + "_tombstones")
-    val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
-      .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
-      .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
-    IndexBuilder.appendToLshIndex(reEmbedded, "embedding", defaultLsh, path)
-    graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
+    // build + watermark tombstone + append + fold — one deterministic
+    // sequence from the corpus, cached as one unit (the fold mutates)
+    ResultCache.buildIfAbsent(spark, withPlantedSelfCopies(spark, e),
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=upsert+fold:v1", path) {
+      IndexBuilder.buildLshIndex(
+        withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
+        "embedding", defaultLsh, path)
+      spark.range(100000L, 100001L).toDF("t_vec_id")
+        .withColumn("upto_seq", lit(0L))
+        .write.mode("overwrite").parquet(path + "_tombstones")
+      val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
+        .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+        .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+      IndexBuilder.appendToLshIndex(reEmbedded, "embedding", defaultLsh, path)
+      graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
+    }
     val qv = queryVec(spark, dir, 0L)
     val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
     spark.read.parquet(path)

