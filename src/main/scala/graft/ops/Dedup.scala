@@ -334,16 +334,22 @@ object Dedup extends QueryModule {
   def minhashSignatureFromText(textCol: Column, n: Int): Column =
     minhashSigFromTextUdf(textCol, lit(n))
 
+  /** (band_id, band_hash) rows from a (idCol, sig) frame — the one place
+    * the banding expression lives (store build, incremental probe and the
+    * pair pipeline must band identically or candidates silently vanish).
+    */
+  def bandsOfSigs(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(NumBands - 1)),
+        b => xxhash64(array_join(
+          transform(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)), _.cast("string")),
+          ",")))).as(Seq("band_id", "band_hash")))
+
   /** (band_id, band_hash) rows per doc — the LSH bucket join keys. */
   def minhashBands(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val sig = minhashSignatureFromText(col(textCol), n)
-    df.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol), sig.as("sig"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(NumBands - 1)),
-          b => xxhash64(array_join(
-            transform(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)), _.cast("string")),
-            ",")))).as(Seq("band_id", "band_hash")))
+    bandsOfSigs(df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), sig.as("sig")), idCol)
   }
 
   /** MinHash near-dup candidate pairs with estimated Jaccard from signature
@@ -385,6 +391,135 @@ object Dedup extends QueryModule {
       .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  // ---- incremental MinHash dedup against a persisted signature store ----
+
+  /** Persist the MinHash store for a standing corpus: per-doc signatures
+    * (`<path>/sigs`, clustered by doc_id for the candidate-scoring join)
+    * and banded bucket keys (`<path>/bands`, clustered by band_hash so a
+    * probe's row groups co-locate). Built ONCE per corpus version — the
+    * point of incremental dedup is that arriving batches never recompute
+    * or reshuffle the corpus side.
+    */
+  def buildMinhashStore(docs: DataFrame, path: String): Unit = {
+    val sigs = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), minhashSignatureFromText(col("text"), 3).as("sig"))
+    sigs.repartition(8, col("doc_id"))
+      .write.mode("overwrite").parquet(path + "/sigs")
+    bandsOfSigs(sigs, "doc_id").repartition(8, col("band_hash"))
+      .sortWithinPartitions("band_hash")
+      .write.mode("overwrite").parquet(path + "/bands")
+  }
+
+  /** Admit a deduped batch into the store — signatures and bands of the
+    * NEW docs only, landed as appended files; existing store files are
+    * never rewritten. Callers admit each doc at most once (the driver
+    * flow dedups the batch first, then admits survivors).
+    */
+  def appendToMinhashStore(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    val sigs = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), minhashSignatureFromText(col("text"), 3).as("sig"))
+    sigs.repartition(1).write.mode("append").parquet(path + "/sigs")
+    bandsOfSigs(sigs, "doc_id").repartition(1)
+      .write.mode("append").parquet(path + "/bands")
+  }
+
+  /** Dedup an arriving batch against the standing store AND within
+    * itself, in one pass — the production shape of continuous corpus
+    * ingestion (a crawl snapshot, a daily document drop) where the
+    * standing side is 100 TB and the batch is not:
+    *
+    *  - the batch's signatures/bands compute fresh (batch-sized);
+    *  - store-vs-batch candidates come from an equi-join on (band_id,
+    *    band_hash) with the BATCH side broadcast — the store's band
+    *    table is scanned column-pruned and never crosses an exchange,
+    *    and its band_hash clustering keeps row-group stats tight;
+    *  - within-batch candidates are the batch's own band self-join;
+    *  - est_jaccard re-derives from signature agreement (stored sigs for
+    *    store docs — corpus text is never read, let alone re-shingled).
+    *
+    * Returns (doc_a, doc_b, est_jaccard) pairs at or above the
+    * threshold, doc_a < doc_b, sorted — the decision input for "reject
+    * the arriving duplicate, admit the rest".
+    */
+  def incrementalMinhashDupes(spark: SparkSession, batch: DataFrame,
+      path: String, estThreshold: Double = 0.5): DataFrame = {
+    val newSigs = batch.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), minhashSignatureFromText(col("text"), 3).as("sig"))
+      .cache()
+    val newBands = bandsOfSigs(newSigs, "doc_id")
+    val storeBands = spark.read.parquet(path + "/bands")
+    val storeSigs = spark.read.parquet(path + "/sigs")
+    val crossPairs = storeBands.join(
+        broadcast(newBands.select(col("doc_id").as("new_id"),
+          col("band_id"), col("band_hash"))),
+        Seq("band_id", "band_hash"))
+      .filter(col("doc_id") =!= col("new_id"))
+      .select(col("doc_id").as("doc_a"), col("new_id").as("doc_b"))
+      .distinct()
+    val withinPairs = newBands.as("x").join(
+        broadcast(newBands).as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sigsAll = storeSigs.unionByName(newSigs)
+    crossPairs.unionByName(withinPairs)
+      .join(sigsAll.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(newSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+          / lit(NumHashes.toDouble), 6))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Driver row: store over docs < 300 (signature-keyed build — standing
+    * between runs like a real corpus index), arriving batch = exact
+    * copies of docs 0..9 salted to ids 100000+. Identical text minhashes
+    * identically, every band agrees, est_jaccard = 1.0 — and the corpus
+    * contains REAL exact duplicates (the dedup_exact families, some
+    * differing only in tokenizer-invisible ways), so the enumerable
+    * answer is the equality classes of the NORMALIZED token stream —
+    * what the signature actually sees: every store doc sharing a
+    * source's token stream pairs with that source's copy, plus
+    * within-batch pairs of sources that duplicate each other. Non-exact
+    * real pairs stay below est 0.5 (measured at every sf, seeded data) —
+    * a candidate leak, a store/probe banding drift, or a broken
+    * agreement score each perturbs the row.
+    */
+  def minhashIncrementalDupes(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.scratchPath("graft_mhstore", dir)
+    val store = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+      .select("doc_id", "text")
+    ResultCache.buildIfAbsent(spark, store, "minhash:store:v1", path) {
+      buildMinhashStore(store, path)
+    }
+    val batch = Tables.documents(spark, dir).filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    incrementalMinhashDupes(spark, batch, path)
+  }
+
+  private val minhashIncrementalDupesSql =
+    """WITH src AS (
+      |  SELECT doc_id, md5(array_to_string(list_filter(
+      |    string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+      |    x -> length(x) > 0), ' ')) AS h
+      |  FROM documents WHERE doc_id < 10 AND length(trim(text)) > 0),
+      |store AS (
+      |  SELECT doc_id, md5(array_to_string(list_filter(
+      |    string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+      |    x -> length(x) > 0), ' ')) AS h
+      |  FROM documents WHERE doc_id < 300 AND length(trim(text)) > 0)
+      |SELECT store.doc_id AS doc_a, src.doc_id + 100000 AS doc_b,
+      |       1.0::DOUBLE AS est_jaccard
+      |FROM store JOIN src ON store.h = src.h
+      |UNION ALL
+      |SELECT a.doc_id + 100000, b.doc_id + 100000, 1.0::DOUBLE
+      |FROM src a JOIN src b ON a.h = b.h AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- SimHash ----
 
@@ -850,6 +985,7 @@ object Dedup extends QueryModule {
     "dup_ngram_coverage" -> dupNgramCoverage,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_near_dupes" -> minhashNearDupesGate,
+    "minhash_incremental_dupes" -> minhashIncrementalDupes,
     "minhash_vs_exact" -> minhashVsExact,
     "simhash_near_dupes" -> simhashNearDupesGate,
     "simhash_planted_dupes" -> simhashPlantedDupes,
@@ -865,6 +1001,7 @@ object Dedup extends QueryModule {
     "dup_ngram_coverage" -> dupNgramCoverageSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_near_dupes" -> minhashNearDupesGateSql,
+    "minhash_incremental_dupes" -> minhashIncrementalDupesSql,
     "minhash_vs_exact" -> ngramJaccardPairsSql,
     "simhash_near_dupes" -> simhashNearDupesGateSql,
     "simhash_planted_dupes" -> simhashPlantedDupesSql,

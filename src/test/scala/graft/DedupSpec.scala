@@ -113,6 +113,42 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not collide in any band")
   }
 
+  test("minhash store: incremental probe finds store and within-batch dupes, store read-only") {
+    val path = java.nio.file.Files.createTempDirectory("mhstore").toString + "/store"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "pack my box with five dozen liquor jugs before the long journey"),
+      (3L, "sphinx of black quartz judge my vow in the ancient stone temple"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashStore(corpus, path)
+    def storeListing = new java.io.File(path + "/bands").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = storeListing
+    // batch: a copy of store doc 1, a copy of itself (within-batch pair),
+    // and a genuinely new doc
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (12L, "completely unrelated fresh material about distributed query engines"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhashDupes(spark, batch, path)
+    assert(got.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the store side must join broadcast — it may never shuffle")
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSet === Set((1L, 10L, 1.0), (1L, 11L, 1.0), (10L, 11L, 1.0)),
+      s"got ${pairs.toSeq}")
+    assert(storeListing === before, "the probe must not touch store files")
+    // admit the survivors, then a later batch dedups against them
+    Dedup.appendToMinhashStore(spark, batch.filter(col("doc_id") === 12L), path)
+    val later = Seq(
+      (20L, "completely unrelated fresh material about distributed query engines"))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.incrementalMinhashDupes(spark, later, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got2.toSet === Set((12L, 20L, 1.0)),
+      "an admitted doc must dedup later arrivals")
+  }
+
   test("simhash: identical → distance 0, near → small, far → large") {
     val t1 = "spark shuffle hash join broadcast exchange partition codegen stage task".split(" ").toSeq
     val t2 = t1.updated(3, "sort")
