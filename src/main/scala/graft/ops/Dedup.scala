@@ -444,9 +444,13 @@ object Dedup extends QueryModule {
     */
   def incrementalMinhashDupes(spark: SparkSession, batch: DataFrame,
       path: String, estThreshold: Double = 0.5): DataFrame = {
+    // localCheckpoint, not cache(): the signature frame is referenced four
+    // times below; checkpoint blocks are released by the ContextCleaner
+    // once the plan is dereferenced, whereas CacheManager entries leak per
+    // call in a long-running session.
     val newSigs = batch.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), minhashSignatureFromText(col("text"), 3).as("sig"))
-      .cache()
+      .localCheckpoint(true)
     val newBands = bandsOfSigs(newSigs, "doc_id")
     val storeBands = spark.read.parquet(path + "/bands")
     val storeSigs = spark.read.parquet(path + "/sigs")
@@ -476,19 +480,54 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Candidate + verify: MinHash bands against the standing store generate
+    * the candidate pairs (no estimate threshold — every band collision
+    * survives to verification), then EXACT shingle-set Jaccard — computed
+    * from text fetched for the candidate-touched docs only — is both the
+    * emitted score and the filter. This is the production incremental-dedup
+    * shape AND the only oracle-able one: an identical 64-slot signature
+    * does not imply an identical shingle set (a 0.988-Jaccard truncated
+    * copy agrees on all 64 slots with probability ≈0.46 — a coin flip, not
+    * a tail event), so no signature-equality oracle can enumerate the
+    * answer; the exact-Jaccard verification can be recomputed in SQL.
+    *
+    * Scale: candidates come from the band equi-join (store side never
+    * reshuffled, batch broadcast); verification re-reads text for the
+    * candidate-touched ids ONLY via a broadcast semi-join — point lookups
+    * against the corpus, not a second corpus scan.
+    */
+  def incrementalDupesVerified(spark: SparkSession, batch: DataFrame,
+      storeDocs: DataFrame, path: String, threshold: Double = 0.5): DataFrame = {
+    val cands = incrementalMinhashDupes(spark, batch, path, estThreshold = 0.0)
+      .select("doc_a", "doc_b")
+    val allDocs = storeDocs.unionByName(batch)
+      .filter(length(trim(col("text"))) > 0)
+    val touched = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = allDocs.join(broadcast(touched), Seq("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(shinglesCol(tokensCol(col("text")), 3)).as("sh"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b")))
+          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Driver row: store over docs < 300 (signature-keyed build — standing
     * between runs like a real corpus index), arriving batch = exact
-    * copies of docs 0..9 salted to ids 100000+. Identical text minhashes
-    * identically, every band agrees, est_jaccard = 1.0 — and the corpus
-    * contains REAL exact duplicates (the dedup_exact families, some
-    * differing only in tokenizer-invisible ways), so the enumerable
-    * answer is the equality classes of the NORMALIZED token stream —
-    * what the signature actually sees: every store doc sharing a
-    * source's token stream pairs with that source's copy, plus
-    * within-batch pairs of sources that duplicate each other. Non-exact
-    * real pairs stay below est 0.5 (measured at every sf, seeded data) —
-    * a candidate leak, a store/probe banding drift, or a broken
-    * agreement score each perturbs the row.
+    * copies of docs 0..9 salted to ids 100000+. MinHash candidates, exact
+    * shingle-Jaccard verify (see incrementalDupesVerified): the oracle
+    * recomputes the exact Jaccard for every store×batch and batch×batch
+    * pair, so a candidate leak, a store/probe banding drift, or a missed
+    * candidate each perturbs the row. Every qualifying pair on this data
+    * sits at j ≥ 0.95 (measured at sf0.001/0.01/0.1), where a 16-band ×
+    * 4-row LSH miss has probability ≤ (1-0.95⁴)¹⁶ ≈ 4·10⁻¹² — the
+    * candidate set is deterministic in practice.
     */
   def minhashIncrementalDupes(spark: SparkSession, dir: String): DataFrame = {
     val path = Tables.scratchPath("graft_mhstore", dir)
@@ -499,26 +538,45 @@ object Dedup extends QueryModule {
     }
     val batch = Tables.documents(spark, dir).filter(col("doc_id") < 10)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-    incrementalMinhashDupes(spark, batch, path)
+    incrementalDupesVerified(spark, batch, store, path)
   }
 
+  // Plain (non-interpolated) triple-quoted string: regex backslashes are
+  // written SINGLE (\p{L}), matching the green sibling oracles above — in
+  // an s"" interpolated string they would be doubled. Mixing the two
+  // regimes is exactly the r7 bug.
   private val minhashIncrementalDupesSql =
-    """WITH src AS (
-      |  SELECT doc_id, md5(array_to_string(list_filter(
-      |    string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
-      |    x -> length(x) > 0), ' ')) AS h
-      |  FROM documents WHERE doc_id < 10 AND length(trim(text)) > 0),
-      |store AS (
-      |  SELECT doc_id, md5(array_to_string(list_filter(
-      |    string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
-      |    x -> length(x) > 0), ' ')) AS h
-      |  FROM documents WHERE doc_id < 300 AND length(trim(text)) > 0)
-      |SELECT store.doc_id AS doc_a, src.doc_id + 100000 AS doc_b,
-      |       1.0::DOUBLE AS est_jaccard
-      |FROM store JOIN src ON store.h = src.h
-      |UNION ALL
-      |SELECT a.doc_id + 100000, b.doc_id + 100000, 1.0::DOUBLE
-      |FROM src a JOIN src b ON a.h = b.h AND a.doc_id < b.doc_id
+    """WITH store AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id < 300 AND length(trim(text)) > 0),
+      |batch AS (
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 10 AND length(trim(text)) > 0),
+      |all_docs AS (SELECT * FROM store UNION ALL SELECT * FROM batch),
+      |toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                     t -> length(t) > 0) AS tok
+      |  FROM all_docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle
+      |  FROM toks, UNNEST(
+      |    CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+      |         ELSE list_transform(generate_series(0, len(tok) - 3),
+      |                             i -> array_to_string(tok[i+1:i+3], ' '))
+      |    END) AS u(shingle)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  WHERE b.doc_id >= 100000
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b,
+      |       round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- SimHash ----

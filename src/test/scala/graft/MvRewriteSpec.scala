@@ -116,7 +116,11 @@ class MvRewriteSpec extends SparkSpec {
   test("min/max routing: registered columns route; unregistered and drifted decline") {
     val mmSrc = mvPath + "_mm_src"
     val mmMv = mvPath + "_mm"
-    spark.read.parquet(src)
+    // Tables.events, NOT a raw parquet read: the testdata generation emits
+    // ts as TIMESTAMP_NTZ in some generations, on which unix_micros throws
+    // DATATYPE_MISMATCH — Tables.events owns the dispatch to session-tz
+    // micros (the production mv_rewrite_minmax row routes through it too).
+    Tables.events(spark, sf)
       .select(col("event_type"),
         expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_e6"),
         expr("unix_micros(ts)").as("ts_us"))
