@@ -336,6 +336,29 @@ object AnnIndex extends QueryModule {
       .getOrElse(rows.last._1.toInt)
   }
 
+  /** The deployed recall target for IVF serving: 95% mean recall@10 on
+    * the measured sample. */
+  val IvfTargetPpm = 950000L
+
+  /** The nProbe tuning curve served through the result cache — ONE sweep
+    * per data version, every repeat a bounded parquet read (rows are
+    * unordered on a hit, per the cache contract; consumers sort).
+    */
+  def cachedIvfCurve(spark: SparkSession, dir: String,
+      numClusters: Int = 16): DataFrame =
+    ResultCache.cached(spark, annIvfTuningCurveOf(spark, dir, numClusters),
+      Tables.scratchPath("graft_ivfcurve", dir))
+
+  /** The measure→deploy loop, closed: the nProbe the IVF serving rows
+    * actually use is the MINIMAL setting whose measured recall on the
+    * cached tuning curve meets the target — never a hardcoded guess.
+    * Cost is one curve sweep per data version (result-cached above),
+    * then a ≤ numClusters-row read per deploy decision.
+    */
+  def tunedNProbe(spark: SparkSession, dir: String,
+      numClusters: Int = 16, targetPpm: Long = IvfTargetPpm): Int =
+    chooseNProbe(cachedIvfCurve(spark, dir, numClusters), targetPpm)
+
   /** Driver gate over the IVF nProbe curve (engine-seeded →
     * contract-checked), the LSH gate's exact shape plus one stronger pin:
     *  - MONOTONE RECALL / COST: probing one more centroid may never lose
@@ -350,7 +373,9 @@ object AnnIndex extends QueryModule {
     */
   def annIvfTuningGate(spark: SparkSession, dir: String): DataFrame = {
     val numClusters = 16
-    val curve = annIvfTuningCurveOf(spark, dir, numClusters).cache()
+    // the same result-cached curve the deploy decision reads — the gate
+    // pins the very measurements tunedNProbe consumes
+    val curve = cachedIvfCurve(spark, dir, numClusters).cache()
     val w = Window.orderBy(col("nprobe"))
     val stepped = curve
       .withColumn("prev_recall", lag(col("recall_ppm"), 1).over(w))
@@ -683,14 +708,17 @@ object AnnIndex extends QueryModule {
     * cluster (assignment is a pure function of the vector under the
     * deterministic seeded fit) and vec 0's own cluster is by definition the
     * nearest centroid to the query, so it is probed at any nProbe ≥ 1 —
-    * the pruned top-10 provably equals the enumerated oracle while 6/16
-    * clusters are genuinely pruned-scanned.
+    * the pruned top-10 provably equals the enumerated oracle whatever the
+    * deployed probe width. That width is no longer a guess: it comes from
+    * `tunedNProbe`, the minimal setting meeting the recall target on the
+    * result-cached measured curve (the oracle is nProbe-invariant by the
+    * argument above, so the row stays exact at any measured choice).
     */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame =
     IndexBuilder.ivfTopK(
       withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
       "embedding", "vec_id", queryVec(spark, dir, 0L),
-      k = 10, numClusters = 16, nProbe = 6, seed = 42L)
+      k = 10, numClusters = 16, nProbe = tunedNProbe(spark, dir), seed = 42L)
       .select("vec_id", "score")
 
   /** IVF-SQ8 composed retrieval under the planted self-query oracle: the
@@ -936,6 +964,34 @@ object AnnIndex extends QueryModule {
       queryVec(spark, dir, 0L), k = 5)
   }
 
+  /** HNSW ladder fold under the same delete oracle: tombstone 5 planted
+    * copies, fold through EVERY rung — deleted ids must leave the stored
+    * upper layers too, not just layer 0 (right-to-be-forgotten is about
+    * the bytes on disk), with the upper rungs' bridge repair keeping
+    * their thinned graphs connected. The post-fold search runs the full
+    * descent with NO tombstone sidecar; the answer must equal the flat
+    * folded row's ({0, 100005..100008}).
+    */
+  def annHnswFoldedDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hnswfold_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    Seq("_delta", "_l1_delta", "_l2_delta", "_tombstones")
+      .foreach(s => deleteRecursively(new java.io.File(path + s)))
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"hnsw:m=8:bits=${defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2", path) {
+      graft.vector.GraphAnn.buildHnswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    graft.vector.GraphAnn.deleteFromNswGraph(
+      spark, (100000L to 100004L), path)
+    graft.vector.GraphAnn.foldHnswTombstones(
+      spark, path, corpus, "embedding", "vec_id", m = 8)
+    graft.vector.GraphAnn.hnswSearch(
+      spark, path, corpus, "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 5)
+  }
+
   private val annGraphDeleteTopkSql =
     """SELECT vec_id, 1.0::DOUBLE AS score FROM (
       |  SELECT vec_id FROM embeddings WHERE vec_id = 0
@@ -943,10 +999,12 @@ object AnnIndex extends QueryModule {
       |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id >= 5 AND vec_id < 9) t
       |ORDER BY vec_id""".stripMargin
 
-  /** IVF pruned top-10 over the raw corpus (spec-only recall anchor). */
+  /** IVF pruned top-10 over the raw corpus (spec-only recall anchor),
+    * served at the curve-tuned nProbe like the production row. */
   def annIvfTopkReal(spark: SparkSession, dir: String): DataFrame =
     IndexBuilder.ivfTopK(Tables.embeddings(spark, dir), "embedding", "vec_id",
-      queryVec(spark, dir, 0L), k = 10, numClusters = 16, nProbe = 6, seed = 42L)
+      queryVec(spark, dir, 0L), k = 10, numClusters = 16,
+      nProbe = tunedNProbe(spark, dir), seed = 42L)
       .select("vec_id", "score")
 
   /** Metadata-FILTERED ANN retrieval (the filtered-search surface every
@@ -1467,6 +1525,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_incremental_topk" -> annGraphIncrementalTopk,
     "ann_graph_delete_topk" -> annGraphDeleteTopk,
     "ann_graph_folded_delete_topk" -> annGraphFoldedDeleteTopk,
+    "ann_hnsw_folded_delete_topk" -> annHnswFoldedDeleteTopk,
     "ann_filtered_topk" -> annFilteredTopk,
     "ann_rewrite_filtered_topk" -> annRewriteFilteredTopk,
     "ann_delete_topk" -> annDeleteTopk,
@@ -1504,6 +1563,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_incremental_topk" -> annSelfQueryTopkSql,
     "ann_graph_delete_topk" -> annGraphDeleteTopkSql,
     "ann_graph_folded_delete_topk" -> annGraphDeleteTopkSql,
+    "ann_hnsw_folded_delete_topk" -> annGraphDeleteTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_rewrite_filtered_topk" -> annFilteredTopkSql,
     "ann_delete_topk" -> annDeleteTopkSql,

@@ -40,6 +40,24 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnn {
 
+  /** Path existence through the Hadoop FileSystem of the session — NOT
+    * java.io.File, which silently answers false for any non-local
+    * filesystem (an hdfs:// or s3a:// graph would degrade to a flat walk
+    * or an empty delta without error). Same resolution ResultCache uses
+    * for the very same paths.
+    */
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Recursive delete through the Hadoop FileSystem (sidecar truncation). */
+  private def deletePath(spark: SparkSession, p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+  }
+
   /** Build and persist the NSW adjacency for (idCol, embCol) rows.
     * Candidate generation probes each vector's LSH bucket plus its
     * radius-1 neighbors — the equi-join form of "likely near" — so edge
@@ -102,7 +120,7 @@ object GraphAnn {
   def readNswAdjacency(spark: SparkSession, path: String): DataFrame = {
     val base = spark.read.parquet(path).withColumn("seq", lit(0L))
     val all =
-      if (new java.io.File(path + "_delta").exists())
+      if (pathExists(spark, path + "_delta"))
         base.unionByName(spark.read.parquet(path + "_delta"))
       else base
     all.groupBy("node_id")
@@ -179,17 +197,20 @@ object GraphAnn {
       .agg(sort_array(collect_list(struct(
         (-col("score")).as("neg"), col("dst"))))
         .getField("dst").as("neighbors"))
-    val deltaDir = new java.io.File(path + "_delta")
-    val nextSeq =
-      if (deltaDir.exists())
-        spark.read.parquet(path + "_delta")
-          .agg(max(col("seq"))).head().getLong(0) + 1L
-      else 1L
     newAdj.unionByName(mergedRows)
-      .withColumn("seq", lit(nextSeq))
+      .withColumn("seq", lit(nextDeltaSeq(spark, path)))
       .repartition(2, col("node_id"))
       .write.mode("append").parquet(path + "_delta")
   }
+
+  /** Next seq stamp for a graph's delta sidecar (prior max + 1;
+    * deterministic — never a wall clock).
+    */
+  private def nextDeltaSeq(spark: SparkSession, path: String): Long =
+    if (pathExists(spark, path + "_delta"))
+      spark.read.parquet(path + "_delta")
+        .agg(max(col("seq"))).head().getLong(0) + 1L
+    else 1L
 
   /** Delete vectors from a persisted NSW graph — a tombstone sidecar
     * append, the same O(|deleted|) delete the LSH/IVF/BM25 families use;
@@ -208,7 +229,7 @@ object GraphAnn {
 
   /** Tombstoned node ids (empty when no delete is pending). */
   def readNswTombstones(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(path + "_tombstones").exists())
+    if (pathExists(spark, path + "_tombstones"))
       spark.read.parquet(path + "_tombstones").select("node_id").distinct()
     else {
       import spark.implicits._
@@ -239,7 +260,23 @@ object GraphAnn {
       embCol: String, idCol: String, m: Int): Unit = {
     val tomb = readNswTombstones(spark, path).cache()
     if (tomb.isEmpty) return
-    val adj = readNswAdjacency(spark, path)
+    foldLayerTombstones(spark, path, tomb, corpus, embCol, idCol, m)
+    tomb.unpersist()
+    // sidecar truncates LAST: a crash before this point leaves tombstones
+    // pending, which is merely conservative (search keeps filtering them)
+    deletePath(spark, path + "_tombstones")
+  }
+
+  /** The per-layer fold body: rewrite `layerPath`'s affected adjacency
+    * rows (drop dead neighbors, wire bridges, re-top at 2M) and land
+    * removal markers, as ONE seq-stamped delta append. Shared by the flat
+    * fold and every rung of the HNSW ladder fold; the caller owns the
+    * sidecar lifecycle.
+    */
+  private def foldLayerTombstones(spark: SparkSession, layerPath: String,
+      tomb: DataFrame, corpus: DataFrame, embCol: String, idCol: String,
+      m: Int): Unit = {
+    val adj = readNswAdjacency(spark, layerPath)
     val edges = adj.select(col("node_id").as("src"),
       explode(col("neighbors")).as("dst"))
     // bridge candidates: deleted node d's surviving neighbors, offered to
@@ -284,25 +321,38 @@ object GraphAnn {
       .select(col("node_id"), lit(null)
         .cast(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType)).as("neighbors"))
-    val deltaDir = new java.io.File(path + "_delta")
-    val nextSeq =
-      if (deltaDir.exists())
-        spark.read.parquet(path + "_delta")
-          .agg(max(col("seq"))).head().getLong(0) + 1L
-      else 1L
     rewrittenAll.unionByName(removals)
-      .withColumn("seq", lit(nextSeq))
+      .withColumn("seq", lit(nextDeltaSeq(spark, layerPath)))
       .repartition(2, col("node_id"))
-      .write.mode("append").parquet(path + "_delta")
-    tomb.unpersist()
-    // sidecar truncates LAST: a crash before this point leaves tombstones
-    // pending, which is merely conservative (search keeps filtering them)
-    val tombDir = new java.io.File(path + "_tombstones")
-    if (tombDir.exists()) {
-      java.nio.file.Files.walk(tombDir.toPath)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
+      .write.mode("append").parquet(layerPath + "_delta")
+  }
+
+  /** Fold pending tombstones through the WHOLE HNSW ladder — layer 0 and
+    * every persisted `_l<ℓ>` rung. Deleted ids must leave the stored
+    * upper layers too (right-to-be-forgotten is about the bytes on disk,
+    * not just the emission filter), and the upper-layer bridge repair
+    * keeps a region whose hash-selected waypoints all died descendable
+    * around them. Each rung folds against ITS hash-filtered corpus slice
+    * (the same pure level function build/append/search use). The one
+    * shared sidecar truncates after the last rung: a crash mid-ladder
+    * leaves tombstones pending and a re-fold is idempotent per rung.
+    */
+  def foldHnswTombstones(spark: SparkSession, path: String, corpus: DataFrame,
+      embCol: String, idCol: String, m: Int,
+      fanout: Int = 8, maxLevel: Int = 2): Unit = {
+    val tomb = readNswTombstones(spark, path).cache()
+    if (tomb.isEmpty) return
+    var l = maxLevel
+    while (l >= 1) {
+      val layerPath = path + "_l" + l
+      if (pathExists(spark, layerPath))
+        foldLayerTombstones(spark, layerPath, tomb,
+          corpus.filter(layerFilter(idCol, fanout, l)), embCol, idCol, m)
+      l -= 1
     }
+    foldLayerTombstones(spark, path, tomb, corpus, embCol, idCol, m)
+    tomb.unpersist()
+    deletePath(spark, path + "_tombstones")
   }
 
   /** Deterministic entry points: the E graph ids with the smallest
@@ -427,25 +477,99 @@ object GraphAnn {
     }
   }
 
-  /** Append to the HNSW ladder without a rebuild: layer 0 takes every new
-    * node through the NSW append (candidate equi-join + reverse-edge
-    * delta maintenance); each upper layer takes exactly the new nodes its
-    * hash selects — the SAME pure level function the build used, so the
-    * ladder's membership invariant survives any append sequence. Upper-
-    * layer corpora are the hash-filtered slices of the existing corpus.
+  /** Append to the HNSW ladder without a rebuild — ONE layer-tagged job,
+    * not one append pipeline per rung. Every stage of the NSW append
+    * (LSH candidate equi-join, per-source top-M window, reverse-edge
+    * recompute of affected existing rows, re-top at 2M) runs once over
+    * rows tagged with their layer: layer 0 takes every new node, each
+    * upper layer exactly the new nodes its id hash selects — the SAME
+    * pure level function the build used, so the ladder's membership
+    * invariant survives any append sequence. Joins and windows key on
+    * (layer, …), so rungs never mix; the computed delta rows materialize
+    * once (localCheckpoint) and fan out as per-rung sidecar appends.
+    * The previous per-rung loop ran three near-identical jobs — same
+    * semantics, ~3× the scans and shuffles.
     */
   def appendToHnswGraph(spark: SparkSession, newNodes: DataFrame,
       embCol: String, idCol: String, lsh: IndexBuilder.RandomHyperplaneLsh,
       m: Int, path: String, corpus: DataFrame,
       fanout: Int = 8, maxLevel: Int = 2): Unit = {
-    appendToNswGraph(spark, newNodes, embCol, idCol, lsh, m, path, corpus)
-    var l = 1
-    while (l <= maxLevel) {
-      val newL = newNodes.filter(layerFilter(idCol, fanout, l))
-      if (!newL.isEmpty)
-        appendToNswGraph(spark, newL, embCol, idCol, lsh, m,
-          path + "_l" + l, corpus.filter(layerFilter(idCol, fanout, l)))
-      l += 1
+    val probeUdf = udf { (v: Seq[Float]) =>
+      lsh.probes(lsh.signature(v), radius = 1)
+    }
+    val sigUdf = udf { (v: Seq[Float]) => lsh.signature(v) }
+    def layerPath(l: Int): String = if (l == 0) path else path + "_l" + l
+    // tag a (id, …) frame with every layer its id hash belongs to
+    def tagged(df: DataFrame): DataFrame =
+      (0 to maxLevel).map { l =>
+        (if (l == 0) df else df.filter(layerFilter("id", fanout, l)))
+          .withColumn("layer", lit(l))
+      }.reduce(_ unionByName _)
+    val newN = newNodes.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val nodesAll = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .unionByName(newN)
+    val homeT = tagged(nodesAll).withColumn("bucket", sigUdf(col("emb")))
+    val probedNewT = tagged(newN).select(col("layer"), col("id"), col("emb"),
+      explode(probeUdf(col("emb"))).as("bucket"))
+    val pairs = probedNewT.as("a")
+      .join(homeT.as("b"), col("a.layer") === col("b.layer") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.layer").as("layer"), col("a.id").as("src"),
+        col("b.id").as("dst"),
+        VectorFunctions.cosineUnit(col("a.emb"), col("b.emb")).as("score"))
+      .groupBy("layer", "src", "dst").agg(max("score").as("score"))
+    val wSrc = Window.partitionBy("layer", "src")
+      .orderBy(col("score").desc, col("dst").asc)
+    val topM = pairs.withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= m).select("layer", "src", "dst", "score")
+    val newAdj0 = topM
+      .groupBy(col("layer"), col("src").as("node_id"))
+      .agg(sort_array(collect_list(struct(
+        (-col("score")).as("neg"), col("dst"))))
+        .getField("dst").as("neighbors"))
+    // total over the arrivals per rung: a new node alone in its bucket
+    // neighborhood (common in sparse upper layers) still lands a row
+    val newAdj = tagged(newN).select(col("layer"), col("id").as("node_id"))
+      .join(newAdj0, Seq("layer", "node_id"), "left")
+      .select(col("layer"), col("node_id"), coalesce(col("neighbors"),
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))).as("neighbors"))
+    // reverse edges into EXISTING nodes, per rung: recompute those rows
+    val existingT = tagged(corpus.select(col(idCol).as("id")))
+    val rev = topM
+      .join(existingT.select(col("layer"), col("id").as("dst")), Seq("layer", "dst"))
+      .select(col("layer"), col("dst").as("src"), col("src").as("dst"), col("score"))
+    val affected = rev.select(col("layer"), col("src").as("node_id")).distinct()
+    val curAdj = (0 to maxLevel).flatMap { l =>
+      if (l == 0 || pathExists(spark, layerPath(l)))
+        Some(readNswAdjacency(spark, layerPath(l)).withColumn("layer", lit(l)))
+      else None
+    }.reduce(_ unionByName _)
+    val cur = curAdj.join(affected, Seq("layer", "node_id"))
+      .select(col("layer"), col("node_id").as("src"),
+        explode(col("neighbors")).as("dst"))
+      .join(nodesAll.select(col("id").as("src"), col("emb").as("src_emb")), Seq("src"))
+      .join(nodesAll.select(col("id").as("dst"), col("emb").as("dst_emb")), Seq("dst"))
+      .select(col("layer"), col("src"), col("dst"),
+        VectorFunctions.cosineUnit(col("src_emb"), col("dst_emb")).as("score"))
+    val mergedRows = cur.unionByName(rev)
+      .groupBy("layer", "src", "dst").agg(max("score").as("score"))
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= 2 * m)
+      .groupBy(col("layer"), col("src").as("node_id"))
+      .agg(sort_array(collect_list(struct(
+        (-col("score")).as("neg"), col("dst"))))
+        .getField("dst").as("neighbors"))
+    // one job computes every rung's delta rows; the per-rung appends below
+    // are cheap scans of the checkpointed blocks
+    val delta = newAdj.unionByName(mergedRows).localCheckpoint(true)
+    val rungs = delta.select("layer").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ maxLevel+1 rows
+    rungs.foreach { l =>
+      delta.filter(col("layer") === l).drop("layer")
+        .withColumn("seq", lit(nextDeltaSeq(spark, layerPath(l))))
+        .repartition(2, col("node_id"))
+        .write.mode("append").parquet(layerPath(l) + "_delta")
     }
   }
 
@@ -466,7 +590,7 @@ object GraphAnn {
     var l = maxLevel
     while (l >= 1) {
       val layerPath = path + "_l" + l
-      if (new java.io.File(layerPath).exists()) {
+      if (pathExists(spark, layerPath)) {
         val adjL = readNswAdjacency(spark, layerPath)
         val seeds =
           if (carried.nonEmpty) carried

@@ -61,6 +61,26 @@ class AnnIndexSpec extends SparkSpec {
     assert(ivf.contains(0L), "self must be found")
   }
 
+  test("ivf deploy reads the measured curve: nProbe is the minimal target-meeting setting") {
+    val curve = AnnIndex.cachedIvfCurve(spark, sf).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("recall_ppm")))
+      .sortBy(_._1)
+    val deployed = AnnIndex.tunedNProbe(spark, sf)
+    val minimal = curve.find(_._2 >= AnnIndex.IvfTargetPpm).map(_._1.toInt)
+      .getOrElse(curve.last._1.toInt)
+    assert(deployed === minimal,
+      s"deployed nProbe $deployed != minimal target-meeting $minimal")
+    // every cheaper setting genuinely misses the target (the choice is
+    // tight, not accidental), unless the target was unreachable
+    if (curve.exists(_._2 >= AnnIndex.IvfTargetPpm))
+      curve.filter(_._1 < deployed).foreach { case (np, ppm) =>
+        assert(ppm < AnnIndex.IvfTargetPpm,
+          s"nProbe $np already met the target at $ppm ppm")
+      }
+    // and the deploy decision is a pure function of the cached curve
+    assert(AnnIndex.tunedNProbe(spark, sf) === deployed)
+  }
+
   test("raw-corpus LSH pruned top-10 finds self and respects score parity") {
     val pruned = AnnIndex.annLshTopkReal(spark, sf).collect()
     assert(pruned.head.getAs[Long]("vec_id") === 0L)
@@ -546,6 +566,46 @@ class AnnIndexSpec extends SparkSpec {
     GraphAnn.foldNswTombstones(spark, path, corpus, "embedding", "vec_id", m = 8)
     assert(GraphAnn.nswSearch(spark, path, corpus, "embedding", "vec_id",
       qv, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))) === postFold)
+  }
+
+  test("hnsw fold: deleted ids leave every rung; a fully-deleted top rung stays descendable around") {
+    import graft.vector.GraphAnn
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val path = Files.createTempDirectory("hnsw_foldspec").toString + "/graph"
+    GraphAnn.buildHnswGraph(e, "embedding", "vec_id", AnnIndex.defaultLsh,
+      m = 8, path, fanout = 8, maxLevel = 2)
+    // delete EVERY layer-2 member: the ladder's top rung dies entirely,
+    // and the deleted ids must leave all three rungs' stored bytes
+    val l2ids = e.filter(
+      pmod(xxhash64(col("vec_id")), lit(64L)) === 0L)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(l2ids.nonEmpty, "fixture needs at least one layer-2 member")
+    GraphAnn.deleteFromNswGraph(spark, l2ids, path)
+    GraphAnn.foldHnswTombstones(spark, path, e, "embedding", "vec_id",
+      m = 8, fanout = 8, maxLevel = 2)
+    assert(!new java.io.File(path + "_tombstones").exists())
+    for (rung <- Seq(path, path + "_l1", path + "_l2")) {
+      val merged = GraphAnn.readNswAdjacency(spark, rung)
+      assert(merged.filter(col("node_id").isin(l2ids: _*)).count() === 0,
+        s"$rung still has a deleted node's row")
+      assert(merged.filter(exists(col("neighbors"),
+        n => n.isin(l2ids: _*))).count() === 0,
+        s"$rung still references a deleted neighbor")
+    }
+    assert(GraphAnn.readNswAdjacency(spark, path + "_l2").count() === 0,
+      "every layer-2 member was deleted; the rung must fold empty")
+    // the search must descend AROUND the dead top rung (empty rung →
+    // carry nothing, seed from the next rung down) and emit no deleted id
+    val target = e.filter(!col("vec_id").isin(l2ids: _*))
+      .select(min(col("vec_id"))).head().getLong(0)
+    val qv = e.filter(col("vec_id") === target)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val got = GraphAnn.hnswSearch(spark, path, e, "embedding", "vec_id",
+      qv, k = 5).collect().map(_.getLong(0))
+    assert(got.head === target,
+      s"surviving node $target not reachable after top-rung fold, top-5 = ${got.toSeq}")
+    assert(got.forall(id => !l2ids.contains(id)),
+      "a deleted id survived the ladder fold")
   }
 
   test("nsw append: new nodes become reachable through delta in-edges, base untouched") {
