@@ -579,6 +579,96 @@ object Dedup extends QueryModule {
       |WHERE round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The store-side APPEND lifecycle, end-to-end: dedup an arriving batch
+    * against the standing store, admit its survivors into the store
+    * (signatures + bands appended — existing files never rewritten), then
+    * dedup a SECOND batch against the GROWN store. Batch 2 carries exact
+    * copies of batch 1's docs, so each must pair either with its admitted
+    * batch-1 twin (proving the append actually landed in the standing
+    * bands/sigs) or — when the twin was REJECTED at admission as a dup of
+    * a store doc — with that store doc itself (proving rejection kept the
+    * store canonical). The base-build + batch-1-admission sequence is ONE
+    * cached unit (the buildIfAbsent rule: the marker must describe the
+    * directory as served); the survivor set is re-derived per run for
+    * text provisioning, which is sound because the recompute against the
+    * grown store adds only survivor×batch pairs, and any such pair ≥
+    * threshold would have rejected its higher id at admission already —
+    * the rejected set is invariant under the growth.
+    */
+  def minhashStoreAppendedDupes(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.scratchPath("graft_mhgrown", dir)
+    val docs = Tables.documents(spark, dir)
+    val store = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    val batch1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    ResultCache.buildIfAbsent(spark, store.unionByName(batch1),
+      "minhash:grown:v1", path) {
+      buildMinhashStore(store, path)
+      val rejected = incrementalDupesVerified(spark, batch1, store, path)
+        .select(col("doc_b").as("doc_id")).distinct()
+      appendToMinhashStore(spark,
+        batch1.join(rejected, Seq("doc_id"), "left_anti"), path)
+    }
+    val rejectedNow = incrementalDupesVerified(spark, batch1,
+        store.unionByName(batch1), path)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val grownDocs = store.unionByName(
+      batch1.join(rejectedNow, Seq("doc_id"), "left_anti"))
+    val batch2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+    incrementalDupesVerified(spark, batch2, grownDocs, path)
+  }
+
+  // Same exact-Jaccard oracle regime as minhashIncrementalDupesSql: the
+  // survivor computation (batch-1 admission) replays in SQL, so a store
+  // append that missed the bands, clobbered base files, or admitted a
+  // rejected doc each perturbs the row.
+  private val minhashStoreAppendedDupesSql =
+    """WITH store AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id < 300 AND length(trim(text)) > 0),
+      |b1 AS (
+      |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+      |  WHERE doc_id >= 300 AND doc_id < 305 AND length(trim(text)) > 0),
+      |b2 AS (
+      |  SELECT doc_id + 300000 AS doc_id, text FROM documents
+      |  WHERE doc_id >= 300 AND doc_id < 305 AND length(trim(text)) > 0),
+      |all_docs AS (
+      |  SELECT * FROM store UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+      |toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                     t -> length(t) > 0) AS tok
+      |  FROM all_docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle
+      |  FROM toks, UNNEST(
+      |    CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+      |         ELSE list_transform(generate_series(0, len(tok) - 3),
+      |                             i -> array_to_string(tok[i+1:i+3], ' '))
+      |    END) AS u(shingle)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |jac AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         round(count(*) / (sa.n + sb.n - count(*))::DOUBLE, 6) AS jaccard
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN sizes sa ON sa.doc_id = a.doc_id
+      |  JOIN sizes sb ON sb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n),
+      |pairs1 AS (
+      |  SELECT doc_a, doc_b, jaccard FROM jac
+      |  WHERE doc_b >= 200000 AND doc_b < 300000 AND doc_a < 300000
+      |    AND jaccard >= 0.5),
+      |surv AS (
+      |  SELECT doc_id FROM b1
+      |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs1))
+      |SELECT doc_a, doc_b, jaccard FROM jac
+      |WHERE doc_b >= 300000
+      |  AND (doc_a < 200000 OR doc_a >= 300000
+      |       OR doc_a IN (SELECT doc_id FROM surv))
+      |  AND jaccard >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over token hashes. The per-doc bit accumulation is a
@@ -1044,6 +1134,7 @@ object Dedup extends QueryModule {
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_near_dupes" -> minhashNearDupesGate,
     "minhash_incremental_dupes" -> minhashIncrementalDupes,
+    "minhash_store_appended_dupes" -> minhashStoreAppendedDupes,
     "minhash_vs_exact" -> minhashVsExact,
     "simhash_near_dupes" -> simhashNearDupesGate,
     "simhash_planted_dupes" -> simhashPlantedDupes,
@@ -1060,6 +1151,7 @@ object Dedup extends QueryModule {
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_near_dupes" -> minhashNearDupesGateSql,
     "minhash_incremental_dupes" -> minhashIncrementalDupesSql,
+    "minhash_store_appended_dupes" -> minhashStoreAppendedDupesSql,
     "minhash_vs_exact" -> ngramJaccardPairsSql,
     "simhash_near_dupes" -> simhashNearDupesGateSql,
     "simhash_planted_dupes" -> simhashPlantedDupesSql,

@@ -66,13 +66,57 @@ object ResultCache extends QueryModule {
     * marker gates hits, so a crashed write is re-executed, never served.
     */
   def cached(spark: SparkSession, df: DataFrame, cacheRoot: String): DataFrame = {
-    val dir = s"$cacheRoot/${cacheKey(df)}"
+    val key = cacheKey(df)
+    val dir = s"$cacheRoot/$key"
     val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success))
+    val hit = fs.exists(success)
+    val ageMs =
+      if (hit) System.currentTimeMillis() - fs.getFileStatus(success).getModificationTime
+      else 0L
+    record("result", dir, key, hit, ageMs)
+    if (!hit)
       df.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
   }
+
+  // ---- cache observability -------------------------------------------
+  // Every cached/buildIfAbsent decision lands in a bounded in-memory ring
+  // — (kind, path, key, hit, entry age) — so a bench or driver run can
+  // AUDIT cache behavior (which fixtures hit, how old the entries were)
+  // instead of reconstructing it from sidecar mtimes. Driver-side state
+  // only, bounded at MaxEvents; never part of a query answer.
+
+  /** One cache decision: kind ∈ {result, index}. `ageMs` is the served
+    * entry's age at hit time; 0 on a miss. */
+  final case class CacheEvent(kind: String, path: String, key: String,
+    hit: Boolean, ageMs: Long)
+
+  private val MaxEvents = 10000
+  private val eventLog =
+    new java.util.concurrent.ConcurrentLinkedDeque[CacheEvent]()
+
+  private def record(kind: String, path: String, key: String,
+      hit: Boolean, ageMs: Long): Unit = {
+    eventLog.addLast(CacheEvent(kind, path, key, hit, ageMs))
+    while (eventLog.size > MaxEvents) eventLog.pollFirst()
+  }
+
+  /** The recorded decisions, oldest first. */
+  def recentEvents: Seq[CacheEvent] = {
+    val it = eventLog.iterator()
+    val b = Seq.newBuilder[CacheEvent]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** The decision log as a DataFrame, for ad-hoc audit queries. */
+  def events(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    recentEvents.toDF()
+  }
+
+  def clearEvents(): Unit = eventLog.clear()
 
   /** The result-cache discipline applied to persisted INDEX BUILDS: key
     * the build by md5(inputs' plan+file signature, params tag) and skip
@@ -90,6 +134,21 @@ object ResultCache extends QueryModule {
     * that produces the final index state from `inputs` — never a prefix
     * whose output later calls mutate in place (the marker must describe
     * the directory as it will be SERVED).
+    *
+    * VERSIONING CONTRACT: `paramsTag` must encode every build parameter
+    * AND the on-disk format version of what `build` writes. Changing the
+    * format (or the build code's output shape) without bumping the tag
+    * serves a stale-format index over unchanged inputs — the key cannot
+    * see code, so tag-bump-on-format-change is the CALLER's obligation
+    * (changed tag ⇒ rebuild is spec-pinned; same tag over changed build
+    * code is undetectable by design).
+    *
+    * On a miss the standing `indexPath` directory is deleted wholesale
+    * before `build` runs: a rebuild that produces FEWER artifacts (fewer
+    * segments, a shorter ladder) must never serve mixed-generation state
+    * under a fresh marker. Sidecars OUTSIDE indexPath (`_delta`,
+    * `_tombstones`, `_l<N>`…) are mutation state, not build output —
+    * resetting them is the caller's job.
     */
   def buildIfAbsent(spark: SparkSession, inputs: DataFrame, paramsTag: String,
       indexPath: String)(build: => Unit): Boolean = {
@@ -105,8 +164,13 @@ object ResultCache extends QueryModule {
       val cur = try scala.io.Source.fromInputStream(in).mkString finally in.close()
       cur == key
     }
+    record("index", indexPath, key, hit,
+      if (hit) System.currentTimeMillis() -
+        fs.getFileStatus(marker).getModificationTime
+      else 0L)
     if (!hit) {
       if (fs.exists(marker)) fs.delete(marker, false)
+      if (fs.exists(idx)) fs.delete(idx, true)
       build
       val out = fs.create(marker, true)
       try out.write(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))

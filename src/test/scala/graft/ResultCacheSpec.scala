@@ -139,6 +139,61 @@ class ResultCacheSpec extends SparkSpec {
     assert(!build() && builds === 4, "a marker-less index must rebuild")
   }
 
+  test("buildIfAbsent: a rebuild serves no mixed-generation artifacts") {
+    val root = Files.createTempDirectory("rescache_gen").toString
+    val input = Files.createTempDirectory("rescache_gen_in").toString + "/t"
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(input)
+    val idx = s"$root/idx"
+    // generation 1 (tag v1) writes TWO segments; generation 2 (tag v2 —
+    // the caller bumped the tag because the format changed, per the
+    // versioning contract) writes ONE. The v1 segment must not survive
+    // under v2's fresh marker: serving would mix generations.
+    ResultCache.buildIfAbsent(spark, spark.read.parquet(input), "fmt=v1", idx) {
+      Seq(1L).toDF("a").write.parquet(idx + "/seg1")
+      Seq(2L).toDF("a").write.parquet(idx + "/seg2")
+    }
+    assert(new java.io.File(idx + "/seg2").exists())
+    ResultCache.buildIfAbsent(spark, spark.read.parquet(input), "fmt=v2", idx) {
+      Seq(3L).toDF("a").write.parquet(idx + "/seg1")
+    }
+    assert(!new java.io.File(idx + "/seg2").exists(),
+      "a stale prior-generation artifact survived the rebuild")
+    assert(spark.read.parquet(idx + "/seg1").head().getLong(0) === 3L)
+    // and the v2 state is a hit on re-call (contract: changed tag ⇒
+    // rebuild once; unchanged tag over unchanged inputs ⇒ standing index)
+    assert(ResultCache.buildIfAbsent(
+      spark, spark.read.parquet(input), "fmt=v2", idx) { fail("rebuilt on a hit") })
+  }
+
+  test("cache decisions are auditable: kind, hit/miss and entry age are recorded") {
+    ResultCache.clearEvents()
+    val root = Files.createTempDirectory("rescache_ev").toString
+    val input = Files.createTempDirectory("rescache_ev_in").toString + "/t"
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(input)
+    def q() = spark.read.parquet(input).agg(sum(col("v")).as("s"))
+    ResultCache.cached(spark, q(), root).collect()
+    ResultCache.cached(spark, q(), root).collect()
+    val idx = s"$root/idx"
+    def build(): Boolean = ResultCache.buildIfAbsent(
+      spark, spark.read.parquet(input), "p=1", idx) {
+      Seq(1L).toDF("a").write.parquet(idx + "/seg")
+    }
+    build(); build()
+    val ev = ResultCache.recentEvents.filter(e =>
+      e.path.startsWith(root) || e.path.startsWith(idx))
+    assert(ev.map(e => (e.kind, e.hit)) ===
+      Seq(("result", false), ("result", true),
+        ("index", false), ("index", true)),
+      s"unexpected event sequence: $ev")
+    assert(ev.filter(_.hit).forall(_.ageMs >= 0L))
+    assert(ev.filterNot(_.hit).forall(_.ageMs === 0L))
+    // and the DataFrame surface carries the same rows for audit queries
+    val df = ResultCache.events(spark)
+      .filter(col("path").startsWith(root) || col("path").startsWith(idx))
+    assert(df.count() === 4)
+    assert(df.filter(col("hit")).count() === 2)
+  }
+
   test("different plans over the same input get different keys") {
     val a = Tables.orders(spark, sf).groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"))
