@@ -154,7 +154,9 @@ object GraphAnn {
     val home = nodesAll.withColumn("bucket", sigUdf(col("emb")))
     val probedNew = newN.select(col("id"), col("emb"),
       explode(probeUdf(col("emb"))).as("bucket"))
-    val pairs = probedNew.as("a")
+    // the probe side is batch-sized: broadcast it so the corpus-wide home
+    // frame streams through the join without an exchange
+    val pairs = broadcast(probedNew).as("a")
       .join(home.as("b"), col("a.bucket") === col("b.bucket") &&
         col("a.id") =!= col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"),
@@ -162,8 +164,12 @@ object GraphAnn {
       .groupBy("src", "dst").agg(max("score").as("score"))
     val wSrc = Window.partitionBy("src")
       .orderBy(col("score").desc, col("dst").asc)
+    // localCheckpoint: topM feeds four downstream subtrees (new adjacency,
+    // reverse edges, affected set, delta rows); without materialization
+    // each broadcast build re-executes the whole candidate join
     val topM = pairs.withColumn("rn", row_number().over(wSrc))
       .filter(col("rn") <= m).select("src", "dst", "score")
+      .localCheckpoint(true)
     val newAdj0 = topM
       .groupBy(col("src").as("node_id"))
       .agg(sort_array(collect_list(struct(
@@ -173,19 +179,24 @@ object GraphAnn {
     // bucket neighborhood (common in sparse upper HNSW layers) still
     // lands a row, or layer membership would silently drift
     val newAdj = newN.select(col("id").as("node_id"))
-      .join(newAdj0, Seq("node_id"), "left")
+      .join(broadcast(newAdj0), Seq("node_id"), "left")
       .select(col("node_id"), coalesce(col("neighbors"),
         array().cast(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType))).as("neighbors"))
-    // reverse edges into EXISTING nodes: recompute those nodes' rows
+    // reverse edges into EXISTING nodes: recompute those nodes' rows.
+    // topM / affected / the edge recompute are all bounded by |new|·M —
+    // broadcast them so no corpus-sized frame crosses an exchange here
     val existingIds = corpus.select(col(idCol).as("id"))
-    val rev = topM.join(existingIds.withColumnRenamed("id", "dst"), Seq("dst"))
+    val rev = broadcast(topM).join(
+        existingIds.withColumnRenamed("id", "dst"), Seq("dst"))
       .select(col("dst").as("src"), col("src").as("dst"), col("score"))
     val affected = rev.select(col("src").as("node_id")).distinct()
-    val cur = readNswAdjacency(spark, path)
-      .join(affected, Seq("node_id"))
+    val curEdges = readNswAdjacency(spark, path)
+      .join(broadcast(affected), Seq("node_id"))
       .select(col("node_id").as("src"), explode(col("neighbors")).as("dst"))
+    val curSrc = broadcast(curEdges)
       .join(nodesAll.select(col("id").as("src"), col("emb").as("src_emb")), Seq("src"))
+    val cur = broadcast(curSrc)
       .join(nodesAll.select(col("id").as("dst"), col("emb").as("dst_emb")), Seq("dst"))
       .select(col("src"), col("dst"),
         VectorFunctions.cosineUnit(col("src_emb"), col("dst_emb")).as("score"))
@@ -275,32 +286,42 @@ object GraphAnn {
     */
   private def foldLayerTombstones(spark: SparkSession, layerPath: String,
       tomb: DataFrame, corpus: DataFrame, embCol: String, idCol: String,
-      m: Int): Unit = {
-    val adj = readNswAdjacency(spark, layerPath)
+      m: Int): Unit = withPinnedFold(readNswAdjacency(spark, layerPath)) { adj =>
+    // adj is pinned for the fold: the merged view feeds the edge explode
+    // (read four ways below) plus the removal markers — unpinned, every
+    // consumer re-runs the base∪delta latest-wins aggregate
     val edges = adj.select(col("node_id").as("src"),
       explode(col("neighbors")).as("dst"))
+    // the tombstone set and every frame derived through it are bounded by
+    // |deleted| (× in-degree) — broadcast them so the corpus-wide edge
+    // and embedding frames never cross an exchange in this job
     // bridge candidates: deleted node d's surviving neighbors, offered to
     // every surviving node that listed d
-    val deadOut = edges.join(tomb.withColumnRenamed("node_id", "src"), Seq("src"))
-      .join(tomb.withColumnRenamed("node_id", "dst"), Seq("dst"), "left_anti")
+    val deadOut = edges.join(broadcast(tomb.withColumnRenamed("node_id", "src")), Seq("src"))
+      .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"), "left_anti")
+    // materialized once: affected feeds bridges, the affected-id set and
+    // the rewrite — each a separate broadcast subtree otherwise
     val affected = edges
-      .join(tomb.withColumnRenamed("node_id", "dst"), Seq("dst"))
-      .join(tomb.withColumnRenamed("node_id", "src"), Seq("src"), "left_anti")
+      .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"))
+      .join(broadcast(tomb.withColumnRenamed("node_id", "src")), Seq("src"), "left_anti")
       .select(col("src"), col("dst").as("via"))
-    val bridges = affected
+      .localCheckpoint(true)
+    val bridges = broadcast(affected)
       .join(deadOut.withColumnRenamed("src", "via"), Seq("via"))
       .select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val surviving = edges
-      .join(tomb.withColumnRenamed("node_id", "src"), Seq("src"), "left_anti")
-      .join(tomb.withColumnRenamed("node_id", "dst"), Seq("dst"), "left_anti")
+      .join(broadcast(tomb.withColumnRenamed("node_id", "src")), Seq("src"), "left_anti")
+      .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"), "left_anti")
       .select("src", "dst")
     val affectedIds = affected.select(col("src").as("node_id")).distinct()
     val nodes = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
-    val rewritten = surviving.unionByName(bridges)
-      .join(affectedIds.withColumnRenamed("node_id", "src"), Seq("src"))
+    val rewriteEdges = surviving.unionByName(bridges)
+      .join(broadcast(affectedIds.withColumnRenamed("node_id", "src")), Seq("src"))
       .distinct()
+    val rewriteSrc = broadcast(rewriteEdges)
       .join(nodes.select(col("id").as("src"), col("emb").as("src_emb")), Seq("src"))
+    val rewritten = broadcast(rewriteSrc)
       .join(nodes.select(col("id").as("dst"), col("emb").as("dst_emb")), Seq("dst"))
       .select(col("src"), col("dst"),
         VectorFunctions.cosineUnit(col("src_emb"), col("dst_emb")).as("score"))
@@ -313,11 +334,11 @@ object GraphAnn {
         .getField("dst").as("neighbors"))
     // an affected node whose every edge died still needs a NEW row —
     // an empty list, not its stale one surviving latest-wins
-    val rewrittenAll = affectedIds.join(rewritten, Seq("node_id"), "left")
+    val rewrittenAll = affectedIds.join(broadcast(rewritten), Seq("node_id"), "left")
       .select(col("node_id"), coalesce(col("neighbors"),
         array().cast(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType))).as("neighbors"))
-    val removals = adj.join(tomb, Seq("node_id"))
+    val removals = adj.join(broadcast(tomb), Seq("node_id"))
       .select(col("node_id"), lit(null)
         .cast(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType)).as("neighbors"))
@@ -427,6 +448,26 @@ object GraphAnn {
       .orderBy(col("score").desc, col(idCol).asc)
   }
 
+  /** Pin the merged adjacency for the duration of a walk — the hnswlib
+    * serving model (the graph lives resident) applied to the MOR view:
+    * without this, EVERY hop re-runs the base∪delta latest-wins aggregate
+    * just to fetch a frontier's rows. One merge pass per walk, then hops
+    * are in-memory filters; at 100 TB the pinned view is the serving
+    * tier's standing state (re-pinned per delta version), and the
+    * unpinned cold path stays correct, just slower.
+    */
+  private def withPinned[A](adjs: Seq[DataFrame])(f: => A): A = {
+    adjs.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try f finally adjs.foreach(_.unpersist(false))
+  }
+
+  /** The fold-scoped variant: pin a merged adjacency, hand it to the
+    * body, unpin when the fold's delta has landed. */
+  private def withPinnedFold[A](adj: DataFrame)(f: DataFrame => A): A = {
+    adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(adj) finally adj.unpersist(false)
+  }
+
   /** Beam search over the persisted graph: H hops, global beam B.
     * `corpus` supplies (idCol, embCol) for scoring — at scale the same
     * table the graph indexes, fetched by pushed id IN point lookups.
@@ -437,9 +478,11 @@ object GraphAnn {
       beam: Int = 32, hops: Int = 4, entries: Int = 16): DataFrame = {
     val scoreOf = scorer(corpus, embCol, idCol, queryVec)
     val adj = readNswAdjacency(spark, path)
-    val visited =
-      beamWalk(adj, scoreOf, entryPoints(spark, adj, entries), beam, hops)
-    emitTopK(spark, path, visited, idCol, k)
+    withPinned(Seq(adj)) {
+      val visited =
+        beamWalk(adj, scoreOf, entryPoints(spark, adj, entries), beam, hops)
+      emitTopK(spark, path, visited, idCol, k)
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -511,7 +554,10 @@ object GraphAnn {
     val homeT = tagged(nodesAll).withColumn("bucket", sigUdf(col("emb")))
     val probedNewT = tagged(newN).select(col("layer"), col("id"), col("emb"),
       explode(probeUdf(col("emb"))).as("bucket"))
-    val pairs = probedNewT.as("a")
+    // batch-sized sides are broadcast throughout, so the corpus-wide
+    // frames (homeT, existingT, nodesAll) never cross an exchange —
+    // exchange count, not compute, dominates this job's wall time
+    val pairs = broadcast(probedNewT).as("a")
       .join(homeT.as("b"), col("a.layer") === col("b.layer") &&
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.layer").as("layer"), col("a.id").as("src"),
@@ -520,8 +566,11 @@ object GraphAnn {
       .groupBy("layer", "src", "dst").agg(max("score").as("score"))
     val wSrc = Window.partitionBy("layer", "src")
       .orderBy(col("score").desc, col("dst").asc)
+    // localCheckpoint: same four-consumer shape as the flat append — one
+    // candidate-join evaluation, not one per broadcast subtree
     val topM = pairs.withColumn("rn", row_number().over(wSrc))
       .filter(col("rn") <= m).select("layer", "src", "dst", "score")
+      .localCheckpoint(true)
     val newAdj0 = topM
       .groupBy(col("layer"), col("src").as("node_id"))
       .agg(sort_array(collect_list(struct(
@@ -530,13 +579,13 @@ object GraphAnn {
     // total over the arrivals per rung: a new node alone in its bucket
     // neighborhood (common in sparse upper layers) still lands a row
     val newAdj = tagged(newN).select(col("layer"), col("id").as("node_id"))
-      .join(newAdj0, Seq("layer", "node_id"), "left")
+      .join(broadcast(newAdj0), Seq("layer", "node_id"), "left")
       .select(col("layer"), col("node_id"), coalesce(col("neighbors"),
         array().cast(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType))).as("neighbors"))
     // reverse edges into EXISTING nodes, per rung: recompute those rows
     val existingT = tagged(corpus.select(col(idCol).as("id")))
-    val rev = topM
+    val rev = broadcast(topM)
       .join(existingT.select(col("layer"), col("id").as("dst")), Seq("layer", "dst"))
       .select(col("layer"), col("dst").as("src"), col("src").as("dst"), col("score"))
     val affected = rev.select(col("layer"), col("src").as("node_id")).distinct()
@@ -545,10 +594,12 @@ object GraphAnn {
         Some(readNswAdjacency(spark, layerPath(l)).withColumn("layer", lit(l)))
       else None
     }.reduce(_ unionByName _)
-    val cur = curAdj.join(affected, Seq("layer", "node_id"))
+    val curEdges = curAdj.join(broadcast(affected), Seq("layer", "node_id"))
       .select(col("layer"), col("node_id").as("src"),
         explode(col("neighbors")).as("dst"))
+    val curSrc = broadcast(curEdges)
       .join(nodesAll.select(col("id").as("src"), col("emb").as("src_emb")), Seq("src"))
+    val cur = broadcast(curSrc)
       .join(nodesAll.select(col("id").as("dst"), col("emb").as("dst_emb")), Seq("dst"))
       .select(col("layer"), col("src"), col("dst"),
         VectorFunctions.cosineUnit(col("src_emb"), col("dst_emb")).as("score"))
@@ -592,20 +643,24 @@ object GraphAnn {
       val layerPath = path + "_l" + l
       if (pathExists(spark, layerPath)) {
         val adjL = readNswAdjacency(spark, layerPath)
-        val seeds =
-          if (carried.nonEmpty) carried
-          else entryPoints(spark, adjL, descentBeam)
-        if (seeds.nonEmpty) {
-          val walked = beamWalk(adjL, scoreOf, seeds, descentBeam, hops)
-          carried = walked.toSeq.sortBy { case (id, s) => (-s, id) }
-            .take(descentBeam).map(_._1)
+        withPinned(Seq(adjL)) {
+          val seeds =
+            if (carried.nonEmpty) carried
+            else entryPoints(spark, adjL, descentBeam)
+          if (seeds.nonEmpty) {
+            val walked = beamWalk(adjL, scoreOf, seeds, descentBeam, hops)
+            carried = walked.toSeq.sortBy { case (id, s) => (-s, id) }
+              .take(descentBeam).map(_._1)
+          }
         }
       }
       l -= 1
     }
     val adj0 = readNswAdjacency(spark, path)
-    val seeds0 = (carried ++ entryPoints(spark, adj0, entries)).distinct
-    val visited = beamWalk(adj0, scoreOf, seeds0, beam, hops)
-    emitTopK(spark, path, visited, idCol, k)
+    withPinned(Seq(adj0)) {
+      val seeds0 = (carried ++ entryPoints(spark, adj0, entries)).distinct
+      val visited = beamWalk(adj0, scoreOf, seeds0, beam, hops)
+      emitTopK(spark, path, visited, idCol, k)
+    }
   }
 }
