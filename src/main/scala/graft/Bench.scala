@@ -62,6 +62,18 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Cache audit (stderr — the stdout JSON line is the driver contract):
+    // hit/miss counts per cache kind and the misses' paths, from the
+    // in-memory decision log, so a bench reader can tell which fixtures
+    // were served standing vs rebuilt in-row without /tmp forensics.
+    val ev = graft.ops.ResultCache.recentEvents
+    ev.groupBy(_.kind).toSeq.sortBy(_._1).foreach { case (kind, es) =>
+      val (hits, misses) = es.partition(_.hit)
+      System.err.println(
+        s"[bench] cache $kind: ${hits.size} hits, ${misses.size} misses" +
+          (if (misses.isEmpty) ""
+           else misses.map(_.path).distinct.mkString(" (built: ", ", ", ")")))
+    }
     spark.stop()
   }
 }

@@ -964,6 +964,30 @@ object AnnIndex extends QueryModule {
       queryVec(spark, dir, 0L), k = 5)
   }
 
+  /** HNSW delete BEFORE any fold, under the planted oracle: the tombstone
+    * sidecar is shared by the whole ladder, so the hierarchical descent
+    * may hop THROUGH deleted waypoints on any rung but the emission must
+    * hide them — the graph-delete contract composed with the descent.
+    * Delete cost stays a sidecar append; no rung is rewritten.
+    */
+  def annHnswDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hnswdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    Seq("_delta", "_l1_delta", "_l2_delta", "_tombstones")
+      .foreach(s => deleteRecursively(new java.io.File(path + s)))
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"hnsw:m=8:bits=${defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2", path) {
+      graft.vector.GraphAnn.buildHnswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    graft.vector.GraphAnn.deleteFromNswGraph(
+      spark, (100000L to 100004L), path)
+    graft.vector.GraphAnn.hnswSearch(
+      spark, path, corpus, "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 5)
+  }
+
   /** HNSW ladder fold under the same delete oracle: tombstone 5 planted
     * copies, fold through EVERY rung — deleted ids must leave the stored
     * upper layers too, not just layer 0 (right-to-be-forgotten is about
@@ -1525,6 +1549,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_incremental_topk" -> annGraphIncrementalTopk,
     "ann_graph_delete_topk" -> annGraphDeleteTopk,
     "ann_graph_folded_delete_topk" -> annGraphFoldedDeleteTopk,
+    "ann_hnsw_delete_topk" -> annHnswDeleteTopk,
     "ann_hnsw_folded_delete_topk" -> annHnswFoldedDeleteTopk,
     "ann_filtered_topk" -> annFilteredTopk,
     "ann_rewrite_filtered_topk" -> annRewriteFilteredTopk,
@@ -1563,6 +1588,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_incremental_topk" -> annSelfQueryTopkSql,
     "ann_graph_delete_topk" -> annGraphDeleteTopkSql,
     "ann_graph_folded_delete_topk" -> annGraphDeleteTopkSql,
+    "ann_hnsw_delete_topk" -> annGraphDeleteTopkSql,
     "ann_hnsw_folded_delete_topk" -> annGraphDeleteTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_rewrite_filtered_topk" -> annFilteredTopkSql,

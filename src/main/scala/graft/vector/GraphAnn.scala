@@ -271,107 +271,118 @@ object GraphAnn {
       embCol: String, idCol: String, m: Int): Unit = {
     val tomb = readNswTombstones(spark, path).cache()
     if (tomb.isEmpty) return
-    foldLayerTombstones(spark, path, tomb, corpus, embCol, idCol, m)
+    foldRungTombstones(spark, Seq(path), tomb, corpus, embCol, idCol, m)
     tomb.unpersist()
     // sidecar truncates LAST: a crash before this point leaves tombstones
     // pending, which is merely conservative (search keeps filtering them)
     deletePath(spark, path + "_tombstones")
   }
 
-  /** The per-layer fold body: rewrite `layerPath`'s affected adjacency
-    * rows (drop dead neighbors, wire bridges, re-top at 2M) and land
-    * removal markers, as ONE seq-stamped delta append. Shared by the flat
-    * fold and every rung of the HNSW ladder fold; the caller owns the
-    * sidecar lifecycle.
+  /** The fold body over a SET of rungs as ONE rung-tagged job (the
+    * batched-append discipline applied to deletes): every rung's merged
+    * adjacency unions in under a `rung` tag, the bridge/surviving/rewrite
+    * pipeline keys on (rung, …) so rungs never mix, and the computed
+    * delta rows materialize once before fanning out as per-rung sidecar
+    * appends. Embedding joins use the FULL corpus keyed by id — scores
+    * are layer-independent, and ids are corpus-unique. The caller owns
+    * the tombstone-sidecar lifecycle.
     */
-  private def foldLayerTombstones(spark: SparkSession, layerPath: String,
+  private def foldRungTombstones(spark: SparkSession, rungPaths: Seq[String],
       tomb: DataFrame, corpus: DataFrame, embCol: String, idCol: String,
-      m: Int): Unit = withPinnedFold(readNswAdjacency(spark, layerPath)) { adj =>
-    // adj is pinned for the fold: the merged view feeds the edge explode
-    // (read four ways below) plus the removal markers — unpinned, every
-    // consumer re-runs the base∪delta latest-wins aggregate
-    val edges = adj.select(col("node_id").as("src"),
-      explode(col("neighbors")).as("dst"))
-    // the tombstone set and every frame derived through it are bounded by
-    // |deleted| (× in-degree) — broadcast them so the corpus-wide edge
-    // and embedding frames never cross an exchange in this job
-    // bridge candidates: deleted node d's surviving neighbors, offered to
-    // every surviving node that listed d
-    val deadOut = edges.join(broadcast(tomb.withColumnRenamed("node_id", "src")), Seq("src"))
-      .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"), "left_anti")
-    // materialized once: affected feeds bridges, the affected-id set and
-    // the rewrite — each a separate broadcast subtree otherwise
-    val affected = edges
-      .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"))
-      .join(broadcast(tomb.withColumnRenamed("node_id", "src")), Seq("src"), "left_anti")
-      .select(col("src"), col("dst").as("via"))
-      .localCheckpoint(true)
-    val bridges = broadcast(affected)
-      .join(deadOut.withColumnRenamed("src", "via"), Seq("via"))
-      .select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
-    val surviving = edges
-      .join(broadcast(tomb.withColumnRenamed("node_id", "src")), Seq("src"), "left_anti")
-      .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"), "left_anti")
-      .select("src", "dst")
-    val affectedIds = affected.select(col("src").as("node_id")).distinct()
-    val nodes = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
-    val rewriteEdges = surviving.unionByName(bridges)
-      .join(broadcast(affectedIds.withColumnRenamed("node_id", "src")), Seq("src"))
-      .distinct()
-    val rewriteSrc = broadcast(rewriteEdges)
-      .join(nodes.select(col("id").as("src"), col("emb").as("src_emb")), Seq("src"))
-    val rewritten = broadcast(rewriteSrc)
-      .join(nodes.select(col("id").as("dst"), col("emb").as("dst_emb")), Seq("dst"))
-      .select(col("src"), col("dst"),
-        VectorFunctions.cosineUnit(col("src_emb"), col("dst_emb")).as("score"))
-      .withColumn("rn", row_number().over(Window.partitionBy("src")
-        .orderBy(col("score").desc, col("dst").asc)))
-      .filter(col("rn") <= 2 * m)
-      .groupBy(col("src").as("node_id"))
-      .agg(sort_array(collect_list(struct(
-        (-col("score")).as("neg"), col("dst"))))
-        .getField("dst").as("neighbors"))
-    // an affected node whose every edge died still needs a NEW row —
-    // an empty list, not its stale one surviving latest-wins
-    val rewrittenAll = affectedIds.join(broadcast(rewritten), Seq("node_id"), "left")
-      .select(col("node_id"), coalesce(col("neighbors"),
-        array().cast(org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType))).as("neighbors"))
-    val removals = adj.join(broadcast(tomb), Seq("node_id"))
-      .select(col("node_id"), lit(null)
-        .cast(org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType)).as("neighbors"))
-    rewrittenAll.unionByName(removals)
-      .withColumn("seq", lit(nextDeltaSeq(spark, layerPath)))
-      .repartition(2, col("node_id"))
-      .write.mode("append").parquet(layerPath + "_delta")
+      m: Int): Unit = {
+    val adjT = rungPaths.zipWithIndex.map { case (p, i) =>
+      readNswAdjacency(spark, p).withColumn("rung", lit(i))
+    }.reduce(_ unionByName _)
+    withPinnedFold(adjT) { adj =>
+      // adj is pinned for the fold: the merged view feeds the edge explode
+      // (read four ways below) plus the removal markers — unpinned, every
+      // consumer re-runs each rung's base∪delta latest-wins aggregate
+      val edges = adj.select(col("rung"), col("node_id").as("src"),
+        explode(col("neighbors")).as("dst"))
+      // the tombstone set and every frame derived through it are bounded by
+      // |deleted| (× in-degree) — broadcast them so the corpus-wide edge
+      // and embedding frames never cross an exchange in this job
+      // bridge candidates: deleted node d's surviving neighbors, offered to
+      // every surviving node that listed d (within the same rung)
+      val deadOut = edges.join(broadcast(tomb.withColumnRenamed("node_id", "src")), Seq("src"))
+        .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"), "left_anti")
+      // materialized once: affected feeds bridges, the affected-id set and
+      // the rewrite — each a separate broadcast subtree otherwise
+      val affected = edges
+        .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"))
+        .join(broadcast(tomb.withColumnRenamed("node_id", "src")), Seq("src"), "left_anti")
+        .select(col("rung"), col("src"), col("dst").as("via"))
+        .localCheckpoint(true)
+      val bridges = broadcast(affected)
+        .join(deadOut.select(col("rung"), col("src").as("via"), col("dst")),
+          Seq("rung", "via"))
+        .select(col("rung"), col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+      val surviving = edges
+        .join(broadcast(tomb.withColumnRenamed("node_id", "src")), Seq("src"), "left_anti")
+        .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"), "left_anti")
+        .select("rung", "src", "dst")
+      val affectedIds = affected.select(col("rung"), col("src").as("node_id")).distinct()
+      val nodes = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+      val rewriteEdges = surviving.unionByName(bridges)
+        .join(broadcast(affectedIds.withColumnRenamed("node_id", "src")),
+          Seq("rung", "src"))
+        .distinct()
+      val rewriteSrc = broadcast(rewriteEdges)
+        .join(nodes.select(col("id").as("src"), col("emb").as("src_emb")), Seq("src"))
+      val rewritten = broadcast(rewriteSrc)
+        .join(nodes.select(col("id").as("dst"), col("emb").as("dst_emb")), Seq("dst"))
+        .select(col("rung"), col("src"), col("dst"),
+          VectorFunctions.cosineUnit(col("src_emb"), col("dst_emb")).as("score"))
+        .withColumn("rn", row_number().over(Window.partitionBy("rung", "src")
+          .orderBy(col("score").desc, col("dst").asc)))
+        .filter(col("rn") <= 2 * m)
+        .groupBy(col("rung"), col("src").as("node_id"))
+        .agg(sort_array(collect_list(struct(
+          (-col("score")).as("neg"), col("dst"))))
+          .getField("dst").as("neighbors"))
+      // an affected node whose every edge died still needs a NEW row —
+      // an empty list, not its stale one surviving latest-wins
+      val rewrittenAll = affectedIds
+        .join(broadcast(rewritten), Seq("rung", "node_id"), "left")
+        .select(col("rung"), col("node_id"), coalesce(col("neighbors"),
+          array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType))).as("neighbors"))
+      val removals = adj.join(broadcast(tomb), Seq("node_id"))
+        .select(col("rung"), col("node_id"), lit(null)
+          .cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)).as("neighbors"))
+      // one job computes every rung's delta rows; the per-rung appends are
+      // cheap scans of the checkpointed blocks
+      val delta = rewrittenAll.unionByName(removals).localCheckpoint(true)
+      val present = delta.select("rung").distinct()
+        .collect().map(_.getInt(0)).sorted // ≤ |rungs| rows
+      present.foreach { i =>
+        delta.filter(col("rung") === i).drop("rung")
+          .withColumn("seq", lit(nextDeltaSeq(spark, rungPaths(i))))
+          .repartition(2, col("node_id"))
+          .write.mode("append").parquet(rungPaths(i) + "_delta")
+      }
+    }
   }
 
   /** Fold pending tombstones through the WHOLE HNSW ladder — layer 0 and
-    * every persisted `_l<ℓ>` rung. Deleted ids must leave the stored
-    * upper layers too (right-to-be-forgotten is about the bytes on disk,
-    * not just the emission filter), and the upper-layer bridge repair
-    * keeps a region whose hash-selected waypoints all died descendable
-    * around them. Each rung folds against ITS hash-filtered corpus slice
-    * (the same pure level function build/append/search use). The one
-    * shared sidecar truncates after the last rung: a crash mid-ladder
-    * leaves tombstones pending and a re-fold is idempotent per rung.
+    * every persisted `_l<ℓ>` rung, as ONE rung-tagged job. Deleted ids
+    * must leave the stored upper layers too (right-to-be-forgotten is
+    * about the bytes on disk, not just the emission filter), and the
+    * upper-layer bridge repair keeps a region whose hash-selected
+    * waypoints all died descendable around them. The one shared sidecar
+    * truncates after the deltas land: a crash mid-fold leaves tombstones
+    * pending and a re-fold is idempotent.
     */
   def foldHnswTombstones(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, m: Int,
       fanout: Int = 8, maxLevel: Int = 2): Unit = {
     val tomb = readNswTombstones(spark, path).cache()
     if (tomb.isEmpty) return
-    var l = maxLevel
-    while (l >= 1) {
-      val layerPath = path + "_l" + l
-      if (pathExists(spark, layerPath))
-        foldLayerTombstones(spark, layerPath, tomb,
-          corpus.filter(layerFilter(idCol, fanout, l)), embCol, idCol, m)
-      l -= 1
-    }
-    foldLayerTombstones(spark, path, tomb, corpus, embCol, idCol, m)
+    val rungs = path +: (1 to maxLevel).map(path + "_l" + _)
+      .filter(pathExists(spark, _))
+    foldRungTombstones(spark, rungs, tomb, corpus, embCol, idCol, m)
     tomb.unpersist()
     deletePath(spark, path + "_tombstones")
   }
