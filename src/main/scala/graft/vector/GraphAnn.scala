@@ -129,6 +129,25 @@ object GraphAnn {
       .filter(col("neighbors").isNotNull)
   }
 
+  /** The merged view restricted to `ids` — the id semi-join applied BELOW
+    * the latest-wins aggregate (joining on the grouping key commutes with
+    * the groupBy), so fetching a bounded node set never shuffles the
+    * whole graph through the merge exchange.
+    */
+  private def readNswAdjacencyFor(spark: SparkSession, path: String,
+      ids: DataFrame): DataFrame = {
+    val base = spark.read.parquet(path).withColumn("seq", lit(0L))
+    val all =
+      if (pathExists(spark, path + "_delta"))
+        base.unionByName(spark.read.parquet(path + "_delta"))
+      else base
+    all.join(broadcast(ids.select("node_id")), Seq("node_id"))
+      .groupBy("node_id")
+      .agg(max_by(struct(col("seq"), col("neighbors")), col("seq"))
+        .getField("neighbors").as("neighbors"))
+      .filter(col("neighbors").isNotNull)
+  }
+
   /** Add vectors to a persisted NSW graph without a rebuild — the HNSW
     * insert generalized to batches. New nodes link through the SAME LSH
     * candidate equi-join (against existing + new home buckets); existing
@@ -191,8 +210,7 @@ object GraphAnn {
         existingIds.withColumnRenamed("id", "dst"), Seq("dst"))
       .select(col("dst").as("src"), col("src").as("dst"), col("score"))
     val affected = rev.select(col("src").as("node_id")).distinct()
-    val curEdges = readNswAdjacency(spark, path)
-      .join(broadcast(affected), Seq("node_id"))
+    val curEdges = readNswAdjacencyFor(spark, path, affected)
       .select(col("node_id").as("src"), explode(col("neighbors")).as("dst"))
     val curSrc = broadcast(curEdges)
       .join(nodesAll.select(col("id").as("src"), col("emb").as("src_emb")), Seq("src"))
@@ -599,13 +617,21 @@ object GraphAnn {
     val rev = broadcast(topM)
       .join(existingT.select(col("layer"), col("id").as("dst")), Seq("layer", "dst"))
       .select(col("layer"), col("dst").as("src"), col("src").as("dst"), col("score"))
-    val affected = rev.select(col("layer"), col("src").as("node_id")).distinct()
+    // materialized once: affected drives a per-rung filtered merge below
+    // AND the rewrite's id set — without it each subtree re-runs the
+    // candidate join
+    val affected = rev.select(col("layer"), col("src").as("node_id"))
+      .distinct().localCheckpoint(true)
+    // per-rung merge restricted to that rung's affected ids, the semi-join
+    // BELOW the latest-wins aggregate — never the whole graph through it
     val curAdj = (0 to maxLevel).flatMap { l =>
       if (l == 0 || pathExists(spark, layerPath(l)))
-        Some(readNswAdjacency(spark, layerPath(l)).withColumn("layer", lit(l)))
+        Some(readNswAdjacencyFor(spark, layerPath(l),
+          affected.filter(col("layer") === l).select("node_id"))
+          .withColumn("layer", lit(l)))
       else None
     }.reduce(_ unionByName _)
-    val curEdges = curAdj.join(broadcast(affected), Seq("layer", "node_id"))
+    val curEdges = curAdj
       .select(col("layer"), col("node_id").as("src"),
         explode(col("neighbors")).as("dst"))
     val curSrc = broadcast(curEdges)
