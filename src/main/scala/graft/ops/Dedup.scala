@@ -235,6 +235,104 @@ object Dedup extends QueryModule {
       |FROM per_doc p LEFT JOIN dupdoc d USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
 
+  // ---- duplicated-span removal (ExactSubstr-style rewrite) ----
+
+  /** Remove corpus-duplicated 8-token spans from every document EXCEPT at
+    * their canonical first occurrence — the rewrite form of exact-substring
+    * dedup (Lee et al. 2022: keep one copy of each duplicated span, drop
+    * the rest), where `dupNgramCoverage` only FLAGS. An occurrence is
+    * removed when its span digest appears ≥2 times corpus-wide and it is
+    * not the (min doc_id, min start) occurrence; covered token positions
+    * union (overlapping spans of a long duplicated region all mark their
+    * tokens) and the document reassembles from the surviving positions.
+    *
+    * Scale shape: spans shuffle as two salted xxhash64 lanes (16 B,
+    * radix-sortable — the dupNgramCoverage digest discipline; the oracle
+    * groups by md5 instead, which is equivalent because only the GROUPING
+    * matters, the digest never leaves the query). Both window functions
+    * (occurrence count, canonical rank) share one digest partitioning =
+    * one shuffle; coverage and reassembly key on (doc_id, position).
+    */
+  def spanDedupOf(docs: DataFrame): DataFrame = {
+    val toksArr = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokensCol(col("text")).as("tok"))
+    val pos = toksArr.select(col("doc_id"),
+      posexplode(col("tok")).as(Seq("p", "t")))
+    val sh = toksArr.select(col("doc_id"),
+      posexplode(when(size(col("tok")) < 8, array(array_join(col("tok"), " ")))
+        .otherwise(transform(sequence(lit(0), size(col("tok")) - 8),
+          i => array_join(slice(col("tok"), i + 1, lit(8)), " "))))
+        .as(Seq("start", "shingle")))
+      .select(col("doc_id"), col("start"),
+        xxhash64(col("shingle")).as("h1"),
+        xxhash64(lit(1), col("shingle")).as("h2"))
+    val wH = Window.partitionBy("h1", "h2")
+    val occ = sh.withColumn("n", count(lit(1)).over(wH))
+      .withColumn("rk", row_number().over(
+        wH.orderBy(col("doc_id"), col("start"))))
+    val removed = occ.filter(col("n") >= 2 && col("rk") > 1)
+      .select("doc_id", "start")
+    val covered = removed.select(col("doc_id"),
+      explode(sequence(col("start"), col("start") + 7)).as("p")).distinct()
+    val kept = pos.join(covered, Seq("doc_id", "p"), "left_anti")
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(sort_array(collect_list(struct(col("p"), col("t"))))
+          .getField("t"), " ").as("cleaned"))
+    val base = toksArr.select(col("doc_id"), size(col("tok")).as("n_tokens"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSpanRemoval(spark: SparkSession, dir: String): DataFrame =
+    spanDedupOf(Tables.documents(spark, dir))
+
+  private val dedupSpanRemovalSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                     t -> length(t) > 0) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |pos AS (
+      |  SELECT doc_id, unnest(tok) AS t, generate_subscripts(tok, 1) - 1 AS p
+      |  FROM toks),
+      |sh AS (
+      |  SELECT doc_id, u.s AS start,
+      |         md5(CASE WHEN len(tok) < 8 THEN array_to_string(tok, ' ')
+      |                  ELSE array_to_string(tok[u.s+1:u.s+8], ' ') END) AS h
+      |  FROM toks, UNNEST(
+      |    CASE WHEN len(tok) < 8 THEN [0]
+      |         ELSE list_transform(generate_series(0, len(tok) - 8), i -> i)
+      |    END) AS u(s)),
+      |occ AS (
+      |  SELECT doc_id, start,
+      |         count(*) OVER (PARTITION BY h) AS n,
+      |         row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rk
+      |  FROM sh),
+      |removed AS (SELECT doc_id, start FROM occ WHERE n >= 2 AND rk > 1),
+      |covered AS (
+      |  SELECT DISTINCT doc_id, u.p FROM removed,
+      |    UNNEST(list_transform(generate_series(start, start + 7), x -> x)) AS u(p)),
+      |kept AS (
+      |  SELECT pos.doc_id, pos.t, pos.p FROM pos
+      |  LEFT JOIN covered c ON c.doc_id = pos.doc_id AND c.p = pos.p
+      |  WHERE c.p IS NULL),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(t, ' ' ORDER BY p) AS cleaned
+      |  FROM kept GROUP BY doc_id),
+      |base AS (SELECT doc_id, len(tok) AS n_tokens FROM toks)
+      |SELECT b.doc_id, coalesce(a.n_kept, 0) AS n_kept,
+      |       b.n_tokens - coalesce(a.n_kept, 0) AS n_removed,
+      |       coalesce(a.cleaned, '') AS cleaned
+      |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   // ---- MinHash + LSH banding ----
 
   /** 64 permutations, 16 bands × 4 rows: P(candidate) ≈ 1-(1-j^4)^16 —
@@ -1131,6 +1229,7 @@ object Dedup extends QueryModule {
     "dedup_exact_stats" -> dedupExactStats,
     "incremental_new_docs" -> incrementalNewDocs,
     "dup_ngram_coverage" -> dupNgramCoverage,
+    "dedup_span_removal" -> dedupSpanRemoval,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_near_dupes" -> minhashNearDupesGate,
     "minhash_incremental_dupes" -> minhashIncrementalDupes,
@@ -1148,6 +1247,7 @@ object Dedup extends QueryModule {
     "dedup_exact_stats" -> dedupExactStatsSql,
     "incremental_new_docs" -> incrementalNewDocsSql,
     "dup_ngram_coverage" -> dupNgramCoverageSql,
+    "dedup_span_removal" -> dedupSpanRemovalSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_near_dupes" -> minhashNearDupesGateSql,
     "minhash_incremental_dupes" -> minhashIncrementalDupesSql,

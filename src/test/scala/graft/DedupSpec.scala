@@ -16,6 +16,28 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 3L -> 1L))
   }
 
+  test("span removal: canonical keeps, copies lose the span, unique docs untouched") {
+    val region = (1 to 12).map(i => s"w$i").mkString(" ") // 12 tokens → 5 shingles
+    val docs = Seq(
+      (1L, s"alpha beta $region gamma delta"),     // canonical owner
+      (2L, s"x1 x2 x3 $region y1 y2"),             // copies the region → loses it
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),          // unique → untouched
+      (4L, s"alpha beta $region gamma delta"))     // exact copy of 1 → fully removed
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.spanDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 is the (min doc_id, min start) owner of every shared span
+    assert(out(1L)._2 === 0L, s"canonical doc lost tokens: ${out(1L)}")
+    // doc 2 keeps only what its own spans cover exclusively; the copied
+    // region (and the 8-token spans overlapping into its prefix/suffix)
+    // is gone, and the remainder never contains a region token
+    assert(out(2L)._2 >= 12L, s"copy kept the duplicated region: ${out(2L)}")
+    assert(!out(2L)._3.contains("w5"), s"region token survived: ${out(2L)._3}")
+    assert(out(3L) === ((9L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+    // the exact copy shares every span with doc 1 → fully removed
+    assert(out(4L) === ((0L, 16L, "")), s"exact copy not emptied: ${out(4L)}")
+  }
+
   test("incremental_new_docs excludes all state ids (anti-join invariant)") {
     val out = SparkEntry.queries("incremental_new_docs")(spark, sf)
       .select("doc_id").as[Long].collect()
