@@ -537,7 +537,7 @@ object AnnIndex extends QueryModule {
     IndexBuilder.ivfBatchTopK(
       spark.read.parquet(path), IndexBuilder.loadIvfCentroids(path),
       qbase.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-      "qid", "qvec", k = 10, nProbe = 6)
+      "qid", "qvec", k = 10, nProbe = tunedNProbe(spark, dir))
       .orderBy("qid", "vec_id")
   }
 
@@ -693,7 +693,7 @@ object AnnIndex extends QueryModule {
     IndexBuilder.appendToIvfIndex(arrivals, "embedding", path)
     val qv = queryVec(spark, dir, 0L)
     val probeIds = IndexBuilder.nearestClusters(
-      IndexBuilder.loadIvfCentroids(path), qv, nProbe = 6)
+      IndexBuilder.loadIvfCentroids(path), qv, nProbe = tunedNProbe(spark, dir))
     spark.read.parquet(path)
       .filter(col("cluster_id").isin(probeIds: _*))
       .withColumn("score", round(
@@ -734,7 +734,7 @@ object AnnIndex extends QueryModule {
     graft.vector.Quantization.ivfSq8TopK(
       withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
       "embedding", "vec_id", queryVec(spark, dir, 0L),
-      k = 10, numClusters = 16, nProbe = 6, seed = 42L)
+      k = 10, numClusters = 16, nProbe = tunedNProbe(spark, dir), seed = 42L)
 
   /** IVF-PQ composed retrieval under the planted self-query oracle — the
     * FAISS `IVFx,PQy` default, all three stages real: nProbe cluster
@@ -752,7 +752,7 @@ object AnnIndex extends QueryModule {
     graft.vector.ProductQuantization.ivfPqTopK(
       withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
       "embedding", "vec_id", queryVec(spark, dir, 0L),
-      k = 10, numClusters = 16, nProbe = 6, seed = 42L)
+      k = 10, numClusters = 16, nProbe = tunedNProbe(spark, dir), seed = 42L)
 
   /** The PERSISTED IVF-PQ index end-to-end (the FAISS write_index/
     * read_index lifecycle under the self-query oracle): build the
@@ -773,7 +773,7 @@ object AnnIndex extends QueryModule {
       "embedding", numClusters = 16, seed = 42L, path)
     graft.vector.ProductQuantization.ivfPqIndexTopK(
       spark, path, "embedding", "vec_id", queryVec(spark, dir, 0L),
-      k = 10, nProbe = 6)
+      k = 10, nProbe = tunedNProbe(spark, dir))
   }
 
   /** GRAPH-based ANN (NSW / HNSW layer 0) under the self-query oracle —
