@@ -717,6 +717,117 @@ object Dedup extends QueryModule {
     incrementalDupesVerified(spark, batch2, grownDocs, path)
   }
 
+  /** foreachBatch body for CONTINUOUS corpus admission — the streaming
+    * form of the store lifecycle: dedup one arriving micro-batch against
+    * the standing store (candidate + verify), admit the survivors
+    * (signatures + bands appended, plus an admitted-docs text log for
+    * verify provisioning of later batches), and return the duplicate
+    * pairs. The pairs MATERIALIZE (localCheckpoint) before the store
+    * mutates, so a batch never pairs against its own admission; replayed
+    * batches re-admit idempotently at the pair level (an admitted doc's
+    * exact re-arrival dedups against itself at jaccard 1.0 and is
+    * rejected). Order within the stream is the micro-batch order —
+    * exactly the semantics a crawl-ingestion foreachBatch sink needs.
+    */
+  def admitMicroBatch(spark: SparkSession, batch: DataFrame,
+      baseDocs: DataFrame, path: String): DataFrame = {
+    val admittedPath = path + "/admitted"
+    val hp = new org.apache.hadoop.fs.Path(admittedPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val admittedSoFar =
+      if (fs.exists(hp)) spark.read.parquet(admittedPath)
+        .select("doc_id", "text")
+      else baseDocs.select("doc_id", "text").limit(0)
+    val storeDocs = baseDocs.select("doc_id", "text")
+      .unionByName(admittedSoFar)
+    val dupes = incrementalDupesVerified(spark, batch, storeDocs, path)
+      .localCheckpoint(true)
+    val rejected = dupes.select(col("doc_b").as("doc_id")).distinct()
+    val survivors = batch.join(rejected, Seq("doc_id"), "left_anti")
+    appendToMinhashStore(spark, survivors, path)
+    survivors.select("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(admittedPath)
+    dupes
+  }
+
+  /** Driver row: the admission body applied to two sequential micro-
+    * batches — batch 1 (docs 300..304 @ +200000) dedups against the base
+    * store and admits survivors; batch 2 (the same docs @ +300000) must
+    * then pair against EITHER its admitted batch-1 twin or the store doc
+    * that rejected the twin. Output = every admission-time duplicate pair
+    * across both batches. The store is run-scoped (admission mutates it,
+    * so the row resets and rebuilds — purity over fixture reuse).
+    */
+  def streamingDedupAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.scratchPath("graft_mhstream", dir)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+    val docs = Tables.documents(spark, dir)
+    val store = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    buildMinhashStore(store, path)
+    val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val b2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+    val d1 = admitMicroBatch(spark, b1, store, path)
+    val d2 = admitMicroBatch(spark, b2, store, path)
+    d1.unionByName(d2).orderBy("doc_a", "doc_b")
+  }
+
+  // batch-1 pairs (store×b1 + within-b1) ∪ batch-2 pairs against the
+  // GROWN store — the two admission steps the streaming body performs,
+  // replayed in SQL under the exact-Jaccard regime.
+  private val streamingDedupAdmissionSql =
+    """WITH store AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id < 300 AND length(trim(text)) > 0),
+      |b1 AS (
+      |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+      |  WHERE doc_id >= 300 AND doc_id < 305 AND length(trim(text)) > 0),
+      |b2 AS (
+      |  SELECT doc_id + 300000 AS doc_id, text FROM documents
+      |  WHERE doc_id >= 300 AND doc_id < 305 AND length(trim(text)) > 0),
+      |all_docs AS (
+      |  SELECT * FROM store UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+      |toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                     t -> length(t) > 0) AS tok
+      |  FROM all_docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle
+      |  FROM toks, UNNEST(
+      |    CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+      |         ELSE list_transform(generate_series(0, len(tok) - 3),
+      |                             i -> array_to_string(tok[i+1:i+3], ' '))
+      |    END) AS u(shingle)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |jac AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         round(count(*) / (sa.n + sb.n - count(*))::DOUBLE, 6) AS jaccard
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN sizes sa ON sa.doc_id = a.doc_id
+      |  JOIN sizes sb ON sb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n),
+      |pairs1 AS (
+      |  SELECT doc_a, doc_b, jaccard FROM jac
+      |  WHERE doc_b >= 200000 AND doc_b < 300000 AND doc_a < 300000
+      |    AND jaccard >= 0.5),
+      |surv AS (
+      |  SELECT doc_id FROM b1
+      |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs1)),
+      |pairs2 AS (
+      |  SELECT doc_a, doc_b, jaccard FROM jac
+      |  WHERE doc_b >= 300000
+      |    AND (doc_a < 200000 OR doc_a >= 300000
+      |         OR doc_a IN (SELECT doc_id FROM surv))
+      |    AND jaccard >= 0.5)
+      |SELECT doc_a, doc_b, jaccard FROM pairs1
+      |UNION ALL
+      |SELECT doc_a, doc_b, jaccard FROM pairs2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // Same exact-Jaccard oracle regime as minhashIncrementalDupesSql: the
   // survivor computation (batch-1 admission) replays in SQL, so a store
   // append that missed the bands, clobbered base files, or admitted a
@@ -1234,6 +1345,7 @@ object Dedup extends QueryModule {
     "minhash_near_dupes" -> minhashNearDupesGate,
     "minhash_incremental_dupes" -> minhashIncrementalDupes,
     "minhash_store_appended_dupes" -> minhashStoreAppendedDupes,
+    "streaming_dedup_admission" -> streamingDedupAdmission,
     "minhash_vs_exact" -> minhashVsExact,
     "simhash_near_dupes" -> simhashNearDupesGate,
     "simhash_planted_dupes" -> simhashPlantedDupes,
@@ -1252,6 +1364,7 @@ object Dedup extends QueryModule {
     "minhash_near_dupes" -> minhashNearDupesGateSql,
     "minhash_incremental_dupes" -> minhashIncrementalDupesSql,
     "minhash_store_appended_dupes" -> minhashStoreAppendedDupesSql,
+    "streaming_dedup_admission" -> streamingDedupAdmissionSql,
     "minhash_vs_exact" -> ngramJaccardPairsSql,
     "simhash_near_dupes" -> simhashNearDupesGateSql,
     "simhash_planted_dupes" -> simhashPlantedDupesSql,

@@ -38,6 +38,41 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((0L, 16L, "")), s"exact copy not emptied: ${out(4L)}")
   }
 
+  test("streaming admission: a real foreachBatch stream matches the sequential batch result") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+    val store = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    // sequential reference: the driver row's two-batch result
+    val expected = SparkEntry.queries("streaming_dedup_admission")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // real stream over the same two micro-batches, same admission body
+    val path = java.nio.file.Files
+      .createTempDirectory("mhstream_spec").toString + "/store"
+    graft.ops.Dedup.buildMinhashStore(store, path)
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc ++= graft.ops.Dedup.admitMicroBatch(spark, batch, store, path)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }
+      .start()
+    try {
+      val rows = docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      mem.addData(rows.map { case (id, t) => (id + 200000L, t) }.toSeq: _*)
+      q.processAllAvailable() // batch 1 admitted before batch 2 arrives
+      mem.addData(rows.map { case (id, t) => (id + 300000L, t) }.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(acc.sortBy(p => (p._1, p._2)) === expected.sortBy(p => (p._1, p._2)),
+      s"stream result ${acc.toSeq} != sequential ${expected}")
+    assert(acc.nonEmpty, "fixture must produce at least one admission-time dupe")
+  }
+
   test("incremental_new_docs excludes all state ids (anti-join invariant)") {
     val out = SparkEntry.queries("incremental_new_docs")(spark, sf)
       .select("doc_id").as[Long].collect()
