@@ -718,16 +718,20 @@ object Dedup extends QueryModule {
   }
 
   /** foreachBatch body for CONTINUOUS corpus admission — the streaming
-    * form of the store lifecycle: dedup one arriving micro-batch against
-    * the standing store (candidate + verify), admit the survivors
-    * (signatures + bands appended, plus an admitted-docs text log for
-    * verify provisioning of later batches), and return the duplicate
+    * form of the store lifecycle: drop already-known ids (the J1
+    * anti-join — foreachBatch delivery is at-least-once, and a REPLAYED
+    * batch's docs sit in the store under their own ids, which the
+    * candidate join's self-pair filter would wave through to a double
+    * admission), dedup the fresh remainder against the standing store
+    * (candidate + verify), admit the survivors, and return the duplicate
     * pairs. The pairs MATERIALIZE (localCheckpoint) before the store
-    * mutates, so a batch never pairs against its own admission; replayed
-    * batches re-admit idempotently at the pair level (an admitted doc's
-    * exact re-arrival dedups against itself at jaccard 1.0 and is
-    * rejected). Order within the stream is the micro-batch order —
-    * exactly the semantics a crawl-ingestion foreachBatch sink needs.
+    * mutates, so a batch never pairs against its own admission; an exact
+    * replay is a no-op (no pairs, no appends) — idempotency is the
+    * anti-join, not luck. Admission lands text log FIRST, bands/sigs
+    * after: a crash between the two leaves a doc "known" (never
+    * re-admitted, text available to later verifies) but absent from the
+    * bands — the conservative torn state, repairable by rebuilding bands
+    * from the log.
     */
   def admitMicroBatch(spark: SparkSession, batch: DataFrame,
       baseDocs: DataFrame, path: String): DataFrame = {
@@ -738,15 +742,22 @@ object Dedup extends QueryModule {
       if (fs.exists(hp)) spark.read.parquet(admittedPath)
         .select("doc_id", "text")
       else baseDocs.select("doc_id", "text").limit(0)
+    val knownIds = baseDocs.select("doc_id")
+      .unionByName(admittedSoFar.select("doc_id"))
+      .unionByName(spark.read.parquet(path + "/sigs").select("doc_id"))
+    // no broadcast hint: the known-id side is corpus-scale — Catalyst
+    // broadcasts it when small, AQE picks shuffle strategy when not
+    val fresh = batch.join(knownIds.distinct(), Seq("doc_id"), "left_anti")
     val storeDocs = baseDocs.select("doc_id", "text")
       .unionByName(admittedSoFar)
-    val dupes = incrementalDupesVerified(spark, batch, storeDocs, path)
+    val dupes = incrementalDupesVerified(spark, fresh, storeDocs, path)
       .localCheckpoint(true)
     val rejected = dupes.select(col("doc_b").as("doc_id")).distinct()
-    val survivors = batch.join(rejected, Seq("doc_id"), "left_anti")
-    appendToMinhashStore(spark, survivors, path)
+    val survivors = fresh.join(rejected, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     survivors.select("doc_id", "text").repartition(1)
       .write.mode("append").parquet(admittedPath)
+    appendToMinhashStore(spark, survivors, path)
     dupes
   }
 

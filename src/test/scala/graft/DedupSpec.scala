@@ -67,6 +67,19 @@ class DedupSpec extends SparkSpec {
       q.processAllAvailable() // batch 1 admitted before batch 2 arrives
       mem.addData(rows.map { case (id, t) => (id + 300000L, t) }.toSeq: _*)
       q.processAllAvailable()
+      // crash-replay: batch 1 redelivered verbatim (at-least-once). The
+      // known-id anti-join must make it a full no-op — no new pairs, no
+      // double admission into the store or the admitted log
+      val sigsBefore = spark.read.parquet(path + "/sigs").count()
+      val pairsBefore = acc.size
+      mem.addData(rows.map { case (id, t) => (id + 200000L, t) }.toSeq: _*)
+      q.processAllAvailable()
+      assert(acc.size === pairsBefore, "a replayed batch emitted pairs")
+      assert(spark.read.parquet(path + "/sigs").count() === sigsBefore,
+        "a replayed batch double-admitted into the store")
+      assert(spark.read.parquet(path + "/admitted")
+        .groupBy("doc_id").count().filter(col("count") > 1).count() === 0,
+        "a replayed batch duplicated the admitted log")
     } finally q.stop()
     assert(acc.sortBy(p => (p._1, p._2)) === expected.sortBy(p => (p._1, p._2)),
       s"stream result ${acc.toSeq} != sequential ${expected}")
