@@ -214,6 +214,37 @@ object AnnIndex extends QueryModule {
       .getOrElse(rows.last._1.toInt)
   }
 
+  /** The deployed recall target for LSH multi-probe serving: 50% mean
+    * recall@10 on the measured sample. Random unit vectors are the
+    * pruning-adversarial case for hyperplane LSH (measured radius-2
+    * recall 0.54–0.62 across sfs, radius-1 well under the target), so
+    * the minimal target-meeting radius lands on the 22/64-bucket probe —
+    * real clustered embeddings would tune cheaper from the same curve.
+    */
+  val LshTargetPpm = 500000L
+
+  /** The radius tuning curve served through the result cache — ONE sweep
+    * per data version, every repeat a bounded parquet read (rows are
+    * unordered on a hit, per the cache contract; consumers sort).
+    */
+  def cachedLshCurve(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.cached(spark, annTuningCurveOf(spark, dir),
+      Tables.scratchPath("graft_lshcurve", dir))
+
+  /** The LSH half of the measure→deploy loop, closed (the tunedNProbe
+    * shape): the probe radius every LSH serving row uses is the MINIMAL
+    * setting whose measured recall on the cached tuning curve meets the
+    * target — never a hardcoded guess. Cost is one curve sweep per data
+    * version (result-cached above), then a ≤ maxRadius-row read per
+    * deploy decision. The planted-oracle rows are radius-invariant by
+    * construction (copies share the query's radius-0 bucket), so the row
+    * answers stay exact at ANY measured choice — only the probe cost
+    * moves with the curve.
+    */
+  def tunedRadius(spark: SparkSession, dir: String,
+      targetPpm: Long = LshTargetPpm): Int =
+    chooseProbeRadius(cachedLshCurve(spark, dir), targetPpm)
+
   /** Driver gate over the tuning curve (engine-seeded → contract-checked):
     *  - MONOTONE RECALL / COST: enlarging the probe radius may never lose
     *    candidates, so both recall and candidates scanned are
@@ -227,7 +258,9 @@ object AnnIndex extends QueryModule {
     *    so only a real pruning regression trips it.
     */
   def annTuningGate(spark: SparkSession, dir: String): DataFrame = {
-    val curve = annTuningCurveOf(spark, dir).cache()
+    // the same result-cached curve the deploy decision reads — the gate
+    // pins the very measurements tunedRadius consumes
+    val curve = cachedLshCurve(spark, dir).cache()
     val w = Window.orderBy(col("radius"))
     val stepped = curve
       .withColumn("prev_recall", lag(col("recall_ppm"), 1).over(w))
@@ -444,7 +477,7 @@ object AnnIndex extends QueryModule {
     IndexBuilder.lshTopK(
       withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
       "embedding", "vec_id", defaultLsh, queryVec(spark, dir, 0L),
-      k = 10, radius = 2)
+      k = 10, radius = tunedRadius(spark, dir))
       .select("vec_id", "score")
 
   /** LSH multi-probe pruned top-10 over the raw corpus (spec-only: recall
@@ -452,7 +485,8 @@ object AnnIndex extends QueryModule {
     */
   def annLshTopkReal(spark: SparkSession, dir: String): DataFrame =
     IndexBuilder.lshTopK(Tables.embeddings(spark, dir), "embedding", "vec_id",
-      defaultLsh, queryVec(spark, dir, 0L), k = 10, radius = 2)
+      defaultLsh, queryVec(spark, dir, 0L), k = 10,
+      radius = tunedRadius(spark, dir))
       .select("vec_id", "score")
 
   /** The PERSISTED LSH index path end-to-end under the same self-query
@@ -472,7 +506,8 @@ object AnnIndex extends QueryModule {
       "embedding", defaultLsh, path)
     val index = spark.read.parquet(path)
     val qv = queryVec(spark, dir, 0L)
-    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir))
     index.filter(col("bucket").isin(probes: _*))
       .withColumn("score", round(
         graft.vector.VectorFunctions.cosineUnit(
@@ -510,7 +545,7 @@ object AnnIndex extends QueryModule {
     IndexBuilder.lshBatchTopK(
       spark.read.parquet(path),
       qbase.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-      "qid", "qvec", defaultLsh, k = 10, radius = 2)
+      "qid", "qvec", defaultLsh, k = 10, radius = tunedRadius(spark, dir))
       .orderBy("qid", "vec_id")
   }
 
@@ -568,7 +603,8 @@ object AnnIndex extends QueryModule {
       "embedding", defaultLsh, path)
     val index = spark.read.parquet(path)
     val qv = queryVec(spark, dir, 0L)
-    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir))
     index.filter(col("bucket").isin(probes: _*))
       .withColumn("score", round(
         graft.vector.VectorFunctions.cosineUnit(
@@ -663,7 +699,8 @@ object AnnIndex extends QueryModule {
       .filter(col("vec_id") >= 100000L)
     IndexBuilder.appendToLshIndex(arrivals, "embedding", defaultLsh, path)
     val qv = queryVec(spark, dir, 0L)
-    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir))
     spark.read.parquet(path)
       .filter(col("bucket").isin(probes: _*))
       .withColumn("score", round(
@@ -1059,7 +1096,8 @@ object AnnIndex extends QueryModule {
         when(col("vec_id") % 2 === 0, "gold").otherwise("silver").as("tier"))
     IndexBuilder.buildLshIndex(base.unionByName(copies), "embedding", defaultLsh, path)
     val qv = queryVec(spark, dir, 0L)
-    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir))
     spark.read.parquet(path)
       .filter(col("bucket").isin(probes: _*) && col("tier") === "gold")
       .withColumn("score", round(
@@ -1095,7 +1133,8 @@ object AnnIndex extends QueryModule {
     val qv = queryVec(spark, dir, 0L)
     Relational.withConfsLocalized(spark, Seq(
       R.EnabledKey -> "true", R.NBitsKey -> "6",
-      R.SeedKey -> "42", R.RadiusKey -> "2")) {
+      R.SeedKey -> "42",
+      R.RadiusKey -> tunedRadius(spark, dir).toString)) {
       annRewriteFilteredFrame(spark, path, qv)
     }.orderBy("vec_id")
   }
@@ -1156,7 +1195,8 @@ object AnnIndex extends QueryModule {
       .write.mode("overwrite").parquet(path + "_tombstones")
     val tombstones = spark.read.parquet(path + "_tombstones")
     val qv = queryVec(spark, dir, 0L)
-    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir))
     spark.read.parquet(path)
       .filter(col("bucket").isin(probes: _*))
       .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
@@ -1203,7 +1243,8 @@ object AnnIndex extends QueryModule {
       graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
     }
     val qv = queryVec(spark, dir, 0L)
-    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir))
     spark.read.parquet(path)
       .filter(col("bucket").isin(probes: _*))
       .withColumn("score", round(
@@ -1236,7 +1277,8 @@ object AnnIndex extends QueryModule {
     // crash-replay of batch 1: same rows, same batch id, second delivery
     IndexBuilder.stageLshBatch(arrivals, "embedding", defaultLsh, root, batchId = 1L)
     val qv = queryVec(spark, dir, 0L)
-    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir))
     spark.read.parquet(root)
       .filter(col("bucket").isin(probes: _*))
       .withColumn("score", round(
@@ -1283,7 +1325,8 @@ object AnnIndex extends QueryModule {
     IndexBuilder.appendToLshIndex(reEmbedded, "embedding", defaultLsh, path)
     val tombstones = spark.read.parquet(path + "_tombstones")
     val qv = queryVec(spark, dir, 0L)
-    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir))
     spark.read.parquet(path)
       .filter(col("bucket").isin(probes: _*))
       .join(broadcast(tombstones),
@@ -1334,7 +1377,8 @@ object AnnIndex extends QueryModule {
       graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
     }
     val qv = queryVec(spark, dir, 0L)
-    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir))
     spark.read.parquet(path)
       .filter(col("bucket").isin(probes: _*))
       .withColumn("score", round(
@@ -1361,7 +1405,8 @@ object AnnIndex extends QueryModule {
   def annPagedTopk(spark: SparkSession, dir: String): DataFrame = {
     val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
     val qv = queryVec(spark, dir, 0L)
-    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius = 2)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir))
     val scored = IndexBuilder.withLshBucket(corpus, "embedding", defaultLsh)
       .filter(col("bucket").isin(probes: _*))
       .withColumn("score", round(

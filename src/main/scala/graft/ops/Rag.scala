@@ -903,7 +903,8 @@ object Rag extends QueryModule {
       e.select("vec_id", "embedding").union(copies), "embedding", lsh, path)
     val qv = e.filter(col("vec_id") === 0L).select("embedding")
       .head().getSeq[Float](0)
-    val probes = lsh.probes(lsh.signature(qv), radius = 2)
+    val probes = lsh.probes(lsh.signature(qv),
+      radius = AnnIndex.tunedRadius(spark, dir))
     spark.read.parquet(path)
       .filter(col("bucket").isin(probes: _*))
       .withColumn("score", round(

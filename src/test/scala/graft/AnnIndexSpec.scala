@@ -81,6 +81,26 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.tunedNProbe(spark, sf) === deployed)
   }
 
+  test("lsh deploy reads the measured curve: radius is the minimal target-meeting setting") {
+    val curve = AnnIndex.cachedLshCurve(spark, sf).collect()
+      .map(r => (r.getAs[Long]("radius"), r.getAs[Long]("recall_ppm")))
+      .sortBy(_._1)
+    val deployed = AnnIndex.tunedRadius(spark, sf)
+    val minimal = curve.find(_._2 >= AnnIndex.LshTargetPpm).map(_._1.toInt)
+      .getOrElse(curve.last._1.toInt)
+    assert(deployed === minimal,
+      s"deployed radius $deployed != minimal target-meeting $minimal")
+    // every cheaper setting genuinely misses the target (the choice is
+    // tight, not accidental), unless the target was unreachable
+    if (curve.exists(_._2 >= AnnIndex.LshTargetPpm))
+      curve.filter(_._1 < deployed).foreach { case (r, ppm) =>
+        assert(ppm < AnnIndex.LshTargetPpm,
+          s"radius $r already met the target at $ppm ppm")
+      }
+    // and the deploy decision is a pure function of the cached curve
+    assert(AnnIndex.tunedRadius(spark, sf) === deployed)
+  }
+
   test("raw-corpus LSH pruned top-10 finds self and respects score parity") {
     val pruned = AnnIndex.annLshTopkReal(spark, sf).collect()
     assert(pruned.head.getAs[Long]("vec_id") === 0L)
