@@ -1389,6 +1389,166 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** DELETE from the IVF index without a rebuild — the lifecycle parity
+    * the cluster-partitioned family was missing (LSH had
+    * delete/upsert/compaction, NSW/HNSW delete+fold, BM25 the full set;
+    * IVF had none): deletes land as the SAME tombstone-sidecar shape, and
+    * the query path anti-joins the broadcast sidecar after the
+    * nProbe-pruned scan — identical discipline, different pruning key
+    * (`cluster_id=` directories instead of `bucket=`). At 100 TB a delete
+    * stays one tiny write; no cluster partition is rewritten.
+    *
+    * Oracle by construction (annDeleteTopkSql verbatim): delete 5 of the
+    * 9 planted copies; the tuned-nProbe top-5 must be exactly {vector 0,
+    * the 4 surviving copies} at cosine 1.0.
+    */
+  def annIvfDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    IndexBuilder.buildIvfIndex(
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", numClusters = 16, seed = 42L, path)
+    // the delete commit: tombstones only, index untouched
+    spark.range(100000L, 100005L).toDF("vec_id")
+      .write.mode("overwrite").parquet(path + "_tombstones")
+    val tombstones = spark.read.parquet(path + "_tombstones")
+    val qv = queryVec(spark, dir, 0L)
+    val probeIds = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(path), qv, nProbe = tunedNProbe(spark, dir))
+    spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probeIds: _*))
+      .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select("vec_id", "score")
+  }
+
+  /** COMPACTION folds the IVF tombstone sidecar into the cluster
+    * partitions — `Compaction.foldTombstones` is partition-key-generic
+    * (it discovers the key from the directory names), so the exact
+    * affected-partition fold + tmp/bak swap + sidecar-truncates-last
+    * discipline the LSH index gets now runs over `cluster_id=` leaves,
+    * with the centroid sidecar untouched (underscore-hidden, never a
+    * partition). Invariance pinning as annCompactedDeleteTopk: the oracle
+    * is annDeleteTopkSql VERBATIM but the query takes NO anti-join — the
+    * folded index alone must no longer serve the deleted rows.
+    */
+  def annIvfCompactedDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfcdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    // the fold rewrites cluster partitions in place, so the cached unit is
+    // the WHOLE build+tombstone+fold sequence (the buildIfAbsent rule)
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivf:clusters=16:seed=42:lifecycle=delete+fold:v1", path) {
+      IndexBuilder.buildIvfIndex(corpus, "embedding",
+        numClusters = 16, seed = 42L, path)
+      spark.range(100000L, 100005L).toDF("vec_id")
+        .write.mode("overwrite").parquet(path + "_tombstones")
+      graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
+    }
+    val qv = queryVec(spark, dir, 0L)
+    val probeIds = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(path), qv, nProbe = tunedNProbe(spark, dir))
+    spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probeIds: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select("vec_id", "score")
+  }
+
+  /** UPSERT into the IVF index without a rebuild or refit — the
+    * "document was re-embedded" flow under cluster pruning: the old and
+    * new versions live in DIFFERENT cluster directories (the new
+    * embedding assigns against the persisted centroid sidecar, the
+    * add-after-train contract), so plain latest-wins breaks under nProbe
+    * pruning exactly as it does under bucket pruning — hence the same
+    * seq-watermark tombstone (`kill vec_id rows with seq ≤ upto_seq`)
+    * that must NOT kill the appended replacement. Upsert cost = one tiny
+    * sidecar write + one append; the KMeans fit is never redone.
+    *
+    * Oracle (annUpsertTopkSql verbatim): copy 100000 re-embedded from
+    * vector 0's embedding to vector 1's; the vec-0 query's top-5 must be
+    * {0, 100001..100004} — a missed watermark keeps stale 100000 at 1.0
+    * and perturbs the row set.
+    */
+  def annIvfUpsertTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    IndexBuilder.buildIvfIndex(
+      withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
+      "embedding", numClusters = 16, seed = 42L, path)
+    // the upsert commit: watermark-tombstone the old version, append the
+    // new one through the persisted centroids (no refit)
+    spark.range(100000L, 100001L).toDF("t_vec_id")
+      .withColumn("upto_seq", lit(0L))
+      .write.mode("overwrite").parquet(path + "_tombstones")
+    val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
+      .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+    IndexBuilder.appendToIvfIndex(reEmbedded, "embedding", path)
+    val tombstones = spark.read.parquet(path + "_tombstones")
+    val qv = queryVec(spark, dir, 0L)
+    val probeIds = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(path), qv, nProbe = tunedNProbe(spark, dir))
+    spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probeIds: _*))
+      .join(broadcast(tombstones),
+        col("vec_id") === col("t_vec_id") && col("seq") <= col("upto_seq"),
+        "left_anti")
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select("vec_id", "score")
+  }
+
+  /** The IVF watermark-tombstone fold — upsert's maintenance half over
+    * `cluster_id=` partitions: the fold must kill exactly the rows with
+    * `seq <= upto_seq` in the old version's cluster and KEEP the
+    * appended replacement in its different cluster. Invariance pinning
+    * as annCompactedUpsertTopk: annUpsertTopkSql verbatim, no anti-join
+    * in the query.
+    */
+  def annIvfCompactedUpsertTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfcupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    ResultCache.buildIfAbsent(spark, withPlantedSelfCopies(spark, e),
+      "ivf:clusters=16:seed=42:lifecycle=upsert+fold:v1", path) {
+      IndexBuilder.buildIvfIndex(
+        withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
+        "embedding", numClusters = 16, seed = 42L, path)
+      spark.range(100000L, 100001L).toDF("t_vec_id")
+        .withColumn("upto_seq", lit(0L))
+        .write.mode("overwrite").parquet(path + "_tombstones")
+      val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
+        .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+        .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+      IndexBuilder.appendToIvfIndex(reEmbedded, "embedding", path)
+      graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
+    }
+    val qv = queryVec(spark, dir, 0L)
+    val probeIds = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(path), qv, nProbe = tunedNProbe(spark, dir))
+    spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probeIds: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+      .select("vec_id", "score")
+  }
+
   /** KEYSET pagination over ANN results (the serving-path "next page"):
     * page 2 resumes strictly after page 1's last (score, id) cursor —
     * `score < s OR (score = s AND id > i)` — instead of OFFSET, which
@@ -1602,6 +1762,10 @@ object AnnIndex extends QueryModule {
     "ann_compacted_delete_topk" -> annCompactedDeleteTopk,
     "ann_upsert_topk" -> annUpsertTopk,
     "ann_compacted_upsert_topk" -> annCompactedUpsertTopk,
+    "ann_ivf_delete_topk" -> annIvfDeleteTopk,
+    "ann_ivf_compacted_delete_topk" -> annIvfCompactedDeleteTopk,
+    "ann_ivf_upsert_topk" -> annIvfUpsertTopk,
+    "ann_ivf_compacted_upsert_topk" -> annIvfCompactedUpsertTopk,
     "ann_paged_topk" -> annPagedTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
@@ -1641,6 +1805,10 @@ object AnnIndex extends QueryModule {
     "ann_compacted_delete_topk" -> annDeleteTopkSql,
     "ann_upsert_topk" -> annUpsertTopkSql,
     "ann_compacted_upsert_topk" -> annUpsertTopkSql,
+    "ann_ivf_delete_topk" -> annDeleteTopkSql,
+    "ann_ivf_compacted_delete_topk" -> annDeleteTopkSql,
+    "ann_ivf_upsert_topk" -> annUpsertTopkSql,
+    "ann_ivf_compacted_upsert_topk" -> annUpsertTopkSql,
     "ann_paged_topk" -> annPagedTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,

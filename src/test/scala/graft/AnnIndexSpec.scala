@@ -101,6 +101,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.tunedRadius(spark, sf) === deployed)
   }
 
+  test("ivf delete/upsert lifecycle rows: tombstone, cluster fold, and watermark semantics") {
+    Seq("ann_ivf_delete_topk", "ann_ivf_compacted_delete_topk").foreach { q =>
+      val rows = SparkEntry.queries(q)(spark, sf).collect()
+      val ids = rows.map(_.getAs[Long]("vec_id")).sorted.toSeq
+      assert(ids === (0L +: (100005L to 100008L)), s"$q ids: ${ids.mkString(",")}")
+      assert(rows.forall(_.getAs[Double]("score") === 1.0), s"$q scores")
+    }
+    Seq("ann_ivf_upsert_topk", "ann_ivf_compacted_upsert_topk").foreach { q =>
+      val rows = SparkEntry.queries(q)(spark, sf).collect()
+      val ids = rows.map(_.getAs[Long]("vec_id")).sorted.toSeq
+      assert(ids === (0L +: (100001L to 100004L)), s"$q ids: ${ids.mkString(",")}")
+      assert(rows.forall(_.getAs[Double]("score") === 1.0), s"$q scores")
+    }
+    // the fold's crash-safe ordering truncated the sidecar (empty, schema
+    // kept) and left the centroid sidecar readable on the folded index
+    val cdel = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfcdel_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    assert(spark.read.parquet(cdel + "_tombstones").count() === 0L,
+      "fold must truncate the tombstone sidecar")
+    assert(IndexBuilder.loadIvfCentroids(cdel).length === 16,
+      "fold must leave the centroid sidecar intact")
+  }
+
   test("raw-corpus LSH pruned top-10 finds self and respects score parity") {
     val pruned = AnnIndex.annLshTopkReal(spark, sf).collect()
     assert(pruned.head.getAs[Long]("vec_id") === 0L)
