@@ -61,7 +61,20 @@ object Bench {
     // near-zero time, which must not read as a speedup.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the line too: the driver's tail capture truncates long JSON
+    // (BENCH_r07/r08 both recorded "parsed": null), so per-query history
+    // would otherwise be lost between rounds. One line appended per run.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist BENCH_LOCAL.json: ${e.getMessage}")
+    }
     // Cache audit (stderr — the stdout JSON line is the driver contract):
     // hit/miss counts per cache kind and the misses' paths, from the
     // in-memory decision log, so a bench reader can tell which fixtures

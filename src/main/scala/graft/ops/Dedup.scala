@@ -498,29 +498,68 @@ object Dedup extends QueryModule {
     * probe's row groups co-locate). Built ONCE per corpus version — the
     * point of incremental dedup is that arriving batches never recompute
     * or reshuffle the corpus side.
+    *
+    * Layout: both tables are EPOCH-partitioned (`sigs/epoch=0` is the
+    * base build; every admission/append lands its own `epoch=<e>` leaf).
+    * The epoch is what makes admission exactly-once under at-least-once
+    * delivery: a replayed batch OVERWRITES its deterministic epoch
+    * directory instead of appending a second copy — the stageLshBatch
+    * discipline applied to the dedup store. Readers treat `epoch` as
+    * just another partition column and prune or drop it.
     */
   def buildMinhashStore(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true) // a build is the store's epoch 0
     val sigs = docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), minhashSignatureFromText(col("text"), 3).as("sig"))
     sigs.repartition(8, col("doc_id"))
-      .write.mode("overwrite").parquet(path + "/sigs")
+      .write.mode("overwrite").parquet(path + "/sigs/epoch=0")
     bandsOfSigs(sigs, "doc_id").repartition(8, col("band_hash"))
       .sortWithinPartitions("band_hash")
-      .write.mode("overwrite").parquet(path + "/bands")
+      .write.mode("overwrite").parquet(path + "/bands/epoch=0")
+  }
+
+  /** Next free epoch leaf in a store (max existing + 1 — deterministic,
+    * never a wall clock). */
+  private def nextStoreEpoch(spark: SparkSession, path: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path + "/sigs")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) 0L
+    else {
+      val epochs = fs.listStatus(hp).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong)
+      if (epochs.isEmpty) 0L else epochs.max + 1L
+    }
+  }
+
+  /** Stage a batch's signatures and bands into ONE epoch leaf, with
+    * overwrite — the idempotent write primitive: a replay of the same
+    * epoch rewrites the identical directories instead of duplicating
+    * rows (duplicated signatures would double-emit candidate pairs).
+    */
+  private def stageMinhashEpoch(spark: SparkSession, docs: DataFrame,
+      path: String, epoch: Long): Unit = {
+    val sigs = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), minhashSignatureFromText(col("text"), 3).as("sig"))
+    sigs.repartition(1)
+      .write.mode("overwrite").parquet(path + s"/sigs/epoch=$epoch")
+    bandsOfSigs(sigs, "doc_id").repartition(1)
+      .write.mode("overwrite").parquet(path + s"/bands/epoch=$epoch")
   }
 
   /** Admit a deduped batch into the store — signatures and bands of the
-    * NEW docs only, landed as appended files; existing store files are
-    * never rewritten. Callers admit each doc at most once (the driver
-    * flow dedups the batch first, then admits survivors).
+    * NEW docs only, landed as a fresh epoch leaf; existing store files
+    * are never rewritten. Callers admit each doc at most once (the
+    * driver flow dedups the batch first, then admits survivors). For
+    * replay-safe admission keyed by a DELIVERY id, use `admitMicroBatch`
+    * — this entry allocates the next free epoch, so it is for
+    * sequential (non-redelivered) maintenance only.
     */
-  def appendToMinhashStore(spark: SparkSession, docs: DataFrame, path: String): Unit = {
-    val sigs = docs.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), minhashSignatureFromText(col("text"), 3).as("sig"))
-    sigs.repartition(1).write.mode("append").parquet(path + "/sigs")
-    bandsOfSigs(sigs, "doc_id").repartition(1)
-      .write.mode("append").parquet(path + "/bands")
-  }
+  def appendToMinhashStore(spark: SparkSession, docs: DataFrame, path: String): Unit =
+    stageMinhashEpoch(spark, docs, path, nextStoreEpoch(spark, path))
 
   /** Dedup an arriving batch against the standing store AND within
     * itself, in one pass — the production shape of continuous corpus
@@ -541,7 +580,8 @@ object Dedup extends QueryModule {
     * the arriving duplicate, admit the rest".
     */
   def incrementalMinhashDupes(spark: SparkSession, batch: DataFrame,
-      path: String, estThreshold: Double = 0.5): DataFrame = {
+      path: String, estThreshold: Double = 0.5,
+      excludeEpoch: Long = -1L): DataFrame = {
     // localCheckpoint, not cache(): the signature frame is referenced four
     // times below; checkpoint blocks are released by the ContextCleaner
     // once the plan is dereferenced, whereas CacheManager entries leak per
@@ -550,8 +590,15 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), minhashSignatureFromText(col("text"), 3).as("sig"))
       .localCheckpoint(true)
     val newBands = bandsOfSigs(newSigs, "doc_id")
+    // excludeEpoch: a replayed admission must not see its own (possibly
+    // torn) prior writes — the filter is partition pruning on the epoch
+    // leaf, so exclusion costs nothing at the scan
     val storeBands = spark.read.parquet(path + "/bands")
+      .filter(col("epoch") =!= excludeEpoch)
+      .select("doc_id", "band_id", "band_hash")
     val storeSigs = spark.read.parquet(path + "/sigs")
+      .filter(col("epoch") =!= excludeEpoch)
+      .select("doc_id", "sig")
     val crossPairs = storeBands.join(
         broadcast(newBands.select(col("doc_id").as("new_id"),
           col("band_id"), col("band_hash"))),
@@ -595,8 +642,10 @@ object Dedup extends QueryModule {
     * against the corpus, not a second corpus scan.
     */
   def incrementalDupesVerified(spark: SparkSession, batch: DataFrame,
-      storeDocs: DataFrame, path: String, threshold: Double = 0.5): DataFrame = {
-    val cands = incrementalMinhashDupes(spark, batch, path, estThreshold = 0.0)
+      storeDocs: DataFrame, path: String, threshold: Double = 0.5,
+      excludeEpoch: Long = -1L): DataFrame = {
+    val cands = incrementalMinhashDupes(spark, batch, path,
+        estThreshold = 0.0, excludeEpoch = excludeEpoch)
       .select("doc_a", "doc_b")
     val allDocs = storeDocs.unionByName(batch)
       .filter(length(trim(col("text"))) > 0)
@@ -631,7 +680,7 @@ object Dedup extends QueryModule {
     val path = Tables.scratchPath("graft_mhstore", dir)
     val store = Tables.documents(spark, dir).filter(col("doc_id") < 300)
       .select("doc_id", "text")
-    ResultCache.buildIfAbsent(spark, store, "minhash:store:v1", path) {
+    ResultCache.buildIfAbsent(spark, store, "minhash:store:v2", path) {
       buildMinhashStore(store, path)
     }
     val batch = Tables.documents(spark, dir).filter(col("doc_id") < 10)
@@ -700,7 +749,7 @@ object Dedup extends QueryModule {
     val batch1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
     ResultCache.buildIfAbsent(spark, store.unionByName(batch1),
-      "minhash:grown:v1", path) {
+      "minhash:grown:v2", path) {
       buildMinhashStore(store, path)
       val rejected = incrementalDupesVerified(spark, batch1, store, path)
         .select(col("doc_b").as("doc_id")).distinct()
@@ -724,40 +773,49 @@ object Dedup extends QueryModule {
     * candidate join's self-pair filter would wave through to a double
     * admission), dedup the fresh remainder against the standing store
     * (candidate + verify), admit the survivors, and return the duplicate
-    * pairs. The pairs MATERIALIZE (localCheckpoint) before the store
-    * mutates, so a batch never pairs against its own admission; an exact
-    * replay is a no-op (no pairs, no appends) — idempotency is the
-    * anti-join, not luck. Admission lands text log FIRST, bands/sigs
-    * after: a crash between the two leaves a doc "known" (never
-    * re-admitted, text available to later verifies) but absent from the
-    * bands — the conservative torn state, repairable by rebuilding bands
-    * from the log.
+    * pairs.
+    *
+    * EXACTLY-ONCE AT THE STORE LEVEL: the admission is a pure function
+    * of (batch, store-state-excluding-this-epoch). Batch id b owns epoch
+    * b+1 (epoch 0 is the base build); every read — admitted log, sigs,
+    * bands — EXCLUDES epoch b+1, and every write (admitted text log,
+    * staged sigs, staged bands) OVERWRITES its deterministic
+    * `epoch=<b+1>` leaf. A replay after a crash at ANY point between the
+    * three writes therefore recomputes the identical survivors and
+    * pairs and rewrites the same directories — no torn state survives,
+    * and no anti-join has to paper over a half-landed admission. The
+    * pairs still MATERIALIZE (localCheckpoint) before the store mutates,
+    * so a batch never pairs against its own admission.
     */
   def admitMicroBatch(spark: SparkSession, batch: DataFrame,
-      baseDocs: DataFrame, path: String): DataFrame = {
+      baseDocs: DataFrame, path: String, batchId: Long): DataFrame = {
+    val epoch = batchId + 1
     val admittedPath = path + "/admitted"
     val hp = new org.apache.hadoop.fs.Path(admittedPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val admittedSoFar =
       if (fs.exists(hp)) spark.read.parquet(admittedPath)
+        .filter(col("epoch") =!= epoch)
         .select("doc_id", "text")
       else baseDocs.select("doc_id", "text").limit(0)
     val knownIds = baseDocs.select("doc_id")
       .unionByName(admittedSoFar.select("doc_id"))
-      .unionByName(spark.read.parquet(path + "/sigs").select("doc_id"))
+      .unionByName(spark.read.parquet(path + "/sigs")
+        .filter(col("epoch") =!= epoch).select("doc_id"))
     // no broadcast hint: the known-id side is corpus-scale — Catalyst
     // broadcasts it when small, AQE picks shuffle strategy when not
     val fresh = batch.join(knownIds.distinct(), Seq("doc_id"), "left_anti")
     val storeDocs = baseDocs.select("doc_id", "text")
       .unionByName(admittedSoFar)
-    val dupes = incrementalDupesVerified(spark, fresh, storeDocs, path)
+    val dupes = incrementalDupesVerified(spark, fresh, storeDocs, path,
+        excludeEpoch = epoch)
       .localCheckpoint(true)
     val rejected = dupes.select(col("doc_b").as("doc_id")).distinct()
     val survivors = fresh.join(rejected, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     survivors.select("doc_id", "text").repartition(1)
-      .write.mode("append").parquet(admittedPath)
-    appendToMinhashStore(spark, survivors, path)
+      .write.mode("overwrite").parquet(admittedPath + s"/epoch=$epoch")
+    stageMinhashEpoch(spark, survivors, path, epoch)
     dupes
   }
 
@@ -781,8 +839,8 @@ object Dedup extends QueryModule {
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
     val b2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
       .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
-    val d1 = admitMicroBatch(spark, b1, store, path)
-    val d2 = admitMicroBatch(spark, b2, store, path)
+    val d1 = admitMicroBatch(spark, b1, store, path, batchId = 0L)
+    val d2 = admitMicroBatch(spark, b2, store, path, batchId = 1L)
     d1.unionByName(d2).orderBy("doc_a", "doc_b")
   }
 

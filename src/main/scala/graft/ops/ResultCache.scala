@@ -95,11 +95,16 @@ object ResultCache extends QueryModule {
   private val MaxEvents = 10000
   private val eventLog =
     new java.util.concurrent.ConcurrentLinkedDeque[CacheEvent]()
+  // counted alongside the deque: ConcurrentLinkedDeque.size is O(n), so
+  // at the bound every decision would scan all 10000 entries
+  private val eventCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def record(kind: String, path: String, key: String,
       hit: Boolean, ageMs: Long): Unit = {
     eventLog.addLast(CacheEvent(kind, path, key, hit, ageMs))
-    while (eventLog.size > MaxEvents) eventLog.pollFirst()
+    if (eventCount.incrementAndGet() > MaxEvents &&
+        eventLog.pollFirst() != null)
+      eventCount.decrementAndGet()
   }
 
   /** The recorded decisions, oldest first. */
@@ -116,7 +121,7 @@ object ResultCache extends QueryModule {
     recentEvents.toDF()
   }
 
-  def clearEvents(): Unit = eventLog.clear()
+  def clearEvents(): Unit = { eventLog.clear(); eventCount.set(0) }
 
   /** The result-cache discipline applied to persisted INDEX BUILDS: key
     * the build by md5(inputs' plan+file signature, params tag) and skip

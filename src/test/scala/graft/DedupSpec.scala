@@ -53,8 +53,8 @@ class DedupSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     val q = mem.toDF().toDF("doc_id", "text").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        acc ++= graft.ops.Dedup.admitMicroBatch(spark, batch, store, path)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        acc ++= graft.ops.Dedup.admitMicroBatch(spark, batch, store, path, bid)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         ()
       }
@@ -84,6 +84,90 @@ class DedupSpec extends SparkSpec {
     assert(acc.sortBy(p => (p._1, p._2)) === expected.sortBy(p => (p._1, p._2)),
       s"stream result ${acc.toSeq} != sequential ${expected}")
     assert(acc.nonEmpty, "fixture must produce at least one admission-time dupe")
+  }
+
+  test("staged admission: a crash between the admitted log and the store append replays consistent") {
+    val path = java.nio.file.Files
+      .createTempDirectory("mhcrash_spec").toString + "/store"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "pack my box with five dozen liquor jugs before the long journey"),
+      (3L, "sphinx of black quartz judge my vow in the ancient stone temple"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.buildMinhashStore(corpus, path)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (12L, "completely unrelated fresh material about distributed query engines"))
+      .toDF("doc_id", "text")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val first = collectPairs(
+      graft.ops.Dedup.admitMicroBatch(spark, batch, corpus, path, batchId = 4L))
+    assert(first === Set((1L, 10L, 1.0)), s"unexpected pairs: $first")
+    // simulate the crash: the admitted text log for epoch 5 landed, the
+    // staged sigs/bands did not (kill between the writes)
+    for (sub <- Seq("/sigs/epoch=5", "/bands/epoch=5")) {
+      val f = new java.io.File(path + sub)
+      assert(f.exists(), s"$sub missing before simulated crash")
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    // at-least-once redelivery of the SAME batch id: the replay must not
+    // be fooled by its own torn admitted write — same pairs re-emitted,
+    // all three epoch-5 leaves rewritten, each survivor exactly once
+    val replayed = collectPairs(
+      graft.ops.Dedup.admitMicroBatch(spark, batch, corpus, path, batchId = 4L))
+    assert(replayed === first, s"replay diverged: $replayed vs $first")
+    val sigs = spark.read.parquet(path + "/sigs")
+    assert(sigs.filter(col("doc_id") === 12L).count() === 1,
+      "survivor must be in the store exactly once after the replay")
+    assert(sigs.filter(col("doc_id") === 10L).count() === 0,
+      "a rejected duplicate must never enter the store")
+    assert(spark.read.parquet(path + "/admitted")
+      .groupBy("doc_id").count().filter(col("count") > 1).count() === 0,
+      "the replay duplicated the admitted log")
+    // and the repaired store serves later batches
+    val later = Seq(
+      (20L, "completely unrelated fresh material about distributed query engines"))
+      .toDF("doc_id", "text")
+    val got2 = collectPairs(
+      graft.ops.Dedup.admitMicroBatch(spark, later, corpus, path, batchId = 6L))
+    assert(got2 === Set((12L, 20L, 1.0)),
+      "an admitted doc must dedup later arrivals after the crash-replay")
+  }
+
+  test("incremental fixture margin: every oracle-qualifying pair sits at j >= 0.9") {
+    // The driver rows' LSH no-miss argument (16 bands × 4 rows misses a
+    // pair with probability (1-j⁴)¹⁶) is safe only while every qualifying
+    // pair's exact Jaccard is far above the 0.5 oracle threshold — at
+    // j = 0.95 the miss bound is ~4e-12, at j = 0.6 it is ~0.9. This pin
+    // makes a data-generation change that erodes the assumption fail in
+    // tests instead of as a flaky red driver row.
+    val docs = graft.Tables.documents(spark, sf)
+    val store = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val sets = store.unionByName(batch)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), array_distinct(
+        Dedup.shinglesCol(Dedup.tokensCol(col("text")), 3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val batchIds = sets.keys.filter(_ >= 100000L).toSeq.sorted
+    var qualifying = 0
+    for (b <- batchIds; (a, sa) <- sets if a < b) {
+      val sb = sets(b)
+      val inter = (sa intersect sb).size
+      val j = inter.toDouble / (sa.size + sb.size - inter)
+      if (j >= 0.5) {
+        qualifying += 1
+        assert(j >= 0.9,
+          f"pair ($a, $b) qualifies at j=$j%.3f — inside the LSH miss band; " +
+            "the fixture's no-miss assumption no longer holds")
+      }
+    }
+    assert(qualifying >= batchIds.size,
+      "fixture must contain at least one qualifying pair per batch doc")
   }
 
   test("incremental_new_docs excludes all state ids (anti-join invariant)") {
