@@ -1728,6 +1728,157 @@ object AnnIndex extends QueryModule {
     """SELECT NULL::VARCHAR AS method, NULL::BIGINT AS mean_recall_e6,
       |       NULL::BIGINT AS floor_e6 WHERE false""".stripMargin
 
+  /** UPSERT into the NSW graph — "the document was re-embedded", composed
+    * from the family's own maintenance primitives the way BM25's
+    * bm25_upserted_topn composes delete + append: tombstone the old
+    * version, FOLD (the graph's structural delete — unlike the bucketed
+    * families an id-level tombstone would also hide the re-inserted id,
+    * so the sidecar must clear before the same id returns), then append
+    * the new embedding through the standard reverse-edge-maintaining
+    * path. Upsert cost = one sidecar write + one bounded fold + one
+    * batch append; the base adjacency files are never rewritten.
+    *
+    * Oracle (annUpsertTopkSql verbatim): copy 100000 re-embedded from
+    * vector 0's embedding to vector 1's; the vec-0 query's top-5 must be
+    * {0, 100001..100004} — a stale survivor (fold leak), a lost
+    * replacement (append after fold broken), or an emission filter still
+    * hiding the re-inserted id each perturbs the row set.
+    */
+  def annGraphUpsertTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    deleteRecursively(new java.io.File(path + "_delta"))
+    deleteRecursively(new java.io.File(path + "_tombstones"))
+    val e = Tables.embeddings(spark, dir)
+    val corpus = withPlantedSelfCopies(spark, e)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42", path) {
+      graft.vector.GraphAnn.buildNswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    // the upsert commit: structural delete of the old version …
+    graft.vector.GraphAnn.deleteFromNswGraph(spark, Seq(100000L), path)
+    graft.vector.GraphAnn.foldNswTombstones(
+      spark, path, corpus, "embedding", "vec_id", m = 8)
+    // … then the re-embedded version returns under the SAME id
+    val newVersion = spark.range(100000L, 100001L).toDF("vec_id")
+      .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"))
+    val survivors = corpus.filter(col("vec_id") =!= 100000L)
+    graft.vector.GraphAnn.appendToNswGraph(
+      spark, newVersion, "embedding", "vec_id", defaultLsh, m = 8, path,
+      survivors)
+    graft.vector.GraphAnn.nswSearch(
+      spark, path, survivors.unionByName(newVersion), "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 5)
+  }
+
+  // ---- graph-ANN tuning (measure, don't guess for the hop budget) ----
+
+  /** The graph family's tuning job: the hop budget H is what a walk
+    * actually spends (each hop = one frontier adjacency fetch + one batch
+    * of point-lookup scorings), and unlike the LSH radius / IVF nProbe it
+    * had no measured curve. ONE traced walk per sample query
+    * (`GraphAnn.nswSearchTrace` — hop h's state is a prefix of hop h+1's)
+    * yields every hop's (cost, top-k) at once; recall is judged against
+    * the exact brute-force top-k computed in one job over the broadcast
+    * sample. Output: one row per hop with integer-ppm mean recall@k and
+    * total candidates scored — monotone in hops by construction. At
+    * 100 TB this is the graph index's nightly health job: cost is
+    * |sample| walks + one exact scoring sweep, never a corpus pass.
+    */
+  def annGraphHopCurveOf(spark: SparkSession, dir: String,
+      maxHops: Int = 4, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graft.GroupTopK
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswgate_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    ResultCache.buildIfAbsent(spark, e,
+      s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42", path) {
+      graft.vector.GraphAnn.buildNswGraph(
+        e, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    val qrows = e.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val queries = qrows.collect() // sample-bounded: 5 rows
+      .map(r => r.getAs[Long]("qid") -> r.getSeq[Float](1).toArray)
+    val exact: Map[Long, Set[Long]] = e.crossJoin(broadcast(qrows))
+      .withColumn("score_e6", round(graft.vector.VectorFunctions
+        .cosineUnit(col("embedding"), col("qvec")) * 1e6, 0).cast("long"))
+      .groupBy(col("qid"))
+      .agg(GroupTopK.topK(col("score_e6"),
+        format_string("%012d", col("vec_id")), k).as("top"))
+      .select(col("qid"), explode(col("top")))
+      .select(col("qid"), col("col.payload").cast("long").as("vec_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val perHop = queries.toSeq.flatMap { case (qid, qv) =>
+      graft.vector.GraphAnn.nswSearchTrace(spark, path, e,
+          "embedding", "vec_id", qv, k, maxHops = maxHops)
+        .map { case (hop, scored, ids) =>
+          (hop, scored, ids.count(exact(qid).contains).toLong)
+        }
+    }
+    perHop.groupBy(_._1).toSeq.map { case (hop, rows) =>
+      (hop.toLong,
+        rows.map(_._3).sum * 1000000L / (queries.length.toLong * k),
+        rows.map(_._2).sum)
+    }.sortBy(_._1).toDF("hops", "recall_ppm", "total_candidates")
+  }
+
+  /** Minimal hop budget on a measured curve meeting `targetPpm` recall —
+    * the graph serving config an operator deploys; the max measured hop
+    * when the target is unreachable.
+    */
+  def chooseHops(curve: DataFrame, targetPpm: Long): Int = {
+    val rows = curve.select("hops", "recall_ppm").collect()
+      .map(r => (r.getAs[Long]("hops"), r.getAs[Long]("recall_ppm")))
+      .sortBy(_._1)
+    rows.find(_._2 >= targetPpm).map(_._1.toInt)
+      .getOrElse(rows.last._1.toInt)
+  }
+
+  /** Driver gate over the graph hop curve (engine-seeded →
+    * contract-checked), the LSH/IVF gates' shape for the third index
+    * family's knob:
+    *  - MONOTONE RECALL / COST: another hop may never lose visited
+    *    candidates (hop h's state is a prefix of hop h+1's by the trace
+    *    construction — a frontier or dedup bug breaks it);
+    *  - RANGE: recall_ppm ∈ [0, 1e6];
+    *  - CEILING FLOOR: the full hop budget must clear the deployed
+    *    serving floor (the annRecallGate discipline — measured well
+    *    above it on every sf; only a real connectivity regression, e.g.
+    *    lost symmetrization or broken entry sampling, trips it).
+    */
+  def annGraphTuningGate(spark: SparkSession, dir: String): DataFrame = {
+    val maxHops = 4
+    val curve = annGraphHopCurveOf(spark, dir, maxHops).cache()
+    val w = Window.orderBy(col("hops"))
+    val stepped = curve
+      .withColumn("prev_recall", lag(col("recall_ppm"), 1).over(w))
+      .withColumn("prev_cands", lag(col("total_candidates"), 1).over(w))
+    val nonMonotone = stepped
+      .filter(col("prev_recall").isNotNull &&
+        (col("recall_ppm") < col("prev_recall") ||
+         col("total_candidates") < col("prev_cands")))
+      .select(lit("non_monotone").as("violation"),
+        col("hops").cast("long").as("detail"))
+    val outOfRange = curve
+      .filter(col("recall_ppm") < 0 || col("recall_ppm") > 1000000L)
+      .select(lit("recall_range").as("violation"),
+        col("hops").cast("long").as("detail"))
+    val weakCeiling = curve.filter(col("hops") === maxHops.toLong &&
+        col("recall_ppm") < 350000L)
+      .select(lit("weak_ceiling").as("violation"),
+        col("recall_ppm").as("detail"))
+    nonMonotone.union(outOfRange).union(weakCeiling)
+      .orderBy("violation", "detail")
+  }
+
+  private val annGraphTuningGateSql =
+    """SELECT NULL::VARCHAR AS violation, NULL::BIGINT AS detail WHERE false""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_gate" -> annRecallGate,
     "ann_tuning_gate" -> annTuningGate,
@@ -1754,6 +1905,8 @@ object AnnIndex extends QueryModule {
     "ann_graph_incremental_topk" -> annGraphIncrementalTopk,
     "ann_graph_delete_topk" -> annGraphDeleteTopk,
     "ann_graph_folded_delete_topk" -> annGraphFoldedDeleteTopk,
+    "ann_graph_upsert_topk" -> annGraphUpsertTopk,
+    "ann_graph_tuning_gate" -> annGraphTuningGate,
     "ann_hnsw_delete_topk" -> annHnswDeleteTopk,
     "ann_hnsw_folded_delete_topk" -> annHnswFoldedDeleteTopk,
     "ann_filtered_topk" -> annFilteredTopk,
@@ -1797,6 +1950,8 @@ object AnnIndex extends QueryModule {
     "ann_graph_incremental_topk" -> annSelfQueryTopkSql,
     "ann_graph_delete_topk" -> annGraphDeleteTopkSql,
     "ann_graph_folded_delete_topk" -> annGraphDeleteTopkSql,
+    "ann_graph_upsert_topk" -> annUpsertTopkSql,
+    "ann_graph_tuning_gate" -> annGraphTuningGateSql,
     "ann_hnsw_delete_topk" -> annGraphDeleteTopkSql,
     "ann_hnsw_folded_delete_topk" -> annGraphDeleteTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,

@@ -65,14 +65,16 @@ object GraphAnn {
     */
   def buildNswGraph(df: DataFrame, embCol: String, idCol: String,
       lsh: IndexBuilder.RandomHyperplaneLsh, m: Int, path: String): Unit = {
-    val probeUdf = udf { (v: Seq[Float]) =>
-      lsh.probes(lsh.signature(v), radius = 1)
-    }
     val nodes = df.select(col(idCol).as("id"), col(embCol).as("emb"))
-    val home = nodes.withColumn("bucket",
-      udf { (v: Seq[Float]) => lsh.signature(v) }.apply(col("emb")))
-    val probed = nodes.select(col("id"), col("emb"),
-      explode(probeUdf(col("emb"))).as("bucket"))
+    val home = IndexBuilder.withLshBucket(nodes, "emb", lsh)
+    // probe generation is columnar (the lshBatchTopK shape): one signature
+    // per row, then a static radius-1 mask explode + XOR — never the
+    // per-row probes() UDF, which allocates and sorts a Set per vector
+    val masks = IndexBuilder.probeMasks(lsh.nBits, radius = 1)
+    val probed = IndexBuilder.withLshBucket(nodes, "emb", lsh, "sig")
+      .withColumn("mask", explode(typedlit(masks)))
+      .select(col("id"), col("emb"),
+        col("sig").bitwiseXOR(col("mask")).as("bucket"))
     // directed candidate pairs: a probes the buckets its near-misses can
     // live in; join against each bucket's HOME residents only (probe ×
     // home, not probe × probe — keeps the pair count ~ball × occupancy)
@@ -121,7 +123,8 @@ object GraphAnn {
     val base = spark.read.parquet(path).withColumn("seq", lit(0L))
     val all =
       if (pathExists(spark, path + "_delta"))
-        base.unionByName(spark.read.parquet(path + "_delta"))
+        base.unionByName(spark.read.parquet(path + "_delta")
+          .select(col("node_id"), col("neighbors"), col("seq").cast("long")))
       else base
     all.groupBy("node_id")
       .agg(max_by(struct(col("seq"), col("neighbors")), col("seq"))
@@ -139,7 +142,8 @@ object GraphAnn {
     val base = spark.read.parquet(path).withColumn("seq", lit(0L))
     val all =
       if (pathExists(spark, path + "_delta"))
-        base.unionByName(spark.read.parquet(path + "_delta"))
+        base.unionByName(spark.read.parquet(path + "_delta")
+          .select(col("node_id"), col("neighbors"), col("seq").cast("long")))
       else base
     all.join(broadcast(ids.select("node_id")), Seq("node_id"))
       .groupBy("node_id")
@@ -158,21 +162,27 @@ object GraphAnn {
     * Cost scales with |new|·M affected rows, never the graph. Deltas are
     * seq-stamped (prior max + 1 — deterministic); readers merge
     * latest-wins via readNswAdjacency.
+    *
+    * BATCH-SIZE CONTRACT: the broadcast hints assume `newNodes` is a
+    * micro-batch (≲ executor broadcast budget once multiplied by M edges
+    * and the embedding width — low millions of rows in practice). A
+    * corpus-scale backfill exceeds the broadcast limit by design; route
+    * it through `buildNswGraph` (the batch rebuild), which shuffles
+    * instead of broadcasting.
     */
   def appendToNswGraph(spark: SparkSession, newNodes: DataFrame,
       embCol: String, idCol: String, lsh: IndexBuilder.RandomHyperplaneLsh,
       m: Int, path: String, corpus: DataFrame): Unit = {
-    import spark.implicits._
-    val probeUdf = udf { (v: Seq[Float]) =>
-      lsh.probes(lsh.signature(v), radius = 1)
-    }
-    val sigUdf = udf { (v: Seq[Float]) => lsh.signature(v) }
     val newN = newNodes.select(col(idCol).as("id"), col(embCol).as("emb"))
     val nodesAll = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
       .unionByName(newN)
-    val home = nodesAll.withColumn("bucket", sigUdf(col("emb")))
-    val probedNew = newN.select(col("id"), col("emb"),
-      explode(probeUdf(col("emb"))).as("bucket"))
+    val home = IndexBuilder.withLshBucket(nodesAll, "emb", lsh)
+    // columnar probe generation (see buildNswGraph)
+    val masks = IndexBuilder.probeMasks(lsh.nBits, radius = 1)
+    val probedNew = IndexBuilder.withLshBucket(newN, "emb", lsh, "sig")
+      .withColumn("mask", explode(typedlit(masks)))
+      .select(col("id"), col("emb"),
+        col("sig").bitwiseXOR(col("mask")).as("bucket"))
     // the probe side is batch-sized: broadcast it so the corpus-wide home
     // frame streams through the join without an exchange
     val pairs = broadcast(probedNew).as("a")
@@ -226,20 +236,34 @@ object GraphAnn {
       .agg(sort_array(collect_list(struct(
         (-col("score")).as("neg"), col("dst"))))
         .getField("dst").as("neighbors"))
-    newAdj.unionByName(mergedRows)
-      .withColumn("seq", lit(nextDeltaSeq(spark, path)))
-      .repartition(2, col("node_id"))
-      .write.mode("append").parquet(path + "_delta")
+    writeDelta(newAdj.unionByName(mergedRows), path, nextDeltaSeq(spark, path))
   }
 
   /** Next seq stamp for a graph's delta sidecar (prior max + 1;
-    * deterministic — never a wall clock).
+    * deterministic — never a wall clock). The seq lives in the DIRECTORY
+    * name (`_delta/seq=<n>` partition leaves), so allocating the next one
+    * is a filesystem listing — the previous row-level seq column cost one
+    * full delta read + aggregate job per rung per append.
     */
-  private def nextDeltaSeq(spark: SparkSession, path: String): Long =
-    if (pathExists(spark, path + "_delta"))
-      spark.read.parquet(path + "_delta")
-        .agg(max(col("seq"))).head().getLong(0) + 1L
-    else 1L
+  private def nextDeltaSeq(spark: SparkSession, path: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path + "_delta")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) 1L
+    else {
+      val seqs = fs.listStatus(hp).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("seq="))
+        .map(_.stripPrefix("seq=").toLong)
+      if (seqs.isEmpty) 1L else seqs.max + 1L
+    }
+  }
+
+  /** One delta generation landed as its own `seq=<n>` leaf (partition-
+    * discovered on read; overwrite makes re-landing a generation
+    * idempotent rather than duplicating rows).
+    */
+  private def writeDelta(df: DataFrame, path: String, seq: Long): Unit =
+    df.repartition(2, col("node_id"))
+      .write.mode("overwrite").parquet(path + s"_delta/seq=$seq")
 
   /** Delete vectors from a persisted NSW graph — a tombstone sidecar
     * append, the same O(|deleted|) delete the LSH/IVF/BM25 families use;
@@ -284,6 +308,13 @@ object GraphAnn {
     * tombstones pending — the search filter still hides the deleted ids
     * and a re-fold is idempotent (its recomputation reads the merged
     * view, which already resolves to the folded rows).
+    *
+    * BATCH-SIZE CONTRACT: the fold broadcasts frames bounded by the
+    * tombstone set × its in-degree (affected rows, bridge edges). A
+    * delete wave large enough to overflow that broadcast budget — a
+    * sizable fraction of the graph — is cheaper as a rebuild over the
+    * surviving corpus (`buildNswGraph`), which is the documented escape
+    * hatch, not a bigger fold.
     */
   def foldNswTombstones(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, m: Int): Unit = {
@@ -376,10 +407,8 @@ object GraphAnn {
       val present = delta.select("rung").distinct()
         .collect().map(_.getInt(0)).sorted // ≤ |rungs| rows
       present.foreach { i =>
-        delta.filter(col("rung") === i).drop("rung")
-          .withColumn("seq", lit(nextDeltaSeq(spark, rungPaths(i))))
-          .repartition(2, col("node_id"))
-          .write.mode("append").parquet(rungPaths(i) + "_delta")
+        writeDelta(delta.filter(col("rung") === i).drop("rung"),
+          rungPaths(i), nextDeltaSeq(spark, rungPaths(i)))
       }
     }
   }
@@ -394,8 +423,7 @@ object GraphAnn {
     * pending and a re-fold is idempotent.
     */
   def foldHnswTombstones(spark: SparkSession, path: String, corpus: DataFrame,
-      embCol: String, idCol: String, m: Int,
-      fanout: Int = 8, maxLevel: Int = 2): Unit = {
+      embCol: String, idCol: String, m: Int, maxLevel: Int = 2): Unit = {
     val tomb = readNswTombstones(spark, path).cache()
     if (tomb.isEmpty) return
     val rungs = path +: (1 to maxLevel).map(path + "_l" + _)
@@ -456,6 +484,46 @@ object GraphAnn {
     visited
   }
 
+  /** One TRACED walk: beamWalk with a snapshot after every hop — the
+    * (cumulative candidates scored, current top-k visited) pair — so a
+    * recall-vs-hops tuning curve costs ONE walk per sample query instead
+    * of one walk per (query, hops) setting (hop h's state is a prefix of
+    * hop h+1's by construction, which also makes the curve monotone).
+    * Returns (hop, scored_so_far, top-k ids) for hop = 1..maxHops.
+    */
+  def nswSearchTrace(spark: SparkSession, path: String, corpus: DataFrame,
+      embCol: String, idCol: String, queryVec: Array[Float], k: Int,
+      beam: Int = 32, maxHops: Int = 4,
+      entries: Int = 16): Seq[(Int, Long, Seq[Long])] = withWalkConfs(spark) {
+    val scoreOf = scorer(corpus, embCol, idCol, queryVec)
+    val adj = readNswAdjacency(spark, path)
+    withPinned(Seq(adj)) {
+      var visited = scoreOf(entryPoints(spark, adj, entries))
+      var scored = visited.size.toLong
+      var expanded = Set.empty[Long]
+      val out = Seq.newBuilder[(Int, Long, Seq[Long])]
+      var hop = 1
+      while (hop <= maxHops) {
+        val frontier = visited.toSeq
+          .sortBy { case (id, s) => (-s, id) }.take(beam)
+          .map(_._1).filterNot(expanded.contains)
+        if (frontier.nonEmpty) {
+          val nbrs = adj.filter(col("node_id").isin(frontier: _*))
+            .select(explode(col("neighbors")).as("id")).distinct()
+            .collect().map(_.getLong(0)) // ≤ B·2M rows per hop
+            .filterNot(visited.contains)
+          visited ++= scoreOf(nbrs.toIndexedSeq)
+          scored += nbrs.length
+          expanded ++= frontier
+        }
+        out += ((hop, scored, visited.toSeq
+          .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)))
+        hop += 1
+      }
+      out.result()
+    }
+  }
+
   /** Emission: drop tombstoned ids (legal waypoints, never results) and
     * return the k best visited as (idCol, score) rows.
     */
@@ -497,6 +565,26 @@ object GraphAnn {
     try f(adj) finally adj.unpersist(false)
   }
 
+  /** Serving confs for the walk's micro-queries, restored on exit: every
+    * hop's frame is provably bounded (frontier ≤ B rows, neighbors ≤
+    * B·2M) — AQE's per-stage re-planning spawns extra jobs that cost
+    * more than they could ever save on such rows, and a 32-partition
+    * shuffle schedules 32 near-empty tasks for a few hundred entries.
+    * Measured on the hnsw driver row: ~1 s of pure scheduling overhead.
+    * Build/append/fold jobs keep the session confs (their shuffles can
+    * be corpus-born, where AQE earns its jobs).
+    */
+  private def withWalkConfs[A](spark: SparkSession)(f: => A): A = {
+    val confs = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Beam search over the persisted graph: H hops, global beam B.
     * `corpus` supplies (idCol, embCol) for scoring — at scale the same
     * table the graph indexes, fetched by pushed id IN point lookups.
@@ -504,15 +592,16 @@ object GraphAnn {
     */
   def nswSearch(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queryVec: Array[Float], k: Int,
-      beam: Int = 32, hops: Int = 4, entries: Int = 16): DataFrame = {
-    val scoreOf = scorer(corpus, embCol, idCol, queryVec)
-    val adj = readNswAdjacency(spark, path)
-    withPinned(Seq(adj)) {
-      val visited =
-        beamWalk(adj, scoreOf, entryPoints(spark, adj, entries), beam, hops)
-      emitTopK(spark, path, visited, idCol, k)
+      beam: Int = 32, hops: Int = 4, entries: Int = 16): DataFrame =
+    withWalkConfs(spark) {
+      val scoreOf = scorer(corpus, embCol, idCol, queryVec)
+      val adj = readNswAdjacency(spark, path)
+      withPinned(Seq(adj)) {
+        val visited =
+          beamWalk(adj, scoreOf, entryPoints(spark, adj, entries), beam, hops)
+        emitTopK(spark, path, visited, idCol, k)
+      }
     }
-  }
 
   // ---------------------------------------------------------------------
   // HNSW: a coarse layer ladder above NSW layer 0 (Malkov & Yashunin
@@ -566,23 +655,31 @@ object GraphAnn {
       embCol: String, idCol: String, lsh: IndexBuilder.RandomHyperplaneLsh,
       m: Int, path: String, corpus: DataFrame,
       fanout: Int = 8, maxLevel: Int = 2): Unit = {
-    val probeUdf = udf { (v: Seq[Float]) =>
-      lsh.probes(lsh.signature(v), radius = 1)
-    }
-    val sigUdf = udf { (v: Seq[Float]) => lsh.signature(v) }
     def layerPath(l: Int): String = if (l == 0) path else path + "_l" + l
-    // tag a (id, …) frame with every layer its id hash belongs to
+    // tag a (id, …) frame with every layer its id hash belongs to — as a
+    // single explode over the computed membership list, NOT a union of
+    // maxLevel+1 filtered copies: the union form re-scans (and re-hashes)
+    // the corpus once per rung, tripling the job's scan volume
+    val layerList = filter(
+      array((0 to maxLevel).map { l =>
+        when(pmod(xxhash64(col("id")),
+          lit(math.pow(fanout.toDouble, l.toDouble).toLong)) === 0L, lit(l))
+      }: _*), x => x.isNotNull)
     def tagged(df: DataFrame): DataFrame =
-      (0 to maxLevel).map { l =>
-        (if (l == 0) df else df.filter(layerFilter("id", fanout, l)))
-          .withColumn("layer", lit(l))
-      }.reduce(_ unionByName _)
+      df.withColumn("layer", explode(layerList))
     val newN = newNodes.select(col(idCol).as("id"), col(embCol).as("emb"))
     val nodesAll = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
       .unionByName(newN)
-    val homeT = tagged(nodesAll).withColumn("bucket", sigUdf(col("emb")))
-    val probedNewT = tagged(newN).select(col("layer"), col("id"), col("emb"),
-      explode(probeUdf(col("emb"))).as("bucket"))
+    // signature ONCE per row, tag after — the ladder's membership tagging
+    // replicates the already-computed bucket instead of re-hashing the
+    // corpus per rung; probes are the columnar mask explode (see
+    // buildNswGraph), never the per-row probes() UDF
+    val homeT = tagged(IndexBuilder.withLshBucket(nodesAll, "emb", lsh))
+    val masks = IndexBuilder.probeMasks(lsh.nBits, radius = 1)
+    val probedNewT = tagged(IndexBuilder.withLshBucket(newN, "emb", lsh, "sig"))
+      .withColumn("mask", explode(typedlit(masks)))
+      .select(col("layer"), col("id"), col("emb"),
+        col("sig").bitwiseXOR(col("mask")).as("bucket"))
     // batch-sized sides are broadcast throughout, so the corpus-wide
     // frames (homeT, existingT, nodesAll) never cross an exchange —
     // exchange count, not compute, dominates this job's wall time
@@ -654,10 +751,8 @@ object GraphAnn {
     val rungs = delta.select("layer").distinct()
       .collect().map(_.getInt(0)).sorted // ≤ maxLevel+1 rows
     rungs.foreach { l =>
-      delta.filter(col("layer") === l).drop("layer")
-        .withColumn("seq", lit(nextDeltaSeq(spark, layerPath(l))))
-        .repartition(2, col("node_id"))
-        .write.mode("append").parquet(layerPath(l) + "_delta")
+      writeDelta(delta.filter(col("layer") === l).drop("layer"),
+        layerPath(l), nextDeltaSeq(spark, layerPath(l)))
     }
   }
 
@@ -672,7 +767,7 @@ object GraphAnn {
   def hnswSearch(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queryVec: Array[Float], k: Int,
       beam: Int = 32, hops: Int = 4, entries: Int = 16,
-      maxLevel: Int = 2, descentBeam: Int = 4): DataFrame = {
+      maxLevel: Int = 2, descentBeam: Int = 4): DataFrame = withWalkConfs(spark) {
     val scoreOf = scorer(corpus, embCol, idCol, queryVec)
     var carried = Seq.empty[Long] // best nodes so far, passed down the ladder
     var l = maxLevel

@@ -45,6 +45,43 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("graph hop curve: monotone, gate empty, chooseHops minimal on the measured curve") {
+    val curve = AnnIndex.annGraphHopCurveOf(spark, sf)
+    val rows = curve.collect()
+      .map(r => (r.getAs[Long]("hops"), r.getAs[Long]("recall_ppm"),
+        r.getAs[Long]("total_candidates")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 >= a._2, s"recall fell from $a to $b")
+        assert(b._3 >= a._3, s"candidate count fell from $a to $b")
+      case _ =>
+    }
+    assert(SparkEntry.queries("ann_graph_tuning_gate")(spark, sf).count() === 0)
+    // chooseHops = minimal target-meeting hop budget on this very curve
+    val target = rows(1)._2 // hop-2's measured recall as the target
+    val chosen = AnnIndex.chooseHops(curve, target)
+    assert(chosen.toLong === rows.find(_._2 >= target).get._1,
+      s"chooseHops($target) = $chosen is not minimal")
+  }
+
+  test("ann_graph_upsert_topk: replacement re-inserted, stale version structurally gone") {
+    val out = SparkEntry.queries("ann_graph_upsert_topk")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 100001L, 100002L, 100003L, 100004L),
+      s"got ${out.map(_.getLong(0)).toSeq}")
+    assert(out.forall(_.getDouble(1) === 1.0))
+    // the stale version must be gone from the stored bytes, and the
+    // re-inserted id must be a live (re-embedded) graph member
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswupsert_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val merged = graft.vector.GraphAnn.readNswAdjacency(spark, path)
+    assert(merged.filter(col("node_id") === 100000L).count() === 1,
+      "re-inserted id must have exactly one live adjacency row")
+    assert(!new java.io.File(path + "_tombstones").exists(),
+      "the upsert's fold must truncate the tombstone sidecar")
+  }
+
   test("ann_recall_gate: mean pruned recall clears both floors (empty violations)") {
     val out = SparkEntry.queries("ann_recall_gate")(spark, sf).collect()
     assert(out.isEmpty,
@@ -625,7 +662,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(l2ids.nonEmpty, "fixture needs at least one layer-2 member")
     GraphAnn.deleteFromNswGraph(spark, l2ids, path)
     GraphAnn.foldHnswTombstones(spark, path, e, "embedding", "vec_id",
-      m = 8, fanout = 8, maxLevel = 2)
+      m = 8, maxLevel = 2)
     assert(!new java.io.File(path + "_tombstones").exists())
     for (rung <- Seq(path, path + "_l1", path + "_l2")) {
       val merged = GraphAnn.readNswAdjacency(spark, rung)
