@@ -1773,6 +1773,41 @@ object AnnIndex extends QueryModule {
       queryVec(spark, dir, 0L), k = 5)
   }
 
+  /** The HNSW variant of the graph upsert: delete → LADDER fold (the
+    * re-inserted id must leave every stored rung before it can return —
+    * the shared sidecar would otherwise hide it on all of them) → re-add
+    * through the layer-tagged append, which re-selects the id's rungs by
+    * the same pure hash the build used, so membership survives the
+    * update. Same oracle (annUpsertTopkSql) served through the full
+    * hierarchical descent.
+    */
+  def annHnswUpsertTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hnswupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    Seq("_delta", "_l1_delta", "_l2_delta", "_tombstones")
+      .foreach(s => deleteRecursively(new java.io.File(path + s)))
+    val e = Tables.embeddings(spark, dir)
+    val corpus = withPlantedSelfCopies(spark, e)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"hnsw:m=8:bits=${defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2", path) {
+      graft.vector.GraphAnn.buildHnswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    graft.vector.GraphAnn.deleteFromNswGraph(spark, Seq(100000L), path)
+    graft.vector.GraphAnn.foldHnswTombstones(
+      spark, path, corpus, "embedding", "vec_id", m = 8)
+    val newVersion = spark.range(100000L, 100001L).toDF("vec_id")
+      .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"))
+    val survivors = corpus.filter(col("vec_id") =!= 100000L)
+    graft.vector.GraphAnn.appendToHnswGraph(
+      spark, newVersion, "embedding", "vec_id", defaultLsh, m = 8, path,
+      survivors)
+    graft.vector.GraphAnn.hnswSearch(
+      spark, path, survivors.unionByName(newVersion), "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 5)
+  }
+
   // ---- graph-ANN tuning (measure, don't guess for the hop budget) ----
 
   /** The graph family's tuning job: the hop budget H is what a walk
@@ -1906,6 +1941,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_delete_topk" -> annGraphDeleteTopk,
     "ann_graph_folded_delete_topk" -> annGraphFoldedDeleteTopk,
     "ann_graph_upsert_topk" -> annGraphUpsertTopk,
+    "ann_hnsw_upsert_topk" -> annHnswUpsertTopk,
     "ann_graph_tuning_gate" -> annGraphTuningGate,
     "ann_hnsw_delete_topk" -> annHnswDeleteTopk,
     "ann_hnsw_folded_delete_topk" -> annHnswFoldedDeleteTopk,
@@ -1951,6 +1987,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_delete_topk" -> annGraphDeleteTopkSql,
     "ann_graph_folded_delete_topk" -> annGraphDeleteTopkSql,
     "ann_graph_upsert_topk" -> annUpsertTopkSql,
+    "ann_hnsw_upsert_topk" -> annUpsertTopkSql,
     "ann_graph_tuning_gate" -> annGraphTuningGateSql,
     "ann_hnsw_delete_topk" -> annGraphDeleteTopkSql,
     "ann_hnsw_folded_delete_topk" -> annGraphDeleteTopkSql,

@@ -829,12 +829,25 @@ object Dedup extends QueryModule {
     */
   def streamingDedupAdmission(spark: SparkSession, dir: String): DataFrame = {
     val path = Tables.scratchPath("graft_mhstream", dir)
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp)) fs.delete(hp, true)
     val docs = Tables.documents(spark, dir)
     val store = docs.filter(col("doc_id") < 300).select("doc_id", "text")
-    buildMinhashStore(store, path)
+    // the base store (epoch 0) is a pure function of the corpus — build it
+    // once per data version and let it stand; admission state is the
+    // OTHER epochs, reset below so each run starts from the marker's
+    // described state (buildMinhashStore wipes the root itself on a miss)
+    ResultCache.buildIfAbsent(spark, store, "minhash:stream-base:v2", path) {
+      buildMinhashStore(store, path)
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/admitted"), true)
+    for (sub <- Seq("/sigs", "/bands")) {
+      val d = new org.apache.hadoop.fs.Path(path + sub)
+      if (fs.exists(d)) fs.listStatus(d).filter(_.isDirectory)
+        .filter(s => s.getPath.getName.startsWith("epoch=") &&
+          s.getPath.getName != "epoch=0")
+        .foreach(s => fs.delete(s.getPath, true))
+    }
     val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
     val b2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)

@@ -82,6 +82,26 @@ class AnnIndexSpec extends SparkSpec {
       "the upsert's fold must truncate the tombstone sidecar")
   }
 
+  test("ann_hnsw_upsert_topk: ladder fold clears every rung before the same id returns") {
+    val out = SparkEntry.queries("ann_hnsw_upsert_topk")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 100001L, 100002L, 100003L, 100004L),
+      s"got ${out.map(_.getLong(0)).toSeq}")
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hnswupsert_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    // the re-inserted id must be live on layer 0 and on exactly the rungs
+    // its hash selects — membership survives the delete/re-add cycle
+    assert(graft.vector.GraphAnn.readNswAdjacency(spark, path)
+      .filter(col("node_id") === 100000L).count() === 1)
+    for (l <- 1 to 2 if new java.io.File(path + "_l" + l).exists()) {
+      // xxhash64(100000) mod 8^l decides membership; the cycle must never
+      // leave duplicate rows on a rung
+      val inRung = graft.vector.GraphAnn.readNswAdjacency(spark, path + "_l" + l)
+        .filter(col("node_id") === 100000L).count()
+      assert(inRung <= 1, s"duplicate adjacency rows for 100000 on rung $l")
+    }
+    assert(!new java.io.File(path + "_tombstones").exists())
+  }
+
   test("ann_recall_gate: mean pruned recall clears both floors (empty violations)") {
     val out = SparkEntry.queries("ann_recall_gate")(spark, sf).collect()
     assert(out.isEmpty,
