@@ -1549,6 +1549,129 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** DELETE from the persisted IVF-PQ index — the codes-carrying table
+    * gets the same tombstone discipline as its float-only sibling, with
+    * one semantics point the PQ stages force: the anti-join applies
+    * BEFORE the ADC coarse pass (pre-filtering, like the metadata-
+    * filtered row), because a deleted row left in the coarse set would
+    * occupy overscan slots and shift the tie-inclusive cutoff — post-
+    * filtering a coarse top-set loses results by construction. Delete
+    * cost stays one sidecar write; codes, centroids, codebooks untouched.
+    *
+    * Oracle (annDeleteTopkSql verbatim): planted copies encode to vector
+    * 0's exact code bytes, so the surviving 5 still ADC-score at the
+    * shared max and rescore to 1.0 — only a tombstone leak or over-delete
+    * perturbs the set.
+    */
+  def annIvfPqDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpqdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    graft.vector.ProductQuantization.buildIvfPqIndex(
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", numClusters = 16, seed = 42L, path)
+    spark.range(100000L, 100005L).toDF("vec_id")
+      .write.mode("overwrite").parquet(path + "_tombstones")
+    val tombstones = spark.read.parquet(path + "_tombstones")
+    val qv = queryVec(spark, dir, 0L)
+    val centers = IndexBuilder.loadIvfCentroids(path)
+    val books = graft.vector.ProductQuantization.loadPqCodebooks(path)
+    val probes = IndexBuilder.nearestClusters(centers, qv,
+      nProbe = tunedNProbe(spark, dir))
+    val live = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probes: _*))
+      .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+    graft.vector.ProductQuantization.pqSearchEncoded(
+      live, "embedding", "vec_id", books, qv, k = 5, overscan = 16)
+  }
+
+  /** COMPACTION folds the IVF-PQ tombstones into the cluster partitions —
+    * `Compaction.foldTombstones` rewrites affected `cluster_id=` leaves
+    * with ALL their columns (the m-byte codes ride along), and both
+    * trained sidecars (centroids + codebooks, underscore-hidden) survive.
+    * Invariance pinning: annDeleteTopkSql verbatim, the query takes NO
+    * anti-join — the folded codes table alone must stop serving the
+    * deleted rows through the full ADC + rescore stack.
+    */
+  def annIvfPqCompactedDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpqcdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivfpq:clusters=16:seed=42:lifecycle=delete+fold:v1", path) {
+      graft.vector.ProductQuantization.buildIvfPqIndex(
+        corpus, "embedding", numClusters = 16, seed = 42L, path)
+      spark.range(100000L, 100005L).toDF("vec_id")
+        .write.mode("overwrite").parquet(path + "_tombstones")
+      graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
+    }
+    graft.vector.ProductQuantization.ivfPqIndexTopK(
+      spark, path, "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 5, nProbe = tunedNProbe(spark, dir))
+  }
+
+  /** UPSERT into the persisted IVF-PQ index — re-embed without retrain:
+    * the replacement assigns and ENCODES against the persisted sidecars
+    * (add-after-train for both quantizers), landing codes in its new
+    * cluster; the old version dies by seq-watermark (an id-level
+    * tombstone would kill the replacement), applied before the ADC pass
+    * for the same pre-filter reason as the delete row.
+    */
+  def annIvfPqUpsertTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpqupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    graft.vector.ProductQuantization.buildIvfPqIndex(
+      withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
+      "embedding", numClusters = 16, seed = 42L, path)
+    spark.range(100000L, 100001L).toDF("t_vec_id")
+      .withColumn("upto_seq", lit(0L))
+      .write.mode("overwrite").parquet(path + "_tombstones")
+    val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
+      .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+    graft.vector.ProductQuantization.appendToIvfPqIndex(reEmbedded, "embedding", path)
+    val tombstones = spark.read.parquet(path + "_tombstones")
+    val qv = queryVec(spark, dir, 0L)
+    val books = graft.vector.ProductQuantization.loadPqCodebooks(path)
+    val probes = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(path), qv, nProbe = tunedNProbe(spark, dir))
+    val live = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probes: _*))
+      .join(broadcast(tombstones),
+        col("vec_id") === col("t_vec_id") && col("seq") <= col("upto_seq"),
+        "left_anti")
+    graft.vector.ProductQuantization.pqSearchEncoded(
+      live, "embedding", "vec_id", books, qv, k = 5, overscan = 16)
+  }
+
+  /** The IVF-PQ watermark fold — the upsert's maintenance half over the
+    * codes table: kill exactly `seq <= upto_seq` in the old cluster, keep
+    * the re-encoded replacement in its new one, sidecars untouched.
+    * annUpsertTopkSql verbatim, no anti-join in the query.
+    */
+  def annIvfPqCompactedUpsertTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpqcupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    ResultCache.buildIfAbsent(spark, withPlantedSelfCopies(spark, e),
+      "ivfpq:clusters=16:seed=42:lifecycle=upsert+fold:v1", path) {
+      graft.vector.ProductQuantization.buildIvfPqIndex(
+        withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
+        "embedding", numClusters = 16, seed = 42L, path)
+      spark.range(100000L, 100001L).toDF("t_vec_id")
+        .withColumn("upto_seq", lit(0L))
+        .write.mode("overwrite").parquet(path + "_tombstones")
+      val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
+        .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+        .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+      graft.vector.ProductQuantization.appendToIvfPqIndex(reEmbedded, "embedding", path)
+      graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
+    }
+    graft.vector.ProductQuantization.ivfPqIndexTopK(
+      spark, path, "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 5, nProbe = tunedNProbe(spark, dir))
+  }
+
   /** KEYSET pagination over ANN results (the serving-path "next page"):
     * page 2 resumes strictly after page 1's last (score, id) cursor —
     * `score < s OR (score = s AND id > i)` — instead of OFFSET, which
@@ -1955,6 +2078,10 @@ object AnnIndex extends QueryModule {
     "ann_ivf_compacted_delete_topk" -> annIvfCompactedDeleteTopk,
     "ann_ivf_upsert_topk" -> annIvfUpsertTopk,
     "ann_ivf_compacted_upsert_topk" -> annIvfCompactedUpsertTopk,
+    "ann_ivf_pq_delete_topk" -> annIvfPqDeleteTopk,
+    "ann_ivf_pq_compacted_delete_topk" -> annIvfPqCompactedDeleteTopk,
+    "ann_ivf_pq_upsert_topk" -> annIvfPqUpsertTopk,
+    "ann_ivf_pq_compacted_upsert_topk" -> annIvfPqCompactedUpsertTopk,
     "ann_paged_topk" -> annPagedTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
@@ -2001,6 +2128,10 @@ object AnnIndex extends QueryModule {
     "ann_ivf_compacted_delete_topk" -> annDeleteTopkSql,
     "ann_ivf_upsert_topk" -> annUpsertTopkSql,
     "ann_ivf_compacted_upsert_topk" -> annUpsertTopkSql,
+    "ann_ivf_pq_delete_topk" -> annDeleteTopkSql,
+    "ann_ivf_pq_compacted_delete_topk" -> annDeleteTopkSql,
+    "ann_ivf_pq_upsert_topk" -> annUpsertTopkSql,
+    "ann_ivf_pq_compacted_upsert_topk" -> annUpsertTopkSql,
     "ann_paged_topk" -> annPagedTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,

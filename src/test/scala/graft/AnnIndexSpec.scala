@@ -102,6 +102,24 @@ class AnnIndexSpec extends SparkSpec {
     assert(!new java.io.File(path + "_tombstones").exists())
   }
 
+  test("ivf-pq lifecycle rows: delete/upsert + folds serve the planted oracles, sidecars survive") {
+    for (row <- Seq("ann_ivf_pq_delete_topk", "ann_ivf_pq_compacted_delete_topk"))
+      assert(SparkEntry.queries(row)(spark, sf).collect().map(_.getLong(0)).toSeq
+        === Seq(0L, 100005L, 100006L, 100007L, 100008L), s"$row row set")
+    for (row <- Seq("ann_ivf_pq_upsert_topk", "ann_ivf_pq_compacted_upsert_topk"))
+      assert(SparkEntry.queries(row)(spark, sf).collect().map(_.getLong(0)).toSeq
+        === Seq(0L, 100001L, 100002L, 100003L, 100004L), s"$row row set")
+    // the folded index kept both trained sidecars and its stored codes
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpqcdel_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    assert(new java.io.File(path, "_graft_ivf_centroids.txt").exists())
+    assert(new java.io.File(path, "_graft_pq_codebooks.txt").exists())
+    val folded = spark.read.parquet(path)
+    assert(folded.columns.contains("pq_codes"), "codes must survive the fold")
+    assert(folded.filter(col("vec_id") >= 100000L && col("vec_id") < 100005L)
+      .count() === 0, "deleted ids must be gone from the folded bytes")
+  }
+
   test("ann_recall_gate: mean pruned recall clears both floors (empty violations)") {
     val out = SparkEntry.queries("ann_recall_gate")(spark, sf).collect()
     assert(out.isEmpty,
