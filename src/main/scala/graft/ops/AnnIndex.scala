@@ -1896,6 +1896,40 @@ object AnnIndex extends QueryModule {
       queryVec(spark, dir, 0L), k = 5)
   }
 
+  /** Metadata-FILTERED graph search — the hnswlib filtered-search
+    * semantics for the family where pre-filtering the SCAN isn't
+    * possible (a graph walk must route through non-matching waypoints or
+    * regions reachable only across them would strand): the walk runs
+    * unrestricted, and the PREDICATE applies at emission next to the
+    * tombstone filter, as one pushed `id IN` probe bounded by the
+    * visited set. Same tier construction and oracle as annFilteredTopk:
+    * filtered top-5 for tier='gold' is provably the 5 gold copies at
+    * cosine 1.0 — a predicate applied to the walk (stranding), a
+    * post-filtered top-k (losing gold rows to corpus rows), or an
+    * emission leak each perturbs the row set.
+    */
+  def annGraphFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswfilter_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), lit("corpus").as("tier"))
+    val copies = spark.range(100000L, 100009L).toDF("vec_id")
+      .crossJoin(broadcast(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"),
+        when(col("vec_id") % 2 === 0, "gold").otherwise("silver").as("tier"))
+    val tiered = base.unionByName(copies)
+    ResultCache.buildIfAbsent(spark, tiered,
+      s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42", path) {
+      graft.vector.GraphAnn.buildNswGraph(
+        tiered, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    graft.vector.GraphAnn.nswSearch(
+      spark, path, tiered, "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 5,
+      allowed = Some(tiered.filter(col("tier") === "gold").select("vec_id")))
+  }
+
   /** The HNSW variant of the graph upsert: delete → LADDER fold (the
     * re-inserted id must leave every stored rung before it can return —
     * the shared sidecar would otherwise hide it on all of them) → re-add
@@ -2064,6 +2098,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_delete_topk" -> annGraphDeleteTopk,
     "ann_graph_folded_delete_topk" -> annGraphFoldedDeleteTopk,
     "ann_graph_upsert_topk" -> annGraphUpsertTopk,
+    "ann_graph_filtered_topk" -> annGraphFilteredTopk,
     "ann_hnsw_upsert_topk" -> annHnswUpsertTopk,
     "ann_graph_tuning_gate" -> annGraphTuningGate,
     "ann_hnsw_delete_topk" -> annHnswDeleteTopk,
@@ -2114,6 +2149,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_delete_topk" -> annGraphDeleteTopkSql,
     "ann_graph_folded_delete_topk" -> annGraphDeleteTopkSql,
     "ann_graph_upsert_topk" -> annUpsertTopkSql,
+    "ann_graph_filtered_topk" -> annFilteredTopkSql,
     "ann_hnsw_upsert_topk" -> annUpsertTopkSql,
     "ann_graph_tuning_gate" -> annGraphTuningGateSql,
     "ann_hnsw_delete_topk" -> annGraphDeleteTopkSql,

@@ -524,11 +524,18 @@ object GraphAnn {
     }
   }
 
-  /** Emission: drop tombstoned ids (legal waypoints, never results) and
-    * return the k best visited as (idCol, score) rows.
+  /** Emission: drop tombstoned ids (legal waypoints, never results),
+    * apply the optional metadata predicate the same way (the hnswlib
+    * filtered-search semantics: the walk routes through every node, only
+    * emission is filtered — post-filtering a top-k would lose results,
+    * and pruning the WALK by the predicate could strand regions), and
+    * return the k best surviving visited as (idCol, score) rows. The
+    * predicate probe is one pushed `id IN` lookup bounded by the visited
+    * set, like the tombstone probe.
     */
   private def emitTopK(spark: SparkSession, path: String,
-      visited: Map[Long, Double], idCol: String, k: Int): DataFrame = {
+      visited: Map[Long, Double], idCol: String, k: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val visitedIds = visited.keys.toSeq
     val dead: Set[Long] =
@@ -536,7 +543,17 @@ object GraphAnn {
       else readNswTombstones(spark, path)
         .filter(col("node_id").isin(visitedIds: _*))
         .collect().map(_.getLong(0)).toSet
-    visited.toSeq.filterNot { case (id, _) => dead.contains(id) }
+    val pass: Long => Boolean = allowed match {
+      case None => _ => true
+      case Some(a) =>
+        if (visitedIds.isEmpty) _ => false
+        else {
+          val ok = a.filter(col(idCol).isin(visitedIds: _*))
+            .select(col(idCol)).collect().map(_.getLong(0)).toSet
+          ok.contains _
+        }
+    }
+    visited.toSeq.filter { case (id, _) => !dead.contains(id) && pass(id) }
       .sortBy { case (id, s) => (-s, id) }.take(k)
       .map { case (id, s) =>
         (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -592,14 +609,15 @@ object GraphAnn {
     */
   def nswSearch(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queryVec: Array[Float], k: Int,
-      beam: Int = 32, hops: Int = 4, entries: Int = 16): DataFrame =
+      beam: Int = 32, hops: Int = 4, entries: Int = 16,
+      allowed: Option[DataFrame] = None): DataFrame =
     withWalkConfs(spark) {
       val scoreOf = scorer(corpus, embCol, idCol, queryVec)
       val adj = readNswAdjacency(spark, path)
       withPinned(Seq(adj)) {
         val visited =
           beamWalk(adj, scoreOf, entryPoints(spark, adj, entries), beam, hops)
-        emitTopK(spark, path, visited, idCol, k)
+        emitTopK(spark, path, visited, idCol, k, allowed)
       }
     }
 

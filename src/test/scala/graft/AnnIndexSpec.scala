@@ -120,6 +120,14 @@ class AnnIndexSpec extends SparkSpec {
       .count() === 0, "deleted ids must be gone from the folded bytes")
   }
 
+  test("ann_graph_filtered_topk: predicate filters emission only, walk routes through") {
+    val out = SparkEntry.queries("ann_graph_filtered_topk")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq
+      === Seq(100000L, 100002L, 100004L, 100006L, 100008L),
+      s"got ${out.map(_.getLong(0)).toSeq}")
+    assert(out.forall(_.getDouble(1) === 1.0))
+  }
+
   test("ann_recall_gate: mean pruned recall clears both floors (empty violations)") {
     val out = SparkEntry.queries("ann_recall_gate")(spark, sf).collect()
     assert(out.isEmpty,
