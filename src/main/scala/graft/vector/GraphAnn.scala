@@ -328,88 +328,124 @@ object GraphAnn {
   }
 
   /** The fold body over a SET of rungs as ONE rung-tagged job (the
-    * batched-append discipline applied to deletes): every rung's merged
-    * adjacency unions in under a `rung` tag, the bridge/surviving/rewrite
-    * pipeline keys on (rung, …) so rungs never mix, and the computed
-    * delta rows materialize once before fanning out as per-rung sidecar
-    * appends. Embedding joins use the FULL corpus keyed by id — scores
-    * are layer-independent, and ids are corpus-unique. The caller owns
-    * the tombstone-sidecar lifecycle.
+    * batched-append discipline applied to deletes): the
+    * bridge/surviving/rewrite pipeline keys on (rung, …) so rungs never
+    * mix, and the computed delta rows materialize once before fanning
+    * out as per-rung sidecar appends. The only corpus-wide touch is a
+    * RAW map-side scan for the deleted set's in-neighbor candidates —
+    * no latest-wins aggregate ever runs over the full graph here (see
+    * the inline notes). Embedding joins use the FULL corpus keyed by id
+    * — scores are layer-independent, and ids are corpus-unique. The
+    * caller owns the tombstone-sidecar lifecycle.
     */
   private def foldRungTombstones(spark: SparkSession, rungPaths: Seq[String],
       tomb: DataFrame, corpus: DataFrame, embCol: String, idCol: String,
-      m: Int): Unit = {
-    val adjT = rungPaths.zipWithIndex.map { case (p, i) =>
-      readNswAdjacency(spark, p).withColumn("rung", lit(i))
+      m: Int): Unit = withWalkConfs(spark) {
+    // walk confs apply to the fold too: its only corpus-wide touch is the
+    // map-side raw scan (no shuffle for AQE to replan), and every shuffle
+    // below is bounded by |deleted| × in-degree
+    // THE one corpus-wide pass this job fundamentally needs: the graph
+    // stores OUT-edges only, so finding the deleted set's in-neighbors
+    // must touch every rung's adjacency once. It runs over the RAW
+    // base∪delta rows — a map-side scan + broadcast join, NO latest-wins
+    // shuffle — yielding a stale-version SUPERSET of the in-neighbors
+    // (bounded by in-degree across versions); only those candidates then
+    // pay the merge, as an id-pruned fetch whose current edges decide
+    // true affectedness. Everything downstream is |deleted| × in-degree
+    // bounded; the full merged view is never aggregated, materialized,
+    // or pinned anywhere in the fold.
+    val rawRows = rungPaths.zipWithIndex.map { case (p, i) =>
+      val base = spark.read.parquet(p).select(col("node_id"), col("neighbors"))
+      val all =
+        if (pathExists(spark, p + "_delta"))
+          base.unionByName(spark.read.parquet(p + "_delta")
+            .select(col("node_id"), col("neighbors")))
+        else base
+      all.withColumn("rung", lit(i))
     }.reduce(_ unionByName _)
-    withPinnedFold(adjT) { adj =>
-      // adj is pinned for the fold: the merged view feeds the edge explode
-      // (read four ways below) plus the removal markers — unpinned, every
-      // consumer re-runs each rung's base∪delta latest-wins aggregate
-      val edges = adj.select(col("rung"), col("node_id").as("src"),
+    val candIds = rawRows
+      .select(col("rung"), col("node_id"), explode(col("neighbors")).as("dst"))
+      .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"))
+      .join(broadcast(tomb), Seq("node_id"), "left_anti")
+      .select("rung", "node_id").distinct()
+      .localCheckpoint(true)
+    // ONE bounded fetch for every merged row the fold needs — the
+    // in-neighbor candidates AND the deleted nodes themselves — as a
+    // per-rung id semi-join below the latest-wins aggregate,
+    // materialized once; splitting back out is a broadcast filter over
+    // the checkpointed blocks, never another read of the rung files.
+    val fetched = rungPaths.zipWithIndex.map { case (p, i) =>
+      readNswAdjacencyFor(spark, p,
+        candIds.filter(col("rung") === i).select("node_id")
+          .unionByName(tomb).distinct())
+        .withColumn("rung", lit(i))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    // the candidates' CURRENT merged rows: their edges split into the
+    // dying endpoints (⇒ true affectedness + bridge anchors) and the
+    // surviving ones (⇒ the rewrite's base edge set) — a stale-only
+    // in-edge makes a candidate drop out here
+    val candEdges = fetched
+      .join(broadcast(tomb), Seq("node_id"), "left_anti")
+      .select(col("rung"), col("node_id").as("src"),
         explode(col("neighbors")).as("dst"))
-      // the tombstone set and every frame derived through it are bounded by
-      // |deleted| (× in-degree) — broadcast them so the corpus-wide edge
-      // and embedding frames never cross an exchange in this job
-      // bridge candidates: deleted node d's surviving neighbors, offered to
-      // every surviving node that listed d (within the same rung)
-      val deadOut = edges.join(broadcast(tomb.withColumnRenamed("node_id", "src")), Seq("src"))
-        .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"), "left_anti")
-      // materialized once: affected feeds bridges, the affected-id set and
-      // the rewrite — each a separate broadcast subtree otherwise
-      val affected = edges
-        .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"))
-        .join(broadcast(tomb.withColumnRenamed("node_id", "src")), Seq("src"), "left_anti")
-        .select(col("rung"), col("src"), col("dst").as("via"))
-        .localCheckpoint(true)
-      val bridges = broadcast(affected)
-        .join(deadOut.select(col("rung"), col("src").as("via"), col("dst")),
-          Seq("rung", "via"))
-        .select(col("rung"), col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-      val surviving = edges
-        .join(broadcast(tomb.withColumnRenamed("node_id", "src")), Seq("src"), "left_anti")
-        .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"), "left_anti")
-        .select("rung", "src", "dst")
-      val affectedIds = affected.select(col("rung"), col("src").as("node_id")).distinct()
-      val nodes = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
-      val rewriteEdges = surviving.unionByName(bridges)
-        .join(broadcast(affectedIds.withColumnRenamed("node_id", "src")),
-          Seq("rung", "src"))
-        .distinct()
-      val rewriteSrc = broadcast(rewriteEdges)
-        .join(nodes.select(col("id").as("src"), col("emb").as("src_emb")), Seq("src"))
-      val rewritten = broadcast(rewriteSrc)
-        .join(nodes.select(col("id").as("dst"), col("emb").as("dst_emb")), Seq("dst"))
-        .select(col("rung"), col("src"), col("dst"),
-          VectorFunctions.cosineUnit(col("src_emb"), col("dst_emb")).as("score"))
-        .withColumn("rn", row_number().over(Window.partitionBy("rung", "src")
-          .orderBy(col("score").desc, col("dst").asc)))
-        .filter(col("rn") <= 2 * m)
-        .groupBy(col("rung"), col("src").as("node_id"))
-        .agg(sort_array(collect_list(struct(
-          (-col("score")).as("neg"), col("dst"))))
-          .getField("dst").as("neighbors"))
-      // an affected node whose every edge died still needs a NEW row —
-      // an empty list, not its stale one surviving latest-wins
-      val rewrittenAll = affectedIds
-        .join(broadcast(rewritten), Seq("rung", "node_id"), "left")
-        .select(col("rung"), col("node_id"), coalesce(col("neighbors"),
-          array().cast(org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.LongType))).as("neighbors"))
-      val removals = adj.join(broadcast(tomb), Seq("node_id"))
-        .select(col("rung"), col("node_id"), lit(null)
-          .cast(org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.LongType)).as("neighbors"))
-      // one job computes every rung's delta rows; the per-rung appends are
-      // cheap scans of the checkpointed blocks
-      val delta = rewrittenAll.unionByName(removals).localCheckpoint(true)
-      val present = delta.select("rung").distinct()
-        .collect().map(_.getInt(0)).sorted // ≤ |rungs| rows
-      present.foreach { i =>
-        writeDelta(delta.filter(col("rung") === i).drop("rung"),
-          rungPaths(i), nextDeltaSeq(spark, rungPaths(i)))
-      }
+    val affected = candEdges
+      .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"))
+      .select(col("rung"), col("src"), col("dst").as("via"))
+    val affectedIds = affected.select(col("rung"), col("src").as("node_id")).distinct()
+    // the deleted nodes' own rows: feed bridge candidates AND removal
+    // markers — tombstone-bounded
+    val deadAdj = fetched.join(broadcast(tomb), Seq("node_id"))
+    // bridge candidates: deleted node d's surviving neighbors, offered to
+    // every surviving node that listed d (within the same rung)
+    val deadOut = deadAdj.select(col("rung"), col("node_id").as("via"),
+        explode(col("neighbors")).as("dst"))
+      .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"), "left_anti")
+    val bridges = broadcast(affected)
+      .join(deadOut, Seq("rung", "via"))
+      .select(col("rung"), col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    // affected nodes' surviving edges — from the same fetched candidate
+    // rows, restricted to TRUE affected sources (a candidate whose only
+    // tomb edge was stale must not be rewritten)
+    val surviving = candEdges
+      .join(broadcast(tomb.withColumnRenamed("node_id", "dst")), Seq("dst"), "left_anti")
+      .join(broadcast(affectedIds.withColumnRenamed("node_id", "src")),
+        Seq("rung", "src"))
+      .select("rung", "src", "dst")
+    val nodes = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val rewriteEdges = surviving.unionByName(bridges).distinct()
+    val rewriteSrc = broadcast(rewriteEdges)
+      .join(nodes.select(col("id").as("src"), col("emb").as("src_emb")), Seq("src"))
+    val rewritten = broadcast(rewriteSrc)
+      .join(nodes.select(col("id").as("dst"), col("emb").as("dst_emb")), Seq("dst"))
+      .select(col("rung"), col("src"), col("dst"),
+        VectorFunctions.cosineUnit(col("src_emb"), col("dst_emb")).as("score"))
+      .withColumn("rn", row_number().over(Window.partitionBy("rung", "src")
+        .orderBy(col("score").desc, col("dst").asc)))
+      .filter(col("rn") <= 2 * m)
+      .groupBy(col("rung"), col("src").as("node_id"))
+      .agg(sort_array(collect_list(struct(
+        (-col("score")).as("neg"), col("dst"))))
+        .getField("dst").as("neighbors"))
+    // an affected node whose every edge died still needs a NEW row —
+    // an empty list, not its stale one surviving latest-wins
+    val rewrittenAll = affectedIds
+      .join(broadcast(rewritten), Seq("rung", "node_id"), "left")
+      .select(col("rung"), col("node_id"), coalesce(col("neighbors"),
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))).as("neighbors"))
+    val removals = deadAdj
+      .select(col("rung"), col("node_id"), lit(null)
+        .cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)).as("neighbors"))
+    // one job computes every rung's delta rows; the per-rung appends are
+    // cheap scans of the checkpointed blocks
+    val delta = rewrittenAll.unionByName(removals).localCheckpoint(true)
+    val present = delta.select("rung").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ |rungs| rows
+    present.foreach { i =>
+      writeDelta(delta.filter(col("rung") === i).drop("rung"),
+        rungPaths(i), nextDeltaSeq(spark, rungPaths(i)))
     }
   }
 
@@ -573,13 +609,6 @@ object GraphAnn {
   private def withPinned[A](adjs: Seq[DataFrame])(f: => A): A = {
     adjs.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try f finally adjs.foreach(_.unpersist(false))
-  }
-
-  /** The fold-scoped variant: pin a merged adjacency, hand it to the
-    * body, unpin when the fold's delta has landed. */
-  private def withPinnedFold[A](adj: DataFrame)(f: DataFrame => A): A = {
-    adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try f(adj) finally adj.unpersist(false)
   }
 
   /** Serving confs for the walk's micro-queries, restored on exit: every
@@ -785,7 +814,8 @@ object GraphAnn {
   def hnswSearch(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queryVec: Array[Float], k: Int,
       beam: Int = 32, hops: Int = 4, entries: Int = 16,
-      maxLevel: Int = 2, descentBeam: Int = 4): DataFrame = withWalkConfs(spark) {
+      maxLevel: Int = 2, descentBeam: Int = 4,
+      descentHops: Int = 2): DataFrame = withWalkConfs(spark) {
     val scoreOf = scorer(corpus, embCol, idCol, queryVec)
     var carried = Seq.empty[Long] // best nodes so far, passed down the ladder
     var l = maxLevel
@@ -798,7 +828,11 @@ object GraphAnn {
             if (carried.nonEmpty) carried
             else entryPoints(spark, adjL, descentBeam)
           if (seeds.nonEmpty) {
-            val walked = beamWalk(adjL, scoreOf, seeds, descentBeam, hops)
+            // the descent's only job is seeding layer 0 NEAR the answer —
+            // the HNSW ef=1 descent spends ~2 greedy steps per rung, and
+            // the layer-0 walk's own fixed entries + full hop budget keep
+            // the flat-NSW recall floor whatever the descent returns
+            val walked = beamWalk(adjL, scoreOf, seeds, descentBeam, descentHops)
             carried = walked.toSeq.sortBy { case (id, s) => (-s, id) }
               .take(descentBeam).map(_._1)
           }
