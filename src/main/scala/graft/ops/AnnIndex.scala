@@ -1896,6 +1896,40 @@ object AnnIndex extends QueryModule {
       queryVec(spark, dir, 0L), k = 5)
   }
 
+  /** BATCH graph retrieval: the five-family planted construction of the
+    * LSH/IVF batch rows served by ONE shared-job walk
+    * (`GraphAnn.nswBatchSearch`) — per hop, one adjacency fetch for the
+    * union of all five frontiers and one embedding fetch for the union
+    * of all new candidates, so batch cost amortizes instead of
+    * multiplying by |q|. Each family is a 10-clique in the graph (its
+    * members are mutually nearest), so a walk that reaches ANY member
+    * drains the family; the enumerable 50-row oracle (self + nine copies
+    * per query, all at 1.0) is the same one the LSH/IVF batch rows use —
+    * a regression in frontier bookkeeping, the shared fetches, per-query
+    * state isolation, or emission perturbs the set.
+    */
+  def annGraphBatchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswbatch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qbase = e.filter(col("vec_id") < 5L)
+    val copies = broadcast(qbase)
+      .crossJoin(spark.range(0L, 9L).toDF("j"))
+      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
+        col("embedding"))
+    val corpus = e.unionByName(copies)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42", path) {
+      graft.vector.GraphAnn.buildNswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    val queries = qbase.collect() // 5 rows — the query batch
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    graft.vector.GraphAnn.nswBatchSearch(
+      spark, path, corpus, "embedding", "vec_id", queries, k = 10)
+      .withColumn("qid", col("qid").cast("long"))
+  }
+
   /** Metadata-FILTERED graph search — the hnswlib filtered-search
     * semantics for the family where pre-filtering the SCAN isn't
     * possible (a graph walk must route through non-matching waypoints or
@@ -2099,6 +2133,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_folded_delete_topk" -> annGraphFoldedDeleteTopk,
     "ann_graph_upsert_topk" -> annGraphUpsertTopk,
     "ann_graph_filtered_topk" -> annGraphFilteredTopk,
+    "ann_graph_batch_topk" -> annGraphBatchTopk,
     "ann_hnsw_upsert_topk" -> annHnswUpsertTopk,
     "ann_graph_tuning_gate" -> annGraphTuningGate,
     "ann_hnsw_delete_topk" -> annHnswDeleteTopk,
@@ -2150,6 +2185,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_folded_delete_topk" -> annGraphDeleteTopkSql,
     "ann_graph_upsert_topk" -> annUpsertTopkSql,
     "ann_graph_filtered_topk" -> annFilteredTopkSql,
+    "ann_graph_batch_topk" -> annLshBatchTopkSql,
     "ann_hnsw_upsert_topk" -> annUpsertTopkSql,
     "ann_graph_tuning_gate" -> annGraphTuningGateSql,
     "ann_hnsw_delete_topk" -> annGraphDeleteTopkSql,

@@ -803,6 +803,93 @@ object GraphAnn {
     }
   }
 
+  /** BATCH graph retrieval: answer ALL queries with shared per-hop jobs —
+    * the lshBatchTopK economics brought to the walk family. Each query
+    * keeps its own driver-side beam state (B + E + H·B·2M entries, the
+    * usual serving bound), but every hop issues ONE adjacency fetch for
+    * the UNION of all frontiers and ONE embedding fetch for the union of
+    * all new candidates, so the per-hop job cost is amortized across the
+    * batch instead of multiplying by it (2 jobs/hop total vs 2·|q|).
+    * Scoring runs driver-side over the fetched (id, vector) rows — the
+    * fetch is bounded by |q|·B·2M rows of embCol width, the same order
+    * as the states themselves. Emission matches nswSearch per query
+    * (tombstones filtered, k best, 6-dp rounding, score-desc/id-asc).
+    */
+  def nswBatchSearch(spark: SparkSession, path: String, corpus: DataFrame,
+      embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
+      k: Int, beam: Int = 32, hops: Int = 4,
+      entries: Int = 16): DataFrame = withWalkConfs(spark) {
+    import spark.implicits._
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val adj = readNswAdjacency(spark, path)
+    withPinned(Seq(adj)) {
+      // one embedding fetch for a bounded id set, shared by all queries
+      val embCache = scala.collection.mutable.Map.empty[Long, Array[Float]]
+      def fetchEmbs(ids: Seq[Long]): Unit = {
+        val missing = ids.filterNot(embCache.contains)
+        if (missing.nonEmpty)
+          corpus.filter(col(idCol).isin(missing: _*))
+            .select(col(idCol), col(embCol)).collect()
+            .foreach(r => embCache(r.getLong(0)) = r.getSeq[Float](1).toArray)
+      }
+      val entryIds = entryPoints(spark, adj, entries)
+      fetchEmbs(entryIds)
+      val visited = scala.collection.mutable.Map(queries.map { case (qid, qv) =>
+        qid -> scala.collection.mutable.Map(entryIds.flatMap(id =>
+          embCache.get(id).map(e => id -> cosine(e, qv))): _*)
+      }: _*)
+      val expanded = scala.collection.mutable.Map(
+        queries.map { case (qid, _) => qid -> Set.empty[Long] }: _*)
+      var hop = 0
+      while (hop < hops) {
+        // per-query frontier, driver-side; ONE union fetch below
+        val frontiers = queries.map { case (qid, _) =>
+          qid -> visited(qid).toSeq
+            .sortBy { case (id, s) => (-s, id) }.take(beam)
+            .map(_._1).filterNot(expanded(qid).contains)
+        }.toMap
+        val frontierUnion = frontiers.values.flatten.toSeq.distinct
+        if (frontierUnion.isEmpty) hop = hops
+        else {
+          val nbrsOf: Map[Long, Seq[Long]] =
+            adj.filter(col("node_id").isin(frontierUnion: _*))
+              .select(col("node_id"), col("neighbors")).collect()
+              .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+          fetchEmbs(nbrsOf.values.flatten.toSeq.distinct)
+          queries.foreach { case (qid, qv) =>
+            val vq = visited(qid)
+            frontiers(qid).foreach { f =>
+              nbrsOf.getOrElse(f, Nil).foreach { nb =>
+                if (!vq.contains(nb))
+                  embCache.get(nb).foreach(e => vq(nb) = cosine(e, qv))
+              }
+            }
+            expanded(qid) ++= frontiers(qid)
+          }
+          hop += 1
+        }
+      }
+      val visitedAll = visited.values.flatMap(_.keys).toSeq.distinct
+      val dead: Set[Long] =
+        if (visitedAll.isEmpty) Set.empty
+        else readNswTombstones(spark, path)
+          .filter(col("node_id").isin(visitedAll: _*))
+          .collect().map(_.getLong(0)).toSet
+      queries.flatMap { case (qid, _) =>
+        visited(qid).toSeq.filterNot { case (id, _) => dead.contains(id) }
+          .sortBy { case (id, s) => (-s, id) }.take(k)
+          .map { case (id, s) => (qid, id,
+            BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      }.toDF("qid", idCol, "score")
+        .orderBy(col("qid"), col(idCol))
+    }
+  }
+
   /** Hierarchical search: greedy-descend the ladder top-down (small beam
     * per upper layer — the ef=1 descent of HNSW, widened a little for
     * determinism-safe ties), then run the layer-0 beam from the descended

@@ -128,6 +128,19 @@ class AnnIndexSpec extends SparkSpec {
     assert(out.forall(_.getDouble(1) === 1.0))
   }
 
+  test("ann_graph_batch_topk: all five families drain through the shared-job walk") {
+    val out = SparkEntry.queries("ann_graph_batch_topk")(spark, sf).collect()
+    assert(out.length === 50, s"expected 50 rows, got ${out.length}")
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      val expected = (Seq(q) ++ (0 until 9).map(j => 100000L + q * 100 + j)).sorted
+      assert(rows.map(_.getLong(1)).sorted.toSeq === expected,
+        s"family $q: ${rows.map(_.getLong(1)).sorted.toSeq}")
+      assert(rows.forall(_.getDouble(2) === 1.0))
+    }
+  }
+
   test("ann_recall_gate: mean pruned recall clears both floors (empty violations)") {
     val out = SparkEntry.queries("ann_recall_gate")(spark, sf).collect()
     assert(out.isEmpty,
