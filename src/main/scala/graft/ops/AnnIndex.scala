@@ -1139,6 +1139,50 @@ object AnnIndex extends QueryModule {
     }.orderBy("vec_id")
   }
 
+  /** The optimizer-driven IVF route under the self-query oracle: the
+    * query is the NATURAL exact k-NN over the persisted
+    * `partitionBy(cluster_id)` index — no cluster filter anywhere in
+    * user code — and the opt-in rule injects `cluster_id IN <nProbe
+    * nearest centroids>`, ranked at plan time against the index's
+    * centroid sidecar (plan-pinned in AnnRewriteSpec). The probe width
+    * is the measured `tunedNProbe`, so even the optimizer path serves
+    * off the tuning curve. Catalyst turns the injected IN into partition
+    * pruning; the planted construction keeps the answer exact at any
+    * probe width (vector 0's cluster is rank 1 by definition).
+    */
+  def annRewriteIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{AnnRewriteRule => R, GraftExtensions}
+    GraftExtensions.register(spark)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfrw_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    IndexBuilder.buildIvfIndex(
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "embedding", numClusters = 16, seed = 42L, path)
+    val qv = queryVec(spark, dir, 0L)
+    Relational.withConfsLocalized(spark, Seq(
+      R.EnabledKey -> "true", R.NBitsKey -> "6", R.SeedKey -> "42",
+      R.RadiusKey -> "0",
+      R.IvfCentroidsPathKey -> path,
+      R.IvfNProbeKey -> tunedNProbe(spark, dir).toString)) {
+      annRewriteIvfFrame(spark, path, qv)
+    }.orderBy("vec_id")
+  }
+
+  /** The armed IVF query frame, exposed so AnnRewriteSpec can audit the
+    * very plan the driver row runs (injected cluster_id partition
+    * filter — without the audit, a silently non-firing rule would still
+    * pass the oracle via brute force).
+    */
+  private[graft] def annRewriteIvfFrame(spark: SparkSession,
+      path: String, qv: Array[Float]): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+
   /** The armed query frame, exposed so AnnRewriteSpec can audit the very
     * plan the driver row runs (partition filters AND pushed tier filter).
     */
@@ -2140,6 +2184,7 @@ object AnnIndex extends QueryModule {
     "ann_hnsw_folded_delete_topk" -> annHnswFoldedDeleteTopk,
     "ann_filtered_topk" -> annFilteredTopk,
     "ann_rewrite_filtered_topk" -> annRewriteFilteredTopk,
+    "ann_rewrite_ivf_topk" -> annRewriteIvfTopk,
     "ann_delete_topk" -> annDeleteTopk,
     "ann_compacted_delete_topk" -> annCompactedDeleteTopk,
     "ann_upsert_topk" -> annUpsertTopk,
@@ -2192,6 +2237,7 @@ object AnnIndex extends QueryModule {
     "ann_hnsw_folded_delete_topk" -> annGraphDeleteTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_rewrite_filtered_topk" -> annFilteredTopkSql,
+    "ann_rewrite_ivf_topk" -> annSelfQueryTopkSql,
     "ann_delete_topk" -> annDeleteTopkSql,
     "ann_compacted_delete_topk" -> annDeleteTopkSql,
     "ann_upsert_topk" -> annUpsertTopkSql,

@@ -159,6 +159,30 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("driver ann_rewrite_ivf_topk frame: the injected cluster filter reaches partition pruning") {
+    // run the row once: builds its index, and its answer is oracle-checked
+    // by the driver — here we audit that the rule actually FIRED on the
+    // row's own frame (a silently non-firing rule would still pass the
+    // oracle via brute force)
+    SparkEntry.queries("ann_rewrite_ivf_topk")(spark, sf).collect()
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfrw_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    spark.conf.set(AnnRewriteRule.EnabledKey, "true")
+    spark.conf.set(AnnRewriteRule.IvfCentroidsPathKey, path)
+    spark.conf.set(AnnRewriteRule.IvfNProbeKey, "6")
+    try {
+      val physical = ops.AnnIndex.annRewriteIvfFrame(spark, path, qvec)
+        .queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters") &&
+        !physical.contains("PartitionFilters: []"),
+        s"row frame did not partition-prune:\n$physical")
+    } finally {
+      spark.conf.set(AnnRewriteRule.EnabledKey, "false")
+      spark.conf.unset(AnnRewriteRule.IvfCentroidsPathKey)
+      spark.conf.unset(AnnRewriteRule.IvfNProbeKey)
+    }
+  }
+
   test("IVF route composes with the persisted IVF-PQ index table unchanged") {
     // the PQ index carries the same cluster_id partition layout, so the
     // SAME rewrite rule routes the natural exact query through it — the
