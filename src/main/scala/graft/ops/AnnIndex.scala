@@ -1940,6 +1940,41 @@ object AnnIndex extends QueryModule {
       queryVec(spark, dir, 0L), k = 5)
   }
 
+  /** MOR COMPACTION for the graph under the self-query oracle — the
+    * maintenance job that stops delta generations accumulating: build
+    * over the raw corpus, append the planted copies (a delta), then
+    * `compactNswGraph` rewrites the merged view as the new base and
+    * truncates the sidecar. The invariance pinning (mor_compact's
+    * trick): the search runs with NO delta directory on disk — the
+    * compacted base alone must serve the appended copies, so a
+    * compaction that lost a delta row, resurrected a removal marker, or
+    * corrupted the base perturbs the enumerable row set. The whole
+    * build+append+compact sequence is ONE cached unit (the fold mutates
+    * the base, so the marker must describe the directory as served).
+    */
+  def annGraphCompactedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswcompact_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42:lifecycle=append+compact:v1",
+      path) {
+      deleteRecursively(new java.io.File(path + "_delta"))
+      graft.vector.GraphAnn.buildNswGraph(
+        e, "embedding", "vec_id", defaultLsh, m = 8, path)
+      graft.vector.GraphAnn.appendToNswGraph(
+        spark, corpus.filter(col("vec_id") >= 100000L),
+        "embedding", "vec_id", defaultLsh, m = 8, path, e)
+      graft.vector.GraphAnn.compactNswGraph(spark, path)
+    }
+    require(!new java.io.File(path + "_delta").exists(),
+      "compaction must truncate the delta sidecar")
+    graft.vector.GraphAnn.nswSearch(
+      spark, path, corpus, "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 10)
+  }
+
   /** BATCH graph retrieval: the five-family planted construction of the
     * LSH/IVF batch rows served by ONE shared-job walk
     * (`GraphAnn.nswBatchSearch`) — per hop, one adjacency fetch for the
@@ -2178,6 +2213,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_upsert_topk" -> annGraphUpsertTopk,
     "ann_graph_filtered_topk" -> annGraphFilteredTopk,
     "ann_graph_batch_topk" -> annGraphBatchTopk,
+    "ann_graph_compacted_topk" -> annGraphCompactedTopk,
     "ann_hnsw_upsert_topk" -> annHnswUpsertTopk,
     "ann_graph_tuning_gate" -> annGraphTuningGate,
     "ann_hnsw_delete_topk" -> annHnswDeleteTopk,
@@ -2231,6 +2267,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_upsert_topk" -> annUpsertTopkSql,
     "ann_graph_filtered_topk" -> annFilteredTopkSql,
     "ann_graph_batch_topk" -> annLshBatchTopkSql,
+    "ann_graph_compacted_topk" -> annSelfQueryTopkSql,
     "ann_hnsw_upsert_topk" -> annUpsertTopkSql,
     "ann_graph_tuning_gate" -> annGraphTuningGateSql,
     "ann_hnsw_delete_topk" -> annGraphDeleteTopkSql,

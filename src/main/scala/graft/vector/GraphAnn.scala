@@ -469,6 +469,49 @@ object GraphAnn {
     deletePath(spark, path + "_tombstones")
   }
 
+  /** MOR compaction for the graph — the maintenance job every other
+    * index family already has: steady appends/folds accumulate delta
+    * generations, and every merged read pays the latest-wins aggregate
+    * over all of them. Compaction rewrites the MERGED view as the new
+    * base (removal markers resolve and their nodes leave the stored
+    * bytes for good) via the same dot-prefixed tmp/bak swap the
+    * partition folds use, then truncates the delta sidecar LAST — a
+    * crash before the truncation leaves base+deltas still resolving to
+    * the identical view (re-merging already-folded deltas over the new
+    * base is latest-wins idempotent), and the next compaction finishes
+    * the job. Cost is one merge pass + rewrite of the graph's own
+    * adjacency — never the corpus.
+    */
+  def compactNswGraph(spark: SparkSession, path: String): Unit = {
+    if (!pathExists(spark, path + "_delta")) return
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact.tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "._compact.bak")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    readNswAdjacency(spark, path)
+      .repartition(8, col("node_id"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.rename(base, bak))
+      throw new java.io.IOException(s"compactNswGraph: cannot move $base aside")
+    if (!fs.rename(tmp, base)) {
+      fs.rename(bak, base) // roll back
+      throw new java.io.IOException(s"compactNswGraph: cannot install $base")
+    }
+    fs.delete(bak, true)
+    spark.catalog.refreshByPath(path)
+    // deltas truncate LAST: their content is now IN the base, and
+    // re-merging them over it would resolve to the same view
+    deletePath(spark, path + "_delta")
+  }
+
+  /** Ladder-wide compaction: every persisted rung folds its deltas. */
+  def compactHnswGraph(spark: SparkSession, path: String,
+      maxLevel: Int = 2): Unit =
+    (path +: (1 to maxLevel).map(path + "_l" + _).filter(pathExists(spark, _)))
+      .foreach(compactNswGraph(spark, _))
+
   /** Deterministic entry points: the E graph ids with the smallest
     * xxhash64 — a fixed, query-independent sample (catalog-scale read of
     * id + hash only).

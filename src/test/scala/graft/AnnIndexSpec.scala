@@ -141,6 +141,33 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("graph compaction: merged view invariant, deltas truncated, removal markers resolve") {
+    import graft.vector.GraphAnn
+    val path = java.nio.file.Files
+      .createTempDirectory("nsw_compact").toString + "/g"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") < 40)
+    val extra = e.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+    GraphAnn.buildNswGraph(base, "embedding", "vec_id", AnnIndex.defaultLsh, 8, path)
+    GraphAnn.appendToNswGraph(spark, extra, "embedding", "vec_id",
+      AnnIndex.defaultLsh, 8, path, base)
+    def view() = GraphAnn.readNswAdjacency(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val before = view()
+    GraphAnn.compactNswGraph(spark, path)
+    assert(!new java.io.File(path + "_delta").exists(), "deltas must truncate")
+    assert(view() === before, "compaction may never change the merged view")
+    // removal markers resolve: a folded delete must leave the compacted
+    // base's BYTES, not just the merged view
+    GraphAnn.deleteFromNswGraph(spark, Seq(45L), path)
+    GraphAnn.foldNswTombstones(spark, path,
+      base.unionByName(extra), "embedding", "vec_id", 8)
+    GraphAnn.compactNswGraph(spark, path)
+    assert(spark.read.parquet(path).filter(col("node_id") === 45L).count() === 0,
+      "a removal-marked node must be gone from the compacted base files")
+    assert(view().size === before.size - 1)
+  }
+
   test("ann_recall_gate: mean pruned recall clears both floors (empty violations)") {
     val out = SparkEntry.queries("ann_recall_gate")(spark, sf).collect()
     assert(out.isEmpty,
