@@ -2043,6 +2043,33 @@ object AnnIndex extends QueryModule {
       allowed = Some(tiered.filter(col("tier") === "gold").select("vec_id")))
   }
 
+  /** The filtered search composed with the hierarchical descent: the
+    * ladder may descend through any tier (waypoints unrestricted on
+    * every rung), the predicate applies at layer-0 emission only — same
+    * construction and oracle as the flat filtered row.
+    */
+  def annHnswFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hnswfilter_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), lit("corpus").as("tier"))
+    val copies = spark.range(100000L, 100009L).toDF("vec_id")
+      .crossJoin(broadcast(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") === 0L).select(col("embedding"))))
+      .select(col("vec_id"), col("embedding"),
+        when(col("vec_id") % 2 === 0, "gold").otherwise("silver").as("tier"))
+    val tiered = base.unionByName(copies)
+    ResultCache.buildIfAbsent(spark, tiered,
+      s"hnsw:m=8:bits=${defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2", path) {
+      graft.vector.GraphAnn.buildHnswGraph(
+        tiered, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    graft.vector.GraphAnn.hnswSearch(
+      spark, path, tiered, "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 5,
+      allowed = Some(tiered.filter(col("tier") === "gold").select("vec_id")))
+  }
+
   /** The HNSW variant of the graph upsert: delete → LADDER fold (the
     * re-inserted id must leave every stored rung before it can return —
     * the shared sidecar would otherwise hide it on all of them) → re-add
@@ -2214,6 +2241,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_filtered_topk" -> annGraphFilteredTopk,
     "ann_graph_batch_topk" -> annGraphBatchTopk,
     "ann_graph_compacted_topk" -> annGraphCompactedTopk,
+    "ann_hnsw_filtered_topk" -> annHnswFilteredTopk,
     "ann_hnsw_upsert_topk" -> annHnswUpsertTopk,
     "ann_graph_tuning_gate" -> annGraphTuningGate,
     "ann_hnsw_delete_topk" -> annHnswDeleteTopk,
@@ -2268,6 +2296,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_filtered_topk" -> annFilteredTopkSql,
     "ann_graph_batch_topk" -> annLshBatchTopkSql,
     "ann_graph_compacted_topk" -> annSelfQueryTopkSql,
+    "ann_hnsw_filtered_topk" -> annFilteredTopkSql,
     "ann_hnsw_upsert_topk" -> annUpsertTopkSql,
     "ann_graph_tuning_gate" -> annGraphTuningGateSql,
     "ann_hnsw_delete_topk" -> annGraphDeleteTopkSql,

@@ -945,7 +945,8 @@ object GraphAnn {
       embCol: String, idCol: String, queryVec: Array[Float], k: Int,
       beam: Int = 32, hops: Int = 4, entries: Int = 16,
       maxLevel: Int = 2, descentBeam: Int = 4,
-      descentHops: Int = 2): DataFrame = withWalkConfs(spark) {
+      descentHops: Int = 2,
+      allowed: Option[DataFrame] = None): DataFrame = withWalkConfs(spark) {
     val scoreOf = scorer(corpus, embCol, idCol, queryVec)
     var carried = Seq.empty[Long] // best nodes so far, passed down the ladder
     var l = maxLevel
@@ -974,7 +975,7 @@ object GraphAnn {
     withPinned(Seq(adj0)) {
       val seeds0 = (carried ++ entryPoints(spark, adj0, entries)).distinct
       val visited = beamWalk(adj0, scoreOf, seeds0, beam, hops)
-      emitTopK(spark, path, visited, idCol, k)
+      emitTopK(spark, path, visited, idCol, k, allowed)
     }
   }
 }
