@@ -1940,6 +1940,32 @@ object AnnIndex extends QueryModule {
       queryVec(spark, dir, 0L), k = 5)
   }
 
+  /** The hierarchical batch row: same five-family construction and
+    * 50-row oracle, served through `GraphAnn.hnswBatchSearch` — the
+    * descent batches too (one shared walk per rung seeds every query's
+    * next rung) and fetched vectors are reused across rungs.
+    */
+  def annHnswBatchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hnswbatch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qbase = e.filter(col("vec_id") < 5L)
+    val copies = broadcast(qbase)
+      .crossJoin(spark.range(0L, 9L).toDF("j"))
+      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
+        col("embedding"))
+    val corpus = e.unionByName(copies)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"hnsw:m=8:bits=${defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2", path) {
+      graft.vector.GraphAnn.buildHnswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    val queries = qbase.collect() // 5 rows — the query batch
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    graft.vector.GraphAnn.hnswBatchSearch(
+      spark, path, corpus, "embedding", "vec_id", queries, k = 10)
+  }
+
   /** MOR COMPACTION for the graph under the self-query oracle — the
     * maintenance job that stops delta generations accumulating: build
     * over the raw corpus, append the planted copies (a delta), then
@@ -2240,6 +2266,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_upsert_topk" -> annGraphUpsertTopk,
     "ann_graph_filtered_topk" -> annGraphFilteredTopk,
     "ann_graph_batch_topk" -> annGraphBatchTopk,
+    "ann_hnsw_batch_topk" -> annHnswBatchTopk,
     "ann_graph_compacted_topk" -> annGraphCompactedTopk,
     "ann_hnsw_filtered_topk" -> annHnswFilteredTopk,
     "ann_hnsw_upsert_topk" -> annHnswUpsertTopk,
@@ -2295,6 +2322,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_upsert_topk" -> annUpsertTopkSql,
     "ann_graph_filtered_topk" -> annFilteredTopkSql,
     "ann_graph_batch_topk" -> annLshBatchTopkSql,
+    "ann_hnsw_batch_topk" -> annLshBatchTopkSql,
     "ann_graph_compacted_topk" -> annSelfQueryTopkSql,
     "ann_hnsw_filtered_topk" -> annFilteredTopkSql,
     "ann_hnsw_upsert_topk" -> annUpsertTopkSql,

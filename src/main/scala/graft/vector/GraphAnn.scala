@@ -858,78 +858,151 @@ object GraphAnn {
     * as the states themselves. Emission matches nswSearch per query
     * (tombstones filtered, k best, 6-dp rounding, score-desc/id-asc).
     */
+  /** Shared embedding state for a batch walk: one pushed `id IN` fetch
+    * per request for ids not yet held, vectors reused across queries AND
+    * across ladder rungs (embeddings are layer-independent).
+    */
+  private final class BatchScorer(corpus: DataFrame, embCol: String,
+      idCol: String) {
+    private val cache = scala.collection.mutable.Map.empty[Long, Array[Float]]
+    def fetch(ids: Seq[Long]): Unit = {
+      val missing = ids.filterNot(cache.contains)
+      if (missing.nonEmpty)
+        corpus.filter(col(idCol).isin(missing: _*))
+          .select(col(idCol), col(embCol)).collect()
+          .foreach(r => cache(r.getLong(0)) = r.getSeq[Float](1).toArray)
+    }
+    def cosine(id: Long, q: Array[Float]): Option[Double] = cache.get(id).map { e =>
+      var s = 0.0; var i = 0
+      val n = math.min(e.length, q.length)
+      while (i < n) { s += e(i).toDouble * q(i).toDouble; i += 1 }
+      s
+    }
+  }
+
+  /** The shared-job batch walk over ONE (caller-pinned) adjacency: every
+    * hop issues one adjacency fetch for the UNION of all frontiers and
+    * one embedding fetch for the union of all new candidates — 2 jobs
+    * per hop total instead of 2·|q| — while each query keeps its own
+    * isolated beam state (B + E + H·B·2M entries).
+    */
+  private def batchBeamWalk(adj: DataFrame,
+      queries: Seq[(Long, Array[Float])], seedsOf: Long => Seq[Long],
+      scorer: BatchScorer, beam: Int,
+      hops: Int): Map[Long, Map[Long, Double]] = {
+    scorer.fetch(queries.flatMap { case (qid, _) => seedsOf(qid) }.distinct)
+    val visited = scala.collection.mutable.Map(queries.map { case (qid, qv) =>
+      qid -> scala.collection.mutable.Map(seedsOf(qid).distinct.flatMap(id =>
+        scorer.cosine(id, qv).map(id -> _)): _*)
+    }: _*)
+    val expanded = scala.collection.mutable.Map(
+      queries.map { case (qid, _) => qid -> Set.empty[Long] }: _*)
+    var hop = 0
+    while (hop < hops) {
+      // per-query frontier, driver-side; ONE union fetch below
+      val frontiers = queries.map { case (qid, _) =>
+        qid -> visited(qid).toSeq
+          .sortBy { case (id, s) => (-s, id) }.take(beam)
+          .map(_._1).filterNot(expanded(qid).contains)
+      }.toMap
+      val frontierUnion = frontiers.values.flatten.toSeq.distinct
+      if (frontierUnion.isEmpty) hop = hops
+      else {
+        val nbrsOf: Map[Long, Seq[Long]] =
+          adj.filter(col("node_id").isin(frontierUnion: _*))
+            .select(col("node_id"), col("neighbors")).collect()
+            .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+        scorer.fetch(nbrsOf.values.flatten.toSeq.distinct)
+        queries.foreach { case (qid, qv) =>
+          val vq = visited(qid)
+          frontiers(qid).foreach { f =>
+            nbrsOf.getOrElse(f, Nil).foreach { nb =>
+              if (!vq.contains(nb))
+                scorer.cosine(nb, qv).foreach(vq(nb) = _)
+            }
+          }
+          expanded(qid) ++= frontiers(qid)
+        }
+        hop += 1
+      }
+    }
+    visited.map { case (q, m) => q -> m.toMap }.toMap
+  }
+
+  /** Per-query emission for a batch walk: tombstones filtered, k best,
+    * 6-dp rounding, (qid, id) ordering — nswSearch's contract rowized.
+    */
+  private def emitBatchTopK(spark: SparkSession, path: String,
+      queries: Seq[(Long, Array[Float])],
+      visited: Map[Long, Map[Long, Double]], idCol: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val visitedAll = visited.values.flatMap(_.keys).toSeq.distinct
+    val dead: Set[Long] =
+      if (visitedAll.isEmpty) Set.empty
+      else readNswTombstones(spark, path)
+        .filter(col("node_id").isin(visitedAll: _*))
+        .collect().map(_.getLong(0)).toSet
+    queries.flatMap { case (qid, _) =>
+      visited(qid).toSeq.filterNot { case (id, _) => dead.contains(id) }
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+        .map { case (id, s) => (qid, id,
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.toDF("qid", idCol, "score")
+      .orderBy(col("qid"), col(idCol))
+  }
+
   def nswBatchSearch(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
       k: Int, beam: Int = 32, hops: Int = 4,
       entries: Int = 16): DataFrame = withWalkConfs(spark) {
-    import spark.implicits._
-    def cosine(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
     val adj = readNswAdjacency(spark, path)
     withPinned(Seq(adj)) {
-      // one embedding fetch for a bounded id set, shared by all queries
-      val embCache = scala.collection.mutable.Map.empty[Long, Array[Float]]
-      def fetchEmbs(ids: Seq[Long]): Unit = {
-        val missing = ids.filterNot(embCache.contains)
-        if (missing.nonEmpty)
-          corpus.filter(col(idCol).isin(missing: _*))
-            .select(col(idCol), col(embCol)).collect()
-            .foreach(r => embCache(r.getLong(0)) = r.getSeq[Float](1).toArray)
-      }
+      val scorer = new BatchScorer(corpus, embCol, idCol)
       val entryIds = entryPoints(spark, adj, entries)
-      fetchEmbs(entryIds)
-      val visited = scala.collection.mutable.Map(queries.map { case (qid, qv) =>
-        qid -> scala.collection.mutable.Map(entryIds.flatMap(id =>
-          embCache.get(id).map(e => id -> cosine(e, qv))): _*)
-      }: _*)
-      val expanded = scala.collection.mutable.Map(
-        queries.map { case (qid, _) => qid -> Set.empty[Long] }: _*)
-      var hop = 0
-      while (hop < hops) {
-        // per-query frontier, driver-side; ONE union fetch below
-        val frontiers = queries.map { case (qid, _) =>
-          qid -> visited(qid).toSeq
-            .sortBy { case (id, s) => (-s, id) }.take(beam)
-            .map(_._1).filterNot(expanded(qid).contains)
-        }.toMap
-        val frontierUnion = frontiers.values.flatten.toSeq.distinct
-        if (frontierUnion.isEmpty) hop = hops
-        else {
-          val nbrsOf: Map[Long, Seq[Long]] =
-            adj.filter(col("node_id").isin(frontierUnion: _*))
-              .select(col("node_id"), col("neighbors")).collect()
-              .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
-          fetchEmbs(nbrsOf.values.flatten.toSeq.distinct)
-          queries.foreach { case (qid, qv) =>
-            val vq = visited(qid)
-            frontiers(qid).foreach { f =>
-              nbrsOf.getOrElse(f, Nil).foreach { nb =>
-                if (!vq.contains(nb))
-                  embCache.get(nb).foreach(e => vq(nb) = cosine(e, qv))
-              }
-            }
-            expanded(qid) ++= frontiers(qid)
+      val visited = batchBeamWalk(adj, queries, _ => entryIds, scorer, beam, hops)
+      emitBatchTopK(spark, path, queries, visited, idCol, k)
+    }
+  }
+
+  /** Batch retrieval through the HNSW ladder: the descent ALSO batches —
+    * each rung runs one shared-job batch walk seeding every query's next
+    * rung, and the fetched vectors are reused across rungs (embeddings
+    * are layer-independent). Layer 0 walks from each query's carried
+    * seeds unioned with the fixed hash-min entries, preserving the
+    * flat-batch recall floor per query.
+    */
+  def hnswBatchSearch(spark: SparkSession, path: String, corpus: DataFrame,
+      embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
+      k: Int, beam: Int = 32, hops: Int = 4, entries: Int = 16,
+      maxLevel: Int = 2, descentBeam: Int = 4,
+      descentHops: Int = 2): DataFrame = withWalkConfs(spark) {
+    val scorer = new BatchScorer(corpus, embCol, idCol)
+    var carried = Map.empty[Long, Seq[Long]]
+    var l = maxLevel
+    while (l >= 1) {
+      val layerPath = path + "_l" + l
+      if (pathExists(spark, layerPath)) {
+        val adjL = readNswAdjacency(spark, layerPath)
+        withPinned(Seq(adjL)) {
+          val entriesL = entryPoints(spark, adjL, descentBeam)
+          val walked = batchBeamWalk(adjL, queries,
+            q => carried.getOrElse(q, entriesL), scorer,
+            descentBeam, descentHops)
+          carried = walked.map { case (q, vis) =>
+            q -> vis.toSeq.sortBy { case (id, s) => (-s, id) }
+              .take(descentBeam).map(_._1)
           }
-          hop += 1
         }
       }
-      val visitedAll = visited.values.flatMap(_.keys).toSeq.distinct
-      val dead: Set[Long] =
-        if (visitedAll.isEmpty) Set.empty
-        else readNswTombstones(spark, path)
-          .filter(col("node_id").isin(visitedAll: _*))
-          .collect().map(_.getLong(0)).toSet
-      queries.flatMap { case (qid, _) =>
-        visited(qid).toSeq.filterNot { case (id, _) => dead.contains(id) }
-          .sortBy { case (id, s) => (-s, id) }.take(k)
-          .map { case (id, s) => (qid, id,
-            BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
-      }.toDF("qid", idCol, "score")
-        .orderBy(col("qid"), col(idCol))
+      l -= 1
+    }
+    val adj0 = readNswAdjacency(spark, path)
+    withPinned(Seq(adj0)) {
+      val fixed = entryPoints(spark, adj0, entries)
+      val visited = batchBeamWalk(adj0, queries,
+        q => (carried.getOrElse(q, Nil) ++ fixed).distinct, scorer, beam, hops)
+      emitBatchTopK(spark, path, queries, visited, idCol, k)
     }
   }
 
