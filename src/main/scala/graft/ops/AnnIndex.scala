@@ -791,6 +791,29 @@ object AnnIndex extends QueryModule {
       "embedding", "vec_id", queryVec(spark, dir, 0L),
       k = 10, numClusters = 16, nProbe = tunedNProbe(spark, dir), seed = 42L)
 
+  /** The PERSISTED IVF-SQ8 index end-to-end under the self-query oracle
+    * — the SQ8 sibling of the persisted PQ row, including the
+    * incremental half: build WITHOUT the planted copies, append them
+    * through the sidecar-assigned no-refit path (they quantize
+    * bit-identically to vector 0 and land in its cluster directory),
+    * then retrieve with NO fit and NO encode. A sidecar round-trip,
+    * append-layout, stored-codes coarse rank, or overscan-cutoff
+    * regression perturbs the row set.
+    */
+  def annIvfSq8IndexTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfsq8idx_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    graft.vector.Quantization.buildIvfSq8Index(
+      base, "embedding", numClusters = 16, seed = 42L, path)
+    val arrivals = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+      .filter(col("vec_id") >= 100000L)
+    graft.vector.Quantization.appendToIvfSq8Index(arrivals, "embedding", path)
+    graft.vector.Quantization.ivfSq8IndexTopK(
+      spark, path, "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 10, nProbe = tunedNProbe(spark, dir))
+  }
+
   /** The PERSISTED IVF-PQ index end-to-end (the FAISS write_index/
     * read_index lifecycle under the self-query oracle): build the
     * `partitionBy(cluster_id)` table with stored m-byte codes + trained
@@ -2257,6 +2280,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_topk" -> annIvfSq8Topk,
     "ann_ivf_pq_topk" -> annIvfPqTopk,
     "ann_ivf_pq_index_topk" -> annIvfPqIndexTopk,
+    "ann_ivf_sq8_index_topk" -> annIvfSq8IndexTopk,
     "ann_graph_topk" -> annGraphTopk,
     "ann_hnsw_topk" -> annHnswTopk,
     "ann_hnsw_incremental_topk" -> annHnswIncrementalTopk,
@@ -2313,6 +2337,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_topk" -> annSelfQueryTopkSql,
     "ann_ivf_pq_topk" -> annSelfQueryTopkSql,
     "ann_ivf_pq_index_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_sq8_index_topk" -> annSelfQueryTopkSql,
     "ann_graph_topk" -> annSelfQueryTopkSql,
     "ann_hnsw_topk" -> annSelfQueryTopkSql,
     "ann_hnsw_incremental_topk" -> annSelfQueryTopkSql,

@@ -132,4 +132,59 @@ object Quantization {
     quantizedKnn(clustered.filter(col("cluster_id").isin(probes: _*)),
       embCol, idCol, queryVec, k, overscan)
   }
+
+  // ---- persisted IVF-SQ8 index (the write_index/read_index shape) ----
+
+  /** Persist the corpus as an IVF-SQ8 index table: rows land in
+    * `partitionBy(cluster_id)` directories carrying (q_scale, q_codes)
+    * next to the float column, centroids in the shared text sidecar. A
+    * query then pays NO training and NO encoding — sidecar-ranked
+    * partition pruning bounds the scan, the stored int8 codes bound the
+    * coarse bandwidth, and only the overscan survivors touch floats.
+    * (`ivfSq8TopK` above is the in-memory form that re-fits per call;
+    * this is the layout a 100 TB corpus serves from — the SQ8 sibling
+    * of ProductQuantization.buildIvfPqIndex.)
+    */
+  def buildIvfSq8Index(df: DataFrame, embCol: String, numClusters: Int,
+      seed: Long, path: String): Unit = {
+    val (clustered, centers) =
+      IndexBuilder.withIvfCluster(df, embCol, numClusters, seed)
+    IndexBuilder.clusteredBy(
+        withQuantized(clustered, embCol), "cluster_id", numClusters)
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    val text = centers.map(_.map(java.lang.Double.toString).mkString(","))
+      .mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, IndexBuilder.IvfCentroidsFile),
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Add vectors WITHOUT retraining: assignment and quantization are
+    * pure functions of (vector, sidecar state) — the add-after-train
+    * contract, as in appendToIvfPqIndex.
+    */
+  def appendToIvfSq8Index(df: DataFrame, embCol: String, path: String): Unit = {
+    val centers = IndexBuilder.loadIvfCentroids(path)
+    val assign = udf { (v: Seq[Float]) =>
+      IndexBuilder.nearestClusters(centers, v.toArray, 1).head
+    }
+    IndexBuilder.clusteredBy(
+        withQuantized(df.withColumn("cluster_id", assign(col(embCol))), embCol),
+        "cluster_id", centers.length)
+      .write.mode("append").partitionBy("cluster_id").parquet(path)
+  }
+
+  /** Query the persisted index: sidecar-ranked nProbe partition pruning,
+    * stored-codes coarse pass, exact rescore of the tie-inclusive
+    * overscan set. No fit, no encode — the serving path.
+    */
+  def ivfSq8IndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      embCol: String, idCol: String, queryVec: Array[Float], k: Int,
+      nProbe: Int, overscan: Int = 4): DataFrame = {
+    val centers = IndexBuilder.loadIvfCentroids(path)
+    val probes = IndexBuilder.nearestClusters(centers, queryVec, nProbe)
+    quantizedKnn(
+      spark.read.parquet(path).filter(col("cluster_id").isin(probes: _*)),
+      embCol, idCol, queryVec, k, overscan)
+  }
 }
