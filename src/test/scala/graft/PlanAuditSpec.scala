@@ -195,6 +195,57 @@ class PlanAuditSpec extends SparkSpec {
       s"coarse pass must read only the quantized columns, got: $cols")
   }
 
+  test("persisted IVF-SQ8 index: partition-pruned probe scan, codes-only coarse branch") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8idx_audit").toString + "/idx"
+    graft.vector.Quantization.buildIvfSq8Index(
+      Tables.embeddings(spark, sf), "embedding", numClusters = 16, seed = 42L, dir)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probes = graft.vector.IndexBuilder.nearestClusters(
+      graft.vector.IndexBuilder.loadIvfCentroids(dir), qv, 6)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("cluster_id").isin(probes: _*))
+    val physical = pruned.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      !physical.contains("PartitionFilters: []"),
+      s"cluster filter must partition-prune:\n$physical")
+    val coarse = graft.vector.Quantization.coarseScores(pruned, qv).select("q_score")
+    val cols = scans(coarse).head.requiredSchema.fieldNames.toSet
+    assert(cols === Set("q_scale", "q_codes"),
+      s"stored-codes coarse pass must not read floats, got: $cols")
+  }
+
+  test("ivf-pq delete: tombstones are excluded BEFORE the overscan cutoff") {
+    // the pre-filter placement is semantics, not just perf: with a tight
+    // overscan the coarse cutoff is taken over the top-(k·overscan) ADC
+    // scores, and if DELETED rows still occupied those slots (post-filter
+    // implementation) the emitted set shrinks below k. Delete the true
+    // ADC-top neighbors and pin that k results still come back — a plan
+    // reorder can push the cutoff filter around freely (the optimizer
+    // does), but the cutoff VALUE must be computed from live rows only.
+    val dir = java.nio.file.Files.createTempDirectory("pqdel_audit").toString + "/idx"
+    graft.vector.ProductQuantization.buildIvfPqIndex(
+      Tables.embeddings(spark, sf), "embedding", numClusters = 16, seed = 42L, dir)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val books = graft.vector.ProductQuantization.loadPqCodebooks(dir)
+    val index = spark.read.parquet(dir)
+    def topIds(frame: org.apache.spark.sql.DataFrame, k: Int, overscan: Int) =
+      graft.vector.ProductQuantization.pqSearchEncoded(
+        frame, "embedding", "vec_id", books, qv, k, overscan)
+        .collect().map(_.getLong(0)).toSeq
+    // the 4 best non-self answers under the full stack become tombstones
+    val doomed = topIds(index, 5, 16).filter(_ != 0L).take(4)
+    import spark.implicits._
+    doomed.toDF("vec_id").write.mode("overwrite").parquet(dir + "_tomb")
+    val live = index.join(broadcast(spark.read.parquet(dir + "_tomb")),
+      Seq("vec_id"), "left_anti")
+    val got = topIds(live, 5, overscan = 1)
+    assert(got.length === 5,
+      s"deleted rows consumed overscan slots (post-filter bug): $got")
+    assert(got.intersect(doomed).isEmpty, s"served a deleted row: $got")
+  }
+
   test("quality filters: line_filter_c4 and pii_redaction plan zero exchanges") {
     // pure narrow projections — the 100 TB contract is no shuffle at all
     // (the final orderBy is presentation-only; audit the pre-sort plan)
