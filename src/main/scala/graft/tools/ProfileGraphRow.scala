@@ -56,7 +56,7 @@ object ProfileGraphRow {
       which match {
         case "hnsw_incr" =>
           val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-            "graft_hnswincr_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+            "graft_prof_hnswincr_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
           phase("buildIfAbsent") {
             graft.ops.ResultCache.buildIfAbsent(spark, e,
               s"hnsw:m=8:bits=${AnnIndex.defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2", path) {
@@ -88,7 +88,7 @@ object ProfileGraphRow {
           } }
         case "nsw_fold" =>
           val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-            "graft_nswfold_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+            "graft_prof_nswfold_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
           val corpus = AnnIndex.withPlantedSelfCopies(spark,
             graft.Tables.embeddings(spark, sfDir))
           phase("delta+tomb reset") {
