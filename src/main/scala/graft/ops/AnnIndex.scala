@@ -1741,6 +1741,49 @@ object AnnIndex extends QueryModule {
       k = 5, nProbe = tunedNProbe(spark, dir))
   }
 
+  /** SHARDED scatter-gather serving — the fleet layout where the corpus
+    * is split across independently-built index tables (at 1000 executors
+    * no single index spans the corpus; shards build, compact, and fail
+    * independently): each shard answers the query from its own pruned
+    * scan, and the global answer is the re-topped union of the per-shard
+    * top-ks — correct by the scatter-gather invariant (every global
+    * top-k member is in its own shard's top-k, so the union provably
+    * contains the global answer). Shard membership is a pure id hash, so
+    * routing needs no directory. The planted copies split across BOTH
+    * shards (ids 100000..100008 hash to different parities), making the
+    * row sensitive to a lost shard, a broken merge, or a shard build
+    * that dropped rows.
+    */
+  def annShardedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir))
+    val shardTops = (0 to 1).map { shard =>
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_lshshard${shard}_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      val part = corpus.filter(pmod(xxhash64(col("vec_id")), lit(2L)) === shard.toLong)
+      ResultCache.buildIfAbsent(spark, corpus,
+        s"lsh:bits=${defaultLsh.nBits}:seed=42:shard=$shard/2:v1", path) {
+        IndexBuilder.buildLshIndex(part, "embedding", defaultLsh, path)
+      }
+      spark.read.parquet(path)
+        .filter(col("bucket").isin(probes: _*))
+        .withColumn("score", round(
+          graft.vector.VectorFunctions.cosineUnit(
+            col("embedding"), typedlit(qv.toSeq)), 6))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "score")
+    }
+    // the gather: union of per-shard top-ks, re-topped globally
+    shardTops.reduce(_ unionByName _)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
   /** KEYSET pagination over ANN results (the serving-path "next page"):
     * page 2 resumes strictly after page 1's last (score, id) cursor —
     * `score < s OR (score = s AND id > i)` — instead of OFFSET, which
@@ -2320,6 +2363,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_pq_upsert_topk" -> annIvfPqUpsertTopk,
     "ann_ivf_pq_compacted_upsert_topk" -> annIvfPqCompactedUpsertTopk,
     "ann_paged_topk" -> annPagedTopk,
+    "ann_sharded_topk" -> annShardedTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
@@ -2377,6 +2421,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_pq_upsert_topk" -> annUpsertTopkSql,
     "ann_ivf_pq_compacted_upsert_topk" -> annUpsertTopkSql,
     "ann_paged_topk" -> annPagedTopkSql,
+    "ann_sharded_topk" -> annSelfQueryTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)

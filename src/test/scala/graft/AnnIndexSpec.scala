@@ -168,6 +168,19 @@ class AnnIndexSpec extends SparkSpec {
     assert(view().size === before.size - 1)
   }
 
+  test("ann_sharded_topk: both shards contribute and the gather is the exact top-10") {
+    val out = SparkEntry.queries("ann_sharded_topk")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq ===
+      (Seq(0L) ++ (100000L to 100008L)), s"got ${out.map(_.getLong(0)).toSeq}")
+    // the planted family must genuinely straddle the shard split — a
+    // one-shard fixture would not test the gather
+    val parities = (Seq(0L) ++ (100000L to 100008L))
+      .map(id => Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          id, org.apache.spark.sql.types.LongType, 42L), 2L)).toSet
+    assert(parities === Set(0L, 1L), "planted ids all hashed to one shard")
+  }
+
   test("ann_recall_gate: mean pruned recall clears both floors (empty violations)") {
     val out = SparkEntry.queries("ann_recall_gate")(spark, sf).collect()
     assert(out.isEmpty,
