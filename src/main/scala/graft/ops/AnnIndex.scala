@@ -1784,6 +1784,88 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** VERSIONED index reads — the Iceberg snapshot model applied to the
+    * vector index: every build/append commits a manifest listing its
+    * version's data files, and a reader pins a version by resolving
+    * files through the manifest alone (no copies, no snapshot dirs; the
+    * lakehouse timeTravelScan discipline on the index table). Probe
+    * pruning happens AT THE MANIFEST: file paths carry their `bucket=`
+    * partition, so the driver filters the file list to probe buckets
+    * before any scan — catalog-level partition pruning, file-count
+    * bounded. The enumerable construction: version 1 indexes the corpus
+    * + 5 planted copies, version 2 appends 4 more; the v1 top-6 and v2
+    * top-10 are both provable, so serving a version's answer from the
+    * wrong file set (torn append visible at v1, lost files at v2)
+    * perturbs the row.
+    */
+  def annTimeTravelTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshtt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    def dataFiles(): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) out += f.toString
+      }
+      out.result().sorted
+    }
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=timetravel:v1", path) {
+      deleteRecursively(new java.io.File(path + "_manifest"))
+      IndexBuilder.buildLshIndex(
+        e.unionByName(corpus.filter(col("vec_id").between(100000L, 100004L))),
+        "embedding", defaultLsh, path)
+      val v1 = dataFiles()
+      IndexBuilder.appendToLshIndex(
+        corpus.filter(col("vec_id") >= 100005L), "embedding", defaultLsh, path)
+      val v2 = dataFiles()
+      // the commit: version rows land atomically per version — a reader
+      // of v1 never sees a torn append (it resolves v1's rows only)
+      (v1.map((1L, _)) ++ v2.map((2L, _))).toDF("version", "file")
+        .repartition(1).write.mode("overwrite").parquet(path + "_manifest")
+    }
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir)).toSet
+    def readVersion(v: Long, k: Int): DataFrame = {
+      val files = spark.read.parquet(path + "_manifest")
+        .filter(col("version") === v).select("file")
+        .collect().map(_.getString(0)) // manifest: file-count-bounded
+        .filter { f => // manifest-level partition pruning on the path
+          "bucket=(\\d+)".r.findFirstMatchIn(f)
+            .forall(m => probes.contains(m.group(1).toInt))
+        }
+      spark.read.option("basePath", path).parquet(files: _*)
+        .filter(col("bucket").isin(probes.toSeq: _*))
+        .withColumn("score", round(
+          graft.vector.VectorFunctions.cosineUnit(
+            col("embedding"), typedlit(qv.toSeq)), 6))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(k)
+        .select(lit(v).as("version"), col("vec_id"), col("score"))
+    }
+    readVersion(1L, 6).unionByName(readVersion(2L, 10))
+      .orderBy("version", "vec_id")
+  }
+
+  private val annTimeTravelTopkSql =
+    """SELECT 1::BIGINT AS version, vec_id, 1.0::DOUBLE AS score FROM (
+      |  SELECT vec_id FROM embeddings WHERE vec_id = 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id < 5) t
+      |UNION ALL
+      |SELECT 2::BIGINT, vec_id, 1.0::DOUBLE FROM (
+      |  SELECT vec_id FROM embeddings WHERE vec_id = 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id < 9) t
+      |ORDER BY version, vec_id""".stripMargin
+
   /** KEYSET pagination over ANN results (the serving-path "next page"):
     * page 2 resumes strictly after page 1's last (score, id) cursor —
     * `score < s OR (score = s AND id > i)` — instead of OFFSET, which
@@ -2364,6 +2446,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_pq_compacted_upsert_topk" -> annIvfPqCompactedUpsertTopk,
     "ann_paged_topk" -> annPagedTopk,
     "ann_sharded_topk" -> annShardedTopk,
+    "ann_time_travel_topk" -> annTimeTravelTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
@@ -2422,6 +2505,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_pq_compacted_upsert_topk" -> annUpsertTopkSql,
     "ann_paged_topk" -> annPagedTopkSql,
     "ann_sharded_topk" -> annSelfQueryTopkSql,
+    "ann_time_travel_topk" -> annTimeTravelTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)

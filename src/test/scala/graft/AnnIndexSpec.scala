@@ -181,6 +181,18 @@ class AnnIndexSpec extends SparkSpec {
     assert(parities === Set(0L, 1L), "planted ids all hashed to one shard")
   }
 
+  test("ann_time_travel_topk: version 1 is isolated from the appended files") {
+    val out = SparkEntry.queries("ann_time_travel_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val v1 = out.filter(_._1 == 1L).map(_._2).toSeq
+    val v2 = out.filter(_._1 == 2L).map(_._2).toSeq
+    assert(v1 === (Seq(0L) ++ (100000L to 100004L)), s"v1: $v1")
+    assert(v2 === (Seq(0L) ++ (100000L to 100008L)), s"v2: $v2")
+    // the appended ids share version-1 rows' BUCKET DIRECTORIES — only
+    // the manifest separates them, so this is genuine version isolation
+    assert(!v1.exists(_ >= 100005L), "v1 leaked appended rows")
+  }
+
   test("ann_recall_gate: mean pruned recall clears both floors (empty violations)") {
     val out = SparkEntry.queries("ann_recall_gate")(spark, sf).collect()
     assert(out.isEmpty,
