@@ -1784,6 +1784,21 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** Every parquet data file under an index root, recursively — the
+    * manifest-commit primitive shared by the versioned-read rows. */
+  private def listIndexFiles(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) out += f.toString
+    }
+    out.result().sorted
+  }
+
   /** VERSIONED index reads — the Iceberg snapshot model applied to the
     * vector index: every build/append commits a manifest listing its
     * version's data files, and a reader pins a version by resolving
@@ -1804,17 +1819,7 @@ object AnnIndex extends QueryModule {
       "graft_lshtt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
-    def dataFiles(): Seq[String] = {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = Seq.newBuilder[String]
-      val it = fs.listFiles(root, true)
-      while (it.hasNext) {
-        val f = it.next().getPath
-        if (f.getName.endsWith(".parquet")) out += f.toString
-      }
-      out.result().sorted
-    }
+    def dataFiles(): Seq[String] = listIndexFiles(spark, path)
     ResultCache.buildIfAbsent(spark, corpus,
       s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=timetravel:v1", path) {
       deleteRecursively(new java.io.File(path + "_manifest"))
@@ -1865,6 +1870,79 @@ object AnnIndex extends QueryModule {
       |  UNION ALL
       |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id < 9) t
       |ORDER BY version, vec_id""".stripMargin
+
+  /** The index maintenance loop CLOSED Iceberg-style: compaction
+    * rewrite → version expiry → vacuum of unreferenced files. Version 1
+    * builds, version 2 appends (small files accumulate — the steady
+    * state of incremental maintenance), version 3 is a COMPACTION commit
+    * (all live rows rewritten as fresh clustered files under the same
+    * bucket layout; the manifest row-set IS the commit). Expiring
+    * v1/v2 then makes their files unreferenced, and the vacuum deletes
+    * exactly those — the cached unit asserts it actually reclaimed
+    * files. The post-vacuum query resolves v3 through the manifest and
+    * must still serve the full planted answer: a vacuum that deleted a
+    * live file, a compaction that dropped rows, or an expiry that
+    * removed the wrong versions each perturbs the enumerable set.
+    */
+  def annVacuumedTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshvac_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=compact+expire+vacuum:v1",
+      path) {
+      deleteRecursively(new java.io.File(path + "_manifest"))
+      IndexBuilder.buildLshIndex(
+        e.unionByName(corpus.filter(col("vec_id").between(100000L, 100004L))),
+        "embedding", defaultLsh, path)
+      val v1 = listIndexFiles(spark, path)
+      IndexBuilder.appendToLshIndex(
+        corpus.filter(col("vec_id") >= 100005L), "embedding", defaultLsh, path)
+      val v2 = listIndexFiles(spark, path)
+      // v3: the compaction commit — live rows rewritten as fresh files in
+      // the same layout; old files stay on disk until the vacuum.
+      // Materialized BEFORE the write: appending to the directory being
+      // read would otherwise race the scan's file listing.
+      val live = spark.read.parquet(path)
+        .select("vec_id", "embedding", "bucket")
+        .localCheckpoint(true)
+      IndexBuilder.clusteredBy(live, "bucket", 1 << defaultLsh.nBits)
+        .write.mode("append").partitionBy("bucket").parquet(path)
+      val v3 = listIndexFiles(spark, path).diff(v2)
+      require(v3.nonEmpty, "compaction produced no files")
+      // expiry: only v3 survives in the manifest
+      v3.map((3L, _)).toDF("version", "file")
+        .repartition(1).write.mode("overwrite").parquet(path + "_manifest")
+      // vacuum: delete every data file referenced by NO surviving version
+      val referenced = v3.toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val reclaimed = listIndexFiles(spark, path).filterNot(referenced)
+      require(reclaimed.nonEmpty, "vacuum found nothing to reclaim")
+      reclaimed.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    }
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir)).toSet
+    val files = spark.read.parquet(path + "_manifest")
+      .filter(col("version") === 3L).select("file")
+      .collect().map(_.getString(0))
+      .filter { f =>
+        "bucket=(\\d+)".r.findFirstMatchIn(f)
+          .forall(m => probes.contains(m.group(1).toInt))
+      }
+    spark.read.option("basePath", path).parquet(files: _*)
+      .filter(col("bucket").isin(probes.toSeq: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
 
   /** KEYSET pagination over ANN results (the serving-path "next page"):
     * page 2 resumes strictly after page 1's last (score, id) cursor —
@@ -2447,6 +2525,7 @@ object AnnIndex extends QueryModule {
     "ann_paged_topk" -> annPagedTopk,
     "ann_sharded_topk" -> annShardedTopk,
     "ann_time_travel_topk" -> annTimeTravelTopk,
+    "ann_vacuumed_topk" -> annVacuumedTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
@@ -2506,6 +2585,7 @@ object AnnIndex extends QueryModule {
     "ann_paged_topk" -> annPagedTopkSql,
     "ann_sharded_topk" -> annSelfQueryTopkSql,
     "ann_time_travel_topk" -> annTimeTravelTopkSql,
+    "ann_vacuumed_topk" -> annSelfQueryTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)

@@ -86,7 +86,7 @@ object IndexBuilder {
     * file per bucket per owning task, which is also the layout the
     * compaction job would otherwise have to repair.
     */
-  private[vector] def clusteredBy(df: DataFrame, key: String, nParts: Int): DataFrame =
+  private[graft] def clusteredBy(df: DataFrame, key: String, nParts: Int): DataFrame =
     df.repartition(nParts, col(key))
 
   def buildLshIndex(df: DataFrame, embCol: String, lsh: RandomHyperplaneLsh,
