@@ -498,4 +498,54 @@ class StreamingSpec extends SparkSpec {
         s"replayed batch ids must not re-merge: $after")
     } finally q2.stop()
   }
+
+  test("streaming graph ingest: foreachBatch appends reach the walk; replay is view-idempotent") {
+    import graft.vector.GraphAnn
+    import graft.ops.AnnIndex
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("nsw_stream").toString + "/g"
+    val base = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").filter(col("vec_id") < 100)
+    GraphAnn.buildNswGraph(base, "embedding", "vec_id", AnnIndex.defaultLsh, 8, path)
+    // arrivals: existing vectors under fresh ids — near their sources, so
+    // the candidate equi-join genuinely links them into the graph
+    val arrivalRows = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 50 && col("vec_id") < 55)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0) + 5000L, r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        GraphAnn.appendToNswGraph(spark, batch, "embedding", "vec_id",
+          AnnIndex.defaultLsh, 8, path, base)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(arrivalRows.toSeq: _*)
+      q.processAllAvailable()
+      def view() = GraphAnn.readNswAdjacency(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      val afterFirst = view()
+      arrivalRows.foreach { case (id, _) =>
+        assert(afterFirst.contains(id), s"arrival $id missing from the merged view")
+      }
+      // the appended node must be REACHABLE, not just present: search for
+      // its own vector and require it in the emission
+      val qv = arrivalRows.head._2.toArray
+      val got = GraphAnn.nswSearch(spark, path,
+          base.unionByName(arrivalRows.toSeq.toDF("vec_id", "embedding")),
+          "embedding", "vec_id", qv, k = 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(got.contains(arrivalRows.head._1),
+        s"appended node unreachable through the walk: $got")
+      // at-least-once redelivery of the same rows (a fresh delivery id):
+      // the merged view must not change — latest-wins resolves the
+      // re-landed generation to the identical adjacency
+      mem.addData(arrivalRows.toSeq: _*)
+      q.processAllAvailable()
+      assert(view() === afterFirst, "a replayed append changed the merged view")
+    } finally q.stop()
+  }
 }
