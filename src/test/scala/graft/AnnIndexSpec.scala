@@ -193,6 +193,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(!v1.exists(_ >= 100005L), "v1 leaked appended rows")
   }
 
+  test("batch walk parity: shared-job batch equals per-query walks on the raw corpus") {
+    import graft.vector.GraphAnn
+    val path = java.nio.file.Files
+      .createTempDirectory("nsw_batch_parity").toString + "/g"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    GraphAnn.buildNswGraph(e, "embedding", "vec_id", AnnIndex.defaultLsh, 8, path)
+    val queries = e.filter(col("vec_id") < 3L).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val batch = GraphAnn.nswBatchSearch(spark, path, e,
+        "embedding", "vec_id", queries, k = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    queries.foreach { case (qid, qv) =>
+      val single = GraphAnn.nswSearch(spark, path, e,
+          "embedding", "vec_id", qv, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(batch(qid) === single,
+        s"query $qid: batch ${batch(qid)} != single $single")
+    }
+  }
+
   test("ann_recall_gate: mean pruned recall clears both floors (empty violations)") {
     val out = SparkEntry.queries("ann_recall_gate")(spark, sf).collect()
     assert(out.isEmpty,
