@@ -2197,6 +2197,48 @@ object AnnIndex extends QueryModule {
       spark, path, corpus, "embedding", "vec_id", queries, k = 10)
   }
 
+  /** TIME TRAVEL for the graph index — MOR versioning the delta layout
+    * gives for free: every append lands as a `seq=<n>` leaf, so pinning
+    * a version is a partition filter on the delta read
+    * (`readNswAdjacencyAsOf`), with latest-wins resolving within the
+    * pinned prefix. Two appends (seq 1: five copies; seq 2: four more)
+    * over the base build; the walk AS OF seq 1 must surface exactly the
+    * first five (the seq-2 rows — including seq-2 reverse-edge rewrites
+    * of seq-1 nodes — are invisible), and AS OF seq 2 the full clique.
+    * Same enumerable two-version oracle as the LSH manifest row, so the
+    * two versioning mechanisms (manifest file-pinning vs MOR seq-
+    * pinning) are held to the identical contract.
+    */
+  def annGraphTimeTravelTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswtt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    val batchA = corpus.filter(col("vec_id").between(100000L, 100004L))
+    val batchB = corpus.filter(col("vec_id") >= 100005L)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42:lifecycle=timetravel:v1",
+      path) {
+      deleteRecursively(new java.io.File(path + "_delta"))
+      deleteRecursively(new java.io.File(path + "_tombstones"))
+      graft.vector.GraphAnn.buildNswGraph(
+        e, "embedding", "vec_id", defaultLsh, m = 8, path)
+      graft.vector.GraphAnn.appendToNswGraph(
+        spark, batchA, "embedding", "vec_id", defaultLsh, m = 8, path, e)
+      graft.vector.GraphAnn.appendToNswGraph(
+        spark, batchB, "embedding", "vec_id", defaultLsh, m = 8, path,
+        e.unionByName(batchA.select("vec_id", "embedding")))
+    }
+    def readVersion(v: Long, asOf: Long, k: Int): DataFrame =
+      graft.vector.GraphAnn.nswSearch(
+        spark, path, corpus, "embedding", "vec_id",
+        queryVec(spark, dir, 0L), k = k, asOfSeq = asOf)
+        .select(lit(v).as("version"), col("vec_id"), col("score"))
+    readVersion(1L, asOf = 1L, k = 6)
+      .unionByName(readVersion(2L, asOf = 2L, k = 10))
+      .orderBy("version", "vec_id")
+  }
+
   /** MOR COMPACTION for the graph under the self-query oracle — the
     * maintenance job that stops delta generations accumulating: build
     * over the raw corpus, append the planted copies (a delta), then
@@ -2502,6 +2544,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_batch_topk" -> annGraphBatchTopk,
     "ann_hnsw_batch_topk" -> annHnswBatchTopk,
     "ann_graph_compacted_topk" -> annGraphCompactedTopk,
+    "ann_graph_time_travel_topk" -> annGraphTimeTravelTopk,
     "ann_hnsw_filtered_topk" -> annHnswFilteredTopk,
     "ann_hnsw_upsert_topk" -> annHnswUpsertTopk,
     "ann_graph_tuning_gate" -> annGraphTuningGate,
@@ -2562,6 +2605,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_batch_topk" -> annLshBatchTopkSql,
     "ann_hnsw_batch_topk" -> annLshBatchTopkSql,
     "ann_graph_compacted_topk" -> annSelfQueryTopkSql,
+    "ann_graph_time_travel_topk" -> annTimeTravelTopkSql,
     "ann_hnsw_filtered_topk" -> annFilteredTopkSql,
     "ann_hnsw_upsert_topk" -> annUpsertTopkSql,
     "ann_graph_tuning_gate" -> annGraphTuningGateSql,

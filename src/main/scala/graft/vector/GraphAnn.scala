@@ -132,6 +132,27 @@ object GraphAnn {
       .filter(col("neighbors").isNotNull)
   }
 
+  /** The merged view AS OF a delta generation — MOR versioning the graph
+    * gets for free: every append/fold lands as a `seq=<n>` leaf, so
+    * pinning a version is a partition filter on the delta read (latest-
+    * wins then resolves within the pinned prefix). seq 0 is the base
+    * build; `maxSeq = Long.MaxValue` is the current view.
+    */
+  def readNswAdjacencyAsOf(spark: SparkSession, path: String,
+      maxSeq: Long): DataFrame = {
+    val base = spark.read.parquet(path).withColumn("seq", lit(0L))
+    val all =
+      if (pathExists(spark, path + "_delta"))
+        base.unionByName(spark.read.parquet(path + "_delta")
+          .filter(col("seq") <= maxSeq)
+          .select(col("node_id"), col("neighbors"), col("seq").cast("long")))
+      else base
+    all.groupBy("node_id")
+      .agg(max_by(struct(col("seq"), col("neighbors")), col("seq"))
+        .getField("neighbors").as("neighbors"))
+      .filter(col("neighbors").isNotNull)
+  }
+
   /** The merged view restricted to `ids` — the id semi-join applied BELOW
     * the latest-wins aggregate (joining on the grouping key commutes with
     * the groupBy), so fetching a bounded node set never shuffles the
@@ -682,10 +703,13 @@ object GraphAnn {
   def nswSearch(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queryVec: Array[Float], k: Int,
       beam: Int = 32, hops: Int = 4, entries: Int = 16,
-      allowed: Option[DataFrame] = None): DataFrame =
+      allowed: Option[DataFrame] = None,
+      asOfSeq: Long = Long.MaxValue): DataFrame =
     withWalkConfs(spark) {
       val scoreOf = scorer(corpus, embCol, idCol, queryVec)
-      val adj = readNswAdjacency(spark, path)
+      val adj =
+        if (asOfSeq == Long.MaxValue) readNswAdjacency(spark, path)
+        else readNswAdjacencyAsOf(spark, path, asOfSeq)
       withPinned(Seq(adj)) {
         val visited =
           beamWalk(adj, scoreOf, entryPoints(spark, adj, entries), beam, hops)

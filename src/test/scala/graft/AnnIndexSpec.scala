@@ -214,6 +214,26 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("ann_graph_time_travel_topk: seq-pinned walks isolate delta generations") {
+    val out = SparkEntry.queries("ann_graph_time_travel_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq ===
+      (Seq(0L) ++ (100000L to 100004L)))
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq ===
+      (Seq(0L) ++ (100000L to 100008L)))
+    // the seq-2 leaf also rewrites seq-1 nodes' reverse edges — the
+    // as-of-1 view must resolve those nodes to their seq<=1 versions,
+    // never surface a seq-2 neighbor id
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswtt_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    val v1 = graft.vector.GraphAnn.readNswAdjacencyAsOf(spark, path, 1L)
+    assert(v1.filter(col("node_id") >= 100005L).count() === 0,
+      "as-of-1 view leaked seq-2 nodes")
+    assert(v1.select(explode(col("neighbors")).as("n"))
+      .filter(col("n") >= 100005L).count() === 0,
+      "as-of-1 view leaked edges to seq-2 nodes")
+  }
+
   test("ann_recall_gate: mean pruned recall clears both floors (empty violations)") {
     val out = SparkEntry.queries("ann_recall_gate")(spark, sf).collect()
     assert(out.isEmpty,
