@@ -241,9 +241,34 @@ object AnnIndex extends QueryModule {
     * answers stay exact at ANY measured choice — only the probe cost
     * moves with the curve.
     */
+  // Deploy decisions memoized per (knob, dir, data stamp): the curves are
+  // result-cached, but every serving site still paid a plan-signature walk
+  // plus a curve-read JOB per call — ~15 sites per board sweep for the
+  // radius alone. The stamp is a cheap FS listing of the embeddings table
+  // (count/bytes/max mtime), so an in-session data change still
+  // invalidates and re-reads the (new) cached curve.
+  private val knobCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Int]
+
+  private def embeddingsStamp(spark: SparkSession, dir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return "absent"
+    var n = 0L; var bytes = 0L; var maxM = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      n += 1; bytes += f.getLen
+      if (f.getModificationTime > maxM) maxM = f.getModificationTime
+    }
+    s"$n#$bytes#$maxM"
+  }
+
   def tunedRadius(spark: SparkSession, dir: String,
       targetPpm: Long = LshTargetPpm): Int =
-    chooseProbeRadius(cachedLshCurve(spark, dir), targetPpm)
+    knobCache.getOrElseUpdate(
+      (s"radius:$targetPpm", dir, embeddingsStamp(spark, dir)),
+      chooseProbeRadius(cachedLshCurve(spark, dir), targetPpm))
 
   /** Driver gate over the tuning curve (engine-seeded → contract-checked):
     *  - MONOTONE RECALL / COST: enlarging the probe radius may never lose
@@ -260,7 +285,7 @@ object AnnIndex extends QueryModule {
   def annTuningGate(spark: SparkSession, dir: String): DataFrame = {
     // the same result-cached curve the deploy decision reads — the gate
     // pins the very measurements tunedRadius consumes
-    val curve = cachedLshCurve(spark, dir).cache()
+    val curve = cachedLshCurve(spark, dir).localCheckpoint(true)
     val w = Window.orderBy(col("radius"))
     val stepped = curve
       .withColumn("prev_recall", lag(col("recall_ppm"), 1).over(w))
@@ -390,7 +415,9 @@ object AnnIndex extends QueryModule {
     */
   def tunedNProbe(spark: SparkSession, dir: String,
       numClusters: Int = 16, targetPpm: Long = IvfTargetPpm): Int =
-    chooseNProbe(cachedIvfCurve(spark, dir, numClusters), targetPpm)
+    knobCache.getOrElseUpdate(
+      (s"nprobe:$numClusters:$targetPpm", dir, embeddingsStamp(spark, dir)),
+      chooseNProbe(cachedIvfCurve(spark, dir, numClusters), targetPpm))
 
   /** Driver gate over the IVF nProbe curve (engine-seeded →
     * contract-checked), the LSH gate's exact shape plus one stronger pin:
@@ -408,7 +435,7 @@ object AnnIndex extends QueryModule {
     val numClusters = 16
     // the same result-cached curve the deploy decision reads — the gate
     // pins the very measurements tunedNProbe consumes
-    val curve = cachedIvfCurve(spark, dir, numClusters).cache()
+    val curve = cachedIvfCurve(spark, dir, numClusters).localCheckpoint(true)
     val w = Window.orderBy(col("nprobe"))
     val stepped = curve
       .withColumn("prev_recall", lag(col("recall_ppm"), 1).over(w))
@@ -2486,7 +2513,7 @@ object AnnIndex extends QueryModule {
     */
   def annGraphTuningGate(spark: SparkSession, dir: String): DataFrame = {
     val maxHops = 4
-    val curve = annGraphHopCurveOf(spark, dir, maxHops).cache()
+    val curve = annGraphHopCurveOf(spark, dir, maxHops).localCheckpoint(true)
     val w = Window.orderBy(col("hops"))
     val stepped = curve
       .withColumn("prev_recall", lag(col("recall_ppm"), 1).over(w))

@@ -521,8 +521,18 @@ object Dedup extends QueryModule {
       .write.mode("overwrite").parquet(path + "/bands/epoch=0")
   }
 
-  /** Next free epoch leaf in a store (max existing + 1 — deterministic,
-    * never a wall clock). */
+  /** The epoch keyspace split into two lanes so the two write entry
+    * points can never collide on one store: sequential maintenance
+    * appends allocate next-free epochs BELOW this base, and replay-keyed
+    * admission (`admitMicroBatch`) owns `AdmissionEpochBase + batchId` —
+    * without the split, an admission of batch 0 (epoch 1) would silently
+    * OVERWRITE a maintenance append that had claimed epoch 1.
+    */
+  private val AdmissionEpochBase = 1L << 40
+
+  /** Next free MAINTENANCE-lane epoch leaf in a store (max existing
+    * below the admission base + 1 — deterministic, never a wall clock).
+    */
   private def nextStoreEpoch(spark: SparkSession, path: String): Long = {
     val hp = new org.apache.hadoop.fs.Path(path + "/sigs")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -531,6 +541,7 @@ object Dedup extends QueryModule {
       val epochs = fs.listStatus(hp).filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.startsWith("epoch="))
         .map(_.stripPrefix("epoch=").toLong)
+        .filter(_ < AdmissionEpochBase)
       if (epochs.isEmpty) 0L else epochs.max + 1L
     }
   }
@@ -789,12 +800,28 @@ object Dedup extends QueryModule {
     */
   def admitMicroBatch(spark: SparkSession, batch: DataFrame,
       baseDocs: DataFrame, path: String, batchId: Long): DataFrame = {
-    val epoch = batchId + 1
+    val epoch = AdmissionEpochBase + batchId
     val admittedPath = path + "/admitted"
     val hp = new org.apache.hadoop.fs.Path(admittedPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // readable iff some OTHER epoch leaf holds a visible data file: the
+    // very first admission crashing mid-write leaves only `_temporary`
+    // under its own leaf, and a bare read of that would throw (no footer
+    // to infer a schema from) instead of replaying — the exactly-once
+    // contract must cover the first write too
+    val readableAdmitted = fs.exists(hp) && {
+      val it = fs.listFiles(hp, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next().getPath
+        found = f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+          !f.toString.contains("_temporary") &&
+          !f.toString.contains(s"epoch=$epoch/")
+      }
+      found
+    }
     val admittedSoFar =
-      if (fs.exists(hp)) spark.read.parquet(admittedPath)
+      if (readableAdmitted) spark.read.parquet(admittedPath)
         .filter(col("epoch") =!= epoch)
         .select("doc_id", "text")
       else baseDocs.select("doc_id", "text").limit(0)

@@ -121,7 +121,11 @@ object ResultCache extends QueryModule {
     recentEvents.toDF()
   }
 
-  def clearEvents(): Unit = { eventLog.clear(); eventCount.set(0) }
+  def clearEvents(): Unit = {
+    // drain via paired polls, never clear()+set(0): a record() interleaved
+    // between those two would leave the counter permanently off the deque
+    while (eventLog.pollFirst() != null) eventCount.decrementAndGet()
+  }
 
   /** The result-cache discipline applied to persisted INDEX BUILDS: key
     * the build by md5(inputs' plan+file signature, params tag) and skip

@@ -119,18 +119,8 @@ object GraphAnn {
     * `foldNswTombstones`): latest-wins resolves it like any other
     * version, then the merged view drops the node entirely.
     */
-  def readNswAdjacency(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(path).withColumn("seq", lit(0L))
-    val all =
-      if (pathExists(spark, path + "_delta"))
-        base.unionByName(spark.read.parquet(path + "_delta")
-          .select(col("node_id"), col("neighbors"), col("seq").cast("long")))
-      else base
-    all.groupBy("node_id")
-      .agg(max_by(struct(col("seq"), col("neighbors")), col("seq"))
-        .getField("neighbors").as("neighbors"))
-      .filter(col("neighbors").isNotNull)
-  }
+  def readNswAdjacency(spark: SparkSession, path: String): DataFrame =
+    readNswAdjacencyAsOf(spark, path, Long.MaxValue)
 
   /** The merged view AS OF a delta generation — MOR versioning the graph
     * gets for free: every append/fold lands as a `seq=<n>` leaf, so
@@ -684,16 +674,26 @@ object GraphAnn {
     * Build/append/fold jobs keep the session confs (their shuffles can
     * be corpus-born, where AQE earns its jobs).
     */
-  private def withWalkConfs[A](spark: SparkSession)(f: => A): A = {
-    val confs = Seq("spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "8")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+  private val walkConfLock = new Object
+
+  private def withWalkConfs[A](spark: SparkSession)(f: => A): A =
+    // serialized: the set/restore pair is not reentrant, and two threads
+    // interleaving it (a foreachBatch walk against a driver walk) could
+    // restore each other's transient values and leave the session's AQE
+    // permanently off. The lock makes walks/folds mutually exclusive per
+    // JVM — the serving tier's single-writer discipline; concurrent
+    // NON-walk queries on the same session during a walk still observe
+    // the walk confs (documented scope: driver flows are sequential).
+    walkConfLock.synchronized {
+      val confs = Seq("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8")
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
-  }
 
   /** Beam search over the persisted graph: H hops, global beam B.
     * `corpus` supplies (idCol, embCol) for scoring — at scale the same
@@ -707,9 +707,7 @@ object GraphAnn {
       asOfSeq: Long = Long.MaxValue): DataFrame =
     withWalkConfs(spark) {
       val scoreOf = scorer(corpus, embCol, idCol, queryVec)
-      val adj =
-        if (asOfSeq == Long.MaxValue) readNswAdjacency(spark, path)
-        else readNswAdjacencyAsOf(spark, path, asOfSeq)
+      val adj = readNswAdjacencyAsOf(spark, path, asOfSeq)
       withPinned(Seq(adj)) {
         val visited =
           beamWalk(adj, scoreOf, entryPoints(spark, adj, entries), beam, hops)

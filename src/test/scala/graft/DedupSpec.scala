@@ -101,12 +101,18 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     def collectPairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // crash DURING the very first admitted-log write: only a _temporary
+    // dir exists under the batch's own epoch leaf — the replay must not
+    // trip over the unreadable torn directory
+    val admEpoch = (1L << 40) + 4L
+    val torn = new java.io.File(path + s"/admitted/epoch=$admEpoch/_temporary")
+    assert(torn.mkdirs(), "could not plant the torn first write")
     val first = collectPairs(
       graft.ops.Dedup.admitMicroBatch(spark, batch, corpus, path, batchId = 4L))
     assert(first === Set((1L, 10L, 1.0)), s"unexpected pairs: $first")
-    // simulate the crash: the admitted text log for epoch 5 landed, the
+    // simulate the mid-sequence crash: the admitted text log landed, the
     // staged sigs/bands did not (kill between the writes)
-    for (sub <- Seq("/sigs/epoch=5", "/bands/epoch=5")) {
+    for (sub <- Seq(s"/sigs/epoch=$admEpoch", s"/bands/epoch=$admEpoch")) {
       val f = new java.io.File(path + sub)
       assert(f.exists(), s"$sub missing before simulated crash")
       java.nio.file.Files.walk(f.toPath)
@@ -135,6 +141,15 @@ class DedupSpec extends SparkSpec {
       graft.ops.Dedup.admitMicroBatch(spark, later, corpus, path, batchId = 6L))
     assert(got2 === Set((12L, 20L, 1.0)),
       "an admitted doc must dedup later arrivals after the crash-replay")
+    // lane isolation: maintenance appends allocate below the admission
+    // base, so they can never land on (and overwrite) an admission epoch
+    graft.ops.Dedup.appendToMinhashStore(spark,
+      Seq((30L, "a brand new maintenance document about compilers and lattices"))
+        .toDF("doc_id", "text"), path)
+    val sigs2 = spark.read.parquet(path + "/sigs")
+    assert(sigs2.filter(col("doc_id") === 30L).count() === 1)
+    assert(sigs2.filter(col("doc_id") === 12L).count() === 1,
+      "maintenance append clobbered an admission epoch")
   }
 
   test("incremental fixture margin: every oracle-qualifying pair sits at j >= 0.9") {
