@@ -525,12 +525,23 @@ object AnnIndex extends QueryModule {
     * regression in index layout, bucket partitioning, or the probe filter
     * perturbs the row set against the exact oracle.
     */
-  def annLshIndexTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** The planted LSH index fixture shared by the index/range rows — a
+    * pure function of the corpus, built once per data version (the
+    * cached-lifecycle rule applied to the plain builds too).
+    */
+  private def plantedLshIndexPath(spark: SparkSession, dir: String): String = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_lshindex_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    IndexBuilder.buildLshIndex(
-      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
-      "embedding", defaultLsh, path)
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:planted:v1", path) {
+      IndexBuilder.buildLshIndex(corpus, "embedding", defaultLsh, path)
+    }
+    path
+  }
+
+  def annLshIndexTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = plantedLshIndexPath(spark, dir)
     val index = spark.read.parquet(path)
     val qv = queryVec(spark, dir, 0L)
     val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
@@ -567,8 +578,11 @@ object AnnIndex extends QueryModule {
       .crossJoin(spark.range(0L, 9L).toDF("j"))
       .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
         col("embedding"))
-    IndexBuilder.buildLshIndex(e.unionByName(copies), "embedding",
-      defaultLsh, path)
+    ResultCache.buildIfAbsent(spark, e.unionByName(copies),
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:families:v1", path) {
+      IndexBuilder.buildLshIndex(e.unionByName(copies), "embedding",
+        defaultLsh, path)
+    }
     IndexBuilder.lshBatchTopK(
       spark.read.parquet(path),
       qbase.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
@@ -594,8 +608,11 @@ object AnnIndex extends QueryModule {
       .crossJoin(spark.range(0L, 9L).toDF("j"))
       .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
         col("embedding"))
-    IndexBuilder.buildIvfIndex(e.unionByName(copies), "embedding",
-      numClusters = 16, seed = 42L, path)
+    ResultCache.buildIfAbsent(spark, e.unionByName(copies),
+      "ivf:clusters=16:seed=42:families:v1", path) {
+      IndexBuilder.buildIvfIndex(e.unionByName(copies), "embedding",
+        numClusters = 16, seed = 42L, path)
+    }
     IndexBuilder.ivfBatchTopK(
       spark.read.parquet(path), IndexBuilder.loadIvfCentroids(path),
       qbase.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
@@ -623,11 +640,7 @@ object AnnIndex extends QueryModule {
     * set changes size and the compare goes red.
     */
   def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_lshindex_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    IndexBuilder.buildLshIndex(
-      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
-      "embedding", defaultLsh, path)
+    val path = plantedLshIndexPath(spark, dir)
     val index = spark.read.parquet(path)
     val qv = queryVec(spark, dir, 0L)
     val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
@@ -664,8 +677,11 @@ object AnnIndex extends QueryModule {
       .crossJoin(spark.range(0L, 9L).toDF("j"))
       .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
         col("embedding"))
-    IndexBuilder.buildLshIndex(e.unionByName(copies), "embedding",
-      defaultLsh, path)
+    ResultCache.buildIfAbsent(spark, e.unionByName(copies),
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:families:v1", path) {
+      IndexBuilder.buildLshIndex(e.unionByName(copies), "embedding",
+        defaultLsh, path)
+    }
     IndexBuilder.lshKnnJoin(spark.read.parquet(path), defaultLsh,
       k = 9, radius = 1)
       .filter(col("qid") < 5L || col("qid") >= 100000L)
@@ -688,8 +704,11 @@ object AnnIndex extends QueryModule {
       .crossJoin(spark.range(0L, 9L).toDF("j"))
       .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
         col("embedding"))
-    IndexBuilder.buildLshIndex(e.unionByName(copies), "embedding",
-      defaultLsh, path)
+    ResultCache.buildIfAbsent(spark, e.unionByName(copies),
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:families:v1", path) {
+      IndexBuilder.buildLshIndex(e.unionByName(copies), "embedding",
+        defaultLsh, path)
+    }
     IndexBuilder.lshKnnJoinSalted(spark.read.parquet(path), defaultLsh,
       k = 9, radius = 1, hotCap = 20L, nSalts = 8)
       .filter(col("qid") < 5L || col("qid") >= 100000L)
@@ -721,10 +740,13 @@ object AnnIndex extends QueryModule {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_lshincr_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    IndexBuilder.buildLshIndex(base, "embedding", defaultLsh, path)
-    val arrivals = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
-      .filter(col("vec_id") >= 100000L)
-    IndexBuilder.appendToLshIndex(arrivals, "embedding", defaultLsh, path)
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=append:v1", path) {
+      IndexBuilder.buildLshIndex(base, "embedding", defaultLsh, path)
+      IndexBuilder.appendToLshIndex(
+        corpus.filter(col("vec_id") >= 100000L), "embedding", defaultLsh, path)
+    }
     val qv = queryVec(spark, dir, 0L)
     val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
       radius = tunedRadius(spark, dir))
@@ -751,10 +773,13 @@ object AnnIndex extends QueryModule {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_ivfincr_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    IndexBuilder.buildIvfIndex(base, "embedding", numClusters = 16, seed = 42L, path)
-    val arrivals = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
-      .filter(col("vec_id") >= 100000L)
-    IndexBuilder.appendToIvfIndex(arrivals, "embedding", path)
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivf:clusters=16:seed=42:lifecycle=append:v1", path) {
+      IndexBuilder.buildIvfIndex(base, "embedding", numClusters = 16, seed = 42L, path)
+      IndexBuilder.appendToIvfIndex(
+        corpus.filter(col("vec_id") >= 100000L), "embedding", path)
+    }
     val qv = queryVec(spark, dir, 0L)
     val probeIds = IndexBuilder.nearestClusters(
       IndexBuilder.loadIvfCentroids(path), qv, nProbe = tunedNProbe(spark, dir))
@@ -831,11 +856,14 @@ object AnnIndex extends QueryModule {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_ivfsq8idx_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    graft.vector.Quantization.buildIvfSq8Index(
-      base, "embedding", numClusters = 16, seed = 42L, path)
-    val arrivals = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
-      .filter(col("vec_id") >= 100000L)
-    graft.vector.Quantization.appendToIvfSq8Index(arrivals, "embedding", path)
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivfsq8:clusters=16:seed=42:lifecycle=append:v1", path) {
+      graft.vector.Quantization.buildIvfSq8Index(
+        base, "embedding", numClusters = 16, seed = 42L, path)
+      graft.vector.Quantization.appendToIvfSq8Index(
+        corpus.filter(col("vec_id") >= 100000L), "embedding", path)
+    }
     graft.vector.Quantization.ivfSq8IndexTopK(
       spark, path, "embedding", "vec_id", queryVec(spark, dir, 0L),
       k = 10, nProbe = tunedNProbe(spark, dir))
@@ -855,9 +883,13 @@ object AnnIndex extends QueryModule {
   def annIvfPqIndexTopk(spark: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_ivfpqidx_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    graft.vector.ProductQuantization.buildIvfPqIndex(
+    ResultCache.buildIfAbsent(spark,
       withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
-      "embedding", numClusters = 16, seed = 42L, path)
+      "ivfpq:clusters=16:seed=42:planted:v1", path) {
+      graft.vector.ProductQuantization.buildIvfPqIndex(
+        withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+        "embedding", numClusters = 16, seed = 42L, path)
+    }
     graft.vector.ProductQuantization.ivfPqIndexTopK(
       spark, path, "embedding", "vec_id", queryVec(spark, dir, 0L),
       k = 10, nProbe = tunedNProbe(spark, dir))
@@ -1146,7 +1178,10 @@ object AnnIndex extends QueryModule {
         .filter(col("vec_id") === 0L).select(col("embedding"))))
       .select(col("vec_id"), col("embedding"),
         when(col("vec_id") % 2 === 0, "gold").otherwise("silver").as("tier"))
-    IndexBuilder.buildLshIndex(base.unionByName(copies), "embedding", defaultLsh, path)
+    ResultCache.buildIfAbsent(spark, base.unionByName(copies),
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:tiered:v1", path) {
+      IndexBuilder.buildLshIndex(base.unionByName(copies), "embedding", defaultLsh, path)
+    }
     val qv = queryVec(spark, dir, 0L)
     val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
       radius = tunedRadius(spark, dir))
@@ -1207,9 +1242,13 @@ object AnnIndex extends QueryModule {
     GraftExtensions.register(spark)
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_ivfrw_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    IndexBuilder.buildIvfIndex(
+    ResultCache.buildIfAbsent(spark,
       withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
-      "embedding", numClusters = 16, seed = 42L, path)
+      "ivf:clusters=16:seed=42:planted:v1", path) {
+      IndexBuilder.buildIvfIndex(
+        withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+        "embedding", numClusters = 16, seed = 42L, path)
+    }
     val qv = queryVec(spark, dir, 0L)
     Relational.withConfsLocalized(spark, Seq(
       R.EnabledKey -> "true", R.NBitsKey -> "6", R.SeedKey -> "42",
@@ -1262,7 +1301,10 @@ object AnnIndex extends QueryModule {
         .filter(col("vec_id") === 0L).select(col("embedding"))))
       .select(col("vec_id"), col("embedding"),
         when(col("vec_id") % 2 === 0, "gold").otherwise("silver").as("tier"))
-    IndexBuilder.buildLshIndex(base.unionByName(copies), "embedding", defaultLsh, path)
+    ResultCache.buildIfAbsent(spark, base.unionByName(copies),
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:tiered:v1", path) {
+      IndexBuilder.buildLshIndex(base.unionByName(copies), "embedding", defaultLsh, path)
+    }
     path
   }
 
@@ -1283,12 +1325,16 @@ object AnnIndex extends QueryModule {
   def annDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_lshdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    IndexBuilder.buildLshIndex(
+    ResultCache.buildIfAbsent(spark,
       withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
-      "embedding", defaultLsh, path)
-    // the delete commit: tombstones only, index untouched
-    spark.range(100000L, 100005L).toDF("vec_id")
-      .write.mode("overwrite").parquet(path + "_tombstones")
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=delete:v1", path) {
+      IndexBuilder.buildLshIndex(
+        withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+        "embedding", defaultLsh, path)
+      // the delete commit: tombstones only, index untouched
+      spark.range(100000L, 100005L).toDF("vec_id")
+        .write.mode("overwrite").parquet(path + "_tombstones")
+    }
     val tombstones = spark.read.parquet(path + "_tombstones")
     val qv = queryVec(spark, dir, 0L)
     val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
@@ -1407,18 +1453,20 @@ object AnnIndex extends QueryModule {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_lshupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val e = Tables.embeddings(spark, dir)
-    IndexBuilder.buildLshIndex(
-      withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
-      "embedding", defaultLsh, path)
-    // the upsert commit: watermark-tombstone the old version, append the new
-    import org.apache.spark.sql.functions.{lit => flit}
-    spark.range(100000L, 100001L).toDF("t_vec_id")
-      .withColumn("upto_seq", flit(0L))
-      .write.mode("overwrite").parquet(path + "_tombstones")
-    val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
-      .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
-      .select(col("vec_id"), col("embedding"), flit(1L).as("seq"))
-    IndexBuilder.appendToLshIndex(reEmbedded, "embedding", defaultLsh, path)
+    ResultCache.buildIfAbsent(spark, withPlantedSelfCopies(spark, e),
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=upsert-raw:v1", path) {
+      IndexBuilder.buildLshIndex(
+        withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
+        "embedding", defaultLsh, path)
+      // the upsert commit: watermark-tombstone the old version, append the new
+      spark.range(100000L, 100001L).toDF("t_vec_id")
+        .withColumn("upto_seq", lit(0L))
+        .write.mode("overwrite").parquet(path + "_tombstones")
+      val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
+        .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+        .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+      IndexBuilder.appendToLshIndex(reEmbedded, "embedding", defaultLsh, path)
+    }
     val tombstones = spark.read.parquet(path + "_tombstones")
     val qv = queryVec(spark, dir, 0L)
     val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
@@ -1501,12 +1549,16 @@ object AnnIndex extends QueryModule {
   def annIvfDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_ivfdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    IndexBuilder.buildIvfIndex(
+    ResultCache.buildIfAbsent(spark,
       withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
-      "embedding", numClusters = 16, seed = 42L, path)
-    // the delete commit: tombstones only, index untouched
-    spark.range(100000L, 100005L).toDF("vec_id")
-      .write.mode("overwrite").parquet(path + "_tombstones")
+      "ivf:clusters=16:seed=42:lifecycle=delete:v1", path) {
+      IndexBuilder.buildIvfIndex(
+        withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+        "embedding", numClusters = 16, seed = 42L, path)
+      // the delete commit: tombstones only, index untouched
+      spark.range(100000L, 100005L).toDF("vec_id")
+        .write.mode("overwrite").parquet(path + "_tombstones")
+    }
     val tombstones = spark.read.parquet(path + "_tombstones")
     val qv = queryVec(spark, dir, 0L)
     val probeIds = IndexBuilder.nearestClusters(
@@ -1578,18 +1630,21 @@ object AnnIndex extends QueryModule {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_ivfupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val e = Tables.embeddings(spark, dir)
-    IndexBuilder.buildIvfIndex(
-      withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
-      "embedding", numClusters = 16, seed = 42L, path)
-    // the upsert commit: watermark-tombstone the old version, append the
-    // new one through the persisted centroids (no refit)
-    spark.range(100000L, 100001L).toDF("t_vec_id")
-      .withColumn("upto_seq", lit(0L))
-      .write.mode("overwrite").parquet(path + "_tombstones")
-    val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
-      .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
-      .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
-    IndexBuilder.appendToIvfIndex(reEmbedded, "embedding", path)
+    ResultCache.buildIfAbsent(spark, withPlantedSelfCopies(spark, e),
+      "ivf:clusters=16:seed=42:lifecycle=upsert-raw:v1", path) {
+      IndexBuilder.buildIvfIndex(
+        withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
+        "embedding", numClusters = 16, seed = 42L, path)
+      // the upsert commit: watermark-tombstone the old version, append the
+      // new one through the persisted centroids (no refit)
+      spark.range(100000L, 100001L).toDF("t_vec_id")
+        .withColumn("upto_seq", lit(0L))
+        .write.mode("overwrite").parquet(path + "_tombstones")
+      val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
+        .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+        .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+      IndexBuilder.appendToIvfIndex(reEmbedded, "embedding", path)
+    }
     val tombstones = spark.read.parquet(path + "_tombstones")
     val qv = queryVec(spark, dir, 0L)
     val probeIds = IndexBuilder.nearestClusters(
@@ -1662,11 +1717,15 @@ object AnnIndex extends QueryModule {
   def annIvfPqDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_ivfpqdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    graft.vector.ProductQuantization.buildIvfPqIndex(
+    ResultCache.buildIfAbsent(spark,
       withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
-      "embedding", numClusters = 16, seed = 42L, path)
-    spark.range(100000L, 100005L).toDF("vec_id")
-      .write.mode("overwrite").parquet(path + "_tombstones")
+      "ivfpq:clusters=16:seed=42:lifecycle=delete:v1", path) {
+      graft.vector.ProductQuantization.buildIvfPqIndex(
+        withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+        "embedding", numClusters = 16, seed = 42L, path)
+      spark.range(100000L, 100005L).toDF("vec_id")
+        .write.mode("overwrite").parquet(path + "_tombstones")
+    }
     val tombstones = spark.read.parquet(path + "_tombstones")
     val qv = queryVec(spark, dir, 0L)
     val centers = IndexBuilder.loadIvfCentroids(path)
@@ -1716,16 +1775,19 @@ object AnnIndex extends QueryModule {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_ivfpqupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val e = Tables.embeddings(spark, dir)
-    graft.vector.ProductQuantization.buildIvfPqIndex(
-      withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
-      "embedding", numClusters = 16, seed = 42L, path)
-    spark.range(100000L, 100001L).toDF("t_vec_id")
-      .withColumn("upto_seq", lit(0L))
-      .write.mode("overwrite").parquet(path + "_tombstones")
-    val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
-      .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
-      .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
-    graft.vector.ProductQuantization.appendToIvfPqIndex(reEmbedded, "embedding", path)
+    ResultCache.buildIfAbsent(spark, withPlantedSelfCopies(spark, e),
+      "ivfpq:clusters=16:seed=42:lifecycle=upsert-raw:v1", path) {
+      graft.vector.ProductQuantization.buildIvfPqIndex(
+        withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
+        "embedding", numClusters = 16, seed = 42L, path)
+      spark.range(100000L, 100001L).toDF("t_vec_id")
+        .withColumn("upto_seq", lit(0L))
+        .write.mode("overwrite").parquet(path + "_tombstones")
+      val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
+        .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+        .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+      graft.vector.ProductQuantization.appendToIvfPqIndex(reEmbedded, "embedding", path)
+    }
     val tombstones = spark.read.parquet(path + "_tombstones")
     val qv = queryVec(spark, dir, 0L)
     val books = graft.vector.ProductQuantization.loadPqCodebooks(path)
