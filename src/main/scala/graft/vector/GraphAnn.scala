@@ -550,54 +550,36 @@ object GraphAnn {
     * Catalyst pushes it below the latest-wins aggregate into both base
     * and delta scans) — driver state stays (B + E + H·B·2M) entries.
     */
-  private def beamWalk(adj: DataFrame, scoreOf: Seq[Long] => Map[Long, Double],
-      entryIds: Seq[Long], beam: Int, hops: Int): Map[Long, Double] = {
-    var visited = scoreOf(entryIds)
-    var expanded = Set.empty[Long]
-    var hop = 0
-    while (hop < hops) {
-      // frontier: the beam-best visited nodes not yet expanded
-      val frontier = visited.toSeq
-        .sortBy { case (id, s) => (-s, id) }.take(beam)
-        .map(_._1).filterNot(expanded.contains)
-      if (frontier.isEmpty) hop = hops
-      else {
-        val nbrs = adj.filter(col("node_id").isin(frontier: _*))
-          .select(explode(col("neighbors")).as("id")).distinct()
-          .collect().map(_.getLong(0)) // ≤ B·2M rows per hop
-          .filterNot(visited.contains)
-        visited ++= scoreOf(nbrs.toIndexedSeq)
-        expanded ++= frontier
-        hop += 1
-      }
-    }
-    visited
-  }
-
-  /** One TRACED walk: beamWalk with a snapshot after every hop — the
-    * (cumulative candidates scored, current top-k visited) pair — so a
-    * recall-vs-hops tuning curve costs ONE walk per sample query instead
-    * of one walk per (query, hops) setting (hop h's state is a prefix of
-    * hop h+1's by construction, which also makes the curve monotone).
-    * Returns (hop, scored_so_far, top-k ids) for hop = 1..maxHops.
+  /** ONE walk core serving both consumers: the greedy beam walk
+    * (H hops over `adj` from `entryIds`, global best B kept; each hop's
+    * frontier adjacency fetched by a pushed `node_id IN` filter — the
+    * merge's grouping key, so Catalyst pushes it below the latest-wins
+    * aggregate) AND its per-hop trace — (cumulative candidates scored,
+    * current top-snapshotK visited) after every hop. Serving and the
+    * tuning curve derive from THIS one loop, so the measured hop curve
+    * always describes the walk that is actually served (two drifting
+    * copies was the hazard). An exhausted frontier stops expansion but
+    * keeps recording carry-forward snapshots so the curve has a row per
+    * hop. Driver state stays (B + E + H·B·2M) entries.
     */
-  def nswSearchTrace(spark: SparkSession, path: String, corpus: DataFrame,
-      embCol: String, idCol: String, queryVec: Array[Float], k: Int,
-      beam: Int = 32, maxHops: Int = 4,
-      entries: Int = 16): Seq[(Int, Long, Seq[Long])] = withWalkConfs(spark) {
-    val scoreOf = scorer(corpus, embCol, idCol, queryVec)
-    val adj = readNswAdjacency(spark, path)
-    withPinned(Seq(adj)) {
-      var visited = scoreOf(entryPoints(spark, adj, entries))
-      var scored = visited.size.toLong
-      var expanded = Set.empty[Long]
-      val out = Seq.newBuilder[(Int, Long, Seq[Long])]
-      var hop = 1
-      while (hop <= maxHops) {
+  private def beamWalkCore(adj: DataFrame,
+      scoreOf: Seq[Long] => Map[Long, Double], entryIds: Seq[Long],
+      beam: Int, hops: Int,
+      snapshotK: Int): (Map[Long, Double], Seq[(Int, Long, Seq[Long])]) = {
+    var visited = scoreOf(entryIds)
+    var scored = visited.size.toLong
+    var expanded = Set.empty[Long]
+    val trace = Seq.newBuilder[(Int, Long, Seq[Long])]
+    var hop = 1
+    var exhausted = false
+    while (hop <= hops) {
+      if (!exhausted) {
+        // frontier: the beam-best visited nodes not yet expanded
         val frontier = visited.toSeq
           .sortBy { case (id, s) => (-s, id) }.take(beam)
           .map(_._1).filterNot(expanded.contains)
-        if (frontier.nonEmpty) {
+        if (frontier.isEmpty) exhausted = true
+        else {
           val nbrs = adj.filter(col("node_id").isin(frontier: _*))
             .select(explode(col("neighbors")).as("id")).distinct()
             .collect().map(_.getLong(0)) // ≤ B·2M rows per hop
@@ -606,11 +588,35 @@ object GraphAnn {
           scored += nbrs.length
           expanded ++= frontier
         }
-        out += ((hop, scored, visited.toSeq
-          .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)))
-        hop += 1
       }
-      out.result()
+      if (snapshotK > 0)
+        trace += ((hop, scored, visited.toSeq
+          .sortBy { case (id, s) => (-s, id) }.take(snapshotK).map(_._1)))
+      hop += 1
+    }
+    (visited, trace.result())
+  }
+
+  private def beamWalk(adj: DataFrame, scoreOf: Seq[Long] => Map[Long, Double],
+      entryIds: Seq[Long], beam: Int, hops: Int): Map[Long, Double] =
+    beamWalkCore(adj, scoreOf, entryIds, beam, hops, snapshotK = 0)._1
+
+  /** One TRACED walk: the serving walk's own loop with a snapshot after
+    * every hop — a recall-vs-hops tuning curve costs ONE walk per sample
+    * query instead of one walk per (query, hops) setting (hop h's state
+    * is a prefix of hop h+1's by construction, which also makes the
+    * curve monotone). Returns (hop, scored_so_far, top-k ids) for
+    * hop = 1..maxHops.
+    */
+  def nswSearchTrace(spark: SparkSession, path: String, corpus: DataFrame,
+      embCol: String, idCol: String, queryVec: Array[Float], k: Int,
+      beam: Int = 32, maxHops: Int = 4,
+      entries: Int = 16): Seq[(Int, Long, Seq[Long])] = withWalkConfs(spark) {
+    val scoreOf = scorer(corpus, embCol, idCol, queryVec)
+    val adj = readNswAdjacency(spark, path)
+    withPinned(Seq(adj)) {
+      beamWalkCore(adj, scoreOf, entryPoints(spark, adj, entries),
+        beam, maxHops, snapshotK = k)._2
     }
   }
 
