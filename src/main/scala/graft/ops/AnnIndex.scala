@@ -1888,6 +1888,39 @@ object AnnIndex extends QueryModule {
     out.result().sorted
   }
 
+  /** The scatter-gather layout for the GRAPH family: each shard is its
+    * own independently built NSW graph (build, fold, and compaction
+    * happen per shard — no cross-shard edges exist, which is the point:
+    * a shard can be rebuilt or lost without touching the others), a
+    * query walks every shard, and the gather re-tops the union of
+    * per-shard top-ks. Same planted construction as the LSH sharded row
+    * (the family provably straddles both shards), same invariant: every
+    * global top-k member is in its own shard's top-k.
+    */
+  def annGraphShardedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    val qv = queryVec(spark, dir, 0L)
+    val shardTops = (0 to 1).map { shard =>
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_nswshard${shard}_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      val part = corpus
+        .filter(pmod(xxhash64(col("vec_id")), lit(2L)) === shard.toLong)
+      ResultCache.buildIfAbsent(spark, corpus,
+        s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42:shard=$shard/2:v1", path) {
+        graft.vector.GraphAnn.buildNswGraph(
+          part, "embedding", "vec_id", defaultLsh, m = 8, path)
+      }
+      graft.vector.GraphAnn.nswSearch(
+        spark, path, part, "embedding", "vec_id", qv, k = 10)
+    }
+    shardTops.reduce(_ unionByName _)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+      .orderBy("vec_id")
+  }
+
   /** VERSIONED index reads — the Iceberg snapshot model applied to the
     * vector index: every build/append commits a manifest listing its
     * version's data files, and a reader pins a version by resolving
@@ -2656,6 +2689,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_pq_compacted_upsert_topk" -> annIvfPqCompactedUpsertTopk,
     "ann_paged_topk" -> annPagedTopk,
     "ann_sharded_topk" -> annShardedTopk,
+    "ann_graph_sharded_topk" -> annGraphShardedTopk,
     "ann_time_travel_topk" -> annTimeTravelTopk,
     "ann_vacuumed_topk" -> annVacuumedTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
@@ -2717,6 +2751,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_pq_compacted_upsert_topk" -> annUpsertTopkSql,
     "ann_paged_topk" -> annPagedTopkSql,
     "ann_sharded_topk" -> annSelfQueryTopkSql,
+    "ann_graph_sharded_topk" -> annSelfQueryTopkSql,
     "ann_time_travel_topk" -> annTimeTravelTopkSql,
     "ann_vacuumed_topk" -> annSelfQueryTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
