@@ -2582,6 +2582,28 @@ object AnnIndex extends QueryModule {
     }.sortBy(_._1).toDF("hops", "recall_ppm", "total_candidates")
   }
 
+  /** The hop curve served per data version, like the LSH/IVF curves —
+    * but the traced walks are DRIVER-computed (the resulting frame is
+    * literals, so plan-keyed ResultCache.cached can't key it); the cache
+    * keys on the EMBEDDINGS input signature instead and materializes the
+    * computed curve once, `_SUCCESS`-gated like every cache entry.
+    */
+  def cachedGraphHopCurve(spark: SparkSession, dir: String,
+      maxHops: Int = 4): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((ResultCache.cacheKey(Tables.embeddings(spark, dir)) +
+        s" graphhop:maxHops=$maxHops:v1")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val cacheDir = Tables.scratchPath("graft_hopcurve", dir) + "/" + key
+    val success = new org.apache.hadoop.fs.Path(cacheDir, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success))
+      annGraphHopCurveOf(spark, dir, maxHops)
+        .repartition(1).write.mode("overwrite").parquet(cacheDir)
+    spark.read.parquet(cacheDir)
+  }
+
   /** Minimal hop budget on a measured curve meeting `targetPpm` recall —
     * the graph serving config an operator deploys; the max measured hop
     * when the target is unreachable.
@@ -2608,7 +2630,9 @@ object AnnIndex extends QueryModule {
     */
   def annGraphTuningGate(spark: SparkSession, dir: String): DataFrame = {
     val maxHops = 4
-    val curve = annGraphHopCurveOf(spark, dir, maxHops).localCheckpoint(true)
+    // the same persisted curve a deploy decision would read — one set of
+    // traced walks per data version, every repeat a 4-row parquet read
+    val curve = cachedGraphHopCurve(spark, dir, maxHops).localCheckpoint(true)
     val w = Window.orderBy(col("hops"))
     val stepped = curve
       .withColumn("prev_recall", lag(col("recall_ppm"), 1).over(w))
