@@ -2592,7 +2592,7 @@ object AnnIndex extends QueryModule {
       maxHops: Int = 4): DataFrame = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((ResultCache.cacheKey(Tables.embeddings(spark, dir)) +
-        s" graphhop:maxHops=$maxHops:v1")
+        "\u0000" + s"graphhop:maxHops=$maxHops:v1")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val cacheDir = Tables.scratchPath("graft_hopcurve", dir) + "/" + key
