@@ -247,8 +247,22 @@ object AnnIndex extends QueryModule {
   // radius alone. The stamp is a cheap FS listing of the embeddings table
   // (count/bytes/max mtime), so an in-session data change still
   // invalidates and re-reads the (new) cached curve.
+  // Keyed (knob, dir) → (stamp, value), replaced on stamp change: keeping
+  // only the LATEST stamp per knob bounds the map for the life of the
+  // session (the old keying grew one entry per data version and never
+  // evicted stale stamps).
   private val knobCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), Int]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, Int)]
+
+  private def cachedKnob(knob: String, dir: String, stamp: String)
+      (compute: => Int): Int =
+    knobCache.get((knob, dir)) match {
+      case Some((s, v)) if s == stamp => v
+      case _ =>
+        val v = compute
+        knobCache.put((knob, dir), (stamp, v))
+        v
+    }
 
   private def embeddingsStamp(spark: SparkSession, dir: String): String = {
     val root = new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet")
@@ -266,9 +280,9 @@ object AnnIndex extends QueryModule {
 
   def tunedRadius(spark: SparkSession, dir: String,
       targetPpm: Long = LshTargetPpm): Int =
-    knobCache.getOrElseUpdate(
-      (s"radius:$targetPpm", dir, embeddingsStamp(spark, dir)),
-      chooseProbeRadius(cachedLshCurve(spark, dir), targetPpm))
+    cachedKnob(s"radius:$targetPpm", dir, embeddingsStamp(spark, dir)) {
+      chooseProbeRadius(cachedLshCurve(spark, dir), targetPpm)
+    }
 
   /** Driver gate over the tuning curve (engine-seeded → contract-checked):
     *  - MONOTONE RECALL / COST: enlarging the probe radius may never lose
@@ -415,9 +429,10 @@ object AnnIndex extends QueryModule {
     */
   def tunedNProbe(spark: SparkSession, dir: String,
       numClusters: Int = 16, targetPpm: Long = IvfTargetPpm): Int =
-    knobCache.getOrElseUpdate(
-      (s"nprobe:$numClusters:$targetPpm", dir, embeddingsStamp(spark, dir)),
-      chooseNProbe(cachedIvfCurve(spark, dir, numClusters), targetPpm))
+    cachedKnob(s"nprobe:$numClusters:$targetPpm", dir,
+        embeddingsStamp(spark, dir)) {
+      chooseNProbe(cachedIvfCurve(spark, dir, numClusters), targetPpm)
+    }
 
   /** Driver gate over the IVF nProbe curve (engine-seeded →
     * contract-checked), the LSH gate's exact shape plus one stronger pin:

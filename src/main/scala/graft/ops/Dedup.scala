@@ -532,9 +532,15 @@ object Dedup extends QueryModule {
 
   /** Next free MAINTENANCE-lane epoch leaf in a store (max existing
     * below the admission base + 1 — deterministic, never a wall clock).
+    * Allocated from the BANDS listing, which `stageMinhashEpoch` writes
+    * LAST: a crash between the sigs and bands writes leaves a torn epoch
+    * (sigs without bands — docs "known" but never emitting candidate
+    * pairs), and allocating from bands makes the NEXT append reuse and
+    * overwrite that epoch, healing the tear instead of skipping it
+    * forever. (The admission lane is already self-healing by replay key.)
     */
   private def nextStoreEpoch(spark: SparkSession, path: String): Long = {
-    val hp = new org.apache.hadoop.fs.Path(path + "/sigs")
+    val hp = new org.apache.hadoop.fs.Path(path + "/bands")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) 0L
     else {
@@ -788,10 +794,12 @@ object Dedup extends QueryModule {
     *
     * EXACTLY-ONCE AT THE STORE LEVEL: the admission is a pure function
     * of (batch, store-state-excluding-this-epoch). Batch id b owns epoch
-    * b+1 (epoch 0 is the base build); every read — admitted log, sigs,
-    * bands — EXCLUDES epoch b+1, and every write (admitted text log,
-    * staged sigs, staged bands) OVERWRITES its deterministic
-    * `epoch=<b+1>` leaf. A replay after a crash at ANY point between the
+    * `AdmissionEpochBase + b` (the admission lane sits above 1<<40 so it
+    * can never collide with a maintenance append's epoch; epoch 0 is the
+    * base build); every read — admitted log, sigs, bands — EXCLUDES that
+    * epoch, and every write (admitted text log, staged sigs, staged
+    * bands) OVERWRITES its deterministic `epoch=<AdmissionEpochBase+b>`
+    * leaf. A replay after a crash at ANY point between the
     * three writes therefore recomputes the identical survivors and
     * pairs and rewrites the same directories — no torn state survives,
     * and no anti-join has to paper over a half-landed admission. The
@@ -846,15 +854,21 @@ object Dedup extends QueryModule {
     dupes
   }
 
-  /** Driver row: the admission body applied to two sequential micro-
-    * batches — batch 1 (docs 300..304 @ +200000) dedups against the base
-    * store and admits survivors; batch 2 (the same docs @ +300000) must
-    * then pair against EITHER its admitted batch-1 twin or the store doc
-    * that rejected the twin. Output = every admission-time duplicate pair
-    * across both batches. The store is run-scoped (admission mutates it,
-    * so the row resets and rebuilds — purity over fixture reuse).
+  /** Driver row: the admission body driven by a REAL streaming query —
+    * a MemoryStream delivers two micro-batches (docs 300..304 @ +200000,
+    * then the same docs @ +300000) through `foreachBatch(admitMicroBatch)`;
+    * batch 1 dedups against the base store and admits survivors; batch 2
+    * must then pair against EITHER its admitted batch-1 twin or the store
+    * doc that rejected the twin. Each batch's pairs land in their own
+    * `pairs/epoch=<admission epoch>` leaf (overwrite — the same
+    * replay-idempotent discipline as the store writes), and the row
+    * returns the union. The store is run-scoped (admission mutates it, so
+    * the row resets and rebuilds — purity over fixture reuse). The two
+    * 5-row addData collects are the stream's bounded source feed, not a
+    * result collect.
     */
   def streamingDedupAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val path = Tables.scratchPath("graft_mhstream", dir)
     val docs = Tables.documents(spark, dir)
     val store = docs.filter(col("doc_id") < 300).select("doc_id", "text")
@@ -868,6 +882,7 @@ object Dedup extends QueryModule {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path + "/admitted"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/pairs"), true)
     for (sub <- Seq("/sigs", "/bands")) {
       val d = new org.apache.hadoop.fs.Path(path + sub)
       if (fs.exists(d)) fs.listStatus(d).filter(_.isDirectory)
@@ -875,13 +890,30 @@ object Dedup extends QueryModule {
           s.getPath.getName != "epoch=0")
         .foreach(s => fs.delete(s.getPath, true))
     }
-    val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
-      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
-    val b2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
-      .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
-    val d1 = admitMicroBatch(spark, b1, store, path, batchId = 0L)
-    val d2 = admitMicroBatch(spark, b2, store, path, batchId = 1L)
-    d1.unionByName(d2).orderBy("doc_a", "doc_b")
+    def feed(offset: Long): Seq[(Long, String)] =
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
+        .select("doc_id", "text").collect() // 5 rows — the stream's feed
+        .map(r => (r.getLong(0) + offset, r.getString(1))).toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        admitMicroBatch(spark, batch, store, path, bid)
+          .repartition(1).write.mode("overwrite")
+          .parquet(path + s"/pairs/epoch=${AdmissionEpochBase + bid}")
+        ()
+      }
+      .start()
+    try {
+      mem.addData(feed(200000L): _*)
+      q.processAllAvailable() // batch 1 fully admitted before batch 2 arrives
+      mem.addData(feed(300000L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(path + "/pairs")
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
   }
 
   // batch-1 pairs (store×b1 + within-b1) ∪ batch-2 pairs against the

@@ -351,7 +351,7 @@ object GraphAnn {
     */
   private def foldRungTombstones(spark: SparkSession, rungPaths: Seq[String],
       tomb: DataFrame, corpus: DataFrame, embCol: String, idCol: String,
-      m: Int): Unit = withWalkConfs(spark) {
+      m: Int): Unit = withWalkConfs(spark) { spark =>
     // walk confs apply to the fold too: its only corpus-wide touch is the
     // map-side raw scan (no shuffle for AQE to replan), and every shuffle
     // below is bounded by |deleted| × in-degree
@@ -494,16 +494,25 @@ object GraphAnn {
     * adjacency — never the corpus.
     */
   def compactNswGraph(spark: SparkSession, path: String): Unit = {
-    if (!pathExists(spark, path + "_delta")) return
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "._compact.tmp")
     val bak = new org.apache.hadoop.fs.Path(path + "._compact.bak")
+    // self-heal BEFORE anything else: a prior compaction that crashed
+    // between rename(base, bak) and rename(tmp, base) left NO base
+    // directory — restore the .bak (the pre-compaction base, still
+    // consistent with the untruncated deltas) so this and every other
+    // entry point can proceed; without this the first step below would
+    // delete the only surviving copy.
+    if (!fs.exists(base) && fs.exists(bak) && !fs.rename(bak, base))
+      throw new java.io.IOException(
+        s"compactNswGraph: cannot restore $bak after a torn swap")
+    if (!pathExists(spark, path + "_delta")) return
     fs.delete(tmp, true); fs.delete(bak, true)
     readNswAdjacency(spark, path)
       .repartition(8, col("node_id"))
       .write.mode("overwrite").parquet(tmp.toString)
-    val base = new org.apache.hadoop.fs.Path(path)
     if (!fs.rename(base, bak))
       throw new java.io.IOException(s"compactNswGraph: cannot move $base aside")
     if (!fs.rename(tmp, base)) {
@@ -611,7 +620,7 @@ object GraphAnn {
   def nswSearchTrace(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queryVec: Array[Float], k: Int,
       beam: Int = 32, maxHops: Int = 4,
-      entries: Int = 16): Seq[(Int, Long, Seq[Long])] = withWalkConfs(spark) {
+      entries: Int = 16): Seq[(Int, Long, Seq[Long])] = withWalkConfs(spark) { spark =>
     val scoreOf = scorer(corpus, embCol, idCol, queryVec)
     val adj = readNswAdjacency(spark, path)
     withPinned(Seq(adj)) {
@@ -671,35 +680,46 @@ object GraphAnn {
     try f finally adjs.foreach(_.unpersist(false))
   }
 
-  /** Serving confs for the walk's micro-queries, restored on exit: every
-    * hop's frame is provably bounded (frontier ≤ B rows, neighbors ≤
-    * B·2M) — AQE's per-stage re-planning spawns extra jobs that cost
-    * more than they could ever save on such rows, and a 32-partition
-    * shuffle schedules 32 near-empty tasks for a few hundred entries.
-    * Measured on the hnsw driver row: ~1 s of pure scheduling overhead.
-    * Build/append/fold jobs keep the session confs (their shuffles can
-    * be corpus-born, where AQE earns its jobs).
+  /** Serving confs for the walk's micro-queries: every hop's frame is
+    * provably bounded (frontier ≤ B rows, neighbors ≤ B·2M) — AQE's
+    * per-stage re-planning spawns extra jobs that cost more than they
+    * could ever save on such rows, and a 32-partition shuffle schedules
+    * 32 near-empty tasks for a few hundred entries. Measured on the hnsw
+    * driver row: ~1 s of pure scheduling overhead.
+    *
+    * The confs live on a DEDICATED walk session (spark.newSession: same
+    * SparkContext, isolated SQL confs), created once per context with
+    * AQE off and 8 shuffle partitions, and handed to the body — which
+    * shadows `spark` with it, so every graph-side frame it builds runs
+    * under walk confs. The previous set/restore on the SHARED session
+    * leaked walk confs to any concurrent non-walk query and needed a
+    * JVM-wide lock that serialized walks against folds; a cloned session
+    * mutates nothing, so the lock is gone and a long fold no longer
+    * blocks serving walks. Caller-built frames (corpus point lookups,
+    * tombstone probes) keep their own session — they are narrow pushed
+    * scans with no exchange, where neither conf matters.
+    * Build/append jobs keep the session confs (their shuffles can be
+    * corpus-born, where AQE earns its jobs).
     */
-  private val walkConfLock = new Object
+  @volatile private var walkSessionRef: SparkSession = _
 
-  private def withWalkConfs[A](spark: SparkSession)(f: => A): A =
-    // serialized: the set/restore pair is not reentrant, and two threads
-    // interleaving it (a foreachBatch walk against a driver walk) could
-    // restore each other's transient values and leave the session's AQE
-    // permanently off. The lock makes walks/folds mutually exclusive per
-    // JVM — the serving tier's single-writer discipline; concurrent
-    // NON-walk queries on the same session during a walk still observe
-    // the walk confs (documented scope: driver flows are sequential).
-    walkConfLock.synchronized {
-      val confs = Seq("spark.sql.adaptive.enabled" -> "false",
-        "spark.sql.shuffle.partitions" -> "8")
-      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      try f finally prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
+  private def withWalkConfs[A](spark: SparkSession)(f: SparkSession => A): A = {
+    val cur = walkSessionRef
+    val ws =
+      if (cur != null && (cur.sparkContext eq spark.sparkContext)) cur
+      else synchronized {
+        val again = walkSessionRef
+        if (again != null && (again.sparkContext eq spark.sparkContext)) again
+        else {
+          val s = spark.newSession()
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          walkSessionRef = s
+          s
+        }
       }
-    }
+    f(ws)
+  }
 
   /** Beam search over the persisted graph: H hops, global beam B.
     * `corpus` supplies (idCol, embCol) for scoring — at scale the same
@@ -711,7 +731,7 @@ object GraphAnn {
       beam: Int = 32, hops: Int = 4, entries: Int = 16,
       allowed: Option[DataFrame] = None,
       asOfSeq: Long = Long.MaxValue): DataFrame =
-    withWalkConfs(spark) {
+    withWalkConfs(spark) { spark =>
       val scoreOf = scorer(corpus, embCol, idCol, queryVec)
       val adj = readNswAdjacencyAsOf(spark, path, asOfSeq)
       withPinned(Seq(adj)) {
@@ -983,7 +1003,7 @@ object GraphAnn {
   def nswBatchSearch(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
       k: Int, beam: Int = 32, hops: Int = 4,
-      entries: Int = 16): DataFrame = withWalkConfs(spark) {
+      entries: Int = 16): DataFrame = withWalkConfs(spark) { spark =>
     val adj = readNswAdjacency(spark, path)
     withPinned(Seq(adj)) {
       val scorer = new BatchScorer(corpus, embCol, idCol)
@@ -1004,7 +1024,7 @@ object GraphAnn {
       embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
       k: Int, beam: Int = 32, hops: Int = 4, entries: Int = 16,
       maxLevel: Int = 2, descentBeam: Int = 4,
-      descentHops: Int = 2): DataFrame = withWalkConfs(spark) {
+      descentHops: Int = 2): DataFrame = withWalkConfs(spark) { spark =>
     val scorer = new BatchScorer(corpus, embCol, idCol)
     var carried = Map.empty[Long, Seq[Long]]
     var l = maxLevel
@@ -1047,7 +1067,7 @@ object GraphAnn {
       beam: Int = 32, hops: Int = 4, entries: Int = 16,
       maxLevel: Int = 2, descentBeam: Int = 4,
       descentHops: Int = 2,
-      allowed: Option[DataFrame] = None): DataFrame = withWalkConfs(spark) {
+      allowed: Option[DataFrame] = None): DataFrame = withWalkConfs(spark) { spark =>
     val scoreOf = scorer(corpus, embCol, idCol, queryVec)
     var carried = Seq.empty[Long] // best nodes so far, passed down the ladder
     var l = maxLevel
