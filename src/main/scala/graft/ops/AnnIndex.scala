@@ -1845,6 +1845,15 @@ object AnnIndex extends QueryModule {
       k = 5, nProbe = tunedNProbe(spark, dir))
   }
 
+  /** Shard count for the scatter-gather rows — conf-read
+    * (`spark.graft.ann.shardCount`, default 2) because the invariant
+    * argument is N-generic and the fleet picks N per corpus size; the
+    * cache tags carry N so different shard layouts never share fixture
+    * directories. ShardedSpec runs the same rows at N=4.
+    */
+  private[graft] def shardCount(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.ann.shardCount").map(_.toInt).getOrElse(2)
+
   /** SHARDED scatter-gather serving — the fleet layout where the corpus
     * is split across independently-built index tables (at 1000 executors
     * no single index spans the corpus; shards build, compact, and fail
@@ -1853,8 +1862,8 @@ object AnnIndex extends QueryModule {
     * top-ks — correct by the scatter-gather invariant (every global
     * top-k member is in its own shard's top-k, so the union provably
     * contains the global answer). Shard membership is a pure id hash, so
-    * routing needs no directory. The planted copies split across BOTH
-    * shards (ids 100000..100008 hash to different parities), making the
+    * routing needs no directory. The planted copies split across the
+    * shards (ids 100000..100008 hash to different residues), making the
     * row sensitive to a lost shard, a broken merge, or a shard build
     * that dropped rows.
     */
@@ -1863,13 +1872,15 @@ object AnnIndex extends QueryModule {
     val qv = queryVec(spark, dir, 0L)
     val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
       radius = tunedRadius(spark, dir))
-    val shardTops = (0 to 1).map { shard =>
+    val n = shardCount(spark)
+    val shardTops = (0 until n).map { shard =>
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_lshshard${shard}_" + Integer.toHexString(dir.hashCode))
+        s"graft_lshshard${shard}of${n}_" + Integer.toHexString(dir.hashCode))
         .getAbsolutePath
-      val part = corpus.filter(pmod(xxhash64(col("vec_id")), lit(2L)) === shard.toLong)
+      val part = corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(n.toLong)) === shard.toLong)
       ResultCache.buildIfAbsent(spark, corpus,
-        s"lsh:bits=${defaultLsh.nBits}:seed=42:shard=$shard/2:v1", path) {
+        s"lsh:bits=${defaultLsh.nBits}:seed=42:shard=$shard/$n:v1", path) {
         IndexBuilder.buildLshIndex(part, "embedding", defaultLsh, path)
       }
       spark.read.parquet(path)
@@ -1915,14 +1926,15 @@ object AnnIndex extends QueryModule {
   def annGraphShardedTopk(spark: SparkSession, dir: String): DataFrame = {
     val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
     val qv = queryVec(spark, dir, 0L)
-    val shardTops = (0 to 1).map { shard =>
+    val n = shardCount(spark)
+    val shardTops = (0 until n).map { shard =>
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_nswshard${shard}_" + Integer.toHexString(dir.hashCode))
+        s"graft_nswshard${shard}of${n}_" + Integer.toHexString(dir.hashCode))
         .getAbsolutePath
       val part = corpus
-        .filter(pmod(xxhash64(col("vec_id")), lit(2L)) === shard.toLong)
+        .filter(pmod(xxhash64(col("vec_id")), lit(n.toLong)) === shard.toLong)
       ResultCache.buildIfAbsent(spark, corpus,
-        s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42:shard=$shard/2:v1", path) {
+        s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42:shard=$shard/$n:v1", path) {
         graft.vector.GraphAnn.buildNswGraph(
           part, "embedding", "vec_id", defaultLsh, m = 8, path)
       }
@@ -2079,6 +2091,257 @@ object AnnIndex extends QueryModule {
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(10)
       .select("vec_id", "score")
+  }
+
+  /** VERSIONED reads for the IVF family — the LSH manifest lifecycle
+    * (annTimeTravelTopk) applied to `cluster_id=` partitions: every
+    * build/append commits a manifest row-set listing its version's data
+    * files, a reader pins a version by resolving files through the
+    * manifest alone, and probe pruning happens AT THE MANIFEST — file
+    * paths carry their cluster partition, so the driver filters the
+    * file list to the nProbe-nearest clusters before any scan. The
+    * centroid sidecar is shared across versions (add-after-train: the
+    * appended copies assign against it, never refit), so pinning v1
+    * costs no sidecar copy. Same enumerable construction and oracle as
+    * the LSH row: v1 top-6 and v2 top-10 are both provable, so serving
+    * a version from the wrong file set perturbs the row.
+    */
+  def annIvfTimeTravelTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivftt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    def dataFiles(): Seq[String] = listIndexFiles(spark, path)
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivf:clusters=16:seed=42:lifecycle=timetravel:v1", path) {
+      deleteRecursively(new java.io.File(path + "_manifest"))
+      IndexBuilder.buildIvfIndex(
+        e.unionByName(corpus.filter(col("vec_id").between(100000L, 100004L))),
+        "embedding", numClusters = 16, seed = 42L, path)
+      val v1 = dataFiles()
+      IndexBuilder.appendToIvfIndex(
+        corpus.filter(col("vec_id") >= 100005L), "embedding", path)
+      val v2 = dataFiles()
+      (v1.map((1L, _)) ++ v2.map((2L, _))).toDF("version", "file")
+        .repartition(1).write.mode("overwrite").parquet(path + "_manifest")
+    }
+    val qv = queryVec(spark, dir, 0L)
+    val probes = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(path), qv,
+      nProbe = tunedNProbe(spark, dir)).toSet
+    def readVersion(v: Long, k: Int): DataFrame = {
+      val files = spark.read.parquet(path + "_manifest")
+        .filter(col("version") === v).select("file")
+        .collect().map(_.getString(0)) // manifest: file-count-bounded
+        .filter { f => // manifest-level partition pruning on the path
+          "cluster_id=(\\d+)".r.findFirstMatchIn(f)
+            .forall(m => probes.contains(m.group(1).toInt))
+        }
+      spark.read.option("basePath", path).parquet(files: _*)
+        .filter(col("cluster_id").isin(probes.toSeq: _*))
+        .withColumn("score", round(
+          graft.vector.VectorFunctions.cosineUnit(
+            col("embedding"), typedlit(qv.toSeq)), 6))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(k)
+        .select(lit(v).as("version"), col("vec_id"), col("score"))
+    }
+    readVersion(1L, 6).unionByName(readVersion(2L, 10))
+      .orderBy("version", "vec_id")
+  }
+
+  /** SHARDED scatter-gather for the IVF family: each shard is its own
+    * independently fitted and built IVF index (per-shard centroids +
+    * sidecar — a shard rebuilds or dies without touching the others; at
+    * fleet scale no single KMeans fit spans the corpus), a query ranks
+    * EACH shard's own centroids for its probe set, and the gather
+    * re-tops the union of per-shard top-ks. The invariant is the same
+    * N-generic scatter-gather argument as the LSH/graph rows, plus the
+    * IVF-specific one: each planted copy sits at the query point, so
+    * within ITS shard its assigned centroid is the nearest to the query
+    * and is probed at any nProbe ≥ 1 — the union provably contains the
+    * full planted answer whatever the per-shard fits look like.
+    */
+  def annIvfShardedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    val qv = queryVec(spark, dir, 0L)
+    val n = shardCount(spark)
+    val shardTops = (0 until n).map { shard =>
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivfshard${shard}of${n}_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      val part = corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(n.toLong)) === shard.toLong)
+      ResultCache.buildIfAbsent(spark, corpus,
+        s"ivf:clusters=16:seed=42:shard=$shard/$n:v1", path) {
+        IndexBuilder.buildIvfIndex(part, "embedding",
+          numClusters = 16, seed = 42L, path)
+      }
+      val probeIds = IndexBuilder.nearestClusters(
+        IndexBuilder.loadIvfCentroids(path), qv,
+        nProbe = tunedNProbe(spark, dir))
+      spark.read.parquet(path)
+        .filter(col("cluster_id").isin(probeIds: _*))
+        .withColumn("score", round(
+          graft.vector.VectorFunctions.cosineUnit(
+            col("embedding"), typedlit(qv.toSeq)), 6))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "score")
+    }
+    shardTops.reduce(_ unionByName _)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
+  /** DELETE from the persisted IVF-SQ8 index — the codes-carrying SQ8
+    * table gets the tombstone discipline its PQ sibling has, with the
+    * same semantics point: the anti-join applies BEFORE the quantized
+    * coarse pass (a deleted row left in the coarse set would occupy
+    * overscan slots and shift the tie-inclusive cutoff). Delete cost is
+    * one sidecar write; codes, scales, centroids untouched, and the
+    * coarse pass still reads codes only (plan-audited).
+    */
+  def annIvfSq8DeleteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfsq8del_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    ResultCache.buildIfAbsent(spark,
+      withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+      "ivfsq8:clusters=16:seed=42:lifecycle=delete:v1", path) {
+      graft.vector.Quantization.buildIvfSq8Index(
+        withPlantedSelfCopies(spark, Tables.embeddings(spark, dir)),
+        "embedding", numClusters = 16, seed = 42L, path)
+      spark.range(100000L, 100005L).toDF("vec_id")
+        .write.mode("overwrite").parquet(path + "_tombstones")
+    }
+    val tombstones = spark.read.parquet(path + "_tombstones")
+    val qv = queryVec(spark, dir, 0L)
+    val probes = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(path), qv,
+      nProbe = tunedNProbe(spark, dir))
+    val live = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probes: _*))
+      .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+    graft.vector.Quantization.quantizedKnn(
+      live, "embedding", "vec_id", qv, k = 5)
+  }
+
+  /** UPSERT into the persisted IVF-SQ8 index — re-embed without retrain:
+    * the replacement assigns and QUANTIZES against the persisted sidecar
+    * state (add-after-train for both the coarse quantizer and the scalar
+    * codes), landing int8 codes in its new cluster; the old version dies
+    * by seq-watermark (an id-level tombstone would kill the replacement),
+    * applied before the coarse pass for the same pre-filter reason as
+    * the delete row. annUpsertTopkSql verbatim.
+    */
+  def annIvfSq8UpsertTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfsq8upsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    ResultCache.buildIfAbsent(spark, withPlantedSelfCopies(spark, e),
+      "ivfsq8:clusters=16:seed=42:lifecycle=upsert-raw:v1", path) {
+      graft.vector.Quantization.buildIvfSq8Index(
+        withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
+        "embedding", numClusters = 16, seed = 42L, path)
+      spark.range(100000L, 100001L).toDF("t_vec_id")
+        .withColumn("upto_seq", lit(0L))
+        .write.mode("overwrite").parquet(path + "_tombstones")
+      val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
+        .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+        .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+      graft.vector.Quantization.appendToIvfSq8Index(reEmbedded, "embedding", path)
+    }
+    val tombstones = spark.read.parquet(path + "_tombstones")
+    val qv = queryVec(spark, dir, 0L)
+    val probes = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(path), qv,
+      nProbe = tunedNProbe(spark, dir))
+    val live = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probes: _*))
+      .join(broadcast(tombstones),
+        col("vec_id") === col("t_vec_id") && col("seq") <= col("upto_seq"),
+        "left_anti")
+    graft.vector.Quantization.quantizedKnn(
+      live, "embedding", "vec_id", qv, k = 5)
+  }
+
+  /** VACUUM for the graph family — the maintenance loop closed the way
+    * annVacuumedTopk closes it for LSH: delete (tombstone sidecar) →
+    * fold (bridge-rewritten deltas, sidecar truncates) → compaction with
+    * a RETAINED pre-compaction base (the rollback window of the Iceberg
+    * expire-snapshots model) → vacuum, which reclaims exactly the
+    * retained backup and any stale compaction temp — the cached unit
+    * asserts files were actually reclaimed. The post-vacuum search takes
+    * NO tombstone filter and finds NO delta directory: the compacted,
+    * vacuumed base alone must serve the surviving planted answer
+    * (annGraphDeleteTopkSql verbatim) — a vacuum that deleted the live
+    * base, a compaction that resurrected a removal marker, or a fold
+    * that missed a bridge each perturbs the row.
+    */
+  def annGraphVacuumedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswvac_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42:lifecycle=delete+fold+compact+vacuum:v1",
+      path) {
+      deleteRecursively(new java.io.File(path + "_delta"))
+      deleteRecursively(new java.io.File(path + "_tombstones"))
+      graft.vector.GraphAnn.buildNswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+      graft.vector.GraphAnn.deleteFromNswGraph(
+        spark, (100000L to 100004L), path)
+      graft.vector.GraphAnn.foldNswTombstones(
+        spark, path, corpus, "embedding", "vec_id", m = 8)
+      graft.vector.GraphAnn.compactNswGraph(spark, path, retainBackup = true)
+      val reclaimed = graft.vector.GraphAnn.vacuumNswGraph(spark, path)
+      require(reclaimed > 0, "vacuum found nothing to reclaim")
+    }
+    require(!new java.io.File(path + "._compact.bak").exists(),
+      "vacuum must reclaim the retained backup")
+    graft.vector.GraphAnn.nswSearch(
+      spark, path, corpus, "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 5)
+  }
+
+  /** TIME TRAVEL through the HNSW ladder: the graph family's seq-pinned
+    * versioned reads (ann_graph_time_travel_topk) composed with the
+    * hierarchical descent — one asOfSeq pins every rung's merged view to
+    * the same generation, so v1 (the build, no deltas) and v2 (after the
+    * ladder append) are both servable from one stored index. Same
+    * enumerable two-version oracle as the LSH/IVF manifest rows: a
+    * descent that read a rung at the wrong version would route v1's walk
+    * through nodes that must not exist yet, and the v1 emission would
+    * surface appended copies.
+    */
+  def annHnswTimeTravelTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hnswtt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    val v1Corpus = e.unionByName(
+      corpus.filter(col("vec_id").between(100000L, 100004L)))
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"hnsw:m=8:bits=${defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2:lifecycle=timetravel:v1",
+      path) {
+      Seq("_delta", "_l1_delta", "_l2_delta", "_tombstones")
+        .foreach(s => deleteRecursively(new java.io.File(path + s)))
+      graft.vector.GraphAnn.buildHnswGraph(
+        v1Corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+      graft.vector.GraphAnn.appendToHnswGraph(
+        spark, corpus.filter(col("vec_id") >= 100005L),
+        "embedding", "vec_id", defaultLsh, m = 8, path, v1Corpus)
+    }
+    def readVersion(v: Long, asOf: Long, k: Int): DataFrame =
+      graft.vector.GraphAnn.hnswSearch(
+        spark, path, corpus, "embedding", "vec_id",
+        queryVec(spark, dir, 0L), k = k, asOfSeq = asOf)
+        .select(lit(v).as("version"), col("vec_id"), col("score"))
+    readVersion(1L, asOf = 0L, k = 6)
+      .unionByName(readVersion(2L, asOf = Long.MaxValue, k = 10))
+      .orderBy("version", "vec_id")
   }
 
   /** KEYSET pagination over ANN results (the serving-path "next page"):
@@ -2729,8 +2992,14 @@ object AnnIndex extends QueryModule {
     "ann_paged_topk" -> annPagedTopk,
     "ann_sharded_topk" -> annShardedTopk,
     "ann_graph_sharded_topk" -> annGraphShardedTopk,
+    "ann_ivf_sharded_topk" -> annIvfShardedTopk,
     "ann_time_travel_topk" -> annTimeTravelTopk,
+    "ann_ivf_time_travel_topk" -> annIvfTimeTravelTopk,
+    "ann_hnsw_time_travel_topk" -> annHnswTimeTravelTopk,
     "ann_vacuumed_topk" -> annVacuumedTopk,
+    "ann_graph_vacuumed_topk" -> annGraphVacuumedTopk,
+    "ann_ivf_sq8_delete_topk" -> annIvfSq8DeleteTopk,
+    "ann_ivf_sq8_upsert_topk" -> annIvfSq8UpsertTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
@@ -2791,8 +3060,14 @@ object AnnIndex extends QueryModule {
     "ann_paged_topk" -> annPagedTopkSql,
     "ann_sharded_topk" -> annSelfQueryTopkSql,
     "ann_graph_sharded_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_sharded_topk" -> annSelfQueryTopkSql,
     "ann_time_travel_topk" -> annTimeTravelTopkSql,
+    "ann_ivf_time_travel_topk" -> annTimeTravelTopkSql,
+    "ann_hnsw_time_travel_topk" -> annTimeTravelTopkSql,
     "ann_vacuumed_topk" -> annSelfQueryTopkSql,
+    "ann_graph_vacuumed_topk" -> annGraphDeleteTopkSql,
+    "ann_ivf_sq8_delete_topk" -> annDeleteTopkSql,
+    "ann_ivf_sq8_upsert_topk" -> annUpsertTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)

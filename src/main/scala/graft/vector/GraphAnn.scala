@@ -493,7 +493,8 @@ object GraphAnn {
     * the job. Cost is one merge pass + rewrite of the graph's own
     * adjacency — never the corpus.
     */
-  def compactNswGraph(spark: SparkSession, path: String): Unit = {
+  def compactNswGraph(spark: SparkSession, path: String,
+      retainBackup: Boolean = false): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(path)
@@ -519,7 +520,11 @@ object GraphAnn {
       fs.rename(bak, base) // roll back
       throw new java.io.IOException(s"compactNswGraph: cannot install $base")
     }
-    fs.delete(bak, true)
+    // retainBackup: keep the pre-compaction base at .bak as a rollback
+    // window (the Iceberg expire-snapshots model's retention period);
+    // vacuumNswGraph reclaims it once the window closes. Default deletes
+    // it immediately — the compact-only maintenance path.
+    if (!retainBackup) fs.delete(bak, true)
     spark.catalog.refreshByPath(path)
     // deltas truncate LAST: their content is now IN the base, and
     // re-merging them over it would resolve to the same view
@@ -531,6 +536,34 @@ object GraphAnn {
       maxLevel: Int = 2): Unit =
     (path +: (1 to maxLevel).map(path + "_l" + _).filter(pathExists(spark, _)))
       .foreach(compactNswGraph(spark, _))
+
+  /** VACUUM for the graph index: delete files no current reader
+    * resolves — the retained pre-compaction backup (once its rollback
+    * window closes) and any stale compaction temp from an earlier crash.
+    * The backup is only reclaimed while the base EXISTS: a missing base
+    * means the .bak is the torn-swap recovery copy compactNswGraph's
+    * self-heal needs, and deleting it would destroy the index. Returns
+    * the number of data files reclaimed so callers can assert the
+    * vacuum actually shrank the index on disk.
+    */
+  def vacuumNswGraph(spark: SparkSession, path: String): Long = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(p: org.apache.hadoop.fs.Path): Long = {
+      var n = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    }
+    var reclaimed = 0L
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact.tmp")
+    if (fs.exists(tmp)) { reclaimed += countFiles(tmp); fs.delete(tmp, true) }
+    val bak = new org.apache.hadoop.fs.Path(path + "._compact.bak")
+    if (fs.exists(base) && fs.exists(bak)) {
+      reclaimed += countFiles(bak); fs.delete(bak, true)
+    }
+    reclaimed
+  }
 
   /** Deterministic entry points: the E graph ids with the smallest
     * xxhash64 — a fixed, query-independent sample (catalog-scale read of
@@ -1067,14 +1100,19 @@ object GraphAnn {
       beam: Int = 32, hops: Int = 4, entries: Int = 16,
       maxLevel: Int = 2, descentBeam: Int = 4,
       descentHops: Int = 2,
-      allowed: Option[DataFrame] = None): DataFrame = withWalkConfs(spark) { spark =>
+      allowed: Option[DataFrame] = None,
+      asOfSeq: Long = Long.MaxValue): DataFrame = withWalkConfs(spark) { spark =>
     val scoreOf = scorer(corpus, embCol, idCol, queryVec)
     var carried = Seq.empty[Long] // best nodes so far, passed down the ladder
     var l = maxLevel
     while (l >= 1) {
       val layerPath = path + "_l" + l
       if (pathExists(spark, layerPath)) {
-        val adjL = readNswAdjacency(spark, layerPath)
+        // version pinning applies PER RUNG: every rung's deltas carry
+        // their own seq ladder, and an append stamps all affected rungs
+        // in the same generation — so one asOfSeq pins a consistent
+        // ladder-wide snapshot (the graph time-travel model over rungs)
+        val adjL = readNswAdjacencyAsOf(spark, layerPath, asOfSeq)
         withPinned(Seq(adjL)) {
           val seeds =
             if (carried.nonEmpty) carried
@@ -1092,7 +1130,7 @@ object GraphAnn {
       }
       l -= 1
     }
-    val adj0 = readNswAdjacency(spark, path)
+    val adj0 = readNswAdjacencyAsOf(spark, path, asOfSeq)
     withPinned(Seq(adj0)) {
       val seeds0 = (carried ++ entryPoints(spark, adj0, entries)).distinct
       val visited = beamWalk(adj0, scoreOf, seeds0, beam, hops)

@@ -867,4 +867,38 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.head === target,
       s"appended node $target not reachable, top-5 = ${got.toSeq}")
   }
+
+  test("nsw compaction self-heals a torn base/bak swap and vacuum reclaims the backup") {
+    import graft.vector.GraphAnn
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") < 400)
+    val arrivals = e.filter(col("vec_id") >= 400)
+    val path = Files.createTempDirectory("nsw_healspec").toString + "/graph"
+    GraphAnn.buildNswGraph(base, "embedding", "vec_id", AnnIndex.defaultLsh,
+      m = 8, path)
+    GraphAnn.appendToNswGraph(spark, arrivals, "embedding", "vec_id",
+      AnnIndex.defaultLsh, m = 8, path, base)
+    val total = e.count()
+    // simulate the torn swap: crash happened between rename(base, bak)
+    // and rename(tmp, base) — no base dir, only the .bak, deltas intact
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "._compact.bak")))
+    // vacuum must REFUSE the backup while the base is missing — it is
+    // the only surviving copy
+    assert(GraphAnn.vacuumNswGraph(spark, path) === 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path + "._compact.bak")))
+    // re-entering compaction heals the tear and completes the fold
+    GraphAnn.compactNswGraph(spark, path, retainBackup = true)
+    val merged = GraphAnn.readNswAdjacency(spark, path)
+    assert(merged.count() === total,
+      "self-healed compaction lost adjacency rows")
+    // retained backup now reclaimable: base exists, vacuum shrinks disk
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path + "._compact.bak")))
+    assert(GraphAnn.vacuumNswGraph(spark, path) > 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "._compact.bak")))
+    assert(GraphAnn.readNswAdjacency(spark, path).count() === total,
+      "vacuum touched the live base")
+  }
 }
