@@ -2267,6 +2267,177 @@ object AnnIndex extends QueryModule {
       live, "embedding", "vec_id", qv, k = 5)
   }
 
+  /** COMPACTION folds the IVF-SQ8 tombstones into the cluster partitions
+    * — `Compaction.foldTombstones` rewrites affected `cluster_id=` leaves
+    * with ALL their columns (the int8 codes and scales ride along), and
+    * the centroid sidecar survives. Invariance pinning: annDeleteTopkSql
+    * verbatim, the query takes NO anti-join — the folded codes table
+    * alone must stop serving the deleted rows through the quantized
+    * coarse + exact rescore stack.
+    */
+  def annIvfSq8CompactedDeleteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfsq8cdel_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivfsq8:clusters=16:seed=42:lifecycle=delete+fold:v1", path) {
+      graft.vector.Quantization.buildIvfSq8Index(
+        corpus, "embedding", numClusters = 16, seed = 42L, path)
+      spark.range(100000L, 100005L).toDF("vec_id")
+        .write.mode("overwrite").parquet(path + "_tombstones")
+      graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
+    }
+    graft.vector.Quantization.ivfSq8IndexTopK(
+      spark, path, "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 5, nProbe = tunedNProbe(spark, dir))
+  }
+
+  /** The IVF-SQ8 watermark fold — the upsert's maintenance half over the
+    * codes table: kill exactly `seq <= upto_seq` in the old cluster, keep
+    * the re-quantized replacement in its new one, sidecar untouched.
+    * annUpsertTopkSql verbatim, no anti-join in the query.
+    */
+  def annIvfSq8CompactedUpsertTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfsq8cupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    ResultCache.buildIfAbsent(spark, withPlantedSelfCopies(spark, e),
+      "ivfsq8:clusters=16:seed=42:lifecycle=upsert+fold:v1", path) {
+      graft.vector.Quantization.buildIvfSq8Index(
+        withPlantedSelfCopies(spark, e).withColumn("seq", lit(0L)),
+        "embedding", numClusters = 16, seed = 42L, path)
+      spark.range(100000L, 100001L).toDF("t_vec_id")
+        .withColumn("upto_seq", lit(0L))
+        .write.mode("overwrite").parquet(path + "_tombstones")
+      val reEmbedded = spark.range(100000L, 100001L).toDF("vec_id")
+        .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
+        .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+      graft.vector.Quantization.appendToIvfSq8Index(reEmbedded, "embedding", path)
+      graft.ingest.Compaction.foldTombstones(spark, path, path + "_tombstones")
+    }
+    graft.vector.Quantization.ivfSq8IndexTopK(
+      spark, path, "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 5, nProbe = tunedNProbe(spark, dir))
+  }
+
+  /** VERSIONED reads for the persisted IVF-PQ index — the manifest
+    * lifecycle over the codes-carrying table: the m-byte codes ride the
+    * manifest-resolved files, both trained sidecars (centroids +
+    * codebooks) are shared across versions (add-after-train: the append
+    * encodes against them, never refits), and each version's answer is
+    * served through the full ADC coarse + exact rescore stack over its
+    * pinned file set alone. Same enumerable two-version oracle as the
+    * other time-travel rows.
+    */
+  def annIvfPqTimeTravelTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpqtt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivfpq:clusters=16:seed=42:lifecycle=timetravel:v1", path) {
+      deleteRecursively(new java.io.File(path + "_manifest"))
+      graft.vector.ProductQuantization.buildIvfPqIndex(
+        e.unionByName(corpus.filter(col("vec_id").between(100000L, 100004L))),
+        "embedding", numClusters = 16, seed = 42L, path)
+      val v1 = listIndexFiles(spark, path)
+      graft.vector.ProductQuantization.appendToIvfPqIndex(
+        corpus.filter(col("vec_id") >= 100005L), "embedding", path)
+      val v2 = listIndexFiles(spark, path)
+      (v1.map((1L, _)) ++ v2.map((2L, _))).toDF("version", "file")
+        .repartition(1).write.mode("overwrite").parquet(path + "_manifest")
+    }
+    val qv = queryVec(spark, dir, 0L)
+    val books = graft.vector.ProductQuantization.loadPqCodebooks(path)
+    val probes = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(path), qv,
+      nProbe = tunedNProbe(spark, dir)).toSet
+    def readVersion(v: Long, k: Int): DataFrame = {
+      val files = spark.read.parquet(path + "_manifest")
+        .filter(col("version") === v).select("file")
+        .collect().map(_.getString(0)) // manifest: file-count-bounded
+        .filter { f => // manifest-level partition pruning on the path
+          "cluster_id=(\\d+)".r.findFirstMatchIn(f)
+            .forall(m => probes.contains(m.group(1).toInt))
+        }
+      val live = spark.read.option("basePath", path).parquet(files: _*)
+        .filter(col("cluster_id").isin(probes.toSeq: _*))
+      graft.vector.ProductQuantization.pqSearchEncoded(
+        live, "embedding", "vec_id", books, qv, k = k, overscan = 16)
+        .select(lit(v).as("version"), col("vec_id"), col("score"))
+    }
+    readVersion(1L, 6).unionByName(readVersion(2L, 10))
+      .orderBy("version", "vec_id")
+  }
+
+  /** The IVF maintenance loop closed Iceberg-style, annVacuumedTopk's
+    * lifecycle over `cluster_id=` partitions: build (v1) → append (small
+    * files accumulate, v2) → COMPACTION commit (live rows rewritten as
+    * fresh clustered files in the same partition layout; the manifest
+    * row-set is the commit) → version expiry → vacuum of exactly the
+    * unreferenced files. The centroid sidecar is not a data file
+    * (text, never in a manifest) and survives every stage — the
+    * post-vacuum query still resolves probes through it, then serves v3
+    * through the manifest and must return the full planted answer.
+    */
+  def annIvfVacuumedTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfvac_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivf:clusters=16:seed=42:lifecycle=compact+expire+vacuum:v1", path) {
+      deleteRecursively(new java.io.File(path + "_manifest"))
+      IndexBuilder.buildIvfIndex(
+        e.unionByName(corpus.filter(col("vec_id").between(100000L, 100004L))),
+        "embedding", numClusters = 16, seed = 42L, path)
+      IndexBuilder.appendToIvfIndex(
+        corpus.filter(col("vec_id") >= 100005L), "embedding", path)
+      val v2 = listIndexFiles(spark, path)
+      // v3: the compaction commit — live rows rewritten as fresh files in
+      // the same cluster layout; old files stay on disk until the vacuum.
+      // Materialized BEFORE the write: appending to the directory being
+      // read would otherwise race the scan's file listing.
+      val live = spark.read.parquet(path)
+        .select("vec_id", "embedding", "cluster_id")
+        .localCheckpoint(true)
+      IndexBuilder.clusteredBy(live, "cluster_id", 16)
+        .write.mode("append").partitionBy("cluster_id").parquet(path)
+      val v3 = listIndexFiles(spark, path).diff(v2)
+      require(v3.nonEmpty, "compaction produced no files")
+      v3.map((3L, _)).toDF("version", "file")
+        .repartition(1).write.mode("overwrite").parquet(path + "_manifest")
+      val referenced = v3.toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val reclaimed = listIndexFiles(spark, path).filterNot(referenced)
+      require(reclaimed.nonEmpty, "vacuum found nothing to reclaim")
+      reclaimed.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    }
+    val qv = queryVec(spark, dir, 0L)
+    val probes = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(path), qv,
+      nProbe = tunedNProbe(spark, dir)).toSet
+    val files = spark.read.parquet(path + "_manifest")
+      .filter(col("version") === 3L).select("file")
+      .collect().map(_.getString(0))
+      .filter { f =>
+        "cluster_id=(\\d+)".r.findFirstMatchIn(f)
+          .forall(m => probes.contains(m.group(1).toInt))
+      }
+    spark.read.option("basePath", path).parquet(files: _*)
+      .filter(col("cluster_id").isin(probes.toSeq: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
   /** VACUUM for the graph family — the maintenance loop closed the way
     * annVacuumedTopk closes it for LSH: delete (tombstone sidecar) →
     * fold (bridge-rewritten deltas, sidecar truncates) → compaction with
@@ -2998,8 +3169,12 @@ object AnnIndex extends QueryModule {
     "ann_hnsw_time_travel_topk" -> annHnswTimeTravelTopk,
     "ann_vacuumed_topk" -> annVacuumedTopk,
     "ann_graph_vacuumed_topk" -> annGraphVacuumedTopk,
+    "ann_ivf_vacuumed_topk" -> annIvfVacuumedTopk,
+    "ann_ivf_pq_time_travel_topk" -> annIvfPqTimeTravelTopk,
     "ann_ivf_sq8_delete_topk" -> annIvfSq8DeleteTopk,
     "ann_ivf_sq8_upsert_topk" -> annIvfSq8UpsertTopk,
+    "ann_ivf_sq8_compacted_delete_topk" -> annIvfSq8CompactedDeleteTopk,
+    "ann_ivf_sq8_compacted_upsert_topk" -> annIvfSq8CompactedUpsertTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
@@ -3066,8 +3241,12 @@ object AnnIndex extends QueryModule {
     "ann_hnsw_time_travel_topk" -> annTimeTravelTopkSql,
     "ann_vacuumed_topk" -> annSelfQueryTopkSql,
     "ann_graph_vacuumed_topk" -> annGraphDeleteTopkSql,
+    "ann_ivf_vacuumed_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_pq_time_travel_topk" -> annTimeTravelTopkSql,
     "ann_ivf_sq8_delete_topk" -> annDeleteTopkSql,
     "ann_ivf_sq8_upsert_topk" -> annUpsertTopkSql,
+    "ann_ivf_sq8_compacted_delete_topk" -> annDeleteTopkSql,
+    "ann_ivf_sq8_compacted_upsert_topk" -> annUpsertTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)
