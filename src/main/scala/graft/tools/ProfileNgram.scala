@@ -54,6 +54,42 @@ object ProfileNgram {
           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
         .write.format("noop").mode("overwrite").save()
     }
+    // string-free digest: hash each TOKEN once, then combine each 8-token
+    // window of token hashes with two chained-hash lanes — no per-position
+    // string materialization, ~1 full-width hash per token instead of
+    // ~2 hashes + 1 join per position. MEASURED SLOWER at sf0.1 (r10:
+    // explode 5.5-6.0 s vs 4.4-4.6 s; window form 6.5-7.2 s vs ~5.2 s):
+    // the aggregate() HOF pays an interpreted-lambda step per element,
+    // which costs more than the string join + hash it avoids — the
+    // string form IS the fast path, and dup_ngram_coverage's remaining
+    // cost is irreducible shingle-explode volume (the window adds only
+    // ~0.2-0.4 s over the bare digest explode).
+    def shNum = {
+      val n = 8
+      val toks = Dedup.tokensCol(col("text"))
+      val th = transform(toks, t => xxhash64(t))
+      def chain(seed: Long)(h: org.apache.spark.sql.Column) =
+        aggregate(h, lit(seed), (acc, x) => xxhash64(acc, x))
+      val windows = when(size(th) < n, array(th))
+        .otherwise(transform(sequence(lit(0), size(th) - n),
+          i => slice(th, i + lit(1), lit(n))))
+      docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(windows, w => struct(
+            chain(0L)(w).as("h1"), chain(1L)(w).as("h2"))))).as("d"))
+        .select(col("doc_id"), col("d.h1"), col("d.h2"))
+    }
+    time("string-free digest explode") {
+      shNum.groupBy("doc_id").count().write.format("noop").mode("overwrite").save()
+    }
+    time("string-free window form") {
+      val w = Window.partitionBy(col("h1"), col("h2"))
+      shNum.withColumn("n_docs", count(lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
