@@ -2438,6 +2438,151 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** SHARDED scatter-gather over PERSISTED IVF-PQ indexes: each shard is
+    * its own fully trained index (per-shard KMeans coarse fit AND
+    * per-shard PQ codebooks — at fleet scale no single fit spans the
+    * corpus, and a shard retrains without touching the others); each
+    * shard answers through its full ADC coarse + exact rescore stack,
+    * and the gather re-tops the union. The per-shard planted copies
+    * encode to their shard's code for the query point, rescore exactly,
+    * and survive by the same N-generic scatter-gather invariant.
+    */
+  def annIvfPqShardedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    val qv = queryVec(spark, dir, 0L)
+    val n = shardCount(spark)
+    val shardTops = (0 until n).map { shard =>
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivfpqshard${shard}of${n}_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      val part = corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(n.toLong)) === shard.toLong)
+      ResultCache.buildIfAbsent(spark, corpus,
+        s"ivfpq:clusters=16:seed=42:shard=$shard/$n:v1", path) {
+        graft.vector.ProductQuantization.buildIvfPqIndex(
+          part, "embedding", numClusters = 16, seed = 42L, path)
+      }
+      graft.vector.ProductQuantization.ivfPqIndexTopK(
+        spark, path, "embedding", "vec_id", qv,
+        k = 10, nProbe = tunedNProbe(spark, dir))
+    }
+    shardTops.reduce(_ unionByName _)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
+  /** SHARDED scatter-gather over PERSISTED IVF-SQ8 indexes — the
+    * quantized fleet layout: per-shard coarse fit + per-vector int8
+    * codes (quantization is per-vector, so shard membership cannot
+    * change a code), codes-only coarse pass per shard, exact rescore,
+    * gather re-top. Same invariant as the PQ sharded row.
+    */
+  def annIvfSq8ShardedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    val qv = queryVec(spark, dir, 0L)
+    val n = shardCount(spark)
+    val shardTops = (0 until n).map { shard =>
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivfsq8shard${shard}of${n}_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      val part = corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(n.toLong)) === shard.toLong)
+      ResultCache.buildIfAbsent(spark, corpus,
+        s"ivfsq8:clusters=16:seed=42:shard=$shard/$n:v1", path) {
+        graft.vector.Quantization.buildIvfSq8Index(
+          part, "embedding", numClusters = 16, seed = 42L, path)
+      }
+      graft.vector.Quantization.ivfSq8IndexTopK(
+        spark, path, "embedding", "vec_id", qv,
+        k = 10, nProbe = tunedNProbe(spark, dir))
+    }
+    shardTops.reduce(_ unionByName _)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
+  /** VERSIONED reads for the persisted IVF-SQ8 index — the manifest
+    * lifecycle over the int8 codes table: v1's pinned file set serves
+    * through the stored-codes coarse pass + exact rescore without ever
+    * seeing v2's appended files, and both versions share the centroid
+    * sidecar (append assigns + quantizes against it, never refits).
+    */
+  def annIvfSq8TimeTravelTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfsq8tt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivfsq8:clusters=16:seed=42:lifecycle=timetravel:v1", path) {
+      deleteRecursively(new java.io.File(path + "_manifest"))
+      graft.vector.Quantization.buildIvfSq8Index(
+        e.unionByName(corpus.filter(col("vec_id").between(100000L, 100004L))),
+        "embedding", numClusters = 16, seed = 42L, path)
+      val v1 = listIndexFiles(spark, path)
+      graft.vector.Quantization.appendToIvfSq8Index(
+        corpus.filter(col("vec_id") >= 100005L), "embedding", path)
+      val v2 = listIndexFiles(spark, path)
+      (v1.map((1L, _)) ++ v2.map((2L, _))).toDF("version", "file")
+        .repartition(1).write.mode("overwrite").parquet(path + "_manifest")
+    }
+    val qv = queryVec(spark, dir, 0L)
+    val probes = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(path), qv,
+      nProbe = tunedNProbe(spark, dir)).toSet
+    def readVersion(v: Long, k: Int): DataFrame = {
+      val files = spark.read.parquet(path + "_manifest")
+        .filter(col("version") === v).select("file")
+        .collect().map(_.getString(0)) // manifest: file-count-bounded
+        .filter { f => // manifest-level partition pruning on the path
+          "cluster_id=(\\d+)".r.findFirstMatchIn(f)
+            .forall(m => probes.contains(m.group(1).toInt))
+        }
+      val live = spark.read.option("basePath", path).parquet(files: _*)
+        .filter(col("cluster_id").isin(probes.toSeq: _*))
+      graft.vector.Quantization.quantizedKnn(
+        live, "embedding", "vec_id", qv, k = k)
+        .select(lit(v).as("version"), col("vec_id"), col("score"))
+    }
+    readVersion(1L, 6).unionByName(readVersion(2L, 10))
+      .orderBy("version", "vec_id")
+  }
+
+  /** VACUUM through the HNSW ladder: delete → ladder-wide fold →
+    * ladder-wide compaction with retained backups → ladder-wide vacuum
+    * reclaiming every rung's backup, asserted non-empty. The post-vacuum
+    * hierarchical search takes no tombstone filter and must serve the
+    * surviving planted answer through the compacted, vacuumed rungs
+    * alone (annGraphDeleteTopkSql verbatim).
+    */
+  def annHnswVacuumedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hnswvac_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"hnsw:m=8:bits=${defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2:lifecycle=delete+fold+compact+vacuum:v1",
+      path) {
+      Seq("_delta", "_l1_delta", "_l2_delta", "_tombstones")
+        .foreach(s => deleteRecursively(new java.io.File(path + s)))
+      graft.vector.GraphAnn.buildHnswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+      graft.vector.GraphAnn.deleteFromNswGraph(
+        spark, (100000L to 100004L), path)
+      graft.vector.GraphAnn.foldHnswTombstones(
+        spark, path, corpus, "embedding", "vec_id", m = 8)
+      graft.vector.GraphAnn.compactHnswGraph(spark, path, retainBackup = true)
+      val reclaimed = graft.vector.GraphAnn.vacuumHnswGraph(spark, path)
+      require(reclaimed > 0, "ladder vacuum found nothing to reclaim")
+    }
+    require(!new java.io.File(path + "._compact.bak").exists(),
+      "vacuum must reclaim the layer-0 retained backup")
+    graft.vector.GraphAnn.hnswSearch(
+      spark, path, corpus, "embedding", "vec_id",
+      queryVec(spark, dir, 0L), k = 5)
+  }
+
   /** VACUUM for the graph family — the maintenance loop closed the way
     * annVacuumedTopk closes it for LSH: delete (tombstone sidecar) →
     * fold (bridge-rewritten deltas, sidecar truncates) → compaction with
@@ -3164,6 +3309,10 @@ object AnnIndex extends QueryModule {
     "ann_sharded_topk" -> annShardedTopk,
     "ann_graph_sharded_topk" -> annGraphShardedTopk,
     "ann_ivf_sharded_topk" -> annIvfShardedTopk,
+    "ann_ivf_pq_sharded_topk" -> annIvfPqShardedTopk,
+    "ann_ivf_sq8_sharded_topk" -> annIvfSq8ShardedTopk,
+    "ann_ivf_sq8_time_travel_topk" -> annIvfSq8TimeTravelTopk,
+    "ann_hnsw_vacuumed_topk" -> annHnswVacuumedTopk,
     "ann_time_travel_topk" -> annTimeTravelTopk,
     "ann_ivf_time_travel_topk" -> annIvfTimeTravelTopk,
     "ann_hnsw_time_travel_topk" -> annHnswTimeTravelTopk,
@@ -3236,6 +3385,10 @@ object AnnIndex extends QueryModule {
     "ann_sharded_topk" -> annSelfQueryTopkSql,
     "ann_graph_sharded_topk" -> annSelfQueryTopkSql,
     "ann_ivf_sharded_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_pq_sharded_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_sq8_sharded_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_sq8_time_travel_topk" -> annTimeTravelTopkSql,
+    "ann_hnsw_vacuumed_topk" -> annGraphDeleteTopkSql,
     "ann_time_travel_topk" -> annTimeTravelTopkSql,
     "ann_ivf_time_travel_topk" -> annTimeTravelTopkSql,
     "ann_hnsw_time_travel_topk" -> annTimeTravelTopkSql,

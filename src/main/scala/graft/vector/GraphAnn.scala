@@ -533,9 +533,16 @@ object GraphAnn {
 
   /** Ladder-wide compaction: every persisted rung folds its deltas. */
   def compactHnswGraph(spark: SparkSession, path: String,
-      maxLevel: Int = 2): Unit =
+      maxLevel: Int = 2, retainBackup: Boolean = false): Unit =
     (path +: (1 to maxLevel).map(path + "_l" + _).filter(pathExists(spark, _)))
-      .foreach(compactNswGraph(spark, _))
+      .foreach(compactNswGraph(spark, _, retainBackup))
+
+  /** Ladder-wide vacuum: every persisted rung reclaims its retained
+    * backup and stale temps. Returns total files reclaimed. */
+  def vacuumHnswGraph(spark: SparkSession, path: String,
+      maxLevel: Int = 2): Long =
+    (path +: (1 to maxLevel).map(path + "_l" + _).filter(pathExists(spark, _)))
+      .map(vacuumNswGraph(spark, _)).sum
 
   /** VACUUM for the graph index: delete files no current reader
     * resolves — the retained pre-compaction backup (once its rollback
