@@ -246,6 +246,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(got.intersect(doomed).isEmpty, s"served a deleted row: $got")
   }
 
+  test("ivf-sq8 delete: tombstones are excluded BEFORE the quantized cutoff") {
+    // same semantics pin as the PQ test: the tie-inclusive quantized
+    // cutoff must be computed over LIVE rows only — with overscan 1, a
+    // post-filter implementation would let deleted rows eat the coarse
+    // slots and shrink the emitted set below k
+    val dir = java.nio.file.Files.createTempDirectory("sq8del_audit").toString + "/idx"
+    graft.vector.Quantization.buildIvfSq8Index(
+      Tables.embeddings(spark, sf), "embedding", numClusters = 16, seed = 42L, dir)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val index = spark.read.parquet(dir)
+    def topIds(frame: org.apache.spark.sql.DataFrame, k: Int, overscan: Int) =
+      graft.vector.Quantization.quantizedKnn(
+        frame, "embedding", "vec_id", qv, k, overscan)
+        .collect().map(_.getLong(0)).toSeq
+    val doomed = topIds(index, 5, 16).filter(_ != 0L).take(4)
+    import spark.implicits._
+    doomed.toDF("vec_id").write.mode("overwrite").parquet(dir + "_tomb")
+    val live = index.join(broadcast(spark.read.parquet(dir + "_tomb")),
+      Seq("vec_id"), "left_anti")
+    val got = topIds(live, 5, overscan = 1)
+    assert(got.length === 5,
+      s"deleted rows consumed quantized-cutoff slots (post-filter bug): $got")
+    assert(got.intersect(doomed).isEmpty, s"served a deleted row: $got")
+  }
+
+  test("graph walks never leak serving confs into the caller's session") {
+    // walks run on a dedicated cloned session (AQE off, 8 shuffle
+    // partitions); the caller's session must keep its own confs DURING
+    // and after a walk — the set/restore-on-shared-session design this
+    // replaced leaked them to concurrent queries
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val dir = java.nio.file.Files.createTempDirectory("walkconf_audit").toString + "/g"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    graft.vector.GraphAnn.buildNswGraph(
+      e, "embedding", "vec_id", graft.ops.AnnIndex.defaultLsh, m = 8, dir)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val got = graft.vector.GraphAnn.nswSearch(
+      spark, dir, e, "embedding", "vec_id", qv, k = 5).collect()
+    assert(got.nonEmpty)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === aqeBefore,
+      "walk leaked AQE conf into the caller's session")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === partsBefore,
+      "walk leaked shuffle partitions into the caller's session")
+  }
+
   test("quality filters: line_filter_c4 and pii_redaction plan zero exchanges") {
     // pure narrow projections — the 100 TB contract is no shuffle at all
     // (the final orderBy is presentation-only; audit the pre-sort plan)
