@@ -635,6 +635,67 @@ object AnnIndex extends QueryModule {
       .orderBy("qid", "vec_id")
   }
 
+  /** BATCHED IVF-PQ retrieval — the quantized serving mode where query
+    * batching matters most (the ADC LUT build is per-query; sharing the
+    * scan amortizes it): the five-family planted construction served by
+    * `ProductQuantization.ivfPqBatchIndexTopK`, which scores every
+    * query's LUT per row in ONE codegen pass over the union of probe
+    * partitions, each query gated to its OWN probe set. Each family's
+    * copies encode to their base query's exact code bytes, ADC-score at
+    * the shared maximum, and rescore to 1.0 — the 50-row enumerable
+    * answer the LSH/IVF/graph batch rows share. A regression in the
+    * per-query gating (cross-query leakage), the shared-scan explode,
+    * the per-qid tie-inclusive cutoff, or the grouped rescore perturbs
+    * the set.
+    */
+  def annIvfPqBatchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpqbatch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qbase = e.filter(col("vec_id") < 5L)
+    val copies = broadcast(qbase)
+      .crossJoin(spark.range(0L, 9L).toDF("j"))
+      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
+        col("embedding"))
+    ResultCache.buildIfAbsent(spark, e.unionByName(copies),
+      "ivfpq:clusters=16:seed=42:families:v1", path) {
+      graft.vector.ProductQuantization.buildIvfPqIndex(
+        e.unionByName(copies), "embedding", numClusters = 16, seed = 42L, path)
+    }
+    val queries = qbase.collect() // 5 rows — the serving batch
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    graft.vector.ProductQuantization.ivfPqBatchIndexTopK(
+      spark, path, "embedding", "vec_id", queries,
+      k = 10, nProbe = tunedNProbe(spark, dir))
+      .orderBy("qid", "vec_id")
+  }
+
+  /** BATCHED IVF-SQ8 retrieval: the PQ batch row's construction over the
+    * int8 index (`Quantization.ivfSq8BatchIndexTopK` — one shared scan,
+    * per-query probe gating, per-qid tie-inclusive quantized cutoffs).
+    */
+  def annIvfSq8BatchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfsq8batch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qbase = e.filter(col("vec_id") < 5L)
+    val copies = broadcast(qbase)
+      .crossJoin(spark.range(0L, 9L).toDF("j"))
+      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
+        col("embedding"))
+    ResultCache.buildIfAbsent(spark, e.unionByName(copies),
+      "ivfsq8:clusters=16:seed=42:families:v1", path) {
+      graft.vector.Quantization.buildIvfSq8Index(
+        e.unionByName(copies), "embedding", numClusters = 16, seed = 42L, path)
+    }
+    val queries = qbase.collect() // 5 rows — the serving batch
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    graft.vector.Quantization.ivfSq8BatchIndexTopK(
+      spark, path, "embedding", "vec_id", queries,
+      k = 10, nProbe = tunedNProbe(spark, dir))
+      .orderBy("qid", "vec_id")
+  }
+
   private val annLshBatchTopkSql =
     """SELECT qid, vec_id, 1.0::DOUBLE AS score FROM (
       |  SELECT vec_id AS qid, vec_id FROM embeddings WHERE vec_id < 5
@@ -3264,6 +3325,8 @@ object AnnIndex extends QueryModule {
     "ann_range_search" -> annRangeSearch,
     "ann_lsh_batch_topk" -> annLshBatchTopk,
     "ann_ivf_batch_topk" -> annIvfBatchTopk,
+    "ann_ivf_pq_batch_topk" -> annIvfPqBatchTopk,
+    "ann_ivf_sq8_batch_topk" -> annIvfSq8BatchTopk,
     "knn_self_join" -> knnSelfJoin,
     "knn_self_join_salted" -> knnSelfJoinSalted,
     "ann_lsh_incremental_topk" -> annLshIncrementalTopk,
@@ -3340,6 +3403,8 @@ object AnnIndex extends QueryModule {
     "ann_range_search" -> annSelfQueryTopkSql,
     "ann_lsh_batch_topk" -> annLshBatchTopkSql,
     "ann_ivf_batch_topk" -> annLshBatchTopkSql,
+    "ann_ivf_pq_batch_topk" -> annLshBatchTopkSql,
+    "ann_ivf_sq8_batch_topk" -> annLshBatchTopkSql,
     "knn_self_join" -> knnSelfJoinSql,
     "knn_self_join_salted" -> knnSelfJoinSql,
     "ann_lsh_incremental_topk" -> annSelfQueryTopkSql,

@@ -148,6 +148,58 @@ object ProductQuantization {
       .select(col(idCol), col("score"))
   }
 
+  /** BATCHED retrieval from the persisted IVF-PQ index: ONE scan of the
+    * union of every query's probe partitions scores ALL queries' ADC
+    * LUTs per row inside whole-stage codegen (a per-query `when` gate
+    * applies each query's OWN probe set, so batching never widens a
+    * query's scan semantics), one rank window takes each query's
+    * tie-inclusive overscan set, and one row_number window emits the
+    * per-query exact-rescored top-k — batch cost is a single pass over
+    * the probed rows plus two bounded window shuffles, instead of |q|
+    * independent scans and |q| driver-side cutoff collects. Queries are
+    * the serving batch (bounded, driver-held), as in the LSH/IVF/graph
+    * batch paths.
+    */
+  def ivfPqBatchIndexTopK(spark: org.apache.spark.sql.SparkSession,
+      path: String, embCol: String, idCol: String,
+      queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int,
+      overscan: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val books = loadPqCodebooks(path)
+    val centers = IndexBuilder.loadIvfCentroids(path)
+    val probesOf: Map[Long, Seq[Int]] = queries.map { case (qid, qv) =>
+      qid -> IndexBuilder.nearestClusters(centers, qv, nProbe)
+    }.toMap
+    val allProbes = probesOf.values.flatten.toSeq.distinct
+    val index = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(allProbes: _*))
+    val perQuery = queries.map { case (qid, qv) =>
+      struct(lit(qid).as("qid"),
+        when(col("cluster_id").isin(probesOf(qid): _*),
+          org.apache.spark.sql.graft.AdcScore(
+            col("pq_codes"), adcTable(books, qv)))
+          .as("adc_score"))
+    }
+    val scored = index
+      .withColumn("q", explode(array(perQuery: _*)))
+      .filter(col("q.adc_score").isNotNull)
+      .select(col(idCol), col(embCol),
+        col("q.qid").as("qid"), col("q.adc_score").as("adc_score"))
+    val kept = scored.withColumn("rk", rank().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc_score").desc)))
+      .filter(col("rk") <= k * overscan)
+    val qdf = broadcast(queries.map { case (qid, qv) => (qid, qv.toSeq) }
+      .toDF("qid", "qvec"))
+    kept.join(qdf, Seq("qid"))
+      .withColumn("score", round(
+        VectorFunctions.cosineUnit(col(embCol), col("qvec")), 6))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col(idCol).asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+  }
+
   /** IVF-PQ composed retrieval (the FAISS `IVFx,PQy` default index): the
     * nProbe nearest-centroid clusters bound the SCAN (partition pruning on
     * cluster_id), the m-byte PQ codes bound the BANDWIDTH of the coarse

@@ -187,4 +187,50 @@ object Quantization {
       spark.read.parquet(path).filter(col("cluster_id").isin(probes: _*)),
       embCol, idCol, queryVec, k, overscan)
   }
+
+  /** BATCHED retrieval from the persisted IVF-SQ8 index — the PQ batch
+    * shape over int8 codes: one scan of the union of probe partitions
+    * scores every query's quantized dot per row (each gated by its own
+    * probe set, so batching never widens a query's scan semantics), one
+    * rank window per-query tie-inclusive cutoffs, one row_number window
+    * for the exact-rescored top-k. Queries quantize driver-side once.
+    */
+  def ivfSq8BatchIndexTopK(spark: org.apache.spark.sql.SparkSession,
+      path: String, embCol: String, idCol: String,
+      queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int,
+      overscan: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val centers = IndexBuilder.loadIvfCentroids(path)
+    val probesOf: Map[Long, Seq[Int]] = queries.map { case (qid, qv) =>
+      qid -> IndexBuilder.nearestClusters(centers, qv, nProbe)
+    }.toMap
+    val allProbes = probesOf.values.flatten.toSeq.distinct
+    val index = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(allProbes: _*))
+    val perQuery = queries.map { case (qid, qv) =>
+      val (qs, qc) = quantize(qv.toSeq)
+      struct(lit(qid).as("qid"),
+        when(col("cluster_id").isin(probesOf(qid): _*),
+          dotQCol(lit(qs), lit(qc), col("q_scale"), col("q_codes")))
+          .as("q_score"))
+    }
+    val scored = index
+      .withColumn("q", explode(array(perQuery: _*)))
+      .filter(col("q.q_score").isNotNull)
+      .select(col(idCol), col(embCol),
+        col("q.qid").as("qid"), col("q.q_score").as("q_score"))
+    val kept = scored.withColumn("rk", rank().over(
+        Window.partitionBy(col("qid")).orderBy(col("q_score").desc)))
+      .filter(col("rk") <= k * overscan)
+    val qdf = broadcast(queries.map { case (qid, qv) => (qid, qv.toSeq) }
+      .toDF("qid", "qvec"))
+    kept.join(qdf, Seq("qid"))
+      .withColumn("score", round(
+        VectorFunctions.cosineUnit(col(embCol), col("qvec")), 6))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col(idCol).asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+  }
 }
