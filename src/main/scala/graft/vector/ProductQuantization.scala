@@ -158,7 +158,13 @@ object ProductQuantization {
     * the probed rows plus two bounded window shuffles, instead of |q|
     * independent scans and |q| driver-side cutoff collects. Queries are
     * the serving batch (bounded, driver-held), as in the LSH/IVF/graph
-    * batch paths.
+    * batch paths. The coarse pass is CODES-ONLY: the explode and the
+    * rank window carry `(id, qid, adc_score)` and nothing else — the
+    * float column is fetched by joining the bounded survivor set
+    * (broadcast, ≤|q|·k·overscan ids) back against the pruned index, so
+    * at 100 TB the window shuffle moves m-byte codes' scores, never the
+    * 8-32× wider embedding vectors (same guarantee PlanAuditSpec pins
+    * for the per-query persisted path).
     */
   def ivfPqBatchIndexTopK(spark: org.apache.spark.sql.SparkSession,
       path: String, embCol: String, idCol: String,
@@ -184,11 +190,16 @@ object ProductQuantization {
     val scored = index
       .withColumn("q", explode(array(perQuery: _*)))
       .filter(col("q.adc_score").isNotNull)
-      .select(col(idCol), col(embCol),
+      .select(col(idCol),
         col("q.qid").as("qid"), col("q.adc_score").as("adc_score"))
-    val kept = scored.withColumn("rk", rank().over(
+    val survivors = scored.withColumn("rk", rank().over(
         Window.partitionBy(col("qid")).orderBy(col("adc_score").desc)))
       .filter(col("rk") <= k * overscan)
+      .select(col("qid"), col(idCol))
+    // bounded survivor ids broadcast back against the pruned index: the
+    // float column is read on this second scan only, and never shuffled
+    val kept = index.select(col(idCol), col(embCol))
+      .join(broadcast(survivors), Seq(idCol))
     val qdf = broadcast(queries.map { case (qid, qv) => (qid, qv.toSeq) }
       .toDF("qid", "qvec"))
     kept.join(qdf, Seq("qid"))

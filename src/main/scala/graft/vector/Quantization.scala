@@ -194,6 +194,10 @@ object Quantization {
     * probe set, so batching never widens a query's scan semantics), one
     * rank window per-query tie-inclusive cutoffs, one row_number window
     * for the exact-rescored top-k. Queries quantize driver-side once.
+    * Codes-only coarse pass: the explode and rank window carry
+    * `(id, qid, q_score)` only; floats are fetched by a broadcast join
+    * of the bounded survivor set back against the pruned index (the
+    * 4×-smaller-codes bandwidth guarantee must survive batching).
     */
   def ivfSq8BatchIndexTopK(spark: org.apache.spark.sql.SparkSession,
       path: String, embCol: String, idCol: String,
@@ -218,11 +222,16 @@ object Quantization {
     val scored = index
       .withColumn("q", explode(array(perQuery: _*)))
       .filter(col("q.q_score").isNotNull)
-      .select(col(idCol), col(embCol),
+      .select(col(idCol),
         col("q.qid").as("qid"), col("q.q_score").as("q_score"))
-    val kept = scored.withColumn("rk", rank().over(
+    val survivors = scored.withColumn("rk", rank().over(
         Window.partitionBy(col("qid")).orderBy(col("q_score").desc)))
       .filter(col("rk") <= k * overscan)
+      .select(col("qid"), col(idCol))
+    // bounded survivor ids broadcast back against the pruned index: the
+    // float column is read on this second scan only, and never shuffled
+    val kept = index.select(col(idCol), col(embCol))
+      .join(broadcast(survivors), Seq(idCol))
     val qdf = broadcast(queries.map { case (qid, qv) => (qid, qv.toSeq) }
       .toDF("qid", "qvec"))
     kept.join(qdf, Seq("qid"))

@@ -420,4 +420,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinKeys.exists(k => k.contains("salt") && k.contains("source")),
       s"salt must be part of the join key: $joinKeys")
   }
+
+  test("batched IVF-PQ serving: the coarse window input excludes the float column") {
+    // the batch path must keep the per-query persisted path's codes-only
+    // guarantee: the scan feeding the ADC explode + rank window reads
+    // pq_codes (+ id), never the embedding column — floats enter only on
+    // the bounded-survivor broadcast-join scan
+    val dir = java.nio.file.Files.createTempDirectory("pqbatch_audit").toString + "/idx"
+    graft.vector.ProductQuantization.buildIvfPqIndex(
+      Tables.embeddings(spark, sf), "embedding", numClusters = 16, seed = 42L, dir)
+    val qs = Tables.embeddings(spark, sf).filter(col("vec_id") < 3L)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val df = graft.vector.ProductQuantization.ivfPqBatchIndexTopK(
+      spark, dir, "embedding", "vec_id", qs, k = 5, nProbe = 6)
+    val idxScans = scans(df).map(_.requiredSchema.fieldNames.toSet)
+      .filter(c => c.contains("pq_codes") || c.contains("embedding"))
+    val coarse = idxScans.filter(_.contains("pq_codes"))
+    assert(coarse.nonEmpty, s"no codes scan in the batch plan: $idxScans")
+    coarse.foreach(c => assert(!c.contains("embedding"),
+      s"batch coarse pass leaks the float column: $c"))
+    assert(idxScans.exists(c => c.contains("embedding") && !c.contains("pq_codes")),
+      s"rescore scan should fetch floats without codes: $idxScans")
+    assert(df.count() === 15, "3 queries x k=5")
+  }
+
+  test("batched IVF-SQ8 serving: the coarse window input excludes the float column") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8batch_audit").toString + "/idx"
+    graft.vector.Quantization.buildIvfSq8Index(
+      Tables.embeddings(spark, sf), "embedding", numClusters = 16, seed = 42L, dir)
+    val qs = Tables.embeddings(spark, sf).filter(col("vec_id") < 3L)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val df = graft.vector.Quantization.ivfSq8BatchIndexTopK(
+      spark, dir, "embedding", "vec_id", qs, k = 5, nProbe = 6)
+    val idxScans = scans(df).map(_.requiredSchema.fieldNames.toSet)
+      .filter(c => c.contains("q_codes") || c.contains("embedding"))
+    val coarse = idxScans.filter(_.contains("q_codes"))
+    assert(coarse.nonEmpty, s"no codes scan in the batch plan: $idxScans")
+    coarse.foreach(c => assert(!c.contains("embedding"),
+      s"batch coarse pass leaks the float column: $c"))
+    assert(idxScans.exists(c => c.contains("embedding") && !c.contains("q_codes")),
+      s"rescore scan should fetch floats without codes: $idxScans")
+    assert(df.count() === 15, "3 queries x k=5")
+  }
 }
