@@ -39,19 +39,24 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // Dev iteration only (the driver never sets it): time a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Returns (elapsed, succeeded): the rerun policy below may only take a
+    // min over SUCCESSFUL passes — a throwing rerun's near-zero elapsed
+    // must never displace a slow-but-correct first pass.
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        if (!failed.contains(name)) failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       // Drop any .cache() a query registered: cached frames otherwise
-      // accumulate for the life of the 216-query session and steal unified
-      // memory from execution (each query is timed cold, as a fresh
-      // cluster job would run it).
+      // accumulate for the life of the full-board session (232 queries)
+      // and steal unified memory from execution (each query is timed
+      // cold, as a fresh cluster job would run it).
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Best-of-2 on slow rows: the r9 recorded run carried a clustered
     // machine-noise burst (20 rows >2× their warm medians — contention/GC
@@ -63,14 +68,22 @@ object Bench {
     val rerunThreshold =
       sys.env.get("SPARK_GRAFT_RERUN_SEC").map(_.toDouble).getOrElse(2.0)
     val reruns = scala.collection.mutable.ListBuffer.empty[String]
+    // Both pass times are disclosed: `queries` carries the min-of-
+    // successful-passes (steady-state), `firstPass` the rerun rows'
+    // first-pass times — so a single-pass total (`firstPassTotal`)
+    // remains computable and cross-round / engine-vs-reference
+    // comparisons stay apples-to-apples with pre-rerun rounds.
+    val firstPass = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1).map { case (name, fn) =>
-      val t1 = timeOne(name, fn)
+      val (t1, ok1) = timeOne(name, fn)
       val t =
-        if (t1 > rerunThreshold && !failed.contains(name)) {
+        if (t1 > rerunThreshold && ok1) {
           reruns += name
-          math.min(t1, timeOne(name, fn))
+          firstPass(name) = t1
+          val (t2, ok2) = timeOne(name, fn)
+          if (ok2) math.min(t1, t2) else t1
         } else t1
       name -> t
     }
@@ -80,9 +93,13 @@ object Bench {
     // near-zero time, which must not read as a speedup.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rerunJson = reruns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val firstPassJson = firstPass.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val firstPassTotal = results.map { case (k, v) =>
+      firstPass.getOrElse(k, v) }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reruns":$rerunJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reruns":$rerunJson,"firstPass":$firstPassJson,"firstPassTotal":$firstPassTotal,"sf":"$sfDir"}"""
     println(line)
     // Persist the line too: the driver's tail capture truncates long JSON
     // (BENCH_r07/r08 both recorded "parsed": null), so per-query history
