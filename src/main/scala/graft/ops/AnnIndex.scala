@@ -3085,6 +3085,37 @@ object AnnIndex extends QueryModule {
       .withColumn("qid", col("qid").cast("long"))
   }
 
+  /** RESIDENT-VIEW graph serving (`GraphAnn.nswServedSearch`) — the
+    * hnswlib online-serving model over the SAME fixture and oracle as
+    * the batch walk row: adjacency + shard vectors + tombstones pinned
+    * once as broadcast state, the whole 5-query batch answered by ONE
+    * Spark job whose tasks walk entirely in memory. Removes the per-hop
+    * driver round-trips and plan-construction constant the distributed
+    * walk pays; ServedParitySpec pins row-for-row equality with
+    * nswBatchSearch, and the enumerable 50-row planted oracle gates the
+    * answers here.
+    */
+  def annGraphServedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nswbatch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qbase = e.filter(col("vec_id") < 5L)
+    val copies = broadcast(qbase)
+      .crossJoin(spark.range(0L, 9L).toDF("j"))
+      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
+        col("embedding"))
+    val corpus = e.unionByName(copies)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42", path) {
+      graft.vector.GraphAnn.buildNswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    val queries = qbase.collect() // 5 rows — the serving batch
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    graft.vector.GraphAnn.nswServedSearch(
+      spark, path, corpus, "embedding", "vec_id", queries, k = 10)
+  }
+
   /** Metadata-FILTERED graph search — the hnswlib filtered-search
     * semantics for the family where pre-filtering the SCAN isn't
     * possible (a graph walk must route through non-matching waypoints or
@@ -3345,6 +3376,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_upsert_topk" -> annGraphUpsertTopk,
     "ann_graph_filtered_topk" -> annGraphFilteredTopk,
     "ann_graph_batch_topk" -> annGraphBatchTopk,
+    "ann_graph_served_topk" -> annGraphServedTopk,
     "ann_hnsw_batch_topk" -> annHnswBatchTopk,
     "ann_graph_compacted_topk" -> annGraphCompactedTopk,
     "ann_graph_time_travel_topk" -> annGraphTimeTravelTopk,
@@ -3423,6 +3455,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_upsert_topk" -> annUpsertTopkSql,
     "ann_graph_filtered_topk" -> annFilteredTopkSql,
     "ann_graph_batch_topk" -> annLshBatchTopkSql,
+    "ann_graph_served_topk" -> annLshBatchTopkSql,
     "ann_hnsw_batch_topk" -> annLshBatchTopkSql,
     "ann_graph_compacted_topk" -> annSelfQueryTopkSql,
     "ann_graph_time_travel_topk" -> annTimeTravelTopkSql,

@@ -1053,6 +1053,98 @@ object GraphAnn {
     }
   }
 
+  /** The in-memory beam walk over a RESIDENT view — beamWalkCore's exact
+    * loop (same frontier selection, same dedup, same left-to-right
+    * double dot, same (-score, id) ordering) with Map lookups replacing
+    * the per-hop Spark jobs. Shared by every task of a served batch.
+    */
+  private def residentWalk(adj: scala.collection.Map[Long, Array[Long]],
+      vec: scala.collection.Map[Long, Array[Float]], qv: Array[Float],
+      entryIds: Seq[Long], beam: Int, hops: Int): Map[Long, Double] = {
+    def score(id: Long): Option[Double] = vec.get(id).map { e =>
+      var s = 0.0; var i = 0
+      val n = math.min(e.length, qv.length)
+      while (i < n) { s += e(i).toDouble * qv(i).toDouble; i += 1 }
+      s
+    }
+    var visited: Map[Long, Double] =
+      entryIds.distinct.flatMap(id => score(id).map(id -> _)).toMap
+    var expanded = Set.empty[Long]
+    var hop = 1
+    var exhausted = false
+    while (hop <= hops && !exhausted) {
+      val frontier = visited.toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(beam)
+        .map(_._1).filterNot(expanded.contains)
+      if (frontier.isEmpty) exhausted = true
+      else {
+        val nbrs = frontier.iterator
+          .flatMap(f => adj.getOrElse(f, Array.empty[Long]).iterator)
+          .toSeq.distinct.filterNot(visited.contains)
+        visited ++= nbrs.flatMap(id => score(id).map(id -> _))
+        expanded ++= frontier
+      }
+      hop += 1
+    }
+    visited
+  }
+
+  /** RESIDENT-VIEW batch serving — the hnswlib serving model the walk
+    * code cites, made a first-class path: the merged (latest-wins)
+    * adjacency, the shard's vectors, and the tombstone set are pinned
+    * ONCE as broadcast state, and the whole query batch runs as ONE
+    * Spark job — each task walks its queries entirely in memory (zero
+    * per-hop driver↔executor round-trips, zero per-hop plan
+    * construction, the multi-second scheduling constant the distributed
+    * walk pays per query). Results are exactly `nswSearch`'s per query:
+    * the resident walk replicates beamWalkCore's loop (ServedParitySpec
+    * pins row-for-row equality against nswBatchSearch).
+    *
+    * 100 TB posture: the resident view is per-SHARD serving state — ids
+    * + M neighbor ids + the vector column, the same memory bound hnswlib
+    * itself requires of a serving node — pinned once per index version
+    * and reused across batches (here rebuilt per call: the driver row
+    * measures batch latency, not pin amortization). Corpora past one
+    * node's view run the sharded scatter-gather rows' pattern (serve
+    * each shard's view, union, re-top-k), or fall back to the
+    * distributed walk, which bounds memory at (B + E + H·B·2M) ids.
+    */
+  def nswServedSearch(spark: SparkSession, path: String, corpus: DataFrame,
+      embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
+      k: Int, beam: Int = 32, hops: Int = 4,
+      entries: Int = 16): DataFrame = {
+    import spark.implicits._
+    // pin: three bounded collects build the resident view (one merge scan,
+    // one shard-corpus scan, one tombstone scan) — then NO more driver work
+    val adjMap: Map[Long, Array[Long]] =
+      withWalkConfs(spark) { s => readNswAdjacency(s, path).collect() }
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val vecMap: Map[Long, Array[Float]] =
+      corpus.select(col(idCol).cast("long"), col(embCol)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dead: Set[Long] = readNswTombstones(spark, path)
+      .collect().map(_.getLong(0)).toSet
+    // entryPoints' contract on the resident keys: xxhash64(id) asc, id asc
+    val entryIds = adjMap.keys.toSeq
+      .sortBy(id => (org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(id, 42L), id)).take(entries)
+    val bcAdj = spark.sparkContext.broadcast(adjMap)
+    val bcVec = spark.sparkContext.broadcast(vecMap)
+    val bcDead = spark.sparkContext.broadcast(dead)
+    spark.sparkContext
+      .parallelize(queries.map { case (q, v) => (q, v.toSeq) },
+        math.max(1, math.min(queries.size, spark.sparkContext.defaultParallelism)))
+      .flatMap { case (qid, qv) =>
+        residentWalk(bcAdj.value, bcVec.value, qv.toArray, entryIds, beam, hops)
+          .toSeq.filterNot { case (id, _) => bcDead.value.contains(id) }
+          .sortBy { case (id, s) => (-s, id) }.take(k)
+          .map { case (id, s) => (qid, id,
+            BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      }
+      .toDF("qid", idCol, "score")
+      .orderBy(col("qid"), col(idCol))
+  }
+
   /** Batch retrieval through the HNSW ladder: the descent ALSO batches —
     * each rung runs one shared-job batch walk seeding every query's next
     * rung, and the fetched vectors are reused across rungs (embeddings
