@@ -488,12 +488,30 @@ object AnnIndex extends QueryModule {
     * the augmented corpus is exactly {0, 100000..100008} — enumerable by
     * DuckDB without replicating the seeded hyperplanes / KMeans fit.
     */
-  private[graft] def withPlantedSelfCopies(spark: SparkSession, e: DataFrame): DataFrame = {
-    val copies = spark.range(100000L, 100009L).toDF("vec_id")
-      .crossJoin(broadcast(e.filter(col("vec_id") === 0L).select(col("embedding"))))
-      .select(col("vec_id"), col("embedding"))
-    e.select("vec_id", "embedding").union(copies)
+  /** Copy rows as a LOCAL relation: the base vectors are collected once
+    * (one pushed point-lookup job) and the copies ship inline with the
+    * plan. The broadcast-crossJoin construction this replaced re-ran its
+    * exchange on EVERY downstream execution of the corpus frame — a
+    * serving walk's per-hop point lookups each re-broadcast the copy
+    * side (2 async jobs per scorer call; 8 of the flat walk's 18 jobs
+    * were copy re-broadcasts, profiled in tools/ProfileGraphRow `walk`).
+    */
+  private[graft] def plantedLocalRows(spark: SparkSession, e: DataFrame,
+      pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val baseIds = pairs.map(_._2).distinct
+    val vecs = e.filter(col("vec_id").isin(baseIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val embType = e.select("embedding").schema.head.dataType
+    pairs.map { case (id, base) => (id, vecs(base)) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast(embType).as("embedding"))
   }
+
+  private[graft] def withPlantedSelfCopies(spark: SparkSession, e: DataFrame): DataFrame =
+    e.select("vec_id", "embedding").union(
+      plantedLocalRows(spark, e, (100000L until 100009L).map(_ -> 0L)))
 
   private val annSelfQueryTopkSql =
     """SELECT vec_id, 1.0::DOUBLE AS score FROM (
@@ -2921,9 +2939,7 @@ object AnnIndex extends QueryModule {
       "graft_nswupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val e = Tables.embeddings(spark, dir)
     val corpus = withPlantedSelfCopies(spark, e)
-    val newVersion = spark.range(100000L, 100001L).toDF("vec_id")
-      .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
-      .select(col("vec_id"), col("embedding"))
+    val newVersion = plantedLocalRows(spark, e, Seq(100000L -> 1L))
     val survivors = corpus.filter(col("vec_id") =!= 100000L)
     // the whole build+delete+fold+re-insert sequence is a pure function
     // of the corpus — one cached unit; re-runs measure retrieval over
@@ -2958,10 +2974,8 @@ object AnnIndex extends QueryModule {
       "graft_hnswbatch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val qbase = e.filter(col("vec_id") < 5L)
-    val copies = broadcast(qbase)
-      .crossJoin(spark.range(0L, 9L).toDF("j"))
-      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
-        col("embedding"))
+    val copies = plantedLocalRows(spark, e,
+      for (q <- 0L until 5L; j <- 0L until 9L) yield (100000L + q * 100L + j, q))
     val corpus = e.unionByName(copies)
     ResultCache.buildIfAbsent(spark, corpus,
       s"hnsw:m=8:bits=${defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2", path) {
@@ -3068,10 +3082,8 @@ object AnnIndex extends QueryModule {
       "graft_nswbatch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val qbase = e.filter(col("vec_id") < 5L)
-    val copies = broadcast(qbase)
-      .crossJoin(spark.range(0L, 9L).toDF("j"))
-      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
-        col("embedding"))
+    val copies = plantedLocalRows(spark, e,
+      for (q <- 0L until 5L; j <- 0L until 9L) yield (100000L + q * 100L + j, q))
     val corpus = e.unionByName(copies)
     ResultCache.buildIfAbsent(spark, corpus,
       s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42", path) {
@@ -3100,10 +3112,8 @@ object AnnIndex extends QueryModule {
       "graft_nswbatch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val qbase = e.filter(col("vec_id") < 5L)
-    val copies = broadcast(qbase)
-      .crossJoin(spark.range(0L, 9L).toDF("j"))
-      .select((lit(100000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
-        col("embedding"))
+    val copies = plantedLocalRows(spark, e,
+      for (q <- 0L until 5L; j <- 0L until 9L) yield (100000L + q * 100L + j, q))
     val corpus = e.unionByName(copies)
     ResultCache.buildIfAbsent(spark, corpus,
       s"nsw:m=8:bits=${defaultLsh.nBits}:seed=42", path) {
@@ -3133,9 +3143,8 @@ object AnnIndex extends QueryModule {
       "graft_nswfilter_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), lit("corpus").as("tier"))
-    val copies = spark.range(100000L, 100009L).toDF("vec_id")
-      .crossJoin(broadcast(Tables.embeddings(spark, dir)
-        .filter(col("vec_id") === 0L).select(col("embedding"))))
+    val copies = plantedLocalRows(spark, Tables.embeddings(spark, dir),
+        (100000L until 100009L).map(_ -> 0L))
       .select(col("vec_id"), col("embedding"),
         when(col("vec_id") % 2 === 0, "gold").otherwise("silver").as("tier"))
     val tiered = base.unionByName(copies)
@@ -3160,9 +3169,8 @@ object AnnIndex extends QueryModule {
       "graft_hnswfilter_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), lit("corpus").as("tier"))
-    val copies = spark.range(100000L, 100009L).toDF("vec_id")
-      .crossJoin(broadcast(Tables.embeddings(spark, dir)
-        .filter(col("vec_id") === 0L).select(col("embedding"))))
+    val copies = plantedLocalRows(spark, Tables.embeddings(spark, dir),
+        (100000L until 100009L).map(_ -> 0L))
       .select(col("vec_id"), col("embedding"),
         when(col("vec_id") % 2 === 0, "gold").otherwise("silver").as("tier"))
     val tiered = base.unionByName(copies)
@@ -3190,9 +3198,7 @@ object AnnIndex extends QueryModule {
       "graft_hnswupsert_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val e = Tables.embeddings(spark, dir)
     val corpus = withPlantedSelfCopies(spark, e)
-    val newVersion = spark.range(100000L, 100001L).toDF("vec_id")
-      .crossJoin(broadcast(e.filter(col("vec_id") === 1L).select(col("embedding"))))
-      .select(col("vec_id"), col("embedding"))
+    val newVersion = plantedLocalRows(spark, e, Seq(100000L -> 1L))
     val survivors = corpus.filter(col("vec_id") =!= 100000L)
     // one cached unit for the full ladder upsert (see the flat row)
     ResultCache.buildIfAbsent(spark, corpus,

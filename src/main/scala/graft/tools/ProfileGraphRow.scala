@@ -86,6 +86,52 @@ object ProfileGraphRow {
               "embedding", "vec_id", qv, k = 10)
               .write.format("noop").mode("overwrite").save()
           } }
+        case "walk" =>
+          // serving-walk constant: warm fixture, repeated searches with
+          // job counts — distributed flat walk vs ladder walk vs the
+          // resident-view served path, plus the walk's setup sub-steps
+          val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+            "graft_prof_walk_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+          val corpus = AnnIndex.withPlantedSelfCopies(spark,
+            graft.Tables.embeddings(spark, sfDir))
+          phase("buildIfAbsent nsw") {
+            graft.ops.ResultCache.buildIfAbsent(spark, corpus,
+              s"nsw:m=8:bits=${AnnIndex.defaultLsh.nBits}:seed=42", path) {
+              GraphAnn.buildNswGraph(corpus, "embedding", "vec_id",
+                AnnIndex.defaultLsh, m = 8, path)
+            }
+          }
+          val hpath = new java.io.File(System.getProperty("java.io.tmpdir"),
+            "graft_prof_walk_h_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+          phase("buildIfAbsent hnsw") {
+            graft.ops.ResultCache.buildIfAbsent(spark, corpus,
+              s"hnsw:m=8:bits=${AnnIndex.defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2", hpath) {
+              GraphAnn.buildHnswGraph(corpus, "embedding", "vec_id",
+                AnnIndex.defaultLsh, m = 8, hpath)
+            }
+          }
+          phase("adjacency read+count") {
+            GraphAnn.readNswAdjacency(spark, path).count()
+          }
+          (1 to 3).foreach { r =>
+            phase(s"nswSearch #$r") {
+              GraphAnn.nswSearch(spark, path, corpus, "embedding", "vec_id",
+                qv, k = 10).write.format("noop").mode("overwrite").save()
+            }
+          }
+          (1 to 3).foreach { r =>
+            phase(s"hnswSearch #$r") {
+              GraphAnn.hnswSearch(spark, hpath, corpus, "embedding", "vec_id",
+                qv, k = 10).write.format("noop").mode("overwrite").save()
+            }
+          }
+          (1 to 3).foreach { r =>
+            phase(s"nswServedSearch #$r") {
+              GraphAnn.nswServedSearch(spark, path, corpus, "embedding",
+                "vec_id", Seq(0L -> qv), k = 10)
+                .write.format("noop").mode("overwrite").save()
+            }
+          }
         case "nsw_fold" =>
           val path = new java.io.File(System.getProperty("java.io.tmpdir"),
             "graft_prof_nswfold_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath

@@ -119,6 +119,25 @@ object GraphAnn {
     * `foldNswTombstones`): latest-wins resolves it like any other
     * version, then the merged view drops the node entirely.
     */
+  // Explicit read schemas: adjacency/tombstone layouts are fixed by the
+  // writers above, and letting the reader infer them costs a footer-read
+  // Spark job per open — a serving walk opens the graph on every call,
+  // so inference was a per-walk job for information the code already has.
+  // (seq is the delta leaves' directory-partition column; declaring it
+  // long here also replaces the int-discovery + cast dance.)
+  private val adjSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("node_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("neighbors",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+  private val adjDeltaSchema = adjSchema.add(
+    org.apache.spark.sql.types.StructField("seq",
+      org.apache.spark.sql.types.LongType))
+  private val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("node_id",
+      org.apache.spark.sql.types.LongType)))
+
   def readNswAdjacency(spark: SparkSession, path: String): DataFrame =
     readNswAdjacencyAsOf(spark, path, Long.MaxValue)
 
@@ -130,12 +149,14 @@ object GraphAnn {
     */
   def readNswAdjacencyAsOf(spark: SparkSession, path: String,
       maxSeq: Long): DataFrame = {
-    val base = spark.read.parquet(path).withColumn("seq", lit(0L))
+    val base = spark.read.schema(adjSchema).parquet(path)
+      .withColumn("seq", lit(0L))
     val all =
       if (pathExists(spark, path + "_delta"))
-        base.unionByName(spark.read.parquet(path + "_delta")
+        base.unionByName(spark.read.schema(adjDeltaSchema)
+          .parquet(path + "_delta")
           .filter(col("seq") <= maxSeq)
-          .select(col("node_id"), col("neighbors"), col("seq").cast("long")))
+          .select(col("node_id"), col("neighbors"), col("seq")))
       else base
     all.groupBy("node_id")
       .agg(max_by(struct(col("seq"), col("neighbors")), col("seq"))
@@ -150,11 +171,13 @@ object GraphAnn {
     */
   private def readNswAdjacencyFor(spark: SparkSession, path: String,
       ids: DataFrame): DataFrame = {
-    val base = spark.read.parquet(path).withColumn("seq", lit(0L))
+    val base = spark.read.schema(adjSchema).parquet(path)
+      .withColumn("seq", lit(0L))
     val all =
       if (pathExists(spark, path + "_delta"))
-        base.unionByName(spark.read.parquet(path + "_delta")
-          .select(col("node_id"), col("neighbors"), col("seq").cast("long")))
+        base.unionByName(spark.read.schema(adjDeltaSchema)
+          .parquet(path + "_delta")
+          .select(col("node_id"), col("neighbors"), col("seq")))
       else base
     all.join(broadcast(ids.select("node_id")), Seq("node_id"))
       .groupBy("node_id")
@@ -294,7 +317,8 @@ object GraphAnn {
   /** Tombstoned node ids (empty when no delete is pending). */
   def readNswTombstones(spark: SparkSession, path: String): DataFrame =
     if (pathExists(spark, path + "_tombstones"))
-      spark.read.parquet(path + "_tombstones").select("node_id").distinct()
+      spark.read.schema(tombSchema).parquet(path + "_tombstones")
+        .select("node_id").distinct()
     else {
       import spark.implicits._
       Seq.empty[Long].toDF("node_id")
@@ -629,9 +653,11 @@ object GraphAnn {
           .map(_._1).filterNot(expanded.contains)
         if (frontier.isEmpty) exhausted = true
         else {
+          // dedupe driver-side: a .distinct() here costs a shuffle stage
+          // per hop for ≤ B·2M rows — collect the explode narrow instead
           val nbrs = adj.filter(col("node_id").isin(frontier: _*))
-            .select(explode(col("neighbors")).as("id")).distinct()
-            .collect().map(_.getLong(0)) // ≤ B·2M rows per hop
+            .select(explode(col("neighbors")).as("id"))
+            .collect().map(_.getLong(0)).distinct // ≤ B·2M rows per hop
             .filterNot(visited.contains)
           visited ++= scoreOf(nbrs.toIndexedSeq)
           scored += nbrs.length
@@ -704,7 +730,9 @@ object GraphAnn {
         (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       .toDF(idCol, "score")
-      .orderBy(col("score").desc, col(idCol).asc)
+      // k driver-local rows: a single-partition narrow sort gives the
+      // same global order as orderBy without its range-sampling job
+      .coalesce(1).sortWithinPartitions(col("score").desc, col(idCol).asc)
   }
 
   /** Pin the merged adjacency for the duration of a walk — the hnswlib
@@ -1037,7 +1065,9 @@ object GraphAnn {
         .map { case (id, s) => (qid, id,
           BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
     }.toDF("qid", idCol, "score")
-      .orderBy(col("qid"), col(idCol))
+      // |q|·k driver-local rows: single-partition narrow sort, no
+      // range-sampling job (same global order as orderBy)
+      .coalesce(1).sortWithinPartitions(col("qid"), col(idCol))
   }
 
   def nswBatchSearch(spark: SparkSession, path: String, corpus: DataFrame,
@@ -1142,7 +1172,7 @@ object GraphAnn {
             BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       }
       .toDF("qid", idCol, "score")
-      .orderBy(col("qid"), col(idCol))
+      .coalesce(1).sortWithinPartitions(col("qid"), col(idCol))
   }
 
   /** Batch retrieval through the HNSW ladder: the descent ALSO batches —
