@@ -578,6 +578,127 @@ object Dedup extends QueryModule {
   def appendToMinhashStore(spark: SparkSession, docs: DataFrame, path: String): Unit =
     stageMinhashEpoch(spark, docs, path, nextStoreEpoch(spark, path))
 
+  /** RETENTION for the epoch-partitioned store — the reclamation path
+    * every other stateful surface already has (ANN fold/vacuum, MOR
+    * compaction, result-cache sweep): every maintenance append and every
+    * admitted micro-batch lands one directory pair forever, so a
+    * long-running streaming-dedup deployment grows the store's file
+    * count without bound even though the DATA is append-only and tiny
+    * per epoch. Folds every COMMITTED epoch leaf older than `minAgeMs`
+    * (both lanes) into ONE new base `epoch=0` leaf with the base build's
+    * layout (doc_id-partitioned sigs; band_hash-clustered bands), leaving
+    * younger epochs in place.
+    *
+    * `minAgeMs` is the REPLAY HORIZON, not a tuning knob: an admission
+    * epoch (`AdmissionEpochBase + batchId`) is the idempotence key for
+    * at-least-once delivery — a replay of batch b overwrites its own
+    * leaf and excludes it from reads. Folding a leaf that might still be
+    * replayed would let the replay re-admit the whole batch next to the
+    * folded copy. Pass a floor comfortably above the source's redelivery
+    * window (0 is for sealed stores and tests). Maintenance-lane epochs
+    * have no replay semantics; the floor simply keeps hot leaves out of
+    * the fold.
+    *
+    * Crash discipline (the compactNswGraph model): the folded sigs and
+    * bands are STAGED under `<path>/_compact` (underscore-prefixed —
+    * invisible to readers' partition discovery), a `_STAGED` marker
+    * naming the target epochs commits the intent, and only then are
+    * target leaves deleted (bands first, so any interrupted state looks
+    * like the torn-epoch shape the store already heals) and the staged
+    * dirs renamed in. A re-run of compactMinhashStore self-heals any
+    * interrupted fold before starting a new one; a staging without the
+    * marker is an aborted write and is discarded. Like the graph
+    * compaction, the swap itself is a maintenance-window operation —
+    * readers between the first delete and the final rename see a partial
+    * store. Also vacuums TORN maintenance-lane sigs leaves (sigs without
+    * bands) past the age floor — the next-append overwrite heals recent
+    * tears, but an epoch that never gets re-allocated would leak its
+    * sigs dir forever.
+    *
+    * Returns the number of epoch leaves folded (0 = nothing to do).
+    */
+  def compactMinhashStore(spark: SparkSession, path: String,
+      minAgeMs: Long = 0L): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(path + s)
+    recoverMinhashCompaction(spark, path)
+    val bandsDir = p("/bands")
+    if (!fs.exists(bandsDir)) return 0
+    val now = System.currentTimeMillis()
+    def agedEpochs(dir: org.apache.hadoop.fs.Path): Seq[Long] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).filter(_.isDirectory).toSeq
+        .filter(_.getPath.getName.startsWith("epoch="))
+        .filter(s => now - s.getModificationTime >= minAgeMs)
+        .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+    val committed = agedEpochs(bandsDir).sorted
+    // torn-leaf vacuum: aged maintenance sigs with no committed bands
+    agedEpochs(p("/sigs"))
+      .filter(e => e < AdmissionEpochBase && !fs.exists(p(s"/bands/epoch=$e")))
+      .foreach(e => fs.delete(p(s"/sigs/epoch=$e"), true))
+    if (committed.size < 2) return 0
+    val targets = committed
+    val foldedSigs = spark.read.parquet(path + "/sigs")
+      .filter(col("epoch").isin(targets: _*))
+      .select("doc_id", "sig")
+    foldedSigs.repartition(8, col("doc_id"))
+      .write.mode("overwrite").parquet(path + "/_compact/sigs")
+    spark.read.parquet(path + "/bands")
+      .filter(col("epoch").isin(targets: _*))
+      .select("doc_id", "band_id", "band_hash")
+      .repartition(8, col("band_hash")).sortWithinPartitions("band_hash")
+      .write.mode("overwrite").parquet(path + "/_compact/bands")
+    val marker = fs.create(p("/_compact/_STAGED"), true)
+    try marker.write(targets.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally marker.close()
+    finishMinhashCompaction(spark, path, targets)
+    targets.size
+  }
+
+  /** The committed half of the fold: delete target leaves (bands first),
+    * rename the staged base in (bands last — the commit point), drop the
+    * staging dir. Idempotent — recovery replays it from the marker.
+    */
+  private def finishMinhashCompaction(spark: SparkSession, path: String,
+      targets: Seq[Long]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(path + s)
+    // per-table: a missing staging dir means its rename already happened
+    // (recovery replay) — epoch=0 then IS the folded result, keep it
+    val sigsStaged = fs.exists(p("/_compact/sigs"))
+    val bandsStaged = fs.exists(p("/_compact/bands"))
+    targets.foreach(e =>
+      if (bandsStaged || e != 0L) fs.delete(p(s"/bands/epoch=$e"), true))
+    targets.foreach(e =>
+      if (sigsStaged || e != 0L) fs.delete(p(s"/sigs/epoch=$e"), true))
+    if (sigsStaged) fs.rename(p("/_compact/sigs"), p("/sigs/epoch=0"))
+    if (bandsStaged) fs.rename(p("/_compact/bands"), p("/bands/epoch=0"))
+    fs.delete(p("/_compact"), true)
+  }
+
+  /** Self-heal an interrupted fold: a staging WITH the marker finishes
+    * (the fold's content is durable — completing it is the only way to
+    * keep the already-deleted target leaves' data); a staging without
+    * the marker never committed and is discarded.
+    */
+  private def recoverMinhashCompaction(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(path + s)
+    if (!fs.exists(p("/_compact"))) return
+    if (fs.exists(p("/_compact/_STAGED"))) {
+      val in = fs.open(p("/_compact/_STAGED"))
+      val targets =
+        try scala.io.Source.fromInputStream(in).getLines()
+          .filter(_.nonEmpty).map(_.toLong).toSeq
+        finally in.close()
+      finishMinhashCompaction(spark, path, targets)
+    } else fs.delete(p("/_compact"), true)
+  }
+
   /** Dedup an arriving batch against the standing store AND within
     * itself, in one pass — the production shape of continuous corpus
     * ingestion (a crawl snapshot, a daily document drop) where the
@@ -973,6 +1094,90 @@ object Dedup extends QueryModule {
   // survivor computation (batch-1 admission) replays in SQL, so a store
   // append that missed the bands, clobbered base files, or admitted a
   // rejected doc each perturbs the row.
+  /** Driver row for the store RETENTION path: base build + two
+    * maintenance appends (three committed epoch leaves), folded by
+    * `compactMinhashStore` into one base leaf, then an arriving batch of
+    * exact copies of docs 0..9 dedups against the FOLDED store. The
+    * oracle recomputes every qualifying exact-Jaccard pair against the
+    * full admitted corpus — if the fold dropped a signature, duplicated
+    * one (double-emitting candidates), mangled a band hash, or lost an
+    * appended epoch, the pair set perturbs. The single-leaf requires
+    * below re-assert the reclamation on every serve: compaction must
+    * leave exactly one committed epoch, and the store must answer
+    * identically from it.
+    */
+  def minhashStoreCompactedDupes(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.scratchPath("graft_mhcompact", dir)
+    val docs = Tables.documents(spark, dir)
+    val store = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val b2 = docs.filter(col("doc_id") >= 305 && col("doc_id") < 310)
+      .select((col("doc_id") + 210000L).as("doc_id"), col("text"))
+    ResultCache.buildIfAbsent(spark, store.unionByName(b1).unionByName(b2),
+      "minhash:compacted:v1", path) {
+      buildMinhashStore(store, path)
+      appendToMinhashStore(spark, b1, path) // epoch 1
+      appendToMinhashStore(spark, b2, path) // epoch 2
+      val folded = compactMinhashStore(spark, path, minAgeMs = 0L)
+      require(folded == 3, s"expected to fold 3 epoch leaves, folded $folded")
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("/sigs", "/bands").foreach { sub =>
+      val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(path + sub))
+        .count(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      require(leaves == 1,
+        s"compaction must leave one $sub epoch leaf, found $leaves")
+    }
+    val batch = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 400000L).as("doc_id"), col("text"))
+    incrementalDupesVerified(spark, batch,
+      store.unionByName(b1).unionByName(b2), path)
+  }
+
+  private val minhashStoreCompactedDupesSql =
+    """WITH store AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id < 300 AND length(trim(text)) > 0),
+      |b1 AS (
+      |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+      |  WHERE doc_id >= 300 AND doc_id < 305 AND length(trim(text)) > 0),
+      |b2 AS (
+      |  SELECT doc_id + 210000 AS doc_id, text FROM documents
+      |  WHERE doc_id >= 305 AND doc_id < 310 AND length(trim(text)) > 0),
+      |batch AS (
+      |  SELECT doc_id + 400000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 10 AND length(trim(text)) > 0),
+      |all_docs AS (
+      |  SELECT * FROM store UNION ALL SELECT * FROM b1
+      |  UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM batch),
+      |toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                     t -> length(t) > 0) AS tok
+      |  FROM all_docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle
+      |  FROM toks, UNNEST(
+      |    CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+      |         ELSE list_transform(generate_series(0, len(tok) - 3),
+      |                             i -> array_to_string(tok[i+1:i+3], ' '))
+      |    END) AS u(shingle)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  WHERE b.doc_id >= 400000
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b,
+      |       round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private val minhashStoreAppendedDupesSql =
     """WITH store AS (
       |  SELECT doc_id, text FROM documents
@@ -1486,6 +1691,7 @@ object Dedup extends QueryModule {
     "minhash_near_dupes" -> minhashNearDupesGate,
     "minhash_incremental_dupes" -> minhashIncrementalDupes,
     "minhash_store_appended_dupes" -> minhashStoreAppendedDupes,
+    "minhash_store_compacted_dupes" -> minhashStoreCompactedDupes,
     "streaming_dedup_admission" -> streamingDedupAdmission,
     "minhash_vs_exact" -> minhashVsExact,
     "simhash_near_dupes" -> simhashNearDupesGate,
@@ -1505,6 +1711,7 @@ object Dedup extends QueryModule {
     "minhash_near_dupes" -> minhashNearDupesGateSql,
     "minhash_incremental_dupes" -> minhashIncrementalDupesSql,
     "minhash_store_appended_dupes" -> minhashStoreAppendedDupesSql,
+    "minhash_store_compacted_dupes" -> minhashStoreCompactedDupesSql,
     "streaming_dedup_admission" -> streamingDedupAdmissionSql,
     "minhash_vs_exact" -> ngramJaccardPairsSql,
     "simhash_near_dupes" -> simhashNearDupesGateSql,

@@ -318,6 +318,50 @@ class DedupSpec extends SparkSpec {
       "an admitted doc must dedup later arrivals")
   }
 
+  test("minhash store compaction: identical results, one leaf, age floor, abort recovery") {
+    val path = java.nio.file.Files.createTempDirectory("mhcompact").toString + "/store"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "pack my box with five dozen liquor jugs before the long journey"),
+      (3L, "sphinx of black quartz judge my vow in the ancient stone temple"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashStore(corpus, path)
+    Dedup.appendToMinhashStore(spark,
+      Seq((4L, "completely unrelated fresh material about distributed query engines"))
+        .toDF("doc_id", "text"), path)
+    Dedup.appendToMinhashStore(spark,
+      Seq((5L, "yet another standalone document on columnar storage formats"))
+        .toDF("doc_id", "text"), path)
+    def leaves(sub: String) = new java.io.File(path + sub).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(leaves("/bands") === 3)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "completely unrelated fresh material about distributed query engines"))
+      .toDF("doc_id", "text")
+    def probe() = Dedup.incrementalMinhashDupes(spark, batch, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = probe()
+    assert(before === Set((1L, 10L, 1.0), (4L, 11L, 1.0)), s"got $before")
+    assert(Dedup.compactMinhashStore(spark, path) === 3)
+    assert(leaves("/bands") === 1 && leaves("/sigs") === 1,
+      "fold must leave exactly one committed leaf per table")
+    assert(probe() === before, "fold changed the dedup answer")
+    // age floor: a hot epoch stays out of the fold (and <2 aged = no-op)
+    Dedup.appendToMinhashStore(spark,
+      Seq((6L, "one more fresh doc arriving after the fold")).toDF("doc_id", "text"), path)
+    assert(Dedup.compactMinhashStore(spark, path, minAgeMs = 3600L * 1000) === 0)
+    assert(leaves("/bands") === 2, "hot epoch must survive an age-floored fold")
+    // an aborted staging (no marker) is discarded, store still answers
+    val aborted = new java.io.File(path + "/_compact/sigs")
+    aborted.mkdirs()
+    java.nio.file.Files.write(aborted.toPath.resolve("junk.parquet"), Array[Byte](1))
+    assert(Dedup.compactMinhashStore(spark, path) === 2)
+    assert(!new java.io.File(path + "/_compact").exists(), "staging must be cleaned")
+    val after = probe()
+    assert(after === before, s"recovery broke the store: $after")
+  }
+
   test("simhash: identical → distance 0, near → small, far → large") {
     val t1 = "spark shuffle hash join broadcast exchange partition codegen stage task".split(" ").toSeq
     val t2 = t1.updated(3, "sort")
