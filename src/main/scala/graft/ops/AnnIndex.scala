@@ -1525,6 +1525,51 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** EXACTLY-ONCE streaming ingestion for the IVF family — the
+    * train-then-add contract under at-least-once delivery: the coarse
+    * quantizer trains ONCE on the base corpus (centroid sidecar at the
+    * root, no batch refits — `IndexBuilder.trainIvfCentroids`), then
+    * every micro-batch assigns against the standing sidecar and lands in
+    * its own deterministic `batch=<id>/cluster_id=<c>` directory with
+    * overwrite (`stageIvfBatch`). The batch that delivered the planted
+    * copies is REPLAYED — the redelivery every foreachBatch sink sees
+    * after a crash — and must rewrite its own directory, not append a
+    * second copy: duplicated copies would displace true neighbors in the
+    * limit-10 and break the enumerable self-query oracle. Serving
+    * partition-prunes on cluster_id across all batch directories. The
+    * train+stage+replay sequence is a pure function of the corpus — one
+    * cached unit, so re-runs measure serving (the LSH streaming row
+    * restages cheaply per run; the IVF fit is the expensive part and
+    * belongs in the fixture).
+    */
+  def annIvfStreamingIngestTopk(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfstream_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    val base = e.select("vec_id", "embedding")
+    val arrivals = withPlantedSelfCopies(spark, e).filter(col("vec_id") >= 100000L)
+    ResultCache.buildIfAbsent(spark, withPlantedSelfCopies(spark, e),
+      "ivf:clusters=16:seed=42:lifecycle=stream-ingest:v1", root) {
+      IndexBuilder.trainIvfCentroids(base, "embedding",
+        numClusters = 16, seed = 42L, root)
+      IndexBuilder.stageIvfBatch(base, "embedding", root, batchId = 0L)
+      IndexBuilder.stageIvfBatch(arrivals, "embedding", root, batchId = 1L)
+      // crash-replay of batch 1: same rows, same batch id, second delivery
+      IndexBuilder.stageIvfBatch(arrivals, "embedding", root, batchId = 1L)
+    }
+    val qv = queryVec(spark, dir, 0L)
+    val probes = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(root), qv, tunedNProbe(spark, dir))
+    spark.read.parquet(root)
+      .filter(col("cluster_id").isin(probes: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
   /** UPSERT into the ANN index without a rebuild — the "document was
     * re-embedded" flow, composed from the two maintenance primitives: the
     * old version is tombstoned and the NEW vector is appended through the
@@ -3426,6 +3471,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_compacted_delete_topk" -> annIvfSq8CompactedDeleteTopk,
     "ann_ivf_sq8_compacted_upsert_topk" -> annIvfSq8CompactedUpsertTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
+    "ann_ivf_streaming_ingest_topk" -> annIvfStreamingIngestTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
 
@@ -3505,6 +3551,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_compacted_delete_topk" -> annDeleteTopkSql,
     "ann_ivf_sq8_compacted_upsert_topk" -> annUpsertTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)
 }

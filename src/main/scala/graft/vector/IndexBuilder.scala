@@ -566,6 +566,41 @@ object IndexBuilder {
       .write.mode("append").partitionBy("cluster_id").parquet(path)
   }
 
+  /** Train the coarse quantizer and write ONLY the centroid sidecar — the
+    * bootstrap of a STREAMING-ingested IVF index, whose data arrives as
+    * staged micro-batches (the FAISS train-then-add contract with no
+    * batch data at train time beyond the training sample itself).
+    */
+  def trainIvfCentroids(df: DataFrame, embCol: String, numClusters: Int,
+      seed: Long, root: String): Unit = {
+    val (_, centers) = withIvfCluster(df, embCol, numClusters, seed)
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(dir)
+    val text = centers.map(_.map(java.lang.Double.toString).mkString(","))
+      .mkString("\n")
+    java.nio.file.Files.write(dir.resolve(IvfCentroidsFile),
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** EXACTLY-ONCE micro-batch staging for a streaming IVF index — the
+    * stageLshBatch discipline on the clustered layout: arrivals assign
+    * against the STANDING sidecar (pure function of (vector, centroids),
+    * never a refit) and land under a deterministic
+    * `batch=<id>/cluster_id=<c>` directory with overwrite, so an
+    * at-least-once redelivery rewrites its own batch directory instead
+    * of appending a second copy. Readers partition-prune on cluster_id
+    * across every batch directory; small-file folding across batches is
+    * Compaction's job, as with LSH.
+    */
+  def stageIvfBatch(df: DataFrame, embCol: String, root: String,
+      batchId: Long): Unit = {
+    val centers = loadIvfCentroids(root)
+    clusteredBy(df.withColumn("cluster_id", assignUdf(centers)(col(embCol))),
+        "cluster_id", centers.length)
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$root/batch=$batchId")
+  }
+
   /** Load a centroid sidecar written by buildIvfIndex. */
   def loadIvfCentroids(path: String): Array[Array[Double]] = {
     val raw = new String(
