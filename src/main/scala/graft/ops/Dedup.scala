@@ -975,21 +975,23 @@ object Dedup extends QueryModule {
     dupes
   }
 
-  /** Driver row: the admission body driven by a REAL streaming query —
-    * a MemoryStream delivers two micro-batches (docs 300..304 @ +200000,
-    * then the same docs @ +300000) through `foreachBatch(admitMicroBatch)`;
+  /** Driver row: the admission body driven by a REAL streaming query over
+    * a PUBLIC source — a file stream (`spark.readStream.parquet`, stable
+    * API across Spark majors, unlike the internal MemoryStream whose
+    * package moves between releases) delivers two micro-batches (docs
+    * 300..304 @ +200000 dropped first, then the same docs @ +300000
+    * appended as a second file) through `foreachBatch(admitMicroBatch)`;
     * batch 1 dedups against the base store and admits survivors; batch 2
     * must then pair against EITHER its admitted batch-1 twin or the store
-    * doc that rejected the twin. Each batch's pairs land in their own
-    * `pairs/epoch=<admission epoch>` leaf (overwrite — the same
+    * doc that rejected the twin. Each drop is one part file and is fully
+    * drained (`processAllAvailable`) before the next lands, so the
+    * batch-id→drop mapping is deterministic. Each batch's pairs land in
+    * their own `pairs/epoch=<admission epoch>` leaf (overwrite — the same
     * replay-idempotent discipline as the store writes), and the row
     * returns the union. The store is run-scoped (admission mutates it, so
-    * the row resets and rebuilds — purity over fixture reuse). The two
-    * 5-row addData collects are the stream's bounded source feed, not a
-    * result collect.
+    * the row resets and rebuilds — purity over fixture reuse).
     */
   def streamingDedupAdmission(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val path = Tables.scratchPath("graft_mhstream", dir)
     val docs = Tables.documents(spark, dir)
     val store = docs.filter(col("doc_id") < 300).select("doc_id", "text")
@@ -1011,14 +1013,21 @@ object Dedup extends QueryModule {
           s.getPath.getName != "epoch=0")
         .foreach(s => fs.delete(s.getPath, true))
     }
-    def feed(offset: Long): Seq[(Long, String)] =
+    val feedDir = path + "_feed"
+    fs.delete(new org.apache.hadoop.fs.Path(feedDir), true)
+    def drop(offset: Long, mode: String): Unit =
       docs.filter(col("doc_id") >= 300 && col("doc_id") < 305)
-        .select("doc_id", "text").collect() // 5 rows — the stream's feed
-        .map(r => (r.getLong(0) + offset, r.getString(1))).toSeq
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
-    val mem = MemoryStream[(Long, String)]
-    val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .select((col("doc_id") + offset).as("doc_id"), col("text"))
+        .repartition(1) // one part file = one micro-batch
+        .write.mode(mode).parquet(feedDir)
+    val feedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    drop(200000L, "overwrite")
+    val q = spark.readStream.schema(feedSchema).parquet(feedDir)
+      .writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         admitMicroBatch(spark, batch, store, path, bid)
           .repartition(1).write.mode("overwrite")
@@ -1027,9 +1036,8 @@ object Dedup extends QueryModule {
       }
       .start()
     try {
-      mem.addData(feed(200000L): _*)
-      q.processAllAvailable() // batch 1 fully admitted before batch 2 arrives
-      mem.addData(feed(300000L): _*)
+      q.processAllAvailable() // batch 1 fully admitted before batch 2 lands
+      drop(300000L, "append")
       q.processAllAvailable()
     } finally q.stop()
     spark.read.parquet(path + "/pairs")
