@@ -3395,6 +3395,68 @@ object AnnIndex extends QueryModule {
   private val annGraphTuningGateSql =
     """SELECT NULL::VARCHAR AS violation, NULL::BIGINT AS detail WHERE false""".stripMargin
 
+  /** The PURE routing decision for CBO-informed index-family selection:
+    * given the catalog's corpus row count and the MEASURED per-family
+    * tuning knobs (the same cached curves every serving site reads),
+    * score each family in scanned-row equivalents and pick the cheapest.
+    *
+    *  - lsh:   nRows × (probed buckets / total buckets) — full-width rows
+    *           through the pruned scan;
+    *  - ivf:   nRows × (nProbe / numClusters) × codesBandwidth — the SQ8
+    *           serving layout reads 4×-smaller codes on the coarse pass
+    *           (0.25 + a constant-ish overscan float fetch, folded into
+    *           the factor);
+    *  - graph: walkRowsTouched + walkJobs × jobCostRows — the beam walk
+    *           touches O(E + H·B·2M) rows regardless of corpus size but
+    *           pays a fixed per-job scheduling cost; jobCostRows converts
+    *           the profiled ~60 ms/job (tools/ProfileGraphRow `walk`)
+    *           into row-equivalents at parquet scan rate.
+    *
+    * The crossover this encodes is the real one: scan families win small
+    * corpora (shards, filters), the graph wins once nRows × probeFrac
+    * dwarfs the walk's fixed cost. Ties break lexicographically so the
+    * route is deterministic. Returns (family, per-family costs).
+    */
+  private[graft] def routeAnnFamily(nRows: Long, lshProbeFrac: Double,
+      ivfProbeFrac: Double, codesBandwidth: Double = 0.35,
+      walkJobs: Int = 11, walkRowsTouched: Long = 4200L,
+      jobCostRows: Long = 50000L): (String, Map[String, Double]) = {
+    val costs = Map(
+      "graph" -> (walkRowsTouched.toDouble + walkJobs.toDouble * jobCostRows),
+      "ivf" -> nRows * ivfProbeFrac * codesBandwidth,
+      "lsh" -> nRows * lshProbeFrac)
+    (costs.toSeq.minBy { case (f, c) => (c, f) }._1, costs)
+  }
+
+  /** AUTO-ROUTED retrieval — the planner loop the tuning gates opened,
+    * closed: the router reads the corpus row count (stamp-cached like
+    * every tuned knob) and the measured radius / nProbe curves, scores
+    * LSH vs IVF-SQ8 vs graph with `routeAnnFamily`, logs the decision,
+    * and serves the query through the chosen family's PERSISTED index
+    * row. All three serve the same planted construction under the same
+    * enumerable self-query oracle, so the row stays oracle-green
+    * whichever way the cost model routes — the spec pins the decision
+    * function's crossover behavior separately.
+    */
+  def annAutoRouteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val n = cachedKnob("nvec", dir, embeddingsStamp(spark, dir)) {
+      Tables.embeddings(spark, dir).count().toInt
+    }.toLong
+    val qv = queryVec(spark, dir, 0L)
+    val lshFrac = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir)).size.toDouble / (1 << defaultLsh.nBits)
+    val ivfFrac = tunedNProbe(spark, dir).toDouble / 16.0
+    val (family, costs) = routeAnnFamily(n, lshFrac, ivfFrac)
+    System.err.println(s"[route] ann_auto_route_topk n=$n -> $family " +
+      costs.toSeq.sortBy(_._1)
+        .map { case (f, c) => f"$f=${c}%.0f" }.mkString("(", ", ", ")"))
+    family match {
+      case "lsh" => annLshIndexTopk(spark, dir)
+      case "ivf" => annIvfSq8IndexTopk(spark, dir)
+      case _ => annGraphTopk(spark, dir)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_gate" -> annRecallGate,
     "ann_tuning_gate" -> annTuningGate,
@@ -3472,6 +3534,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_compacted_upsert_topk" -> annIvfSq8CompactedUpsertTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
     "ann_ivf_streaming_ingest_topk" -> annIvfStreamingIngestTopk,
+    "ann_auto_route_topk" -> annAutoRouteTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
 
@@ -3552,6 +3615,7 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_compacted_upsert_topk" -> annUpsertTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "ann_ivf_streaming_ingest_topk" -> annSelfQueryTopkSql,
+    "ann_auto_route_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)
 }

@@ -768,6 +768,18 @@ object GraphAnn {
     * scans with no exchange, where neither conf matters.
     * Build/append jobs keep the session confs (their shuffles can be
     * corpus-born, where AQE earns its jobs).
+    *
+    * CONF-INHERITANCE CUTOFF: the walk session is created ONCE per
+    * SparkContext via `spark.newSession()`, which snapshots only
+    * context-level and default confs — runtime SQL confs set on the
+    * caller's session AFTER the first walk never reach walk-side
+    * execution. Deliberate for the two confs pinned here, but a future
+    * session-level conf (an ANSI toggle, a codegen flag) must arrive
+    * context-wide (spark-defaults / -D system property) to influence
+    * walks — or this cache must become a per-caller cloneSession. Walks
+    * also compose caller-session frames (corpus, tombstones) into
+    * walk-session plans; those stay exchange-free pushed scans, where no
+    * session conf changes the result.
     */
   @volatile private var walkSessionRef: SparkSession = _
 

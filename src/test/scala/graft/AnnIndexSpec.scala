@@ -214,6 +214,23 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("ann_auto_route: scans win small corpora, graph wins at scale, route deterministic") {
+    // small corpus: pruned scans undercut the walk's fixed per-job cost
+    val (small, smallCosts) = AnnIndex.routeAnnFamily(60000L, 0.34, 0.25)
+    assert(small === "ivf", s"costs: $smallCosts")
+    // a tight LSH probe set undercuts the quantized scan
+    assert(AnnIndex.routeAnnFamily(60000L, 0.05, 0.5)._1 === "lsh")
+    // at 100M rows every scan family dwarfs the walk's fixed cost
+    val (big, bigCosts) = AnnIndex.routeAnnFamily(100000000L, 0.34, 0.25)
+    assert(big === "graph", s"costs: $bigCosts")
+    // equal costs break lexicographically — the route is deterministic
+    assert(AnnIndex.routeAnnFamily(0L, 0.0, 0.0,
+      walkJobs = 0, walkRowsTouched = 0L)._1 === "graph")
+    // and the routed driver row still matches the planted oracle
+    val out = SparkEntry.queries("ann_auto_route_topk")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === (Seq(0L) ++ (100000L to 100008L)))
+  }
+
   test("served walk parity: resident-view serving equals the distributed batch walk row-for-row") {
     import graft.vector.GraphAnn
     val path = java.nio.file.Files
