@@ -3033,6 +3033,32 @@ object AnnIndex extends QueryModule {
       spark, path, corpus, "embedding", "vec_id", queries, k = 10)
   }
 
+  /** RESIDENT-VIEW serving through the HNSW ladder
+    * (`GraphAnn.hnswServedSearch`) — the same fixture and 50-row oracle
+    * as the hierarchical batch row, answered in ONE Spark job: every
+    * rung's adjacency joins layer 0 in the broadcast view, and each task
+    * descends its queries in memory with hnswSearch's exact carried-seed
+    * semantics. Parity with the distributed ladder walk is spec-pinned.
+    */
+  def annHnswServedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hnswbatch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qbase = e.filter(col("vec_id") < 5L)
+    val copies = plantedLocalRows(spark, e,
+      for (q <- 0L until 5L; j <- 0L until 9L) yield (100000L + q * 100L + j, q))
+    val corpus = e.unionByName(copies)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"hnsw:m=8:bits=${defaultLsh.nBits}:seed=42:fanout=8:maxLevel=2", path) {
+      graft.vector.GraphAnn.buildHnswGraph(
+        corpus, "embedding", "vec_id", defaultLsh, m = 8, path)
+    }
+    val queries = qbase.collect() // 5 rows — the serving batch
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    graft.vector.GraphAnn.hnswServedSearch(
+      spark, path, corpus, "embedding", "vec_id", queries, k = 10)
+  }
+
   /** TIME TRAVEL for the graph index — MOR versioning the delta layout
     * gives for free: every append lands as a `seq=<n>` leaf, so pinning
     * a version is a partition filter on the delta read
@@ -3490,6 +3516,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_filtered_topk" -> annGraphFilteredTopk,
     "ann_graph_batch_topk" -> annGraphBatchTopk,
     "ann_graph_served_topk" -> annGraphServedTopk,
+    "ann_hnsw_served_topk" -> annHnswServedTopk,
     "ann_hnsw_batch_topk" -> annHnswBatchTopk,
     "ann_graph_compacted_topk" -> annGraphCompactedTopk,
     "ann_graph_time_travel_topk" -> annGraphTimeTravelTopk,
@@ -3571,6 +3598,7 @@ object AnnIndex extends QueryModule {
     "ann_graph_filtered_topk" -> annFilteredTopkSql,
     "ann_graph_batch_topk" -> annLshBatchTopkSql,
     "ann_graph_served_topk" -> annLshBatchTopkSql,
+    "ann_hnsw_served_topk" -> annLshBatchTopkSql,
     "ann_hnsw_batch_topk" -> annLshBatchTopkSql,
     "ann_graph_compacted_topk" -> annSelfQueryTopkSql,
     "ann_graph_time_travel_topk" -> annTimeTravelTopkSql,

@@ -1187,6 +1187,71 @@ object GraphAnn {
       .coalesce(1).sortWithinPartitions(col("qid"), col(idCol))
   }
 
+  /** Resident-view serving through the HNSW LADDER — nswServedSearch's
+    * model extended to the hierarchy, which is exactly what hnswlib
+    * itself serves resident: every rung's (small) adjacency collects
+    * next to layer 0's, and each task descends its queries in memory
+    * (same greedy per-rung walk and carried-seed semantics as
+    * hnswSearch/hnswBatchSearch: descend with descentBeam/descentHops,
+    * layer 0 walks from carried ∪ fixed hash-min entries, preserving the
+    * flat recall floor). One Spark job for the whole batch; parity with
+    * the distributed ladder walk is spec-pinned row-for-row. Upper rungs
+    * are geometrically thinner (|V|/fanout^ℓ), so the ladder adds ~15%
+    * to the resident view's memory bound.
+    */
+  def hnswServedSearch(spark: SparkSession, path: String, corpus: DataFrame,
+      embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
+      k: Int, beam: Int = 32, hops: Int = 4, entries: Int = 16,
+      maxLevel: Int = 2, descentBeam: Int = 4,
+      descentHops: Int = 2): DataFrame = {
+    import spark.implicits._
+    def adjOf(p: String): Map[Long, Array[Long]] =
+      withWalkConfs(spark) { s => readNswAdjacency(s, p).collect() }
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def hashEntries(m: Map[Long, Array[Long]], e: Int): Seq[Long] =
+      m.keys.toSeq.sortBy(id => (org.apache.spark.sql.catalyst.expressions
+        .XXH64.hashLong(id, 42L), id)).take(e)
+    val rungs: Seq[(Map[Long, Array[Long]], Seq[Long])] =
+      (maxLevel to 1 by -1).map(l => path + "_l" + l)
+        .filter(p => pathExists(spark, p))
+        .map { p => val m = adjOf(p); (m, hashEntries(m, descentBeam)) }
+    val adj0 = adjOf(path)
+    val fixed = hashEntries(adj0, entries)
+    val vecMap: Map[Long, Array[Float]] =
+      corpus.select(col(idCol).cast("long"), col(embCol)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dead: Set[Long] = readNswTombstones(spark, path)
+      .collect().map(_.getLong(0)).toSet
+    val bcRungs = spark.sparkContext.broadcast(rungs)
+    val bcAdj0 = spark.sparkContext.broadcast(adj0)
+    val bcVec = spark.sparkContext.broadcast(vecMap)
+    val bcDead = spark.sparkContext.broadcast(dead)
+    spark.sparkContext
+      .parallelize(queries.map { case (q, v) => (q, v.toSeq) },
+        math.max(1, math.min(queries.size, spark.sparkContext.defaultParallelism)))
+      .flatMap { case (qid, qvs) =>
+        val qv = qvs.toArray
+        var carried = Seq.empty[Long]
+        bcRungs.value.foreach { case (adjL, entriesL) =>
+          val seeds = if (carried.nonEmpty) carried else entriesL
+          if (seeds.nonEmpty) {
+            val walked = residentWalk(adjL, bcVec.value, qv, seeds,
+              descentBeam, descentHops)
+            carried = walked.toSeq.sortBy { case (id, s) => (-s, id) }
+              .take(descentBeam).map(_._1)
+          }
+        }
+        residentWalk(bcAdj0.value, bcVec.value, qv,
+            (carried ++ fixed).distinct, beam, hops)
+          .toSeq.filterNot { case (id, _) => bcDead.value.contains(id) }
+          .sortBy { case (id, s) => (-s, id) }.take(k)
+          .map { case (id, s) => (qid, id,
+            BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      }
+      .toDF("qid", idCol, "score")
+      .coalesce(1).sortWithinPartitions(col("qid"), col(idCol))
+  }
+
   /** Batch retrieval through the HNSW ladder: the descent ALSO batches —
     * each rung runs one shared-job batch walk seeding every query's next
     * rung, and the fetched vectors are reused across rungs (embeddings

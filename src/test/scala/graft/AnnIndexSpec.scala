@@ -252,6 +252,24 @@ class AnnIndexSpec extends SparkSpec {
     assert(!served.exists(_._2 == 1L), "served a tombstoned id")
   }
 
+  test("hnsw served parity: resident ladder serving equals the distributed batch descent") {
+    import graft.vector.GraphAnn
+    val path = java.nio.file.Files
+      .createTempDirectory("hnsw_served_parity").toString + "/g"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    GraphAnn.buildHnswGraph(e, "embedding", "vec_id", AnnIndex.defaultLsh, 8, path)
+    val queries = e.filter(col("vec_id") < 3L).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val served = rows(GraphAnn.hnswServedSearch(spark, path, e,
+      "embedding", "vec_id", queries, k = 10))
+    val walked = rows(GraphAnn.hnswBatchSearch(spark, path, e,
+      "embedding", "vec_id", queries, k = 10))
+    assert(served === walked,
+      s"hnsw served/distributed divergence:\n$served\nvs\n$walked")
+  }
+
   test("ann_graph_time_travel_topk: seq-pinned walks isolate delta generations") {
     val out = SparkEntry.queries("ann_graph_time_travel_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
