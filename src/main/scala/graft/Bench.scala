@@ -52,7 +52,7 @@ object Bench {
           false
         }
       // Drop any .cache() a query registered: cached frames otherwise
-      // accumulate for the life of the full-board session (237 queries)
+      // accumulate for the life of the full-board session (239 queries)
       // and steal unified memory from execution (each query is timed
       // cold, as a fresh cluster job would run it).
       spark.catalog.clearCache()

@@ -238,4 +238,86 @@ object Compaction {
     spark.catalog.refreshByPath(tombstonePath)
     FoldStats(rewritten, deleted, nTomb)
   }
+
+  /** RETENTION for streaming-staged index roots — the reclamation half
+    * of the `stageLshBatch`/`stageIvfBatch` exactly-once discipline:
+    * continuous ingestion lands one `batch=<id>/<partCol>=…` directory
+    * per micro-batch forever, so the root's file count grows without
+    * bound even though each leaf is tiny. Folds every COMMITTED batch
+    * directory (one with a `_SUCCESS` marker) older than `minAgeMs` into
+    * one consolidated `batch=0` leaf re-clustered on `partCol` (one file
+    * per partition value), leaving younger batches in place.
+    *
+    * `minAgeMs` is the REPLAY HORIZON, exactly as in the minhash store
+    * fold (`Dedup.compactMinhashStore`): a batch directory is the
+    * idempotence key for at-least-once delivery — a redelivered batch
+    * overwrites its own directory, so folding a batch that might still
+    * be replayed would let the replay re-admit its rows beside the
+    * folded copy. Replays also refresh the directory mtime, which is the
+    * age measured here. Crash discipline is the same staged swap: fold
+    * written under the reader-invisible `<root>/_compact`, a `_STAGED`
+    * marker commits the target list, then targets are deleted and the
+    * staged leaf renamed in; re-running the fold first completes or
+    * discards any interrupted one. Returns the batch leaves folded.
+    */
+  def foldStagedBatches(spark: SparkSession, root: String, partCol: String,
+      minAgeMs: Long = 0L): Int = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(root + s)
+    recoverStagedFold(spark, root)
+    if (!fs.exists(rootPath)) return 0
+    val now = System.currentTimeMillis()
+    val targets = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .filter(st => now - st.getModificationTime >= minAgeMs)
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+    if (targets.size < 2) return 0
+    val folded = spark.read.parquet(root)
+      .filter(col("batch").isin(targets: _*))
+      .drop("batch")
+    folded.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(root + "/_compact/data")
+    val marker = fs.create(p("/_compact/_STAGED"), true)
+    try marker.write(targets.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally marker.close()
+    finishStagedFold(spark, root, targets)
+    targets.size
+  }
+
+  private def finishStagedFold(spark: SparkSession, root: String,
+      targets: Seq[Long]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(root + s)
+    // a missing staging dir means the rename already happened (recovery
+    // replay) — batch=0 then IS the folded leaf, keep it
+    val staged = fs.exists(p("/_compact/data"))
+    targets.foreach(b =>
+      if (staged || b != 0L) fs.delete(p(s"/batch=$b"), true))
+    if (staged) fs.rename(p("/_compact/data"), p("/batch=0"))
+    fs.delete(p("/_compact"), true)
+    spark.catalog.refreshByPath(root)
+  }
+
+  /** Complete a marker-committed interrupted fold; discard an aborted
+    * (marker-less) staging. Mirrors the minhash store's recovery.
+    */
+  private def recoverStagedFold(spark: SparkSession, root: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(root + s)
+    if (!fs.exists(p("/_compact"))) return
+    if (fs.exists(p("/_compact/_STAGED"))) {
+      val in = fs.open(p("/_compact/_STAGED"))
+      val targets =
+        try scala.io.Source.fromInputStream(in).getLines()
+          .filter(_.nonEmpty).map(_.toLong).toSeq
+        finally in.close()
+      finishStagedFold(spark, root, targets)
+    } else fs.delete(p("/_compact"), true)
+  }
 }

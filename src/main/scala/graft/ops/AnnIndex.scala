@@ -1570,6 +1570,91 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** RETENTION for the streaming-staged LSH root — the reclamation half
+    * of `ann_streaming_ingest_topk`'s exactly-once staging, mirroring the
+    * minhash store fold: stage the base and the copy batch (plus its
+    * crash replay), then `Compaction.foldStagedBatches` folds every aged
+    * batch directory into one consolidated `batch=0` leaf re-clustered
+    * on bucket. The requires re-assert the reclamation on every serve
+    * (exactly one batch leaf), and the pruned top-10 over the FOLDED
+    * root must still equal the enumerable self-query oracle — a fold
+    * that drops, duplicates, or mis-buckets rows perturbs the set.
+    */
+  def annStreamingCompactedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lshstreamfold_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    val corpus = withPlantedSelfCopies(spark, e)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=stream+fold:v1", root) {
+      IndexBuilder.stageLshBatch(e.select("vec_id", "embedding"),
+        "embedding", defaultLsh, root, batchId = 0L)
+      val arrivals = corpus.filter(col("vec_id") >= 100000L)
+      IndexBuilder.stageLshBatch(arrivals, "embedding", defaultLsh, root, 1L)
+      IndexBuilder.stageLshBatch(arrivals, "embedding", defaultLsh, root, 1L)
+      val folded = graft.ingest.Compaction.foldStagedBatches(
+        spark, root, "bucket", minAgeMs = 0L)
+      require(folded == 2, s"expected to fold 2 batch leaves, folded $folded")
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    require(leaves == 1, s"fold must leave one batch leaf, found $leaves")
+    val qv = queryVec(spark, dir, 0L)
+    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+      radius = tunedRadius(spark, dir))
+    spark.read.parquet(root)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
+  /** The IVF form of the staged-root retention: train-once sidecar,
+    * stage base + copies (+ replay), fold aged batch directories into
+    * one `batch=0` leaf re-clustered on cluster_id. Same single-leaf
+    * requires and the same enumerable oracle over the folded root.
+    */
+  def annIvfStreamingCompactedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfstreamfold_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    val corpus = withPlantedSelfCopies(spark, e)
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivf:clusters=16:seed=42:lifecycle=stream+fold:v1", root) {
+      IndexBuilder.trainIvfCentroids(e.select("vec_id", "embedding"),
+        "embedding", numClusters = 16, seed = 42L, root)
+      IndexBuilder.stageIvfBatch(e.select("vec_id", "embedding"),
+        "embedding", root, batchId = 0L)
+      val arrivals = corpus.filter(col("vec_id") >= 100000L)
+      IndexBuilder.stageIvfBatch(arrivals, "embedding", root, 1L)
+      IndexBuilder.stageIvfBatch(arrivals, "embedding", root, 1L)
+      val folded = graft.ingest.Compaction.foldStagedBatches(
+        spark, root, "cluster_id", minAgeMs = 0L)
+      require(folded == 2, s"expected to fold 2 batch leaves, folded $folded")
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    require(leaves == 1, s"fold must leave one batch leaf, found $leaves")
+    val qv = queryVec(spark, dir, 0L)
+    val probes = IndexBuilder.nearestClusters(
+      IndexBuilder.loadIvfCentroids(root), qv, tunedNProbe(spark, dir))
+    spark.read.parquet(root)
+      .filter(col("cluster_id").isin(probes: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
   /** UPSERT into the ANN index without a rebuild — the "document was
     * re-embedded" flow, composed from the two maintenance primitives: the
     * old version is tombstoned and the NEW vector is appended through the
@@ -3561,6 +3646,8 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_compacted_upsert_topk" -> annIvfSq8CompactedUpsertTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
     "ann_ivf_streaming_ingest_topk" -> annIvfStreamingIngestTopk,
+    "ann_streaming_compacted_topk" -> annStreamingCompactedTopk,
+    "ann_ivf_streaming_compacted_topk" -> annIvfStreamingCompactedTopk,
     "ann_auto_route_topk" -> annAutoRouteTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
@@ -3643,6 +3730,8 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_compacted_upsert_topk" -> annUpsertTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "ann_ivf_streaming_ingest_topk" -> annSelfQueryTopkSql,
+    "ann_streaming_compacted_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_streaming_compacted_topk" -> annSelfQueryTopkSql,
     "ann_auto_route_topk" -> annSelfQueryTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)

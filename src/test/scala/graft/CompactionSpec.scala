@@ -71,6 +71,42 @@ class CompactionSpec extends SparkSpec {
       .map(f => (f.getName, md5Of(f))).sortBy(_._1)
   }
 
+  test("foldStagedBatches: identical rows, one leaf, age floor keeps hot batches, abort recovery") {
+    import graft.vector.IndexBuilder
+    import graft.ops.AnnIndex
+    val root = java.nio.file.Files.createTempDirectory("stagedfold").toString + "/idx"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    IndexBuilder.stageLshBatch(e.filter(col("vec_id") < 200L),
+      "embedding", AnnIndex.defaultLsh, root, batchId = 0L)
+    IndexBuilder.stageLshBatch(e.filter(col("vec_id") >= 200L && col("vec_id") < 300L),
+      "embedding", AnnIndex.defaultLsh, root, batchId = 1L)
+    IndexBuilder.stageLshBatch(e.filter(col("vec_id") >= 300L && col("vec_id") < 400L),
+      "embedding", AnnIndex.defaultLsh, root, batchId = 2L)
+    def leaves = new java.io.File(root).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    def rows() = spark.read.parquet(root).select("vec_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.get(1).toString)).toSet
+    val before = rows()
+    assert(leaves === 3)
+    assert(Compaction.foldStagedBatches(spark, root, "bucket") === 3)
+    assert(leaves === 1, "fold must leave exactly one batch leaf")
+    assert(rows() === before, "fold changed the indexed rows or their buckets")
+    // age floor: a hot batch stays out of the fold
+    IndexBuilder.stageLshBatch(e.filter(col("vec_id") >= 400L && col("vec_id") < 450L),
+      "embedding", AnnIndex.defaultLsh, root, batchId = 5L)
+    assert(Compaction.foldStagedBatches(spark, root, "bucket",
+      minAgeMs = 3600L * 1000) === 0)
+    assert(leaves === 2, "hot batch must survive an age-floored fold")
+    // an aborted staging (no marker) is discarded; the fold still runs
+    val aborted = new java.io.File(root + "/_compact/data")
+    aborted.mkdirs()
+    java.nio.file.Files.write(aborted.toPath.resolve("junk.parquet"), Array[Byte](1))
+    val withHot = rows()
+    assert(Compaction.foldStagedBatches(spark, root, "bucket") === 2)
+    assert(!new java.io.File(root + "/_compact").exists(), "staging must be cleaned")
+    assert(leaves === 1 && rows() === withHot, "recovery broke the root")
+  }
+
   test("foldTombstones rewrites only affected partitions; untouched buckets byte-identical; sidecar truncated") {
     import graft.vector.IndexBuilder
     import spark.implicits._
