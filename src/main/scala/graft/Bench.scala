@@ -42,12 +42,15 @@ object Bench {
     // Returns (elapsed, succeeded): the rerun policy below may only take a
     // min over SUCCESSFUL passes — a throwing rerun's near-zero elapsed
     // must never displace a slow-but-correct first pass.
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        recordFailure: Boolean = true): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
-          if (!failed.contains(name)) failed += name
+          // a throwing RERUN does not mark the row failed: its reported
+          // time is the valid successful first pass (recordFailure=false)
+          if (recordFailure && !failed.contains(name)) failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
@@ -82,7 +85,7 @@ object Bench {
         if (t1 > rerunThreshold && ok1) {
           reruns += name
           firstPass(name) = t1
-          val (t2, ok2) = timeOne(name, fn)
+          val (t2, ok2) = timeOne(name, fn, recordFailure = false)
           if (ok2) math.min(t1, t2) else t1
         } else t1
       name -> t

@@ -264,8 +264,8 @@ object Compaction {
       minAgeMs: Long = 0L): Int = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(root + s)
-    recoverStagedFold(spark, root)
+    val tables = Seq(SwapTable("/_compact/data", b => s"/batch=$b"))
+    recoverStagedSwap(spark, root, tables)
     if (!fs.exists(rootPath)) return 0
     val now = System.currentTimeMillis()
     val targets = fs.listStatus(rootPath).toSeq
@@ -280,33 +280,75 @@ object Compaction {
     folded.repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(root + "/_compact/data")
-    val marker = fs.create(p("/_compact/_STAGED"), true)
-    try marker.write(targets.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally marker.close()
-    finishStagedFold(spark, root, targets)
+    commitStagedSwap(spark, root, tables, targets)
     targets.size
   }
 
-  private def finishStagedFold(spark: SparkSession, root: String,
-      targets: Seq[Long]): Unit = {
+  // ---- the shared marker-committed staged-swap protocol --------------
+  //
+  // ONE implementation of the crash discipline both retention folds use
+  // (this staged-batch fold and Dedup.compactMinhashStore): fold content
+  // is written under the reader-invisible `<root>/_compact`, a `_STAGED`
+  // marker commits the target-leaf list, target leaves are deleted
+  // (tables in declared order), and the staged dirs rename onto the
+  // DESTINATION leaf `targets.min` (tables in REVERSE order). Declare
+  // the layout's commit-point table FIRST: it is then deleted first
+  // (interrupted states look like the layout's own torn shape) and
+  // renamed last (its rename is the commit).
+  // The destination is always a member of the target set, so its old
+  // directory is always deleted before the rename: a fixed destination
+  // (epoch/batch 0) could pre-exist OUTSIDE an age-floored target set
+  // and the rename would nest into or clobber it, losing the staged
+  // fold. Re-running any fold first completes a marker-committed
+  // interrupted swap or discards a marker-less (aborted) staging.
+
+  /** One staged table: where its fold is staged, and how a leaf id maps
+    * to its live directory (both relative to the root).
+    */
+  private[graft] final case class SwapTable(staged: String, leaf: Long => String)
+
+  /** Write the marker, then run the swap. Call after every staged dir in
+    * `tables` has been written.
+    */
+  private[graft] def commitStagedSwap(spark: SparkSession, root: String,
+      tables: Seq[SwapTable], targets: Seq[Long]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = fs.create(
+      new org.apache.hadoop.fs.Path(root + "/_compact/_STAGED"), true)
+    try marker.write(targets.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally marker.close()
+    finishStagedSwap(spark, root, tables, targets)
+  }
+
+  private def finishStagedSwap(spark: SparkSession, root: String,
+      tables: Seq[SwapTable], targets: Seq[Long]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(root + s)
-    // a missing staging dir means the rename already happened (recovery
-    // replay) — batch=0 then IS the folded leaf, keep it
-    val staged = fs.exists(p("/_compact/data"))
-    targets.foreach(b =>
-      if (staged || b != 0L) fs.delete(p(s"/batch=$b"), true))
-    if (staged) fs.rename(p("/_compact/data"), p("/batch=0"))
+    val dest = targets.min
+    // per table: a missing staging dir means its rename already happened
+    // (recovery replay) — the destination leaf then IS the folded result
+    val staged = tables.map(t => t -> fs.exists(p(t.staged))).toMap
+    tables.foreach { t =>
+      targets.foreach(e =>
+        if (staged(t) || e != dest) fs.delete(p(t.leaf(e)), true))
+    }
+    tables.reverse.foreach { t =>
+      if (staged(t) && !fs.rename(p(t.staged), p(t.leaf(dest))))
+        throw new java.io.IOException(
+          s"staged fold: cannot install ${t.leaf(dest)} under $root")
+    }
     fs.delete(p("/_compact"), true)
     spark.catalog.refreshByPath(root)
   }
 
-  /** Complete a marker-committed interrupted fold; discard an aborted
-    * (marker-less) staging. Mirrors the minhash store's recovery.
+  /** Complete a marker-committed interrupted swap; discard an aborted
+    * (marker-less) staging.
     */
-  private def recoverStagedFold(spark: SparkSession, root: String): Unit = {
+  private[graft] def recoverStagedSwap(spark: SparkSession, root: String,
+      tables: Seq[SwapTable]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(root + s)
@@ -317,7 +359,7 @@ object Compaction {
         try scala.io.Source.fromInputStream(in).getLines()
           .filter(_.nonEmpty).map(_.toLong).toSeq
         finally in.close()
-      finishStagedFold(spark, root, targets)
+      finishStagedSwap(spark, root, tables, targets)
     } else fs.delete(p("/_compact"), true)
   }
 }

@@ -1547,8 +1547,9 @@ object AnnIndex extends QueryModule {
       "graft_ivfstream_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val e = Tables.embeddings(spark, dir)
     val base = e.select("vec_id", "embedding")
-    val arrivals = withPlantedSelfCopies(spark, e).filter(col("vec_id") >= 100000L)
-    ResultCache.buildIfAbsent(spark, withPlantedSelfCopies(spark, e),
+    val corpus = withPlantedSelfCopies(spark, e) // one shared construction
+    val arrivals = corpus.filter(col("vec_id") >= 100000L)
+    ResultCache.buildIfAbsent(spark, corpus,
       "ivf:clusters=16:seed=42:lifecycle=stream-ingest:v1", root) {
       IndexBuilder.trainIvfCentroids(base, "embedding",
         numClusters = 16, seed = 42L, root)

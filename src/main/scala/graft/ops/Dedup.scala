@@ -599,21 +599,20 @@ object Dedup extends QueryModule {
     * have no replay semantics; the floor simply keeps hot leaves out of
     * the fold.
     *
-    * Crash discipline (the compactNswGraph model): the folded sigs and
-    * bands are STAGED under `<path>/_compact` (underscore-prefixed —
-    * invisible to readers' partition discovery), a `_STAGED` marker
-    * naming the target epochs commits the intent, and only then are
-    * target leaves deleted (bands first, so any interrupted state looks
-    * like the torn-epoch shape the store already heals) and the staged
-    * dirs renamed in. A re-run of compactMinhashStore self-heals any
-    * interrupted fold before starting a new one; a staging without the
-    * marker is an aborted write and is discarded. Like the graph
-    * compaction, the swap itself is a maintenance-window operation —
-    * readers between the first delete and the final rename see a partial
-    * store. Also vacuums TORN maintenance-lane sigs leaves (sigs without
-    * bands) past the age floor — the next-append overwrite heals recent
-    * tears, but an epoch that never gets re-allocated would leak its
-    * sigs dir forever.
+    * Crash discipline: the shared marker-committed staged swap
+    * (`Compaction.commitStagedSwap` — one protocol for this fold and the
+    * staged-batch fold). The bands table is declared FIRST (the store's
+    * commit-point table: deleted first, so interruptions look like the
+    * torn-epoch shape the store already heals, and renamed last — its
+    * rename is the commit), and the fold lands on the `targets.min`
+    * leaf, which is always deleted before the rename. A re-run
+    * self-heals any interrupted fold; a marker-less staging is
+    * discarded. Like the graph compaction, the swap is a
+    * maintenance-window operation — readers between the first delete
+    * and the final rename see a partial store. Also vacuums TORN
+    * maintenance-lane sigs leaves (sigs without bands) past the age
+    * floor — the next-append overwrite heals recent tears, but an epoch
+    * that never gets re-allocated would leak its sigs dir forever.
     *
     * Returns the number of epoch leaves folded (0 = nothing to do).
     */
@@ -622,7 +621,7 @@ object Dedup extends QueryModule {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(path + s)
-    recoverMinhashCompaction(spark, path)
+    graft.ingest.Compaction.recoverStagedSwap(spark, path, MinhashSwapTables)
     val bandsDir = p("/bands")
     if (!fs.exists(bandsDir)) return 0
     val now = System.currentTimeMillis()
@@ -649,55 +648,16 @@ object Dedup extends QueryModule {
       .select("doc_id", "band_id", "band_hash")
       .repartition(8, col("band_hash")).sortWithinPartitions("band_hash")
       .write.mode("overwrite").parquet(path + "/_compact/bands")
-    val marker = fs.create(p("/_compact/_STAGED"), true)
-    try marker.write(targets.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally marker.close()
-    finishMinhashCompaction(spark, path, targets)
+    graft.ingest.Compaction.commitStagedSwap(spark, path, MinhashSwapTables, targets)
     targets.size
   }
 
-  /** The committed half of the fold: delete target leaves (bands first),
-    * rename the staged base in (bands last — the commit point), drop the
-    * staging dir. Idempotent — recovery replays it from the marker.
+  /** Bands first: the commit-point table of the staged swap (see the
+    * compactMinhashStore doc for the ordering semantics).
     */
-  private def finishMinhashCompaction(spark: SparkSession, path: String,
-      targets: Seq[Long]): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(path + s)
-    // per-table: a missing staging dir means its rename already happened
-    // (recovery replay) — epoch=0 then IS the folded result, keep it
-    val sigsStaged = fs.exists(p("/_compact/sigs"))
-    val bandsStaged = fs.exists(p("/_compact/bands"))
-    targets.foreach(e =>
-      if (bandsStaged || e != 0L) fs.delete(p(s"/bands/epoch=$e"), true))
-    targets.foreach(e =>
-      if (sigsStaged || e != 0L) fs.delete(p(s"/sigs/epoch=$e"), true))
-    if (sigsStaged) fs.rename(p("/_compact/sigs"), p("/sigs/epoch=0"))
-    if (bandsStaged) fs.rename(p("/_compact/bands"), p("/bands/epoch=0"))
-    fs.delete(p("/_compact"), true)
-  }
-
-  /** Self-heal an interrupted fold: a staging WITH the marker finishes
-    * (the fold's content is durable — completing it is the only way to
-    * keep the already-deleted target leaves' data); a staging without
-    * the marker never committed and is discarded.
-    */
-  private def recoverMinhashCompaction(spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(path + s)
-    if (!fs.exists(p("/_compact"))) return
-    if (fs.exists(p("/_compact/_STAGED"))) {
-      val in = fs.open(p("/_compact/_STAGED"))
-      val targets =
-        try scala.io.Source.fromInputStream(in).getLines()
-          .filter(_.nonEmpty).map(_.toLong).toSeq
-        finally in.close()
-      finishMinhashCompaction(spark, path, targets)
-    } else fs.delete(p("/_compact"), true)
-  }
+  private val MinhashSwapTables = Seq(
+    graft.ingest.Compaction.SwapTable("/_compact/bands", e => s"/bands/epoch=$e"),
+    graft.ingest.Compaction.SwapTable("/_compact/sigs", e => s"/sigs/epoch=$e"))
 
   /** Dedup an arriving batch against the standing store AND within
     * itself, in one pass — the production shape of continuous corpus

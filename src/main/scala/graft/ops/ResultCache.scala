@@ -54,6 +54,17 @@ object ResultCache extends QueryModule {
           }.mkString(",")
         case other => other.toString
       }
+      // LocalRelations carry their rows OUTSIDE the canonicalized plan
+      // string (simpleString prints only the schema), so inline data —
+      // e.g. the planted-copy rows — must be digested explicitly or a
+      // change to the copies would silently serve a stale fixture.
+      // Bounded by construction: LocalRelations here are copy-row-scale.
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(loc.data.map(_.toString).mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        s"local#${loc.data.length}#$h"
     }.mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest((plan.canonicalized.toString + "\u0000" + sig)

@@ -1184,7 +1184,11 @@ object GraphAnn {
             BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       }
       .toDF("qid", idCol, "score")
-      .coalesce(1).sortWithinPartitions(col("qid"), col(idCol))
+      // repartition(1), NOT coalesce(1): coalesce folds the parent
+      // partitions into one task, which would serialize the per-query
+      // walks — the shuffle barrier keeps walk tasks parallel and the
+      // single downstream task sorts the bounded |q|·k result
+      .repartition(1).sortWithinPartitions(col("qid"), col(idCol))
   }
 
   /** Resident-view serving through the HNSW LADDER — nswServedSearch's
@@ -1249,7 +1253,11 @@ object GraphAnn {
             BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       }
       .toDF("qid", idCol, "score")
-      .coalesce(1).sortWithinPartitions(col("qid"), col(idCol))
+      // repartition(1), NOT coalesce(1): coalesce folds the parent
+      // partitions into one task, which would serialize the per-query
+      // walks — the shuffle barrier keeps walk tasks parallel and the
+      // single downstream task sorts the bounded |q|·k result
+      .repartition(1).sortWithinPartitions(col("qid"), col(idCol))
   }
 
   /** Batch retrieval through the HNSW ladder: the descent ALSO batches —

@@ -107,6 +107,45 @@ class CompactionSpec extends SparkSpec {
     assert(leaves === 1 && rows() === withHot, "recovery broke the root")
   }
 
+  test("foldStagedBatches: a fold whose target set excludes an existing younger leaf never collides with it") {
+    // the review-found hazard: leaf 0 exists but is OUTSIDE the aged
+    // target set (age floor), and a fixed-destination fold would rename
+    // the staging onto the live batch=0 — nesting into it and losing the
+    // deleted targets' rows. The shared swap folds onto targets.min
+    // instead, which is always deleted first.
+    import graft.vector.IndexBuilder
+    import graft.ops.AnnIndex
+    val root = java.nio.file.Files.createTempDirectory("stagedfold_hot0").toString + "/idx"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    IndexBuilder.stageLshBatch(e.filter(col("vec_id") < 100L),
+      "embedding", AnnIndex.defaultLsh, root, batchId = 0L)
+    IndexBuilder.stageLshBatch(e.filter(col("vec_id") >= 100L && col("vec_id") < 200L),
+      "embedding", AnnIndex.defaultLsh, root, batchId = 1L)
+    IndexBuilder.stageLshBatch(e.filter(col("vec_id") >= 200L && col("vec_id") < 300L),
+      "embedding", AnnIndex.defaultLsh, root, batchId = 2L)
+    // backdate batches 1 and 2 past the floor; batch 0 stays hot
+    val old = System.currentTimeMillis() - 3600L * 1000
+    Seq(1, 2).foreach(b => new java.io.File(root, s"batch=$b").setLastModified(old))
+    def rows() = spark.read.parquet(root).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val before = rows()
+    assert(Compaction.foldStagedBatches(spark, root, "bucket",
+      minAgeMs = 600L * 1000) === 2)
+    val leaves = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).sorted
+    assert(leaves.toSeq === Seq("batch=0", "batch=1"),
+      s"fold must land on targets.min, leaves: ${leaves.toSeq}")
+    assert(rows() === before, "the hot leaf or the folded rows were lost")
+    // no nested mixed-depth layout inside any leaf
+    leaves.foreach { l =>
+      val nested = new java.io.File(new java.io.File(root, l).getPath)
+        .listFiles().filter(_.isDirectory).map(_.getName)
+      assert(nested.forall(_.startsWith("bucket=")),
+        s"$l contains non-partition dirs: ${nested.toSeq}")
+    }
+  }
+
   test("foldTombstones rewrites only affected partitions; untouched buckets byte-identical; sidecar truncated") {
     import graft.vector.IndexBuilder
     import spark.implicits._
