@@ -421,6 +421,29 @@ class PlanAuditSpec extends SparkSpec {
       s"salt must be part of the join key: $joinKeys")
   }
 
+  test("streaming-staged roots: probe scans partition-prune across batch directories") {
+    // the batch=<id>/bucket=<b> layout must keep the probe-pruning
+    // guarantee of the flat index: a bucket filter prunes matching
+    // bucket dirs under EVERY batch leaf, and neither partition column
+    // is read as data
+    val root = java.nio.file.Files.createTempDirectory("streamroot_audit").toString + "/idx"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    graft.vector.IndexBuilder.stageLshBatch(
+      e.filter(col("vec_id") < 200L), "embedding", graft.ops.AnnIndex.defaultLsh, root, 0L)
+    graft.vector.IndexBuilder.stageLshBatch(
+      e.filter(col("vec_id") >= 200L && col("vec_id") < 300L),
+      "embedding", graft.ops.AnnIndex.defaultLsh, root, 1L)
+    val probed = spark.read.parquet(root).filter(col("bucket").isin(1, 2, 3))
+    val s = scans(probed)
+    assert(s.nonEmpty)
+    val partFilters = s.head.partitionFilters.mkString(" ")
+    assert(partFilters.contains("bucket"),
+      s"bucket filter must prune partitions across batches, got: $partFilters")
+    assert(!s.head.requiredSchema.fieldNames.contains("bucket") &&
+      !s.head.requiredSchema.fieldNames.contains("batch"),
+      "bucket/batch must stay partition columns, not data")
+  }
+
   test("batched IVF-PQ serving: the coarse window input excludes the float column") {
     // the batch path must keep the per-query persisted path's codes-only
     // guarantee: the scan feeding the ADC explode + rank window reads
