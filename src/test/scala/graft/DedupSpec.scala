@@ -362,6 +362,40 @@ class DedupSpec extends SparkSpec {
     assert(after === before, s"recovery broke the store: $after")
   }
 
+  test("minhash store fold: an age-floored fold excluding a younger epoch never collides with it") {
+    val path = java.nio.file.Files.createTempDirectory("mhfold_hot").toString + "/store"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "pack my box with five dozen liquor jugs before the long journey"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashStore(corpus, path)
+    Dedup.appendToMinhashStore(spark,
+      Seq((3L, "a first appended doc about columnar storage")).toDF("doc_id", "text"), path)
+    Dedup.appendToMinhashStore(spark,
+      Seq((4L, "a second appended doc about vectorized execution")).toDF("doc_id", "text"), path)
+    // epoch 0 stays hot; epochs 1 and 2 age past the floor
+    val old = System.currentTimeMillis() - 3600L * 1000
+    Seq("/sigs", "/bands").foreach { sub =>
+      Seq(1, 2).foreach(e =>
+        new java.io.File(path + sub, s"epoch=$e").setLastModified(old))
+    }
+    def probe() = Dedup.incrementalMinhashDupes(spark,
+        Seq((10L, "a first appended doc about columnar storage")).toDF("doc_id", "text"),
+        path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    assert(before === Set((3L, 10L)))
+    assert(Dedup.compactMinhashStore(spark, path, minAgeMs = 600L * 1000) === 2)
+    Seq("/sigs", "/bands").foreach { sub =>
+      val leaves = new java.io.File(path + sub).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+        .map(_.getName).sorted
+      assert(leaves.toSeq === Seq("epoch=0", "epoch=1"),
+        s"$sub: fold must land on targets.min beside the hot base, got ${leaves.toSeq}")
+    }
+    assert(probe() === before, "the hot epoch or folded epochs' rows were lost")
+  }
+
   test("simhash: identical → distance 0, near → small, far → large") {
     val t1 = "spark shuffle hash join broadcast exchange partition codegen stage task".split(" ").toSeq
     val t2 = t1.updated(3, "sort")
