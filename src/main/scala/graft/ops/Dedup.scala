@@ -621,7 +621,17 @@ object Dedup extends QueryModule {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(path + s)
-    graft.ingest.Compaction.recoverStagedSwap(spark, path, MinhashSwapTables)
+    // recovery must see the admitted table IFF its staging exists: with
+    // the staging present, finish deletes its targets and renames it in;
+    // with it absent the table either never joined the fold (deleting
+    // its leaves would lose the text log) or already renamed (its
+    // deletes ran before any rename) — both exclude it correctly
+    val recoverTables =
+      if (fs.exists(p("/_compact/admitted")))
+        MinhashSwapTables :+ graft.ingest.Compaction.SwapTable(
+          "/_compact/admitted", e => s"/admitted/epoch=$e")
+      else MinhashSwapTables
+    graft.ingest.Compaction.recoverStagedSwap(spark, path, recoverTables)
     val bandsDir = p("/bands")
     if (!fs.exists(bandsDir)) return 0
     val now = System.currentTimeMillis()
@@ -648,12 +658,27 @@ object Dedup extends QueryModule {
       .select("doc_id", "band_id", "band_hash")
       .repartition(8, col("band_hash")).sortWithinPartitions("band_hash")
       .write.mode("overwrite").parquet(path + "/_compact/bands")
-    graft.ingest.Compaction.commitStagedSwap(spark, path, MinhashSwapTables, targets)
+    // the admitted TEXT log (admission flows only) folds with the same
+    // target list: admission epochs stage sigs+bands+admitted together,
+    // so its aged epochs are a subset of the bands-committed targets;
+    // maintenance epochs simply contribute no admitted rows
+    val tables =
+      if (fs.exists(p("/admitted"))) {
+        spark.read.parquet(path + "/admitted")
+          .filter(col("epoch").isin(targets: _*))
+          .select("doc_id", "text")
+          .repartition(1)
+          .write.mode("overwrite").parquet(path + "/_compact/admitted")
+        MinhashSwapTables :+ graft.ingest.Compaction.SwapTable(
+          "/_compact/admitted", e => s"/admitted/epoch=$e")
+      } else MinhashSwapTables
+    graft.ingest.Compaction.commitStagedSwap(spark, path, tables, targets)
     targets.size
   }
 
   /** Bands first: the commit-point table of the staged swap (see the
-    * compactMinhashStore doc for the ordering semantics).
+    * compactMinhashStore doc for the ordering semantics). The admitted
+    * text log joins the swap dynamically when the store has one.
     */
   private val MinhashSwapTables = Seq(
     graft.ingest.Compaction.SwapTable("/_compact/bands", e => s"/bands/epoch=$e"),

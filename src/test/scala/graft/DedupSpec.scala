@@ -362,6 +362,35 @@ class DedupSpec extends SparkSpec {
     assert(after === before, s"recovery broke the store: $after")
   }
 
+  test("minhash store fold: the admitted text log folds with the store and admission still dedups") {
+    val path = java.nio.file.Files.createTempDirectory("mhfold_adm").toString + "/store"
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "pack my box with five dozen liquor jugs before the long journey"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashStore(base, path)
+    // two admitted micro-batches: each stages sigs+bands+admitted epochs
+    Dedup.admitMicroBatch(spark,
+      Seq((10L, "a streaming doc about adaptive execution")).toDF("doc_id", "text"),
+      base, path, batchId = 0L)
+    Dedup.admitMicroBatch(spark,
+      Seq((11L, "a streaming doc about columnar layouts")).toDF("doc_id", "text"),
+      base, path, batchId = 1L)
+    def leaves(sub: String) = new java.io.File(path + sub).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(leaves("/admitted") === 2)
+    assert(Dedup.compactMinhashStore(spark, path) === 3)
+    assert(leaves("/bands") === 1 && leaves("/sigs") === 1 && leaves("/admitted") === 1,
+      "all three tables must fold to one leaf")
+    // a replayed doc 10 (fresh delivery id) must still dedup against the
+    // FOLDED store — both its signature and its admitted text survived
+    val pairs = Dedup.admitMicroBatch(spark,
+      Seq((20L, "a streaming doc about adaptive execution")).toDF("doc_id", "text"),
+      base, path, batchId = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 20L)), s"folded store missed the dupe: $pairs")
+  }
+
   test("minhash store fold: an age-floored fold excluding a younger epoch never collides with it") {
     val path = java.nio.file.Files.createTempDirectory("mhfold_hot").toString + "/store"
     val corpus = Seq(
