@@ -705,13 +705,17 @@ object Dedup extends QueryModule {
   def incrementalMinhashDupes(spark: SparkSession, batch: DataFrame,
       path: String, estThreshold: Double = 0.5,
       excludeEpoch: Long = -1L): DataFrame = {
-    // localCheckpoint, not cache(): the signature frame is referenced four
-    // times below; checkpoint blocks are released by the ContextCleaner
-    // once the plan is dereferenced, whereas CacheManager entries leak per
-    // call in a long-running session.
+    // The batch is a MICRO-batch by contract (the broadcast hints below
+    // already assume it): its signatures collect driver-side in ONE job
+    // and rebuild as a LocalRelation, so the four references below —
+    // including each broadcast's re-execution — replay free inline rows
+    // instead of block-manager round trips (a localCheckpoint here cost
+    // a materialization job AND left every broadcast re-reading blocks).
+    import spark.implicits._
     val newSigs = batch.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), minhashSignatureFromText(col("text"), 3).as("sig"))
-      .localCheckpoint(true)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      .toDF("doc_id", "sig")
     val newBands = bandsOfSigs(newSigs, "doc_id")
     // excludeEpoch: a replayed admission must not see its own (possibly
     // torn) prior writes — the filter is partition pruning on the epoch
@@ -767,14 +771,23 @@ object Dedup extends QueryModule {
   def incrementalDupesVerified(spark: SparkSession, batch: DataFrame,
       storeDocs: DataFrame, path: String, threshold: Double = 0.5,
       excludeEpoch: Long = -1L): DataFrame = {
-    val cands = incrementalMinhashDupes(spark, batch, path,
+    import spark.implicits._
+    // candidate pairs are micro-batch-bounded: collect once and rebuild
+    // as a LocalRelation — the references below (two verify joins + the
+    // touched-id set) then replay inline rows instead of re-running the
+    // band equi-join per reference, and the touched-id probe becomes a
+    // pushed `doc_id IN` point lookup instead of a broadcast join
+    val candRows = incrementalMinhashDupes(spark, batch, path,
         estThreshold = 0.0, excludeEpoch = excludeEpoch)
       .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    if (candRows.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+    val cands = candRows.toDF("doc_a", "doc_b")
+    val touchedIds = candRows.flatMap(t => Seq(t._1, t._2)).distinct
     val allDocs = storeDocs.unionByName(batch)
       .filter(length(trim(col("text"))) > 0)
-    val touched = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = allDocs.join(broadcast(touched), Seq("doc_id"))
+    val sets = allDocs.filter(col("doc_id").isin(touchedIds: _*))
       .select(col("doc_id"),
         array_distinct(shinglesCol(tokensCol(col("text")), 3)).as("sh"))
     cands
@@ -909,7 +922,7 @@ object Dedup extends QueryModule {
     * three writes therefore recomputes the identical survivors and
     * pairs and rewrites the same directories — no torn state survives,
     * and no anti-join has to paper over a half-landed admission. The
-    * pairs still MATERIALIZE (localCheckpoint) before the store mutates,
+    * pairs still MATERIALIZE (driver-side collect) before the store mutates,
     * so a batch never pairs against its own admission.
     */
   def admitMicroBatch(spark: SparkSession, batch: DataFrame,
@@ -943,18 +956,31 @@ object Dedup extends QueryModule {
       .unionByName(admittedSoFar.select("doc_id"))
       .unionByName(spark.read.parquet(path + "/sigs")
         .filter(col("epoch") =!= epoch).select("doc_id"))
+    import spark.implicits._
     // no broadcast hint: the known-id side is corpus-scale — Catalyst
-    // broadcasts it when small, AQE picks shuffle strategy when not
-    val fresh = batch.join(knownIds.distinct(), Seq("doc_id"), "left_anti")
+    // broadcasts it when small, AQE picks shuffle strategy when not.
+    // The surviving frame is micro-batch-bounded: collect it ONCE and
+    // rebuild as a LocalRelation — it is referenced three times below
+    // (candidate generation, verify, survivor filter), and each would
+    // otherwise re-run the anti-join against the corpus-scale known-id
+    // union
+    val freshRows = batch.join(knownIds.distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val fresh = freshRows.toDF("doc_id", "text")
     val storeDocs = baseDocs.select("doc_id", "text")
       .unionByName(admittedSoFar)
-    val dupes = incrementalDupesVerified(spark, fresh, storeDocs, path,
+    // pairs collect driver-side too — which also MATERIALIZES them
+    // before the store mutates (a batch never pairs against its own
+    // admission) — and the survivor filter runs on the held rows
+    val dupeRows = incrementalDupesVerified(spark, fresh, storeDocs, path,
         excludeEpoch = epoch)
-      .localCheckpoint(true)
-    val rejected = dupes.select(col("doc_b").as("doc_id")).distinct()
-    val survivors = fresh.join(rejected, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    survivors.select("doc_id", "text").repartition(1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dupes = dupeRows.toDF("doc_a", "doc_b", "jaccard")
+    val rejectedIds = dupeRows.map(_._2).toSet
+    val survivors = freshRows.filterNot { case (id, _) => rejectedIds.contains(id) }
+      .toDF("doc_id", "text")
+    survivors.repartition(1)
       .write.mode("overwrite").parquet(admittedPath + s"/epoch=$epoch")
     stageMinhashEpoch(spark, survivors, path, epoch)
     dupes

@@ -22,6 +22,13 @@ object ProfileQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
     val fn = graft.SparkEntry.queries(name)
     if (sys.env.contains("PROFILE_EXPLAIN")) {
       val qe = fn(spark, sfDir).queryExecution
@@ -32,9 +39,10 @@ object ProfileQuery {
       println(plan)
     }
     (1 to n).foreach { i =>
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s  ${jobs.get() - j0}%4d jobs")
     }
     spark.stop()
   }
