@@ -1546,8 +1546,7 @@ object AnnIndex extends QueryModule {
     * partition-prunes on cluster_id across all batch directories. The
     * train+stage+replay sequence is a pure function of the corpus — one
     * cached unit, so re-runs measure serving (the LSH streaming row
-    * restages cheaply per run; the IVF fit is the expensive part and
-    * belongs in the fixture).
+    * follows the same rule).
     */
   def annIvfStreamingIngestTopk(spark: SparkSession, dir: String): DataFrame = {
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -628,8 +628,7 @@ object Dedup extends QueryModule {
     // deletes ran before any rename) — both exclude it correctly
     val recoverTables =
       if (fs.exists(p("/_compact/admitted")))
-        MinhashSwapTables :+ graft.ingest.Compaction.SwapTable(
-          "/_compact/admitted", e => s"/admitted/epoch=$e")
+        MinhashSwapTables :+ AdmittedSwapTable
       else MinhashSwapTables
     graft.ingest.Compaction.recoverStagedSwap(spark, path, recoverTables)
     val bandsDir = p("/bands")
@@ -661,16 +660,31 @@ object Dedup extends QueryModule {
     // the admitted TEXT log (admission flows only) folds with the same
     // target list: admission epochs stage sigs+bands+admitted together,
     // so its aged epochs are a subset of the bands-committed targets;
-    // maintenance epochs simply contribute no admitted rows
+    // maintenance epochs simply contribute no admitted rows. Readable
+    // means at least one visible parquet footer (admitMicroBatch's
+    // first-admission-crash guard: a dir holding only a torn leaf's
+    // `_temporary` would fail schema inference, not fold). The fold is
+    // corpus-scale over a long deployment — it re-folds the previous
+    // fold's output — so it re-clusters on doc_id like the sigs table,
+    // never through a single task.
+    val admittedReadable = fs.exists(p("/admitted")) && {
+      val it = fs.listFiles(p("/admitted"), true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next().getPath
+        found = f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+          !f.toString.contains("_temporary")
+      }
+      found
+    }
     val tables =
-      if (fs.exists(p("/admitted"))) {
+      if (admittedReadable) {
         spark.read.parquet(path + "/admitted")
           .filter(col("epoch").isin(targets: _*))
           .select("doc_id", "text")
-          .repartition(1)
+          .repartition(8, col("doc_id"))
           .write.mode("overwrite").parquet(path + "/_compact/admitted")
-        MinhashSwapTables :+ graft.ingest.Compaction.SwapTable(
-          "/_compact/admitted", e => s"/admitted/epoch=$e")
+        MinhashSwapTables :+ AdmittedSwapTable
       } else MinhashSwapTables
     graft.ingest.Compaction.commitStagedSwap(spark, path, tables, targets)
     targets.size
@@ -683,6 +697,13 @@ object Dedup extends QueryModule {
   private val MinhashSwapTables = Seq(
     graft.ingest.Compaction.SwapTable("/_compact/bands", e => s"/bands/epoch=$e"),
     graft.ingest.Compaction.SwapTable("/_compact/sigs", e => s"/sigs/epoch=$e"))
+
+  /** One definition for both the commit and recovery paths — the
+    * staging-path/leaf mapping must stay identical between them or
+    * recovery would rename a fold onto a different leaf than intended.
+    */
+  private val AdmittedSwapTable = graft.ingest.Compaction.SwapTable(
+    "/_compact/admitted", e => s"/admitted/epoch=$e")
 
   /** Dedup an arriving batch against the standing store AND within
     * itself, in one pass — the production shape of continuous corpus
@@ -771,23 +792,21 @@ object Dedup extends QueryModule {
   def incrementalDupesVerified(spark: SparkSession, batch: DataFrame,
       storeDocs: DataFrame, path: String, threshold: Double = 0.5,
       excludeEpoch: Long = -1L): DataFrame = {
-    import spark.implicits._
-    // candidate pairs are micro-batch-bounded: collect once and rebuild
-    // as a LocalRelation — the references below (two verify joins + the
-    // touched-id set) then replay inline rows instead of re-running the
-    // band equi-join per reference, and the touched-id probe becomes a
-    // pushed `doc_id IN` point lookup instead of a broadcast join
-    val candRows = incrementalMinhashDupes(spark, batch, path,
+    // the candidate set stays DISTRIBUTED — unlike the batch-side frames
+    // it is bounded by batch × store-side band collisions, which a
+    // boilerplate-heavy batch doc can blow up to O(|store|) rows — but
+    // it is checkpointed ONCE so the three references below (two verify
+    // joins + the touched-id set) replay materialized blocks instead of
+    // re-running the band equi-join per reference
+    val cands = incrementalMinhashDupes(spark, batch, path,
         estThreshold = 0.0, excludeEpoch = excludeEpoch)
       .select("doc_a", "doc_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    if (candRows.isEmpty)
-      return Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
-    val cands = candRows.toDF("doc_a", "doc_b")
-    val touchedIds = candRows.flatMap(t => Seq(t._1, t._2)).distinct
+      .localCheckpoint(true)
     val allDocs = storeDocs.unionByName(batch)
       .filter(length(trim(col("text"))) > 0)
-    val sets = allDocs.filter(col("doc_id").isin(touchedIds: _*))
+    val touched = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = allDocs.join(broadcast(touched), Seq("doc_id"))
       .select(col("doc_id"),
         array_distinct(shinglesCol(tokensCol(col("text")), 3)).as("sh"))
     cands

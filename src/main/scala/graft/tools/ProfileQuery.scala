@@ -38,11 +38,23 @@ object ProfileQuery {
       println(s"[profile] UDF count in plan: ${"UDF".r.findAllIn(plan).length}")
       println(plan)
     }
+    // the listener bus is async: quiesce until the count is stable so
+    // late JobStart events don't leak into the next iteration's tally
+    def settledJobs(): Int = {
+      var prev = -1
+      var cur = jobs.get()
+      while (cur != prev) {
+        Thread.sleep(100)
+        prev = cur
+        cur = jobs.get()
+      }
+      cur
+    }
     (1 to n).foreach { i =>
-      val j0 = jobs.get()
+      val j0 = settledJobs()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s  ${jobs.get() - j0}%4d jobs")
+      println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s  ${settledJobs() - j0}%4d jobs")
     }
     spark.stop()
   }
