@@ -316,7 +316,9 @@ object Compaction {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = fs.create(
       new org.apache.hadoop.fs.Path(root + "/_compact/_STAGED"), true)
-    try marker.write(targets.mkString("\n")
+    // trailing sentinel makes truncation detectable: a torn write could
+    // otherwise clip the LAST epoch id to a shorter-but-valid number
+    try marker.write((targets.mkString("\n") + "\nend")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally marker.close()
     finishStagedSwap(spark, root, tables, targets)
@@ -355,11 +357,24 @@ object Compaction {
     if (!fs.exists(p("/_compact"))) return
     if (fs.exists(p("/_compact/_STAGED"))) {
       val in = fs.open(p("/_compact/_STAGED"))
+      // a TORN marker (crash mid-write) parses to None: target deletes
+      // only ever run after the marker is fully written and closed, so
+      // an unparseable marker proves the swap never started — discard
+      // the staging like any other aborted write (a throwing parse here
+      // would instead wedge every future fold on the same store)
       val targets =
-        try scala.io.Source.fromInputStream(in).getLines()
-          .filter(_.nonEmpty).map(_.toLong).toSeq
-        finally in.close()
-      finishStagedSwap(spark, root, tables, targets)
+        try {
+          val lines = scala.io.Source.fromInputStream(in).getLines()
+            .filter(_.nonEmpty).toSeq
+          if (lines.length >= 2 && lines.last == "end" &&
+              lines.init.forall(l => l.nonEmpty && l.forall(_.isDigit)))
+            Some(lines.init.map(_.toLong))
+          else None
+        } finally in.close()
+      targets match {
+        case Some(ts) => finishStagedSwap(spark, root, tables, ts)
+        case None => fs.delete(p("/_compact"), true)
+      }
     } else fs.delete(p("/_compact"), true)
   }
 }

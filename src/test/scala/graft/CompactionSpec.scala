@@ -107,6 +107,36 @@ class CompactionSpec extends SparkSpec {
     assert(leaves === 1 && rows() === withHot, "recovery broke the root")
   }
 
+  test("staged swap: a torn marker (missing sentinel) is an aborted staging, never a wedge or a wrong fold") {
+    // target deletes only run after the fully-written marker closes, so
+    // an unparseable/truncated marker proves the swap never started —
+    // recovery must discard the staging and let the fold proceed, not
+    // throw (wedging every future fold) or trust a clipped epoch list
+    import graft.vector.IndexBuilder
+    import graft.ops.AnnIndex
+    val root = java.nio.file.Files.createTempDirectory("stagedfold_torn").toString + "/idx"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    IndexBuilder.stageLshBatch(e.filter(col("vec_id") < 100L),
+      "embedding", AnnIndex.defaultLsh, root, batchId = 0L)
+    IndexBuilder.stageLshBatch(e.filter(col("vec_id") >= 100L && col("vec_id") < 200L),
+      "embedding", AnnIndex.defaultLsh, root, batchId = 1L)
+    def rows() = spark.read.parquet(root).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val before = rows()
+    // a staged dir plus a marker whose trailing sentinel was torn off
+    val staging = new java.io.File(root + "/_compact/data")
+    staging.mkdirs()
+    java.nio.file.Files.write(staging.toPath.resolve("junk.parquet"), Array[Byte](1))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root + "/_compact/_STAGED"),
+      "0\n1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Compaction.foldStagedBatches(spark, root, "bucket") === 2)
+    assert(!new java.io.File(root + "/_compact").exists(), "staging must be cleaned")
+    assert(rows() === before, "torn-marker recovery lost rows")
+    assert(new java.io.File(root).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch=")) === 1)
+  }
+
   test("foldStagedBatches: a fold whose target set excludes an existing younger leaf never collides with it") {
     // the review-found hazard: leaf 0 exists but is OUTSIDE the aged
     // target set (age floor), and a fixed-destination fold would rename
