@@ -164,17 +164,30 @@ object Compaction {
     * the index against the broadcast sidecar (column-pruned to the id/seq
     * columns, so the scan never materializes embeddings) yields the
     * partition values to touch; every other partition directory is never
-    * read for rewrite and stays byte-identical. Each rewrite is a leaf
-    * anti-join + the same dot-prefixed tmp/bak swap `compact` uses, and
-    * the sidecar is truncated (overwritten empty, schema kept) only after
-    * every affected partition is installed — a crash mid-fold leaves
-    * tombstones in place and the next fold redoes the (idempotent) work;
-    * rows are anti-joined away, never double-deleted.
+    * read for rewrite and stays byte-identical. The rewrite itself is ONE
+    * Spark job over the union of affected partitions (a partition-pruned
+    * scan + anti-join written `partitionBy` under the reader-invisible
+    * `<index>/.fold.tmp` staging), NOT a driver-side per-leaf loop — job
+    * count is independent of how many partitions the sidecar touches, so
+    * steady deletes across hundreds of IVF clusters fold in constant jobs
+    * instead of serializing one rewrite job per leaf.
+    *
+    * Crash discipline: a `_FOLD_STAGED` marker inside the staging dir
+    * commits the per-leaf outcome list (keep → staged leaf renames over
+    * the live one; drop → the fully-deleted leaf is removed); the next
+    * fold first completes a marker-committed interrupted swap or discards
+    * a marker-less (aborted) staging. The sidecar is truncated
+    * (overwritten empty, schema kept) only after every affected leaf is
+    * installed — a crash mid-fold leaves tombstones in place and the next
+    * fold redoes the (idempotent) work; rows are anti-joined away, never
+    * double-deleted.
     */
   def foldTombstones(spark: SparkSession, indexPath: String,
       tombstonePath: String, idCol: String = "vec_id"): FoldStats = {
     val hadoopPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(hadoopPath, FoldStaging)
+    recoverTombstoneFold(fs, hadoopPath) // finish or discard a prior swap
     val tombPath = new org.apache.hadoop.fs.Path(tombstonePath)
     if (!fs.exists(tombPath)) return FoldStats(0, 0L, 0L)
     val tomb = spark.read.parquet(tombstonePath)
@@ -201,33 +214,47 @@ object Compaction {
     // which partitions hold doomed rows — id/seq columns only (pruned scan)
     val probeCols = Seq(idCol, partitionCol) ++ (if (watermark) Seq("seq") else Nil)
     val idx = spark.read.parquet(indexPath).select(probeCols.map(col): _*)
+    // TYPED partition values (not .toString) so the pruning filter below
+    // compares like-with-like and prunes at the source listing
     val affected = killed(idx, "left_semi")
       .select(col(partitionCol)).distinct()
-      .collect().map(_.get(0).toString) // bounded by the partition count (≤ 2^nBits buckets)
+      .collect().map(_.get(0)) // bounded by the partition count (≤ 2^nBits buckets)
 
-    var rewritten = 0
     var deleted = 0L
-    affected.foreach { v =>
-      val leaf = new org.apache.hadoop.fs.Path(hadoopPath, s"$partitionCol=$v")
-      val part = spark.read.parquet(leaf.toString)
-      val beforeRows = part.count() // parquet footer metadata, no data scan
-      val tmp = new org.apache.hadoop.fs.Path(
-        hadoopPath, s".$partitionCol=$v.fold.tmp")
-      val bak = new org.apache.hadoop.fs.Path(
-        hadoopPath, s".$partitionCol=$v.fold.bak")
-      fs.delete(tmp, true); fs.delete(bak, true)
-      killed(part, "left_anti").write.mode("overwrite").parquet(tmp.toString)
-      val afterRows = spark.read.parquet(tmp.toString).count()
-      if (!fs.rename(leaf, bak))
-        throw new java.io.IOException(s"foldTombstones: cannot move $leaf aside")
-      if (afterRows == 0L) fs.delete(tmp, true) // partition fully deleted
-      else if (!fs.rename(tmp, leaf)) {
-        fs.rename(bak, leaf) // roll back
-        throw new java.io.IOException(s"foldTombstones: cannot install $leaf")
+    if (affected.nonEmpty) {
+      // ONE partition-pruned scan of the affected leaves; untouched leaves
+      // are never read and stay byte-identical
+      val affectedDf = spark.read.parquet(indexPath)
+        .filter(col(partitionCol).isin(affected.toSeq: _*))
+      val beforeRows = affectedDf.count() // parquet footer metadata
+      fs.delete(staging, true)
+      // ONE rewrite job for every affected leaf: anti-join + partitionBy
+      // write under the dot-prefixed staging (invisible to readers and to
+      // partition discovery until the per-leaf renames below)
+      killed(affectedDf, "left_anti")
+        .write.mode("overwrite").partitionBy(partitionCol)
+        .parquet(staging.toString)
+      val stagedLeaves = fs.listStatus(staging).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map(_.getPath.getName).toSet
+      val afterRows =
+        if (stagedLeaves.isEmpty) 0L
+        else spark.read.parquet(staging.toString).count()
+      deleted = beforeRows - afterRows
+      // commit: the marker pins each affected leaf's outcome, then the
+      // (idempotent, resumable) swap installs them
+      val outcomes = affected.toSeq.map { v =>
+        val leaf = s"$partitionCol=$v"
+        leaf -> stagedLeaves.contains(leaf)
       }
-      fs.delete(bak, true)
-      rewritten += 1
-      deleted += beforeRows - afterRows
+      val marker = fs.create(
+        new org.apache.hadoop.fs.Path(staging, FoldMarker), true)
+      try marker.write((outcomes.map { case (l, keep) =>
+          s"$l\t${if (keep) "keep" else "drop"}"
+        }.mkString("\n") + "\nend")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally marker.close()
+      finishTombstoneFold(fs, hadoopPath, outcomes)
     }
     // truncate the sidecar LAST (crash-safe ordering), keeping its schema
     // so the query path's anti-join keeps planning against an empty set
@@ -236,7 +263,64 @@ object Compaction {
       .write.mode("overwrite").parquet(tombstonePath)
     spark.catalog.refreshByPath(indexPath)
     spark.catalog.refreshByPath(tombstonePath)
-    FoldStats(rewritten, deleted, nTomb)
+    FoldStats(affected.length, deleted, nTomb)
+  }
+
+  private val FoldStaging = ".fold.tmp"
+  private val FoldMarker = "_FOLD_STAGED"
+
+  /** The swap half of `foldTombstones`: per affected leaf, `keep` deletes
+    * the live leaf and renames the staged one in; `drop` (no survivors)
+    * deletes the live leaf. Resumable at any point: a staged leaf missing
+    * under `keep` means its rename already happened; deletes are
+    * idempotent. The staging dir (and with it the marker) is removed last.
+    */
+  private def finishTombstoneFold(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      outcomes: Seq[(String, Boolean)]): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(root, FoldStaging)
+    outcomes.foreach { case (leafName, keep) =>
+      val live = new org.apache.hadoop.fs.Path(root, leafName)
+      val staged = new org.apache.hadoop.fs.Path(staging, leafName)
+      if (keep) {
+        if (fs.exists(staged)) {
+          fs.delete(live, true)
+          if (!fs.rename(staged, live))
+            throw new java.io.IOException(
+              s"foldTombstones: cannot install $live")
+        } // else: already renamed by an interrupted pass
+      } else fs.delete(live, true)
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Complete a marker-committed interrupted fold swap; discard an
+    * aborted (marker-less or torn-marker) staging. Same torn-write rule
+    * as the staged-swap protocol below: leaf mutations only ever start
+    * after the marker is fully written, so an unparseable marker proves
+    * the swap never began.
+    */
+  private def recoverTombstoneFold(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(root, FoldStaging)
+    if (!fs.exists(staging)) return
+    val marker = new org.apache.hadoop.fs.Path(staging, FoldMarker)
+    if (!fs.exists(marker)) { fs.delete(staging, true); return }
+    val in = fs.open(marker)
+    val outcomes =
+      try {
+        val lines = scala.io.Source.fromInputStream(in).getLines()
+          .filter(_.nonEmpty).toSeq
+        val entry = "([^\t]+=[^\t]*)\t(keep|drop)".r
+        if (lines.length >= 2 && lines.last == "end" &&
+            lines.init.forall(entry.matches(_)))
+          Some(lines.init.map { case entry(l, o) => (l, o == "keep") })
+        else None
+      } finally in.close()
+    outcomes match {
+      case Some(os) => finishTombstoneFold(fs, root, os)
+      case None => fs.delete(staging, true)
+    }
   }
 
   /** RETENTION for streaming-staged index roots — the reclamation half
@@ -259,6 +343,13 @@ object Compaction {
     * marker commits the target list, then targets are deleted and the
     * staged leaf renamed in; re-running the fold first completes or
     * discards any interrupted one. Returns the batch leaves folded.
+    *
+    * SINGLE-WRITER / MAINTENANCE-WINDOW CONTRACT (same as
+    * `Dedup.compactMinhashStore`): between the target-leaf deletes and
+    * the final rename, a concurrent reader can see a partial root, and a
+    * concurrent stage/serve against the same root during the fold is
+    * unprotected — run folds in the ingestion pipeline's maintenance
+    * window, or quiesce writers for the swap.
     */
   def foldStagedBatches(spark: SparkSession, root: String, partCol: String,
       minAgeMs: Long = 0L): Int = {

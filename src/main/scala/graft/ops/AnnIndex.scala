@@ -2866,10 +2866,15 @@ object AnnIndex extends QueryModule {
         spark, corpus.filter(col("vec_id") >= 100005L),
         "embedding", "vec_id", defaultLsh, m = 8, path, v1Corpus)
     }
+    // served through the RESIDENT pin, one per pinned version: the
+    // asOfSeq-keyed pin cache makes the warm read two single-job serves
+    // instead of re-walking every rung distributed per version (parity
+    // with the distributed versioned walk is pinned by AnnIndexSpec's
+    // "hnsw served time travel parity")
     def readVersion(v: Long, asOf: Long, k: Int): DataFrame =
-      graft.vector.GraphAnn.hnswSearch(
+      graft.vector.GraphAnn.hnswServedSearch(
         spark, path, corpus, "embedding", "vec_id",
-        queryVec(spark, dir, 0L), k = k, asOfSeq = asOf)
+        Seq(0L -> queryVec(spark, dir, 0L)), k = k, asOfSeq = asOf)
         .select(lit(v).as("version"), col("vec_id"), col("score"))
     readVersion(1L, asOf = 0L, k = 6)
       .unionByName(readVersion(2L, asOf = Long.MaxValue, k = 10))
@@ -3266,7 +3271,7 @@ object AnnIndex extends QueryModule {
     * once as broadcast state, the whole 5-query batch answered by ONE
     * Spark job whose tasks walk entirely in memory. Removes the per-hop
     * driver round-trips and plan-construction constant the distributed
-    * walk pays; ServedParitySpec pins row-for-row equality with
+    * walk pays; AnnIndexSpec's "served walk parity" pins equality with
     * nswBatchSearch, and the enumerable 50-row planted oracle gates the
     * answers here.
     */
@@ -3557,8 +3562,13 @@ object AnnIndex extends QueryModule {
     * function's crossover behavior separately.
     */
   def annAutoRouteTopk(spark: SparkSession, dir: String): DataFrame = {
+    // clamped at Int.MaxValue: the knob cache stores Int, and past 2^31
+    // rows every scan-family cost already dwarfs the walk's fixed cost by
+    // 3+ orders of magnitude — the clamp preserves the route (an
+    // unclamped .toInt would wrap NEGATIVE and route a huge corpus away
+    // from the graph family)
     val n = cachedKnob("nvec", dir, embeddingsStamp(spark, dir)) {
-      Tables.embeddings(spark, dir).count().toInt
+      math.min(Tables.embeddings(spark, dir).count(), Int.MaxValue.toLong).toInt
     }.toLong
     val qv = queryVec(spark, dir, 0L)
     val lshFrac = defaultLsh.probes(defaultLsh.signature(qv.toSeq),

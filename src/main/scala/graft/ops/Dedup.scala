@@ -786,8 +786,10 @@ object Dedup extends QueryModule {
     *
     * Scale: candidates come from the band equi-join (store side never
     * reshuffled, batch broadcast); verification re-reads text for the
-    * candidate-touched ids ONLY via a broadcast semi-join — point lookups
-    * against the corpus, not a second corpus scan.
+    * candidate-touched ids ONLY via an equi-key semi-join — point lookups
+    * against the corpus, not a second corpus scan (AQE broadcasts the
+    * touched side when it is measured small; skewed collision storms stay
+    * a shuffle join instead of bloating every executor).
     */
   def incrementalDupesVerified(spark: SparkSession, batch: DataFrame,
       storeDocs: DataFrame, path: String, threshold: Double = 0.5,
@@ -804,9 +806,14 @@ object Dedup extends QueryModule {
       .localCheckpoint(true)
     val allDocs = storeDocs.unionByName(batch)
       .filter(length(trim(col("text"))) > 0)
+    // NO broadcast hint on the touched set: it is bounded by the candidate
+    // pairs, which a boilerplate doc colliding with a near-dup-heavy store
+    // can push toward O(|store|) ids — a forced broadcast would then bloat
+    // every executor. It is a plain equi-key semi-join; AQE chooses
+    // broadcast itself whenever the measured size is actually small.
     val touched = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = allDocs.join(broadcast(touched), Seq("doc_id"))
+    val sets = allDocs.join(touched, Seq("doc_id"))
       .select(col("doc_id"),
         array_distinct(shinglesCol(tokensCol(col("text")), 3)).as("sh"))
     cands

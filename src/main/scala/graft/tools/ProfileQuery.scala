@@ -39,15 +39,22 @@ object ProfileQuery {
       println(plan)
     }
     // the listener bus is async: quiesce until the count is stable so
-    // late JobStart events don't leak into the next iteration's tally
+    // late JobStart events don't leak into the next iteration's tally.
+    // BOUNDED (max ~5 s): a query that launches jobs continuously (a
+    // streaming source, a stray background listener) must not hang the
+    // profiler — past the bound the count is reported as-is (approximate)
     def settledJobs(): Int = {
       var prev = -1
       var cur = jobs.get()
-      while (cur != prev) {
+      var waited = 0
+      while (cur != prev && waited < 50) {
         Thread.sleep(100)
+        waited += 1
         prev = cur
         cur = jobs.get()
       }
+      if (waited >= 50)
+        println("[profile] WARNING: job count did not settle in 5 s — approximate")
       cur
     }
     (1 to n).foreach { i =>

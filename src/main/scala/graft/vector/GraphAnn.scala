@@ -1131,48 +1131,145 @@ object GraphAnn {
     visited
   }
 
+  /** One pinned resident view of a graph index version: the merged
+    * (latest-wins, optionally asOfSeq-pinned) adjacency per rung, the
+    * shard's vectors, the tombstone set, and the precomputed hash-min
+    * entry points — all broadcast once and reused across serve calls.
+    */
+  private[graft] final case class ResidentPin(
+    rungs: Seq[(org.apache.spark.broadcast.Broadcast[Map[Long, Array[Long]]], Seq[Long])],
+    adj0: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Long]]],
+    entryIds: Seq[Long],
+    vec: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Float]]],
+    dead: org.apache.spark.broadcast.Broadcast[Set[Long]])
+
+  // ---- resident-pin cache ---------------------------------------------
+  // The hnswlib model the served rows cite pins the view ONCE per index
+  // version, not per call (the reference's Chroma handle is opened once
+  // per session, query_rag_database.py:138-149). Keyed by (path, asOfSeq,
+  // entry/descent params); validated by a STAMP that folds the FS listing
+  // of the index dir + every sidecar (_delta, _tombstones, ladder rungs)
+  // AND the corpus' plan+input signature (ResultCache.cacheKey — the
+  // LocalRelation-digesting key, so planted-copy corpora invalidate too).
+  // Any append/fold/compact/delete changes a listing, the stamp moves,
+  // and the next serve rebuilds; a same-version serve reuses the
+  // broadcasts with ZERO pin jobs. Bounded: one live entry per key,
+  // replaced in place (the superseded pin's broadcasts are unpersisted).
+  private val pinCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, ResidentPin)]
+  private val pinBuildCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Number of resident-pin BUILDS since JVM start (cache misses) —
+    * AnnIndexSpec pins that two same-version serves build once. */
+  private[graft] def pinBuilds: Int = pinBuildCounter.get
+
+  /** Drop every cached pin (spec isolation only — serving never needs it:
+    * stale pins are invalidated by stamp, not by eviction). */
+  private[graft] def dropPins(): Unit = {
+    pinCache.values.foreach { case (_, p) =>
+      (p.rungs.map(_._1) ++ Seq(p.adj0, p.vec, p.dead))
+        .foreach(_.unpersist(false))
+    }
+    pinCache.clear()
+  }
+
+  /** Cheap FS stamp of one directory: file count, total bytes, max mtime
+    * (the embeddingsStamp discipline from the knob cache). */
+  private def dirStamp(spark: SparkSession, p: String): String = {
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return s"$p#absent"
+    var n = 0L; var bytes = 0L; var maxM = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      n += 1; bytes += f.getLen
+      if (f.getModificationTime > maxM) maxM = f.getModificationTime
+    }
+    s"$p#$n#$bytes#$maxM"
+  }
+
+  /** The pin for (index version, corpus, params): cache hit when the
+    * stamp still matches, else build (bounded collects: one merge scan
+    * per rung, one corpus scan, one tombstone scan) and replace.
+    */
+  private def residentPin(spark: SparkSession, path: String,
+      corpus: DataFrame, embCol: String, idCol: String, entries: Int,
+      rungPaths: Seq[String], descentBeam: Int,
+      asOfSeq: Long): ResidentPin = {
+    val key = s"$path#asOf=$asOfSeq#e=$entries#db=$descentBeam" +
+      s"#rungs=${rungPaths.mkString(",")}"
+    val stamp = (Seq(path, path + "_delta", path + "_tombstones") ++
+        rungPaths.flatMap(p => Seq(p, p + "_delta")))
+      .map(dirStamp(spark, _)).mkString("|") + " " +
+      graft.ops.ResultCache.cacheKey(corpus.select(col(idCol), col(embCol)))
+    pinCache.get(key) match {
+      case Some((s, pin)) if s == stamp => pin
+      case old =>
+        def adjOf(p: String): Map[Long, Array[Long]] =
+          withWalkConfs(spark) { s => readNswAdjacencyAsOf(s, p, asOfSeq).collect() }
+            .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+        // entryPoints' contract on the resident keys: xxhash64 asc, id asc
+        def hashEntries(m: Map[Long, Array[Long]], e: Int): Seq[Long] =
+          m.keys.toSeq.sortBy(id => (org.apache.spark.sql.catalyst
+            .expressions.XXH64.hashLong(id, 42L), id)).take(e)
+        val rungs = rungPaths.filter(p => pathExists(spark, p)).map { p =>
+          val m = adjOf(p)
+          (spark.sparkContext.broadcast(m), hashEntries(m, descentBeam))
+        }
+        val adj0 = adjOf(path)
+        val vecMap: Map[Long, Array[Float]] =
+          corpus.select(col(idCol).cast("long"), col(embCol)).collect()
+            .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        val dead: Set[Long] = readNswTombstones(spark, path)
+          .collect().map(_.getLong(0)).toSet
+        val pin = ResidentPin(rungs,
+          spark.sparkContext.broadcast(adj0), hashEntries(adj0, entries),
+          spark.sparkContext.broadcast(vecMap),
+          spark.sparkContext.broadcast(dead))
+        pinBuildCounter.incrementAndGet()
+        pinCache.put(key, (stamp, pin))
+        old.foreach { case (_, p) =>
+          (p.rungs.map(_._1) ++ Seq(p.adj0, p.vec, p.dead))
+            .foreach(_.unpersist(false))
+        }
+        pin
+    }
+  }
+
   /** RESIDENT-VIEW batch serving — the hnswlib serving model the walk
     * code cites, made a first-class path: the merged (latest-wins)
     * adjacency, the shard's vectors, and the tombstone set are pinned
-    * ONCE as broadcast state, and the whole query batch runs as ONE
-    * Spark job — each task walks its queries entirely in memory (zero
-    * per-hop driver↔executor round-trips, zero per-hop plan
-    * construction, the multi-second scheduling constant the distributed
-    * walk pays per query). Results are exactly `nswSearch`'s per query:
-    * the resident walk replicates beamWalkCore's loop (ServedParitySpec
-    * pins row-for-row equality against nswBatchSearch).
+    * ONCE PER INDEX VERSION as broadcast state (the residentPin cache
+    * above — a second serve against an unchanged index reuses the pin
+    * with zero pin jobs), and the whole query batch runs as ONE Spark
+    * job — each task walks its queries entirely in memory (zero per-hop
+    * driver↔executor round-trips, zero per-hop plan construction, the
+    * multi-second scheduling constant the distributed walk pays per
+    * query). Results are exactly `nswSearch`'s per query: the resident
+    * walk replicates beamWalkCore's loop (AnnIndexSpec's "served walk
+    * parity" pins row-for-row equality against nswBatchSearch).
     *
     * 100 TB posture: the resident view is per-SHARD serving state — ids
     * + M neighbor ids + the vector column, the same memory bound hnswlib
     * itself requires of a serving node — pinned once per index version
-    * and reused across batches (here rebuilt per call: the driver row
-    * measures batch latency, not pin amortization). Corpora past one
-    * node's view run the sharded scatter-gather rows' pattern (serve
-    * each shard's view, union, re-top-k), or fall back to the
-    * distributed walk, which bounds memory at (B + E + H·B·2M) ids.
+    * and reused across batches; any append/fold/compact moves the stamp
+    * and the next serve re-pins. Corpora past one node's view run the
+    * sharded scatter-gather rows' pattern (serve each shard's view,
+    * union, re-top-k), or fall back to the distributed walk, which
+    * bounds memory at (B + E + H·B·2M) ids.
     */
   def nswServedSearch(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
       k: Int, beam: Int = 32, hops: Int = 4,
-      entries: Int = 16): DataFrame = {
+      entries: Int = 16, asOfSeq: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
-    // pin: three bounded collects build the resident view (one merge scan,
-    // one shard-corpus scan, one tombstone scan) — then NO more driver work
-    val adjMap: Map[Long, Array[Long]] =
-      withWalkConfs(spark) { s => readNswAdjacency(s, path).collect() }
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    val vecMap: Map[Long, Array[Float]] =
-      corpus.select(col(idCol).cast("long"), col(embCol)).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val dead: Set[Long] = readNswTombstones(spark, path)
-      .collect().map(_.getLong(0)).toSet
-    // entryPoints' contract on the resident keys: xxhash64(id) asc, id asc
-    val entryIds = adjMap.keys.toSeq
-      .sortBy(id => (org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashLong(id, 42L), id)).take(entries)
-    val bcAdj = spark.sparkContext.broadcast(adjMap)
-    val bcVec = spark.sparkContext.broadcast(vecMap)
-    val bcDead = spark.sparkContext.broadcast(dead)
+    val pin = residentPin(spark, path, corpus, embCol, idCol, entries,
+      Nil, 0, asOfSeq)
+    val bcAdj = pin.adj0
+    val bcVec = pin.vec
+    val bcDead = pin.dead
+    val entryIds = pin.entryIds
     spark.sparkContext
       .parallelize(queries.map { case (q, v) => (q, v.toSeq) },
         math.max(1, math.min(queries.size, spark.sparkContext.defaultParallelism)))
@@ -1199,47 +1296,39 @@ object GraphAnn {
     * hnswSearch/hnswBatchSearch: descend with descentBeam/descentHops,
     * layer 0 walks from carried ∪ fixed hash-min entries, preserving the
     * flat recall floor). One Spark job for the whole batch; parity with
-    * the distributed ladder walk is spec-pinned row-for-row. Upper rungs
-    * are geometrically thinner (|V|/fanout^ℓ), so the ladder adds ~15%
-    * to the resident view's memory bound.
+    * the distributed ladder walk is pinned row-for-row by AnnIndexSpec's
+    * "hnsw served parity". Upper rungs are geometrically thinner
+    * (|V|/fanout^ℓ), so the ladder adds ~15% to the resident view's
+    * memory bound. The whole ladder view is pinned once per index
+    * version via the residentPin cache; `asOfSeq` pins a delta
+    * generation exactly as in `hnswSearch` (each rung's deltas filtered
+    * to `seq <= asOfSeq`, tombstones applied current — the same emission
+    * contract as the distributed versioned walk), so time-travel reads
+    * serve through a cached pin too, keyed per pinned version.
     */
   def hnswServedSearch(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
       k: Int, beam: Int = 32, hops: Int = 4, entries: Int = 16,
       maxLevel: Int = 2, descentBeam: Int = 4,
-      descentHops: Int = 2): DataFrame = {
+      descentHops: Int = 2, asOfSeq: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
-    def adjOf(p: String): Map[Long, Array[Long]] =
-      withWalkConfs(spark) { s => readNswAdjacency(s, p).collect() }
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    def hashEntries(m: Map[Long, Array[Long]], e: Int): Seq[Long] =
-      m.keys.toSeq.sortBy(id => (org.apache.spark.sql.catalyst.expressions
-        .XXH64.hashLong(id, 42L), id)).take(e)
-    val rungs: Seq[(Map[Long, Array[Long]], Seq[Long])] =
-      (maxLevel to 1 by -1).map(l => path + "_l" + l)
-        .filter(p => pathExists(spark, p))
-        .map { p => val m = adjOf(p); (m, hashEntries(m, descentBeam)) }
-    val adj0 = adjOf(path)
-    val fixed = hashEntries(adj0, entries)
-    val vecMap: Map[Long, Array[Float]] =
-      corpus.select(col(idCol).cast("long"), col(embCol)).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val dead: Set[Long] = readNswTombstones(spark, path)
-      .collect().map(_.getLong(0)).toSet
-    val bcRungs = spark.sparkContext.broadcast(rungs)
-    val bcAdj0 = spark.sparkContext.broadcast(adj0)
-    val bcVec = spark.sparkContext.broadcast(vecMap)
-    val bcDead = spark.sparkContext.broadcast(dead)
+    val pin = residentPin(spark, path, corpus, embCol, idCol, entries,
+      (maxLevel to 1 by -1).map(l => path + "_l" + l), descentBeam, asOfSeq)
+    val rungs = pin.rungs
+    val bcAdj0 = pin.adj0
+    val bcVec = pin.vec
+    val bcDead = pin.dead
+    val fixed = pin.entryIds
     spark.sparkContext
       .parallelize(queries.map { case (q, v) => (q, v.toSeq) },
         math.max(1, math.min(queries.size, spark.sparkContext.defaultParallelism)))
       .flatMap { case (qid, qvs) =>
         val qv = qvs.toArray
         var carried = Seq.empty[Long]
-        bcRungs.value.foreach { case (adjL, entriesL) =>
+        rungs.foreach { case (bcAdjL, entriesL) =>
           val seeds = if (carried.nonEmpty) carried else entriesL
           if (seeds.nonEmpty) {
-            val walked = residentWalk(adjL, bcVec.value, qv, seeds,
+            val walked = residentWalk(bcAdjL.value, bcVec.value, qv, seeds,
               descentBeam, descentHops)
             carried = walked.toSeq.sortBy { case (id, s) => (-s, id) }
               .take(descentBeam).map(_._1)

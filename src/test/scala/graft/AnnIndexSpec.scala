@@ -270,6 +270,59 @@ class AnnIndexSpec extends SparkSpec {
       s"hnsw served/distributed divergence:\n$served\nvs\n$walked")
   }
 
+  test("resident pin amortization: same-version serves build the pin once; a mutation re-pins") {
+    import graft.vector.GraphAnn
+    val path = Files.createTempDirectory("nsw_pin").toString + "/g"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    GraphAnn.buildNswGraph(e, "embedding", "vec_id", AnnIndex.defaultLsh, 8, path)
+    val queries = e.filter(col("vec_id") < 2L).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    GraphAnn.dropPins()
+    val b0 = GraphAnn.pinBuilds
+    def serve() = GraphAnn.nswServedSearch(spark, path, e,
+        "embedding", "vec_id", queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val first = serve()
+    assert(GraphAnn.pinBuilds - b0 === 1, "first serve must build the pin")
+    val second = serve()
+    assert(GraphAnn.pinBuilds - b0 === 1,
+      "a same-version serve must REUSE the cached pin, not rebuild it")
+    assert(second === first)
+    // a structural mutation (delete lands a tombstone sidecar) moves the
+    // FS stamp: the next serve must re-pin and see the deletion
+    GraphAnn.deleteFromNswGraph(spark, Seq(first.head._2), path)
+    val third = serve()
+    assert(GraphAnn.pinBuilds - b0 === 2,
+      "an index mutation must invalidate the pin")
+    assert(!third.exists(_._2 == first.head._2), "stale pin served a deleted id")
+  }
+
+  test("hnsw served time travel parity: asOfSeq-pinned serve equals the distributed versioned walk") {
+    import graft.vector.GraphAnn
+    val path = Files.createTempDirectory("hnsw_tt_served").toString + "/g"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val v1 = e.filter(col("vec_id") < 200L)
+    GraphAnn.buildHnswGraph(v1, "embedding", "vec_id", AnnIndex.defaultLsh, 8, path)
+    GraphAnn.appendToHnswGraph(spark, e.filter(col("vec_id").between(200L, 249L)),
+      "embedding", "vec_id", AnnIndex.defaultLsh, 8, path, v1)
+    val qv = e.filter(col("vec_id") === 0L).collect()
+      .head.getSeq[Float](1).toArray
+    for (asOf <- Seq(0L, Long.MaxValue)) {
+      val served = GraphAnn.hnswServedSearch(spark, path, e,
+          "embedding", "vec_id", Seq(0L -> qv), k = 10, asOfSeq = asOf)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+        .sortBy { case (id, s) => (-s, id) }.toSeq
+      val walked = GraphAnn.hnswSearch(spark, path, e,
+          "embedding", "vec_id", qv, k = 10, asOfSeq = asOf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, s) => (-s, id) }.toSeq
+      assert(served === walked,
+        s"asOf=$asOf served/distributed divergence:\n$served\nvs\n$walked")
+      if (asOf == 0L)
+        assert(!served.exists(_._1 >= 200L), "as-of-0 serve leaked appended ids")
+    }
+  }
+
   test("ann_graph_time_travel_topk: seq-pinned walks isolate delta generations") {
     val out = SparkEntry.queries("ann_graph_time_travel_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

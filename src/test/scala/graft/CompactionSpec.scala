@@ -244,6 +244,94 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "_tombstones").count() === 0L)
   }
 
+  test("foldTombstones job count is independent of the affected-partition count") {
+    import graft.vector.IndexBuilder
+    import spark.implicits._
+    val lsh = new IndexBuilder.RandomHyperplaneLsh(64, 4, 42L)
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 400)
+    def freshIndex(tag: String): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"fold_jobs_$tag").toString + "/index"
+      IndexBuilder.buildLshIndex(emb, "embedding", lsh, dir)
+      dir
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+    // async listener bus: settle until stable (the ProfileQuery discipline)
+    def settled(): Int = {
+      var prev = -1; var cur = jobs.get(); var waited = 0
+      while (cur != prev && waited < 100) {
+        Thread.sleep(100); waited += 1; prev = cur; cur = jobs.get()
+      }
+      cur
+    }
+    def foldJobs(dir: String, doomed: Seq[Long]): (Int, Long) = {
+      doomed.toDF("vec_id").write.mode("overwrite").parquet(dir + "_tombstones")
+      val j0 = settled()
+      val stats = graft.ingest.Compaction.foldTombstones(spark, dir, dir + "_tombstones")
+      (settled() - j0, stats.rowsDeleted)
+    }
+    val (fewJobs, fewDeleted) = foldJobs(freshIndex("few"), Seq(0L, 1L))
+    val (manyJobs, manyDeleted) = foldJobs(freshIndex("many"), (0L until 200L).toSeq)
+    assert(fewDeleted === 2L && manyDeleted === 200L)
+    // the 100-partition fold may not schedule per-partition jobs: the
+    // rewrite is ONE staged write whatever the affected count (small AQE
+    // slack only)
+    assert(manyJobs <= fewJobs + 2,
+      s"fold jobs grew with affected partitions: few=$fewJobs many=$manyJobs")
+  }
+
+  test("foldTombstones: interrupted marker-committed swap completes; marker-less staging discarded") {
+    import graft.vector.IndexBuilder
+    import spark.implicits._
+    val lsh = new IndexBuilder.RandomHyperplaneLsh(64, 4, 42L)
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+    val dir = java.nio.file.Files
+      .createTempDirectory("fold_recover").toString + "/index"
+    IndexBuilder.buildLshIndex(emb, "embedding", lsh, dir)
+    val buckets = spark.read.parquet(dir).select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val b = buckets.head
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def leafRows(): Set[Long] = spark.read.parquet(dir)
+      .filter(col("bucket") === b).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val before = leafRows()
+
+    // marker-LESS staging (a fold aborted before commit): must be
+    // discarded, the live leaf untouched
+    val staging = s"$dir/.fold.tmp"
+    emb.filter(col("vec_id") === 99L).select("vec_id", "embedding")
+      .write.parquet(s"$staging/bucket=$b")
+    assert(graft.ingest.Compaction.foldTombstones(spark, dir, dir + "_tombstones")
+      === graft.ingest.Compaction.FoldStats(0, 0L, 0L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)),
+      "aborted staging must be discarded")
+    spark.catalog.refreshByPath(dir)
+    assert(leafRows() === before, "aborted staging must not install")
+
+    // marker-COMMITTED staging (crash after commit, before the swap):
+    // the next fold must COMPLETE it — the staged leaf replaces the live
+    emb.filter(col("vec_id") === 99L).select("vec_id", "embedding")
+      .write.parquet(s"$staging/bucket=$b")
+    val marker = fs.create(
+      new org.apache.hadoop.fs.Path(s"$staging/_FOLD_STAGED"), true)
+    try marker.write(s"bucket=$b\tkeep\nend"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally marker.close()
+    graft.ingest.Compaction.foldTombstones(spark, dir, dir + "_tombstones")
+    spark.catalog.refreshByPath(dir)
+    assert(leafRows() === Set(99L),
+      "committed staging must complete: staged leaf replaces the live one")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+  }
+
   test("compaction works for json directories (the K1 JSONL sink layout)") {
     val dir = java.nio.file.Files.createTempDirectory("compactj").toString + "/jsonl"
     import spark.implicits._
