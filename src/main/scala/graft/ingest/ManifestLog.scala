@@ -11,16 +11,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Layout: `<dir>/v<N>.manifest` — plain text, one data-file path per
   * line, closed by an `end` sentinel line (the torn-write discipline the
-  * staged-swap markers use). The CAS primitive is an exclusive create of
-  * the version file: atomic O_CREAT|O_EXCL on the local FS, atomic
-  * `create(path, overwrite = false)` on HDFS — a claimed version number
-  * can never be claimed again, so two committers can never both install
-  * the same version. Content lands via a dot-prefixed temp + rename
-  * AFTER the claim (the committer owns the claimed number, so the
-  * overwrite-rename races nobody); a crash between claim and rename
-  * leaves a sentinel-less file that is INVISIBLE to readers and
-  * permanently consumes its number — the next commit simply claims the
-  * next one. Readers therefore never see a torn version, ever.
+  * staged-swap markers use). The CAS primitive publishes CONTENT-FIRST:
+  * the full manifest is written to a writer-unique dot-prefixed temp,
+  * then installed under the version name by an atomic NO-OVERWRITE
+  * publish — a hard link on the local FS (link(2) fails if the name
+  * exists), HDFS `rename` (which refuses an existing destination) on
+  * cluster filesystems. There is NO claim-then-install window: a version
+  * file either exists fully-formed or not at all, so a committer can
+  * never observe a claimed-but-empty head and derive its update from a
+  * stale base (the lost-update TOCTOU a claim-first protocol has), and
+  * a commit claims exactly head+1 — losing the race to that name means
+  * re-reading the winner's content and retrying on top. A sentinel-less
+  * version file (only a truly non-atomic filesystem can produce one) is
+  * INVISIBLE to readers and permanently consumes its number — the next
+  * commit derives from the latest valid version below it and publishes
+  * above it. Readers therefore never see a torn version, ever.
   *
   * This is the HadoopTableOperations rename-commit model (Iceberg spec
   * §Metastore-less catalogs); the reference's single-process vector
@@ -74,50 +79,60 @@ object ManifestLog {
     v
   }
 
-  /** One CAS attempt: claim `version` exclusively, then install the
-    * content. Returns false iff the number was already claimed (the
-    * caller lost the race — re-read and retry on the new head). */
+  /** One CAS attempt: publish `files` as `version`, content-first, via an
+    * atomic no-overwrite install. Returns false iff the version name was
+    * already taken (the caller lost the race — re-read the winner's
+    * content and retry on top). */
   def tryCommit(spark: SparkSession, dir: String, version: Long,
       files: Seq[String]): Boolean = {
     val (fs, p) = hfs(spark, dir)
     fs.mkdirs(p)
     val vp = versionPath(dir, version)
-    val claimed =
-      if ("file" == vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getScheme)
-        // local FS: Hadoop's create(overwrite=false) is check-then-create;
-        // java.io's createNewFile is the atomic O_CREAT|O_EXCL claim
-        new java.io.File(vp.toUri.getPath).createNewFile()
-      else
-        try { fs.create(vp, false).close(); true }
-        catch { case _: java.io.IOException => false }
-    if (!claimed) return false
-    // the number is ours: write content to an invisible temp, rename over
-    // the claimed (empty, sentinel-less, reader-invisible) file — readers
-    // flip from "torn" to "valid" atomically
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".v$version.manifest.tmp")
+    if (fs.exists(vp)) return false // fast path; the install below is the gate
+    // content first, to a WRITER-UNIQUE temp (two racers must never share
+    // a staging file)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".v$version.${System.nanoTime()}.t${Thread.currentThread().getId}.tmp")
     val out = fs.create(tmp, true)
     try out.write((files.mkString("\n") +
         (if (files.isEmpty) "" else "\n") + Sentinel + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(vp, false)
-    if (!fs.rename(tmp, vp))
-      throw new java.io.IOException(s"manifest commit: cannot install $vp")
-    true
+    val published =
+      if ("file" == fs.getScheme)
+        // local FS: POSIX rename OVERWRITES an existing destination, so it
+        // cannot be the CAS — link(2) atomically fails on an existing name
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(vp.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      else
+        // HDFS rename refuses an existing destination (atomic in the NN)
+        fs.rename(tmp, vp)
+    fs.delete(tmp, false)
+    published
   }
 
-  /** Optimistic commit loop: read the current head, apply `update` to
-    * its file list, claim the next free number; on a lost race, re-read
-    * and retry on the winner's head. Returns the committed version. */
+  /** Optimistic commit loop: derive the update from the latest VALID
+    * version at/below the claimed head and publish it as claimed+1; on a
+    * lost race, re-read the winner's head and retry on top. Returns the
+    * committed version. Claiming exactly claimed+1 (never skipping
+    * ahead) is what makes updates serializable: a commit can only win
+    * the name directly above the head it derived from. */
   def commit(spark: SparkSession, dir: String,
-      update: Seq[String] => Seq[String], maxRetries: Int = 20): Long = {
+      update: Seq[String] => Seq[String], maxRetries: Int = 50): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
-      val head = currentVersion(spark, dir)
-      val base = if (head == 0L) Seq.empty[String]
-        else read(spark, dir, head).getOrElse(Seq.empty)
-      val next = math.max(head, claimedVersion(spark, dir)) + 1L
+      val claimed = claimedVersion(spark, dir)
+      var baseV = claimed
+      while (baseV > 0L && read(spark, dir, baseV).isEmpty) baseV -= 1
+      val base = if (baseV == 0L) Seq.empty[String]
+        else read(spark, dir, baseV).getOrElse(Seq.empty)
+      val next = claimed + 1L
       if (tryCommit(spark, dir, next, update(base))) return next
       attempt += 1
     }

@@ -3543,12 +3543,100 @@ object AnnIndex extends QueryModule {
   private[graft] def routeAnnFamily(nRows: Long, lshProbeFrac: Double,
       ivfProbeFrac: Double, codesBandwidth: Double = 0.35,
       walkJobs: Int = 11, walkRowsTouched: Long = 4200L,
-      jobCostRows: Long = 50000L): (String, Map[String, Double]) = {
+      jobCostRows: Long = 50000L,
+      eligible: Set[String] = Set("graph", "ivf", "lsh")): (String, Map[String, Double]) = {
     val costs = Map(
       "graph" -> (walkRowsTouched.toDouble + walkJobs.toDouble * jobCostRows),
       "ivf" -> nRows * ivfProbeFrac * codesBandwidth,
       "lsh" -> nRows * lshProbeFrac)
-    (costs.toSeq.minBy { case (f, c) => (c, f) }._1, costs)
+    // RECALL FLOOR: only families whose measured curve meets the serving
+    // target are routable — cheapest-but-can't-recall is not a route. An
+    // empty eligible set (no family measured up, a degenerate corpus)
+    // falls back to all three rather than failing the query.
+    val routable = costs.filter { case (f, _) => eligible.contains(f) }
+    val pool = if (routable.isEmpty) costs else routable
+    (pool.toSeq.minBy { case (f, c) => (c, f) }._1, costs)
+  }
+
+  /** MEASURED routing inputs, per data version (every value knob-stamped,
+    * so the cost is one measurement pass per (dir, data stamp)):
+    *
+    *  - `walkRowsTouched` / `walkJobs`: from the MEASURED graph hop curve
+    *    (`cachedGraphHopCurve` — the same curve the serving gate pins) at
+    *    the deployed hop budget (`chooseHops`): rows touched per walk is
+    *    the curve's scored-candidates column divided by its sample size,
+    *    and the job count follows the walk's structure (1 entry job +
+    *    2 jobs/hop + 1 emission probe);
+    *  - `jobCostRows`: the profiled per-job scheduling constant (median
+    *    of 3 empty jobs, measured HERE, not assumed) converted to
+    *    row-equivalents by the measured single-column parquet scan rate
+    *    of this corpus — the ProfileGraphRow methodology made a
+    *    per-session measurement;
+    *  - `codesBandwidth`: from the corpus' actual embedding width d —
+    *    the SQ8 serving layout reads (d + id) bytes against the float
+    *    scan's (4d + id), plus a fixed overscan float-fetch allowance;
+    *  - `eligible`: the RECALL FLOOR — a family routes only if its
+    *    measured tuning curve (LSH radius / IVF nProbe / graph hops, all
+    *    already result-cached per data version) reaches the routing
+    *    target at its maximal setting.
+    */
+  private[graft] final case class RouteInputs(walkRowsTouched: Long,
+    walkJobs: Int, jobCostRows: Long, codesBandwidth: Double,
+    eligible: Set[String])
+
+  private[graft] def measuredRouteInputs(spark: SparkSession, dir: String,
+      nRows: Long): RouteInputs = {
+    val stamp = embeddingsStamp(spark, dir)
+    val hops = cachedKnob("route:hops", dir, stamp) {
+      chooseHops(cachedGraphHopCurve(spark, dir), LshTargetPpm)
+    }
+    val walkRows = cachedKnob("route:walkrows", dir, stamp) {
+      val c = cachedGraphHopCurve(spark, dir)
+        .filter(col("hops") === hops.toLong)
+        .select("total_candidates").collect()
+      // the curve sums over its 5 sample queries; per-walk = /5
+      if (c.isEmpty) 4200 else math.max(1L, c.head.getLong(0) / 5L).toInt
+    }
+    def curveReaches(curve: DataFrame, target: Long): Boolean =
+      curve.agg(max(col("recall_ppm"))).first().getLong(0) >= target
+    val graphOk = cachedKnob("route:graphok", dir, stamp) {
+      if (curveReaches(cachedGraphHopCurve(spark, dir), LshTargetPpm)) 1 else 0
+    }
+    val lshOk = cachedKnob("route:lshok", dir, stamp) {
+      if (curveReaches(cachedLshCurve(spark, dir), LshTargetPpm)) 1 else 0
+    }
+    val ivfOk = cachedKnob("route:ivfok", dir, stamp) {
+      if (curveReaches(cachedIvfCurve(spark, dir), LshTargetPpm)) 1 else 0
+    }
+    val jobCost = cachedKnob("route:jobcost", dir, stamp) {
+      val sched = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        System.nanoTime() - t0
+      }.sorted.apply(1)
+      val t0 = System.nanoTime()
+      // a real one-column pass (hash defeats any metadata shortcut; the
+      // double sum cannot overflow under ANSI)
+      Tables.embeddings(spark, dir)
+        .agg(sum(xxhash64(col("vec_id")).cast("double"))).first()
+      val scanNs = math.max(1L, System.nanoTime() - t0)
+      // row-equivalents of one scheduled job at this corpus' scan rate,
+      // clamped to a sane band (a cold scan or a GC pause must not send
+      // the router to a corner)
+      math.min(50000000L, math.max(1000L,
+        sched * nRows / scanNs)).toInt
+    }
+    val dims = cachedKnob("route:dims", dir, stamp) {
+      Tables.embeddings(spark, dir).select("embedding")
+        .first().getSeq[Float](0).length
+    }
+    // (d + 8B id) code bytes vs (4d + 8B id) float bytes, + overscan
+    // float point-lookups (bounded by overscan·k rows, folded as a
+    // constant allowance)
+    val codesBw = (dims + 8.0) / (4.0 * dims + 8.0) + 0.08
+    val eligible = Set("graph" -> graphOk, "lsh" -> lshOk, "ivf" -> ivfOk)
+      .collect { case (f, 1) => f }
+    RouteInputs(walkRows.toLong, 3 + 2 * hops, jobCost.toLong, codesBw, eligible)
   }
 
   /** AUTO-ROUTED retrieval — the planner loop the tuning gates opened,
@@ -3574,10 +3662,16 @@ object AnnIndex extends QueryModule {
     val lshFrac = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
       radius = tunedRadius(spark, dir)).size.toDouble / (1 << defaultLsh.nBits)
     val ivfFrac = tunedNProbe(spark, dir).toDouble / 16.0
-    val (family, costs) = routeAnnFamily(n, lshFrac, ivfFrac)
+    val ri = measuredRouteInputs(spark, dir, n)
+    val (family, costs) = routeAnnFamily(n, lshFrac, ivfFrac,
+      ri.codesBandwidth, ri.walkJobs, ri.walkRowsTouched, ri.jobCostRows,
+      ri.eligible)
     System.err.println(s"[route] ann_auto_route_topk n=$n -> $family " +
       costs.toSeq.sortBy(_._1)
-        .map { case (f, c) => f"$f=${c}%.0f" }.mkString("(", ", ", ")"))
+        .map { case (f, c) => f"$f=${c}%.0f" }.mkString("(", ", ", ")") +
+      s" measured(walkRows=${ri.walkRowsTouched}, walkJobs=${ri.walkJobs}, " +
+      f"jobCostRows=${ri.jobCostRows}, codesBw=${ri.codesBandwidth}%.3f, " +
+      s"eligible=${ri.eligible.toSeq.sorted.mkString("+")})")
     family match {
       case "lsh" => annLshIndexTopk(spark, dir)
       case "ivf" => annIvfSq8IndexTopk(spark, dir)

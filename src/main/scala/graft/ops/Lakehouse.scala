@@ -357,6 +357,12 @@ object Lakehouse extends QueryModule {
     * per-version totals; the oracle recomputes them from the logical
     * construction. The manifest read is file-count-bounded (catalog
     * scale), same contract as the zone-map sidecar.
+    *
+    * Commits go through `ManifestLog` — the optimistic-CAS versioned log
+    * (exclusive create of `v<N>.manifest`, sentinel-guarded content), so
+    * the commit path is MULTI-WRITER safe: two racing committers resolve
+    * to consecutive versions with both updates applied, and readers never
+    * see a torn version (ManifestLogSpec pins the interleaving).
     */
   def timeTravelScan(spark: SparkSession, dir: String): DataFrame = {
     val tmp = tmpPath("graft_tt", dir)
@@ -371,16 +377,22 @@ object Lakehouse extends QueryModule {
       new java.io.File(tmp + "/" + sub).listFiles()
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).toIndexedSeq
-    val baseFiles = files("base")
-    val manifest = baseFiles.map((1L, _)) ++ baseFiles.map((2L, _)) ++
-      files("append").map((2L, _))
-    import spark.implicits._
-    manifest.toDF("version", "file").write.mode("overwrite").parquet(tmp + "/manifest")
-    val m = spark.read.parquet(tmp + "/manifest")
+    // fresh log per rebuild (the data dirs above were just overwritten)
+    val logDir = tmp + "/manifest_log"
+    if (new java.io.File(logDir).exists()) {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(logDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    // v1: the base files; v2: the append commits ON TOP of the head it
+    // read — exactly the optimistic-writer shape (files first, then the
+    // CAS manifest claim, so a v1 reader never sees a torn append)
+    graft.ingest.ManifestLog.commit(spark, logDir, _ => files("base"))
+    graft.ingest.ManifestLog.commit(spark, logDir, head => head ++ files("append"))
     def readVersion(v: Long): DataFrame = {
-      val fs = m.filter(col("version") === v).select("file")
-        .collect().map(_.getString(0)) // manifest: file-count-bounded
-      spark.read.parquet(fs.toIndexedSeq: _*)
+      val fs = graft.ingest.ManifestLog.read(spark, logDir, v)
+        .getOrElse(throw new java.io.IOException(s"missing manifest v$v"))
+      spark.read.parquet(fs: _*)
         .agg(lit(v).as("version"), count(lit(1)).as("n_rows"),
           sum(col("price_e2")).as("total_e2"))
     }
@@ -411,8 +423,8 @@ object Lakehouse extends QueryModule {
     * the deleted paths (catalog-scale).
     */
   def vacuumUnreferenced(spark: SparkSession, tmp: String): Seq[String] = {
-    val referenced = spark.read.parquet(tmp + "/manifest")
-      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val referenced =
+      graft.ingest.ManifestLog.allReferenced(spark, tmp + "/manifest_log")
     val dirs = Seq("base", "append").map(s => new java.io.File(tmp + "/" + s))
     dirs.flatMap { d =>
       Option(d.listFiles()).getOrElse(Array.empty)

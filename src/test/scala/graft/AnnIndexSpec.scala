@@ -226,6 +226,24 @@ class AnnIndexSpec extends SparkSpec {
     // equal costs break lexicographically — the route is deterministic
     assert(AnnIndex.routeAnnFamily(0L, 0.0, 0.0,
       walkJobs = 0, walkRowsTouched = 0L)._1 === "graph")
+    // RECALL FLOOR: a family whose measured curve misses the target is
+    // not routable even when it is the cheapest
+    assert(AnnIndex.routeAnnFamily(100000000L, 0.34, 0.25,
+      eligible = Set("ivf", "lsh"))._1 === "ivf")
+    // MEASURED-CONSTANT FLIP: at 1M rows the route follows the profiled
+    // scheduling constant — a cluster where jobs cost 50k row-equivalents
+    // routes to the quantized scan, one where they cost 5k to the walk
+    assert(AnnIndex.routeAnnFamily(1000000L, 0.34, 0.25,
+      jobCostRows = 50000L)._1 === "ivf")
+    assert(AnnIndex.routeAnnFamily(1000000L, 0.34, 0.25,
+      jobCostRows = 5000L)._1 === "graph")
+    // the measured inputs themselves: curve-derived, clamped, non-empty
+    val n = Tables.embeddings(spark, sf).count()
+    val ri = AnnIndex.measuredRouteInputs(spark, sf, n)
+    assert(ri.walkRowsTouched > 0L && ri.walkJobs >= 5)
+    assert(ri.jobCostRows >= 1000L && ri.jobCostRows <= 50000000L)
+    assert(ri.codesBandwidth > 0.25 && ri.codesBandwidth < 0.45)
+    assert(ri.eligible.nonEmpty, "no family met the routing recall floor")
     // and the routed driver row still matches the planted oracle
     val out = SparkEntry.queries("ann_auto_route_topk")(spark, sf).collect()
     assert(out.map(_.getLong(0)).toSeq === (Seq(0L) ++ (100000L to 100008L)))

@@ -129,10 +129,10 @@ class LakehouseSpec extends SparkSpec {
     assert(deleted === Seq(orphan.getAbsolutePath), s"deleted: $deleted")
     assert(!orphan.exists())
     // re-read both versions through manifests: identical results
-    val m = spark.read.parquet(tmp + "/manifest")
     Seq(1L, 2L).foreach { v =>
-      val fs = m.filter(col("version") === v).select("file")
-        .collect().map(_.getString(0))
+      val fs = graft.ingest.ManifestLog
+        .read(spark, tmp + "/manifest_log", v)
+        .getOrElse(fail(s"manifest v$v missing or torn"))
       assert(fs.forall(f => new java.io.File(f).exists()),
         s"vacuum deleted a referenced v$v file")
     }
