@@ -9,15 +9,21 @@ import graft.vector.VectorFunctions
   * image/audio/video as opaque binary columns with typed metadata, plus
   * decode / feature-extract / resize / frame-sample operators.
   *
-  * The actual codecs (image decode, audio resample, video demux) are NOT
-  * available in this environment, so the byte-level decode step is a
-  * clearly-marked deterministic STUB — but everything Spark-side is real
-  * and tested: the schema (binary payload + metadata struct), the
-  * partition-batched execution shape (one "model"/codec init per
-  * partition, records processed in fixed-size batches — the mapPartitions
-  * analog of mapInPandas batching), the feature schema (fixed-dim
-  * float array compatible with the vector-search surface), and the
-  * partitioning behavior (narrow maps, no shuffle).
+  * The IMAGE codec is REAL: `javax.imageio` (pure JVM, offline) encodes
+  * and decodes PNG payloads — `renderPng` produces actual PNG bytes,
+  * `decodeToGrid` decodes any ImageIO-supported format (PNG/BMP/GIF…) to
+  * a grayscale grid, and the aHash / feature paths run on decoded
+  * PIXELS when the payload decodes (reference analog: PyMuPDF pixmap
+  * access, `chunk_local_pdfs.py:138-158`). Audio resample and video
+  * demux codecs are NOT available in this environment, so their
+  * byte-level decode stays a clearly-marked deterministic STUB, which
+  * doubles as the fallback for undecodable image bytes — but everything
+  * Spark-side is real and tested: the schema (binary payload + metadata
+  * struct), the partition-batched execution shape (one codec init per
+  * partition, records processed in fixed-size batches — the
+  * mapPartitions analog of mapInPandas batching), the feature schema
+  * (fixed-dim float array compatible with the vector-search surface),
+  * and the partitioning behavior (narrow maps, no shuffle).
   *
   * At 100 TB: payloads live in the parquet as binary; feature extraction
   * is a narrow map whose cost dominates, so partition sizing
@@ -85,12 +91,94 @@ object Multimodal extends QueryModule {
     out
   }
 
+  // ---- REAL image codec (javax.imageio — pure JVM, offline) ----------
+
+  /** Render a deterministic grayscale PNG from source bytes: pixel j is
+    * the average of byte-window j of the source (position-dependent, so
+    * permuted payloads render differently). REAL ImageIO PNG encode —
+    * the output is actual image bytes any PNG decoder reads.
+    */
+  def renderPng(source: Array[Byte], side: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val n = if (source == null) 0 else source.length
+    val cells = side * side
+    var j = 0
+    while (j < cells) {
+      val from = (j.toLong * n / cells).toInt
+      val until = math.max(from + 1, ((j + 1).toLong * n / cells).toInt)
+      var s = 0.0; var c = 0; var i = from
+      while (i < math.min(until, n)) {
+        s += java.lang.Byte.toUnsignedInt(source(i)); c += 1; i += 1
+      }
+      img.getRaster.setSample(j % side, j / side, 0,
+        if (c == 0) 0 else (s / c).toInt)
+      j += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** REAL image decode: ImageIO reads the payload (PNG/BMP/GIF/…), the
+    * pixels are luma-converted and area-averaged down to a `grid`×`grid`
+    * grayscale grid — the decode + resize step of the pipeline on actual
+    * pixels. None when the payload is not a decodable image (the caller
+    * falls back to the byte-level stub).
+    */
+  def decodeToGrid(content: Array[Byte], grid: Int = 8): Option[Array[Double]] =
+    try {
+      if (content == null || content.isEmpty) return None
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || h <= 0) return None
+      val sums = new Array[Double](grid * grid)
+      val counts = new Array[Int](grid * grid)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587 +
+            (rgb & 255) * 114) / 1000.0
+          val cell = (y * grid / h) * grid + (x * grid / w)
+          sums(cell) += luma; counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some(Array.tabulate(grid * grid)(i =>
+        if (counts(i) == 0) 0.0 else sums(i) / counts(i)))
+    } catch { case _: Throwable => None }
+
+  /** Decode-aware feature extraction: a payload that DECODES yields the
+    * unit-normalized 8×8 grayscale grid (64 dims — real pixels through a
+    * real codec); anything else falls back to the deterministic stub.
+    */
+  def decodedFeatures(content: Array[Byte], modality: String): Array[Float] =
+    decodeToGrid(content, 8) match {
+      case Some(cells) =>
+        var ss = 0.0; var j = 0
+        while (j < cells.length) { ss += cells(j) * cells(j); j += 1 }
+        val out = new Array[Float](FeatureDim)
+        if (ss > 0) {
+          val inv = 1.0 / math.sqrt(ss)
+          j = 0
+          while (j < cells.length) { out(j) = (cells(j) * inv).toFloat; j += 1 }
+        }
+        out
+      case None => stubFeatures(content, modality)
+    }
+
   /** Feature extraction with the production execution shape: per-partition
     * "codec" initialization (once), then fixed-size batches — the
     * mapPartitions analog of mapInPandas batch processing. Narrow map:
-    * payloads never shuffle.
+    * payloads never shuffle. `decodeAware = true` routes payloads through
+    * the REAL ImageIO decode first (stub only as fallback).
     */
-  def extractFeatures(media: DataFrame): DataFrame = {
+  def extractFeatures(media: DataFrame, decodeAware: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
@@ -98,7 +186,8 @@ object Multimodal extends QueryModule {
       // real pipeline: load codec/model here, once per partition
       rows.grouped(BatchSize).zipWithIndex.flatMap { case (batch, batchId) =>
         batch.map(r => MediaFeatures(r.media_id, r.modality,
-          stubFeatures(r.content, r.modality), batchId, partitionId))
+          if (decodeAware) decodedFeatures(r.content, r.modality)
+          else stubFeatures(r.content, r.modality), batchId, partitionId))
       }
     }.toDF()
   }
@@ -142,6 +231,20 @@ object Multimodal extends QueryModule {
         col("frame"))
   }
 
+  /** The synthetic table with REAL image payloads: image-modality rows
+    * carry an actual PNG (rendered deterministically from the doc text by
+    * `renderPng`, decoded back by any PNG reader); audio/video rows keep
+    * their opaque byte payloads — exactly the mixed-corpus shape a real
+    * pipeline sees, where only some payloads decode with the loaded
+    * codec.
+    */
+  def pngMedia(spark: SparkSession, dir: String): DataFrame = {
+    val render = udf((content: Array[Byte], modality: String) =>
+      if (modality == "image") renderPng(content) else content)
+    syntheticMedia(spark, dir)
+      .withColumn("content", render(col("content"), col("modality")))
+  }
+
   // ---- driver queries ----
 
   /** Payload stats per modality — byte-level, so the oracle reconstructs
@@ -173,23 +276,29 @@ object Multimodal extends QueryModule {
   /** Feature extraction + similarity search over media features: the
     * multimodal retrieval path (extract → cosine vs a query media's
     * features → top-10), oracle-checked via the self-query construction.
-    * Stub features are engine-specific (not SQL-expressible), so nine exact
-    * copies of media 0 (same payload + modality ⇒ bit-identical features
-    * through the batched extractor) are planted at ids 100000..100008: the
-    * true top-10 is exactly {0, planted} — media 0's text is md5-unique in
-    * the testdata, and distinct payloads score strictly below the
-    * float-identical self-score tie (byte-histogram features of distinct
-    * docs sit ≥ ~1e-4 below cosine 1, vs the 6-dp round). Ordering uses the
-    * RAW score (id tiebreak inside the exact-tie group); the emitted score
-    * is rounded, where the planted green sibling already proves identical
-    * payloads round to exactly 1.0.
+    * Extracted features are engine-specific (not SQL-expressible), so nine
+    * exact copies of media 0 (same payload + modality ⇒ bit-identical
+    * features through the batched extractor — for media 0, an actual PNG
+    * through the actual ImageIO decoder) are planted at ids
+    * 100000..100008: the true top-10 is exactly {0, planted} — media 0's
+    * text is md5-unique in the testdata, and distinct payloads score
+    * strictly below the float-identical self-score tie (a raw tie at 1.0
+    * would need every one of the 256 rounded byte-window pixel averages
+    * to coincide). Ordering uses the RAW score (id tiebreak inside the
+    * exact-tie group); the emitted score is rounded, where the planted
+    * green sibling already proves identical payloads round to exactly
+    * 1.0.
     */
   def multimodalKnn(spark: SparkSession, dir: String): DataFrame = {
-    val media = syntheticMedia(spark, dir)
+    // REAL media: image payloads are actual PNGs, and the extraction is
+    // decode-aware — the planted copies round-trip through the ImageIO
+    // decoder (identical bytes ⇒ identical decoded pixels ⇒ cosine 1.0),
+    // while the audio/video rows exercise the stub-fallback lane
+    val media = pngMedia(spark, dir)
     val planted = spark.range(100000L, 100009L).toDF("new_id")
       .crossJoin(broadcast(media.filter(col("media_id") === 0L)))
       .select(col("new_id").as("media_id"), col("modality"), col("content"), col("meta"))
-    val feats = extractFeatures(media.union(planted))
+    val feats = extractFeatures(media.union(planted), decodeAware = true)
     val q = feats.filter(col("media_id") === 0L)
       .select(col("features").as("query_features"))
     feats.crossJoin(broadcast(q))
@@ -245,10 +354,11 @@ object Multimodal extends QueryModule {
 
   /** Average hash (aHash — the classic perceptual image hash): decode to
     * an 8×8 grid, bit = cell above the grid mean, 64 bits total. The
-    * decode is the module's deterministic stub (64 equal byte windows,
-    * window average = "pixel"); the aHash stage on top is the real
-    * algorithm, so identical payloads hash identically and small payload
-    * edits perturb few cells.
+    * grid here comes from the byte-window stub (64 equal byte windows,
+    * window average = "pixel") — the fallback lane for payloads that are
+    * not decodable images; `pHashDecoded` runs the SAME aHash stage over
+    * an actual ImageIO decode when the payload is a real image. Identical
+    * payloads hash identically, small edits perturb few cells.
     */
   def pHash(content: Array[Byte]): Long = {
     if (content == null || content.isEmpty) return 0L
@@ -266,15 +376,31 @@ object Multimodal extends QueryModule {
       }
       j += 1
     }
-    val mean = cells.sum / 64
+    aHashBits(cells)
+  }
+
+  /** The aHash threshold stage, shared by both grid sources. */
+  private def aHashBits(cells: Array[Double]): Long = {
+    val mean = cells.sum / cells.length
     var bits = 0L
-    j = 0
-    while (j < 64) {
+    var j = 0
+    while (j < cells.length) {
       if (cells(j) > mean) bits |= (1L << j)
       j += 1
     }
     bits
   }
+
+  /** Decode-aware aHash: a payload that DECODES (real PNG/BMP bytes
+    * through javax.imageio) is hashed over its decoded 8×8 pixel grid —
+    * the textbook aHash on real pixels; anything else falls back to the
+    * byte-window stub grid.
+    */
+  def pHashDecoded(content: Array[Byte]): Long =
+    decodeToGrid(content, 8) match {
+      case Some(cells) => aHashBits(cells)
+      case None => pHash(content)
+    }
 
   /** Perceptual near-dup pairs via the SimHash discipline: 64-bit hash →
     * 8 × 8-bit chunks; by pigeonhole any pair within hamming distance 7
@@ -290,19 +416,27 @@ object Multimodal extends QueryModule {
     * exercises them on perturbed payloads.
     */
   def phashPlantedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val media = syntheticMedia(spark, dir)
+    // real PNG payloads on the image rows + decode-aware hashing: the
+    // planted copies round-trip identical PNG bytes through the actual
+    // ImageIO decoder (hamming 0 over decoded pixels); audio/video rows
+    // band through the stub-fallback lane in the same join
+    val media = pngMedia(spark, dir)
     val planted = media.filter(col("media_id") < 30)
       .select((col("media_id") + 900000L).as("media_id"),
         col("modality"), col("content"), col("meta"))
-    phashNearDupes(media.unionByName(planted), maxHamming = 7)
+    phashNearDupes(media.unionByName(planted), maxHamming = 7,
+        decodeAware = true)
       .filter(col("media_b") === col("media_a") + 900000L)
       .orderBy("media_a")
   }
 
   /** The reusable operator: hash, band, join, refine. */
-  def phashNearDupes(media: DataFrame, maxHamming: Int): DataFrame = {
+  def phashNearDupes(media: DataFrame, maxHamming: Int,
+      decodeAware: Boolean = false): DataFrame = {
     require(maxHamming <= 7, "8x8-bit banding only pigeonholes hamming <= 7")
-    val hashUdf = udf((c: Array[Byte]) => pHash(c))
+    val hashUdf =
+      if (decodeAware) udf((c: Array[Byte]) => pHashDecoded(c))
+      else udf((c: Array[Byte]) => pHash(c))
     val hashed = media.select(col("media_id"), hashUdf(col("content")).as("ph"))
     val chunks = hashed.select(col("media_id"), col("ph"),
       posexplode(expr(

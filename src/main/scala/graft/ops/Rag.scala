@@ -1192,7 +1192,72 @@ object Rag extends QueryModule {
        |WHERE contains(lower(text), '$TrigramNeedle')
        |ORDER BY doc_id""".stripMargin
 
+  /** The reference's §3.2 retrieve-and-assemble slice expressed PURELY as
+    * `spark.sql` TEXT through the registered extension functions
+    * (`GraftExtensions` — `graft_dot` for the vector stage, `chunk_split`
+    * for the chunking stage): proof that a SQL-only user of the library
+    * runs the reference's query shape (`query_rag_database.py` retrieve →
+    * snippet assembly) with no Scala API at all. Scala prepares only the
+    * TABLES (temp views: embeddings + nine planted self-copies of vec 0 —
+    * the annLshTopk fixture — and the documents table) and the query
+    * vector literal; every stage of the query itself is SQL text.
+    *
+    * Enumerable oracle (the planted self-query construction): the top-10
+    * is exactly {0, 100000..100008} at rounded score 1.0, each joined to
+    * its source document's chunk 1 — which at default (1000/150) chunking
+    * is the whole trimmed document (the rag_pipeline_planted contract).
+    */
+  def ragSqlTopk(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // bounded collect: the 1-row query vector, reused as planted copies
+    val q = e.filter(col("vec_id") === 0L).head().getSeq[Float](1)
+    val copies = (100000L until 100009L).map(id => (id, q))
+      .toDF("vec_id", "embedding")
+    e.unionByName(copies).createOrReplaceTempView("g_rag_sql_embeddings")
+    Tables.documents(spark, dir)
+      .createOrReplaceTempView("g_rag_sql_documents")
+    // Float.toString is shortest-round-trip, so the literal re-parses to
+    // the identical float and graft_dot scores bit-equal to the Scala path
+    val qvLit = q.map(f => s"CAST($f AS FLOAT)")
+      .mkString("array(", ", ", ")")
+    spark.sql(s"""
+      WITH scored AS (
+        SELECT vec_id, round(graft_dot(embedding, $qvLit), 6) AS score
+        FROM g_rag_sql_embeddings
+      ),
+      hits AS (
+        SELECT vec_id, score FROM scored
+        ORDER BY score DESC, vec_id ASC LIMIT 10
+      ),
+      chunks AS (
+        SELECT doc_id, CAST(c.pos + 1 AS INT) AS chunk_number,
+               c.total AS total_chunks, c.chunk AS chunk_text
+        FROM g_rag_sql_documents
+        LATERAL VIEW chunk_split(text, 1000, 150) c AS pos, total, chunk
+      )
+      SELECT h.vec_id, h.score, ck.chunk_number, ck.total_chunks, ck.chunk_text
+      FROM hits h
+      JOIN chunks ck
+        ON ck.doc_id = h.vec_id % 100000 AND ck.chunk_number = 1
+      ORDER BY h.vec_id
+    """)
+  }
+
+  private val ragSqlTopkSql =
+    """WITH hits AS (
+      |  SELECT CAST(0 AS BIGINT) AS vec_id
+      |  UNION ALL
+      |  SELECT doc_id + 100000 FROM documents WHERE doc_id < 9
+      |)
+      |SELECT h.vec_id, 1.0::DOUBLE AS score, 1 AS chunk_number,
+      |       1 AS total_chunks, trim(d.text) AS chunk_text
+      |FROM hits h JOIN documents d ON d.doc_id = h.vec_id % 100000
+      |ORDER BY h.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rag_sql_topk" -> ragSqlTopk,
     "trigram_search" -> trigramSearch,
     "interactive_replay" -> interactiveReplay,
     "rerank_topn" -> rerankTopn,
@@ -1214,6 +1279,7 @@ object Rag extends QueryModule {
     "hybrid_weighted_indexed" -> hybridWeightedIndexed)
 
   def oracles: Map[String, String] = Map(
+    "rag_sql_topk" -> ragSqlTopkSql,
     "trigram_search" -> trigramSearchSql,
     "interactive_replay" -> interactiveReplaySql,
     "rerank_topn" -> rerankTopnSql,

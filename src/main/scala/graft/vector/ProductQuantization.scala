@@ -298,6 +298,52 @@ object ProductQuantization {
       .write.mode("append").partitionBy("cluster_id").parquet(path)
   }
 
+  /** Train coarse centroids + PQ codebooks and write ONLY the sidecars —
+    * the bootstrap of a STREAMING-ingested IVF-PQ index (the FAISS
+    * train-then-add contract, `IndexBuilder.trainIvfCentroids`'s shape
+    * extended with the codebook sidecar): batch data arrives later via
+    * `stagePqBatch`, assigned and encoded against this frozen state.
+    */
+  def trainIvfPqSidecars(df: DataFrame, embCol: String, numClusters: Int,
+      seed: Long, root: String, m: Int = 16, ksub: Int = 64): Unit = {
+    val books = fitCodebooks(df, embCol, m, ksub, seed)
+    val (_, centers) =
+      IndexBuilder.withIvfCluster(df, embCol, numClusters, seed)
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(IndexBuilder.IvfCentroidsFile),
+      centers.map(_.map(java.lang.Double.toString).mkString(","))
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(dir.resolve(PqCodebooksFile),
+      (s"$m,$ksub" +:
+        books.flatMap(_.map(_.map(java.lang.Double.toString).mkString(","))).toSeq)
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** EXACTLY-ONCE micro-batch staging for a streaming IVF-PQ index — the
+    * `stageIvfBatch` discipline on the ENCODED layout: arrivals assign
+    * and PQ-encode against the STANDING sidecars (pure functions of
+    * (vector, centroids/codebooks), never a refit) and land under the
+    * deterministic `batch=<id>/cluster_id=<c>` directory with overwrite,
+    * so an at-least-once redelivery rewrites its own batch directory
+    * instead of appending a second copy. Readers partition-prune on
+    * cluster_id across every batch directory; folding aged batches is
+    * `Compaction.foldStagedBatches`, as with LSH/IVF.
+    */
+  def stagePqBatch(df: DataFrame, embCol: String, root: String,
+      batchId: Long): Unit = {
+    val centers = IndexBuilder.loadIvfCentroids(root)
+    val books = loadPqCodebooks(root)
+    val assign = udf { (v: Seq[Float]) =>
+      IndexBuilder.nearestClusters(centers, v.toArray, 1).head
+    }
+    IndexBuilder.clusteredBy(
+        withPqCodes(df.withColumn("cluster_id", assign(col(embCol))), embCol, books),
+        "cluster_id", centers.length)
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$root/batch=$batchId")
+  }
+
   /** Query the persisted index: sidecar-ranked nProbe partition pruning,
     * stored-code ADC coarse pass, exact rescore of the tie-inclusive
     * overscan set. No fit, no encode — the serving path.
