@@ -55,7 +55,7 @@ object Bench {
           false
         }
       // Drop any .cache() a query registered: cached frames otherwise
-      // accumulate for the life of the full-board session (239 queries)
+      // accumulate for the life of the full-board session (the full query board)
       // and steal unified memory from execution (each query is timed
       // cold, as a fresh cluster job would run it).
       spark.catalog.clearCache()
@@ -81,7 +81,10 @@ object Bench {
       SparkEntry.queries.toSeq
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .sortBy(_._1).map { case (name, fn) =>
-        val (t1, ok1) = timeOne(name, fn)
+        // A guard-triggered second board (recordPasses=false) must not
+        // mark rows failed: if board1 is the board kept, a board2-only
+        // failure would read as breakage of a recorded-green board.
+        val (t1, ok1) = timeOne(name, fn, recordFailure = recordPasses)
         val t =
           if (t1 > rerunThreshold && ok1) {
             if (recordPasses) { reruns += name; firstPass(name) = t1 }

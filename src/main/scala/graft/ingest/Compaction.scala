@@ -242,9 +242,30 @@ object Compaction {
         else spark.read.parquet(staging.toString).count()
       deleted = beforeRows - afterRows
       // commit: the marker pins each affected leaf's outcome, then the
-      // (idempotent, resumable) swap installs them
-      val outcomes = affected.toSeq.map { v =>
-        val leaf = s"$partitionCol=$v"
+      // (idempotent, resumable) swap installs them. Leaf names are built
+      // the way the staging write itself builds them — Hive path escaping,
+      // null -> __HIVE_DEFAULT_PARTITION__ — so a value whose directory
+      // encoding differs from toString (escaped specials, nulls) still
+      // matches its staged dir instead of being misclassified as 'drop'.
+      val expectedLeaves = affected.toSeq.map { v =>
+        v -> (s"$partitionCol=" + (if (v == null)
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(v.toString)))
+      }
+      // Staged dirs the writer produced must all be leaves we expected to
+      // rewrite — a mismatch means the name scheme diverged (e.g. a
+      // partition-discovery type round-trip like '01' -> 1), and silently
+      // classifying the survivor as 'drop' would DELETE live data. Fail
+      // loudly instead; the dot-prefixed staging is invisible to readers.
+      val unexpected = stagedLeaves -- expectedLeaves.map(_._2).toSet
+      require(unexpected.isEmpty,
+        s"foldTombstones: staged leaves $unexpected do not match any " +
+          s"expected partition directory name (expected: " +
+          s"${expectedLeaves.map(_._2).toSet}); aborting before the swap " +
+          "marker — live leaves untouched")
+      val outcomes = expectedLeaves.map { case (_, leaf) =>
         leaf -> stagedLeaves.contains(leaf)
       }
       val marker = fs.create(
@@ -338,7 +359,12 @@ object Compaction {
     * overwrites its own directory, so folding a batch that might still
     * be replayed would let the replay re-admit its rows beside the
     * folded copy. Replays also refresh the directory mtime, which is the
-    * age measured here. Crash discipline is the same staged swap: fold
+    * age measured here. The age test is INCLUSIVE (age >= minAgeMs), so
+    * the floor must be chosen STRICTLY GREATER than the delivery
+    * system's max redelivery delay: a replay landing exactly at the
+    * horizon can arrive after the fold consumed its directory, and the
+    * overwrite then re-admits the rows beside the folded copy
+    * (CompactionSpec "horizon boundary" demonstrates the duplicate). Crash discipline is the same staged swap: fold
     * written under the reader-invisible `<root>/_compact`, a `_STAGED`
     * marker commits the target list, then targets are deleted and the
     * staged leaf renamed in; re-running the fold first completes or

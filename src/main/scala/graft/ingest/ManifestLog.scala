@@ -110,12 +110,28 @@ object ManifestLog {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
-      else
-        // HDFS rename refuses an existing destination (atomic in the NN)
+      else if (NoOverwriteRenameSchemes(fs.getScheme))
+        // these filesystems' rename refuses an existing destination
+        // atomically (HDFS in the NN; viewfs delegates to HDFS mounts)
         fs.rename(tmp, vp)
+      else
+        // Object stores (s3a, abfs, gs, …) either overwrite on rename or
+        // rename non-atomically — two racers could BOTH "win" and one
+        // commit would be silently lost. Refusing loudly preserves the
+        // multi-writer contract; those stores need a conditional-put or
+        // DynamoDB-style lock layer this engine doesn't ship.
+        throw new UnsupportedOperationException(
+          s"ManifestLog: filesystem scheme '${fs.getScheme}' has no " +
+            "atomic no-overwrite rename; the CAS commit would silently " +
+            "lose races. Use HDFS/local, or front the log with a " +
+            "conditional-put catalog.")
     fs.delete(tmp, false)
     published
   }
+
+  /** Filesystems whose FileSystem.rename is atomic AND refuses an
+    * existing destination — the property the CAS install needs. */
+  private val NoOverwriteRenameSchemes = Set("hdfs", "viewfs", "webhdfs")
 
   /** Optimistic commit loop: derive the update from the latest VALID
     * version at/below the claimed head and publish it as claimed+1; on a
@@ -144,5 +160,24 @@ object ManifestLog {
   def allReferenced(spark: SparkSession, dir: String): Set[String] = {
     (1L to claimedVersion(spark, dir))
       .flatMap(v => read(spark, dir, v).getOrElse(Seq.empty)).toSet
+  }
+
+  /** Iceberg-style snapshot EXPIRY: drop every version strictly below
+    * `keepFrom` from the log, so their exclusively-referenced data files
+    * become vacuum-eligible (`allReferenced` no longer sees them).
+    * Version numbers are never reclaimed — `claimedVersion` is the max
+    * surviving name, and `keepFrom` must not exceed the current valid
+    * head (an empty log would un-serialize the next CAS claim). Returns
+    * the expired version numbers. Safe against racing committers: they
+    * claim ABOVE the head, never below it.
+    */
+  def expire(spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] = {
+    val head = currentVersion(spark, dir)
+    require(keepFrom <= head,
+      s"expire(keepFrom=$keepFrom) would drop the valid head v$head")
+    val (fs, _) = hfs(spark, dir)
+    (1L until keepFrom).filter { v =>
+      fs.delete(versionPath(dir, v), false)
+    }
   }
 }

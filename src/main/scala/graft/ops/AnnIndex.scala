@@ -1577,6 +1577,74 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** EXACTLY-ONCE streaming ingestion for the IVF-PQ family — the FAISS
+    * train-then-add contract on the ENCODED layout: coarse centroids AND
+    * PQ codebooks train ONCE on the base corpus
+    * (`ProductQuantization.trainIvfPqSidecars` — sidecars only, no data),
+    * then every micro-batch assigns + PQ-encodes against the standing
+    * sidecars and lands in its deterministic `batch=<id>/cluster_id=<c>`
+    * directory with overwrite (`stagePqBatch`). The planted-copy batch is
+    * REPLAYED (the post-crash redelivery every foreachBatch sink sees)
+    * and must rewrite its own directory: duplicated copies would displace
+    * true neighbors in the limit-10 and break the enumerable self-query
+    * oracle. Serving is the stored-code ADC path (`ivfPqIndexTopK`):
+    * partition-pruned scan across all batch directories, codes-only
+    * coarse pass, exact rescore of the overscan survivors — codes are
+    * read as written at stage time, so the row also pins that staged
+    * encodings round-trip. One cached unit (IVF/LSH streaming rule).
+    */
+  def annIvfPqStreamingIngestTopk(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpqstream_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    val base = e.select("vec_id", "embedding")
+    val corpus = withPlantedSelfCopies(spark, e)
+    val arrivals = corpus.filter(col("vec_id") >= 100000L)
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivfpq:clusters=16:seed=42:lifecycle=stream-ingest:v1", root) {
+      graft.vector.ProductQuantization.trainIvfPqSidecars(
+        base, "embedding", numClusters = 16, seed = 42L, root)
+      graft.vector.ProductQuantization.stagePqBatch(base, "embedding", root, 0L)
+      graft.vector.ProductQuantization.stagePqBatch(arrivals, "embedding", root, 1L)
+      // crash-replay of batch 1: same rows, same batch id, second delivery
+      graft.vector.ProductQuantization.stagePqBatch(arrivals, "embedding", root, 1L)
+    }
+    graft.vector.ProductQuantization.ivfPqIndexTopK(
+      spark, root, "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 10, nProbe = tunedNProbe(spark, dir))
+  }
+
+  /** EXACTLY-ONCE streaming ingestion for the IVF-SQ8 family — the same
+    * contract on the int8-quantized layout: SQ8 quantization is
+    * codebook-free (scale + codes are pure functions of the vector), so
+    * the trained state is just the coarse centroid sidecar
+    * (`IndexBuilder.trainIvfCentroids`); micro-batches assign + quantize
+    * against it (`Quantization.stageSq8Batch`), the copy batch replays
+    * into its own directory, and serving is the stored-codes coarse pass
+    * + exact rescore (`ivfSq8IndexTopK`) partition-pruned across all
+    * batch directories.
+    */
+  def annIvfSq8StreamingIngestTopk(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_sq8stream_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    val base = e.select("vec_id", "embedding")
+    val corpus = withPlantedSelfCopies(spark, e)
+    val arrivals = corpus.filter(col("vec_id") >= 100000L)
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivfsq8:clusters=16:seed=42:lifecycle=stream-ingest:v1", root) {
+      IndexBuilder.trainIvfCentroids(base, "embedding",
+        numClusters = 16, seed = 42L, root)
+      graft.vector.Quantization.stageSq8Batch(base, "embedding", root, 0L)
+      graft.vector.Quantization.stageSq8Batch(arrivals, "embedding", root, 1L)
+      // crash-replay of batch 1: same rows, same batch id, second delivery
+      graft.vector.Quantization.stageSq8Batch(arrivals, "embedding", root, 1L)
+    }
+    graft.vector.Quantization.ivfSq8IndexTopK(
+      spark, root, "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 10, nProbe = tunedNProbe(spark, dir))
+  }
+
   /** RETENTION for the streaming-staged LSH root — the reclamation half
     * of `ann_streaming_ingest_topk`'s exactly-once staging, mirroring the
     * minhash store fold: stage the base and the copy batch (plus its
@@ -2115,6 +2183,42 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  // ---- CAS-committed index version log ---------------------------------
+  // The versioned-read rows commit through `graft.ingest.ManifestLog` —
+  // the same optimistic multi-writer CAS log the lakehouse rows use
+  // (exclusive create of v<N>.manifest, sentinel-guarded content) —
+  // instead of the pre-r13 single-writer parquet manifest: an index fleet
+  // (appender racing a compactor racing an expiry job) is exactly the
+  // multi-writer case, and the parquet overwrite could tear under it.
+  // Manifest-level probe pruning is unchanged: file paths carry their
+  // partition (`bucket=`/`cluster_id=`), so the driver prunes the
+  // file LIST before any scan.
+
+  private def indexLogDir(path: String): String = path + "_mlog"
+
+  /** Reset the version log inside a fixture rebuild (the data dirs are
+    * being rebuilt too, so the old log's references are stale). */
+  private def resetIndexLog(path: String): Unit =
+    deleteRecursively(new java.io.File(indexLogDir(path)))
+
+  /** CAS-commit one index version; `update` receives the head's file
+    * list (append = head ++ new files; compaction = replace wholesale). */
+  private def commitIndexVersion(spark: SparkSession, path: String,
+      update: Seq[String] => Seq[String]): Long =
+    graft.ingest.ManifestLog.commit(spark, indexLogDir(path), update)
+
+  /** Resolve version `v`'s file list through the log, pruned at the
+    * MANIFEST to the probe partitions (file-count-bounded, no scan). */
+  private def indexVersionFiles(spark: SparkSession, path: String, v: Long,
+      partCol: String, probes: Set[Int]): Seq[String] =
+    graft.ingest.ManifestLog.read(spark, indexLogDir(path), v)
+      .getOrElse(throw new java.io.IOException(
+        s"index version log: no valid v$v under ${indexLogDir(path)}"))
+      .filter { f =>
+        s"$partCol=(\\d+)".r.findFirstMatchIn(f)
+          .forall(m => probes.contains(m.group(1).toInt))
+      }
+
   /** Every parquet data file under an index root, recursively — the
     * manifest-commit primitive shared by the versioned-read rows. */
   private def listIndexFiles(spark: SparkSession, path: String): Seq[String] = {
@@ -2154,8 +2258,12 @@ object AnnIndex extends QueryModule {
         graft.vector.GraphAnn.buildNswGraph(
           part, "embedding", "vec_id", defaultLsh, m = 8, path)
       }
-      graft.vector.GraphAnn.nswSearch(
-        spark, path, part, "embedding", "vec_id", qv, k = 10)
+      // per-shard RESIDENT serve (one job per shard, pin amortized per
+      // shard version) — the serving-node shape: each shard node holds
+      // its own view; parity with the distributed walk is spec-pinned
+      graft.vector.GraphAnn.nswServedSearch(
+        spark, path, part, "embedding", "vec_id", Seq(0L -> qv), k = 10)
+        .select("vec_id", "score")
     }
     shardTops.reduce(_ unionByName _)
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -2186,31 +2294,26 @@ object AnnIndex extends QueryModule {
     val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
     def dataFiles(): Seq[String] = listIndexFiles(spark, path)
     ResultCache.buildIfAbsent(spark, corpus,
-      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=timetravel:v1", path) {
-      deleteRecursively(new java.io.File(path + "_manifest"))
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=timetravel:v2", path) {
+      resetIndexLog(path)
       IndexBuilder.buildLshIndex(
         e.unionByName(corpus.filter(col("vec_id").between(100000L, 100004L))),
         "embedding", defaultLsh, path)
       val v1 = dataFiles()
+      // the commits go through the CAS log: data files land FIRST, then
+      // the version claim — a reader of v1 never sees a torn append, and
+      // a racing second committer would retry on top, never clobber
+      commitIndexVersion(spark, path, _ => v1)
       IndexBuilder.appendToLshIndex(
         corpus.filter(col("vec_id") >= 100005L), "embedding", defaultLsh, path)
-      val v2 = dataFiles()
-      // the commit: version rows land atomically per version — a reader
-      // of v1 never sees a torn append (it resolves v1's rows only)
-      (v1.map((1L, _)) ++ v2.map((2L, _))).toDF("version", "file")
-        .repartition(1).write.mode("overwrite").parquet(path + "_manifest")
+      val newFiles = dataFiles().diff(v1)
+      commitIndexVersion(spark, path, head => head ++ newFiles)
     }
     val qv = queryVec(spark, dir, 0L)
     val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
       radius = tunedRadius(spark, dir)).toSet
     def readVersion(v: Long, k: Int): DataFrame = {
-      val files = spark.read.parquet(path + "_manifest")
-        .filter(col("version") === v).select("file")
-        .collect().map(_.getString(0)) // manifest: file-count-bounded
-        .filter { f => // manifest-level partition pruning on the path
-          "bucket=(\\d+)".r.findFirstMatchIn(f)
-            .forall(m => probes.contains(m.group(1).toInt))
-        }
+      val files = indexVersionFiles(spark, path, v, "bucket", probes)
       spark.read.option("basePath", path).parquet(files: _*)
         .filter(col("bucket").isin(probes.toSeq: _*))
         .withColumn("score", round(
@@ -2256,16 +2359,18 @@ object AnnIndex extends QueryModule {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
     ResultCache.buildIfAbsent(spark, corpus,
-      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=compact+expire+vacuum:v1",
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=compact+expire+vacuum:v2",
       path) {
-      deleteRecursively(new java.io.File(path + "_manifest"))
+      resetIndexLog(path)
       IndexBuilder.buildLshIndex(
         e.unionByName(corpus.filter(col("vec_id").between(100000L, 100004L))),
         "embedding", defaultLsh, path)
       val v1 = listIndexFiles(spark, path)
+      commitIndexVersion(spark, path, _ => v1)
       IndexBuilder.appendToLshIndex(
         corpus.filter(col("vec_id") >= 100005L), "embedding", defaultLsh, path)
       val v2 = listIndexFiles(spark, path)
+      commitIndexVersion(spark, path, head => head ++ v2.diff(v1))
       // v3: the compaction commit — live rows rewritten as fresh files in
       // the same layout; old files stay on disk until the vacuum.
       // Materialized BEFORE the write: appending to the directory being
@@ -2277,11 +2382,13 @@ object AnnIndex extends QueryModule {
         .write.mode("append").partitionBy("bucket").parquet(path)
       val v3 = listIndexFiles(spark, path).diff(v2)
       require(v3.nonEmpty, "compaction produced no files")
-      // expiry: only v3 survives in the manifest
-      v3.map((3L, _)).toDF("version", "file")
-        .repartition(1).write.mode("overwrite").parquet(path + "_manifest")
+      // the compaction commit REPLACES the file set (layout, not content)
+      commitIndexVersion(spark, path, _ => v3)
+      // expiry: drop v1/v2 from the log — their files become unreferenced
+      graft.ingest.ManifestLog.expire(spark, indexLogDir(path), keepFrom = 3L)
       // vacuum: delete every data file referenced by NO surviving version
-      val referenced = v3.toSet
+      val referenced =
+        graft.ingest.ManifestLog.allReferenced(spark, indexLogDir(path))
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val reclaimed = listIndexFiles(spark, path).filterNot(referenced)
@@ -2292,13 +2399,7 @@ object AnnIndex extends QueryModule {
     val qv = queryVec(spark, dir, 0L)
     val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
       radius = tunedRadius(spark, dir)).toSet
-    val files = spark.read.parquet(path + "_manifest")
-      .filter(col("version") === 3L).select("file")
-      .collect().map(_.getString(0))
-      .filter { f =>
-        "bucket=(\\d+)".r.findFirstMatchIn(f)
-          .forall(m => probes.contains(m.group(1).toInt))
-      }
+    val files = indexVersionFiles(spark, path, 3L, "bucket", probes)
     spark.read.option("basePath", path).parquet(files: _*)
       .filter(col("bucket").isin(probes.toSeq: _*))
       .withColumn("score", round(
@@ -2330,30 +2431,24 @@ object AnnIndex extends QueryModule {
     val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
     def dataFiles(): Seq[String] = listIndexFiles(spark, path)
     ResultCache.buildIfAbsent(spark, corpus,
-      "ivf:clusters=16:seed=42:lifecycle=timetravel:v1", path) {
-      deleteRecursively(new java.io.File(path + "_manifest"))
+      "ivf:clusters=16:seed=42:lifecycle=timetravel:v2", path) {
+      resetIndexLog(path)
       IndexBuilder.buildIvfIndex(
         e.unionByName(corpus.filter(col("vec_id").between(100000L, 100004L))),
         "embedding", numClusters = 16, seed = 42L, path)
       val v1 = dataFiles()
+      commitIndexVersion(spark, path, _ => v1)
       IndexBuilder.appendToIvfIndex(
         corpus.filter(col("vec_id") >= 100005L), "embedding", path)
-      val v2 = dataFiles()
-      (v1.map((1L, _)) ++ v2.map((2L, _))).toDF("version", "file")
-        .repartition(1).write.mode("overwrite").parquet(path + "_manifest")
+      val newFiles = dataFiles().diff(v1)
+      commitIndexVersion(spark, path, head => head ++ newFiles)
     }
     val qv = queryVec(spark, dir, 0L)
     val probes = IndexBuilder.nearestClusters(
       IndexBuilder.loadIvfCentroids(path), qv,
       nProbe = tunedNProbe(spark, dir)).toSet
     def readVersion(v: Long, k: Int): DataFrame = {
-      val files = spark.read.parquet(path + "_manifest")
-        .filter(col("version") === v).select("file")
-        .collect().map(_.getString(0)) // manifest: file-count-bounded
-        .filter { f => // manifest-level partition pruning on the path
-          "cluster_id=(\\d+)".r.findFirstMatchIn(f)
-            .forall(m => probes.contains(m.group(1).toInt))
-        }
+      val files = indexVersionFiles(spark, path, v, "cluster_id", probes)
       spark.read.option("basePath", path).parquet(files: _*)
         .filter(col("cluster_id").isin(probes.toSeq: _*))
         .withColumn("score", round(
@@ -2552,17 +2647,17 @@ object AnnIndex extends QueryModule {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
     ResultCache.buildIfAbsent(spark, corpus,
-      "ivfpq:clusters=16:seed=42:lifecycle=timetravel:v1", path) {
-      deleteRecursively(new java.io.File(path + "_manifest"))
+      "ivfpq:clusters=16:seed=42:lifecycle=timetravel:v2", path) {
+      resetIndexLog(path)
       graft.vector.ProductQuantization.buildIvfPqIndex(
         e.unionByName(corpus.filter(col("vec_id").between(100000L, 100004L))),
         "embedding", numClusters = 16, seed = 42L, path)
       val v1 = listIndexFiles(spark, path)
+      commitIndexVersion(spark, path, _ => v1)
       graft.vector.ProductQuantization.appendToIvfPqIndex(
         corpus.filter(col("vec_id") >= 100005L), "embedding", path)
-      val v2 = listIndexFiles(spark, path)
-      (v1.map((1L, _)) ++ v2.map((2L, _))).toDF("version", "file")
-        .repartition(1).write.mode("overwrite").parquet(path + "_manifest")
+      val newFiles = listIndexFiles(spark, path).diff(v1)
+      commitIndexVersion(spark, path, head => head ++ newFiles)
     }
     val qv = queryVec(spark, dir, 0L)
     val books = graft.vector.ProductQuantization.loadPqCodebooks(path)
@@ -2570,13 +2665,7 @@ object AnnIndex extends QueryModule {
       IndexBuilder.loadIvfCentroids(path), qv,
       nProbe = tunedNProbe(spark, dir)).toSet
     def readVersion(v: Long, k: Int): DataFrame = {
-      val files = spark.read.parquet(path + "_manifest")
-        .filter(col("version") === v).select("file")
-        .collect().map(_.getString(0)) // manifest: file-count-bounded
-        .filter { f => // manifest-level partition pruning on the path
-          "cluster_id=(\\d+)".r.findFirstMatchIn(f)
-            .forall(m => probes.contains(m.group(1).toInt))
-        }
+      val files = indexVersionFiles(spark, path, v, "cluster_id", probes)
       val live = spark.read.option("basePath", path).parquet(files: _*)
         .filter(col("cluster_id").isin(probes.toSeq: _*))
       graft.vector.ProductQuantization.pqSearchEncoded(
@@ -2604,14 +2693,17 @@ object AnnIndex extends QueryModule {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
     ResultCache.buildIfAbsent(spark, corpus,
-      "ivf:clusters=16:seed=42:lifecycle=compact+expire+vacuum:v1", path) {
-      deleteRecursively(new java.io.File(path + "_manifest"))
+      "ivf:clusters=16:seed=42:lifecycle=compact+expire+vacuum:v2", path) {
+      resetIndexLog(path)
       IndexBuilder.buildIvfIndex(
         e.unionByName(corpus.filter(col("vec_id").between(100000L, 100004L))),
         "embedding", numClusters = 16, seed = 42L, path)
+      val v1 = listIndexFiles(spark, path)
+      commitIndexVersion(spark, path, _ => v1)
       IndexBuilder.appendToIvfIndex(
         corpus.filter(col("vec_id") >= 100005L), "embedding", path)
       val v2 = listIndexFiles(spark, path)
+      commitIndexVersion(spark, path, head => head ++ v2.diff(v1))
       // v3: the compaction commit — live rows rewritten as fresh files in
       // the same cluster layout; old files stay on disk until the vacuum.
       // Materialized BEFORE the write: appending to the directory being
@@ -2623,9 +2715,10 @@ object AnnIndex extends QueryModule {
         .write.mode("append").partitionBy("cluster_id").parquet(path)
       val v3 = listIndexFiles(spark, path).diff(v2)
       require(v3.nonEmpty, "compaction produced no files")
-      v3.map((3L, _)).toDF("version", "file")
-        .repartition(1).write.mode("overwrite").parquet(path + "_manifest")
-      val referenced = v3.toSet
+      commitIndexVersion(spark, path, _ => v3)
+      graft.ingest.ManifestLog.expire(spark, indexLogDir(path), keepFrom = 3L)
+      val referenced =
+        graft.ingest.ManifestLog.allReferenced(spark, indexLogDir(path))
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val reclaimed = listIndexFiles(spark, path).filterNot(referenced)
@@ -2637,13 +2730,7 @@ object AnnIndex extends QueryModule {
     val probes = IndexBuilder.nearestClusters(
       IndexBuilder.loadIvfCentroids(path), qv,
       nProbe = tunedNProbe(spark, dir)).toSet
-    val files = spark.read.parquet(path + "_manifest")
-      .filter(col("version") === 3L).select("file")
-      .collect().map(_.getString(0))
-      .filter { f =>
-        "cluster_id=(\\d+)".r.findFirstMatchIn(f)
-          .forall(m => probes.contains(m.group(1).toInt))
-      }
+    val files = indexVersionFiles(spark, path, 3L, "cluster_id", probes)
     spark.read.option("basePath", path).parquet(files: _*)
       .filter(col("cluster_id").isin(probes.toSeq: _*))
       .withColumn("score", round(
@@ -2732,30 +2819,24 @@ object AnnIndex extends QueryModule {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val corpus = withPlantedSelfCopies(spark, Tables.embeddings(spark, dir))
     ResultCache.buildIfAbsent(spark, corpus,
-      "ivfsq8:clusters=16:seed=42:lifecycle=timetravel:v1", path) {
-      deleteRecursively(new java.io.File(path + "_manifest"))
+      "ivfsq8:clusters=16:seed=42:lifecycle=timetravel:v2", path) {
+      resetIndexLog(path)
       graft.vector.Quantization.buildIvfSq8Index(
         e.unionByName(corpus.filter(col("vec_id").between(100000L, 100004L))),
         "embedding", numClusters = 16, seed = 42L, path)
       val v1 = listIndexFiles(spark, path)
+      commitIndexVersion(spark, path, _ => v1)
       graft.vector.Quantization.appendToIvfSq8Index(
         corpus.filter(col("vec_id") >= 100005L), "embedding", path)
-      val v2 = listIndexFiles(spark, path)
-      (v1.map((1L, _)) ++ v2.map((2L, _))).toDF("version", "file")
-        .repartition(1).write.mode("overwrite").parquet(path + "_manifest")
+      val newFiles = listIndexFiles(spark, path).diff(v1)
+      commitIndexVersion(spark, path, head => head ++ newFiles)
     }
     val qv = queryVec(spark, dir, 0L)
     val probes = IndexBuilder.nearestClusters(
       IndexBuilder.loadIvfCentroids(path), qv,
       nProbe = tunedNProbe(spark, dir)).toSet
     def readVersion(v: Long, k: Int): DataFrame = {
-      val files = spark.read.parquet(path + "_manifest")
-        .filter(col("version") === v).select("file")
-        .collect().map(_.getString(0)) // manifest: file-count-bounded
-        .filter { f => // manifest-level partition pruning on the path
-          "cluster_id=(\\d+)".r.findFirstMatchIn(f)
-            .forall(m => probes.contains(m.group(1).toInt))
-        }
+      val files = indexVersionFiles(spark, path, v, "cluster_id", probes)
       val live = spark.read.option("basePath", path).parquet(files: _*)
         .filter(col("cluster_id").isin(probes.toSeq: _*))
       graft.vector.Quantization.quantizedKnn(
@@ -2794,9 +2875,12 @@ object AnnIndex extends QueryModule {
     }
     require(!new java.io.File(path + "._compact.bak").exists(),
       "vacuum must reclaim the layer-0 retained backup")
-    graft.vector.GraphAnn.hnswSearch(
+    // resident ladder serve over the vacuumed rungs (same pin contract
+    // as the flat vacuumed row: mutations move the stamp, re-reads reuse)
+    graft.vector.GraphAnn.hnswServedSearch(
       spark, path, corpus, "embedding", "vec_id",
-      queryVec(spark, dir, 0L), k = 5)
+      Seq(0L -> queryVec(spark, dir, 0L)), k = 5)
+      .select("vec_id", "score")
   }
 
   /** VACUUM for the graph family — the maintenance loop closed the way
@@ -2833,9 +2917,12 @@ object AnnIndex extends QueryModule {
     }
     require(!new java.io.File(path + "._compact.bak").exists(),
       "vacuum must reclaim the retained backup")
-    graft.vector.GraphAnn.nswSearch(
+    // resident serve over the vacuumed base (pin re-stamps on the fold/
+    // compact/vacuum mutations, then amortizes across warm re-reads)
+    graft.vector.GraphAnn.nswServedSearch(
       spark, path, corpus, "embedding", "vec_id",
-      queryVec(spark, dir, 0L), k = 5)
+      Seq(0L -> queryVec(spark, dir, 0L)), k = 5)
+      .select("vec_id", "score")
   }
 
   /** TIME TRAVEL through the HNSW ladder: the graph family's seq-pinned
@@ -3188,10 +3275,16 @@ object AnnIndex extends QueryModule {
         spark, batchB, "embedding", "vec_id", defaultLsh, m = 8, path,
         e.unionByName(batchA.select("vec_id", "embedding")))
     }
+    // served through the RESIDENT pin, one per pinned version (the HNSW
+    // time-travel row's r12 move, applied to the flat graph): the
+    // asOfSeq-keyed pin cache makes the warm read two single-job serves
+    // instead of re-walking distributed per version; parity with the
+    // distributed versioned walk is pinned by AnnIndexSpec's
+    // "nsw served time travel parity"
     def readVersion(v: Long, asOf: Long, k: Int): DataFrame =
-      graft.vector.GraphAnn.nswSearch(
+      graft.vector.GraphAnn.nswServedSearch(
         spark, path, corpus, "embedding", "vec_id",
-        queryVec(spark, dir, 0L), k = k, asOfSeq = asOf)
+        Seq(0L -> queryVec(spark, dir, 0L)), k = k, asOfSeq = asOf)
         .select(lit(v).as("version"), col("vec_id"), col("score"))
     readVersion(1L, asOf = 1L, k = 6)
       .unionByName(readVersion(2L, asOf = 2L, k = 10))
@@ -3679,6 +3772,54 @@ object AnnIndex extends QueryModule {
     }
   }
 
+  /** BATCH-routed retrieval — the serving-tier shape of the auto-router:
+    * a query FRAME routes as one unit, amortizing `measuredRouteInputs`
+    * (already stamp-cached) and ONE routing decision across the batch,
+    * then serves through the chosen family's BATCH path (one scan / one
+    * walk job set for the whole frame, never |q| independent serves).
+    * The pure cost function is reused with the batch-shaped inputs:
+    *
+    *  - scan families amortize by probing the UNION of the frame's
+    *    probe sets in one pass — lshFrac is the measured union fraction;
+    *    the IVF union is bounded above by |q|·nProbe/clusters (each
+    *    query contributes at most nProbe probe partitions);
+    *  - the graph family amortizes the per-job scheduling constant (the
+    *    batch walk carries every query through the same hop jobs), so
+    *    walkJobs stays FIXED while rows-touched scales with |q|.
+    *
+    * Same five-family planted fixture and enumerable 50-row oracle as
+    * the per-family batch rows, so the row stays green whichever way the
+    * measured constants route the frame.
+    */
+  def annAutoRouteBatchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val n = cachedKnob("nvec", dir, embeddingsStamp(spark, dir)) {
+      math.min(Tables.embeddings(spark, dir).count(), Int.MaxValue.toLong).toInt
+    }.toLong
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // the frame: the batch rows' 5 query vectors (bounded serving batch)
+    val frame = e.filter(col("vec_id") < 5L).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val radius = tunedRadius(spark, dir)
+    val unionLshFrac = frame
+      .flatMap { case (_, qv) =>
+        defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius) }
+      .distinct.size.toDouble / (1 << defaultLsh.nBits)
+    val unionIvfFrac =
+      math.min(1.0, frame.size.toDouble * tunedNProbe(spark, dir) / 16.0)
+    val ri = measuredRouteInputs(spark, dir, n)
+    val (family, costs) = routeAnnFamily(n, unionLshFrac, unionIvfFrac,
+      ri.codesBandwidth, ri.walkJobs,
+      frame.size.toLong * ri.walkRowsTouched, ri.jobCostRows, ri.eligible)
+    System.err.println(s"[route] ann_auto_route_batch_topk n=$n |q|=${frame.size} " +
+      s"-> $family " + costs.toSeq.sortBy(_._1)
+        .map { case (f, c) => f"$f=${c}%.0f" }.mkString("(", ", ", ")"))
+    family match {
+      case "lsh" => annLshBatchTopk(spark, dir)
+      case "ivf" => annIvfSq8BatchTopk(spark, dir)
+      case _ => annGraphBatchTopk(spark, dir)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_gate" -> annRecallGate,
     "ann_tuning_gate" -> annTuningGate,
@@ -3757,9 +3898,12 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_compacted_upsert_topk" -> annIvfSq8CompactedUpsertTopk,
     "ann_streaming_ingest_topk" -> annStreamingIngestTopk,
     "ann_ivf_streaming_ingest_topk" -> annIvfStreamingIngestTopk,
+    "ann_ivf_pq_streaming_ingest_topk" -> annIvfPqStreamingIngestTopk,
+    "ann_ivf_sq8_streaming_ingest_topk" -> annIvfSq8StreamingIngestTopk,
     "ann_streaming_compacted_topk" -> annStreamingCompactedTopk,
     "ann_ivf_streaming_compacted_topk" -> annIvfStreamingCompactedTopk,
     "ann_auto_route_topk" -> annAutoRouteTopk,
+    "ann_auto_route_batch_topk" -> annAutoRouteBatchTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupes)
 
@@ -3841,9 +3985,12 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_compacted_upsert_topk" -> annUpsertTopkSql,
     "ann_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "ann_ivf_streaming_ingest_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_pq_streaming_ingest_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_sq8_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "ann_streaming_compacted_topk" -> annSelfQueryTopkSql,
     "ann_ivf_streaming_compacted_topk" -> annSelfQueryTopkSql,
     "ann_auto_route_topk" -> annSelfQueryTopkSql,
+    "ann_auto_route_batch_topk" -> annLshBatchTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
     "ivf_planted_near_dupes" -> ivfPlantedNearDupesSql)
 }

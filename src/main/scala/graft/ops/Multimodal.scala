@@ -136,14 +136,22 @@ object Multimodal extends QueryModule {
       if (w <= 0 || h <= 0) return None
       val sums = new Array[Double](grid * grid)
       val counts = new Array[Int](grid * grid)
+      // Bulk row reads: per-pixel getRGB(x,y) pays a ColorModel/SRGB
+      // conversion CALL per pixel — the classic slow path once images are
+      // megapixel-sized (at 100 TB the decode IS the pipeline cost). One
+      // getRGB per ROW converts the row in a single library pass while
+      // bounding the buffer at w ints regardless of image height.
+      val rowBuf = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        val rowBase = (y * grid / h) * grid
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = rowBuf(x)
           val luma = (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587 +
             (rgb & 255) * 114) / 1000.0
-          val cell = (y * grid / h) * grid + (x * grid / w)
+          val cell = rowBase + (x * grid / w)
           sums(cell) += luma; counts(cell) += 1
           x += 1
         }

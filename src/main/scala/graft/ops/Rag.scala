@@ -1232,9 +1232,13 @@ object Rag extends QueryModule {
         ORDER BY score DESC, vec_id ASC LIMIT 10
       ),
       chunks AS (
+        -- semi-join BEFORE the LATERAL VIEW: the chunk generator runs on
+        -- the ≤10 hit documents only, not the corpus — at 100 TB the
+        -- chunking of unrequested documents would dominate this query
         SELECT doc_id, CAST(c.pos + 1 AS INT) AS chunk_number,
                c.total AS total_chunks, c.chunk AS chunk_text
-        FROM g_rag_sql_documents
+        FROM (SELECT * FROM g_rag_sql_documents
+              WHERE doc_id IN (SELECT vec_id % 100000 FROM hits))
         LATERAL VIEW chunk_split(text, 1000, 150) c AS pos, total, chunk
       )
       SELECT h.vec_id, h.score, ck.chunk_number, ck.total_chunks, ck.chunk_text

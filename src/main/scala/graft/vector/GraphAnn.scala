@@ -1157,6 +1157,12 @@ object GraphAnn {
   // replaced in place (the superseded pin's broadcasts are unpersisted).
   private val pinCache = scala.collection.concurrent.TrieMap
     .empty[String, (String, ResidentPin)]
+  // Per-key build locks: two concurrent first serves of the same version
+  // must NOT both collect+broadcast (the loser's broadcasts would leak —
+  // it saw old=None and never unpersists). Builds serialize per key;
+  // the winner's pin is re-read inside the lock, so the racer reuses it.
+  private val pinLocks = scala.collection.concurrent.TrieMap
+    .empty[String, Object]
   private val pinBuildCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Number of resident-pin BUILDS since JVM start (cache misses) —
@@ -1201,9 +1207,13 @@ object GraphAnn {
       s"#rungs=${rungPaths.mkString(",")}"
     val stamp = (Seq(path, path + "_delta", path + "_tombstones") ++
         rungPaths.flatMap(p => Seq(p, p + "_delta")))
-      .map(dirStamp(spark, _)).mkString("|") + " " +
+      .map(dirStamp(spark, _)).mkString("|") + "\u0000" +
       graft.ops.ResultCache.cacheKey(corpus.select(col(idCol), col(embCol)))
     pinCache.get(key) match {
+      case Some((s, pin)) if s == stamp => pin
+      case _ => pinLocks.getOrElseUpdate(key, new Object).synchronized {
+      // Re-read under the lock: a racing thread may have just built it.
+      pinCache.get(key) match {
       case Some((s, pin)) if s == stamp => pin
       case old =>
         def adjOf(p: String): Map[Long, Array[Long]] =
@@ -1229,11 +1239,17 @@ object GraphAnn {
           spark.sparkContext.broadcast(dead))
         pinBuildCounter.incrementAndGet()
         pinCache.put(key, (stamp, pin))
+        // `old` was read under the lock, so this unpersists exactly the
+        // pin evicted from the map. unpersist(false) only drops executor
+        // copies — an in-flight job re-fetches from the driver, so late
+        // readers of the superseded pin stay correct.
         old.foreach { case (_, p) =>
           (p.rungs.map(_._1) ++ Seq(p.adj0, p.vec, p.dead))
             .foreach(_.unpersist(false))
         }
         pin
+      }
+      }
     }
   }
 

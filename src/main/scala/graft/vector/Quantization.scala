@@ -174,6 +174,30 @@ object Quantization {
       .write.mode("append").partitionBy("cluster_id").parquet(path)
   }
 
+  /** EXACTLY-ONCE micro-batch staging for a streaming IVF-SQ8 index —
+    * `stageIvfBatch`'s discipline on the quantized layout: arrivals
+    * assign against the STANDING centroid sidecar and int8-quantize
+    * (both pure functions of the vector — SQ8 needs no codebook, so the
+    * trained state is just `IndexBuilder.trainIvfCentroids`' sidecar),
+    * landing under the deterministic `batch=<id>/cluster_id=<c>`
+    * directory with overwrite: an at-least-once redelivery rewrites its
+    * own batch directory instead of appending a second copy. Readers
+    * partition-prune on cluster_id across every batch directory;
+    * retention is `Compaction.foldStagedBatches`, as with LSH/IVF/PQ.
+    */
+  def stageSq8Batch(df: DataFrame, embCol: String, root: String,
+      batchId: Long): Unit = {
+    val centers = IndexBuilder.loadIvfCentroids(root)
+    val assign = udf { (v: Seq[Float]) =>
+      IndexBuilder.nearestClusters(centers, v.toArray, 1).head
+    }
+    IndexBuilder.clusteredBy(
+        withQuantized(df.withColumn("cluster_id", assign(col(embCol))), embCol),
+        "cluster_id", centers.length)
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$root/batch=$batchId")
+  }
+
   /** Query the persisted index: sidecar-ranked nProbe partition pruning,
     * stored-codes coarse pass, exact rescore of the tie-inclusive
     * overscan set. No fit, no encode — the serving path.

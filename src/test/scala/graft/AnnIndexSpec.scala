@@ -341,6 +341,32 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("nsw served time travel parity: asOfSeq-pinned serve equals the distributed versioned walk") {
+    import graft.vector.GraphAnn
+    val path = Files.createTempDirectory("nsw_tt_served").toString + "/g"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val v1 = e.filter(col("vec_id") < 200L)
+    GraphAnn.buildNswGraph(v1, "embedding", "vec_id", AnnIndex.defaultLsh, 8, path)
+    GraphAnn.appendToNswGraph(spark, e.filter(col("vec_id").between(200L, 249L)),
+      "embedding", "vec_id", AnnIndex.defaultLsh, 8, path, v1)
+    val qv = e.filter(col("vec_id") === 0L).collect()
+      .head.getSeq[Float](1).toArray
+    for (asOf <- Seq(0L, Long.MaxValue)) {
+      val served = GraphAnn.nswServedSearch(spark, path, e,
+          "embedding", "vec_id", Seq(0L -> qv), k = 10, asOfSeq = asOf)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+        .sortBy { case (id, s) => (-s, id) }.toSeq
+      val walked = GraphAnn.nswSearch(spark, path, e,
+          "embedding", "vec_id", qv, k = 10, asOfSeq = asOf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, s) => (-s, id) }.toSeq
+      assert(served === walked,
+        s"asOf=$asOf served/distributed divergence:\n$served\nvs\n$walked")
+      if (asOf == 0L)
+        assert(!served.exists(_._1 >= 200L), "as-of-0 serve leaked appended ids")
+    }
+  }
+
   test("ann_graph_time_travel_topk: seq-pinned walks isolate delta generations") {
     val out = SparkEntry.queries("ann_graph_time_travel_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -733,6 +759,28 @@ class AnnIndexSpec extends SparkSpec {
     // exactly once: each planted copy appears a single time despite the
     // double delivery of batch 1 (append mode would duplicate them here)
     assert(ids.distinct.length === ids.length)
+  }
+
+  test("ann_ivf_pq_streaming_ingest_topk: replayed PQ batch stages idempotently") {
+    val rows =
+      SparkEntry.queries("ann_ivf_pq_streaming_ingest_topk")(spark, sf).collect()
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids === Seq(0L, 100000L, 100001L, 100002L, 100003L, 100004L,
+      100005L, 100006L, 100007L, 100008L))
+    // exactly once despite batch 1's double delivery: an append-mode
+    // regression duplicates the copies through the stored-code ADC path
+    assert(ids.distinct.length === ids.length)
+    assert(rows.forall(_.getDouble(1) === 1.0))
+  }
+
+  test("ann_ivf_sq8_streaming_ingest_topk: replayed SQ8 batch stages idempotently") {
+    val rows =
+      SparkEntry.queries("ann_ivf_sq8_streaming_ingest_topk")(spark, sf).collect()
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids === Seq(0L, 100000L, 100001L, 100002L, 100003L, 100004L,
+      100005L, 100006L, 100007L, 100008L))
+    assert(ids.distinct.length === ids.length)
+    assert(rows.forall(_.getDouble(1) === 1.0))
   }
 
   test("ann_upsert_topk: stale version dies, replacement survives under its id") {

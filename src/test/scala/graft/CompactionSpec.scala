@@ -107,6 +107,52 @@ class CompactionSpec extends SparkSpec {
     assert(leaves === 1 && rows() === withHot, "recovery broke the root")
   }
 
+  test("foldStagedBatches horizon boundary: age==floor folds (inclusive); a post-fold replay re-admits — the floor must EXCEED the max redelivery delay") {
+    import graft.vector.IndexBuilder
+    import graft.ops.AnnIndex
+    val root = java.nio.file.Files.createTempDirectory("stagedhorizon")
+      .toString + "/idx"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val batch1Rows = e.filter(col("vec_id") >= 200L && col("vec_id") < 300L)
+    IndexBuilder.stageLshBatch(e.filter(col("vec_id") < 200L),
+      "embedding", AnnIndex.defaultLsh, root, batchId = 0L)
+    IndexBuilder.stageLshBatch(batch1Rows,
+      "embedding", AnnIndex.defaultLsh, root, batchId = 1L)
+    IndexBuilder.stageLshBatch(e.filter(col("vec_id") >= 300L && col("vec_id") < 350L),
+      "embedding", AnnIndex.defaultLsh, root, batchId = 2L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // age batches 0/1 to EXACTLY the horizon (clock moves forward between
+    // setTimes and the fold's `now`, so their measured age is >= floor);
+    // batch 2 stays hot (age ~0)
+    val floor = 60000L
+    Seq(0L, 1L).foreach { b =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(root, s"batch=$b"),
+        System.currentTimeMillis() - floor, -1)
+    }
+    // inclusive boundary: a batch aged exactly AT the floor IS a fold
+    // target — so a delivery system whose max redelivery delay EQUALS
+    // the floor can replay a just-folded batch. The floor must therefore
+    // be chosen STRICTLY greater than the max redelivery delay.
+    assert(Compaction.foldStagedBatches(spark, root, "bucket",
+      minAgeMs = floor) === 2)
+    def leaves = new java.io.File(root).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(leaves === 2, "boundary batches folded, hot batch kept")
+    val afterFold = spark.read.parquet(root).count()
+    // the hazard the horizon exists to exclude, demonstrated: a replay of
+    // the folded batch 1 (same rows, same batch id — the idempotence key)
+    // lands AFTER the fold consumed its directory. The overwrite no
+    // longer has its own copy to replace, so the rows are RE-ADMITTED
+    // beside the folded copy — duplicates a fold never dedups away.
+    IndexBuilder.stageLshBatch(batch1Rows,
+      "embedding", AnnIndex.defaultLsh, root, batchId = 1L)
+    val afterReplay = spark.read.parquet(root).count()
+    assert(afterReplay === afterFold + batch1Rows.count(),
+      "a post-horizon replay duplicates the folded batch — which is why " +
+        "minAgeMs must exceed the delivery system's max redelivery delay")
+  }
+
   test("staged swap: a torn marker (missing sentinel) is an aborted staging, never a wedge or a wrong fold") {
     // target deletes only run after the fully-written marker closes, so
     // an unparseable/truncated marker proves the swap never started —

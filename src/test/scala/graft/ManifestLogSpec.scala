@@ -66,4 +66,35 @@ class ManifestLogSpec extends SparkSpec {
     assert(head.toSet === expected,
       s"lost updates: missing ${expected -- head.toSet}")
   }
+
+  test("index-manifest race: appender vs compactor — the loser's retry preserves the winner's update") {
+    // The fleet race the ANN index version logs (AnnIndex commitIndexVersion)
+    // exist for: an APPENDER (head ++ new files) racing a COMPACTOR
+    // (rewrite the head's files as compacted ones, KEEPING files it did
+    // not rewrite). The compactor derives from v1, loses the v2 claim to
+    // the appender, and its optimistic retry must re-derive from the NEW
+    // head — the appended file survives compaction instead of being lost.
+    val dir = freshDir("mlog_idx")
+    assert(ManifestLog.commit(spark, dir, _ => Seq("b1", "b2")) === 1L)
+    val base = ManifestLog.read(spark, dir, 1L).get.toSet
+    // appender wins v2 first (simulating the compactor losing the race)
+    assert(ManifestLog.commit(spark, dir, h => h :+ "a1") === 2L)
+    // compactor's loop: rewrite exactly the files that existed when it
+    // STARTED (base), keep everything committed since
+    val v = ManifestLog.commit(spark, dir,
+      head => head.filterNot(base) :+ "compacted-0")
+    assert(v === 3L)
+    assert(ManifestLog.read(spark, dir, 3L) === Some(Seq("a1", "compacted-0")),
+      "the compactor must carry the appended file it did not rewrite")
+    // expiry below the head leaves the survivors readable and reclaims
+    // the rest from the liveness set (the index vacuum rows' protocol)
+    assert(ManifestLog.expire(spark, dir, keepFrom = 3L) === Seq(1L, 2L))
+    assert(ManifestLog.read(spark, dir, 1L) === None)
+    assert(ManifestLog.currentVersion(spark, dir) === 3L)
+    assert(ManifestLog.allReferenced(spark, dir) === Set("a1", "compacted-0"))
+    // expiry may never drop the valid head
+    intercept[IllegalArgumentException] {
+      ManifestLog.expire(spark, dir, keepFrom = 4L)
+    }
+  }
 }

@@ -32,4 +32,22 @@ class OracleLintSpec extends AnyFunSuite {
     assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
   }
+
+  // The README's stated board size rotted once (r12 shipped "239" after
+  // the 240th query landed). Derive the doc numbers from the registry so
+  // the count can never drift again: every literal "N named queries" /
+  // "passes N/N" in README.md must equal SparkEntry.queries.size.
+  test("README query counts match SparkEntry.queries.size") {
+    val n = SparkEntry.queries.size
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val stated = ("""(\d+) named queries""".r.findAllMatchIn(readme)
+        .map(_.group(1).toInt) ++
+      """passes (\d+)/(\d+)""".r.findAllMatchIn(readme)
+        .flatMap(m => Seq(m.group(1).toInt, m.group(2).toInt))).toSeq
+    assert(stated.nonEmpty, "README.md no longer states the board size")
+    assert(stated.forall(_ == n),
+      s"README.md states board sizes $stated but SparkEntry.queries has $n")
+  }
 }

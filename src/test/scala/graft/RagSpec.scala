@@ -290,4 +290,24 @@ class RagSpec extends SparkSpec {
     assert(graft.ops.Rag.bm25IndexedScores(spark, path,
       Seq("zzzz_not_a_term")).count() === 0)
   }
+
+  test("rag_sql_topk: the chunk generator runs over the semi-joined hits, not the corpus") {
+    // the scale shape: chunk_split must sit ABOVE the hit-id semi-join
+    // (the IN-subquery), so at 100 TB the generator chunks ≤10 documents
+    // instead of every document in the table
+    val plan = SparkEntry.queries("rag_sql_topk")(spark, sf)
+      .queryExecution.optimizedPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "no Generate (chunk_split) node in the plan")
+    gens.foreach { g =>
+      val semiBelow = g.child.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semiBelow.nonEmpty,
+        "chunk_split generates over the un-pruned documents table")
+    }
+  }
 }
