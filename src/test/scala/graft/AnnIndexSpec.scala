@@ -249,6 +249,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq === (Seq(0L) ++ (100000L to 100008L)))
   }
 
+  test("batch routing amortizes the job constant: a frame flips scan-shaped singles to the graph walk") {
+    // Single-query shape at 10M rows, tight probes, expensive scheduler:
+    // the pruned quantized scan (10M × 0.125 × 0.35 = 437k row-eq)
+    // undercuts the walk's fixed per-job cost (4.2k + 11 × 50k = 554k).
+    assert(AnnIndex.routeAnnFamily(10000000L, 0.4, 0.125,
+      jobCostRows = 50000L)._1 === "ivf")
+    // The SAME corpus routed as a 16-query frame (the batch shape the
+    // driver row feeds routeAnnFamily: walkJobs stays FIXED — one walk
+    // job set carries the whole frame — rows-touched scales with |q|,
+    // and the scan families' probe fractions grow toward the union,
+    // saturating at a full scan): the scans now pay 16 queries' probes
+    // (3.5M row-eq at the saturated union) while the walk's job constant
+    // is amortized (67k + 550k = 617k) — the frame routes to the graph.
+    val q = 16
+    assert(AnnIndex.routeAnnFamily(10000000L,
+      lshProbeFrac = math.min(1.0, 0.4 * 2), // union grows sublinearly
+      ivfProbeFrac = math.min(1.0, 0.125 * q),
+      walkRowsTouched = 4200L * q,
+      jobCostRows = 50000L)._1 === "graph")
+  }
+
   test("served walk parity: resident-view serving equals the distributed batch walk row-for-row") {
     import graft.vector.GraphAnn
     val path = java.nio.file.Files
