@@ -36,21 +36,25 @@ object Bench {
         }
       }
     spark.catalog.clearCache()
-    val failed = scala.collection.mutable.ListBuffer.empty[String]
     // Dev iteration only (the driver never sets it): time a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Returns (elapsed, succeeded): the rerun policy below may only take a
     // min over SUCCESSFUL passes — a throwing rerun's near-zero elapsed
-    // must never displace a slow-but-correct first pass.
+    // must never displace a slow-but-correct first pass. Failures are
+    // recorded PER BOARD (the `failures` buffer belongs to the board
+    // being run), so the emitted list is exactly the KEPT board's — a
+    // board2-only failure must surface when board2 is kept (its fast-fail
+    // time would otherwise read as a green speedup), and must NOT smear
+    // onto a kept-and-green board1.
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        recordFailure: Boolean = true): (Double, Boolean) = {
+        failures: Option[scala.collection.mutable.ListBuffer[String]]): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           // a throwing RERUN does not mark the row failed: its reported
-          // time is the valid successful first pass (recordFailure=false)
-          if (recordFailure && !failed.contains(name)) failed += name
+          // time is the valid successful first pass (failures=None)
+          failures.foreach(f => if (!f.contains(name)) f += name)
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
@@ -77,22 +81,22 @@ object Bench {
     // remains computable and cross-round / engine-vs-reference
     // comparisons stay apples-to-apples with pre-rerun rounds.
     val firstPass = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    def runBoard(recordPasses: Boolean): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq
+    def runBoard(recordPasses: Boolean): (Seq[(String, Double)], Seq[String]) = {
+      val failures = scala.collection.mutable.ListBuffer.empty[String]
+      val board = SparkEntry.queries.toSeq
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .sortBy(_._1).map { case (name, fn) =>
-        // A guard-triggered second board (recordPasses=false) must not
-        // mark rows failed: if board1 is the board kept, a board2-only
-        // failure would read as breakage of a recorded-green board.
-        val (t1, ok1) = timeOne(name, fn, recordFailure = recordPasses)
+        val (t1, ok1) = timeOne(name, fn, Some(failures))
         val t =
           if (t1 > rerunThreshold && ok1) {
             if (recordPasses) { reruns += name; firstPass(name) = t1 }
-            val (t2, ok2) = timeOne(name, fn, recordFailure = false)
+            val (t2, ok2) = timeOne(name, fn, failures = None)
             if (ok2) math.min(t1, t2) else t1
           } else t1
         name -> t
       }
+      (board, failures.toSeq)
+    }
     // Board-noise guard: run 53 of r11 recorded a uniformly-cold board 15%
     // above the session's warm band even though per-row best-of-2 fired 19
     // times — environmental noise can be board-wide, not per-row. The warm
@@ -122,18 +126,25 @@ object Bench {
           if (means.size < 3) None else Some(means.sorted.apply(means.size / 2))
         }
       } catch { case _: Throwable => None }
-    val board1 = runBoard(recordPasses = true)
+    val (board1, failed1) = runBoard(recordPasses = true)
     val total1 = board1.map(_._2).sum
     val guard = if (only.isEmpty && board1.nonEmpty) warmBandMean() else None
-    val (results, boardTotals) = guard match {
+    val (results, failed, boardTotals) = guard match {
       case Some(band) if total1 / board1.size > band * 1.10 =>
         System.err.println(
           f"[bench] board guard: ${total1 / board1.size}%.3f s/query vs warm band " +
             f"$band%.3f (+>10%%) — rerunning the full board once")
-        val board2 = runBoard(recordPasses = false)
+        val (board2, failed2) = runBoard(recordPasses = false)
         val total2 = board2.map(_._2).sum
-        (if (total2 < total1) board2 else board1, Seq(total1, total2))
-      case _ => (board1, Seq(total1))
+        // the kept board's failures are the ones emitted: a failing row
+        // shrinks its board's total, so prefer the board with FEWER
+        // failures before comparing totals — a fast-fail must never buy
+        // a board the win
+        val keep2 = failed2.size < failed1.size ||
+          (failed2.size == failed1.size && total2 < total1)
+        if (keep2) (board2, failed2, Seq(total1, total2))
+        else (board1, failed1, Seq(total1, total2))
+      case _ => (board1, failed1, Seq(total1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

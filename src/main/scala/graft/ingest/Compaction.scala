@@ -1,7 +1,7 @@
 package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 
 /** Small-file compaction for append-mode sinks (SURVEY.md §2.2 K1, §7.5).
   *
@@ -223,9 +223,19 @@ object Compaction {
     var deleted = 0L
     if (affected.nonEmpty) {
       // ONE partition-pruned scan of the affected leaves; untouched leaves
-      // are never read and stay byte-identical
-      val affectedDf = spark.read.parquet(indexPath)
-        .filter(col(partitionCol).isin(affected.toSeq: _*))
+      // are never read and stay byte-identical. isin() never matches a
+      // NULL partition value, so an affected null leaf
+      // (__HIVE_DEFAULT_PARTITION__) needs its own isNull arm — without
+      // it the null leaf is never staged, classifies 'drop' below, and
+      // the swap would delete its live survivors.
+      val nonNullAffected = affected.filter(_ != null).toSeq
+      val affectedPred = {
+        val in =
+          if (nonNullAffected.nonEmpty) col(partitionCol).isin(nonNullAffected: _*)
+          else lit(false)
+        if (affected.contains(null)) in || col(partitionCol).isNull else in
+      }
+      val affectedDf = spark.read.parquet(indexPath).filter(affectedPred)
       val beforeRows = affectedDf.count() // parquet footer metadata
       fs.delete(staging, true)
       // ONE rewrite job for every affected leaf: anti-join + partitionBy
@@ -244,9 +254,10 @@ object Compaction {
       // commit: the marker pins each affected leaf's outcome, then the
       // (idempotent, resumable) swap installs them. Leaf names are built
       // the way the staging write itself builds them — Hive path escaping,
-      // null -> __HIVE_DEFAULT_PARTITION__ — so a value whose directory
-      // encoding differs from toString (escaped specials, nulls) still
-      // matches its staged dir instead of being misclassified as 'drop'.
+      // null -> __HIVE_DEFAULT_PARTITION__ — so a value whose toString
+      // differs from the WRITER's directory encoding (escaped special
+      // characters, nulls) still matches its staged dir instead of being
+      // misclassified as 'drop'.
       val expectedLeaves = affected.toSeq.map { v =>
         v -> (s"$partitionCol=" + (if (v == null)
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -254,11 +265,22 @@ object Compaction {
         else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .escapePathName(v.toString)))
       }
-      // Staged dirs the writer produced must all be leaves we expected to
-      // rewrite — a mismatch means the name scheme diverged (e.g. a
-      // partition-discovery type round-trip like '01' -> 1), and silently
-      // classifying the survivor as 'drop' would DELETE live data. Fail
-      // loudly instead; the dot-prefixed staging is invisible to readers.
+      // Two loud-failure gates, because a name mismatch here DELETES live
+      // data. (1) Every expected leaf must exist as a LIVE directory:
+      // this catches discovery type round-trips (an externally-written
+      // 'bucket=01' discovered as int 1 would expect 'bucket=1', which is
+      // not on disk — the swap would no-op the delete and leave doomed
+      // rows in the orphaned '01' leaf while the sidecar truncates).
+      // (2) Every staged dir must be an expected leaf: this catches
+      // toString-vs-writer encoding divergences the escaping above
+      // doesn't cover. Both abort BEFORE the marker — staging is
+      // dot-prefixed, so readers and the live layout are untouched.
+      val liveLeaves = partDirs.map(_.getPath.getName).toSet
+      val missingLive = expectedLeaves.map(_._2).filterNot(liveLeaves)
+      require(missingLive.isEmpty,
+        s"foldTombstones: expected partition directories $missingLive " +
+          s"not found among live leaves $liveLeaves — partition value/" +
+          "directory-name scheme diverged; aborting before the swap marker")
       val unexpected = stagedLeaves -- expectedLeaves.map(_._2).toSet
       require(unexpected.isEmpty,
         s"foldTombstones: staged leaves $unexpected do not match any " +

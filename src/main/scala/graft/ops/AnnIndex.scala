@@ -3804,8 +3804,21 @@ object AnnIndex extends QueryModule {
       .flatMap { case (_, qv) =>
         defaultLsh.probes(defaultLsh.signature(qv.toSeq), radius) }
       .distinct.size.toDouble / (1 << defaultLsh.nBits)
+    // IVF union: MEASURED against the standing centroid sidecar when one
+    // exists (queries sharing clusters overlap, so the |q|·nProbe upper
+    // bound systematically over-prices the quantized scan and would
+    // mis-route cluster-correlated frames); the bound is only the cold
+    // fallback before the first SQ8 fixture build.
+    val nProbe = tunedNProbe(spark, dir)
+    val sq8Path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfsq8batch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     val unionIvfFrac =
-      math.min(1.0, frame.size.toDouble * tunedNProbe(spark, dir) / 16.0)
+      if (new java.io.File(sq8Path, IndexBuilder.IvfCentroidsFile).isFile) {
+        val centers = IndexBuilder.loadIvfCentroids(sq8Path)
+        frame.flatMap { case (_, qv) =>
+            IndexBuilder.nearestClusters(centers, qv, nProbe) }
+          .distinct.size.toDouble / centers.length
+      } else math.min(1.0, frame.size.toDouble * nProbe / 16.0)
     val ri = measuredRouteInputs(spark, dir, n)
     val (family, costs) = routeAnnFamily(n, unionLshFrac, unionIvfFrac,
       ri.codesBandwidth, ri.walkJobs,

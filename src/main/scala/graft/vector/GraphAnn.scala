@@ -1157,12 +1157,18 @@ object GraphAnn {
   // replaced in place (the superseded pin's broadcasts are unpersisted).
   private val pinCache = scala.collection.concurrent.TrieMap
     .empty[String, (String, ResidentPin)]
-  // Per-key build locks: two concurrent first serves of the same version
+  // Striped build locks: two concurrent first serves of the same version
   // must NOT both collect+broadcast (the loser's broadcasts would leak —
-  // it saw old=None and never unpersists). Builds serialize per key;
-  // the winner's pin is re-read inside the lock, so the racer reuses it.
-  private val pinLocks = scala.collection.concurrent.TrieMap
-    .empty[String, Object]
+  // it saw old=None and never unpersists). Builds serialize per key
+  // stripe; the winner's pin is re-read inside the lock, so the racer
+  // reuses it. A FIXED stripe array (not a per-key map) keeps the lock
+  // state bounded over a serving JVM's lifetime — per-key lock objects
+  // would accumulate one entry per (path, asOfSeq, params) forever. Two
+  // distinct keys sharing a stripe merely serialize their builds, which
+  // is harmless (builds are rare: once per index version).
+  private val pinLocks = Array.fill(64)(new Object)
+  private def pinLock(key: String): Object =
+    pinLocks(math.floorMod(key.hashCode, pinLocks.length))
   private val pinBuildCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Number of resident-pin BUILDS since JVM start (cache misses) —
@@ -1211,7 +1217,7 @@ object GraphAnn {
       graft.ops.ResultCache.cacheKey(corpus.select(col(idCol), col(embCol)))
     pinCache.get(key) match {
       case Some((s, pin)) if s == stamp => pin
-      case _ => pinLocks.getOrElseUpdate(key, new Object).synchronized {
+      case _ => pinLock(key).synchronized {
       // Re-read under the lock: a racing thread may have just built it.
       pinCache.get(key) match {
       case Some((s, pin)) if s == stamp => pin

@@ -593,9 +593,24 @@ object IndexBuilder {
     * Compaction's job, as with LSH.
     */
   def stageIvfBatch(df: DataFrame, embCol: String, root: String,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+    stageClusteredBatch(df, embCol, root, batchId, identity)
+
+  /** The ONE exactly-once staging skeleton all cluster-partitioned
+    * streaming families share (IVF, IVF-PQ, IVF-SQ8): assign against the
+    * standing centroid sidecar, apply the family's row `encode` (PQ
+    * codes / SQ8 quantization / identity), and overwrite the
+    * deterministic `batch=<id>/cluster_id=<c>` directory — the
+    * redelivery-idempotence contract lives HERE, once, so a change to
+    * the batch-dir naming or overwrite discipline cannot drift between
+    * families.
+    */
+  private[vector] def stageClusteredBatch(df: DataFrame, embCol: String,
+      root: String, batchId: Long,
+      encode: DataFrame => DataFrame): Unit = {
     val centers = loadIvfCentroids(root)
-    clusteredBy(df.withColumn("cluster_id", assignUdf(centers)(col(embCol))),
+    clusteredBy(
+        encode(df.withColumn("cluster_id", assignUdf(centers)(col(embCol)))),
         "cluster_id", centers.length)
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$root/batch=$batchId")

@@ -332,16 +332,9 @@ object ProductQuantization {
     */
   def stagePqBatch(df: DataFrame, embCol: String, root: String,
       batchId: Long): Unit = {
-    val centers = IndexBuilder.loadIvfCentroids(root)
     val books = loadPqCodebooks(root)
-    val assign = udf { (v: Seq[Float]) =>
-      IndexBuilder.nearestClusters(centers, v.toArray, 1).head
-    }
-    IndexBuilder.clusteredBy(
-        withPqCodes(df.withColumn("cluster_id", assign(col(embCol))), embCol, books),
-        "cluster_id", centers.length)
-      .write.mode("overwrite").partitionBy("cluster_id")
-      .parquet(s"$root/batch=$batchId")
+    IndexBuilder.stageClusteredBatch(df, embCol, root, batchId,
+      withPqCodes(_, embCol, books))
   }
 
   /** Query the persisted index: sidecar-ranked nProbe partition pruning,

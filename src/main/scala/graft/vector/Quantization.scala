@@ -186,17 +186,9 @@ object Quantization {
     * retention is `Compaction.foldStagedBatches`, as with LSH/IVF/PQ.
     */
   def stageSq8Batch(df: DataFrame, embCol: String, root: String,
-      batchId: Long): Unit = {
-    val centers = IndexBuilder.loadIvfCentroids(root)
-    val assign = udf { (v: Seq[Float]) =>
-      IndexBuilder.nearestClusters(centers, v.toArray, 1).head
-    }
-    IndexBuilder.clusteredBy(
-        withQuantized(df.withColumn("cluster_id", assign(col(embCol))), embCol),
-        "cluster_id", centers.length)
-      .write.mode("overwrite").partitionBy("cluster_id")
-      .parquet(s"$root/batch=$batchId")
-  }
+      batchId: Long): Unit =
+    IndexBuilder.stageClusteredBatch(df, embCol, root, batchId,
+      withQuantized(_, embCol))
 
   /** Query the persisted index: sidecar-ranked nProbe partition pruning,
     * stored-codes coarse pass, exact rescore of the tie-inclusive

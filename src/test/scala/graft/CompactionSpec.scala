@@ -107,6 +107,27 @@ class CompactionSpec extends SparkSpec {
     assert(leaves === 1 && rows() === withHot, "recovery broke the root")
   }
 
+  test("foldTombstones: a null-valued partition leaf is rewritten, its survivors kept") {
+    // isin() never matches NULL, so without the isNull arm the
+    // __HIVE_DEFAULT_PARTITION__ leaf would never be staged, classify as
+    // 'drop', and the swap would DELETE its live survivors
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fold_null").toString
+    val idx = dir + "/index"
+    val rows = ((0L until 10L).map(i => (i, "a")) ++
+      (10L until 20L).map(i => (i, null: String))).toDF("vec_id", "grp")
+    rows.write.partitionBy("grp").parquet(idx)
+    Seq(1L, 11L).toDF("vec_id").write.parquet(idx + "_tombstones")
+    val stats = Compaction.foldTombstones(spark, idx, idx + "_tombstones")
+    assert(stats.rowsDeleted === 2L, s"expected 2 folded deletions, got $stats")
+    val after = spark.read.parquet(idx).select("vec_id", "grp").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val expected = ((0L until 10L).filter(_ != 1L).map(i => (i, Some("a"))) ++
+      (10L until 20L).filter(_ != 11L).map(i => (i, None))).toSet
+    assert(after === expected,
+      "null-leaf survivors lost or doomed rows resurrected")
+  }
+
   test("foldStagedBatches horizon boundary: age==floor folds (inclusive); a post-fold replay re-admits — the floor must EXCEED the max redelivery delay") {
     import graft.vector.IndexBuilder
     import graft.ops.AnnIndex
