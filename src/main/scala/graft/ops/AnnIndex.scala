@@ -1730,6 +1730,74 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** The IVF-PQ form of the staged-root retention — the fold is layout-
+    * generic (it re-clusters whatever columns the rows carry), so the
+    * stored m-byte codes survive the rewrite verbatim and the folded
+    * root serves through the SAME stored-code ADC path as the unfolded
+    * one: a fold that corrupted or dropped a code column would perturb
+    * the coarse cutoff and the enumerable answer.
+    */
+  def annIvfPqStreamingCompactedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpqstreamfold_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    val corpus = withPlantedSelfCopies(spark, e)
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivfpq:clusters=16:seed=42:lifecycle=stream+fold:v1", root) {
+      graft.vector.ProductQuantization.trainIvfPqSidecars(
+        e.select("vec_id", "embedding"), "embedding",
+        numClusters = 16, seed = 42L, root)
+      graft.vector.ProductQuantization.stagePqBatch(
+        e.select("vec_id", "embedding"), "embedding", root, 0L)
+      val arrivals = corpus.filter(col("vec_id") >= 100000L)
+      graft.vector.ProductQuantization.stagePqBatch(arrivals, "embedding", root, 1L)
+      graft.vector.ProductQuantization.stagePqBatch(arrivals, "embedding", root, 1L)
+      val folded = graft.ingest.Compaction.foldStagedBatches(
+        spark, root, "cluster_id", minAgeMs = 0L)
+      require(folded == 2, s"expected to fold 2 batch leaves, folded $folded")
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    require(leaves == 1, s"fold must leave one batch leaf, found $leaves")
+    graft.vector.ProductQuantization.ivfPqIndexTopK(
+      spark, root, "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 10, nProbe = tunedNProbe(spark, dir))
+  }
+
+  /** The IVF-SQ8 form of the staged-root retention: the per-vector
+    * (scale, codes) pair rides the fold unchanged and the folded root
+    * serves through the stored-codes coarse pass + exact rescore.
+    */
+  def annIvfSq8StreamingCompactedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_sq8streamfold_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    val corpus = withPlantedSelfCopies(spark, e)
+    ResultCache.buildIfAbsent(spark, corpus,
+      "ivfsq8:clusters=16:seed=42:lifecycle=stream+fold:v1", root) {
+      IndexBuilder.trainIvfCentroids(e.select("vec_id", "embedding"),
+        "embedding", numClusters = 16, seed = 42L, root)
+      graft.vector.Quantization.stageSq8Batch(
+        e.select("vec_id", "embedding"), "embedding", root, 0L)
+      val arrivals = corpus.filter(col("vec_id") >= 100000L)
+      graft.vector.Quantization.stageSq8Batch(arrivals, "embedding", root, 1L)
+      graft.vector.Quantization.stageSq8Batch(arrivals, "embedding", root, 1L)
+      val folded = graft.ingest.Compaction.foldStagedBatches(
+        spark, root, "cluster_id", minAgeMs = 0L)
+      require(folded == 2, s"expected to fold 2 batch leaves, folded $folded")
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    require(leaves == 1, s"fold must leave one batch leaf, found $leaves")
+    graft.vector.Quantization.ivfSq8IndexTopK(
+      spark, root, "embedding", "vec_id", queryVec(spark, dir, 0L),
+      k = 10, nProbe = tunedNProbe(spark, dir))
+  }
+
   /** UPSERT into the ANN index without a rebuild — the "document was
     * re-embedded" flow, composed from the two maintenance primitives: the
     * old version is tombstoned and the NEW vector is appended through the
@@ -3915,6 +3983,8 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_streaming_ingest_topk" -> annIvfSq8StreamingIngestTopk,
     "ann_streaming_compacted_topk" -> annStreamingCompactedTopk,
     "ann_ivf_streaming_compacted_topk" -> annIvfStreamingCompactedTopk,
+    "ann_ivf_pq_streaming_compacted_topk" -> annIvfPqStreamingCompactedTopk,
+    "ann_ivf_sq8_streaming_compacted_topk" -> annIvfSq8StreamingCompactedTopk,
     "ann_auto_route_topk" -> annAutoRouteTopk,
     "ann_auto_route_batch_topk" -> annAutoRouteBatchTopk,
     "lsh_planted_near_dupes" -> lshPlantedNearDupes,
@@ -4002,6 +4072,8 @@ object AnnIndex extends QueryModule {
     "ann_ivf_sq8_streaming_ingest_topk" -> annSelfQueryTopkSql,
     "ann_streaming_compacted_topk" -> annSelfQueryTopkSql,
     "ann_ivf_streaming_compacted_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_pq_streaming_compacted_topk" -> annSelfQueryTopkSql,
+    "ann_ivf_sq8_streaming_compacted_topk" -> annSelfQueryTopkSql,
     "ann_auto_route_topk" -> annSelfQueryTopkSql,
     "ann_auto_route_batch_topk" -> annLshBatchTopkSql,
     "lsh_planted_near_dupes" -> lshPlantedNearDupesSql,
