@@ -411,8 +411,13 @@ object VectorSearch extends QueryModule {
       .crossJoin(broadcast(e.filter(col("vec_id") === 0L).select(col("embedding"))))
       .select(col("vec_id"), col("embedding"))
     val lsh = AnnIndex.defaultLsh
-    IndexBuilder.buildLshIndex(
-      e.select("vec_id", "embedding").union(copies), "embedding", lsh, path)
+    val corpus = e.select("vec_id", "embedding").union(copies)
+    // standing fixture: the build is a pure function of the corpus — a
+    // serving-path call must read the persisted index, not rebuild it
+    graft.ops.ResultCache.buildIfAbsent(spark, corpus,
+      s"lsh:bits=${lsh.nBits}:seed=42:mmr20:v1", path) {
+      IndexBuilder.buildLshIndex(corpus, "embedding", lsh, path)
+    }
     val qv = e.filter(col("vec_id") === 0L).select("embedding")
       .head().getSeq[Float](0)
     val probes = lsh.probes(lsh.signature(qv),
