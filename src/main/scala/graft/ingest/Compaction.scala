@@ -375,18 +375,23 @@ object Compaction {
     * one consolidated `batch=0` leaf re-clustered on `partCol` (one file
     * per partition value), leaving younger batches in place.
     *
-    * `minAgeMs` is the REPLAY HORIZON, exactly as in the minhash store
-    * fold (`Dedup.compactMinhashStore`): a batch directory is the
-    * idempotence key for at-least-once delivery — a redelivered batch
-    * overwrites its own directory, so folding a batch that might still
-    * be replayed would let the replay re-admit its rows beside the
-    * folded copy. Replays also refresh the directory mtime, which is the
-    * age measured here. The age test is INCLUSIVE (age >= minAgeMs), so
-    * the floor must be chosen STRICTLY GREATER than the delivery
-    * system's max redelivery delay: a replay landing exactly at the
-    * horizon can arrive after the fold consumed its directory, and the
-    * overwrite then re-admits the rows beside the folded copy
-    * (CompactionSpec "horizon boundary" demonstrates the duplicate). Crash discipline is the same staged swap: fold
+    * `minAgeMs` is the REPLAY HORIZON, as in the minhash store fold
+    * (`Dedup.compactMinhashStore`): a batch directory is the idempotence
+    * key for at-least-once delivery — a redelivered batch overwrites its
+    * own directory, so a replay arriving after the fold consumed that
+    * directory would re-admit its rows beside the folded copy. Since
+    * r13 that hazard is CLOSED by the [[BatchRoster]]: the fold
+    * CAS-commits the consumed batch ids (and the destination leaf id)
+    * through the multi-writer ManifestLog BEFORE the swap marker, and
+    * the stagers decline a roster-consumed id — so a post-fold replay
+    * is a no-op, not a duplicate (CompactionSpec "horizon boundary"
+    * pins the decline; through r12 it pinned the duplicate). A stray
+    * directory re-landed by a stager that crashed between its write and
+    * its post-write roster re-check is reconciled (deleted) at the next
+    * fold. The age floor remains as an OPTIMIZATION — it keeps folds off
+    * directories hot enough to still be receiving overwrites (the
+    * in-flight overlap the maintenance-window contract excludes) — not
+    * a correctness requirement. Crash discipline is the same staged swap: fold
     * written under the reader-invisible `<root>/_compact`, a `_STAGED`
     * marker commits the target list, then targets are deleted and the
     * staged leaf renamed in; re-running the fold first completes or
@@ -406,6 +411,16 @@ object Compaction {
     val tables = Seq(SwapTable("/_compact/data", b => s"/batch=$b"))
     recoverStagedSwap(spark, root, tables)
     if (!fs.exists(rootPath)) return 0
+    // reconcile stray re-landings BEFORE target selection: a directory
+    // whose id the roster marks folded (and that is not the live leaf)
+    // is a late replay's garbage — its rows already live in the folded
+    // leaf, and folding it AGAIN would duplicate them inside the leaf
+    val stray = BatchRoster.reconcilable(spark, root)
+    fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => stray.contains(
+        st.getPath.getName.stripPrefix("batch=").toLong))
+      .foreach(st => fs.delete(st.getPath, true))
     val now = System.currentTimeMillis()
     val targets = fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
@@ -419,6 +434,11 @@ object Compaction {
     folded.repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(root + "/_compact/data")
+    // the commit point against replays: once these ids are in the
+    // roster, a redelivery of any of them declines — committed before
+    // the marker, so no directory is ever deleted while replays could
+    // still re-land it
+    BatchRoster.commitFold(spark, root, targets, targets.min)
     commitStagedSwap(spark, root, tables, targets)
     targets.size
   }

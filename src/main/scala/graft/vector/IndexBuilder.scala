@@ -118,12 +118,41 @@ object IndexBuilder {
     * as the MV writer's staged swap. The read side treats `batch` as just
     * another partition column, so probe-bucket pruning still prunes files
     * (every batch dir's `bucket=<probed>` children only).
+    *
+    * Returns true iff the batch was staged; false = the id was DECLINED
+    * because the retention fold's roster has consumed it (a replay
+    * arriving after its batch folded — its rows already live in the
+    * consolidated leaf, so re-landing them would duplicate; see
+    * [[graft.ingest.BatchRoster]]).
     */
   def stageLshBatch(df: DataFrame, embCol: String, lsh: RandomHyperplaneLsh,
-      root: String, batchId: Long): Unit =
-    clusteredBy(withLshBucket(df, embCol, lsh), "bucket", 1 << lsh.nBits)
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$root/batch=$batchId")
+      root: String, batchId: Long): Boolean =
+    stageGated(df, root, batchId) {
+      clusteredBy(withLshBucket(df, embCol, lsh), "bucket", 1 << lsh.nBits)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/batch=$batchId")
+    }
+
+  /** Roster-gated overwrite shared by every streaming stager: decline a
+    * batch id the retention fold has consumed, and RE-CHECK after the
+    * write (deleting our directory on a lost race) so a fold committing
+    * mid-write cannot leave a re-landed copy beside the folded one. The
+    * pre-check makes post-fold replays no-ops; the post-check shrinks
+    * the in-flight overlap to the swap window the fold's maintenance-
+    * window contract already excludes.
+    */
+  private[graft] def stageGated(df: DataFrame, root: String, batchId: Long)(
+      write: => Unit): Boolean = {
+    val spark = df.sparkSession
+    if (graft.ingest.BatchRoster.consumed(spark, root).contains(batchId))
+      return false
+    write
+    if (graft.ingest.BatchRoster.consumed(spark, root).contains(batchId)) {
+      val p = new org.apache.hadoop.fs.Path(s"$root/batch=$batchId")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      false
+    } else true
+  }
 
   /** LSH-pruned exact top-k: scan only the multi-probe buckets, re-score
     * exactly, keep k (score desc, id tiebreak).
@@ -593,7 +622,7 @@ object IndexBuilder {
     * Compaction's job, as with LSH.
     */
   def stageIvfBatch(df: DataFrame, embCol: String, root: String,
-      batchId: Long): Unit =
+      batchId: Long): Boolean =
     stageClusteredBatch(df, embCol, root, batchId, identity)
 
   /** The ONE exactly-once staging skeleton all cluster-partitioned
@@ -603,18 +632,20 @@ object IndexBuilder {
     * deterministic `batch=<id>/cluster_id=<c>` directory — the
     * redelivery-idempotence contract lives HERE, once, so a change to
     * the batch-dir naming or overwrite discipline cannot drift between
-    * families.
+    * families. Returns true iff staged (false = roster-declined replay
+    * of a folded batch; see `stageGated`).
     */
   private[vector] def stageClusteredBatch(df: DataFrame, embCol: String,
       root: String, batchId: Long,
-      encode: DataFrame => DataFrame): Unit = {
-    val centers = loadIvfCentroids(root)
-    clusteredBy(
-        encode(df.withColumn("cluster_id", assignUdf(centers)(col(embCol)))),
-        "cluster_id", centers.length)
-      .write.mode("overwrite").partitionBy("cluster_id")
-      .parquet(s"$root/batch=$batchId")
-  }
+      encode: DataFrame => DataFrame): Boolean =
+    stageGated(df, root, batchId) {
+      val centers = loadIvfCentroids(root)
+      clusteredBy(
+          encode(df.withColumn("cluster_id", assignUdf(centers)(col(embCol)))),
+          "cluster_id", centers.length)
+        .write.mode("overwrite").partitionBy("cluster_id")
+        .parquet(s"$root/batch=$batchId")
+    }
 
   /** Load a centroid sidecar written by buildIvfIndex. */
   def loadIvfCentroids(path: String): Array[Array[Double]] = {

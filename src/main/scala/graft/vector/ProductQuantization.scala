@@ -331,7 +331,7 @@ object ProductQuantization {
     * `Compaction.foldStagedBatches`, as with LSH/IVF.
     */
   def stagePqBatch(df: DataFrame, embCol: String, root: String,
-      batchId: Long): Unit = {
+      batchId: Long): Boolean = {
     val books = loadPqCodebooks(root)
     IndexBuilder.stageClusteredBatch(df, embCol, root, batchId,
       withPqCodes(_, embCol, books))

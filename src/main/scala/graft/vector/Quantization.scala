@@ -186,7 +186,7 @@ object Quantization {
     * retention is `Compaction.foldStagedBatches`, as with LSH/IVF/PQ.
     */
   def stageSq8Batch(df: DataFrame, embCol: String, root: String,
-      batchId: Long): Unit =
+      batchId: Long): Boolean =
     IndexBuilder.stageClusteredBatch(df, embCol, root, batchId,
       withQuantized(_, embCol))
 

@@ -128,7 +128,7 @@ class CompactionSpec extends SparkSpec {
       "null-leaf survivors lost or doomed rows resurrected")
   }
 
-  test("foldStagedBatches horizon boundary: age==floor folds (inclusive); a post-fold replay re-admits — the floor must EXCEED the max redelivery delay") {
+  test("foldStagedBatches horizon boundary: age==floor folds (inclusive); a post-fold replay DECLINES via the roster — no re-admission") {
     import graft.vector.IndexBuilder
     import graft.ops.AnnIndex
     val root = java.nio.file.Files.createTempDirectory("stagedhorizon")
@@ -161,17 +161,59 @@ class CompactionSpec extends SparkSpec {
       .count(f => f.isDirectory && f.getName.startsWith("batch="))
     assert(leaves === 2, "boundary batches folded, hot batch kept")
     val afterFold = spark.read.parquet(root).count()
-    // the hazard the horizon exists to exclude, demonstrated: a replay of
-    // the folded batch 1 (same rows, same batch id — the idempotence key)
-    // lands AFTER the fold consumed its directory. The overwrite no
-    // longer has its own copy to replace, so the rows are RE-ADMITTED
-    // beside the folded copy — duplicates a fold never dedups away.
-    IndexBuilder.stageLshBatch(batch1Rows,
+    // the hazard the horizon used to exclude, now CLOSED by the roster:
+    // a replay of the folded batch 1 (same rows, same batch id — the
+    // idempotence key) lands AFTER the fold consumed its directory. The
+    // fold committed `folded:1` through the roster before its swap
+    // marker, so the stager must DECLINE — through r12 this replay
+    // re-admitted its rows beside the folded copy.
+    val staged = IndexBuilder.stageLshBatch(batch1Rows,
       "embedding", AnnIndex.defaultLsh, root, batchId = 1L)
-    val afterReplay = spark.read.parquet(root).count()
-    assert(afterReplay === afterFold + batch1Rows.count(),
-      "a post-horizon replay duplicates the folded batch — which is why " +
-        "minAgeMs must exceed the delivery system's max redelivery delay")
+    assert(!staged, "a replay of a folded batch must decline")
+    assert(spark.read.parquet(root).count() === afterFold,
+      "a declined replay must not change the root's row count")
+    assert(leaves === 2, "a declined replay must not re-land its directory")
+    // the DESTINATION leaf is guarded too: a replay of batch 0 carrying
+    // only its own rows would CLOBBER the consolidated batch=0 leaf and
+    // silently lose every other folded batch's rows
+    val destStaged = IndexBuilder.stageLshBatch(
+      e.filter(col("vec_id") < 200L),
+      "embedding", AnnIndex.defaultLsh, root, batchId = 0L)
+    assert(!destStaged, "a replay of the fold destination must decline")
+    assert(spark.read.parquet(root).count() === afterFold,
+      "the consolidated leaf must survive a destination replay")
+  }
+
+  test("roster reconciliation: a stray re-landed folded directory is garbage-collected by the next fold, not re-folded into duplicates") {
+    import graft.vector.IndexBuilder
+    import graft.ops.AnnIndex
+    val root = java.nio.file.Files.createTempDirectory("stagedroster")
+      .toString + "/idx"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val b0 = e.filter(col("vec_id") < 150L)
+    val b1 = e.filter(col("vec_id") >= 150L && col("vec_id") < 250L)
+    val b2 = e.filter(col("vec_id") >= 250L && col("vec_id") < 300L)
+    IndexBuilder.stageLshBatch(b0, "embedding", AnnIndex.defaultLsh, root, 0L)
+    IndexBuilder.stageLshBatch(b1, "embedding", AnnIndex.defaultLsh, root, 1L)
+    assert(Compaction.foldStagedBatches(spark, root, "bucket") === 2)
+    val folded = spark.read.parquet(root).count()
+    // simulate a stager that crashed between its overwrite and its
+    // post-write roster re-check: batch=1's directory re-appears on disk
+    // even though the roster marks it folded. (Write it bypassing the
+    // gate, as the torn stager would have.)
+    b1.withColumn("bucket",
+        org.apache.spark.sql.functions.lit(0))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(root + "/batch=1")
+    assert(spark.read.parquet(root).count() === folded + b1.count(),
+      "precondition: the stray directory is visible before reconciliation")
+    // a later fold must DELETE the stray (its rows already live in the
+    // leaf) rather than fold it — folding it would duplicate rows
+    // INSIDE the consolidated leaf where no later pass dedups them
+    IndexBuilder.stageLshBatch(b2, "embedding", AnnIndex.defaultLsh, root, 2L)
+    Compaction.foldStagedBatches(spark, root, "bucket")
+    assert(spark.read.parquet(root).count() === folded + b2.count(),
+      "reconciliation must remove the stray copy, keeping each row once")
   }
 
   test("staged swap: a torn marker (missing sentinel) is an aborted staging, never a wedge or a wrong fold") {

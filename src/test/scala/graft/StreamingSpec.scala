@@ -101,8 +101,10 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, Seq[Float])]
     val writer = mem.toDF().toDF("vec_id", "embedding")
       .writeStream.outputMode(OutputMode.Append()).foreachBatch {
-        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) => {
           IndexBuilder.stageLshBatch(batch, "embedding", lsh, root, batchId)
+          ()
+        }
       }
     val q = writer.start()
     try {
@@ -117,8 +119,10 @@ class StreamingSpec extends SparkSpec {
     val mem2 = MemoryStream[(Long, Seq[Float])]
     val q2 = mem2.toDF().toDF("vec_id", "embedding")
       .writeStream.outputMode(OutputMode.Append()).foreachBatch {
-        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) => {
           IndexBuilder.stageLshBatch(batch, "embedding", lsh, root, batchId)
+          ()
+        }
       }.start()
     try {
       mem2.addData(arrivals.take(20).toSeq: _*)
