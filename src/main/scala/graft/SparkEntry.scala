@@ -36,6 +36,7 @@ object SparkEntry {
     ops.TextAnalysis,
     ops.QualityFilters,
     ops.Rag,
+    ops.LateInteraction,
     ops.Ingest,
     ops.Multimodal,
     ops.Functions,

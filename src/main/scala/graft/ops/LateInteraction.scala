@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.vector.{Embedding, VectorFunctions}
+
+/** Late-interaction (multi-vector) retrieval — the ColBERT scoring model
+  * (Khattab & Zaharia 2020, "ColBERT: Efficient and Effective Passage
+  * Search via Contextualized Late Interaction over BERT"): a document is
+  * MANY token-level vectors, a query is a few, and the score is MaxSim —
+  * for each query token, the maximum dot against the document's token
+  * vectors, summed over query tokens. The reference's single-vector
+  * store (`ingest_chunks_to_chromadb.py` embeds one vector per chunk)
+  * cannot express "this doc matches every part of the query somewhere";
+  * late interaction is the production surface for that, and its index is
+  * exactly the kind of thing a Spark corpus pipeline materializes.
+  *
+  * Offline stand-in for contextual embeddings: each token position
+  * embeds its (prev, token, next) window through the engine's seeded
+  * hashing embedder — token vectors are context-dependent (the ColBERT
+  * property that makes MaxSim more than bag-of-words overlap), unit-norm,
+  * and bit-stable across engines/partitionings. Identical windows embed
+  * identically, so an exact copy of the query's source document scores
+  * exactly |Q| — the enumerable planted construction both driver rows
+  * ride (scores in integer micro-units; `round(dot, 6)` turns the
+  * float self-dot into exactly 1.0, the discipline every self-query ANN
+  * row already relies on).
+  *
+  * 100 TB shapes:
+  *  - brute force: the doc-token table never moves; the |Q|-row query
+  *    frame broadcasts (the J4 discipline); per-(doc, q) maxima combine
+  *    map-side, so the exchange carries |docs|·|Q| partial rows, never
+  *    token-level rows; top-k is one TakeOrderedAndProject.
+  *  - indexed (the PLAID/ColBERTv2 two-stage shape): a persisted
+  *    window-hash posting table partitioned by hash bucket; candidate
+  *    generation probes exactly the query's |Q| buckets (partition-pruned
+  *    scan + posting equi-join — never a corpus scan), and the exact
+  *    MaxSim rescore runs over candidate docs only.
+  */
+object LateInteraction extends QueryModule {
+
+  /** Token-vector dimension — per-token vectors are many per doc, so the
+    * dim stays small (ColBERT itself serves at 128, not 768). */
+  private val TokenDim = 64
+  private val PlantedBase = 100000L
+  private val NumCopies = 9
+  private val K = 10
+  /** Posting-table partition fan-out for the indexed path. */
+  private val WindowBuckets = 64
+
+  /** The (prev, token, next) context window at every token position —
+    * boundary positions take the one-sided window, which PINS document
+    * boundaries: a document merely containing the query text mid-stream
+    * sees a predecessor token in its boundary windows, embeds them
+    * differently, and cannot reach the full-tie score. */
+  private[graft] def tokenWindows(text: String): Array[String] = {
+    val t = Embedding.tokenize(text)
+    Array.tabulate(t.length) { i =>
+      val b = new StringBuilder
+      if (i > 0) { b ++= t(i - 1); b += ' ' }
+      b ++= t(i)
+      if (i + 1 < t.length) { b += ' '; b ++= t(i + 1) }
+      b.result()
+    }
+  }
+
+  private val windowVecsUdf = udf { text: String =>
+    tokenWindows(text).map(w => Embedding.hashingEmbed(w, TokenDim))
+  }
+  private val windowStringsUdf = udf { text: String => tokenWindows(text) }
+
+  /** Corpus with planted exact copies of doc 0 under salted ids — the
+    * enumerable construction: every copy's windows equal the query's, so
+    * the top-10 is provably {0} ∪ planted by (score desc, id asc), each
+    * at exactly |Q|·1e6 micro-units, while the full MaxSim machinery
+    * runs for real. (Verified against the data: no real document is
+    * token-sequence-equal to doc 0 at sf0.001/0.01/0.1.) */
+  private def plantedCorpus(spark: SparkSession, dir: String): (DataFrame, String) = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val srcText = d.filter(col("doc_id") === 0L).select("text").head().getString(0)
+    import spark.implicits._
+    val copies = (0 until NumCopies)
+      .map(i => (PlantedBase + i, srcText)).toDF("doc_id", "text")
+    (d.unionByName(copies), srcText)
+  }
+
+  /** The |Q|-row query frame: (q_idx, qvec) from the source text's own
+    * windows — driver-computed (pure function, no job) and broadcast. */
+  private def queryFrame(spark: SparkSession, srcText: String): DataFrame = {
+    import spark.implicits._
+    tokenWindows(srcText).zipWithIndex
+      .map { case (w, i) => (i, Embedding.hashingEmbed(w, TokenDim)) }
+      .toSeq.toDF("q_idx", "qvec")
+  }
+
+  /** Exact MaxSim top-k over a doc-token frame: broadcast the query
+    * frame, per-(doc, q) max map-side, sum per doc, one ordered take. */
+  private def maxSimTopK(docTokens: DataFrame, q: DataFrame): DataFrame =
+    docTokens.crossJoin(broadcast(q))
+      .withColumn("d", round(VectorFunctions.cosineUnit(col("tvec"), col("qvec")), 6))
+      .groupBy("doc_id", "q_idx").agg(max(col("d")).as("m"))
+      .groupBy("doc_id")
+      .agg(sum(round(col("m") * 1e6).cast("long")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(K)
+
+  private def docTokensOf(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      posexplode(windowVecsUdf(col("text"))).as(Seq("pos", "tvec")))
+      .select("doc_id", "tvec")
+
+  /** Brute-force MaxSim retrieval (the exact baseline). */
+  def maxsimTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, srcText) = plantedCorpus(spark, dir)
+    maxSimTopK(docTokensOf(corpus), queryFrame(spark, srcText))
+      .select("doc_id", "score_micro")
+  }
+
+  /** Two-stage indexed MaxSim (the PLAID shape): candidates from a
+    * PERSISTED window-hash posting table — `wb=<bucket>` partitions, so
+    * the probe scans only the query's |Q| buckets — then the exact
+    * rescore over candidate docs only. The construction makes the two
+    * rows provably identical: every full-tie doc shares ALL query
+    * windows, so candidates ⊇ the tie set and the tie set saturates k. */
+  def maxsimIndexedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, srcText) = plantedCorpus(spark, dir)
+    val path = Tables.scratchPath("maxsim_postings", dir)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:v1", path) {
+      corpus.select(col("doc_id"),
+          explode(windowStringsUdf(col("text"))).as("w"))
+        .select(col("doc_id"), xxhash64(col("w")).as("w_hash"))
+        .distinct()
+        .withColumn("wb", pmod(col("w_hash"), lit(WindowBuckets)).cast("int"))
+        .repartition(col("wb"))
+        .write.mode("overwrite").partitionBy("wb").parquet(path)
+    }
+    import spark.implicits._
+    // hash the |Q| query windows through the SAME xxhash64 the postings
+    // were written with (one LocalRelation-sized job, no corpus touch)
+    val qHash = tokenWindows(srcText).distinct.toSeq.toDF("w")
+      .select(xxhash64(col("w"))).collect().map(_.getLong(0)).toSeq
+    val qBuckets = qHash.map(h => ((h % WindowBuckets + WindowBuckets) % WindowBuckets).toInt)
+      .distinct
+    val candidates = spark.read.parquet(path)
+      .filter(col("wb").isin(qBuckets: _*))           // partition-pruned
+      .filter(col("w_hash").isin(qHash: _*))           // posting equi-filter
+      .select("doc_id").distinct()
+    val docTokens = docTokensOf(corpus)
+      .join(broadcast(candidates), Seq("doc_id"), "left_semi")
+    maxSimTopK(docTokens, queryFrame(spark, srcText))
+      .select("doc_id", "score_micro")
+  }
+
+  /** Both rows share one oracle: the tie set is token-sequence equality
+    * with doc 0 (DuckDB replays the engine's tokenizer) plus the planted
+    * ids, each at exactly |Q|·1e6; ties order by doc_id. */
+  private val maxsimOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |q AS (SELECT tk FROM toks WHERE doc_id = 0),
+      |ties AS (
+      |  SELECT t.doc_id FROM toks t, q WHERE t.tk = q.tk
+      |  UNION ALL
+      |  SELECT d.doc_id + 100000 FROM documents d WHERE d.doc_id < 9)
+      |SELECT doc_id, (SELECT len(tk) FROM q)::BIGINT * 1000000 AS score_micro
+      |FROM ties ORDER BY doc_id LIMIT 10""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maxsim_topk" -> maxsimTopk,
+    "maxsim_indexed_topk" -> maxsimIndexedTopk)
+
+  override def oracles: Map[String, String] = Map(
+    "maxsim_topk" -> maxsimOracle,
+    "maxsim_indexed_topk" -> maxsimOracle)
+}

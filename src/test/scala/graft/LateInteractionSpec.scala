@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.LateInteraction
+import org.apache.spark.sql.functions._
+
+class LateInteractionSpec extends SparkSpec {
+
+  test("tokenWindows: boundary positions take one-sided windows; interiors three tokens") {
+    val w = LateInteraction.tokenWindows("Alpha beta, gamma delta")
+    assert(w.toSeq === Seq(
+      "alpha beta", "alpha beta gamma", "beta gamma delta", "gamma delta"))
+    assert(LateInteraction.tokenWindows("one").toSeq === Seq("one"))
+    assert(LateInteraction.tokenWindows("").isEmpty)
+    assert(LateInteraction.tokenWindows(null).isEmpty)
+  }
+
+  test("maxsim_topk: top-10 is exactly doc 0 + the 9 planted copies, each at |Q| micro-units") {
+    val out = SparkEntry.queries("maxsim_topk")(spark, sf).collect()
+    val qLen = graft.vector.Embedding.tokenize(
+      Tables.documents(spark, sf).filter(col("doc_id") === 0L)
+        .select("text").head().getString(0)).length
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ===
+      (0L +: (100000L until 100009L)).sorted,
+      "the planted tie set must saturate the top-10")
+    assert(out.forall(_.getAs[Long]("score_micro") === qLen * 1000000L),
+      "every full-tie doc scores exactly |Q| (each query window's max " +
+        "dot is its identical twin at 1.0)")
+  }
+
+  test("maxsim_indexed_topk: the pruned two-stage result equals the brute force row") {
+    val brute = SparkEntry.queries("maxsim_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+    val indexed = SparkEntry.queries("maxsim_indexed_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+    assert(indexed === brute,
+      "candidates share ALL query windows for full-tie docs, so the " +
+        "pruned rescore must reproduce the exact top-10")
+  }
+
+  test("maxsim_indexed_topk: the posting probe partition-prunes to the query's buckets") {
+    // warm the fixture, then audit the candidate scan's plan: the
+    // posting read must carry wb partition filters (the |Q|-bucket
+    // probe), never a full posting scan
+    SparkEntry.queries("maxsim_indexed_topk")(spark, sf).collect()
+    val path = Tables.scratchPath("maxsim_postings", sf)
+    val probe = spark.read.parquet(path).filter(col("wb").isin(0, 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[", "")
+        .startsWith("]"),
+      s"posting probe must push wb partition filters, plan:\n$plan")
+  }
+
+  test("a containing (non-equal) document cannot reach the full-tie score") {
+    // the boundary-window property the oracle's token-sequence-equality
+    // criterion rests on: text2 CONTAINS text1's token stream, but its
+    // boundary windows differ, so at least one query window maxes < 1.0
+    val w1 = LateInteraction.tokenWindows("spark shuffle join").toSet
+    val w2 = LateInteraction.tokenWindows("big spark shuffle join fast").toSet
+    assert(!w1.subsetOf(w2),
+      "one-sided boundary windows must distinguish containment from equality")
+  }
+}
