@@ -1716,6 +1716,76 @@ object Dedup extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Incremental SemDeDup — the ADMISSION-TIME form of `semanticDedup`:
+    * a standing exemplar store is the persisted IVF index table
+    * (cluster-partitioned, centroid sidecar), and an arriving batch is
+    * judged WITHOUT re-clustering anything. Each batch vector assigns to
+    * its nearest standing centroid (a pure function of the sidecar — the
+    * add-after-train contract), compares against THAT cluster's standing
+    * rows only (partition-pruned scan + cluster_id equi-join; the store
+    * is never scanned corpus-wide), and is rejected iff some standing
+    * exemplar reaches cosine ≥ τ (dup_of = the smallest such id).
+    * Batch-internal duplicates are the batch-mode op's job before
+    * admission (the `admitMicroBatch` discipline); this row is the
+    * store-vs-batch decision.
+    *
+    * Enumerable construction: the store holds vec_id ≥ 5, the batch is
+    * copies of the HELD-OUT vecs 0..4 (novel — τ = 0.8 sits above the
+    * measured max real-pair cosine, ≤ 0.61 at every sf, so every one
+    * admits) plus exact copies of standing vecs 10..14 (cosine 1.0
+    * against their identical twin, which provably co-clusters — every
+    * one rejects with dup_of enumerable). A wrong assignment, a pruning
+    * leak, a threshold drift, or a missed/spurious match each perturb
+    * the decision table.
+    */
+  def semanticIncrementalDupes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val store = e.filter(col("vec_id") >= 5L)
+    val path = Tables.scratchPath("semdedup_store", dir)
+    ResultCache.buildIfAbsent(spark, store,
+      "ivf:clusters=16:seed=7:semstore:v1", path) {
+      graft.vector.IndexBuilder.buildIvfIndex(
+        store, "embedding", numClusters = 16, seed = 7L, path)
+    }
+    // the batch is micro-batch-bounded: collect once, rebuild as a
+    // LocalRelation (the planted-corpus discipline)
+    import spark.implicits._
+    val batchRows = e.filter(col("vec_id") < 5L)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") >= 10L && col("vec_id") < 15L)
+        .select((col("vec_id") - 10L + 300000L).as("vec_id"), col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val batch = batchRows.toDF("vec_id", "embedding")
+    val assigned = graft.vector.IndexBuilder
+      .assignAgainstSidecar(batch, "embedding", path)
+    val probeClusters = assigned.select("cluster_id").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by |batch|
+    val standing = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probeClusters: _*)) // partition-pruned
+      .select(col("cluster_id"), col("vec_id").as("store_id"),
+        col("embedding").as("store_emb"))
+    val matches = assigned.join(standing, Seq("cluster_id"))
+      .filter(round(graft.vector.VectorFunctions
+          .cosineUnit(col("embedding"), col("store_emb")) * 1e6, 0).cast("long")
+        >= math.round(0.8 * 1e6))
+      .groupBy("vec_id").agg(min(col("store_id")).as("dup_of"))
+    assigned.select("vec_id").join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("dup_of").isNotNull, lit("reject"))
+          .otherwise(lit("admit")).as("decision"),
+        col("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  private val semanticIncrementalDupesSql =
+    """SELECT vec_id + 200000 AS vec_id, 'admit' AS decision,
+      |  NULL::BIGINT AS dup_of
+      |FROM embeddings WHERE vec_id < 5
+      |UNION ALL
+      |SELECT vec_id - 10 + 300000, 'reject', vec_id
+      |FROM embeddings WHERE vec_id >= 10 AND vec_id < 15
+      |ORDER BY vec_id""".stripMargin
+
   private val semanticDedupSql =
     """SELECT vec_id, vec_id AS canonical_id FROM embeddings
       |UNION ALL
@@ -1742,7 +1812,8 @@ object Dedup extends QueryModule {
     "simhash_near_dupes" -> simhashNearDupesGate,
     "simhash_planted_dupes" -> simhashPlantedDupes,
     "embedding_near_dupes" -> embeddingNearDupes,
-    "semantic_dedup" -> semanticDedup)
+    "semantic_dedup" -> semanticDedup,
+    "semantic_incremental_dupes" -> semanticIncrementalDupes)
 
   def oracles: Map[String, String] = Map(
     "dedup_components" -> dedupComponentsSql,
@@ -1762,5 +1833,6 @@ object Dedup extends QueryModule {
     "simhash_near_dupes" -> simhashNearDupesGateSql,
     "simhash_planted_dupes" -> simhashPlantedDupesSql,
     "embedding_near_dupes" -> embeddingNearDupesSql,
-    "semantic_dedup" -> semanticDedupSql)
+    "semantic_dedup" -> semanticDedupSql,
+    "semantic_incremental_dupes" -> semanticIncrementalDupesSql)
 }

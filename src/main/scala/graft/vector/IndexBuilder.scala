@@ -595,6 +595,15 @@ object IndexBuilder {
       .write.mode("append").partitionBy("cluster_id").parquet(path)
   }
 
+  /** Assign rows to the PERSISTED sidecar's nearest centroid without
+    * writing — the pure serving-side half of `appendToIvfIndex`, for
+    * probes that need the cluster id to prune a standing index scan
+    * (e.g. incremental semantic dedup's admission check). */
+  def assignAgainstSidecar(df: DataFrame, embCol: String, path: String): DataFrame = {
+    val centers = loadIvfCentroids(path)
+    df.withColumn("cluster_id", assignUdf(centers)(col(embCol)))
+  }
+
   /** Train the coarse quantizer and write ONLY the centroid sidecar — the
     * bootstrap of a STREAMING-ingested IVF index, whose data arrives as
     * staged micro-batches (the FAISS train-then-add contract with no

@@ -512,4 +512,31 @@ class DedupSpec extends SparkSpec {
     assert(out(4L)._1 > 500000L && !out(4L)._2,
       "a mostly-copied doc crosses the 50% coverage threshold")
   }
+
+  test("semantic_incremental_dupes: held-out vectors admit, standing copies reject with the right exemplar") {
+    val rows = SparkEntry.queries("semantic_incremental_dupes")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("decision"),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(rows.filter(_._2 == "admit").map(_._1).toSeq ===
+      (200000L until 200005L), "every held-out vector must admit")
+    assert(rows.filter(_._2 == "reject")
+        .map(t => (t._1, t._3)).toSeq ===
+      (0 until 5).map(i => (300000L + i, Some(10L + i))),
+      "every standing copy must reject against its identical exemplar")
+  }
+
+  test("semantic_incremental_dupes: the standing store scan is partition-pruned to the batch's clusters") {
+    // warm the fixture, then audit the probe plan: the store read must
+    // carry cluster_id partition filters — a corpus-wide standing scan
+    // is exactly what the admission check must never pay
+    SparkEntry.queries("semantic_incremental_dupes")(spark, sf).collect()
+    val path = Tables.scratchPath("semdedup_store", sf)
+    val probe = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("cluster_id").isin(0, 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[", "").startsWith("]"),
+      s"standing-store probe must push cluster_id partition filters:\n$plan")
+  }
 }
