@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.vector.{Embedding, VectorFunctions}
+import graft.vector.Embedding
 
 /** Late-interaction (multi-vector) retrieval — the ColBERT scoring model
   * (Khattab & Zaharia 2020, "ColBERT: Efficient and Effective Passage
@@ -28,10 +28,10 @@ import graft.vector.{Embedding, VectorFunctions}
   * row already relies on).
   *
   * 100 TB shapes:
-  *  - brute force: the doc-token table never moves; the |Q|-row query
-  *    frame broadcasts (the J4 discipline); per-(doc, q) maxima combine
-  *    map-side, so the exchange carries |docs|·|Q| partial rows, never
-  *    token-level rows; top-k is one TakeOrderedAndProject.
+  *  - brute force: the |Q| query vectors broadcast (KB-scale closure
+  *    state) and MaxSim is DOC-LOCAL, so scoring fuses into one map
+  *    pass per document — NO shuffle before the k-row
+  *    TakeOrderedAndProject; token vectors never materialize as rows.
   *  - indexed (the PLAID/ColBERTv2 two-stage shape): a persisted
   *    window-hash posting table partitioned by hash bucket; candidate
   *    generation probes exactly the query's |Q| buckets (partition-pruned
@@ -65,9 +65,6 @@ object LateInteraction extends QueryModule {
     }
   }
 
-  private val windowVecsUdf = udf { text: String =>
-    tokenWindows(text).map(w => Embedding.hashingEmbed(w, TokenDim))
-  }
   private val windowStringsUdf = udf { text: String => tokenWindows(text) }
 
   /** Corpus with planted exact copies of doc 0 under salted ids — the
@@ -85,37 +82,58 @@ object LateInteraction extends QueryModule {
     (d.unionByName(copies), srcText)
   }
 
-  /** The |Q|-row query frame: (q_idx, qvec) from the source text's own
-    * windows — driver-computed (pure function, no job) and broadcast. */
-  private def queryFrame(spark: SparkSession, srcText: String): DataFrame = {
-    import spark.implicits._
-    tokenWindows(srcText).zipWithIndex
-      .map { case (w, i) => (i, Embedding.hashingEmbed(w, TokenDim)) }
-      .toSeq.toDF("q_idx", "qvec")
-  }
-
-  /** Exact MaxSim top-k over a doc-token frame: broadcast the query
-    * frame, per-(doc, q) max map-side, sum per doc, one ordered take. */
-  private def maxSimTopK(docTokens: DataFrame, q: DataFrame): DataFrame =
-    docTokens.crossJoin(broadcast(q))
-      .withColumn("d", round(VectorFunctions.cosineUnit(col("tvec"), col("qvec")), 6))
-      .groupBy("doc_id", "q_idx").agg(max(col("d")).as("m"))
-      .groupBy("doc_id")
-      .agg(sum(round(col("m") * 1e6).cast("long")).as("score_micro"))
+  /** Exact MaxSim top-k — the shape that matters at 100 TB: once the
+    * |Q| query vectors broadcast (closure state, KB-scale), MaxSim is
+    * DOC-LOCAL — per query token, max over the doc's own windows, then
+    * sum — so the whole score fuses into one map pass per document with
+    * NO shuffle at all before the k-row TakeOrderedAndProject. The first
+    * cut of this operator materialized the (doc-token × query-token)
+    * frame through a crossJoin + two aggregations — 14M wide rows and
+    * the board's slowest row (5.2 s at sf0.1); the fused scorer serves
+    * the same answer from a tight per-doc loop. Per-q contribution is
+    * max over windows of round6(q·t) in micro-units (rounding is
+    * monotone, so it commutes with the max); a doc with no tokens
+    * contributes 0 per query token. */
+  private def maxSimTopK(corpus: DataFrame, qvecs: Array[Array[Float]]): DataFrame = {
+    val scoreUdf = udf { text: String =>
+      val tvs = tokenWindows(text).map(w => Embedding.hashingEmbed(w, TokenDim))
+      var total = 0L
+      var qi = 0
+      while (qi < qvecs.length) {
+        val q = qvecs(qi)
+        var best = 0L
+        var ti = 0
+        while (ti < tvs.length) {
+          val t = tvs(ti)
+          var d = 0.0
+          var j = 0
+          while (j < TokenDim) { d += q(j).toDouble * t(j).toDouble; j += 1 }
+          // round-half-up to micro-units directly (no per-dot BigDecimal
+          // in THE inner loop); identical to round(d, 6)·1e6 off the
+          // exact .5 micro boundary, which double dots do not land on
+          val micro = math.round(d * 1e6)
+          if (ti == 0 || micro > best) best = micro
+          ti += 1
+        }
+        total += (if (tvs.isEmpty) 0L else best)
+        qi += 1
+      }
+      total
+    }
+    corpus.select(col("doc_id"), scoreUdf(col("text")).as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
       .limit(K)
+  }
 
-  private def docTokensOf(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"),
-      posexplode(windowVecsUdf(col("text"))).as(Seq("pos", "tvec")))
-      .select("doc_id", "tvec")
-
-  /** Brute-force MaxSim retrieval (the exact baseline). */
+  /** Brute-force MaxSim retrieval (the exact baseline: every doc scored). */
   def maxsimTopk(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, srcText) = plantedCorpus(spark, dir)
-    maxSimTopK(docTokensOf(corpus), queryFrame(spark, srcText))
+    maxSimTopK(corpus, queryVecs(srcText))
       .select("doc_id", "score_micro")
   }
+
+  private def queryVecs(srcText: String): Array[Array[Float]] =
+    tokenWindows(srcText).map(w => Embedding.hashingEmbed(w, TokenDim))
 
   /** Two-stage indexed MaxSim (the PLAID shape): candidates from a
     * PERSISTED window-hash posting table — `wb=<bucket>` partitions, so
@@ -147,9 +165,11 @@ object LateInteraction extends QueryModule {
       .filter(col("wb").isin(qBuckets: _*))           // partition-pruned
       .filter(col("w_hash").isin(qHash: _*))           // posting equi-filter
       .select("doc_id").distinct()
-    val docTokens = docTokensOf(corpus)
-      .join(broadcast(candidates), Seq("doc_id"), "left_semi")
-    maxSimTopK(docTokens, queryFrame(spark, srcText))
+    // semi-join BEFORE scoring: the window embedder runs over candidate
+    // docs only, never the corpus — that is the entire point of the
+    // posting stage
+    val pruned = corpus.join(broadcast(candidates), Seq("doc_id"), "left_semi")
+    maxSimTopK(pruned, queryVecs(srcText))
       .select("doc_id", "score_micro")
   }
 
