@@ -15,85 +15,159 @@ import org.apache.spark.sql.SparkSession
   * The age floor excludes this only while the delivery system's max
   * redelivery delay stays strictly below it — an operational guess.
   *
-  * The roster replaces the guess with a commit: a fold CAS-commits the
-  * consumed batch ids through the multi-writer [[ManifestLog]] (at
-  * `<root>/_roster` — underscore-prefixed, so table scans never see it)
-  * BEFORE the swap marker that starts deleting directories. Stagers
-  * consult the roster and DECLINE a batch id the log has consumed —
-  * declining is always safe, because `folded:`/`leaf:` ids are only
-  * ever committed for directories that existed with `_SUCCESS`, i.e.
-  * batches whose rows are durably admitted (in their own directory or
-  * in the folded leaf). Two line kinds:
+  * The roster replaces the guess with a TWO-PHASE commit through the
+  * multi-writer [[ManifestLog]] (at `<root>/_roster` — underscore-
+  * prefixed, so table scans never see it). Three id states:
   *
-  *   - `folded:<id>` — consumed by a fold; the id's rows live in the
-  *     consolidated leaf. A re-landed `batch=<id>` directory is a late
-  *     replay's garbage and is reconciled (deleted) by the next fold.
-  *   - `leaf:<id>`   — the consolidated destination itself (always
-  *     `targets.min`). Stagers must decline it too — a replay carrying
-  *     only its own batch's rows would CLOBBER the leaf and lose every
-  *     other folded batch — but its directory is live and must never be
-  *     reconciled away.
+  *   - `pending:<id>` — committed by the fold BEFORE its swap marker.
+  *     Stagers decline the id (its rows are durable in its own
+  *     directory), but the directory is NOT reclaimable: if the fold
+  *     dies before its swap commits, the directory is still the only
+  *     copy of those rows.
+  *   - `folded:<id>` — flipped AFTER the swap completed; the id's rows
+  *     live in the consolidated leaf. Stagers decline, and a re-landed
+  *     `batch=<id>` directory is a late replay's garbage the next fold
+  *     reconciles (deletes).
+  *   - `leaf:<id>`   — the consolidated destination (always
+  *     `targets.min`). Stagers decline it too — a replay carrying only
+  *     its own batch's rows would CLOBBER the leaf — and its directory
+  *     is live and never reconciled away.
   *
-  * What this closes: any replay arriving AFTER the fold's roster commit
-  * declines, forever — no duplicate, no clobbered leaf, no horizon
-  * arithmetic. What it narrows but cannot close: a stager whose
+  * Why two phases: a single pre-marker `folded:` commit (the first cut
+  * of this ledger) let a crash between the roster commit and the swap
+  * marker mark batches as folded whose staged fold output was then
+  * DISCARDED by recovery — the next fold's reconciliation would delete
+  * their live directories, losing the rows everywhere while the roster
+  * declined every redelivery. `pending:` ids decline without ever
+  * authorizing reclamation; only a completed swap flips them.
+  *
+  * Crash matrix: die before the pending commit → staging discarded,
+  * nothing recorded. Die between pending commit and marker → staging
+  * discarded, directories intact, replays decline (safe — rows are
+  * durable on disk), the next fold re-targets the same directories and
+  * re-commits pending idempotently. Die between marker and flip →
+  * recovery completes the swap; a maintenance sweep at the next fold
+  * flips any pending id whose directory is gone (its rows are in the
+  * leaf); the destination id may sit in pending with a live directory
+  * until a later fold names it leaf — benign, since pending both
+  * declines replays and forbids reclamation.
+  *
+  * What this closes: any replay arriving AFTER the fold's pending
+  * commit declines, forever — no duplicate, no clobbered leaf, no
+  * horizon arithmetic. What it narrows but cannot close: a stager whose
   * overwrite is IN FLIGHT across the fold's swap can re-create the
   * directory between the swap's delete and rename; the stagers re-check
-  * the roster after writing and self-delete on a lost race, and fold
-  * reconciliation heals a crash between those two steps, but the
-  * instant of overlap itself remains excluded by the fold's documented
-  * maintenance-window contract (which the age floor provides in
-  * practice — hot directories are simply not fold targets).
+  * the roster after writing (deleting their directory only for
+  * `folded:` ids — rows already in the leaf — and failing LOUDLY on a
+  * `leaf:` collision), but the instant of overlap itself remains
+  * excluded by the fold's documented maintenance-window contract (which
+  * the age floor provides in practice — hot directories are simply not
+  * fold targets).
+  *
+  * The log is kept single-version: every commit expires all prior
+  * versions (the roster is a SET, not a history — `ManifestLog.expire`
+  * keeps the head), so stager reads stay O(consumed ids), not O(folds).
   */
 object BatchRoster {
   private def rosterDir(root: String) = root + "/_roster"
 
-  private def parse(lines: Seq[String]): (Set[Long], Set[Long]) = {
-    val folded = lines.collect {
-      case s if s.startsWith("folded:") => s.stripPrefix("folded:").toLong
-    }.toSet
-    val leaf = lines.collect {
-      case s if s.startsWith("leaf:") => s.stripPrefix("leaf:").toLong
-    }.toSet
-    (folded, leaf)
-  }
+  private final case class State(pending: Set[Long], folded: Set[Long],
+      leaf: Set[Long])
 
-  private def current(spark: SparkSession, root: String): Seq[String] = {
+  private def parse(lines: Seq[String]): State = State(
+    lines.collect { case s if s.startsWith("pending:") =>
+      s.stripPrefix("pending:").toLong }.toSet,
+    lines.collect { case s if s.startsWith("folded:") =>
+      s.stripPrefix("folded:").toLong }.toSet,
+    lines.collect { case s if s.startsWith("leaf:") =>
+      s.stripPrefix("leaf:").toLong }.toSet)
+
+  private def render(s: State): Seq[String] =
+    s.pending.toSeq.sorted.map(i => s"pending:$i") ++
+      s.folded.toSeq.sorted.map(i => s"folded:$i") ++
+      s.leaf.toSeq.sorted.map(i => s"leaf:$i")
+
+  private def current(spark: SparkSession, root: String): State = {
     val dir = rosterDir(root)
     val v = ManifestLog.currentVersion(spark, dir)
-    if (v == 0L) Seq.empty
-    else ManifestLog.read(spark, dir, v).getOrElse(Seq.empty)
+    parse(if (v == 0L) Seq.empty
+      else ManifestLog.read(spark, dir, v).getOrElse(Seq.empty))
   }
 
-  /** Ids a stager must decline: consumed by a fold (`folded:`) or the
-    * live consolidated leaf (`leaf:`). */
+  private def commit(spark: SparkSession, root: String,
+      update: State => State): Unit = {
+    val v = ManifestLog.commit(spark, rosterDir(root),
+      lines => render(update(parse(lines))))
+    // the roster is a set, not a history — keep only the head
+    ManifestLog.expire(spark, rosterDir(root), keepFrom = v)
+  }
+
+  /** Ids a stager must decline: consumed by a committed-or-in-flight
+    * fold (`pending`/`folded`) or the live consolidated leaf. */
   def consumed(spark: SparkSession, root: String): Set[Long] = {
-    val (folded, leaf) = parse(current(spark, root))
-    folded ++ leaf
+    val s = current(spark, root)
+    s.pending ++ s.folded ++ s.leaf
   }
 
   /** Ids whose re-landed directories are reconciliation garbage —
-    * `folded:` but not `leaf:` (the leaf's directory is live). */
+    * `folded` (rows live in the leaf) and not the leaf itself. A
+    * `pending` id's directory is NEVER reclaimable: until its swap
+    * commits, that directory is the only copy of its rows. */
   def reconcilable(spark: SparkSession, root: String): Set[Long] = {
-    val (folded, leaf) = parse(current(spark, root))
-    folded -- leaf
+    val s = current(spark, root)
+    s.folded -- s.leaf -- s.pending
   }
 
-  /** The fold's commit point against replays: record `targets` as
-    * consumed, with `dest` (always a member) as the new consolidated
-    * leaf. CAS-retries on concurrent committers; idempotent — a re-run
-    * of an interrupted fold commits the same state again. */
-  def commitFold(spark: SparkSession, root: String, targets: Seq[Long],
+  /** The live consolidated-leaf ids (for the stagers' loud-failure
+    * check: overwriting a leaf cannot be self-healed). */
+  def leafIds(spark: SparkSession, root: String): Set[Long] =
+    current(spark, root).leaf
+
+  /** One-read state classification for the stagers' post-write check:
+    * "leaf" | "pending" | "folded" | "free" (leaf wins over stale
+    * folded marks from a superseded fold generation). */
+  def classify(spark: SparkSession, root: String, id: Long): String = {
+    val s = current(spark, root)
+    if (s.leaf.contains(id)) "leaf"
+    else if (s.pending.contains(id)) "pending"
+    else if (s.folded.contains(id)) "folded"
+    else "free"
+  }
+
+  /** Phase 1 — the fold's commit point against replays, BEFORE its swap
+    * marker: record `targets` as pending. From here on a redelivery of
+    * any target declines, while the directories remain authoritative
+    * (and reclaim-forbidden) until the swap completes. Idempotent. */
+  def commitPending(spark: SparkSession, root: String,
+      targets: Seq[Long]): Unit =
+    commit(spark, root, s => s.copy(
+      pending = s.pending ++ (targets.toSet -- s.folded)))
+
+  /** Phase 2 — AFTER the swap completed: targets leave pending; all but
+    * the destination become folded (reclaimable if re-landed); `dest`
+    * (a member of targets) becomes the consolidated leaf. */
+  def finishFold(spark: SparkSession, root: String, targets: Seq[Long],
       dest: Long): Unit = {
     require(targets.contains(dest), s"fold destination $dest not in targets")
-    ManifestLog.commit(spark, rosterDir(root), { base =>
-      val (folded, leaf) = parse(base)
-      // a previous leaf consumed by THIS fold is superseded (its dir is
-      // renamed away by the swap); a leaf outside the target set stays live
-      val newFolded = folded ++ targets.filterNot(_ == dest)
-      val newLeaf = (leaf -- targets) + dest
-      newFolded.toSeq.sorted.map(i => s"folded:$i") ++
-        newLeaf.toSeq.sorted.map(i => s"leaf:$i")
-    })
+    commit(spark, root, s => State(
+      pending = s.pending -- targets,
+      folded = s.folded ++ targets.filterNot(_ == dest),
+      leaf = (s.leaf -- targets) + dest))
+  }
+
+  /** Maintenance sweep for a fold that died between its swap and its
+    * phase-2 flip: a pending id whose directory is GONE was swapped
+    * (its rows are in a leaf) — flip it to folded so its state stops
+    * read-blocking nothing and a re-landed directory becomes
+    * reconcilable. Pending ids with live directories are left alone
+    * (the crashed-before-swap case, where the directory is the truth). */
+  def sweepStalePending(spark: SparkSession, root: String,
+      dirExists: Long => Boolean): Unit = {
+    val s = current(spark, root)
+    val gone = s.pending.filterNot(dirExists)
+    if (gone.nonEmpty)
+      commit(spark, root, cur => cur.copy(
+        pending = cur.pending -- gone,
+        folded = cur.folded ++ (gone -- cur.leaf)))
   }
 }

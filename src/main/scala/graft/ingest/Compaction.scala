@@ -411,10 +411,15 @@ object Compaction {
     val tables = Seq(SwapTable("/_compact/data", b => s"/batch=$b"))
     recoverStagedSwap(spark, root, tables)
     if (!fs.exists(rootPath)) return 0
+    def batchDir(b: Long) = new org.apache.hadoop.fs.Path(root + s"/batch=$b")
+    // a previous fold may have died between its swap and its roster
+    // flip: pending ids whose directories are gone were swapped — flip
+    // them to folded so re-landed copies become reconcilable
+    BatchRoster.sweepStalePending(spark, root, b => fs.exists(batchDir(b)))
     // reconcile stray re-landings BEFORE target selection: a directory
-    // whose id the roster marks folded (and that is not the live leaf)
-    // is a late replay's garbage — its rows already live in the folded
-    // leaf, and folding it AGAIN would duplicate them inside the leaf
+    // whose id the roster marks FOLDED (not pending, not the leaf) is a
+    // late replay's garbage — its rows already live in the folded leaf,
+    // and folding it AGAIN would duplicate them inside the leaf
     val stray = BatchRoster.reconcilable(spark, root)
     fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
@@ -434,12 +439,18 @@ object Compaction {
     folded.repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(root + "/_compact/data")
-    // the commit point against replays: once these ids are in the
-    // roster, a redelivery of any of them declines — committed before
+    // phase 1 — the commit point against replays: once these ids are
+    // pending, a redelivery of any of them declines; committed BEFORE
     // the marker, so no directory is ever deleted while replays could
-    // still re-land it
-    BatchRoster.commitFold(spark, root, targets, targets.min)
+    // still re-land it, and pending never authorizes reclamation (a
+    // crash here leaves the directories as the durable truth)
+    BatchRoster.commitPending(spark, root, targets)
     commitStagedSwap(spark, root, tables, targets)
+    // phase 2 — the swap completed: non-destination targets flip to
+    // folded (their rows live in the consolidated leaf; a re-landed
+    // directory is now reclaimable garbage), the destination becomes
+    // the leaf
+    BatchRoster.finishFold(spark, root, targets, targets.min)
     targets.size
   }
 

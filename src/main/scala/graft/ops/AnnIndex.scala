@@ -1491,6 +1491,63 @@ object AnnIndex extends QueryModule {
       .select("vec_id", "score")
   }
 
+  /** The ONE streaming-lifecycle fixture skeleton all eight streaming
+    * rows share (exactly-once ingest x4 families, retention fold x4):
+    * the planted-copy corpus, train-once sidecars, base batch 0, the
+    * planted-arrivals batch 1 plus its crash replay (the exactly-once
+    * proof), and — for the retention rows — the aged-batch fold with a
+    * single-leaf reclamation re-check on every serve. One skeleton
+    * means the stage/fold/roster contract cannot drift between families
+    * (the `stageClusteredBatch` rule, applied to the driver rows).
+    * Returns the standing root.
+    */
+  private def streamingRoot(spark: SparkSession, dir: String,
+      family: String, cacheTag: String, partCol: String, fold: Boolean)(
+      train: (DataFrame, String) => Unit)(
+      stage: (DataFrame, String, Long) => Unit): String = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${family}_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val e = Tables.embeddings(spark, dir)
+    val corpus = withPlantedSelfCopies(spark, e)
+    val base = e.select("vec_id", "embedding")
+    val arrivals = corpus.filter(col("vec_id") >= 100000L)
+    ResultCache.buildIfAbsent(spark, corpus, cacheTag, root) {
+      train(base, root)
+      stage(base, root, 0L)
+      stage(arrivals, root, 1L)
+      // crash-replay of batch 1: same rows, same batch id, second delivery
+      stage(arrivals, root, 1L)
+      if (fold) {
+        val folded = graft.ingest.Compaction.foldStagedBatches(
+          spark, root, partCol, minAgeMs = 0L)
+        require(folded == 2, s"expected to fold 2 batch leaves, folded $folded")
+      }
+    }
+    if (fold) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      require(leaves == 1, s"fold must leave one batch leaf, found $leaves")
+    }
+    root
+  }
+
+  /** Pruned exact-rescore serve over a staged root — the shared scan
+    * shape of the LSH and IVF streaming rows: probe-filter on the
+    * partition column (partition pruning across every batch directory),
+    * exact cosine, ordered take. */
+  private def stagedScanServe(spark: SparkSession, root: String,
+      partCol: String, probeSet: Seq[Int], qv: Array[Float]): DataFrame =
+    spark.read.parquet(root)
+      .filter(col(partCol).isin(probeSet: _*))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(
+          col("embedding"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+
   /** EXACTLY-ONCE streaming index ingestion end-to-end: micro-batches of
     * arriving vectors land via `IndexBuilder.stageLshBatch` (deterministic
     * per-batch directory + overwrite), and the batch that delivered the
@@ -1503,33 +1560,14 @@ object AnnIndex extends QueryModule {
     * breaks the compare — the driver row IS the exactly-once proof.
     */
   def annStreamingIngestTopk(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_lshstream_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    val e = Tables.embeddings(spark, dir)
-    val corpus = withPlantedSelfCopies(spark, e)
-    val base = e.select("vec_id", "embedding")
-    val arrivals = corpus.filter(col("vec_id") >= 100000L)
-    // stage + replay is a pure function of the corpus — one cached unit
-    // (the IVF streaming row's rule): the exactly-once proof runs at
-    // fixture build, re-runs measure serving over the standing root
-    ResultCache.buildIfAbsent(spark, corpus,
-      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=stream-ingest:v1", root) {
-      IndexBuilder.stageLshBatch(base, "embedding", defaultLsh, root, batchId = 0L)
-      IndexBuilder.stageLshBatch(arrivals, "embedding", defaultLsh, root, batchId = 1L)
-      // crash-replay of batch 1: same rows, same batch id, second delivery
-      IndexBuilder.stageLshBatch(arrivals, "embedding", defaultLsh, root, batchId = 1L)
-    }
+    val root = streamingRoot(spark, dir, "lshstream",
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=stream-ingest:v1",
+      partCol = "bucket", fold = false)((_, _) => ())(
+      (df, r, b) => IndexBuilder.stageLshBatch(df, "embedding", defaultLsh, r, b))
     val qv = queryVec(spark, dir, 0L)
-    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
-      radius = tunedRadius(spark, dir))
-    spark.read.parquet(root)
-      .filter(col("bucket").isin(probes: _*))
-      .withColumn("score", round(
-        graft.vector.VectorFunctions.cosineUnit(
-          col("embedding"), typedlit(qv.toSeq)), 6))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(10)
-      .select("vec_id", "score")
+    stagedScanServe(spark, root, "bucket",
+      defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+        radius = tunedRadius(spark, dir)), qv)
   }
 
   /** EXACTLY-ONCE streaming ingestion for the IVF family — the
@@ -1549,32 +1587,16 @@ object AnnIndex extends QueryModule {
     * follows the same rule).
     */
   def annIvfStreamingIngestTopk(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_ivfstream_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    val e = Tables.embeddings(spark, dir)
-    val base = e.select("vec_id", "embedding")
-    val corpus = withPlantedSelfCopies(spark, e) // one shared construction
-    val arrivals = corpus.filter(col("vec_id") >= 100000L)
-    ResultCache.buildIfAbsent(spark, corpus,
-      "ivf:clusters=16:seed=42:lifecycle=stream-ingest:v1", root) {
-      IndexBuilder.trainIvfCentroids(base, "embedding",
-        numClusters = 16, seed = 42L, root)
-      IndexBuilder.stageIvfBatch(base, "embedding", root, batchId = 0L)
-      IndexBuilder.stageIvfBatch(arrivals, "embedding", root, batchId = 1L)
-      // crash-replay of batch 1: same rows, same batch id, second delivery
-      IndexBuilder.stageIvfBatch(arrivals, "embedding", root, batchId = 1L)
-    }
+    val root = streamingRoot(spark, dir, "ivfstream",
+      "ivf:clusters=16:seed=42:lifecycle=stream-ingest:v1",
+      partCol = "cluster_id", fold = false)(
+      (base, r) => IndexBuilder.trainIvfCentroids(base, "embedding",
+        numClusters = 16, seed = 42L, r))(
+      (df, r, b) => IndexBuilder.stageIvfBatch(df, "embedding", r, b))
     val qv = queryVec(spark, dir, 0L)
-    val probes = IndexBuilder.nearestClusters(
-      IndexBuilder.loadIvfCentroids(root), qv, tunedNProbe(spark, dir))
-    spark.read.parquet(root)
-      .filter(col("cluster_id").isin(probes: _*))
-      .withColumn("score", round(
-        graft.vector.VectorFunctions.cosineUnit(
-          col("embedding"), typedlit(qv.toSeq)), 6))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(10)
-      .select("vec_id", "score")
+    stagedScanServe(spark, root, "cluster_id",
+      IndexBuilder.nearestClusters(
+        IndexBuilder.loadIvfCentroids(root), qv, tunedNProbe(spark, dir)), qv)
   }
 
   /** EXACTLY-ONCE streaming ingestion for the IVF-PQ family — the FAISS
@@ -1594,21 +1616,12 @@ object AnnIndex extends QueryModule {
     * encodings round-trip. One cached unit (IVF/LSH streaming rule).
     */
   def annIvfPqStreamingIngestTopk(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_ivfpqstream_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    val e = Tables.embeddings(spark, dir)
-    val base = e.select("vec_id", "embedding")
-    val corpus = withPlantedSelfCopies(spark, e)
-    val arrivals = corpus.filter(col("vec_id") >= 100000L)
-    ResultCache.buildIfAbsent(spark, corpus,
-      "ivfpq:clusters=16:seed=42:lifecycle=stream-ingest:v1", root) {
-      graft.vector.ProductQuantization.trainIvfPqSidecars(
-        base, "embedding", numClusters = 16, seed = 42L, root)
-      graft.vector.ProductQuantization.stagePqBatch(base, "embedding", root, 0L)
-      graft.vector.ProductQuantization.stagePqBatch(arrivals, "embedding", root, 1L)
-      // crash-replay of batch 1: same rows, same batch id, second delivery
-      graft.vector.ProductQuantization.stagePqBatch(arrivals, "embedding", root, 1L)
-    }
+    val root = streamingRoot(spark, dir, "ivfpqstream",
+      "ivfpq:clusters=16:seed=42:lifecycle=stream-ingest:v1",
+      partCol = "cluster_id", fold = false)(
+      (base, r) => graft.vector.ProductQuantization.trainIvfPqSidecars(
+        base, "embedding", numClusters = 16, seed = 42L, r))(
+      (df, r, b) => graft.vector.ProductQuantization.stagePqBatch(df, "embedding", r, b))
     graft.vector.ProductQuantization.ivfPqIndexTopK(
       spark, root, "embedding", "vec_id", queryVec(spark, dir, 0L),
       k = 10, nProbe = tunedNProbe(spark, dir))
@@ -1625,21 +1638,12 @@ object AnnIndex extends QueryModule {
     * batch directories.
     */
   def annIvfSq8StreamingIngestTopk(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_sq8stream_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    val e = Tables.embeddings(spark, dir)
-    val base = e.select("vec_id", "embedding")
-    val corpus = withPlantedSelfCopies(spark, e)
-    val arrivals = corpus.filter(col("vec_id") >= 100000L)
-    ResultCache.buildIfAbsent(spark, corpus,
-      "ivfsq8:clusters=16:seed=42:lifecycle=stream-ingest:v1", root) {
-      IndexBuilder.trainIvfCentroids(base, "embedding",
-        numClusters = 16, seed = 42L, root)
-      graft.vector.Quantization.stageSq8Batch(base, "embedding", root, 0L)
-      graft.vector.Quantization.stageSq8Batch(arrivals, "embedding", root, 1L)
-      // crash-replay of batch 1: same rows, same batch id, second delivery
-      graft.vector.Quantization.stageSq8Batch(arrivals, "embedding", root, 1L)
-    }
+    val root = streamingRoot(spark, dir, "sq8stream",
+      "ivfsq8:clusters=16:seed=42:lifecycle=stream-ingest:v1",
+      partCol = "cluster_id", fold = false)(
+      (base, r) => IndexBuilder.trainIvfCentroids(base, "embedding",
+        numClusters = 16, seed = 42L, r))(
+      (df, r, b) => graft.vector.Quantization.stageSq8Batch(df, "embedding", r, b))
     graft.vector.Quantization.ivfSq8IndexTopK(
       spark, root, "embedding", "vec_id", queryVec(spark, dir, 0L),
       k = 10, nProbe = tunedNProbe(spark, dir))
@@ -1656,37 +1660,14 @@ object AnnIndex extends QueryModule {
     * that drops, duplicates, or mis-buckets rows perturbs the set.
     */
   def annStreamingCompactedTopk(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_lshstreamfold_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    val e = Tables.embeddings(spark, dir)
-    val corpus = withPlantedSelfCopies(spark, e)
-    ResultCache.buildIfAbsent(spark, corpus,
-      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=stream+fold:v1", root) {
-      IndexBuilder.stageLshBatch(e.select("vec_id", "embedding"),
-        "embedding", defaultLsh, root, batchId = 0L)
-      val arrivals = corpus.filter(col("vec_id") >= 100000L)
-      IndexBuilder.stageLshBatch(arrivals, "embedding", defaultLsh, root, 1L)
-      IndexBuilder.stageLshBatch(arrivals, "embedding", defaultLsh, root, 1L)
-      val folded = graft.ingest.Compaction.foldStagedBatches(
-        spark, root, "bucket", minAgeMs = 0L)
-      require(folded == 2, s"expected to fold 2 batch leaves, folded $folded")
-    }
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(root))
-      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    require(leaves == 1, s"fold must leave one batch leaf, found $leaves")
+    val root = streamingRoot(spark, dir, "lshstreamfold",
+      s"lsh:bits=${defaultLsh.nBits}:seed=42:lifecycle=stream+fold:v1",
+      partCol = "bucket", fold = true)((_, _) => ())(
+      (df, r, b) => IndexBuilder.stageLshBatch(df, "embedding", defaultLsh, r, b))
     val qv = queryVec(spark, dir, 0L)
-    val probes = defaultLsh.probes(defaultLsh.signature(qv.toSeq),
-      radius = tunedRadius(spark, dir))
-    spark.read.parquet(root)
-      .filter(col("bucket").isin(probes: _*))
-      .withColumn("score", round(
-        graft.vector.VectorFunctions.cosineUnit(
-          col("embedding"), typedlit(qv.toSeq)), 6))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(10)
-      .select("vec_id", "score")
+    stagedScanServe(spark, root, "bucket",
+      defaultLsh.probes(defaultLsh.signature(qv.toSeq),
+        radius = tunedRadius(spark, dir)), qv)
   }
 
   /** The IVF form of the staged-root retention: train-once sidecar,
@@ -1695,39 +1676,16 @@ object AnnIndex extends QueryModule {
     * requires and the same enumerable oracle over the folded root.
     */
   def annIvfStreamingCompactedTopk(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_ivfstreamfold_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    val e = Tables.embeddings(spark, dir)
-    val corpus = withPlantedSelfCopies(spark, e)
-    ResultCache.buildIfAbsent(spark, corpus,
-      "ivf:clusters=16:seed=42:lifecycle=stream+fold:v1", root) {
-      IndexBuilder.trainIvfCentroids(e.select("vec_id", "embedding"),
-        "embedding", numClusters = 16, seed = 42L, root)
-      IndexBuilder.stageIvfBatch(e.select("vec_id", "embedding"),
-        "embedding", root, batchId = 0L)
-      val arrivals = corpus.filter(col("vec_id") >= 100000L)
-      IndexBuilder.stageIvfBatch(arrivals, "embedding", root, 1L)
-      IndexBuilder.stageIvfBatch(arrivals, "embedding", root, 1L)
-      val folded = graft.ingest.Compaction.foldStagedBatches(
-        spark, root, "cluster_id", minAgeMs = 0L)
-      require(folded == 2, s"expected to fold 2 batch leaves, folded $folded")
-    }
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(root))
-      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    require(leaves == 1, s"fold must leave one batch leaf, found $leaves")
+    val root = streamingRoot(spark, dir, "ivfstreamfold",
+      "ivf:clusters=16:seed=42:lifecycle=stream+fold:v1",
+      partCol = "cluster_id", fold = true)(
+      (base, r) => IndexBuilder.trainIvfCentroids(base, "embedding",
+        numClusters = 16, seed = 42L, r))(
+      (df, r, b) => IndexBuilder.stageIvfBatch(df, "embedding", r, b))
     val qv = queryVec(spark, dir, 0L)
-    val probes = IndexBuilder.nearestClusters(
-      IndexBuilder.loadIvfCentroids(root), qv, tunedNProbe(spark, dir))
-    spark.read.parquet(root)
-      .filter(col("cluster_id").isin(probes: _*))
-      .withColumn("score", round(
-        graft.vector.VectorFunctions.cosineUnit(
-          col("embedding"), typedlit(qv.toSeq)), 6))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(10)
-      .select("vec_id", "score")
+    stagedScanServe(spark, root, "cluster_id",
+      IndexBuilder.nearestClusters(
+        IndexBuilder.loadIvfCentroids(root), qv, tunedNProbe(spark, dir)), qv)
   }
 
   /** The IVF-PQ form of the staged-root retention — the fold is layout-
@@ -1738,29 +1696,12 @@ object AnnIndex extends QueryModule {
     * the coarse cutoff and the enumerable answer.
     */
   def annIvfPqStreamingCompactedTopk(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_ivfpqstreamfold_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    val e = Tables.embeddings(spark, dir)
-    val corpus = withPlantedSelfCopies(spark, e)
-    ResultCache.buildIfAbsent(spark, corpus,
-      "ivfpq:clusters=16:seed=42:lifecycle=stream+fold:v1", root) {
-      graft.vector.ProductQuantization.trainIvfPqSidecars(
-        e.select("vec_id", "embedding"), "embedding",
-        numClusters = 16, seed = 42L, root)
-      graft.vector.ProductQuantization.stagePqBatch(
-        e.select("vec_id", "embedding"), "embedding", root, 0L)
-      val arrivals = corpus.filter(col("vec_id") >= 100000L)
-      graft.vector.ProductQuantization.stagePqBatch(arrivals, "embedding", root, 1L)
-      graft.vector.ProductQuantization.stagePqBatch(arrivals, "embedding", root, 1L)
-      val folded = graft.ingest.Compaction.foldStagedBatches(
-        spark, root, "cluster_id", minAgeMs = 0L)
-      require(folded == 2, s"expected to fold 2 batch leaves, folded $folded")
-    }
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(root))
-      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    require(leaves == 1, s"fold must leave one batch leaf, found $leaves")
+    val root = streamingRoot(spark, dir, "ivfpqstreamfold",
+      "ivfpq:clusters=16:seed=42:lifecycle=stream+fold:v1",
+      partCol = "cluster_id", fold = true)(
+      (base, r) => graft.vector.ProductQuantization.trainIvfPqSidecars(
+        base, "embedding", numClusters = 16, seed = 42L, r))(
+      (df, r, b) => graft.vector.ProductQuantization.stagePqBatch(df, "embedding", r, b))
     graft.vector.ProductQuantization.ivfPqIndexTopK(
       spark, root, "embedding", "vec_id", queryVec(spark, dir, 0L),
       k = 10, nProbe = tunedNProbe(spark, dir))
@@ -1771,28 +1712,12 @@ object AnnIndex extends QueryModule {
     * serves through the stored-codes coarse pass + exact rescore.
     */
   def annIvfSq8StreamingCompactedTopk(spark: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_sq8streamfold_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    val e = Tables.embeddings(spark, dir)
-    val corpus = withPlantedSelfCopies(spark, e)
-    ResultCache.buildIfAbsent(spark, corpus,
-      "ivfsq8:clusters=16:seed=42:lifecycle=stream+fold:v1", root) {
-      IndexBuilder.trainIvfCentroids(e.select("vec_id", "embedding"),
-        "embedding", numClusters = 16, seed = 42L, root)
-      graft.vector.Quantization.stageSq8Batch(
-        e.select("vec_id", "embedding"), "embedding", root, 0L)
-      val arrivals = corpus.filter(col("vec_id") >= 100000L)
-      graft.vector.Quantization.stageSq8Batch(arrivals, "embedding", root, 1L)
-      graft.vector.Quantization.stageSq8Batch(arrivals, "embedding", root, 1L)
-      val folded = graft.ingest.Compaction.foldStagedBatches(
-        spark, root, "cluster_id", minAgeMs = 0L)
-      require(folded == 2, s"expected to fold 2 batch leaves, folded $folded")
-    }
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(root))
-      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    require(leaves == 1, s"fold must leave one batch leaf, found $leaves")
+    val root = streamingRoot(spark, dir, "sq8streamfold",
+      "ivfsq8:clusters=16:seed=42:lifecycle=stream+fold:v1",
+      partCol = "cluster_id", fold = true)(
+      (base, r) => IndexBuilder.trainIvfCentroids(base, "embedding",
+        numClusters = 16, seed = 42L, r))(
+      (df, r, b) => graft.vector.Quantization.stageSq8Batch(df, "embedding", r, b))
     graft.vector.Quantization.ivfSq8IndexTopK(
       spark, root, "embedding", "vec_id", queryVec(spark, dir, 0L),
       k = 10, nProbe = tunedNProbe(spark, dir))

@@ -1211,14 +1211,20 @@ object GraphAnn {
       asOfSeq: Long): ResidentPin = {
     val key = s"$path#asOf=$asOfSeq#e=$entries#db=$descentBeam" +
       s"#rungs=${rungPaths.mkString(",")}"
-    val stamp = (Seq(path, path + "_delta", path + "_tombstones") ++
+    def stampNow() = (Seq(path, path + "_delta", path + "_tombstones") ++
         rungPaths.flatMap(p => Seq(p, p + "_delta")))
       .map(dirStamp(spark, _)).mkString("|") + "\u0000" +
       graft.ops.ResultCache.cacheKey(corpus.select(col(idCol), col(embCol)))
     pinCache.get(key) match {
-      case Some((s, pin)) if s == stamp => pin
+      case Some((s, pin)) if s == stampNow() => pin
       case _ => pinLock(key).synchronized {
-      // Re-read under the lock: a racing thread may have just built it.
+      // Re-read under the lock AND recompute the stamp under it: a
+      // mutation can land between the fast-path stamp and lock
+      // acquisition, and a racing thread may have built the NEWER pin —
+      // comparing that against the stale stamp would discard its build,
+      // mislabel our rebuild's current-disk contents with the old stamp,
+      // and churn every subsequent serve (each sees a stamp mismatch).
+      val stamp = stampNow()
       pinCache.get(key) match {
       case Some((s, pin)) if s == stamp => pin
       case old =>

@@ -135,11 +135,25 @@ object IndexBuilder {
 
   /** Roster-gated overwrite shared by every streaming stager: decline a
     * batch id the retention fold has consumed, and RE-CHECK after the
-    * write (deleting our directory on a lost race) so a fold committing
-    * mid-write cannot leave a re-landed copy beside the folded one. The
-    * pre-check makes post-fold replays no-ops; the post-check shrinks
-    * the in-flight overlap to the swap window the fold's maintenance-
-    * window contract already excludes.
+    * write so a fold committing mid-write cannot leave a re-landed copy
+    * beside the folded one. The post-check is STATE-AWARE:
+    *
+    *  - `folded` — the swap completed and our id's rows live in the
+    *    consolidated leaf; our just-written directory is a duplicate —
+    *    delete it and decline.
+    *  - `pending` — a fold has claimed the id but its swap has not
+    *    committed; the directory is still the rows' durable home and
+    *    our overwrite rewrote identical content (the determinism
+    *    contract) — keep the directory, decline.
+    *  - `leaf` — our overwrite just CLOBBERED the consolidated leaf
+    *    with one batch's rows, destroying every other folded batch's.
+    *    This cannot be self-healed (the folded copies are gone) and can
+    *    only happen when a stager runs inside the fold's maintenance
+    *    window — fail loudly instead of reporting a clean decline.
+    *
+    * The pre-check makes post-fold replays no-ops; the post-check
+    * shrinks the in-flight overlap to the swap's delete-to-rename
+    * window, which the fold's maintenance-window contract excludes.
     */
   private[graft] def stageGated(df: DataFrame, root: String, batchId: Long)(
       write: => Unit): Boolean = {
@@ -147,11 +161,20 @@ object IndexBuilder {
     if (graft.ingest.BatchRoster.consumed(spark, root).contains(batchId))
       return false
     write
-    if (graft.ingest.BatchRoster.consumed(spark, root).contains(batchId)) {
-      val p = new org.apache.hadoop.fs.Path(s"$root/batch=$batchId")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      false
-    } else true
+    graft.ingest.BatchRoster.classify(spark, root, batchId) match {
+      case "leaf" =>
+        throw new IllegalStateException(
+          s"stageGated: batch $batchId overwrote the consolidated leaf " +
+            s"of $root mid-fold — folded rows are lost; stagers must " +
+            "not run inside the fold's maintenance window")
+      case "folded" =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/batch=$batchId")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        false
+      case "pending" =>
+        false // the fold owns the id; our content is its content
+      case _ => true
+    }
   }
 
   /** LSH-pruned exact top-k: scan only the multi-probe buckets, re-score

@@ -184,6 +184,38 @@ class CompactionSpec extends SparkSpec {
       "the consolidated leaf must survive a destination replay")
   }
 
+  test("roster two-phase: a fold dying between its pending commit and its swap marker loses nothing and stays foldable") {
+    // regression for the single-phase first cut: marking batches FOLDED
+    // before the swap marker let a crash there authorize reconciliation
+    // to delete the still-live directories — the only copy of the rows.
+    // pending must decline replays WITHOUT authorizing reclamation.
+    import graft.vector.IndexBuilder
+    import graft.ops.AnnIndex
+    val root = java.nio.file.Files.createTempDirectory("stagedpending")
+      .toString + "/idx"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val b0 = e.filter(col("vec_id") < 150L)
+    val b1 = e.filter(col("vec_id") >= 150L && col("vec_id") < 250L)
+    IndexBuilder.stageLshBatch(b0, "embedding", AnnIndex.defaultLsh, root, 0L)
+    IndexBuilder.stageLshBatch(b1, "embedding", AnnIndex.defaultLsh, root, 1L)
+    val before = spark.read.parquet(root).count()
+    // the crashed fold's footprint: pending committed, staging discarded
+    graft.ingest.BatchRoster.commitPending(spark, root, Seq(0L, 1L))
+    // a replay declines, but the directory — the rows' only copy — survives
+    assert(!IndexBuilder.stageLshBatch(b1, "embedding", AnnIndex.defaultLsh,
+      root, 1L), "a pending id must decline replays")
+    assert(new java.io.File(root, "batch=1").isDirectory,
+      "a pending directory must never be reclaimed")
+    assert(spark.read.parquet(root).count() === before)
+    // the next fold re-targets the intact directories and completes
+    assert(Compaction.foldStagedBatches(spark, root, "bucket") === 2)
+    assert(spark.read.parquet(root).count() === before,
+      "the recovered fold must preserve every row")
+    assert(!IndexBuilder.stageLshBatch(b1, "embedding", AnnIndex.defaultLsh,
+      root, 1L), "post-fold replays must still decline")
+    assert(spark.read.parquet(root).count() === before)
+  }
+
   test("roster reconciliation: a stray re-landed folded directory is garbage-collected by the next fold, not re-folded into duplicates") {
     import graft.vector.IndexBuilder
     import graft.ops.AnnIndex
