@@ -94,31 +94,38 @@ object LateInteraction extends QueryModule {
     * max over windows of round6(q·t) in micro-units (rounding is
     * monotone, so it commutes with the max); a doc with no tokens
     * contributes 0 per query token. */
+  /** The scoring kernel both the single-query and batch rows share:
+    * Σ_q max_t round6(q·t) in micro-units. Round-half-up to micro-units
+    * directly (no per-dot BigDecimal in THE inner loop); identical to
+    * round(d, 6)·1e6 off the exact .5 micro boundary, which double dots
+    * do not land on. A doc with no tokens contributes 0 per query. */
+  private def maxSimMicro(tvs: Array[Array[Float]],
+      qvecs: Array[Array[Float]]): Long = {
+    var total = 0L
+    var qi = 0
+    while (qi < qvecs.length) {
+      val q = qvecs(qi)
+      var best = 0L
+      var ti = 0
+      while (ti < tvs.length) {
+        val t = tvs(ti)
+        var d = 0.0
+        var j = 0
+        while (j < TokenDim) { d += q(j).toDouble * t(j).toDouble; j += 1 }
+        val micro = math.round(d * 1e6)
+        if (ti == 0 || micro > best) best = micro
+        ti += 1
+      }
+      total += (if (tvs.isEmpty) 0L else best)
+      qi += 1
+    }
+    total
+  }
+
   private def maxSimTopK(corpus: DataFrame, qvecs: Array[Array[Float]]): DataFrame = {
     val scoreUdf = udf { text: String =>
-      val tvs = tokenWindows(text).map(w => Embedding.hashingEmbed(w, TokenDim))
-      var total = 0L
-      var qi = 0
-      while (qi < qvecs.length) {
-        val q = qvecs(qi)
-        var best = 0L
-        var ti = 0
-        while (ti < tvs.length) {
-          val t = tvs(ti)
-          var d = 0.0
-          var j = 0
-          while (j < TokenDim) { d += q(j).toDouble * t(j).toDouble; j += 1 }
-          // round-half-up to micro-units directly (no per-dot BigDecimal
-          // in THE inner loop); identical to round(d, 6)·1e6 off the
-          // exact .5 micro boundary, which double dots do not land on
-          val micro = math.round(d * 1e6)
-          if (ti == 0 || micro > best) best = micro
-          ti += 1
-        }
-        total += (if (tvs.isEmpty) 0L else best)
-        qi += 1
-      }
-      total
+      maxSimMicro(tokenWindows(text).map(w =>
+        Embedding.hashingEmbed(w, TokenDim)), qvecs)
     }
     corpus.select(col("doc_id"), scoreUdf(col("text")).as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
@@ -190,11 +197,68 @@ object LateInteraction extends QueryModule {
       |SELECT doc_id, (SELECT len(tk) FROM q)::BIGINT * 1000000 AS score_micro
       |FROM ties ORDER BY doc_id LIMIT 10""".stripMargin
 
+  private val BatchCopies = 3
+  private val BatchK = 4
+
+  /** Batch MaxSim serving — a FRAME of queries answered in one corpus
+    * pass (the batch-amortization discipline every ANN family's batch
+    * row follows): the per-doc UDF scores all queries at once over the
+    * doc's embedded-once windows, and the per-query reduction is the
+    * k-bounded native GroupTopK aggregate — k entries per (query,
+    * partition) cross the exchange, never the scored rows. Planted
+    * copies of each query's source doc (docs 0..2, none of which has a
+    * token-sequence twin at any sf) make every query's top-4 the
+    * enumerable tie set at exactly |Q_q|·1e6, tie-ordered by doc id
+    * through GroupTopK's payload ordering. */
+  def maxsimBatchTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GroupTopK
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val srcs = d.filter(col("doc_id") < 3L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    import spark.implicits._
+    val copies = srcs.toSeq.flatMap { case (q, t) =>
+      (0 until BatchCopies).map(j => (PlantedBase + q * 100L + j, t))
+    }.toDF("doc_id", "text")
+    val corpus = d.unionByName(copies)
+    val qvecss: Array[Array[Array[Float]]] = srcs.map(s => queryVecs(s._2))
+    val batchScores = udf { text: String =>
+      val tvs = tokenWindows(text).map(w => Embedding.hashingEmbed(w, TokenDim))
+      qvecss.map(qv => maxSimMicro(tvs, qv)) // embed windows ONCE per doc
+    }
+    corpus
+      .select(col("doc_id"),
+        posexplode(batchScores(col("text"))).as(Seq("q_id", "score_micro")))
+      .groupBy(col("q_id"))
+      .agg(GroupTopK.topK(col("score_micro"),
+        format_string("%012d", col("doc_id")), BatchK).as("top"))
+      .select(col("q_id").cast("long").as("q_id"), explode(col("top")))
+      .select(col("q_id"), col("col.payload").cast("long").as("doc_id"),
+        col("col.score").as("score_micro"))
+      .orderBy("q_id", "doc_id")
+  }
+
+  private val maxsimBatchOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |q AS (SELECT doc_id AS q_id, len(tk)::BIGINT * 1000000 AS s
+      |      FROM toks WHERE doc_id < 3)
+      |SELECT q_id, doc_id, s AS score_micro FROM (
+      |  SELECT q_id, q_id AS doc_id, s FROM q
+      |  UNION ALL
+      |  SELECT q_id, 100000 + q_id * 100 + j.j, s
+      |  FROM q CROSS JOIN (SELECT unnest(range(3)) AS j) j)
+      |ORDER BY q_id, doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maxsim_topk" -> maxsimTopk,
-    "maxsim_indexed_topk" -> maxsimIndexedTopk)
+    "maxsim_indexed_topk" -> maxsimIndexedTopk,
+    "maxsim_batch_topk" -> maxsimBatchTopk)
 
   override def oracles: Map[String, String] = Map(
     "maxsim_topk" -> maxsimOracle,
-    "maxsim_indexed_topk" -> maxsimOracle)
+    "maxsim_indexed_topk" -> maxsimOracle,
+    "maxsim_batch_topk" -> maxsimBatchOracle)
 }

@@ -51,6 +51,22 @@ class LateInteractionSpec extends SparkSpec {
       s"posting probe must push wb partition filters, plan:\n$plan")
   }
 
+  test("maxsim_batch_topk: each query's top-4 is its own planted tie group at |Q_q| micro-units") {
+    val out = SparkEntry.queries("maxsim_batch_topk")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 3L).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 3L).foreach { q =>
+      val rows = out.filter(_.getAs[Long]("q_id") == q)
+      val qLen = graft.vector.Embedding.tokenize(docs(q)).length
+      assert(rows.map(_.getAs[Long]("doc_id")).toSeq ===
+        (q +: (0 until 3).map(j => 100000L + q * 100L + j)),
+        s"query $q: top-4 must be its source doc + its 3 planted copies")
+      assert(rows.forall(_.getAs[Long]("score_micro") === qLen * 1000000L),
+        s"query $q: every tie row scores exactly |Q_$q|")
+    }
+  }
+
   test("a containing (non-equal) document cannot reach the full-tie score") {
     // the boundary-window property the oracle's token-sequence-equality
     // criterion rests on: text2 CONTAINS text1's token stream, but its
