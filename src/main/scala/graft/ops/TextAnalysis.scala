@@ -924,6 +924,114 @@ object TextAnalysis extends QueryModule {
       |       CAST((1000000 * sum(c * s_tok)) // sum(c) AS BIGINT) AS mean_mbits
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DSIR-style importance weighting for data selection (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling", arXiv:2302.03169), integerized with the surprisal
+    * row's floor(log2) trick so every weight is bit-exact cross-engine:
+    * the per-token log importance log2(p_target/p_raw) becomes
+    * `s_raw(tok) - s_tgt(tok)` with `s(tok) = len(bin(N DIV cnt)) - 1`
+    * — no float log ever runs. The TARGET is a PLANTED sample LM (a
+    * literal token histogram boosting vector/window/merge/hash 12x over
+    * the baseline): this corpus's lang and source slices were MEASURED
+    * to share one 31-token vocabulary with near-identical frequencies,
+    * so no corpus slice can discriminate — and the planted sample is
+    * the real deployment shape anyway, where the target corpus (the
+    * Wikipedia/books sample in the paper) arrives from OUTSIDE the raw
+    * corpus and only its broadcast-scale unigram stats ship to
+    * executors. Tokens absent from the target take a count floor of 1.
+    *
+    * Selection is by RANK, as in the paper's resampling step (an
+    * absolute zero threshold is meaningless after floor-log2
+    * quantization): the top fifth by (logw_bits DESC, doc_id ASC) is
+    * selected — a content-deterministic total order, so the cut is
+    * reproducible across runs, partitionings, and engines. Measured at
+    * sf0.001/0.01/0.1: the selected fifth carries a consistently higher
+    * boosted-token fraction (~0.15 vs ~0.13 — the iid synthetic corpus
+    * bounds how sharp any selector can be; direction is spec-pinned).
+    *
+    * Scale: the bm25/surprisal discipline — text never crosses an
+    * exchange; the raw LM is one token-key aggregation; the target LM
+    * and corpus total are broadcast-scale; scoring is a token
+    * equi-join. The global rank window is the resampling step — at
+    * 100 TB the cut becomes a sampled-quantile threshold on logw_bits
+    * (a pure filter), trading the exact fifth for a map-only selection,
+    * exactly the documented mega-strata fallback of `datasetSplit`.
+    */
+  def dsirImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTgt = DsirTargetSample.map(_._2).sum
+    val perDoc = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(filter(
+          split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+          t => length(t) > 0)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val vocab = perDoc.groupBy("tok").agg(sum(col("c")).as("cnt_raw"))
+    val totals = vocab.agg(sum(col("cnt_raw")).as("n_raw"))
+    import spark.implicits._
+    val tgt = DsirTargetSample.toDF("tok", "cnt_tgt")
+    val scored = perDoc.join(vocab, "tok")
+      .join(broadcast(tgt), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("s_raw",
+        (length(bin(expr("n_raw DIV cnt_raw"))) - 1).cast("long"))
+      .withColumn("s_tgt",
+        (length(bin(expr(s"${nTgt}L DIV coalesce(cnt_tgt, 1L)"))) - 1)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * (col("s_raw") - col("s_tgt"))).as("logw_bits"))
+    val rank = Window.orderBy(col("logw_bits").desc, col("doc_id").asc)
+    scored
+      .withColumn("rk", row_number().over(rank))
+      .withColumn("total", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("selected", col("rk") * 5 <= col("total"))
+      .select("doc_id", "n_tokens", "logw_bits", "selected")
+      .orderBy("doc_id")
+  }
+
+  /** The planted DSIR target sample: the raw corpus's 31-token
+    * vocabulary at baseline 250 with four tokens boosted 12x. Literal
+    * so the DuckDB oracle receives the identical histogram. */
+  private val DsirTargetSample: Seq[(String, Long)] = {
+    val boosted = Set("vector", "window", "merge", "hash")
+    ("join hash row batch scan customer column filter small slow merge " +
+      "order vector line data table agg value key stream window spark a " +
+      "group part big sort query fast the dup").split(" ").toSeq
+      .map(t => (t, if (boosted(t)) 3000L else 250L))
+  }
+
+  private val dsirImportanceWeightsSql = {
+    val vals = DsirTargetSample
+      .map { case (t, c) => s"('$t', $c)" }.mkString(", ")
+    s"""WITH tgt(tok, cnt_tgt) AS (VALUES $vals),
+      |tot_tgt AS (SELECT sum(cnt_tgt) AS n_tgt FROM tgt),
+      |toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+      |                x -> length(x) > 0)) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |dt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |vocab AS (SELECT tok, sum(c) AS cnt_raw FROM dt GROUP BY tok),
+      |tot AS (SELECT sum(cnt_raw) AS n_raw FROM vocab),
+      |s AS (SELECT d.doc_id, d.c,
+      |             length(bin(t.n_raw // v.cnt_raw)) - 1 AS s_raw,
+      |             length(bin(tt.n_tgt // coalesce(g.cnt_tgt, 1))) - 1 AS s_tgt
+      |      FROM dt d JOIN vocab v USING (tok) CROSS JOIN tot t
+      |      CROSS JOIN tot_tgt tt LEFT JOIN tgt g USING (tok)),
+      |lw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |              CAST(sum(c * (s_raw - s_tgt)) AS BIGINT) AS logw_bits
+      |       FROM s GROUP BY doc_id),
+      |r AS (SELECT *, row_number() OVER (ORDER BY logw_bits DESC, doc_id ASC) AS rk,
+      |             count(*) OVER () AS total FROM lw)
+      |SELECT doc_id, n_tokens, logw_bits,
+      |       CAST(rk * 5 <= total AS BOOLEAN) AS selected
+      |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Weighted deterministic sampling WITHOUT randomness: keep a doc iff
     * its md5 prefix, read as a 60-bit hex number, falls below a
     * per-doc threshold proportional to its weight (here n_chars) — so
@@ -1035,6 +1143,7 @@ object TextAnalysis extends QueryModule {
     "dataset_split" -> datasetSplit,
     "grouped_sample_native" -> groupedSampleNative,
     "surprisal_scores" -> surprisalScores,
+    "dsir_importance_weights" -> dsirImportanceWeights,
     "top_ngrams_per_lang" -> topNgramsPerLang,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
@@ -1055,6 +1164,7 @@ object TextAnalysis extends QueryModule {
     "dataset_split" -> datasetSplitSql,
     "grouped_sample_native" -> groupedSampleNativeSql,
     "surprisal_scores" -> surprisalScoresSql,
+    "dsir_importance_weights" -> dsirImportanceWeightsSql,
     "top_ngrams_per_lang" -> topNgramsPerLangSql,
     "pack_sequences" -> packSequencesSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -6,6 +6,30 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dsir_importance_weights: exact fifth selected; the selected fifth leans toward the boosted target tokens") {
+    val out = SparkEntry.queries("dsir_importance_weights")(spark, sf).cache()
+    val n = out.count()
+    val sel = out.filter(col("selected")).count()
+    assert(sel === n / 5, s"rank cut must select exactly floor(n/5): $sel of $n")
+    // directional signal: the selected docs carry a higher fraction of
+    // the target-boosted tokens than the rejected docs (the corpus is
+    // iid synthetic noise, so the margin is small but must be positive
+    // — a sign flip means the importance weight is inverted)
+    val boosted = Seq("vector", "window", "merge", "hash")
+    val frac = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+          t => length(t) > 0)).as("tok"))
+      .groupBy("doc_id")
+      .agg((sum(when(col("tok").isin(boosted: _*), 1L).otherwise(0L)) /
+        count(lit(1))).as("bf"))
+    val j = out.join(frac, "doc_id").groupBy("selected")
+      .agg(avg(col("bf")).as("mbf")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(j(true) > j(false),
+      s"selected fifth must lean toward the boosted tokens: $j")
+  }
+
   test("dataset_split: exact per-stratum proportions, disjoint and exhaustive") {
     val out = SparkEntry.queries("dataset_split")(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
