@@ -151,7 +151,10 @@ object BatchRoster {
     require(targets.contains(dest), s"fold destination $dest not in targets")
     commit(spark, root, s => State(
       pending = s.pending -- targets,
-      folded = s.folded ++ targets.filterNot(_ == dest),
+      // dest also LEAVES folded: its directory is live again (can only
+      // matter if an earlier generation folded the id — defensive, the
+      // reconciliation sweep makes that physically unreachable)
+      folded = (s.folded ++ targets.filterNot(_ == dest)) - dest,
       leaf = (s.leaf -- targets) + dest))
   }
 

@@ -184,6 +184,41 @@ class CompactionSpec extends SparkSpec {
       "the consolidated leaf must survive a destination replay")
   }
 
+  test("roster state machine: consumed ids never go free, and reclaimable ids are never pending or the leaf, under random op sequences") {
+    import graft.ingest.BatchRoster
+    val rnd = new scala.util.Random(42)
+    (0 until 10).foreach { trial =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"rosterprop$trial").toString + "/r"
+      var consumedModel = Set.empty[Long]
+      (0 until 8).foreach { _ =>
+        val ids = Seq.fill(2 + rnd.nextInt(3))(rnd.nextInt(10).toLong)
+          .distinct.sorted
+        rnd.nextInt(3) match {
+          case 0 =>
+            BatchRoster.commitPending(spark, root, ids)
+            consumedModel ++= ids
+          case 1 =>
+            BatchRoster.commitPending(spark, root, ids)
+            BatchRoster.finishFold(spark, root, ids, ids.min)
+            consumedModel ++= ids
+          case _ =>
+            BatchRoster.sweepStalePending(spark, root, _ => rnd.nextBoolean())
+        }
+        val consumed = BatchRoster.consumed(spark, root)
+        assert(consumedModel.subsetOf(consumed),
+          s"trial $trial: a consumed id went free — replays could re-admit")
+        val rec = BatchRoster.reconcilable(spark, root)
+        rec.foreach { id =>
+          assert(BatchRoster.classify(spark, root, id) === "folded",
+            s"trial $trial: reclaimable id $id is ${
+              BatchRoster.classify(spark, root, id)} — deleting its " +
+              "directory would lose rows")
+        }
+      }
+    }
+  }
+
   test("roster two-phase: a fold dying between its pending commit and its swap marker loses nothing and stays foldable") {
     // regression for the single-phase first cut: marking batches FOLDED
     // before the swap marker let a crash there authorize reconciliation
