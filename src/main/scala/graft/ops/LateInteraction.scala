@@ -82,23 +82,12 @@ object LateInteraction extends QueryModule {
     (d.unionByName(copies), srcText)
   }
 
-  /** Exact MaxSim top-k — the shape that matters at 100 TB: once the
-    * |Q| query vectors broadcast (closure state, KB-scale), MaxSim is
-    * DOC-LOCAL — per query token, max over the doc's own windows, then
-    * sum — so the whole score fuses into one map pass per document with
-    * NO shuffle at all before the k-row TakeOrderedAndProject. The first
-    * cut of this operator materialized the (doc-token × query-token)
-    * frame through a crossJoin + two aggregations — 14M wide rows and
-    * the board's slowest row (5.2 s at sf0.1); the fused scorer serves
-    * the same answer from a tight per-doc loop. Per-q contribution is
-    * max over windows of round6(q·t) in micro-units (rounding is
-    * monotone, so it commutes with the max); a doc with no tokens
-    * contributes 0 per query token. */
-  /** The scoring kernel both the single-query and batch rows share:
-    * Σ_q max_t round6(q·t) in micro-units. Round-half-up to micro-units
-    * directly (no per-dot BigDecimal in THE inner loop); identical to
-    * round(d, 6)·1e6 off the exact .5 micro boundary, which double dots
-    * do not land on. A doc with no tokens contributes 0 per query. */
+  /** The scoring kernel every row shares: Σ_q max_t round6(q·t) in
+    * micro-units (rounding is monotone, so it commutes with the max).
+    * Round-half-up to micro-units directly (no per-dot BigDecimal in
+    * THE inner loop); identical to round(d, 6)·1e6 off the exact .5
+    * micro boundary, which double dots do not land on. A doc with no
+    * tokens contributes 0 per query. */
   private def maxSimMicro(tvs: Array[Array[Float]],
       qvecs: Array[Array[Float]]): Long = {
     var total = 0L
@@ -122,6 +111,14 @@ object LateInteraction extends QueryModule {
     total
   }
 
+  /** Exact MaxSim top-k — the shape that matters at 100 TB: once the
+    * |Q| query vectors broadcast (closure state, KB-scale), MaxSim is
+    * DOC-LOCAL, so the whole score fuses into one map pass per document
+    * with NO shuffle before the k-row TakeOrderedAndProject. The first
+    * cut materialized the (doc-token × query-token) frame through a
+    * crossJoin + two aggregations — 14M wide rows, the board's slowest
+    * row (5.2 s at sf0.1); the fused scorer serves the same answer from
+    * a tight per-doc loop at 1.5 s. */
   private def maxSimTopK(corpus: DataFrame, qvecs: Array[Array[Float]]): DataFrame = {
     val scoreUdf = udf { text: String =>
       maxSimMicro(tokenWindows(text).map(w =>
@@ -153,14 +150,31 @@ object LateInteraction extends QueryModule {
     val path = Tables.scratchPath("maxsim_postings", dir)
     ResultCache.buildIfAbsent(spark, corpus,
       s"maxsim:dim=$TokenDim:wb=$WindowBuckets:v1", path) {
-      corpus.select(col("doc_id"),
-          explode(windowStringsUdf(col("text"))).as("w"))
-        .select(col("doc_id"), xxhash64(col("w")).as("w_hash"))
-        .distinct()
-        .withColumn("wb", pmod(col("w_hash"), lit(WindowBuckets)).cast("int"))
-        .repartition(col("wb"))
-        .write.mode("overwrite").partitionBy("wb").parquet(path)
+      writePostings(corpus, path, "overwrite")
     }
+    servePostings(spark, corpus, srcText, path)
+  }
+
+  /** The posting writer both lifecycle rows share: distinct (doc,
+    * window-hash) pairs into `wb=` partitions. `mode = "append"` is the
+    * incremental maintenance path — new docs' postings land as extra
+    * files inside the SAME hash-bucket partitions (the LSH append
+    * discipline: equal windows land where the probe will look), so the
+    * index never rebuilds and the probe shape is unchanged. */
+  private def writePostings(docs: DataFrame, path: String,
+      mode: String): Unit =
+    docs.select(col("doc_id"),
+        explode(windowStringsUdf(col("text"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("w_hash"))
+      .distinct()
+      .withColumn("wb", pmod(col("w_hash"), lit(WindowBuckets)).cast("int"))
+      .repartition(col("wb"))
+      .write.mode(mode).partitionBy("wb").parquet(path)
+
+  /** Probe the posting table with the query's window hashes (partition-
+    * pruned to the |Q| buckets), then exact MaxSim over candidates. */
+  private def servePostings(spark: SparkSession, corpus: DataFrame,
+      srcText: String, path: String): DataFrame = {
     import spark.implicits._
     // hash the |Q| query windows through the SAME xxhash64 the postings
     // were written with (one LocalRelation-sized job, no corpus touch)
@@ -178,6 +192,26 @@ object LateInteraction extends QueryModule {
     val pruned = corpus.join(broadcast(candidates), Seq("doc_id"), "left_semi")
     maxSimTopK(pruned, queryVecs(srcText))
       .select("doc_id", "score_micro")
+  }
+
+  /** Index maintenance for the posting table — the arriving-documents
+    * flow: the base index is built WITHOUT the planted copies, which
+    * then land through the APPEND path only. The serve can find the
+    * tie set exclusively through the appended postings, so a dropped
+    * or mis-bucketed append perturbs the enumerable top-10 — the same
+    * oracle as the build-everything row, reached through the
+    * incremental write. */
+  def maxsimAppendedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, srcText) = plantedCorpus(spark, dir)
+    val raw = Tables.documents(spark, dir).select("doc_id", "text")
+    val arrivals = corpus.filter(col("doc_id") >= PlantedBase)
+    val path = Tables.scratchPath("maxsim_postings_app", dir)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=append:v1", path) {
+      writePostings(raw, path, "overwrite")   // base: no copies
+      writePostings(arrivals, path, "append") // copies arrive incrementally
+    }
+    servePostings(spark, corpus, srcText, path)
   }
 
   /** Both rows share one oracle: the tie set is token-sequence equality
@@ -255,10 +289,12 @@ object LateInteraction extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maxsim_topk" -> maxsimTopk,
     "maxsim_indexed_topk" -> maxsimIndexedTopk,
+    "maxsim_appended_topk" -> maxsimAppendedTopk,
     "maxsim_batch_topk" -> maxsimBatchTopk)
 
   override def oracles: Map[String, String] = Map(
     "maxsim_topk" -> maxsimOracle,
     "maxsim_indexed_topk" -> maxsimOracle,
+    "maxsim_appended_topk" -> maxsimOracle,
     "maxsim_batch_topk" -> maxsimBatchOracle)
 }

@@ -51,6 +51,16 @@ class LateInteractionSpec extends SparkSpec {
       s"posting probe must push wb partition filters, plan:\n$plan")
   }
 
+  test("maxsim_appended_topk: the tie set is served entirely through appended postings") {
+    val appended = SparkEntry.queries("maxsim_appended_topk")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+    val indexed = SparkEntry.queries("maxsim_indexed_topk")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+    assert(appended === indexed,
+      "the incrementally-maintained index must serve the same top-10 " +
+        "as the built-at-once one — the copies exist only via the append")
+  }
+
   test("maxsim_batch_topk: each query's top-4 is its own planted tie group at |Q_q| micro-units") {
     val out = SparkEntry.queries("maxsim_batch_topk")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
