@@ -589,15 +589,22 @@ object Dedup extends QueryModule {
     * layout (doc_id-partitioned sigs; band_hash-clustered bands), leaving
     * younger epochs in place.
     *
-    * `minAgeMs` is the REPLAY HORIZON, not a tuning knob: an admission
-    * epoch (`AdmissionEpochBase + batchId`) is the idempotence key for
+    * `minAgeMs` guards the IN-FLIGHT overlap only: an admission epoch
+    * (`AdmissionEpochBase + batchId`) is the idempotence key for
     * at-least-once delivery — a replay of batch b overwrites its own
-    * leaf and excludes it from reads. Folding a leaf that might still be
-    * replayed would let the replay re-admit the whole batch next to the
-    * folded copy. Pass a floor comfortably above the source's redelivery
-    * window (0 is for sealed stores and tests). Maintenance-lane epochs
-    * have no replay semantics; the floor simply keeps hot leaves out of
-    * the fold.
+    * leaf and excludes it from reads. A replay arriving AFTER the fold
+    * completed is safe BY CONSTRUCTION, unlike the index-root stagers
+    * (which needed the BatchRoster): the fold moves the batch's rows
+    * into epoch 0, the replay excludes only its own epoch from the
+    * known-id reads, so the anti-join sees every replayed doc as known
+    * and admits nothing (DedupSpec "a post-fold replay of an admission
+    * batch's OWN id re-admits nothing" pins this). What the floor DOES
+    * exclude is a replay overwriting a directory while the fold is
+    * mid-read of it — the maintenance-window contract below — so pass a
+    * floor above the source's redelivery window when folding without a
+    * quiesce (0 is for sealed stores and tests). Maintenance-lane
+    * epochs have no replay semantics; the floor simply keeps hot leaves
+    * out of the fold.
     *
     * Crash discipline: the shared marker-committed staged swap
     * (`Compaction.commitStagedSwap` — one protocol for this fold and the

@@ -391,6 +391,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((10L, 20L)), s"folded store missed the dupe: $pairs")
   }
 
+  test("minhash store fold: a post-fold replay of an admission batch's OWN id re-admits nothing") {
+    // the index-root stagers needed the BatchRoster to close this case
+    // (their overwrite is blind); the admission path is safe by
+    // CONSTRUCTION and this spec pins why: the fold moves the batch's
+    // rows into epoch 0, the replay excludes only its own admission
+    // epoch from the known-id reads, so every replayed doc is "known"
+    // and the anti-join drops the whole batch — no duplicate admission,
+    // no horizon arithmetic
+    val path = java.nio.file.Files.createTempDirectory("mhfold_replay").toString + "/store"
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "pack my box with five dozen liquor jugs before the long journey"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashStore(base, path)
+    val batch = Seq((10L, "a streaming doc about adaptive execution"),
+      (11L, "a streaming doc about columnar layouts")).toDF("doc_id", "text")
+    Dedup.admitMicroBatch(spark, batch, base, path, batchId = 0L)
+    assert(Dedup.compactMinhashStore(spark, path) === 2)
+    def sigCount = spark.read.parquet(path + "/sigs").count()
+    val before = sigCount
+    // the at-least-once redelivery of the FOLDED batch, same batch id
+    val pairs = Dedup.admitMicroBatch(spark, batch, base, path, batchId = 0L)
+    assert(pairs.isEmpty, "a post-fold replay must admit and pair nothing")
+    assert(sigCount === before,
+      "a post-fold replay must not re-admit the batch beside its folded copy")
+  }
+
   test("minhash store fold: an age-floored fold excluding a younger epoch never collides with it") {
     val path = java.nio.file.Files.createTempDirectory("mhfold_hot").toString + "/store"
     val corpus = Seq(
