@@ -64,9 +64,19 @@ import org.apache.spark.sql.SparkSession
   * the age floor provides in practice — hot directories are simply not
   * fold targets).
   *
-  * The log is kept single-version: every commit expires all prior
-  * versions (the roster is a SET, not a history — `ManifestLog.expire`
-  * keeps the head), so stager reads stay O(consumed ids), not O(folds).
+  * Log retention: the roster is a SET, not a history, so each commit
+  * expires versions more than 64 below the new head — bounded files,
+  * stager reads stay O(consumed ids). The margin matters: expiring up
+  * to the head would let a reader that just resolved the head race a
+  * commit's expiry and read an ABSENT version (an empty roster would
+  * silently wave replays through), and would let a stalled committer
+  * claim a reclaimed below-head name (a lost update). Roster WRITES
+  * come only from folds, which already run single-writer inside their
+  * maintenance window, so for either race to bite, a read or claim
+  * would have to straddle 64 roster commits ≈ 20+ complete fold runs.
+  * Belt and braces, `current` retries a vanished head and then THROWS
+  * — a reader can stale-read by one commit or fail loudly, but can
+  * never observe an emptier roster than one it already saw.
   */
 object BatchRoster {
   private def rosterDir(root: String) = root + "/_roster"
@@ -87,19 +97,32 @@ object BatchRoster {
       s.folded.toSeq.sorted.map(i => s"folded:$i") ++
       s.leaf.toSeq.sorted.map(i => s"leaf:$i")
 
+  private val KeepVersions = 64L
+
   private def current(spark: SparkSession, root: String): State = {
     val dir = rosterDir(root)
-    val v = ManifestLog.currentVersion(spark, dir)
-    parse(if (v == 0L) Seq.empty
-      else ManifestLog.read(spark, dir, v).getOrElse(Seq.empty))
+    var attempt = 0
+    while (attempt < 5) {
+      val v = ManifestLog.currentVersion(spark, dir)
+      if (v == 0L) return parse(Seq.empty)
+      ManifestLog.read(spark, dir, v) match {
+        case Some(lines) => return parse(lines)
+        case None => attempt += 1 // expiry raced the read — re-resolve
+      }
+    }
+    throw new IllegalStateException(
+      s"roster head vanished mid-read 5x under $dir — refusing to " +
+        "treat the roster as empty (that would wave folded replays through)")
   }
 
   private def commit(spark: SparkSession, root: String,
       update: State => State): Unit = {
     val v = ManifestLog.commit(spark, rosterDir(root),
       lines => render(update(parse(lines))))
-    // the roster is a set, not a history — keep only the head
-    ManifestLog.expire(spark, rosterDir(root), keepFrom = v)
+    // bounded retention, NOT keep-only-head: see the class doc for why
+    // the margin is load-bearing
+    if (v > KeepVersions)
+      ManifestLog.expire(spark, rosterDir(root), keepFrom = v - KeepVersions)
   }
 
   /** Ids a stager must decline: consumed by a committed-or-in-flight
@@ -117,11 +140,6 @@ object BatchRoster {
     val s = current(spark, root)
     s.folded -- s.leaf -- s.pending
   }
-
-  /** The live consolidated-leaf ids (for the stagers' loud-failure
-    * check: overwriting a leaf cannot be self-healed). */
-  def leafIds(spark: SparkSession, root: String): Set[Long] =
-    current(spark, root).leaf
 
   /** One-read state classification for the stagers' post-write check:
     * "leaf" | "pending" | "folded" | "free" (leaf wins over stale
