@@ -66,7 +66,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Log retention: the roster is a SET, not a history, so each commit
   * expires versions more than 64 below the new head — bounded files,
-  * stager reads stay O(consumed ids). The margin matters: expiring up
+  * stager reads stay O(live ids) (see the watermark note below). The margin matters: expiring up
   * to the head would let a reader that just resolved the head race a
   * commit's expiry and read an ABSENT version (an empty roster would
   * silently wave replays through), and would let a stalled committer
@@ -77,12 +77,27 @@ import org.apache.spark.sql.SparkSession
   * Belt and braces, `current` retries a vanished head and then THROWS
   * — a reader can stale-read by one commit or fail loudly, but can
   * never observe an emptier roster than one it already saw.
+  *
+  * Roster SIZE is bounded too: folded ids are compacted to a watermark.
+  * A `below:<W>` line means every id < W is non-free (folded, unless
+  * the explicit pending/leaf sets say otherwise), and explicit
+  * `folded:` entries under W are dropped. W only ever advances across
+  * ids the roster has EXPLICITLY recorded (folded/leaf/pending), so a
+  * genuinely never-seen id — a gap in the id space — blocks it forever
+  * rather than being misclassified as consumed (which would silently
+  * decline that id's FIRST delivery). Structured Streaming batch ids
+  * are contiguous from 0, so for the intended stagers the watermark
+  * tracks the fold frontier and the explicit sets stay O(live ids)
+  * instead of O(all-time batch count).
   */
 object BatchRoster {
   private def rosterDir(root: String) = root + "/_roster"
 
   private final case class State(pending: Set[Long], folded: Set[Long],
-      leaf: Set[Long])
+      leaf: Set[Long], below: Long) {
+    /** folded-or-under-watermark, before leaf/pending precedence. */
+    def foldedLike(id: Long): Boolean = id < below || folded.contains(id)
+  }
 
   private def parse(lines: Seq[String]): State = State(
     lines.collect { case s if s.startsWith("pending:") =>
@@ -90,12 +105,25 @@ object BatchRoster {
     lines.collect { case s if s.startsWith("folded:") =>
       s.stripPrefix("folded:").toLong }.toSet,
     lines.collect { case s if s.startsWith("leaf:") =>
-      s.stripPrefix("leaf:").toLong }.toSet)
+      s.stripPrefix("leaf:").toLong }.toSet,
+    lines.collectFirst { case s if s.startsWith("below:") =>
+      s.stripPrefix("below:").toLong }.getOrElse(0L))
 
   private def render(s: State): Seq[String] =
-    s.pending.toSeq.sorted.map(i => s"pending:$i") ++
+    (if (s.below > 0L) Seq(s"below:${s.below}") else Seq.empty) ++
+      s.pending.toSeq.sorted.map(i => s"pending:$i") ++
       s.folded.toSeq.sorted.map(i => s"folded:$i") ++
       s.leaf.toSeq.sorted.map(i => s"leaf:$i")
+
+  /** Advance the watermark across the contiguous explicitly-recorded
+    * prefix, then drop the folded entries it subsumes (leaf/pending
+    * stay explicit — they carry precedence over the watermark). */
+  private def compacted(s: State): State = {
+    var w = s.below
+    while (s.folded.contains(w) || s.leaf.contains(w) ||
+        s.pending.contains(w)) w += 1
+    s.copy(folded = s.folded.filter(_ >= w), below = w)
+  }
 
   private val KeepVersions = 64L
 
@@ -118,37 +146,40 @@ object BatchRoster {
   private def commit(spark: SparkSession, root: String,
       update: State => State): Unit = {
     val v = ManifestLog.commit(spark, rosterDir(root),
-      lines => render(update(parse(lines))))
+      lines => render(compacted(update(parse(lines)))))
     // bounded retention, NOT keep-only-head: see the class doc for why
     // the margin is load-bearing
     if (v > KeepVersions)
       ManifestLog.expire(spark, rosterDir(root), keepFrom = v - KeepVersions)
   }
 
-  /** Ids a stager must decline: consumed by a committed-or-in-flight
-    * fold (`pending`/`folded`) or the live consolidated leaf. */
-  def consumed(spark: SparkSession, root: String): Set[Long] = {
+  /** Must a stager decline this id? True for ids consumed by a
+    * committed-or-in-flight fold (`pending`/folded-or-under-watermark)
+    * or the live consolidated leaf. */
+  def isConsumed(spark: SparkSession, root: String, id: Long): Boolean = {
     val s = current(spark, root)
-    s.pending ++ s.folded ++ s.leaf
+    s.pending.contains(id) || s.leaf.contains(id) || s.foldedLike(id)
   }
 
-  /** Ids whose re-landed directories are reconciliation garbage —
-    * `folded` (rows live in the leaf) and not the leaf itself. A
-    * `pending` id's directory is NEVER reclaimable: until its swap
-    * commits, that directory is the only copy of its rows. */
-  def reconcilable(spark: SparkSession, root: String): Set[Long] = {
+  /** One-read predicate over ids whose re-landed directories are
+    * reconciliation garbage — folded (rows live in the leaf) and not
+    * the leaf itself. A `pending` id's directory is NEVER reclaimable:
+    * until its swap commits, that directory is the only copy of its
+    * rows. One roster read serves every listed directory. */
+  def reconcilablePred(spark: SparkSession, root: String): Long => Boolean = {
     val s = current(spark, root)
-    s.folded -- s.leaf -- s.pending
+    id => !s.leaf.contains(id) && !s.pending.contains(id) && s.foldedLike(id)
   }
 
   /** One-read state classification for the stagers' post-write check:
     * "leaf" | "pending" | "folded" | "free" (leaf wins over stale
-    * folded marks from a superseded fold generation). */
+    * folded marks from a superseded fold generation; the watermark
+    * counts as folded for ids no explicit set claims). */
   def classify(spark: SparkSession, root: String, id: Long): String = {
     val s = current(spark, root)
     if (s.leaf.contains(id)) "leaf"
     else if (s.pending.contains(id)) "pending"
-    else if (s.folded.contains(id)) "folded"
+    else if (s.foldedLike(id)) "folded"
     else "free"
   }
 
@@ -167,7 +198,7 @@ object BatchRoster {
   def finishFold(spark: SparkSession, root: String, targets: Seq[Long],
       dest: Long): Unit = {
     require(targets.contains(dest), s"fold destination $dest not in targets")
-    commit(spark, root, s => State(
+    commit(spark, root, s => s.copy(
       pending = s.pending -- targets,
       // dest also LEAVES folded: its directory is live again (can only
       // matter if an earlier generation folded the id — defensive, the

@@ -420,12 +420,20 @@ object Compaction {
     // whose id the roster marks FOLDED (not pending, not the leaf) is a
     // late replay's garbage — its rows already live in the folded leaf,
     // and folding it AGAIN would duplicate them inside the leaf
-    val stray = BatchRoster.reconcilable(spark, root)
+    val stray = BatchRoster.reconcilablePred(spark, root)
     fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .filter(st => stray.contains(
+      .filter(st => stray(
         st.getPath.getName.stripPrefix("batch=").toLong))
-      .foreach(st => fs.delete(st.getPath, true))
+      .foreach { st =>
+        // a failed delete must abort, not proceed: the very next listing
+        // selects fold targets, and a surviving stray dir would be folded
+        // AGAIN — duplicating rows the leaf already holds, silently
+        if (!fs.delete(st.getPath, true) && fs.exists(st.getPath))
+          throw new java.io.IOException(
+            s"could not reconcile stray folded batch dir ${st.getPath}; " +
+              "aborting the fold rather than re-folding its rows")
+      }
     val now = System.currentTimeMillis()
     val targets = fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))

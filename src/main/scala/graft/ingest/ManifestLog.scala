@@ -175,8 +175,15 @@ object ManifestLog {
     val head = currentVersion(spark, dir)
     require(keepFrom <= head,
       s"expire(keepFrom=$keepFrom) would drop the valid head v$head")
-    val (fs, _) = hfs(spark, dir)
-    (1L until keepFrom).filter { v =>
+    val (fs, p) = hfs(spark, dir)
+    if (!fs.exists(p)) return Seq.empty
+    // one listing, then delete only the versions actually present — a
+    // caller that expires on every commit (the batch roster) must pay
+    // O(versions expired), not O(head) blind delete RPCs per call
+    fs.listStatus(p).toSeq.flatMap(st => st.getPath.getName match {
+      case VersionName(n) => Some(n.toLong)
+      case _ => None
+    }).filter(_ < keepFrom).sorted.filter { v =>
       fs.delete(versionPath(dir, v), false)
     }
   }

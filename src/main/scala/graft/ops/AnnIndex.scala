@@ -688,13 +688,20 @@ object AnnIndex extends QueryModule {
       .orderBy("qid", "vec_id")
   }
 
+  /** The SQ8 batch fixture's standing location — ONE definition, shared
+    * by the builder row and the batch router's measured-union probe (a
+    * drifted copy of this path would silently demote the router to its
+    * over-pricing fallback bound forever). */
+  private def sq8BatchFixturePath(dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfsq8batch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+
   /** BATCHED IVF-SQ8 retrieval: the PQ batch row's construction over the
     * int8 index (`Quantization.ivfSq8BatchIndexTopK` — one shared scan,
     * per-query probe gating, per-qid tie-inclusive quantized cutoffs).
     */
   def annIvfSq8BatchTopk(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_ivfsq8batch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val path = sq8BatchFixturePath(dir)
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val qbase = e.filter(col("vec_id") < 5L)
     val copies = broadcast(qbase)
@@ -3803,8 +3810,7 @@ object AnnIndex extends QueryModule {
     // mis-route cluster-correlated frames); the bound is only the cold
     // fallback before the first SQ8 fixture build.
     val nProbe = tunedNProbe(spark, dir)
-    val sq8Path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_ivfsq8batch_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val sq8Path = sq8BatchFixturePath(dir)
     val unionIvfFrac =
       if (new java.io.File(sq8Path, IndexBuilder.IvfCentroidsFile).isFile) {
         val centers = IndexBuilder.loadIvfCentroids(sq8Path)

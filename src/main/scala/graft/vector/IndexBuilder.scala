@@ -158,7 +158,7 @@ object IndexBuilder {
   private[graft] def stageGated(df: DataFrame, root: String, batchId: Long)(
       write: => Unit): Boolean = {
     val spark = df.sparkSession
-    if (graft.ingest.BatchRoster.consumed(spark, root).contains(batchId))
+    if (graft.ingest.BatchRoster.isConsumed(spark, root, batchId))
       return false
     write
     graft.ingest.BatchRoster.classify(spark, root, batchId) match {

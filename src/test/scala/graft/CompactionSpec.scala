@@ -205,18 +205,56 @@ class CompactionSpec extends SparkSpec {
           case _ =>
             BatchRoster.sweepStalePending(spark, root, _ => rnd.nextBoolean())
         }
-        val consumed = BatchRoster.consumed(spark, root)
-        assert(consumedModel.subsetOf(consumed),
-          s"trial $trial: a consumed id went free — replays could re-admit")
-        val rec = BatchRoster.reconcilable(spark, root)
-        rec.foreach { id =>
+        consumedModel.foreach { id =>
+          assert(BatchRoster.isConsumed(spark, root, id),
+            s"trial $trial: consumed id $id went free — replays could re-admit")
+        }
+        val rec = BatchRoster.reconcilablePred(spark, root)
+        (0L until 10L).filter(rec).foreach { id =>
           assert(BatchRoster.classify(spark, root, id) === "folded",
             s"trial $trial: reclaimable id $id is ${
               BatchRoster.classify(spark, root, id)} — deleting its " +
               "directory would lose rows")
         }
+        // never-recorded ids must stay free: the watermark may only
+        // subsume ids the roster explicitly recorded, or a gap id's
+        // FIRST delivery would silently decline
+        (10L until 13L).foreach { id =>
+          assert(!BatchRoster.isConsumed(spark, root, id),
+            s"trial $trial: never-recorded id $id reads consumed")
+        }
       }
     }
+  }
+
+  test("roster watermark: a folded contiguous prefix compacts to one below: line and stays consumed") {
+    import graft.ingest.{BatchRoster, ManifestLog}
+    val root = java.nio.file.Files
+      .createTempDirectory("rosterwm").toString + "/r"
+    // three folds over the contiguous streaming id space 0..8, each
+    // consolidating into leaf 0 — the standing retention-fold shape
+    Seq(Seq(0L, 1L, 2L), Seq(0L, 3L, 4L, 5L), Seq(0L, 6L, 7L, 8L))
+      .foreach { targets =>
+        BatchRoster.commitPending(spark, root, targets)
+        BatchRoster.finishFold(spark, root, targets, 0L)
+      }
+    (1L to 8L).foreach { id =>
+      assert(BatchRoster.isConsumed(spark, root, id),
+        s"id $id must stay consumed after compaction")
+      assert(BatchRoster.classify(spark, root, id) === "folded")
+    }
+    assert(BatchRoster.classify(spark, root, 0L) === "leaf",
+      "leaf precedence must survive the watermark")
+    assert(!BatchRoster.isConsumed(spark, root, 9L), "the frontier is free")
+    // the manifest itself is compact: the folded prefix became below:9
+    // with NO folded: lines left (leaf 0 stays explicit)
+    val dir = root + "/_roster"
+    val lines = ManifestLog
+      .read(spark, dir, ManifestLog.currentVersion(spark, dir)).get
+    assert(lines.contains("below:9"), s"expected below:9 in $lines")
+    assert(!lines.exists(_.startsWith("folded:")),
+      s"folded entries must compact into the watermark: $lines")
+    assert(lines.contains("leaf:0"), s"leaf stays explicit: $lines")
   }
 
   test("roster two-phase: a fold dying between its pending commit and its swap marker loses nothing and stays foldable") {
