@@ -105,7 +105,7 @@ object LateInteraction extends QueryModule {
         if (ti == 0 || micro > best) best = micro
         ti += 1
       }
-      total += (if (tvs.isEmpty) 0L else best)
+      total += best // 0L when the doc has no tokens (loop never ran)
       qi += 1
     }
     total
@@ -182,10 +182,21 @@ object LateInteraction extends QueryModule {
       .select(xxhash64(col("w"))).collect().map(_.getLong(0)).toSeq
     val qBuckets = qHash.map(h => ((h % WindowBuckets + WindowBuckets) % WindowBuckets).toInt)
       .distinct
-    val candidates = spark.read.parquet(path)
+    val probed = spark.read.parquet(path)
       .filter(col("wb").isin(qBuckets: _*))           // partition-pruned
       .filter(col("w_hash").isin(qHash: _*))           // posting equi-filter
       .select("doc_id").distinct()
+    // tombstone-aware: posting files are immutable, so deletes live in
+    // an `_tombstones` sidecar (underscore-prefixed — the posting scan
+    // never lists it) and the probe anti-joins candidates against it
+    // BEFORE the rescore: the embedder never runs on a deleted doc
+    val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
+    val candidates =
+      if (tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(tomb))
+        probed.join(spark.read.parquet(path + "/_tombstones"),
+          Seq("doc_id"), "left_anti")
+      else probed
     // semi-join BEFORE scoring: the window embedder runs over candidate
     // docs only, never the corpus — that is the entire point of the
     // posting stage
@@ -214,6 +225,64 @@ object LateInteraction extends QueryModule {
     servePostings(spark, corpus, srcText, path)
   }
 
+  /** Delete lifecycle for the posting index — the tombstone discipline
+    * every ANN family's delete row follows: posting files are immutable;
+    * the delete writes one doc id to the `_tombstones` sidecar and the
+    * serve's candidate stage anti-joins it. TEN copies are planted here
+    * (one more than the other rows) so the tie set OVERFILLS k; deleting
+    * one copy leaves exactly k tie docs, keeping the top-10 enumerable —
+    * and any tombstone leak (the deleted doc surfacing, or a missed
+    * posting) perturbs it. */
+  def maxsimDeletedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val srcText = d.filter(col("doc_id") === 0L)
+      .select("text").head().getString(0)
+    import spark.implicits._
+    val copies = (0 until (NumCopies + 1))
+      .map(i => (PlantedBase + i, srcText)).toDF("doc_id", "text")
+    val corpus = d.unionByName(copies)
+    val path = Tables.scratchPath("maxsim_postings_del", dir)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=delete:v1", path) {
+      writePostings(corpus, path, "overwrite")
+      // the delete: tombstone the first copy — no posting file rewritten
+      Seq(PlantedBase).toDF("doc_id")
+        .write.mode("overwrite").parquet(path + "/_tombstones")
+    }
+    servePostings(spark, corpus, srcText, path)
+  }
+
+  /** Compaction — the small-files half of the lifecycle: each append
+    * accretes a file set inside every `wb=` partition it touches, so a
+    * long-lived index degrades to many tiny posting files per bucket.
+    * The compactor rewrites the table as ONE distinct-deduped file per
+    * bucket; the serve is answer-identical because the probe reads
+    * (wb, w_hash, doc_id) CONTENT, not file layout — the same oracle as
+    * the build-at-once row proves it. */
+  def maxsimCompactedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, srcText) = plantedCorpus(spark, dir)
+    val raw = Tables.documents(spark, dir).select("doc_id", "text")
+    val arrivals = corpus.filter(col("doc_id") >= PlantedBase)
+    val path = Tables.scratchPath("maxsim_postings_cmp", dir)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=compact:v1", path) {
+      val staged = path + ".staged"
+      writePostings(raw, staged, "overwrite")      // base build
+      writePostings(arrivals, staged, "append")    // incremental arrivals
+      // compact: dedup postings the append overlapped, one file per
+      // bucket (repartition on the partition column co-locates each
+      // bucket in one task, so each wb= leaf lands as a single file)
+      spark.read.parquet(staged)
+        .distinct()
+        .repartition(col("wb"))
+        .write.mode("overwrite").partitionBy("wb").parquet(path)
+      val sp = new org.apache.hadoop.fs.Path(staged)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(sp, true)
+    }
+    servePostings(spark, corpus, srcText, path)
+  }
+
   /** Both rows share one oracle: the tie set is token-sequence equality
     * with doc 0 (DuckDB replays the engine's tokenizer) plus the planted
     * ids, each at exactly |Q|·1e6; ties order by doc_id. */
@@ -228,6 +297,22 @@ object LateInteraction extends QueryModule {
       |  SELECT t.doc_id FROM toks t, q WHERE t.tk = q.tk
       |  UNION ALL
       |  SELECT d.doc_id + 100000 FROM documents d WHERE d.doc_id < 9)
+      |SELECT doc_id, (SELECT len(tk) FROM q)::BIGINT * 1000000 AS score_micro
+      |FROM ties ORDER BY doc_id LIMIT 10""".stripMargin
+
+  /** The delete row's oracle: ten copies planted, the FIRST tombstoned —
+    * ties are doc 0's token-sequence twins plus copies 100001..100009. */
+  private val maxsimDeletedOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |q AS (SELECT tk FROM toks WHERE doc_id = 0),
+      |ties AS (
+      |  SELECT t.doc_id FROM toks t, q WHERE t.tk = q.tk
+      |  UNION ALL
+      |  SELECT d.doc_id + 100001 FROM documents d WHERE d.doc_id < 9)
       |SELECT doc_id, (SELECT len(tk) FROM q)::BIGINT * 1000000 AS score_micro
       |FROM ties ORDER BY doc_id LIMIT 10""".stripMargin
 
@@ -290,11 +375,15 @@ object LateInteraction extends QueryModule {
     "maxsim_topk" -> maxsimTopk,
     "maxsim_indexed_topk" -> maxsimIndexedTopk,
     "maxsim_appended_topk" -> maxsimAppendedTopk,
+    "maxsim_deleted_topk" -> maxsimDeletedTopk,
+    "maxsim_compacted_topk" -> maxsimCompactedTopk,
     "maxsim_batch_topk" -> maxsimBatchTopk)
 
   override def oracles: Map[String, String] = Map(
     "maxsim_topk" -> maxsimOracle,
     "maxsim_indexed_topk" -> maxsimOracle,
     "maxsim_appended_topk" -> maxsimOracle,
+    "maxsim_deleted_topk" -> maxsimDeletedOracle,
+    "maxsim_compacted_topk" -> maxsimOracle,
     "maxsim_batch_topk" -> maxsimBatchOracle)
 }

@@ -61,6 +61,39 @@ class LateInteractionSpec extends SparkSpec {
         "as the built-at-once one — the copies exist only via the append")
   }
 
+  test("maxsim_deleted_topk: the tombstoned copy never surfaces; the remaining ties saturate k") {
+    val out = SparkEntry.queries("maxsim_deleted_topk")(spark, sf).collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(!ids.contains(100000L),
+      "the tombstoned doc must be excluded at the candidate stage")
+    assert(ids === (0L +: (100001L to 100009L)).sorted,
+      "deleting one of ten copies leaves exactly the k-sized tie set")
+    val qLen = graft.vector.Embedding.tokenize(
+      Tables.documents(spark, sf).filter(col("doc_id") === 0L)
+        .select("text").head().getString(0)).length
+    assert(out.forall(_.getAs[Long]("score_micro") === qLen * 1000000L))
+  }
+
+  test("maxsim_compacted_topk: compaction rewrites each bucket to one file and serves the identical top-10") {
+    val compacted = SparkEntry.queries("maxsim_compacted_topk")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+    val indexed = SparkEntry.queries("maxsim_indexed_topk")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+    assert(compacted === indexed,
+      "the compacted index must serve the build-at-once answer")
+    // the small-files claim: every wb= leaf holds exactly ONE parquet
+    // file after compaction (the append path had left several)
+    val root = new java.io.File(Tables.scratchPath("maxsim_postings_cmp", sf))
+    val leaves = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("wb="))
+    assert(leaves.nonEmpty)
+    leaves.foreach { leaf =>
+      val parts = leaf.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts === 1,
+        s"${leaf.getName} holds $parts parquet files after compaction")
+    }
+  }
+
   test("maxsim_batch_topk: each query's top-4 is its own planted tie group at |Q_q| micro-units") {
     val out = SparkEntry.queries("maxsim_batch_topk")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
