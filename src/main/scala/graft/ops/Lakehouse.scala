@@ -415,6 +415,96 @@ object Lakehouse extends QueryModule {
       |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(price_e2) AS BIGINT) FROM v2
       |ORDER BY version""".stripMargin
 
+  /** ATOMIC MULTI-TABLE snapshot commit — snapshot isolation ACROSS
+    * tables, the transaction shape single-table logs (Delta, Iceberg
+    * HadoopTables) only get from an external catalog: one ManifestLog
+    * version lists EVERY member table's data files (namespaced
+    * `<table>:<path>` lines), so a reader that resolves a version reads
+    * a consistent table SET by construction — docs-v2 joined with
+    * stats-v1 is unrepresentable; there is no interleaving in which a
+    * reader sees one table's commit without the other's. Files land
+    * first; the CAS commit publishes both tables at once; a writer
+    * dying between its table writes and the commit is invisible
+    * (unreferenced files, vacuumable — LakehouseSpec pins it).
+    *
+    * The row reads BOTH versions back through the manifest and emits a
+    * per-version consistency audit: each table's row count, the token
+    * total, and the count of DANGLING ids (rows present in one member
+    * table but not the other — atomicity makes it identically 0).
+    */
+  def multiTableSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_mtx", dir)
+    // the engine tokenizer replayed natively (codegen'd, no UDF); the
+    // oracle replays the same regex in DuckDB — the maxsim rows' parity
+    val nTok = size(filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+      t => length(t) > 0))
+    val full = Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.cast("long").as("n_tokens"))
+    def writeTables(sub: String, d: DataFrame): Seq[String] = {
+      d.select("doc_id").write.mode("overwrite").parquet(s"$tmp/docs/$sub")
+      d.select("doc_id", "n_tokens").write.mode("overwrite")
+        .parquet(s"$tmp/stats/$sub")
+      Seq("docs", "stats").flatMap { t =>
+        new java.io.File(s"$tmp/$t/$sub").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => s"$t:${f.getAbsolutePath}").toIndexedSeq
+      }
+    }
+    val v1Lines = writeTables("v1", full.filter(col("doc_id") % 2 === 0))
+    val v2Lines = writeTables("v2", full)
+    val logDir = tmp + "/mtx_log"
+    if (new java.io.File(logDir).exists()) {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(logDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    // each version's line set is the full multi-table snapshot (replace,
+    // not accumulate): resolving a version resolves every member table
+    graft.ingest.ManifestLog.commit(spark, logDir, _ => v1Lines)
+    graft.ingest.ManifestLog.commit(spark, logDir, _ => v2Lines)
+    readMultiTableVersion(spark, logDir, 1L)
+      .unionByName(readMultiTableVersion(spark, logDir, 2L))
+      .orderBy("version")
+  }
+
+  /** Resolve ONE manifest version into its member tables and audit
+    * their cross-table consistency in a single job. */
+  private[graft] def readMultiTableVersion(spark: SparkSession,
+      logDir: String, v: Long): DataFrame = {
+    val lines = graft.ingest.ManifestLog.read(spark, logDir, v)
+      .getOrElse(throw new java.io.IOException(s"missing manifest v$v"))
+    def tableFiles(t: String) = lines.filter(_.startsWith(t + ":"))
+      .map(_.stripPrefix(t + ":"))
+    val docs = spark.read.parquet(tableFiles("docs"): _*)
+      .select(col("doc_id"), lit(1).as("in_docs"))
+    val stats = spark.read.parquet(tableFiles("stats"): _*)
+      .select(col("doc_id"), col("n_tokens"), lit(1).as("in_stats"))
+    docs.join(stats, Seq("doc_id"), "full_outer")
+      .agg(
+        lit(v).as("version"),
+        sum("in_docs").cast("long").as("n_docs"),
+        sum("in_stats").cast("long").as("n_stats"),
+        count(when(col("in_docs").isNull || col("in_stats").isNull, 1))
+          .as("n_dangling"),
+        sum("n_tokens").cast("long").as("total_tokens"))
+      .select("version", "n_docs", "n_stats", "n_dangling", "total_tokens")
+  }
+
+  private val multiTableSnapshotSql =
+    """WITH tok AS (
+      |  SELECT doc_id, len(list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0))::BIGINT AS n_tokens
+      |  FROM documents)
+      |SELECT CAST(1 AS BIGINT) AS version, count(*)::BIGINT AS n_docs,
+      |       count(*)::BIGINT AS n_stats, CAST(0 AS BIGINT) AS n_dangling,
+      |       sum(n_tokens)::BIGINT AS total_tokens
+      |FROM tok WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*)::BIGINT, count(*)::BIGINT,
+      |       CAST(0 AS BIGINT), sum(n_tokens)::BIGINT FROM tok
+      |ORDER BY version""".stripMargin
+
   /** Manifest vacuum: delete data files referenced by NO version in the
     * manifest — the garbage left behind by failed writes and expired
     * versions. Readers resolve files through manifests alone, so a
@@ -818,6 +908,7 @@ object Lakehouse extends QueryModule {
     "csv_interchange" -> csvInterchange,
     "cdc_change_feed" -> cdcChangeFeed,
     "bloom_pruned_lookup" -> bloomScan,
+    "multi_table_snapshot" -> multiTableSnapshot,
     "cdc_apply_replica" -> cdcApplyReplica)
 
   def oracles: Map[String, String] = Map(
@@ -833,5 +924,6 @@ object Lakehouse extends QueryModule {
     "csv_interchange" -> fidelitySql,
     "cdc_change_feed" -> cdcChangeFeedSql,
     "bloom_pruned_lookup" -> bloomScanSql,
+    "multi_table_snapshot" -> multiTableSnapshotSql,
     "cdc_apply_replica" -> cdcApplyReplicaSql)
 }

@@ -289,6 +289,54 @@ class LakehouseSpec extends SparkSpec {
     assert(replica === Seq((1L, "O", 100L), (2L, "U", 250L), (9L, "N", 900L)))
   }
 
+  test("multi_table_snapshot: every version audits consistent, and a torn writer's files are invisible and vacuumable") {
+    import graft.ops.Lakehouse
+    import graft.ingest.ManifestLog
+    val rows = SparkEntry.queries("multi_table_snapshot")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("version")).toSeq === Seq(1L, 2L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dangling") === 0L,
+        s"version ${r.getAs[Long]("version")}: dangling ids — a reader " +
+          "saw one member table's commit without the other's")
+      assert(r.getAs[Long]("n_docs") === r.getAs[Long]("n_stats"))
+    }
+    assert(rows(0).getAs[Long]("n_docs") < rows(1).getAs[Long]("n_docs"),
+      "v1 is the half-corpus snapshot, v2 the full one")
+    // TORN WRITER: new docs-table files land with NO commit — the head
+    // must not move, the head's audit must be unchanged, and the files
+    // must be unreferenced (vacuum-eligible), exactly like a writer
+    // that died between its table writes and its CAS commit
+    val tmp = Tables.scratchPath("graft_mtx", sf)
+    val logDir = tmp + "/mtx_log"
+    val headBefore = ManifestLog.currentVersion(spark, logDir)
+    spark.range(5).selectExpr("id AS doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/docs/torn")
+    assert(ManifestLog.currentVersion(spark, logDir) === headBefore,
+      "uncommitted table files must never advance the head")
+    val audit = Lakehouse
+      .readMultiTableVersion(spark, logDir, headBefore).collect().head
+    assert(audit.getAs[Long]("n_dangling") === 0L &&
+      audit.getAs[Long]("n_docs") === rows(1).getAs[Long]("n_docs"),
+      "the head's audit must be unchanged by a torn writer")
+    val referenced = ManifestLog.allReferenced(spark, logDir)
+    val tornFiles = new java.io.File(s"$tmp/docs/torn").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(tornFiles.nonEmpty)
+    tornFiles.foreach(f => assert(!referenced.exists(_.contains(f)),
+      s"torn file $f must be unreferenced (vacuum-eligible)"))
+    // single-version consistency is STRUCTURAL: each version's lines
+    // name both member tables, and all of a version's files come from
+    // the same atomic writeTables call (same v<N> directory)
+    Seq(1L, 2L).foreach { v =>
+      val lines = ManifestLog.read(spark, logDir, v).get
+      assert(lines.exists(_.startsWith("docs:")) &&
+        lines.exists(_.startsWith("stats:")),
+        s"v$v must list BOTH member tables")
+      assert(lines.forall(_.contains(s"/v$v/")),
+        s"v$v mixes table generations: $lines")
+    }
+  }
+
   test("cdc: the base reaches its broadcast join without an exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
