@@ -37,6 +37,7 @@ object SparkEntry {
     ops.QualityFilters,
     ops.Rag,
     ops.LateInteraction,
+    ops.Forget,
     ops.Ingest,
     ops.Multimodal,
     ops.Functions,

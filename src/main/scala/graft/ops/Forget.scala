@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.ingest.ManifestLog
+import graft.vector.Embedding
+
+/** Right-to-be-forgotten propagation — the compliance-deletion shape a
+  * 100 TB training corpus actually needs: deleting a document must take
+  * effect across EVERY serving surface (retrieval indexes, exports) at
+  * once, without rewriting any of them. The reference's store can only
+  * delete from its single collection (`ingest_chunks_to_chromadb.py`
+  * upserts per chunk); here deletion is LOGICAL and centralized:
+  *
+  *   - one `_forget` ledger at the corpus root, committed through the
+  *     multi-writer CAS [[ManifestLog]] — a forget is ONE commit, and
+  *     concurrent forgetters merge (the loser retries on the winner's
+  *     head, both ids survive);
+  *   - every surface consults the ledger at serve time via a broadcast
+  *     anti-join (the ledger is KB-scale — forgotten ids, not rows), so
+  *     NO store is rewritten: posting files, embeddings, and data files
+  *     are untouched, and un-forgetting (legal hold) would be one more
+  *     commit;
+  *   - physical reclamation stays where it already lives — the index
+  *     families' tombstone folds and vacuums — with the ledger as the
+  *     authoritative exclusion until they run.
+  *
+  * The driver row forgets one of ten planted copies of doc 0 and serves
+  * THREE surfaces through the one ledger: exact doc-embedding knn, the
+  * MaxSim posting index, and the training-export scan. Output is
+  * (surface, rank, doc_id) — rank-based, so one enumerable oracle covers
+  * surfaces whose score scales differ.
+  */
+object Forget extends QueryModule {
+
+  private def ledgerDir(root: String) = root + "/_forget"
+
+  /** Forget ids — ONE CAS commit; concurrent forgetters merge. */
+  def forget(spark: SparkSession, root: String, ids: Seq[Long]): Unit =
+    ManifestLog.commit(spark, ledgerDir(root),
+      head => (head ++ ids.map(_.toString)).distinct.sortBy(_.toLong))
+
+  /** The current forgotten-id set (empty on a fresh root). */
+  def forgottenIds(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = ledgerDir(root)
+    val v = ManifestLog.currentVersion(spark, dir)
+    if (v == 0L) Seq.empty
+    else ManifestLog.read(spark, dir, v).getOrElse(Seq.empty).map(_.toLong)
+  }
+
+  /** Serve-time exclusion: broadcast anti-join against the ledger. */
+  private def excluding(df: DataFrame, root: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = forgottenIds(spark, root)
+    if (ids.isEmpty) df
+    else df.join(broadcast(ids.toDF("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
+  private val TokenDim = 64
+  private val PlantedBase = 100000L
+  private val Copies = 10
+  private val K = 10
+
+  /** Ten exact copies of doc 0 planted (ids 100000..100009) so each
+    * retrieval surface's tie set OVERFILLS k; forgetting the first
+    * copy leaves exactly k tie docs — enumerable, and any surface the
+    * ledger fails to reach surfaces the forgotten id. */
+  def forgetPropagatedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val srcText = d.filter(col("doc_id") === 0L)
+      .select("text").head().getString(0)
+    import spark.implicits._
+    val copies = (0 until Copies)
+      .map(i => (PlantedBase + i, srcText)).toDF("doc_id", "text")
+    val corpus = d.unionByName(copies)
+
+    // standing MaxSim posting fixture (built once, NO tombstones — the
+    // ledger is the only exclusion mechanism in this row)
+    val path = Tables.scratchPath("maxsim_postings_fgt", dir)
+    val root = Tables.scratchPath("forget_root", dir)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"forget:dim=$TokenDim:copies=$Copies:v1", path) {
+      corpus.select(col("doc_id"),
+          explode(udf((t: String) => LateInteraction.tokenWindows(t))
+            .apply(col("text"))).as("w"))
+        .select(col("doc_id"), xxhash64(col("w")).as("w_hash"))
+        .distinct()
+        .withColumn("wb", pmod(col("w_hash"), lit(64)).cast("int"))
+        .repartition(col("wb"))
+        .write.mode("overwrite").partitionBy("wb").parquet(path)
+      // reset the ledger with the fixture (buildIfAbsent keys on corpus
+      // content), then THE forget: one commit, all surfaces flip
+      val lp = new org.apache.hadoop.fs.Path(ledgerDir(root))
+      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(lp, true)
+      forget(spark, root, Seq(PlantedBase))
+    }
+    val served = excluding(corpus, root)
+
+    // surface 1: exact doc-embedding knn (identical text → identical
+    // hashed embedding → cosine exactly 1.0 for every surviving copy)
+    val qv = Embedding.hashingEmbed(srcText, TokenDim)
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, TokenDim))
+    val knn = served
+      .withColumn("score", round(graft.vector.VectorFunctions.cosineUnit(
+        embed(col("text")), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(K)
+      .select(lit("knn").as("surface"), col("doc_id"))
+
+    // surface 2: the MaxSim posting index — candidates still contain the
+    // forgotten id (no store rewrite); the ledger-filtered corpus drops
+    // it at the rescore semi-join
+    val maxsim = LateInteraction.servePostings(spark, served, srcText, path)
+      .select(lit("maxsim").as("surface"), col("doc_id"))
+
+    // surface 3: the training-export scan (what a dataset dump ships)
+    val export = served.filter(col("doc_id") >= PlantedBase)
+      .orderBy("doc_id").limit(K)
+      .select(lit("export").as("surface"), col("doc_id"))
+
+    knn.unionByName(maxsim).unionByName(export)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("surface").orderBy("doc_id")))
+      .select("surface", "rank", "doc_id")
+      .orderBy("surface", "rank")
+  }
+
+  /** All three surfaces share the planted-tie construction: ties are doc
+    * 0's token-sequence twins plus the nine surviving copies; the export
+    * surface ships only the planted ids. */
+  private val forgetOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |q AS (SELECT tk FROM toks WHERE doc_id = 0),
+      |ties AS (
+      |  SELECT t.doc_id FROM toks t, q WHERE t.tk = q.tk
+      |  UNION ALL
+      |  SELECT d.doc_id + 100001 FROM documents d WHERE d.doc_id < 9)
+      |SELECT surface, CAST(row_number() OVER (
+      |    PARTITION BY surface ORDER BY doc_id) AS INT) AS rank, doc_id
+      |FROM (
+      |  SELECT 'knn' AS surface, doc_id FROM ties
+      |  UNION ALL
+      |  SELECT 'maxsim', doc_id FROM ties
+      |  UNION ALL
+      |  SELECT 'export', doc_id FROM ties WHERE doc_id >= 100000)
+      |ORDER BY surface, rank""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("forget_propagated_topk" -> forgetPropagatedTopk)
+
+  override def oracles: Map[String, String] =
+    Map("forget_propagated_topk" -> forgetOracle)
+}

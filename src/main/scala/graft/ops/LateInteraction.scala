@@ -173,7 +173,7 @@ object LateInteraction extends QueryModule {
 
   /** Probe the posting table with the query's window hashes (partition-
     * pruned to the |Q| buckets), then exact MaxSim over candidates. */
-  private def servePostings(spark: SparkSession, corpus: DataFrame,
+  private[graft] def servePostings(spark: SparkSession, corpus: DataFrame,
       srcText: String, path: String): DataFrame = {
     import spark.implicits._
     // hash the |Q| query windows through the SAME xxhash64 the postings

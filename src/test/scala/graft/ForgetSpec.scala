@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.Forget
+
+class ForgetSpec extends SparkSpec {
+
+  test("forget_propagated_topk: one ledger commit excludes the doc from every surface") {
+    val out = SparkEntry.queries("forget_propagated_topk")(spark, sf).collect()
+    val bySurface = out.groupBy(_.getAs[String]("surface"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSeq).toMap
+    assert(bySurface.keySet === Set("knn", "maxsim", "export"))
+    bySurface.foreach { case (s, ids) =>
+      assert(!ids.contains(100000L),
+        s"surface $s still serves the forgotten doc — the ledger did " +
+          "not propagate")
+    }
+    val ties = 0L +: (100001L to 100009L)
+    assert(bySurface("knn") === ties)
+    assert(bySurface("maxsim") === ties)
+    assert(bySurface("export") === (100001L to 100009L).toSeq,
+      "the export ships only the surviving planted ids")
+  }
+
+  test("concurrent forgetters merge: both ids survive the CAS race") {
+    val root = java.nio.file.Files
+      .createTempDirectory("forgetrace").toString + "/r"
+    val t1 = new Thread(() => Forget.forget(spark, root, Seq(7L)))
+    val t2 = new Thread(() => Forget.forget(spark, root, Seq(11L)))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(Forget.forgottenIds(spark, root).toSet === Set(7L, 11L),
+      "the CAS loser must retry on the winner's head, keeping both ids")
+    // idempotent re-forget: one line per id, no duplicates
+    Forget.forget(spark, root, Seq(7L))
+    assert(Forget.forgottenIds(spark, root) === Seq(7L, 11L))
+  }
+
+  test("a fresh root forgets nothing: the ledger read is empty, not an error") {
+    val root = java.nio.file.Files
+      .createTempDirectory("forgetempty").toString + "/r"
+    assert(Forget.forgottenIds(spark, root).isEmpty)
+  }
+}
