@@ -126,6 +126,70 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.pHash(gradientPng(false)))
   }
 
+  test("wav codec: render → decode round-trips deterministically; non-audio bytes do not decode") {
+    val src = ("Some synthetic source content for the audio lane " * 10)
+      .getBytes("UTF-8")
+    val wav = Multimodal.renderWav(src)
+    assert(wav.take(4).toSeq === "RIFF".getBytes("US-ASCII").toSeq &&
+      wav.slice(8, 12).toSeq === "WAVE".getBytes("US-ASCII").toSeq,
+      "renderWav must produce an actual RIFF/WAVE container")
+    val env1 = Multimodal.decodeWavEnvelope(wav)
+    val env2 = Multimodal.decodeWavEnvelope(Multimodal.renderWav(src.clone()))
+    assert(env1.isDefined, "a rendered WAV must decode")
+    assert(env1.get.toSeq === env2.get.toSeq,
+      "identical source bytes must round-trip to identical envelopes")
+    assert(env1.get.length === Multimodal.FeatureDim)
+    // a DIFFERENT source renders a different envelope (the codec is not
+    // a constant function)
+    val other = Multimodal.decodeWavEnvelope(
+      Multimodal.renderWav("entirely different payload text".getBytes("UTF-8")))
+    assert(other.get.toSeq !== env1.get.toSeq)
+    // non-audio bytes fall through to None — the stub-fallback lane
+    assert(Multimodal.decodeWavEnvelope("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWavEnvelope(Array.empty[Byte]).isEmpty)
+  }
+
+  test("wav decode: a hand-built stereo 16-bit WAV decodes through real sample parsing") {
+    // independent of renderWav: two channels, big-amplitude L, silent R —
+    // the mono mixdown must land at half the left amplitude
+    val n = 128
+    val pcm = new Array[Byte](n * 4)
+    (0 until n).foreach { i =>
+      val v = 16000
+      pcm(4 * i) = (v & 0xff).toByte; pcm(4 * i + 1) = ((v >> 8) & 0xff).toByte
+      pcm(4 * i + 2) = 0; pcm(4 * i + 3) = 0
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val env = Multimodal.decodeWavEnvelope(baos.toByteArray)
+    assert(env.isDefined)
+    env.get.foreach(v => assert(math.abs(v - 8000.0) < 1e-9,
+      s"stereo mixdown of (16000, 0) must average to 8000, got $v"))
+  }
+
+  test("decoded audio fingerprint: identical WAVs tie; the decoded lane is not the byte stub") {
+    val src = ("acoustic fingerprint source material " * 15).getBytes("UTF-8")
+    val wav = Multimodal.renderWav(src)
+    assert(Multimodal.pHashDecoded(wav) === Multimodal.pHashDecoded(wav.clone()))
+    assert(Multimodal.pHashDecoded(wav) !== Multimodal.pHash(wav),
+      "the envelope aHash must differ from the byte-window stub on the " +
+        "same WAV bytes")
+  }
+
+  test("pngMedia: audio rows carry real WAV payloads that decode") {
+    val am = Multimodal.pngMedia(spark, sf)
+      .filter(col("modality") === "audio").limit(5)
+    am.select("content").as[Array[Byte]].collect().foreach { bytes =>
+      assert(bytes.take(4).toSeq === "RIFF".getBytes("US-ASCII").toSeq,
+        "audio payload must be an actual WAV")
+      assert(Multimodal.decodeWavEnvelope(bytes).isDefined)
+    }
+  }
+
   test("pngMedia: image rows carry real PNG payloads; decode-aware features are decoded pixels") {
     val pm = Multimodal.pngMedia(spark, sf).filter(col("modality") === "image").limit(5)
     pm.select("content").as[Array[Byte]].collect().foreach { bytes =>
