@@ -487,4 +487,29 @@ class PlanAuditSpec extends SparkSpec {
       s"rescore scan should fetch floats without codes: $idxScans")
     assert(df.count() === 15, "3 queries x k=5")
   }
+
+  test("forget ledger exclusion is a broadcast anti-join: the corpus never shuffles for it") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // warm the fixture+ledger, then audit: every LeftAnti in the plan is
+    // broadcast (the ledger is KB-scale), so the exclusion adds no
+    // exchange to any surface — the property that keeps forget O(ids)
+    val df = SparkEntry.queries("forget_propagated_topk")(spark, sf)
+    df.collect()
+    val antis = df.queryExecution.sparkPlan.collect {
+      case j if j.nodeName.contains("Join") &&
+        j.toString.contains("LeftAnti") => j
+    }
+    assert(antis.nonEmpty, "the serve must carry the ledger anti-join")
+    antis.foreach(j => assert(j.isInstanceOf[BroadcastHashJoinExec],
+      s"ledger exclusion must broadcast, got ${j.nodeName}"))
+  }
+
+  test("maxsim posting probe partition-prunes after compaction too") {
+    SparkEntry.queries("maxsim_compacted_topk")(spark, sf).collect()
+    val path = Tables.scratchPath("maxsim_postings_cmp", sf)
+    val probe = spark.read.parquet(path).filter(col("wb").isin(0, 1))
+    val s = scans(probe)
+    assert(s.nonEmpty && s.head.metadata("PartitionFilters").contains("wb"),
+      "compaction must preserve the wb= partition layout the probe prunes on")
+  }
 }
