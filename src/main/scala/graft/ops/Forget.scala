@@ -50,12 +50,13 @@ object Forget extends QueryModule {
   }
 
   /** Serve-time exclusion: broadcast anti-join against the ledger. */
-  private def excluding(df: DataFrame, root: String): DataFrame = {
+  private def excluding(df: DataFrame, root: String,
+      idCol: String = "doc_id"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ids = forgottenIds(spark, root)
     if (ids.isEmpty) df
-    else df.join(broadcast(ids.toDF("doc_id")), Seq("doc_id"), "left_anti")
+    else df.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_anti")
   }
 
   private val TokenDim = 64
@@ -128,6 +129,74 @@ object Forget extends QueryModule {
       .orderBy("surface", "rank")
   }
 
+  /** The ledger reaching a STREAMING surface — the compliance property
+    * batch rows can't show: a forget committed MID-STREAM flips the very
+    * next micro-batch, with no index rebuild and no stream restart,
+    * because the foreachBatch body re-reads the ledger at every batch.
+    * A REAL file-stream (the public `readStream.parquet` source) delivers
+    * two micro-batches of the same query (vector 0); between them the
+    * planted copy (id 900000, identical embedding) is forgotten. Batch 0
+    * serves {0, 900000}, batch 1 serves {0} — enumerable because the
+    * testdata's max non-self cosine is 0.41 (streaming_retrieval_
+    * selfmatch's verified bound), so only exact copies pass the 0.9
+    * threshold.
+    */
+  def streamingForgetRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.QueryStreams
+    val lsh = graft.ops.AnnIndex.defaultLsh
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val copy = e.filter(col("vec_id") === 0L)
+      .select(lit(900000L).as("vec_id"), col("embedding"))
+    val corpus = graft.vector.IndexBuilder.withLshBucket(
+      e.unionByName(copy), "embedding", lsh)
+    val root = Tables.scratchPath("forget_stream", dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // run-scoped state: the row mutates the ledger, so purity over reuse
+    Seq("", "_feed", "_out").foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(root + s), true))
+    def drop(qid: Long, mode: String): Unit =
+      e.filter(col("vec_id") === 0L)
+        .select(lit(qid).as("query_id"), col("embedding").as("qvec"))
+        .repartition(1).write.mode(mode).parquet(root + "_feed")
+    val feedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    drop(1L, "overwrite")
+    val q = spark.readStream.schema(feedSchema).parquet(root + "_feed")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // serve-time exclusion, RE-READ per batch — the whole point
+        val served = excluding(corpus, root, "vec_id")
+        QueryStreams.retrieveMicroBatch(batch, served, lsh,
+            threshold = 0.9, radius = 1)
+          .repartition(1).write.mode("overwrite")
+          .parquet(root + s"_out/batch=$bid")
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0 fully served pre-forget
+      forget(spark, root, Seq(900000L))
+      drop(2L, "append")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(root + "_out")
+      .select(col("batch").cast("int").as("batch"), col("query_id"),
+        col("vec_id"), col("score"))
+      .orderBy("batch", "vec_id")
+  }
+
+  private val streamingForgetOracle =
+    """SELECT CAST(0 AS INT) AS batch, CAST(1 AS BIGINT) AS query_id,
+      |       CAST(0 AS BIGINT) AS vec_id, 1.0::DOUBLE AS score
+      |UNION ALL SELECT 0, 1, 900000, 1.0
+      |UNION ALL SELECT 1, 2, 0, 1.0
+      |ORDER BY batch, vec_id""".stripMargin
+
   /** All three surfaces share the planted-tie construction: ties are doc
     * 0's token-sequence twins plus the nine surviving copies; the export
     * surface ships only the planted ids. */
@@ -153,8 +222,10 @@ object Forget extends QueryModule {
       |ORDER BY surface, rank""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("forget_propagated_topk" -> forgetPropagatedTopk)
+    Map("forget_propagated_topk" -> forgetPropagatedTopk,
+      "streaming_forget_retrieval" -> streamingForgetRetrieval)
 
   override def oracles: Map[String, String] =
-    Map("forget_propagated_topk" -> forgetOracle)
+    Map("forget_propagated_topk" -> forgetOracle,
+      "streaming_forget_retrieval" -> streamingForgetOracle)
 }

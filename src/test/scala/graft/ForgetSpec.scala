@@ -34,6 +34,20 @@ class ForgetSpec extends SparkSpec {
     assert(Forget.forgottenIds(spark, root) === Seq(7L, 11L))
   }
 
+  test("streaming_forget_retrieval: a mid-stream forget flips the next micro-batch") {
+    val out = SparkEntry.queries("streaming_forget_retrieval")(spark, sf)
+      .collect()
+    val b0 = out.filter(_.getAs[Int]("batch") == 0)
+      .map(_.getAs[Long]("vec_id")).toSeq
+    val b1 = out.filter(_.getAs[Int]("batch") == 1)
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(b0 === Seq(0L, 900000L),
+      "pre-forget the planted copy must serve (it is a live exact match)")
+    assert(b1 === Seq(0L),
+      "the forget committed between batches must exclude the copy from " +
+        "the NEXT micro-batch — no index rebuild, no stream restart")
+  }
+
   test("a fresh root forgets nothing: the ledger read is empty, not an error") {
     val root = java.nio.file.Files
       .createTempDirectory("forgetempty").toString + "/r"
