@@ -297,6 +297,95 @@ object QualityFilters extends QueryModule {
     .map { case (id, text) => s"($id, ${sqlQuote(text)})" }
     .mkString(",\n    ")
 
+  // ---- cross-document line dedup (corpus-level boilerplate removal) ----
+
+  /** Three planted docs share one boilerplate line; their other lines are
+    * unique — the multi-line structure the single-line corpus lacks.
+    * Literals are duplicated in the oracle SQL, byte-identical. */
+  private val plantedBoilerplateDocs = Seq(
+    (920000L, "Unique alpha line number one.\n" +
+      "SUBSCRIBE TO OUR NEWSLETTER NOW!\n" +
+      "Unique alpha line number two."),
+    (920001L, "Unique beta content sits here.\n" +
+      "SUBSCRIBE TO OUR NEWSLETTER NOW!"),
+    (920002L, "SUBSCRIBE TO OUR NEWSLETTER NOW!\n" +
+      "Unique gamma line closes this."))
+
+  private val MinBoilerplateDocs = 3
+
+  /** Cross-document line dedup — the corpus-LEVEL boilerplate removal of
+    * MassiveText (Rae et al. 2021, §A1.1) and RefinedWeb (Penedo et al.
+    * 2023, §3.3): a line appearing in ≥ `MinBoilerplateDocs` DISTINCT
+    * documents is scraper/template boilerplate (nav bars, cookie
+    * banners, licence headers) and is removed from every document, with
+    * the survivors reassembled in original order. The within-doc C4
+    * rules (`line_filter_c4`) cannot catch these — a cookie banner is a
+    * perfectly well-formed sentence; only corpus-wide frequency exposes
+    * it.
+    *
+    * Scale shape: documents explode to (doc_id, pos, xxhash64(line)) —
+    * the 8-byte hash crosses the exchange, the TEXT never does. The
+    * frequency count is an equi-key aggregate with map-side partials;
+    * removed POSITIONS (ints) flow back per doc and the reassembly is a
+    * doc-local higher-order filter on the original text. Output is the
+    * AFFECTED docs only (boilerplate carriers + whole-text exact dupes
+    * the threshold also catches).
+    */
+  def crossDocLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(plantedBoilerplateDocs.toDF("doc_id", "text"))
+    val lines = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
+    val frequent = lines.groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= MinBoilerplateDocs).select("lh")
+    val removedPos = lines.join(frequent, Seq("lh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("removed"))
+    docs.join(removedPos, Seq("doc_id")) // inner: affected docs only
+      .withColumn("ls", split(col("text"), "\n"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(col("removed")).cast("long").as("n_removed"),
+        array_join(filter(col("ls"),
+          (l, i) => !array_contains(col("removed"), i)), "\n").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  private val crossDocLineDedupSql =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (920000, 'Unique alpha line number one.' || chr(10) ||
+      |      'SUBSCRIBE TO OUR NEWSLETTER NOW!' || chr(10) ||
+      |      'Unique alpha line number two.'),
+      |    (920001, 'Unique beta content sits here.' || chr(10) ||
+      |      'SUBSCRIBE TO OUR NEWSLETTER NOW!'),
+      |    (920002, 'SUBSCRIBE TO OUR NEWSLETTER NOW!' || chr(10) ||
+      |      'Unique gamma line closes this.')) AS planted(doc_id, text)),
+      |lines AS (
+      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM docs),
+      |freq AS (
+      |  SELECT line FROM lines GROUP BY line
+      |  HAVING count(DISTINCT doc_id) >= 3),
+      |freqlist AS (SELECT coalesce(list(line), []) AS fl FROM freq)
+      |SELECT doc_id,
+      |       len(string_split(text, chr(10)))::BIGINT AS n_lines,
+      |       (len(string_split(text, chr(10))) -
+      |        len(list_filter(string_split(text, chr(10)),
+      |              l -> NOT list_contains(f.fl, l))))::BIGINT AS n_removed,
+      |       array_to_string(list_filter(string_split(text, chr(10)),
+      |         l -> NOT list_contains(f.fl, l)), chr(10)) AS kept_text
+      |FROM docs CROSS JOIN freqlist f
+      |WHERE len(list_filter(string_split(text, chr(10)),
+      |        l -> list_contains(f.fl, l))) > 0
+      |ORDER BY doc_id""".stripMargin
+
   private val urlDomainsSql =
     s"""WITH docs AS (
        |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
@@ -314,11 +403,13 @@ object QualityFilters extends QueryModule {
     "repetition_metrics" -> repetitionMetrics,
     "line_filter_c4" -> lineFilterC4,
     "pii_redaction" -> piiRedaction,
+    "cross_doc_line_dedup" -> crossDocLineDedup,
     "url_domains" -> urlDomains)
 
   def oracles: Map[String, String] = Map(
     "repetition_metrics" -> repetitionMetricsSql,
     "line_filter_c4" -> lineFilterC4Sql,
     "pii_redaction" -> piiRedactionSql,
+    "cross_doc_line_dedup" -> crossDocLineDedupSql,
     "url_domains" -> urlDomainsSql)
 }

@@ -103,4 +103,23 @@ class QualityFiltersSpec extends SparkSpec {
       .filter("doc_id < 900000 AND has_pii").count()
     assert(clean === 0L)
   }
+
+  test("cross_doc_line_dedup: the shared boilerplate line is removed everywhere, unique lines survive in order") {
+    val out = SparkEntry.queries("cross_doc_line_dedup")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("kept_text"))).toMap
+    assert(out.keySet.filter(_ >= 920000L) === Set(920000L, 920001L, 920002L))
+    val (n0, r0, k0) = out(920000L)
+    assert((n0, r0) === ((3L, 1L)))
+    assert(k0 === "Unique alpha line number one.\nUnique alpha line number two.",
+      "survivors must keep their original order with the boilerplate gone")
+    assert(out(920001L)._3 === "Unique beta content sits here.")
+    assert(out(920002L)._3 === "Unique gamma line closes this.")
+    // every affected doc's accounting holds: removed + kept = total
+    out.foreach { case (id, (n, rm, kept)) =>
+      val keptN = if (kept.isEmpty) 0 else kept.split("\n", -1).length
+      assert(rm + keptN === n, s"doc $id: $rm removed + $keptN kept != $n")
+    }
+  }
 }
