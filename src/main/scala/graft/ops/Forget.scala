@@ -129,6 +129,82 @@ object Forget extends QueryModule {
       .orderBy("surface", "rank")
   }
 
+  /** PHYSICAL reclamation — the deep-delete half of the lifecycle: the
+    * ledger makes deletion take effect instantly and cheaply; compliance
+    * eventually requires the BYTES gone too. `reclaimPostings` rewrites
+    * the posting table dropping every forgotten id (partition layout
+    * preserved — the probe shape is unchanged), then RETIRES the
+    * reclaimed ids from the ledger in one CAS commit, so serving no
+    * longer pays the exclusion for ids that are physically gone. The
+    * ledger is therefore always exactly the logically-but-not-yet-
+    * physically deleted set — it cannot grow unboundedly. */
+  def reclaimPostings(spark: SparkSession, root: String,
+      path: String): Unit = {
+    val ids = forgottenIds(spark, root)
+    if (ids.isEmpty) return
+    import spark.implicits._
+    val staged = path + ".reclaim"
+    spark.read.parquet(path)
+      .join(broadcast(ids.toDF("doc_id")), Seq("doc_id"), "left_anti")
+      .repartition(col("wb"))
+      .write.mode("overwrite").partitionBy("wb").parquet(staged)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(path))
+    // retire: the ids' bytes are gone, drop them from the ledger
+    val retired = ids.map(_.toString).toSet
+    ManifestLog.commit(spark, ledgerDir(root),
+      head => head.filterNot(retired.contains))
+  }
+
+  /** The reclaim row: same planted construction as the propagation row,
+    * but after `reclaimPostings` the serve runs with NO ledger exclusion
+    * — the forgotten doc is excluded because its postings are physically
+    * gone, and the ledger is empty (retired). The whole
+    * build → forget → reclaim sequence runs inside the fixture build, so
+    * a crash mid-reclaim leaves no marker and rebuilds cleanly. */
+  def forgetReclaimedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val srcText = d.filter(col("doc_id") === 0L)
+      .select("text").head().getString(0)
+    import spark.implicits._
+    val copies = (0 until Copies)
+      .map(i => (PlantedBase + i, srcText)).toDF("doc_id", "text")
+    val corpus = d.unionByName(copies)
+    val path = Tables.scratchPath("maxsim_postings_rcl", dir)
+    val root = Tables.scratchPath("forget_rcl", dir)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"forget:dim=$TokenDim:copies=$Copies:lifecycle=reclaim:v1", path) {
+      LateInteraction.writePostings(corpus, path, "overwrite")
+      val lp = new org.apache.hadoop.fs.Path(ledgerDir(root))
+      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(lp, true)
+      forget(spark, root, Seq(PlantedBase))
+      reclaimPostings(spark, root, path)
+    }
+    // no `excluding` here — physical deletion needs no serve-time filter
+    LateInteraction.servePostings(spark, corpus, srcText, path)
+      .select("doc_id", "score_micro")
+  }
+
+  /** Same tie construction as maxsim_deleted_topk: the reclaimed copy is
+    * gone, the nine survivors plus doc 0's twins fill k. */
+  private val forgetReclaimedOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |q AS (SELECT tk FROM toks WHERE doc_id = 0),
+      |ties AS (
+      |  SELECT t.doc_id FROM toks t, q WHERE t.tk = q.tk
+      |  UNION ALL
+      |  SELECT d.doc_id + 100001 FROM documents d WHERE d.doc_id < 9)
+      |SELECT doc_id, (SELECT len(tk) FROM q)::BIGINT * 1000000 AS score_micro
+      |FROM ties ORDER BY doc_id LIMIT 10""".stripMargin
+
   /** The ledger reaching a STREAMING surface — the compliance property
     * batch rows can't show: a forget committed MID-STREAM flips the very
     * next micro-batch, with no index rebuild and no stream restart,
@@ -223,9 +299,11 @@ object Forget extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("forget_propagated_topk" -> forgetPropagatedTopk,
+      "forget_reclaimed_topk" -> forgetReclaimedTopk,
       "streaming_forget_retrieval" -> streamingForgetRetrieval)
 
   override def oracles: Map[String, String] =
     Map("forget_propagated_topk" -> forgetOracle,
+      "forget_reclaimed_topk" -> forgetReclaimedOracle,
       "streaming_forget_retrieval" -> streamingForgetOracle)
 }

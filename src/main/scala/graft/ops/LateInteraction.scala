@@ -161,7 +161,7 @@ object LateInteraction extends QueryModule {
     * files inside the SAME hash-bucket partitions (the LSH append
     * discipline: equal windows land where the probe will look), so the
     * index never rebuilds and the probe shape is unchanged. */
-  private def writePostings(docs: DataFrame, path: String,
+  private[graft] def writePostings(docs: DataFrame, path: String,
       mode: String): Unit =
     docs.select(col("doc_id"),
         explode(windowStringsUdf(col("text"))).as("w"))

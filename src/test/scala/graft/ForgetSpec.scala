@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Forget
+import org.apache.spark.sql.functions.col
 
 class ForgetSpec extends SparkSpec {
 
@@ -46,6 +47,23 @@ class ForgetSpec extends SparkSpec {
     assert(b1 === Seq(0L),
       "the forget committed between batches must exclude the copy from " +
         "the NEXT micro-batch — no index rebuild, no stream restart")
+  }
+
+  test("forget_reclaimed_topk: the bytes are gone and the ledger is retired") {
+    val out = SparkEntry.queries("forget_reclaimed_topk")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ===
+      (0L +: (100001L to 100009L)).sorted,
+      "the reclaimed copy must be gone with NO serve-time exclusion")
+    // physical: no posting row carries the reclaimed id
+    val path = Tables.scratchPath("maxsim_postings_rcl", sf)
+    assert(spark.read.parquet(path)
+      .filter(col("doc_id") === 100000L).count() === 0L,
+      "reclaim must rewrite the forgotten id's postings away")
+    // retired: the ledger holds only logically-not-yet-physically
+    // deleted ids — here, none
+    val root = Tables.scratchPath("forget_rcl", sf)
+    assert(graft.ops.Forget.forgottenIds(spark, root).isEmpty,
+      "reclaimed ids must retire from the ledger")
   }
 
   test("a fresh root forgets nothing: the ledger read is empty, not an error") {
