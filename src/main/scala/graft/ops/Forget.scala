@@ -36,17 +36,42 @@ object Forget extends QueryModule {
 
   private def ledgerDir(root: String) = root + "/_forget"
 
+  private val KeepVersions = 64L
+
+  /** Commit + bounded version expiry — without it every forget/retire
+    * leaves a version file forever and every serve-time ledger read
+    * pays an O(all-time-forgets) directory listing. Same 64-version
+    * margin discipline as the batch roster (see its class doc for why
+    * expiring to the head races readers). */
+  private def commitBounded(spark: SparkSession, root: String,
+      update: Seq[String] => Seq[String]): Unit = {
+    val v = ManifestLog.commit(spark, ledgerDir(root), update)
+    if (v > KeepVersions)
+      ManifestLog.expire(spark, ledgerDir(root), keepFrom = v - KeepVersions)
+  }
+
   /** Forget ids — ONE CAS commit; concurrent forgetters merge. */
   def forget(spark: SparkSession, root: String, ids: Seq[Long]): Unit =
-    ManifestLog.commit(spark, ledgerDir(root),
+    commitBounded(spark, root,
       head => (head ++ ids.map(_.toString)).distinct.sortBy(_.toLong))
 
-  /** The current forgotten-id set (empty on a fresh root). */
+  /** The current forgotten-id set (empty on a fresh root). A vanished
+    * head (an expiry racing the read) retries then THROWS — an empty
+    * read here would silently serve forgotten docs. */
   def forgottenIds(spark: SparkSession, root: String): Seq[Long] = {
     val dir = ledgerDir(root)
-    val v = ManifestLog.currentVersion(spark, dir)
-    if (v == 0L) Seq.empty
-    else ManifestLog.read(spark, dir, v).getOrElse(Seq.empty).map(_.toLong)
+    var attempt = 0
+    while (attempt < 5) {
+      val v = ManifestLog.currentVersion(spark, dir)
+      if (v == 0L) return Seq.empty
+      ManifestLog.read(spark, dir, v) match {
+        case Some(lines) => return lines.map(_.toLong)
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"forget ledger head vanished mid-read 5x under $dir — refusing " +
+        "to treat it as empty (that would serve forgotten docs)")
   }
 
   /** Serve-time exclusion: broadcast anti-join against the ledger. */
@@ -78,19 +103,16 @@ object Forget extends QueryModule {
     val corpus = d.unionByName(copies)
 
     // standing MaxSim posting fixture (built once, NO tombstones — the
-    // ledger is the only exclusion mechanism in this row)
+    // ledger is the only exclusion mechanism in this row). The writer is
+    // LateInteraction's OWN (one definition of the wb= bucketing the
+    // probe prunes on — an inline copy could silently drift), and the
+    // cache key carries the bucket count for the same reason.
     val path = Tables.scratchPath("maxsim_postings_fgt", dir)
     val root = Tables.scratchPath("forget_root", dir)
     ResultCache.buildIfAbsent(spark, corpus,
-      s"forget:dim=$TokenDim:copies=$Copies:v1", path) {
-      corpus.select(col("doc_id"),
-          explode(udf((t: String) => LateInteraction.tokenWindows(t))
-            .apply(col("text"))).as("w"))
-        .select(col("doc_id"), xxhash64(col("w")).as("w_hash"))
-        .distinct()
-        .withColumn("wb", pmod(col("w_hash"), lit(64)).cast("int"))
-        .repartition(col("wb"))
-        .write.mode("overwrite").partitionBy("wb").parquet(path)
+      s"forget:dim=$TokenDim:wb=${LateInteraction.WindowBuckets}:" +
+        s"copies=$Copies:v2", path) {
+      LateInteraction.writePostings(corpus, path, "overwrite")
       // reset the ledger with the fixture (buildIfAbsent keys on corpus
       // content), then THE forget: one commit, all surfaces flip
       val lp = new org.apache.hadoop.fs.Path(ledgerDir(root))
@@ -137,26 +159,58 @@ object Forget extends QueryModule {
     * reclaimed ids from the ledger in one CAS commit, so serving no
     * longer pays the exclusion for ids that are physically gone. The
     * ledger is therefore always exactly the logically-but-not-yet-
-    * physically deleted set — it cannot grow unboundedly. */
+    * physically deleted set — it cannot grow unboundedly. Ids in the
+    * table's `_tombstones` sidecar reclaim in the SAME rewrite (the
+    * sidecar does not survive it), and the swap is crash-recoverable:
+    * a fully-staged rewrite found with the table absent is installed
+    * on the next call. */
   def reclaimPostings(spark: SparkSession, root: String,
       path: String): Unit = {
-    val ids = forgottenIds(spark, root)
-    if (ids.isEmpty) return
     import spark.implicits._
-    val staged = path + ".reclaim"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(path).getFileSystem(hconf)
+    val staged = p(path + ".reclaim")
+    val retired0 = p(path + ".reclaim.old")
+    // RECOVERY: a crash between the two swap renames leaves the table
+    // absent with a fully-staged (_SUCCESS-marked) rewrite — install it
+    // and fall through (the ledger retire below re-runs idempotently)
+    if (!fs.exists(p(path))) {
+      if (fs.exists(staged) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
+        fs.rename(staged, p(path))
+        fs.delete(retired0, true)
+      } else throw new IllegalStateException(
+        s"reclaimPostings: $path is missing and no completed staging " +
+          "exists — refusing to proceed")
+    }
+    val ids = forgottenIds(spark, root)
+    // tombstoned ids reclaim too: the `_tombstones` sidecar does not
+    // survive the rewrite (spark.read skips underscore paths), so its
+    // ids MUST leave the posting files with it — dropping the sidecar
+    // while keeping their postings would silently un-delete them
+    val tombP = p(path + "/_tombstones")
+    val tombIds =
+      if (fs.exists(tombP)) spark.read.parquet(path + "/_tombstones")
+        .select("doc_id")
+      else spark.emptyDataset[Long].toDF("doc_id")
+    val drop = ids.toDF("doc_id").unionByName(tombIds).distinct()
+    if (ids.isEmpty && !fs.exists(tombP)) return
     spark.read.parquet(path)
-      .join(broadcast(ids.toDF("doc_id")), Seq("doc_id"), "left_anti")
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
       .repartition(col("wb"))
-      .write.mode("overwrite").partitionBy("wb").parquet(staged)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged),
-      new org.apache.hadoop.fs.Path(path))
+      .write.mode("overwrite").partitionBy("wb").parquet(staged.toString)
+    // swap: old table aside, staging in, old table gone. Crash after the
+    // first rename = the recovery case above; crash before retire = the
+    // next call rewrites a no-op and retires — idempotent end to end.
+    fs.delete(retired0, true)
+    fs.rename(p(path), retired0)
+    fs.rename(staged, p(path))
+    fs.delete(retired0, true)
     // retire: the ids' bytes are gone, drop them from the ledger
-    val retired = ids.map(_.toString).toSet
-    ManifestLog.commit(spark, ledgerDir(root),
-      head => head.filterNot(retired.contains))
+    val retiredIds = ids.map(_.toString).toSet
+    if (retiredIds.nonEmpty)
+      commitBounded(spark, root, head => head.filterNot(retiredIds.contains))
   }
 
   /** The reclaim row: same planted construction as the propagation row,
@@ -176,7 +230,8 @@ object Forget extends QueryModule {
     val path = Tables.scratchPath("maxsim_postings_rcl", dir)
     val root = Tables.scratchPath("forget_rcl", dir)
     ResultCache.buildIfAbsent(spark, corpus,
-      s"forget:dim=$TokenDim:copies=$Copies:lifecycle=reclaim:v1", path) {
+      s"forget:dim=$TokenDim:wb=${LateInteraction.WindowBuckets}:" +
+        s"copies=$Copies:lifecycle=reclaim:v2", path) {
       LateInteraction.writePostings(corpus, path, "overwrite")
       val lp = new org.apache.hadoop.fs.Path(ledgerDir(root))
       lp.getFileSystem(spark.sparkContext.hadoopConfiguration)

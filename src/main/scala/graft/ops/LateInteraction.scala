@@ -42,12 +42,12 @@ object LateInteraction extends QueryModule {
 
   /** Token-vector dimension — per-token vectors are many per doc, so the
     * dim stays small (ColBERT itself serves at 128, not 768). */
-  private val TokenDim = 64
+  private[graft] val TokenDim = 64
   private val PlantedBase = 100000L
   private val NumCopies = 9
   private val K = 10
   /** Posting-table partition fan-out for the indexed path. */
-  private val WindowBuckets = 64
+  private[graft] val WindowBuckets = 64
 
   /** The (prev, token, next) context window at every token position —
     * boundary positions take the one-sided window, which PINS document

@@ -214,7 +214,17 @@ object Multimodal extends QueryModule {
         new java.io.ByteArrayInputStream(content))
       val fmt = ais.getFormat
       val bytesPerSample = fmt.getSampleSizeInBits / 8
-      if (bytesPerSample != 1 && bytesPerSample != 2) return None
+      // LINEAR PCM only, in the width/signedness combinations the frame
+      // parser below actually implements (16-bit signed, 8-bit unsigned
+      // — the WAV conventions). u-law/A-law and signed-8 AIFF/AU would
+      // parse as garbage amplitudes; they take the stub lane instead.
+      val enc = fmt.getEncoding
+      val okPcm =
+        (bytesPerSample == 2 &&
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) ||
+        (bytesPerSample == 1 &&
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+      if (!okPcm) return None
       val channels = fmt.getChannels
       val frameBytes = bytesPerSample * channels
       val raw = ais.readAllBytes()

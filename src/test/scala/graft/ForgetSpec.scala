@@ -66,6 +66,44 @@ class ForgetSpec extends SparkSpec {
       "reclaimed ids must retire from the ledger")
   }
 
+  test("reclaim also drops tombstoned ids with the sidecar it destroys, and recovers a torn swap") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("reclaimtomb").toString
+    val root = base + "/root"
+    val path = base + "/postings"
+    // a posting table with three docs; doc 7 tombstone-deleted, doc 5
+    // ledger-forgotten
+    Seq((5L, 100L, 0), (6L, 101L, 1), (7L, 102L, 2), (8L, 103L, 3))
+      .toDF("doc_id", "w_hash", "wb")
+      .write.partitionBy("wb").parquet(path)
+    Seq(7L).toDF("doc_id")
+      .write.mode("overwrite").parquet(path + "/_tombstones")
+    Forget.forget(spark, root, Seq(5L))
+    Forget.reclaimPostings(spark, root, path)
+    val left = spark.read.parquet(path)
+      .select("doc_id").as[Long].collect().toSet
+    assert(left === Set(6L, 8L),
+      "both the ledger id AND the tombstoned id must leave the rewrite " +
+        "— the sidecar does not survive it")
+    assert(Forget.forgottenIds(spark, root).isEmpty, "ledger retired")
+    // TORN SWAP: table renamed away, staged rewrite complete — the next
+    // call must install the staging, not throw or rebuild from nothing
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Forget.forget(spark, root, Seq(6L))
+    spark.read.parquet(path).filter(col("doc_id") =!= 6L)
+      .write.mode("overwrite").parquet(path + ".reclaim")
+    fs.delete(new org.apache.hadoop.fs.Path(path), true) // the crash
+    Forget.reclaimPostings(spark, root, path)
+    assert(spark.read.parquet(path)
+      .select("doc_id").as[Long].collect().toSet === Set(8L),
+      "recovery must install the completed staging, then reclaim 6")
+    assert(Forget.forgottenIds(spark, root).isEmpty)
+  }
+
   test("a fresh root forgets nothing: the ledger read is empty, not an error") {
     val root = java.nio.file.Files
       .createTempDirectory("forgetempty").toString + "/r"

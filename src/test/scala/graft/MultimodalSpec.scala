@@ -171,6 +171,24 @@ class MultimodalSpec extends SparkSpec {
       s"stereo mixdown of (16000, 0) must average to 8000, got $v"))
   }
 
+  test("wav decode: non-linear-PCM audio (u-law) is refused, not decoded as garbage") {
+    // a u-law WAV parses in AudioSystem (sampleSizeInBits=8) but its
+    // bytes are companded, not linear PCM — decoding them linearly maps
+    // silence to near-max amplitude; the envelope must decline instead
+    val n = 64
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.fill[Byte](n)(0x7f)),
+        fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    assert(Multimodal.decodeWavEnvelope(baos.toByteArray).isEmpty,
+      "u-law payloads must take the stub lane, not linear-parse")
+  }
+
   test("decoded audio fingerprint: identical WAVs tie; the decoded lane is not the byte stub") {
     val src = ("acoustic fingerprint source material " * 15).getBytes("UTF-8")
     val wav = Multimodal.renderWav(src)
