@@ -119,14 +119,15 @@ object LateInteraction extends QueryModule {
     * crossJoin + two aggregations — 14M wide rows, the board's slowest
     * row (5.2 s at sf0.1); the fused scorer serves the same answer from
     * a tight per-doc loop at 1.5 s. */
-  private def maxSimTopK(corpus: DataFrame, qvecs: Array[Array[Float]]): DataFrame = {
+  private def maxSimTopK(corpus: DataFrame, qvecs: Array[Array[Float]],
+      k: Int = K): DataFrame = {
     val scoreUdf = udf { text: String =>
       maxSimMicro(tokenWindows(text).map(w =>
         Embedding.hashingEmbed(w, TokenDim)), qvecs)
     }
     corpus.select(col("doc_id"), scoreUdf(col("text")).as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
-      .limit(K)
+      .limit(k)
   }
 
   /** Brute-force MaxSim retrieval (the exact baseline: every doc scored). */
@@ -175,6 +176,27 @@ object LateInteraction extends QueryModule {
     * pruned to the |Q| buckets), then exact MaxSim over candidates. */
   private[graft] def servePostings(spark: SparkSession, corpus: DataFrame,
       srcText: String, path: String): DataFrame = {
+    // tombstone-aware: posting files are immutable, so deletes live in
+    // an `_tombstones` sidecar (underscore-prefixed — the posting scan
+    // never lists it) anti-joined off the posting rows BEFORE the probe:
+    // the embedder never runs on a deleted doc
+    val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
+    val postings0 = spark.read.parquet(path)
+    val postings =
+      if (tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(tomb))
+        postings0.join(spark.read.parquet(path + "/_tombstones"),
+          Seq("doc_id"), "left_anti")
+      else postings0
+    servePostingsFrame(spark, corpus, srcText, postings)
+  }
+
+  /** The probe + rescore over a PRE-RESOLVED posting frame — the shared
+    * serve every read path (plain, tombstoned, manifest-pinned version)
+    * funnels through. */
+  private[graft] def servePostingsFrame(spark: SparkSession,
+      corpus: DataFrame, srcText: String, postings: DataFrame,
+      k: Int = K): DataFrame = {
     import spark.implicits._
     // hash the |Q| query windows through the SAME xxhash64 the postings
     // were written with (one LocalRelation-sized job, no corpus touch)
@@ -182,26 +204,15 @@ object LateInteraction extends QueryModule {
       .select(xxhash64(col("w"))).collect().map(_.getLong(0)).toSeq
     val qBuckets = qHash.map(h => ((h % WindowBuckets + WindowBuckets) % WindowBuckets).toInt)
       .distinct
-    val probed = spark.read.parquet(path)
+    val candidates = postings
       .filter(col("wb").isin(qBuckets: _*))           // partition-pruned
       .filter(col("w_hash").isin(qHash: _*))           // posting equi-filter
       .select("doc_id").distinct()
-    // tombstone-aware: posting files are immutable, so deletes live in
-    // an `_tombstones` sidecar (underscore-prefixed — the posting scan
-    // never lists it) and the probe anti-joins candidates against it
-    // BEFORE the rescore: the embedder never runs on a deleted doc
-    val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
-    val candidates =
-      if (tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(tomb))
-        probed.join(spark.read.parquet(path + "/_tombstones"),
-          Seq("doc_id"), "left_anti")
-      else probed
     // semi-join BEFORE scoring: the window embedder runs over candidate
     // docs only, never the corpus — that is the entire point of the
     // posting stage
     val pruned = corpus.join(broadcast(candidates), Seq("doc_id"), "left_semi")
-    maxSimTopK(pruned, queryVecs(srcText))
+    maxSimTopK(pruned, queryVecs(srcText), k)
       .select("doc_id", "score_micro")
   }
 
@@ -282,6 +293,90 @@ object LateInteraction extends QueryModule {
     }
     servePostings(spark, corpus, srcText, path)
   }
+
+  /** Manifest-pinned TIME TRAVEL for the posting index — the same
+    * Iceberg-snapshot discipline every other index family carries: each
+    * version is a CAS-manifest file list; appended postings land as new
+    * files in the SAME `wb=` directories, so only the manifest separates
+    * versions, and a version read opens exactly its listed files
+    * (`basePath` keeps the wb partition column, so the probe still
+    * partition-prunes among them). Construction: v1 plants five HIGH-id
+    * copies of doc 0; v2 appends five LOW-id copies — at k=5 the two
+    * versions' top-5 sets are provably DISJOINT below doc 0, so serving
+    * the wrong version's files (or a torn mix) perturbs an enumerable
+    * answer. */
+  private val TtK = 5
+  def maxsimTimeTravelTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.ManifestLog
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val srcText = d.filter(col("doc_id") === 0L)
+      .select("text").head().getString(0)
+    import spark.implicits._
+    val copiesA = (0 until 5)
+      .map(i => (PlantedBase + i, srcText)).toDF("doc_id", "text")
+    val copiesB = (0 until 5)
+      .map(i => (99000L + i, srcText)).toDF("doc_id", "text")
+    val path = Tables.scratchPath("maxsim_postings_tt", dir)
+    val data = path + "/data"
+    val log = path + "/log"
+    def leafFiles: Seq[String] =
+      new java.io.File(data).listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("wb="))
+        .flatMap(f => f.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(_.getAbsolutePath).toIndexedSeq.sorted
+    ResultCache.buildIfAbsent(spark, d.unionByName(copiesA).unionByName(copiesB),
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=tt:v1", path) {
+      val lp = new org.apache.hadoop.fs.Path(log)
+      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(lp, true)
+      writePostings(d.unionByName(copiesA), data, "overwrite")
+      val v1Files = leafFiles
+      ManifestLog.commit(spark, log, _ => v1Files)
+      writePostings(copiesB, data, "append") // new files, same wb= dirs
+      val allFiles = leafFiles
+      ManifestLog.commit(spark, log, _ => allFiles)
+    }
+    def serveVersion(v: Long, corpusV: DataFrame): DataFrame = {
+      val files = ManifestLog.read(spark, log, v).getOrElse(
+        throw new java.io.IOException(s"missing posting manifest v$v"))
+      val postings = spark.read.option("basePath", data)
+        .parquet(files: _*)
+      servePostingsFrame(spark, corpusV, srcText, postings, k = TtK)
+        .withColumn("version", lit(v))
+    }
+    serveVersion(1L, d.unionByName(copiesA))
+      .unionByName(serveVersion(2L,
+        d.unionByName(copiesA).unionByName(copiesB)))
+      .select("version", "doc_id", "score_micro")
+      .orderBy("version", "doc_id")
+  }
+
+  /** v1's top-5 draws from doc 0's twins + the high-id copies; v2's from
+    * the appended LOW-id copies that rank ahead of them. */
+  private val maxsimTimeTravelOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |q AS (SELECT tk FROM toks WHERE doc_id = 0),
+      |ties1 AS (
+      |  SELECT t.doc_id FROM toks t, q WHERE t.tk = q.tk
+      |  UNION ALL
+      |  SELECT d.doc_id + 100000 FROM documents d WHERE d.doc_id < 5),
+      |ties2 AS (
+      |  SELECT doc_id FROM ties1
+      |  UNION ALL
+      |  SELECT d.doc_id + 99000 FROM documents d WHERE d.doc_id < 5),
+      |s AS (SELECT len(tk)::BIGINT * 1000000 AS sm FROM q)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version, doc_id,
+      |         (SELECT sm FROM s) AS score_micro
+      |  FROM (SELECT doc_id FROM ties1 ORDER BY doc_id LIMIT 5)
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), doc_id, (SELECT sm FROM s)
+      |  FROM (SELECT doc_id FROM ties2 ORDER BY doc_id LIMIT 5))
+      |ORDER BY version, doc_id""".stripMargin
 
   /** Both rows share one oracle: the tie set is token-sequence equality
     * with doc 0 (DuckDB replays the engine's tokenizer) plus the planted
@@ -377,6 +472,7 @@ object LateInteraction extends QueryModule {
     "maxsim_appended_topk" -> maxsimAppendedTopk,
     "maxsim_deleted_topk" -> maxsimDeletedTopk,
     "maxsim_compacted_topk" -> maxsimCompactedTopk,
+    "maxsim_time_travel_topk" -> maxsimTimeTravelTopk,
     "maxsim_batch_topk" -> maxsimBatchTopk)
 
   override def oracles: Map[String, String] = Map(
@@ -385,5 +481,6 @@ object LateInteraction extends QueryModule {
     "maxsim_appended_topk" -> maxsimOracle,
     "maxsim_deleted_topk" -> maxsimDeletedOracle,
     "maxsim_compacted_topk" -> maxsimOracle,
+    "maxsim_time_travel_topk" -> maxsimTimeTravelOracle,
     "maxsim_batch_topk" -> maxsimBatchOracle)
 }

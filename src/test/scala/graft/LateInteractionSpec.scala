@@ -94,6 +94,30 @@ class LateInteractionSpec extends SparkSpec {
     }
   }
 
+  test("maxsim_time_travel_topk: versions are isolated — v1 never sees the appended low-id copies") {
+    val out = SparkEntry.queries("maxsim_time_travel_topk")(spark, sf)
+      .collect()
+    val v1 = out.filter(_.getAs[Long]("version") == 1L)
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val v2 = out.filter(_.getAs[Long]("version") == 2L)
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(v1 === Seq(0L, 100000L, 100001L, 100002L, 100003L),
+      "v1 must serve only the manifest-v1 files (high-id copies)")
+    assert(v2 === Seq(0L, 99000L, 99001L, 99002L, 99003L),
+      "v2's appended low-id copies must displace the high-id ones")
+    // the version read keeps the wb partition column, so the probe still
+    // partition-prunes among the version's files
+    import graft.ingest.ManifestLog
+    val path = Tables.scratchPath("maxsim_postings_tt", sf)
+    val files = ManifestLog.read(spark, path + "/log", 1L).get
+    val probe = spark.read.option("basePath", path + "/data")
+      .parquet(files: _*).filter(col("wb").isin(0, 1))
+    val plan = probe.queryExecution.sparkPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[", "").startsWith("]"),
+      s"manifest-resolved reads must keep wb pruning:\n$plan")
+  }
+
   test("maxsim_batch_topk: each query's top-4 is its own planted tie group at |Q_q| micro-units") {
     val out = SparkEntry.queries("maxsim_batch_topk")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
