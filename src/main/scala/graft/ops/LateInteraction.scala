@@ -378,6 +378,83 @@ object LateInteraction extends QueryModule {
       |  FROM (SELECT doc_id FROM ties2 ORDER BY doc_id LIMIT 5))
       |ORDER BY version, doc_id""".stripMargin
 
+  /** Reclamation closes the versioned-posting loop — the Iceberg
+    * expire-then-vacuum shape the other families' vacuum rows pin: a
+    * COMPACTION rewrite publishes v3 as all-new files, versions 1-2
+    * expire, and every data file no surviving manifest references is
+    * deleted. The serve afterwards must still produce v2's full answer
+    * purely from v3's files — a vacuum that deletes a live file, or a
+    * compaction that dropped postings, perturbs the enumerable top-5. */
+  def maxsimVacuumedTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.ManifestLog
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val srcText = d.filter(col("doc_id") === 0L)
+      .select("text").head().getString(0)
+    import spark.implicits._
+    val copiesA = (0 until 5)
+      .map(i => (PlantedBase + i, srcText)).toDF("doc_id", "text")
+    val copiesB = (0 until 5)
+      .map(i => (99000L + i, srcText)).toDF("doc_id", "text")
+    val corpus = d.unionByName(copiesA).unionByName(copiesB)
+    val path = Tables.scratchPath("maxsim_postings_vac", dir)
+    val data = path + "/data"
+    val log = path + "/log"
+    def leafFiles: Seq[String] =
+      new java.io.File(data).listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("wb="))
+        .flatMap(f => f.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(_.getAbsolutePath).toIndexedSeq.sorted
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=vacuum:v1", path) {
+      val lp = new org.apache.hadoop.fs.Path(log)
+      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(lp, true)
+      writePostings(d.unionByName(copiesA), data, "overwrite")
+      ManifestLog.commit(spark, log, _ => leafFiles)
+      writePostings(copiesB, data, "append")
+      val v2Files = leafFiles
+      ManifestLog.commit(spark, log, _ => v2Files)
+      // v3: compaction rewrite — ALL-NEW files carrying v2's content
+      val before = v2Files.toSet
+      spark.read.option("basePath", data).parquet(v2Files: _*)
+        .select("doc_id", "w_hash", "wb").distinct()
+        .repartition(col("wb"))
+        .write.mode("append").partitionBy("wb").parquet(data)
+      val v3Files = (leafFiles.toSet -- before).toSeq.sorted
+      ManifestLog.commit(spark, log, _ => v3Files)
+      // expire v1-v2, then vacuum: delete every file no surviving
+      // version references (the pre-compaction generations)
+      ManifestLog.expire(spark, log, keepFrom = 3L)
+      val referenced = ManifestLog.allReferenced(spark, log)
+      leafFiles.filterNot(referenced.contains)
+        .foreach(f => new java.io.File(f).delete())
+    }
+    val v = ManifestLog.currentVersion(spark, log)
+    val files = ManifestLog.read(spark, log, v).getOrElse(
+      throw new java.io.IOException(s"missing posting manifest v$v"))
+    val postings = spark.read.option("basePath", data).parquet(files: _*)
+    servePostingsFrame(spark, corpus, srcText, postings, k = TtK)
+      .select("doc_id", "score_micro")
+  }
+
+  /** The vacuumed serve is v2's answer: doc 0 + the low-id copies. */
+  private val maxsimVacuumedOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |q AS (SELECT tk FROM toks WHERE doc_id = 0),
+      |ties AS (
+      |  SELECT t.doc_id FROM toks t, q WHERE t.tk = q.tk
+      |  UNION ALL
+      |  SELECT d.doc_id + 100000 FROM documents d WHERE d.doc_id < 5
+      |  UNION ALL
+      |  SELECT d.doc_id + 99000 FROM documents d WHERE d.doc_id < 5)
+      |SELECT doc_id, (SELECT len(tk) FROM q)::BIGINT * 1000000 AS score_micro
+      |FROM (SELECT doc_id FROM ties ORDER BY doc_id LIMIT 5)
+      |ORDER BY doc_id""".stripMargin
+
   /** Both rows share one oracle: the tie set is token-sequence equality
     * with doc 0 (DuckDB replays the engine's tokenizer) plus the planted
     * ids, each at exactly |Q|·1e6; ties order by doc_id. */
@@ -473,6 +550,7 @@ object LateInteraction extends QueryModule {
     "maxsim_deleted_topk" -> maxsimDeletedTopk,
     "maxsim_compacted_topk" -> maxsimCompactedTopk,
     "maxsim_time_travel_topk" -> maxsimTimeTravelTopk,
+    "maxsim_vacuumed_topk" -> maxsimVacuumedTopk,
     "maxsim_batch_topk" -> maxsimBatchTopk)
 
   override def oracles: Map[String, String] = Map(
@@ -482,5 +560,6 @@ object LateInteraction extends QueryModule {
     "maxsim_deleted_topk" -> maxsimDeletedOracle,
     "maxsim_compacted_topk" -> maxsimOracle,
     "maxsim_time_travel_topk" -> maxsimTimeTravelOracle,
+    "maxsim_vacuumed_topk" -> maxsimVacuumedOracle,
     "maxsim_batch_topk" -> maxsimBatchOracle)
 }

@@ -118,6 +118,26 @@ class LateInteractionSpec extends SparkSpec {
       s"manifest-resolved reads must keep wb pruning:\n$plan")
   }
 
+  test("maxsim_vacuumed_topk: only the compacted generation's files survive, and they serve the full answer") {
+    val out = SparkEntry.queries("maxsim_vacuumed_topk")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ===
+      Seq(0L, 99000L, 99001L, 99002L, 99003L),
+      "the vacuumed index must still serve v2's complete answer")
+    // physical: every file on disk is referenced by the surviving manifest
+    import graft.ingest.ManifestLog
+    val path = Tables.scratchPath("maxsim_postings_vac", sf)
+    val v = ManifestLog.currentVersion(spark, path + "/log")
+    val referenced = ManifestLog.read(spark, path + "/log", v).get.toSet
+    val onDisk = new java.io.File(path + "/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("wb="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSet
+    assert(onDisk === referenced,
+      "vacuum must delete exactly the pre-compaction generations: " +
+        s"${(onDisk -- referenced).size} orphans, ${
+          (referenced -- onDisk).size} missing")
+  }
+
   test("maxsim_batch_topk: each query's top-4 is its own planted tie group at |Q_q| micro-units") {
     val out = SparkEntry.queries("maxsim_batch_topk")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
