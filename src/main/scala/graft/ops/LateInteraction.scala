@@ -306,8 +306,17 @@ object LateInteraction extends QueryModule {
     * the wrong version's files (or a torn mix) perturbs an enumerable
     * answer. */
   private val TtK = 5
-  def maxsimTimeTravelTopk(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ingest.ManifestLog
+
+  /** The two versioned-posting rows' shared construction: the base
+    * corpus, the two planted-copy generations (HIGH ids for v1, LOW ids
+    * for v2's append, so the versions' top-5 sets are disjoint below
+    * doc 0), the query text, and the data/log layout. */
+  private final case class VersionedFixture(d: DataFrame,
+      copiesA: DataFrame, copiesB: DataFrame, srcText: String,
+      data: String, log: String)
+
+  private def versionedFixture(spark: SparkSession, dir: String,
+      name: String): VersionedFixture = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
     val srcText = d.filter(col("doc_id") === 0L)
       .select("text").head().getString(0)
@@ -316,37 +325,46 @@ object LateInteraction extends QueryModule {
       .map(i => (PlantedBase + i, srcText)).toDF("doc_id", "text")
     val copiesB = (0 until 5)
       .map(i => (99000L + i, srcText)).toDF("doc_id", "text")
-    val path = Tables.scratchPath("maxsim_postings_tt", dir)
-    val data = path + "/data"
-    val log = path + "/log"
-    def leafFiles: Seq[String] =
-      new java.io.File(data).listFiles().filter(_.isDirectory)
-        .filter(_.getName.startsWith("wb="))
-        .flatMap(f => f.listFiles().filter(_.getName.endsWith(".parquet")))
-        .map(_.getAbsolutePath).toIndexedSeq.sorted
-    ResultCache.buildIfAbsent(spark, d.unionByName(copiesA).unionByName(copiesB),
-      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=tt:v1", path) {
-      val lp = new org.apache.hadoop.fs.Path(log)
-      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(lp, true)
-      writePostings(d.unionByName(copiesA), data, "overwrite")
-      val v1Files = leafFiles
-      ManifestLog.commit(spark, log, _ => v1Files)
-      writePostings(copiesB, data, "append") // new files, same wb= dirs
-      val allFiles = leafFiles
-      ManifestLog.commit(spark, log, _ => allFiles)
+    val path = Tables.scratchPath(name, dir)
+    VersionedFixture(d, copiesA, copiesB, srcText,
+      path + "/data", path + "/log")
+  }
+
+  /** Every parquet leaf under the data dir's `wb=` partitions (empty on
+    * a missing dir) — the file lists the version manifests publish. */
+  private def leafFiles(data: String): Seq[String] =
+    Option(new java.io.File(data).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("wb="))
+      .flatMap(f => f.listFiles().filter(_.getName.endsWith(".parquet")))
+      .map(_.getAbsolutePath).toIndexedSeq.sorted
+
+  def maxsimTimeTravelTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.ManifestLog
+    val fx = versionedFixture(spark, dir, "maxsim_postings_tt")
+    // buildIfAbsent wipes the whole scratch path (data AND log) on a
+    // cache miss, so the build always starts from an empty log
+    ResultCache.buildIfAbsent(spark,
+      fx.d.unionByName(fx.copiesA).unionByName(fx.copiesB),
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=tt:v1",
+      Tables.scratchPath("maxsim_postings_tt", dir)) {
+      writePostings(fx.d.unionByName(fx.copiesA), fx.data, "overwrite")
+      val v1Files = leafFiles(fx.data)
+      ManifestLog.commit(spark, fx.log, _ => v1Files)
+      writePostings(fx.copiesB, fx.data, "append") // new files, same wb= dirs
+      val allFiles = leafFiles(fx.data)
+      ManifestLog.commit(spark, fx.log, _ => allFiles)
     }
     def serveVersion(v: Long, corpusV: DataFrame): DataFrame = {
-      val files = ManifestLog.read(spark, log, v).getOrElse(
+      val files = ManifestLog.read(spark, fx.log, v).getOrElse(
         throw new java.io.IOException(s"missing posting manifest v$v"))
-      val postings = spark.read.option("basePath", data)
+      val postings = spark.read.option("basePath", fx.data)
         .parquet(files: _*)
-      servePostingsFrame(spark, corpusV, srcText, postings, k = TtK)
+      servePostingsFrame(spark, corpusV, fx.srcText, postings, k = TtK)
         .withColumn("version", lit(v))
     }
-    serveVersion(1L, d.unionByName(copiesA))
+    serveVersion(1L, fx.d.unionByName(fx.copiesA))
       .unionByName(serveVersion(2L,
-        d.unionByName(copiesA).unionByName(copiesB)))
+        fx.d.unionByName(fx.copiesA).unionByName(fx.copiesB)))
       .select("version", "doc_id", "score_micro")
       .orderBy("version", "doc_id")
   }
@@ -387,53 +405,48 @@ object LateInteraction extends QueryModule {
     * compaction that dropped postings, perturbs the enumerable top-5. */
   def maxsimVacuumedTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.ingest.ManifestLog
-    val d = Tables.documents(spark, dir).select("doc_id", "text")
-    val srcText = d.filter(col("doc_id") === 0L)
-      .select("text").head().getString(0)
-    import spark.implicits._
-    val copiesA = (0 until 5)
-      .map(i => (PlantedBase + i, srcText)).toDF("doc_id", "text")
-    val copiesB = (0 until 5)
-      .map(i => (99000L + i, srcText)).toDF("doc_id", "text")
-    val corpus = d.unionByName(copiesA).unionByName(copiesB)
-    val path = Tables.scratchPath("maxsim_postings_vac", dir)
-    val data = path + "/data"
-    val log = path + "/log"
-    def leafFiles: Seq[String] =
-      new java.io.File(data).listFiles().filter(_.isDirectory)
-        .filter(_.getName.startsWith("wb="))
-        .flatMap(f => f.listFiles().filter(_.getName.endsWith(".parquet")))
-        .map(_.getAbsolutePath).toIndexedSeq.sorted
+    val fx = versionedFixture(spark, dir, "maxsim_postings_vac")
+    val corpus = fx.d.unionByName(fx.copiesA).unionByName(fx.copiesB)
     ResultCache.buildIfAbsent(spark, corpus,
-      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=vacuum:v1", path) {
-      val lp = new org.apache.hadoop.fs.Path(log)
-      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(lp, true)
-      writePostings(d.unionByName(copiesA), data, "overwrite")
-      ManifestLog.commit(spark, log, _ => leafFiles)
-      writePostings(copiesB, data, "append")
-      val v2Files = leafFiles
-      ManifestLog.commit(spark, log, _ => v2Files)
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=vacuum:v2",
+      Tables.scratchPath("maxsim_postings_vac", dir)) {
+      writePostings(fx.d.unionByName(fx.copiesA), fx.data, "overwrite")
+      ManifestLog.commit(spark, fx.log, _ => leafFiles(fx.data))
+      writePostings(fx.copiesB, fx.data, "append")
+      val v2Files = leafFiles(fx.data)
+      ManifestLog.commit(spark, fx.log, _ => v2Files)
       // v3: compaction rewrite — ALL-NEW files carrying v2's content
       val before = v2Files.toSet
-      spark.read.option("basePath", data).parquet(v2Files: _*)
+      spark.read.option("basePath", fx.data).parquet(v2Files: _*)
         .select("doc_id", "w_hash", "wb").distinct()
         .repartition(col("wb"))
-        .write.mode("append").partitionBy("wb").parquet(data)
-      val v3Files = (leafFiles.toSet -- before).toSeq.sorted
-      ManifestLog.commit(spark, log, _ => v3Files)
+        .write.mode("append").partitionBy("wb").parquet(fx.data)
+      val v3Files = (leafFiles(fx.data).toSet -- before).toSeq.sorted
+      // expiry below drops every manifest referencing the real files —
+      // an empty v3 would let the vacuum destroy ALL live data; fail
+      // loudly here instead of as a later unreadable-parquet mystery
+      require(v3Files.nonEmpty, "compaction produced no files")
+      ManifestLog.commit(spark, fx.log, _ => v3Files)
       // expire v1-v2, then vacuum: delete every file no surviving
       // version references (the pre-compaction generations)
-      ManifestLog.expire(spark, log, keepFrom = 3L)
-      val referenced = ManifestLog.allReferenced(spark, log)
-      leafFiles.filterNot(referenced.contains)
-        .foreach(f => new java.io.File(f).delete())
+      ManifestLog.expire(spark, fx.log, keepFrom = 3L)
+      val referenced = ManifestLog.allReferenced(spark, fx.log)
+      val fs = new org.apache.hadoop.fs.Path(fx.data)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      leafFiles(fx.data).filterNot(referenced.contains).foreach { f =>
+        // Hadoop delete, not java.io: cleans the .crc sidecars with the
+        // file, and a silent false return must abort (a surviving
+        // unreferenced file contradicts the row's exactness claim)
+        val p = new org.apache.hadoop.fs.Path(f)
+        require(fs.delete(p, false) || !fs.exists(p),
+          s"vacuum could not delete unreferenced posting file $f")
+      }
     }
-    val v = ManifestLog.currentVersion(spark, log)
-    val files = ManifestLog.read(spark, log, v).getOrElse(
+    val v = ManifestLog.currentVersion(spark, fx.log)
+    val files = ManifestLog.read(spark, fx.log, v).getOrElse(
       throw new java.io.IOException(s"missing posting manifest v$v"))
-    val postings = spark.read.option("basePath", data).parquet(files: _*)
-    servePostingsFrame(spark, corpus, srcText, postings, k = TtK)
+    val postings = spark.read.option("basePath", fx.data).parquet(files: _*)
+    servePostingsFrame(spark, corpus, fx.srcText, postings, k = TtK)
       .select("doc_id", "score_micro")
   }
 
