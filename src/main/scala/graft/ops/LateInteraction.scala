@@ -156,6 +156,43 @@ object LateInteraction extends QueryModule {
     servePostings(spark, corpus, srcText, path)
   }
 
+  /** MEASURED auto-routing between the brute-force and indexed serves —
+    * the ann_auto_route discipline on this family: both paths' dominant
+    * cost is the per-doc window embedding, so the router compares the
+    * MEASURED doc counts each path would embed (corpus size vs the
+    * posting probe's candidate count — the probe itself is the cheap,
+    * partition-pruned stage) and picks the smaller, with a 2× indexed
+    * overhead factor for the probe scan + semi-join it adds. On the
+    * planted construction both paths provably serve the identical
+    * top-10, so the row's oracle is route-independent — the same
+    * eligibility trick the ANN router rows use. */
+  def maxsimAutoRouteTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (corpus, srcText) = plantedCorpus(spark, dir)
+    val path = Tables.scratchPath("maxsim_postings", dir)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:v1", path) {
+      writePostings(corpus, path, "overwrite")
+    }
+    val qHash = tokenWindows(srcText).distinct.toSeq.toDF("w")
+      .select(xxhash64(col("w"))).collect().map(_.getLong(0)).toSeq
+    val qBuckets = qHash
+      .map(h => ((h % WindowBuckets + WindowBuckets) % WindowBuckets).toInt)
+      .distinct
+    // measured route inputs: candidate docs from the pruned probe (the
+    // cheap stage), corpus docs from a columnar count
+    val candidateDocs = spark.read.parquet(path)
+      .filter(col("wb").isin(qBuckets: _*))
+      .filter(col("w_hash").isin(qHash: _*))
+      .select("doc_id").distinct().count()
+    val corpusDocs = corpus.count()
+    val indexed = candidateDocs * 2 < corpusDocs
+    System.err.println(s"[route] maxsim corpus=$corpusDocs " +
+      s"candidates=$candidateDocs -> ${if (indexed) "indexed" else "brute"}")
+    if (indexed) servePostings(spark, corpus, srcText, path)
+    else maxsimTopk(spark, dir)
+  }
+
   /** The posting writer both lifecycle rows share: distinct (doc,
     * window-hash) pairs into `wb=` partitions. `mode = "append"` is the
     * incremental maintenance path — new docs' postings land as extra
@@ -563,6 +600,7 @@ object LateInteraction extends QueryModule {
     "maxsim_deleted_topk" -> maxsimDeletedTopk,
     "maxsim_compacted_topk" -> maxsimCompactedTopk,
     "maxsim_time_travel_topk" -> maxsimTimeTravelTopk,
+    "maxsim_auto_route_topk" -> maxsimAutoRouteTopk,
     "maxsim_vacuumed_topk" -> maxsimVacuumedTopk,
     "maxsim_batch_topk" -> maxsimBatchTopk)
 
@@ -573,6 +611,7 @@ object LateInteraction extends QueryModule {
     "maxsim_deleted_topk" -> maxsimDeletedOracle,
     "maxsim_compacted_topk" -> maxsimOracle,
     "maxsim_time_travel_topk" -> maxsimTimeTravelOracle,
+    "maxsim_auto_route_topk" -> maxsimOracle,
     "maxsim_vacuumed_topk" -> maxsimVacuumedOracle,
     "maxsim_batch_topk" -> maxsimBatchOracle)
 }

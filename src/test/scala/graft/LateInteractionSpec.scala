@@ -138,6 +138,16 @@ class LateInteractionSpec extends SparkSpec {
           (referenced -- onDisk).size} missing")
   }
 
+  test("maxsim_auto_route_topk: the routed serve equals the indexed row, and the route inputs are sane") {
+    val routed = SparkEntry.queries("maxsim_auto_route_topk")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+    val indexed = SparkEntry.queries("maxsim_indexed_topk")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+    assert(routed === indexed,
+      "both route targets provably serve the planted answer — the " +
+        "router may pick either but must not change the result")
+  }
+
   test("maxsim_batch_topk: each query's top-4 is its own planted tie group at |Q_q| micro-units") {
     val out = SparkEntry.queries("maxsim_batch_topk")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
