@@ -151,6 +151,51 @@ object Forget extends QueryModule {
       .orderBy("surface", "rank")
   }
 
+  /** The ledger reaching the LEXICAL index — BM25's scores depend on
+    * corpus statistics, so the enumerable construction differs from the
+    * vector surfaces: ten planted docs carry a sentinel term that exists
+    * NOWHERE else in the corpus (spec-verified), so the posting list for
+    * that term is exactly the planted set, all ten texts are identical
+    * (identical tf/dl ⇒ identical score ⇒ ties order by doc_id), and the
+    * serve's output is rank-based — the tie VALUE (which moves with
+    * n_docs/avgdl) never enters the oracle. The forgotten doc is
+    * excluded by the ledger anti-join on the SERVE; the inverted index
+    * is never rewritten. */
+  private val Sentinel = "zzqqgraftsentinel"
+
+  def forgetBm25Topn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = (0 until Copies).map(i =>
+      (PlantedBase + i, s"$Sentinel alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(planted)
+    val path = Tables.scratchPath("bm25_fgt", dir)
+    val root = Tables.scratchPath("forget_bm25", dir)
+    ResultCache.buildIfAbsent(spark, docs, "forget:bm25:v1", path) {
+      Rag.buildBm25Index(docs, path)
+      val lp = new org.apache.hadoop.fs.Path(ledgerDir(root))
+      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(lp, true)
+      forget(spark, root, Seq(PlantedBase))
+    }
+    val scores = Rag.bm25IndexedScores(spark, path, Seq(Sentinel))
+    excluding(scores, root)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(K)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+      .select("rank", "doc_id")
+      .orderBy("rank")
+  }
+
+  /** Only the nine surviving sentinel carriers can match; rank by id. */
+  private val forgetBm25Oracle =
+    """SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank,
+      |       doc_id
+      |FROM (SELECT 100001 + d.doc_id AS doc_id
+      |      FROM documents d WHERE d.doc_id < 9)
+      |ORDER BY rank""".stripMargin
+
   /** PHYSICAL reclamation — the deep-delete half of the lifecycle: the
     * ledger makes deletion take effect instantly and cheaply; compliance
     * eventually requires the BYTES gone too. `reclaimPostings` rewrites
@@ -355,10 +400,12 @@ object Forget extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("forget_propagated_topk" -> forgetPropagatedTopk,
       "forget_reclaimed_topk" -> forgetReclaimedTopk,
+      "forget_bm25_topn" -> forgetBm25Topn,
       "streaming_forget_retrieval" -> streamingForgetRetrieval)
 
   override def oracles: Map[String, String] =
     Map("forget_propagated_topk" -> forgetOracle,
       "forget_reclaimed_topk" -> forgetReclaimedOracle,
+      "forget_bm25_topn" -> forgetBm25Oracle,
       "streaming_forget_retrieval" -> streamingForgetOracle)
 }

@@ -104,6 +104,20 @@ class ForgetSpec extends SparkSpec {
     assert(Forget.forgottenIds(spark, root).isEmpty)
   }
 
+  test("forget_bm25_topn: the lexical index serves only the surviving sentinel carriers") {
+    import org.apache.spark.sql.functions.{col, lower}
+    // data honesty: the sentinel token must exist nowhere in the corpus,
+    // or the posting list stops being the planted set
+    assert(Tables.documents(spark, sf)
+      .filter(lower(col("text")).contains("zzqqgraftsentinel"))
+      .count() === 0L)
+    val out = SparkEntry.queries("forget_bm25_topn")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ===
+      (100001L to 100009L).toSeq,
+      "only the nine surviving planted docs carry the sentinel term")
+    assert(out.map(_.getAs[Int]("rank")).toSeq === (1 to 9).toSeq)
+  }
+
   test("a fresh root forgets nothing: the ledger read is empty, not an error") {
     val root = java.nio.file.Files
       .createTempDirectory("forgetempty").toString + "/r"
