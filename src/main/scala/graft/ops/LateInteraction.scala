@@ -140,6 +140,37 @@ object LateInteraction extends QueryModule {
   private def queryVecs(srcText: String): Array[Array[Float]] =
     tokenWindows(srcText).map(w => Embedding.hashingEmbed(w, TokenDim))
 
+  /** The queries' distinct window hashes and their `wb=` buckets — ONE
+    * definition shared by every probe and router site (an inline copy
+    * could silently drift from the xxhash64 the postings were written
+    * with). Hashing runs through the engine's own xxhash64 expression
+    * over a LocalRelation — one tiny job, no corpus touch. */
+  private[graft] def queryProbe(spark: SparkSession,
+      texts: Seq[String]): (Seq[Long], Seq[Int]) = {
+    import spark.implicits._
+    val qHash = texts.flatMap(t => tokenWindows(t)).distinct.toDF("w")
+      .select(xxhash64(col("w"))).collect().map(_.getLong(0)).toSeq.distinct
+    (qHash, qHash
+      .map(h => ((h % WindowBuckets + WindowBuckets) % WindowBuckets).toInt)
+      .distinct)
+  }
+
+  /** The posting table with its `_tombstones` sidecar resolved — the ONE
+    * read every serve AND the router's candidate probe go through, so a
+    * measured route prices exactly the frame the serve would scan
+    * (counting tombstoned postings would misprice the brute/indexed
+    * choice on a tombstoned table). */
+  private[graft] def resolvedPostings(spark: SparkSession,
+      path: String): DataFrame = {
+    val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
+    val postings0 = spark.read.parquet(path)
+    if (tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tomb))
+      postings0.join(spark.read.parquet(path + "/_tombstones"),
+        Seq("doc_id"), "left_anti")
+    else postings0
+  }
+
   /** Two-stage indexed MaxSim (the PLAID shape): candidates from a
     * PERSISTED window-hash posting table — `wb=<bucket>` partitions, so
     * the probe scans only the query's |Q| buckets — then the exact
@@ -167,21 +198,17 @@ object LateInteraction extends QueryModule {
     * top-10, so the row's oracle is route-independent — the same
     * eligibility trick the ANN router rows use. */
   def maxsimAutoRouteTopk(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val (corpus, srcText) = plantedCorpus(spark, dir)
     val path = Tables.scratchPath("maxsim_postings", dir)
     ResultCache.buildIfAbsent(spark, corpus,
       s"maxsim:dim=$TokenDim:wb=$WindowBuckets:v1", path) {
       writePostings(corpus, path, "overwrite")
     }
-    val qHash = tokenWindows(srcText).distinct.toSeq.toDF("w")
-      .select(xxhash64(col("w"))).collect().map(_.getLong(0)).toSeq
-    val qBuckets = qHash
-      .map(h => ((h % WindowBuckets + WindowBuckets) % WindowBuckets).toInt)
-      .distinct
+    val (qHash, qBuckets) = queryProbe(spark, Seq(srcText))
     // measured route inputs: candidate docs from the pruned probe (the
-    // cheap stage), corpus docs from a columnar count
-    val candidateDocs = spark.read.parquet(path)
+    // cheap stage, tombstone-resolved so the route prices what the serve
+    // would actually scan), corpus docs from a columnar count
+    val candidateDocs = resolvedPostings(spark, path)
       .filter(col("wb").isin(qBuckets: _*))
       .filter(col("w_hash").isin(qHash: _*))
       .select("doc_id").distinct().count()
@@ -217,15 +244,8 @@ object LateInteraction extends QueryModule {
     // an `_tombstones` sidecar (underscore-prefixed — the posting scan
     // never lists it) anti-joined off the posting rows BEFORE the probe:
     // the embedder never runs on a deleted doc
-    val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
-    val postings0 = spark.read.parquet(path)
-    val postings =
-      if (tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(tomb))
-        postings0.join(spark.read.parquet(path + "/_tombstones"),
-          Seq("doc_id"), "left_anti")
-      else postings0
-    servePostingsFrame(spark, corpus, srcText, postings)
+    servePostingsFrame(spark, corpus, srcText,
+      resolvedPostings(spark, path))
   }
 
   /** The probe + rescore over a PRE-RESOLVED posting frame — the shared
@@ -234,13 +254,7 @@ object LateInteraction extends QueryModule {
   private[graft] def servePostingsFrame(spark: SparkSession,
       corpus: DataFrame, srcText: String, postings: DataFrame,
       k: Int = K): DataFrame = {
-    import spark.implicits._
-    // hash the |Q| query windows through the SAME xxhash64 the postings
-    // were written with (one LocalRelation-sized job, no corpus touch)
-    val qHash = tokenWindows(srcText).distinct.toSeq.toDF("w")
-      .select(xxhash64(col("w"))).collect().map(_.getLong(0)).toSeq
-    val qBuckets = qHash.map(h => ((h % WindowBuckets + WindowBuckets) % WindowBuckets).toInt)
-      .distinct
+    val (qHash, qBuckets) = queryProbe(spark, Seq(srcText))
     val candidates = postings
       .filter(col("wb").isin(qBuckets: _*))           // partition-pruned
       .filter(col("w_hash").isin(qHash: _*))           // posting equi-filter
