@@ -26,9 +26,12 @@ import graft.vector.Embedding
   *     families' tombstone folds and vacuums — with the ledger as the
   *     authoritative exclusion until they run.
   *
-  * The driver row forgets one of ten planted copies of doc 0 and serves
-  * THREE surfaces through the one ledger: exact doc-embedding knn, the
-  * MaxSim posting index, and the training-export scan. Output is
+  * The propagation driver row forgets one of ten planted copies of doc 0
+  * and serves THREE surfaces through the one ledger: exact doc-embedding
+  * knn, the MaxSim posting index, and the training-export scan; the ANN
+  * row ([[forgetAnnFamiliesTopk]]) extends the same commit to four index
+  * family serves (lsh/ivf pruned read-backs via the broadcast anti-join,
+  * hnsw/nsw resident pins via the serve-tail exclude set). Output is
   * (surface, rank, doc_id) — rank-based, so one enumerable oracle covers
   * surfaces whose score scales differ.
   */
@@ -74,14 +77,36 @@ object Forget extends QueryModule {
         "to treat it as empty (that would serve forgotten docs)")
   }
 
-  /** Serve-time exclusion: broadcast anti-join against the ledger. */
-  private def excluding(df: DataFrame, root: String,
+  /** Serve-time exclusion: broadcast anti-join against the ledger — the
+    * KB-scale exclusion every frame-shaped serving surface (ANN index
+    * read-backs, exports, BM25 score frames) applies before its top-k.
+    * Resident-pinned surfaces take the same ids as a serve-tail `exclude`
+    * set instead (`GraphAnn.nswServedSearch`/`hnswServedSearch`) — the
+    * pin stays pure index-version state, so a forget flips the next
+    * serve without a pin rebuild. */
+  private[graft] def excludingIds(df: DataFrame, root: String,
       idCol: String = "doc_id"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ids = forgottenIds(spark, root)
     if (ids.isEmpty) df
     else df.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_anti")
+  }
+  private def excluding(df: DataFrame, root: String,
+      idCol: String = "doc_id"): DataFrame = excludingIds(df, root, idCol)
+
+  /** Fixture-coupling guard (the ledger/cache decoupling defect): the
+    * fixture rows commit their forget INSIDE a `buildIfAbsent` closure
+    * whose marker lives on the INDEX path — selective scratch cleanup of
+    * the ledger root alone would hit the marker yet read an empty ledger
+    * and silently re-serve the forgotten doc. Every fixture serve calls
+    * this first: if the committed id is missing from the ledger head, the
+    * forget is re-established (one idempotent CAS commit) before any
+    * exclusion is computed. */
+  private def ensureForgotten(spark: SparkSession, root: String,
+      ids: Seq[Long]): Unit = {
+    val head = forgottenIds(spark, root).toSet
+    if (!ids.forall(head.contains)) forget(spark, root, ids)
   }
 
   private val TokenDim = 64
@@ -120,6 +145,7 @@ object Forget extends QueryModule {
         .delete(lp, true)
       forget(spark, root, Seq(PlantedBase))
     }
+    ensureForgotten(spark, root, Seq(PlantedBase))
     val served = excluding(corpus, root)
 
     // surface 1: exact doc-embedding knn (identical text → identical
@@ -151,6 +177,113 @@ object Forget extends QueryModule {
       .orderBy("surface", "rank")
   }
 
+  /** The ledger reaching the six ANN INDEX FAMILIES — the largest serving
+    * surface in the store, and the fan-out the ledger exists to solve
+    * (the reference deletes per collection entry,
+    * `ingest_chunks_to_chromadb.py:93-107`; here ~85 index serves must
+    * all flip on ONE commit). Ten exact copies of vector 0 are planted
+    * (the tie set OVERFILLS k), four family serves run against PERSISTED
+    * indexes built BEFORE the forget, and one ledger commit must remove
+    * the forgotten copy from every family's top-k:
+    *
+    *   - lsh / ivf: the partition-pruned index read-back with the
+    *     ledger's broadcast anti-join BEFORE the top-k — no index file
+    *     rewritten;
+    *   - hnsw / nsw: the RESIDENT-pinned graph serves, taking the ledger
+    *     ids as the serve-tail `exclude` set — deliberately NOT folded
+    *     into the pin stamp, so the pinned broadcasts stay pure
+    *     index-version state and a forget flips the next serve with ZERO
+    *     pin rebuild (stronger than invalidation: no rebuild cost, no
+    *     stale-window race; ForgetSpec pins pinBuilds is unchanged
+    *     across the flip).
+    *
+    * Output is (surface, rank, vec_id) — the rank-based construction the
+    * propagation row established, one enumerable oracle over surfaces
+    * with different score scales. */
+  def forgetAnnFamiliesTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.vector.IndexBuilder
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val copies = AnnIndex.plantedLocalRows(spark, e,
+      (0 until Copies).map(i => (PlantedBase + i) -> 0L))
+    val corpus = e.unionByName(copies)
+    val lsh = AnnIndex.defaultLsh
+    val base = Tables.scratchPath("forget_ann", dir)
+    val root = Tables.scratchPath("forget_ann_root", dir)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"forget:ann:bits=${lsh.nBits}:m=8:ivf=8:copies=$Copies:v1", base) {
+      IndexBuilder.buildLshIndex(corpus, "embedding", lsh, base + "/lsh")
+      IndexBuilder.buildIvfIndex(corpus, "embedding", numClusters = 8,
+        seed = 42L, base + "/ivf")
+      graft.vector.GraphAnn.buildHnswGraph(
+        corpus, "embedding", "vec_id", lsh, m = 8, base + "/hnsw")
+      val lp = new org.apache.hadoop.fs.Path(ledgerDir(root))
+      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(lp, true)
+      // THE forget: one CAS commit, all four family serves below flip
+      forget(spark, root, Seq(PlantedBase))
+    }
+    ensureForgotten(spark, root, Seq(PlantedBase))
+    val excl = forgottenIds(spark, root).toSet
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    def score(c: org.apache.spark.sql.Column) = round(
+      graft.vector.VectorFunctions.cosineUnit(c, typedlit(qv.toSeq)), 6)
+
+    // lsh: pruned probe over the persisted index, ledger anti-join
+    // BEFORE the top-k (after it would under-fill k)
+    val probes = lsh.probes(lsh.signature(qv.toSeq), radius = 1)
+    val lshServe = excludingIds(
+        spark.read.parquet(base + "/lsh"), root, "vec_id")
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("score", score(col("embedding")))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(K)
+      .select(lit("lsh").as("surface"), col("vec_id"))
+
+    // ivf: nearest-centroid pruned scan of the persisted index
+    val centers = IndexBuilder.loadIvfCentroids(base + "/ivf")
+    val probeClusters = IndexBuilder.nearestClusters(centers, qv, nProbe = 2)
+    val ivfServe = excludingIds(
+        spark.read.parquet(base + "/ivf"), root, "vec_id")
+      .filter(col("cluster_id").isin(probeClusters: _*))
+      .withColumn("score", score(col("embedding")))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(K)
+      .select(lit("ivf").as("surface"), col("vec_id"))
+
+    // hnsw ladder + flat nsw (the ladder's layer 0 IS an NSW graph):
+    // both through the RESIDENT pin, excluded at the serve tail
+    val hnswServe = graft.vector.GraphAnn.hnswServedSearch(
+        spark, base + "/hnsw", corpus, "embedding", "vec_id",
+        Seq((0L, qv)), k = K, exclude = excl)
+      .select(lit("hnsw").as("surface"), col("vec_id"))
+    val nswServe = graft.vector.GraphAnn.nswServedSearch(
+        spark, base + "/hnsw", corpus, "embedding", "vec_id",
+        Seq((0L, qv)), k = K, exclude = excl)
+      .select(lit("nsw").as("surface"), col("vec_id"))
+
+    lshServe.unionByName(ivfServe).unionByName(hnswServe)
+      .unionByName(nswServe)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("surface").orderBy("vec_id")))
+      .select("surface", "rank", "vec_id")
+      .orderBy("surface", "rank")
+  }
+
+  /** Every family's post-forget top-10 is the surviving tie set — vec 0
+    * plus the nine surviving copies — ranked by vec_id. */
+  private val forgetAnnFamiliesOracle =
+    """WITH ties AS (
+      |  SELECT CAST(0 AS BIGINT) AS vec_id
+      |  UNION ALL
+      |  SELECT e.vec_id + 100001 FROM embeddings e WHERE e.vec_id < 9),
+      |surfaces AS (
+      |  SELECT 'hnsw' AS surface UNION ALL SELECT 'ivf'
+      |  UNION ALL SELECT 'lsh' UNION ALL SELECT 'nsw')
+      |SELECT surface, CAST(row_number() OVER (
+      |    PARTITION BY surface ORDER BY vec_id) AS INT) AS rank, vec_id
+      |FROM surfaces CROSS JOIN ties
+      |ORDER BY surface, rank""".stripMargin
+
   /** The ledger reaching the LEXICAL index — BM25's scores depend on
     * corpus statistics, so the enumerable construction differs from the
     * vector surfaces: ten planted docs carry a sentinel term that exists
@@ -179,6 +312,7 @@ object Forget extends QueryModule {
         .delete(lp, true)
       forget(spark, root, Seq(PlantedBase))
     }
+    ensureForgotten(spark, root, Seq(PlantedBase))
     val scores = Rag.bm25IndexedScores(spark, path, Seq(Sentinel))
     excluding(scores, root)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(K)
@@ -220,10 +354,19 @@ object Forget extends QueryModule {
     // RECOVERY: a crash between the two swap renames leaves the table
     // absent with a fully-staged (_SUCCESS-marked) rewrite — install it
     // and fall through (the ledger retire below re-runs idempotently)
+    // every swap rename is CHECKED (the finishStagedSwap discipline): a
+    // silently-false rename here could move the staged dir INSIDE the
+    // live table, or retire ledger ids while the table is absent
+    def renameOrThrow(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst)) throw new java.io.IOException(
+        s"reclaimPostings: rename $src -> $dst failed — aborting before " +
+          "the ledger retire (table state is recoverable, a silent " +
+          "retire over a failed swap is not)")
     if (!fs.exists(p(path))) {
       if (fs.exists(staged) &&
           fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
-        fs.rename(staged, p(path))
+        renameOrThrow(staged, p(path))
         fs.delete(retired0, true)
       } else throw new IllegalStateException(
         s"reclaimPostings: $path is missing and no completed staging " +
@@ -249,8 +392,8 @@ object Forget extends QueryModule {
     // first rename = the recovery case above; crash before retire = the
     // next call rewrites a no-op and retires — idempotent end to end.
     fs.delete(retired0, true)
-    fs.rename(p(path), retired0)
-    fs.rename(staged, p(path))
+    renameOrThrow(p(path), retired0)
+    renameOrThrow(staged, p(path))
     fs.delete(retired0, true)
     // retire: the ids' bytes are gone, drop them from the ledger
     val retiredIds = ids.map(_.toString).toSet
@@ -401,11 +544,13 @@ object Forget extends QueryModule {
     Map("forget_propagated_topk" -> forgetPropagatedTopk,
       "forget_reclaimed_topk" -> forgetReclaimedTopk,
       "forget_bm25_topn" -> forgetBm25Topn,
+      "forget_ann_families_topk" -> forgetAnnFamiliesTopk,
       "streaming_forget_retrieval" -> streamingForgetRetrieval)
 
   override def oracles: Map[String, String] =
     Map("forget_propagated_topk" -> forgetOracle,
       "forget_reclaimed_topk" -> forgetReclaimedOracle,
       "forget_bm25_topn" -> forgetBm25Oracle,
+      "forget_ann_families_topk" -> forgetAnnFamiliesOracle,
       "streaming_forget_retrieval" -> streamingForgetOracle)
 }

@@ -706,7 +706,8 @@ object GraphAnn {
     */
   private def emitTopK(spark: SparkSession, path: String,
       visited: Map[Long, Double], idCol: String, k: Int,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      exclude: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val visitedIds = visited.keys.toSeq
     val dead: Set[Long] =
@@ -724,7 +725,8 @@ object GraphAnn {
           ok.contains _
         }
     }
-    visited.toSeq.filter { case (id, _) => !dead.contains(id) && pass(id) }
+    visited.toSeq.filter { case (id, _) =>
+        !dead.contains(id) && !exclude.contains(id) && pass(id) }
       .sortBy { case (id, s) => (-s, id) }.take(k)
       .map { case (id, s) =>
         (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -810,14 +812,15 @@ object GraphAnn {
       embCol: String, idCol: String, queryVec: Array[Float], k: Int,
       beam: Int = 32, hops: Int = 4, entries: Int = 16,
       allowed: Option[DataFrame] = None,
-      asOfSeq: Long = Long.MaxValue): DataFrame =
+      asOfSeq: Long = Long.MaxValue,
+      exclude: Set[Long] = Set.empty): DataFrame =
     withWalkConfs(spark) { spark =>
       val scoreOf = scorer(corpus, embCol, idCol, queryVec)
       val adj = readNswAdjacencyAsOf(spark, path, asOfSeq)
       withPinned(Seq(adj)) {
         val visited =
           beamWalk(adj, scoreOf, entryPoints(spark, adj, entries), beam, hops)
-        emitTopK(spark, path, visited, idCol, k, allowed)
+        emitTopK(spark, path, visited, idCol, k, allowed, exclude)
       }
     }
 
@@ -1063,7 +1066,7 @@ object GraphAnn {
   private def emitBatchTopK(spark: SparkSession, path: String,
       queries: Seq[(Long, Array[Float])],
       visited: Map[Long, Map[Long, Double]], idCol: String,
-      k: Int): DataFrame = {
+      k: Int, exclude: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val visitedAll = visited.values.flatMap(_.keys).toSeq.distinct
     val dead: Set[Long] =
@@ -1072,7 +1075,8 @@ object GraphAnn {
         .filter(col("node_id").isin(visitedAll: _*))
         .collect().map(_.getLong(0)).toSet
     queries.flatMap { case (qid, _) =>
-      visited(qid).toSeq.filterNot { case (id, _) => dead.contains(id) }
+      visited(qid).toSeq.filterNot { case (id, _) =>
+          dead.contains(id) || exclude.contains(id) }
         .sortBy { case (id, s) => (-s, id) }.take(k)
         .map { case (id, s) => (qid, id,
           BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
@@ -1085,13 +1089,14 @@ object GraphAnn {
   def nswBatchSearch(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
       k: Int, beam: Int = 32, hops: Int = 4,
-      entries: Int = 16): DataFrame = withWalkConfs(spark) { spark =>
+      entries: Int = 16,
+      exclude: Set[Long] = Set.empty): DataFrame = withWalkConfs(spark) { spark =>
     val adj = readNswAdjacency(spark, path)
     withPinned(Seq(adj)) {
       val scorer = new BatchScorer(corpus, embCol, idCol)
       val entryIds = entryPoints(spark, adj, entries)
       val visited = batchBeamWalk(adj, queries, _ => entryIds, scorer, beam, hops)
-      emitBatchTopK(spark, path, queries, visited, idCol, k)
+      emitBatchTopK(spark, path, queries, visited, idCol, k, exclude)
     }
   }
 
@@ -1290,7 +1295,8 @@ object GraphAnn {
   def nswServedSearch(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
       k: Int, beam: Int = 32, hops: Int = 4,
-      entries: Int = 16, asOfSeq: Long = Long.MaxValue): DataFrame = {
+      entries: Int = 16, asOfSeq: Long = Long.MaxValue,
+      exclude: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val pin = residentPin(spark, path, corpus, embCol, idCol, entries,
       Nil, 0, asOfSeq)
@@ -1298,12 +1304,17 @@ object GraphAnn {
     val bcVec = pin.vec
     val bcDead = pin.dead
     val entryIds = pin.entryIds
+    // `exclude` (e.g. the forget ledger's id set) rides the SERVE, never
+    // the pin: the pinned view stays pure index-version state, so a
+    // forget committed after the pin was built flips the very next serve
+    // — zero pin rebuild, no ledger state baked into cached broadcasts.
     spark.sparkContext
       .parallelize(queries.map { case (q, v) => (q, v.toSeq) },
         math.max(1, math.min(queries.size, spark.sparkContext.defaultParallelism)))
       .flatMap { case (qid, qv) =>
         residentWalk(bcAdj.value, bcVec.value, qv.toArray, entryIds, beam, hops)
-          .toSeq.filterNot { case (id, _) => bcDead.value.contains(id) }
+          .toSeq.filterNot { case (id, _) =>
+            bcDead.value.contains(id) || exclude.contains(id) }
           .sortBy { case (id, s) => (-s, id) }.take(k)
           .map { case (id, s) => (qid, id,
             BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
@@ -1338,7 +1349,8 @@ object GraphAnn {
       embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
       k: Int, beam: Int = 32, hops: Int = 4, entries: Int = 16,
       maxLevel: Int = 2, descentBeam: Int = 4,
-      descentHops: Int = 2, asOfSeq: Long = Long.MaxValue): DataFrame = {
+      descentHops: Int = 2, asOfSeq: Long = Long.MaxValue,
+      exclude: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val pin = residentPin(spark, path, corpus, embCol, idCol, entries,
       (maxLevel to 1 by -1).map(l => path + "_l" + l), descentBeam, asOfSeq)
@@ -1364,7 +1376,8 @@ object GraphAnn {
         }
         residentWalk(bcAdj0.value, bcVec.value, qv,
             (carried ++ fixed).distinct, beam, hops)
-          .toSeq.filterNot { case (id, _) => bcDead.value.contains(id) }
+          .toSeq.filterNot { case (id, _) =>
+            bcDead.value.contains(id) || exclude.contains(id) }
           .sortBy { case (id, s) => (-s, id) }.take(k)
           .map { case (id, s) => (qid, id,
             BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
@@ -1388,7 +1401,8 @@ object GraphAnn {
       embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
       k: Int, beam: Int = 32, hops: Int = 4, entries: Int = 16,
       maxLevel: Int = 2, descentBeam: Int = 4,
-      descentHops: Int = 2): DataFrame = withWalkConfs(spark) { spark =>
+      descentHops: Int = 2,
+      exclude: Set[Long] = Set.empty): DataFrame = withWalkConfs(spark) { spark =>
     val scorer = new BatchScorer(corpus, embCol, idCol)
     var carried = Map.empty[Long, Seq[Long]]
     var l = maxLevel
@@ -1414,7 +1428,7 @@ object GraphAnn {
       val fixed = entryPoints(spark, adj0, entries)
       val visited = batchBeamWalk(adj0, queries,
         q => (carried.getOrElse(q, Nil) ++ fixed).distinct, scorer, beam, hops)
-      emitBatchTopK(spark, path, queries, visited, idCol, k)
+      emitBatchTopK(spark, path, queries, visited, idCol, k, exclude)
     }
   }
 
@@ -1432,7 +1446,8 @@ object GraphAnn {
       maxLevel: Int = 2, descentBeam: Int = 4,
       descentHops: Int = 2,
       allowed: Option[DataFrame] = None,
-      asOfSeq: Long = Long.MaxValue): DataFrame = withWalkConfs(spark) { spark =>
+      asOfSeq: Long = Long.MaxValue,
+      exclude: Set[Long] = Set.empty): DataFrame = withWalkConfs(spark) { spark =>
     val scoreOf = scorer(corpus, embCol, idCol, queryVec)
     var carried = Seq.empty[Long] // best nodes so far, passed down the ladder
     var l = maxLevel
@@ -1465,7 +1480,7 @@ object GraphAnn {
     withPinned(Seq(adj0)) {
       val seeds0 = (carried ++ entryPoints(spark, adj0, entries)).distinct
       val visited = beamWalk(adj0, scoreOf, seeds0, beam, hops)
-      emitTopK(spark, path, visited, idCol, k, allowed)
+      emitTopK(spark, path, visited, idCol, k, allowed, exclude)
     }
   }
 }

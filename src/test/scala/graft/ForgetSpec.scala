@@ -123,4 +123,56 @@ class ForgetSpec extends SparkSpec {
       .createTempDirectory("forgetempty").toString + "/r"
     assert(Forget.forgottenIds(spark, root).isEmpty)
   }
+
+  test("forget_ann_families_topk: one ledger commit flips four family serves") {
+    val out = SparkEntry.queries("forget_ann_families_topk")(spark, sf)
+      .collect()
+    val bySurface = out.groupBy(_.getAs[String]("surface"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSeq).toMap
+    assert(bySurface.keySet === Set("lsh", "ivf", "hnsw", "nsw"))
+    val ties = 0L +: (100001L to 100009L)
+    bySurface.foreach { case (s, ids) =>
+      assert(!ids.contains(100000L),
+        s"family $s still serves the forgotten vector")
+      assert(ids === ties, s"family $s must serve the surviving tie set")
+    }
+  }
+
+  test("a forget flips a RESIDENT-pinned graph serve with zero pin rebuild") {
+    import graft.vector.GraphAnn
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("forgetpin").toString
+    val root = base + "/root"
+    val path = base + "/g"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // a copy of vec 0 (id 900000) so the forget has an enumerable effect
+    val corpus = e.unionByName(
+      e.filter(col("vec_id") === 0L)
+        .select(org.apache.spark.sql.functions.lit(900000L).as("vec_id"),
+          col("embedding")))
+    GraphAnn.buildNswGraph(corpus, "embedding", "vec_id",
+      graft.ops.AnnIndex.defaultLsh, 8, path)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    GraphAnn.dropPins()
+    val b0 = GraphAnn.pinBuilds
+    def serve(excl: Set[Long]) = GraphAnn.nswServedSearch(spark, path,
+        corpus, "embedding", "vec_id", Seq((0L, qv)), k = 5, exclude = excl)
+      .collect().map(_.getLong(1)).toSeq
+    val before = serve(Set.empty)
+    assert(GraphAnn.pinBuilds - b0 === 1)
+    assert(before.contains(900000L), "pre-forget the copy serves")
+    // THE forget, committed AFTER the pin was built: the exclusion rides
+    // the serve tail, so the flip needs no pin invalidation at all
+    Forget.forget(spark, root, Seq(900000L))
+    val ids = Forget.forgottenIds(spark, root).toSet
+    val after = serve(ids)
+    assert(GraphAnn.pinBuilds - b0 === 1,
+      "the forget must NOT rebuild the pin — exclusion is serve-tail " +
+        "state, never baked into the pinned broadcasts")
+    assert(!after.contains(900000L),
+      "the pinned view must stop serving the forgotten id immediately")
+    assert(after.contains(0L))
+  }
 }
