@@ -159,16 +159,25 @@ object LateInteraction extends QueryModule {
     * read every serve AND the router's candidate probe go through, so a
     * measured route prices exactly the frame the serve would scan
     * (counting tombstoned postings would misprice the brute/indexed
-    * choice on a tombstoned table). */
+    * choice on a tombstoned table). Two sidecar shapes resolve here:
+    * a plain (doc_id) sidecar is an id-level delete; a (t_doc_id,
+    * upto_seq) sidecar is the UPSERT WATERMARK — kill the doc's postings
+    * with `seq <= upto_seq`, keep the appended replacement above the
+    * mark (an id-level tombstone would kill the replacement too). */
   private[graft] def resolvedPostings(spark: SparkSession,
       path: String): DataFrame = {
     val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
     val postings0 = spark.read.parquet(path)
-    if (tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(tomb))
-      postings0.join(spark.read.parquet(path + "/_tombstones"),
-        Seq("doc_id"), "left_anti")
-    else postings0
+    if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tomb)) postings0
+    else {
+      val t = spark.read.parquet(path + "/_tombstones")
+      if (t.columns.contains("upto_seq"))
+        postings0.join(broadcast(t),
+          postings0("doc_id") === t("t_doc_id") &&
+            postings0("seq") <= t("upto_seq"), "left_anti")
+      else postings0.join(broadcast(t), Seq("doc_id"), "left_anti")
+    }
   }
 
   /** Two-stage indexed MaxSim (the PLAID shape): candidates from a
@@ -207,8 +216,11 @@ object LateInteraction extends QueryModule {
     val (qHash, qBuckets) = queryProbe(spark, Seq(srcText))
     // measured route inputs: candidate docs from the pruned probe (the
     // cheap stage, tombstone-resolved so the route prices what the serve
-    // would actually scan), corpus docs from a columnar count
-    val candidateDocs = resolvedPostings(spark, path)
+    // would actually scan), corpus docs from a columnar count. The
+    // resolved frame is computed ONCE and reused by the indexed serve —
+    // the probe and the serve price/scan the identical frame.
+    val postings = resolvedPostings(spark, path)
+    val candidateDocs = postings
       .filter(col("wb").isin(qBuckets: _*))
       .filter(col("w_hash").isin(qHash: _*))
       .select("doc_id").distinct().count()
@@ -216,8 +228,26 @@ object LateInteraction extends QueryModule {
     val indexed = candidateDocs * 2 < corpusDocs
     System.err.println(s"[route] maxsim corpus=$corpusDocs " +
       s"candidates=$candidateDocs -> ${if (indexed) "indexed" else "brute"}")
-    if (indexed) servePostings(spark, corpus, srcText, path)
-    else maxsimTopk(spark, dir)
+    if (indexed) servePostingsFrame(spark, corpus, srcText, postings)
+    else {
+      // route symmetry on tombstoned tables: the brute serve must exclude
+      // exactly what the indexed serve's posting resolution excludes, or
+      // the two routes would answer differently on a tombstoned table.
+      // Only the id-level sidecar filters the corpus — a watermark
+      // (upsert) sidecar kills stale POSTINGS, and the serve corpus
+      // already carries the replacement text, so brute needs no filter.
+      val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
+      val served =
+        if (tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(tomb)) {
+          val t = spark.read.parquet(path + "/_tombstones")
+          if (t.columns.contains("upto_seq")) corpus
+          else corpus.join(broadcast(t.select(col("doc_id"))),
+            Seq("doc_id"), "left_anti")
+        } else corpus
+      maxSimTopK(served, queryVecs(srcText))
+        .select("doc_id", "score_micro")
+    }
   }
 
   /** The posting writer both lifecycle rows share: distinct (doc,
@@ -227,14 +257,18 @@ object LateInteraction extends QueryModule {
     * discipline: equal windows land where the probe will look), so the
     * index never rebuilds and the probe shape is unchanged. */
   private[graft] def writePostings(docs: DataFrame, path: String,
-      mode: String): Unit =
-    docs.select(col("doc_id"),
+      mode: String, seq: Long = -1L): Unit = {
+    val base = docs.select(col("doc_id"),
         explode(windowStringsUdf(col("text"))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("w_hash"))
       .distinct()
       .withColumn("wb", pmod(col("w_hash"), lit(WindowBuckets)).cast("int"))
-      .repartition(col("wb"))
+    // seq >= 0 stamps the commit generation on every posting row — the
+    // upsert lifecycle's watermark target; plain tables stay seq-less
+    val stamped = if (seq >= 0L) base.withColumn("seq", lit(seq)) else base
+    stamped.repartition(col("wb"))
       .write.mode(mode).partitionBy("wb").parquet(path)
+  }
 
   /** Probe the posting table with the query's window hashes (partition-
     * pruned to the |Q| buckets), then exact MaxSim over candidates. */
@@ -314,6 +348,87 @@ object LateInteraction extends QueryModule {
     servePostings(spark, corpus, srcText, path)
   }
 
+  /** UPSERT — the re-embed-a-doc flow, the single most common index
+    * maintenance a RAG user performs (the reference upserts per chunk id,
+    * `ingest_chunks_to_chromadb.py:221`), completing the family's
+    * lifecycle matrix with the ANN families' upsert discipline: posting
+    * rows carry a commit `seq`, the old version is killed by a WATERMARK
+    * tombstone (`doc's postings with seq <= upto_seq`) and the new text's
+    * postings land through the ordinary append path above the mark — an
+    * id-level tombstone would kill the replacement too, and the old and
+    * new postings live in DIFFERENT `wb=` partitions, so latest-wins
+    * without tombstones would serve stale postings to probes that only
+    * touch the old buckets.
+    *
+    * Construction: TEN copies of doc 0 planted at seq 0; copy 100000 is
+    * upserted to doc 1's text (none of docs 0..2 has a token-sequence
+    * twin — the batch oracle's verified fact). Query doc 0 at k=10 must
+    * serve exactly the surviving ties {0, 100001..100009}; query doc 1
+    * at k=2 must serve {1, 100000} — the replacement FOUND through its
+    * appended postings, proving the upsert both killed and inserted. */
+  def maxsimUpsertedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val texts = d.filter(col("doc_id") < 2L).orderBy("doc_id")
+      .collect().map(_.getString(1))
+    val (srcText, newText) = (texts(0), texts(1))
+    import spark.implicits._
+    val copies0 = (0 until (NumCopies + 1))
+      .map(i => (PlantedBase + i, srcText)).toDF("doc_id", "text")
+    // the corpus AS SERVED: copy 100000 already re-embedded to doc 1's
+    // text (the rescore must see the new version, like the ANN upsert
+    // rows' corpus carries the new embedding)
+    val upserted = (PlantedBase, newText)
+    val corpus = d.unionByName(copies0.filter(col("doc_id") =!= PlantedBase))
+      .unionByName(Seq(upserted).toDF("doc_id", "text"))
+    val path = Tables.scratchPath("maxsim_postings_ups", dir)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=upsert:v1", path) {
+      // base build at seq 0 with the OLD text everywhere
+      writePostings(d.unionByName(copies0), path, "overwrite", seq = 0L)
+      // the upsert commit: watermark the old version, append the new
+      Seq((PlantedBase, 0L)).toDF("t_doc_id", "upto_seq")
+        .write.mode("overwrite").parquet(path + "/_tombstones")
+      writePostings(Seq(upserted).toDF("doc_id", "text"), path,
+        "append", seq = 1L)
+    }
+    servePostings(spark, corpus, srcText, path)
+      .withColumn("q_id", lit(0L))
+      .unionByName(
+        servePostingsFrame(spark, corpus, newText,
+          resolvedPostings(spark, path), k = 2)
+          .withColumn("q_id", lit(1L)))
+      .select("q_id", "doc_id", "score_micro")
+      .orderBy("q_id", "doc_id")
+  }
+
+  /** q0's ties are doc 0's twins plus the nine surviving copies; q1's are
+    * doc 1's twins plus the upserted replacement. */
+  private val maxsimUpsertedOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |q0 AS (SELECT tk FROM toks WHERE doc_id = 0),
+      |q1 AS (SELECT tk FROM toks WHERE doc_id = 1),
+      |ties0 AS (
+      |  SELECT t.doc_id FROM toks t, q0 WHERE t.tk = q0.tk
+      |  UNION ALL
+      |  SELECT d.doc_id + 100001 FROM documents d WHERE d.doc_id < 9),
+      |ties1 AS (
+      |  SELECT t.doc_id FROM toks t, q1 WHERE t.tk = q1.tk
+      |  UNION ALL
+      |  SELECT CAST(100000 AS BIGINT))
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS q_id, doc_id,
+      |         (SELECT len(tk) FROM q0)::BIGINT * 1000000 AS score_micro
+      |  FROM (SELECT doc_id FROM ties0 ORDER BY doc_id LIMIT 10)
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), doc_id,
+      |         (SELECT len(tk) FROM q1)::BIGINT * 1000000
+      |  FROM (SELECT doc_id FROM ties1 ORDER BY doc_id LIMIT 2))
+      |ORDER BY q_id, doc_id""".stripMargin
+
   /** Compaction — the small-files half of the lifecycle: each append
     * accretes a file set inside every `wb=` partition it touches, so a
     * long-lived index degrades to many tiny posting files per bucket.
@@ -382,12 +497,20 @@ object LateInteraction extends QueryModule {
   }
 
   /** Every parquet leaf under the data dir's `wb=` partitions (empty on
-    * a missing dir) — the file lists the version manifests publish. */
-  private def leafFiles(data: String): Seq[String] =
-    Option(new java.io.File(data).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("wb="))
-      .flatMap(f => f.listFiles().filter(_.getName.endsWith(".parquet")))
-      .map(_.getAbsolutePath).toIndexedSeq.sorted
+    * a missing dir) — the file lists the version manifests publish.
+    * Listed through the Hadoop FileSystem of the path (never java.io,
+    * which silently lists NOTHING on a non-local filesystem and would
+    * commit an empty manifest over live data). */
+  private def leafFiles(spark: SparkSession, data: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(data)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("wb="))
+      .flatMap(d => fs.listStatus(d.getPath).toIndexedSeq
+        .filter(_.getPath.getName.endsWith(".parquet")))
+      .map(s => s.getPath.toUri.getPath).sorted
+  }
 
   def maxsimTimeTravelTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.ingest.ManifestLog
@@ -399,10 +522,10 @@ object LateInteraction extends QueryModule {
       s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=tt:v1",
       Tables.scratchPath("maxsim_postings_tt", dir)) {
       writePostings(fx.d.unionByName(fx.copiesA), fx.data, "overwrite")
-      val v1Files = leafFiles(fx.data)
+      val v1Files = leafFiles(spark, fx.data)
       ManifestLog.commit(spark, fx.log, _ => v1Files)
       writePostings(fx.copiesB, fx.data, "append") // new files, same wb= dirs
-      val allFiles = leafFiles(fx.data)
+      val allFiles = leafFiles(spark, fx.data)
       ManifestLog.commit(spark, fx.log, _ => allFiles)
     }
     def serveVersion(v: Long, corpusV: DataFrame): DataFrame = {
@@ -462,9 +585,9 @@ object LateInteraction extends QueryModule {
       s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=vacuum:v2",
       Tables.scratchPath("maxsim_postings_vac", dir)) {
       writePostings(fx.d.unionByName(fx.copiesA), fx.data, "overwrite")
-      ManifestLog.commit(spark, fx.log, _ => leafFiles(fx.data))
+      ManifestLog.commit(spark, fx.log, _ => leafFiles(spark, fx.data))
       writePostings(fx.copiesB, fx.data, "append")
-      val v2Files = leafFiles(fx.data)
+      val v2Files = leafFiles(spark, fx.data)
       ManifestLog.commit(spark, fx.log, _ => v2Files)
       // v3: compaction rewrite — ALL-NEW files carrying v2's content
       val before = v2Files.toSet
@@ -472,7 +595,7 @@ object LateInteraction extends QueryModule {
         .select("doc_id", "w_hash", "wb").distinct()
         .repartition(col("wb"))
         .write.mode("append").partitionBy("wb").parquet(fx.data)
-      val v3Files = (leafFiles(fx.data).toSet -- before).toSeq.sorted
+      val v3Files = (leafFiles(spark, fx.data).toSet -- before).toSeq.sorted
       // expiry below drops every manifest referencing the real files —
       // an empty v3 would let the vacuum destroy ALL live data; fail
       // loudly here instead of as a later unreadable-parquet mystery
@@ -484,7 +607,7 @@ object LateInteraction extends QueryModule {
       val referenced = ManifestLog.allReferenced(spark, fx.log)
       val fs = new org.apache.hadoop.fs.Path(fx.data)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      leafFiles(fx.data).filterNot(referenced.contains).foreach { f =>
+      leafFiles(spark, fx.data).filterNot(referenced.contains).foreach { f =>
         // Hadoop delete, not java.io: cleans the .crc sidecars with the
         // file, and a silent false return must abort (a surviving
         // unreferenced file contradicts the row's exactness claim)
@@ -565,31 +688,147 @@ object LateInteraction extends QueryModule {
     * token-sequence twin at any sf) make every query's top-4 the
     * enumerable tie set at exactly |Q_q|·1e6, tie-ordered by doc id
     * through GroupTopK's payload ordering. */
-  def maxsimBatchTopk(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graft.GroupTopK
+  /** The batch rows' shared construction: queries are docs 0..2 (none of
+    * which has a token-sequence twin at any sf — the batch oracle pins
+    * it), each with three planted copies in the corpus. */
+  private def batchCorpus(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, String)]) = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
     val srcs = d.filter(col("doc_id") < 3L).collect()
-      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
     import spark.implicits._
-    val copies = srcs.toSeq.flatMap { case (q, t) =>
+    val copies = srcs.flatMap { case (q, t) =>
       (0 until BatchCopies).map(j => (PlantedBase + q * 100L + j, t))
     }.toDF("doc_id", "text")
-    val corpus = d.unionByName(copies)
-    val qvecss: Array[Array[Array[Float]]] = srcs.map(s => queryVecs(s._2))
+    (d.unionByName(copies), srcs)
+  }
+
+  /** The brute batch serve: ONE corpus pass, per-doc windows embedded
+    * once and scored against every query, k-bounded GroupTopK tail. */
+  private def bruteBatch(corpus: DataFrame, srcs: Seq[(Long, String)],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.GroupTopK
+    val qvecss: Array[Array[Array[Float]]] =
+      srcs.map(s => queryVecs(s._2)).toArray
+    val qIds: Array[Long] = srcs.map(_._1).toArray
     val batchScores = udf { text: String =>
       val tvs = tokenWindows(text).map(w => Embedding.hashingEmbed(w, TokenDim))
-      qvecss.map(qv => maxSimMicro(tvs, qv)) // embed windows ONCE per doc
-    }
+      qvecss.indices.map(i => (qIds(i), maxSimMicro(tvs, qvecss(i))))
+    } // embed windows ONCE per doc
     corpus
-      .select(col("doc_id"),
-        posexplode(batchScores(col("text"))).as(Seq("q_id", "score_micro")))
+      .select(col("doc_id"), explode(batchScores(col("text"))).as("qs"))
+      .select(col("doc_id"), col("qs._1").as("q_id"),
+        col("qs._2").as("score_micro"))
       .groupBy(col("q_id"))
       .agg(GroupTopK.topK(col("score_micro"),
-        format_string("%012d", col("doc_id")), BatchK).as("top"))
-      .select(col("q_id").cast("long").as("q_id"), explode(col("top")))
+        format_string("%012d", col("doc_id")), k).as("top"))
+      .select(col("q_id"), explode(col("top")))
       .select(col("q_id"), col("col.payload").cast("long").as("doc_id"),
         col("col.score").as("score_micro"))
       .orderBy("q_id", "doc_id")
+  }
+
+  def maxsimBatchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, srcs) = batchCorpus(spark, dir)
+    bruteBatch(corpus, srcs, BatchK)
+  }
+
+  /** BATCH serve through the POSTING INDEX — the single-query PLAID shape
+    * lifted to a query frame, closing the asymmetry where the batch path
+    * scored the entire corpus per frame while the single-query path had a
+    * posting index: ONE partition-pruned scan of the UNION of the frame's
+    * `wb=` buckets, a broadcast (q_id, w_hash) equi-join assigning
+    * candidates PER QUERY, then the exact rescore where each candidate
+    * doc embeds its windows ONCE and scores only the queries that probed
+    * it. At 100 TB the probe cost is O(frame's posting buckets), never
+    * O(corpus), and the rescore is O(Σ per-query candidates) with the
+    * k-bounded GroupTopK exchange — the same discipline as the brute
+    * batch tail. */
+  private[graft] def serveBatchPostings(spark: SparkSession,
+      corpus: DataFrame, srcs: Seq[(Long, String)], postings: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.GroupTopK
+    import spark.implicits._
+    val qvecsById: Map[Long, Array[Array[Float]]] =
+      srcs.map { case (q, t) => q -> queryVecs(t) }.toMap
+    // per-query window hashes through the engine's own xxhash64 over a
+    // LocalRelation — the queryProbe discipline, keyed per query (an
+    // inline hash copy could silently drift from the posting writer's)
+    val qHashRows = srcs.flatMap { case (q, t) =>
+      tokenWindows(t).distinct.map(w => (q, w)) }.toDF("q_id", "w")
+      .select(col("q_id"), xxhash64(col("w")).as("w_hash"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val qBuckets = qHashRows.map { case (_, h) =>
+      ((h % WindowBuckets + WindowBuckets) % WindowBuckets).toInt }.distinct
+    // stage 1: candidates per query from ONE pruned scan + tiny equi-join
+    val cands = postings
+      .filter(col("wb").isin(qBuckets: _*))               // partition-pruned
+      .join(broadcast(qHashRows.toDF("q_id", "w_hash")), Seq("w_hash"))
+      .select("q_id", "doc_id").distinct()
+    // stage 2: per-doc query lists, so each doc embeds once
+    val perDoc = cands.groupBy("doc_id")
+      .agg(collect_set(col("q_id")).as("q_ids"))
+    val scoreUdf = udf { (text: String, qids: Seq[Long]) =>
+      val tvs = tokenWindows(text).map(w => Embedding.hashingEmbed(w, TokenDim))
+      qids.map(q => (q, maxSimMicro(tvs, qvecsById(q))))
+    }
+    corpus.join(broadcast(perDoc), Seq("doc_id")) // semi-prune to candidates
+      .select(col("doc_id"),
+        explode(scoreUdf(col("text"), col("q_ids"))).as("qs"))
+      .select(col("qs._1").as("q_id"), col("doc_id"),
+        col("qs._2").as("score_micro"))
+      .groupBy(col("q_id"))
+      .agg(GroupTopK.topK(col("score_micro"),
+        format_string("%012d", col("doc_id")), k).as("top"))
+      .select(col("q_id"), explode(col("top")))
+      .select(col("q_id"), col("col.payload").cast("long").as("doc_id"),
+        col("col.score").as("score_micro"))
+      .orderBy("q_id", "doc_id")
+  }
+
+  /** The batch fixture's posting table (built once per data version). */
+  private def batchPostingsPath(spark: SparkSession, dir: String,
+      corpus: DataFrame): String = {
+    val path = Tables.scratchPath("maxsim_postings_batch", dir)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=batch:v1", path) {
+      writePostings(corpus, path, "overwrite")
+    }
+    path
+  }
+
+  /** Indexed batch retrieval under the SAME oracle as the brute batch row
+    * — full-tie docs share all their query's windows, so candidates ⊇
+    * each query's tie set and the tie sets saturate k. */
+  def maxsimBatchIndexedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, srcs) = batchCorpus(spark, dir)
+    val path = batchPostingsPath(spark, dir, corpus)
+    serveBatchPostings(spark, corpus, srcs,
+      resolvedPostings(spark, path), BatchK)
+  }
+
+  /** MEASURED routing for the batch path — the single-query router's
+    * discipline per FRAME: both routes' dominant cost is per-doc window
+    * embedding, so the route compares the frame's union-candidate count
+    * (from the pruned probe — the cheap stage) against the corpus size,
+    * with the same 2× indexed-overhead factor. The planted construction
+    * makes both routes serve identical frames, so the oracle is
+    * route-independent. */
+  def maxsimBatchAutoRouteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, srcs) = batchCorpus(spark, dir)
+    val path = batchPostingsPath(spark, dir, corpus)
+    val postings = resolvedPostings(spark, path)
+    val (qHash, qBuckets) = queryProbe(spark, srcs.map(_._2))
+    val candidateDocs = postings
+      .filter(col("wb").isin(qBuckets: _*))
+      .filter(col("w_hash").isin(qHash: _*))
+      .select("doc_id").distinct().count()
+    val corpusDocs = corpus.count()
+    val indexed = candidateDocs * 2 < corpusDocs
+    System.err.println(s"[route] maxsim-batch corpus=$corpusDocs " +
+      s"candidates=$candidateDocs -> ${if (indexed) "indexed" else "brute"}")
+    if (indexed) serveBatchPostings(spark, corpus, srcs, postings, BatchK)
+    else bruteBatch(corpus, srcs, BatchK)
   }
 
   private val maxsimBatchOracle =
@@ -616,7 +855,10 @@ object LateInteraction extends QueryModule {
     "maxsim_time_travel_topk" -> maxsimTimeTravelTopk,
     "maxsim_auto_route_topk" -> maxsimAutoRouteTopk,
     "maxsim_vacuumed_topk" -> maxsimVacuumedTopk,
-    "maxsim_batch_topk" -> maxsimBatchTopk)
+    "maxsim_batch_topk" -> maxsimBatchTopk,
+    "maxsim_batch_indexed_topk" -> maxsimBatchIndexedTopk,
+    "maxsim_batch_auto_route_topk" -> maxsimBatchAutoRouteTopk,
+    "maxsim_upserted_topk" -> maxsimUpsertedTopk)
 
   override def oracles: Map[String, String] = Map(
     "maxsim_topk" -> maxsimOracle,
@@ -627,5 +869,8 @@ object LateInteraction extends QueryModule {
     "maxsim_time_travel_topk" -> maxsimTimeTravelOracle,
     "maxsim_auto_route_topk" -> maxsimOracle,
     "maxsim_vacuumed_topk" -> maxsimVacuumedOracle,
-    "maxsim_batch_topk" -> maxsimBatchOracle)
+    "maxsim_batch_topk" -> maxsimBatchOracle,
+    "maxsim_batch_indexed_topk" -> maxsimBatchOracle,
+    "maxsim_batch_auto_route_topk" -> maxsimBatchOracle,
+    "maxsim_upserted_topk" -> maxsimUpsertedOracle)
 }

@@ -164,6 +164,51 @@ class LateInteractionSpec extends SparkSpec {
     }
   }
 
+  test("maxsim_batch_indexed_topk: the indexed batch serve equals the brute batch row") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_micro"))).toSeq
+    assert(rows("maxsim_batch_indexed_topk") === rows("maxsim_batch_topk"),
+      "every query's full-tie docs share ALL its windows, so the pruned " +
+        "batch rescore must reproduce the brute frame exactly")
+  }
+
+  test("maxsim_batch_auto_route_topk: the routed batch serve equals the indexed one") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_micro"))).toSeq
+    assert(rows("maxsim_batch_auto_route_topk") ===
+      rows("maxsim_batch_indexed_topk"),
+      "both batch routes provably serve the planted frame — the router " +
+        "may pick either but must not change the result")
+  }
+
+  test("batch posting probe partition-prunes to the frame's bucket union") {
+    // warm the fixture, then audit the probe scan's plan: the posting
+    // read must carry wb partition filters, never a full posting scan
+    SparkEntry.queries("maxsim_batch_indexed_topk")(spark, sf).collect()
+    val path = Tables.scratchPath("maxsim_postings_batch", sf)
+    val probe = spark.read.parquet(path).filter(col("wb").isin(0, 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[", "").startsWith("]"),
+      s"batch posting probe must push wb partition filters, plan:\n$plan")
+  }
+
+  test("maxsim_upserted_topk: the stale version never serves; the replacement serves through appended postings") {
+    val out = SparkEntry.queries("maxsim_upserted_topk")(spark, sf).collect()
+    val q0 = out.filter(_.getAs[Long]("q_id") == 0L)
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val q1 = out.filter(_.getAs[Long]("q_id") == 1L)
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(q0 === (0L +: (100001L to 100009L)),
+      "the watermark must kill the upserted doc's OLD postings — its " +
+        "stale version may not tie for the old text's query")
+    assert(q1 === Seq(1L, 100000L),
+      "the replacement must be FOUND through its appended (seq-1) " +
+        "postings and rescore as a full tie for the new text's query")
+  }
+
   test("a containing (non-equal) document cannot reach the full-tie score") {
     // the boundary-window property the oracle's token-sequence-equality
     // criterion rests on: text2 CONTAINS text1's token stream, but its
