@@ -344,50 +344,71 @@ object Forget extends QueryModule {
     * a fully-staged rewrite found with the table absent is installed
     * on the next call. */
   def reclaimPostings(spark: SparkSession, root: String,
-      path: String): Unit = {
+      path: String): Unit =
+    reclaimTable(spark, root, path, partitionCols = Seq("wb"))
+
+  /** The ONE staged-rewrite + checked-swap reclaim core, shared by every
+    * reclaimed table shape — the posting index's `wb=` layout and the
+    * export document table's flat layout (one implementation so the
+    * crash-recovery matrix stays single-sourced): rewrite the table
+    * dropping the ledger's ids plus any `_tombstones` sidecar content
+    * (the sidecar does not survive the rewrite, so its ids MUST leave the
+    * data files with it — an id-level sidecar drops by id, a watermarked
+    * one drops exactly the stale `seq <= upto_seq` rows and keeps the
+    * upserted replacements), swap with CHECKED renames (a silently-false
+    * rename could move the staged dir INSIDE the live table or retire
+    * ledger ids while the table is absent), and RETIRE the reclaimed ids
+    * in one CAS commit. Crash-recoverable end to end: a fully-staged
+    * (_SUCCESS-marked) rewrite found with the table absent is installed
+    * on the next call, and a crash before the retire re-runs as a no-op
+    * rewrite + retire. */
+  def reclaimTable(spark: SparkSession, root: String, path: String,
+      partitionCols: Seq[String] = Nil, idCol: String = "doc_id"): Unit = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(path).getFileSystem(hconf)
     val staged = p(path + ".reclaim")
     val retired0 = p(path + ".reclaim.old")
-    // RECOVERY: a crash between the two swap renames leaves the table
-    // absent with a fully-staged (_SUCCESS-marked) rewrite — install it
-    // and fall through (the ledger retire below re-runs idempotently)
-    // every swap rename is CHECKED (the finishStagedSwap discipline): a
-    // silently-false rename here could move the staged dir INSIDE the
-    // live table, or retire ledger ids while the table is absent
     def renameOrThrow(src: org.apache.hadoop.fs.Path,
         dst: org.apache.hadoop.fs.Path): Unit =
       if (!fs.rename(src, dst)) throw new java.io.IOException(
-        s"reclaimPostings: rename $src -> $dst failed — aborting before " +
+        s"reclaimTable: rename $src -> $dst failed — aborting before " +
           "the ledger retire (table state is recoverable, a silent " +
           "retire over a failed swap is not)")
+    // RECOVERY: a crash between the two swap renames leaves the table
+    // absent with a fully-staged rewrite — install it and fall through
+    // (the ledger retire below re-runs idempotently)
     if (!fs.exists(p(path))) {
       if (fs.exists(staged) &&
           fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
         renameOrThrow(staged, p(path))
         fs.delete(retired0, true)
       } else throw new IllegalStateException(
-        s"reclaimPostings: $path is missing and no completed staging " +
+        s"reclaimTable: $path is missing and no completed staging " +
           "exists — refusing to proceed")
     }
     val ids = forgottenIds(spark, root)
-    // tombstoned ids reclaim too: the `_tombstones` sidecar does not
-    // survive the rewrite (spark.read skips underscore paths), so its
-    // ids MUST leave the posting files with it — dropping the sidecar
-    // while keeping their postings would silently un-delete them
     val tombP = p(path + "/_tombstones")
-    val tombIds =
-      if (fs.exists(tombP)) spark.read.parquet(path + "/_tombstones")
-        .select("doc_id")
-      else spark.emptyDataset[Long].toDF("doc_id")
-    val drop = ids.toDF("doc_id").unionByName(tombIds).distinct()
     if (ids.isEmpty && !fs.exists(tombP)) return
-    spark.read.parquet(path)
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
-      .repartition(col("wb"))
-      .write.mode("overwrite").partitionBy("wb").parquet(staged.toString)
+    val base = spark.read.parquet(path)
+    val afterTomb =
+      if (!fs.exists(tombP)) base
+      else {
+        val t = spark.read.parquet(path + "/_tombstones")
+        if (t.columns.contains("upto_seq"))
+          base.join(broadcast(t), base(idCol) === t("t_doc_id") &&
+            base("seq") <= t("upto_seq"), "left_anti")
+        else base.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti")
+      }
+    val rewritten = afterTomb
+      .join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_anti")
+    val repartitioned =
+      if (partitionCols.nonEmpty) rewritten.repartition(partitionCols.map(col): _*)
+      else rewritten.repartition(8)
+    val writer = repartitioned.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(staged.toString)
     // swap: old table aside, staging in, old table gone. Crash after the
     // first rename = the recovery case above; crash before retire = the
     // next call rewrites a no-op and retires — idempotent end to end.
@@ -447,6 +468,54 @@ object Forget extends QueryModule {
       |  SELECT d.doc_id + 100001 FROM documents d WHERE d.doc_id < 9)
       |SELECT doc_id, (SELECT len(tk) FROM q)::BIGINT * 1000000 AS score_micro
       |FROM ties ORDER BY doc_id LIMIT 10""".stripMargin
+
+  /** Forget-aware reclamation on the EXPORT path — the dataset-dump half
+    * of deep deletion: the training export ships a persisted DOCUMENT
+    * table, so compliance needs the bytes out of THAT table too, not just
+    * the retrieval indexes. The row materializes the planted corpus as a
+    * flat document table, forgets one copy, reclaims through the same
+    * staged-rewrite core as the posting reclaim ([[reclaimTable]] with no
+    * partition columns), and serves the export scan with NO ledger
+    * exclusion — the forgotten doc is gone because its bytes are gone,
+    * and the ledger is empty (retired). `corpus_rows` audits rewrite
+    * integrity: exactly one row left the table. */
+  def forgetReclaimedExport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val srcText = d.filter(col("doc_id") === 0L)
+      .select("text").head().getString(0)
+    import spark.implicits._
+    val copies = (0 until Copies)
+      .map(i => (PlantedBase + i, srcText)).toDF("doc_id", "text")
+    val corpus = d.unionByName(copies)
+    val path = Tables.scratchPath("forget_export_tbl", dir)
+    val root = Tables.scratchPath("forget_exp", dir)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"forget:export:copies=$Copies:v1", path) {
+      corpus.repartition(8).write.mode("overwrite").parquet(path)
+      val lp = new org.apache.hadoop.fs.Path(ledgerDir(root))
+      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(lp, true)
+      forget(spark, root, Seq(PlantedBase))
+      reclaimTable(spark, root, path)
+    }
+    // no `excluding` — the export scan ships the table as-is
+    val exported = spark.read.parquet(path)
+    val total = exported.count()
+    exported.filter(col("doc_id") >= PlantedBase)
+      .orderBy("doc_id").limit(K)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+      .select(col("rank"), col("doc_id"), lit(total).as("corpus_rows"))
+      .orderBy("rank")
+  }
+
+  /** Nine survivors ship; the table kept every non-forgotten row. */
+  private val forgetReclaimedExportOracle =
+    """SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank,
+      |       100001 + d.doc_id AS doc_id,
+      |       (SELECT count(*) + 9 FROM documents) AS corpus_rows
+      |FROM documents d WHERE d.doc_id < 9
+      |ORDER BY rank""".stripMargin
 
   /** The ledger reaching a STREAMING surface — the compliance property
     * batch rows can't show: a forget committed MID-STREAM flips the very
@@ -545,6 +614,7 @@ object Forget extends QueryModule {
       "forget_reclaimed_topk" -> forgetReclaimedTopk,
       "forget_bm25_topn" -> forgetBm25Topn,
       "forget_ann_families_topk" -> forgetAnnFamiliesTopk,
+      "forget_reclaimed_export" -> forgetReclaimedExport,
       "streaming_forget_retrieval" -> streamingForgetRetrieval)
 
   override def oracles: Map[String, String] =
@@ -552,5 +622,6 @@ object Forget extends QueryModule {
       "forget_reclaimed_topk" -> forgetReclaimedOracle,
       "forget_bm25_topn" -> forgetBm25Oracle,
       "forget_ann_families_topk" -> forgetAnnFamiliesOracle,
+      "forget_reclaimed_export" -> forgetReclaimedExportOracle,
       "streaming_forget_retrieval" -> streamingForgetOracle)
 }

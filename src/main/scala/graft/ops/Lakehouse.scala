@@ -373,17 +373,22 @@ object Lakehouse extends QueryModule {
     base.filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), (col("price_e2") + 10000L).as("price_e2"))
       .write.mode("overwrite").parquet(tmp + "/append")
-    def files(sub: String): Seq[String] =
-      new java.io.File(tmp + "/" + sub).listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath).toIndexedSeq
+    // Hadoop listing, never java.io: these lists become MANIFEST lines,
+    // and an empty listing would commit a version that serves nothing
+    def files(sub: String): Seq[String] = {
+      val dir = new org.apache.hadoop.fs.Path(tmp + "/" + sub)
+      val listed = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(dir).toIndexedSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toUri.getPath)
+      require(listed.nonEmpty, s"manifest commit for $sub listed no files")
+      listed
+    }
     // fresh log per rebuild (the data dirs above were just overwritten)
     val logDir = tmp + "/manifest_log"
-    if (new java.io.File(logDir).exists()) {
-      java.nio.file.Files.walk(java.nio.file.Paths.get(logDir))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    val logP = new org.apache.hadoop.fs.Path(logDir)
+    logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(logP, true)
     // v1: the base files; v2: the append commits ON TOP of the head it
     // read — exactly the optimistic-writer shape (files first, then the
     // CAS manifest claim, so a v1 reader never sees a torn append)
@@ -440,24 +445,29 @@ object Lakehouse extends QueryModule {
       t => length(t) > 0))
     val full = Tables.documents(spark, dir)
       .select(col("doc_id"), nTok.cast("long").as("n_tokens"))
+    val hconf = spark.sparkContext.hadoopConfiguration
     def writeTables(sub: String, d: DataFrame): Seq[String] = {
       d.select("doc_id").write.mode("overwrite").parquet(s"$tmp/docs/$sub")
       d.select("doc_id", "n_tokens").write.mode("overwrite")
         .parquet(s"$tmp/stats/$sub")
-      Seq("docs", "stats").flatMap { t =>
-        new java.io.File(s"$tmp/$t/$sub").listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-          .map(f => s"$t:${f.getAbsolutePath}").toIndexedSeq
+      // Hadoop listing, never java.io (which lists NOTHING on a
+      // non-local filesystem — the snapshot would commit an EMPTY
+      // manifest over live tables); an empty member list aborts loudly
+      val lines = Seq("docs", "stats").flatMap { t =>
+        val dir = new org.apache.hadoop.fs.Path(s"$tmp/$t/$sub")
+        dir.getFileSystem(hconf).listStatus(dir).toIndexedSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => s"$t:${f.getPath.toUri.getPath}")
       }
+      require(lines.nonEmpty,
+        s"multi-table snapshot $sub listed no member data files")
+      lines
     }
     val v1Lines = writeTables("v1", full.filter(col("doc_id") % 2 === 0))
     val v2Lines = writeTables("v2", full)
     val logDir = tmp + "/mtx_log"
-    if (new java.io.File(logDir).exists()) {
-      java.nio.file.Files.walk(java.nio.file.Paths.get(logDir))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    val logP = new org.apache.hadoop.fs.Path(logDir)
+    logP.getFileSystem(hconf).delete(logP, true)
     // each version's line set is the full multi-table snapshot (replace,
     // not accumulate): resolving a version resolves every member table
     graft.ingest.ManifestLog.commit(spark, logDir, _ => v1Lines)

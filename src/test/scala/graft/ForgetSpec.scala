@@ -124,6 +124,45 @@ class ForgetSpec extends SparkSpec {
     assert(Forget.forgottenIds(spark, root).isEmpty)
   }
 
+  test("ledger expiry never starves a reader: forgottenIds stays correct under concurrent bounded commits") {
+    // commitBounded expires versions below head-64; a reader resolving
+    // the head while the writer expires must retry into the margin, never
+    // observe an empty ledger, and never exhaust its retries
+    val root = java.nio.file.Files
+      .createTempDirectory("forgetexpiry").toString + "/r"
+    Forget.forget(spark, root, Seq(1L))
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try (2L to 90L).foreach(i => Forget.forget(spark, root, Seq(i)))
+      catch { case t: Throwable => writerErr = Some(t) }
+    })
+    writer.start()
+    try {
+      while (writer.isAlive) {
+        val ids = Forget.forgottenIds(spark, root)
+        assert(ids.contains(1L),
+          "a reader racing expiry must never lose committed ids")
+      }
+    } finally writer.join()
+    assert(writerErr.isEmpty, s"writer failed: $writerErr")
+    assert(Forget.forgottenIds(spark, root).toSet === (1L to 90L).toSet)
+  }
+
+  test("forget_reclaimed_export: bytes gone from the export table, ledger retired") {
+    val out = SparkEntry.queries("forget_reclaimed_export")(spark, sf)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ===
+      (100001L to 100009L).toSeq)
+    // physical: the export table no longer contains the forgotten row
+    val path = Tables.scratchPath("forget_export_tbl", sf)
+    assert(spark.read.parquet(path)
+      .filter(col("doc_id") === 100000L).count() === 0L,
+      "the export table must be rewritten without the forgotten doc")
+    val root = Tables.scratchPath("forget_exp", sf)
+    assert(Forget.forgottenIds(spark, root).isEmpty,
+      "reclaimed ids must retire from the ledger on the export path too")
+  }
+
   test("forget_ann_families_topk: one ledger commit flips four family serves") {
     val out = SparkEntry.queries("forget_ann_families_topk")(spark, sf)
       .collect()
