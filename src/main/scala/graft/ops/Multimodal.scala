@@ -19,9 +19,12 @@ import graft.vector.VectorFunctions
   * `renderWav` produces actual PCM16 WAV bytes, `decodeWavEnvelope`
   * parses any JDK-supported container (WAV/AIFF/AU) into a fixed-bin
   * amplitude envelope, and the feature / fingerprint paths run on
-  * decoded SAMPLES. Only VIDEO demux lacks an offline JVM codec, so its
-  * byte-level decode stays a clearly-marked deterministic STUB, which
-  * doubles as the fallback for undecodable payloads — and everything
+  * decoded SAMPLES. The VIDEO codec is REAL too: MJPEG-in-AVI is plain
+  * RIFF (the WAV lane's chunk grammar) around per-frame JPEGs, so
+  * `renderAvi` muxes actual ImageIO-encoded frames into a well-formed
+  * AVI and `aviFrameChunks`/`decodeVideoGrid` demux and decode REAL
+  * frames — the byte-level STUB remains only as the fallback lane for
+  * undecodable payloads (non-AVI video, garbage) — and everything
   * Spark-side is real and tested: the schema (binary payload + metadata
   * struct), the partition-batched execution shape (one codec init per
   * partition, records processed in fixed-size batches — the
@@ -102,7 +105,11 @@ object Multimodal extends QueryModule {
     * permuted payloads render differently). REAL ImageIO PNG encode —
     * the output is actual image bytes any PNG decoder reads.
     */
-  def renderPng(source: Array[Byte], side: Int = 16): Array[Byte] = {
+  /** The deterministic grayscale render both image codecs share: pixel j
+    * is the average of byte-window j of the source (position-dependent,
+    * so permuted payloads render differently). */
+  private def grayImageOf(source: Array[Byte],
+      side: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(side, side,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val n = if (source == null) 0 else source.length
@@ -119,8 +126,12 @@ object Multimodal extends QueryModule {
         if (c == 0) 0 else (s / c).toInt)
       j += 1
     }
+    img
+  }
+
+  def renderPng(source: Array[Byte], side: Int = 16): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
+    javax.imageio.ImageIO.write(grayImageOf(source, side), "png", baos)
     baos.toByteArray
   }
 
@@ -257,16 +268,150 @@ object Multimodal extends QueryModule {
         if (counts(i) == 0) 0.0 else sums(i) / counts(i)))
     } catch { case _: Throwable => None }
 
+  // ---- REAL video codec: MJPEG-in-AVI (RIFF mux + ImageIO JPEG) -------
+  // The AVI container is plain RIFF — the SAME chunk grammar the WAV lane
+  // already rides — and MJPEG stores each frame as an ordinary JPEG, which
+  // javax.imageio decodes offline. So the video lane needs no external
+  // demuxer: mux = RIFF chunks around ImageIO-encoded JPEG frames, demux =
+  // the RIFF walk + the existing decodeToGrid per `00dc` frame chunk. The
+  // byte-level stub remains ONLY as the non-AVI fallback.
+
+  private def le32(v: Int): Array[Byte] = Array((v & 255).toByte,
+    ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte,
+    ((v >> 24) & 255).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 255).toByte, ((v >> 8) & 255).toByte)
+  private def fcc(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    fcc(id) ++ le32(data.length) ++ data ++ pad
+  }
+  private def riffList(listType: String, inner: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fcc(listType) ++ inner)
+
+  /** Render a deterministic MJPEG-in-AVI payload: frame f is the
+    * grayscale render of byte-window f of the source, JPEG-encoded by
+    * ImageIO and muxed as a `00dc` chunk inside a well-formed RIFF/AVI
+    * (avih + vids/MJPG strh + BITMAPINFOHEADER strf + movi) — real video
+    * bytes with the standard structure any AVI demuxer walks. */
+  def renderAvi(source: Array[Byte], nFrames: Int = 3,
+      side: Int = 16): Array[Byte] = {
+    val n = if (source == null) 0 else source.length
+    val frames = (0 until math.max(1, nFrames)).map { f =>
+      val from = (f.toLong * n / math.max(1, nFrames)).toInt
+      val until = math.max(from + 1,
+        ((f + 1).toLong * n / math.max(1, nFrames)).toInt)
+      val slice =
+        if (n == 0) Array.empty[Byte] else source.slice(from, math.min(until, n))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(grayImageOf(slice, side), "jpg", baos)
+      baos.toByteArray
+    }
+    val maxFrame = frames.map(_.length).max
+    val avih = riffChunk("avih", le32(100000) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(frames.length) ++ le32(0) ++ le32(1) ++
+      le32(maxFrame) ++ le32(side) ++ le32(side) ++ Array.fill(16)(0.toByte))
+    val strh = riffChunk("strh", fcc("vids") ++ fcc("MJPG") ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(10) ++
+      le32(0) ++ le32(frames.length) ++ le32(maxFrame) ++ le32(0) ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le16(side) ++ le16(side))
+    val strf = riffChunk("strf", le32(40) ++ le32(side) ++ le32(side) ++
+      le16(1) ++ le16(24) ++ fcc("MJPG") ++ le32(side * side * 3) ++
+      Array.fill(16)(0.toByte))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val movi = riffList("movi",
+      frames.flatMap(f => riffChunk("00dc", f)).toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 255) | ((b(off + 1) & 255) << 8) |
+      ((b(off + 2) & 255) << 16) | ((b(off + 3) & 255) << 24)
+  private def fccAt(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL video demux: walk the RIFF/AVI chunk tree to the `movi` list
+    * and return every video frame chunk's bytes (`##dc` compressed /
+    * `##db` uncompressed ids, `rec ` sub-lists included) — None when the
+    * payload is not a RIFF/AVI container (the caller falls back to the
+    * byte stub). Bounds-checked throughout: a truncated or lying size
+    * field ends the walk instead of throwing. */
+  def aviFrameChunks(content: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (content == null || content.length < 12) return None
+    if (fccAt(content, 0) != "RIFF" || fccAt(content, 8) != "AVI ")
+      return None
+    val out = Seq.newBuilder[Array[Byte]]
+    def walkFrames(from: Int, until: Int): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = fccAt(content, off)
+        val size = readLe32(content, off + 4)
+        val dataEnd = off + 8 + size
+        if (size < 0 || dataEnd > until) return // truncated/lying size
+        if (id == "LIST" && size >= 4 &&
+            fccAt(content, off + 8) == "rec ")
+          walkFrames(off + 12, dataEnd)
+        else if (size > 0 && id.length == 4 &&
+            (id.endsWith("dc") || id.endsWith("db")))
+          out += java.util.Arrays.copyOfRange(content, off + 8, dataEnd)
+        off = dataEnd + (size & 1) // RIFF chunks pad to even
+      }
+    }
+    def findMovi(from: Int, until: Int): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = fccAt(content, off)
+        val size = readLe32(content, off + 4)
+        val dataEnd = off + 8 + size
+        if (size < 0 || dataEnd > until) return
+        if (id == "LIST" && size >= 4) {
+          if (fccAt(content, off + 8) == "movi")
+            walkFrames(off + 12, dataEnd)
+          else findMovi(off + 12, dataEnd)
+        }
+        off = dataEnd + (size & 1)
+      }
+    }
+    findMovi(12, math.min(content.length, 12 + readLe32(content, 4) - 4))
+    val frames = out.result()
+    if (frames.isEmpty) None else Some(frames)
+  }
+
+  /** Decoded per-frame 8×8 grids of an AVI payload — each frame chunk
+    * through the SAME ImageIO decode the image lane uses. None when the
+    * payload is not an AVI or no frame decodes. */
+  def decodeAviGrids(content: Array[Byte]): Option[Seq[Array[Double]]] =
+    aviFrameChunks(content)
+      .map(_.flatMap(f => decodeToGrid(f, 8)))
+      .filter(_.nonEmpty)
+
+  /** The video lane's fixed-dim grid: uniform temporal sampling down to
+    * `maxFrames` frames (the sampleFrames discipline on DECODED frames),
+    * then the per-cell mean across sampled grids. */
+  def decodeVideoGrid(content: Array[Byte],
+      maxFrames: Int = 4): Option[Array[Double]] =
+    decodeAviGrids(content).map { grids =>
+      val stride = math.max(1, grids.length / maxFrames)
+      val sampled = grids.indices.by(stride).map(grids(_))
+      Array.tabulate(grids.head.length)(c =>
+        sampled.map(_(c)).sum / sampled.length)
+    }
+
   /** Decode-aware feature extraction: a payload that DECODES as an image
     * yields the unit-normalized 8×8 grayscale grid; one that decodes as
-    * AUDIO yields the unit-normalized amplitude envelope — both real
-    * samples through real JDK codecs; anything else falls back to the
-    * deterministic stub (the undecodable-payload lane a mixed corpus
-    * always has). Image is probed first: ImageIO and AudioSystem sniff
-    * disjoint magic bytes, so the order only breaks ties on garbage.
+    * AUDIO yields the unit-normalized amplitude envelope; a RIFF/AVI
+    * payload yields the frame-sampled mean grid over DECODED MJPEG
+    * frames — all real samples through real JVM codecs; anything else
+    * falls back to the deterministic stub (the undecodable-payload lane
+    * a mixed corpus always has). Image is probed first: ImageIO,
+    * AudioSystem, and the RIFF/AVI magic sniff disjoint headers, so the
+    * order only breaks ties on garbage.
     */
   def decodedFeatures(content: Array[Byte], modality: String): Array[Float] =
-    decodeToGrid(content, 8).orElse(decodeWavEnvelope(content)) match {
+    decodeToGrid(content, 8).orElse(decodeWavEnvelope(content))
+      .orElse(decodeVideoGrid(content)) match {
       case Some(cells) =>
         var ss = 0.0; var j = 0
         while (j < cells.length) { ss += cells(j) * cells(j); j += 1 }
@@ -339,19 +484,20 @@ object Multimodal extends QueryModule {
         col("frame"))
   }
 
-  /** The synthetic table with REAL codec payloads: image-modality rows
-    * carry an actual PNG (rendered deterministically from the doc text by
-    * `renderPng`, decoded back by any PNG reader), audio rows an actual
-    * RIFF/WAVE payload (`renderWav`, decodable by any WAV reader); video
-    * rows keep their opaque byte payloads (no offline JVM demuxer) —
-    * exactly the mixed-corpus shape a real pipeline sees, where only some
-    * payloads decode with the loaded codecs.
+  /** The synthetic table with REAL codec payloads on EVERY modality:
+    * image rows carry an actual PNG (rendered deterministically from the
+    * doc text by `renderPng`, decoded back by any PNG reader), audio rows
+    * an actual RIFF/WAVE payload (`renderWav`), and video rows an actual
+    * MJPEG-in-AVI container (`renderAvi` — three ImageIO-encoded JPEG
+    * frames muxed into well-formed RIFF). The byte-level stub remains
+    * only as the undecodable-payload fallback a mixed corpus always has.
     */
   def pngMedia(spark: SparkSession, dir: String): DataFrame = {
     val render = udf((content: Array[Byte], modality: String) =>
       modality match {
         case "image" => renderPng(content)
         case "audio" => renderWav(content)
+        case "video" => renderAvi(content)
         case _ => content
       })
     syntheticMedia(spark, dir)
@@ -366,7 +512,7 @@ object Multimodal extends QueryModule {
   def pngMediaCached(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.Tables.scratchPath("graft_media_codec", dir)
     ResultCache.buildIfAbsent(spark,
-      graft.Tables.documents(spark, dir), "media:codec:png+wav:v1", path) {
+      graft.Tables.documents(spark, dir), "media:codec:png+wav+avi:v1", path) {
       pngMedia(spark, dir).write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)
@@ -442,6 +588,40 @@ object Multimodal extends QueryModule {
     """SELECT media_id, 'image' AS modality, 1.0::DOUBLE AS score
       |FROM (
       |  SELECT doc_id AS media_id FROM documents WHERE doc_id = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 FROM documents WHERE doc_id < 9) t
+      |ORDER BY media_id""".stripMargin
+
+  /** The VIDEO lane's retrieval row — multimodalKnn's construction with a
+    * video query: media 2 (doc 2 % 3 = 2 → video) is a real MJPEG-in-AVI
+    * payload; nine exact copies are planted, so the top-10 is exactly
+    * {2, 100000..100008} with every tie's features computed from DECODED
+    * JPEG frames through the RIFF demux (identical bytes ⇒ identical
+    * decoded frames ⇒ cosine exactly 1.0). Doc 2 has no token-sequence
+    * twin at any sf (the maxsim batch oracle's verified fact), so no
+    * other video renders the same AVI. */
+  def multimodalVideoKnn(spark: SparkSession, dir: String): DataFrame = {
+    val media = pngMediaCached(spark, dir)
+    val planted = spark.range(100000L, 100009L).toDF("new_id")
+      .crossJoin(broadcast(media.filter(col("media_id") === 2L)))
+      .select(col("new_id").as("media_id"), col("modality"), col("content"),
+        col("meta"))
+    val feats = extractFeatures(media.union(planted), decodeAware = true)
+    val q = feats.filter(col("media_id") === 2L)
+      .select(col("features").as("query_features"))
+    feats.crossJoin(broadcast(q))
+      .withColumn("raw_score",
+        VectorFunctions.cosineUnit(col("features"), col("query_features")))
+      .orderBy(col("raw_score").desc, col("media_id").asc)
+      .limit(10)
+      .select(col("media_id"), col("modality"),
+        round(col("raw_score"), 6).as("score"))
+  }
+
+  private val multimodalVideoKnnSql =
+    """SELECT media_id, 'video' AS modality, 1.0::DOUBLE AS score
+      |FROM (
+      |  SELECT doc_id AS media_id FROM documents WHERE doc_id = 2
       |  UNION ALL
       |  SELECT doc_id + 100000 FROM documents WHERE doc_id < 9) t
       |ORDER BY media_id""".stripMargin
@@ -525,10 +705,12 @@ object Multimodal extends QueryModule {
     * byte-window stub grid.
     */
   def pHashDecoded(content: Array[Byte]): Long =
-    decodeToGrid(content, 8).orElse(decodeWavEnvelope(content)) match {
+    decodeToGrid(content, 8).orElse(decodeWavEnvelope(content))
+      .orElse(decodeVideoGrid(content)) match {
       // images: aHash over decoded pixels; audio: the same above-mean
       // bit discipline over the decoded 64-bin amplitude envelope (an
-      // acoustic fingerprint); undecodable payloads: the byte stub
+      // acoustic fingerprint); video: over the frame-sampled mean grid
+      // of decoded MJPEG frames; undecodable payloads: the byte stub
       case Some(cells) => aHashBits(cells)
       case None => pHash(content)
     }
@@ -595,12 +777,14 @@ object Multimodal extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stats" -> multimodalStats,
     "multimodal_knn" -> multimodalKnn,
+    "multimodal_video_knn" -> multimodalVideoKnn,
     "multimodal_planted_pairs" -> multimodalPlantedPairs,
     "phash_planted_pairs" -> phashPlantedPairs)
 
   def oracles: Map[String, String] = Map(
     "multimodal_stats" -> multimodalStatsSql,
     "multimodal_knn" -> multimodalKnnSql,
+    "multimodal_video_knn" -> multimodalVideoKnnSql,
     "multimodal_planted_pairs" -> multimodalPlantedPairsSql,
     "phash_planted_pairs" -> phashPlantedPairsSql)
 }

@@ -269,4 +269,70 @@ class MultimodalSpec extends SparkSpec {
     val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"feature extraction must not shuffle:\n$plan")
   }
+
+  test("avi codec: render → RIFF demux → JPEG decode round-trips real frames deterministically") {
+    val src = Array.tabulate(1000)(i => (i * 37 % 251).toByte)
+    val avi = Multimodal.renderAvi(src, nFrames = 3)
+    // a well-formed RIFF/AVI container, not a bespoke blob
+    assert(new String(avi, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") === "AVI ")
+    val chunks = Multimodal.aviFrameChunks(avi)
+    assert(chunks.isDefined && chunks.get.length === 3,
+      "the demux must find exactly the three muxed 00dc frames")
+    // every frame chunk is a REAL JPEG that ImageIO decodes
+    chunks.get.foreach { f =>
+      assert(f.length > 2 && (f(0) & 0xff) === 0xff && (f(1) & 0xff) === 0xd8,
+        "each frame chunk must start with the JPEG SOI marker")
+      assert(Multimodal.decodeToGrid(f, 8).isDefined,
+        "each 00dc chunk must be an ImageIO-decodable JPEG frame")
+    }
+    val grids = Multimodal.decodeAviGrids(avi)
+    assert(grids.isDefined && grids.get.length === 3)
+    // frames are position-dependent renders: not all identical
+    assert(grids.get.map(_.toSeq).distinct.length > 1,
+      "distinct byte windows must render distinct frames")
+    // deterministic: re-render + re-decode is bit-equal
+    val again = Multimodal.decodeAviGrids(Multimodal.renderAvi(src, 3))
+    assert(grids.get.map(_.toSeq) === again.get.map(_.toSeq))
+    // disjoint magic: image/audio payloads never take the video lane,
+    // and AVI payloads never take theirs
+    assert(Multimodal.aviFrameChunks(Multimodal.renderPng(src)).isEmpty)
+    assert(Multimodal.aviFrameChunks(Multimodal.renderWav(src)).isEmpty)
+    assert(Multimodal.decodeToGrid(avi, 8).isEmpty)
+    assert(Multimodal.decodeWavEnvelope(avi).isEmpty)
+    // truncated container: the bounds-checked walk degrades to None
+    assert(Multimodal.aviFrameChunks(avi.take(40)).isEmpty)
+  }
+
+  test("video features route through decoded frames, not the byte stub") {
+    val src = Array.tabulate(800)(i => (i * 13 % 241).toByte)
+    val avi = Multimodal.renderAvi(src)
+    val decoded = Multimodal.decodedFeatures(avi, "video")
+    assert(!decoded.sameElements(Multimodal.stubFeatures(avi, "video")),
+      "an AVI payload must take the decoded-frame lane")
+    // identical payloads tie exactly through the decoded lane
+    assert(decoded.sameElements(Multimodal.decodedFeatures(
+      Multimodal.renderAvi(src), "video")))
+    // frame-sampled: the grid is the mean of DECODED frame grids
+    val grids = Multimodal.decodeAviGrids(avi).get
+    val mean = Multimodal.decodeVideoGrid(avi).get
+    assert(math.abs(mean(0) - grids.map(_(0)).sum / grids.length) < 1e-12)
+    // decoded aHash: identical AVIs tie at hamming 0 through real frames
+    assert(Multimodal.pHashDecoded(avi) ===
+      Multimodal.pHashDecoded(Multimodal.renderAvi(src)))
+    assert(Multimodal.pHashDecoded(avi) !== Multimodal.pHash(avi),
+      "the decoded video hash must not be the byte-stub hash")
+  }
+
+  test("pngMedia: video rows carry real AVI payloads whose frames decode") {
+    val vids = Multimodal.pngMedia(spark, sf)
+      .filter(col("modality") === "video").limit(3)
+      .select("content").collect().map(_.getAs[Array[Byte]](0))
+    assert(vids.nonEmpty)
+    vids.foreach { payload =>
+      val grids = Multimodal.decodeAviGrids(payload)
+      assert(grids.isDefined && grids.get.length === 3,
+        "every video payload must demux into three decodable frames")
+    }
+  }
 }
