@@ -517,6 +517,94 @@ object Forget extends QueryModule {
       |FROM documents d WHERE d.doc_id < 9
       |ORDER BY rank""".stripMargin
 
+  // ---- snapshot + forget COMPOSITION ---------------------------------
+  // One CAS commit that BOTH advances a table snapshot AND forgets ids:
+  // the manifest version carries namespaced lines (`file:<path>`,
+  // `forget:<id>`), so a reader resolving a version gets a consistent
+  // (file set, forgotten set) PAIR by construction — there is no
+  // interleaving in which new files serve without their forget, or a
+  // forget lands without its snapshot. Concurrent committers merge
+  // through the same CAS retry as plain forgets (the loser re-applies
+  // its update on the winner's head; both file sets and both id sets
+  // survive — spec-pinned under a real two-thread race).
+
+  private val FileLine = "file:"
+  private val ForgetLine = "forget:"
+
+  /** Atomically add data files to the snapshot and forget ids — ONE
+    * manifest commit. Either list may be empty (a pure snapshot advance
+    * or a pure forget through the same composed log). */
+  def commitSnapshotForget(spark: SparkSession, log: String,
+      addFiles: Seq[String], forgetIds: Seq[Long]): Long =
+    ManifestLog.commit(spark, log, head => {
+      val files = (head.filter(_.startsWith(FileLine)) ++
+        addFiles.map(FileLine + _)).distinct
+      val ids = (head.filter(_.startsWith(ForgetLine))
+        .map(_.stripPrefix(ForgetLine).toLong) ++ forgetIds)
+        .distinct.sorted
+      files ++ ids.map(ForgetLine + _)
+    })
+
+  /** Resolve one composed version into its (files, forgotten ids). */
+  def readSnapshotForget(spark: SparkSession, log: String,
+      v: Long): (Seq[String], Set[Long]) = {
+    val lines = ManifestLog.read(spark, log, v).getOrElse(
+      throw new java.io.IOException(s"missing composed manifest v$v"))
+    (lines.filter(_.startsWith(FileLine)).map(_.stripPrefix(FileLine)),
+      lines.filter(_.startsWith(ForgetLine))
+        .map(_.stripPrefix(ForgetLine).toLong).toSet)
+  }
+
+  private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val listed = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).toIndexedSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.getPath).sorted
+    require(listed.nonEmpty, s"composed snapshot listed no files under $dir")
+    listed
+  }
+
+  /** The composition driver row: v1 publishes table part A; ONE composed
+    * commit then lands part B's files AND forgets ids {0, 5}. Serving v1
+    * must show part A un-forgotten (the forget did not retro-apply to the
+    * pinned version) and v2 must show A∪B minus the forgotten ids — the
+    * two halves of the commit visible only TOGETHER. */
+  def snapshotForgetAtomic(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id")
+    val base = Tables.scratchPath("snapfgt", dir)
+    val log = base + "/log"
+    ResultCache.buildIfAbsent(spark, d, "forget:snapshot-compose:v1", base) {
+      d.filter(col("doc_id") < 5).repartition(1)
+        .write.mode("overwrite").parquet(base + "/a")
+      d.filter(col("doc_id") >= 5 && col("doc_id") < 10).repartition(1)
+        .write.mode("overwrite").parquet(base + "/b")
+      commitSnapshotForget(spark, log, listParquet(spark, base + "/a"), Nil)
+      // THE composed commit: snapshot advance + forget, atomically
+      commitSnapshotForget(spark, log, listParquet(spark, base + "/b"),
+        Seq(0L, 5L))
+    }
+    import spark.implicits._
+    def serve(v: Long): DataFrame = {
+      val (files, forgotten) = readSnapshotForget(spark, log, v)
+      val df = spark.read.parquet(files: _*)
+      val served =
+        if (forgotten.isEmpty) df
+        else df.join(broadcast(forgotten.toSeq.toDF("doc_id")),
+          Seq("doc_id"), "left_anti")
+      served.select(lit(v).as("version"), col("doc_id"))
+    }
+    serve(1L).unionByName(serve(2L)).orderBy("version", "doc_id")
+  }
+
+  private val snapshotForgetOracle =
+    """SELECT CAST(1 AS BIGINT) AS version, doc_id
+      |FROM documents WHERE doc_id < 5
+      |UNION ALL
+      |SELECT 2, doc_id FROM documents
+      |WHERE doc_id < 10 AND doc_id NOT IN (0, 5)
+      |ORDER BY version, doc_id""".stripMargin
+
   /** The ledger reaching a STREAMING surface — the compliance property
     * batch rows can't show: a forget committed MID-STREAM flips the very
     * next micro-batch, with no index rebuild and no stream restart,
@@ -615,6 +703,7 @@ object Forget extends QueryModule {
       "forget_bm25_topn" -> forgetBm25Topn,
       "forget_ann_families_topk" -> forgetAnnFamiliesTopk,
       "forget_reclaimed_export" -> forgetReclaimedExport,
+      "snapshot_forget_atomic" -> snapshotForgetAtomic,
       "streaming_forget_retrieval" -> streamingForgetRetrieval)
 
   override def oracles: Map[String, String] =
@@ -623,5 +712,6 @@ object Forget extends QueryModule {
       "forget_bm25_topn" -> forgetBm25Oracle,
       "forget_ann_families_topk" -> forgetAnnFamiliesOracle,
       "forget_reclaimed_export" -> forgetReclaimedExportOracle,
+      "snapshot_forget_atomic" -> snapshotForgetOracle,
       "streaming_forget_retrieval" -> streamingForgetOracle)
 }

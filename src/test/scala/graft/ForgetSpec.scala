@@ -163,6 +163,51 @@ class ForgetSpec extends SparkSpec {
       "reclaimed ids must retire from the ledger on the export path too")
   }
 
+  test("snapshot_forget_atomic: a version read resolves files and forgets as one pair") {
+    val out = SparkEntry.queries("snapshot_forget_atomic")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("version"), r.getAs[Long]("doc_id")))
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq === (0L to 4L),
+      "v1 must serve part A with NO forgets (the composed commit must " +
+        "not retro-apply to the pinned version)")
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq ===
+      Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L),
+      "v2 must serve A∪B minus the atomically-forgotten ids")
+  }
+
+  test("composed snapshot+forget commits merge under a concurrent table commit") {
+    val log = java.nio.file.Files
+      .createTempDirectory("snapfgtrace").toString + "/log"
+    Forget.commitSnapshotForget(spark, log, Seq("/t/a.parquet"), Nil)
+    // the race: one writer composes (files B + forget 7), the other
+    // advances the snapshot only (files C) — the CAS loser re-applies on
+    // the winner's head, so BOTH file sets and the forget must survive
+    val t1 = new Thread(() => {
+      Forget.commitSnapshotForget(spark, log, Seq("/t/b.parquet"), Seq(7L))
+      ()
+    })
+    val t2 = new Thread(() => {
+      Forget.commitSnapshotForget(spark, log, Seq("/t/c.parquet"), Nil)
+      ()
+    })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val v = graft.ingest.ManifestLog.currentVersion(spark, log)
+    assert(v === 3L, "two racing commits must land as two versions")
+    val (files, forgotten) = Forget.readSnapshotForget(spark, log, v)
+    assert(files.toSet ===
+      Set("/t/a.parquet", "/t/b.parquet", "/t/c.parquet"),
+      "no commit's files may be lost to the race")
+    assert(forgotten === Set(7L),
+      "the composed forget must survive whichever interleaving won")
+    // atomicity at every version: a version carrying b.parquet carries
+    // the forget too — no readable state has the files without it
+    (1L to v).foreach { ver =>
+      val (fs, ids) = Forget.readSnapshotForget(spark, log, ver)
+      if (fs.contains("/t/b.parquet"))
+        assert(ids.contains(7L),
+          s"v$ver serves the composed commit's files without its forget")
+    }
+  }
+
   test("forget_ann_families_topk: one ledger commit flips four family serves") {
     val out = SparkEntry.queries("forget_ann_families_topk")(spark, sf)
       .collect()
