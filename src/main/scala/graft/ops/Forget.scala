@@ -182,13 +182,16 @@ object Forget extends QueryModule {
     * (the reference deletes per collection entry,
     * `ingest_chunks_to_chromadb.py:93-107`; here ~85 index serves must
     * all flip on ONE commit). Ten exact copies of vector 0 are planted
-    * (the tie set OVERFILLS k), four family serves run against PERSISTED
-    * indexes built BEFORE the forget, and one ledger commit must remove
-    * the forgotten copy from every family's top-k:
+    * (the tie set OVERFILLS k), ALL SIX family serves run against
+    * PERSISTED indexes built BEFORE the forget, and one ledger commit
+    * must remove the forgotten copy from every family's top-k:
     *
     *   - lsh / ivf: the partition-pruned index read-back with the
     *     ledger's broadcast anti-join BEFORE the top-k — no index file
     *     rewritten;
+    *   - ivf-sq8 / ivf-pq: the quantized cores (int8 coarse rank / ADC)
+    *     over the ledger-excluded pruned frame — a forgotten id never
+    *     even coarse-scores;
     *   - hnsw / nsw: the RESIDENT-pinned graph serves, taking the ledger
     *     ids as the serve-tail `exclude` set — deliberately NOT folded
     *     into the pin stamp, so the pinned broadcasts stay pure
@@ -210,16 +213,20 @@ object Forget extends QueryModule {
     val base = Tables.scratchPath("forget_ann", dir)
     val root = Tables.scratchPath("forget_ann_root", dir)
     ResultCache.buildIfAbsent(spark, corpus,
-      s"forget:ann:bits=${lsh.nBits}:m=8:ivf=8:copies=$Copies:v1", base) {
+      s"forget:ann:bits=${lsh.nBits}:m=8:ivf=8:copies=$Copies:v2", base) {
       IndexBuilder.buildLshIndex(corpus, "embedding", lsh, base + "/lsh")
       IndexBuilder.buildIvfIndex(corpus, "embedding", numClusters = 8,
         seed = 42L, base + "/ivf")
+      graft.vector.Quantization.buildIvfSq8Index(corpus, "embedding",
+        numClusters = 8, seed = 42L, base + "/sq8")
+      graft.vector.ProductQuantization.buildIvfPqIndex(corpus, "embedding",
+        numClusters = 8, seed = 42L, base + "/pq")
       graft.vector.GraphAnn.buildHnswGraph(
         corpus, "embedding", "vec_id", lsh, m = 8, base + "/hnsw")
       val lp = new org.apache.hadoop.fs.Path(ledgerDir(root))
       lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(lp, true)
-      // THE forget: one CAS commit, all four family serves below flip
+      // THE forget: one CAS commit, all six family serves below flip
       forget(spark, root, Seq(PlantedBase))
     }
     ensureForgotten(spark, root, Seq(PlantedBase))
@@ -249,6 +256,26 @@ object Forget extends QueryModule {
       .orderBy(col("score").desc, col("vec_id").asc).limit(K)
       .select(lit("ivf").as("surface"), col("vec_id"))
 
+    // ivf-sq8 / ivf-pq: the quantized families' coarse-rank + rescore
+    // cores over their ledger-excluded pruned index frames — the
+    // exclusion precedes the coarse pass, so a forgotten id never even
+    // quantize-scores
+    val sq8Centers = IndexBuilder.loadIvfCentroids(base + "/sq8")
+    val sq8Probes = IndexBuilder.nearestClusters(sq8Centers, qv, nProbe = 2)
+    val sq8Serve = graft.vector.Quantization.quantizedKnn(
+        excludingIds(spark.read.parquet(base + "/sq8"), root, "vec_id")
+          .filter(col("cluster_id").isin(sq8Probes: _*)),
+        "embedding", "vec_id", qv, k = K)
+      .select(lit("ivfsq8").as("surface"), col("vec_id"))
+    val pqCenters = IndexBuilder.loadIvfCentroids(base + "/pq")
+    val pqBooks = graft.vector.ProductQuantization.loadPqCodebooks(base + "/pq")
+    val pqProbes = IndexBuilder.nearestClusters(pqCenters, qv, nProbe = 2)
+    val pqServe = graft.vector.ProductQuantization.pqSearchEncoded(
+        excludingIds(spark.read.parquet(base + "/pq"), root, "vec_id")
+          .filter(col("cluster_id").isin(pqProbes: _*)),
+        "embedding", "vec_id", pqBooks, qv, k = K, overscan = 16)
+      .select(lit("ivfpq").as("surface"), col("vec_id"))
+
     // hnsw ladder + flat nsw (the ladder's layer 0 IS an NSW graph):
     // both through the RESIDENT pin, excluded at the serve tail
     val hnswServe = graft.vector.GraphAnn.hnswServedSearch(
@@ -260,7 +287,8 @@ object Forget extends QueryModule {
         Seq((0L, qv)), k = K, exclude = excl)
       .select(lit("nsw").as("surface"), col("vec_id"))
 
-    lshServe.unionByName(ivfServe).unionByName(hnswServe)
+    lshServe.unionByName(ivfServe).unionByName(sq8Serve)
+      .unionByName(pqServe).unionByName(hnswServe)
       .unionByName(nswServe)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -278,6 +306,7 @@ object Forget extends QueryModule {
       |  SELECT e.vec_id + 100001 FROM embeddings e WHERE e.vec_id < 9),
       |surfaces AS (
       |  SELECT 'hnsw' AS surface UNION ALL SELECT 'ivf'
+      |  UNION ALL SELECT 'ivfpq' UNION ALL SELECT 'ivfsq8'
       |  UNION ALL SELECT 'lsh' UNION ALL SELECT 'nsw')
       |SELECT surface, CAST(row_number() OVER (
       |    PARTITION BY surface ORDER BY vec_id) AS INT) AS rank, vec_id

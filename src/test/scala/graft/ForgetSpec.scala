@@ -208,12 +208,13 @@ class ForgetSpec extends SparkSpec {
     }
   }
 
-  test("forget_ann_families_topk: one ledger commit flips four family serves") {
+  test("forget_ann_families_topk: one ledger commit flips all six family serves") {
     val out = SparkEntry.queries("forget_ann_families_topk")(spark, sf)
       .collect()
     val bySurface = out.groupBy(_.getAs[String]("surface"))
       .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSeq).toMap
-    assert(bySurface.keySet === Set("lsh", "ivf", "hnsw", "nsw"))
+    assert(bySurface.keySet ===
+      Set("lsh", "ivf", "ivfsq8", "ivfpq", "hnsw", "nsw"))
     val ties = 0L +: (100001L to 100009L)
     bySurface.foreach { case (s, ids) =>
       assert(!ids.contains(100000L),
