@@ -391,11 +391,12 @@ object LateInteraction extends QueryModule {
       writePostings(Seq(upserted).toDF("doc_id", "text"), path,
         "append", seq = 1L)
     }
-    servePostings(spark, corpus, srcText, path)
+    // ONE resolved read serves both queries (the auto-route discipline)
+    val postings = resolvedPostings(spark, path)
+    servePostingsFrame(spark, corpus, srcText, postings)
       .withColumn("q_id", lit(0L))
       .unionByName(
-        servePostingsFrame(spark, corpus, newText,
-          resolvedPostings(spark, path), k = 2)
+        servePostingsFrame(spark, corpus, newText, postings, k = 2)
           .withColumn("q_id", lit(1L)))
       .select("q_id", "doc_id", "score_micro")
       .orderBy("q_id", "doc_id")
