@@ -223,6 +223,25 @@ class ForgetSpec extends SparkSpec {
     }
   }
 
+  test("coupling guard: a wiped ledger root cannot silently re-serve forgotten docs on a fixture cache hit") {
+    // warm the fixture (marker lands on the index path)
+    SparkEntry.queries("forget_ann_families_topk")(spark, sf).collect()
+    // the failure injection: selective scratch cleanup deletes the ledger
+    // root ALONE — the fixture marker survives, so the build closure
+    // (which commits the forget) will NOT re-run
+    val root = Tables.scratchPath("forget_ann_root", sf)
+    val lp = new org.apache.hadoop.fs.Path(root + "/_forget")
+    lp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lp, true)
+    assert(Forget.forgottenIds(spark, root).isEmpty, "injection precondition")
+    // the serve must re-establish the forget, never serve the planted id
+    val out = SparkEntry.queries("forget_ann_families_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(!out.contains(100000L),
+      "a cache-hit serve over a wiped ledger must re-establish the " +
+        "forget, not silently un-forget")
+    assert(Forget.forgottenIds(spark, root) === Seq(100000L))
+  }
+
   test("a forget flips a RESIDENT-pinned graph serve with zero pin rebuild") {
     import graft.vector.GraphAnn
     import org.apache.spark.sql.functions.col
