@@ -432,9 +432,12 @@ object Forget extends QueryModule {
       }
     val rewritten = afterTomb
       .join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_anti")
+    // partitioned tables re-cluster on their partition columns (one file
+    // per leaf); flat tables keep the scan's own parallelism — a fixed
+    // fan-in here would serialize a 100 TB rewrite through few tasks
     val repartitioned =
       if (partitionCols.nonEmpty) rewritten.repartition(partitionCols.map(col): _*)
-      else rewritten.repartition(8)
+      else rewritten
     val writer = repartitioned.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(staged.toString)
@@ -562,7 +565,12 @@ object Forget extends QueryModule {
 
   /** Atomically add data files to the snapshot and forget ids — ONE
     * manifest commit. Either list may be empty (a pure snapshot advance
-    * or a pure forget through the same composed log). */
+    * or a pure forget through the same composed log). Unlike the
+    * serve-time `_forget` ledger (bounded by commitBounded — its history
+    * is worthless), composed versions are TABLE snapshots: history here
+    * is the time-travel surface, so expiry stays with the snapshot
+    * expire/vacuum discipline (`ManifestLog.expire`), exactly as for
+    * every other table manifest. */
   def commitSnapshotForget(spark: SparkSession, log: String,
       addFiles: Seq[String], forgetIds: Seq[Long]): Long =
     ManifestLog.commit(spark, log, head => {

@@ -461,6 +461,61 @@ object LateInteraction extends QueryModule {
     servePostings(spark, corpus, srcText, path)
   }
 
+  /** EXACTLY-ONCE streaming posting ingestion — the ANN families' staged
+    * micro-batch discipline on the MaxSim index: each micro-batch's
+    * postings land in a deterministic `batch=<id>` directory with
+    * OVERWRITE, so the redelivery every foreachBatch sink sees after a
+    * crash rewrites its own directory instead of appending; the serve
+    * partition-prunes `wb=` across every batch directory. Candidate
+    * generation dedups doc ids, so duplicated postings would NOT perturb
+    * the top-10 — the row therefore also emits the replayed copy's
+    * posting-row count as an audit column (`copy_postings` = doc 0's
+    * distinct window count, replayed in DuckDB), which an append-mode
+    * regression doubles. */
+  def maxsimStreamingIngestTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, srcText) = plantedCorpus(spark, dir)
+    val raw = Tables.documents(spark, dir).select("doc_id", "text")
+    val arrivals = corpus.filter(col("doc_id") >= PlantedBase)
+    val root = Tables.scratchPath("maxsim_postings_stream", dir)
+    def stage(docs: DataFrame, b: Long): Unit =
+      writePostings(docs, s"$root/batch=$b", "overwrite")
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=stream:v1", root) {
+      stage(raw, 0L)      // the standing base
+      stage(arrivals, 1L) // the copies arrive as one micro-batch
+      stage(arrivals, 1L) // crash replay: same rows, same batch directory
+    }
+    val postings = spark.read.parquet(root)
+    val copyPostings = postings
+      .filter(col("doc_id") === PlantedBase).count()
+    servePostingsFrame(spark, corpus, srcText, postings)
+      .withColumn("copy_postings", lit(copyPostings))
+  }
+
+  /** The streaming row's oracle: the planted top-10 plus doc 0's distinct
+    * (prev, tok, next) window count, reconstructed natively in DuckDB —
+    * the tokenizer-parity discipline extended to the window builder. */
+  private val maxsimStreamingOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |q AS (SELECT tk FROM toks WHERE doc_id = 0),
+      |wins AS (
+      |  SELECT len(list_distinct(list_transform(range(1, len(tk) + 1),
+      |    i -> concat(
+      |      CASE WHEN i > 1 THEN tk[i - 1] || ' ' ELSE '' END, tk[i],
+      |      CASE WHEN i < len(tk) THEN ' ' || tk[i + 1] ELSE '' END))))
+      |    AS n FROM q),
+      |ties AS (
+      |  SELECT t.doc_id FROM toks t, q WHERE t.tk = q.tk
+      |  UNION ALL
+      |  SELECT d.doc_id + 100000 FROM documents d WHERE d.doc_id < 9)
+      |SELECT doc_id, (SELECT len(tk) FROM q)::BIGINT * 1000000 AS score_micro,
+      |       (SELECT n FROM wins)::BIGINT AS copy_postings
+      |FROM ties ORDER BY doc_id LIMIT 10""".stripMargin
+
   /** Manifest-pinned TIME TRAVEL for the posting index — the same
     * Iceberg-snapshot discipline every other index family carries: each
     * version is a CAS-manifest file list; appended postings land as new
@@ -859,7 +914,8 @@ object LateInteraction extends QueryModule {
     "maxsim_batch_topk" -> maxsimBatchTopk,
     "maxsim_batch_indexed_topk" -> maxsimBatchIndexedTopk,
     "maxsim_batch_auto_route_topk" -> maxsimBatchAutoRouteTopk,
-    "maxsim_upserted_topk" -> maxsimUpsertedTopk)
+    "maxsim_upserted_topk" -> maxsimUpsertedTopk,
+    "maxsim_streaming_ingest_topk" -> maxsimStreamingIngestTopk)
 
   override def oracles: Map[String, String] = Map(
     "maxsim_topk" -> maxsimOracle,
@@ -873,5 +929,6 @@ object LateInteraction extends QueryModule {
     "maxsim_batch_topk" -> maxsimBatchOracle,
     "maxsim_batch_indexed_topk" -> maxsimBatchOracle,
     "maxsim_batch_auto_route_topk" -> maxsimBatchOracle,
-    "maxsim_upserted_topk" -> maxsimUpsertedOracle)
+    "maxsim_upserted_topk" -> maxsimUpsertedOracle,
+    "maxsim_streaming_ingest_topk" -> maxsimStreamingOracle)
 }

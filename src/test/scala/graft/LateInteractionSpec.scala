@@ -209,6 +209,22 @@ class LateInteractionSpec extends SparkSpec {
         "postings and rescore as a full tie for the new text's query")
   }
 
+  test("maxsim_streaming_ingest_topk: replayed batch lands exactly once; the audit column counts real postings") {
+    val out = SparkEntry.queries("maxsim_streaming_ingest_topk")(spark, sf)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ===
+      (0L +: (100000L to 100008L)),
+      "the tie set must serve entirely through streamed batch directories")
+    // exactly-once: the copy's posting count equals doc 0's DISTINCT
+    // window count — an append-mode replay would double it
+    val srcText = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0L).select("text").head().getString(0)
+    val expected = LateInteraction.tokenWindows(srcText).distinct.length
+    assert(out.map(_.getAs[Long]("copy_postings")).distinct.toSeq ===
+      Seq(expected.toLong),
+      "the replayed micro-batch must rewrite its directory, not append")
+  }
+
   test("a containing (non-equal) document cannot reach the full-tie score") {
     // the boundary-window property the oracle's token-sequence-equality
     // criterion rests on: text2 CONTAINS text1's token stream, but its
