@@ -516,6 +516,37 @@ object LateInteraction extends QueryModule {
       |       (SELECT n FROM wins)::BIGINT AS copy_postings
       |FROM ties ORDER BY doc_id LIMIT 10""".stripMargin
 
+  /** SHARDED scatter-gather serving for the MaxSim index — the ANN
+    * families' fleet layout on the posting family: each shard owns an
+    * id-hash slice of the corpus with its OWN posting table (built,
+    * compacted, and failing independently — at 1000 executors no single
+    * posting table spans the corpus); a query probes every shard's `wb=`
+    * buckets, rescores that shard's candidates against the shard's
+    * corpus slice, and the global answer is the re-topped union of the
+    * per-shard top-ks — correct by the scatter-gather invariant (MaxSim
+    * is per-doc, so every global top-k member is in its own shard's
+    * top-k). The planted copies hash across both shards, so a lost
+    * shard, a broken merge, or a shard build that dropped rows perturbs
+    * the enumerable row. */
+  def maxsimShardedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, srcText) = plantedCorpus(spark, dir)
+    val n = 2
+    val shardTops = (0 until n).map { shard =>
+      val part = corpus.filter(
+        pmod(xxhash64(col("doc_id")), lit(n.toLong)) === shard.toLong)
+      val path = Tables.scratchPath(s"maxsim_postings_sh${shard}of$n", dir)
+      ResultCache.buildIfAbsent(spark, corpus,
+        s"maxsim:dim=$TokenDim:wb=$WindowBuckets:shard=$shard/$n:v1", path) {
+        writePostings(part, path, "overwrite")
+      }
+      servePostingsFrame(spark, part, srcText, resolvedPostings(spark, path))
+    }
+    shardTops.reduce(_ unionByName _)
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(K)
+      .select("doc_id", "score_micro")
+  }
+
   /** Manifest-pinned TIME TRAVEL for the posting index — the same
     * Iceberg-snapshot discipline every other index family carries: each
     * version is a CAS-manifest file list; appended postings land as new
@@ -915,7 +946,8 @@ object LateInteraction extends QueryModule {
     "maxsim_batch_indexed_topk" -> maxsimBatchIndexedTopk,
     "maxsim_batch_auto_route_topk" -> maxsimBatchAutoRouteTopk,
     "maxsim_upserted_topk" -> maxsimUpsertedTopk,
-    "maxsim_streaming_ingest_topk" -> maxsimStreamingIngestTopk)
+    "maxsim_streaming_ingest_topk" -> maxsimStreamingIngestTopk,
+    "maxsim_sharded_topk" -> maxsimShardedTopk)
 
   override def oracles: Map[String, String] = Map(
     "maxsim_topk" -> maxsimOracle,
@@ -930,5 +962,6 @@ object LateInteraction extends QueryModule {
     "maxsim_batch_indexed_topk" -> maxsimBatchOracle,
     "maxsim_batch_auto_route_topk" -> maxsimBatchOracle,
     "maxsim_upserted_topk" -> maxsimUpsertedOracle,
-    "maxsim_streaming_ingest_topk" -> maxsimStreamingOracle)
+    "maxsim_streaming_ingest_topk" -> maxsimStreamingOracle,
+    "maxsim_sharded_topk" -> maxsimOracle)
 }

@@ -225,6 +225,21 @@ class LateInteractionSpec extends SparkSpec {
       "the replayed micro-batch must rewrite its directory, not append")
   }
 
+  test("maxsim_sharded_topk: scatter-gather over independent shard posting tables equals the brute row") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+    assert(rows("maxsim_sharded_topk") === rows("maxsim_topk"),
+      "the re-topped union of per-shard top-ks must equal the global " +
+        "answer (every global top-k member is in its own shard's top-k)")
+    // the construction is shard-sensitive: the planted ids really do
+    // split across both shards
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val residues = (100000L to 100008L)
+      .map(id => math.floorMod(XXH64.hashLong(id, 42L), 2L)).toSet
+    assert(residues === Set(0L, 1L),
+      "the planted copies must hash across both shards")
+  }
+
   test("a containing (non-equal) document cannot reach the full-tie score") {
     // the boundary-window property the oracle's token-sequence-equality
     // criterion rests on: text2 CONTAINS text1's token stream, but its
