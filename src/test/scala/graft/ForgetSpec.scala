@@ -242,6 +242,22 @@ class ForgetSpec extends SparkSpec {
     assert(Forget.forgottenIds(spark, root) === Seq(100000L))
   }
 
+  test("the ledger anti-join does not block partition pruning on the pruned index serves") {
+    SparkEntry.queries("forget_ann_families_topk")(spark, sf).collect()
+    val base = Tables.scratchPath("forget_ann", sf)
+    val root = Tables.scratchPath("forget_ann_root", sf)
+    // the serve shape: exclusion ABOVE the scan, probe filter below —
+    // Catalyst must push the bucket filter past the anti-join into
+    // partition pruning, or every serve degrades to a full index scan
+    val probe = graft.ops.Forget.excludingIds(
+        spark.read.parquet(base + "/lsh"), root, "vec_id")
+      .filter(col("bucket").isin(0, 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[", "").startsWith("]"),
+      s"the ledger anti-join must not block bucket partition pruning:\n$plan")
+  }
+
   test("a forget flips a RESIDENT-pinned graph serve with zero pin rebuild") {
     import graft.vector.GraphAnn
     import org.apache.spark.sql.functions.col
