@@ -42,6 +42,22 @@ object ManifestLog {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** List a directory's parquet leaves through the path's OWN FileSystem
+    * as FULLY-QUALIFIED URI strings — the one listing every manifest
+    * committer and vacuum uses. java.io listings see nothing on a
+    * non-local filesystem, and stripping to `toUri.getPath` drops
+    * scheme+authority (s3a://bucket/x → /x), so committed lines would
+    * resolve against defaultFS and read/vacuum the wrong store. Empty
+    * on a missing directory; NON-empty requirements stay with callers
+    * (only they know whether empty means "torn write" or "fine"). */
+  def listParquetLeaves(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, p) = hfs(spark, dir)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => fs.makeQualified(s.getPath).toString).sorted
+  }
+
   private def versionPath(dir: String, v: Long) =
     new org.apache.hadoop.fs.Path(dir, s"v$v.manifest")
 

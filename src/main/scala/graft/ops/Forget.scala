@@ -418,18 +418,12 @@ object Forget extends QueryModule {
           "exists — refusing to proceed")
     }
     val ids = forgottenIds(spark, root)
-    val tombP = p(path + "/_tombstones")
-    if (ids.isEmpty && !fs.exists(tombP)) return
-    val base = spark.read.parquet(path)
-    val afterTomb =
-      if (!fs.exists(tombP)) base
-      else {
-        val t = spark.read.parquet(path + "/_tombstones")
-        if (t.columns.contains("upto_seq"))
-          base.join(broadcast(t), base(idCol) === t("t_doc_id") &&
-            base("seq") <= t("upto_seq"), "left_anti")
-        else base.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti")
-      }
+    if (ids.isEmpty && !fs.exists(p(path + "/_tombstones"))) return
+    // sidecar shape dispatch through the ONE reader (id-level vs
+    // upsert watermark) — an inline copy here could silently diverge
+    // from what the serves exclude
+    val afterTomb = LateInteraction.minusTombstoned(
+      spark.read.parquet(path), path, idCol)
     val rewritten = afterTomb
       .join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_anti")
     // partitioned tables re-cluster on their partition columns (one file
@@ -593,11 +587,7 @@ object Forget extends QueryModule {
   }
 
   private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val listed = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .listStatus(p).toIndexedSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.getPath).sorted
+    val listed = ManifestLog.listParquetLeaves(spark, dir)
     require(listed.nonEmpty, s"composed snapshot listed no files under $dir")
     listed
   }

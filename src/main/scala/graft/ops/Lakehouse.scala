@@ -373,14 +373,12 @@ object Lakehouse extends QueryModule {
     base.filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), (col("price_e2") + 10000L).as("price_e2"))
       .write.mode("overwrite").parquet(tmp + "/append")
-    // Hadoop listing, never java.io: these lists become MANIFEST lines,
-    // and an empty listing would commit a version that serves nothing
+    // the shared qualified-URI listing, never java.io: these lists
+    // become MANIFEST lines, and an empty listing would commit a
+    // version that serves nothing
     def files(sub: String): Seq[String] = {
-      val dir = new org.apache.hadoop.fs.Path(tmp + "/" + sub)
-      val listed = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .listStatus(dir).toIndexedSeq
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toUri.getPath)
+      val listed = graft.ingest.ManifestLog
+        .listParquetLeaves(spark, tmp + "/" + sub)
       require(listed.nonEmpty, s"manifest commit for $sub listed no files")
       listed
     }
@@ -450,14 +448,12 @@ object Lakehouse extends QueryModule {
       d.select("doc_id").write.mode("overwrite").parquet(s"$tmp/docs/$sub")
       d.select("doc_id", "n_tokens").write.mode("overwrite")
         .parquet(s"$tmp/stats/$sub")
-      // Hadoop listing, never java.io (which lists NOTHING on a
-      // non-local filesystem — the snapshot would commit an EMPTY
-      // manifest over live tables); an empty member list aborts loudly
+      // the shared qualified-URI listing, never java.io (which lists
+      // NOTHING on a non-local filesystem — the snapshot would commit an
+      // EMPTY manifest over live tables); an empty member list aborts
       val lines = Seq("docs", "stats").flatMap { t =>
-        val dir = new org.apache.hadoop.fs.Path(s"$tmp/$t/$sub")
-        dir.getFileSystem(hconf).listStatus(dir).toIndexedSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(f => s"$t:${f.getPath.toUri.getPath}")
+        graft.ingest.ManifestLog.listParquetLeaves(spark, s"$tmp/$t/$sub")
+          .map(f => s"$t:$f")
       }
       require(lines.nonEmpty,
         s"multi-table snapshot $sub listed no member data files")
@@ -525,12 +521,19 @@ object Lakehouse extends QueryModule {
   def vacuumUnreferenced(spark: SparkSession, tmp: String): Seq[String] = {
     val referenced =
       graft.ingest.ManifestLog.allReferenced(spark, tmp + "/manifest_log")
-    val dirs = Seq("base", "append").map(s => new java.io.File(tmp + "/" + s))
-    dirs.flatMap { d =>
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".parquet") &&
-          !referenced.contains(f.getAbsolutePath))
-        .map { f => f.delete(); f.getAbsolutePath }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // the SAME qualified-URI listing the manifest commits use — a
+    // different path form here (java.io absolute vs qualified URI)
+    // would match nothing and delete every LIVE file
+    Seq("base", "append").flatMap { s =>
+      graft.ingest.ManifestLog.listParquetLeaves(spark, tmp + "/" + s)
+        .filterNot(referenced.contains)
+        .map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          require(p.getFileSystem(hconf).delete(p, false),
+            s"vacuum could not delete unreferenced file $f")
+          f
+        }
     }
   }
 

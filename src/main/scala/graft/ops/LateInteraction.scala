@@ -165,20 +165,37 @@ object LateInteraction extends QueryModule {
     * with `seq <= upto_seq`, keep the appended replacement above the
     * mark (an id-level tombstone would kill the replacement too). */
   private[graft] def resolvedPostings(spark: SparkSession,
-      path: String): DataFrame = {
+      path: String): DataFrame =
+    minusTombstoned(spark.read.parquet(path), path)
+
+  /** The `_tombstones` sidecar read + shape dispatch — the ONE place
+    * that knows the two sidecar schemas (a divergent inline copy at any
+    * serve/reclaim site could silently change delete semantics there).
+    * Returns (sidecar frame, isWatermark). */
+  private[graft] def tombstoneSidecar(spark: SparkSession,
+      path: String): Option[(DataFrame, Boolean)] = {
     val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
-    val postings0 = spark.read.parquet(path)
     if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(tomb)) postings0
+        .exists(tomb)) None
     else {
       val t = spark.read.parquet(path + "/_tombstones")
-      if (t.columns.contains("upto_seq"))
-        postings0.join(broadcast(t),
-          postings0("doc_id") === t("t_doc_id") &&
-            postings0("seq") <= t("upto_seq"), "left_anti")
-      else postings0.join(broadcast(t), Seq("doc_id"), "left_anti")
+      Some((t, t.columns.contains("upto_seq")))
     }
   }
+
+  /** Drop from `frame` every row `path`'s sidecar kills: an id-level
+    * sidecar drops by id; a watermark drops exactly the stale
+    * `seq <= upto_seq` rows and keeps the upserted replacement. */
+  private[graft] def minusTombstoned(frame: DataFrame, path: String,
+      idCol: String = "doc_id"): DataFrame =
+    tombstoneSidecar(frame.sparkSession, path) match {
+      case None => frame
+      case Some((t, true)) =>
+        frame.join(broadcast(t), frame(idCol) === t("t_doc_id") &&
+          frame("seq") <= t("upto_seq"), "left_anti")
+      case Some((t, false)) =>
+        frame.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti")
+    }
 
   /** Two-stage indexed MaxSim (the PLAID shape): candidates from a
     * PERSISTED window-hash posting table — `wb=<bucket>` partitions, so
@@ -236,15 +253,13 @@ object LateInteraction extends QueryModule {
       // Only the id-level sidecar filters the corpus — a watermark
       // (upsert) sidecar kills stale POSTINGS, and the serve corpus
       // already carries the replacement text, so brute needs no filter.
-      val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
-      val served =
-        if (tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(tomb)) {
-          val t = spark.read.parquet(path + "/_tombstones")
-          if (t.columns.contains("upto_seq")) corpus
-          else corpus.join(broadcast(t.select(col("doc_id"))),
+      // Shape dispatch through the ONE sidecar reader.
+      val served = tombstoneSidecar(spark, path) match {
+        case Some((t, false)) =>
+          corpus.join(broadcast(t.select(col("doc_id"))),
             Seq("doc_id"), "left_anti")
-        } else corpus
+        case _ => corpus
+      }
       maxSimTopK(served, queryVecs(srcText))
         .select("doc_id", "score_micro")
     }
@@ -584,19 +599,19 @@ object LateInteraction extends QueryModule {
   }
 
   /** Every parquet leaf under the data dir's `wb=` partitions (empty on
-    * a missing dir) — the file lists the version manifests publish.
-    * Listed through the Hadoop FileSystem of the path (never java.io,
-    * which silently lists NOTHING on a non-local filesystem and would
-    * commit an empty manifest over live data). */
+    * a missing dir) — the file lists the version manifests publish,
+    * through the shared qualified-URI listing (never java.io, which
+    * silently lists NOTHING on a non-local filesystem and would commit
+    * an empty manifest over live data). */
   private def leafFiles(spark: SparkSession, data: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(data)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).toIndexedSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("wb="))
-      .flatMap(d => fs.listStatus(d.getPath).toIndexedSeq
-        .filter(_.getPath.getName.endsWith(".parquet")))
-      .map(s => s.getPath.toUri.getPath).sorted
+      .flatMap(d => graft.ingest.ManifestLog
+        .listParquetLeaves(spark, d.getPath.toString))
+      .sorted
   }
 
   def maxsimTimeTravelTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -606,7 +621,7 @@ object LateInteraction extends QueryModule {
     // cache miss, so the build always starts from an empty log
     ResultCache.buildIfAbsent(spark,
       fx.d.unionByName(fx.copiesA).unionByName(fx.copiesB),
-      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=tt:v1",
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=tt:v2",
       Tables.scratchPath("maxsim_postings_tt", dir)) {
       writePostings(fx.d.unionByName(fx.copiesA), fx.data, "overwrite")
       val v1Files = leafFiles(spark, fx.data)
@@ -669,7 +684,7 @@ object LateInteraction extends QueryModule {
     val fx = versionedFixture(spark, dir, "maxsim_postings_vac")
     val corpus = fx.d.unionByName(fx.copiesA).unionByName(fx.copiesB)
     ResultCache.buildIfAbsent(spark, corpus,
-      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=vacuum:v2",
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=vacuum:v3",
       Tables.scratchPath("maxsim_postings_vac", dir)) {
       writePostings(fx.d.unionByName(fx.copiesA), fx.data, "overwrite")
       ManifestLog.commit(spark, fx.log, _ => leafFiles(spark, fx.data))

@@ -343,13 +343,19 @@ object Multimodal extends QueryModule {
     if (fccAt(content, 0) != "RIFF" || fccAt(content, 8) != "AVI ")
       return None
     val out = Seq.newBuilder[Array[Byte]]
+    // size fields are UNTRUSTED: validate against the remaining bytes
+    // BEFORE any arithmetic that could overflow Int (a lying size near
+    // 2^31 would wrap `off + 8 + size` negative, defeat the bounds
+    // guard, and throw instead of ending the walk)
+    def chunkEnd(off: Int, size: Int, until: Int): Int =
+      if (size < 0 || size > until - off - 8) -1 else off + 8 + size
     def walkFrames(from: Int, until: Int): Unit = {
       var off = from
       while (off + 8 <= until) {
         val id = fccAt(content, off)
         val size = readLe32(content, off + 4)
-        val dataEnd = off + 8 + size
-        if (size < 0 || dataEnd > until) return // truncated/lying size
+        val dataEnd = chunkEnd(off, size, until)
+        if (dataEnd < 0) return // truncated/lying size
         if (id == "LIST" && size >= 4 &&
             fccAt(content, off + 8) == "rec ")
           walkFrames(off + 12, dataEnd)
@@ -364,8 +370,8 @@ object Multimodal extends QueryModule {
       while (off + 8 <= until) {
         val id = fccAt(content, off)
         val size = readLe32(content, off + 4)
-        val dataEnd = off + 8 + size
-        if (size < 0 || dataEnd > until) return
+        val dataEnd = chunkEnd(off, size, until)
+        if (dataEnd < 0) return
         if (id == "LIST" && size >= 4) {
           if (fccAt(content, off + 8) == "movi")
             walkFrames(off + 12, dataEnd)
@@ -374,7 +380,10 @@ object Multimodal extends QueryModule {
         off = dataEnd + (size & 1)
       }
     }
-    findMovi(12, math.min(content.length, 12 + readLe32(content, 4) - 4))
+    // the RIFF size is unsigned; clamp through Long so a huge declared
+    // size cannot overflow the walk bound
+    findMovi(12, math.min(content.length.toLong,
+      8L + (readLe32(content, 4) & 0xFFFFFFFFL)).toInt)
     val frames = out.result()
     if (frames.isEmpty) None else Some(frames)
   }

@@ -126,14 +126,22 @@ class LakehouseSpec extends SparkSpec {
     val orphan = new java.io.File(tmp + "/base/part-orphan-deadbeef.parquet")
     java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
     val deleted = Lakehouse.vacuumUnreferenced(spark, tmp)
-    assert(deleted === Seq(orphan.getAbsolutePath), s"deleted: $deleted")
+    // manifest lines and vacuum listings are QUALIFIED URIs (scheme
+    // preserved — /x alone would resolve against defaultFS on a remote
+    // store); compare in that form
+    val hfs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def qualified(f: java.io.File) =
+      hfs.makeQualified(new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+        .toString
+    assert(deleted === Seq(qualified(orphan)), s"deleted: $deleted")
     assert(!orphan.exists())
     // re-read both versions through manifests: identical results
     Seq(1L, 2L).foreach { v =>
       val fs = graft.ingest.ManifestLog
         .read(spark, tmp + "/manifest_log", v)
         .getOrElse(fail(s"manifest v$v missing or torn"))
-      assert(fs.forall(f => new java.io.File(f).exists()),
+      assert(fs.forall(f => hfs.exists(new org.apache.hadoop.fs.Path(f))),
         s"vacuum deleted a referenced v$v file")
     }
     val after = SparkEntry.queries("time_travel_scan")(spark, sf).collect().toSeq

@@ -128,10 +128,12 @@ class LateInteractionSpec extends SparkSpec {
     val path = Tables.scratchPath("maxsim_postings_vac", sf)
     val v = ManifestLog.currentVersion(spark, path + "/log")
     val referenced = ManifestLog.read(spark, path + "/log", v).get.toSet
+    // list in the manifests' own form: qualified URIs through the
+    // shared Hadoop listing (scheme preserved)
     val onDisk = new java.io.File(path + "/data").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("wb="))
-      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath).toSet
+      .flatMap(d => ManifestLog.listParquetLeaves(spark, d.getAbsolutePath))
+      .toSet
     assert(onDisk === referenced,
       "vacuum must delete exactly the pre-compaction generations: " +
         s"${(onDisk -- referenced).size} orphans, ${
