@@ -218,8 +218,8 @@ object Lakehouse extends QueryModule {
   def bloomLookup(spark: SparkSession, tmp: String, keys: Seq[Long])
       : (DataFrame, Int, Int) = {
     import spark.implicits._
-    val total = new java.io.File(tmp + "/data").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    val total = graft.ingest.ManifestLog
+      .listParquetLeaves(spark, tmp + "/data").size
     // the needles' positions, computed by the SAME Spark expression as
     // the build, then pinned driver-side for the pushable IN filter
     val probeRows = keys.toDF("needle")
@@ -803,9 +803,11 @@ object Lakehouse extends QueryModule {
     // incremental stats: only files the sidecar has no row for
     val covered = spark.read.parquet(tmp + "/stats")
       .select("file").collect().map(_.getString(0)).toSet
-    val newFiles = new java.io.File(tmp + "/data").listFiles()
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath)
+    // the shared Hadoop listing (java.io sees nothing on a non-local
+    // store — the incremental stats would silently under-cover appended
+    // files and the zonemap would stop pruning them correctly)
+    val newFiles = graft.ingest.ManifestLog
+      .listParquetLeaves(spark, tmp + "/data")
       .filterNot(f => covered.exists(_.endsWith(f.substring(f.lastIndexOf('/')))))
     if (newFiles.nonEmpty)
       statsOf(spark.read.parquet(newFiles.toIndexedSeq: _*))
