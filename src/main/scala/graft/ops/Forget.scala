@@ -92,9 +92,6 @@ object Forget extends QueryModule {
     if (ids.isEmpty) df
     else df.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_anti")
   }
-  private def excluding(df: DataFrame, root: String,
-      idCol: String = "doc_id"): DataFrame = excludingIds(df, root, idCol)
-
   /** Fixture-coupling guard (the ledger/cache decoupling defect): the
     * fixture rows commit their forget INSIDE a `buildIfAbsent` closure
     * whose marker lives on the INDEX path — selective scratch cleanup of
@@ -146,7 +143,7 @@ object Forget extends QueryModule {
       forget(spark, root, Seq(PlantedBase))
     }
     ensureForgotten(spark, root, Seq(PlantedBase))
-    val served = excluding(corpus, root)
+    val served = excludingIds(corpus, root)
 
     // surface 1: exact doc-embedding knn (identical text → identical
     // hashed embedding → cosine exactly 1.0 for every surviving copy)
@@ -230,7 +227,18 @@ object Forget extends QueryModule {
       forget(spark, root, Seq(PlantedBase))
     }
     ensureForgotten(spark, root, Seq(PlantedBase))
-    val excl = forgottenIds(spark, root).toSet
+    // ONE ledger read for the whole frame: the six surfaces must serve
+    // the SAME ledger snapshot (per-surface re-reads could interleave
+    // with a concurrent forget and emit an internally inconsistent
+    // frame), and a serve should not pay six manifest reads
+    val exclIds = forgottenIds(spark, root)
+    val excl = exclIds.toSet
+    def excludingSnapshot(df: DataFrame): DataFrame = {
+      import spark.implicits._
+      if (exclIds.isEmpty) df
+      else df.join(broadcast(exclIds.toDF("vec_id")), Seq("vec_id"),
+        "left_anti")
+    }
     val qv = e.filter(col("vec_id") === 0L)
       .select("embedding").head().getSeq[Float](0).toArray
     def score(c: org.apache.spark.sql.Column) = round(
@@ -239,8 +247,7 @@ object Forget extends QueryModule {
     // lsh: pruned probe over the persisted index, ledger anti-join
     // BEFORE the top-k (after it would under-fill k)
     val probes = lsh.probes(lsh.signature(qv.toSeq), radius = 1)
-    val lshServe = excludingIds(
-        spark.read.parquet(base + "/lsh"), root, "vec_id")
+    val lshServe = excludingSnapshot(spark.read.parquet(base + "/lsh"))
       .filter(col("bucket").isin(probes: _*))
       .withColumn("score", score(col("embedding")))
       .orderBy(col("score").desc, col("vec_id").asc).limit(K)
@@ -249,8 +256,7 @@ object Forget extends QueryModule {
     // ivf: nearest-centroid pruned scan of the persisted index
     val centers = IndexBuilder.loadIvfCentroids(base + "/ivf")
     val probeClusters = IndexBuilder.nearestClusters(centers, qv, nProbe = 2)
-    val ivfServe = excludingIds(
-        spark.read.parquet(base + "/ivf"), root, "vec_id")
+    val ivfServe = excludingSnapshot(spark.read.parquet(base + "/ivf"))
       .filter(col("cluster_id").isin(probeClusters: _*))
       .withColumn("score", score(col("embedding")))
       .orderBy(col("score").desc, col("vec_id").asc).limit(K)
@@ -263,7 +269,7 @@ object Forget extends QueryModule {
     val sq8Centers = IndexBuilder.loadIvfCentroids(base + "/sq8")
     val sq8Probes = IndexBuilder.nearestClusters(sq8Centers, qv, nProbe = 2)
     val sq8Serve = graft.vector.Quantization.quantizedKnn(
-        excludingIds(spark.read.parquet(base + "/sq8"), root, "vec_id")
+        excludingSnapshot(spark.read.parquet(base + "/sq8"))
           .filter(col("cluster_id").isin(sq8Probes: _*)),
         "embedding", "vec_id", qv, k = K)
       .select(lit("ivfsq8").as("surface"), col("vec_id"))
@@ -271,7 +277,7 @@ object Forget extends QueryModule {
     val pqBooks = graft.vector.ProductQuantization.loadPqCodebooks(base + "/pq")
     val pqProbes = IndexBuilder.nearestClusters(pqCenters, qv, nProbe = 2)
     val pqServe = graft.vector.ProductQuantization.pqSearchEncoded(
-        excludingIds(spark.read.parquet(base + "/pq"), root, "vec_id")
+        excludingSnapshot(spark.read.parquet(base + "/pq"))
           .filter(col("cluster_id").isin(pqProbes: _*)),
         "embedding", "vec_id", pqBooks, qv, k = K, overscan = 16)
       .select(lit("ivfpq").as("surface"), col("vec_id"))
@@ -343,7 +349,7 @@ object Forget extends QueryModule {
     }
     ensureForgotten(spark, root, Seq(PlantedBase))
     val scores = Rag.bm25IndexedScores(spark, path, Seq(Sentinel))
-    excluding(scores, root)
+    excludingIds(scores, root)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(K)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
@@ -673,7 +679,7 @@ object Forget extends QueryModule {
       .writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         // serve-time exclusion, RE-READ per batch — the whole point
-        val served = excluding(corpus, root, "vec_id")
+        val served = excludingIds(corpus, root, "vec_id")
         QueryStreams.retrieveMicroBatch(batch, served, lsh,
             threshold = 0.9, radius = 1)
           .repartition(1).write.mode("overwrite")

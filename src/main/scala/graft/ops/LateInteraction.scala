@@ -194,7 +194,12 @@ object LateInteraction extends QueryModule {
         frame.join(broadcast(t), frame(idCol) === t("t_doc_id") &&
           frame("seq") <= t("upto_seq"), "left_anti")
       case Some((t, false)) =>
-        frame.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti")
+        // id-level sidecars are always WRITTEN with a doc_id column;
+        // alias to the frame's id column (selecting col(idCol) from the
+        // sidecar would throw — or silently join wrong ids — whenever a
+        // caller reclaims a table keyed by another name)
+        frame.join(broadcast(t.select(col("doc_id").as(idCol))),
+          Seq(idCol), "left_anti")
     }
 
   /** Two-stage indexed MaxSim (the PLAID shape): candidates from a
@@ -500,7 +505,9 @@ object LateInteraction extends QueryModule {
       stage(arrivals, 1L) // the copies arrive as one micro-batch
       stage(arrivals, 1L) // crash replay: same rows, same batch directory
     }
-    val postings = spark.read.parquet(root)
+    // through the ONE resolved read like every other posting serve — a
+    // delete lifecycle composed onto this root must keep its semantics
+    val postings = resolvedPostings(spark, root)
     val copyPostings = postings
       .filter(col("doc_id") === PlantedBase).count()
     servePostingsFrame(spark, corpus, srcText, postings)

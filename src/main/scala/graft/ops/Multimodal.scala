@@ -401,11 +401,18 @@ object Multimodal extends QueryModule {
     * then the per-cell mean across sampled grids. */
   def decodeVideoGrid(content: Array[Byte],
       maxFrames: Int = 4): Option[Array[Double]] =
-    decodeAviGrids(content).map { grids =>
-      val stride = math.max(1, grids.length / maxFrames)
-      val sampled = grids.indices.by(stride).map(grids(_))
-      Array.tabulate(grids.head.length)(c =>
-        sampled.map(_(c)).sum / sampled.length)
+    aviFrameChunks(content).flatMap { chunks =>
+      // uniform temporal sampling to AT MOST maxFrames, applied to the
+      // frame CHUNKS before any decode (index i·len/n — the sampleFrames
+      // discipline): the cap is the per-payload JPEG-decode budget, so a
+      // long video decodes exactly maxFrames frames, never all of them
+      val n = math.min(maxFrames, chunks.length)
+      val grids = (0 until n)
+        .map(i => chunks((i.toLong * chunks.length / n).toInt))
+        .flatMap(f => decodeToGrid(f, 8))
+      if (grids.isEmpty) None
+      else Some(Array.tabulate(grids.head.length)(c =>
+        grids.map(_(c)).sum / grids.length))
     }
 
   /** Decode-aware feature extraction: a payload that DECODES as an image
@@ -518,10 +525,20 @@ object Multimodal extends QueryModule {
     * live in the parquet as binary, queries read and decode them; the
     * synthetic render is corpus PREPARATION, not per-query work, so
     * serving rows must not pay it on every call. */
+  /** The codec fixture generation tag. Every DERIVED fixture (features,
+    * hashes) chains this tag into its own key, so a codec change that
+    * rebuilds the media table can never hit a stale derived fixture.
+    * The JRE version is folded in because the JPEG lanes (encode in
+    * renderAvi, decode in decodeToGrid) are implementation-defined at
+    * the bit level — a JVM upgrade must rebuild, or cached features
+    * could diverge from per-serve extraction by low decode bits. */
+  private val CodecTag =
+    "media:codec:png+wav+avi:v1:jre=" + System.getProperty("java.version")
+
   def pngMediaCached(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.Tables.scratchPath("graft_media_codec", dir)
     ResultCache.buildIfAbsent(spark,
-      graft.Tables.documents(spark, dir), "media:codec:png+wav+avi:v1", path) {
+      graft.Tables.documents(spark, dir), CodecTag, path) {
       pngMedia(spark, dir).write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)
@@ -536,7 +553,8 @@ object Multimodal extends QueryModule {
   def mediaFeaturesCached(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.Tables.scratchPath("graft_media_feats", dir)
     ResultCache.buildIfAbsent(spark,
-      graft.Tables.documents(spark, dir), "media:feats:decode:v1", path) {
+      graft.Tables.documents(spark, dir), s"media:feats:decode:v1:$CodecTag",
+      path) {
       extractFeatures(pngMediaCached(spark, dir), decodeAware = true)
         .write.mode("overwrite").parquet(path)
     }
@@ -548,7 +566,8 @@ object Multimodal extends QueryModule {
   def mediaPhashCached(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.Tables.scratchPath("graft_media_phash", dir)
     ResultCache.buildIfAbsent(spark,
-      graft.Tables.documents(spark, dir), "media:phash:decode:v1", path) {
+      graft.Tables.documents(spark, dir), s"media:phash:decode:v1:$CodecTag",
+      path) {
       val hashUdf = udf((c: Array[Byte]) => pHashDecoded(c))
       pngMediaCached(spark, dir)
         .select(col("media_id"), hashUdf(col("content")).as("ph"))
