@@ -258,6 +258,32 @@ class ForgetSpec extends SparkSpec {
       s"the ledger anti-join must not block bucket partition pruning:\n$plan")
   }
 
+  test("the distributed graph walks honor the serve-tail exclude set too") {
+    import graft.vector.GraphAnn
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = java.nio.file.Files
+      .createTempDirectory("fgtwalk").toString + "/g"
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val corpus = e.unionByName(
+      e.filter(col("vec_id") === 0L)
+        .select(lit(900000L).as("vec_id"), col("embedding")))
+    GraphAnn.buildNswGraph(corpus, "embedding", "vec_id",
+      graft.ops.AnnIndex.defaultLsh, 8, path)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val excl = Set(900000L)
+    val flat = GraphAnn.nswSearch(spark, path, corpus,
+        "embedding", "vec_id", qv, k = 5, exclude = excl)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!flat.contains(900000L) && flat.contains(0L) && flat.size === 5,
+      s"flat walk must exclude at the tail and still fill k: $flat")
+    val batch = GraphAnn.nswBatchSearch(spark, path, corpus,
+        "embedding", "vec_id", Seq((7L, qv)), k = 5, exclude = excl)
+      .collect().map(_.getLong(1)).toSeq
+    assert(!batch.contains(900000L) && batch.contains(0L) && batch.size === 5,
+      s"batch walk must exclude at the tail and still fill k: $batch")
+  }
+
   test("a forget flips a RESIDENT-pinned graph serve with zero pin rebuild") {
     import graft.vector.GraphAnn
     import org.apache.spark.sql.functions.col
