@@ -58,6 +58,18 @@ object Forget extends QueryModule {
     commitBounded(spark, root,
       head => (head ++ ids.map(_.toString)).distinct.sortBy(_.toLong))
 
+  /** Un-forget (legal hold / erroneous-forget rollback) — the flip side
+    * logical deletion makes possible and physical deletion cannot offer:
+    * ONE CAS commit removing ids from the ledger, and every surface
+    * resumes serving them on its next read — the bytes were never
+    * touched. Only ids still IN the ledger can be restored; a reclaimed
+    * (physically deleted) id is gone, which is exactly the ledger's
+    * retire contract. Concurrent un-forgetters merge like forgetters. */
+  def unforget(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
+    val drop = ids.map(_.toString).toSet
+    commitBounded(spark, root, head => head.filterNot(drop.contains))
+  }
+
   /** The current forgotten-id set (empty on a fresh root). A vanished
     * head (an expiry racing the read) retries then THROWS — an empty
     * read here would silently serve forgotten docs. */

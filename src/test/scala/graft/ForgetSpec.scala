@@ -118,6 +118,26 @@ class ForgetSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("rank")).toSeq === (1 to 9).toSeq)
   }
 
+  test("unforget (legal hold): one commit restores serving; bytes were never touched") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("unforget").toString + "/r"
+    Forget.forget(spark, root, Seq(3L, 5L))
+    Forget.unforget(spark, root, Seq(3L))
+    assert(Forget.forgottenIds(spark, root) === Seq(5L))
+    // serve-level: the restored id is visible again, the still-forgotten
+    // one is not — no store was rewritten in either direction
+    val table = Seq(3L, 4L, 5L).toDF("doc_id")
+    val served = graft.ops.Forget.excludingIds(table, root)
+      .as[Long].collect().sorted.toSeq
+    assert(served === Seq(3L, 4L),
+      "the unforgotten doc must serve; the forgotten one must not")
+    // idempotent: un-forgetting an absent id is a no-op
+    Forget.unforget(spark, root, Seq(99L))
+    assert(Forget.forgottenIds(spark, root) === Seq(5L))
+  }
+
   test("a fresh root forgets nothing: the ledger read is empty, not an error") {
     val root = java.nio.file.Files
       .createTempDirectory("forgetempty").toString + "/r"
