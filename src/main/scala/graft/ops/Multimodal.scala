@@ -100,14 +100,9 @@ object Multimodal extends QueryModule {
 
   // ---- REAL image codec (javax.imageio — pure JVM, offline) ----------
 
-  /** Render a deterministic grayscale PNG from source bytes: pixel j is
-    * the average of byte-window j of the source (position-dependent, so
-    * permuted payloads render differently). REAL ImageIO PNG encode —
-    * the output is actual image bytes any PNG decoder reads.
-    */
-  /** The deterministic grayscale render both image codecs share: pixel j
-    * is the average of byte-window j of the source (position-dependent,
-    * so permuted payloads render differently). */
+  /** The deterministic grayscale render the PNG and MJPEG lanes share:
+    * pixel j is the average of byte-window j of the source
+    * (position-dependent, so permuted payloads render differently). */
   private def grayImageOf(source: Array[Byte],
       side: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(side, side,
@@ -129,6 +124,8 @@ object Multimodal extends QueryModule {
     img
   }
 
+  /** REAL ImageIO PNG encode of the deterministic render — the output is
+    * actual image bytes any PNG decoder reads. */
   def renderPng(source: Array[Byte], side: Int = 16): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(grayImageOf(source, side), "png", baos)
@@ -174,7 +171,11 @@ object Multimodal extends QueryModule {
       }
       Some(Array.tabulate(grid * grid)(i =>
         if (counts(i) == 0) 0.0 else sums(i) / counts(i)))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    // NonFatal only: a fatal error (an executor OOM mid-decode during
+    // the ONE-TIME fixture build) must fail that build — swallowing it
+    // would persist stub features under a valid cache marker and serve
+    // them forever
 
   // ---- REAL audio codec (javax.sound.sampled — pure JVM, offline) ----
 
@@ -266,7 +267,7 @@ object Multimodal extends QueryModule {
       }
       Some(Array.tabulate(bins)(i =>
         if (counts(i) == 0) 0.0 else sums(i) / counts(i)))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None } // see decodeToGrid
 
   // ---- REAL video codec: MJPEG-in-AVI (RIFF mux + ImageIO JPEG) -------
   // The AVI container is plain RIFF — the SAME chunk grammar the WAV lane
@@ -349,7 +350,14 @@ object Multimodal extends QueryModule {
     // guard, and throw instead of ending the walk)
     def chunkEnd(off: Int, size: Int, until: Int): Int =
       if (size < 0 || size > until - off - 8) -1 else off + 8 + size
-    def walkFrames(from: Int, until: Int): Unit = {
+    // DEPTH-CAPPED recursion (real AVIs nest hdrl→strl and movi→rec —
+    // a handful of levels): a crafted payload of ~100k nested LIST
+    // headers would otherwise drive the walk into StackOverflowError, a
+    // FATAL error no fallback catch can save — violating the no-throw
+    // contract and failing the whole query on one malicious payload
+    val MaxDepth = 16
+    def walkFrames(from: Int, until: Int, depth: Int): Unit = {
+      if (depth > MaxDepth) return
       var off = from
       while (off + 8 <= until) {
         val id = fccAt(content, off)
@@ -358,14 +366,15 @@ object Multimodal extends QueryModule {
         if (dataEnd < 0) return // truncated/lying size
         if (id == "LIST" && size >= 4 &&
             fccAt(content, off + 8) == "rec ")
-          walkFrames(off + 12, dataEnd)
+          walkFrames(off + 12, dataEnd, depth + 1)
         else if (size > 0 && id.length == 4 &&
             (id.endsWith("dc") || id.endsWith("db")))
           out += java.util.Arrays.copyOfRange(content, off + 8, dataEnd)
         off = dataEnd + (size & 1) // RIFF chunks pad to even
       }
     }
-    def findMovi(from: Int, until: Int): Unit = {
+    def findMovi(from: Int, until: Int, depth: Int): Unit = {
+      if (depth > MaxDepth) return
       var off = from
       while (off + 8 <= until) {
         val id = fccAt(content, off)
@@ -374,8 +383,8 @@ object Multimodal extends QueryModule {
         if (dataEnd < 0) return
         if (id == "LIST" && size >= 4) {
           if (fccAt(content, off + 8) == "movi")
-            walkFrames(off + 12, dataEnd)
-          else findMovi(off + 12, dataEnd)
+            walkFrames(off + 12, dataEnd, depth + 1)
+          else findMovi(off + 12, dataEnd, depth + 1)
         }
         off = dataEnd + (size & 1)
       }
@@ -383,7 +392,7 @@ object Multimodal extends QueryModule {
     // the RIFF size is unsigned; clamp through Long so a huge declared
     // size cannot overflow the walk bound
     findMovi(12, math.min(content.length.toLong,
-      8L + (readLe32(content, 4) & 0xFFFFFFFFL)).toInt)
+      8L + (readLe32(content, 4) & 0xFFFFFFFFL)).toInt, 0)
     val frames = out.result()
     if (frames.isEmpty) None else Some(frames)
   }
@@ -469,8 +478,12 @@ object Multimodal extends QueryModule {
     val resize = udf((content: Array[Byte], w: Int, h: Int) =>
       if (content == null) null
       else {
-        val targetLen = math.max(1,
-          (content.length.toLong * (targetW.toLong * targetH) / math.max(1L, w.toLong * h)).toInt)
+        // clamp in LONG before the Int narrowing: a large upscale
+        // overflows Int, wraps negative, and would truncate the payload
+        // to one byte instead of padding it
+        val targetLen = math.max(1L, math.min(Int.MaxValue.toLong,
+          content.length.toLong * (targetW.toLong * targetH) /
+            math.max(1L, w.toLong * h))).toInt
         if (targetLen <= content.length) content.take(targetLen)
         else content ++ Array.fill[Byte](targetLen - content.length)(0)
       })
@@ -485,6 +498,9 @@ object Multimodal extends QueryModule {
     * uniform-temporal-sampling shape. Output one row per sampled frame.
     */
   def sampleFrames(df: DataFrame, stride: Int): DataFrame = {
+    // fail at the operator boundary, not as an opaque executor-side
+    // Range exception (stride 0) or silent zero frames (negative)
+    require(stride > 0, s"sampleFrames stride must be positive: $stride")
     val frames = udf((content: Array[Byte], nFrames: Int) =>
       if (content == null || nFrames <= 0) Array.empty[Array[Byte]]
       else {
@@ -528,12 +544,22 @@ object Multimodal extends QueryModule {
   /** The codec fixture generation tag. Every DERIVED fixture (features,
     * hashes) chains this tag into its own key, so a codec change that
     * rebuilds the media table can never hit a stale derived fixture.
-    * The JRE version is folded in because the JPEG lanes (encode in
-    * renderAvi, decode in decodeToGrid) are implementation-defined at
-    * the bit level — a JVM upgrade must rebuild, or cached features
-    * could diverge from per-serve extraction by low decode bits. */
-  private val CodecTag =
-    "media:codec:png+wav+avi:v1:jre=" + System.getProperty("java.version")
+    * A JPEG round-trip FINGERPRINT is folded in because the JPEG lanes
+    * (encode in renderAvi, decode in decodeToGrid) are implementation-
+    * defined at the bit level: a JVM upgrade — or a different vendor at
+    * the SAME version string — must rebuild, or cached features could
+    * diverge from per-serve extraction by low decode bits. The probe
+    * runs on the driver; executors are assumed the same JVM build (the
+    * standard uniform-image cluster deployment Spark itself expects). */
+  private val CodecTag = {
+    val probe = renderAvi(Array.tabulate(256)(_.toByte), nFrames = 1)
+    val cells = decodeVideoGrid(probe).getOrElse(Array.empty[Double])
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(cells.mkString(",")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    s"media:codec:png+wav+avi:v1:jpeg=$fp"
+  }
 
   def pngMediaCached(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.Tables.scratchPath("graft_media_codec", dir)
@@ -620,30 +646,37 @@ object Multimodal extends QueryModule {
     * green sibling already proves identical payloads round to exactly
     * 1.0.
     */
-  def multimodalKnn(spark: SparkSession, dir: String): DataFrame = {
-    // REAL media: image payloads are actual PNGs, audio payloads actual
-    // WAVs, and the extraction is decode-aware — the planted copies
-    // round-trip through the ImageIO decoder (identical bytes ⇒
-    // identical decoded pixels ⇒ cosine 1.0), audio rows decode through
-    // AudioSystem, and the video rows exercise the stub-fallback lane
+  /** The shared self-query serve both retrieval rows ride: nine exact
+    * copies of the query medium planted, corpus features from the
+    * standing fixture, planted rows extracted per serve through the SAME
+    * real decode lane (identical bytes ⇒ identical decoded samples ⇒
+    * cosine exactly 1.0) — one definition so the two driver rows cannot
+    * drift. ALL modalities decode for real here: images through ImageIO,
+    * audio through AudioSystem, video through the RIFF/MJPEG demux. */
+  private def mediaSelfKnn(spark: SparkSession, dir: String,
+      queryId: Long): DataFrame = {
     val media = pngMediaCached(spark, dir)
     val planted = spark.range(100000L, 100009L).toDF("new_id")
-      .crossJoin(broadcast(media.filter(col("media_id") === 0L)))
-      .select(col("new_id").as("media_id"), col("modality"), col("content"), col("meta"))
-    // corpus features from the standing fixture; the bounded planted rows
-    // extract per serve through the same real decode path
+      .crossJoin(broadcast(media.filter(col("media_id") === queryId)))
+      .select(col("new_id").as("media_id"), col("modality"), col("content"),
+        col("meta"))
     val feats = mediaFeaturesCached(spark, dir)
       .select("media_id", "modality", "features")
       .unionByName(extractFeatures(planted, decodeAware = true)
         .select("media_id", "modality", "features"))
-    val q = feats.filter(col("media_id") === 0L)
+    val q = feats.filter(col("media_id") === queryId)
       .select(col("features").as("query_features"))
     feats.crossJoin(broadcast(q))
-      .withColumn("raw_score", VectorFunctions.cosineUnit(col("features"), col("query_features")))
+      .withColumn("raw_score",
+        VectorFunctions.cosineUnit(col("features"), col("query_features")))
       .orderBy(col("raw_score").desc, col("media_id").asc)
       .limit(10)
-      .select(col("media_id"), col("modality"), round(col("raw_score"), 6).as("score"))
+      .select(col("media_id"), col("modality"),
+        round(col("raw_score"), 6).as("score"))
   }
+
+  def multimodalKnn(spark: SparkSession, dir: String): DataFrame =
+    mediaSelfKnn(spark, dir, queryId = 0L) // media 0: a real PNG
 
   // All 10 rows are media 0 or exact copies of it, so every modality is
   // media 0's: doc_id 0 % 3 = 0 → 'image'.
@@ -663,26 +696,8 @@ object Multimodal extends QueryModule {
     * decoded frames ⇒ cosine exactly 1.0). Doc 2 has no token-sequence
     * twin at any sf (the maxsim batch oracle's verified fact), so no
     * other video renders the same AVI. */
-  def multimodalVideoKnn(spark: SparkSession, dir: String): DataFrame = {
-    val media = pngMediaCached(spark, dir)
-    val planted = spark.range(100000L, 100009L).toDF("new_id")
-      .crossJoin(broadcast(media.filter(col("media_id") === 2L)))
-      .select(col("new_id").as("media_id"), col("modality"), col("content"),
-        col("meta"))
-    val feats = mediaFeaturesCached(spark, dir)
-      .select("media_id", "modality", "features")
-      .unionByName(extractFeatures(planted, decodeAware = true)
-        .select("media_id", "modality", "features"))
-    val q = feats.filter(col("media_id") === 2L)
-      .select(col("features").as("query_features"))
-    feats.crossJoin(broadcast(q))
-      .withColumn("raw_score",
-        VectorFunctions.cosineUnit(col("features"), col("query_features")))
-      .orderBy(col("raw_score").desc, col("media_id").asc)
-      .limit(10)
-      .select(col("media_id"), col("modality"),
-        round(col("raw_score"), 6).as("score"))
-  }
+  def multimodalVideoKnn(spark: SparkSession, dir: String): DataFrame =
+    mediaSelfKnn(spark, dir, queryId = 2L) // media 2: a real MJPEG AVI
 
   private val multimodalVideoKnnSql =
     """SELECT media_id, 'video' AS modality, 1.0::DOUBLE AS score
