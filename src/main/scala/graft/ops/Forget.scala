@@ -64,10 +64,26 @@ object Forget extends QueryModule {
     * resumes serving them on its next read — the bytes were never
     * touched. Only ids still IN the ledger can be restored; a reclaimed
     * (physically deleted) id is gone, which is exactly the ledger's
-    * retire contract. Concurrent un-forgetters merge like forgetters. */
-  def unforget(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
+    * retire contract. Concurrent un-forgetters merge like forgetters.
+    *
+    * Returns the ids ACTUALLY removed from the ledger (from the same
+    * committed head the CAS applied — the closure runs last on the
+    * winning head). An unforget can race [[reclaimTable]]: between
+    * reclaim's ledger read and its retire commit, the id is still in the
+    * ledger, but its bytes are being physically deleted — the restore is
+    * then a silent no-op. A caller that requires the restore to be real
+    * must check its ids are in the returned set AFTER any concurrent
+    * reclaim's retire (a missing id means reclamation won: the bytes are
+    * gone and no ledger edit can bring them back). */
+  def unforget(spark: SparkSession, root: String,
+      ids: Seq[Long]): Seq[Long] = {
     val drop = ids.map(_.toString).toSet
-    commitBounded(spark, root, head => head.filterNot(drop.contains))
+    var removed: Seq[Long] = Nil
+    commitBounded(spark, root, head => {
+      removed = head.filter(drop.contains).map(_.toLong)
+      head.filterNot(drop.contains)
+    })
+    removed
   }
 
   /** The current forgotten-id set (empty on a fresh root). A vanished

@@ -171,15 +171,34 @@ object LateInteraction extends QueryModule {
   /** The `_tombstones` sidecar read + shape dispatch — the ONE place
     * that knows the two sidecar schemas (a divergent inline copy at any
     * serve/reclaim site could silently change delete semantics there).
-    * Returns (sidecar frame, isWatermark). */
+    * Returns (sidecar frame, isWatermark). The shape check is STRICT:
+    * exactly {doc_id} (id-level delete) or {t_doc_id, upto_seq} (upsert
+    * watermark). A mixed-schema sidecar — a delete's id rows APPENDED to
+    * a watermark, say — would surface the union schema, whose null
+    * t_doc_id/upto_seq rows make the watermark anti-join condition null
+    * and silently RESURRECT deleted docs; failing loudly here is the
+    * contract that keeps one sidecar one delete semantics. Composing a
+    * delete onto an upserted table must merge into the watermark shape
+    * (tombstone the doc at `upto_seq = Long.MaxValue`), not append. */
   private[graft] def tombstoneSidecar(spark: SparkSession,
       path: String): Option[(DataFrame, Boolean)] = {
     val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
     if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(tomb)) None
     else {
-      val t = spark.read.parquet(path + "/_tombstones")
-      Some((t, t.columns.contains("upto_seq")))
+      // mergeSchema: without it a mixed-shape sidecar reads with ONE
+      // file's schema (silently dropping the other shape's rows' columns)
+      // and the strict check below could never see the union
+      val t = spark.read.option("mergeSchema", "true")
+        .parquet(path + "/_tombstones")
+      val cols = t.columns.toSet
+      if (cols == Set("t_doc_id", "upto_seq")) Some((t, true))
+      else if (cols == Set("doc_id")) Some((t, false))
+      else throw new IllegalStateException(
+        s"mixed/unknown _tombstones schema under $path: " +
+          s"${cols.toSeq.sorted.mkString("(", ", ", ")")} — a sidecar is " +
+          "exactly (doc_id) or (t_doc_id, upto_seq); a schema union would " +
+          "null the watermark condition and silently resurrect deletes")
     }
   }
 
@@ -188,7 +207,17 @@ object LateInteraction extends QueryModule {
     * `seq <= upto_seq` rows and keeps the upserted replacement. */
   private[graft] def minusTombstoned(frame: DataFrame, path: String,
       idCol: String = "doc_id"): DataFrame =
-    tombstoneSidecar(frame.sparkSession, path) match {
+    minusTombstonedWith(frame, tombstoneSidecar(frame.sparkSession, path),
+      idCol)
+
+  /** [[minusTombstoned]] over a PRE-READ sidecar — the hoisted form the
+    * routers use so ONE FS-exists probe serves both the route decision
+    * and the serve (the sidecar probe is a namenode round-trip; paying
+    * it twice per query is real at fleet QPS). */
+  private[graft] def minusTombstonedWith(frame: DataFrame,
+      sidecar: Option[(DataFrame, Boolean)],
+      idCol: String = "doc_id"): DataFrame =
+    sidecar match {
       case None => frame
       case Some((t, true)) =>
         frame.join(broadcast(t), frame(idCol) === t("t_doc_id") &&
@@ -200,6 +229,22 @@ object LateInteraction extends QueryModule {
         // caller reclaims a table keyed by another name)
         frame.join(broadcast(t.select(col("doc_id").as(idCol))),
           Seq(idCol), "left_anti")
+    }
+
+  /** The brute arm's corpus-side tombstone exclusion — route symmetry's
+    * other half, ONE definition for both routers: an id-level sidecar
+    * must filter the corpus exactly as it filters the postings, or the
+    * two routes would answer differently on a tombstoned table. A
+    * watermark (upsert) sidecar kills stale POSTINGS only — the serve
+    * corpus already carries the replacement text — so brute needs no
+    * filter there. */
+  private def minusIdTombstoned(corpus: DataFrame,
+      sidecar: Option[(DataFrame, Boolean)]): DataFrame =
+    sidecar match {
+      case Some((t, false)) =>
+        corpus.join(broadcast(t.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      case _ => corpus
     }
 
   /** Two-stage indexed MaxSim (the PLAID shape): candidates from a
@@ -239,9 +284,11 @@ object LateInteraction extends QueryModule {
     // measured route inputs: candidate docs from the pruned probe (the
     // cheap stage, tombstone-resolved so the route prices what the serve
     // would actually scan), corpus docs from a columnar count. The
-    // resolved frame is computed ONCE and reused by the indexed serve —
-    // the probe and the serve price/scan the identical frame.
-    val postings = resolvedPostings(spark, path)
+    // sidecar is probed ONCE (one FS-exists round-trip) and its resolved
+    // frame reused by whichever arm serves — probe, route, and serve all
+    // price/scan the identical frame.
+    val sidecar = tombstoneSidecar(spark, path)
+    val postings = minusTombstonedWith(spark.read.parquet(path), sidecar)
     val candidateDocs = postings
       .filter(col("wb").isin(qBuckets: _*))
       .filter(col("w_hash").isin(qHash: _*))
@@ -251,23 +298,12 @@ object LateInteraction extends QueryModule {
     System.err.println(s"[route] maxsim corpus=$corpusDocs " +
       s"candidates=$candidateDocs -> ${if (indexed) "indexed" else "brute"}")
     if (indexed) servePostingsFrame(spark, corpus, srcText, postings)
-    else {
-      // route symmetry on tombstoned tables: the brute serve must exclude
-      // exactly what the indexed serve's posting resolution excludes, or
-      // the two routes would answer differently on a tombstoned table.
-      // Only the id-level sidecar filters the corpus — a watermark
-      // (upsert) sidecar kills stale POSTINGS, and the serve corpus
-      // already carries the replacement text, so brute needs no filter.
-      // Shape dispatch through the ONE sidecar reader.
-      val served = tombstoneSidecar(spark, path) match {
-        case Some((t, false)) =>
-          corpus.join(broadcast(t.select(col("doc_id"))),
-            Seq("doc_id"), "left_anti")
-        case _ => corpus
-      }
-      maxSimTopK(served, queryVecs(srcText))
+    else
+      // route symmetry on tombstoned tables: the brute serve excludes
+      // exactly what the indexed serve's posting resolution excludes
+      // (id-level shape only — see minusIdTombstoned)
+      maxSimTopK(minusIdTombstoned(corpus, sidecar), queryVecs(srcText))
         .select("doc_id", "score_micro")
-    }
   }
 
   /** The posting writer both lifecycle rows share: distinct (doc,
@@ -926,7 +962,18 @@ object LateInteraction extends QueryModule {
   def maxsimBatchAutoRouteTopk(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, srcs) = batchCorpus(spark, dir)
     val path = batchPostingsPath(spark, dir, corpus)
-    val postings = resolvedPostings(spark, path)
+    batchAutoRoute(spark, corpus, srcs, path, BatchK)
+  }
+
+  /** The measured batch route over any posting table — the driver row's
+    * core, factored so the spec can pin ROUTE SYMMETRY on a tombstoned
+    * table (the single-query router's discipline: an id-level sidecar
+    * filters the brute arm's corpus exactly as it filters the indexed
+    * arm's postings; one sidecar probe serves route + serve). */
+  private[graft] def batchAutoRoute(spark: SparkSession, corpus: DataFrame,
+      srcs: Seq[(Long, String)], path: String, k: Int): DataFrame = {
+    val sidecar = tombstoneSidecar(spark, path)
+    val postings = minusTombstonedWith(spark.read.parquet(path), sidecar)
     val (qHash, qBuckets) = queryProbe(spark, srcs.map(_._2))
     val candidateDocs = postings
       .filter(col("wb").isin(qBuckets: _*))
@@ -936,8 +983,8 @@ object LateInteraction extends QueryModule {
     val indexed = candidateDocs * 2 < corpusDocs
     System.err.println(s"[route] maxsim-batch corpus=$corpusDocs " +
       s"candidates=$candidateDocs -> ${if (indexed) "indexed" else "brute"}")
-    if (indexed) serveBatchPostings(spark, corpus, srcs, postings, BatchK)
-    else bruteBatch(corpus, srcs, BatchK)
+    if (indexed) serveBatchPostings(spark, corpus, srcs, postings, k)
+    else bruteBatch(minusIdTombstoned(corpus, sidecar), srcs, k)
   }
 
   private val maxsimBatchOracle =

@@ -128,7 +128,11 @@ object Multimodal extends QueryModule {
     * actual image bytes any PNG decoder reads. */
   def renderPng(source: Array[Byte], side: Int = 16): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(grayImageOf(source, side), "png", baos)
+    // write() returns false (no exception) when no PNG writer is
+    // registered — an unchecked return would silently render EMPTY
+    // payloads and every downstream decode would fall back to the stub
+    require(javax.imageio.ImageIO.write(grayImageOf(source, side),
+      "png", baos), "renderPng: no registered PNG ImageWriter in this JVM")
     baos.toByteArray
   }
 
@@ -306,7 +310,10 @@ object Multimodal extends QueryModule {
       val slice =
         if (n == 0) Array.empty[Byte] else source.slice(from, math.min(until, n))
       val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(grayImageOf(slice, side), "jpg", baos)
+      // checked like renderPng: a JVM with no JPEG writer must fail
+      // loudly, not mux empty frames into a well-formed AVI
+      require(javax.imageio.ImageIO.write(grayImageOf(slice, side),
+        "jpg", baos), "renderAvi: no registered JPEG ImageWriter in this JVM")
       baos.toByteArray
     }
     val maxFrame = frames.map(_.length).max
@@ -549,22 +556,35 @@ object Multimodal extends QueryModule {
     * defined at the bit level: a JVM upgrade — or a different vendor at
     * the SAME version string — must rebuild, or cached features could
     * diverge from per-serve extraction by low decode bits. The probe
-    * runs on the driver; executors are assumed the same JVM build (the
-    * standard uniform-image cluster deployment Spark itself expects). */
-  private val CodecTag = {
+    * runs on the DRIVER and once on an EXECUTOR (one 1-row job, cached
+    * per JVM): on a heterogeneous deployment whose executors run a
+    * different JVM image, the executor fingerprint moves and the
+    * fixtures rebuild instead of serving features that diverge by low
+    * decode bits from per-serve extraction. */
+  private def jpegFingerprint(): String = {
     val probe = renderAvi(Array.tabulate(256)(_.toByte), nFrames = 1)
     val cells = decodeVideoGrid(probe).getOrElse(Array.empty[Double])
-    val fp = java.security.MessageDigest.getInstance("MD5")
+    java.security.MessageDigest.getInstance("MD5")
       .digest(cells.mkString(",")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(12)
-    s"media:codec:png+wav+avi:v1:jpeg=$fp"
+  }
+
+  @volatile private var codecTagCache: String = null
+  private def codecTag(spark: SparkSession): String = {
+    if (codecTagCache == null) {
+      val driverFp = jpegFingerprint()
+      val execFp = spark.sparkContext.parallelize(Seq(1), 1)
+        .map(_ => jpegFingerprint()).collect().head
+      codecTagCache = s"media:codec:png+wav+avi:v2:jpeg=$driverFp-$execFp"
+    }
+    codecTagCache
   }
 
   def pngMediaCached(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.Tables.scratchPath("graft_media_codec", dir)
     ResultCache.buildIfAbsent(spark,
-      graft.Tables.documents(spark, dir), CodecTag, path) {
+      graft.Tables.documents(spark, dir), codecTag(spark), path) {
       pngMedia(spark, dir).write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)
@@ -579,7 +599,7 @@ object Multimodal extends QueryModule {
   def mediaFeaturesCached(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.Tables.scratchPath("graft_media_feats", dir)
     ResultCache.buildIfAbsent(spark,
-      graft.Tables.documents(spark, dir), s"media:feats:decode:v1:$CodecTag",
+      graft.Tables.documents(spark, dir), s"media:feats:decode:v1:${codecTag(spark)}",
       path) {
       extractFeatures(pngMediaCached(spark, dir), decodeAware = true)
         .write.mode("overwrite").parquet(path)
@@ -592,7 +612,7 @@ object Multimodal extends QueryModule {
   def mediaPhashCached(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.Tables.scratchPath("graft_media_phash", dir)
     ResultCache.buildIfAbsent(spark,
-      graft.Tables.documents(spark, dir), s"media:phash:decode:v1:$CodecTag",
+      graft.Tables.documents(spark, dir), s"media:phash:decode:v1:${codecTag(spark)}",
       path) {
       val hashUdf = udf((c: Array[Byte]) => pHashDecoded(c))
       pngMediaCached(spark, dir)

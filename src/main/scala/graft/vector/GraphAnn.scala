@@ -1308,13 +1308,17 @@ object GraphAnn {
     // the pin: the pinned view stays pure index-version state, so a
     // forget committed after the pin was built flips the very next serve
     // — zero pin rebuild, no ledger state baked into cached broadcasts.
+    // Broadcast per serve (NOT folded into the pin stamp): a large
+    // ledger ships once per serve like the pinned state, not once per
+    // task closure.
+    val bcExcl = spark.sparkContext.broadcast(exclude)
     spark.sparkContext
       .parallelize(queries.map { case (q, v) => (q, v.toSeq) },
         math.max(1, math.min(queries.size, spark.sparkContext.defaultParallelism)))
       .flatMap { case (qid, qv) =>
         residentWalk(bcAdj.value, bcVec.value, qv.toArray, entryIds, beam, hops)
           .toSeq.filterNot { case (id, _) =>
-            bcDead.value.contains(id) || exclude.contains(id) }
+            bcDead.value.contains(id) || bcExcl.value.contains(id) }
           .sortBy { case (id, s) => (-s, id) }.take(k)
           .map { case (id, s) => (qid, id,
             BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
@@ -1359,6 +1363,8 @@ object GraphAnn {
     val bcVec = pin.vec
     val bcDead = pin.dead
     val fixed = pin.entryIds
+    // serve-scoped exclude broadcast — see nswServedSearch
+    val bcExcl = spark.sparkContext.broadcast(exclude)
     spark.sparkContext
       .parallelize(queries.map { case (q, v) => (q, v.toSeq) },
         math.max(1, math.min(queries.size, spark.sparkContext.defaultParallelism)))
@@ -1377,7 +1383,7 @@ object GraphAnn {
         residentWalk(bcAdj0.value, bcVec.value, qv,
             (carried ++ fixed).distinct, beam, hops)
           .toSeq.filterNot { case (id, _) =>
-            bcDead.value.contains(id) || exclude.contains(id) }
+            bcDead.value.contains(id) || bcExcl.value.contains(id) }
           .sortBy { case (id, s) => (-s, id) }.take(k)
           .map { case (id, s) => (qid, id,
             BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }

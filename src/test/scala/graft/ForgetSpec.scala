@@ -124,7 +124,8 @@ class ForgetSpec extends SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("unforget").toString + "/r"
     Forget.forget(spark, root, Seq(3L, 5L))
-    Forget.unforget(spark, root, Seq(3L))
+    assert(Forget.unforget(spark, root, Seq(3L)) === Seq(3L),
+      "unforget must report the ids it actually removed")
     assert(Forget.forgottenIds(spark, root) === Seq(5L))
     // serve-level: the restored id is visible again, the still-forgotten
     // one is not — no store was rewritten in either direction
@@ -133,8 +134,12 @@ class ForgetSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(served === Seq(3L, 4L),
       "the unforgotten doc must serve; the forgotten one must not")
-    // idempotent: un-forgetting an absent id is a no-op
-    Forget.unforget(spark, root, Seq(99L))
+    // idempotent: un-forgetting an absent id is a no-op — and the return
+    // value SAYS so (the reclaim-race surface: an id whose bytes were
+    // physically reclaimed mid-restore comes back as not-removed, so the
+    // caller sees the lost race instead of a silent no-op restore)
+    assert(Forget.unforget(spark, root, Seq(99L)).isEmpty,
+      "restoring an id no longer in the ledger must report nothing removed")
     assert(Forget.forgottenIds(spark, root) === Seq(5L))
   }
 

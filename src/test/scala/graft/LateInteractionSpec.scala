@@ -242,6 +242,58 @@ class LateInteractionSpec extends SparkSpec {
       "the planted copies must hash across both shards")
   }
 
+  test("batch auto-route tombstone parity: the brute arm excludes the id-level sidecar like the indexed arm") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("batchroutetomb").toString
+    val path = base + "/postings"
+    // every doc shares the query's windows, so after the sidecar kills
+    // doc 2 the resolved candidates are {1, 3}: 2·2 ≥ 3 docs → the
+    // measured route picks BRUTE, exactly the arm under test
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    LateInteraction.writePostings(docs, path, "overwrite")
+    Seq(2L).toDF("doc_id")
+      .write.mode("overwrite").parquet(path + "/_tombstones")
+    val srcs = Seq((1L, "alpha beta gamma"))
+    val routed = LateInteraction.batchAutoRoute(spark, docs, srcs, path, 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_micro"))).toSeq
+    assert(!routed.exists(_._2 == 2L),
+      "the brute arm must honor the id-level sidecar — route symmetry " +
+        "on tombstoned tables")
+    assert(routed.map(_._2).toSet === Set(1L, 3L))
+    val indexed = LateInteraction.serveBatchPostings(spark, docs, srcs,
+        LateInteraction.resolvedPostings(spark, path), 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_micro"))).toSeq
+    assert(routed === indexed,
+      "both routes must answer identically on a tombstoned table")
+  }
+
+  test("a mixed-schema tombstone sidecar fails loudly instead of silently resurrecting deletes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("mixedsidecar").toString
+    val path = base + "/postings"
+    LateInteraction.writePostings(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), path, "overwrite")
+    // the composition defect: a delete's id rows APPENDED onto an upsert
+    // watermark — the union schema's null watermark rows would null the
+    // anti-join condition and resurrect the delete
+    Seq(1L).toDF("doc_id")
+      .write.mode("overwrite").parquet(path + "/_tombstones")
+    Seq((2L, 0L)).toDF("t_doc_id", "upto_seq")
+      .write.mode("append").parquet(path + "/_tombstones")
+    val err = intercept[IllegalStateException] {
+      LateInteraction.resolvedPostings(spark, path).collect()
+    }
+    assert(err.getMessage.contains("mixed/unknown _tombstones schema"),
+      s"unexpected error: ${err.getMessage}")
+  }
+
   test("a containing (non-equal) document cannot reach the full-tie score") {
     // the boundary-window property the oracle's token-sequence-equality
     // criterion rests on: text2 CONTAINS text1's token stream, but its
