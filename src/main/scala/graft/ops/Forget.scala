@@ -120,6 +120,40 @@ object Forget extends QueryModule {
     if (ids.isEmpty) df
     else df.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_anti")
   }
+
+  /** DEFAULT-ON exclusion conf: set `spark.graft.forget.root` to a corpus
+    * root and every standing serve tail — the LSH/IVF pruned read-backs,
+    * the quantized coarse passes, the pinned graph walks, the BM25
+    * posting serve, the MaxSim posting serves — applies the root's
+    * ledger automatically, closing the gap between "every serving
+    * surface consults the ledger" and per-row opt-in wiring: a
+    * production deployment arms the conf once instead of remembering
+    * `excludingIds` at each of ~100 serve sites. Unset (the default),
+    * every serve is byte-identical to before — the driver rows wire
+    * their exclusions explicitly against their own scratch roots. */
+  val RootConf = "spark.graft.forget.root"
+
+  private[graft] def defaultRoot(spark: SparkSession): Option[String] =
+    spark.conf.getOption(RootConf).filter(_.trim.nonEmpty)
+
+  /** The serve-tail hook for frame-shaped surfaces: a broadcast anti-join
+    * against the conf root's ledger, or the frame untouched when the conf
+    * is unset. Applied BEFORE the surface's top-k/scoring, so a forgotten
+    * id never under-fills k or pays embedding work. */
+  private[graft] def defaultExclusion(df: DataFrame,
+      idCol: String): DataFrame =
+    defaultRoot(df.sparkSession) match {
+      case Some(root) => excludingIds(df, root, idCol)
+      case None => df
+    }
+
+  /** The serve-tail hook for RESIDENT-pinned surfaces (graph walks),
+    * which take an id SET rather than joining a frame: the conf root's
+    * ledger ids, empty when unset. Callers union it with their explicit
+    * exclude set — it stays serve-tail state, never pin state. */
+  private[graft] def defaultExcludeIds(spark: SparkSession): Set[Long] =
+    defaultRoot(spark).map(forgottenIds(spark, _).toSet)
+      .getOrElse(Set.empty)
   /** Fixture-coupling guard (the ledger/cache decoupling defect): the
     * fixture rows commit their forget INSIDE a `buildIfAbsent` closure
     * whose marker lives on the INDEX path — selective scratch cleanup of

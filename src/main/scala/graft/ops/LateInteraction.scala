@@ -125,7 +125,10 @@ object LateInteraction extends QueryModule {
       maxSimMicro(tokenWindows(text).map(w =>
         Embedding.hashingEmbed(w, TokenDim)), qvecs)
     }
-    corpus.select(col("doc_id"), scoreUdf(col("text")).as("score_micro"))
+    // conf-keyed forget exclusion on the brute lane too (route symmetry:
+    // both arms must honor the default root); no-op with the conf unset
+    Forget.defaultExclusion(corpus, "doc_id")
+      .select(col("doc_id"), scoreUdf(col("text")).as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -345,10 +348,13 @@ object LateInteraction extends QueryModule {
       corpus: DataFrame, srcText: String, postings: DataFrame,
       k: Int = K): DataFrame = {
     val (qHash, qBuckets) = queryProbe(spark, Seq(srcText))
-    val candidates = postings
+    // conf-keyed forget exclusion on the CANDIDATES — before the corpus
+    // semi-join, so the embedder never runs on a forgotten doc; a no-op
+    // with spark.graft.forget.root unset
+    val candidates = Forget.defaultExclusion(postings
       .filter(col("wb").isin(qBuckets: _*))           // partition-pruned
       .filter(col("w_hash").isin(qHash: _*))           // posting equi-filter
-      .select("doc_id").distinct()
+      .select("doc_id").distinct(), "doc_id")
     // semi-join BEFORE scoring: the window embedder runs over candidate
     // docs only, never the corpus — that is the entire point of the
     // posting stage
@@ -906,10 +912,12 @@ object LateInteraction extends QueryModule {
     val qBuckets = qHashRows.map { case (_, h) =>
       ((h % WindowBuckets + WindowBuckets) % WindowBuckets).toInt }.distinct
     // stage 1: candidates per query from ONE pruned scan + tiny equi-join
-    val cands = postings
+    // (conf-keyed forget exclusion rides the candidate stage, before any
+    // embedding — see servePostingsFrame)
+    val cands = Forget.defaultExclusion(postings
       .filter(col("wb").isin(qBuckets: _*))               // partition-pruned
       .join(broadcast(qHashRows.toDF("q_id", "w_hash")), Seq("w_hash"))
-      .select("q_id", "doc_id").distinct()
+      .select("q_id", "doc_id").distinct(), "doc_id")
     // stage 2: per-doc query lists, so each doc embeds once
     val perDoc = cands.groupBy("doc_id")
       .agg(collect_set(col("q_id")).as("q_ids"))

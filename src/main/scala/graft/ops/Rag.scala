@@ -460,8 +460,14 @@ object Rag extends QueryModule {
     */
   def bm25IndexedScores(spark: SparkSession, path: String,
       qTerms: Seq[String]): DataFrame = {
-    val postings = spark.read.parquet(path + "/postings")
-      .filter(col("term").isin(qTerms: _*)) // pushed: k posting lists
+    // conf-keyed forget exclusion on the pruned posting read — a
+    // forgotten doc's postings never score; no-op with the conf unset
+    // (corpus stats keep the forgotten doc until reclaim, the standard
+    // stale-stats tolerance of every inverted index)
+    val postings = Forget.defaultExclusion(
+      spark.read.parquet(path + "/postings")
+        .filter(col("term").isin(qTerms: _*)), // pushed: k posting lists
+      "doc_id")
     val dfs = spark.read.parquet(path + "/dfs")
       .filter(col("term").isin(qTerms: _*))
     val stats = spark.read.parquet(path + "/stats")

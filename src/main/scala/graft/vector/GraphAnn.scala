@@ -710,6 +710,9 @@ object GraphAnn {
       exclude: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val visitedIds = visited.keys.toSeq
+    // conf-keyed forget exclusion joins the caller's serve-tail set —
+    // emission-side like every exclude, so the walk itself is untouched
+    val excl = exclude ++ graft.ops.Forget.defaultExcludeIds(spark)
     val dead: Set[Long] =
       if (visitedIds.isEmpty) Set.empty
       else readNswTombstones(spark, path)
@@ -726,7 +729,7 @@ object GraphAnn {
         }
     }
     visited.toSeq.filter { case (id, _) =>
-        !dead.contains(id) && !exclude.contains(id) && pass(id) }
+        !dead.contains(id) && !excl.contains(id) && pass(id) }
       .sortBy { case (id, s) => (-s, id) }.take(k)
       .map { case (id, s) =>
         (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -1069,6 +1072,8 @@ object GraphAnn {
       k: Int, exclude: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val visitedAll = visited.values.flatMap(_.keys).toSeq.distinct
+    // conf-keyed forget exclusion joins the caller's set (see emitTopK)
+    val excl = exclude ++ graft.ops.Forget.defaultExcludeIds(spark)
     val dead: Set[Long] =
       if (visitedAll.isEmpty) Set.empty
       else readNswTombstones(spark, path)
@@ -1076,7 +1081,7 @@ object GraphAnn {
         .collect().map(_.getLong(0)).toSet
     queries.flatMap { case (qid, _) =>
       visited(qid).toSeq.filterNot { case (id, _) =>
-          dead.contains(id) || exclude.contains(id) }
+          dead.contains(id) || excl.contains(id) }
         .sortBy { case (id, s) => (-s, id) }.take(k)
         .map { case (id, s) => (qid, id,
           BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
@@ -1310,8 +1315,9 @@ object GraphAnn {
     // — zero pin rebuild, no ledger state baked into cached broadcasts.
     // Broadcast per serve (NOT folded into the pin stamp): a large
     // ledger ships once per serve like the pinned state, not once per
-    // task closure.
-    val bcExcl = spark.sparkContext.broadcast(exclude)
+    // task closure. The conf-keyed default root's ids join here too.
+    val bcExcl = spark.sparkContext.broadcast(
+      exclude ++ graft.ops.Forget.defaultExcludeIds(spark))
     spark.sparkContext
       .parallelize(queries.map { case (q, v) => (q, v.toSeq) },
         math.max(1, math.min(queries.size, spark.sparkContext.defaultParallelism)))
@@ -1364,7 +1370,8 @@ object GraphAnn {
     val bcDead = pin.dead
     val fixed = pin.entryIds
     // serve-scoped exclude broadcast — see nswServedSearch
-    val bcExcl = spark.sparkContext.broadcast(exclude)
+    val bcExcl = spark.sparkContext.broadcast(
+      exclude ++ graft.ops.Forget.defaultExcludeIds(spark))
     spark.sparkContext
       .parallelize(queries.map { case (q, v) => (q, v.toSeq) },
         math.max(1, math.min(queries.size, spark.sparkContext.defaultParallelism)))

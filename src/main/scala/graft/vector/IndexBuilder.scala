@@ -185,8 +185,11 @@ object IndexBuilder {
       radius: Int): DataFrame = {
     val qSig = lsh.signature(queryVec)
     val probeSet = lsh.probes(qSig, radius)
-    withLshBucket(corpus, embCol, lsh)
-      .filter(col("bucket").isin(probeSet: _*))
+    // conf-keyed forget exclusion BEFORE the top-k (after it would
+    // under-fill k); a no-op when spark.graft.forget.root is unset
+    graft.ops.Forget.defaultExclusion(
+        withLshBucket(corpus, embCol, lsh)
+          .filter(col("bucket").isin(probeSet: _*)), idCol)
       .withColumn("score",
         round(VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)), 6))
       .orderBy(col("score").desc, col(idCol).asc)
@@ -571,8 +574,9 @@ object IndexBuilder {
       seed: Long): DataFrame = {
     val (clustered, centers) = withIvfCluster(corpus, embCol, numClusters, seed)
     val probeIds = nearestClusters(centers, queryVec, nProbe)
-    clustered
-      .filter(col("cluster_id").isin(probeIds: _*))
+    // conf-keyed forget exclusion before the top-k (see lshTopK)
+    graft.ops.Forget.defaultExclusion(
+        clustered.filter(col("cluster_id").isin(probeIds: _*)), idCol)
       .withColumn("score",
         round(VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)), 6))
       .orderBy(col("score").desc, col(idCol).asc)

@@ -132,13 +132,16 @@ object ProductQuantization {
   def pqSearchEncoded(encoded: DataFrame, embCol: String, idCol: String,
       books: Array[Array[Array[Double]]], queryVec: Array[Float],
       k: Int, overscan: Int): DataFrame = {
-    val scored = adcScores(encoded, adcTable(books, queryVec))
+    // conf-keyed forget exclusion BEFORE the ADC coarse pass — a
+    // forgotten id never even coarse-scores; no-op with the conf unset
+    val served = graft.ops.Forget.defaultExclusion(encoded, idCol)
+    val scored = adcScores(served, adcTable(books, queryVec))
     val cutRow = scored.select(col("adc_score"))
       .orderBy(col("adc_score").desc).limit(k * overscan)
       .agg(min(col("adc_score"))).head()
     // empty candidate set (empty corpus / fully-pruned scan): min is NULL
     if (cutRow.isNullAt(0))
-      return encoded.select(col(idCol), lit(0.0d).as("score")).limit(0)
+      return served.select(col(idCol), lit(0.0d).as("score")).limit(0)
     val cutoff = cutRow.getDouble(0)
     scored.filter(col("adc_score") >= cutoff)
       .withColumn("score", round(

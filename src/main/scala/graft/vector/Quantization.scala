@@ -93,9 +93,12 @@ object Quantization {
     */
   def quantizedKnn(corpus: DataFrame, embCol: String, idCol: String,
       queryVec: Array[Float], k: Int, overscan: Int = 4): DataFrame = {
+    // conf-keyed forget exclusion BEFORE the coarse pass — a forgotten
+    // id never even quantize-scores; no-op with the conf unset
+    val served = graft.ops.Forget.defaultExclusion(corpus, idCol)
     val quantized =
-      if (corpus.columns.contains("q_scale") && corpus.columns.contains("q_codes")) corpus
-      else withQuantized(corpus, embCol)
+      if (served.columns.contains("q_scale") && served.columns.contains("q_codes")) served
+      else withQuantized(served, embCol)
     val scored = coarseScores(quantized, queryVec)
     // boundary quantized score of the overscan set: one TakeOrdered over
     // the codes, one scalar to the driver

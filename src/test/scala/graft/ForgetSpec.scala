@@ -309,6 +309,67 @@ class ForgetSpec extends SparkSpec {
       s"batch walk must exclude at the tail and still fill k: $batch")
   }
 
+  test("spark.graft.forget.root arms default-on exclusion at the standing serve tails") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.LateInteraction
+    val base = java.nio.file.Files
+      .createTempDirectory("fgtconf").toString
+    val root = base + "/root"
+    // three standing tails, NONE wired with excludingIds: the LSH pruned
+    // serve core, the MaxSim posting serve, and the BM25 indexed serve
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val corpus = e.unionByName(
+      e.filter(col("vec_id") === 0L)
+        .select(org.apache.spark.sql.functions.lit(900001L).as("vec_id"),
+          col("embedding")))
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val postings = base + "/postings"
+    LateInteraction.writePostings(docs, postings, "overwrite")
+    val bm25 = base + "/bm25"
+    graft.ops.Rag.buildBm25Index(docs, bm25)
+    Forget.forget(spark, root, Seq(900001L, 2L))
+    def lshServe() = graft.vector.IndexBuilder.lshTopK(corpus,
+        "embedding", "vec_id", graft.ops.AnnIndex.defaultLsh, qv,
+        k = 5, radius = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    def maxsimServe() = LateInteraction.servePostings(spark, docs,
+        "alpha beta gamma", postings)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    def bm25Serve() = graft.ops.Rag.bm25IndexedScores(spark, bm25,
+        Seq("alpha")).collect().map(_.getAs[Long]("doc_id")).toSeq
+    // UNARMED (the 271 standing rows' state): the ledger exists but no
+    // serve consults it — byte-identical behavior to before the conf
+    assert(lshServe().contains(900001L))
+    assert(maxsimServe().toSet === Set(1L, 2L))
+    assert(bm25Serve().toSet === Set(1L, 2L))
+    spark.conf.set(Forget.RootConf, root)
+    try {
+      val lsh = lshServe()
+      assert(!lsh.contains(900001L) && lsh.contains(0L),
+        s"the armed conf must exclude the forgotten vector and still " +
+          s"fill k from survivors: $lsh")
+      assert(maxsimServe() === Seq(1L),
+        "the posting serve must drop the forgotten doc at the candidate " +
+          "stage")
+      assert(bm25Serve() === Seq(1L),
+        "the lexical serve must drop the forgotten doc's postings")
+      // the exclusion must not break partition pruning on the pruned
+      // posting probe (the ForgetSpec pruning discipline under the conf)
+      val plan = LateInteraction.servePostings(spark, docs,
+        "alpha beta gamma", postings).queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") &&
+        !plan.replaceAll("(?s).*PartitionFilters: \\[", "").startsWith("]"),
+        s"armed exclusion must not block wb= partition pruning:\n$plan")
+    } finally spark.conf.unset(Forget.RootConf)
+    // unset restores the exact pre-conf serves (opt-in again)
+    assert(lshServe().contains(900001L))
+    assert(maxsimServe().toSet === Set(1L, 2L))
+  }
+
   test("a forget flips a RESIDENT-pinned graph serve with zero pin rebuild") {
     import graft.vector.GraphAnn
     import org.apache.spark.sql.functions.col
