@@ -419,6 +419,80 @@ object Forget extends QueryModule {
       .orderBy("rank")
   }
 
+  /** The UN-FORGET row — the legal-hold flip as a first-class serve:
+    * ELEVEN copies of doc 0 planted, TWO forgotten in one commit, ONE
+    * restored by `unforget` — the ledger ends at exactly {100001}, and
+    * two surfaces (doc-embedding knn, the training-export scan) must
+    * serve the RESTORED copy again while still excluding the
+    * still-forgotten one. The whole point of logical deletion: the
+    * restore touched no store — one CAS commit and the next read serves
+    * the bytes that were never rewritten. No fixture marker: the row
+    * re-establishes the forget→unforget sequence whenever the ledger
+    * head is not the expected final state (the ledger root is exclusive
+    * to this row), so the real `unforget` — and its returned
+    * actually-removed set — exercises on every fresh scratch. */
+  def forgetUnforgetTopk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val srcText = d.filter(col("doc_id") === 0L)
+      .select("text").head().getString(0)
+    import spark.implicits._
+    val copies = (0 until (Copies + 1))
+      .map(i => (PlantedBase + i, srcText)).toDF("doc_id", "text")
+    val corpus = d.unionByName(copies)
+    val root = Tables.scratchPath("forget_unfgt", dir)
+    if (forgottenIds(spark, root).toSet != Set(PlantedBase + 1)) {
+      forget(spark, root, Seq(PlantedBase, PlantedBase + 1))
+      val restored = unforget(spark, root, Seq(PlantedBase))
+      require(restored == Seq(PlantedBase),
+        s"unforget must report the restored id, got $restored — a lost " +
+          "reclaim race would surface here instead of no-op'ing")
+    }
+    val served = excludingIds(corpus, root)
+    val qv = Embedding.hashingEmbed(srcText, TokenDim)
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, TokenDim))
+    val knn = served
+      .withColumn("score", round(graft.vector.VectorFunctions.cosineUnit(
+        embed(col("text")), typedlit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(K)
+      .select(lit("knn").as("surface"), col("doc_id"))
+    val export = served.filter(col("doc_id") >= PlantedBase)
+      .orderBy("doc_id").limit(K)
+      .select(lit("export").as("surface"), col("doc_id"))
+    knn.unionByName(export)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("surface").orderBy("doc_id")))
+      .select("surface", "rank", "doc_id")
+      .orderBy("surface", "rank")
+  }
+
+  /** Ties: doc 0's twins, the RESTORED copy 100000, and the untouched
+    * copies 100002..100010 — the still-forgotten 100001 in neither
+    * surface; both surfaces rank their tie set by id at k=10. */
+  private val forgetUnforgetOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |q AS (SELECT tk FROM toks WHERE doc_id = 0),
+      |ties AS (
+      |  SELECT t.doc_id FROM toks t, q WHERE t.tk = q.tk
+      |  UNION ALL
+      |  SELECT CAST(100000 AS BIGINT)
+      |  UNION ALL
+      |  SELECT d.doc_id + 100002 FROM documents d WHERE d.doc_id < 9)
+      |SELECT surface, CAST(row_number() OVER (
+      |    PARTITION BY surface ORDER BY doc_id) AS INT) AS rank, doc_id
+      |FROM (
+      |  SELECT 'knn' AS surface, doc_id
+      |  FROM (SELECT doc_id FROM ties ORDER BY doc_id LIMIT 10)
+      |  UNION ALL
+      |  SELECT 'export', doc_id
+      |  FROM (SELECT doc_id FROM ties WHERE doc_id >= 100000
+      |        ORDER BY doc_id LIMIT 10))
+      |ORDER BY surface, rank""".stripMargin
+
   /** Only the nine surviving sentinel carriers can match; rank by id. */
   private val forgetBm25Oracle =
     """SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank,
@@ -799,6 +873,7 @@ object Forget extends QueryModule {
       "forget_ann_families_topk" -> forgetAnnFamiliesTopk,
       "forget_reclaimed_export" -> forgetReclaimedExport,
       "snapshot_forget_atomic" -> snapshotForgetAtomic,
+      "forget_unforget_topk" -> forgetUnforgetTopk,
       "streaming_forget_retrieval" -> streamingForgetRetrieval)
 
   override def oracles: Map[String, String] =
@@ -808,5 +883,6 @@ object Forget extends QueryModule {
       "forget_ann_families_topk" -> forgetAnnFamiliesOracle,
       "forget_reclaimed_export" -> forgetReclaimedExportOracle,
       "snapshot_forget_atomic" -> snapshotForgetOracle,
+      "forget_unforget_topk" -> forgetUnforgetOracle,
       "streaming_forget_retrieval" -> streamingForgetOracle)
 }

@@ -309,6 +309,23 @@ class ForgetSpec extends SparkSpec {
       s"batch walk must exclude at the tail and still fill k: $batch")
   }
 
+  test("forget_unforget_topk: the restored copy serves again; the still-forgotten one does not") {
+    val out = SparkEntry.queries("forget_unforget_topk")(spark, sf).collect()
+    val bySurface = out.groupBy(_.getAs[String]("surface"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSeq).toMap
+    assert(bySurface.keySet === Set("knn", "export"))
+    bySurface.foreach { case (s, ids) =>
+      assert(ids.contains(100000L),
+        s"surface $s must serve the RESTORED copy — the unforget commit " +
+          "flips the next read with no store rewrite")
+      assert(!ids.contains(100001L),
+        s"surface $s must still exclude the never-restored copy")
+    }
+    assert(bySurface("knn") ===
+      (0L +: 100000L +: (100002L to 100009L)))
+    assert(bySurface("export") === (100000L +: (100002L to 100010L)))
+  }
+
   test("spark.graft.forget.root arms default-on exclusion at the standing serve tails") {
     val spark2 = spark
     import spark2.implicits._
