@@ -721,6 +721,91 @@ object LateInteraction extends QueryModule {
       |  FROM (SELECT doc_id FROM ties2 ORDER BY doc_id LIMIT 5))
       |ORDER BY version, doc_id""".stripMargin
 
+  /** SNAPSHOT+FORGET COMPOSED onto the REAL versioned posting index —
+    * the composed manifest (`Forget.commitSnapshotForget`: namespaced
+    * `file:`/`forget:` lines, ONE CAS commit) driving an actual index's
+    * time travel instead of a demo document table: v1 publishes the base
+    * postings; ONE composed commit then publishes the appended copies'
+    * files AND forgets two ids — one from the append itself (99000) and
+    * one from v1's files (100000). Resolving a version yields its
+    * (files, forgotten) PAIR by construction, so:
+    *   - v1 serves its full tie set INCLUDING 100000 — the forget did
+    *     not retro-apply to the pinned version (snapshot isolation);
+    *   - v2 serves the union MINUS both forgotten ids, with the
+    *     exclusion applied to the pinned posting frame BEFORE candidate
+    *     generation (the embedder never runs on a forgotten doc), and no
+    *     readable state ever has v2's files without v2's forgets.
+    * Per-version k equals the tie-set size (5 and 9), so every surviving
+    * tie is visible and every emitted row enumerable — a torn version, a
+    * retro-applied forget, or a leaked forgotten id all perturb the
+    * answer. */
+  def maxsimSnapshotForgetTopk(spark: SparkSession, dir: String): DataFrame = {
+    val fx = versionedFixture(spark, dir, "maxsim_postings_sf")
+    val corpus2 = fx.d.unionByName(fx.copiesA).unionByName(fx.copiesB)
+    ResultCache.buildIfAbsent(spark, corpus2,
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=snapfgt:v1",
+      Tables.scratchPath("maxsim_postings_sf", dir)) {
+      writePostings(fx.d.unionByName(fx.copiesA), fx.data, "overwrite")
+      val v1Files = leafFiles(spark, fx.data)
+      Forget.commitSnapshotForget(spark, fx.log, v1Files, Nil)
+      writePostings(fx.copiesB, fx.data, "append")
+      val newFiles =
+        (leafFiles(spark, fx.data).toSet -- v1Files).toSeq.sorted
+      require(newFiles.nonEmpty, "append published no posting files")
+      // THE composed commit: files + forgets, atomically one version
+      Forget.commitSnapshotForget(spark, fx.log, newFiles,
+        Seq(99000L, PlantedBase))
+    }
+    import spark.implicits._
+    // k per version EQUALS its tie-set size (1 + surviving copies), so
+    // every emitted row is enumerable — a larger k would fill the tail
+    // with data-dependent scores the oracle cannot reconstruct
+    def serve(v: Long, corpusV: DataFrame, k: Int): DataFrame = {
+      val (files, forgotten) = Forget.readSnapshotForget(spark, fx.log, v)
+      val raw = spark.read.option("basePath", fx.data).parquet(files: _*)
+      val postings =
+        if (forgotten.isEmpty) raw
+        else raw.join(broadcast(forgotten.toSeq.toDF("doc_id")),
+          Seq("doc_id"), "left_anti")
+      servePostingsFrame(spark, corpusV, fx.srcText, postings, k)
+        .withColumn("version", lit(v))
+    }
+    serve(1L, fx.d.unionByName(fx.copiesA), k = 5)
+      .unionByName(serve(2L, corpus2, k = 9))
+      .select("version", "doc_id", "score_micro")
+      .orderBy("version", "doc_id")
+  }
+
+  /** v1: doc 0's twins + ALL five high-id copies (100000 included — no
+    * retro-application); v2: the twins + the surviving copies of both
+    * generations, both forgotten ids absent. */
+  private val maxsimSnapshotForgetOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |q AS (SELECT tk FROM toks WHERE doc_id = 0),
+      |ties1 AS (
+      |  SELECT t.doc_id FROM toks t, q WHERE t.tk = q.tk
+      |  UNION ALL
+      |  SELECT d.doc_id + 100000 FROM documents d WHERE d.doc_id < 5),
+      |ties2 AS (
+      |  SELECT t.doc_id FROM toks t, q WHERE t.tk = q.tk
+      |  UNION ALL
+      |  SELECT d.doc_id + 99001 FROM documents d WHERE d.doc_id < 4
+      |  UNION ALL
+      |  SELECT d.doc_id + 100001 FROM documents d WHERE d.doc_id < 4),
+      |s AS (SELECT len(tk)::BIGINT * 1000000 AS sm FROM q)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version, doc_id,
+      |         (SELECT sm FROM s) AS score_micro
+      |  FROM (SELECT doc_id FROM ties1 ORDER BY doc_id LIMIT 5)
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), doc_id, (SELECT sm FROM s)
+      |  FROM (SELECT doc_id FROM ties2 ORDER BY doc_id LIMIT 9))
+      |ORDER BY version, doc_id""".stripMargin
+
   /** Reclamation closes the versioned-posting loop — the Iceberg
     * expire-then-vacuum shape the other families' vacuum rows pin: a
     * COMPACTION rewrite publishes v3 as all-new files, versions 1-2
@@ -1017,6 +1102,7 @@ object LateInteraction extends QueryModule {
     "maxsim_deleted_topk" -> maxsimDeletedTopk,
     "maxsim_compacted_topk" -> maxsimCompactedTopk,
     "maxsim_time_travel_topk" -> maxsimTimeTravelTopk,
+    "maxsim_snapshot_forget_topk" -> maxsimSnapshotForgetTopk,
     "maxsim_auto_route_topk" -> maxsimAutoRouteTopk,
     "maxsim_vacuumed_topk" -> maxsimVacuumedTopk,
     "maxsim_batch_topk" -> maxsimBatchTopk,
@@ -1033,6 +1119,7 @@ object LateInteraction extends QueryModule {
     "maxsim_deleted_topk" -> maxsimDeletedOracle,
     "maxsim_compacted_topk" -> maxsimOracle,
     "maxsim_time_travel_topk" -> maxsimTimeTravelOracle,
+    "maxsim_snapshot_forget_topk" -> maxsimSnapshotForgetOracle,
     "maxsim_auto_route_topk" -> maxsimOracle,
     "maxsim_vacuumed_topk" -> maxsimVacuumedOracle,
     "maxsim_batch_topk" -> maxsimBatchOracle,

@@ -140,6 +140,35 @@ class LateInteractionSpec extends SparkSpec {
           (referenced -- onDisk).size} missing")
   }
 
+  test("maxsim_snapshot_forget_topk: one composed commit publishes files AND forgets; v1 pinned, v2 excluded") {
+    val out = SparkEntry.queries("maxsim_snapshot_forget_topk")(spark, sf)
+      .collect()
+    val v1 = out.filter(_.getAs[Long]("version") == 1L)
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val v2 = out.filter(_.getAs[Long]("version") == 2L)
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(v1.contains(100000L),
+      "the composed forget must NOT retro-apply to the pinned v1")
+    assert(!v1.exists(id => id >= 99000L && id <= 99004L),
+      "v1 must not see the files the composed commit published")
+    assert(!v2.contains(99000L) && !v2.contains(100000L),
+      "v2 must exclude BOTH forgotten ids — appended and v1-resident")
+    assert((99001L to 99004L).forall(v2.contains) &&
+      (100001L to 100004L).forall(v2.contains),
+      s"v2 must serve every surviving copy of both generations: $v2")
+    // the manifest really is ONE composed version carrying both halves
+    val log = Tables.scratchPath("maxsim_postings_sf", sf) + "/log"
+    val (files1, forgotten1) =
+      graft.ops.Forget.readSnapshotForget(spark, log, 1L)
+    val (files2, forgotten2) =
+      graft.ops.Forget.readSnapshotForget(spark, log, 2L)
+    assert(forgotten1.isEmpty && files1.nonEmpty)
+    assert(forgotten2 === Set(99000L, 100000L))
+    assert(files1.toSet.subsetOf(files2.toSet) &&
+      files2.size > files1.size,
+      "v2 must carry v1's files plus the appended generation")
+  }
+
   test("maxsim_auto_route_topk: the routed serve equals the indexed row, and the route inputs are sane") {
     val routed = SparkEntry.queries("maxsim_auto_route_topk")(spark, sf)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
