@@ -316,6 +316,18 @@ object Multimodal extends QueryModule {
         "jpg", baos), "renderAvi: no registered JPEG ImageWriter in this JVM")
       baos.toByteArray
     }
+    muxAvi(frames, side)
+  }
+
+  /** Mux PRE-ENCODED frame chunks into a well-formed MJPEG AVI —
+    * renderAvi's container around EXISTING frame bytes. This is the
+    * remux half of re-encode/trim provenance: a trimmed copy built here
+    * keeps its surviving frames byte-identical to the original's, which
+    * is exactly what the per-frame near-dup lane detects and the
+    * whole-video mean-grid hash cannot (dropping a frame moves the
+    * mean grid of every surviving cell). */
+  def muxAvi(frames: Seq[Array[Byte]], side: Int = 16): Array[Byte] = {
+    require(frames.nonEmpty, "muxAvi: no frames")
     val maxFrame = frames.map(_.length).max
     val avih = riffChunk("avih", le32(100000) ++ le32(0) ++ le32(0) ++
       le32(0) ++ le32(frames.length) ++ le32(0) ++ le32(1) ++
@@ -886,17 +898,117 @@ object Multimodal extends QueryModule {
       |FROM documents WHERE doc_id < 30 AND length(text) > 0
       |ORDER BY media_a""".stripMargin
 
+  // ---- TEMPORAL video near-dup (per-frame aHash + banded join) -------
+
+  /** Trimmed remux: demux the AVI, drop the first `dropFrames` frames,
+    * re-mux the rest BYTE-IDENTICAL — the provenance shape of a trimmed
+    * re-containered copy. None when the payload is not an AVI or nothing
+    * would survive the trim. */
+  def remuxAviDropFirst(content: Array[Byte],
+      dropFrames: Int = 1, side: Int = 16): Option[Array[Byte]] =
+    aviFrameChunks(content).filter(_.length > dropFrames)
+      .map(ch => muxAvi(ch.drop(dropFrames), side))
+
+  /** Per-frame aHash of an AVI payload: every demuxed frame decodes
+    * through the SAME ImageIO lane the image hash uses and hashes with
+    * the shared aHash stage (byte-stub fallback per frame). Non-AVI
+    * payloads yield no rows — the temporal lane is video-only. */
+  def videoFrameHashes(content: Array[Byte]): Seq[Long] =
+    aviFrameChunks(content)
+      .map(_.map(f => decodeToGrid(f, 8).map(aHashBits).getOrElse(pHash(f))))
+      .getOrElse(Seq.empty)
+
+  /** Per-frame hashes of the codec media's VIDEO rows as a STANDING
+    * fixture (the mediaPhashCached discipline on the temporal lane);
+    * chains the codec tag so a codec change rebuilds. Schema:
+    * (media_id, frame_idx, fh). */
+  def mediaFrameHashCached(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.Tables.scratchPath("graft_media_framehash", dir)
+    ResultCache.buildIfAbsent(spark,
+      graft.Tables.documents(spark, dir),
+      s"media:framehash:decode:v1:${codecTag(spark)}", path) {
+      val fhUdf = udf((c: Array[Byte]) => videoFrameHashes(c))
+      pngMediaCached(spark, dir).filter(col("modality") === "video")
+        .select(col("media_id"),
+          posexplode(fhUdf(col("content"))).as(Seq("frame_idx", "fh")))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** TEMPORAL near-dup pairs over per-frame hashes: two videos pair when
+    * ANY frame pair lands within the hamming bound — so a trimmed or
+    * re-containered copy (surviving frames byte-identical) pairs at
+    * hamming 0 even though its WHOLE-video mean-grid hash moved with the
+    * frame set. Candidates come from the same 8×8-bit-chunk pigeonhole
+    * equi-join as the image lane, at FRAME granularity; the per-video
+    * reduction is a min over matched frame pairs. 100 TB: payloads never
+    * shuffle — nFrames (id, frame, hash) rows per video band through the
+    * exchange, 8 chunk rows each, and the pigeonhole bounds candidates
+    * to chunk-equal frame pairs exactly as in the image lane. */
+  def videoNearDupesHashed(frameHashes: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit banding only pigeonholes hamming <= 7")
+    val chunks = frameHashes.select(col("media_id"), col("fh"),
+      posexplode(expr(
+        "transform(sequence(0, 7), c -> (fh >> (c * 8)) & 255)"))
+        .as(Seq("chunk_idx", "chunk")))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        expr("CAST(bit_count(a.fh ^ b.fh) AS BIGINT)").as("hamming"))
+      // filter BEFORE the per-pair reduction, as in the image lane
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("media_a", "media_b")
+      .agg(min(col("hamming")).as("min_hamming"))
+  }
+
+  /** Driver row: a TRIMMED copy (first frame dropped, survivors
+    * byte-identical through the remux) of every video with media_id < 30
+    * is planted at media_id + 900000; the per-frame banded join must
+    * pair each original with its trimmed copy at min hamming 0 — found
+    * through frames that decode identically, which the whole-video hash
+    * lane provably cannot guarantee (the mean grid moves with the frame
+    * set). Corpus frame hashes come from the standing fixture; the ~10
+    * planted copies remux + hash per serve through the same lanes. */
+  def videoPhashNearDupes(spark: SparkSession, dir: String): DataFrame = {
+    val remuxUdf = udf((c: Array[Byte]) => remuxAviDropFirst(c).orNull)
+    val fhUdf = udf((c: Array[Byte]) => videoFrameHashes(c))
+    val planted = pngMediaCached(spark, dir)
+      .filter(col("modality") === "video" && col("media_id") < 30)
+      .select((col("media_id") + 900000L).as("media_id"),
+        remuxUdf(col("content")).as("content"))
+      .select(col("media_id"),
+        posexplode(fhUdf(col("content"))).as(Seq("frame_idx", "fh")))
+    val hashes = mediaFrameHashCached(spark, dir).unionByName(planted)
+    videoNearDupesHashed(hashes, maxHamming = 7)
+      .filter(col("media_b") === col("media_a") + 900000L)
+      .orderBy("media_a")
+  }
+
+  private val videoPhashNearDupesSql =
+    """SELECT doc_id AS media_a, doc_id + 900000 AS media_b,
+      |       CAST(0 AS BIGINT) AS min_hamming
+      |FROM documents WHERE doc_id % 3 = 2 AND doc_id < 30
+      |  AND length(text) > 0
+      |ORDER BY media_a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stats" -> multimodalStats,
     "multimodal_knn" -> multimodalKnn,
     "multimodal_video_knn" -> multimodalVideoKnn,
     "multimodal_planted_pairs" -> multimodalPlantedPairs,
-    "phash_planted_pairs" -> phashPlantedPairs)
+    "phash_planted_pairs" -> phashPlantedPairs,
+    "video_phash_near_dupes" -> videoPhashNearDupes)
 
   def oracles: Map[String, String] = Map(
     "multimodal_stats" -> multimodalStatsSql,
     "multimodal_knn" -> multimodalKnnSql,
     "multimodal_video_knn" -> multimodalVideoKnnSql,
     "multimodal_planted_pairs" -> multimodalPlantedPairsSql,
-    "phash_planted_pairs" -> phashPlantedPairsSql)
+    "phash_planted_pairs" -> phashPlantedPairsSql,
+    "video_phash_near_dupes" -> videoPhashNearDupesSql)
 }

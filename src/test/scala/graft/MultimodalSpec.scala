@@ -324,6 +324,58 @@ class MultimodalSpec extends SparkSpec {
       "the decoded video hash must not be the byte-stub hash")
   }
 
+  test("remuxAviDropFirst keeps the surviving frames byte-identical") {
+    val src = Array.tabulate(300)(i => (i * 7).toByte)
+    val avi = Multimodal.renderAvi(src, nFrames = 3)
+    val orig = Multimodal.aviFrameChunks(avi).get
+    val trimmed = Multimodal.remuxAviDropFirst(avi).get
+    val tf = Multimodal.aviFrameChunks(trimmed).get
+    assert(tf.length === orig.length - 1)
+    tf.zip(orig.drop(1)).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b),
+        "a remuxed frame must be byte-identical to its source frame") }
+    assert(Multimodal.remuxAviDropFirst(avi, dropFrames = 3).isEmpty,
+      "a trim that leaves no frames must decline, not mux an empty AVI")
+    assert(Multimodal.remuxAviDropFirst(
+      "not an avi".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("temporal near-dup pairs a trimmed copy; the whole-video hash provably moved") {
+    val spark2 = spark
+    import spark2.implicits._
+    val src = Array.tabulate(400)(i => (i * 13).toByte)
+    val avi = Multimodal.renderAvi(src, nFrames = 3)
+    val trimmed = Multimodal.remuxAviDropFirst(avi).get
+    val rows = Seq((1L, avi), (2L, trimmed)).flatMap { case (id, payload) =>
+      Multimodal.videoFrameHashes(payload).zipWithIndex
+        .map { case (fh, i) => (id, i, fh) }
+    }.toDF("media_id", "frame_idx", "fh")
+    val pairs = Multimodal.videoNearDupesHashed(rows, maxHamming = 7)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("media_a") === 1L)
+    assert(pairs.head.getAs[Long]("media_b") === 2L)
+    assert(pairs.head.getAs[Long]("min_hamming") === 0L,
+      "surviving frames are byte-identical, so the best frame pair ties")
+    // the motivation: the WHOLE-video mean-grid hash moved with the
+    // frame set (if these ever tie the temporal lane is not adding
+    // detection power on this fixture — pick a different src)
+    assert(Multimodal.pHashDecoded(avi) !== Multimodal.pHashDecoded(trimmed))
+  }
+
+  test("video_phash_near_dupes: every planted trimmed copy pairs at hamming 0") {
+    val out = SparkEntry.queries("video_phash_near_dupes")(spark, sf)
+      .collect()
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 2 && col("doc_id") < 30 &&
+        length(col("text")) > 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out.map(_.getAs[Long]("media_a")).toSeq === expected)
+    assert(out.forall(r =>
+      r.getAs[Long]("media_b") === r.getAs[Long]("media_a") + 900000L))
+    assert(out.forall(_.getAs[Long]("min_hamming") === 0L))
+  }
+
   test("pngMedia: video rows carry real AVI payloads whose frames decode") {
     val vids = Multimodal.pngMedia(spark, sf)
       .filter(col("modality") === "video").limit(3)
