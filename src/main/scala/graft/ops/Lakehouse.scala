@@ -825,8 +825,9 @@ object Lakehouse extends QueryModule {
   // ---- schema evolution ----
 
   /** Additive schema evolution: generation 1 files lack a column that
-    * generation 2 adds (the only always-safe evolution; renames/drops
-    * need a column-mapping catalog). A `mergeSchema` read unifies the
+    * generation 2 adds (the only evolution safe WITHOUT a catalog;
+    * renames read through [[columnMappedScan]]'s field-id mapping below,
+    * and drops decline there pending a rewrite). A `mergeSchema` read unifies the
     * generations — old rows surface NULL for the new column — and the
     * aggregate proves values land in the right generation. At 100 TB
     * schema-per-file merging is why appends never rewrite history.
@@ -855,6 +856,105 @@ object Lakehouse extends QueryModule {
       |  FROM orders)
       |SELECT priority_class, count(*) AS n_orders,
       |       CAST(sum(price_e2) AS BIGINT) AS total_e2
+      |FROM u GROUP BY priority_class ORDER BY priority_class""".stripMargin
+
+  // ---- column-mapping catalog (rename-safe schema evolution) ----
+
+  /** Append one generation's field-id → name mapping to the table's
+    * `_column_mapping` sidecar (underscore-prefixed — data scans ignore
+    * it). The Iceberg column-mapping discipline: a column's IDENTITY is
+    * its field id, its NAME is per-generation metadata, so a rename is
+    * one catalog row and zero data rewrites. */
+  def commitColumnMapping(spark: SparkSession, path: String, gen: Long,
+      mapping: Seq[(Int, String)]): Unit = {
+    import spark.implicits._
+    mapping.map { case (fid, n) => (gen, fid, n) }
+      .toDF("gen", "field_id", "name")
+      .repartition(1)
+      .write.mode("append").parquet(path + "/_column_mapping")
+  }
+
+  /** Read every generation under `path/gen=N` through the column-mapping
+    * catalog: each generation's physical columns rename to the LATEST
+    * generation's names by field id, and names the latest schema added
+    * surface as NULL for older generations (the additive mergeSchema
+    * semantics, now rename-safe). Declines LOUDLY on:
+    *   - a DROPPED field id (mapped in an older generation, absent from
+    *     the latest): projecting it away would silently ship data whose
+    *     deletion the caller believes complete, and resurrecting it
+    *     under an old name is equally wrong — drop needs a rewrite (the
+    *     reclaimTable path), not a scan-time fiction;
+    *   - a physical column with NO field id in its generation's mapping:
+    *     positional/name guessing is how rename-reuse corrupts tables.
+    */
+  def columnMappedScan(spark: SparkSession, path: String): DataFrame = {
+    val catalog = spark.read.parquet(path + "/_column_mapping")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    require(catalog.nonEmpty, s"no _column_mapping catalog under $path")
+    val gens = catalog.map(_._1).distinct.sorted
+    val latestGen = gens.max
+    val latest: Map[Int, String] =
+      catalog.filter(_._1 == latestGen).map(t => t._2 -> t._3).toMap
+    val dropped = catalog.filter(_._1 != latestGen).map(_._2)
+      .distinct.filterNot(latest.contains)
+    if (dropped.nonEmpty) throw new IllegalStateException(
+      s"columnMappedScan: field ids ${dropped.sorted.mkString(", ")} were " +
+        "DROPPED from the latest mapping — a drop needs a data rewrite " +
+        "(reclaim), not scan-time projection; declining rather than " +
+        "serving a fiction")
+    gens.map { g =>
+      val byName: Map[String, Int] =
+        catalog.filter(_._1 == g).map(t => t._3 -> t._2).toMap
+      val df = spark.read.parquet(s"$path/gen=$g")
+      val unmapped = df.columns.filterNot(byName.contains)
+      require(unmapped.isEmpty,
+        s"columnMappedScan: generation $g carries unmapped physical " +
+          s"columns ${unmapped.mkString(", ")} — refusing to guess")
+      df.select(df.columns.map(c => col(c).as(latest(byName(c)))): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The RENAME round-trip row: generation 1 writes (o_orderkey,
+    * price_e2); generation 2 RENAMES price_e2 → amount_e2 (same field
+    * id — one catalog row, zero data rewrites) and adds priority_class.
+    * The mapped scan reads BOTH generations under the latest names, so
+    * the aggregate sums a column that lives under two physical names —
+    * exactly what the doc on [[schemaEvolutionScan]] scoped out before
+    * the catalog existed. */
+  def schemaRenameScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_schemaren", dir)
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_e2"))
+    base.filter(col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(tmp + "/gen=1")
+    base.filter(col("o_orderkey") % 2 === 1)
+      .withColumnRenamed("price_e2", "amount_e2")
+      .withColumn("priority_class", lit("tracked"))
+      .write.mode("overwrite").parquet(tmp + "/gen=2")
+    commitColumnMapping(spark, tmp, 1L,
+      Seq(1 -> "o_orderkey", 2 -> "price_e2"))
+    commitColumnMapping(spark, tmp, 2L,
+      Seq(1 -> "o_orderkey", 2 -> "amount_e2", 3 -> "priority_class"))
+    columnMappedScan(spark, tmp)
+      .groupBy(coalesce(col("priority_class"), lit("untracked"))
+        .as("priority_class"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("amount_e2")).as("total_e2"))
+      .orderBy("priority_class")
+  }
+
+  private val schemaRenameScanSql =
+    """WITH u AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS amount_e2,
+      |         CASE WHEN o_orderkey % 2 = 1 THEN 'tracked' ELSE 'untracked' END
+      |           AS priority_class
+      |  FROM orders)
+      |SELECT priority_class, count(*) AS n_orders,
+      |       CAST(sum(amount_e2) AS BIGINT) AS total_e2
       |FROM u GROUP BY priority_class ORDER BY priority_class""".stripMargin
 
   // ---- storage-format interchange ----
@@ -917,6 +1017,7 @@ object Lakehouse extends QueryModule {
     "zonemap_pruned_scan" -> zonemapScan,
     "zorder_pruned_scan" -> zorderScan,
     "schema_evolution_scan" -> schemaEvolutionScan,
+    "schema_rename_scan" -> schemaRenameScan,
     "zonemap_append_scan" -> zonemapAppendScan,
     "backfill_partitions" -> backfillPartitions,
     "orc_interchange" -> orcInterchange,
@@ -933,6 +1034,7 @@ object Lakehouse extends QueryModule {
     "zonemap_pruned_scan" -> zonemapScanSql,
     "zorder_pruned_scan" -> zorderScanSql,
     "schema_evolution_scan" -> schemaEvolutionScanSql,
+    "schema_rename_scan" -> schemaRenameScanSql,
     "zonemap_append_scan" -> zonemapAppendScanSql,
     "backfill_partitions" -> backfillPartitionsSql,
     "orc_interchange" -> fidelitySql,

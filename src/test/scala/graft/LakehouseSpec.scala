@@ -345,6 +345,55 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("columnMappedScan: a renamed column reads across generations by field id") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("colmap").toString + "/t"
+    Seq((1L, 10L)).toDF("k", "v_old")
+      .write.parquet(tmp + "/gen=1")
+    Seq((2L, 20L, "x")).toDF("k", "v_new", "tag")
+      .write.parquet(tmp + "/gen=2")
+    Lakehouse.commitColumnMapping(spark, tmp, 1L,
+      Seq(1 -> "k", 2 -> "v_old"))
+    Lakehouse.commitColumnMapping(spark, tmp, 2L,
+      Seq(1 -> "k", 2 -> "v_new", 3 -> "tag"))
+    val out = Lakehouse.columnMappedScan(spark, tmp)
+      .orderBy("k").collect()
+    assert(out.map(_.getAs[Long]("v_new")).toSeq === Seq(10L, 20L),
+      "generation 1's v_old must read under the latest name v_new")
+    assert(out.map(r => Option(r.getAs[String]("tag"))).toSeq ===
+      Seq(None, Some("x")),
+      "a column added later surfaces NULL for older generations")
+  }
+
+  test("columnMappedScan declines a dropped column and an unmapped physical column") {
+    val spark2 = spark
+    import spark2.implicits._
+    // DROP: field id 2 vanishes from the latest mapping
+    val t1 = java.nio.file.Files
+      .createTempDirectory("colmapdrop").toString + "/t"
+    Seq((1L, 10L)).toDF("k", "v").write.parquet(t1 + "/gen=1")
+    Seq(2L).toDF("k").write.parquet(t1 + "/gen=2")
+    Lakehouse.commitColumnMapping(spark, t1, 1L, Seq(1 -> "k", 2 -> "v"))
+    Lakehouse.commitColumnMapping(spark, t1, 2L, Seq(1 -> "k"))
+    val drop = intercept[IllegalStateException] {
+      Lakehouse.columnMappedScan(spark, t1).collect()
+    }
+    assert(drop.getMessage.contains("DROPPED"),
+      s"unexpected decline message: ${drop.getMessage}")
+    // UNMAPPED: a physical column with no field id in its generation
+    val t2 = java.nio.file.Files
+      .createTempDirectory("colmapguess").toString + "/t"
+    Seq((1L, 10L)).toDF("k", "mystery").write.parquet(t2 + "/gen=1")
+    Lakehouse.commitColumnMapping(spark, t2, 1L, Seq(1 -> "k"))
+    val guess = intercept[IllegalArgumentException] {
+      Lakehouse.columnMappedScan(spark, t2).collect()
+    }
+    assert(guess.getMessage.contains("unmapped physical"),
+      s"unexpected decline message: ${guess.getMessage}")
+  }
+
   test("cdc: the base reaches its broadcast join without an exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
