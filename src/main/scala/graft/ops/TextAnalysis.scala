@@ -1108,8 +1108,8 @@ object TextAnalysis extends QueryModule {
     *
     * Scale: one shuffle on the stratum key; the rank window sorts within
     * each stratum, so a mega-stratum is the straggler bound — at 100 TB
-    * strata of that size should use the map-only hash-split (the
-    * weighted_sample discipline) where exact proportions aren't required.
+    * strata of that size should use [[datasetSplitHashed]], the map-only
+    * hash-split below, where exact proportions aren't required.
     */
   def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
     val bySource = Window.partitionBy(col("source"))
@@ -1138,9 +1138,55 @@ object TextAnalysis extends QueryModule {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // thresholds at (2^60/10)·8 and (2^60/10)·9, emitted as fixed-width
+  // hex LITERALS: the compare runs in hex-string space on both engines
+  // (the weightedSample discipline — 15 lowercase hex chars order
+  // identically to their value, and neither engine parses a 60-bit hex
+  // number). (2^60/10)·8 — not 2^60·8/10, which overflows Long.
+  private val HashSplitTrainHex = f"${(1152921504606846976L / 10) * 8}%015x"
+  private val HashSplitValHex = f"${(1152921504606846976L / 10) * 9}%015x"
+
+  /** The MEGA-STRATA fallback of [[datasetSplit]] — the documented
+    * map-only hash split, now real: split membership is a pure function
+    * of content (md5 15-hex prefix vs fixed thresholds), so there is NO
+    * window, NO shuffle, and no straggler bound — a 100 TB stratum
+    * splits in one map pass. The trade: proportions are binomial around
+    * 80/10/10 instead of exact (the spec gates the tolerance), while
+    * keeping every property that matters — deterministic, reproducible
+    * across runs/partitionings/engines, dedup-stable, disjoint and
+    * exhaustive by construction.
+    */
+  def hashSplit(text: Column): Column = {
+    val prefix = substring(md5(text), 1, 15)
+    when(prefix < lit(HashSplitTrainHex), "train")
+      .when(prefix < lit(HashSplitValHex), "val")
+      .otherwise("test")
+  }
+
+  /** Driver row: per-(source, split) counts of the hash split — exact on
+    * both engines because membership is content-deterministic. */
+  def datasetSplitHashed(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split", hashSplit(col("text")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+
+  private val datasetSplitHashedSql =
+    s"""SELECT source,
+      |       CASE WHEN substr(md5(text), 1, 15) < '$HashSplitTrainHex'
+      |              THEN 'train'
+      |            WHEN substr(md5(text), 1, 15) < '$HashSplitValHex'
+      |              THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n_docs
+      |FROM documents GROUP BY 1, 2
+      |ORDER BY source, split""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "weighted_sample" -> weightedSample,
     "dataset_split" -> datasetSplit,
+    "dataset_split_hashed" -> datasetSplitHashed,
     "grouped_sample_native" -> groupedSampleNative,
     "surprisal_scores" -> surprisalScores,
     "dsir_importance_weights" -> dsirImportanceWeights,
@@ -1162,6 +1208,7 @@ object TextAnalysis extends QueryModule {
   def oracles: Map[String, String] = Map(
     "weighted_sample" -> weightedSampleSql,
     "dataset_split" -> datasetSplitSql,
+    "dataset_split_hashed" -> datasetSplitHashedSql,
     "grouped_sample_native" -> groupedSampleNativeSql,
     "surprisal_scores" -> surprisalScoresSql,
     "dsir_importance_weights" -> dsirImportanceWeightsSql,

@@ -55,6 +55,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("dataset_split_hashed: map-only, repartition-invariant, proportions within tolerance") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.documents(spark, sf)
+    def splits(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), TextAnalysis.hashSplit(col("text")).as("split"))
+    // repartition invariance: membership is a pure function of content
+    val a = splits(docs).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = splits(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a === b, "the hash split must not depend on partitioning")
+    // disjoint + exhaustive by construction; proportions binomial around
+    // 80/10/10 — at 500 docs, ±6% is > 4 standard deviations
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac.getOrElse("train", 0.0) - 0.8) < 0.06, s"$frac")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.06, s"$frac")
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06, s"$frac")
+    // MAP-ONLY: the split projection plans with no exchange at all —
+    // the whole point of the mega-strata fallback
+    val plan = splits(docs).queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"the hash split must be a pure map:\n$plan")
+  }
+
   test("text_quality metrics on a hand-computed sample") {
     val df = Seq((1L, "The cat sat on the mat, twice.")).toDF("doc_id", "text")
       .withColumn("toks", TextAnalysis.tokensCol(col("text")))
