@@ -46,8 +46,16 @@ object Bench {
     // board2-only failure must surface when board2 is kept (its fast-fail
     // time would otherwise read as a green speedup), and must NOT smear
     // onto a kept-and-green board1.
+    // Per-row fixture-build observability: buildIfAbsent misses that fired
+    // DURING a row's timed pass, from the ResultCache decision log — so a
+    // board reader separates serving-time from fixture-build-time per row
+    // mechanically (a row whose time moved because its fixture rebuilt is
+    // a different finding than a serve regression). Cumulative over every
+    // pass of the run; emitted only for rows that built something.
+    val fixtureBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         failures: Option[scala.collection.mutable.ListBuffer[String]]): (Double, Boolean) = {
+      val ev0 = graft.ops.ResultCache.recentEvents.size
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -63,6 +71,10 @@ object Bench {
       // and steal unified memory from execution (each query is timed
       // cold, as a fresh cluster job would run it).
       spark.catalog.clearCache()
+      val misses = graft.ops.ResultCache.recentEvents.drop(ev0)
+        .count(!_.hit)
+      if (misses > 0)
+        fixtureBuilds(name) = fixtureBuilds.getOrElse(name, 0) + misses
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Best-of-2 on slow rows: the r9 recorded run carried a clustered
@@ -120,7 +132,10 @@ object Bench {
                 s <- sfRe.findFirstMatchIn(l).map(_.group(1)) if s == sfDir
                 v <- valRe.findFirstMatchIn(l).map(_.group(1).toDouble)
                 q <- qRe.findFirstMatchIn(l).map(_.group(1))
-                n = q.count(_ == ':') if n > 0
+                // full boards only: dev-subset runs (SPARK_GRAFT_ONLY)
+                // append lines too, and a few-row line's per-query mean
+                // would skew the warm band either way
+                n = q.count(_ == ':') if n >= 50
               } yield v / n
             }.takeRight(5)
           if (means.size < 3) None else Some(means.sorted.apply(means.size / 2))
@@ -159,8 +174,10 @@ object Bench {
     val firstPassTotal = board1.map { case (k, v) =>
       firstPass.getOrElse(k, v) }.sum
     val boardTotalsJson = boardTotals.mkString("[", ",", "]")
+    val fixtureBuildsJson = fixtureBuilds
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reruns":$rerunJson,"firstPass":$firstPassJson,"firstPassTotal":$firstPassTotal,"boardTotals":$boardTotalsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reruns":$rerunJson,"firstPass":$firstPassJson,"firstPassTotal":$firstPassTotal,"boardTotals":$boardTotalsJson,"fixtureBuilds":$fixtureBuildsJson,"sf":"$sfDir"}"""
     println(line)
     // Persist the line too: the driver's tail capture truncates long JSON
     // (BENCH_r07/r08 both recorded "parsed": null), so per-query history
