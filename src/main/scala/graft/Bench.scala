@@ -55,7 +55,10 @@ object Bench {
     val fixtureBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         failures: Option[scala.collection.mutable.ListBuffer[String]]): (Double, Boolean) = {
-      val ev0 = graft.ops.ResultCache.recentEvents.size
+      // monotonic counter, NOT an index into recentEvents: the event log
+      // is a bounded ring that evicts from the head, so offsets go stale
+      // once it saturates and misses would silently undercount
+      val miss0 = graft.ops.ResultCache.totalMisses
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -71,8 +74,7 @@ object Bench {
       // and steal unified memory from execution (each query is timed
       // cold, as a fresh cluster job would run it).
       spark.catalog.clearCache()
-      val misses = graft.ops.ResultCache.recentEvents.drop(ev0)
-        .count(!_.hit)
+      val misses = (graft.ops.ResultCache.totalMisses - miss0).toInt
       if (misses > 0)
         fixtureBuilds(name) = fixtureBuilds.getOrElse(name, 0) + misses
       ((System.nanoTime() - t0) / 1e9, ok)

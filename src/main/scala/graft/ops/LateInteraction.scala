@@ -125,18 +125,23 @@ object LateInteraction extends QueryModule {
       maxSimMicro(tokenWindows(text).map(w =>
         Embedding.hashingEmbed(w, TokenDim)), qvecs)
     }
-    // conf-keyed forget exclusion on the brute lane too (route symmetry:
-    // both arms must honor the default root); no-op with the conf unset
-    Forget.defaultExclusion(corpus, "doc_id")
-      .select(col("doc_id"), scoreUdf(col("text")).as("score_micro"))
+    // exclusion stays with the CALLERS: the indexed path already
+    // excluded its candidate frame, and a second defaultExclusion here
+    // would double the per-query ledger reads (and could observe a
+    // different ledger version mid-serve)
+    corpus.select(col("doc_id"), scoreUdf(col("text")).as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
       .limit(k)
   }
 
-  /** Brute-force MaxSim retrieval (the exact baseline: every doc scored). */
+  /** Brute-force MaxSim retrieval (the exact baseline: every doc scored).
+    * The conf-keyed forget exclusion rides the brute ENTRY points (here
+    * and the routers' brute arms), never maxSimTopK itself — the indexed
+    * path excludes its candidate frame instead. */
   def maxsimTopk(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, srcText) = plantedCorpus(spark, dir)
-    maxSimTopK(corpus, queryVecs(srcText))
+    maxSimTopK(Forget.defaultExclusion(corpus, "doc_id"),
+        queryVecs(srcText))
       .select("doc_id", "score_micro")
   }
 
@@ -304,8 +309,11 @@ object LateInteraction extends QueryModule {
     else
       // route symmetry on tombstoned tables: the brute serve excludes
       // exactly what the indexed serve's posting resolution excludes
-      // (id-level shape only — see minusIdTombstoned)
-      maxSimTopK(minusIdTombstoned(corpus, sidecar), queryVecs(srcText))
+      // (id-level shape only — see minusIdTombstoned), plus the
+      // conf-keyed default root the indexed candidates would apply
+      maxSimTopK(Forget.defaultExclusion(
+          minusIdTombstoned(corpus, sidecar), "doc_id"),
+          queryVecs(srcText))
         .select("doc_id", "score_micro")
   }
 
@@ -951,7 +959,9 @@ object LateInteraction extends QueryModule {
       val tvs = tokenWindows(text).map(w => Embedding.hashingEmbed(w, TokenDim))
       qvecss.indices.map(i => (qIds(i), maxSimMicro(tvs, qvecss(i))))
     } // embed windows ONCE per doc
-    corpus
+    // conf-keyed forget exclusion at the brute BATCH entry (the indexed
+    // batch path excludes its candidate frame in serveBatchPostings)
+    Forget.defaultExclusion(corpus, "doc_id")
       .select(col("doc_id"), explode(batchScores(col("text"))).as("qs"))
       .select(col("doc_id"), col("qs._1").as("q_id"),
         col("qs._2").as("score_micro"))

@@ -947,24 +947,16 @@ object Multimodal extends QueryModule {
     * exchange, 8 chunk rows each, and the pigeonhole bounds candidates
     * to chunk-equal frame pairs exactly as in the image lane. */
   def videoNearDupesHashed(frameHashes: DataFrame,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming <= 7, "8x8-bit banding only pigeonholes hamming <= 7")
-    val chunks = frameHashes.select(col("media_id"), col("fh"),
-      posexplode(expr(
-        "transform(sequence(0, 7), c -> (fh >> (c * 8)) & 255)"))
-        .as(Seq("chunk_idx", "chunk")))
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk") === col("b.chunk") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("media_a"),
-        col("b.media_id").as("media_b"),
-        expr("CAST(bit_count(a.fh ^ b.fh) AS BIGINT)").as("hamming"))
-      // filter BEFORE the per-pair reduction, as in the image lane
-      .filter(col("hamming") <= maxHamming)
+      maxHamming: Int): DataFrame =
+    // the ONE band-join core (phashNearDupesHashed) at FRAME granularity
+    // — a frame hash is just a hash row, and media_id repeats per frame,
+    // so the same chunk join yields frame-pair candidates; the temporal
+    // lane only adds the per-video-pair min reduction on top (a band-join
+    // fix must never have to land in two places)
+    phashNearDupesHashed(
+        frameHashes.select(col("media_id"), col("fh").as("ph")), maxHamming)
       .groupBy("media_a", "media_b")
       .agg(min(col("hamming")).as("min_hamming"))
-  }
 
   /** Driver row: a TRIMMED copy (first frame dropped, survivors
     * byte-identical through the remux) of every video with media_id < 30

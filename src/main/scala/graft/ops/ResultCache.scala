@@ -110,8 +110,18 @@ object ResultCache extends QueryModule {
   // at the bound every decision would scan all 10000 entries
   private val eventCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // monotonic, never evicted: the ring above bounds MEMORY, but a
+  // consumer diffing counts across a window (the bench's per-row
+  // fixture-build column) must not undercount when eviction races its
+  // window — index offsets into an evicting deque go stale at the bound
+  private val missTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Total buildIfAbsent/cached misses recorded this JVM — monotonic. */
+  def totalMisses: Long = missTotal.get()
+
   private def record(kind: String, path: String, key: String,
       hit: Boolean, ageMs: Long): Unit = {
+    if (!hit) missTotal.incrementAndGet()
     eventLog.addLast(CacheEvent(kind, path, key, hit, ageMs))
     if (eventCount.incrementAndGet() > MaxEvents &&
         eventLog.pollFirst() != null)
