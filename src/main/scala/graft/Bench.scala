@@ -58,7 +58,7 @@ object Bench {
       // monotonic counter, NOT an index into recentEvents: the event log
       // is a bounded ring that evicts from the head, so offsets go stale
       // once it saturates and misses would silently undercount
-      val miss0 = graft.ops.ResultCache.totalMisses
+      val miss0 = graft.ops.ResultCache.totalIndexMisses
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -74,7 +74,7 @@ object Bench {
       // and steal unified memory from execution (each query is timed
       // cold, as a fresh cluster job would run it).
       spark.catalog.clearCache()
-      val misses = (graft.ops.ResultCache.totalMisses - miss0).toInt
+      val misses = (graft.ops.ResultCache.totalIndexMisses - miss0).toInt
       if (misses > 0)
         fixtureBuilds(name) = fixtureBuilds.getOrElse(name, 0) + misses
       ((System.nanoTime() - t0) / 1e9, ok)

@@ -297,10 +297,15 @@ object LateInteraction extends QueryModule {
     // price/scan the identical frame.
     val sidecar = tombstoneSidecar(spark, path)
     val postings = minusTombstonedWith(spark.read.parquet(path), sidecar)
-    val candidateDocs = postings
-      .filter(col("wb").isin(qBuckets: _*))
-      .filter(col("w_hash").isin(qHash: _*))
-      .select("doc_id").distinct().count()
+    // price the frame the indexed arm would SCAN: with the forget conf
+    // armed, the serve excludes the ledger's ids from its candidates, so
+    // the route must count the excluded frame too (a mostly-forgotten
+    // candidate set should route indexed, not brute). corpusDocs stays
+    // unexcluded — the ledger is KB-scale against a corpus-sized count.
+    val candidateDocs = Forget.defaultExclusion(postings
+        .filter(col("wb").isin(qBuckets: _*))
+        .filter(col("w_hash").isin(qHash: _*))
+        .select("doc_id").distinct(), "doc_id").count()
     val corpusDocs = corpus.count()
     val indexed = candidateDocs * 2 < corpusDocs
     System.err.println(s"[route] maxsim corpus=$corpusDocs " +
@@ -1078,10 +1083,11 @@ object LateInteraction extends QueryModule {
     val sidecar = tombstoneSidecar(spark, path)
     val postings = minusTombstonedWith(spark.read.parquet(path), sidecar)
     val (qHash, qBuckets) = queryProbe(spark, srcs.map(_._2))
-    val candidateDocs = postings
-      .filter(col("wb").isin(qBuckets: _*))
-      .filter(col("w_hash").isin(qHash: _*))
-      .select("doc_id").distinct().count()
+    // excluded pricing, as in the single-query router above
+    val candidateDocs = Forget.defaultExclusion(postings
+        .filter(col("wb").isin(qBuckets: _*))
+        .filter(col("w_hash").isin(qHash: _*))
+        .select("doc_id").distinct(), "doc_id").count()
     val corpusDocs = corpus.count()
     val indexed = candidateDocs * 2 < corpusDocs
     System.err.println(s"[route] maxsim-batch corpus=$corpusDocs " +

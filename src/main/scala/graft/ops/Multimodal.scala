@@ -568,11 +568,13 @@ object Multimodal extends QueryModule {
     * defined at the bit level: a JVM upgrade — or a different vendor at
     * the SAME version string — must rebuild, or cached features could
     * diverge from per-serve extraction by low decode bits. The probe
-    * runs on the DRIVER and once on an EXECUTOR (one 1-row job, cached
-    * per JVM): on a heterogeneous deployment whose executors run a
-    * different JVM image, the executor fingerprint moves and the
-    * fixtures rebuild instead of serving features that diverge by low
-    * decode bits from per-serve extraction. */
+    * runs on the DRIVER and once on ONE executor (a 1-row job, cached
+    * for this driver JVM's lifetime): it VERIFIES the uniform-image
+    * assumption on a node instead of assuming it, and catches the
+    * common driver≠executor image split. It is NOT a fleet sweep — a
+    * mixed fleet (one divergent executor among many, or executors
+    * joining later) stays out of scope, as for Spark's own
+    * uniform-image deployment expectation. */
   private def jpegFingerprint(): String = {
     val probe = renderAvi(Array.tabulate(256)(_.toByte), nFrames = 1)
     val cells = decodeVideoGrid(probe).getOrElse(Array.empty[Double])

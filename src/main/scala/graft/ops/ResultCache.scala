@@ -113,15 +113,18 @@ object ResultCache extends QueryModule {
   // monotonic, never evicted: the ring above bounds MEMORY, but a
   // consumer diffing counts across a window (the bench's per-row
   // fixture-build column) must not undercount when eviction races its
-  // window — index offsets into an evicting deque go stale at the bound
-  private val missTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+  // window — index offsets into an evicting deque go stale at the bound.
+  // INDEX misses only: a 'result'-kind miss is often by design (the
+  // result-cache rows plant deliberate misses; tuning curves re-derive
+  // cold) and would mislabel serve-design re-execution as fixture builds
+  private val indexMissTotal = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Total buildIfAbsent/cached misses recorded this JVM — monotonic. */
-  def totalMisses: Long = missTotal.get()
+  /** Total buildIfAbsent (index-fixture) misses this JVM — monotonic. */
+  def totalIndexMisses: Long = indexMissTotal.get()
 
   private def record(kind: String, path: String, key: String,
       hit: Boolean, ageMs: Long): Unit = {
-    if (!hit) missTotal.incrementAndGet()
+    if (!hit && kind == "index") indexMissTotal.incrementAndGet()
     eventLog.addLast(CacheEvent(kind, path, key, hit, ageMs))
     if (eventCount.incrementAndGet() > MaxEvents &&
         eventLog.pollFirst() != null)

@@ -1297,6 +1297,21 @@ object GraphAnn {
     * union, re-top-k), or fall back to the distributed walk, which
     * bounds memory at (B + E + H·B·2M) ids.
     */
+  /** The served walks' exclusion predicate: the caller's serve-tail set
+    * unioned with the conf-keyed default root's ids, BROADCAST when
+    * non-empty (a large ledger ships once per serve, not per task
+    * closure) and a free constant-false when empty — the conf-unset
+    * standing state must not pay broadcast registration per serve. */
+  private def excludeFn(spark: SparkSession,
+      exclude: Set[Long]): Long => Boolean = {
+    val excl = exclude ++ graft.ops.Forget.defaultExcludeIds(spark)
+    if (excl.isEmpty) _ => false
+    else {
+      val bc = spark.sparkContext.broadcast(excl)
+      id => bc.value.contains(id)
+    }
+  }
+
   def nswServedSearch(spark: SparkSession, path: String, corpus: DataFrame,
       embCol: String, idCol: String, queries: Seq[(Long, Array[Float])],
       k: Int, beam: Int = 32, hops: Int = 4,
@@ -1316,15 +1331,16 @@ object GraphAnn {
     // Broadcast per serve (NOT folded into the pin stamp): a large
     // ledger ships once per serve like the pinned state, not once per
     // task closure. The conf-keyed default root's ids join here too.
-    val bcExcl = spark.sparkContext.broadcast(
-      exclude ++ graft.ops.Forget.defaultExcludeIds(spark))
+    // Empty set (the conf-unset standing state): no broadcast at all —
+    // registration + cleaner pressure per serve buys nothing there.
+    val excludedBy = excludeFn(spark, exclude)
     spark.sparkContext
       .parallelize(queries.map { case (q, v) => (q, v.toSeq) },
         math.max(1, math.min(queries.size, spark.sparkContext.defaultParallelism)))
       .flatMap { case (qid, qv) =>
         residentWalk(bcAdj.value, bcVec.value, qv.toArray, entryIds, beam, hops)
           .toSeq.filterNot { case (id, _) =>
-            bcDead.value.contains(id) || bcExcl.value.contains(id) }
+            bcDead.value.contains(id) || excludedBy(id) }
           .sortBy { case (id, s) => (-s, id) }.take(k)
           .map { case (id, s) => (qid, id,
             BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
@@ -1370,8 +1386,7 @@ object GraphAnn {
     val bcDead = pin.dead
     val fixed = pin.entryIds
     // serve-scoped exclude broadcast — see nswServedSearch
-    val bcExcl = spark.sparkContext.broadcast(
-      exclude ++ graft.ops.Forget.defaultExcludeIds(spark))
+    val excludedBy = excludeFn(spark, exclude)
     spark.sparkContext
       .parallelize(queries.map { case (q, v) => (q, v.toSeq) },
         math.max(1, math.min(queries.size, spark.sparkContext.defaultParallelism)))
@@ -1390,7 +1405,7 @@ object GraphAnn {
         residentWalk(bcAdj0.value, bcVec.value, qv,
             (carried ++ fixed).distinct, beam, hops)
           .toSeq.filterNot { case (id, _) =>
-            bcDead.value.contains(id) || bcExcl.value.contains(id) }
+            bcDead.value.contains(id) || excludedBy(id) }
           .sortBy { case (id, s) => (-s, id) }.take(k)
           .map { case (id, s) => (qid, id,
             BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
