@@ -419,6 +419,59 @@ object Forget extends QueryModule {
       .orderBy("rank")
   }
 
+  /** The DEFAULT-ON conf as a CORRECTNESS row: ten copies of vector 0
+    * planted, one forgotten on a dedicated root, and two STANDING serve
+    * cores — `IndexBuilder.lshTopK` and `IndexBuilder.ivfTopK`, neither
+    * wired with `excludingIds` — served with `spark.graft.forget.root`
+    * armed. The exclusion the row observes comes ONLY from the conf
+    * hook at the serve tails, proving a deployment gets compliance
+    * exclusion by setting one conf. Arming is safe row-locally because
+    * `defaultExclusion` reads the conf (and the ledger) at PLAN
+    * CONSTRUCTION time — the returned frame carries the anti-join
+    * baked in, and the `finally` unsets before any other row builds. */
+  def forgetConfDefaultTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.vector.IndexBuilder
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val copies = AnnIndex.plantedLocalRows(spark, e,
+      (0 until Copies).map(i => (PlantedBase + i) -> 0L))
+    val corpus = e.unionByName(copies)
+    val root = Tables.scratchPath("forget_confrow", dir)
+    if (forgottenIds(spark, root) != Seq(PlantedBase))
+      forget(spark, root, Seq(PlantedBase))
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    require(defaultRoot(spark).isEmpty,
+      "forget_conf_default_topk must enter with the conf unset")
+    spark.conf.set(RootConf, root)
+    try {
+      val lshServe = IndexBuilder.lshTopK(corpus, "embedding", "vec_id",
+          AnnIndex.defaultLsh, qv, k = K, radius = 1)
+        .select(lit("lsh").as("surface"), col("vec_id"))
+      val ivfServe = IndexBuilder.ivfTopK(corpus, "embedding", "vec_id",
+          qv, k = K, numClusters = 8, nProbe = 2, seed = 42L)
+        .select(lit("ivf").as("surface"), col("vec_id"))
+      lshServe.unionByName(ivfServe)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("surface").orderBy("vec_id")))
+        .select("surface", "rank", "vec_id")
+        .orderBy("surface", "rank")
+    } finally spark.conf.unset(RootConf)
+  }
+
+  /** Both standing cores serve the surviving tie set — vec 0 plus the
+    * nine unforgotten copies — with no per-row exclusion wiring. */
+  private val forgetConfDefaultOracle =
+    """WITH ties AS (
+      |  SELECT CAST(0 AS BIGINT) AS vec_id
+      |  UNION ALL
+      |  SELECT e.vec_id + 100001 FROM embeddings e WHERE e.vec_id < 9),
+      |surfaces AS (SELECT 'ivf' AS surface UNION ALL SELECT 'lsh')
+      |SELECT surface, CAST(row_number() OVER (
+      |    PARTITION BY surface ORDER BY vec_id) AS INT) AS rank, vec_id
+      |FROM surfaces CROSS JOIN ties
+      |ORDER BY surface, rank""".stripMargin
+
   /** The UN-FORGET row — the legal-hold flip as a first-class serve:
     * ELEVEN copies of doc 0 planted, TWO forgotten in one commit, ONE
     * restored by `unforget` — the ledger ends at exactly {100001}, and
@@ -874,6 +927,7 @@ object Forget extends QueryModule {
       "forget_reclaimed_export" -> forgetReclaimedExport,
       "snapshot_forget_atomic" -> snapshotForgetAtomic,
       "forget_unforget_topk" -> forgetUnforgetTopk,
+      "forget_conf_default_topk" -> forgetConfDefaultTopk,
       "streaming_forget_retrieval" -> streamingForgetRetrieval)
 
   override def oracles: Map[String, String] =
@@ -884,5 +938,6 @@ object Forget extends QueryModule {
       "forget_reclaimed_export" -> forgetReclaimedExportOracle,
       "snapshot_forget_atomic" -> snapshotForgetOracle,
       "forget_unforget_topk" -> forgetUnforgetOracle,
+      "forget_conf_default_topk" -> forgetConfDefaultOracle,
       "streaming_forget_retrieval" -> streamingForgetOracle)
 }

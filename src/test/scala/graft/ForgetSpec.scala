@@ -326,6 +326,22 @@ class ForgetSpec extends SparkSpec {
     assert(bySurface("export") === (100000L +: (100002L to 100010L)))
   }
 
+  test("forget_conf_default_topk: the conf alone excludes at two standing cores, then unsets") {
+    val out = SparkEntry.queries("forget_conf_default_topk")(spark, sf)
+      .collect()
+    assert(spark.conf.getOption(graft.ops.Forget.RootConf).isEmpty,
+      "the row must leave the session conf unset for every other row")
+    val bySurface = out.groupBy(_.getAs[String]("surface"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSeq).toMap
+    assert(bySurface.keySet === Set("lsh", "ivf"))
+    val ties = 0L +: (100001L to 100009L)
+    bySurface.foreach { case (s, ids) =>
+      assert(ids === ties,
+        s"core $s must exclude the forgotten id through the conf hook " +
+          s"alone: $ids")
+    }
+  }
+
   test("spark.graft.forget.root arms default-on exclusion at the standing serve tails") {
     val spark2 = spark
     import spark2.implicits._
