@@ -24,12 +24,15 @@ import graft.vector.{Embedding, VectorFunctions => V}
   */
 object VectorSearch extends QueryModule {
 
-  /** Corpus scored against one stored query vector (vec_id = `queryId`). */
+  /** Corpus scored against one stored query vector (vec_id = `queryId`).
+    * The conf-keyed forget exclusion rides the corpus side (the brute
+    * exact-knn serve tail; no-op with `spark.graft.forget.root` unset);
+    * the query probe itself is the caller's and stays unfiltered. */
   private[ops] def scoredAgainst(spark: SparkSession, dir: String, queryId: Long): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("query_embedding"))
-    e.crossJoin(broadcast(q))
+    Forget.defaultExclusion(e, "vec_id").crossJoin(broadcast(q))
       .withColumn("score", round(V.cosineUnit(col("embedding"), col("query_embedding")), 6))
   }
 

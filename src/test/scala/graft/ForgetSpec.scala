@@ -398,6 +398,24 @@ class ForgetSpec extends SparkSpec {
         !plan.replaceAll("(?s).*PartitionFilters: \\[", "").startsWith("]"),
         s"armed exclusion must not block wb= partition pruning:\n$plan")
     } finally spark.conf.unset(Forget.RootConf)
+    // tail 4: the brute exact-knn core — forget a REAL member of the
+    // unarmed top-10 and the armed serve must drop it (data-independent:
+    // whatever ranks second unarmed)
+    val unarmedTop = SparkEntry.queries("knn_exact_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val victim = unarmedTop(1)
+    val root2 = base + "/root2"
+    Forget.forget(spark, root2, Seq(victim))
+    spark.conf.set(Forget.RootConf, root2)
+    try {
+      val armedTop = SparkEntry.queries("knn_exact_topk")(spark, sf)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(!armedTop.contains(victim) && armedTop.size === 10,
+        s"the brute exact-knn tail must exclude $victim and refill k: " +
+          s"$armedTop")
+    } finally spark.conf.unset(Forget.RootConf)
+    assert(SparkEntry.queries("knn_exact_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq === unarmedTop)
     // unset restores the exact pre-conf serves (opt-in again)
     assert(lshServe().contains(900001L))
     assert(maxsimServe().toSet === Set(1L, 2L))
