@@ -425,38 +425,37 @@ object Forget extends QueryModule {
     * wired with `excludingIds` — served with `spark.graft.forget.root`
     * armed. The exclusion the row observes comes ONLY from the conf
     * hook at the serve tails, proving a deployment gets compliance
-    * exclusion by setting one conf. Arming is safe row-locally because
-    * `defaultExclusion` reads the conf (and the ledger) at PLAN
-    * CONSTRUCTION time — the returned frame carries the anti-join
-    * baked in, and the `finally` unsets before any other row builds. */
+    * exclusion by setting one conf. The row arms an ISOLATED
+    * `spark.newSession()` — own SQL conf, shared SparkContext — and
+    * builds every serve frame from it, so the shared session's conf is
+    * NEVER touched: no serial-construction assumption, no armed window
+    * a concurrent plan builder could observe (`defaultExclusion` reads
+    * the frame's OWN session conf at plan construction). */
   def forgetConfDefaultTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.vector.IndexBuilder
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val copies = AnnIndex.plantedLocalRows(spark, e,
-      (0 until Copies).map(i => (PlantedBase + i) -> 0L))
-    val corpus = e.unionByName(copies)
     val root = Tables.scratchPath("forget_confrow", dir)
     if (forgottenIds(spark, root) != Seq(PlantedBase))
       forget(spark, root, Seq(PlantedBase))
+    val armed = spark.newSession()
+    armed.conf.set(RootConf, root)
+    val e = Tables.embeddings(armed, dir).select("vec_id", "embedding")
+    val copies = AnnIndex.plantedLocalRows(armed, e,
+      (0 until Copies).map(i => (PlantedBase + i) -> 0L))
+    val corpus = e.unionByName(copies)
     val qv = e.filter(col("vec_id") === 0L)
       .select("embedding").head().getSeq[Float](0).toArray
-    require(defaultRoot(spark).isEmpty,
-      "forget_conf_default_topk must enter with the conf unset")
-    spark.conf.set(RootConf, root)
-    try {
-      val lshServe = IndexBuilder.lshTopK(corpus, "embedding", "vec_id",
-          AnnIndex.defaultLsh, qv, k = K, radius = 1)
-        .select(lit("lsh").as("surface"), col("vec_id"))
-      val ivfServe = IndexBuilder.ivfTopK(corpus, "embedding", "vec_id",
-          qv, k = K, numClusters = 8, nProbe = 2, seed = 42L)
-        .select(lit("ivf").as("surface"), col("vec_id"))
-      lshServe.unionByName(ivfServe)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("surface").orderBy("vec_id")))
-        .select("surface", "rank", "vec_id")
-        .orderBy("surface", "rank")
-    } finally spark.conf.unset(RootConf)
+    val lshServe = IndexBuilder.lshTopK(corpus, "embedding", "vec_id",
+        AnnIndex.defaultLsh, qv, k = K, radius = 1)
+      .select(lit("lsh").as("surface"), col("vec_id"))
+    val ivfServe = IndexBuilder.ivfTopK(corpus, "embedding", "vec_id",
+        qv, k = K, numClusters = 8, nProbe = 2, seed = 42L)
+      .select(lit("ivf").as("surface"), col("vec_id"))
+    lshServe.unionByName(ivfServe)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("surface").orderBy("vec_id")))
+      .select("surface", "rank", "vec_id")
+      .orderBy("surface", "rank")
   }
 
   /** Both standing cores serve the surviving tie set — vec 0 plus the

@@ -892,6 +892,21 @@ object Lakehouse extends QueryModule {
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
     require(catalog.nonEmpty, s"no _column_mapping catalog under $path")
+    // one name per (gen, field id) and one field id per (gen, name):
+    // duplicates would resolve by driver-collect ordering across part
+    // files — silently nondeterministic — so they decline instead
+    catalog.groupBy(t => (t._1, t._2)).foreach { case ((g, fid), rows) =>
+      require(rows.map(_._3).distinct.size == 1,
+        s"columnMappedScan: field id $fid maps to multiple names in " +
+          s"generation $g (${rows.map(_._3).distinct.mkString(", ")}) — " +
+          "re-mapping a generation needs a new generation, not an edit")
+    }
+    catalog.groupBy(t => (t._1, t._3)).foreach { case ((g, n), rows) =>
+      require(rows.map(_._2).distinct.size == 1,
+        s"columnMappedScan: name '$n' carries multiple field ids in " +
+          s"generation $g — name reuse across ids is the corruption the " +
+          "catalog exists to prevent")
+    }
     val gens = catalog.map(_._1).distinct.sorted
     val latestGen = gens.max
     val latest: Map[Int, String] =
@@ -903,7 +918,16 @@ object Lakehouse extends QueryModule {
         "DROPPED from the latest mapping — a drop needs a data rewrite " +
         "(reclaim), not scan-time projection; declining rather than " +
         "serving a fiction")
-    gens.map { g =>
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a MAPPING-ONLY generation (no gen=N data dir) is the pure-rename
+    // commit the catalog advertises — its mapping participates (it may
+    // BE the latest, defining the names) but it contributes no rows
+    val dataGens = gens.filter(g =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/gen=$g")))
+    require(dataGens.nonEmpty,
+      s"columnMappedScan: no generation under $path has data")
+    dataGens.map { g =>
       val byName: Map[String, Int] =
         catalog.filter(_._1 == g).map(t => t._3 -> t._2).toMap
       val df = spark.read.parquet(s"$path/gen=$g")

@@ -290,34 +290,38 @@ object LateInteraction extends QueryModule {
     }
     val (qHash, qBuckets) = queryProbe(spark, Seq(srcText))
     // measured route inputs: candidate docs from the pruned probe (the
-    // cheap stage, tombstone-resolved so the route prices what the serve
-    // would actually scan), corpus docs from a columnar count. The
-    // sidecar is probed ONCE (one FS-exists round-trip) and its resolved
-    // frame reused by whichever arm serves — probe, route, and serve all
-    // price/scan the identical frame.
+    // cheap stage), corpus docs from a columnar count. The sidecar is
+    // probed ONCE (one FS-exists round-trip) and the forget ledger read
+    // ONCE — probe, route, and whichever arm serves all price/scan the
+    // identical tombstone-resolved, ledger-excluded frame (two reads
+    // would also let a mid-route forget skew pricing vs serving).
+    // corpusDocs stays unexcluded — KB-scale ledger vs a corpus count.
     val sidecar = tombstoneSidecar(spark, path)
-    val postings = minusTombstonedWith(spark.read.parquet(path), sidecar)
-    // price the frame the indexed arm would SCAN: with the forget conf
-    // armed, the serve excludes the ledger's ids from its candidates, so
-    // the route must count the excluded frame too (a mostly-forgotten
-    // candidate set should route indexed, not brute). corpusDocs stays
-    // unexcluded — the ledger is KB-scale against a corpus-sized count.
-    val candidateDocs = Forget.defaultExclusion(postings
-        .filter(col("wb").isin(qBuckets: _*))
-        .filter(col("w_hash").isin(qHash: _*))
-        .select("doc_id").distinct(), "doc_id").count()
+    val exclIds = Forget.defaultExcludeIds(spark) // the ONE ledger read
+    def minusExcl(df: DataFrame, idCol: String): DataFrame = {
+      import spark.implicits._
+      if (exclIds.isEmpty) df
+      else df.join(broadcast(exclIds.toSeq.toDF(idCol)), Seq(idCol),
+        "left_anti")
+    }
+    val postings = minusExcl(
+      minusTombstonedWith(spark.read.parquet(path), sidecar), "doc_id")
+    val candidateDocs = postings
+      .filter(col("wb").isin(qBuckets: _*))
+      .filter(col("w_hash").isin(qHash: _*))
+      .select("doc_id").distinct().count()
     val corpusDocs = corpus.count()
     val indexed = candidateDocs * 2 < corpusDocs
     System.err.println(s"[route] maxsim corpus=$corpusDocs " +
       s"candidates=$candidateDocs -> ${if (indexed) "indexed" else "brute"}")
-    if (indexed) servePostingsFrame(spark, corpus, srcText, postings)
+    if (indexed)
+      servePostingsPreExcluded(spark, corpus, srcText, postings, K)
     else
       // route symmetry on tombstoned tables: the brute serve excludes
       // exactly what the indexed serve's posting resolution excludes
-      // (id-level shape only — see minusIdTombstoned), plus the
-      // conf-keyed default root the indexed candidates would apply
-      maxSimTopK(Forget.defaultExclusion(
-          minusIdTombstoned(corpus, sidecar), "doc_id"),
+      // (id-level shape only — see minusIdTombstoned), plus the SAME
+      // ledger snapshot the pricing used
+      maxSimTopK(minusExcl(minusIdTombstoned(corpus, sidecar), "doc_id"),
           queryVecs(srcText))
         .select("doc_id", "score_micro")
   }
@@ -356,18 +360,30 @@ object LateInteraction extends QueryModule {
 
   /** The probe + rescore over a PRE-RESOLVED posting frame — the shared
     * serve every read path (plain, tombstoned, manifest-pinned version)
-    * funnels through. */
+    * funnels through. Applies the conf-keyed forget exclusion (one
+    * ledger read); the routers, which already read the ledger for
+    * pricing, call [[servePostingsPreExcluded]] instead so one read
+    * serves route AND serve. */
   private[graft] def servePostingsFrame(spark: SparkSession,
       corpus: DataFrame, srcText: String, postings: DataFrame,
-      k: Int = K): DataFrame = {
+      k: Int = K): DataFrame =
+    servePostingsPreExcluded(spark, corpus, srcText,
+      Forget.defaultExclusion(postings, "doc_id"), k)
+
+  /** The serve body over a posting frame that ALREADY carries every
+    * exclusion (tombstones AND any default-root anti-join). The
+    * exclusion sits on the posting side, before candidate distinct and
+    * the corpus semi-join — the embedder never runs on an excluded doc,
+    * and Catalyst pushes the wb= filter past the broadcast anti-join so
+    * partition pruning is preserved (conf-spec-pinned). */
+  private def servePostingsPreExcluded(spark: SparkSession,
+      corpus: DataFrame, srcText: String, postings: DataFrame,
+      k: Int): DataFrame = {
     val (qHash, qBuckets) = queryProbe(spark, Seq(srcText))
-    // conf-keyed forget exclusion on the CANDIDATES — before the corpus
-    // semi-join, so the embedder never runs on a forgotten doc; a no-op
-    // with spark.graft.forget.root unset
-    val candidates = Forget.defaultExclusion(postings
+    val candidates = postings
       .filter(col("wb").isin(qBuckets: _*))           // partition-pruned
       .filter(col("w_hash").isin(qHash: _*))           // posting equi-filter
-      .select("doc_id").distinct(), "doc_id")
+      .select("doc_id").distinct()
     // semi-join BEFORE scoring: the window embedder runs over candidate
     // docs only, never the corpus — that is the entire point of the
     // posting stage
@@ -748,10 +764,13 @@ object LateInteraction extends QueryModule {
     *     exclusion applied to the pinned posting frame BEFORE candidate
     *     generation (the embedder never runs on a forgotten doc), and no
     *     readable state ever has v2's files without v2's forgets.
-    * Per-version k equals the tie-set size (5 and 9), so every surviving
-    * tie is visible and every emitted row enumerable — a torn version, a
-    * retro-applied forget, or a leaked forgotten id all perturb the
-    * answer. */
+    * Per-version k is AT MOST its tie-set size (k=5 against v1's 6 ties
+    * — doc 0 plus all five high-id copies, the forget not retro-applied
+    * — serving the 5 smallest; k=9 equals v2's 9 survivors exactly), so
+    * every emitted row is enumerable — a torn version, a retro-applied
+    * forget, or a leaked forgotten id all perturb the answer. (k must
+    * never EXCEED the tie set: the tail would fill with data-dependent
+    * scores the oracle cannot reconstruct.) */
   def maxsimSnapshotForgetTopk(spark: SparkSession, dir: String): DataFrame = {
     val fx = versionedFixture(spark, dir, "maxsim_postings_sf")
     val corpus2 = fx.d.unionByName(fx.copiesA).unionByName(fx.copiesB)
@@ -964,9 +983,9 @@ object LateInteraction extends QueryModule {
       val tvs = tokenWindows(text).map(w => Embedding.hashingEmbed(w, TokenDim))
       qvecss.indices.map(i => (qIds(i), maxSimMicro(tvs, qvecss(i))))
     } // embed windows ONCE per doc
-    // conf-keyed forget exclusion at the brute BATCH entry (the indexed
-    // batch path excludes its candidate frame in serveBatchPostings)
-    Forget.defaultExclusion(corpus, "doc_id")
+    // exclusion-free like maxSimTopK — the conf-keyed exclusion rides
+    // the ENTRY points (the brute row, the batch router's brute arm)
+    corpus
       .select(col("doc_id"), explode(batchScores(col("text"))).as("qs"))
       .select(col("doc_id"), col("qs._1").as("q_id"),
         col("qs._2").as("score_micro"))
@@ -981,7 +1000,7 @@ object LateInteraction extends QueryModule {
 
   def maxsimBatchTopk(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, srcs) = batchCorpus(spark, dir)
-    bruteBatch(corpus, srcs, BatchK)
+    bruteBatch(Forget.defaultExclusion(corpus, "doc_id"), srcs, BatchK)
   }
 
   /** BATCH serve through the POSTING INDEX — the single-query PLAID shape
@@ -996,6 +1015,14 @@ object LateInteraction extends QueryModule {
     * k-bounded GroupTopK exchange — the same discipline as the brute
     * batch tail. */
   private[graft] def serveBatchPostings(spark: SparkSession,
+      corpus: DataFrame, srcs: Seq[(Long, String)], postings: DataFrame,
+      k: Int): DataFrame =
+    // conf-keyed forget exclusion on the posting side (one ledger read);
+    // the batch router pre-excludes and calls the body directly
+    serveBatchPreExcluded(spark, corpus, srcs,
+      Forget.defaultExclusion(postings, "doc_id"), k)
+
+  private def serveBatchPreExcluded(spark: SparkSession,
       corpus: DataFrame, srcs: Seq[(Long, String)], postings: DataFrame,
       k: Int): DataFrame = {
     import org.apache.spark.sql.graft.GroupTopK
@@ -1012,12 +1039,10 @@ object LateInteraction extends QueryModule {
     val qBuckets = qHashRows.map { case (_, h) =>
       ((h % WindowBuckets + WindowBuckets) % WindowBuckets).toInt }.distinct
     // stage 1: candidates per query from ONE pruned scan + tiny equi-join
-    // (conf-keyed forget exclusion rides the candidate stage, before any
-    // embedding — see servePostingsFrame)
-    val cands = Forget.defaultExclusion(postings
+    val cands = postings
       .filter(col("wb").isin(qBuckets: _*))               // partition-pruned
       .join(broadcast(qHashRows.toDF("q_id", "w_hash")), Seq("w_hash"))
-      .select("q_id", "doc_id").distinct(), "doc_id")
+      .select("q_id", "doc_id").distinct()
     // stage 2: per-doc query lists, so each doc embeds once
     val perDoc = cands.groupBy("doc_id")
       .agg(collect_set(col("q_id")).as("q_ids"))
@@ -1080,20 +1105,28 @@ object LateInteraction extends QueryModule {
     * arm's postings; one sidecar probe serves route + serve). */
   private[graft] def batchAutoRoute(spark: SparkSession, corpus: DataFrame,
       srcs: Seq[(Long, String)], path: String, k: Int): DataFrame = {
+    import spark.implicits._
+    // one sidecar probe + ONE ledger read serve pricing and both arms,
+    // as in the single-query router
     val sidecar = tombstoneSidecar(spark, path)
-    val postings = minusTombstonedWith(spark.read.parquet(path), sidecar)
+    val exclIds = Forget.defaultExcludeIds(spark)
+    def minusExcl(df: DataFrame): DataFrame =
+      if (exclIds.isEmpty) df
+      else df.join(broadcast(exclIds.toSeq.toDF("doc_id")), Seq("doc_id"),
+        "left_anti")
+    val postings = minusExcl(
+      minusTombstonedWith(spark.read.parquet(path), sidecar))
     val (qHash, qBuckets) = queryProbe(spark, srcs.map(_._2))
-    // excluded pricing, as in the single-query router above
-    val candidateDocs = Forget.defaultExclusion(postings
-        .filter(col("wb").isin(qBuckets: _*))
-        .filter(col("w_hash").isin(qHash: _*))
-        .select("doc_id").distinct(), "doc_id").count()
+    val candidateDocs = postings
+      .filter(col("wb").isin(qBuckets: _*))
+      .filter(col("w_hash").isin(qHash: _*))
+      .select("doc_id").distinct().count()
     val corpusDocs = corpus.count()
     val indexed = candidateDocs * 2 < corpusDocs
     System.err.println(s"[route] maxsim-batch corpus=$corpusDocs " +
       s"candidates=$candidateDocs -> ${if (indexed) "indexed" else "brute"}")
-    if (indexed) serveBatchPostings(spark, corpus, srcs, postings, k)
-    else bruteBatch(minusIdTombstoned(corpus, sidecar), srcs, k)
+    if (indexed) serveBatchPreExcluded(spark, corpus, srcs, postings, k)
+    else bruteBatch(minusExcl(minusIdTombstoned(corpus, sidecar)), srcs, k)
   }
 
   private val maxsimBatchOracle =

@@ -584,15 +584,22 @@ object Multimodal extends QueryModule {
       .map("%02x".format(_)).mkString.take(12)
   }
 
-  @volatile private var codecTagCache: String = null
+  // keyed by SparkContext, not JVM: a long-lived driver that rebuilds
+  // its session against a DIFFERENT executor image must re-probe, or
+  // the cached tag's executor half goes silently stale
+  @volatile private var codecTagCache: (org.apache.spark.SparkContext, String) = null
   private def codecTag(spark: SparkSession): String = {
-    if (codecTagCache == null) {
+    val ctx = spark.sparkContext
+    val cached = codecTagCache
+    if (cached != null && (cached._1 eq ctx)) cached._2
+    else {
       val driverFp = jpegFingerprint()
-      val execFp = spark.sparkContext.parallelize(Seq(1), 1)
+      val execFp = ctx.parallelize(Seq(1), 1)
         .map(_ => jpegFingerprint()).collect().head
-      codecTagCache = s"media:codec:png+wav+avi:v2:jpeg=$driverFp-$execFp"
+      val tag = s"media:codec:png+wav+avi:v2:jpeg=$driverFp-$execFp"
+      codecTagCache = (ctx, tag)
+      tag
     }
-    codecTagCache
   }
 
   def pngMediaCached(spark: SparkSession, dir: String): DataFrame = {

@@ -367,6 +367,31 @@ class LakehouseSpec extends SparkSpec {
       "a column added later surfaces NULL for older generations")
   }
 
+  test("columnMappedScan: a MAPPING-ONLY generation is the pure rename the catalog advertises") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("colmapren").toString + "/t"
+    Seq((1L, 10L)).toDF("k", "v_old").write.parquet(tmp + "/gen=1")
+    Lakehouse.commitColumnMapping(spark, tmp, 1L,
+      Seq(1 -> "k", 2 -> "v_old"))
+    // the rename: ONE catalog row set, ZERO data written for gen 2
+    Lakehouse.commitColumnMapping(spark, tmp, 2L,
+      Seq(1 -> "k", 2 -> "v_new"))
+    val out = Lakehouse.columnMappedScan(spark, tmp).collect()
+    assert(out.length === 1 && out.head.getAs[Long]("v_new") === 10L,
+      "gen 1's data must read under the mapping-only latest generation's " +
+        "name — a rename is one catalog commit, zero data rewrites")
+    // duplicate (gen, field_id) mappings decline instead of resolving by
+    // collect ordering
+    Lakehouse.commitColumnMapping(spark, tmp, 2L, Seq(2 -> "v_other"))
+    val dup = intercept[IllegalArgumentException] {
+      Lakehouse.columnMappedScan(spark, tmp).collect()
+    }
+    assert(dup.getMessage.contains("multiple names"),
+      s"unexpected decline: ${dup.getMessage}")
+  }
+
   test("columnMappedScan declines a dropped column and an unmapped physical column") {
     val spark2 = spark
     import spark2.implicits._
