@@ -953,12 +953,27 @@ object TextAnalysis extends QueryModule {
     * exchange; the raw LM is one token-key aggregation; the target LM
     * and corpus total are broadcast-scale; scoring is a token
     * equi-join. The global rank window is the resampling step — at
-    * 100 TB the cut becomes a sampled-quantile threshold on logw_bits
-    * (a pure filter), trading the exact fifth for a map-only selection,
-    * exactly the documented mega-strata fallback of `datasetSplit`.
+    * 100 TB the cut becomes a threshold on logw_bits and selection a
+    * pure filter: [[dsirThresholdSelection]] below, the built analog of
+    * `datasetSplitHashed`'s mega-strata fallback.
     */
   def dsirImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val rank = Window.orderBy(col("logw_bits").desc, col("doc_id").asc)
+    dsirLogWeights(spark, dir)
+      .withColumn("rk", row_number().over(rank))
+      .withColumn("total", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("selected", col("rk") * 5 <= col("total"))
+      .select("doc_id", "n_tokens", "logw_bits", "selected")
+      .orderBy("doc_id")
+  }
+
+  /** The per-doc DSIR log-weight frame (doc_id, n_tokens, logw_bits) —
+    * the shared core of the exact-rank row above and the threshold row
+    * below. */
+  private def dsirLogWeights(spark: SparkSession, dir: String): DataFrame = {
     val nTgt = DsirTargetSample.map(_._2).sum
     val perDoc = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
@@ -971,7 +986,7 @@ object TextAnalysis extends QueryModule {
     val totals = vocab.agg(sum(col("cnt_raw")).as("n_raw"))
     import spark.implicits._
     val tgt = DsirTargetSample.toDF("tok", "cnt_tgt")
-    val scored = perDoc.join(vocab, "tok")
+    perDoc.join(vocab, "tok")
       .join(broadcast(tgt), Seq("tok"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("s_raw",
@@ -982,14 +997,30 @@ object TextAnalysis extends QueryModule {
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c") * (col("s_raw") - col("s_tgt"))).as("logw_bits"))
-    val rank = Window.orderBy(col("logw_bits").desc, col("doc_id").asc)
-    scored
-      .withColumn("rk", row_number().over(rank))
-      .withColumn("total", count(lit(1)).over(
-        Window.partitionBy().rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("selected", col("rk") * 5 <= col("total"))
-      .select("doc_id", "n_tokens", "logw_bits", "selected")
+  }
+
+  /** The THRESHOLD form of DSIR selection — the documented mega-scale
+    * fallback of the exact-rank cut above, now real: instead of a GLOBAL
+    * RANK WINDOW over every document (the straggler bound at 100 TB),
+    * the cut value is the fifth-quantile boundary computed by ONE
+    * bounded TakeOrdered(⌊n/5⌋) + min — the quantizedKnn cutoff
+    * discipline — and selection is a pure FILTER (`logw_bits >= T`),
+    * map-only over the weight frame. Ties AT the boundary are all
+    * included, so the selected set is ≥ the exact fifth and a superset
+    * of it (spec-pinned); both engines compute the identical integer
+    * threshold, so the row is exactly oracle-checkable. At extreme
+    * scale the threshold itself comes from a sampled quantile instead
+    * of the exact boundary; the selection stage is unchanged. */
+  def dsirThresholdSelection(spark: SparkSession, dir: String): DataFrame = {
+    val lw = dsirLogWeights(spark, dir)
+    val n = lw.count()
+    val k = (n / 5).toInt
+    require(k > 0, s"corpus too small for a fifth: $n docs")
+    val thr = lw.select("logw_bits")
+      .orderBy(col("logw_bits").desc).limit(k)
+      .agg(min(col("logw_bits"))).head().getLong(0)
+    lw.filter(col("logw_bits") >= thr)
+      .select("doc_id", "n_tokens", "logw_bits")
       .orderBy("doc_id")
   }
 
@@ -1004,7 +1035,10 @@ object TextAnalysis extends QueryModule {
       .map(t => (t, if (boosted(t)) 3000L else 250L))
   }
 
-  private val dsirImportanceWeightsSql = {
+  /** The CTE chain reconstructing the per-doc log-weight frame in DuckDB
+    * (tokenizer parity + integer bit quantization) — shared by both DSIR
+    * oracles. */
+  private val dsirSqlCtes = {
     val vals = DsirTargetSample
       .map { case (t, c) => s"('$t', $c)" }.mkString(", ")
     s"""WITH tgt(tok, cnt_tgt) AS (VALUES $vals),
@@ -1024,13 +1058,30 @@ object TextAnalysis extends QueryModule {
       |      CROSS JOIN tot_tgt tt LEFT JOIN tgt g USING (tok)),
       |lw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
       |              CAST(sum(c * (s_raw - s_tgt)) AS BIGINT) AS logw_bits
-      |       FROM s GROUP BY doc_id),
+      |       FROM s GROUP BY doc_id)""".stripMargin
+  }
+
+  private val dsirImportanceWeightsSql =
+    s"""$dsirSqlCtes,
       |r AS (SELECT *, row_number() OVER (ORDER BY logw_bits DESC, doc_id ASC) AS rk,
       |             count(*) OVER () AS total FROM lw)
       |SELECT doc_id, n_tokens, logw_bits,
       |       CAST(rk * 5 <= total AS BOOLEAN) AS selected
       |FROM r ORDER BY doc_id""".stripMargin
-  }
+
+  /** The threshold is the smallest log-weight among the exact top fifth
+    * (an integer, so both engines agree bit-for-bit); the selection is
+    * every doc at or above it — the exact fifth plus its boundary ties. */
+  private val dsirThresholdSelectionSql =
+    s"""$dsirSqlCtes,
+      |t AS (SELECT min(logw_bits) AS thr FROM (
+      |  SELECT logw_bits,
+      |         row_number() OVER (ORDER BY logw_bits DESC, doc_id) AS rk,
+      |         count(*) OVER () AS n
+      |  FROM lw) WHERE rk * 5 <= n)
+      |SELECT l.doc_id, l.n_tokens, l.logw_bits
+      |FROM lw l, t WHERE l.logw_bits >= t.thr
+      |ORDER BY doc_id""".stripMargin
 
   /** Weighted deterministic sampling WITHOUT randomness: keep a doc iff
     * its md5 prefix, read as a 60-bit hex number, falls below a
@@ -1190,6 +1241,7 @@ object TextAnalysis extends QueryModule {
     "grouped_sample_native" -> groupedSampleNative,
     "surprisal_scores" -> surprisalScores,
     "dsir_importance_weights" -> dsirImportanceWeights,
+    "dsir_threshold_selection" -> dsirThresholdSelection,
     "top_ngrams_per_lang" -> topNgramsPerLang,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
@@ -1212,6 +1264,7 @@ object TextAnalysis extends QueryModule {
     "grouped_sample_native" -> groupedSampleNativeSql,
     "surprisal_scores" -> surprisalScoresSql,
     "dsir_importance_weights" -> dsirImportanceWeightsSql,
+    "dsir_threshold_selection" -> dsirThresholdSelectionSql,
     "top_ngrams_per_lang" -> topNgramsPerLangSql,
     "pack_sequences" -> packSequencesSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -114,6 +114,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("temporal video near-dup: payloads never cross an exchange, only frame hashes do") {
+    // AQE off so executedPlan carries the real Exchange nodes (sparkPlan
+    // predates EnsureRequirements and shows none). BOTH exchange kinds
+    // are audited: at test scale the band self-join broadcasts, at
+    // 100 TB it shuffles — no exchange of either kind may carry the
+    // binary payload column.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("video_phash_near_dupes")(spark, sf)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty,
+        "the band join must exchange SOMETHING (hashes)")
+      exchanges.foreach { e =>
+        val moved = e.child.output.map(_.name).toSet
+        assert(!moved.contains("content"),
+          s"a video payload crossed an exchange: ${moved.mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed tables co-locate: the fact-fact join plans with zero exchanges") {
     // The 100 TB answer to the orders⋈lineitem shuffle: write both sides
     // bucketed+sorted on the join key, and the sort-merge join reads

@@ -79,6 +79,29 @@ class TextAnalysisSpec extends SparkSpec {
       s"the hash split must be a pure map:\n$plan")
   }
 
+  test("dsir_threshold_selection: a superset of the exact fifth, extras all boundary ties") {
+    val exact = SparkEntry.queries("dsir_importance_weights")(spark, sf)
+      .collect()
+    val exactSel = exact.filter(_.getAs[Boolean]("selected"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logw_bits")).toMap
+    val thr = exactSel.values.min
+    val out = SparkEntry.queries("dsir_threshold_selection")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logw_bits")).toMap
+    assert(exactSel.keySet.subsetOf(out.keySet),
+      "threshold selection must contain the exact fifth")
+    assert(out.size >= exact.length / 5)
+    val extras = out.keySet -- exactSel.keySet
+    extras.foreach { d =>
+      assert(out(d) === thr,
+        s"doc $d selected beyond the fifth must tie at the boundary " +
+          s"($thr), got ${out(d)}")
+    }
+    // map-only selection: the FILTER stage adds no rank window (the
+    // threshold action itself is a bounded TakeOrdered + min)
+    assert(out.values.forall(_ >= thr))
+  }
+
   test("text_quality metrics on a hand-computed sample") {
     val df = Seq((1L, "The cat sat on the mat, twice.")).toDF("doc_id", "text")
       .withColumn("toks", TextAnalysis.tokensCol(col("text")))
