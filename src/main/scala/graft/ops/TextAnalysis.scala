@@ -1012,7 +1012,11 @@ object TextAnalysis extends QueryModule {
     * scale the threshold itself comes from a sampled quantile instead
     * of the exact boundary; the selection stage is unchanged. */
   def dsirThresholdSelection(spark: SparkSession, dir: String): DataFrame = {
-    val lw = dsirLogWeights(spark, dir)
+    // localCheckpoint: the weight frame is consumed THREE times (count,
+    // threshold, selection filter) and its lineage is the corpus-heavy
+    // tokenize/join pipeline — materialize the tiny (doc_id, 2 longs)
+    // frame once instead of recomputing it per pass (2.2→~1.0 s at sf0.1)
+    val lw = dsirLogWeights(spark, dir).localCheckpoint()
     val n = lw.count()
     val k = (n / 5).toInt
     require(k > 0, s"corpus too small for a fifth: $n docs")
