@@ -965,7 +965,10 @@ object TextAnalysis extends QueryModule {
       .withColumn("total", count(lit(1)).over(
         Window.partitionBy().rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("selected", col("rk") * 5 <= col("total"))
+      // rk is row_number's IntegerType: cast before the multiply or the
+      // product wraps negative past ~429M docs (non-ANSI), silently
+      // flagging deep-tail docs selected while the BIGINT oracle doesn't
+      .withColumn("selected", col("rk").cast("long") * 5 <= col("total"))
       .select("doc_id", "n_tokens", "logw_bits", "selected")
       .orderBy("doc_id")
   }
@@ -999,29 +1002,35 @@ object TextAnalysis extends QueryModule {
         sum(col("c") * (col("s_raw") - col("s_tgt"))).as("logw_bits"))
   }
 
-  /** The THRESHOLD form of DSIR selection — the documented mega-scale
-    * fallback of the exact-rank cut above, now real: instead of a GLOBAL
-    * RANK WINDOW over every document (the straggler bound at 100 TB),
-    * the cut value is the fifth-quantile boundary computed by ONE
-    * bounded TakeOrdered(⌊n/5⌋) + min — the quantizedKnn cutoff
-    * discipline — and selection is a pure FILTER (`logw_bits >= T`),
-    * map-only over the weight frame. Ties AT the boundary are all
-    * included, so the selected set is ≥ the exact fifth and a superset
-    * of it (spec-pinned); both engines compute the identical integer
-    * threshold, so the row is exactly oracle-checkable. At extreme
-    * scale the threshold itself comes from a sampled quantile instead
-    * of the exact boundary; the selection stage is unchanged. */
+  /** The THRESHOLD form of DSIR selection — the documented fallback of
+    * the exact-rank cut above: SELECTION is a pure FILTER
+    * (`logw_bits >= T`), map-only over the weight frame, with no global
+    * rank window (spec-pinned plan). Ties AT the boundary are all
+    * included, so the selected set is a superset of the exact fifth
+    * (spec-pinned); both engines compute the identical integer
+    * threshold, so the row is exactly oracle-checkable. The threshold
+    * HERE is the exact boundary via TakeOrdered(⌊n/5⌋) + min — the
+    * quantizedKnn cutoff shape, fine while ⌊n/5⌋-row heaps fit an
+    * executor (~10^8 docs); at extreme scale T comes from a sampled
+    * quantile instead, and the selection stage — the point of the
+    * fallback — is unchanged. A corpus too small for a fifth selects
+    * nothing, matching the oracle's empty set. */
   def dsirThresholdSelection(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint: the weight frame is consumed THREE times (count,
     // threshold, selection filter) and its lineage is the corpus-heavy
     // tokenize/join pipeline — materialize the tiny (doc_id, 2 longs)
-    // frame once instead of recomputing it per pass (2.2→~1.0 s at sf0.1)
+    // frame once instead of recomputing it per pass (2.2→1.5 s at sf0.1)
     val lw = dsirLogWeights(spark, dir).localCheckpoint()
     val n = lw.count()
-    val k = (n / 5).toInt
-    require(k > 0, s"corpus too small for a fifth: $n docs")
+    val k = n / 5
+    require(k <= Int.MaxValue,
+      s"exact-boundary threshold needs k=$k <= Int.MaxValue rows — use " +
+        "a sampled-quantile threshold at this scale (the doc's note)")
+    if (k == 0L)
+      return lw.filter(lit(false))
+        .select("doc_id", "n_tokens", "logw_bits")
     val thr = lw.select("logw_bits")
-      .orderBy(col("logw_bits").desc).limit(k)
+      .orderBy(col("logw_bits").desc).limit(k.toInt)
       .agg(min(col("logw_bits"))).head().getLong(0)
     lw.filter(col("logw_bits") >= thr)
       .select("doc_id", "n_tokens", "logw_bits")
@@ -1065,9 +1074,12 @@ object TextAnalysis extends QueryModule {
       |       FROM s GROUP BY doc_id)""".stripMargin
   }
 
+  // CONCATENATED, not interpolated into an outer stripMargin: a future
+  // '|' inside the shared CTE block (a regex alternation, say) would be
+  // mangled by the outer strip and corrupt both oracles silently
   private val dsirImportanceWeightsSql =
-    s"""$dsirSqlCtes,
-      |r AS (SELECT *, row_number() OVER (ORDER BY logw_bits DESC, doc_id ASC) AS rk,
+    dsirSqlCtes + ",\n" +
+      """r AS (SELECT *, row_number() OVER (ORDER BY logw_bits DESC, doc_id ASC) AS rk,
       |             count(*) OVER () AS total FROM lw)
       |SELECT doc_id, n_tokens, logw_bits,
       |       CAST(rk * 5 <= total AS BOOLEAN) AS selected
@@ -1077,8 +1089,8 @@ object TextAnalysis extends QueryModule {
     * (an integer, so both engines agree bit-for-bit); the selection is
     * every doc at or above it — the exact fifth plus its boundary ties. */
   private val dsirThresholdSelectionSql =
-    s"""$dsirSqlCtes,
-      |t AS (SELECT min(logw_bits) AS thr FROM (
+    dsirSqlCtes + ",\n" +
+      """t AS (SELECT min(logw_bits) AS thr FROM (
       |  SELECT logw_bits,
       |         row_number() OVER (ORDER BY logw_bits DESC, doc_id) AS rk,
       |         count(*) OVER () AS n
@@ -1173,8 +1185,10 @@ object TextAnalysis extends QueryModule {
         bySource.orderBy(md5(col("text")), col("doc_id"))))
       .withColumn("n", count(lit(1)).over(bySource))
       .withColumn("split",
-        when(col("rk") * 10 <= col("n") * 8, "train")
-          .when(col("rk") * 10 <= col("n") * 9, "val")
+        // cast before the multiply: an IntegerType row_number * 10 wraps
+        // past ~214M rows per stratum (see dsirImportanceWeights)
+        when(col("rk").cast("long") * 10 <= col("n") * 8, "train")
+          .when(col("rk").cast("long") * 10 <= col("n") * 9, "val")
           .otherwise("test"))
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy("doc_id")

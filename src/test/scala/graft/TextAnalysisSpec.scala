@@ -97,9 +97,13 @@ class TextAnalysisSpec extends SparkSpec {
         s"doc $d selected beyond the fifth must tie at the boundary " +
           s"($thr), got ${out(d)}")
     }
-    // map-only selection: the FILTER stage adds no rank window (the
-    // threshold action itself is a bounded TakeOrdered + min)
-    assert(out.values.forall(_ >= thr))
+    // the headline plan property, PINNED: the selection stage carries no
+    // rank window — a refactor reintroducing one must fail here
+    val plan = SparkEntry.queries("dsir_threshold_selection")(spark, sf)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"threshold selection must not plan a rank window:\n$plan")
   }
 
   test("text_quality metrics on a hand-computed sample") {
