@@ -26,6 +26,23 @@ import graft.vector.Embedding
   *     families' tombstone folds and vacuums — with the ledger as the
   *     authoritative exclusion until they run.
   *
+  * SCOPE — what "every serving surface" means precisely: the ledger
+  * governs RETRIEVAL serving (exact knn, all six ANN families, BM25,
+  * MaxSim, the pinned graph walks) and the training-EXPORT scan — the
+  * surfaces that answer queries over corpus ids, wired explicitly via
+  * [[excludingIds]] or default-on via [[RootConf]]. The lakehouse ROW-
+  * TABLE surfaces (`Lakehouse.morSnapshot`, `timeTravelScan`, the CDC
+  * replica) are deliberately OUTSIDE it: their contract is byte-faithful
+  * reproduction of a pinned snapshot — a time-travel read that silently
+  * dropped rows from v1-as-committed would falsify history and break
+  * every snapshot-pinned audit downstream. Compliance deletion for
+  * those tables is PHYSICAL and versioned: [[reclaimTable]] rewrites
+  * the table (the new snapshot simply lacks the rows) and retires the
+  * ledger; a table that must pair a snapshot advance WITH a serve-time
+  * exclusion uses the composed [[commitSnapshotForget]] log, where the
+  * (files, forgotten) pair is atomic per version and version-pinned
+  * reads apply THEIR version's exclusion (`snapshot_forget_atomic`).
+  *
   * The propagation driver row forgets one of ten planted copies of doc 0
   * and serves THREE surfaces through the one ledger: exact doc-embedding
   * knn, the MaxSim posting index, and the training-export scan; the ANN
@@ -45,10 +62,24 @@ object Forget extends QueryModule {
     * leaves a version file forever and every serve-time ledger read
     * pays an O(all-time-forgets) directory listing. Same 64-version
     * margin discipline as the batch roster (see its class doc for why
-    * expiring to the head races readers). */
+    * expiring to the head races readers).
+    *
+    * The committed head also refreshes the snapshot cache below: the
+    * update closure runs LAST on the winning head, so `(v, lines)` is
+    * exactly the content the CAS installed — and a fixture that deletes
+    * a ledger root out-of-band and re-commits from v1 (version numbers
+    * restart) lands its fresh content in the cache through this path,
+    * never serving the prior incarnation's same-numbered snapshot. An
+    * out-of-band delete+recreate from ANOTHER process is outside the
+    * log discipline (manifest logs are append-only) and would need an
+    * explicit cache invalidation. */
   private def commitBounded(spark: SparkSession, root: String,
       update: Seq[String] => Seq[String]): Unit = {
-    val v = ManifestLog.commit(spark, ledgerDir(root), update)
+    var committed: Seq[String] = Nil
+    val v = ManifestLog.commit(spark, ledgerDir(root), head => {
+      committed = update(head); committed
+    })
+    ledgerCache.put(root, (v, committed.map(_.toLong)))
     if (v > KeepVersions)
       ManifestLog.expire(spark, ledgerDir(root), keepFrom = v - KeepVersions)
   }
@@ -86,17 +117,44 @@ object Forget extends QueryModule {
     removed
   }
 
+  // ---- version-stamped ledger snapshot cache ---------------------------
+  // root -> (head version, ids). Every read still pays ONE
+  // `currentVersion` probe (a directory listing — no manifest file is
+  // opened), but the manifest BODY is re-read only when the CAS head
+  // moved: a query composing several conf-armed serve tails (the
+  // default-on deployment shape) pays one manifest read per ledger
+  // VERSION instead of one per surface, and all surfaces built while the
+  // head is unchanged observe the identical snapshot. Version numbers
+  // are never reused (ManifestLog.expire only deletes below the head),
+  // so version equality is a sound revalidation — no ABA. Stale entries
+  // are never served: a new CAS head fails the version check and the
+  // next read repopulates (spec-pinned in ForgetSpec).
+  private val ledgerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[Long])]()
+
+  /** Monotonic count of ledger manifest BODY reads — cache-audit
+    * instrumentation (ForgetSpec counts reads per composed serve). */
+  private[graft] val ledgerManifestReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The current forgotten-id set (empty on a fresh root). A vanished
     * head (an expiry racing the read) retries then THROWS — an empty
-    * read here would silently serve forgotten docs. */
+    * read here would silently serve forgotten docs. Served from the
+    * version-stamped cache above whenever the head is unchanged. */
   def forgottenIds(spark: SparkSession, root: String): Seq[Long] = {
     val dir = ledgerDir(root)
     var attempt = 0
     while (attempt < 5) {
       val v = ManifestLog.currentVersion(spark, dir)
       if (v == 0L) return Seq.empty
+      val cached = ledgerCache.get(root)
+      if (cached != null && cached._1 == v) return cached._2
       ManifestLog.read(spark, dir, v) match {
-        case Some(lines) => return lines.map(_.toLong)
+        case Some(lines) =>
+          ledgerManifestReads.incrementAndGet()
+          val ids = lines.map(_.toLong)
+          ledgerCache.put(root, (v, ids))
+          return ids
         case None => attempt += 1
       }
     }

@@ -1301,13 +1301,46 @@ object GraphAnn {
     * unioned with the conf-keyed default root's ids, BROADCAST when
     * non-empty (a large ledger ships once per serve, not per task
     * closure) and a free constant-false when empty — the conf-unset
-    * standing state must not pay broadcast registration per serve. */
+    * standing state must not pay broadcast registration per serve.
+    *
+    * Broadcasts are CACHED per (application, set content): a standing
+    * serve loop over an unchanged ledger reuses ONE broadcast instead of
+    * registering a new one per walk (the registration + ContextCleaner
+    * pressure a long-lived armed driver would otherwise accumulate
+    * between GC cycles). A forget/unforget changes the set content, so
+    * the next serve keys a fresh broadcast — exclusion stays serve-tail
+    * state, never cache state. Bounded LRU; evictees unpersist(false)
+    * (an in-flight job re-fetches from the driver, so late readers of an
+    * evicted broadcast stay correct — the residentPin discipline). */
+  private val ExcludeBcMax = 64
+  private val excludeBcCache = new java.util.LinkedHashMap[
+      (String, Set[Long]),
+      org.apache.spark.broadcast.Broadcast[Set[Long]]](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, Set[Long]),
+        org.apache.spark.broadcast.Broadcast[Set[Long]]]): Boolean =
+      if (size > ExcludeBcMax) { e.getValue.unpersist(false); true }
+      else false
+  }
+
   private def excludeFn(spark: SparkSession,
       exclude: Set[Long]): Long => Boolean = {
     val excl = exclude ++ graft.ops.Forget.defaultExcludeIds(spark)
     if (excl.isEmpty) _ => false
     else {
-      val bc = spark.sparkContext.broadcast(excl)
+      // keyed by applicationId too: a broadcast outlives neither its
+      // SparkContext nor this cache — a restarted context must not serve
+      // the dead context's handle
+      val key = (spark.sparkContext.applicationId, excl)
+      val bc = excludeBcCache.synchronized {
+        val got = excludeBcCache.get(key)
+        if (got != null) got
+        else {
+          val b = spark.sparkContext.broadcast(excl)
+          excludeBcCache.put(key, b)
+          b
+        }
+      }
       id => bc.value.contains(id)
     }
   }

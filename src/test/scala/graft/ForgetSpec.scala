@@ -421,6 +421,50 @@ class ForgetSpec extends SparkSpec {
     assert(maxsimServe().toSet === Set(1L, 2L))
   }
 
+  test("ledger snapshot cache: a composed serve pays at most ONE manifest read, and a new CAS head invalidates") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("fgtcache").toString + "/r"
+    Forget.forget(spark, root, Seq(42L, 99L))
+    // the commit itself refreshed the cache with the committed head, so
+    // a SERVE composing many conf-armed surfaces re-reads ZERO manifest
+    // bodies while the head is unchanged (each surface still pays its
+    // one currentVersion listing probe — that is the revalidation)
+    val armed = spark.newSession()
+    armed.conf.set(Forget.RootConf, root)
+    val r0 = Forget.ledgerManifestReads.get()
+    val df = armed.range(200).select(col("id").as("doc_id"))
+    // a composed serve: five frame-shaped tails + five resident-set
+    // tails built from the same armed session
+    val frames = (1 to 5).map(_ => Forget.defaultExclusion(df, "doc_id"))
+    val sets = (1 to 5).map(_ => Forget.defaultExcludeIds(armed))
+    assert(Forget.ledgerManifestReads.get() - r0 <= 1L,
+      "composing surfaces under one ledger head must not re-read the " +
+        "manifest per surface")
+    assert(sets.forall(_ === Set(42L, 99L)),
+      "every surface observes the identical snapshot")
+    assert(frames.forall(f =>
+      f.collect().map(_.getLong(0)).toSet.intersect(Set(42L, 99L)).isEmpty))
+    // a NEW CAS head invalidates: the next read serves the new ids (the
+    // commit-path refresh makes the read itself a cache hit — the point
+    // is freshness, not read counting)
+    Forget.forget(spark, root, Seq(7L))
+    assert(Forget.defaultExcludeIds(armed) === Set(42L, 99L, 7L),
+      "a forget committed mid-session must flip the very next read")
+    Forget.unforget(spark, root, Seq(99L))
+    assert(Forget.defaultExcludeIds(armed) === Set(42L, 7L),
+      "an unforget must flip the very next read too")
+    // a ledger root deleted and re-committed from v1 (the fixture-build
+    // shape) must never serve the prior incarnation's snapshot
+    val lp = new org.apache.hadoop.fs.Path(root + "/_forget")
+    lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lp, true)
+    Forget.forget(spark, root, Seq(5L))
+    assert(Forget.defaultExcludeIds(armed) === Set(5L),
+      "a re-created ledger's same-numbered head must serve ITS content")
+  }
+
   test("a forget flips a RESIDENT-pinned graph serve with zero pin rebuild") {
     import graft.vector.GraphAnn
     import org.apache.spark.sql.functions.col
