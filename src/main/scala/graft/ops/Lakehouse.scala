@@ -874,18 +874,71 @@ object Lakehouse extends QueryModule {
       .write.mode("append").parquet(path + "/_column_mapping")
   }
 
+  /** RETIRE field ids — the catalog half of a column DROP (the Iceberg
+    * drop-column discipline): a retired field id is projected away from
+    * every generation at scan time, and can never be re-mapped — re-
+    * adding the same NAME must mint a NEW field id, so old data never
+    * resurrects under a re-added name. Retirement is an EXPLICIT sidecar
+    * row, not a mapping omission: an id that is merely absent from the
+    * latest mapping still declines loudly (the accidental-omission
+    * silent-data-loss class the scan has always refused). The data
+    * bytes stay on disk until a rewrite (the reclaim discipline) —
+    * retirement governs the SCAN, exactly like a ledger forget. */
+  def retireColumnMapping(spark: SparkSession, path: String, gen: Long,
+      fieldIds: Seq[Int]): Unit = {
+    import spark.implicits._
+    fieldIds.map(fid => (gen, fid)).toDF("gen", "field_id")
+      .repartition(1)
+      .write.mode("append").parquet(path + "/_column_mapping_retired")
+  }
+
+  /** The DROP commit, as one helper: a new mapping generation WITHOUT
+    * the dropped field ids plus their retirement rows. Two sidecar
+    * appends (each tiny); the scan-side validation below keeps a crash
+    * between them safe — mapping-without-retire declines as an
+    * unexplained drop, retire-without-mapping is consistent (the retire
+    * alone already hides the ids). */
+  def dropColumns(spark: SparkSession, path: String, gen: Long,
+      mapping: Seq[(Int, String)], droppedFieldIds: Seq[Int]): Unit = {
+    require(droppedFieldIds.forall(fid => !mapping.exists(_._1 == fid)),
+      s"dropColumns: ${droppedFieldIds.mkString(", ")} cannot be both " +
+        "mapped and dropped in one generation")
+    retireColumnMapping(spark, path, gen, droppedFieldIds)
+    commitColumnMapping(spark, path, gen, mapping)
+  }
+
+  /** The retired-field-id set (empty when the sidecar is absent). */
+  private def retiredFieldIds(spark: SparkSession, path: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path + "/_column_mapping_retired")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Set.empty
+    else spark.read.parquet(path + "/_column_mapping_retired")
+      .select("field_id").collect().map(_.getInt(0)).toSet
+  }
+
   /** Read every generation under `path/gen=N` through the column-mapping
     * catalog: each generation's physical columns rename to the LATEST
-    * generation's names by field id, and names the latest schema added
+    * generation's names by field id, names the latest schema added
     * surface as NULL for older generations (the additive mergeSchema
-    * semantics, now rename-safe). Declines LOUDLY on:
-    *   - a DROPPED field id (mapped in an older generation, absent from
-    *     the latest): projecting it away would silently ship data whose
-    *     deletion the caller believes complete, and resurrecting it
-    *     under an old name is equally wrong — drop needs a rewrite (the
-    *     reclaimTable path), not a scan-time fiction;
+    * semantics, now rename-safe), and RETIRED field ids (explicit drop
+    * commits, [[retireColumnMapping]]) are projected away from every
+    * generation — a re-added name serves ONLY its new field id's data.
+    * Declines LOUDLY on:
+    *   - a field id absent from the latest mapping WITHOUT a retirement
+    *     row (mapped in an older generation, silently omitted from the
+    *     latest): an unexplained omission is indistinguishable from a
+    *     catalog bug, and either shipping or hiding that data silently
+    *     would be wrong — a drop is an explicit retire commit;
+    *   - a RETIRED field id appearing in the latest mapping: re-adding
+    *     a dropped column must mint a NEW field id (resurrecting the
+    *     old id would serve data whose deletion the caller believes
+    *     complete);
     *   - a physical column with NO field id in its generation's mapping:
-    *     positional/name guessing is how rename-reuse corrupts tables.
+    *     positional/name guessing is how rename-reuse corrupts tables;
+    *   - a `gen=N` DATA directory with no catalog rows: the mapping and
+    *     data commits are separate, so a writer crash between them must
+    *     surface as an error, never as rows silently missing from every
+    *     mapped read.
     */
   def columnMappedScan(spark: SparkSession, path: String): DataFrame = {
     val catalog = spark.read.parquet(path + "/_column_mapping")
@@ -911,20 +964,45 @@ object Lakehouse extends QueryModule {
     val latestGen = gens.max
     val latest: Map[Int, String] =
       catalog.filter(_._1 == latestGen).map(t => t._2 -> t._3).toMap
+    val retired = retiredFieldIds(spark, path)
+    val resurrected = latest.keySet.intersect(retired)
+    if (resurrected.nonEmpty) throw new IllegalStateException(
+      s"columnMappedScan: retired field ids " +
+        s"${resurrected.toSeq.sorted.mkString(", ")} appear in the " +
+        "latest mapping — re-adding a dropped column must mint a NEW " +
+        "field id; re-mapping the old one would resurrect data whose " +
+        "deletion the caller believes complete")
     val dropped = catalog.filter(_._1 != latestGen).map(_._2)
-      .distinct.filterNot(latest.contains)
+      .distinct.filterNot(fid => latest.contains(fid) || retired(fid))
     if (dropped.nonEmpty) throw new IllegalStateException(
-      s"columnMappedScan: field ids ${dropped.sorted.mkString(", ")} were " +
-        "DROPPED from the latest mapping — a drop needs a data rewrite " +
-        "(reclaim), not scan-time projection; declining rather than " +
-        "serving a fiction")
+      s"columnMappedScan: field ids ${dropped.sorted.mkString(", ")} are " +
+        "absent from the latest mapping with NO retirement row — an " +
+        "unexplained omission is a catalog bug, not a drop; commit the " +
+        "drop explicitly (retireColumnMapping) or restore the mapping")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a MAPPING-ONLY generation (no gen=N data dir) is the pure-rename
     // commit the catalog advertises — its mapping participates (it may
-    // BE the latest, defining the names) but it contributes no rows
-    val dataGens = gens.filter(g =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/gen=$g")))
+    // BE the latest, defining the names) but it contributes no rows.
+    // The CONVERSE is an error: a gen=N data directory with no catalog
+    // rows would silently vanish from every mapped read (the mapping
+    // and data commits are separate non-atomic writes), so the on-disk
+    // generations are enumerated and each must be catalogued.
+    val GenDir = "gen=(\\d+)".r
+    val diskGens =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) Seq.empty[Long]
+      else fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        .filter(_.isDirectory).flatMap(_.getPath.getName match {
+          case GenDir(n) => Some(n.toLong)
+          case _ => None
+        })
+    val uncatalogued = diskGens.filterNot(gens.contains)
+    require(uncatalogued.isEmpty,
+      s"columnMappedScan: data generations " +
+        s"${uncatalogued.sorted.mkString(", ")} under $path have no " +
+        "catalog rows — their rows would silently vanish from every " +
+        "mapped read; commit their mapping (or remove the orphan data)")
+    val dataGens = gens.filter(diskGens.contains)
     require(dataGens.nonEmpty,
       s"columnMappedScan: no generation under $path has data")
     dataGens.map { g =>
@@ -935,7 +1013,10 @@ object Lakehouse extends QueryModule {
       require(unmapped.isEmpty,
         s"columnMappedScan: generation $g carries unmapped physical " +
           s"columns ${unmapped.mkString(", ")} — refusing to guess")
-      df.select(df.columns.map(c => col(c).as(latest(byName(c)))): _*)
+      // retired field ids project AWAY (the drop, applied at scan time);
+      // everything else renames to the latest generation's name
+      val kept = df.columns.filterNot(c => retired(byName(c)))
+      df.select(kept.map(c => col(c).as(latest(byName(c)))): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -970,6 +1051,55 @@ object Lakehouse extends QueryModule {
         sum(col("amount_e2")).as("total_e2"))
       .orderBy("priority_class")
   }
+
+  /** The DROP + RE-ADD round-trip row: generation 1 writes (o_orderkey,
+    * price_e2, score) where `score` is POISON data (−1 everywhere, field
+    * id 3); generation 2 DROPS score (one retire commit — zero data
+    * rewrites); generation 3 RE-ADDS the name `score` under a NEW field
+    * id (4) with real data. The mapped scan must serve gen 1's score as
+    * NULL (the retired id projected away — re-adding the name never
+    * resurrects the poison) and gen 3's score under the re-added id;
+    * any resurrection shifts `sum_score` by the planted −1s. */
+  def schemaDropScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpPath("graft_schemadrop", dir)
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_e2"))
+    base.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("score", lit(-1L))
+      .write.mode("overwrite").parquet(tmp + "/gen=1")
+    base.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("score", col("price_e2") % 7)
+      .write.mode("overwrite").parquet(tmp + "/gen=3")
+    commitColumnMapping(spark, tmp, 1L,
+      Seq(1 -> "o_orderkey", 2 -> "price_e2", 3 -> "score"))
+    // gen 2: the DROP (mapping-only generation — no data dir)
+    dropColumns(spark, tmp, 2L,
+      Seq(1 -> "o_orderkey", 2 -> "price_e2"), droppedFieldIds = Seq(3))
+    // gen 3: the RE-ADD under a NEW field id
+    commitColumnMapping(spark, tmp, 3L,
+      Seq(1 -> "o_orderkey", 2 -> "price_e2", 4 -> "score"))
+    columnMappedScan(spark, tmp)
+      .groupBy(col("score").isNotNull.as("has_score"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_e2")).as("total_e2"),
+        sum(coalesce(col("score"), lit(0L))).as("sum_score"))
+      .orderBy("has_score")
+  }
+
+  private val schemaDropScanSql =
+    """WITH u AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_e2,
+      |         CASE WHEN o_orderkey % 2 = 1
+      |              THEN CAST(floor(o_totalprice * 100) AS BIGINT) % 7
+      |              ELSE NULL END AS score
+      |  FROM orders)
+      |SELECT score IS NOT NULL AS has_score, count(*) AS n_orders,
+      |       CAST(sum(price_e2) AS BIGINT) AS total_e2,
+      |       CAST(sum(coalesce(score, 0)) AS BIGINT) AS sum_score
+      |FROM u GROUP BY 1 ORDER BY has_score""".stripMargin
 
   private val schemaRenameScanSql =
     """WITH u AS (
@@ -1042,6 +1172,7 @@ object Lakehouse extends QueryModule {
     "zorder_pruned_scan" -> zorderScan,
     "schema_evolution_scan" -> schemaEvolutionScan,
     "schema_rename_scan" -> schemaRenameScan,
+    "schema_drop_scan" -> schemaDropScan,
     "zonemap_append_scan" -> zonemapAppendScan,
     "backfill_partitions" -> backfillPartitions,
     "orc_interchange" -> orcInterchange,
@@ -1059,6 +1190,7 @@ object Lakehouse extends QueryModule {
     "zorder_pruned_scan" -> zorderScanSql,
     "schema_evolution_scan" -> schemaEvolutionScanSql,
     "schema_rename_scan" -> schemaRenameScanSql,
+    "schema_drop_scan" -> schemaDropScanSql,
     "zonemap_append_scan" -> zonemapAppendScanSql,
     "backfill_partitions" -> backfillPartitionsSql,
     "orc_interchange" -> fidelitySql,

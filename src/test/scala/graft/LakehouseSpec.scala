@@ -392,10 +392,11 @@ class LakehouseSpec extends SparkSpec {
       s"unexpected decline: ${dup.getMessage}")
   }
 
-  test("columnMappedScan declines a dropped column and an unmapped physical column") {
+  test("columnMappedScan declines an UNEXPLAINED drop and an unmapped physical column") {
     val spark2 = spark
     import spark2.implicits._
-    // DROP: field id 2 vanishes from the latest mapping
+    // field id 2 vanishes from the latest mapping with NO retirement row
+    // — indistinguishable from a catalog bug, so it declines
     val t1 = java.nio.file.Files
       .createTempDirectory("colmapdrop").toString + "/t"
     Seq((1L, 10L)).toDF("k", "v").write.parquet(t1 + "/gen=1")
@@ -405,8 +406,15 @@ class LakehouseSpec extends SparkSpec {
     val drop = intercept[IllegalStateException] {
       Lakehouse.columnMappedScan(spark, t1).collect()
     }
-    assert(drop.getMessage.contains("DROPPED"),
+    assert(drop.getMessage.contains("NO retirement row"),
       s"unexpected decline message: ${drop.getMessage}")
+    // the SAME table scans fine once the drop is committed explicitly
+    Lakehouse.retireColumnMapping(spark, t1, 2L, Seq(2))
+    val served = Lakehouse.columnMappedScan(spark, t1)
+    assert(served.columns.toSeq === Seq("k"),
+      "a retired field id projects away from every generation")
+    assert(served.orderBy("k").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L))
     // UNMAPPED: a physical column with no field id in its generation
     val t2 = java.nio.file.Files
       .createTempDirectory("colmapguess").toString + "/t"
@@ -417,6 +425,60 @@ class LakehouseSpec extends SparkSpec {
     }
     assert(guess.getMessage.contains("unmapped physical"),
       s"unexpected decline message: ${guess.getMessage}")
+  }
+
+  test("columnMappedScan: re-adding a dropped NAME mints a new field id; the old id never resurrects") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("colmapreadd").toString + "/t"
+    // gen 1: poison score under field id 2
+    Seq((1L, -1L)).toDF("k", "score").write.parquet(tmp + "/gen=1")
+    Lakehouse.commitColumnMapping(spark, tmp, 1L, Seq(1 -> "k", 2 -> "score"))
+    // gen 2: the drop
+    Lakehouse.dropColumns(spark, tmp, 2L, Seq(1 -> "k"),
+      droppedFieldIds = Seq(2))
+    // re-adding the NAME under the OLD field id declines loudly
+    Lakehouse.commitColumnMapping(spark, tmp, 3L, Seq(1 -> "k", 2 -> "score"))
+    val res = intercept[IllegalStateException] {
+      Lakehouse.columnMappedScan(spark, tmp).collect()
+    }
+    assert(res.getMessage.contains("retired field ids") &&
+      res.getMessage.contains("NEW field id"),
+      s"unexpected decline message: ${res.getMessage}")
+    // under a NEW field id the re-add serves, and gen 1's poison stays
+    // NULL — the retired id's data never resurrects under the new name
+    val t2 = java.nio.file.Files
+      .createTempDirectory("colmapreadd2").toString + "/t"
+    Seq((1L, -1L)).toDF("k", "score").write.parquet(t2 + "/gen=1")
+    Seq((2L, 7L)).toDF("k", "score").write.parquet(t2 + "/gen=3")
+    Lakehouse.commitColumnMapping(spark, t2, 1L, Seq(1 -> "k", 2 -> "score"))
+    Lakehouse.dropColumns(spark, t2, 2L, Seq(1 -> "k"),
+      droppedFieldIds = Seq(2))
+    Lakehouse.commitColumnMapping(spark, t2, 3L, Seq(1 -> "k", 3 -> "score"))
+    val out = Lakehouse.columnMappedScan(spark, t2).orderBy("k").collect()
+    assert(out.map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      .toSeq === Seq(None, Some(7L)),
+      "gen 1's retired score must surface NULL, never the poison −1")
+  }
+
+  test("columnMappedScan: a data generation with no catalog rows declines instead of vanishing") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("colmaporphan").toString + "/t"
+    Seq((1L, 10L)).toDF("k", "v").write.parquet(tmp + "/gen=1")
+    // the crashed writer: gen 2's DATA landed, its mapping commit didn't
+    Seq((2L, 20L)).toDF("k", "v").write.parquet(tmp + "/gen=2")
+    Lakehouse.commitColumnMapping(spark, tmp, 1L, Seq(1 -> "k", 2 -> "v"))
+    val orphan = intercept[IllegalArgumentException] {
+      Lakehouse.columnMappedScan(spark, tmp).collect()
+    }
+    assert(orphan.getMessage.contains("no catalog rows"),
+      s"unexpected decline message: ${orphan.getMessage}")
+    // cataloguing the generation heals the scan
+    Lakehouse.commitColumnMapping(spark, tmp, 2L, Seq(1 -> "k", 2 -> "v"))
+    assert(Lakehouse.columnMappedScan(spark, tmp).count() === 2L)
   }
 
   test("cdc: the base reaches its broadcast join without an exchange") {
