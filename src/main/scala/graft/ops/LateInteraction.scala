@@ -186,8 +186,9 @@ object LateInteraction extends QueryModule {
     * t_doc_id/upto_seq rows make the watermark anti-join condition null
     * and silently RESURRECT deleted docs; failing loudly here is the
     * contract that keeps one sidecar one delete semantics. Composing a
-    * delete onto an upserted table must merge into the watermark shape
-    * (tombstone the doc at `upto_seq = Long.MaxValue`), not append. */
+    * delete onto an upserted table goes through [[composeDelete]], which
+    * merges into the watermark shape (tombstones the doc at
+    * `upto_seq = Long.MaxValue`) instead of appending. */
   private[graft] def tombstoneSidecar(spark: SparkSession,
       path: String): Option[(DataFrame, Boolean)] = {
     val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
@@ -207,6 +208,46 @@ object LateInteraction extends QueryModule {
           s"${cols.toSeq.sorted.mkString("(", ", ", ")")} — a sidecar is " +
           "exactly (doc_id) or (t_doc_id, upto_seq); a schema union would " +
           "null the watermark condition and silently resurrect deletes")
+    }
+  }
+
+  /** COMPOSE an id-level delete onto whatever sidecar the table already
+    * carries — the delete-after-upsert path [[tombstoneSidecar]]'s strict
+    * shape check deliberately refuses to improvise: a delete's id rows
+    * APPENDED to a watermark sidecar would read as the union schema,
+    * whose null watermark columns silently resurrect deletes. The merge
+    * is shape-preserving:
+    *   - no sidecar → a fresh id-level sidecar;
+    *   - id-level sidecar → ids union in (idempotent);
+    *   - watermark sidecar → the delete merges INTO the watermark shape
+    *     at `upto_seq = Long.MaxValue` (kills every generation of the
+    *     doc, INCLUDING the replacement postings above the old mark —
+    *     a finite watermark could not, and an id-level row must not,
+    *     coexist); a doc already watermarked takes the max mark.
+    * The sidecar is delete METADATA (KB–MB — bounded by deletes, never
+    * corpus size), so the merge is a driver-side rewrite; a sidecar
+    * grown past that belongs in a reclaim rewrite, not a bigger merge. */
+  def composeDelete(spark: SparkSession, path: String,
+      ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    val dir = path + "/_tombstones"
+    tombstoneSidecar(spark, path) match {
+      case None =>
+        ids.distinct.sorted.toDF("doc_id")
+          .repartition(1).write.mode("overwrite").parquet(dir)
+      case Some((t, false)) =>
+        val merged = (t.collect().map(_.getLong(0)) ++ ids)
+          .distinct.sorted.toSeq
+        merged.toDF("doc_id")
+          .repartition(1).write.mode("overwrite").parquet(dir)
+      case Some((t, true)) =>
+        val existing = t.collect()
+          .map(r => (r.getAs[Long]("t_doc_id"), r.getAs[Long]("upto_seq")))
+        val merged = (existing ++ ids.map(_ -> Long.MaxValue))
+          .groupBy(_._1).view
+          .mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
+        merged.toDF("t_doc_id", "upto_seq")
+          .repartition(1).write.mode("overwrite").parquet(dir)
     }
   }
 
@@ -243,16 +284,21 @@ object LateInteraction extends QueryModule {
     * other half, ONE definition for both routers: an id-level sidecar
     * must filter the corpus exactly as it filters the postings, or the
     * two routes would answer differently on a tombstoned table. A
-    * watermark (upsert) sidecar kills stale POSTINGS only — the serve
-    * corpus already carries the replacement text — so brute needs no
-    * filter there. */
+    * FINITE watermark (upsert) kills stale POSTINGS only — the serve
+    * corpus already carries the replacement text — so brute keeps those
+    * docs; but a composed FULL delete ([[composeDelete]]'s
+    * `upto_seq = Long.MaxValue`) has no surviving replacement above the
+    * mark, so the brute corpus must drop it exactly as the postings do. */
   private def minusIdTombstoned(corpus: DataFrame,
       sidecar: Option[(DataFrame, Boolean)]): DataFrame =
     sidecar match {
       case Some((t, false)) =>
         corpus.join(broadcast(t.select(col("doc_id"))),
           Seq("doc_id"), "left_anti")
-      case _ => corpus
+      case Some((t, true)) =>
+        corpus.join(broadcast(t.filter(col("upto_seq") === Long.MaxValue)
+          .select(col("t_doc_id").as("doc_id"))), Seq("doc_id"), "left_anti")
+      case None => corpus
     }
 
   /** Two-stage indexed MaxSim (the PLAID shape): candidates from a
@@ -312,6 +358,7 @@ object LateInteraction extends QueryModule {
       .select("doc_id").distinct().count()
     val corpusDocs = corpus.count()
     val indexed = candidateDocs * 2 < corpusDocs
+    RouteLog.record("maxsim", if (indexed) "indexed" else "brute")
     System.err.println(s"[route] maxsim corpus=$corpusDocs " +
       s"candidates=$candidateDocs -> ${if (indexed) "indexed" else "brute"}")
     if (indexed)
@@ -519,6 +566,80 @@ object LateInteraction extends QueryModule {
       |  SELECT CAST(1 AS BIGINT), doc_id,
       |         (SELECT len(tk) FROM q1)::BIGINT * 1000000
       |  FROM (SELECT doc_id FROM ties1 ORDER BY doc_id LIMIT 2))
+      |ORDER BY q_id, doc_id""".stripMargin
+
+  /** DELETE-AFTER-UPSERT — the composition the strict sidecar check used
+    * to make inexpressible: the table already carries the upsert's
+    * watermark sidecar, then the SAME doc is deleted. [[composeDelete]]
+    * merges the delete INTO the watermark shape at
+    * `upto_seq = Long.MaxValue`, killing BOTH generations of the doc's
+    * postings — the seq-0 originals below the old mark AND the seq-1
+    * replacement above it (an appended id-row would have nulled the
+    * watermark condition and resurrected deletes; a finite watermark
+    * would have served the replacement).
+    *
+    * Construction: ten copies of doc 0 planted at seq 0; copy 100000 is
+    * upserted to doc 1's text, THEN deleted. Query doc 0 at k=10 serves
+    * the surviving ties {0, 100001..100009}; query doc 1 at k=1 serves
+    * {1} alone — the replacement is GONE, the proof the composed delete
+    * reached above the upsert's watermark. */
+  def maxsimUpsertDeletedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val texts = d.filter(col("doc_id") < 2L).orderBy("doc_id")
+      .collect().map(_.getString(1))
+    val (srcText, newText) = (texts(0), texts(1))
+    import spark.implicits._
+    val copies0 = (0 until (NumCopies + 1))
+      .map(i => (PlantedBase + i, srcText)).toDF("doc_id", "text")
+    // the corpus AS SERVED: the upserted doc carries the new text (the
+    // delete is sidecar state, not corpus state — the serve must drop it
+    // through the postings/tombstones, never through corpus curation)
+    val corpus = d.unionByName(copies0.filter(col("doc_id") =!= PlantedBase))
+      .unionByName(Seq((PlantedBase, newText)).toDF("doc_id", "text"))
+    val path = Tables.scratchPath("maxsim_postings_upsdel", dir)
+    ResultCache.buildIfAbsent(spark, corpus,
+      s"maxsim:dim=$TokenDim:wb=$WindowBuckets:lifecycle=upsert-delete:v1",
+      path) {
+      writePostings(d.unionByName(copies0), path, "overwrite", seq = 0L)
+      // the upsert commit: watermark the old version, append the new
+      Seq((PlantedBase, 0L)).toDF("t_doc_id", "upto_seq")
+        .write.mode("overwrite").parquet(path + "/_tombstones")
+      writePostings(Seq((PlantedBase, newText)).toDF("doc_id", "text"),
+        path, "append", seq = 1L)
+      // THE composed delete: merges into the existing watermark sidecar
+      composeDelete(spark, path, Seq(PlantedBase))
+    }
+    val postings = resolvedPostings(spark, path)
+    servePostingsFrame(spark, corpus, srcText, postings)
+      .withColumn("q_id", lit(0L))
+      .unionByName(
+        servePostingsFrame(spark, corpus, newText, postings, k = 1)
+          .withColumn("q_id", lit(1L)))
+      .select("q_id", "doc_id", "score_micro")
+      .orderBy("q_id", "doc_id")
+  }
+
+  /** q0's ties are doc 0's twins plus the nine surviving copies; q1 is
+    * doc 1 ALONE — the upserted-then-deleted replacement must not serve. */
+  private val maxsimUpsertDeletedOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |q0 AS (SELECT tk FROM toks WHERE doc_id = 0),
+      |q1 AS (SELECT tk FROM toks WHERE doc_id = 1),
+      |ties0 AS (
+      |  SELECT t.doc_id FROM toks t, q0 WHERE t.tk = q0.tk
+      |  UNION ALL
+      |  SELECT d.doc_id + 100001 FROM documents d WHERE d.doc_id < 9)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS q_id, doc_id,
+      |         (SELECT len(tk) FROM q0)::BIGINT * 1000000 AS score_micro
+      |  FROM (SELECT doc_id FROM ties0 ORDER BY doc_id LIMIT 10)
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+      |         (SELECT len(tk) FROM q1)::BIGINT * 1000000)
       |ORDER BY q_id, doc_id""".stripMargin
 
   /** Compaction — the small-files half of the lifecycle: each append
@@ -1123,6 +1244,7 @@ object LateInteraction extends QueryModule {
       .select("doc_id").distinct().count()
     val corpusDocs = corpus.count()
     val indexed = candidateDocs * 2 < corpusDocs
+    RouteLog.record("maxsim-batch", if (indexed) "indexed" else "brute")
     System.err.println(s"[route] maxsim-batch corpus=$corpusDocs " +
       s"candidates=$candidateDocs -> ${if (indexed) "indexed" else "brute"}")
     if (indexed) serveBatchPreExcluded(spark, corpus, srcs, postings, k)
@@ -1158,6 +1280,7 @@ object LateInteraction extends QueryModule {
     "maxsim_batch_indexed_topk" -> maxsimBatchIndexedTopk,
     "maxsim_batch_auto_route_topk" -> maxsimBatchAutoRouteTopk,
     "maxsim_upserted_topk" -> maxsimUpsertedTopk,
+    "maxsim_upsert_delete_topk" -> maxsimUpsertDeletedTopk,
     "maxsim_streaming_ingest_topk" -> maxsimStreamingIngestTopk,
     "maxsim_sharded_topk" -> maxsimShardedTopk)
 
@@ -1175,6 +1298,7 @@ object LateInteraction extends QueryModule {
     "maxsim_batch_indexed_topk" -> maxsimBatchOracle,
     "maxsim_batch_auto_route_topk" -> maxsimBatchOracle,
     "maxsim_upserted_topk" -> maxsimUpsertedOracle,
+    "maxsim_upsert_delete_topk" -> maxsimUpsertDeletedOracle,
     "maxsim_streaming_ingest_topk" -> maxsimStreamingOracle,
     "maxsim_sharded_topk" -> maxsimOracle)
 }

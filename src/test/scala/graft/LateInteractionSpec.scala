@@ -323,6 +323,91 @@ class LateInteractionSpec extends SparkSpec {
       s"unexpected error: ${err.getMessage}")
   }
 
+  test("composeDelete merges shape-preservingly: fresh, id-level, and watermark sidecars") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("composedel").toString
+    // fresh table → id-level sidecar; repeat delete is idempotent
+    val p1 = base + "/p1"
+    LateInteraction.writePostings(
+      Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text"),
+      p1, "overwrite")
+    LateInteraction.composeDelete(spark, p1, Seq(2L))
+    LateInteraction.composeDelete(spark, p1, Seq(2L, 1L))
+    assert(spark.read.parquet(p1 + "/_tombstones").columns.toSeq ===
+      Seq("doc_id"), "a fresh/id-level sidecar stays id-level")
+    assert(LateInteraction.resolvedPostings(spark, p1).count() === 0L)
+    // watermark sidecar → the delete merges INTO the watermark shape at
+    // upto_seq = MaxValue (the strict shape check must still pass), and
+    // kills the replacement postings ABOVE the old mark
+    val p2 = base + "/p2"
+    LateInteraction.writePostings(
+      Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text"),
+      p2, "overwrite", seq = 0L)
+    Seq((1L, 0L)).toDF("t_doc_id", "upto_seq")
+      .write.mode("overwrite").parquet(p2 + "/_tombstones")
+    LateInteraction.writePostings(Seq((1L, "gamma delta"))
+      .toDF("doc_id", "text"), p2, "append", seq = 1L)
+    // pre-delete: the replacement serves above the watermark
+    assert(LateInteraction.resolvedPostings(spark, p2)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L))
+    LateInteraction.composeDelete(spark, p2, Seq(1L))
+    val sidecar = spark.read.parquet(p2 + "/_tombstones")
+    assert(sidecar.columns.toSet === Set("t_doc_id", "upto_seq"),
+      "the composed delete must keep the sidecar watermark-shaped")
+    assert(LateInteraction.resolvedPostings(spark, p2)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(2L),
+      "the composed delete must kill the replacement above the old mark")
+  }
+
+  test("route symmetry on a composed delete: the brute arm drops the MaxValue-watermarked doc") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("composedelroute").toString
+    val path = base + "/postings"
+    // the batch-route-tomb construction, but through upsert + compose:
+    // all docs share the query windows, so the route picks BRUTE
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    LateInteraction.writePostings(docs, path, "overwrite", seq = 0L)
+    Seq((2L, 0L)).toDF("t_doc_id", "upto_seq")
+      .write.mode("overwrite").parquet(path + "/_tombstones")
+    LateInteraction.writePostings(Seq((2L, "alpha beta gamma"))
+      .toDF("doc_id", "text"), path, "append", seq = 1L)
+    LateInteraction.composeDelete(spark, path, Seq(2L))
+    val srcs = Seq((1L, "alpha beta gamma"))
+    val routed = LateInteraction.batchAutoRoute(spark, docs, srcs, path, 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(!routed.contains(2L),
+      "the brute arm must drop a composed full delete exactly as the " +
+        "indexed arm's postings do")
+    assert(routed.toSet === Set(1L, 3L))
+    val indexed = LateInteraction.serveBatchPostings(spark, docs, srcs,
+        LateInteraction.resolvedPostings(spark, path), 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(routed === indexed,
+      "both routes must answer identically on a compose-deleted table")
+  }
+
+  test("maxsim_upsert_delete_topk: the composed delete reaches above the upsert watermark") {
+    val out = SparkEntry.queries("maxsim_upsert_delete_topk")(spark, sf)
+      .collect()
+    val q0 = out.filter(_.getAs[Long]("q_id") == 0L)
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val q1 = out.filter(_.getAs[Long]("q_id") == 1L)
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(q0 === (0L +: (100001L to 100009L)),
+      "q0 serves the surviving ties — the deleted doc's ORIGINAL " +
+        "postings are gone")
+    assert(q1 === Seq(1L),
+      "q1 serves doc 1 alone — the deleted doc's REPLACEMENT postings " +
+        "above the watermark are gone too")
+  }
+
   test("a containing (non-equal) document cannot reach the full-tie score") {
     // the boundary-window property the oracle's token-sequence-equality
     // criterion rests on: text2 CONTAINS text1's token stream, but its
