@@ -974,9 +974,9 @@ object TextAnalysis extends QueryModule {
   }
 
   /** The per-doc DSIR log-weight frame (doc_id, n_tokens, logw_bits) —
-    * the shared core of the exact-rank row above and the threshold row
+    * the shared core of the exact-rank row above and the threshold rows
     * below. */
-  private def dsirLogWeights(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dsirLogWeights(spark: SparkSession, dir: String): DataFrame = {
     val nTgt = DsirTargetSample.map(_._2).sum
     val perDoc = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
@@ -1012,9 +1012,10 @@ object TextAnalysis extends QueryModule {
     * HERE is the exact boundary via TakeOrdered(⌊n/5⌋) + min — the
     * quantizedKnn cutoff shape, fine while ⌊n/5⌋-row heaps fit an
     * executor (~10^8 docs); at extreme scale T comes from a sampled
-    * quantile instead, and the selection stage — the point of the
-    * fallback — is unchanged. A corpus too small for a fifth selects
-    * nothing, matching the oracle's empty set. */
+    * quantile instead ([[dsirThresholdSampled]], built and gated), and
+    * the selection stage — the point of the fallback — is unchanged. A
+    * corpus too small for a fifth selects nothing, matching the
+    * oracle's empty set. */
   def dsirThresholdSelection(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint: the weight frame is consumed THREE times (count,
     // threshold, selection filter) and its lineage is the corpus-heavy
@@ -1025,17 +1026,85 @@ object TextAnalysis extends QueryModule {
     val k = n / 5
     require(k <= Int.MaxValue,
       s"exact-boundary threshold needs k=$k <= Int.MaxValue rows — use " +
-        "a sampled-quantile threshold at this scale (the doc's note)")
+        "the sampled-quantile threshold at this scale " +
+        "([[dsirThresholdSampled]], the built approx_percentile path)")
     if (k == 0L)
       return lw.filter(lit(false))
         .select("doc_id", "n_tokens", "logw_bits")
     val thr = lw.select("logw_bits")
       .orderBy(col("logw_bits").desc).limit(k.toInt)
       .agg(min(col("logw_bits"))).head().getLong(0)
-    lw.filter(col("logw_bits") >= thr)
-      .select("doc_id", "n_tokens", "logw_bits")
-      .orderBy("doc_id")
+    dsirSelectAtThreshold(lw, thr).orderBy("doc_id")
   }
+
+  /** THE selection stage both threshold rows share — the point of the
+    * fallback: a pure map-only filter over the weight frame, no global
+    * rank window (the no-WindowExec plan property is spec-pinned on this
+    * frame; a refactor reintroducing a rank here must fail there). */
+  private[graft] def dsirSelectAtThreshold(lw: DataFrame,
+      t: Long): DataFrame =
+    lw.filter(col("logw_bits") >= t)
+      .select("doc_id", "n_tokens", "logw_bits")
+
+  /** The SAMPLED-QUANTILE form of the DSIR threshold — the >1e8-doc
+    * regime [[dsirThresholdSelection]]'s guard names, built: the exact
+    * TakeOrdered boundary stops fitting one executor's heap there, so T
+    * comes from `approx_percentile` (Greenwald–Khanna at accuracy 10⁴ —
+    * one mergeable-sketch aggregation, no rank sort, no k-row heap) and
+    * SELECTION stays exactly what the fallback exists for: a pure
+    * map-only filter `logw_bits >= T` with no global rank window
+    * (spec-pinned plan property shared with the exact row).
+    *
+    * The row is a GATE (the approx_quantile_gate discipline): an
+    * approximate T has no cross-engine oracle, so the row verifies the
+    * estimate lands INSIDE the exact discrete rank band around the
+    * target — T must select between 15% and 25% of docs (the exact
+    * boundary values at those ranks, computed here via the same bounded
+    * TakeOrdered + min the exact row uses — test scaffolding, not the
+    * selection path). Violations (must be none) also audit selection
+    * monotonicity: the selected count must sit between the band edges'
+    * own counts. */
+  def dsirThresholdSampled(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    def noViolations =
+      Seq.empty[(String, Long)].toDF("violation", "detail")
+        .select(col("violation"), col("detail").cast("long"))
+    val lw = dsirLogWeights(spark, dir).localCheckpoint()
+    val n = lw.count()
+    // too small for the band to be meaningful — nothing to gate
+    if (n < 20L) return noViolations
+    // the sampled threshold: the 80th percentile of logw_bits ⇒ the top
+    // ~fifth selects — ONE sketch aggregation, the 100 TB path
+    val t = lw.agg(percentile_approx(col("logw_bits"), lit(0.8), lit(10000)))
+      .head().getLong(0)
+    // exact discrete band edges (rank 15% and 25% from the top): GK at
+    // accuracy 10⁴ must land the estimate inside it. Bounded TakeOrdered
+    // per edge — gate scaffolding, not the selection path.
+    def valueAtTopRank(k: Long): Long = lw.select("logw_bits")
+      .orderBy(col("logw_bits").desc).limit(k.toInt)
+      .agg(min(col("logw_bits"))).head().getLong(0)
+    val hi = valueAtTopRank(math.max(1L, n * 15 / 100)) // 85th pct value
+    val lo = valueAtTopRank(n * 25 / 100)               // 75th pct value
+    // THE selection — the shared pure-filter stage (no rank window,
+    // spec-pinned on dsirSelectAtThreshold's frame)
+    val selected = dsirSelectAtThreshold(lw, t)
+    val selCount = selected.count()
+    val inBandCounts =
+      selCount >= lw.filter(col("logw_bits") >= hi).count() &&
+        selCount <= lw.filter(col("logw_bits") >= lo).count()
+    val violations =
+      (if (t < lo || t > hi)
+        Seq(("dsir_sampled_thr_out_of_band", t)) else Nil) ++
+      (if (!inBandCounts)
+        Seq(("dsir_sampled_selection_count", selCount)) else Nil)
+    if (violations.isEmpty) noViolations
+    else violations.toDF("violation", "detail")
+      .select(col("violation"), col("detail").cast("long"))
+  }
+
+  private val dsirThresholdSampledSql =
+    """SELECT NULL::VARCHAR AS violation, NULL::BIGINT AS detail WHERE false""".stripMargin
 
   /** The planted DSIR target sample: the raw corpus's 31-token
     * vocabulary at baseline 250 with four tokens boosted 12x. Literal
@@ -1260,6 +1329,7 @@ object TextAnalysis extends QueryModule {
     "surprisal_scores" -> surprisalScores,
     "dsir_importance_weights" -> dsirImportanceWeights,
     "dsir_threshold_selection" -> dsirThresholdSelection,
+    "dsir_threshold_sampled" -> dsirThresholdSampled,
     "top_ngrams_per_lang" -> topNgramsPerLang,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
@@ -1283,6 +1353,7 @@ object TextAnalysis extends QueryModule {
     "surprisal_scores" -> surprisalScoresSql,
     "dsir_importance_weights" -> dsirImportanceWeightsSql,
     "dsir_threshold_selection" -> dsirThresholdSelectionSql,
+    "dsir_threshold_sampled" -> dsirThresholdSampledSql,
     "top_ngrams_per_lang" -> topNgramsPerLangSql,
     "pack_sequences" -> packSequencesSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -106,6 +106,25 @@ class TextAnalysisSpec extends SparkSpec {
     }.isEmpty, s"threshold selection must not plan a rank window:\n$plan")
   }
 
+  test("dsir_threshold_sampled: the GK estimate lands in the exact rank band; selection stays a pure filter") {
+    // the gate itself: zero violations — the sampled T sits inside the
+    // exact [75th, 85th] discrete percentile band and the selection
+    // count is monotone-consistent with the band edges
+    val out = SparkEntry.queries("dsir_threshold_sampled")(spark, sf)
+      .collect()
+    assert(out.isEmpty,
+      s"sampled-threshold gate violations: ${out.mkString(", ")}")
+    // the headline plan property, PINNED on the SHARED selection stage:
+    // a pure filter, no rank window — the reason the sampled fallback
+    // exists at all
+    val lw = TextAnalysis.dsirLogWeights(spark, sf)
+    val plan = TextAnalysis.dsirSelectAtThreshold(lw, 0L)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"sampled selection must not plan a rank window:\n$plan")
+  }
+
   test("text_quality metrics on a hand-computed sample") {
     val df = Seq((1L, "The cat sat on the mat, twice.")).toDF("doc_id", "text")
       .withColumn("toks", TextAnalysis.tokensCol(col("text")))
