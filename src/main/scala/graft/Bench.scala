@@ -53,12 +53,18 @@ object Bench {
     // a different finding than a serve regression). Cumulative over every
     // pass of the run; emitted only for rows that built something.
     val fixtureBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // Per-row CHOSEN-ROUTE observability: the measured routers' decisions
+    // fired during a row's passes, from the RouteLog ring — a routing
+    // flip between rounds is then visible in the recorded board, not
+    // just in stderr. Deduped per row (reruns repeat the decision).
+    val routes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         failures: Option[scala.collection.mutable.ListBuffer[String]]): (Double, Boolean) = {
       // monotonic counter, NOT an index into recentEvents: the event log
       // is a bounded ring that evicts from the head, so offsets go stale
       // once it saturates and misses would silently undercount
       val miss0 = graft.ops.ResultCache.totalIndexMisses
+      val route0 = graft.ops.RouteLog.latestSeq
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -77,6 +83,10 @@ object Bench {
       val misses = (graft.ops.ResultCache.totalIndexMisses - miss0).toInt
       if (misses > 0)
         fixtureBuilds(name) = fixtureBuilds.getOrElse(name, 0) + misses
+      val decided = graft.ops.RouteLog.recent.filter(_.seq > route0)
+        .map(d => d.site + "=" + d.choice).distinct
+      if (decided.nonEmpty)
+        routes(name) = (routes.getOrElse(name, Seq.empty) ++ decided).distinct
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Best-of-2 on slow rows: the r9 recorded run carried a clustered
@@ -143,6 +153,35 @@ object Bench {
           if (means.size < 3) None else Some(means.sorted.apply(means.size / 2))
         }
       } catch { case _: Throwable => None }
+    // Per-row BEST-KNOWN-TIME ledger: the min each query has ever
+    // recorded on this machine at this sf (all prior BENCH_LOCAL lines,
+    // full boards and dev subsets alike — every line is a real serve).
+    // Within-round spread on unchanged rows makes single-board row
+    // deltas unreliable; a row is flagged a REGRESSION only when its
+    // kept time exceeds 2× its best-known AND by more than 0.5 s
+    // absolute (sub-second rows flip on scheduling noise alone), making
+    // round-over-round adjudication mechanical instead of forensic.
+    def bestKnownTimes(): Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          val sfRe = "\"sf\":\"([^\"]+)\"".r
+          val qRe = "\"queries\":\\{([^}]*)\\}".r
+          val pairRe = "\"([^\"]+)\":([0-9.Ee+-]+)".r
+          java.nio.file.Files.readAllLines(p).asScala.toSeq
+            .flatMap { l =>
+              for {
+                s <- sfRe.findFirstMatchIn(l).map(_.group(1)) if s == sfDir
+                q <- qRe.findFirstMatchIn(l).map(_.group(1))
+              } yield pairRe.findAllMatchIn(q)
+                .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+            }.flatten
+            .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val bestKnown = bestKnownTimes()
     val (board1, failed1) = runBoard(recordPasses = true)
     val total1 = board1.map(_._2).sum
     val guard = if (only.isEmpty && board1.nonEmpty) warmBandMean() else None
@@ -178,8 +217,18 @@ object Bench {
     val boardTotalsJson = boardTotals.mkString("[", ",", "]")
     val fixtureBuildsJson = fixtureBuilds
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // regressions vs best-known: {"row":[kept, best]} — kept > 2× best
+    // and > best + 0.5 s (see bestKnownTimes)
+    val regressionsJson = results
+      .filter { case (k, v) =>
+        bestKnown.get(k).exists(b => v > 2 * b && v - b > 0.5) }
+      .map { case (k, v) => "\"" + k + "\":[" + v + "," + bestKnown(k) + "]" }
+      .mkString("{", ",", "}")
+    val routesJson = routes
+      .map { case (k, v) => "\"" + k + "\":\"" + v.mkString(",") + "\"" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reruns":$rerunJson,"firstPass":$firstPassJson,"firstPassTotal":$firstPassTotal,"boardTotals":$boardTotalsJson,"fixtureBuilds":$fixtureBuildsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reruns":$rerunJson,"firstPass":$firstPassJson,"firstPassTotal":$firstPassTotal,"boardTotals":$boardTotalsJson,"fixtureBuilds":$fixtureBuildsJson,"regressions":$regressionsJson,"routes":$routesJson,"sf":"$sfDir"}"""
     println(line)
     // Persist the line too: the driver's tail capture truncates long JSON
     // (BENCH_r07/r08 both recorded "parsed": null), so per-query history

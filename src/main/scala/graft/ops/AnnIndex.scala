@@ -3759,6 +3759,7 @@ object AnnIndex extends QueryModule {
     val (family, costs) = routeAnnFamily(n, lshFrac, ivfFrac,
       ri.codesBandwidth, ri.walkJobs, ri.walkRowsTouched, ri.jobCostRows,
       ri.eligible)
+    RouteLog.record("ann_auto_route", family)
     System.err.println(s"[route] ann_auto_route_topk n=$n -> $family " +
       costs.toSeq.sortBy(_._1)
         .map { case (f, c) => f"$f=${c}%.0f" }.mkString("(", ", ", ")") +
@@ -3822,6 +3823,7 @@ object AnnIndex extends QueryModule {
     val (family, costs) = routeAnnFamily(n, unionLshFrac, unionIvfFrac,
       ri.codesBandwidth, ri.walkJobs,
       frame.size.toLong * ri.walkRowsTouched, ri.jobCostRows, ri.eligible)
+    RouteLog.record("ann_auto_route_batch", family)
     System.err.println(s"[route] ann_auto_route_batch_topk n=$n |q|=${frame.size} " +
       s"-> $family " + costs.toSeq.sortBy(_._1)
         .map { case (f, c) => f"$f=${c}%.0f" }.mkString("(", ", ", ")"))
