@@ -568,12 +568,15 @@ object Multimodal extends QueryModule {
     * defined at the bit level: a JVM upgrade — or a different vendor at
     * the SAME version string — must rebuild, or cached features could
     * diverge from per-serve extraction by low decode bits. The probe
-    * runs on the DRIVER and once on ONE executor (a 1-row job, cached
-    * for this driver JVM's lifetime): it VERIFIES the uniform-image
-    * assumption on a node instead of assuming it, and catches the
-    * common driver≠executor image split. It is NOT a fleet sweep — a
-    * mixed fleet (one divergent executor among many, or executors
-    * joining later) stays out of scope, as for Spark's own
+    * runs on the DRIVER and as a FLEET SWEEP (2× default-parallelism
+    * single-element tasks, best-effort spread across live executors,
+    * cached per SparkContext): it VERIFIES the uniform-image assumption
+    * instead of assuming it, catches the common driver≠executor image
+    * split, and FAILS LOUDLY on a mixed fleet (two executors that
+    * decode differently cannot share one cached fixture — serving one
+    * executor's bits as the other's extraction is the silent divergence
+    * the tag exists to prevent). Executors joining AFTER the sweep
+    * (dynamic allocation) stay out of scope, as for Spark's own
     * uniform-image deployment expectation. */
   private def jpegFingerprint(): String = {
     val probe = renderAvi(Array.tabulate(256)(_.toByte), nFrames = 1)
@@ -594,9 +597,15 @@ object Multimodal extends QueryModule {
     if (cached != null && (cached._1 eq ctx)) cached._2
     else {
       val driverFp = jpegFingerprint()
-      val execFp = ctx.parallelize(Seq(1), 1)
-        .map(_ => jpegFingerprint()).collect().head
-      val tag = s"media:codec:png+wav+avi:v2:jpeg=$driverFp-$execFp"
+      val sweep = math.max(2, ctx.defaultParallelism * 2)
+      val execFps = ctx.parallelize(1 to sweep, sweep)
+        .map(_ => jpegFingerprint()).distinct().collect().sorted
+      require(execFps.length == 1,
+        s"mixed executor fleet: ${execFps.length} distinct JPEG codec " +
+          s"fingerprints (${execFps.mkString(", ")}) — cached media " +
+          "fixtures cannot serve a fleet whose nodes decode differently; " +
+          "align the executor images before building media fixtures")
+      val tag = s"media:codec:png+wav+avi:v2:jpeg=$driverFp-${execFps.head}"
       codecTagCache = (ctx, tag)
       tag
     }
