@@ -129,30 +129,47 @@ object Bench {
     // rows doesn't skew the comparison); if this board's mean exceeds it
     // by >10%, the whole board reruns once and the better board is
     // recorded, with both totals disclosed under "boardTotals".
-    def warmBandMean(): Option[Double] =
+    // ONE parser for prior BENCH_LOCAL lines — both history consumers
+    // (warm-band guard, best-known ledger) read through it, so a format
+    // change to the emitted line is fixed in one place
+    final case class PriorLine(sf: String, value: Double,
+      queries: Seq[(String, Double)], failed: Set[String])
+    def priorLines(): Seq[PriorLine] =
       try {
         val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-        if (!java.nio.file.Files.exists(p)) None
+        if (!java.nio.file.Files.exists(p)) Seq.empty
         else {
           import scala.jdk.CollectionConverters._
           val sfRe = "\"sf\":\"([^\"]+)\"".r
           val valRe = "\"value\":([0-9.Ee+-]+)".r
           val qRe = "\"queries\":\\{([^}]*)\\}".r
-          val means = java.nio.file.Files.readAllLines(p).asScala.toSeq
-            .flatMap { l =>
-              for {
-                s <- sfRe.findFirstMatchIn(l).map(_.group(1)) if s == sfDir
-                v <- valRe.findFirstMatchIn(l).map(_.group(1).toDouble)
-                q <- qRe.findFirstMatchIn(l).map(_.group(1))
-                // full boards only: dev-subset runs (SPARK_GRAFT_ONLY)
-                // append lines too, and a few-row line's per-query mean
-                // would skew the warm band either way
-                n = q.count(_ == ':') if n >= 50
-              } yield v / n
-            }.takeRight(5)
-          if (means.size < 3) None else Some(means.sorted.apply(means.size / 2))
+          val fRe = "\"failed\":\\[([^\\]]*)\\]".r
+          val pairRe = "\"([^\"]+)\":([0-9.Ee+-]+)".r
+          val nameRe = "\"([^\"]+)\"".r
+          java.nio.file.Files.readAllLines(p).asScala.toSeq.flatMap { l =>
+            for {
+              s <- sfRe.findFirstMatchIn(l).map(_.group(1))
+              v <- valRe.findFirstMatchIn(l).map(_.group(1).toDouble)
+              q <- qRe.findFirstMatchIn(l).map(_.group(1))
+            } yield PriorLine(s, v,
+              pairRe.findAllMatchIn(q)
+                .map(m => m.group(1) -> m.group(2).toDouble).toSeq,
+              fRe.findFirstMatchIn(l)
+                .map(m => nameRe.findAllMatchIn(m.group(1))
+                  .map(_.group(1)).toSet)
+                .getOrElse(Set.empty))
+          }
         }
-      } catch { case _: Throwable => None }
+      } catch { case _: Throwable => Seq.empty }
+    val history = priorLines().filter(_.sf == sfDir)
+    def warmBandMean(): Option[Double] = {
+      // full boards only: dev-subset runs (SPARK_GRAFT_ONLY) append
+      // lines too, and a few-row line's per-query mean would skew the
+      // warm band either way
+      val means = history.filter(_.queries.size >= 50)
+        .map(l => l.value / l.queries.size).takeRight(5)
+      if (means.size < 3) None else Some(means.sorted.apply(means.size / 2))
+    }
     // Per-row BEST-KNOWN-TIME ledger: the min each query has ever
     // recorded on this machine at this sf (all prior BENCH_LOCAL lines,
     // full boards and dev subsets alike — every line is a real serve).
@@ -161,27 +178,13 @@ object Bench {
     // kept time exceeds 2× its best-known AND by more than 0.5 s
     // absolute (sub-second rows flip on scheduling noise alone), making
     // round-over-round adjudication mechanical instead of forensic.
-    def bestKnownTimes(): Map[String, Double] =
-      try {
-        val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-        if (!java.nio.file.Files.exists(p)) Map.empty
-        else {
-          import scala.jdk.CollectionConverters._
-          val sfRe = "\"sf\":\"([^\"]+)\"".r
-          val qRe = "\"queries\":\\{([^}]*)\\}".r
-          val pairRe = "\"([^\"]+)\":([0-9.Ee+-]+)".r
-          java.nio.file.Files.readAllLines(p).asScala.toSeq
-            .flatMap { l =>
-              for {
-                s <- sfRe.findFirstMatchIn(l).map(_.group(1)) if s == sfDir
-                q <- qRe.findFirstMatchIn(l).map(_.group(1))
-              } yield pairRe.findAllMatchIn(q)
-                .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-            }.flatten
-            .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
-        }
-      } catch { case _: Throwable => Map.empty }
-    val bestKnown = bestKnownTimes()
+    // A FAILED row's near-zero time must never become its best-known
+    // (the line's own `failed` list exists exactly because fast-fail
+    // must not read as a speedup) — drop each line's failed names
+    // before taking the min.
+    val bestKnown: Map[String, Double] = history
+      .flatMap(l => l.queries.filterNot { case (k, _) => l.failed(k) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     val (board1, failed1) = runBoard(recordPasses = true)
     val total1 = board1.map(_._2).sum
     val guard = if (only.isEmpty && board1.nonEmpty) warmBandMean() else None
@@ -218,10 +221,15 @@ object Bench {
     val fixtureBuildsJson = fixtureBuilds
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // regressions vs best-known: {"row":[kept, best]} — kept > 2× best
-    // and > best + 0.5 s (see bestKnownTimes)
+    // and > best + 0.5 s. Rows that paid a cold fixture build this run
+    // are excluded (the build cost is already disclosed in
+    // fixtureBuilds; double-reporting it as a serve regression would
+    // make every cache-cold round a wall of false positives), as are
+    // this run's failed rows (their time is a fast-fail, not a serve).
     val regressionsJson = results
       .filter { case (k, v) =>
-        bestKnown.get(k).exists(b => v > 2 * b && v - b > 0.5) }
+        !fixtureBuilds.contains(k) && !failed.contains(k) &&
+          bestKnown.get(k).exists(b => v > 2 * b && v - b > 0.5) }
       .map { case (k, v) => "\"" + k + "\":[" + v + "," + bestKnown(k) + "]" }
       .mkString("{", ",", "}")
     val routesJson = routes

@@ -1080,10 +1080,18 @@ object TextAnalysis extends QueryModule {
       .head().getLong(0)
     // exact discrete band edges (rank 15% and 25% from the top): GK at
     // accuracy 10⁴ must land the estimate inside it. Bounded TakeOrdered
-    // per edge — gate scaffolding, not the selection path.
-    def valueAtTopRank(k: Long): Long = lw.select("logw_bits")
-      .orderBy(col("logw_bits").desc).limit(k.toInt)
-      .agg(min(col("logw_bits"))).head().getLong(0)
+    // per edge — GATE scaffolding with the exact row's own k bound (the
+    // SELECTION path above has no such bound; past it, gate against a
+    // sampled reference or a subsampled band instead)
+    def valueAtTopRank(k: Long): Long = {
+      require(k <= Int.MaxValue,
+        s"exact band edge needs k=$k <= Int.MaxValue rows — the gate's " +
+          "exact-rank scaffolding stops here, not the sampled selection " +
+          "it audits; gate against a subsampled band at this scale")
+      lw.select("logw_bits")
+        .orderBy(col("logw_bits").desc).limit(k.toInt)
+        .agg(min(col("logw_bits"))).head().getLong(0)
+    }
     val hi = valueAtTopRank(math.max(1L, n * 15 / 100)) // 85th pct value
     val lo = valueAtTopRank(n * 25 / 100)               // 75th pct value
     // THE selection — the shared pure-filter stage (no rank window,
