@@ -75,6 +75,14 @@ object Forget extends QueryModule {
     * explicit cache invalidation. */
   private def commitBounded(spark: SparkSession, root: String,
       update: Seq[String] => Seq[String]): Unit = {
+    // DROP the cached entry BEFORE the install, not just refresh after:
+    // on a deleted-and-recreated ledger root (the fixture shape) the new
+    // head reuses version numbers, and a concurrent reader probing
+    // between the CAS install and a post-commit put could version-match
+    // the PRIOR incarnation's cached snapshot. With the entry gone first,
+    // that reader misses and re-reads the manifest; the old manifest
+    // files are already deleted, so there is no stale content to cache.
+    ledgerCache.remove(root)
     var committed: Seq[String] = Nil
     val v = ManifestLog.commit(spark, ledgerDir(root), head => {
       committed = update(head); committed

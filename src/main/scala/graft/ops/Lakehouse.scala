@@ -894,17 +894,19 @@ object Lakehouse extends QueryModule {
 
   /** The DROP commit, as one helper: a new mapping generation WITHOUT
     * the dropped field ids plus their retirement rows. Two sidecar
-    * appends (each tiny); the scan-side validation below keeps a crash
-    * between them safe — mapping-without-retire declines as an
-    * unexplained drop, retire-without-mapping is consistent (the retire
-    * alone already hides the ids). */
+    * appends (each tiny), MAPPING FIRST: a crash between them leaves
+    * mapping-without-retire, which the scan declines as an unexplained
+    * drop with a message steering the operator to exactly the right
+    * recovery (commit the retirement). The other order would leave
+    * retire-with-the-OLD-mapping-latest, which trips the resurrection
+    * check and misdiagnoses a half-committed drop as an illegal re-add. */
   def dropColumns(spark: SparkSession, path: String, gen: Long,
       mapping: Seq[(Int, String)], droppedFieldIds: Seq[Int]): Unit = {
     require(droppedFieldIds.forall(fid => !mapping.exists(_._1 == fid)),
       s"dropColumns: ${droppedFieldIds.mkString(", ")} cannot be both " +
         "mapped and dropped in one generation")
-    retireColumnMapping(spark, path, gen, droppedFieldIds)
     commitColumnMapping(spark, path, gen, mapping)
+    retireColumnMapping(spark, path, gen, droppedFieldIds)
   }
 
   /** The retired-field-id set (empty when the sidecar is absent). */

@@ -225,30 +225,63 @@ object LateInteraction extends QueryModule {
     *     a finite watermark could not, and an id-level row must not,
     *     coexist); a doc already watermarked takes the max mark.
     * The sidecar is delete METADATA (KB–MB — bounded by deletes, never
-    * corpus size), so the merge is a driver-side rewrite; a sidecar
-    * grown past that belongs in a reclaim rewrite, not a bigger merge. */
+    * corpus size), so the merge is a driver-side rewrite — STAGED, not
+    * in-place: an in-place overwrite of the live `_tombstones` has a
+    * crash window with the directory deleted and nothing written, which
+    * the next serve would read as "no sidecar" and silently RESURRECT
+    * every previously-deleted doc. The merged sidecar stages next to
+    * the live one, then swaps through the reclaimTable checked-rename
+    * discipline; a crash leaving the live sidecar ABSENT with a fully-
+    * staged (_SUCCESS-marked) merge is recovered by installing the
+    * stage on the next call. Writers are single-writer per table, like
+    * every other maintenance path in this module (two concurrent
+    * composers would lose one merge; that needs the manifest-log CAS,
+    * not a bigger sidecar). */
   def composeDelete(spark: SparkSession, path: String,
       ids: Seq[Long]): Unit = {
     import spark.implicits._
-    val dir = path + "/_tombstones"
-    tombstoneSidecar(spark, path) match {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val live = p(path + "/_tombstones")
+    val staged = p(path + "/.tombstones.compose")
+    val retired = p(path + "/.tombstones.old")
+    val fs = live.getFileSystem(hconf)
+    def renameOrThrow(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst)) throw new java.io.IOException(
+        s"composeDelete: rename $src -> $dst failed — aborting (a silent " +
+          "false rename could nest the stage inside the live sidecar)")
+    // RECOVERY: a crash between the swap renames leaves the live sidecar
+    // absent with a complete stage — install it and continue (the merge
+    // below then re-reads the installed state; re-running the crashed
+    // call's ids is the caller's retry, exactly as for reclaimTable)
+    if (!fs.exists(live) && fs.exists(staged) &&
+        fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
+      renameOrThrow(staged, live)
+      fs.delete(retired, true)
+    }
+    fs.delete(staged, true) // a stage without a swap is a crashed merge
+    val mergedDf = tombstoneSidecar(spark, path) match {
       case None =>
         ids.distinct.sorted.toDF("doc_id")
-          .repartition(1).write.mode("overwrite").parquet(dir)
       case Some((t, false)) =>
-        val merged = (t.collect().map(_.getLong(0)) ++ ids)
-          .distinct.sorted.toSeq
-        merged.toDF("doc_id")
-          .repartition(1).write.mode("overwrite").parquet(dir)
+        (t.collect().map(_.getLong(0)) ++ ids)
+          .distinct.sorted.toSeq.toDF("doc_id")
       case Some((t, true)) =>
         val existing = t.collect()
           .map(r => (r.getAs[Long]("t_doc_id"), r.getAs[Long]("upto_seq")))
-        val merged = (existing ++ ids.map(_ -> Long.MaxValue))
+        (existing ++ ids.map(_ -> Long.MaxValue))
           .groupBy(_._1).view
           .mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
-        merged.toDF("t_doc_id", "upto_seq")
-          .repartition(1).write.mode("overwrite").parquet(dir)
+          .toDF("t_doc_id", "upto_seq")
     }
+    mergedDf.repartition(1).write.mode("overwrite").parquet(staged.toString)
+    // swap: live aside (if present), stage in, old gone — crash after the
+    // first rename is the recovery case above
+    fs.delete(retired, true)
+    if (fs.exists(live)) renameOrThrow(live, retired)
+    renameOrThrow(staged, live)
+    fs.delete(retired, true)
   }
 
   /** Drop from `frame` every row `path`'s sidecar kills: an id-level
@@ -366,8 +399,10 @@ object LateInteraction extends QueryModule {
     else
       // route symmetry on tombstoned tables: the brute serve excludes
       // exactly what the indexed serve's posting resolution excludes
-      // (id-level shape only — see minusIdTombstoned), plus the SAME
-      // ledger snapshot the pricing used
+      // (id-level sidecars and composed full deletes at
+      // upto_seq = MaxValue — see minusIdTombstoned; finite watermarks
+      // keep the doc, whose replacement text the corpus carries), plus
+      // the SAME ledger snapshot the pricing used
       maxSimTopK(minusExcl(minusIdTombstoned(corpus, sidecar), "doc_id"),
           queryVecs(srcText))
         .select("doc_id", "score_micro")

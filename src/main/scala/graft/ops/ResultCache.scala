@@ -96,19 +96,16 @@ object ResultCache extends QueryModule {
   // — (kind, path, key, hit, entry age) — so a bench or driver run can
   // AUDIT cache behavior (which fixtures hit, how old the entries were)
   // instead of reconstructing it from sidecar mtimes. Driver-side state
-  // only, bounded at MaxEvents; never part of a query answer.
+  // only, bounded ([[BoundedRing]]); never part of a query answer.
 
   /** One cache decision: kind ∈ {result, index}. `ageMs` is the served
     * entry's age at hit time; 0 on a miss. */
   final case class CacheEvent(kind: String, path: String, key: String,
     hit: Boolean, ageMs: Long)
 
-  private val MaxEvents = 10000
-  private val eventLog =
-    new java.util.concurrent.ConcurrentLinkedDeque[CacheEvent]()
-  // counted alongside the deque: ConcurrentLinkedDeque.size is O(n), so
-  // at the bound every decision would scan all 10000 entries
-  private val eventCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  // the shared bounded-ring discipline (one definition with RouteLog —
+  // eviction, counting, and the drain race live in BoundedRing)
+  private val eventRing = new BoundedRing[CacheEvent](10000)
 
   // monotonic, never evicted: the ring above bounds MEMORY, but a
   // consumer diffing counts across a window (the bench's per-row
@@ -125,19 +122,11 @@ object ResultCache extends QueryModule {
   private def record(kind: String, path: String, key: String,
       hit: Boolean, ageMs: Long): Unit = {
     if (!hit && kind == "index") indexMissTotal.incrementAndGet()
-    eventLog.addLast(CacheEvent(kind, path, key, hit, ageMs))
-    if (eventCount.incrementAndGet() > MaxEvents &&
-        eventLog.pollFirst() != null)
-      eventCount.decrementAndGet()
+    eventRing.add(CacheEvent(kind, path, key, hit, ageMs))
   }
 
   /** The recorded decisions, oldest first. */
-  def recentEvents: Seq[CacheEvent] = {
-    val it = eventLog.iterator()
-    val b = Seq.newBuilder[CacheEvent]
-    while (it.hasNext) b += it.next()
-    b.result()
-  }
+  def recentEvents: Seq[CacheEvent] = eventRing.snapshot
 
   /** The decision log as a DataFrame, for ad-hoc audit queries. */
   def events(spark: SparkSession): DataFrame = {
@@ -145,11 +134,7 @@ object ResultCache extends QueryModule {
     recentEvents.toDF()
   }
 
-  def clearEvents(): Unit = {
-    // drain via paired polls, never clear()+set(0): a record() interleaved
-    // between those two would leave the counter permanently off the deque
-    while (eventLog.pollFirst() != null) eventCount.decrementAndGet()
-  }
+  def clearEvents(): Unit = eventRing.drain()
 
   /** The result-cache discipline applied to persisted INDEX BUILDS: key
     * the build by md5(inputs' plan+file signature, params tag) and skip

@@ -20,18 +20,13 @@ object RouteLog {
     * `choice` the arm it picked (e.g. "indexed"). */
   final case class RouteDecision(seq: Long, site: String, choice: String)
 
-  private val MaxEvents = 10000
-  private val log =
-    new java.util.concurrent.ConcurrentLinkedDeque[RouteDecision]()
-  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val ring = new BoundedRing[RouteDecision](10000)
   private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Record a decision; returns its seq stamp. */
   def record(site: String, choice: String): Long = {
     val s = seqGen.incrementAndGet()
-    log.addLast(RouteDecision(s, site, choice))
-    if (count.incrementAndGet() > MaxEvents && log.pollFirst() != null)
-      count.decrementAndGet()
+    ring.add(RouteDecision(s, site, choice))
     s
   }
 
@@ -40,10 +35,5 @@ object RouteLog {
   def latestSeq: Long = seqGen.get()
 
   /** The recorded decisions, oldest first. */
-  def recent: Seq[RouteDecision] = {
-    val it = log.iterator()
-    val b = Seq.newBuilder[RouteDecision]
-    while (it.hasNext) b += it.next()
-    b.result()
-  }
+  def recent: Seq[RouteDecision] = ring.snapshot
 }

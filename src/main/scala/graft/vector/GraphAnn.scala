@@ -1313,14 +1313,27 @@ object GraphAnn {
     * (an in-flight job re-fetches from the driver, so late readers of an
     * evicted broadcast stay correct — the residentPin discipline). */
   private val ExcludeBcMax = 64
+  // value carries the OWNING context: unpersist routes through the
+  // ACTIVE SparkEnv and broadcast ids restart per context, so calling
+  // it on a dead context's handle would purge a colliding id's LIVE
+  // blocks in the new context — evictees unpersist only while their own
+  // context is still the active, unstopped one; a dead context's blocks
+  // died with it and its entries drop handle-only
   private val excludeBcCache = new java.util.LinkedHashMap[
       (String, Set[Long]),
-      org.apache.spark.broadcast.Broadcast[Set[Long]]](16, 0.75f, true) {
+      (org.apache.spark.SparkContext,
+        org.apache.spark.broadcast.Broadcast[Set[Long]])](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[
         (String, Set[Long]),
-        org.apache.spark.broadcast.Broadcast[Set[Long]]]): Boolean =
-      if (size > ExcludeBcMax) { e.getValue.unpersist(false); true }
-      else false
+        (org.apache.spark.SparkContext,
+          org.apache.spark.broadcast.Broadcast[Set[Long]])]): Boolean =
+      if (size > ExcludeBcMax) {
+        val (ctx, bc) = e.getValue
+        if (!ctx.isStopped)
+          try bc.unpersist(false)
+          catch { case _: Exception => () } // racing a context stop
+        true
+      } else false
   }
 
   private def excludeFn(spark: SparkSession,
@@ -1331,13 +1344,20 @@ object GraphAnn {
       // keyed by applicationId too: a broadcast outlives neither its
       // SparkContext nor this cache — a restarted context must not serve
       // the dead context's handle
-      val key = (spark.sparkContext.applicationId, excl)
+      val ctx = spark.sparkContext
+      val key = (ctx.applicationId, excl)
       val bc = excludeBcCache.synchronized {
+        // a context restart orphans the old app's entries (their keys
+        // can never hit again) — drop them handle-only so they neither
+        // occupy LRU slots nor reach the eviction unpersist
+        val it = excludeBcCache.entrySet().iterator()
+        while (it.hasNext)
+          if (it.next().getKey._1 != ctx.applicationId) it.remove()
         val got = excludeBcCache.get(key)
-        if (got != null) got
+        if (got != null) got._2
         else {
-          val b = spark.sparkContext.broadcast(excl)
-          excludeBcCache.put(key, b)
+          val b = ctx.broadcast(excl)
+          excludeBcCache.put(key, (ctx, b))
           b
         }
       }

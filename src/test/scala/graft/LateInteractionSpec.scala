@@ -363,6 +363,32 @@ class LateInteractionSpec extends SparkSpec {
       "the composed delete must kill the replacement above the old mark")
   }
 
+  test("composeDelete crash recovery: a staged merge with the live sidecar absent installs, never resurrects") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("composedelcrash").toString
+    val path = base + "/postings"
+    LateInteraction.writePostings(
+      Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"))
+        .toDF("doc_id", "text"), path, "overwrite")
+    LateInteraction.composeDelete(spark, path, Seq(1L))
+    // simulate the crash window between the two swap renames: the merged
+    // stage is complete (_SUCCESS-marked) and the live sidecar is absent
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path + "/_tombstones"),
+      new org.apache.hadoop.fs.Path(path + "/.tombstones.compose")))
+    // the resurrection the staging exists to prevent WOULD be live here
+    // (no sidecar → all docs serve); the next compose must recover first
+    LateInteraction.composeDelete(spark, path, Seq(2L))
+    assert(LateInteraction.resolvedPostings(spark, path)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(3L),
+      "recovery must install the staged {1} BEFORE merging {2} — a merge " +
+        "from the absent live sidecar would resurrect doc 1")
+  }
+
   test("route symmetry on a composed delete: the brute arm drops the MaxValue-watermarked doc") {
     val spark2 = spark
     import spark2.implicits._
