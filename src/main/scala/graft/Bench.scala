@@ -171,18 +171,23 @@ object Bench {
       if (means.size < 3) None else Some(means.sorted.apply(means.size / 2))
     }
     // Per-row BEST-KNOWN-TIME ledger: the min each query has ever
-    // recorded on this machine at this sf (all prior BENCH_LOCAL lines,
-    // full boards and dev subsets alike — every line is a real serve).
-    // Within-round spread on unchanged rows makes single-board row
-    // deltas unreliable; a row is flagged a REGRESSION only when its
-    // kept time exceeds 2× its best-known AND by more than 0.5 s
-    // absolute (sub-second rows flip on scheduling noise alone), making
-    // round-over-round adjudication mechanical instead of forensic.
+    // recorded on this machine at this sf — over FULL-BOARD lines only
+    // (the warm-band guard's `queries.size >= 50` filter): a
+    // SPARK_GRAFT_ONLY dev-subset run serves its few rows warmer than
+    // any full board can (fewer evictions, hotter JIT), and a subset-
+    // sourced best would tighten the regression threshold on exactly
+    // the rows a developer just iterated on. Within-round spread on
+    // unchanged rows makes single-board row deltas unreliable; a row is
+    // flagged a REGRESSION only when its kept time exceeds 2× its
+    // best-known AND by more than 0.5 s absolute (sub-second rows flip
+    // on scheduling noise alone), making round-over-round adjudication
+    // mechanical instead of forensic.
     // A FAILED row's near-zero time must never become its best-known
     // (the line's own `failed` list exists exactly because fast-fail
     // must not read as a speedup) — drop each line's failed names
     // before taking the min.
     val bestKnown: Map[String, Double] = history
+      .filter(_.queries.size >= 50)
       .flatMap(l => l.queries.filterNot { case (k, _) => l.failed(k) })
       .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     val (board1, failed1) = runBoard(recordPasses = true)

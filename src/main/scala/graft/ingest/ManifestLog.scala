@@ -95,6 +95,48 @@ object ManifestLog {
     v
   }
 
+  /** [[currentVersion]] plus a head-file FINGERPRINT (length mixed with
+    * modification time) from the SAME directory listing — no extra RPC
+    * over the bare probe. A snapshot cache keyed by version number alone
+    * cannot tell a deleted-and-recreated log's same-NUMBERED head from
+    * the one it cached (version numbers restart when another process
+    * recycles the root out-of-band); the fingerprint distinguishes
+    * incarnations: content of a different length OR a later write time
+    * misses the cache and re-reads. (0, 0) on an empty log. If the head
+    * file mutates between the listing and a subsequent body read, the
+    * stale fingerprint fails the NEXT probe's comparison and re-reads —
+    * the race degrades to one extra read, never a stale serve. */
+  def currentVersionFingerprinted(spark: SparkSession,
+      dir: String): (Long, Long) = {
+    val (fs, p) = hfs(spark, dir)
+    if (!fs.exists(p)) return (0L, 0L)
+    val statuses = fs.listStatus(p).toSeq.flatMap(st =>
+      st.getPath.getName match {
+        case VersionName(n) => Some(n.toLong -> st)
+        case _ => None
+      }).toMap
+    var v = statuses.keys.maxOption.getOrElse(0L)
+    while (v > 0L && read(spark, dir, v).isEmpty) v -= 1
+    if (v == 0L) (0L, 0L)
+    else statuses.get(v)
+      .map(st => (v, st.getLen * 1000003L ^ st.getModificationTime))
+      .getOrElse((v, versionFingerprint(spark, dir, v)))
+  }
+
+  /** The fingerprint of one version file (same mix as
+    * [[currentVersionFingerprinted]]) — what a committer stamps its own
+    * just-installed head with. 0 if the file is already gone (an expiry
+    * racing the stat); a 0 stamp can never serve stale, because a probe
+    * of a vanished head resolves a DIFFERENT version number. */
+  def versionFingerprint(spark: SparkSession, dir: String,
+      version: Long): Long = {
+    val (fs, _) = hfs(spark, dir)
+    try {
+      val st = fs.getFileStatus(versionPath(dir, version))
+      st.getLen * 1000003L ^ st.getModificationTime
+    } catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
   /** One CAS attempt: publish `files` as `version`, content-first, via an
     * atomic no-overwrite install. Returns false iff the version name was
     * already taken (the caller lost the race — re-read the winner's

@@ -70,9 +70,10 @@ object Forget extends QueryModule {
     * a ledger root out-of-band and re-commits from v1 (version numbers
     * restart) lands its fresh content in the cache through this path,
     * never serving the prior incarnation's same-numbered snapshot. An
-    * out-of-band delete+recreate from ANOTHER process is outside the
-    * log discipline (manifest logs are append-only) and would need an
-    * explicit cache invalidation. */
+    * out-of-band delete+recreate from ANOTHER process (no commit in
+    * this JVM to refresh the cache) is caught by the head FINGERPRINT
+    * in the cache entry — the recreated head's length/mtime differ, so
+    * the next read misses and re-reads the new incarnation. */
   private def commitBounded(spark: SparkSession, root: String,
       update: Seq[String] => Seq[String]): Unit = {
     // DROP the cached entry BEFORE the install, not just refresh after:
@@ -87,7 +88,9 @@ object Forget extends QueryModule {
     val v = ManifestLog.commit(spark, ledgerDir(root), head => {
       committed = update(head); committed
     })
-    ledgerCache.put(root, (v, committed.map(_.toLong)))
+    ledgerCache.put(root,
+      (v, ManifestLog.versionFingerprint(spark, ledgerDir(root), v),
+        committed.map(_.toLong)))
     if (v > KeepVersions)
       ManifestLog.expire(spark, ledgerDir(root), keepFrom = v - KeepVersions)
   }
@@ -126,19 +129,26 @@ object Forget extends QueryModule {
   }
 
   // ---- version-stamped ledger snapshot cache ---------------------------
-  // root -> (head version, ids). Every read still pays ONE
-  // `currentVersion` probe (a directory listing — no manifest file is
-  // opened), but the manifest BODY is re-read only when the CAS head
+  // root -> (head version, head fingerprint, ids). Every read still pays
+  // ONE `currentVersion` probe (a directory listing — no manifest file
+  // is opened), but the manifest BODY is re-read only when the CAS head
   // moved: a query composing several conf-armed serve tails (the
   // default-on deployment shape) pays one manifest read per ledger
   // VERSION instead of one per surface, and all surfaces built while the
   // head is unchanged observe the identical snapshot. Version numbers
-  // are never reused (ManifestLog.expire only deletes below the head),
-  // so version equality is a sound revalidation — no ABA. Stale entries
-  // are never served: a new CAS head fails the version check and the
-  // next read repopulates (spec-pinned in ForgetSpec).
+  // are never reused within one log incarnation (ManifestLog.expire only
+  // deletes below the head), so version equality alone covers the
+  // append-only discipline; the FINGERPRINT (head-file length × mtime,
+  // from the same listing — no extra RPC) covers the one case outside
+  // it: a DIFFERENT process deleting and re-creating a root, whose fresh
+  // log restarts at the same version numbers — without it this JVM
+  // would serve the prior incarnation's same-numbered snapshot until
+  // its own next commit. Stale entries are never served: a new CAS head
+  // fails the version check, a recycled root fails the fingerprint
+  // check, and the next read repopulates (both spec-pinned in
+  // ForgetSpec).
   private val ledgerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[Long])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[Long])]()
 
   /** Monotonic count of ledger manifest BODY reads — cache-audit
     * instrumentation (ForgetSpec counts reads per composed serve). */
@@ -153,15 +163,16 @@ object Forget extends QueryModule {
     val dir = ledgerDir(root)
     var attempt = 0
     while (attempt < 5) {
-      val v = ManifestLog.currentVersion(spark, dir)
+      val (v, fp) = ManifestLog.currentVersionFingerprinted(spark, dir)
       if (v == 0L) return Seq.empty
       val cached = ledgerCache.get(root)
-      if (cached != null && cached._1 == v) return cached._2
+      if (cached != null && cached._1 == v && cached._2 == fp)
+        return cached._3
       ManifestLog.read(spark, dir, v) match {
         case Some(lines) =>
           ledgerManifestReads.incrementAndGet()
           val ids = lines.map(_.toLong)
-          ledgerCache.put(root, (v, ids))
+          ledgerCache.put(root, (v, fp, ids))
           return ids
         case None => attempt += 1
       }
@@ -678,7 +689,11 @@ object Forget extends QueryModule {
           "exists — refusing to proceed")
     }
     val ids = forgottenIds(spark, root)
-    if (ids.isEmpty && !fs.exists(p(path + "/_tombstones"))) return
+    // any tombstone STATE — the parquet sidecar or a composed-delete
+    // CAS log — must fold into the rewrite (the swap clears both, so a
+    // skipped fold would be a silent resurrect on the next serve)
+    if (ids.isEmpty && !LateInteraction.hasTombstoneState(spark, path))
+      return
     // sidecar shape dispatch through the ONE reader (id-level vs
     // upsert watermark) — an inline copy here could silently diverge
     // from what the serves exclude

@@ -186,102 +186,145 @@ object LateInteraction extends QueryModule {
     * t_doc_id/upto_seq rows make the watermark anti-join condition null
     * and silently RESURRECT deleted docs; failing loudly here is the
     * contract that keeps one sidecar one delete semantics. Composing a
-    * delete onto an upserted table goes through [[composeDelete]], which
-    * merges into the watermark shape (tombstones the doc at
-    * `upto_seq = Long.MaxValue`) instead of appending. */
+    * delete onto an upserted table goes through [[composeDelete]], whose
+    * CAS-committed `_tombstones_log` entries merge here into the parquet
+    * sidecar's shape (on a watermark table a logged delete lifts to
+    * `upto_seq = Long.MaxValue`; on an id-level or sidecar-less table it
+    * is an id row) — the lift happens at READ time, so the log never has
+    * to know or rewrite the parquet sidecar's schema. The resolution
+    * pays one extra FS-exists probe per serve (the log dir next to the
+    * parquet sidecar); both are hoisted once per query by the routers. */
   private[graft] def tombstoneSidecar(spark: SparkSession,
       path: String): Option[(DataFrame, Boolean)] = {
+    import spark.implicits._
     val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
-    if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(tomb)) None
-    else {
-      // mergeSchema: without it a mixed-shape sidecar reads with ONE
-      // file's schema (silently dropping the other shape's rows' columns)
-      // and the strict check below could never see the union
-      val t = spark.read.option("mergeSchema", "true")
-        .parquet(path + "/_tombstones")
-      val cols = t.columns.toSet
-      if (cols == Set("t_doc_id", "upto_seq")) Some((t, true))
-      else if (cols == Set("doc_id")) Some((t, false))
-      else throw new IllegalStateException(
-        s"mixed/unknown _tombstones schema under $path: " +
-          s"${cols.toSeq.sorted.mkString("(", ", ", ")")} — a sidecar is " +
-          "exactly (doc_id) or (t_doc_id, upto_seq); a schema union would " +
-          "null the watermark condition and silently resurrect deletes")
+    val parquetSide: Option[(DataFrame, Boolean)] =
+      if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(tomb)) None
+      else {
+        // mergeSchema: without it a mixed-shape sidecar reads with ONE
+        // file's schema (silently dropping the other shape's rows' columns)
+        // and the strict check below could never see the union
+        val t = spark.read.option("mergeSchema", "true")
+          .parquet(path + "/_tombstones")
+        val cols = t.columns.toSet
+        if (cols == Set("t_doc_id", "upto_seq")) Some((t, true))
+        else if (cols == Set("doc_id")) Some((t, false))
+        else throw new IllegalStateException(
+          s"mixed/unknown _tombstones schema under $path: " +
+            s"${cols.toSeq.sorted.mkString("(", ", ", ")")} — a sidecar is " +
+            "exactly (doc_id) or (t_doc_id, upto_seq); a schema union would " +
+            "null the watermark condition and silently resurrect deletes")
+      }
+    val logIds = tombstoneLogIds(spark, path)
+    if (logIds.isEmpty) parquetSide
+    else parquetSide match {
+      case None =>
+        Some((logIds.toDF("doc_id"), false))
+      case Some((t, false)) =>
+        Some((t.select("doc_id")
+          .unionByName(logIds.toDF("doc_id")).distinct(), false))
+      case Some((t, true)) =>
+        // a logged delete on a watermark table kills EVERY generation of
+        // the doc — including replacement postings above any finite
+        // upsert mark — so it lifts to MaxValue; a doc on both sides
+        // takes the max mark (= MaxValue)
+        Some((t.unionByName(
+            logIds.map(i => (i, Long.MaxValue)).toDF("t_doc_id", "upto_seq"))
+          .groupBy("t_doc_id")
+          .agg(max("upto_seq").as("upto_seq")), true))
     }
+  }
+
+  /** The composed-delete CAS log next to the parquet sidecar. Inside the
+    * table path (underscore-prefixed, hidden from the posting scan), so
+    * a fixture rebuild or a reclaim swap clears it with the table. */
+  private def tombstoneLogDir(path: String) = path + "/_tombstones_log"
+
+  /** Bounded history for the tombstone log — same 64-version margin
+    * discipline as the forget ledger (see Forget.commitBounded). */
+  private val TombstoneLogKeepVersions = 64L
+
+  /** The log's committed delete ids (empty when no log exists — one
+    * FS-exists probe). Entries are `d:<id>` lines; anything else is a
+    * corrupted log and fails LOUDLY (an ignored line would silently
+    * resurrect a delete). A head that vanishes mid-read (an expiry
+    * racing the read) retries then throws — an empty read here would
+    * serve deleted docs. */
+  private def tombstoneLogIds(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = tombstoneLogDir(path)
+    var attempt = 0
+    while (attempt < 5) {
+      val v = graft.ingest.ManifestLog.currentVersion(spark, dir)
+      if (v == 0L) return Seq.empty
+      graft.ingest.ManifestLog.read(spark, dir, v) match {
+        case Some(lines) =>
+          return lines.map {
+            case TombstoneLogLine(id) => id.toLong
+            case bad => throw new IllegalStateException(
+              s"corrupted _tombstones_log line '$bad' under $path — " +
+                "refusing to serve (an ignored entry would resurrect a " +
+                "deleted doc)")
+          }
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"tombstone log head vanished mid-read 5x under $dir — refusing " +
+        "to treat it as empty (that would serve deleted docs)")
+  }
+
+  private val TombstoneLogLine = "d:(-?\\d+)".r
+
+  /** True iff `path` carries ANY tombstone state — parquet sidecar or
+    * composed-delete log. The cheap pre-check reclaim paths use before
+    * paying a sidecar read. */
+  private[graft] def hasTombstoneState(spark: SparkSession,
+      path: String): Boolean = {
+    val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
+    tomb.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tomb) ||
+      graft.ingest.ManifestLog.currentVersion(
+        spark, tombstoneLogDir(path)) > 0L
   }
 
   /** COMPOSE an id-level delete onto whatever sidecar the table already
     * carries — the delete-after-upsert path [[tombstoneSidecar]]'s strict
     * shape check deliberately refuses to improvise: a delete's id rows
     * APPENDED to a watermark sidecar would read as the union schema,
-    * whose null watermark columns silently resurrect deletes. The merge
-    * is shape-preserving:
-    *   - no sidecar → a fresh id-level sidecar;
-    *   - id-level sidecar → ids union in (idempotent);
-    *   - watermark sidecar → the delete merges INTO the watermark shape
-    *     at `upto_seq = Long.MaxValue` (kills every generation of the
-    *     doc, INCLUDING the replacement postings above the old mark —
-    *     a finite watermark could not, and an id-level row must not,
-    *     coexist); a doc already watermarked takes the max mark.
-    * The sidecar is delete METADATA (KB–MB — bounded by deletes, never
-    * corpus size), so the merge is a driver-side rewrite — STAGED, not
-    * in-place: an in-place overwrite of the live `_tombstones` has a
-    * crash window with the directory deleted and nothing written, which
-    * the next serve would read as "no sidecar" and silently RESURRECT
-    * every previously-deleted doc. The merged sidecar stages next to
-    * the live one, then swaps through the reclaimTable checked-rename
-    * discipline; a crash leaving the live sidecar ABSENT with a fully-
-    * staged (_SUCCESS-marked) merge is recovered by installing the
-    * stage on the next call. Writers are single-writer per table, like
-    * every other maintenance path in this module (two concurrent
-    * composers would lose one merge; that needs the manifest-log CAS,
-    * not a bigger sidecar). */
+    * whose null watermark columns silently resurrect deletes.
+    *
+    * MULTI-WRITER: the delete is ONE optimistic-CAS commit of `d:<id>`
+    * lines into the table's `_tombstones_log` (the ManifestLog
+    * discipline the forget ledger uses) — concurrent composers merge
+    * instead of last-write-wins, and there is no staged-swap crash
+    * window at all: a version file either exists fully-formed or is
+    * invisible, so no crash state can read as "no sidecar" and resurrect
+    * prior deletes. The parquet `_tombstones` sidecar is NEVER rewritten
+    * here; [[tombstoneSidecar]] merges the log into the sidecar's shape
+    * at read time (on a watermark table a logged delete lifts to
+    * `upto_seq = Long.MaxValue`, killing every generation of the doc
+    * INCLUDING replacement postings above any finite upsert mark; a doc
+    * on both sides takes the max mark). Idempotent: re-deleting an id is
+    * a line-set no-op. History is version-bounded like the forget
+    * ledger; [[Forget.reclaimTable]]'s whole-table swap folds the log
+    * into the rewrite and clears it (the log lives inside the table
+    * path). The log is delete METADATA — KB–MB, bounded by deletes,
+    * never corpus size — so manifest lines, not parquet, are the right
+    * representation. */
   def composeDelete(spark: SparkSession, path: String,
       ids: Seq[Long]): Unit = {
-    import spark.implicits._
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val live = p(path + "/_tombstones")
-    val staged = p(path + "/.tombstones.compose")
-    val retired = p(path + "/.tombstones.old")
-    val fs = live.getFileSystem(hconf)
-    def renameOrThrow(src: org.apache.hadoop.fs.Path,
-        dst: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(src, dst)) throw new java.io.IOException(
-        s"composeDelete: rename $src -> $dst failed — aborting (a silent " +
-          "false rename could nest the stage inside the live sidecar)")
-    // RECOVERY: a crash between the swap renames leaves the live sidecar
-    // absent with a complete stage — install it and continue (the merge
-    // below then re-reads the installed state; re-running the crashed
-    // call's ids is the caller's retry, exactly as for reclaimTable)
-    if (!fs.exists(live) && fs.exists(staged) &&
-        fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
-      renameOrThrow(staged, live)
-      fs.delete(retired, true)
-    }
-    fs.delete(staged, true) // a stage without a swap is a crashed merge
-    val mergedDf = tombstoneSidecar(spark, path) match {
-      case None =>
-        ids.distinct.sorted.toDF("doc_id")
-      case Some((t, false)) =>
-        (t.collect().map(_.getLong(0)) ++ ids)
-          .distinct.sorted.toSeq.toDF("doc_id")
-      case Some((t, true)) =>
-        val existing = t.collect()
-          .map(r => (r.getAs[Long]("t_doc_id"), r.getAs[Long]("upto_seq")))
-        (existing ++ ids.map(_ -> Long.MaxValue))
-          .groupBy(_._1).view
-          .mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
-          .toDF("t_doc_id", "upto_seq")
-    }
-    mergedDf.repartition(1).write.mode("overwrite").parquet(staged.toString)
-    // swap: live aside (if present), stage in, old gone — crash after the
-    // first rename is the recovery case above
-    fs.delete(retired, true)
-    if (fs.exists(live)) renameOrThrow(live, retired)
-    renameOrThrow(staged, live)
-    fs.delete(retired, true)
+    val add = ids.distinct.map(i => s"d:$i")
+    val dir = tombstoneLogDir(path)
+    val v = graft.ingest.ManifestLog.commit(spark, dir,
+      head => (head ++ add).distinct.sortBy {
+        case TombstoneLogLine(id) => id.toLong
+        case bad => throw new IllegalStateException(
+          s"corrupted _tombstones_log line '$bad' under $path — refusing " +
+            "to commit over a log this serve could not read back")
+      })
+    if (v > TombstoneLogKeepVersions)
+      graft.ingest.ManifestLog.expire(spark, dir,
+        keepFrom = v - TombstoneLogKeepVersions)
   }
 
   /** Drop from `frame` every row `path`'s sidecar kills: an id-level

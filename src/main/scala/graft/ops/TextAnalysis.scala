@@ -1329,7 +1329,94 @@ object TextAnalysis extends QueryModule {
       |FROM documents GROUP BY 1, 2
       |ORDER BY source, split""".stripMargin
 
+  // ---- tokenizer-training support: BPE merge-candidate statistics ----
+
+  /** Corpus-global adjacent-symbol pair counts — the statistic one BPE
+    * training iteration computes to pick its next merge (Sennrich et al.
+    * 2016, the `get_stats` step of the reference algorithm; the engine
+    * ships the candidate TABLE, not the merge loop — each iteration is
+    * one such aggregation over the re-segmented corpus, driven from a
+    * bounded driver loop over the vocab). Words through the engine's one
+    * tokenizer split, then every adjacent character pair inside a word.
+    *
+    * Scale shape: the pair explode multiplies rows by word length, but
+    * the aggregation key space is bounded by |alphabet|² — partial
+    * (map-side) aggregation collapses each task's pairs to at most that
+    * many rows BEFORE the exchange, so the shuffle carries KB per task
+    * regardless of corpus size, and the final top-k is a TakeOrdered,
+    * never a global sort. */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("w"))
+      .filter(length(col("w")) > 1)
+      .select(explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+
+  private val bpePairCountsSql =
+    """WITH words AS (
+      |  SELECT unnest(list_filter(
+      |           string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |           x -> length(x) > 1)) AS w
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, length(w)),
+      |                i -> substr(w, i, 2))) AS pair
+      |  FROM words)
+      |SELECT pair, count(*) AS cnt FROM pairs
+      |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin
+
+  // ---- deterministic epoch shuffle + sharding ----
+
+  /** Training-order materialization: a deterministic pseudo-random
+    * permutation of the corpus, sharded for parallel loaders — the
+    * shuffle every epoch of LLM training consumes. The permutation key
+    * is a seeded md5 over the doc id (content-independent: a re-chunked
+    * or re-scored doc keeps its slot), the shard is the key's first hex
+    * char (16 shards here; production widens to `substr(h, 1, k)` for
+    * 16^k shards), and `pos` is the within-shard rank. A new seed is a
+    * new epoch's order; the same seed replays byte-identically on any
+    * engine, partitioning, or cluster size — the reproducibility that
+    * `ORDER BY rand()` can never give.
+    *
+    * Scale shape: ONE exchange (hash by shard), uniform by md5 so no
+    * skew; the within-shard rank window sorts each shard independently.
+    * At 100 TB the physical export widens the shard prefix until a
+    * shard fits a task, then `repartitionByRange(shard, h)` +
+    * `sortWithinPartitions` writes the order WITHOUT materializing
+    * ranks — `pos` here is the oracle-checkable witness of that order,
+    * not the production representation. */
+  def datasetShuffleShards(spark: SparkSession, dir: String,
+      seed: String = "epoch:1"): DataFrame = {
+    val h = substring(
+      md5(concat(lit(seed + ":"), col("doc_id").cast("string"))), 1, 15)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("h", "doc_id")).cast("long"))
+      .select("shard", "pos", "doc_id")
+      .orderBy("shard", "pos")
+  }
+
+  private val datasetShuffleShardsSql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         substr(md5('epoch:1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS h
+      |  FROM documents)
+      |SELECT substr(h, 1, 1) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY substr(h, 1, 1)
+      |              ORDER BY h, doc_id) AS BIGINT) AS pos,
+      |       doc_id
+      |FROM h ORDER BY shard, pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_pair_counts" -> bpePairCounts,
+    "dataset_shuffle_shards" -> (datasetShuffleShards(_, _)),
     "weighted_sample" -> weightedSample,
     "dataset_split" -> datasetSplit,
     "dataset_split_hashed" -> datasetSplitHashed,
@@ -1354,6 +1441,8 @@ object TextAnalysis extends QueryModule {
     "fingerprint_planted_containment" -> fingerprintPlantedContainment)
 
   def oracles: Map[String, String] = Map(
+    "bpe_pair_counts" -> bpePairCountsSql,
+    "dataset_shuffle_shards" -> datasetShuffleShardsSql,
     "weighted_sample" -> weightedSampleSql,
     "dataset_split" -> datasetSplitSql,
     "dataset_split_hashed" -> datasetSplitHashedSql,

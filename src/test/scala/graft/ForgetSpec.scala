@@ -465,6 +465,27 @@ class ForgetSpec extends SparkSpec {
       "a re-created ledger's same-numbered head must serve ITS content")
   }
 
+  test("ledger cache: a root recycled by ANOTHER process misses on the head fingerprint") {
+    val root = java.nio.file.Files
+      .createTempDirectory("fgtrecycle").toString + "/r"
+    Forget.forget(spark, root, Seq(100000L))
+    assert(Forget.forgottenIds(spark, root) === Seq(100000L)) // cache warm
+    // the cross-process shape: the root is deleted and re-created at the
+    // SAME version number WITHOUT any commit in this JVM (Forget.forget
+    // would refresh the cache itself — tryCommit bypasses it, like a
+    // different process would). Version equality alone would serve this
+    // JVM's cached [100000]; the head fingerprint must miss instead.
+    val dir = root + "/_forget"
+    val lp = new org.apache.hadoop.fs.Path(dir)
+    lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lp, true)
+    assert(graft.ingest.ManifestLog.tryCommit(spark, dir, 1L,
+      Seq("42", "7")), "recreate must land as the same-numbered v1")
+    assert(Forget.forgottenIds(spark, root) === Seq(42L, 7L),
+      "a recycled root's same-numbered head must serve ITS content, " +
+        "never this JVM's prior cached snapshot")
+  }
+
   test("a forget flips a RESIDENT-pinned graph serve with zero pin rebuild") {
     import graft.vector.GraphAnn
     import org.apache.spark.sql.functions.col

@@ -335,8 +335,12 @@ class LateInteractionSpec extends SparkSpec {
       p1, "overwrite")
     LateInteraction.composeDelete(spark, p1, Seq(2L))
     LateInteraction.composeDelete(spark, p1, Seq(2L, 1L))
-    assert(spark.read.parquet(p1 + "/_tombstones").columns.toSeq ===
-      Seq("doc_id"), "a fresh/id-level sidecar stays id-level")
+    val (s1, wm1) = LateInteraction.tombstoneSidecar(spark, p1).get
+    assert(!wm1 && s1.columns.toSeq === Seq("doc_id"),
+      "a fresh table's composed deletes resolve id-level")
+    assert(!new java.io.File(p1 + "/_tombstones").exists(),
+      "composeDelete must never materialize the parquet sidecar — the " +
+        "CAS log is the representation")
     assert(LateInteraction.resolvedPostings(spark, p1).count() === 0L)
     // watermark sidecar → the delete merges INTO the watermark shape at
     // upto_seq = MaxValue (the strict shape check must still pass), and
@@ -354,39 +358,78 @@ class LateInteractionSpec extends SparkSpec {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
       Set(1L, 2L))
     LateInteraction.composeDelete(spark, p2, Seq(1L))
-    val sidecar = spark.read.parquet(p2 + "/_tombstones")
-    assert(sidecar.columns.toSet === Set("t_doc_id", "upto_seq"),
-      "the composed delete must keep the sidecar watermark-shaped")
+    val (s2, wm2) = LateInteraction.tombstoneSidecar(spark, p2).get
+    assert(wm2 && s2.columns.toSet === Set("t_doc_id", "upto_seq"),
+      "the composed delete must resolve watermark-shaped on a " +
+        "watermark table")
+    assert(spark.read.parquet(p2 + "/_tombstones").columns.toSet ===
+      Set("t_doc_id", "upto_seq") &&
+      spark.read.parquet(p2 + "/_tombstones").count() === 1L,
+      "the parquet watermark sidecar must be untouched — the lift to " +
+        "MaxValue happens at read time, not by rewrite")
     assert(LateInteraction.resolvedPostings(spark, p2)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
       Set(2L),
       "the composed delete must kill the replacement above the old mark")
   }
 
-  test("composeDelete crash recovery: a staged merge with the live sidecar absent installs, never resurrects") {
+  test("composeDelete is multi-writer: racing composers CAS-merge, no delete is lost") {
     val spark2 = spark
     import spark2.implicits._
     val base = java.nio.file.Files
-      .createTempDirectory("composedelcrash").toString
+      .createTempDirectory("composedelrace").toString
     val path = base + "/postings"
+    val n = 8
     LateInteraction.writePostings(
-      Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"))
-        .toDF("doc_id", "text"), path, "overwrite")
-    LateInteraction.composeDelete(spark, path, Seq(1L))
-    // simulate the crash window between the two swap renames: the merged
-    // stage is complete (_SUCCESS-marked) and the live sidecar is absent
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(path + "/_tombstones"),
-      new org.apache.hadoop.fs.Path(path + "/.tombstones.compose")))
-    // the resurrection the staging exists to prevent WOULD be live here
-    // (no sidecar → all docs serve); the next compose must recover first
-    LateInteraction.composeDelete(spark, path, Seq(2L))
+      (1L to (n + 1L)).map(i => (i, "alpha beta")).toDF("doc_id", "text"),
+      path, "overwrite")
+    // n threads each compose a DISTINCT id concurrently; the old staged
+    // swap lost all but the last merge here — the CAS log must keep all
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            LateInteraction.composeDelete(spark, path, Seq(i.toLong))
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
     assert(LateInteraction.resolvedPostings(spark, path)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
-      Set(3L),
-      "recovery must install the staged {1} BEFORE merging {2} — a merge " +
-        "from the absent live sidecar would resurrect doc 1")
+      Set(n + 1L),
+      s"all $n racing deletes must survive the merge — a lost CAS " +
+        "update would resurrect one")
+  }
+
+  test("a torn tombstone-log head is invisible; a corrupted line fails loudly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("composedeltorn").toString
+    val path = base + "/postings"
+    LateInteraction.writePostings(
+      Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text"),
+      path, "overwrite")
+    LateInteraction.composeDelete(spark, path, Seq(1L))
+    // a sentinel-less (torn) version above the head must be invisible —
+    // the reader scans down to the last VALID version, still excluding 1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path + "/_tombstones_log/v2.manifest"),
+      "d:2\n".getBytes("UTF-8")) // no `end` sentinel
+    assert(LateInteraction.resolvedPostings(spark, path)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(2L), "a torn head must not serve (nor hide the valid v1)")
+    // a corrupted LINE in a valid head must fail loudly — skipping it
+    // would silently resurrect whatever the line encoded
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path + "/_tombstones_log/v3.manifest"),
+      "garbage\nend\n".getBytes("UTF-8"))
+    val err = intercept[IllegalStateException] {
+      LateInteraction.resolvedPostings(spark, path).collect()
+    }
+    assert(err.getMessage.contains("corrupted _tombstones_log"),
+      s"unexpected error: ${err.getMessage}")
   }
 
   test("route symmetry on a composed delete: the brute arm drops the MaxValue-watermarked doc") {

@@ -336,4 +336,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(total === Tables.embeddings(spark, sf).count())
     out.collect().foreach(r => assert(r.getAs[Long]("norm_bucket") >= 0L))
   }
+
+  test("bpe_pair_counts: top pair count matches an independent driver-side recount") {
+    val out = SparkEntry.queries("bpe_pair_counts")(spark, sf).collect()
+    assert(out.length === 20)
+    val counts = out.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "counts must be non-increasing")
+    out.foreach(r => assert(r.getAs[String]("pair").length === 2))
+    // independent recount of the TOP pair: pure-Scala adjacent-pair scan
+    // over the same tokenization, no Spark expressions shared with the
+    // implementation
+    val top = out.head
+    val expected = Tables.documents(spark, sf).select("text").collect()
+      .iterator.map(_.getString(0))
+      .flatMap(_.toLowerCase.split("[^\\p{L}\\p{N}]+"))
+      .filter(_.length > 1)
+      .flatMap(w => w.sliding(2))
+      .count(_ == top.getAs[String]("pair"))
+    assert(top.getAs[Long]("cnt") === expected.toLong,
+      s"top pair ${top.getAs[String]("pair")} recount mismatch")
+  }
+
+  test("dataset_shuffle_shards: a seeded permutation — exhaustive, contiguous ranks, seed-sensitive, replayable") {
+    val out = SparkEntry.queries("dataset_shuffle_shards")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() === docs.count(), "every doc gets exactly one slot")
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    // ranks are 1..n_shard contiguous per shard
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    byShard.foreach { r =>
+      assert(r.getAs[Long]("lo") === 1L &&
+        r.getAs[Long]("hi") === r.getAs[Long]("n"),
+        s"shard ${r.getAs[String]("shard")} ranks must be contiguous 1..n")
+    }
+    // replayable: the same seed is byte-identical across runs
+    val replay = SparkEntry.queries("dataset_shuffle_shards")(spark, sf)
+    assert(out.exceptAll(replay).isEmpty, "same seed must replay identically")
+    // a new seed is a new epoch's order: some doc changes slot
+    val epoch2 = graft.ops.TextAnalysis
+      .datasetShuffleShards(spark, sf, seed = "epoch:2")
+    assert(out.exceptAll(epoch2).count() > 0L,
+      "a different seed must produce a different permutation")
+    out.unpersist()
+  }
 }
