@@ -1369,6 +1369,65 @@ object TextAnalysis extends QueryModule {
       |SELECT pair, count(*) AS cnt FROM pairs
       |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin
 
+  // ---- Unicode normalization + control hygiene ----
+
+  /** Text normalization — the cleaning pass upstream of every
+    * fingerprint/dedup/tokenize stage: Unicode NFC (canonical
+    * composition, via the native codegen expression
+    * [[org.apache.spark.sql.graft.NfcNormalize]] — a decomposed
+    * `e`+COMBINING ACUTE and precomposed `é` must hash identically),
+    * then control-character stripping (C0 minus `\t\n\r`, plus DEL) and
+    * space/tab run collapsing. Three dirty docs are PLANTED so the row
+    * is enumerable at any scale factor: a decomposed accent, an
+    * ANGSTROM SIGN (NFC folds it to Å), and a control-ridden doc — the
+    * synthetic corpus is ASCII, so it must normalize as a no-op.
+    *
+    * Scale shape: a pure map over the scan — no exchange at any corpus
+    * size; the NFC probe (`isNormalized`) allocates nothing on the
+    * already-normalized fast path, which at web scale is nearly every
+    * row. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Seq(
+      (9000001L, "Cafe\u0301  menu"),
+      (9000002L, "unit \u212B angstrom"),
+      (9000003L, "bad\u0007text\u001F  here")).toDF("doc_id", "text")
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    base
+      .withColumn("nfc", org.apache.spark.sql.graft.NfcNormalize(col("text")))
+      .withColumn("clean", trim(regexp_replace(regexp_replace(col("nfc"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""), "[ \\t]+", " ")))
+      .select(col("doc_id"),
+        (col("nfc") =!= col("text")).as("nfc_changed"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("clean")).cast("long").as("n_chars_clean"),
+        substring(col("clean"), 1, 40).as("clean_prefix"))
+      .orderBy("doc_id")
+  }
+
+  private val textNormalizeSql =
+    """WITH planted AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES
+      |    (9000001, 'Cafe' || chr(769) || '  menu'),
+      |    (9000002, 'unit ' || chr(8491) || ' angstrom'),
+      |    (9000003, 'bad' || chr(7) || 'text' || chr(31) || '  here'))
+      |    AS t(doc_id, text)),
+      |base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM planted),
+      |n AS (SELECT doc_id, text, nfc_normalize(text) AS nfc FROM base),
+      |c AS (SELECT doc_id, text, nfc,
+      |        trim(regexp_replace(regexp_replace(nfc,
+      |          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      |          '[ \t]+', ' ', 'g')) AS clean
+      |      FROM n)
+      |SELECT doc_id, nfc <> text AS nfc_changed,
+      |       length(text) AS n_chars_raw,
+      |       length(clean) AS n_chars_clean,
+      |       substr(clean, 1, 40) AS clean_prefix
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // ---- deterministic epoch shuffle + sharding ----
 
   /** Training-order materialization: a deterministic pseudo-random
@@ -1417,6 +1476,7 @@ object TextAnalysis extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_pair_counts" -> bpePairCounts,
     "dataset_shuffle_shards" -> (datasetShuffleShards(_, _)),
+    "text_normalize" -> textNormalize,
     "weighted_sample" -> weightedSample,
     "dataset_split" -> datasetSplit,
     "dataset_split_hashed" -> datasetSplitHashed,
@@ -1443,6 +1503,7 @@ object TextAnalysis extends QueryModule {
   def oracles: Map[String, String] = Map(
     "bpe_pair_counts" -> bpePairCountsSql,
     "dataset_shuffle_shards" -> datasetShuffleShardsSql,
+    "text_normalize" -> textNormalizeSql,
     "weighted_sample" -> weightedSampleSql,
     "dataset_split" -> datasetSplitSql,
     "dataset_split_hashed" -> datasetSplitHashedSql,

@@ -358,6 +358,57 @@ class TextAnalysisSpec extends SparkSpec {
       s"top pair ${top.getAs[String]("pair")} recount mismatch")
   }
 
+  test("text_normalize: NFC composes the planted accent and angstrom; controls strip; ASCII corpus is a no-op") {
+    val out = SparkEntry.queries("text_normalize")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the decomposed accent composes: 11 raw code points -> 9 clean
+    // ("Cafe"+combining+2 spaces+"menu" -> "Café menu")
+    val a = out(9000001L)
+    assert(a.getAs[Boolean]("nfc_changed"))
+    assert(a.getAs[Long]("n_chars_raw") === 11L)
+    assert(a.getAs[Long]("n_chars_clean") === 9L)
+    assert(a.getAs[String]("clean_prefix") === "Caf\u00E9 menu")
+    // ANGSTROM SIGN folds to Å: changed, same length
+    val b = out(9000002L)
+    assert(b.getAs[Boolean]("nfc_changed"))
+    assert(b.getAs[String]("clean_prefix") === "unit \u00C5 angstrom")
+    // controls strip + runs collapse; NFC itself is a no-op here
+    val c = out(9000003L)
+    assert(!c.getAs[Boolean]("nfc_changed"))
+    assert(c.getAs[String]("clean_prefix") === "badtext here")
+    // the synthetic corpus is ASCII: NFC must change nothing
+    assert(out.values.count(_.getAs[Boolean]("nfc_changed")) === 2,
+      "only the two planted non-NFC docs may change under NFC")
+  }
+
+  test("NfcNormalize evaluates identically interpreted and codegen'd, and keeps the fast path") {
+    val df = Seq("Cafe\u0301", "plain ascii", "unit \u212B", null)
+      .toDF("t")
+    val expr = org.apache.spark.sql.graft.NfcNormalize(col("t"))
+    val out = df.select(expr.as("n")).collect().map(_.getString(0))
+    assert(out(0) === "Caf\u00E9")
+    assert(out(1) === "plain ascii")
+    assert(out(2) === "unit \u00C5")
+    assert(out(3) === null)
+    // the expression must run INSIDE whole-stage codegen (it has a real
+    // doGenCode \u2014 a fallback would interpret per row on the corpus's
+    // widest column). A literal frame constant-folds to a
+    // LocalTableScan, so pin the plan over a range source, and check
+    // the generated path agrees with the interpreted values above.
+    val ranged = spark.range(4).select(
+      concat(lit("x"), col("id").cast("string")).as("t"))
+    val rangedOut = ranged.select(
+      org.apache.spark.sql.graft.NfcNormalize(col("t")).as("n"))
+    val plan = rangedOut.queryExecution.executedPlan
+    val codegenSpans = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.exists(_.toString.contains("nfc_normalize")),
+      s"nfc_normalize must plan inside a WholeStageCodegen span:\n$plan")
+    assert(rangedOut.collect().map(_.getString(0)).sorted ===
+      Array("x0", "x1", "x2", "x3"))
+  }
+
   test("dataset_shuffle_shards: a seeded permutation — exhaustive, contiguous ranks, seed-sensitive, replayable") {
     val out = SparkEntry.queries("dataset_shuffle_shards")(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
