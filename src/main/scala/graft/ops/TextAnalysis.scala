@@ -1369,6 +1369,109 @@ object TextAnalysis extends QueryModule {
       |SELECT pair, count(*) AS cnt FROM pairs
       |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin
 
+  /** BPE merge TRAINING, distributed — [[bpePairCounts]] is one
+    * iteration's statistic; this runs the actual learn loop (Sennrich et
+    * al. 2016): segment the deduped vocabulary into symbols, count
+    * adjacent pairs weighted by word frequency, merge the argmax pair,
+    * re-segment, repeat. Segmentations are `<sym><sym>…` marker strings,
+    * so applying a merge is ONE left-to-right `replace` — marker
+    * consumption gives exactly BPE's non-overlapping greedy semantics
+    * (`a a a a` merges to `aa aa`, never `aa a a`), with no lookbehind
+    * regex (which the oracle engine's RE2 lacks). Ties break on the pair
+    * string, so the learned table is deterministic cross-engine; the
+    * oracle replays all five iterations in chained CTEs.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * aggregation, partial-agg'd map-side); every iteration then runs on
+    * the DISTINCT-WORD table — vocabulary-sized, corpus-size-independent
+    * — with one bounded single-row collect (the argmax) per step, and a
+    * localCheckpoint per step so the re-segmentation lineage never
+    * deepens. A 100 TB corpus trains at the same per-iteration cost as
+    * a 100 GB one once the vocab table exists. */
+  def bpeLearnMerges(spark: SparkSession, dir: String,
+      steps: Int = 5): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("w"))
+      .filter(length(col("w")) > 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var seg = words.select(
+      expr("concat_ws('', transform(sequence(1, length(w)), " +
+        "i -> concat('<', substr(w, i, 1), '>')))").as("seg"),
+      col("freq")).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to steps) {
+      // guard size > 1 BEFORE sequence(1, size-1): Spark's sequence runs
+      // DESCENDING when stop < start, and element_at(syms, 0) throws
+      val top = seg
+        .withColumn("syms",
+          expr("split(substr(seg, 2, length(seg) - 2), '><')"))
+        .filter(size(col("syms")) > 1)
+        .select(explode(expr("transform(sequence(1, size(syms) - 1), " +
+          "i -> concat(element_at(syms, i), '|', element_at(syms, i + 1)))"))
+          .as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).head() // bounded: ONE row per iteration crosses to the driver
+      val pair = top.getString(0)
+      val cnt = top.getLong(1)
+      val Array(l, r) = pair.split("\\|", 2)
+      merges += ((step.toLong, l, r, cnt))
+      // symbols are word chars only — never quotes/markers — so the
+      // literal interpolation below cannot escape the SQL string
+      seg = seg.withColumn("seg",
+        expr(s"replace(seg, '<$l><$r>', '<$l$r>')")).localCheckpoint()
+    }
+    merges.result().toDF("step", "left_sym", "right_sym", "cnt")
+      .orderBy("step")
+  }
+
+  /** The oracle replays the identical loop as chained CTEs — one
+    * (pairs → argmax → re-segment) block per step. */
+  private def bpeLearnMergesSql(steps: Int): String = {
+    val head =
+      """WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(
+        |             string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |             x -> length(x) > 1)) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |seg0 AS (
+        |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+        |           i -> '<' || substr(w, i, 1) || '>'), '') AS seg, freq
+        |  FROM words)""".stripMargin
+    val blocks = (1 to steps).map { k =>
+      s"""p$k AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(syms)),
+         |             i -> syms[i] || '|' || syms[i + 1])) AS pair, freq
+         |    FROM (SELECT string_split(substr(seg, 2, length(seg) - 2),
+         |                   '><') AS syms, freq
+         |          FROM seg${k - 1}))
+         |  GROUP BY pair),
+         |m$k AS (SELECT pair, cnt FROM p$k
+         |        ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |seg$k AS (
+         |  SELECT replace(seg,
+         |           '<' || split_part((SELECT pair FROM m$k), '|', 1) ||
+         |           '><' || split_part((SELECT pair FROM m$k), '|', 2) ||
+         |           '>',
+         |           '<' || replace((SELECT pair FROM m$k), '|', '') ||
+         |           '>') AS seg, freq
+         |  FROM seg${k - 1})""".stripMargin
+    }
+    val rows = (1 to steps).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step,
+         |       split_part((SELECT pair FROM m$k), '|', 1) AS left_sym,
+         |       split_part((SELECT pair FROM m$k), '|', 2) AS right_sym,
+         |       (SELECT cnt FROM m$k) AS cnt""".stripMargin
+    }
+    (head +: blocks).mkString(",\n").concat(
+      "\nSELECT * FROM (\n" + rows.mkString("\nUNION ALL\n") +
+        "\n) ORDER BY step")
+  }
+
   // ---- Unicode normalization + control hygiene ----
 
   /** Text normalization — the cleaning pass upstream of every
@@ -1476,6 +1579,7 @@ object TextAnalysis extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_pair_counts" -> bpePairCounts,
     "dataset_shuffle_shards" -> (datasetShuffleShards(_, _)),
+    "bpe_learn_merges" -> (bpeLearnMerges(_, _)),
     "text_normalize" -> textNormalize,
     "weighted_sample" -> weightedSample,
     "dataset_split" -> datasetSplit,
@@ -1503,6 +1607,7 @@ object TextAnalysis extends QueryModule {
   def oracles: Map[String, String] = Map(
     "bpe_pair_counts" -> bpePairCountsSql,
     "dataset_shuffle_shards" -> datasetShuffleShardsSql,
+    "bpe_learn_merges" -> bpeLearnMergesSql(5),
     "text_normalize" -> textNormalizeSql,
     "weighted_sample" -> weightedSampleSql,
     "dataset_split" -> datasetSplitSql,

@@ -358,6 +358,29 @@ class TextAnalysisSpec extends SparkSpec {
       s"top pair ${top.getAs[String]("pair")} recount mismatch")
   }
 
+  test("bpe_learn_merges: five deterministic merges, non-increasing counts, step 1 is the corpus-top pair") {
+    val out = SparkEntry.queries("bpe_learn_merges")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("step")).toSeq === (1L to 5L))
+    // merging the argmax pair can only shrink other pairs' counts, and
+    // every pair the new symbol creates is bounded by the merged count —
+    // so the selected count sequence never increases
+    val cnts = out.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      s"selected merge counts must be non-increasing: ${cnts.toSeq}")
+    // cross-row consistency: iteration 1 of the learn loop IS the
+    // bpe_pair_counts statistic — its argmax must be that row's top pair
+    // (both count corpus-weighted occurrences; dedup+freq is the same sum)
+    val top = SparkEntry.queries("bpe_pair_counts")(spark, sf).head()
+    val first = out.head
+    assert(first.getAs[String]("left_sym") +
+      first.getAs[String]("right_sym") === top.getAs[String]("pair"),
+      "step 1 must merge the corpus-top adjacent pair")
+    assert(first.getAs[Long]("cnt") === top.getAs[Long]("cnt"))
+    // replay determinism
+    val again = SparkEntry.queries("bpe_learn_merges")(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("text_normalize: NFC composes the planted accent and angstrom; controls strip; ASCII corpus is a no-op") {
     val out = SparkEntry.queries("text_normalize")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
