@@ -1426,9 +1426,66 @@ object TextAnalysis extends QueryModule {
       .orderBy("step")
   }
 
+  /** BPE ENCODING under the learned merges — the tokenizer's other half:
+    * re-train (the merge list must exist on the driver either way — five
+    * bounded one-row collects), apply the merges in order to the
+    * vocabulary segmentations (five chained `replace` maps, no extra
+    * exchange), then aggregate the corpus-frequency table of the encoded
+    * symbols. The merged symbols surface with exactly the counts their
+    * selection step saw minus later-merge consumption — the oracle
+    * replays the whole train+encode chain. Same scale shape as training:
+    * corpus touched once, everything else vocabulary-sized. */
+  def bpeEncodeTokens(spark: SparkSession, dir: String,
+      steps: Int = 5): DataFrame = {
+    val mergeRows = bpeLearnMerges(spark, dir, steps).collect()
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("w"))
+      .filter(length(col("w")) > 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var seg = words.select(
+      expr("concat_ws('', transform(sequence(1, length(w)), " +
+        "i -> concat('<', substr(w, i, 1), '>')))").as("seg"),
+      col("freq"))
+    mergeRows.foreach { r =>
+      val (l, rr) = (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"))
+      seg = seg.withColumn("seg",
+        expr(s"replace(seg, '<$l><$rr>', '<$l$rr>')"))
+    }
+    seg
+      .select(explode(
+        expr("split(substr(seg, 2, length(seg) - 2), '><')")).as("sym"),
+        col("freq"))
+      .groupBy("sym").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("sym").asc)
+      .limit(20)
+  }
+
+  private def bpeEncodeTokensSql(steps: Int): String =
+    bpeCtePrefix(steps) + s"""
+      |SELECT sym, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(string_split(substr(seg, 2, length(seg) - 2),
+      |           '><')) AS sym, freq
+      |  FROM seg$steps)
+      |GROUP BY sym ORDER BY cnt DESC, sym ASC LIMIT 20""".stripMargin
+
   /** The oracle replays the identical loop as chained CTEs — one
     * (pairs → argmax → re-segment) block per step. */
   private def bpeLearnMergesSql(steps: Int): String = {
+    val rows = (1 to steps).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step,
+         |       split_part((SELECT pair FROM m$k), '|', 1) AS left_sym,
+         |       split_part((SELECT pair FROM m$k), '|', 2) AS right_sym,
+         |       (SELECT cnt FROM m$k) AS cnt""".stripMargin
+    }
+    bpeCtePrefix(steps) +
+      "\nSELECT * FROM (\n" + rows.mkString("\nUNION ALL\n") +
+      "\n) ORDER BY step"
+  }
+
+  /** The shared train-loop CTE chain: words → seg0 → (pairs, argmax,
+    * re-segment) per step — both BPE oracles replay through it. */
+  private def bpeCtePrefix(steps: Int): String = {
     val head =
       """WITH words AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -1461,15 +1518,7 @@ object TextAnalysis extends QueryModule {
          |           '>') AS seg, freq
          |  FROM seg${k - 1})""".stripMargin
     }
-    val rows = (1 to steps).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS step,
-         |       split_part((SELECT pair FROM m$k), '|', 1) AS left_sym,
-         |       split_part((SELECT pair FROM m$k), '|', 2) AS right_sym,
-         |       (SELECT cnt FROM m$k) AS cnt""".stripMargin
-    }
-    (head +: blocks).mkString(",\n").concat(
-      "\nSELECT * FROM (\n" + rows.mkString("\nUNION ALL\n") +
-        "\n) ORDER BY step")
+    (head +: blocks).mkString(",\n")
   }
 
   // ---- Unicode normalization + control hygiene ----
@@ -1580,6 +1629,7 @@ object TextAnalysis extends QueryModule {
     "bpe_pair_counts" -> bpePairCounts,
     "dataset_shuffle_shards" -> (datasetShuffleShards(_, _)),
     "bpe_learn_merges" -> (bpeLearnMerges(_, _)),
+    "bpe_encode_tokens" -> (bpeEncodeTokens(_, _)),
     "text_normalize" -> textNormalize,
     "weighted_sample" -> weightedSample,
     "dataset_split" -> datasetSplit,
@@ -1608,6 +1658,7 @@ object TextAnalysis extends QueryModule {
     "bpe_pair_counts" -> bpePairCountsSql,
     "dataset_shuffle_shards" -> datasetShuffleShardsSql,
     "bpe_learn_merges" -> bpeLearnMergesSql(5),
+    "bpe_encode_tokens" -> bpeEncodeTokensSql(5),
     "text_normalize" -> textNormalizeSql,
     "weighted_sample" -> weightedSampleSql,
     "dataset_split" -> datasetSplitSql,

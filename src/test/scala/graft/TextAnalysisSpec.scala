@@ -381,6 +381,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("bpe_encode_tokens: every multichar symbol is a learned merge; counts ordered") {
+    val merges = SparkEntry.queries("bpe_learn_merges")(spark, sf).collect()
+    val learned = merges.map(r =>
+      r.getAs[String]("left_sym") + r.getAs[String]("right_sym")).toSet
+    val out = SparkEntry.queries("bpe_encode_tokens")(spark, sf).collect()
+    assert(out.length === 20)
+    val cnts = out.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // the encoder may emit ONLY the base alphabet plus learned merges —
+    // any other multichar symbol is a segmentation/replace defect
+    out.map(_.getAs[String]("sym")).filter(_.length > 1).foreach(s =>
+      assert(learned.contains(s),
+        s"symbol '$s' in the encoding is not a learned merge"))
+  }
+
   test("text_normalize: NFC composes the planted accent and angstrom; controls strip; ASCII corpus is a no-op") {
     val out = SparkEntry.queries("text_normalize")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
