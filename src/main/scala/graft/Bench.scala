@@ -162,32 +162,30 @@ object Bench {
         }
       } catch { case _: Throwable => Seq.empty }
     val history = priorLines().filter(_.sf == sfDir)
+    // ONE definition of "full board" for every history consumer (the
+    // warm-band guard and the best-known ledger): dev-subset runs
+    // (SPARK_GRAFT_ONLY) append lines too, and a few-row line's rows run
+    // warmer than any full board — skewing the warm band and tightening
+    // the regression threshold if either consumer ingested them
+    val fullBoards = history.filter(_.queries.size >= 50)
     def warmBandMean(): Option[Double] = {
-      // full boards only: dev-subset runs (SPARK_GRAFT_ONLY) append
-      // lines too, and a few-row line's per-query mean would skew the
-      // warm band either way
-      val means = history.filter(_.queries.size >= 50)
+      val means = fullBoards
         .map(l => l.value / l.queries.size).takeRight(5)
       if (means.size < 3) None else Some(means.sorted.apply(means.size / 2))
     }
     // Per-row BEST-KNOWN-TIME ledger: the min each query has ever
-    // recorded on this machine at this sf — over FULL-BOARD lines only
-    // (the warm-band guard's `queries.size >= 50` filter): a
-    // SPARK_GRAFT_ONLY dev-subset run serves its few rows warmer than
-    // any full board can (fewer evictions, hotter JIT), and a subset-
-    // sourced best would tighten the regression threshold on exactly
-    // the rows a developer just iterated on. Within-round spread on
-    // unchanged rows makes single-board row deltas unreliable; a row is
-    // flagged a REGRESSION only when its kept time exceeds 2× its
-    // best-known AND by more than 0.5 s absolute (sub-second rows flip
-    // on scheduling noise alone), making round-over-round adjudication
-    // mechanical instead of forensic.
+    // recorded on this machine at this sf — over full boards only (the
+    // shared filter above). Within-round spread on unchanged rows makes
+    // single-board row deltas unreliable; a row is flagged a REGRESSION
+    // only when its kept time exceeds 2× its best-known AND by more
+    // than 0.5 s absolute (sub-second rows flip on scheduling noise
+    // alone), making round-over-round adjudication mechanical instead
+    // of forensic.
     // A FAILED row's near-zero time must never become its best-known
     // (the line's own `failed` list exists exactly because fast-fail
     // must not read as a speedup) — drop each line's failed names
     // before taking the min.
-    val bestKnown: Map[String, Double] = history
-      .filter(_.queries.size >= 50)
+    val bestKnown: Map[String, Double] = fullBoards
       .flatMap(l => l.queries.filterNot { case (k, _) => l.failed(k) })
       .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     val (board1, failed1) = runBoard(recordPasses = true)

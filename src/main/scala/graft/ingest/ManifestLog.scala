@@ -105,7 +105,15 @@ object ManifestLog {
     * misses the cache and re-reads. (0, 0) on an empty log. If the head
     * file mutates between the listing and a subsequent body read, the
     * stale fingerprint fails the NEXT probe's comparison and re-reads —
-    * the race degrades to one extra read, never a stale serve. */
+    * the race degrades to one extra read, never a stale serve.
+    *
+    * RESIDUAL: a recycled root whose same-numbered head has the SAME
+    * byte length and lands within the filesystem's mtime granularity
+    * (1 ms local/HDFS) still collides — a content hash would need the
+    * body read the fingerprint exists to avoid. Out-of-band root
+    * recycling is already outside the append-only log discipline; the
+    * fingerprint narrows that hole to a sub-tick equal-length write, it
+    * does not close it. */
   def currentVersionFingerprinted(spark: SparkSession,
       dir: String): (Long, Long) = {
     val (fs, p) = hfs(spark, dir)
@@ -121,6 +129,29 @@ object ManifestLog {
     else statuses.get(v)
       .map(st => (v, st.getLen * 1000003L ^ st.getModificationTime))
       .getOrElse((v, versionFingerprint(spark, dir, v)))
+  }
+
+  /** The current head's lines with probe/read retry — the ONE
+    * "resolve the latest valid head, retry when an expiry races the
+    * read, THROW rather than serve empty" discipline for log readers
+    * that must never mistake a vanished head for an empty log (serving
+    * a tombstone/forget log as empty silently resurrects deletes).
+    * None = genuinely empty log. Cache-keeping readers (the forget
+    * ledger) interleave a version probe with their cache and cannot use
+    * this directly — see Forget.forgottenIds. */
+  def headLines(spark: SparkSession, dir: String): Option[Seq[String]] = {
+    var attempt = 0
+    while (attempt < 5) {
+      val v = currentVersion(spark, dir)
+      if (v == 0L) return None
+      read(spark, dir, v) match {
+        case some @ Some(_) => return some
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"manifest head vanished mid-read 5x under $dir — refusing to " +
+        "treat it as empty")
   }
 
   /** The fingerprint of one version file (same mix as

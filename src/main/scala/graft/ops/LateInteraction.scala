@@ -217,7 +217,28 @@ object LateInteraction extends QueryModule {
             "null the watermark condition and silently resurrect deletes")
       }
     val logIds = tombstoneLogIds(spark, path)
-    if (logIds.isEmpty) parquetSide
+    if (logIds.isEmpty) {
+      // MIGRATION GUARD: an earlier composeDelete generation staged its
+      // merged sidecar at .tombstones.compose and swapped; a crash in
+      // that generation's swap window leaves the live sidecar ABSENT
+      // with a _SUCCESS-marked stage holding every previously-deleted
+      // id. The old binary recovered it on the next compose; this one
+      // never reads that path — so a no-tombstone-state read REFUSES to
+      // serve over an orphaned stage instead of silently resurrecting
+      // its deletes. (Only the both-absent path pays the extra probe.)
+      if (parquetSide.isEmpty) {
+        val orphan = new org.apache.hadoop.fs.Path(
+          path + "/.tombstones.compose/_SUCCESS")
+        if (orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(orphan))
+          throw new IllegalStateException(
+            s"orphaned pre-log compose stage under $path " +
+              "(.tombstones.compose with _SUCCESS and no live sidecar) — " +
+              "serving would resurrect its deletes; install the stage as " +
+              "_tombstones or re-apply the delete via composeDelete")
+      }
+      parquetSide
+    }
     else parquetSide match {
       case None =>
         Some((logIds.toDF("doc_id"), false))
@@ -246,33 +267,19 @@ object LateInteraction extends QueryModule {
   private val TombstoneLogKeepVersions = 64L
 
   /** The log's committed delete ids (empty when no log exists — one
-    * FS-exists probe). Entries are `d:<id>` lines; anything else is a
-    * corrupted log and fails LOUDLY (an ignored line would silently
-    * resurrect a delete). A head that vanishes mid-read (an expiry
-    * racing the read) retries then throws — an empty read here would
-    * serve deleted docs. */
-  private def tombstoneLogIds(spark: SparkSession, path: String): Seq[Long] = {
-    val dir = tombstoneLogDir(path)
-    var attempt = 0
-    while (attempt < 5) {
-      val v = graft.ingest.ManifestLog.currentVersion(spark, dir)
-      if (v == 0L) return Seq.empty
-      graft.ingest.ManifestLog.read(spark, dir, v) match {
-        case Some(lines) =>
-          return lines.map {
-            case TombstoneLogLine(id) => id.toLong
-            case bad => throw new IllegalStateException(
-              s"corrupted _tombstones_log line '$bad' under $path — " +
-                "refusing to serve (an ignored entry would resurrect a " +
-                "deleted doc)")
-          }
-        case None => attempt += 1
+    * FS-exists probe, via the shared vanished-head-retrying
+    * [[graft.ingest.ManifestLog.headLines]]). Entries are `d:<id>`
+    * lines; anything else is a corrupted log and fails LOUDLY (an
+    * ignored line would silently resurrect a delete). */
+  private def tombstoneLogIds(spark: SparkSession, path: String): Seq[Long] =
+    graft.ingest.ManifestLog.headLines(spark, tombstoneLogDir(path))
+      .getOrElse(Seq.empty).map {
+        case TombstoneLogLine(id) => id.toLong
+        case bad => throw new IllegalStateException(
+          s"corrupted _tombstones_log line '$bad' under $path — " +
+            "refusing to serve (an ignored entry would resurrect a " +
+            "deleted doc)")
       }
-    }
-    throw new IllegalStateException(
-      s"tombstone log head vanished mid-read 5x under $dir — refusing " +
-        "to treat it as empty (that would serve deleted docs)")
-  }
 
   private val TombstoneLogLine = "d:(-?\\d+)".r
 
@@ -310,7 +317,17 @@ object LateInteraction extends QueryModule {
     * into the rewrite and clears it (the log lives inside the table
     * path). The log is delete METADATA — KB–MB, bounded by deletes,
     * never corpus size — so manifest lines, not parquet, are the right
-    * representation. */
+    * representation.
+    *
+    * SCOPE of the multi-writer guarantee: concurrent COMPOSERS merge.
+    * `reclaimTable` remains exclusive with every writer AND composer —
+    * it swaps the whole table directory, so a delete committed into the
+    * log between reclaim's read and its swap would be destroyed with
+    * the retired dir (and a log mkdirs landing inside the swap window
+    * could even recreate the path mid-rename). That exclusivity is the
+    * reclaim contract it always had with the parquet-sidecar writers;
+    * the CAS removes the composer-vs-composer race, not the
+    * maintenance-vs-reclaim one. */
   def composeDelete(spark: SparkSession, path: String,
       ids: Seq[Long]): Unit = {
     val add = ids.distinct.map(i => s"d:$i")

@@ -1391,6 +1391,22 @@ object TextAnalysis extends QueryModule {
   def bpeLearnMerges(spark: SparkSession, dir: String,
       steps: Int = 5): DataFrame = {
     import spark.implicits._
+    bpeTrain(spark, dir, steps)._1
+      .toDF("step", "left_sym", "right_sym", "cnt")
+      .orderBy("step")
+  }
+
+  /** The shared train loop: returns (merges, final segmentation frame)
+    * so the encode row reuses the seg frame the loop just checkpointed
+    * instead of re-scanning the corpus and re-applying every merge.
+    *
+    * PRECONDITION: the vocabulary must support `steps` merges — a
+    * corpus whose segmentations fully merge earlier fails loudly here
+    * (reference BPE would stop; the oracle's fixed CTE chain cannot, so
+    * a silent early stop would diverge cross-engine). Any real corpus
+    * is many orders of magnitude above 5 steps. */
+  private def bpeTrain(spark: SparkSession, dir: String,
+      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     val words = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("w"))
       .filter(length(col("w")) > 1)
@@ -1412,7 +1428,11 @@ object TextAnalysis extends QueryModule {
           .as("pair"), col("freq"))
         .groupBy("pair").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).head() // bounded: ONE row per iteration crosses to the driver
+        .limit(1).collect() // bounded: ONE row per iteration to the driver
+        .headOption.getOrElse(throw new IllegalStateException(
+          s"BPE vocabulary exhausted at step $step of $steps — no " +
+            "adjacent pairs remain; a silent early stop would diverge " +
+            "from the fixed-depth oracle"))
       val pair = top.getString(0)
       val cnt = top.getLong(1)
       val Array(l, r) = pair.split("\\|", 2)
@@ -1422,44 +1442,27 @@ object TextAnalysis extends QueryModule {
       seg = seg.withColumn("seg",
         expr(s"replace(seg, '<$l><$r>', '<$l$r>')")).localCheckpoint()
     }
-    merges.result().toDF("step", "left_sym", "right_sym", "cnt")
-      .orderBy("step")
+    (merges.result(), seg)
   }
 
   /** BPE ENCODING under the learned merges — the tokenizer's other half:
-    * re-train (the merge list must exist on the driver either way — five
-    * bounded one-row collects), apply the merges in order to the
-    * vocabulary segmentations (five chained `replace` maps, no extra
-    * exchange), then aggregate the corpus-frequency table of the encoded
-    * symbols. The merged symbols surface with exactly the counts their
-    * selection step saw minus later-merge consumption — the oracle
-    * replays the whole train+encode chain. Same scale shape as training:
-    * corpus touched once, everything else vocabulary-sized. */
+    * the shared [[bpeTrain]] loop already ends at the fully-merged
+    * segmentation (checkpointed, vocabulary-sized), so encoding is ONE
+    * aggregation over that frame — the corpus-frequency table of the
+    * encoded symbols. The merged symbols surface with exactly the
+    * counts their selection step saw minus later-merge consumption —
+    * the oracle replays the whole train+encode chain. Corpus touched
+    * once (the train loop's word aggregation); everything else
+    * vocabulary-sized. */
   def bpeEncodeTokens(spark: SparkSession, dir: String,
-      steps: Int = 5): DataFrame = {
-    val mergeRows = bpeLearnMerges(spark, dir, steps).collect()
-    import spark.implicits._
-    val words = Tables.documents(spark, dir)
-      .select(explode(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("w"))
-      .filter(length(col("w")) > 1)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-    var seg = words.select(
-      expr("concat_ws('', transform(sequence(1, length(w)), " +
-        "i -> concat('<', substr(w, i, 1), '>')))").as("seg"),
-      col("freq"))
-    mergeRows.foreach { r =>
-      val (l, rr) = (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"))
-      seg = seg.withColumn("seg",
-        expr(s"replace(seg, '<$l><$rr>', '<$l$rr>')"))
-    }
-    seg
+      steps: Int = 5): DataFrame =
+    bpeTrain(spark, dir, steps)._2
       .select(explode(
         expr("split(substr(seg, 2, length(seg) - 2), '><')")).as("sym"),
         col("freq"))
       .groupBy("sym").agg(sum("freq").as("cnt"))
       .orderBy(col("cnt").desc, col("sym").asc)
       .limit(20)
-  }
 
   private def bpeEncodeTokensSql(steps: Int): String =
     bpeCtePrefix(steps) + s"""

@@ -402,6 +402,30 @@ class LateInteractionSpec extends SparkSpec {
         "update would resurrect one")
   }
 
+  test("an orphaned pre-log compose stage refuses to serve instead of resurrecting its deletes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("composedelorphan").toString
+    val path = base + "/postings"
+    LateInteraction.writePostings(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), path, "overwrite")
+    // the prior generation's crash shape: a _SUCCESS-marked stage, no
+    // live sidecar, no log — its deletes are encoded ONLY in the stage
+    val stage = java.nio.file.Paths.get(path, ".tombstones.compose")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.write(stage.resolve("_SUCCESS"), Array.empty[Byte])
+    val err = intercept[IllegalStateException] {
+      LateInteraction.resolvedPostings(spark, path).collect()
+    }
+    assert(err.getMessage.contains("orphaned pre-log compose stage"),
+      s"unexpected error: ${err.getMessage}")
+    // a live log resolves normally again — the guard only fires on the
+    // nothing-else-to-serve path
+    LateInteraction.composeDelete(spark, path, Seq(1L))
+    assert(LateInteraction.resolvedPostings(spark, path).count() === 0L)
+  }
+
   test("a torn tombstone-log head is invisible; a corrupted line fails loudly") {
     val spark2 = spark
     import spark2.implicits._
