@@ -62,6 +62,12 @@ object GraftExtensions {
         require(args.length == 3, "usage: chunk_split(text, chunk_size, overlap)")
         new ChunkSplit(args(0), intLit(args(1), "chunk_size"), intLit(args(2), "overlap"))
       }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: nfc_normalize(text)")
+        NfcNormalize(args(0))
+      }),
     // aggregate builders return the bare AggregateFunction — the analyzer
     // wraps it in an AggregateExpression (the built-in registry pattern)
     (FunctionIdentifier("graft_topk"),

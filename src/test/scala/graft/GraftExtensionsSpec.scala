@@ -8,6 +8,14 @@ class GraftExtensionsSpec extends SparkSpec {
 
   GraftExtensions.register(spark)
 
+  test("nfc_normalize is callable from SQL and composes a decomposed accent") {
+    // NOT chr(769): Spark's chr wraps mod 256 (chr(769) = U+0001) —
+    // the SQL parser's unicode escape carries the combining acute intact
+    val r = spark.sql(
+      "SELECT nfc_normalize('Cafe\\u0301') AS n").head()
+    assert(r.getString(0) === "Caf\u00E9")
+  }
+
   test("graft_dot is callable from SQL and matches the hand dot product") {
     val r = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
