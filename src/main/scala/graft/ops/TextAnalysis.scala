@@ -1406,11 +1406,16 @@ object TextAnalysis extends QueryModule {
     * a silent early stop would diverge cross-engine). Any real corpus
     * is many orders of magnitude above 5 steps. */
   private def bpeTrain(spark: SparkSession, dir: String,
-      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
-    val words = Tables.documents(spark, dir)
+      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeTrainWords(Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("w"))
       .filter(length(col("w")) > 1)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .groupBy("w").agg(count(lit(1)).as("freq")), steps)
+
+  /** The loop over an explicit (w, freq) frame — the property spec runs
+    * it against an in-memory reference BPE on random vocabularies. */
+  private[graft] def bpeTrainWords(words: DataFrame,
+      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     var seg = words.select(
       expr("concat_ws('', transform(sequence(1, length(w)), " +
         "i -> concat('<', substr(w, i, 1), '>')))").as("seg"),

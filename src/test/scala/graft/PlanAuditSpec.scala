@@ -534,4 +534,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.nonEmpty && s.head.metadata("PartitionFilters").contains("wb"),
       "compaction must preserve the wb= partition layout the probe prunes on")
   }
+
+  test("bpe_pair_counts: partial agg collapses pairs before the exchange; top-k is TakeOrdered") {
+    val plan = SparkEntry.queries("bpe_pair_counts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val firstExchange = plan.indexOf("Exchange")
+    assert(firstExchange >= 0 &&
+      plan.lastIndexOf("HashAggregate") > firstExchange,
+      s"pair counting must partial-aggregate map-side (the key space is " +
+        s"alphabet-bounded; shipping raw pairs would ship the corpus):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-20 must be a TakeOrdered, never a global sort:\n$plan")
+  }
+
+  test("text_normalize: only the oracle's output-order exchange — the normalize stage is a pure map") {
+    val plan = SparkEntry.queries("text_normalize")(spark, sf)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the final orderBy("doc_id") (the oracle's row-order witness) plans
+    // ONE rangepartitioning exchange; any hashpartitioning exchange means
+    // an agg/join leaked into what must be a pure map over the scan
+    exchanges.foreach(e => assert(
+      e.outputPartitioning.toString.toLowerCase.contains("range"),
+      s"normalize+clean must be a pure map — non-range exchange:\n$plan"))
+  }
+
+  test("dataset_shuffle_shards: one hash exchange on the shard key feeds the rank window") {
+    val plan = SparkEntry.queries("dataset_shuffle_shards")(spark, sf)
+      .queryExecution.executedPlan
+    val hashEx = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.toString.toLowerCase.contains("hash") => e
+    }
+    assert(hashEx.size <= 1,
+      s"the epoch shuffle must shuffle ONCE (by shard) for the window:\n$plan")
+  }
 }

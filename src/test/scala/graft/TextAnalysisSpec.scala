@@ -381,6 +381,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("bpeTrainWords matches an in-memory reference BPE on random vocabularies") {
+    // reference implementation: Vector[String] segmentations, greedy
+    // left-to-right merge — written independently of the marker-string
+    // replace the engine uses, so a semantics bug in either surfaces
+    def mergeLR(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    def refBpe(words: Map[String, Long],
+        steps: Int): Seq[(String, String, Long)] = {
+      var segs: Map[Vector[String], Long] =
+        words.map { case (w, f) => w.map(_.toString).toVector -> f }
+      (1 to steps).map { _ =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, f) <- segs; i <- 0 until syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+        }
+        val ((l, r), c) = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a + "|" + b) }
+        segs = segs.map { case (syms, f) => mergeLR(syms, l, r) -> f }
+        (l, r, c)
+      }
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(1234 + seed)
+      val alphabet = "abcde"
+      val vocab = (0 until 30).map { _ =>
+        (2 + rnd.nextInt(7), 1L + rnd.nextInt(9))
+      }.map { case (len, f) =>
+        ((0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+          .mkString, f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val words = vocab.toSeq.toDF("w", "freq")
+      val got = graft.ops.TextAnalysis.bpeTrainWords(words, steps = 5)._1
+        .map { case (_, l, r, c) => (l, r, c) }
+      val want = refBpe(vocab, steps = 5)
+      assert(got === want,
+        s"seed $seed: distributed merges $got != reference $want " +
+          s"over vocab $vocab")
+    }
+  }
+
   test("bpe_encode_tokens: every multichar symbol is a learned merge; counts ordered") {
     val merges = SparkEntry.queries("bpe_learn_merges")(spark, sf).collect()
     val learned = merges.map(r =>
