@@ -251,6 +251,56 @@ object VectorSearch extends QueryModule {
     graft.vector.Quantization.quantizedKnn(index, "embedding", "vec_id", qv, k = 10)
   }
 
+  /** Matryoshka (MRL) two-stage ANN — the prefix-dimension counterpart
+    * of the SQ8/PQ quantized coarse passes (Kusupati et al. 2022:
+    * matryoshka-trained embeddings concentrate signal in the leading
+    * dims, so a 16-of-64-dim prefix scan prices candidates at 1/4 the
+    * flops and bandwidth): stage 1 scores `prefix16` from a MATERIALIZED
+    * prefix sidecar table — the scan reads (vec_id, prefix16) ONLY, the
+    * storage point of MRL, plan-audited — and keeps a 5× tie-broken
+    * overscan of candidates via TakeOrdered; stage 2 broadcast-joins the
+    * candidate ids back to the full-dim table for the exact rescore.
+    * The conf-keyed forget exclusion rides the coarse scan like the
+    * other quantized serve tails. The oracle replays BOTH stages, so a
+    * prefix/slice/rescore bug breaks the compare even where the
+    * two-stage answer happens to equal exact. */
+  def matryoshkaKnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.scratchPath("graft_mrl_prefix", dir)
+    val e = Tables.embeddings(spark, dir)
+    ResultCache.buildIfAbsent(spark, e, "matryoshka:prefix=16:v1", path) {
+      e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("prefix16"))
+        .write.mode("overwrite").parquet(path)
+    }
+    val q = e.filter(col("vec_id") === 0L)
+    val qp = q.select(slice(col("embedding"), 1, 16).as("qp"))
+    val cand = Forget.defaultExclusion(spark.read.parquet(path), "vec_id")
+      .crossJoin(broadcast(qp))
+      .withColumn("coarse", round(V.cosineUnit(col("prefix16"), col("qp")), 6))
+      .orderBy(col("coarse").desc, col("vec_id").asc).limit(50)
+      .select("vec_id")
+    val qe = q.select(col("embedding").as("qe"))
+    e.join(broadcast(cand), Seq("vec_id"))
+      .crossJoin(broadcast(qe))
+      .withColumn("score", round(V.cosineUnit(col("embedding"), col("qe")), 6))
+      .select(col("vec_id"), col("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  private val matryoshkaKnnTopkSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |c AS (
+      |  SELECT e.vec_id,
+      |         round(list_dot_product((e.embedding[1:16])::DOUBLE[],
+      |                                (q.qe[1:16])::DOUBLE[]), 6) AS coarse
+      |  FROM embeddings e, q
+      |  ORDER BY coarse DESC, e.vec_id ASC LIMIT 50)
+      |SELECT e.vec_id,
+      |       round(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS score
+      |FROM embeddings e JOIN c USING (vec_id), q
+      |ORDER BY score DESC, e.vec_id ASC
+      |LIMIT 10""".stripMargin
+
   /** Product-quantized ADC coarse scan + exact rescore
     * (graft.vector.ProductQuantization — the FAISS PQ8 shape: 64-dim
     * float32 → 8 code bytes, 32× smaller) for stored query vec 0, under
@@ -612,6 +662,7 @@ object VectorSearch extends QueryModule {
     "quantized_knn_topk" -> quantizedKnnTopk,
     "quantized_index_knn" -> quantizedIndexKnn,
     "pq_knn_topk" -> pqKnnTopk,
+    "ann_matryoshka_topk" -> matryoshkaKnnTopk,
     "knn_exact_topk" -> knnExactTopk,
     "mmr_rerank" -> mmrRerank,
     "mmr_rerank_indexed" -> mmrRerankIndexed,
@@ -629,6 +680,7 @@ object VectorSearch extends QueryModule {
     "quantized_knn_topk" -> knnExactTopkSql, // quantized path must equal exact
     "quantized_index_knn" -> knnExactTopkSql, // stored-codes path must equal exact too
     "pq_knn_topk" -> knnExactTopkSql, // PQ-ADC path must equal exact too
+    "ann_matryoshka_topk" -> matryoshkaKnnTopkSql,
     "knn_exact_topk" -> knnExactTopkSql,
     "mmr_rerank" -> mmrRerankSql,
     "mmr_rerank_indexed" -> mmrRerankIndexedSql,

@@ -12,6 +12,27 @@ class AnnIndexSpec extends SparkSpec {
     SparkEntry.queries("knn_exact_topk")(spark, sf)
       .collect().map(_.getAs[Long]("vec_id")).take(k).toSeq
 
+  test("ann_matryoshka_topk: prefix scan reads only (vec_id, prefix16); recall vs exact is measured") {
+    val out = SparkEntry.queries("ann_matryoshka_topk")(spark, sf).collect()
+    assert(out.length === 10)
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // recall@10 vs exact: the 5x prefix overscan on this data should
+    // recover most true neighbors; the floor is deliberately modest —
+    // the CORRECTNESS contract is the replayed two-stage oracle, this
+    // gate only catches a prefix scan gone degenerate
+    val exact = exactTop(10).toSet
+    val recall = out.map(_.getAs[Long]("vec_id")).count(exact.contains) / 10.0
+    assert(recall >= 0.5, s"matryoshka recall@10 degenerate: $recall")
+    // the storage point of MRL: stage 1's scan must read the prefix
+    // sidecar ONLY — full embeddings stay on disk until the rescore
+    val path = Tables.scratchPath("graft_mrl_prefix", sf)
+    val scan = spark.read.parquet(path)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("prefix16") && !scan.contains("embedding"),
+      s"prefix table must not carry the full embedding column:\n$scan")
+  }
+
   test("lsh buckets are deterministic and cover all vectors") {
     // the raw projection (the driver row is now its violation gate)
     val a = ops.AnnIndex.lshBuckets(spark, sf).collect()
