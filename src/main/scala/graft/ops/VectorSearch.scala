@@ -111,6 +111,56 @@ object VectorSearch extends QueryModule {
       |SELECT query_id, vec_id, score, rnk::INTEGER AS rank
       |FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** HARD-NEGATIVE MINING for contrastive embedding training — the
+    * batch serve that builds (anchor, hard-negative) pairs: per query,
+    * the highest-scoring corpus vectors that are NOT the anchor itself
+    * and NOT inside the positive/near-dup band (score ≥ 0.98 — a
+    * near-duplicate mined as a negative poisons the loss; the planted
+    * copies of vec 0 make that band provably load-bearing: without it
+    * they would top query 0's list). Same scale shape as batch k-NN:
+    * corpus never moves, the query batch broadcasts, the per-query
+    * top-k crosses the one query-id exchange. */
+  def hardNegativesBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val copies = AnnIndex.plantedLocalRows(spark, e,
+      (0 until 3).map(i => (200000L + i) -> 0L))
+    val corpus = e.unionByName(copies)
+    val q = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(V.cosineUnit(col("embedding"), col("qe")), 6))
+      .filter(col("score") < 0.98)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val hardNegativesBatchSql =
+    """WITH copies AS (
+      |  SELECT CAST(200000 + r.range AS BIGINT) AS vec_id, e.embedding
+      |  FROM range(3) r, embeddings e WHERE e.vec_id = 0),
+      |corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM copies),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe
+      |      FROM corpus WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id,
+      |         round(list_dot_product(c.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS score
+      |  FROM corpus c, q WHERE c.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, vec_id ASC) AS rnk
+      |  FROM scored WHERE score < 0.98)
+      |SELECT query_id, rnk::INTEGER AS rank, vec_id, score
+      |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** A2: score stats over the candidate set (min/max/avg display that
     * drives interactive thresholding, `Auto_query_rag_database.py:328-331`).
     */
@@ -669,6 +719,7 @@ object VectorSearch extends QueryModule {
     "knn_threshold" -> knnThreshold,
     "knn_relevance_threshold" -> knnRelevanceThreshold,
     "knn_batch_topk" -> knnBatchTopk,
+    "hard_negatives_batch" -> hardNegativesBatch,
     "cosine_score_stats" -> cosineScoreStats,
     "embed_documents_knn" -> embedDocumentsKnn,
     "embed_selfknn_planted" -> embedSelfKnnPlanted)
@@ -687,6 +738,7 @@ object VectorSearch extends QueryModule {
     "knn_threshold" -> knnThresholdSql,
     "knn_relevance_threshold" -> knnRelevanceThresholdSql,
     "knn_batch_topk" -> knnBatchTopkSql,
+    "hard_negatives_batch" -> hardNegativesBatchSql,
     "cosine_score_stats" -> cosineScoreStatsSql,
     "embed_documents_knn" -> embedDocumentsKnnSql,
     "embed_selfknn_planted" -> embedSelfKnnPlantedSql)

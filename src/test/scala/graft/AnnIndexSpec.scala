@@ -33,6 +33,23 @@ class AnnIndexSpec extends SparkSpec {
       s"prefix table must not carry the full embedding column:\n$scan")
   }
 
+  test("hard_negatives_batch: the positive band excludes the planted near-dups; no self-pairs") {
+    val out = SparkEntry.queries("hard_negatives_batch")(spark, sf).collect()
+    assert(out.length === 25, "5 queries x 5 negatives")
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id") !== r.getAs[Long]("query_id"),
+        "an anchor must never mine itself")
+      assert(r.getAs[Double]("score") < 0.98,
+        "a near-duplicate mined as a negative poisons the loss")
+    }
+    // the load-bearing check: query 0's planted copies score ~1.0 and
+    // would TOP the list without the band
+    val q0 = out.filter(_.getAs[Long]("query_id") == 0L)
+      .map(_.getAs[Long]("vec_id"))
+    assert(q0.forall(_ < 200000L),
+      s"query 0 mined a planted positive as a negative: ${q0.toSeq}")
+  }
+
   test("lsh buckets are deterministic and cover all vectors") {
     // the raw projection (the driver row is now its violation gate)
     val a = ops.AnnIndex.lshBuckets(spark, sf).collect()
