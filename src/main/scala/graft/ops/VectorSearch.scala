@@ -51,6 +51,40 @@ object VectorSearch extends QueryModule {
       |ORDER BY score DESC, e.vec_id ASC
       |LIMIT 10""".stripMargin
 
+  /** T1 in the reference's OWN metric space: Chroma collections default
+    * to `hnsw:space = l2` (the store `ingest_chunks_to_chromadb.py`
+    * builds never overrides it), so the raw serve the reference's
+    * `similarity_search_with_relevance_scores` converts FROM is squared
+    * euclidean. Computed as |a|² + |b|² − 2a·b — three codegen dot
+    * products, the SAME left-to-right double accumulation the oracle's
+    * `list_dot_product` performs, so the values are bit-identical
+    * cross-engine with no elementwise-difference summation-order hazard.
+    * On unit vectors the ordering inverts cosine exactly; the row still
+    * computes the real quantity so non-normalized stores serve
+    * correctly. */
+  def knnL2Topk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"))
+    Forget.defaultExclusion(e, "vec_id").crossJoin(broadcast(q))
+      .withColumn("l2_sq", round(
+        V.normSq(col("embedding")) + V.normSq(col("qe"))
+          - lit(2.0) * V.cosineUnit(col("embedding"), col("qe")), 6))
+      .select(col("vec_id"), col("l2_sq"))
+      .orderBy(col("l2_sq").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  private val knnL2TopkSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |       round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+      |             + list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[])
+      |             - 2 * list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS l2_sq
+      |FROM embeddings e, q
+      |ORDER BY l2_sq ASC, e.vec_id ASC
+      |LIMIT 10""".stripMargin
+
   /** V4/P7: threshold on raw cosine (calibrated to the synthetic data). */
   def knnThreshold(spark: SparkSession, dir: String): DataFrame =
     scoredAgainst(spark, dir, 0L)
@@ -214,6 +248,48 @@ object VectorSearch extends QueryModule {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
       .select(col("rank"), col("doc_id").as("top_doc_id"))
   }
+
+  /** Chroma's `where_document={"$contains": term}` composed with k-NN —
+    * the filtered-retrieval mode the reference's store exposes next to
+    * metadata filters: candidates are restricted to documents whose
+    * TEXT contains the term BEFORE the top-k, so a match outside the
+    * filter can never serve. Planted construction makes it enumerable
+    * AND load-bearing: group A (doc-0 text + " zzaa", ids 300000+) ties
+    * the query at self-score 1.0 and would top an unfiltered serve;
+    * group B (same + " zzbb", ids 320000+) is the ONLY text containing
+    * the filter term — the answer flips entirely to B's five copies,
+    * which tie among themselves (identical text ⇒ identical embedding)
+    * and rank by id. The contains predicate is a pushed scan filter
+    * here; at 100 TB the same serve routes candidates through the
+    * trigram substring index (`trigram_search`) instead of scanning. */
+  def knnWhereContains(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 256
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") === 0L)
+      .select("text").head().getString(0)
+    import spark.implicits._
+    val a = (0 until 5).map(i => (300000L + i, base + " zzaa"))
+      .toDF("doc_id", "text")
+    val b = (0 until 5).map(i => (320000L + i, base + " zzaa zzbb"))
+      .toDF("doc_id", "text")
+    val corpus = docs.unionByName(a).unionByName(b)
+      .withColumn("embedding", embed(col("text")))
+    val qv = corpus.filter(col("doc_id") === 300000L)
+      .select(col("embedding").as("qvec"))
+    val top = corpus.filter(col("text").contains("zzbb"))
+      .crossJoin(broadcast(qv))
+      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id").as("top_doc_id"))
+  }
+
+  private val knnWhereContainsSql =
+    """SELECT CAST(r.range + 1 AS INTEGER) AS rank,
+      |       CAST(320000 + r.range AS BIGINT) AS top_doc_id
+      |FROM range(5) r ORDER BY rank""".stripMargin
 
   private val embedDocumentsKnnSql =
     """WITH ids AS (
@@ -714,6 +790,7 @@ object VectorSearch extends QueryModule {
     "pq_knn_topk" -> pqKnnTopk,
     "ann_matryoshka_topk" -> matryoshkaKnnTopk,
     "knn_exact_topk" -> knnExactTopk,
+    "knn_l2_topk" -> knnL2Topk,
     "mmr_rerank" -> mmrRerank,
     "mmr_rerank_indexed" -> mmrRerankIndexed,
     "knn_threshold" -> knnThreshold,
@@ -722,6 +799,7 @@ object VectorSearch extends QueryModule {
     "hard_negatives_batch" -> hardNegativesBatch,
     "cosine_score_stats" -> cosineScoreStats,
     "embed_documents_knn" -> embedDocumentsKnn,
+    "knn_where_contains" -> knnWhereContains,
     "embed_selfknn_planted" -> embedSelfKnnPlanted)
 
   def oracles: Map[String, String] = Map(
@@ -733,6 +811,7 @@ object VectorSearch extends QueryModule {
     "pq_knn_topk" -> knnExactTopkSql, // PQ-ADC path must equal exact too
     "ann_matryoshka_topk" -> matryoshkaKnnTopkSql,
     "knn_exact_topk" -> knnExactTopkSql,
+    "knn_l2_topk" -> knnL2TopkSql,
     "mmr_rerank" -> mmrRerankSql,
     "mmr_rerank_indexed" -> mmrRerankIndexedSql,
     "knn_threshold" -> knnThresholdSql,
@@ -741,5 +820,6 @@ object VectorSearch extends QueryModule {
     "hard_negatives_batch" -> hardNegativesBatchSql,
     "cosine_score_stats" -> cosineScoreStatsSql,
     "embed_documents_knn" -> embedDocumentsKnnSql,
+    "knn_where_contains" -> knnWhereContainsSql,
     "embed_selfknn_planted" -> embedSelfKnnPlantedSql)
 }

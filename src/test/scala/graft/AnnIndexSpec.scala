@@ -50,6 +50,28 @@ class AnnIndexSpec extends SparkSpec {
       s"query 0 mined a planted positive as a negative: ${q0.toSeq}")
   }
 
+  test("knn_where_contains: the document filter flips the answer from the tied group A to group B") {
+    // precondition the construction relies on: the sentinel occurs in NO
+    // real document
+    assert(Tables.documents(spark, sf)
+      .filter(col("text").contains("zzbb")).count() === 0L)
+    val out = SparkEntry.queries("knn_where_contains")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("top_doc_id")).toSeq ===
+      (320000L to 320004L),
+      "only the zzbb-containing copies may serve")
+    assert(out.forall(_.getAs[Long]("top_doc_id") >= 320000L),
+      "group A ties the query at 1.0 — its presence means the contains " +
+        "filter was not applied before the top-k")
+  }
+
+  test("knn_l2_topk: squared-euclidean ordering inverts cosine on the unit-normalized store") {
+    val l2 = SparkEntry.queries("knn_l2_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(l2 === exactTop(10),
+      "on unit vectors l2 must rank exactly as cosine — a mismatch " +
+        "means the 3-dot expansion is wrong")
+  }
+
   test("lsh buckets are deterministic and cover all vectors") {
     // the raw projection (the driver row is now its violation gate)
     val a = ops.AnnIndex.lshBuckets(spark, sf).collect()
