@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
@@ -118,19 +118,13 @@ object VectorSearch extends QueryModule {
   /** Batch k-NN: top-5 neighbors (self excluded) for each of the first 10
     * vectors — the approxSimilarityJoin-shaped workload, exact path.
     */
-  def knnBatchTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
-    val scored = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(V.cosineUnit(col("embedding"), col("query_embedding")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+  def knnBatchTopk(spark: SparkSession, dir: String): DataFrame =
+    batchSelfExcludedScores(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        col("vec_id") < 10)
+      .withColumn("rank", row_number().over(batchRankWindow))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
-  }
 
   private val knnBatchTopkSql =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
@@ -158,21 +152,30 @@ object VectorSearch extends QueryModule {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val copies = AnnIndex.plantedLocalRows(spark, e,
       (0 until 3).map(i => (200000L + i) -> 0L))
-    val corpus = e.unionByName(copies)
-    val q = corpus.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = corpus.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score",
-        round(V.cosineUnit(col("embedding"), col("qe")), 6))
+    batchSelfExcludedScores(e.unionByName(copies), col("vec_id") < 5)
       .filter(col("score") < 0.98)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(batchRankWindow))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
       .orderBy("query_id", "rank")
   }
+
+  /** The ONE batch-scoring core both batch rows serve from: the query
+    * batch broadcasts against the corpus, anchors never score
+    * themselves, scores round to the module's 6-dp discipline. */
+  private def batchSelfExcludedScores(corpus: DataFrame,
+      queryPred: Column): DataFrame = {
+    val q = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(V.cosineUnit(col("embedding"), col("qe")), 6))
+  }
+
+  private def batchRankWindow =
+    Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
 
   private val hardNegativesBatchSql =
     """WITH copies AS (
@@ -266,13 +269,16 @@ object VectorSearch extends QueryModule {
     val dim = 256
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val base = docs.filter(col("doc_id") === 0L)
-      .select("text").head().getString(0)
-    import spark.implicits._
-    val a = (0 until 5).map(i => (300000L + i, base + " zzaa"))
-      .toDF("doc_id", "text")
-    val b = (0 until 5).map(i => (320000L + i, base + " zzaa zzbb"))
-      .toDF("doc_id", "text")
+    // lazy planted construction (the embedDocumentsKnn discipline): the
+    // doc-0 text rides a 1-row broadcast — no driver action at plan
+    // construction time
+    val base0 = docs.filter(col("doc_id") === 0L).select(col("text").as("base"))
+    def planted(from: Long, suffix: String): DataFrame =
+      spark.range(from, from + 5).toDF("doc_id")
+        .crossJoin(broadcast(base0))
+        .select(col("doc_id"), concat(col("base"), lit(suffix)).as("text"))
+    val a = planted(300000L, " zzaa")
+    val b = planted(320000L, " zzaa zzbb")
     val corpus = docs.unionByName(a).unionByName(b)
       .withColumn("embedding", embed(col("text")))
     val qv = corpus.filter(col("doc_id") === 300000L)

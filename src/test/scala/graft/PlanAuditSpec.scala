@@ -548,27 +548,40 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("text_normalize: only the oracle's output-order exchange — the normalize stage is a pure map") {
-    val plan = SparkEntry.queries("text_normalize")(spark, sf)
-      .queryExecution.executedPlan
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    // the final orderBy("doc_id") (the oracle's row-order witness) plans
-    // ONE rangepartitioning exchange; any hashpartitioning exchange means
-    // an agg/join leaked into what must be a pure map over the scan
-    exchanges.foreach(e => assert(
-      e.outputPartitioning.toString.toLowerCase.contains("range"),
-      s"normalize+clean must be a pure map — non-range exchange:\n$plan"))
+    // AQE off so executedPlan carries real Exchange nodes — collect on
+    // the AdaptiveSparkPlanExec leaf never descends and would pass
+    // vacuously (the temporal-video audit's documented hazard)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("text_normalize")(spark, sf)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty,
+        "the output-order witness must plan its range exchange")
+      // the final orderBy("doc_id") (the oracle's row-order witness)
+      // plans ONE rangepartitioning exchange; any hashpartitioning
+      // exchange means an agg/join leaked into the pure-map stage
+      exchanges.foreach(e => assert(
+        e.outputPartitioning.toString.toLowerCase.contains("range"),
+        s"normalize+clean must be a pure map — non-range exchange:\n$plan"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("dataset_shuffle_shards: one hash exchange on the shard key feeds the rank window") {
-    val plan = SparkEntry.queries("dataset_shuffle_shards")(spark, sf)
-      .queryExecution.executedPlan
-    val hashEx = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-        if e.outputPartitioning.toString.toLowerCase.contains("hash") => e
-    }
-    assert(hashEx.size <= 1,
-      s"the epoch shuffle must shuffle ONCE (by shard) for the window:\n$plan")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("dataset_shuffle_shards")(spark, sf)
+        .queryExecution.executedPlan
+      val all = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(all.nonEmpty, "the rank window must plan its shard exchange")
+      val hashEx = all.filter(
+        _.outputPartitioning.toString.toLowerCase.contains("hash"))
+      assert(hashEx.size <= 1,
+        s"the epoch shuffle must shuffle ONCE (by shard):\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
