@@ -263,23 +263,14 @@ object VectorSearch extends QueryModule {
     * the filter term — the answer flips entirely to B's five copies,
     * which tie among themselves (identical text ⇒ identical embedding)
     * and rank by id. The contains predicate is a pushed scan filter
-    * here; at 100 TB the same serve routes candidates through the
-    * trigram substring index (`trigram_search`) instead of scanning. */
+    * here; [[knnWhereContainsIndexed]] is the SAME serve routed through
+    * the trigram substring index — the 100 TB shape — and both rows
+    * share one replayed oracle (the router discipline). */
   def knnWhereContains(spark: SparkSession, dir: String): DataFrame = {
     val dim = 256
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    // lazy planted construction (the embedDocumentsKnn discipline): the
-    // doc-0 text rides a 1-row broadcast — no driver action at plan
-    // construction time
-    val base0 = docs.filter(col("doc_id") === 0L).select(col("text").as("base"))
-    def planted(from: Long, suffix: String): DataFrame =
-      spark.range(from, from + 5).toDF("doc_id")
-        .crossJoin(broadcast(base0))
-        .select(col("doc_id"), concat(col("base"), lit(suffix)).as("text"))
-    val a = planted(300000L, " zzaa")
-    val b = planted(320000L, " zzaa zzbb")
-    val corpus = docs.unionByName(a).unionByName(b)
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val corpus = docs.unionByName(plantedAll)
       .withColumn("embedding", embed(col("text")))
     val qv = corpus.filter(col("doc_id") === 300000L)
       .select(col("embedding").as("qvec"))
@@ -292,10 +283,124 @@ object VectorSearch extends QueryModule {
       .select(col("rank"), col("doc_id").as("top_doc_id"))
   }
 
+  /** The shared `$contains` planted corpus: (base docs, planted A∪B).
+    * Lazy planted construction (the embedDocumentsKnn discipline): the
+    * doc-0 text rides a 1-row broadcast — no driver action at plan
+    * construction time. */
+  private def whereContainsCorpus(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val base0 = docs.filter(col("doc_id") === 0L).select(col("text").as("base"))
+    def planted(from: Long, suffix: String): DataFrame =
+      spark.range(from, from + 5).toDF("doc_id")
+        .crossJoin(broadcast(base0))
+        .select(col("doc_id"), concat(col("base"), lit(suffix)).as("text"))
+    (docs, planted(300000L, " zzaa").unionByName(planted(320000L, " zzaa zzbb")))
+  }
+
+  /** Above this many trigram-index candidates the serve stops collecting
+    * ids for a pushed scan filter and falls back to a distributed
+    * semi-join — the driver must never hold an unbounded id list. */
+  private val WhereContainsPushdownCap = 8192
+
+  /** [[knnWhereContains]] routed through the TRIGRAM SUBSTRING INDEX —
+    * the at-scale serve for Chroma's `where_document={"$contains": t}`
+    * (`query_rag_database.py`'s store capability): instead of scanning
+    * every document's text for the term, probe the persisted trigram
+    * posting table with the needle's trigrams (a pushed `tg IN (…)`
+    * equi-filter touching ~|needle| posting lists), keep doc ids that
+    * carry ALL of them, VERIFY the actual substring on those candidates
+    * only, then k-NN the survivors. The posting build is the INDEX JOB
+    * (paid once, cached); the query reads corpus text only for the
+    * candidate row set — a bounded id list pushed into the documents
+    * scan (`PushedFilters: In(doc_id, …)` prunes row groups), falling
+    * back to a distributed semi-join above [[WhereContainsPushdownCap]]
+    * candidates so the driver never holds an unbounded list.
+    *
+    * Answer contract: IDENTICAL rows to [[knnWhereContains]] — the two
+    * routes share one replayed oracle, so a posting bug that drops a
+    * true candidate (or a verify bypass that admits a false one) breaks
+    * the compare. */
+  def knnWhereContainsIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 256
+    val needle = "zzbb"
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val path = Tables.scratchPath("trigram_postings_wc", dir)
+    ResultCache.buildIfAbsent(spark, docs,
+      "trigram:n=3:planted=wherecontains:v1", path) {
+      // the index job: full lowercased trigram enumeration per doc,
+      // deduped, range-clustered by trigram so a needle's IN-filter
+      // prunes to the few row groups holding its posting lists
+      docs.unionByName(plantedAll)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, length(text) - 2), " +
+            "i -> substr(lower(text), i, 3))"))).as("tg"))
+        .repartitionByRange(8, col("tg"))
+        .sortWithinPartitions("tg")
+        .write.mode("overwrite").parquet(path)
+    }
+    val tgs = needle.toLowerCase.sliding(3).toSeq.distinct
+    val candidates = spark.read.parquet(path)
+      .filter(col("tg").isin(tgs: _*))
+      .groupBy("doc_id").agg(countDistinct(col("tg")).as("n_tg"))
+      .filter(col("n_tg") === tgs.size)
+      .select("doc_id")
+    // bounded probe: take cap+1 — the driver sees at most cap+1 ids,
+    // never the full candidate set, whatever the needle's selectivity
+    val probe = candidates.limit(WhereContainsPushdownCap + 1)
+      .collect().map(_.getLong(0))
+    val verified =
+      if (probe.length <= WhereContainsPushdownCap) {
+        // pushed-id route: the documents scan carries In(doc_id, …) so
+        // text bytes are decoded only from candidate row groups
+        val ids = probe.toSeq
+        docs.filter(col("doc_id").isin(ids: _*))
+          .unionByName(plantedAll.filter(col("doc_id").isin(ids: _*)))
+      } else {
+        // a low-selectivity needle: candidates stay distributed
+        docs.unionByName(plantedAll)
+          .join(candidates.hint("broadcast"), Seq("doc_id"), "left_semi")
+      }
+    val cand = verified.filter(col("text").contains(needle))
+      .withColumn("embedding", embed(col("text")))
+    val qv = plantedAll.filter(col("doc_id") === 300000L)
+      .withColumn("embedding", embed(col("text")))
+      .select(col("embedding").as("qvec"))
+    val top = cand.crossJoin(broadcast(qv))
+      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id").as("top_doc_id"))
+  }
+
+  /** Route-independent REPLAYED oracle shared by the scan and trigram
+    * routes: DuckDB rebuilds the planted corpus from doc 0's text,
+    * applies the contains filter, and ranks the survivors by id (valid
+    * because B's copies tie at the identical self-group score and no
+    * real document carries the sentinel — if the testdata ever grew a
+    * natural 'zzbb' match, its id-ordered rank here would diverge from
+    * the engine's score-ordered serve and the row would fail LOUDLY
+    * instead of the old constant oracle's silent vacuous pass). */
   private val knnWhereContainsSql =
-    """SELECT CAST(r.range + 1 AS INTEGER) AS rank,
-      |       CAST(320000 + r.range AS BIGINT) AS top_doc_id
-      |FROM range(5) r ORDER BY rank""".stripMargin
+    """WITH base AS (SELECT text FROM documents WHERE doc_id = 0),
+      |a AS (SELECT CAST(300000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzaa' AS text
+      |      FROM range(5) r, base b),
+      |bb AS (SELECT CAST(320000 + r.range AS BIGINT) AS doc_id,
+      |              b.text || ' zzaa zzbb' AS text
+      |       FROM range(5) r, base b),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM a
+      |  UNION ALL SELECT doc_id, text FROM bb),
+      |cand AS (SELECT doc_id FROM corpus WHERE contains(text, 'zzbb'))
+      |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS rank,
+      |       doc_id AS top_doc_id
+      |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
+      |ORDER BY rank""".stripMargin
 
   private val embedDocumentsKnnSql =
     """WITH ids AS (
@@ -806,6 +911,7 @@ object VectorSearch extends QueryModule {
     "cosine_score_stats" -> cosineScoreStats,
     "embed_documents_knn" -> embedDocumentsKnn,
     "knn_where_contains" -> knnWhereContains,
+    "knn_where_contains_indexed" -> knnWhereContainsIndexed,
     "embed_selfknn_planted" -> embedSelfKnnPlanted)
 
   def oracles: Map[String, String] = Map(
@@ -827,5 +933,6 @@ object VectorSearch extends QueryModule {
     "cosine_score_stats" -> cosineScoreStatsSql,
     "embed_documents_knn" -> embedDocumentsKnnSql,
     "knn_where_contains" -> knnWhereContainsSql,
+    "knn_where_contains_indexed" -> knnWhereContainsSql,
     "embed_selfknn_planted" -> embedSelfKnnPlantedSql)
 }
