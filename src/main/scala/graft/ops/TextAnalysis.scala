@@ -1398,13 +1398,7 @@ object TextAnalysis extends QueryModule {
 
   /** The shared train loop: returns (merges, final segmentation frame)
     * so the encode row reuses the seg frame the loop just checkpointed
-    * instead of re-scanning the corpus and re-applying every merge.
-    *
-    * PRECONDITION: the vocabulary must support `steps` merges — a
-    * corpus whose segmentations fully merge earlier fails loudly here
-    * (reference BPE would stop; the oracle's fixed CTE chain cannot, so
-    * a silent early stop would diverge cross-engine). Any real corpus
-    * is many orders of magnitude above 5 steps. */
+    * instead of re-scanning the corpus and re-applying every merge. */
   private def bpeTrain(spark: SparkSession, dir: String,
       steps: Int): (Seq[(Long, String, String, Long)], DataFrame) =
     bpeTrainWords(Tables.documents(spark, dir)
@@ -1412,16 +1406,30 @@ object TextAnalysis extends QueryModule {
       .filter(length(col("w")) > 1)
       .groupBy("w").agg(count(lit(1)).as("freq")), steps)
 
-  /** The loop over an explicit (w, freq) frame — the property spec runs
-    * it against an in-memory reference BPE on random vocabularies. */
+  /** The char-level front-end over an explicit (w, freq) frame — the
+    * property spec runs it against an in-memory reference BPE on random
+    * vocabularies. */
   private[graft] def bpeTrainWords(words: DataFrame,
-      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
-    var seg = words.select(
+      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeTrainSeg(words.select(
       expr("concat_ws('', transform(sequence(1, length(w)), " +
         "i -> concat('<', substr(w, i, 1), '>')))").as("seg"),
-      col("freq")).localCheckpoint()
+      col("freq")), steps)
+
+  /** The train loop over an explicit (seg, freq) MARKER frame — shared
+    * by the char-level and byte-level front-ends (their only difference
+    * is what a base symbol is). Stops EARLY like reference BPE when no
+    * adjacent pairs remain (a fully-merged vocabulary); the oracles'
+    * fixed-depth CTE chains tolerate the exhausted tail — COALESCE
+    * keeps each exhausted step's segmentation stable and the null
+    * argmax rows are filtered — so both engines agree on the stop. */
+  private[graft] def bpeTrainSeg(seg0: DataFrame,
+      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    var seg = seg0.localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    for (step <- 1 to steps) {
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
       // guard size > 1 BEFORE sequence(1, size-1): Spark's sequence runs
       // DESCENDING when stop < start, and element_at(syms, 0) throws
       val top = seg
@@ -1434,18 +1442,21 @@ object TextAnalysis extends QueryModule {
         .groupBy("pair").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(1).collect() // bounded: ONE row per iteration to the driver
-        .headOption.getOrElse(throw new IllegalStateException(
-          s"BPE vocabulary exhausted at step $step of $steps — no " +
-            "adjacent pairs remain; a silent early stop would diverge " +
-            "from the fixed-depth oracle"))
-      val pair = top.getString(0)
-      val cnt = top.getLong(1)
-      val Array(l, r) = pair.split("\\|", 2)
-      merges += ((step.toLong, l, r, cnt))
-      // symbols are word chars only — never quotes/markers — so the
-      // literal interpolation below cannot escape the SQL string
-      seg = seg.withColumn("seg",
-        expr(s"replace(seg, '<$l><$r>', '<$l$r>')")).localCheckpoint()
+        .headOption
+      top match {
+        case None => exhausted = true // reference BPE stops training here
+        case Some(t) =>
+          val pair = t.getString(0)
+          val cnt = t.getLong(1)
+          val Array(l, r) = pair.split("\\|", 2)
+          merges += ((step.toLong, l, r, cnt))
+          // symbols are word chars or hex digits only — never
+          // quotes/markers — so the literal interpolation below cannot
+          // escape the SQL string
+          seg = seg.withColumn("seg",
+            expr(s"replace(seg, '<$l><$r>', '<$l$r>')")).localCheckpoint()
+          step += 1
+      }
     }
     (merges.result(), seg)
   }
@@ -1470,7 +1481,7 @@ object TextAnalysis extends QueryModule {
       .limit(20)
 
   private def bpeEncodeTokensSql(steps: Int): String =
-    bpeCtePrefix(steps) + s"""
+    bpeCteChain(steps, bpeCharHead) + s"""
       |SELECT sym, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
       |  SELECT unnest(string_split(substr(seg, 2, length(seg) - 2),
       |           '><')) AS sym, freq
@@ -1478,34 +1489,43 @@ object TextAnalysis extends QueryModule {
       |GROUP BY sym ORDER BY cnt DESC, sym ASC LIMIT 20""".stripMargin
 
   /** The oracle replays the identical loop as chained CTEs — one
-    * (pairs → argmax → re-segment) block per step. */
-  private def bpeLearnMergesSql(steps: Int): String = {
+    * (pairs → argmax → re-segment) block per step; exhausted steps
+    * surface as null argmax rows and are filtered, matching the
+    * engine's reference-BPE early stop. */
+  private def bpeLearnMergesSql(steps: Int,
+      head: String = bpeCharHead): String = {
     val rows = (1 to steps).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS step,
          |       split_part((SELECT pair FROM m$k), '|', 1) AS left_sym,
          |       split_part((SELECT pair FROM m$k), '|', 2) AS right_sym,
          |       (SELECT cnt FROM m$k) AS cnt""".stripMargin
     }
-    bpeCtePrefix(steps) +
+    bpeCteChain(steps, head) +
       "\nSELECT * FROM (\n" + rows.mkString("\nUNION ALL\n") +
-      "\n) ORDER BY step"
+      "\n) WHERE cnt IS NOT NULL ORDER BY step"
   }
 
-  /** The shared train-loop CTE chain: words → seg0 → (pairs, argmax,
-    * re-segment) per step — both BPE oracles replay through it. */
-  private def bpeCtePrefix(steps: Int): String = {
-    val head =
-      """WITH words AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-        |    SELECT unnest(list_filter(
-        |             string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
-        |             x -> length(x) > 1)) AS w
-        |    FROM documents)
-        |  GROUP BY w),
-        |seg0 AS (
-        |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
-        |           i -> '<' || substr(w, i, 1) || '>'), '') AS seg, freq
-        |  FROM words)""".stripMargin
+  /** Char-level words → seg0 head: lowercased word splits, one symbol
+    * per character. */
+  private val bpeCharHead =
+    """WITH words AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(list_filter(
+      |             string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |             x -> length(x) > 1)) AS w
+      |    FROM documents)
+      |  GROUP BY w),
+      |seg0 AS (
+      |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+      |           i -> '<' || substr(w, i, 1) || '>'), '') AS seg, freq
+      |  FROM words)""".stripMargin
+
+  /** The shared train-loop CTE chain: <head's> seg0 → (pairs, argmax,
+    * re-segment) per step — every BPE oracle replays through it. An
+    * EXHAUSTED step (empty argmax) leaves its segmentation unchanged
+    * (COALESCE over the null-pair replace), exactly the engine's early
+    * stop. */
+  private def bpeCteChain(steps: Int, head: String): String = {
     val blocks = (1 to steps).map { k =>
       s"""p$k AS (
          |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -1518,16 +1538,140 @@ object TextAnalysis extends QueryModule {
          |m$k AS (SELECT pair, cnt FROM p$k
          |        ORDER BY cnt DESC, pair ASC LIMIT 1),
          |seg$k AS (
-         |  SELECT replace(seg,
+         |  SELECT COALESCE(replace(seg,
          |           '<' || split_part((SELECT pair FROM m$k), '|', 1) ||
          |           '><' || split_part((SELECT pair FROM m$k), '|', 2) ||
          |           '>',
          |           '<' || replace((SELECT pair FROM m$k), '|', '') ||
-         |           '>') AS seg, freq
+         |           '>'), seg) AS seg, freq
          |  FROM seg${k - 1})""".stripMargin
     }
     (head +: blocks).mkString(",\n")
   }
+
+  // ---- byte-level BPE with GPT-2-style pretokenization ----
+
+  /** GPT-2-style pretokenizer (Radford et al. 2019, the `gpt2` regex):
+    * contraction suffixes, space-prefixed letter runs, space-prefixed
+    * digit runs, space-prefixed punctuation runs, whitespace runs —
+    * case- and punctuation-PRESERVING, unlike the lowercased word
+    * splits of the char-level rows. Two deliberate deviations, both for
+    * cross-engine exactness: GPT-2's `\s+(?!\S)` branch needs negative
+    * lookahead (the oracle engine's RE2 has none), so a pre-token
+    * whitespace run keeps its last space instead of donating it to the
+    * next token; and `\s` is spelled as an explicit class because Java
+    * and RE2 disagree on `\s` membership (vertical tab). */
+  private[graft] val BytePretokenPattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|[ \\t\\n\\r\\f]+"
+
+  /** Byte-alphabet seg0: each pre-token becomes its UTF-8 byte sequence,
+    * one marker symbol per byte, spelled as two uppercase hex digits —
+    * the byte FALLBACK that makes every string tokenizable with a
+    * 256-symbol base alphabet (multi-byte UTF-8 chars simply contribute
+    * several base symbols, merged back together if frequent). Hex keeps
+    * symbols inside the marker/SQL-literal safe set; merged symbols are
+    * hex-pair concatenations, the direct analogue of GPT-2's
+    * byte-to-unicode display alphabet. */
+  private def bpeByteSeg0(words: DataFrame): DataFrame =
+    words.select(hex(encode(col("w"), "UTF-8")).as("h"), col("freq"))
+      .select(expr("concat_ws('', transform(sequence(1, length(h) div 2), " +
+        "i -> concat('<', substr(h, 2*i - 1, 2), '>')))").as("seg"),
+        col("freq"))
+
+  /** The byte-level front-end over an explicit (w, freq) frame — the
+    * property spec runs it against the in-memory reference BPE over
+    * mixed-case/punctuated/multi-byte vocabularies. */
+  private[graft] def bpeTrainByteWords(words: DataFrame,
+      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeTrainSeg(bpeByteSeg0(words), steps)
+
+  private def bpeByteTrain(spark: SparkSession, dir: String,
+      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeTrainByteWords(Tables.documents(spark, dir)
+      .select(explode(regexp_extract_all(col("text"),
+        lit(BytePretokenPattern), lit(0))).as("w"))
+      .filter(octet_length(col("w")) > 1)
+      .groupBy("w").agg(count(lit(1)).as("freq")), steps)
+
+  /** BYTE-level BPE merge training — [[bpeLearnMerges]] with what a
+    * production pretraining tokenizer actually eats: GPT-2
+    * pretokenization (case/punctuation preserved, leading space
+    * attached) over a byte alphabet with hex-pair symbols. Same shared
+    * loop, same scale shape: corpus touched once into the pre-token
+    * frequency frame, then vocabulary-sized iterations with one 1-row
+    * argmax collect per step. The oracle replays pretokenization, the
+    * UTF-8 hex explosion, and all five merge steps in chained CTEs. */
+  def bpeByteLearnMerges(spark: SparkSession, dir: String,
+      steps: Int = 5): DataFrame = {
+    import spark.implicits._
+    bpeByteTrain(spark, dir, steps)._1
+      .toDF("step", "left_sym", "right_sym", "cnt")
+      .orderBy("step")
+  }
+
+  /** Byte-level encoding off the shared train loop's final checkpoint —
+    * the corpus-frequency table of the encoded hex symbols ([[
+    * bpeEncodeTokens]]'s byte analogue). */
+  def bpeByteEncodeTokens(spark: SparkSession, dir: String,
+      steps: Int = 5): DataFrame =
+    bpeByteTrain(spark, dir, steps)._2
+      .select(explode(
+        expr("split(substr(seg, 2, length(seg) - 2), '><')")).as("sym"),
+        col("freq"))
+      .groupBy("sym").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("sym").asc)
+      .limit(20)
+
+  /** DuckDB head replaying the GPT-2 pretokenizer + UTF-8 hex seg0. */
+  private val bpeByteHead =
+    """WITH words AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(regexp_extract_all(text,
+      |      '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+'
+      |      )) AS w
+      |    FROM documents)
+      |  WHERE octet_length(encode(w)) > 1
+      |  GROUP BY w),
+      |seg0 AS (
+      |  SELECT array_to_string(list_transform(
+      |           range(1, octet_length(encode(w)) + 1),
+      |           i -> '<' || substr(hex(encode(w)), 2*i - 1, 2) || '>'),
+      |           '') AS seg, freq
+      |  FROM words)""".stripMargin
+
+  private def bpeByteEncodeTokensSql(steps: Int): String =
+    bpeCteChain(steps, bpeByteHead) + s"""
+      |SELECT sym, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(string_split(substr(seg, 2, length(seg) - 2),
+      |           '><')) AS sym, freq
+      |  FROM seg$steps)
+      |GROUP BY sym ORDER BY cnt DESC, sym ASC LIMIT 20""".stripMargin
+
+  /** Variable-depth training witness: a PLANTED vocabulary ({ab×2, abc,
+    * abcd}) that fully merges after three steps of a five-step request —
+    * the engine stops like reference BPE (three merges emitted), and the
+    * oracle's fixed five-step chain agrees because its exhausted steps
+    * produce null argmax rows that the final filter drops. Before this
+    * row the loop REFUSED on exhaustion; a real small-alphabet corpus
+    * (or an aggressive vocab size) hits this constantly. */
+  def bpeExhaustedMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Seq(("ab", 2L), ("abc", 1L), ("abcd", 1L)).toDF("w", "freq")
+    bpeTrainWords(words, steps = 5)._1
+      .toDF("step", "left_sym", "right_sym", "cnt")
+      .orderBy("step")
+  }
+
+  private val bpeExhaustedHead =
+    """WITH words AS (
+      |  SELECT * FROM (VALUES ('ab', CAST(2 AS BIGINT)),
+      |                        ('abc', CAST(1 AS BIGINT)),
+      |                        ('abcd', CAST(1 AS BIGINT))) AS t(w, freq)),
+      |seg0 AS (
+      |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+      |           i -> '<' || substr(w, i, 1) || '>'), '') AS seg, freq
+      |  FROM words)""".stripMargin
 
   // ---- Unicode normalization + control hygiene ----
 
@@ -1638,6 +1782,9 @@ object TextAnalysis extends QueryModule {
     "dataset_shuffle_shards" -> (datasetShuffleShards(_, _)),
     "bpe_learn_merges" -> (bpeLearnMerges(_, _)),
     "bpe_encode_tokens" -> (bpeEncodeTokens(_, _)),
+    "bpe_byte_learn_merges" -> (bpeByteLearnMerges(_, _)),
+    "bpe_byte_encode_tokens" -> (bpeByteEncodeTokens(_, _)),
+    "bpe_exhausted_merges" -> bpeExhaustedMerges,
     "text_normalize" -> textNormalize,
     "weighted_sample" -> weightedSample,
     "dataset_split" -> datasetSplit,
@@ -1667,6 +1814,9 @@ object TextAnalysis extends QueryModule {
     "dataset_shuffle_shards" -> datasetShuffleShardsSql,
     "bpe_learn_merges" -> bpeLearnMergesSql(5),
     "bpe_encode_tokens" -> bpeEncodeTokensSql(5),
+    "bpe_byte_learn_merges" -> bpeLearnMergesSql(5, bpeByteHead),
+    "bpe_byte_encode_tokens" -> bpeByteEncodeTokensSql(5),
+    "bpe_exhausted_merges" -> bpeLearnMergesSql(5, bpeExhaustedHead),
     "text_normalize" -> textNormalizeSql,
     "weighted_sample" -> weightedSampleSql,
     "dataset_split" -> datasetSplitSql,

@@ -429,6 +429,86 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("byte-level bpeTrainByteWords matches the in-memory reference over mixed-case/punctuated/multi-byte vocabularies") {
+    // the same independently-written reference loop, generalized to an
+    // arbitrary base segmentation — here UTF-8 bytes as hex pairs
+    def mergeLR(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    def refBpe(segs0: Map[Vector[String], Long],
+        steps: Int): Seq[(String, String, Long)] = {
+      var segs = segs0
+      val out = Seq.newBuilder[(String, String, Long)]
+      var k = 0
+      var done = false
+      while (k < steps && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, f) <- segs; i <- 0 until syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + f
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.toSeq
+            .minBy { case ((a, b), n) => (-n, a + "|" + b) }
+          segs = segs.groupMapReduce {
+            case (syms, _) => mergeLR(syms, l, r) }(_._2)(_ + _)
+          out += ((l, r, c)); k += 1
+        }
+      }
+      out.result()
+    }
+    def hexSyms(w: String): Vector[String] =
+      w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toVector
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(4321 + seed)
+      // mixed case, punctuation, a leading space, and a multi-byte char
+      // (é = C3 A9) — exactly what the char-level rows never see
+      val alphabet = "aAbB.,é '!"
+      val vocab = (0 until 30).map { _ =>
+        (2 + rnd.nextInt(6), 1L + rnd.nextInt(9))
+      }.map { case (len, f) =>
+        ((0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+          .mkString, f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        .filter { case (w, _) => w.getBytes("UTF-8").length > 1 }
+      val words = vocab.toSeq.toDF("w", "freq")
+      val got = graft.ops.TextAnalysis.bpeTrainByteWords(words, steps = 5)._1
+        .map { case (_, l, r, c) => (l, r, c) }
+      val want = refBpe(
+        vocab.map { case (w, f) => hexSyms(w) -> f }, steps = 5)
+      assert(got === want,
+        s"seed $seed: byte merges $got != reference $want over $vocab")
+    }
+  }
+
+  test("bpe_exhausted_merges: training stops at three of five requested steps; the merges are the planted chain") {
+    val out = SparkEntry.queries("bpe_exhausted_merges")(spark, sf).collect()
+    assert(out.map(r => (r.getAs[Long]("step"), r.getAs[String]("left_sym"),
+      r.getAs[String]("right_sym"), r.getAs[Long]("cnt"))).toSeq ===
+      Seq((1L, "a", "b", 4L), (2L, "ab", "c", 2L), (3L, "abc", "d", 1L)),
+      "the {ab×2, abc, abcd} vocabulary merges fully in exactly 3 steps")
+  }
+
+  test("bpe_byte_learn_merges: pretokens preserve case and leading space; merges are hex-pair symbols") {
+    val out = SparkEntry.queries("bpe_byte_learn_merges")(spark, sf).collect()
+    assert(out.length === 5)
+    val hexRe = "([0-9A-F]{2})+".r
+    out.foreach { r =>
+      assert(hexRe.matches(r.getAs[String]("left_sym")),
+        s"non-hex symbol ${r.getAs[String]("left_sym")}")
+      assert(hexRe.matches(r.getAs[String]("right_sym")))
+    }
+    val cnts = out.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("bpe_encode_tokens: every multichar symbol is a learned merge; counts ordered") {
     val merges = SparkEntry.queries("bpe_learn_merges")(spark, sf).collect()
     val learned = merges.map(r =>
