@@ -1777,9 +1777,59 @@ object TextAnalysis extends QueryModule {
       |       doc_id
       |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** The PRODUCTION write of [[datasetShuffleShards]]'s training order —
+    * the path its doc-comment promised: `repartitionByRange` on the
+    * shard key (ONE range exchange; equal shard values land in one
+    * task) + `sortWithinPartitions(shard, h, doc_id)` + a plain parquet
+    * export, so the epoch order is materialized as PHYSICAL ROW ORDER
+    * with no global sort and no rank window anywhere in the write. The
+    * row then proves the bytes landed in order: read the export back
+    * and derive each row's position purely from `_metadata.row_index`
+    * (the file-physical row number — never from `h`), and hand that to
+    * the SAME oracle as the rank witness. A write that dropped the
+    * within-partition sort, or a range partitioner that split one
+    * shard's rows across tasks, puts some doc at the wrong physical
+    * position and fails the hash compare.
+    *
+    * Scale shape: at 100 TB the shard prefix widens (`substr(h, 1, k)`,
+    * 16^k shards) until one shard fits a task; the write stays one
+    * range exchange + local sorts, and a training loader streams each
+    * shard's files in order with zero further shuffling. */
+  def datasetShuffleExport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = Tables.scratchPath("shuffle_export", dir)
+    ResultCache.buildIfAbsent(spark, docs,
+      "shuffle_export:seed=epoch1:shards=16:v1", path) {
+      shuffleExportFrame(spark, dir)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+      .select(col("shard"), col("doc_id"),
+        col("_metadata.row_index").as("ri"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("ri")).cast("long"))
+      .select("shard", "pos", "doc_id")
+      .orderBy("shard", "pos")
+  }
+
+  /** The export plan itself, exposed so the plan-audit spec can pin
+    * "one range exchange, local sort only, no rank window". */
+  private[graft] def shuffleExportFrame(spark: SparkSession,
+      dir: String): DataFrame = {
+    val h = substring(
+      md5(concat(lit("epoch:1:"), col("doc_id").cast("string"))), 1, 15)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+      .repartitionByRange(16, col("shard"))
+      .sortWithinPartitions("shard", "h", "doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_pair_counts" -> bpePairCounts,
     "dataset_shuffle_shards" -> (datasetShuffleShards(_, _)),
+    "dataset_shuffle_export" -> datasetShuffleExport,
     "bpe_learn_merges" -> (bpeLearnMerges(_, _)),
     "bpe_encode_tokens" -> (bpeEncodeTokens(_, _)),
     "bpe_byte_learn_merges" -> (bpeByteLearnMerges(_, _)),
@@ -1812,6 +1862,8 @@ object TextAnalysis extends QueryModule {
   def oracles: Map[String, String] = Map(
     "bpe_pair_counts" -> bpePairCountsSql,
     "dataset_shuffle_shards" -> datasetShuffleShardsSql,
+    // the export's read-back order must equal the rank witness exactly
+    "dataset_shuffle_export" -> datasetShuffleShardsSql,
     "bpe_learn_merges" -> bpeLearnMergesSql(5),
     "bpe_encode_tokens" -> bpeEncodeTokensSql(5),
     "bpe_byte_learn_merges" -> bpeLearnMergesSql(5, bpeByteHead),

@@ -337,6 +337,28 @@ class TextAnalysisSpec extends SparkSpec {
     out.collect().foreach(r => assert(r.getAs[Long]("norm_bucket") >= 0L))
   }
 
+  test("dataset_shuffle_export: read-back physical order equals the rank witness; the write plans no global sort") {
+    val out = SparkEntry.queries("dataset_shuffle_export")(spark, sf)
+      .collect().map(r => (r.getAs[String]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("doc_id"))).toSeq
+    val witness = SparkEntry.queries("dataset_shuffle_shards")(spark, sf)
+      .collect().map(r => (r.getAs[String]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("doc_id"))).toSeq
+    assert(out === witness,
+      "the export's physical row order must BE the witnessed epoch order")
+    // plan audit: one range exchange + partition-local sorts; a global
+    // sort (Sort ..., true) or a rank window in the WRITE plan would be
+    // the driver-bottleneck shape the export exists to avoid
+    val plan = graft.ops.TextAnalysis.shuffleExportFrame(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"export must range-partition by shard:\n$plan")
+    assert(!plan.matches("(?s).*Sort \\[[^\\]]*\\], true.*"),
+      s"export must not plan a GLOBAL sort:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the write path must not materialize ranks:\n$plan")
+  }
+
   test("bpe_pair_counts: top pair count matches an independent driver-side recount") {
     val out = SparkEntry.queries("bpe_pair_counts")(spark, sf).collect()
     assert(out.length === 20)
