@@ -191,16 +191,32 @@ object LateInteraction extends QueryModule {
     * sidecar's shape (on a watermark table a logged delete lifts to
     * `upto_seq = Long.MaxValue`; on an id-level or sidecar-less table it
     * is an id row) — the lift happens at READ time, so the log never has
-    * to know or rewrite the parquet sidecar's schema. The resolution
-    * pays one extra FS-exists probe per serve (the log dir next to the
-    * parquet sidecar); both are hoisted once per query by the routers. */
+    * to know or rewrite the parquet sidecar's schema. The whole
+    * resolution pays ONE directory listing per serve ([[probeTableDir]]
+    * — sidecar, log, and orphan-stage presence all dispatch off the
+    * same child-name set), hoisted once per query by the routers. */
   private[graft] def tombstoneSidecar(spark: SparkSession,
       path: String): Option[(DataFrame, Boolean)] = {
     import spark.implicits._
-    val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
+    val st = probeTableDir(spark, path)
+    // MIGRATION GUARD, unconditional on log state: an earlier
+    // composeDelete generation staged its merged sidecar at
+    // .tombstones.compose and swapped; a crash in that generation's
+    // swap window leaves the live sidecar ABSENT with a _SUCCESS-marked
+    // stage holding every previously-deleted id. This generation never
+    // reads that path — so ANY read over an orphaned stage REFUSES
+    // instead of silently resurrecting its deletes. (The log being
+    // non-empty must NOT disarm this: a post-upgrade composeDelete
+    // covers only its own re-applied ids, not the stage's other
+    // deletes.)
+    if (orphanedComposeStage(spark, path, st))
+      throw new IllegalStateException(
+        s"orphaned pre-log compose stage under $path " +
+          "(.tombstones.compose with _SUCCESS and no live sidecar) — " +
+          "serving would resurrect its deletes; install the stage as " +
+          "_tombstones before serving or reclaiming")
     val parquetSide: Option[(DataFrame, Boolean)] =
-      if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(tomb)) None
+      if (!st.hasSidecar) None
       else {
         // mergeSchema: without it a mixed-shape sidecar reads with ONE
         // file's schema (silently dropping the other shape's rows' columns)
@@ -216,29 +232,9 @@ object LateInteraction extends QueryModule {
             "exactly (doc_id) or (t_doc_id, upto_seq); a schema union would " +
             "null the watermark condition and silently resurrect deletes")
       }
-    val logIds = tombstoneLogIds(spark, path)
-    if (logIds.isEmpty) {
-      // MIGRATION GUARD: an earlier composeDelete generation staged its
-      // merged sidecar at .tombstones.compose and swapped; a crash in
-      // that generation's swap window leaves the live sidecar ABSENT
-      // with a _SUCCESS-marked stage holding every previously-deleted
-      // id. The old binary recovered it on the next compose; this one
-      // never reads that path — so a no-tombstone-state read REFUSES to
-      // serve over an orphaned stage instead of silently resurrecting
-      // its deletes. (Only the both-absent path pays the extra probe.)
-      if (parquetSide.isEmpty) {
-        val orphan = new org.apache.hadoop.fs.Path(
-          path + "/.tombstones.compose/_SUCCESS")
-        if (orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(orphan))
-          throw new IllegalStateException(
-            s"orphaned pre-log compose stage under $path " +
-              "(.tombstones.compose with _SUCCESS and no live sidecar) — " +
-              "serving would resurrect its deletes; install the stage as " +
-              "_tombstones or re-apply the delete via composeDelete")
-      }
-      parquetSide
-    }
+    val logIds =
+      if (!st.hasLog) Seq.empty[Long] else tombstoneLogIds(spark, path)
+    if (logIds.isEmpty) parquetSide
     else parquetSide match {
       case None =>
         Some((logIds.toDF("doc_id"), false))
@@ -283,15 +279,68 @@ object LateInteraction extends QueryModule {
 
   private val TombstoneLogLine = "d:(-?\\d+)".r
 
-  /** True iff `path` carries ANY tombstone state — parquet sidecar or
-    * composed-delete log. The cheap pre-check reclaim paths use before
-    * paying a sidecar read. */
+  /** The serve-side FS probe counters — a spec-visible witness that one
+    * table resolution pays exactly ONE directory listing (and an
+    * orphan-stage exists probe only when a stage directory is actually
+    * present), not the three exists round-trips the pre-r18 resolution
+    * paid. Namenode RPCs are the serve's fixed cost at fleet QPS. */
+  private[graft] object FsProbes {
+    val listings = new java.util.concurrent.atomic.AtomicLong
+    val exists = new java.util.concurrent.atomic.AtomicLong
+  }
+
+  /** What one listing of the table directory says about its tombstone
+    * state: the `_tombstones` parquet sidecar, the `_tombstones_log`
+    * CAS log, and a `.tombstones.compose` staged directory all dispatch
+    * off the same child-name set. */
+  private[graft] final case class TableDirState(
+      hasSidecar: Boolean, hasLog: Boolean, hasComposeStage: Boolean)
+
+  /** ONE `listStatus` of the table directory — the single FS round-trip
+    * every sidecar/log/orphan dispatch rides. A missing table dir reads
+    * as no state (callers that require the table itself fail on their
+    * own scan). */
+  private[graft] def probeTableDir(spark: SparkSession,
+      path: String): TableDirState = {
+    FsProbes.listings.incrementAndGet()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names: Set[String] =
+      try fs.listStatus(p).map(_.getPath.getName).toSet
+      catch { case _: java.io.FileNotFoundException => Set.empty }
+    TableDirState(names.contains("_tombstones"),
+      names.contains("_tombstones_log"),
+      names.contains(".tombstones.compose"))
+  }
+
+  /** True iff an earlier-generation compose stage completed (_SUCCESS)
+    * but its swap never installed the live sidecar — serving or
+    * reclaiming over it would resurrect / destroy its deletes. The
+    * extra exists probe is paid ONLY when the stage directory showed up
+    * in the table listing. */
+  private def orphanedComposeStage(spark: SparkSession, path: String,
+      st: TableDirState): Boolean =
+    !st.hasSidecar && st.hasComposeStage && {
+      FsProbes.exists.incrementAndGet()
+      val orphan = new org.apache.hadoop.fs.Path(
+        path + "/.tombstones.compose/_SUCCESS")
+      orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(orphan)
+    }
+
+  /** True iff `path` carries ANY tombstone state — parquet sidecar,
+    * composed-delete log, or an ORPHANED pre-log compose stage (the
+    * last so that reclaim's early return can never skip straight to a
+    * swap that would silently destroy the stage's deletes — the fold
+    * path's [[tombstoneSidecar]] then refuses loudly). The cheap
+    * pre-check reclaim paths use before paying a sidecar read. */
   private[graft] def hasTombstoneState(spark: SparkSession,
       path: String): Boolean = {
-    val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
-    tomb.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tomb) ||
-      graft.ingest.ManifestLog.currentVersion(
-        spark, tombstoneLogDir(path)) > 0L
+    val st = probeTableDir(spark, path)
+    st.hasSidecar ||
+      (st.hasLog && graft.ingest.ManifestLog.currentVersion(
+        spark, tombstoneLogDir(path)) > 0L) ||
+      orphanedComposeStage(spark, path, st)
   }
 
   /** COMPOSE an id-level delete onto whatever sidecar the table already

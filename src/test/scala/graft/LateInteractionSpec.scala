@@ -420,10 +420,60 @@ class LateInteractionSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("orphaned pre-log compose stage"),
       s"unexpected error: ${err.getMessage}")
-    // a live log resolves normally again — the guard only fires on the
-    // nothing-else-to-serve path
+    // the guard must NOT disarm when the log becomes non-empty (the
+    // r17-ADVICE bypass): a post-upgrade composeDelete covers only its
+    // own re-applied ids — the stage's OTHER deletes would still
+    // resurrect, and a later reclaim would swap-destroy them
     LateInteraction.composeDelete(spark, path, Seq(1L))
+    val err2 = intercept[IllegalStateException] {
+      LateInteraction.resolvedPostings(spark, path).collect()
+    }
+    assert(err2.getMessage.contains("orphaned pre-log compose stage"),
+      "a non-empty tombstone log silently disarmed the orphan guard")
+    // an orphaned stage is tombstone STATE: reclaim must route into the
+    // fold (which refuses loudly) instead of early-returning into a
+    // swap that destroys the stage
+    assert(LateInteraction.hasTombstoneState(spark, path),
+      "reclaim's early return would swap-destroy the orphaned stage")
+    val root = base + "/ledger"
+    val err3 = intercept[IllegalStateException] {
+      graft.ops.Forget.reclaimTable(spark, root, path,
+        partitionCols = Seq("wb"))
+    }
+    assert(err3.getMessage.contains("orphaned pre-log compose stage"))
+    // recovery: the operator resolves the stage (here: already applied,
+    // so it is removed) — serve resumes honoring the log's delete
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(stage)
     assert(LateInteraction.resolvedPostings(spark, path).count() === 0L)
+  }
+
+  test("one table resolution pays exactly one directory listing and no exists probes when no tombstone state exists") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("probecount").toString
+    val path = base + "/postings"
+    LateInteraction.writePostings(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), path, "overwrite")
+    val l0 = LateInteraction.FsProbes.listings.get()
+    val e0 = LateInteraction.FsProbes.exists.get()
+    LateInteraction.resolvedPostings(spark, path)
+    assert(LateInteraction.FsProbes.listings.get() - l0 === 1L,
+      "the sidecar/log/orphan dispatch must ride ONE listStatus")
+    assert(LateInteraction.FsProbes.exists.get() - e0 === 0L,
+      "no stage directory in the listing means no _SUCCESS probe")
+    // with a live log the same single listing dispatches the log read
+    LateInteraction.composeDelete(spark, path, Seq(1L))
+    val l1 = LateInteraction.FsProbes.listings.get()
+    val e1 = LateInteraction.FsProbes.exists.get()
+    LateInteraction.resolvedPostings(spark, path)
+    assert(LateInteraction.FsProbes.listings.get() - l1 === 1L)
+    assert(LateInteraction.FsProbes.exists.get() - e1 === 0L)
   }
 
   test("a torn tombstone-log head is invisible; a corrupted line fails loudly") {
