@@ -647,59 +647,95 @@ object Forget extends QueryModule {
       path: String): Unit =
     reclaimTable(spark, root, path, partitionCols = Seq("wb"))
 
-  /** The ONE staged-rewrite + checked-swap reclaim core, shared by every
-    * reclaimed table shape — the posting index's `wb=` layout and the
-    * export document table's flat layout (one implementation so the
-    * crash-recovery matrix stays single-sourced): rewrite the table
-    * dropping the ledger's ids plus any `_tombstones` sidecar content
-    * (the sidecar does not survive the rewrite, so its ids MUST leave the
-    * data files with it — an id-level sidecar drops by id, a watermarked
-    * one drops exactly the stale `seq <= upto_seq` rows and keeps the
-    * upserted replacements), swap with CHECKED renames (a silently-false
-    * rename could move the staged dir INSIDE the live table or retire
-    * ledger ids while the table is absent), and RETIRE the reclaimed ids
-    * in one CAS commit. Crash-recoverable end to end: a fully-staged
-    * (_SUCCESS-marked) rewrite found with the table absent is installed
-    * on the next call, and a crash before the retire re-runs as a no-op
-    * rewrite + retire. */
+  /** The ONE manifest-versioned reclaim core, shared by every reclaimed
+    * table shape — the posting index's `wb=` layout and the export
+    * document table's flat layout (one implementation so the
+    * crash-recovery matrix stays single-sourced). The r17 generation
+    * swapped the whole table directory, which DESTROYED any
+    * [[LateInteraction.composeDelete]] CAS-committed inside its swap
+    * window; this generation versions the TABLE through a
+    * `_table_manifest` (the maxsim_vacuumed_topk pattern) so the
+    * rewrite publishes as ONE CAS commit and a racing composer loses
+    * nothing:
+    *
+    *  1. ADOPT: a table without a manifest commits its current leaves
+    *     as v1, so every subsequent state is a manifest flip, never a
+    *     directory mutation readers could half-see.
+    *  2. READ ONCE: ledger ids + the sidecar shapes + the EXACT log
+    *     lines being folded (`tombstoneStateWith`) — a log line
+    *     committed after this read is not in the rewrite and must
+    *     survive below.
+    *  3. REWRITE: drop the ledger's ids plus the tombstone state (an
+    *     id-level sidecar drops by id, a watermarked one drops exactly
+    *     the stale `seq <= upto_seq` rows and keeps the upserted
+    *     replacements) into NEW files appended beside the old —
+    *     invisible to manifest readers until the commit.
+    *  4. PUBLISH: one CAS commit of the new file set; readers flip
+    *     atomically.
+    *  5. CONSUME the fold: CAS-remove exactly the folded log lines (a
+    *     racing composer's line re-derives on this head and survives,
+    *     excluding at read time until the NEXT reclaim folds it
+    *     physically), and drop the parquet sidecar (single-writer
+    *     state whose content is in the rewrite).
+    *  6. EXPIRE + VACUUM: prior versions expire; any leaf no surviving
+    *     version references is deleted.
+    *  7. RETIRE the reclaimed ids from the ledger in one CAS commit.
+    *
+    * Every crash window degrades idempotently: before PUBLISH, the new
+    * files are unreferenced and the next reclaim vacuums them; after
+    * PUBLISH but before CONSUME, the log/sidecar re-apply against rows
+    * already gone (no-op) and the next reclaim consumes; before RETIRE,
+    * the ledger re-excludes physically-absent ids and the next call
+    * retires. Exclusive with data WRITERS and other reclaims (the
+    * listing diff cannot attribute a concurrent writer's files);
+    * SAFE with concurrent composers — the raced spec pins it.
+    *
+    * `beforeLogFold` is a test seam: the raced-composer spec injects a
+    * composeDelete between PUBLISH's listing diff and CONSUME. */
   def reclaimTable(spark: SparkSession, root: String, path: String,
-      partitionCols: Seq[String] = Nil, idCol: String = "doc_id"): Unit = {
+      partitionCols: Seq[String] = Nil, idCol: String = "doc_id",
+      beforeLogFold: () => Unit = () => ()): Unit = {
     import spark.implicits._
+    import graft.ingest.ManifestLog
     val hconf = spark.sparkContext.hadoopConfiguration
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(path).getFileSystem(hconf)
+    // LEGACY RECOVERY: the pre-manifest staged-swap generation could
+    // crash between its two renames, leaving the table absent with a
+    // fully-staged (_SUCCESS-marked) rewrite — on-disk states outlive
+    // binaries, so it is still installed here
     val staged = p(path + ".reclaim")
-    val retired0 = p(path + ".reclaim.old")
-    def renameOrThrow(src: org.apache.hadoop.fs.Path,
-        dst: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(src, dst)) throw new java.io.IOException(
-        s"reclaimTable: rename $src -> $dst failed — aborting before " +
-          "the ledger retire (table state is recoverable, a silent " +
-          "retire over a failed swap is not)")
-    // RECOVERY: a crash between the two swap renames leaves the table
-    // absent with a fully-staged rewrite — install it and fall through
-    // (the ledger retire below re-runs idempotently)
     if (!fs.exists(p(path))) {
       if (fs.exists(staged) &&
           fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
-        renameOrThrow(staged, p(path))
-        fs.delete(retired0, true)
+        if (!fs.rename(staged, p(path))) throw new java.io.IOException(
+          s"reclaimTable: legacy staging install $staged -> $path failed")
+        fs.delete(p(path + ".reclaim.old"), true)
       } else throw new IllegalStateException(
         s"reclaimTable: $path is missing and no completed staging " +
           "exists — refusing to proceed")
     }
     val ids = forgottenIds(spark, root)
-    // any tombstone STATE — the parquet sidecar or a composed-delete
-    // CAS log — must fold into the rewrite (the swap clears both, so a
-    // skipped fold would be a silent resurrect on the next serve)
+    // any tombstone STATE — the parquet sidecar or composed-delete log
+    // lines — must fold into the rewrite (a skipped fold would be a
+    // silent resurrect once that state is consumed)
     if (ids.isEmpty && !LateInteraction.hasTombstoneState(spark, path))
       return
-    // sidecar shape dispatch through the ONE reader (id-level vs
-    // upsert watermark) — an inline copy here could silently diverge
-    // from what the serves exclude
-    val afterTomb = LateInteraction.minusTombstoned(
-      spark.read.parquet(path), path, idCol)
-    val rewritten = afterTomb
+    val md = LateInteraction.tableManifestDir(path)
+    // 1. ADOPT
+    if (ManifestLog.currentVersion(spark, md) == 0L) {
+      val leaves = LateInteraction.leafFilesAny(spark, path)
+      require(leaves.nonEmpty, s"reclaimTable: $path has no data files")
+      ManifestLog.commit(spark, md, _ => leaves)
+    }
+    // 2. READ ONCE — sidecar shape dispatch through the ONE reader (an
+    // inline copy could diverge from what the serves exclude), plus the
+    // exact folded log lines
+    val st = LateInteraction.probeTableDir(spark, path)
+    val (sidecar, foldedLogIds) =
+      LateInteraction.tombstoneStateWith(spark, path, st)
+    val live = LateInteraction.tableDataWith(spark, path, st)
+    val rewritten = LateInteraction.minusTombstonedWith(live, sidecar, idCol)
       .join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_anti")
     // partitioned tables re-cluster on their partition columns (one file
     // per leaf); flat tables keep the scan's own parallelism — a fixed
@@ -707,17 +743,36 @@ object Forget extends QueryModule {
     val repartitioned =
       if (partitionCols.nonEmpty) rewritten.repartition(partitionCols.map(col): _*)
       else rewritten
-    val writer = repartitioned.write.mode("overwrite")
+    // 3. REWRITE into new files beside the old
+    val before = LateInteraction.leafFilesAny(spark, path).toSet
+    val writer = repartitioned.write.mode("append")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-     else writer).parquet(staged.toString)
-    // swap: old table aside, staging in, old table gone. Crash after the
-    // first rename = the recovery case above; crash before retire = the
-    // next call rewrites a no-op and retires — idempotent end to end.
-    fs.delete(retired0, true)
-    renameOrThrow(p(path), retired0)
-    renameOrThrow(staged, p(path))
-    fs.delete(retired0, true)
-    // retire: the ids' bytes are gone, drop them from the ledger
+     else writer).parquet(path)
+    val newFiles =
+      (LateInteraction.leafFilesAny(spark, path).toSet -- before).toSeq.sorted
+    require(newFiles.nonEmpty,
+      s"reclaimTable: the rewrite of $path kept no rows — an empty " +
+        "manifest cannot carry a schema; drop the table instead")
+    beforeLogFold()
+    // 4. PUBLISH
+    val v = ManifestLog.commit(spark, md, _ => newFiles)
+    // 5. CONSUME the fold
+    if (foldedLogIds.nonEmpty) {
+      val folded = foldedLogIds.map(i => s"d:$i").toSet
+      ManifestLog.commit(spark, LateInteraction.tombstoneLogDir(path),
+        head => head.filterNot(folded))
+    }
+    fs.delete(p(path + "/_tombstones"), true)
+    // 6. EXPIRE + VACUUM
+    ManifestLog.expire(spark, md, keepFrom = v)
+    val referenced = ManifestLog.allReferenced(spark, md)
+    LateInteraction.leafFilesAny(spark, path)
+      .filterNot(referenced.contains).foreach { f =>
+        val fp = p(f)
+        require(fs.delete(fp, false) || !fs.exists(fp),
+          s"reclaim vacuum could not delete unreferenced file $f")
+      }
+    // 7. RETIRE: the ids' bytes are gone, drop them from the ledger
     val retiredIds = ids.map(_.toString).toSet
     if (retiredIds.nonEmpty)
       commitBounded(spark, root, head => head.filterNot(retiredIds.contains))
@@ -799,8 +854,9 @@ object Forget extends QueryModule {
       forget(spark, root, Seq(PlantedBase))
       reclaimTable(spark, root, path)
     }
-    // no `excluding` — the export scan ships the table as-is
-    val exported = spark.read.parquet(path)
+    // no `excluding` — the export scan ships the table as-is (manifest-
+    // aware: after reclaim the live file set is the manifest head)
+    val exported = LateInteraction.tableData(spark, path)
     val total = exported.count()
     exported.filter(col("doc_id") >= PlantedBase)
       .orderBy("doc_id").limit(K)

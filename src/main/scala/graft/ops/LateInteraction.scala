@@ -173,8 +173,11 @@ object LateInteraction extends QueryModule {
     * with `seq <= upto_seq`, keep the appended replacement above the
     * mark (an id-level tombstone would kill the replacement too). */
   private[graft] def resolvedPostings(spark: SparkSession,
-      path: String): DataFrame =
-    minusTombstoned(spark.read.parquet(path), path)
+      path: String): DataFrame = {
+    val st = probeTableDir(spark, path)
+    minusTombstonedWith(tableDataWith(spark, path, st),
+      tombstoneStateWith(spark, path, st)._1)
+  }
 
   /** The `_tombstones` sidecar read + shape dispatch — the ONE place
     * that knows the two sidecar schemas (a divergent inline copy at any
@@ -196,9 +199,17 @@ object LateInteraction extends QueryModule {
     * — sidecar, log, and orphan-stage presence all dispatch off the
     * same child-name set), hoisted once per query by the routers. */
   private[graft] def tombstoneSidecar(spark: SparkSession,
-      path: String): Option[(DataFrame, Boolean)] = {
+      path: String): Option[(DataFrame, Boolean)] =
+    tombstoneStateWith(spark, path, probeTableDir(spark, path))._1
+
+  /** [[tombstoneSidecar]] plus the RAW log ids it merged, over a
+    * pre-paid directory probe — reclaim needs the exact folded line set
+    * (a log line committed AFTER this read is not in the rewrite and
+    * must survive reclaim's fold consumption), and the routers reuse
+    * the probe for the manifest dispatch. */
+  private[graft] def tombstoneStateWith(spark: SparkSession, path: String,
+      st: TableDirState): (Option[(DataFrame, Boolean)], Seq[Long]) = {
     import spark.implicits._
-    val st = probeTableDir(spark, path)
     // MIGRATION GUARD, unconditional on log state: an earlier
     // composeDelete generation staged its merged sidecar at
     // .tombstones.compose and swapped; a crash in that generation's
@@ -234,29 +245,32 @@ object LateInteraction extends QueryModule {
       }
     val logIds =
       if (!st.hasLog) Seq.empty[Long] else tombstoneLogIds(spark, path)
-    if (logIds.isEmpty) parquetSide
-    else parquetSide match {
-      case None =>
-        Some((logIds.toDF("doc_id"), false))
-      case Some((t, false)) =>
-        Some((t.select("doc_id")
-          .unionByName(logIds.toDF("doc_id")).distinct(), false))
-      case Some((t, true)) =>
-        // a logged delete on a watermark table kills EVERY generation of
-        // the doc — including replacement postings above any finite
-        // upsert mark — so it lifts to MaxValue; a doc on both sides
-        // takes the max mark (= MaxValue)
-        Some((t.unionByName(
-            logIds.map(i => (i, Long.MaxValue)).toDF("t_doc_id", "upto_seq"))
-          .groupBy("t_doc_id")
-          .agg(max("upto_seq").as("upto_seq")), true))
-    }
+    val merged =
+      if (logIds.isEmpty) parquetSide
+      else parquetSide match {
+        case None =>
+          Some((logIds.toDF("doc_id"), false))
+        case Some((t, false)) =>
+          Some((t.select("doc_id")
+            .unionByName(logIds.toDF("doc_id")).distinct(), false))
+        case Some((t, true)) =>
+          // a logged delete on a watermark table kills EVERY generation of
+          // the doc — including replacement postings above any finite
+          // upsert mark — so it lifts to MaxValue; a doc on both sides
+          // takes the max mark (= MaxValue)
+          Some((t.unionByName(
+              logIds.map(i => (i, Long.MaxValue)).toDF("t_doc_id", "upto_seq"))
+            .groupBy("t_doc_id")
+            .agg(max("upto_seq").as("upto_seq")), true))
+      }
+    (merged, logIds)
   }
 
   /** The composed-delete CAS log next to the parquet sidecar. Inside the
     * table path (underscore-prefixed, hidden from the posting scan), so
-    * a fixture rebuild or a reclaim swap clears it with the table. */
-  private def tombstoneLogDir(path: String) = path + "/_tombstones_log"
+    * a fixture rebuild clears it with the table. `private[graft]`:
+    * reclaim's fold consumption CAS-commits line removals here. */
+  private[graft] def tombstoneLogDir(path: String) = path + "/_tombstones_log"
 
   /** Bounded history for the tombstone log — same 64-version margin
     * discipline as the forget ledger (see Forget.commitBounded). */
@@ -289,12 +303,14 @@ object LateInteraction extends QueryModule {
     val exists = new java.util.concurrent.atomic.AtomicLong
   }
 
-  /** What one listing of the table directory says about its tombstone
-    * state: the `_tombstones` parquet sidecar, the `_tombstones_log`
-    * CAS log, and a `.tombstones.compose` staged directory all dispatch
-    * off the same child-name set. */
+  /** What one listing of the table directory says about its state: the
+    * `_tombstones` parquet sidecar, the `_tombstones_log` CAS log, a
+    * `.tombstones.compose` staged directory, and the `_table_manifest`
+    * version log a manifest-versioned reclaim leaves behind — all
+    * dispatch off the same child-name set. */
   private[graft] final case class TableDirState(
-      hasSidecar: Boolean, hasLog: Boolean, hasComposeStage: Boolean)
+      hasSidecar: Boolean, hasLog: Boolean, hasComposeStage: Boolean,
+      hasManifest: Boolean)
 
   /** ONE `listStatus` of the table directory — the single FS round-trip
     * every sidecar/log/orphan dispatch rides. A missing table dir reads
@@ -310,7 +326,54 @@ object LateInteraction extends QueryModule {
       catch { case _: java.io.FileNotFoundException => Set.empty }
     TableDirState(names.contains("_tombstones"),
       names.contains("_tombstones_log"),
-      names.contains(".tombstones.compose"))
+      names.contains(".tombstones.compose"),
+      names.contains("_table_manifest"))
+  }
+
+  /** The table's own version manifest — written only by
+    * [[Forget.reclaimTable]]: once a table has been reclaimed, its live
+    * file set is whatever the manifest head references, and a rewrite
+    * publishes as ONE CAS commit instead of a directory swap (so a
+    * composer's delete CAS-committed mid-reclaim is never destroyed
+    * with a retired directory). Inside the table path, underscore-
+    * prefixed: invisible to the posting scan, dies with a fixture
+    * rebuild. */
+  private[graft] def tableManifestDir(path: String) = path + "/_table_manifest"
+
+  /** The table's LIVE data: a valid manifest head pins the exact file
+    * set (readers atomically flip to a reclaim's rewrite at its CAS
+    * commit and never see a half-reclaimed directory); with no manifest
+    * the directory is the table — the shape every table has before its
+    * first reclaim. */
+  private[graft] def tableDataWith(spark: SparkSession, path: String,
+      st: TableDirState): DataFrame =
+    if (!st.hasManifest) spark.read.parquet(path)
+    else graft.ingest.ManifestLog
+      .headLines(spark, tableManifestDir(path)) match {
+        case Some(files) if files.nonEmpty =>
+          spark.read.option("basePath", path).parquet(files: _*)
+        case _ => spark.read.parquet(path)
+      }
+
+  /** [[tableDataWith]] with its own probe — for serve sites that need
+    * no tombstone resolution (the reclaimed-export scan). */
+  private[graft] def tableData(spark: SparkSession, path: String): DataFrame =
+    tableDataWith(spark, path, probeTableDir(spark, path))
+
+  /** Every committed parquet leaf of a table directory, flat files and
+    * one level of `col=` partition dirs — the listing reclaim diffs
+    * around its rewrite and the manifest adoption snapshots. */
+  private[graft] def leafFilesAny(spark: SparkSession,
+      data: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(data)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val (dirs, files) = fs.listStatus(root).toIndexedSeq.partition(_.isDirectory)
+    (files.filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => fs.makeQualified(s.getPath).toString) ++
+      dirs.filter(_.getPath.getName.contains("="))
+        .flatMap(d => graft.ingest.ManifestLog
+          .listParquetLeaves(spark, d.getPath.toString))).sorted
   }
 
   /** True iff an earlier-generation compose stage completed (_SUCCESS)
@@ -338,8 +401,11 @@ object LateInteraction extends QueryModule {
       path: String): Boolean = {
     val st = probeTableDir(spark, path)
     st.hasSidecar ||
-      (st.hasLog && graft.ingest.ManifestLog.currentVersion(
-        spark, tombstoneLogDir(path)) > 0L) ||
+      // head LINES, not head version: reclaim's fold consumption leaves
+      // an all-consumed log at version > 0 with zero lines — that is
+      // fully-reclaimed state, not pending work
+      (st.hasLog && graft.ingest.ManifestLog.headLines(
+        spark, tombstoneLogDir(path)).exists(_.nonEmpty)) ||
       orphanedComposeStage(spark, path, st)
   }
 
@@ -368,15 +434,18 @@ object LateInteraction extends QueryModule {
     * never corpus size — so manifest lines, not parquet, are the right
     * representation.
     *
-    * SCOPE of the multi-writer guarantee: concurrent COMPOSERS merge.
-    * `reclaimTable` remains exclusive with every writer AND composer —
-    * it swaps the whole table directory, so a delete committed into the
-    * log between reclaim's read and its swap would be destroyed with
-    * the retired dir (and a log mkdirs landing inside the swap window
-    * could even recreate the path mid-rename). That exclusivity is the
-    * reclaim contract it always had with the parquet-sidecar writers;
-    * the CAS removes the composer-vs-composer race, not the
-    * maintenance-vs-reclaim one. */
+    * SCOPE of the multi-writer guarantee: concurrent COMPOSERS merge,
+    * and since r18 a composer racing [[Forget.reclaimTable]] is ALSO
+    * safe — reclaim no longer swaps the table directory (which
+    * destroyed any delete committed inside its swap window); it
+    * publishes its rewrite as one `_table_manifest` CAS commit and
+    * consumes exactly the log lines it folded, so a line committed
+    * after reclaim's read survives the fold and keeps excluding at
+    * read time until the NEXT reclaim folds it physically
+    * (raced-composer spec-pinned). `reclaimTable` remains exclusive
+    * with data WRITERS (append/upsert) and with other reclaims — the
+    * listing diff around its rewrite cannot attribute a concurrent
+    * writer's files. */
   def composeDelete(spark: SparkSession, path: String,
       ids: Seq[Long]): Unit = {
     val add = ids.distinct.map(i => s"d:$i")
@@ -484,7 +553,8 @@ object LateInteraction extends QueryModule {
     // identical tombstone-resolved, ledger-excluded frame (two reads
     // would also let a mid-route forget skew pricing vs serving).
     // corpusDocs stays unexcluded — KB-scale ledger vs a corpus count.
-    val sidecar = tombstoneSidecar(spark, path)
+    val st = probeTableDir(spark, path)
+    val sidecar = tombstoneStateWith(spark, path, st)._1
     val exclIds = Forget.defaultExcludeIds(spark) // the ONE ledger read
     def minusExcl(df: DataFrame, idCol: String): DataFrame = {
       import spark.implicits._
@@ -493,7 +563,7 @@ object LateInteraction extends QueryModule {
         "left_anti")
     }
     val postings = minusExcl(
-      minusTombstonedWith(spark.read.parquet(path), sidecar), "doc_id")
+      minusTombstonedWith(tableDataWith(spark, path, st), sidecar), "doc_id")
     val candidateDocs = postings
       .filter(col("wb").isin(qBuckets: _*))
       .filter(col("w_hash").isin(qHash: _*))
@@ -533,8 +603,27 @@ object LateInteraction extends QueryModule {
     // seq >= 0 stamps the commit generation on every posting row — the
     // upsert lifecycle's watermark target; plain tables stay seq-less
     val stamped = if (seq >= 0L) base.withColumn("seq", lit(seq)) else base
+    // a manifest-versioned table (one that has been reclaimed) serves
+    // from its manifest head, so an APPEND must publish its new files
+    // through a CAS commit or manifest readers would never see them.
+    // Strictly the files added by THIS write (listing diff): unioning
+    // the whole directory instead would resurrect any pre-reclaim
+    // files a crashed vacuum left behind. Overwrite needs nothing: it
+    // clears the directory, manifest included.
+    val spark = docs.sparkSession
+    val md = tableManifestDir(path)
+    val manifested = mode == "append" &&
+      graft.ingest.ManifestLog.currentVersion(spark, md) > 0L
+    val before =
+      if (manifested) leafFilesAny(spark, path).toSet else Set.empty[String]
     stamped.repartition(col("wb"))
       .write.mode(mode).partitionBy("wb").parquet(path)
+    if (manifested) {
+      val added = (leafFilesAny(spark, path).toSet -- before).toSeq.sorted
+      if (added.nonEmpty)
+        graft.ingest.ManifestLog.commit(spark, md,
+          head => (head ++ added).distinct)
+    }
   }
 
   /** Probe the posting table with the query's window hashes (partition-
@@ -1373,14 +1462,15 @@ object LateInteraction extends QueryModule {
     import spark.implicits._
     // one sidecar probe + ONE ledger read serve pricing and both arms,
     // as in the single-query router
-    val sidecar = tombstoneSidecar(spark, path)
+    val st = probeTableDir(spark, path)
+    val sidecar = tombstoneStateWith(spark, path, st)._1
     val exclIds = Forget.defaultExcludeIds(spark)
     def minusExcl(df: DataFrame): DataFrame =
       if (exclIds.isEmpty) df
       else df.join(broadcast(exclIds.toSeq.toDF("doc_id")), Seq("doc_id"),
         "left_anti")
     val postings = minusExcl(
-      minusTombstonedWith(spark.read.parquet(path), sidecar))
+      minusTombstonedWith(tableDataWith(spark, path, st), sidecar))
     val (qHash, qBuckets) = queryProbe(spark, srcs.map(_._2))
     val candidateDocs = postings
       .filter(col("wb").isin(qBuckets: _*))

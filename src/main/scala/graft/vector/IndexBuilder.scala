@@ -501,7 +501,7 @@ object IndexBuilder {
     * partitioned by cluster_id — see buildLshIndex for the same pattern).
     */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Long), (DataFrame, Array[Array[Double]])]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Long), Array[Array[Double]]]
 
   /** Memoization key for a logical input. The canonicalized plan string
     * alone is NOT enough: an unresolved `spark.read.parquet(path)` node
@@ -526,10 +526,17 @@ object IndexBuilder {
   def withIvfCluster(df: DataFrame, embCol: String, numClusters: Int,
       seed: Long): (DataFrame, Array[Array[Double]]) = {
     val key = (inputKey(df), embCol, numClusters, seed)
-    ivfCache.getOrElseUpdate(key, {
-      val centers = fitIvfCentroids(df, embCol, numClusters, seed)
-      (df.withColumn("cluster_id", assignUdf(centers)(col(embCol))), centers)
-    })
+    // memoize ONLY the fit (the k-means collects): the assigned FRAME is
+    // rebuilt on the CALLER's df every time. Caching the frame itself
+    // silently pinned the FIRST caller's SparkSession into every later
+    // caller's plan — a session-crossing leak that made the conf-keyed
+    // forget exclusion (which reads df.sparkSession's conf at the serve
+    // tail) consult the WRONG session's conf and skip the exclusion
+    // whenever an unarmed session had warmed this key first (surfaced
+    // as an order-dependent forget_conf_default_topk failure).
+    val centers = ivfCache.getOrElseUpdate(key,
+      fitIvfCentroids(df, embCol, numClusters, seed))
+    (df.withColumn("cluster_id", assignUdf(centers)(col(embCol))), centers)
   }
 
   /** Nearest-centroid (L2) assignment against FIXED centroids — shared by

@@ -523,4 +523,106 @@ class ForgetSpec extends SparkSpec {
       "the pinned view must stop serving the forgotten id immediately")
     assert(after.contains(0L))
   }
+
+  test("the ivf fit memo must not pin the warming session: an armed session's serve still excludes") {
+    // regression for the order-dependent forget_conf_default_topk
+    // failure: withIvfCluster memoized the ASSIGNED FRAME keyed by plan
+    // content, so an unarmed session warming the key pinned ITS session
+    // into every later caller's plan and the conf-keyed exclusion read
+    // the wrong session's conf
+    import graft.vector.IndexBuilder
+    import graft.ops.AnnIndex
+    val root = Tables.scratchPath("forget_leakrow", sf)
+    def corpusOf(s: org.apache.spark.sql.SparkSession) = {
+      val e = Tables.embeddings(s, sf).select("vec_id", "embedding")
+      e.unionByName(AnnIndex.plantedLocalRows(s, e, Seq(910000L -> 0L)))
+    }
+    val qv = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // warm the memo from the UNARMED base session
+    IndexBuilder.ivfTopK(corpusOf(spark), "embedding", "vec_id", qv,
+      k = 5, numClusters = 4, nProbe = 2, seed = 7L).collect()
+    Forget.forget(spark, root, Seq(910000L))
+    val armed = spark.newSession()
+    armed.conf.set(graft.ops.Forget.RootConf, root)
+    val served = IndexBuilder.ivfTopK(corpusOf(armed), "embedding",
+        "vec_id", qv, k = 5, numClusters = 4, nProbe = 2, seed = 7L)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(!served.contains(910000L),
+      "a fit memo warmed by an unarmed session must not carry that " +
+        s"session into an armed serve: $served")
+  }
+
+  test("a composeDelete racing reclaimTable survives: the manifest publish and fold consumption lose nothing") {
+    import graft.ops.LateInteraction
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("reclaimrace").toString
+    val path = base + "/postings"
+    val root = base + "/ledger"
+    LateInteraction.writePostings(
+      Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+        .toDF("doc_id", "text"), path, "overwrite")
+    Forget.forget(spark, root, Seq(1L))
+    // the composer CAS-commits its delete INSIDE reclaim's window:
+    // after the rewrite's listing diff, before the fold consumption —
+    // exactly where the r17 directory swap destroyed it
+    Forget.reclaimTable(spark, root, path, partitionCols = Seq("wb"),
+      beforeLogFold =
+        () => LateInteraction.composeDelete(spark, path, Seq(3L)))
+    // the ledger id is physically gone AND the racing delete excludes
+    val served = LateInteraction.resolvedPostings(spark, path)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(served === Set(2L),
+      s"racing composer's delete must survive the reclaim, served $served")
+    assert(LateInteraction.tableData(spark, path)
+      .filter(col("doc_id") === 1L).count() === 0L,
+      "the ledger id must be physically reclaimed")
+    assert(LateInteraction.hasTombstoneState(spark, path),
+      "the raced delete's log line must still be pending state")
+    // a SECOND reclaim folds the raced delete physically and consumes it
+    Forget.reclaimTable(spark, root, path, partitionCols = Seq("wb"))
+    assert(LateInteraction.tableData(spark, path)
+      .filter(col("doc_id") === 3L).count() === 0L,
+      "the second reclaim must fold the raced delete into the rewrite")
+    assert(!LateInteraction.hasTombstoneState(spark, path),
+      "a fully-consumed log must read as no pending state")
+    assert(LateInteraction.resolvedPostings(spark, path)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(2L))
+  }
+
+  test("reclaimTable is idempotent across its crash windows: re-applied tombstone state no-ops against the rewrite") {
+    import graft.ops.LateInteraction
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("reclaimidem").toString
+    val path = base + "/postings"
+    val root = base + "/ledger"
+    LateInteraction.writePostings(
+      Seq((1L, "alpha beta"), (2L, "gamma delta"))
+        .toDF("doc_id", "text"), path, "overwrite")
+    LateInteraction.composeDelete(spark, path, Seq(1L))
+    // crash shape: PUBLISH happened, CONSUME did not — simulate by
+    // re-adding the folded line after a clean reclaim (the line then
+    // names a doc whose rows are already gone)
+    Forget.reclaimTable(spark, root, path, partitionCols = Seq("wb"))
+    LateInteraction.composeDelete(spark, path, Seq(1L))
+    assert(LateInteraction.resolvedPostings(spark, path)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(2L), "a re-applied delete over absent rows must be a no-op")
+    // the next reclaim consumes it and converges to a clean state
+    Forget.reclaimTable(spark, root, path, partitionCols = Seq("wb"))
+    assert(!LateInteraction.hasTombstoneState(spark, path))
+    // an append AFTER reclaim publishes through the manifest: the new
+    // doc must serve (a manifest-blind append would be invisible)
+    LateInteraction.writePostings(
+      Seq((4L, "eta theta")).toDF("doc_id", "text"), path, "append")
+    assert(LateInteraction.resolvedPostings(spark, path)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(2L, 4L), "a post-reclaim append must publish into the manifest")
+  }
 }
