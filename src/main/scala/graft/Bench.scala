@@ -7,6 +7,30 @@ import org.apache.spark.sql.SparkSession
   * reader would actually compute, under-measuring scan+compute cost.
   */
 object Bench {
+
+  /** Rows regressed vs best-known: kept > 2× best AND > best + 0.5 s
+    * (sub-second rows flip on scheduling noise alone). Rows that paid a
+    * cold fixture build or failed this run are excluded — their time is
+    * a build or a fast-fail, not a serve. Returns (row, kept, best). */
+  private[graft] def regressionRows(results: Seq[(String, Double)],
+      fixtureBuilt: Set[String], failed: Set[String],
+      bestKnown: Map[String, Double]): Seq[(String, Double, Double)] =
+    results.collect { case (k, v)
+        if !fixtureBuilt(k) && !failed(k) &&
+          bestKnown.get(k).exists(b => v > 2 * b && v - b > 0.5) =>
+      (k, v, bestKnown(k))
+    }
+
+  /** ≥ this many SIMULTANEOUS >2× regressions on one board is a
+    * contended run (machine noise — GC, a co-tenant, a thermal event),
+    * not that many independent plan changes landing in one round: r17's
+    * driver board flagged 14 rows that two same-code sibling boards
+    * uniformly disproved. The stamp lets a board reader adjudicate a
+    * noisy artifact WITHOUT sibling boards. */
+  private[graft] val ContendedMin = 8
+  private[graft] def contended(nRegressions: Int): Boolean =
+    nRegressions >= ContendedMin
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -229,17 +253,17 @@ object Bench {
     // fixtureBuilds; double-reporting it as a serve regression would
     // make every cache-cold round a wall of false positives), as are
     // this run's failed rows (their time is a fast-fail, not a serve).
-    val regressionsJson = results
-      .filter { case (k, v) =>
-        !fixtureBuilds.contains(k) && !failed.contains(k) &&
-          bestKnown.get(k).exists(b => v > 2 * b && v - b > 0.5) }
-      .map { case (k, v) => "\"" + k + "\":[" + v + "," + bestKnown(k) + "]" }
+    val regressions = regressionRows(results,
+      fixtureBuilds.keySet.toSet, failed.toSet, bestKnown)
+    val regressionsJson = regressions
+      .map { case (k, v, b) => "\"" + k + "\":[" + v + "," + b + "]" }
       .mkString("{", ",", "}")
+    val contendedJson = contended(regressions.size).toString
     val routesJson = routes
       .map { case (k, v) => "\"" + k + "\":\"" + v.mkString(",") + "\"" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reruns":$rerunJson,"firstPass":$firstPassJson,"firstPassTotal":$firstPassTotal,"boardTotals":$boardTotalsJson,"fixtureBuilds":$fixtureBuildsJson,"regressions":$regressionsJson,"routes":$routesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reruns":$rerunJson,"firstPass":$firstPassJson,"firstPassTotal":$firstPassTotal,"boardTotals":$boardTotalsJson,"fixtureBuilds":$fixtureBuildsJson,"regressions":$regressionsJson,"contended":$contendedJson,"routes":$routesJson,"sf":"$sfDir"}"""
     println(line)
     // Persist the line too: the driver's tail capture truncates long JSON
     // (BENCH_r07/r08 both recorded "parsed": null), so per-query history

@@ -37,6 +37,30 @@ object ManifestLog {
   private val VersionName = "v(\\d+)\\.manifest".r
   private val Sentinel = "end"
 
+  /** Closing-sentinel check: a bare `end` (pre-salt logs) or `end:<pad>`
+    * — the pad is the INCARNATION SALT, a variable-length tail that
+    * makes two same-numbered heads with identical CONTENT differ in
+    * file length, so the listing-only fingerprint (length × mtime)
+    * distinguishes a recycled root even when the rewrite lands inside
+    * the filesystem's mtime granularity with equal content. */
+  private def isSentinel(line: String): Boolean =
+    line == Sentinel || line.startsWith(Sentinel + ":")
+
+  /** Pad-length source: a per-JVM counter seeded from nanoTime. Within
+    * a JVM, successive commits always draw different pad lengths
+    * (mod [[SaltRange]]), so an in-process delete-and-recreate of a
+    * root changes the head length DETERMINISTICALLY; across processes
+    * the nanoTime seed makes a same-length collision ~1/[[SaltRange]]
+    * instead of certain. A true content hash would need the body read
+    * the fingerprint exists to avoid — this narrows the residual, it
+    * does not close it. */
+  private val SaltRange = 61
+  private val saltCounter =
+    new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+  private def saltLine(): String =
+    Sentinel + ":" + "x" * (((saltCounter.incrementAndGet() % SaltRange)
+      + SaltRange) % SaltRange).toInt
+
   private def hfs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -82,7 +106,7 @@ object ManifestLog {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
       finally in.close()
-    if (lines.nonEmpty && lines.last == Sentinel) Some(lines.init)
+    if (lines.nonEmpty && isSentinel(lines.last)) Some(lines.init)
     else None
   }
 
@@ -109,11 +133,15 @@ object ManifestLog {
     *
     * RESIDUAL: a recycled root whose same-numbered head has the SAME
     * byte length and lands within the filesystem's mtime granularity
-    * (1 ms local/HDFS) still collides — a content hash would need the
-    * body read the fingerprint exists to avoid. Out-of-band root
-    * recycling is already outside the append-only log discipline; the
-    * fingerprint narrows that hole to a sub-tick equal-length write, it
-    * does not close it. */
+    * still collides — and that granularity is a FULL SECOND on several
+    * real filesystems (ext3, HFS+, FAT, some NFS servers), not the
+    * 1 ms of ext4/HDFS, so equal length carries real weight. The
+    * variable-length incarnation salt each commit appends to its
+    * sentinel (see [[isSentinel]]) makes equal length itself unlikely:
+    * an in-JVM recycle ALWAYS differs (counter-sequenced pads), a
+    * cross-process one collides ~1/61. A content hash would need the
+    * body read the fingerprint exists to avoid; the salt narrows the
+    * residual, it does not close it. */
   def currentVersionFingerprinted(spark: SparkSession,
       dir: String): (Long, Long) = {
     val (fs, p) = hfs(spark, dir)
@@ -184,7 +212,7 @@ object ManifestLog {
       s".v$version.${System.nanoTime()}.t${Thread.currentThread().getId}.tmp")
     val out = fs.create(tmp, true)
     try out.write((files.mkString("\n") +
-        (if (files.isEmpty) "" else "\n") + Sentinel + "\n")
+        (if (files.isEmpty) "" else "\n") + saltLine() + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val published =

@@ -486,6 +486,31 @@ class ForgetSpec extends SparkSpec {
         "never this JVM's prior cached snapshot")
   }
 
+  test("ledger cache: a recycled root with SAME-LENGTH content and forced-equal mtime still misses (incarnation salt)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("fgtrecyclesalt").toString + "/r"
+    Forget.forget(spark, root, Seq(100000L))
+    assert(Forget.forgottenIds(spark, root) === Seq(100000L)) // cache warm
+    val dir = root + "/_forget"
+    val lp = new org.apache.hadoop.fs.Path(dir)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = new org.apache.hadoop.fs.Path(dir, "v1.manifest")
+    val origMtime = fs.getFileStatus(head).getModificationTime
+    fs.delete(lp, true)
+    // the adversarial shape the r17 fingerprint could NOT distinguish:
+    // identical content byte length ('200000' vs '100000') at the same
+    // version number, and the mtime forced onto the original's tick —
+    // only the sentinel's incarnation salt (counter-sequenced pad
+    // lengths, always distinct for in-JVM consecutive commits) moves
+    // the file length and misses the cache
+    assert(graft.ingest.ManifestLog.tryCommit(spark, dir, 1L,
+      Seq("200000")), "recreate must land as the same-numbered v1")
+    fs.setTimes(head, origMtime, -1)
+    assert(Forget.forgottenIds(spark, root) === Seq(200000L),
+      "equal-length, equal-mtime recycled head must still miss the " +
+        "cache via the salt")
+  }
+
   test("a forget flips a RESIDENT-pinned graph serve with zero pin rebuild") {
     import graft.vector.GraphAnn
     import org.apache.spark.sql.functions.col

@@ -597,6 +597,24 @@ class TextAnalysisSpec extends SparkSpec {
       Array("x0", "x1", "x2", "x3"))
   }
 
+  test("NfcNormalize.isAscii: byte-exact over stride boundaries, empty strings, and high bytes in every lane") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ascii(s: String) = org.apache.spark.sql.graft.NfcNormalize
+      .isAscii(UTF8String.fromString(s))
+    assert(ascii(""))
+    // lengths straddling the 8-byte stride + tail loop
+    (1 to 20).foreach(n => assert(ascii("a" * n), s"len $n"))
+    // a non-ASCII byte in EVERY position of a 17-byte string must trip
+    // whichever lane (stride word or tail byte) covers it
+    (0 until 17).foreach { i =>
+      val s = "a" * i + "é" + "a" * (16 - i)
+      assert(!ascii(s), s"high byte at $i missed")
+    }
+    // DEL (0x7F) is still ASCII; 0x80 is the first non-ASCII code point
+    assert(ascii("\u007F"))
+    assert(!ascii("\u0080"))
+  }
+
   test("dataset_shuffle_shards: a seeded permutation — exhaustive, contiguous ranks, seed-sensitive, replayable") {
     val out = SparkEntry.queries("dataset_shuffle_shards")(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
