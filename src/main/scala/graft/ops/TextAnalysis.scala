@@ -1623,12 +1623,18 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("cnt").desc, col("sym").asc)
       .limit(20)
 
+  /** The pretokenizer regex as a DuckDB single-quoted literal body
+    * (apostrophes doubled) — the byte head and the unseen-encode oracle
+    * must use the IDENTICAL pattern. */
+  private val bpeByteOraclePattern =
+    """''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+"""
+
   /** DuckDB head replaying the GPT-2 pretokenizer + UTF-8 hex seg0. */
   private val bpeByteHead =
-    """WITH words AS (
+    s"""WITH words AS (
       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
       |    SELECT unnest(regexp_extract_all(text,
-      |      '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+'
+      |      '$bpeByteOraclePattern'
       |      )) AS w
       |    FROM documents)
       |  WHERE octet_length(encode(w)) > 1
@@ -1647,6 +1653,76 @@ object TextAnalysis extends QueryModule {
       |           '><')) AS sym, freq
       |  FROM seg$steps)
       |GROUP BY sym ORDER BY cnt DESC, sym ASC LIMIT 20""".stripMargin
+
+  /** The tokenizer INFERENCE path — encode text the training never saw
+    * by applying the learned merge list in priority order (exactly how
+    * a shipped tokenizer runs: the merge table is the model; training's
+    * final segmentation is irrelevant at serve time). Each learned
+    * merge becomes ONE marker-string `replace` folded into the plan in
+    * learned order — the merges are a driver-side constant (5 rows,
+    * vocabulary-sized in general) BROADCAST into a pure map over the
+    * unseen corpus: at 100 TB of fresh text this is a scan with k
+    * chained replaces and no exchange (a production vocab's 50k merges
+    * would compile to a trie UDF, same dataflow). The planted text
+    * exercises case preservation, a contraction, digits, punctuation,
+    * AND a multi-byte char (é → two byte symbols — the byte fallback on
+    * unseen input). The oracle replays training AND the ordered merge
+    * application on the same text. */
+  def bpeByteEncodeUnseen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeByteTrain(spark, dir, 5)._1 // bounded: 5 learned rows
+    val text = "Cafés don't RE-train byte-pairs, 42 times!"
+    val toks = Seq(text).toDF("text")
+      .select(posexplode(regexp_extract_all(col("text"),
+        lit(BytePretokenPattern), lit(0))).as(Seq("tok_pos", "w")))
+    val seg0 = toks
+      .select(col("tok_pos"), hex(encode(col("w"), "UTF-8")).as("h"))
+      .select(col("tok_pos"),
+        expr("concat_ws('', transform(sequence(1, length(h) div 2), " +
+          "i -> concat('<', substr(h, 2*i - 1, 2), '>')))").as("seg"))
+    val encoded = merges.foldLeft(seg0) { case (df, (_, l, r, _)) =>
+      df.withColumn("seg", expr(s"replace(seg, '<$l><$r>', '<$l$r>')"))
+    }
+    encoded.select(col("tok_pos"),
+        posexplode(expr("split(substr(seg, 2, length(seg) - 2), '><')"))
+          .as(Seq("sym_pos", "sym")))
+      .select(col("tok_pos").cast("int").as("tok_pos"),
+        col("sym_pos").cast("int").as("sym_pos"), col("sym"))
+      .orderBy("tok_pos", "sym_pos")
+  }
+
+  private val bpeByteEncodeUnseenSql: String =
+    bpeCteChain(5, bpeByteHead) + s""",
+      |toksu AS (
+      |  SELECT generate_subscripts(regexp_extract_all(t,
+      |           '$bpeByteOraclePattern'), 1) AS tok_pos,
+      |         unnest(regexp_extract_all(t, '$bpeByteOraclePattern')) AS w
+      |  FROM (SELECT 'Caf' || chr(233) ||
+      |               's don''t RE-train byte-pairs, 42 times!' AS t)),
+      |e0 AS (
+      |  SELECT tok_pos, array_to_string(list_transform(
+      |           range(1, octet_length(encode(w)) + 1),
+      |           i -> '<' || substr(hex(encode(w)), 2*i - 1, 2) || '>'),
+      |           '') AS seg
+      |  FROM toksu),
+      |""".stripMargin +
+      (1 to 5).map { k =>
+        s"""e$k AS (
+           |  SELECT tok_pos, COALESCE(replace(seg,
+           |           '<' || split_part((SELECT pair FROM m$k), '|', 1) ||
+           |           '><' || split_part((SELECT pair FROM m$k), '|', 2) ||
+           |           '>',
+           |           '<' || replace((SELECT pair FROM m$k), '|', '') ||
+           |           '>'), seg) AS seg
+           |  FROM e${k - 1})""".stripMargin
+      }.mkString(",\n") + """
+      |SELECT CAST(tok_pos - 1 AS INTEGER) AS tok_pos,
+      |       CAST(generate_subscripts(syms, 1) - 1 AS INTEGER) AS sym_pos,
+      |       unnest(syms) AS sym
+      |FROM (SELECT tok_pos,
+      |        string_split(substr(seg, 2, length(seg) - 2), '><') AS syms
+      |      FROM e5)
+      |ORDER BY tok_pos, sym_pos""".stripMargin
 
   /** Variable-depth training witness: a PLANTED vocabulary ({ab×2, abc,
     * abcd}) that fully merges after three steps of a five-step request —
@@ -1834,6 +1910,7 @@ object TextAnalysis extends QueryModule {
     "bpe_encode_tokens" -> (bpeEncodeTokens(_, _)),
     "bpe_byte_learn_merges" -> (bpeByteLearnMerges(_, _)),
     "bpe_byte_encode_tokens" -> (bpeByteEncodeTokens(_, _)),
+    "bpe_byte_encode_unseen" -> bpeByteEncodeUnseen,
     "bpe_exhausted_merges" -> bpeExhaustedMerges,
     "text_normalize" -> textNormalize,
     "weighted_sample" -> weightedSample,
@@ -1868,6 +1945,7 @@ object TextAnalysis extends QueryModule {
     "bpe_encode_tokens" -> bpeEncodeTokensSql(5),
     "bpe_byte_learn_merges" -> bpeLearnMergesSql(5, bpeByteHead),
     "bpe_byte_encode_tokens" -> bpeByteEncodeTokensSql(5),
+    "bpe_byte_encode_unseen" -> bpeByteEncodeUnseenSql,
     "bpe_exhausted_merges" -> bpeLearnMergesSql(5, bpeExhaustedHead),
     "text_normalize" -> textNormalizeSql,
     "weighted_sample" -> weightedSampleSql,

@@ -301,7 +301,7 @@ object VectorSearch extends QueryModule {
   /** Above this many trigram-index candidates the serve stops collecting
     * ids for a pushed scan filter and falls back to a distributed
     * semi-join — the driver must never hold an unbounded id list. */
-  private val WhereContainsPushdownCap = 8192
+  private[graft] val WhereContainsPushdownCap = 8192
 
   /** [[knnWhereContains]] routed through the TRIGRAM SUBSTRING INDEX —
     * the at-scale serve for Chroma's `where_document={"$contains": t}`
@@ -321,7 +321,13 @@ object VectorSearch extends QueryModule {
     * routes share one replayed oracle, so a posting bug that drops a
     * true candidate (or a verify bypass that admits a false one) breaks
     * the compare. */
-  def knnWhereContainsIndexed(spark: SparkSession, dir: String): DataFrame = {
+  def knnWhereContainsIndexed(spark: SparkSession, dir: String): DataFrame =
+    knnWhereContainsIndexedCapped(spark, dir, WhereContainsPushdownCap)
+
+  /** The cap-parameterized body — the spec drives `cap = 0` to force
+    * the distributed semi-join arm and pin route equality on it too. */
+  private[graft] def knnWhereContainsIndexedCapped(spark: SparkSession,
+      dir: String, cap: Int): DataFrame = {
     val dim = 256
     val needle = "zzbb"
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
@@ -349,10 +355,10 @@ object VectorSearch extends QueryModule {
       .select("doc_id")
     // bounded probe: take cap+1 — the driver sees at most cap+1 ids,
     // never the full candidate set, whatever the needle's selectivity
-    val probe = candidates.limit(WhereContainsPushdownCap + 1)
+    val probe = candidates.limit(cap + 1)
       .collect().map(_.getLong(0))
     val verified =
-      if (probe.length <= WhereContainsPushdownCap) {
+      if (probe.length <= cap) {
         // pushed-id route: the documents scan carries In(doc_id, …) so
         // text bytes are decoded only from candidate row groups
         val ids = probe.toSeq

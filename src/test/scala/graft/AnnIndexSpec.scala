@@ -88,6 +88,15 @@ class AnnIndexSpec extends SparkSpec {
     val pplan = probe.queryExecution.executedPlan.toString
     assert(pplan.contains("In(tg"),
       s"needle trigrams not pushed into the posting scan:\n$pplan")
+    // force the low-selectivity arm (cap = 0 → every candidate count
+    // exceeds it): the distributed semi-join route must serve the SAME
+    // answer — the router discipline, pinned on both arms
+    val fallback = graft.ops.VectorSearch
+      .knnWhereContainsIndexedCapped(spark, sf, cap = 0)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("top_doc_id")))
+      .toSeq
+    assert(fallback === scan,
+      "the semi-join fallback arm must serve the scan route's answer")
   }
 
   test("knn_l2_topk: squared-euclidean ordering inverts cosine on the unit-normalized store") {

@@ -531,6 +531,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("bpe_byte_encode_unseen: symbols reassemble the exact pretoken bytes; multi-pair symbols are learned merges") {
+    val out = SparkEntry.queries("bpe_byte_encode_unseen")(spark, sf)
+      .collect()
+    val learned = SparkEntry.queries("bpe_byte_learn_merges")(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("left_sym") + r.getAs[String]("right_sym"))
+      .toSet
+    out.map(_.getAs[String]("sym")).foreach { s =>
+      assert(s.matches("([0-9A-F]{2})+"), s"non-hex symbol $s")
+      if (s.length > 2)
+        assert(learned.contains(s),
+          s"symbol $s in the encoding is not a learned merge")
+    }
+    // lossless: concatenating each pretoken's symbols in order must
+    // reproduce the pretoken's exact UTF-8 bytes (é = C3 A9 included —
+    // the byte fallback), under the same pretokenizer run in-test
+    val text = "Cafés don't RE-train byte-pairs, 42 times!"
+    val m = java.util.regex.Pattern
+      .compile(graft.ops.TextAnalysis.BytePretokenPattern).matcher(text)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) toks += m.group()
+    val byTok = out.groupBy(_.getAs[Int]("tok_pos"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("sym_pos"))
+        .map(_.getAs[String]("sym")).mkString).toMap
+    assert(byTok.size === toks.size, s"token count ${byTok.size} != ${toks.size}")
+    toks.zipWithIndex.foreach { case (w, i) =>
+      val hex = w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+      assert(byTok(i) === hex,
+        s"token $i '$w': symbols ${byTok(i)} != bytes $hex")
+    }
+  }
+
   test("bpe_encode_tokens: every multichar symbol is a learned merge; counts ordered") {
     val merges = SparkEntry.queries("bpe_learn_merges")(spark, sf).collect()
     val learned = merges.map(r =>
