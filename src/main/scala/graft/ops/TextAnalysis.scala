@@ -1515,7 +1515,7 @@ object TextAnalysis extends QueryModule {
       |             x -> length(x) > 1)) AS w
       |    FROM documents)
       |  GROUP BY w),
-      |seg0 AS (
+      |seg0 AS MATERIALIZED (
       |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
       |           i -> '<' || substr(w, i, 1) || '>'), '') AS seg, freq
       |  FROM words)""".stripMargin
@@ -1535,9 +1535,9 @@ object TextAnalysis extends QueryModule {
          |                   '><') AS syms, freq
          |          FROM seg${k - 1}))
          |  GROUP BY pair),
-         |m$k AS (SELECT pair, cnt FROM p$k
+         |m$k AS MATERIALIZED (SELECT pair, cnt FROM p$k
          |        ORDER BY cnt DESC, pair ASC LIMIT 1),
-         |seg$k AS (
+         |seg$k AS MATERIALIZED (
          |  SELECT COALESCE(replace(seg,
          |           '<' || split_part((SELECT pair FROM m$k), '|', 1) ||
          |           '><' || split_part((SELECT pair FROM m$k), '|', 2) ||
@@ -1586,13 +1586,48 @@ object TextAnalysis extends QueryModule {
       steps: Int): (Seq[(Long, String, String, Long)], DataFrame) =
     bpeTrainSeg(bpeByteSeg0(words), steps)
 
-  private def bpeByteTrain(spark: SparkSession, dir: String,
-      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) =
-    bpeTrainByteWords(Tables.documents(spark, dir)
+  /** The corpus-scale stage both byte trainers share: ONE pre-token
+    * frequency aggregation (map-side partial; output vocabulary-sized). */
+  private def bpeByteWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(explode(regexp_extract_all(col("text"),
         lit(BytePretokenPattern), lit(0))).as("w"))
       .filter(octet_length(col("w")) > 1)
-      .groupBy("w").agg(count(lit(1)).as("freq")), steps)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  private def bpeByteTrain(spark: SparkSession, dir: String,
+      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeTrainByteWords(bpeByteWords(spark, dir), steps)
+
+  /** Vocabulary-collect bound for the in-process merge loop — distinct
+    * pre-tokens beyond this refuse loudly (the distributed loop is the
+    * unbounded fallback). Web-scale corpora land in the 10⁶–10⁸ range;
+    * the loop state is O(vocab), never O(corpus). */
+  private[graft] val MaxVocabCollect = 2000000
+
+  /** PRODUCTION-shape BPE training — the split every shipped tokenizer
+    * trainer uses (HF tokenizers, SentencePiece): the corpus is touched
+    * by ONE distributed word-frequency aggregation, and the merge loop
+    * runs IN-PROCESS over the collected vocabulary (bounded, loud) —
+    * per-merge cost has no scheduler round-trip, so a 50k-merge vocab
+    * needs 50k map-scans of an in-memory table, not 50k cluster jobs.
+    * Deeper than the distributed rows (8 steps) to exercise the loop
+    * past their depth; [[graft.text.LocalBpe]]'s semantics are pinned
+    * IDENTICAL to the distributed loop by spec, and the oracle replays
+    * all 8 steps in chained CTEs. */
+  def bpeByteVocabTrain(spark: SparkSession, dir: String,
+      steps: Int = 8): DataFrame = {
+    import spark.implicits._
+    val rows = bpeByteWords(spark, dir)
+      .limit(MaxVocabCollect + 1).collect() // bounded: vocab, not corpus
+    require(rows.length <= MaxVocabCollect,
+      s"distinct pre-token vocabulary exceeds $MaxVocabCollect — use the " +
+        "distributed loop (bpe_byte_learn_merges path) instead")
+    graft.text.LocalBpe.trainByteWords(
+        rows.map(r => r.getString(0) -> r.getLong(1)).toSeq, steps)
+      .toDF("step", "left_sym", "right_sym", "cnt")
+      .orderBy("step")
+  }
 
   /** BYTE-level BPE merge training — [[bpeLearnMerges]] with what a
     * production pretraining tokenizer actually eats: GPT-2
@@ -1639,7 +1674,7 @@ object TextAnalysis extends QueryModule {
       |    FROM documents)
       |  WHERE octet_length(encode(w)) > 1
       |  GROUP BY w),
-      |seg0 AS (
+      |seg0 AS MATERIALIZED (
       |  SELECT array_to_string(list_transform(
       |           range(1, octet_length(encode(w)) + 1),
       |           i -> '<' || substr(hex(encode(w)), 2*i - 1, 2) || '>'),
@@ -1744,7 +1779,7 @@ object TextAnalysis extends QueryModule {
       |  SELECT * FROM (VALUES ('ab', CAST(2 AS BIGINT)),
       |                        ('abc', CAST(1 AS BIGINT)),
       |                        ('abcd', CAST(1 AS BIGINT))) AS t(w, freq)),
-      |seg0 AS (
+      |seg0 AS MATERIALIZED (
       |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
       |           i -> '<' || substr(w, i, 1) || '>'), '') AS seg, freq
       |  FROM words)""".stripMargin
@@ -1911,6 +1946,7 @@ object TextAnalysis extends QueryModule {
     "bpe_byte_learn_merges" -> (bpeByteLearnMerges(_, _)),
     "bpe_byte_encode_tokens" -> (bpeByteEncodeTokens(_, _)),
     "bpe_byte_encode_unseen" -> bpeByteEncodeUnseen,
+    "bpe_byte_vocab_train" -> (bpeByteVocabTrain(_, _)),
     "bpe_exhausted_merges" -> bpeExhaustedMerges,
     "text_normalize" -> textNormalize,
     "weighted_sample" -> weightedSample,
@@ -1946,6 +1982,7 @@ object TextAnalysis extends QueryModule {
     "bpe_byte_learn_merges" -> bpeLearnMergesSql(5, bpeByteHead),
     "bpe_byte_encode_tokens" -> bpeByteEncodeTokensSql(5),
     "bpe_byte_encode_unseen" -> bpeByteEncodeUnseenSql,
+    "bpe_byte_vocab_train" -> bpeLearnMergesSql(8, bpeByteHead),
     "bpe_exhausted_merges" -> bpeLearnMergesSql(5, bpeExhaustedHead),
     "text_normalize" -> textNormalizeSql,
     "weighted_sample" -> weightedSampleSql,

@@ -531,6 +531,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("LocalBpe (the in-process production trainer) is merge-identical to the distributed loop; the vocab row extends the distributed row") {
+    import graft.text.LocalBpe
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(9876 + seed)
+      val alphabet = "aAb.é '"
+      val vocab = (0 until 25).map { _ =>
+        (2 + rnd.nextInt(6), 1L + rnd.nextInt(9))
+      }.map { case (len, f) =>
+        ((0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+          .mkString, f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        .filter { case (w, _) => w.getBytes("UTF-8").length > 1 }
+      val dist = graft.ops.TextAnalysis
+        .bpeTrainByteWords(vocab.toSeq.toDF("w", "freq"), steps = 5)._1
+      val local = LocalBpe.trainByteWords(vocab.toSeq, steps = 5)
+      assert(local === dist,
+        s"seed $seed: local $local != distributed $dist over $vocab")
+    }
+    // cross-row: the in-process row's first 5 merges ARE the distributed
+    // row's 5 merges (same corpus, same semantics, deeper run)
+    val vocabRow = SparkEntry.queries("bpe_byte_vocab_train")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val distRow = SparkEntry.queries("bpe_byte_learn_merges")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(vocabRow.length === 8)
+    assert(vocabRow.take(5) === distRow,
+      "the production trainer must extend, not diverge from, the " +
+        "distributed loop")
+  }
+
   test("bpe_byte_encode_unseen: symbols reassemble the exact pretoken bytes; multi-pair symbols are learned merges") {
     val out = SparkEntry.queries("bpe_byte_encode_unseen")(spark, sf)
       .collect()
