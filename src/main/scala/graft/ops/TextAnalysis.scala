@@ -1398,13 +1398,47 @@ object TextAnalysis extends QueryModule {
 
   /** The shared train loop: returns (merges, final segmentation frame)
     * so the encode row reuses the seg frame the loop just checkpointed
-    * instead of re-scanning the corpus and re-applying every merge. */
+    * instead of re-scanning the corpus and re-applying every merge.
+    * PERSISTED as a standing artifact ([[bpeArtifact]]): a tokenizer is
+    * trained once and shipped — every serve after the first reads the
+    * merge table + final segmentation from parquet instead of re-running
+    * the loop. */
   private def bpeTrain(spark: SparkSession, dir: String,
       steps: Int): (Seq[(Long, String, String, Long)], DataFrame) =
-    bpeTrainWords(Tables.documents(spark, dir)
-      .select(explode(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("w"))
-      .filter(length(col("w")) > 1)
-      .groupBy("w").agg(count(lit(1)).as("freq")), steps)
+    bpeArtifact(spark, dir, steps, "char",
+      bpeTrainWords(Tables.documents(spark, dir)
+        .select(explode(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("w"))
+        .filter(length(col("w")) > 1)
+        .groupBy("w").agg(count(lit(1)).as("freq")), steps))
+
+  /** The persisted-tokenizer fixture: `<scratch>/merges` (step, left_sym,
+    * right_sym, cnt) + `<scratch>/seg` (seg, freq) under one build
+    * marker keyed on the corpus + variant + depth. The artifact IS what
+    * a production trainer ships (the merge table is the model); rows
+    * serve from it, and a corpus change rebuilds through the standard
+    * fixture discipline. `train` is by-name — a cache hit never runs
+    * the loop. */
+  private def bpeArtifact(spark: SparkSession, dir: String, steps: Int,
+      variant: String,
+      train: => (Seq[(Long, String, String, Long)], DataFrame)):
+      (Seq[(Long, String, String, Long)], DataFrame) = {
+    import spark.implicits._
+    val path = Tables.scratchPath(s"bpe_art_$variant", dir)
+    val docs = Tables.documents(spark, dir)
+    ResultCache.buildIfAbsent(spark, docs,
+      s"bpe:variant=$variant:steps=$steps:v1", path) {
+      val (merges, seg) = train
+      merges.toDF("step", "left_sym", "right_sym", "cnt")
+        .repartition(1)
+        .write.mode("overwrite").parquet(path + "/merges")
+      seg.write.mode("overwrite").parquet(path + "/seg")
+    }
+    val merges = spark.read.parquet(path + "/merges")
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("cnt"))).toSeq
+    (merges, spark.read.parquet(path + "/seg"))
+  }
 
   /** The char-level front-end over an explicit (w, freq) frame — the
     * property spec runs it against an in-memory reference BPE on random
@@ -1597,7 +1631,8 @@ object TextAnalysis extends QueryModule {
 
   private def bpeByteTrain(spark: SparkSession, dir: String,
       steps: Int): (Seq[(Long, String, String, Long)], DataFrame) =
-    bpeTrainByteWords(bpeByteWords(spark, dir), steps)
+    bpeArtifact(spark, dir, steps, "byte",
+      bpeTrainByteWords(bpeByteWords(spark, dir), steps))
 
   /** Vocabulary-collect bound for the in-process merge loop — distinct
     * pre-tokens beyond this refuse loudly (the distributed loop is the
