@@ -330,6 +330,13 @@ object VectorSearch extends QueryModule {
       dir: String, cap: Int): DataFrame = {
     val dim = 256
     val needle = "zzbb"
+    // a needle shorter than one trigram has NO posting lists — sliding(3)
+    // would yield a short pseudo-trigram matching nothing and the serve
+    // would silently return empty instead of the filter's real answer;
+    // short needles belong on the scan route
+    require(needle.length >= 3,
+      s"trigram route needs a needle of >= 3 chars, got '$needle' — " +
+        "serve short needles through the contains scan instead")
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
     val path = Tables.scratchPath("trigram_postings_wc", dir)

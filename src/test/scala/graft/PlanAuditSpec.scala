@@ -53,6 +53,19 @@ class PlanAuditSpec extends SparkSpec {
       "a CartesianProduct here would shuffle the corpus against itself")
   }
 
+  test("byte-BPE pair stats aggregate partially before the exchange and never shuffle text") {
+    // the one corpus-scale stage of byte tokenizer training: pre-token
+    // counts must collapse map-side (HashAggregate before the first
+    // Exchange), and nothing wider than the pre-token strings crosses it
+    val plan = SparkEntry.queries("bpe_pair_counts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val firstHashAgg = plan.indexOf("HashAggregate")
+    val firstExchange = plan.indexOf("Exchange")
+    assert(firstHashAgg >= 0 && firstExchange >= 0 &&
+      firstHashAgg < firstExchange,
+      s"pair counts must partial-aggregate before the shuffle:\n$plan")
+  }
+
   test("aggregations are partial (map-side combine before the exchange)") {
     val plan = SparkEntry.queries("events_hourly")(spark, sf)
       .queryExecution.executedPlan.toString
