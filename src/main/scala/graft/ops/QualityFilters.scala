@@ -297,6 +297,123 @@ object QualityFilters extends QueryModule {
     .map { case (id, text) => s"($id, ${sqlQuote(text)})" }
     .mkString(",\n    ")
 
+  // ---- URL canonicalization + dedup ----
+
+  /** Variant spellings of the SAME logical URLs — scheme/host case,
+    * default ports, tracking params, param order, trailing slash,
+    * fragments — plus one distinct singleton. The real corpus has no
+    * URLs at all (no '/' or ':'), so it is the no-false-positives case. */
+  private val plantedCanonDocs = Seq(
+    (930200L, "Read https://Docs.Example.com:443/guide/?utm_source=tw&b=2&a=1#sec2 now."),
+    (930201L, "Read https://docs.example.com/guide?a=1&b=2 too."),
+    (930202L, "Also HTTP://EXAMPLE.COM:80/?fbclid=abc123 works."),
+    (930203L, "And http://example.com/ matches it."),
+    (930204L, "Distinct: https://example.com/other?a=1 stays alone."))
+
+  /** Case-insensitive URL matcher for the canonicalization row — scheme
+    * and host case AND an explicit `:port` must REACH the normalizer
+    * (the `url_domains` matcher has no port group, which would truncate
+    * `host:443/path` at the colon and silently lose the path before
+    * normalization ever ran — caught by the planted collapse count). */
+  private val UrlCiRe =
+    "(?i)(?:https?|ftp)://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ ]*)?"
+
+  /** URL canonicalization + dedup — the stage a web-corpus pipeline runs
+    * BEFORE fetching/joining by URL (CommonCrawl-style): lowercase
+    * scheme and host, strip the scheme's default port, strip the
+    * fragment, strip trailing path slashes, drop tracking params
+    * (`utm_*`, `fbclid`), sort the surviving query params. Path case is
+    * deliberately PRESERVED (paths are case-sensitive by spec; hosts are
+    * not). Emits per-canonical-URL link/doc counts — n_links > 1 on a
+    * canonical group is exactly the dedup signal. Every transform is a
+    * codegen regexp/array expression (no UDF) and the oracle replays the
+    * identical normalization; a planted variant cluster (ports, case,
+    * tracking params, ordering, trailing slash, fragments) collapses to
+    * 2 canonical URLs + 1 singleton or the hash compare fails.
+    *
+    * Scale shape: pure per-row projection then ONE equi-key aggregation
+    * on the canonical string — short strings shuffle, text never moves. */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = plantedCanonDocs.toDF("doc_id", "text")
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val urls = docs.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit(UrlCiRe), lit(0)))
+        .as("url"))
+    val parts = urls
+      .withColumn("scheme",
+        lower(regexp_extract(col("url"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("host",
+        lower(regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)))
+      .withColumn("path",
+        regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+      .withColumn("query", regexp_extract(col("url"), "\\?([^#]*)", 1))
+    val canon = parts
+      .withColumn("host", when(col("scheme") === "http",
+          regexp_replace(col("host"), ":80$", ""))
+        .when(col("scheme") === "https",
+          regexp_replace(col("host"), ":443$", ""))
+        .when(col("scheme") === "ftp",
+          regexp_replace(col("host"), ":21$", ""))
+        .otherwise(col("host")))
+      .withColumn("path", regexp_replace(col("path"), "/+$", ""))
+      .withColumn("params", array_sort(filter(split(col("query"), "&"),
+        p => p =!= "" && !p.rlike("^(utm_[A-Za-z]+|fbclid)="))))
+      .withColumn("canonical_url", concat(
+        col("scheme"), lit("://"), col("host"), col("path"),
+        when(size(col("params")) > 0,
+          concat(lit("?"), array_join(col("params"), "&")))
+          .otherwise(lit(""))))
+    canon.groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("canonical_url")
+  }
+
+  private val plantedCanonDocsSql = plantedCanonDocs
+    .map { case (id, text) => s"($id, ${sqlQuote(text)})" }
+    .mkString(",\n    ")
+
+  private val urlCanonicalizeSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    $plantedCanonDocsSql) AS planted(doc_id, text)),
+       |u AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '$UrlCiRe')) AS url
+       |  FROM docs),
+       |p AS (
+       |  SELECT doc_id,
+       |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+       |         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+       |         regexp_extract(url, '\\?([^#]*)', 1) AS query
+       |  FROM u),
+       |c AS (
+       |  SELECT doc_id, scheme,
+       |         CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$$', '')
+       |              WHEN scheme = 'https' THEN regexp_replace(host, ':443$$', '')
+       |              WHEN scheme = 'ftp' THEN regexp_replace(host, ':21$$', '')
+       |              ELSE host END AS host,
+       |         regexp_replace(path, '/+$$', '') AS path,
+       |         list_sort(list_filter(string_split(query, '&'),
+       |           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z]+|fbclid)='))) AS params
+       |  FROM p),
+       |k AS (
+       |  SELECT doc_id,
+       |         scheme || '://' || host || path ||
+       |         CASE WHEN len(params) > 0
+       |              THEN '?' || array_to_string(params, '&')
+       |              ELSE '' END AS canonical_url
+       |  FROM c)
+       |SELECT canonical_url, count(*) AS n_links,
+       |       count(DISTINCT doc_id) AS n_docs
+       |FROM k GROUP BY 1 ORDER BY canonical_url""".stripMargin
+
   // ---- cross-document line dedup (corpus-level boilerplate removal) ----
 
   /** Three planted docs share one boilerplate line; their other lines are
@@ -404,12 +521,14 @@ object QualityFilters extends QueryModule {
     "line_filter_c4" -> lineFilterC4,
     "pii_redaction" -> piiRedaction,
     "cross_doc_line_dedup" -> crossDocLineDedup,
-    "url_domains" -> urlDomains)
+    "url_domains" -> urlDomains,
+    "url_canonicalize" -> urlCanonicalize)
 
   def oracles: Map[String, String] = Map(
     "repetition_metrics" -> repetitionMetricsSql,
     "line_filter_c4" -> lineFilterC4Sql,
     "pii_redaction" -> piiRedactionSql,
     "cross_doc_line_dedup" -> crossDocLineDedupSql,
-    "url_domains" -> urlDomainsSql)
+    "url_domains" -> urlDomainsSql,
+    "url_canonicalize" -> urlCanonicalizeSql)
 }

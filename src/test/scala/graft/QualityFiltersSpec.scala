@@ -98,6 +98,23 @@ class QualityFiltersSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_links")).sum === 5L) // nothing from the corpus
   }
 
+  test("url_canonicalize: every planted variant axis collapses; the singleton survives; nothing from the corpus") {
+    val out = SparkEntry.queries("url_canonicalize")(spark, sf).collect()
+      .map(r => r.getAs[String]("canonical_url") ->
+        (r.getAs[Long]("n_links"), r.getAs[Long]("n_docs"))).toMap
+    // port + host-case + utm + param-order + trailing-slash + fragment
+    // variants all fold into exactly these three canonical URLs — a
+    // truncating extractor or a skipped normalization step changes the
+    // collapse counts (this is what the route-agreeing oracle alone
+    // cannot see: both engines truncating identically still compare
+    // equal)
+    assert(out === Map(
+      "https://docs.example.com/guide?a=1&b=2" -> ((2L, 2L)),
+      "http://example.com" -> ((2L, 2L)),
+      "https://example.com/other?a=1" -> ((1L, 1L))),
+      s"canonical collapse diverged: $out")
+  }
+
   test("pii_redaction: zero false positives on the clean corpus") {
     val clean = SparkEntry.queries("pii_redaction")(spark, sf)
       .filter("doc_id < 900000 AND has_pii").count()
