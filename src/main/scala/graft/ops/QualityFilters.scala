@@ -516,7 +516,97 @@ object QualityFilters extends QueryModule {
        |       count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
        |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
 
+  // ---- domain blocklist filter (suffix-set equi-join) ----
+
+  /** The blocklist: a domain blocks itself AND every subdomain — but
+    * ONLY on label boundaries (`goodtracker.net` is NOT blocked by
+    * `tracker.net`; a naive endsWith would block it). */
+  private val BlockedDomains = Seq("example.com", "tracker.net")
+
+  private val plantedBlocklistDocs = Seq(
+    (930300L, "Visit https://docs.example.com/a and https://mirror.org/b today."),
+    (930301L, "See http://example.com/x for details."),
+    (930302L, "Go https://sub.evil.tracker.net/y or https://goodtracker.net/z instead."),
+    (930303L, "Clean https://open.mirror.org/ok only."))
+
+  /** Domain-blocklist filtering — the removal stage every web corpus
+    * runs (spam/adult/tracker domains): each link's host explodes into
+    * its LABEL SUFFIXES (`a.b.c` → {a.b.c, b.c, c}) and the blocklist
+    * joins on suffix EQUALITY, so subdomains block correctly and
+    * `goodtracker.net` survives `tracker.net` (label boundaries, not
+    * substring). Per doc: distinct link count, blocked count, keep flag.
+    *
+    * Scale shape: this is the pattern that survives a million-entry
+    * blocklist — suffixes are ≤ host-label-count short strings per link
+    * and the match is an EQUI-join (broadcast for small lists, shuffle
+    * join for huge ones); the naive shapes are a LIKE/endsWith theta-
+    * join (cartesian) or a regex alternation rebuilt per blocklist
+    * change. Text never moves; only (doc_id, url, suffix) triples do. */
+  def domainBlocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = plantedBlocklistDocs.toDF("doc_id", "text")
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val urls = docs.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(UrlCiRe), lit(0)))
+          .as("url"))
+      .distinct()
+    val sfx = urls
+      .withColumn("host", lower(regexp_extract(col("url"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)))
+      .withColumn("labels", split(col("host"), "\\."))
+      .select(col("doc_id"), col("url"),
+        explode(expr("transform(sequence(1, size(labels)), " +
+          "i -> array_join(slice(labels, i, size(labels) - i + 1), '.'))"))
+          .as("sfx"))
+    val blocked = sfx
+      .join(broadcast(BlockedDomains.toDF("sfx")), Seq("sfx"), "left_semi")
+      .select("doc_id", "url").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_blocked"))
+    urls.groupBy("doc_id").agg(count(lit(1)).as("n_links"))
+      .join(blocked, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_blocked"))
+      .withColumn("kept", col("n_blocked") === 0)
+      .orderBy("doc_id")
+  }
+
+  private val plantedBlocklistDocsSql = plantedBlocklistDocs
+    .map { case (id, text) => s"($id, ${sqlQuote(text)})" }
+    .mkString(",\n    ")
+
+  private val domainBlocklistFilterSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    $plantedBlocklistDocsSql) AS planted(doc_id, text)),
+       |u AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(regexp_extract_all(text, '$UrlCiRe')) AS url
+       |  FROM docs),
+       |s AS (
+       |  SELECT doc_id, url,
+       |         unnest(list_transform(
+       |           range(1, len(string_split(lower(regexp_extract(url,
+       |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '.')) + 1),
+       |           i -> array_to_string(string_split(lower(regexp_extract(url,
+       |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '.')[i:],
+       |             '.'))) AS sfx
+       |  FROM u),
+       |b AS (
+       |  SELECT doc_id, count(DISTINCT url) AS n_blocked
+       |  FROM s WHERE sfx IN (${BlockedDomains.map(d => s"'$d'").mkString(", ")})
+       |  GROUP BY doc_id)
+       |SELECT u.doc_id, count(*) AS n_links,
+       |       COALESCE(any_value(b.n_blocked), 0) AS n_blocked,
+       |       COALESCE(any_value(b.n_blocked), 0) = 0 AS kept
+       |FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+       |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "domain_blocklist_filter" -> domainBlocklistFilter,
     "repetition_metrics" -> repetitionMetrics,
     "line_filter_c4" -> lineFilterC4,
     "pii_redaction" -> piiRedaction,
@@ -525,6 +615,7 @@ object QualityFilters extends QueryModule {
     "url_canonicalize" -> urlCanonicalize)
 
   def oracles: Map[String, String] = Map(
+    "domain_blocklist_filter" -> domainBlocklistFilterSql,
     "repetition_metrics" -> repetitionMetricsSql,
     "line_filter_c4" -> lineFilterC4Sql,
     "pii_redaction" -> piiRedactionSql,

@@ -115,6 +115,19 @@ class QualityFiltersSpec extends SparkSpec {
       s"canonical collapse diverged: $out")
   }
 
+  test("domain_blocklist_filter: subdomains block on label boundaries; goodtracker.net survives tracker.net") {
+    val out = SparkEntry.queries("domain_blocklist_filter")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_links"), r.getAs[Long]("n_blocked"),
+          r.getAs[Boolean]("kept")))).toMap
+    assert(out === Map(
+      930300L -> ((2L, 1L, false)), // docs.example.com blocked, mirror.org not
+      930301L -> ((1L, 1L, false)), // exact-domain block
+      930302L -> ((2L, 1L, false)), // sub.evil.tracker.net blocked; goodtracker.net SURVIVES
+      930303L -> ((1L, 0L, true))), // clean doc kept
+      s"blocklist semantics diverged: $out")
+  }
+
   test("pii_redaction: zero false positives on the clean corpus") {
     val clean = SparkEntry.queries("pii_redaction")(spark, sf)
       .filter("doc_id < 900000 AND has_pii").count()
