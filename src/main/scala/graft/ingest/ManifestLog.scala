@@ -42,7 +42,14 @@ object ManifestLog {
     * makes two same-numbered heads with identical CONTENT differ in
     * file length, so the listing-only fingerprint (length × mtime)
     * distinguishes a recycled root even when the rewrite lands inside
-    * the filesystem's mtime granularity with equal content. */
+    * the filesystem's mtime granularity with equal content.
+    *
+    * FORMAT COMPATIBILITY: salted readers accept both forms, so
+    * upgrade is seamless — but a PRE-SALT binary reading a salted head
+    * sees a "torn" version and silently resolves the version below it
+    * (for a forget/tombstone log that serves pre-delete state). Do NOT
+    * run pre-r18 binaries against a log root a salted binary has
+    * committed to; roll logs forward, never mixed. */
   private def isSentinel(line: String): Boolean =
     line == Sentinel || line.startsWith(Sentinel + ":")
 

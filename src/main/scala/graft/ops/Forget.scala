@@ -688,13 +688,18 @@ object Forget extends QueryModule {
     * the ledger re-excludes physically-absent ids and the next call
     * retires. Exclusive with data WRITERS and other reclaims (the
     * listing diff cannot attribute a concurrent writer's files);
-    * SAFE with concurrent composers — the raced spec pins it.
+    * SAFE with concurrent composers — the raced spec pins it. The
+    * atomic flip covers readers that RESOLVE after the publish; a
+    * reader in flight ACROSS the reclaim needs `retainVersions = 1`
+    * (see step 6 — by default its files are vacuumed promptly, the
+    * compliance contract).
     *
     * `beforeLogFold` is a test seam: the raced-composer spec injects a
     * composeDelete between PUBLISH's listing diff and CONSUME. */
   def reclaimTable(spark: SparkSession, root: String, path: String,
       partitionCols: Seq[String] = Nil, idCol: String = "doc_id",
-      beforeLogFold: () => Unit = () => ()): Unit = {
+      beforeLogFold: () => Unit = () => (),
+      retainVersions: Int = 0): Unit = {
     import spark.implicits._
     import graft.ingest.ManifestLog
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -756,15 +761,29 @@ object Forget extends QueryModule {
     beforeLogFold()
     // 4. PUBLISH
     val v = ManifestLog.commit(spark, md, _ => newFiles)
-    // 5. CONSUME the fold
+    // 5. CONSUME the fold (bounded-history commit — a reclaim-cycled
+    // table must not grow the log's version directory without bound)
     if (foldedLogIds.nonEmpty) {
       val folded = foldedLogIds.map(i => s"d:$i").toSet
-      ManifestLog.commit(spark, LateInteraction.tombstoneLogDir(path),
+      LateInteraction.tombstoneLogCommitBounded(spark, path,
         head => head.filterNot(folded))
     }
     fs.delete(p(path + "/_tombstones"), true)
-    // 6. EXPIRE + VACUUM
-    ManifestLog.expire(spark, md, keepFrom = v)
+    // 6. EXPIRE + VACUUM. retainVersions governs the Iceberg-style
+    // snapshot-retention tension: the pre-publish generation's files
+    // still hold the RECLAIMED rows' bytes (the rewrite is a new copy,
+    // not an edit), so compliance wants them gone NOW — but an in-flight
+    // reader that resolved the old head before the publish would crash
+    // mid-scan (or silently drop rows under ignoreMissingFiles) if its
+    // files vanish under it. Default 0 = prompt deletion: the
+    // compliance contract, and reclaim stays exclusive with in-flight
+    // READERS of this table (exactly the old swap's reader contract —
+    // composers remain safe either way). A serving deployment that
+    // cannot quiesce readers passes 1: the previous generation survives
+    // until the NEXT reclaim, trading deletion promptness for
+    // reader-grace, Iceberg's expire-snapshots retention shape.
+    ManifestLog.expire(spark, md,
+      keepFrom = math.max(1L, v - retainVersions))
     val referenced = ManifestLog.allReferenced(spark, md)
     LateInteraction.leafFilesAny(spark, path)
       .filterNot(referenced.contains).foreach { f =>

@@ -449,14 +449,24 @@ object LateInteraction extends QueryModule {
   def composeDelete(spark: SparkSession, path: String,
       ids: Seq[Long]): Unit = {
     val add = ids.distinct.map(i => s"d:$i")
-    val dir = tombstoneLogDir(path)
-    val v = graft.ingest.ManifestLog.commit(spark, dir,
+    tombstoneLogCommitBounded(spark, path,
       head => (head ++ add).distinct.sortBy {
         case TombstoneLogLine(id) => id.toLong
         case bad => throw new IllegalStateException(
           s"corrupted _tombstones_log line '$bad' under $path — refusing " +
             "to commit over a log this serve could not read back")
       })
+  }
+
+  /** The ONE bounded-history commit for the tombstone log — every log
+    * writer (composeDelete's adds AND reclaim's fold consumption) goes
+    * through it, so no writer can grow the version directory without
+    * bound (a reclaim-cycled table would otherwise accumulate one
+    * unexpired version per reclaim and pay ever-slower head listings). */
+  private[graft] def tombstoneLogCommitBounded(spark: SparkSession,
+      path: String, update: Seq[String] => Seq[String]): Unit = {
+    val dir = tombstoneLogDir(path)
+    val v = graft.ingest.ManifestLog.commit(spark, dir, update)
     if (v > TombstoneLogKeepVersions)
       graft.ingest.ManifestLog.expire(spark, dir,
         keepFrom = v - TombstoneLogKeepVersions)
@@ -612,7 +622,12 @@ object LateInteraction extends QueryModule {
     // clears the directory, manifest included.
     val spark = docs.sparkSession
     val md = tableManifestDir(path)
+    // ONE table-dir listing gates the probe: staging tables and the
+    // streaming micro-batch ingest path append every batch and can
+    // never be manifest-versioned — they must not pay a per-append
+    // manifest-dir round-trip that always answers "none"
     val manifested = mode == "append" &&
+      probeTableDir(spark, path).hasManifest &&
       graft.ingest.ManifestLog.currentVersion(spark, md) > 0L
     val before =
       if (manifested) leafFilesAny(spark, path).toSet else Set.empty[String]

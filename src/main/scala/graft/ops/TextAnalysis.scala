@@ -1607,11 +1607,17 @@ object TextAnalysis extends QueryModule {
     * symbols inside the marker/SQL-literal safe set; merged symbols are
     * hex-pair concatenations, the direct analogue of GPT-2's
     * byte-to-unicode display alphabet. */
+  /** The ONE hex-pair marker-segmentation expression (over a column
+    * named `h` holding `hex(encode(w, 'UTF-8'))`) — training seg0 and
+    * the unseen-encode path must stay byte-identical, so both read it
+    * from here. */
+  private val byteSeg0Expr =
+    "concat_ws('', transform(sequence(1, length(h) div 2), " +
+      "i -> concat('<', substr(h, 2*i - 1, 2), '>')))"
+
   private def bpeByteSeg0(words: DataFrame): DataFrame =
     words.select(hex(encode(col("w"), "UTF-8")).as("h"), col("freq"))
-      .select(expr("concat_ws('', transform(sequence(1, length(h) div 2), " +
-        "i -> concat('<', substr(h, 2*i - 1, 2), '>')))").as("seg"),
-        col("freq"))
+      .select(expr(byteSeg0Expr).as("seg"), col("freq"))
 
   /** The byte-level front-end over an explicit (w, freq) frame — the
     * property spec runs it against the in-memory reference BPE over
@@ -1747,9 +1753,7 @@ object TextAnalysis extends QueryModule {
         lit(BytePretokenPattern), lit(0))).as(Seq("tok_pos", "w")))
     val seg0 = toks
       .select(col("tok_pos"), hex(encode(col("w"), "UTF-8")).as("h"))
-      .select(col("tok_pos"),
-        expr("concat_ws('', transform(sequence(1, length(h) div 2), " +
-          "i -> concat('<', substr(h, 2*i - 1, 2), '>')))").as("seg"))
+      .select(col("tok_pos"), expr(byteSeg0Expr).as("seg"))
     val encoded = merges.foldLeft(seg0) { case (df, (_, l, r, _)) =>
       df.withColumn("seg", expr(s"replace(seg, '<$l><$r>', '<$l$r>')"))
     }
@@ -1949,12 +1953,18 @@ object TextAnalysis extends QueryModule {
       shuffleExportFrame(spark, dir)
         .write.mode("overwrite").parquet(path)
     }
+    // physical position = (file, row-in-file): row_index is per-FILE, so
+    // a shard that spans several files (maxRecordsPerFile, a committer
+    // change) would alias row indexes across them — ordering by file
+    // path first keeps the witness faithful (one task writes a shard,
+    // and its files' c000/c001… suffixes sort in write order)
     spark.read.parquet(path)
       .select(col("shard"), col("doc_id"),
+        col("_metadata.file_path").as("fp"),
         col("_metadata.row_index").as("ri"))
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("shard").orderBy("ri")).cast("long"))
+          .partitionBy("shard").orderBy("fp", "ri")).cast("long"))
       .select("shard", "pos", "doc_id")
       .orderBy("shard", "pos")
   }

@@ -341,15 +341,21 @@ object VectorSearch extends QueryModule {
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
     val path = Tables.scratchPath("trigram_postings_wc", dir)
     ResultCache.buildIfAbsent(spark, docs,
-      "trigram:n=3:planted=wherecontains:v1", path) {
+      "trigram:n=3:planted=wherecontains:v2", path) {
       // the index job: full lowercased trigram enumeration per doc,
       // deduped, range-clustered by trigram so a needle's IN-filter
-      // prunes to the few row groups holding its posting lists
+      // prunes to the few row groups holding its posting lists.
+      // Enumerate over the LOWERED string's own length: lowercasing can
+      // CHANGE length (İ → i + combining dot), and sequencing over the
+      // original text's length would drop the lowered text's trailing
+      // trigrams — a doc the scan route matches would then fail the
+      // all-trigrams gate and silently vanish from the indexed route
       docs.unionByName(plantedAll)
-        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+        .filter(length(col("lt")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, length(text) - 2), " +
-            "i -> substr(lower(text), i, 3))"))).as("tg"))
+          "transform(sequence(1, length(lt) - 2), " +
+            "i -> substr(lt, i, 3))"))).as("tg"))
         .repartitionByRange(8, col("tg"))
         .sortWithinPartitions("tg")
         .write.mode("overwrite").parquet(path)

@@ -21,6 +21,15 @@ package graft.text
   */
 object LocalBpe {
 
+  /** A string ordered by its UTF-8 BYTES (unsigned) — the collation
+    * Spark's UTF8String and DuckDB both sort by. */
+  private final class Utf8Key(s: String) extends Ordered[Utf8Key] {
+    val bytes: Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    override def compare(that: Utf8Key): Int =
+      java.util.Arrays.compareUnsigned(bytes, that.bytes)
+  }
+
   /** One greedy left-to-right merge pass over a segmentation. */
   private[graft] def mergeLR(syms: Vector[String], l: String,
       r: String): Vector[String] = {
@@ -54,10 +63,15 @@ object LocalBpe {
       }
       if (counts.isEmpty) done = true
       else {
-        // max count, then ascending on the joined pair string — the
-        // EXACT tie order the distributed argmax and the oracle use
-        val ((l, r), c) = counts.minBy { case ((a, b), n) =>
-          (-n, a + "|" + b)
+        // max count, then ascending on the joined pair string in BINARY
+        // UTF-8 order — the EXACT tie order the distributed argmax
+        // (Spark's UTF8String compare) and the DuckDB oracle use.
+        // Java's String.compareTo orders UTF-16 code units, which
+        // DISAGREES with UTF-8 byte order for supplementary-plane
+        // symbols vs U+E000–U+FFFF — latent for today's hex/char
+        // alphabets, fatal for a caller feeding arbitrary symbols.
+        val ((l, r), c) = counts.minBy[(Long, Utf8Key)] {
+          case ((a, b), n) => (-n, new Utf8Key(a + "|" + b))
         }
         segs = segs.groupMapReduce { case (syms, _) =>
           mergeLR(syms, l, r) }(_._2)(_ + _)
