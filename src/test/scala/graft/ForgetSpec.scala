@@ -619,6 +619,50 @@ class ForgetSpec extends SparkSpec {
       Set(2L))
   }
 
+  test("reclaimTable retainVersions=1 keeps the previous generation's files until the next reclaim; default 0 deletes promptly") {
+    import graft.ops.LateInteraction
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("reclaimretain").toString
+    val path = base + "/postings"
+    val root = base + "/ledger"
+    LateInteraction.writePostings(
+      Seq((1L, "alpha beta"), (2L, "gamma delta"))
+        .toDF("doc_id", "text"), path, "overwrite")
+    val genA = LateInteraction.leafFilesAny(spark, path).toSet
+    assert(genA.nonEmpty)
+    // grace reclaim: the pre-publish generation must SURVIVE on disk
+    // (an in-flight reader of the old head keeps scanning), though the
+    // head serves only the rewrite
+    LateInteraction.composeDelete(spark, path, Seq(1L))
+    Forget.reclaimTable(spark, root, path, partitionCols = Seq("wb"),
+      retainVersions = 1)
+    val afterFirst = LateInteraction.leafFilesAny(spark, path).toSet
+    assert(genA.subsetOf(afterFirst),
+      "retainVersions=1 must keep the previous generation's files")
+    assert(LateInteraction.resolvedPostings(spark, path)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(2L), "the head must serve ONLY the rewrite despite retention")
+    // next reclaim (default retention): the retained generation expires
+    // and its files vacuum — the compliance end state
+    LateInteraction.composeDelete(spark, path, Seq(2L))
+    intercept[IllegalArgumentException] {
+      // rewriting away the last doc empties the table — must refuse
+      Forget.reclaimTable(spark, root, path, partitionCols = Seq("wb"))
+    }
+    // re-add a survivor so the rewrite is non-empty, then reclaim
+    LateInteraction.writePostings(
+      Seq((3L, "epsilon zeta")).toDF("doc_id", "text"), path, "append")
+    Forget.reclaimTable(spark, root, path, partitionCols = Seq("wb"))
+    val afterSecond = LateInteraction.leafFilesAny(spark, path).toSet
+    assert(genA.intersect(afterSecond).isEmpty,
+      "the second reclaim must vacuum the generation the first retained")
+    assert(LateInteraction.resolvedPostings(spark, path)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(3L))
+  }
+
   test("reclaimTable is idempotent across its crash windows: re-applied tombstone state no-ops against the rewrite") {
     import graft.ops.LateInteraction
     val spark2 = spark

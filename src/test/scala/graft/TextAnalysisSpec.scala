@@ -359,6 +359,36 @@ class TextAnalysisSpec extends SparkSpec {
       s"the write path must not materialize ranks:\n$plan")
   }
 
+  test("shuffle export read-back order is faithful even when one shard spans several files") {
+    // force multi-file shards (maxRecordsPerFile) and replicate the
+    // row's read-back: (file_path, row_index) ordering must still
+    // reproduce the rank witness — per-file row_index alone would alias
+    // positions across a shard's files
+    val out = java.nio.file.Files
+      .createTempDirectory("shuffleexport_mf").toString + "/ep"
+    graft.ops.TextAnalysis.shuffleExportFrame(spark, sf)
+      .write.option("maxRecordsPerFile", 7)
+      .mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files > 16, s"expected multi-file shards, got $files files")
+    val readBack = spark.read.parquet(out)
+      .select(col("shard"), col("doc_id"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("fp", "ri")).cast("long"))
+      .select("shard", "pos", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val witness = SparkEntry.queries("dataset_shuffle_shards")(spark, sf)
+      .collect().map(r => (r.getAs[String]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("doc_id"))).toSeq
+    assert(readBack === witness,
+      "multi-file shards must still read back in the witnessed order")
+  }
+
   test("bpe_pair_counts: top pair count matches an independent driver-side recount") {
     val out = SparkEntry.queries("bpe_pair_counts")(spark, sf).collect()
     assert(out.length === 20)
