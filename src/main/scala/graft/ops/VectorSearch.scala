@@ -342,20 +342,7 @@ object VectorSearch extends QueryModule {
     val path = Tables.scratchPath("trigram_postings_wc", dir)
     ResultCache.buildIfAbsent(spark, docs,
       "trigram:n=3:planted=wherecontains:v2", path) {
-      // the index job: full lowercased trigram enumeration per doc,
-      // deduped, range-clustered by trigram so a needle's IN-filter
-      // prunes to the few row groups holding its posting lists.
-      // Enumerate over the LOWERED string's own length: lowercasing can
-      // CHANGE length (İ → i + combining dot), and sequencing over the
-      // original text's length would drop the lowered text's trailing
-      // trigrams — a doc the scan route matches would then fail the
-      // all-trigrams gate and silently vanish from the indexed route
-      docs.unionByName(plantedAll)
-        .select(col("doc_id"), lower(col("text")).as("lt"))
-        .filter(length(col("lt")) >= 3)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, length(lt) - 2), " +
-            "i -> substr(lt, i, 3))"))).as("tg"))
+      trigramPostingsFrame(docs.unionByName(plantedAll))
         .repartitionByRange(8, col("tg"))
         .sortWithinPartitions("tg")
         .write.mode("overwrite").parquet(path)
@@ -394,6 +381,21 @@ object VectorSearch extends QueryModule {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
       .select(col("rank"), col("doc_id").as("top_doc_id"))
   }
+
+  /** The trigram index job: full lowercased trigram enumeration per
+    * (doc_id, text), deduped. Enumerate over the LOWERED string's OWN
+    * length: lowercasing can CHANGE length (İ → i + combining dot), and
+    * sequencing over the original text's length would drop the lowered
+    * text's trailing trigrams — a doc the scan route matches would then
+    * fail the all-trigrams gate and silently vanish from the indexed
+    * route (regression spec feeds a length-changing doc). */
+  private[graft] def trigramPostingsFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .filter(length(col("lt")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, length(lt) - 2), " +
+          "i -> substr(lt, i, 3))"))).as("tg"))
 
   /** Route-independent REPLAYED oracle shared by the scan and trigram
     * routes: DuckDB rebuilds the planted corpus from doc 0's text,

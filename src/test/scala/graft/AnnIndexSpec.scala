@@ -99,6 +99,21 @@ class AnnIndexSpec extends SparkSpec {
       "the semi-join fallback arm must serve the scan route's answer")
   }
 
+  test("trigram index job enumerates over the LOWERED text's own length (length-changing lowercase)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Turkish dotted capital I (U+0130) lowercases to 'i' + combining
+    // dot (U+0069 U+0307): the lowered string is one char LONGER than
+    // the raw one, so a raw-length sequence would stop one trigram
+    // short and drop the tail trigram "zbb" from the posting lists
+    val doc = Seq((1L, "x\u0130 zzbb")).toDF("doc_id", "text")
+    val tgs = graft.ops.VectorSearch.trigramPostingsFrame(doc)
+      .collect().map(_.getAs[String]("tg")).toSet
+    assert(tgs.contains("zbb"),
+      s"trailing trigram of the LOWERED text must be indexed: $tgs")
+    assert(tgs.contains("zzb"))
+  }
+
   test("knn_l2_topk: squared-euclidean ordering inverts cosine on the unit-normalized store") {
     val l2 = SparkEntry.queries("knn_l2_topk")(spark, sf)
       .collect().map(_.getAs[Long]("vec_id")).toSeq
