@@ -611,6 +611,71 @@ object TextAnalysis extends QueryModule {
     * is NOT enumerable: this corpus contains genuine near-dup/superset
     * pairs that a correct decontaminator also flags.)
     */
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * winnowing (exact n-gram) pass: a train doc is removed when its
+    * embedding sits above a similarity threshold against ANY benchmark
+    * item, catching near-verbatim leakage (reformatted, re-chunked, or
+    * lightly edited copies) that exact n-gram fingerprints can miss —
+    * standard post-hoc eval hygiene in pretraining reports; the
+    * threshold dials how loose a match counts (this row's 0.999 is the
+    * near-verbatim end; a production embedder catches paraphrase at
+    * lower thresholds through the same plan). The
+    * benchmark here is three items whose text IS the first three
+    * md5-UNIQUE corpus docs (unique ⇒ no other doc shares their text ⇒
+    * the contaminated set is enumerable: exactly those three sources)
+    * plus one NOVEL item that must match nothing — a false positive
+    * emits a (doc, 4) pair and fails the compare. Identical text ⇒
+    * identical hash embedding ⇒ rounded cosine 1.0; distinct corpus
+    * texts scoring ≥ 0.999 would break the construction and fail
+    * LOUDLY (verified absent in the testdata — the embed_selfknn
+    * discipline).
+    *
+    * Scale shape: the benchmark side is SMALL by nature (an eval suite)
+    * and broadcasts; the corpus never moves and each doc scores |bench|
+    * dot products in one codegen projection. A benchmark too large to
+    * broadcast routes through the ANN families instead (each bench item
+    * is a query; the contaminated set is the union of its
+    * above-threshold neighbors). */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 256
+    val embed = udf((t: String) =>
+      graft.vector.Embedding.hashingEmbed(t, dim))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // first three md5-unique docs, deterministically (id order)
+    val sources = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"),
+        min(col("text")).as("text"))
+      .filter(col("n") === 1)
+      .orderBy("doc_id").limit(3)
+      .withColumn("bench_id", row_number().over(
+        Window.orderBy(col("doc_id"))).cast("long"))
+      .select(col("bench_id"), col("text"))
+    import spark.implicits._
+    val novel = Seq((4L, "zzqx novel benchmark item zzqy never in corpus"))
+      .toDF("bench_id", "text")
+    val bench = sources.unionByName(novel)
+      .withColumn("bvec", embed(col("text"))).select("bench_id", "bvec")
+    docs.withColumn("dvec", embed(col("text")))
+      .crossJoin(broadcast(bench))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(col("dvec"), col("bvec")), 6))
+      .filter(col("score") >= 0.999)
+      .select(col("doc_id"), col("bench_id"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** The three unique sources pair with their own bench items; the
+    * novel item pairs with nothing. */
+  private val decontaminateSemanticSql =
+    """WITH h AS (
+      |  SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS doc_id
+      |  FROM documents GROUP BY 1),
+      |uniq AS (SELECT doc_id FROM h WHERE n = 1 ORDER BY doc_id LIMIT 3)
+      |SELECT doc_id,
+      |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS bench_id
+      |FROM uniq ORDER BY doc_id, bench_id""".stripMargin
+
   def decontaminatePlanted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val benchTexts = (0 until 40).map { i =>
@@ -2007,6 +2072,7 @@ object TextAnalysis extends QueryModule {
     "stratified_sample" -> stratifiedSample,
     "mixture_weights" -> mixtureWeights,
     "decontaminate_planted" -> decontaminatePlanted,
+    "decontaminate_semantic" -> decontaminateSemantic,
     "corpus_curation" -> corpusCuration,
     "text_quality" -> textQuality,
     "quality_histogram" -> qualityHistogram,
@@ -2043,6 +2109,7 @@ object TextAnalysis extends QueryModule {
     "stratified_sample" -> stratifiedSampleSql,
     "mixture_weights" -> mixtureWeightsSql,
     "decontaminate_planted" -> decontaminatePlantedSql,
+    "decontaminate_semantic" -> decontaminateSemanticSql,
     "corpus_curation" -> corpusCurationSql,
     "text_quality" -> textQualitySql,
     "quality_histogram" -> qualityHistogramSql,

@@ -359,6 +359,20 @@ class TextAnalysisSpec extends SparkSpec {
       s"the write path must not materialize ranks:\n$plan")
   }
 
+  test("decontaminate_semantic: exactly the three unique sources flag; the novel bench item matches nothing") {
+    val out = SparkEntry.queries("decontaminate_semantic")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bench_id"))).toSeq
+    assert(out.length === 3)
+    assert(out.map(_._2).toSet === Set(1L, 2L, 3L),
+      "the novel bench item (4) must never match a corpus doc")
+    // each bench item flags exactly its own source (identical text ->
+    // identical embedding -> rounded cosine 1.0), and no OTHER corpus
+    // doc crosses the 0.999 near-verbatim threshold against any item —
+    // the no-false-positives half of the construction
+    assert(out.map(_._1).distinct.length === 3)
+  }
+
   test("shuffle export read-back order is faithful even when one shard spans several files") {
     // force multi-file shards (maxRecordsPerFile) and replicate the
     // row's read-back: (file_path, row_index) ordering must still
