@@ -283,6 +283,65 @@ object VectorSearch extends QueryModule {
       .select(col("rank"), col("doc_id").as("top_doc_id"))
   }
 
+  /** Chroma's `where_document={"$and": [{"$contains": a}, {"$contains":
+    * b}]}` composed with k-NN — the conjunctive document filter next to
+    * the single-clause row. The planted construction makes BOTH clauses
+    * load-bearing: group B (' zzaa zzbb') carries both terms; group D
+    * (' zzbb zzcc', ids 340000+) carries ONLY `zzbb`, so it would
+    * survive a single-clause `zzbb` filter and is excluded exactly by
+    * the `zzaa` clause — the answer is B's five copies alone (tied
+    * identical embeddings, ranked by id), enumerable because no natural
+    * doc carries either sentinel. Both predicates are pushed scan
+    * filters; at scale each clause probes the trigram index and the
+    * candidate sets INTERSECT before the verify (the same posting
+    * machinery, one more count-distinct gate). */
+  def knnWhereContainsAnd(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 256
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAB) = whereContainsCorpus(spark, dir)
+    val base0 = docs.filter(col("doc_id") === 0L).select(col("text").as("base"))
+    val d = spark.range(340000L, 340005L).toDF("doc_id")
+      .crossJoin(broadcast(base0))
+      .select(col("doc_id"), concat(col("base"), lit(" zzbb zzcc")).as("text"))
+    val corpus = docs.unionByName(plantedAB).unionByName(d)
+      .withColumn("embedding", embed(col("text")))
+    val qv = corpus.filter(col("doc_id") === 300000L)
+      .select(col("embedding").as("qvec"))
+    val top = corpus
+      .filter(col("text").contains("zzaa") && col("text").contains("zzbb"))
+      .crossJoin(broadcast(qv))
+      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id").as("top_doc_id"))
+  }
+
+  /** Replayed conjunctive oracle: rebuild A∪B∪D, apply BOTH contains
+    * clauses, rank survivors by id (the B-tie construction). */
+  private val knnWhereContainsAndSql =
+    """WITH base AS (SELECT text FROM documents WHERE doc_id = 0),
+      |a AS (SELECT CAST(300000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzaa' AS text
+      |      FROM range(5) r, base b),
+      |bb AS (SELECT CAST(320000 + r.range AS BIGINT) AS doc_id,
+      |              b.text || ' zzaa zzbb' AS text
+      |       FROM range(5) r, base b),
+      |d AS (SELECT CAST(340000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzbb zzcc' AS text
+      |      FROM range(5) r, base b),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM a
+      |  UNION ALL SELECT doc_id, text FROM bb
+      |  UNION ALL SELECT doc_id, text FROM d),
+      |cand AS (SELECT doc_id FROM corpus
+      |         WHERE contains(text, 'zzaa') AND contains(text, 'zzbb'))
+      |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS rank,
+      |       doc_id AS top_doc_id
+      |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
+      |ORDER BY rank""".stripMargin
+
   /** The shared `$contains` planted corpus: (base docs, planted A∪B).
     * Lazy planted construction (the embedDocumentsKnn discipline): the
     * doc-0 text rides a 1-row broadcast — no driver action at plan
@@ -933,6 +992,7 @@ object VectorSearch extends QueryModule {
     "embed_documents_knn" -> embedDocumentsKnn,
     "knn_where_contains" -> knnWhereContains,
     "knn_where_contains_indexed" -> knnWhereContainsIndexed,
+    "knn_where_contains_and" -> knnWhereContainsAnd,
     "embed_selfknn_planted" -> embedSelfKnnPlanted)
 
   def oracles: Map[String, String] = Map(
@@ -955,5 +1015,6 @@ object VectorSearch extends QueryModule {
     "embed_documents_knn" -> embedDocumentsKnnSql,
     "knn_where_contains" -> knnWhereContainsSql,
     "knn_where_contains_indexed" -> knnWhereContainsSql,
+    "knn_where_contains_and" -> knnWhereContainsAndSql,
     "embed_selfknn_planted" -> embedSelfKnnPlantedSql)
 }

@@ -99,6 +99,19 @@ class AnnIndexSpec extends SparkSpec {
       "the semi-join fallback arm must serve the scan route's answer")
   }
 
+  test("knn_where_contains_and: BOTH clauses are load-bearing — the zzbb-only group is excluded by the zzaa clause") {
+    assert(Tables.documents(spark, sf)
+      .filter(col("text").contains("zzaa") || col("text").contains("zzbb"))
+      .count() === 0L, "no natural doc may carry either sentinel")
+    val out = SparkEntry.queries("knn_where_contains_and")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(out === (320000L to 320004L),
+      s"only the both-terms group may serve: $out")
+    assert(out.forall(id => id < 340000L),
+      "group D carries zzbb but NOT zzaa — its presence means the " +
+        "conjunction degenerated to a single clause")
+  }
+
   test("trigram index job enumerates over the LOWERED text's own length (length-changing lowercase)") {
     val spark2 = spark
     import spark2.implicits._
