@@ -342,6 +342,66 @@ object VectorSearch extends QueryModule {
       |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
       |ORDER BY rank""".stripMargin
 
+  /** Chroma's `where` (metadata) AND `where_document` ($contains) in
+    * ONE query — the fully-composed filtered retrieval the store
+    * exposes (`collection.query(..., where={...},
+    * where_document={...})`). Planted groups E (source='eval_a') and F
+    * (source='eval_b') carry IDENTICAL text (⇒ identical embeddings ⇒
+    * an exact tie) and both contain the document sentinel — so the
+    * `$contains` clause alone cannot separate them and the metadata
+    * clause alone cannot exclude the naturals: only the CONJUNCTION
+    * yields F's five copies, ranked by id. Metadata is a pushed scan
+    * predicate (at scale: a partition/zone-map prune on the metadata
+    * column); the document clause routes per the contains rows. */
+  def knnWhereMetadataAndDocument(spark: SparkSession,
+      dir: String): DataFrame = {
+    val dim = 256
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val base0 = docs.filter(col("doc_id") === 0L).select(col("text").as("base"))
+    def planted(from: Long, source: String): DataFrame =
+      spark.range(from, from + 5).toDF("doc_id")
+        .crossJoin(broadcast(base0))
+        .select(col("doc_id"), concat(col("base"), lit(" zzmm")).as("text"),
+          lit(source).as("source"))
+    val corpus = docs
+      .unionByName(planted(360000L, "eval_a"))
+      .unionByName(planted(380000L, "eval_b"))
+      .withColumn("embedding", embed(col("text")))
+    val qv = corpus.filter(col("doc_id") === 360000L)
+      .select(col("embedding").as("qvec"))
+    val top = corpus
+      .filter(col("source") === "eval_b" && col("text").contains("zzmm"))
+      .crossJoin(broadcast(qv))
+      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id").as("top_doc_id"))
+  }
+
+  /** Replayed composed oracle: rebuild E∪F, apply BOTH the metadata and
+    * document clauses, rank the surviving tie by id. */
+  private val knnWhereMetadataAndDocumentSql =
+    """WITH base AS (SELECT text FROM documents WHERE doc_id = 0),
+      |e AS (SELECT CAST(360000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzmm' AS text, 'eval_a' AS source
+      |      FROM range(5) r, base b),
+      |f AS (SELECT CAST(380000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzmm' AS text, 'eval_b' AS source
+      |      FROM range(5) r, base b),
+      |corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL SELECT * FROM e
+      |  UNION ALL SELECT * FROM f),
+      |cand AS (SELECT doc_id FROM corpus
+      |         WHERE source = 'eval_b' AND contains(text, 'zzmm'))
+      |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS rank,
+      |       doc_id AS top_doc_id
+      |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
+      |ORDER BY rank""".stripMargin
+
   /** The shared `$contains` planted corpus: (base docs, planted A∪B).
     * Lazy planted construction (the embedDocumentsKnn discipline): the
     * doc-0 text rides a 1-row broadcast — no driver action at plan
@@ -993,6 +1053,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains" -> knnWhereContains,
     "knn_where_contains_indexed" -> knnWhereContainsIndexed,
     "knn_where_contains_and" -> knnWhereContainsAnd,
+    "knn_where_metadata_document" -> knnWhereMetadataAndDocument,
     "embed_selfknn_planted" -> embedSelfKnnPlanted)
 
   def oracles: Map[String, String] = Map(
@@ -1016,5 +1077,6 @@ object VectorSearch extends QueryModule {
     "knn_where_contains" -> knnWhereContainsSql,
     "knn_where_contains_indexed" -> knnWhereContainsSql,
     "knn_where_contains_and" -> knnWhereContainsAndSql,
+    "knn_where_metadata_document" -> knnWhereMetadataAndDocumentSql,
     "embed_selfknn_planted" -> embedSelfKnnPlantedSql)
 }

@@ -112,6 +112,22 @@ class AnnIndexSpec extends SparkSpec {
         "conjunction degenerated to a single clause")
   }
 
+  test("knn_where_metadata_document: identical-text tie separated ONLY by the metadata clause; contains excludes the naturals") {
+    assert(Tables.documents(spark, sf)
+      .filter(col("text").contains("zzmm")).count() === 0L,
+      "no natural doc may carry the document sentinel")
+    val out = SparkEntry.queries("knn_where_metadata_document")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(out === (380000L to 380004L),
+      s"only the eval_b metadata group may serve: $out")
+    // groups E and F have IDENTICAL text — the $contains clause cannot
+    // tell them apart; eval_a ids present means the metadata clause
+    // never applied
+    assert(out.forall(_ >= 380000L),
+      "eval_a's tied copies served — the where (metadata) clause is " +
+        "not load-bearing")
+  }
+
   test("trigram index job enumerates over the LOWERED text's own length (length-changing lowercase)") {
     val spark2 = spark
     import spark2.implicits._
