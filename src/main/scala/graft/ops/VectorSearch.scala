@@ -298,12 +298,8 @@ object VectorSearch extends QueryModule {
   def knnWhereContainsAnd(spark: SparkSession, dir: String): DataFrame = {
     val dim = 256
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
-    val (docs, plantedAB) = whereContainsCorpus(spark, dir)
-    val base0 = docs.filter(col("doc_id") === 0L).select(col("text").as("base"))
-    val d = spark.range(340000L, 340005L).toDF("doc_id")
-      .crossJoin(broadcast(base0))
-      .select(col("doc_id"), concat(col("base"), lit(" zzbb zzcc")).as("text"))
-    val corpus = docs.unionByName(plantedAB).unionByName(d)
+    val (docs, plantedABD) = whereContainsAndCorpus(spark, dir)
+    val corpus = docs.unionByName(plantedABD)
       .withColumn("embedding", embed(col("text")))
     val qv = corpus.filter(col("doc_id") === 300000L)
       .select(col("embedding").as("qvec"))
@@ -409,12 +405,26 @@ object VectorSearch extends QueryModule {
   private def whereContainsCorpus(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    (docs, whereContainsPlanted(spark, docs, 300000L, " zzaa")
+      .unionByName(whereContainsPlanted(spark, docs, 320000L, " zzaa zzbb")))
+  }
+
+  /** The conjunction rows' corpus: A∪B plus group D (' zzbb zzcc',
+    * ids 340000+) which carries ONLY the second term — the group the
+    * `zzaa` clause must exclude. */
+  private def whereContainsAndCorpus(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (docs, ab) = whereContainsCorpus(spark, dir)
+    (docs, ab.unionByName(
+      whereContainsPlanted(spark, docs, 340000L, " zzbb zzcc")))
+  }
+
+  private def whereContainsPlanted(spark: SparkSession, docs: DataFrame,
+      from: Long, suffix: String): DataFrame = {
     val base0 = docs.filter(col("doc_id") === 0L).select(col("text").as("base"))
-    def planted(from: Long, suffix: String): DataFrame =
-      spark.range(from, from + 5).toDF("doc_id")
-        .crossJoin(broadcast(base0))
-        .select(col("doc_id"), concat(col("base"), lit(suffix)).as("text"))
-    (docs, planted(300000L, " zzaa").unionByName(planted(320000L, " zzaa zzbb")))
+    spark.range(from, from + 5).toDF("doc_id")
+      .crossJoin(broadcast(base0))
+      .select(col("doc_id"), concat(col("base"), lit(suffix)).as("text"))
   }
 
   /** Above this many trigram-index candidates the serve stops collecting
@@ -447,33 +457,65 @@ object VectorSearch extends QueryModule {
     * the distributed semi-join arm and pin route equality on it too. */
   private[graft] def knnWhereContainsIndexedCapped(spark: SparkSession,
       dir: String, cap: Int): DataFrame = {
+    val (_, plantedAll) = whereContainsCorpus(spark, dir)
+    whereContainsIndexedCore(spark, dir, cap, Seq("zzbb"), plantedAll,
+      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v2")
+  }
+
+  /** The AND row through the index — the composition its scan sibling's
+    * doc promises: each clause's trigrams probe the SAME posting table
+    * and the per-needle all-trigrams gates INTERSECT inside one
+    * aggregation (a conditional countDistinct per needle — no
+    * join-per-clause), then both substrings verify on the surviving
+    * candidates only. Same answer as [[knnWhereContainsAnd]]; same
+    * replayed oracle (the router discipline). */
+  def knnWhereContainsAndIndexed(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (_, plantedAll) = whereContainsAndCorpus(spark, dir)
+    whereContainsIndexedCore(spark, dir, WhereContainsPushdownCap,
+      Seq("zzaa", "zzbb"), plantedAll,
+      "trigram_postings_wca", "trigram:n=3:planted=wherecontains_and:v1")
+  }
+
+  /** The shared trigram-routed `$contains` serve over ANY conjunction of
+    * needles: posting probe restricted to the union of the needles'
+    * trigrams (pushed IN), one aggregation gating each needle's full
+    * trigram set per doc, bounded-probe candidate fetch (pushed ids or
+    * distributed semi-join above `cap`), substring verify per needle on
+    * candidates only, then k-NN against the 300000-group query. */
+  private def whereContainsIndexedCore(spark: SparkSession, dir: String,
+      cap: Int, needles: Seq[String], plantedAll: DataFrame,
+      fixtureName: String, fixtureTag: String): DataFrame = {
     val dim = 256
-    val needle = "zzbb"
     // a needle shorter than one trigram has NO posting lists — sliding(3)
     // would yield a short pseudo-trigram matching nothing and the serve
     // would silently return empty instead of the filter's real answer;
     // short needles belong on the scan route
-    require(needle.length >= 3,
-      s"trigram route needs a needle of >= 3 chars, got '$needle' — " +
-        "serve short needles through the contains scan instead")
+    needles.foreach(n => require(n.length >= 3,
+      s"trigram route needs needles of >= 3 chars, got '$n' — " +
+        "serve short needles through the contains scan instead"))
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
-    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
-    val path = Tables.scratchPath("trigram_postings_wc", dir)
-    ResultCache.buildIfAbsent(spark, docs,
-      "trigram:n=3:planted=wherecontains:v2", path) {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val path = Tables.scratchPath(fixtureName, dir)
+    ResultCache.buildIfAbsent(spark, docs, fixtureTag, path) {
       trigramPostingsFrame(docs.unionByName(plantedAll))
         .repartitionByRange(8, col("tg"))
         .sortWithinPartitions("tg")
         .write.mode("overwrite").parquet(path)
     }
-    val tgs = needle.toLowerCase.sliding(3).toSeq.distinct
+    val tgSets = needles.map(_.toLowerCase.sliding(3).toSeq.distinct)
+    val allTgs = tgSets.flatten.distinct
+    val gates = tgSets.zipWithIndex.map { case (tgs, i) =>
+      countDistinct(when(col("tg").isin(tgs: _*), col("tg"))).as(s"n_tg$i")
+    }
     val candidates = spark.read.parquet(path)
-      .filter(col("tg").isin(tgs: _*))
-      .groupBy("doc_id").agg(countDistinct(col("tg")).as("n_tg"))
-      .filter(col("n_tg") === tgs.size)
+      .filter(col("tg").isin(allTgs: _*))
+      .groupBy("doc_id").agg(gates.head, gates.tail: _*)
+      .filter(tgSets.zipWithIndex.map { case (tgs, i) =>
+        col(s"n_tg$i") === tgs.size }.reduce(_ && _))
       .select("doc_id")
     // bounded probe: take cap+1 — the driver sees at most cap+1 ids,
-    // never the full candidate set, whatever the needle's selectivity
+    // never the full candidate set, whatever the needles' selectivity
     val probe = candidates.limit(cap + 1)
       .collect().map(_.getLong(0))
     val verified =
@@ -484,11 +526,12 @@ object VectorSearch extends QueryModule {
         docs.filter(col("doc_id").isin(ids: _*))
           .unionByName(plantedAll.filter(col("doc_id").isin(ids: _*)))
       } else {
-        // a low-selectivity needle: candidates stay distributed
+        // low-selectivity needles: candidates stay distributed
         docs.unionByName(plantedAll)
           .join(candidates.hint("broadcast"), Seq("doc_id"), "left_semi")
       }
-    val cand = verified.filter(col("text").contains(needle))
+    val cand = needles
+      .foldLeft(verified)((df, n) => df.filter(col("text").contains(n)))
       .withColumn("embedding", embed(col("text")))
     val qv = plantedAll.filter(col("doc_id") === 300000L)
       .withColumn("embedding", embed(col("text")))
@@ -1053,6 +1096,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains" -> knnWhereContains,
     "knn_where_contains_indexed" -> knnWhereContainsIndexed,
     "knn_where_contains_and" -> knnWhereContainsAnd,
+    "knn_where_contains_and_indexed" -> knnWhereContainsAndIndexed,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocument,
     "embed_selfknn_planted" -> embedSelfKnnPlanted)
 
@@ -1077,6 +1121,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains" -> knnWhereContainsSql,
     "knn_where_contains_indexed" -> knnWhereContainsSql,
     "knn_where_contains_and" -> knnWhereContainsAndSql,
+    "knn_where_contains_and_indexed" -> knnWhereContainsAndSql,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocumentSql,
     "embed_selfknn_planted" -> embedSelfKnnPlantedSql)
 }

@@ -110,6 +110,13 @@ class AnnIndexSpec extends SparkSpec {
     assert(out.forall(id => id < 340000L),
       "group D carries zzbb but NOT zzaa — its presence means the " +
         "conjunction degenerated to a single clause")
+    // the trigram route must serve the IDENTICAL conjunctive answer:
+    // each clause's trigram gate intersects inside one aggregation
+    val indexed = SparkEntry
+      .queries("knn_where_contains_and_indexed")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(indexed === out,
+      s"the indexed conjunction diverged from the scan route: $indexed")
   }
 
   test("knn_where_metadata_document: identical-text tie separated ONLY by the metadata clause; contains excludes the naturals") {
