@@ -292,9 +292,10 @@ object VectorSearch extends QueryModule {
     * the `zzaa` clause — the answer is B's five copies alone (tied
     * identical embeddings, ranked by id), enumerable because no natural
     * doc carries either sentinel. Both predicates are pushed scan
-    * filters; at scale each clause probes the trigram index and the
-    * candidate sets INTERSECT before the verify (the same posting
-    * machinery, one more count-distinct gate). */
+    * filters here; [[knnWhereContainsAndIndexed]] IS the at-scale
+    * route — each clause's trigram gate intersects inside one
+    * aggregation over the shared posting probe, same answer, same
+    * oracle. */
   def knnWhereContainsAnd(spark: SparkSession, dir: String): DataFrame = {
     val dim = 256
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
@@ -476,6 +477,61 @@ object VectorSearch extends QueryModule {
       Seq("zzaa", "zzbb"), plantedAll,
       "trigram_postings_wca", "trigram:n=3:planted=wherecontains_and:v1")
   }
+
+  /** Chroma's `where_document={"$or": [{"$contains": a}, {"$contains":
+    * b}]}` — the disjunctive document filter completing the composed
+    * surface next to [[knnWhereContainsAnd]]. Candidates are the UNION
+    * of the clauses' matches over the A∪B∪D corpus: `zzbb` admits B,
+    * `zzcc` admits D, `zzaa`-only A is excluded. The query is B's OWN
+    * embedding, so B's five identical copies tie at self-score 1.0 and
+    * serve (ranked by id) — a union that silently dropped the FIRST
+    * clause would flip the answer to D wholesale; the spec pins the
+    * full candidate set B∪D so a dropped SECOND clause (which this
+    * row's top-5 alone cannot see) fails there. */
+  def knnWhereContainsOr(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 256
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedABD) = whereContainsAndCorpus(spark, dir)
+    val corpus = docs.unionByName(plantedABD)
+      .withColumn("embedding", embed(col("text")))
+    val qv = corpus.filter(col("doc_id") === 320000L)
+      .select(col("embedding").as("qvec"))
+    val top = corpus
+      .filter(col("text").contains("zzbb") || col("text").contains("zzcc"))
+      .crossJoin(broadcast(qv))
+      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id").as("top_doc_id"))
+  }
+
+  /** Replayed disjunctive oracle: rebuild A∪B∪D, take the OR of the
+    * clauses, rank by id — valid because B's self-tie owns the top-5
+    * AND B's ids sort below D's, so score order and id order agree on
+    * the emitted rows. */
+  private val knnWhereContainsOrSql =
+    """WITH base AS (SELECT text FROM documents WHERE doc_id = 0),
+      |a AS (SELECT CAST(300000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzaa' AS text
+      |      FROM range(5) r, base b),
+      |bb AS (SELECT CAST(320000 + r.range AS BIGINT) AS doc_id,
+      |              b.text || ' zzaa zzbb' AS text
+      |       FROM range(5) r, base b),
+      |d AS (SELECT CAST(340000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzbb zzcc' AS text
+      |      FROM range(5) r, base b),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM a
+      |  UNION ALL SELECT doc_id, text FROM bb
+      |  UNION ALL SELECT doc_id, text FROM d),
+      |cand AS (SELECT doc_id FROM corpus
+      |         WHERE contains(text, 'zzbb') OR contains(text, 'zzcc'))
+      |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS rank,
+      |       doc_id AS top_doc_id
+      |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
+      |ORDER BY rank""".stripMargin
 
   /** The shared trigram-routed `$contains` serve over ANY conjunction of
     * needles: posting probe restricted to the union of the needles'
@@ -1097,6 +1153,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_indexed" -> knnWhereContainsIndexed,
     "knn_where_contains_and" -> knnWhereContainsAnd,
     "knn_where_contains_and_indexed" -> knnWhereContainsAndIndexed,
+    "knn_where_contains_or" -> knnWhereContainsOr,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocument,
     "embed_selfknn_planted" -> embedSelfKnnPlanted)
 
@@ -1122,6 +1179,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_indexed" -> knnWhereContainsSql,
     "knn_where_contains_and" -> knnWhereContainsAndSql,
     "knn_where_contains_and_indexed" -> knnWhereContainsAndSql,
+    "knn_where_contains_or" -> knnWhereContainsOrSql,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocumentSql,
     "embed_selfknn_planted" -> embedSelfKnnPlantedSql)
 }

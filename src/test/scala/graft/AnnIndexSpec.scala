@@ -119,6 +119,30 @@ class AnnIndexSpec extends SparkSpec {
       s"the indexed conjunction diverged from the scan route: $indexed")
   }
 
+  test("knn_where_contains_or: candidates are the UNION of both clauses; B's self-tie serves") {
+    val out = SparkEntry.queries("knn_where_contains_or")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(out === (320000L to 320004L),
+      s"B's self-tie must own the top-5: $out")
+    // the serve's top-5 alone cannot see a dropped SECOND clause (B
+    // wins either way) — pin the full candidate set: the OR must admit
+    // B (zzbb) AND D (zzcc) and exclude zzaa-only A and all naturals
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") === 0L).head().getString(1)
+    val spark2 = spark
+    import spark2.implicits._
+    val planted = Seq(
+      (300000L until 300005L).map(i => (i, base + " zzaa")),
+      (320000L until 320005L).map(i => (i, base + " zzaa zzbb")),
+      (340000L until 340005L).map(i => (i, base + " zzbb zzcc"))
+    ).flatten.toDF("doc_id", "text")
+    val cand = docs.unionByName(planted)
+      .filter(col("text").contains("zzbb") || col("text").contains("zzcc"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cand === ((320000L to 320004L) ++ (340000L to 340004L)).toSet,
+      s"the disjunction's candidate set must be exactly B ∪ D: $cand")
+  }
+
   test("knn_where_metadata_document: identical-text tie separated ONLY by the metadata clause; contains excludes the naturals") {
     assert(Tables.documents(spark, sf)
       .filter(col("text").contains("zzmm")).count() === 0L,
