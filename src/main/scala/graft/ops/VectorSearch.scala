@@ -533,15 +533,31 @@ object VectorSearch extends QueryModule {
       |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
       |ORDER BY rank""".stripMargin
 
-  /** The shared trigram-routed `$contains` serve over ANY conjunction of
-    * needles: posting probe restricted to the union of the needles'
-    * trigrams (pushed IN), one aggregation gating each needle's full
-    * trigram set per doc, bounded-probe candidate fetch (pushed ids or
-    * distributed semi-join above `cap`), substring verify per needle on
-    * candidates only, then k-NN against the 300000-group query. */
+  /** The `$or` through the index: candidates are docs carrying ANY
+    * clause's full trigram set (the same single-aggregation gate with a
+    * disjunctive reduce), verified against the OR of the substrings —
+    * the union the scan sibling's spec pins, served from the SAME
+    * posting fixture as the conjunction. */
+  def knnWhereContainsOrIndexed(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (_, plantedAll) = whereContainsAndCorpus(spark, dir)
+    whereContainsIndexedCore(spark, dir, WhereContainsPushdownCap,
+      Seq("zzbb", "zzcc"), plantedAll,
+      "trigram_postings_wca", "trigram:n=3:planted=wherecontains_and:v1",
+      conjunctive = false, queryId = 320000L)
+  }
+
+  /** The shared trigram-routed `$contains` serve over any conjunction
+    * OR disjunction of needles: posting probe restricted to the union
+    * of the needles' trigrams (pushed IN), one aggregation gating each
+    * needle's full trigram set per doc (ALL gates for $and, ANY for
+    * $or), bounded-probe candidate fetch (pushed ids or distributed
+    * semi-join above `cap`), the composed substring verify on
+    * candidates only, then k-NN against `queryId`'s planted group. */
   private def whereContainsIndexedCore(spark: SparkSession, dir: String,
       cap: Int, needles: Seq[String], plantedAll: DataFrame,
-      fixtureName: String, fixtureTag: String): DataFrame = {
+      fixtureName: String, fixtureTag: String,
+      conjunctive: Boolean = true, queryId: Long = 300000L): DataFrame = {
     val dim = 256
     // a needle shorter than one trigram has NO posting lists — sliding(3)
     // would yield a short pseudo-trigram matching nothing and the serve
@@ -568,7 +584,8 @@ object VectorSearch extends QueryModule {
       .filter(col("tg").isin(allTgs: _*))
       .groupBy("doc_id").agg(gates.head, gates.tail: _*)
       .filter(tgSets.zipWithIndex.map { case (tgs, i) =>
-        col(s"n_tg$i") === tgs.size }.reduce(_ && _))
+        col(s"n_tg$i") === tgs.size }
+        .reduce((a, b) => if (conjunctive) a && b else a || b))
       .select("doc_id")
     // bounded probe: take cap+1 — the driver sees at most cap+1 ids,
     // never the full candidate set, whatever the needles' selectivity
@@ -586,10 +603,11 @@ object VectorSearch extends QueryModule {
         docs.unionByName(plantedAll)
           .join(candidates.hint("broadcast"), Seq("doc_id"), "left_semi")
       }
-    val cand = needles
-      .foldLeft(verified)((df, n) => df.filter(col("text").contains(n)))
+    val cand = verified
+      .filter(needles.map(n => col("text").contains(n))
+        .reduce((a, b) => if (conjunctive) a && b else a || b))
       .withColumn("embedding", embed(col("text")))
-    val qv = plantedAll.filter(col("doc_id") === 300000L)
+    val qv = plantedAll.filter(col("doc_id") === queryId)
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
     val top = cand.crossJoin(broadcast(qv))
@@ -1154,6 +1172,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_and" -> knnWhereContainsAnd,
     "knn_where_contains_and_indexed" -> knnWhereContainsAndIndexed,
     "knn_where_contains_or" -> knnWhereContainsOr,
+    "knn_where_contains_or_indexed" -> knnWhereContainsOrIndexed,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocument,
     "embed_selfknn_planted" -> embedSelfKnnPlanted)
 
@@ -1180,6 +1199,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_and" -> knnWhereContainsAndSql,
     "knn_where_contains_and_indexed" -> knnWhereContainsAndSql,
     "knn_where_contains_or" -> knnWhereContainsOrSql,
+    "knn_where_contains_or_indexed" -> knnWhereContainsOrSql,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocumentSql,
     "embed_selfknn_planted" -> embedSelfKnnPlantedSql)
 }

@@ -141,6 +141,13 @@ class AnnIndexSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(cand === ((320000L to 320004L) ++ (340000L to 340004L)).toSet,
       s"the disjunction's candidate set must be exactly B ∪ D: $cand")
+    // the indexed disjunction (ANY-clause trigram gate over the same
+    // posting fixture) must serve the identical answer
+    val indexed = SparkEntry
+      .queries("knn_where_contains_or_indexed")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(indexed === out,
+      s"the indexed disjunction diverged from the scan route: $indexed")
   }
 
   test("knn_where_metadata_document: identical-text tie separated ONLY by the metadata clause; contains excludes the naturals") {
