@@ -47,11 +47,23 @@ object ManifestLog {
     * FORMAT COMPATIBILITY: salted readers accept both forms, so
     * upgrade is seamless — but a PRE-SALT binary reading a salted head
     * sees a "torn" version and silently resolves the version below it
-    * (for a forget/tombstone log that serves pre-delete state). Do NOT
-    * run pre-r18 binaries against a log root a salted binary has
-    * committed to; roll logs forward, never mixed. */
+    * (for a forget/tombstone log that serves pre-delete state,
+    * resurrecting deletes). That hazard is OPERATIONAL, not a doc
+    * comment: a mixed-binary rollout sets
+    * `spark.graft.manifest.compatSentinel=true` on the NEW binaries,
+    * which makes their commits write the bare pre-salt `end` (old
+    * readers stay correct; the only cost is the incarnation-salt
+    * fingerprint hardening, suspended for the rollout window), and
+    * unsets it once the fleet is rolled forward. The default stays
+    * salted: a single-binary deployment — this repo's — should not
+    * silently lose the recycled-root fingerprint protection to guard
+    * against binaries it does not run. */
   private def isSentinel(line: String): Boolean =
     line == Sentinel || line.startsWith(Sentinel + ":")
+
+  /** See [[isSentinel]]'s FORMAT COMPATIBILITY note — the mixed-binary
+    * rollout escape hatch. */
+  private[graft] val CompatSentinelKey = "spark.graft.manifest.compatSentinel"
 
   /** Pad-length source: a per-JVM counter seeded from nanoTime. Within
     * a JVM, successive commits always draw different pad lengths
@@ -217,9 +229,12 @@ object ManifestLog {
     // a staging file)
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".v$version.${System.nanoTime()}.t${Thread.currentThread().getId}.tmp")
+    val sentinel =
+      if (spark.conf.get(CompatSentinelKey, "false").toBoolean) Sentinel
+      else saltLine()
     val out = fs.create(tmp, true)
     try out.write((files.mkString("\n") +
-        (if (files.isEmpty) "" else "\n") + saltLine() + "\n")
+        (if (files.isEmpty) "" else "\n") + sentinel + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val published =

@@ -636,9 +636,32 @@ object LateInteraction extends QueryModule {
     if (manifested) {
       val added = (leafFilesAny(spark, path).toSet -- before).toSeq.sorted
       if (added.nonEmpty)
-        graft.ingest.ManifestLog.commit(spark, md,
+        tableManifestCommitBounded(spark, path,
           head => (head ++ added).distinct)
     }
+  }
+
+  /** Bounded-history commit for a table's `_table_manifest` append path
+    * — the same discipline [[tombstoneLogCommitBounded]] applies to the
+    * tombstone log: an append-heavy manifest-versioned table would
+    * otherwise accumulate one unexpired version file per append,
+    * growing head resolution and reclaim's `allReferenced` sweep
+    * linearly in appends. Expiring is liveness-safe here because
+    * appends only ADD lines — every expired version's file list is a
+    * subset of the surviving head's, so the vacuum sweep loses no
+    * referenced leaf. The [[Forget.reclaimTable]] `retainVersions`
+    * reader-grace window is also preserved: the margin (64 versions)
+    * means the pre-reclaim generation a grace-mode reclaim kept only
+    * expires after 64 subsequent appends, long past any in-flight
+    * reader. Reclaim's own publish keeps its explicit expire (it is
+    * the one commit whose predecessors are NOT subsets). */
+  private[graft] def tableManifestCommitBounded(spark: SparkSession,
+      path: String, update: Seq[String] => Seq[String]): Unit = {
+    val dir = tableManifestDir(path)
+    val v = graft.ingest.ManifestLog.commit(spark, dir, update)
+    if (v > TombstoneLogKeepVersions)
+      graft.ingest.ManifestLog.expire(spark, dir,
+        keepFrom = v - TombstoneLogKeepVersions)
   }
 
   /** Probe the posting table with the query's window hashes (partition-

@@ -42,6 +42,34 @@ class ManifestLogSpec extends SparkSpec {
     assert(ManifestLog.read(spark, dir, 3L) === Some(Seq("a", "c")))
   }
 
+  test("compatSentinel conf writes the bare pre-salt sentinel a pre-salt reader accepts; default stays salted") {
+    def lastLine(dir: String, v: Long): String = {
+      val p = new org.apache.hadoop.fs.Path(dir, s"v$v.manifest")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq.last
+      finally in.close()
+    }
+    // default: salted — the incarnation-fingerprint hardening is on
+    val salted = freshDir("mlog_salted")
+    ManifestLog.commit(spark, salted, _ => Seq("a"))
+    assert(lastLine(salted, 1L).startsWith("end:"),
+      "default commits must carry the incarnation salt")
+    // mixed-binary rollout: compat mode writes EXACTLY the pre-salt
+    // format, so an old binary reading this head sees a valid version
+    // (not a "torn" one it would silently resolve below — the
+    // resurrected-deletes hazard the knob exists to close)
+    val compat = freshDir("mlog_compat")
+    spark.conf.set(graft.ingest.ManifestLog.CompatSentinelKey, "true")
+    try {
+      ManifestLog.commit(spark, compat, _ => Seq("a"))
+      assert(lastLine(compat, 1L) === "end",
+        "compat commits must be byte-identical to the pre-salt format")
+      // and salted readers still read it fine
+      assert(ManifestLog.read(spark, compat, 1L) === Some(Seq("a")))
+    } finally spark.conf.unset(graft.ingest.ManifestLog.CompatSentinelKey)
+  }
+
   test("concurrent committers: every update survives, versions are distinct and dense above the base") {
     val dir = freshDir("mlog_threads")
     val perWriter = 5
