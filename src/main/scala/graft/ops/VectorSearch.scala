@@ -399,6 +399,218 @@ object VectorSearch extends QueryModule {
       |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
       |ORDER BY rank""".stripMargin
 
+  /** Chroma's NON-EQUALITY metadata `where` operators composed with
+    * k-NN — the retriever filter surface `Auto_query_rag_database.py`
+    * accepts beyond bare equality: `{"n_chars": {"$gte": 300,
+    * "$lt": 10000}}` AND a `$contains` document clause in one query.
+    * Three planted groups carry IDENTICAL text (⇒ identical embeddings
+    * ⇒ an exact tie the text clauses cannot separate) and differ ONLY
+    * in the numeric metadata, making each bound load-bearing on its
+    * own: G (n_chars=120, ids 400000+) is the QUERY's group — a
+    * dropped `$gte` serves its 1.0 self-tie; I (n_chars=50000, ids
+    * 410000+) sits BELOW H in id order — a dropped `$lt` serves I's
+    * tie first; only H (n_chars=5000, ids 420000+) passes both. The
+    * range predicate is a pushed scan filter (plan-audited:
+    * `GreaterThanOrEqual(n_chars,300)` reaches the documents parquet);
+    * [[knnWhereMetadataRangePruned]] is the SAME query with the
+    * natural scan wired through the zone-map file prune — the 100 TB
+    * shape, where the range skips whole files off footer stats. */
+  def knnWhereMetadataRange(spark: SparkSession, dir: String): DataFrame = {
+    val (naturals, planted, qv) = whereMetadataRangeCorpus(spark, dir)
+    rankedTop5(naturals.unionByName(planted)
+      .filter(col("n_chars") >= 300L && col("n_chars") < 10000L &&
+        col("text").contains("zzrr")), qv)
+  }
+
+  /** [[knnWhereMetadataRange]] with the NATURAL side served from a
+    * zone-map-pruned file set (the `zonemap_pruned_scan` discipline,
+    * `ops/Lakehouse.scala`): the documents lay out range-partitioned by
+    * `n_chars`, a per-file (min,max) stats sidecar is the catalog, and
+    * the range clause prunes every file whose stats window misses
+    * [300, 10000) BEFORE any row is read — at 100 TB the predicate
+    * skips whole files off footer stats instead of filtering rows.
+    * Same answer, same oracle as the pushed-filter sibling (the
+    * route-independence discipline); the spec pins that files are
+    * actually skipped AND none that matter were. */
+  def knnWhereMetadataRangePruned(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (_, planted, qv) = whereMetadataRangeCorpus(spark, dir)
+    val tmp = Tables.scratchPath("docs_zm_nchars", dir)
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "n_chars")
+    ResultCache.buildIfAbsent(spark, docs, "zonemap:n_chars:v1", tmp) {
+      docs.repartitionByRange(6, col("n_chars"))
+        .write.mode("overwrite").parquet(tmp + "/data")
+      spark.read.parquet(tmp + "/data")
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(min("n_chars").as("min_n"), max("n_chars").as("max_n"))
+        .write.mode("overwrite").parquet(tmp + "/stats")
+    }
+    val (pruned, _, _) = zonemapPrunedDocs(spark, tmp, 300L, 10000L)
+    val embed = udf((t: String) =>
+      Embedding.hashingEmbed(t, 256))
+    rankedTop5(pruned.withColumn("embedding", embed(col("text")))
+      .unionByName(planted)
+      .filter(col("n_chars") >= 300L && col("n_chars") < 10000L &&
+        col("text").contains("zzrr")), qv)
+  }
+
+  /** The stats-sidecar file prune for the n_chars zone map: keep files
+    * whose [min,max] window intersects [lo, hi). Returns (frame, kept,
+    * total) so the spec can assert real skipping. The collect is over
+    * the SIDECAR — file-count-bounded, a catalog-lookup cardinality,
+    * never data rows. */
+  private[graft] def zonemapPrunedDocs(spark: SparkSession, tmp: String,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val stats = spark.read.parquet(tmp + "/stats")
+    val total = stats.count().toInt
+    val files = stats.filter(col("max_n") >= lo && col("min_n") < hi)
+      .select("file").collect().map(_.getString(0))
+    val frame =
+      if (files.isEmpty) spark.read.parquet(tmp + "/data").limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    (frame, files.length, total)
+  }
+
+  /** The shared range-row construction: (naturals, planted G∪I∪H with
+    * their metadata, the query vector = G's embedding). */
+  private def whereMetadataRangeCorpus(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val dim = 256
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val naturals = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("embedding", embed(col("text")))
+    val base0 = Tables.documents(spark, dir)
+      .filter(col("doc_id") === 0L).select(col("text").as("base"))
+    def grp(from: Long, nChars: Long): DataFrame =
+      spark.range(from, from + 5).toDF("doc_id")
+        .crossJoin(broadcast(base0))
+        .select(col("doc_id"), concat(col("base"), lit(" zzrr")).as("text"),
+          lit(nChars).as("n_chars"))
+        .withColumn("embedding", embed(col("text")))
+    val planted = grp(400000L, 120L)
+      .unionByName(grp(410000L, 50000L))
+      .unionByName(grp(420000L, 5000L))
+    val qv = planted.filter(col("doc_id") === 400000L)
+      .select(col("embedding").as("qvec"))
+    (naturals, planted, qv)
+  }
+
+  /** Replayed range oracle shared by the pushed-filter and zone-map
+    * routes: rebuild G∪I∪H with their metadata literals, apply both
+    * bounds and the contains clause, rank the surviving tie by id. */
+  private val knnWhereMetadataRangeSql =
+    """WITH base AS (SELECT text FROM documents WHERE doc_id = 0),
+      |g AS (SELECT CAST(400000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzrr' AS text, CAST(120 AS BIGINT) AS n_chars
+      |      FROM range(5) r, base b),
+      |i AS (SELECT CAST(410000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzrr' AS text, CAST(50000 AS BIGINT) AS n_chars
+      |      FROM range(5) r, base b),
+      |h AS (SELECT CAST(420000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzrr' AS text, CAST(5000 AS BIGINT) AS n_chars
+      |      FROM range(5) r, base b),
+      |corpus AS (
+      |  SELECT doc_id, text, n_chars FROM documents
+      |  UNION ALL SELECT * FROM g
+      |  UNION ALL SELECT * FROM i
+      |  UNION ALL SELECT * FROM h),
+      |cand AS (SELECT doc_id FROM corpus
+      |         WHERE n_chars >= 300 AND n_chars < 10000
+      |           AND contains(text, 'zzrr'))
+      |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS rank,
+      |       doc_id AS top_doc_id
+      |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
+      |ORDER BY rank""".stripMargin
+
+  /** Chroma's `{"source": {"$in": [...]}}` metadata operator composed
+    * with a document clause and k-NN: three identical-text groups
+    * differ only in `source` — E2 ('eval_a', ids 440000+, the QUERY's
+    * group: a dropped `$in` serves its self-tie), F2 ('eval_b',
+    * 460000+) and G2 ('eval_c', 480000+) both pass. Top-5 is F2 by id;
+    * the spec pins the full F2∪G2 candidate set, since the top-5 alone
+    * cannot see a silently dropped second list element (the `$or`
+    * lesson). The In predicate is a pushed scan filter (at scale: a
+    * dictionary/partition prune on the metadata column). */
+  def knnWhereMetadataIn(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qv) = whereMetadataSourceCorpus(spark, dir)
+    rankedTop5(corpus.filter(
+      col("source").isin("eval_b", "eval_c") &&
+        col("text").contains("zznn")), qv)
+  }
+
+  /** Chroma's `{"source": {"$nin": [...]}}` — the complement list
+    * operator, over the SAME corpus: excluding 'eval_a' (the query's
+    * own group, so the exclusion is load-bearing: a no-op filter
+    * serves E2's 1.0 self-tie) and a NATURAL source value ('src0', so
+    * the list walks both planted and natural metadata). */
+  def knnWhereMetadataNin(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qv) = whereMetadataSourceCorpus(spark, dir)
+    rankedTop5(corpus.filter(
+      !col("source").isin("eval_a", "src0") &&
+        col("text").contains("zznn")), qv)
+  }
+
+  private def whereMetadataSourceCorpus(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val dim = 256
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val base0 = docs.filter(col("doc_id") === 0L)
+      .select(col("text").as("base"))
+    def grp(from: Long, source: String): DataFrame =
+      spark.range(from, from + 5).toDF("doc_id")
+        .crossJoin(broadcast(base0))
+        .select(col("doc_id"), concat(col("base"), lit(" zznn")).as("text"),
+          lit(source).as("source"))
+    val corpus = docs
+      .unionByName(grp(440000L, "eval_a"))
+      .unionByName(grp(460000L, "eval_b"))
+      .unionByName(grp(480000L, "eval_c"))
+      .withColumn("embedding", embed(col("text")))
+    val qv = corpus.filter(col("doc_id") === 440000L)
+      .select(col("embedding").as("qvec"))
+    (corpus, qv)
+  }
+
+  private val whereMetadataSourceCorpusSqlPrefix =
+    """WITH base AS (SELECT text FROM documents WHERE doc_id = 0),
+      |e2 AS (SELECT CAST(440000 + r.range AS BIGINT) AS doc_id,
+      |              b.text || ' zznn' AS text, 'eval_a' AS source
+      |       FROM range(5) r, base b),
+      |f2 AS (SELECT CAST(460000 + r.range AS BIGINT) AS doc_id,
+      |              b.text || ' zznn' AS text, 'eval_b' AS source
+      |       FROM range(5) r, base b),
+      |g2 AS (SELECT CAST(480000 + r.range AS BIGINT) AS doc_id,
+      |              b.text || ' zznn' AS text, 'eval_c' AS source
+      |       FROM range(5) r, base b),
+      |corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL SELECT * FROM e2
+      |  UNION ALL SELECT * FROM f2
+      |  UNION ALL SELECT * FROM g2),
+      |""".stripMargin
+
+  private val knnWhereMetadataInSql = whereMetadataSourceCorpusSqlPrefix +
+    """cand AS (SELECT doc_id FROM corpus
+      |         WHERE source IN ('eval_b', 'eval_c')
+      |           AND contains(text, 'zznn'))
+      |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS rank,
+      |       doc_id AS top_doc_id
+      |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
+      |ORDER BY rank""".stripMargin
+
+  private val knnWhereMetadataNinSql = whereMetadataSourceCorpusSqlPrefix +
+    """cand AS (SELECT doc_id FROM corpus
+      |         WHERE source NOT IN ('eval_a', 'src0')
+      |           AND contains(text, 'zznn'))
+      |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS rank,
+      |       doc_id AS top_doc_id
+      |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
+      |ORDER BY rank""".stripMargin
+
   /** The shared `$contains` planted corpus: (base docs, planted A∪B).
     * Lazy planted construction (the embedDocumentsKnn discipline): the
     * doc-0 text rides a 1-row broadcast — no driver action at plan
@@ -559,13 +771,6 @@ object VectorSearch extends QueryModule {
       fixtureName: String, fixtureTag: String,
       conjunctive: Boolean = true, queryId: Long = 300000L): DataFrame = {
     val dim = 256
-    // a needle shorter than one trigram has NO posting lists — sliding(3)
-    // would yield a short pseudo-trigram matching nothing and the serve
-    // would silently return empty instead of the filter's real answer;
-    // short needles belong on the scan route
-    needles.foreach(n => require(n.length >= 3,
-      s"trigram route needs needles of >= 3 chars, got '$n' — " +
-        "serve short needles through the contains scan instead"))
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val path = Tables.scratchPath(fixtureName, dir)
@@ -575,7 +780,7 @@ object VectorSearch extends QueryModule {
         .sortWithinPartitions("tg")
         .write.mode("overwrite").parquet(path)
     }
-    val tgSets = needles.map(_.toLowerCase.sliding(3).toSeq.distinct)
+    val tgSets = needles.map(needleTrigrams)
     val allTgs = tgSets.flatten.distinct
     val gates = tgSets.zipWithIndex.map { case (tgs, i) =>
       countDistinct(when(col("tg").isin(tgs: _*), col("tg"))).as(s"n_tg$i")
@@ -599,9 +804,13 @@ object VectorSearch extends QueryModule {
         docs.filter(col("doc_id").isin(ids: _*))
           .unionByName(plantedAll.filter(col("doc_id").isin(ids: _*)))
       } else {
-        // low-selectivity needles: candidates stay distributed
+        // low-selectivity needles: candidates stay distributed. NO
+        // broadcast hint here — above the cap the candidate set is by
+        // definition large, and a broadcast would materialize it all on
+        // the driver (the exact unbounded list the cap exists to
+        // prevent); shuffle_hash keeps the semi-join executor-side
         docs.unionByName(plantedAll)
-          .join(candidates.hint("broadcast"), Seq("doc_id"), "left_semi")
+          .join(candidates.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
       }
     val cand = verified
       .filter(needles.map(n => col("text").contains(n))
@@ -618,6 +827,25 @@ object VectorSearch extends QueryModule {
       .select(col("rank"), col("doc_id").as("top_doc_id"))
   }
 
+  /** Needle-side trigram enumeration, matching [[trigramPostingsFrame]]'s
+    * index-side expression symbol-for-symbol: LOCALE-INDEPENDENT
+    * lowercase (Locale.ROOT — a Turkish default locale would map I → ı
+    * and probe postings the index never wrote) enumerated over CODE
+    * POINTS (Spark's substr/length count code points, not UTF-16 units —
+    * a supplementary-plane char must be ONE symbol on both sides or the
+    * probe's trigrams misalign with the posting lists and the indexed
+    * route silently under-matches where the scan route matches). A
+    * needle whose LOWERED form is shorter than one trigram yields the
+    * empty set — the caller refuses it loudly (no posting list could
+    * gate it; short needles belong on the scan route). */
+  private[graft] def needleTrigrams(needle: String): Seq[String] = {
+    val cps = needle.toLowerCase(java.util.Locale.ROOT).codePoints().toArray
+    require(cps.length >= 3,
+      s"trigram route needs needles of >= 3 code points, got '$needle' — " +
+        "serve short needles through the contains scan instead")
+    (0 to cps.length - 3).map(i => new String(cps, i, 3)).distinct
+  }
+
   /** The trigram index job: full lowercased trigram enumeration per
     * (doc_id, text), deduped. Enumerate over the LOWERED string's OWN
     * length: lowercasing can CHANGE length (İ → i + combining dot), and
@@ -632,6 +860,313 @@ object VectorSearch extends QueryModule {
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, length(lt) - 2), " +
           "i -> substr(lt, i, 3))"))).as("tg"))
+
+  // ---- trigram posting index LIFECYCLE ----
+  //
+  // The static fixture above serves an immutable corpus; a 100 TB
+  // substring index must ride the same append/delete/forget discipline
+  // the vector indexes do — a deleted or forgotten doc must STOP
+  // serving from the posting index the moment its delete commits, and
+  // its posting bytes must be physically reclaimable. The lifecycle
+  // table below shares ALL of the MaxSim posting machinery (one
+  // resolution dispatch, one tombstone semantics, one reclaim core):
+  // `_table_manifest` CAS-published appends, `_tombstones_log` composed
+  // deletes, `Forget.reclaimTable` physical reclamation.
+
+  /** Hash-bucket count for the lifecycle posting layout: `tb =
+    * xxhash64(tg) mod 16` partitions, so an APPEND's postings land in
+    * exactly the partitions a probe for those trigrams will look in
+    * (the LSH append discipline), and a probe prunes to |needle|
+    * buckets without any global re-sort. The static fixture's
+    * range-by-tg layout cannot absorb appends — new trigrams would
+    * straddle its sorted file boundaries. */
+  private[graft] val TrigramBuckets = 16
+
+  /** The lifecycle posting writer: trigram postings bucketed by tb.
+    * `append` on a manifest-versioned table publishes exactly the
+    * files this write added through a bounded CAS commit — manifest
+    * readers flip atomically, and a crashed append's orphan files stay
+    * invisible until vacuumed ([[graft.ops.LateInteraction.writePostings]]
+    * is the same shape for the window-hash index). */
+  private[graft] def writeTrigramPostings(docs: DataFrame, path: String,
+      mode: String): Unit = {
+    val spark = docs.sparkSession
+    val frame = trigramPostingsFrame(docs)
+      .withColumn("tb",
+        pmod(xxhash64(col("tg")), lit(TrigramBuckets.toLong)).cast("int"))
+    val md = LateInteraction.tableManifestDir(path)
+    val manifested = mode == "append" &&
+      LateInteraction.probeTableDir(spark, path).hasManifest &&
+      graft.ingest.ManifestLog.currentVersion(spark, md) > 0L
+    val before = if (manifested)
+      LateInteraction.leafFilesAny(spark, path).toSet else Set.empty[String]
+    frame.repartition(col("tb"))
+      .write.mode(mode).partitionBy("tb").parquet(path)
+    if (manifested) {
+      val added =
+        (LateInteraction.leafFilesAny(spark, path).toSet -- before)
+          .toSeq.sorted
+      if (added.nonEmpty)
+        LateInteraction.tableManifestCommitBounded(spark, path,
+          head => (head ++ added).distinct)
+    }
+  }
+
+  /** The needle's posting buckets, computed by SPARK's own xxhash64
+    * over a literal local relation (collapses to constants at planning
+    * scale — |trigrams| rows) so the probe can never disagree with the
+    * index writer's bucketing: a driver-side reimplementation of the
+    * hash would silently probe empty partitions on any seed/algorithm
+    * drift. */
+  private def trigramBucketsOf(spark: SparkSession,
+      tgs: Seq[String]): Seq[Int] = {
+    import spark.implicits._
+    tgs.toDF("tg")
+      .select(pmod(xxhash64(col("tg")), lit(TrigramBuckets.toLong))
+        .cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+  }
+
+  private val WhereContainsDeletedId = 320002L
+
+  /** The delete-lifecycle serve, SCAN route: the composed delete is
+    * already committed in the store's `_tombstones_log`; the corpus
+    * excludes the tombstoned doc (one CAS-log read) and the conf-keyed
+    * forget exclusion, then the `$contains` filter and k-NN run as in
+    * [[knnWhereContains]]. Query = B's surviving copy 320000; answer =
+    * B minus the deleted 320002 — FOUR rows, so a tombstone leak on
+    * either route surfaces as a fifth row (or the wrong fourth). */
+  def knnWhereContainsDeleted(spark: SparkSession, dir: String): DataFrame =
+    whereContainsDeletedRoute(spark, dir, indexed = false)
+
+  /** The delete-lifecycle serve, TRIGRAM route — the row VERDICT r18
+    * queued: the posting table resolves through its `_table_manifest`
+    * head (appends were CAS-published), the tombstone state excludes
+    * the deleted doc's postings AT READ (posting files are immutable;
+    * [[graft.ops.Forget.reclaimPostings]]-style reclamation folds them
+    * physically later), and the forget conf arms on the posting side —
+    * so a deleted OR forgotten doc stops serving from the substring
+    * index exactly as it does from every ANN family. Answer contract:
+    * IDENTICAL to [[knnWhereContainsDeleted]]; both routes share one
+    * replayed oracle (the router discipline). */
+  def knnWhereContainsDeletedIndexed(spark: SparkSession,
+      dir: String): DataFrame =
+    whereContainsDeletedRoute(spark, dir, indexed = true)
+
+  /** Both delete-lifecycle routes over the shared manifest-versioned
+    * fixture. The fixture build IS the lifecycle: naturals' postings
+    * as the base table, manifest ADOPTED (v1 = current leaves, the
+    * reclaimTable step-1 shape), the planted groups' postings arriving
+    * through the APPEND path (CAS-published — a reader mid-append sees
+    * the old head, never half a write), then ONE composed delete. ONE
+    * `listStatus` resolves sidecar/log/manifest state for BOTH the
+    * posting table and the corpus exclusion (FsProbes-spec-pinned). */
+  private[graft] def whereContainsDeletedRoute(spark: SparkSession,
+      dir: String, indexed: Boolean,
+      cap: Int = WhereContainsPushdownCap): DataFrame = {
+    val dim = 256
+    val needle = "zzbb"
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val path = Tables.scratchPath("trigram_postings_lc", dir)
+    ResultCache.buildIfAbsent(spark, docs,
+      "trigram:n=3:lifecycle=delete:v1", path) {
+      writeTrigramPostings(docs, path, "overwrite")
+      graft.ingest.ManifestLog.commit(spark,
+        LateInteraction.tableManifestDir(path),
+        _ => LateInteraction.leafFilesAny(spark, path))
+      writeTrigramPostings(plantedAll, path, "append")
+      LateInteraction.composeDelete(spark, path, Seq(WhereContainsDeletedId))
+    }
+    val st = LateInteraction.probeTableDir(spark, path)
+    val (sidecar, _) = LateInteraction.tombstoneStateWith(spark, path, st)
+    // route symmetry: the SAME exclusion (tombstones + forget conf)
+    // rides the corpus on both routes and the postings on the indexed
+    // one — a route-dependent exclusion would answer differently per
+    // plan, exactly what the shared oracle exists to catch
+    def excluded(f: DataFrame): DataFrame = Forget.defaultExclusion(
+      LateInteraction.minusTombstonedWith(f, sidecar), "doc_id")
+    val corpus = excluded(docs.unionByName(plantedAll))
+    val survivors =
+      if (!indexed) corpus.filter(col("text").contains(needle))
+      else {
+        val tgs = needleTrigrams(needle)
+        val buckets = trigramBucketsOf(spark, tgs)
+        val postings = excluded(
+            LateInteraction.tableDataWith(spark, path, st))
+          .filter(col("tb").isin(buckets: _*))      // partition-pruned
+          .filter(col("tg").isin(tgs: _*))          // pushed In(tg, …)
+        val candidates = postings
+          .groupBy("doc_id").agg(countDistinct(col("tg")).as("n_tg"))
+          .filter(col("n_tg") === tgs.size)
+          .select("doc_id")
+        val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
+        val fetched =
+          if (probe.length <= cap)
+            corpus.filter(col("doc_id").isin(probe.toSeq: _*))
+          else
+            corpus.join(candidates.hint("shuffle_hash"),
+              Seq("doc_id"), "left_semi")
+        fetched.filter(col("text").contains(needle))
+      }
+    val qv = plantedAll.filter(col("doc_id") === 320000L)
+      .withColumn("embedding", embed(col("text")))
+      .select(col("embedding").as("qvec"))
+    rankedTop5(survivors.withColumn("embedding", embed(col("text"))), qv)
+  }
+
+  /** Replayed delete-lifecycle oracle shared by both routes: rebuild
+    * A∪B, apply the contains clause AND the committed delete, rank the
+    * four survivors by id. */
+  private val knnWhereContainsDeletedSql =
+    """WITH base AS (SELECT text FROM documents WHERE doc_id = 0),
+      |a AS (SELECT CAST(300000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzaa' AS text
+      |      FROM range(5) r, base b),
+      |bb AS (SELECT CAST(320000 + r.range AS BIGINT) AS doc_id,
+      |              b.text || ' zzaa zzbb' AS text
+      |       FROM range(5) r, base b),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM a
+      |  UNION ALL SELECT doc_id, text FROM bb),
+      |cand AS (SELECT doc_id FROM corpus
+      |         WHERE contains(text, 'zzbb') AND doc_id <> 320002)
+      |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS rank,
+      |       doc_id AS top_doc_id
+      |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
+      |ORDER BY rank""".stripMargin
+
+  /** The shared tail of every filtered-retrieval row: score survivors
+    * against the broadcast query vector, keep the global top-5
+    * (TakeOrderedAndProject — only k rows cross to the driver), rank
+    * the 5 survivors (window over k rows, never the corpus). */
+  private def rankedTop5(cand: DataFrame, qv: DataFrame): DataFrame = {
+    val top = cand.crossJoin(broadcast(qv))
+      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id").as("top_doc_id"))
+  }
+
+  /** Chroma's `where_document={"$not_contains": t}` — the complement
+    * operator the store accepts next to `$contains`
+    * (`query_rag_database.py`'s filter surface): candidates are the
+    * documents whose text does NOT contain the term. The planted
+    * construction makes the EXCLUSION load-bearing: the query is group
+    * B's OWN embedding, and B (' zzaa zzbb') is exactly the set the
+    * `zzbb` clause must exclude — a filter that silently no-ops (or
+    * degenerates to `$contains`) serves B's 1.0 self-tie and flips the
+    * whole answer. The survivors' top-5 is group A (' zzaa'): A shares
+    * strictly more text with B than any natural doc (base + the zzaa
+    * token), so its five identical copies outscore the naturals and
+    * rank by id — spec-pinned in absolute terms at both SFs, since the
+    * SQL oracle replays the FILTER, not the embedding-space ordering. */
+  def knnWhereNotContains(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 256
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val corpus = docs.unionByName(plantedAll)
+      .withColumn("embedding", embed(col("text")))
+    val qv = corpus.filter(col("doc_id") === 320000L)
+      .select(col("embedding").as("qvec"))
+    rankedTop5(corpus.filter(!col("text").contains("zzbb")), qv)
+  }
+
+  /** [[knnWhereNotContains]] through the trigram index — with the
+    * SELECTIVITY INVERSION the complement operator forces on the
+    * router: the posting probe yields candidates C ⊇ true matches (the
+    * trigram gate admits false positives), so the indexed plan is
+    * "verify `contains` on C only, then ANTI-join the corpus against
+    * the verified matches" — the index bounds the VERIFY work, and the
+    * anti side is bounded by the probe cap, so its broadcast is safe
+    * (unlike the contains row's above-cap arm, where broadcast would
+    * materialize an unbounded set). Above the cap the inversion bites:
+    * a common needle's C approaches the corpus, verifying it costs a
+    * full scan anyway, and the SCAN route is the right plan — the
+    * [[WhereContainsPushdownCap]] discipline inverted: the contains
+    * row falls back to a distributed semi-join; this row falls back to
+    * the plain `NOT contains` scan. Same answer either arm; same
+    * replayed oracle as the scan sibling (the router discipline). */
+  def knnWhereNotContainsIndexed(spark: SparkSession,
+      dir: String): DataFrame =
+    knnWhereNotContainsIndexedCapped(spark, dir, WhereContainsPushdownCap)
+
+  /** Cap-parameterized body — the spec drives `cap = 0` to force the
+    * inversion arm and pin route equality on it too. */
+  private[graft] def knnWhereNotContainsIndexedCapped(spark: SparkSession,
+      dir: String, cap: Int): DataFrame = {
+    val dim = 256
+    val needle = "zzbb"
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val path = Tables.scratchPath("trigram_postings_wc", dir)
+    ResultCache.buildIfAbsent(spark, docs,
+      "trigram:n=3:planted=wherecontains:v2", path) {
+      trigramPostingsFrame(docs.unionByName(plantedAll))
+        .repartitionByRange(8, col("tg"))
+        .sortWithinPartitions("tg")
+        .write.mode("overwrite").parquet(path)
+    }
+    val tgs = needleTrigrams(needle)
+    val candidates = spark.read.parquet(path)
+      .filter(col("tg").isin(tgs: _*))
+      .groupBy("doc_id").agg(countDistinct(col("tg")).as("n_tg"))
+      .filter(col("n_tg") === tgs.size)
+      .select("doc_id")
+    val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
+    val corpus = docs.unionByName(plantedAll)
+    val survivors =
+      if (probe.length <= cap) {
+        // verify the substring on the ≤cap candidates only (pushed
+        // In(doc_id, …) — text decodes from candidate row groups), then
+        // anti-join the verified matches off the corpus; the anti side
+        // is ≤ cap rows by construction, so broadcast is bounded
+        val ids = probe.toSeq
+        val matched = corpus.filter(col("doc_id").isin(ids: _*))
+          .filter(col("text").contains(needle))
+          .select("doc_id")
+        corpus.join(broadcast(matched), Seq("doc_id"), "left_anti")
+      } else
+        // the inversion: a common needle's candidate set approaches the
+        // corpus — verifying it IS a scan, so run the scan route's plan
+        corpus.filter(!col("text").contains(needle))
+    val withEmb = survivors.withColumn("embedding", embed(col("text")))
+    val qv = plantedAll.filter(col("doc_id") === 320000L)
+      .withColumn("embedding", embed(col("text")))
+      .select(col("embedding").as("qvec"))
+    rankedTop5(withEmb, qv)
+  }
+
+  /** Replayed complement oracle shared by both `$not_contains` routes:
+    * rebuild A∪B, apply `NOT contains`, emit the surviving PLANTED
+    * group by id. The `doc_id >= 300000` restriction encodes the one
+    * fact SQL cannot replay — A's copies outscore every natural under
+    * the hash embedder (strictly more shared text with the query) — and
+    * it is load-bearing both ways: an engine filter that no-ops serves
+    * B (320000s ≠ 300000s, hash-red), one that over-excludes serves
+    * naturals (ids < 300000, hash-red). The embedding-space claim
+    * itself is spec-pinned in absolute terms. */
+  private val knnWhereNotContainsSql =
+    """WITH base AS (SELECT text FROM documents WHERE doc_id = 0),
+      |a AS (SELECT CAST(300000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzaa' AS text
+      |      FROM range(5) r, base b),
+      |bb AS (SELECT CAST(320000 + r.range AS BIGINT) AS doc_id,
+      |              b.text || ' zzaa zzbb' AS text
+      |       FROM range(5) r, base b),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM a
+      |  UNION ALL SELECT doc_id, text FROM bb),
+      |cand AS (SELECT doc_id FROM corpus
+      |         WHERE NOT contains(text, 'zzbb'))
+      |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS rank,
+      |       doc_id AS top_doc_id
+      |FROM (SELECT doc_id FROM cand WHERE doc_id >= 300000
+      |      ORDER BY doc_id LIMIT 5)
+      |ORDER BY rank""".stripMargin
 
   /** Route-independent REPLAYED oracle shared by the scan and trigram
     * routes: DuckDB rebuilds the planted corpus from doc 0's text,
@@ -1173,7 +1708,15 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_and_indexed" -> knnWhereContainsAndIndexed,
     "knn_where_contains_or" -> knnWhereContainsOr,
     "knn_where_contains_or_indexed" -> knnWhereContainsOrIndexed,
+    "knn_where_not_contains" -> knnWhereNotContains,
+    "knn_where_not_contains_indexed" -> knnWhereNotContainsIndexed,
+    "knn_where_contains_deleted" -> knnWhereContainsDeleted,
+    "knn_where_contains_deleted_indexed" -> knnWhereContainsDeletedIndexed,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocument,
+    "knn_where_metadata_range" -> knnWhereMetadataRange,
+    "knn_where_metadata_range_pruned" -> knnWhereMetadataRangePruned,
+    "knn_where_metadata_in" -> knnWhereMetadataIn,
+    "knn_where_metadata_nin" -> knnWhereMetadataNin,
     "embed_selfknn_planted" -> embedSelfKnnPlanted)
 
   def oracles: Map[String, String] = Map(
@@ -1200,6 +1743,14 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_and_indexed" -> knnWhereContainsAndSql,
     "knn_where_contains_or" -> knnWhereContainsOrSql,
     "knn_where_contains_or_indexed" -> knnWhereContainsOrSql,
+    "knn_where_not_contains" -> knnWhereNotContainsSql,
+    "knn_where_not_contains_indexed" -> knnWhereNotContainsSql,
+    "knn_where_contains_deleted" -> knnWhereContainsDeletedSql,
+    "knn_where_contains_deleted_indexed" -> knnWhereContainsDeletedSql,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocumentSql,
+    "knn_where_metadata_range" -> knnWhereMetadataRangeSql,
+    "knn_where_metadata_range_pruned" -> knnWhereMetadataRangeSql,
+    "knn_where_metadata_in" -> knnWhereMetadataInSql,
+    "knn_where_metadata_nin" -> knnWhereMetadataNinSql,
     "embed_selfknn_planted" -> embedSelfKnnPlantedSql)
 }

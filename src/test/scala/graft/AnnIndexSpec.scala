@@ -166,6 +166,162 @@ class AnnIndexSpec extends SparkSpec {
         "not load-bearing")
   }
 
+  test("knn_where_not_contains: B's exclusion is load-bearing, A outscores the naturals, and both indexed arms equal the scan") {
+    val out = SparkEntry.queries("knn_where_not_contains")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    // the absolute pinning the replayed oracle cannot do: A's copies
+    // must outscore every natural under the hash embedder (the oracle's
+    // doc_id >= 300000 restriction encodes exactly this claim)
+    assert(out === (300000L to 300004L),
+      s"A's five copies must own the survivors' top-5: $out")
+    assert(!out.exists(_ >= 320000L),
+      "B ties the query at 1.0 — its presence means $not_contains " +
+        "never applied (or degenerated to $contains)")
+    val indexed = SparkEntry
+      .queries("knn_where_not_contains_indexed")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(indexed === out,
+      s"the verify-then-anti-join route diverged from the scan: $indexed")
+    // cap = 0 forces the SELECTIVITY INVERSION arm: a common needle's
+    // candidate set makes verification a scan, so the router must run
+    // the scan plan — and serve the identical answer
+    val inverted = graft.ops.VectorSearch
+      .knnWhereNotContainsIndexedCapped(spark, sf, cap = 0)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(inverted === out,
+      s"the inversion arm (scan fallback) diverged: $inverted")
+  }
+
+  test("knn_where_contains_deleted: the composed delete stops serving on BOTH routes, one listing resolves the store, forget conf arms") {
+    val expected = Seq(320000L, 320001L, 320003L, 320004L)
+    def scan() = SparkEntry.queries("knn_where_contains_deleted")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    def idx() = SparkEntry
+      .queries("knn_where_contains_deleted_indexed")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(scan() === expected,
+      "the deleted copy must vanish from the scan route (FOUR rows)")
+    assert(idx() === expected,
+      "a tombstone leak: the posting index served a deleted doc")
+    // serve-side probe discipline: with the fixture built, ONE
+    // table-dir listing resolves sidecar/log/manifest for the whole
+    // serve (the FsProbes witness the MaxSim index pins)
+    val l0 = graft.ops.LateInteraction.FsProbes.listings.get()
+    idx()
+    assert(graft.ops.LateInteraction.FsProbes.listings.get() - l0 === 1L,
+      "the lifecycle serve must pay exactly one directory listing")
+    // forget-conf arming on the SUBSTRING index — the gap VERDICT r18
+    // named: a forgotten doc must stop serving from the posting route
+    // exactly as from every ANN family, and from the scan route alike
+    val root = java.nio.file.Files
+      .createTempDirectory("wc_forget").toString + "/root"
+    graft.ops.Forget.forget(spark, root, Seq(320003L))
+    spark.conf.set(graft.ops.Forget.RootConf, root)
+    try {
+      val armed = Seq(320000L, 320001L, 320004L)
+      assert(scan() === armed, "armed conf must drop the forgotten id (scan)")
+      assert(idx() === armed, "armed conf must drop the forgotten id (indexed)")
+    } finally spark.conf.unset(graft.ops.Forget.RootConf)
+  }
+
+  test("trigram posting lifecycle: CAS-published append, tombstone exclusion at read, physical reclaim folds the delete") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.{LateInteraction => LI, VectorSearch => VS, Forget}
+    import graft.ingest.ManifestLog
+    val base = java.nio.file.Files.createTempDirectory("tglc").toString
+    val path = base + "/postings"
+    val root = base + "/root"
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"),
+      (3L, "gamma delta")).toDF("doc_id", "text")
+    VS.writeTrigramPostings(docs, path, "overwrite")
+    // ADOPT: v1 = the current leaves; every later state is a manifest flip
+    ManifestLog.commit(spark, LI.tableManifestDir(path),
+      _ => LI.leafFilesAny(spark, path))
+    // the APPEND: doc 4 arrives; its files publish through ONE CAS commit
+    VS.writeTrigramPostings(Seq((4L, "delta epsilon")).toDF("doc_id", "text"),
+      path, "append")
+    val md = LI.tableManifestDir(path)
+    assert(ManifestLog.currentVersion(spark, md) === 2L,
+      "the append must CAS-publish exactly one manifest version")
+    def served(): Set[Long] = LI.resolvedPostings(spark, path)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(served() === Set(1L, 2L, 3L, 4L),
+      "the appended doc must serve through the manifest head")
+    // the composed DELETE: excluded at read, files untouched
+    LI.composeDelete(spark, path, Seq(2L))
+    assert(served() === Set(1L, 3L, 4L),
+      "a tombstoned doc must stop serving before any rewrite")
+    // physical reclaim: doc 2's posting BYTES leave; answers unchanged
+    Forget.reclaimTable(spark, root, path, partitionCols = Seq("tb"))
+    assert(LI.tableData(spark, path)
+      .select("doc_id").distinct().as[Long].collect().toSet ===
+        Set(1L, 3L, 4L),
+      "reclaim must fold the tombstone into the rewrite physically")
+    assert(!LI.hasTombstoneState(spark, path),
+      "reclaim must consume the folded log lines")
+  }
+
+  test("knn_where_metadata_range: both bounds load-bearing, predicate PUSHED to the scan, zone-map route prunes files and serves identically") {
+    val frame = SparkEntry.queries("knn_where_metadata_range")(spark, sf)
+    val out = frame.collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(out === (420000L to 420004L),
+      s"only H (5000 chars) passes both bounds: $out")
+    assert(!out.exists(_ < 410000L),
+      "G is the query's own group — served means $gte never applied")
+    assert(!out.exists(id => id >= 410000L && id < 420000L),
+      "I sits below H in id order — served means $lt never applied")
+    // plan audit: the range clauses reach the documents parquet scan as
+    // pushed data-source filters (at 100 TB: row-group stats pruning)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(n_chars,300)"),
+      s"the \\$$gte bound was not pushed:\n$plan")
+    assert(plan.contains("LessThan(n_chars,10000)"),
+      s"the \\$$lt bound was not pushed:\n$plan")
+    // the zone-map route: identical answer, and files genuinely skipped
+    val pruned = SparkEntry
+      .queries("knn_where_metadata_range_pruned")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(pruned === out, s"the zone-map route diverged: $pruned")
+    val (_, kept, total) = graft.ops.VectorSearch.zonemapPrunedDocs(spark,
+      Tables.scratchPath("docs_zm_nchars", sf), 300L, 10000L)
+    assert(kept > 0 && kept < total,
+      s"the n_chars zone map must skip SOME files and keep some " +
+        s"($kept of $total) — naturals span 48..553 chars")
+  }
+
+  test("knn_where_metadata_in / nin: list operators compose with k-NN; the full candidate set is pinned") {
+    val in = SparkEntry.queries("knn_where_metadata_in")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(in === (460000L to 460004L),
+      s"F2 (lowest passing ids) must own the top-5: $in")
+    assert(!in.exists(_ < 460000L),
+      "E2 is the query's own group — served means $in never applied")
+    // the top-5 alone cannot see a dropped SECOND list element (F2 wins
+    // either way) — pin the full candidate set F2 ∪ G2 (the $or lesson)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source")
+    val b = docs.filter(col("doc_id") === 0L).head().getString(1)
+    val spark2 = spark
+    import spark2.implicits._
+    val planted = Seq(
+      (440000L until 440005L).map(i => (i, b + " zznn", "eval_a")),
+      (460000L until 460005L).map(i => (i, b + " zznn", "eval_b")),
+      (480000L until 480005L).map(i => (i, b + " zznn", "eval_c"))
+    ).flatten.toDF("doc_id", "text", "source")
+    val cand = docs.unionByName(planted)
+      .filter(col("source").isin("eval_b", "eval_c") &&
+        col("text").contains("zznn"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(cand === ((460000L to 460004L) ++ (480000L to 480004L)).toSet,
+      s"the \\$$in candidate set must be exactly F2 ∪ G2: $cand")
+    // $nin over the same corpus: excluding the query's group and a
+    // NATURAL source value serves the identical survivors
+    val nin = SparkEntry.queries("knn_where_metadata_nin")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(nin === in, s"the \\$$nin complement diverged: $nin")
+  }
+
   test("trigram index job enumerates over the LOWERED text's own length (length-changing lowercase)") {
     val spark2 = spark
     import spark2.implicits._
@@ -179,6 +335,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(tgs.contains("zbb"),
       s"trailing trigram of the LOWERED text must be indexed: $tgs")
     assert(tgs.contains("zzb"))
+  }
+
+  test("needle trigram enumeration matches the index-side expression: code points, Locale.ROOT lowercase") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.{VectorSearch => VS}
+    // a supplementary-plane char (U+1D11E, two UTF-16 units) must count
+    // as ONE symbol on both sides: UTF-16 sliding(3) would emit
+    // half-surrogate pseudo-trigrams absent from the postings and the
+    // indexed route would silently return empty where the scan matches
+    val s = "a𝄞bc"
+    val indexSide = VS.trigramPostingsFrame(Seq((1L, s)).toDF("doc_id", "text"))
+      .select("tg").as[String].collect().toSet
+    assert(VS.needleTrigrams(s).toSet === indexSide,
+      "needle-side trigrams must equal the index job's enumeration " +
+        s"of the same string: ${VS.needleTrigrams(s)} vs $indexSide")
+    // length-changing lowercase (İ → i + combining dot): the needle
+    // enumeration must see the LOWERED form's trigrams, like the index
+    assert(VS.needleTrigrams("xİ zzbb").contains("zbb"))
+    // sub-trigram needles refuse loudly (no posting list could gate them)
+    assertThrows[IllegalArgumentException](VS.needleTrigrams("ab"))
   }
 
   test("knn_l2_topk: squared-euclidean ordering inverts cosine on the unit-normalized store") {
