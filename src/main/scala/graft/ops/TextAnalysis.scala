@@ -665,6 +665,57 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** [[decontaminateSemantic]] through the ANN route — the
+    * benchmark-too-large-to-broadcast shape the broadcast row's own doc
+    * declares: each bench item becomes a BATCH QUERY against a persisted
+    * LSH index over the corpus embeddings (`IndexBuilder.lshBatchTopK` —
+    * probe-explode + bucket equi-join + bounded GroupTopK, the
+    * offline-RAG batch shape), and the contaminated set is the union of
+    * each item's above-threshold neighbors. At 100 TB neither side
+    * broadcasts: the index is the standing corpus artifact, the bench
+    * side is a probe-exploded join input, and per-query work is bucket-
+    * pruned instead of a full corpus sweep. Route-equality is
+    * STRUCTURAL at this threshold: 0.999 admits only identical-text
+    * pairs (rounded cosine 1.0), and identical vectors share every LSH
+    * bucket by construction, so radius-0 recall of true matches is
+    * guaranteed — the same answer as the broadcast route, under the
+    * same oracle (the router discipline the ANN families follow). */
+  def decontaminateSemanticAnn(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 256
+    val embed = udf((t: String) =>
+      graft.vector.Embedding.hashingEmbed(t, dim))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val sources = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"),
+        min(col("text")).as("text"))
+      .filter(col("n") === 1)
+      .orderBy("doc_id").limit(3)
+      .withColumn("bench_id", row_number().over(
+        Window.orderBy(col("doc_id"))).cast("long"))
+      .select(col("bench_id"), col("text"))
+    import spark.implicits._
+    val novel = Seq((4L, "zzqx novel benchmark item zzqy never in corpus"))
+      .toDF("bench_id", "text")
+    val bench = sources.unionByName(novel)
+      .withColumn("qvec", embed(col("text")))
+      .select(col("bench_id").as("qid"), col("qvec"))
+    val lsh = new graft.vector.IndexBuilder.RandomHyperplaneLsh(dim, nBits = 6, seed = 42L)
+    val path = Tables.scratchPath("decon_lsh_idx", dir)
+    ResultCache.buildIfAbsent(spark, docs, "deconlsh:bits=6:seed=42:v1",
+      path) {
+      graft.vector.IndexBuilder.buildLshIndex(
+        docs.select(col("doc_id").as("vec_id"),
+          embed(col("text")).as("embedding")),
+        "embedding", lsh, path)
+    }
+    graft.vector.IndexBuilder.lshBatchTopK(spark.read.parquet(path),
+        bench, "qid", "qvec", lsh, k = 10, radius = 0)
+      .filter(col("score") >= 0.999)
+      .select(col("vec_id").as("doc_id"), col("qid").as("bench_id"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** The three unique sources pair with their own bench items; the
     * novel item pairs with nothing. */
   private val decontaminateSemanticSql =
@@ -2073,6 +2124,7 @@ object TextAnalysis extends QueryModule {
     "mixture_weights" -> mixtureWeights,
     "decontaminate_planted" -> decontaminatePlanted,
     "decontaminate_semantic" -> decontaminateSemantic,
+    "decontaminate_semantic_ann" -> decontaminateSemanticAnn,
     "corpus_curation" -> corpusCuration,
     "text_quality" -> textQuality,
     "quality_histogram" -> qualityHistogram,
@@ -2110,6 +2162,7 @@ object TextAnalysis extends QueryModule {
     "mixture_weights" -> mixtureWeightsSql,
     "decontaminate_planted" -> decontaminatePlantedSql,
     "decontaminate_semantic" -> decontaminateSemanticSql,
+    "decontaminate_semantic_ann" -> decontaminateSemanticSql,
     "corpus_curation" -> corpusCurationSql,
     "text_quality" -> textQualitySql,
     "quality_histogram" -> qualityHistogramSql,

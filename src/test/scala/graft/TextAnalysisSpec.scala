@@ -371,6 +371,17 @@ class TextAnalysisSpec extends SparkSpec {
     // doc crosses the 0.999 near-verbatim threshold against any item —
     // the no-false-positives half of the construction
     assert(out.map(_._1).distinct.length === 3)
+    // ROUTE EQUALITY (the router discipline): the ANN route — bench
+    // items as batch queries over the persisted LSH index, contaminated
+    // set = union of above-threshold neighbors — must serve the
+    // broadcast route's exact pairs. At threshold 0.999 recall is
+    // structural (identical vectors share every bucket), so any
+    // divergence is a bug in the index build, probe join, or reduction.
+    val ann = SparkEntry.queries("decontaminate_semantic_ann")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bench_id"))).toSeq
+    assert(ann === out,
+      s"the ANN route diverged from the broadcast route: $ann vs $out")
   }
 
   test("shuffle export read-back order is faithful even when one shard spans several files") {
