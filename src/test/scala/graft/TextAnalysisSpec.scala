@@ -616,6 +616,51 @@ class TextAnalysisSpec extends SparkSpec {
         "distributed loop")
   }
 
+  test("LocalBpe at production depth: ~1k merges over a synthetic vocabulary, wall-clock-bounded, artifact round-trips exactly") {
+    import graft.text.LocalBpe
+    // a vocabulary deep enough that 1,000 merges never exhaust:
+    // 2,000 distinct 16–24-char words over a 12-letter alphabet with
+    // skewed frequencies (the Zipf-ish shape real pre-token counts have)
+    val rnd = new scala.util.Random(424242)
+    val alphabet = "abcdefghijkl"
+    val vocab = (0 until 2000).map { i =>
+      val len = 16 + rnd.nextInt(9)
+      ((0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString, 1L + (10000L / (i + 1)))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap.toSeq
+    val steps = 1000
+    val t0 = System.nanoTime()
+    val merges = LocalBpe.trainWords(vocab, steps)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length === steps,
+      s"the vocabulary must sustain $steps merges, got ${merges.length}")
+    // the O(vocab)-per-step claim, pinned as a generous wall-clock
+    // bound: 1,000 steps over a 2,000-word vocab is seconds in-process
+    // (the reason the loop does NOT run as 1,000 cluster jobs); a
+    // per-step cost that silently grew past O(vocab · len) blows this
+    assert(secs < 120.0,
+      f"1k in-process merges took $secs%.1f s — the per-step cost " +
+        "regressed past O(vocab)")
+    // merge steps are dense and deterministic
+    assert(merges.map(_._1) === (1L to steps.toLong))
+    assert(LocalBpe.trainWords(vocab, steps) === merges,
+      "training must be deterministic at depth")
+    // the persisted artifact format (the bpe_art_* merge-table schema)
+    // round-trips the full depth bit-exactly — a tokenizer trained at
+    // production depth is shipped THROUGH this parquet shape
+    val spark2 = spark
+    import spark2.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe_depth").toString + "/merges"
+    merges.toDF("step", "left_sym", "right_sym", "cnt")
+      .repartition(1).write.mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path).orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("cnt"))).toSeq
+    assert(back === merges,
+      "the artifact parquet must round-trip 1k merges exactly")
+  }
+
   test("bpe_byte_encode_unseen: symbols reassemble the exact pretoken bytes; multi-pair symbols are learned merges") {
     val out = SparkEntry.queries("bpe_byte_encode_unseen")(spark, sf)
       .collect()
