@@ -26,7 +26,18 @@ object Bench {
     * not that many independent plan changes landing in one round: r17's
     * driver board flagged 14 rows that two same-code sibling boards
     * uniformly disproved. The stamp lets a board reader adjudicate a
-    * noisy artifact WITHOUT sibling boards. */
+    * noisy artifact WITHOUT sibling boards.
+    *
+    * The threshold is a HEURISTIC CONSTANT, deliberately not scaled to
+    * the row count: contention observed on this hardware arrives in
+    * dozens of simultaneous spikes (14 on r17's board, 11 on r18's),
+    * while genuine same-round plan regressions have historically come
+    * 1–3 at a time — the gap between those regimes is wide and does
+    * not narrow as rows are added (each row is an independent spike
+    * sample, so MORE rows make a contended board exceed 8 MORE
+    * easily, not less). A board with exactly 7 spikes still reads as
+    * 7 real regressions and gets sibling-board adjudication — the
+    * conservative direction. */
   private[graft] val ContendedMin = 8
   private[graft] def contended(nRegressions: Int): Boolean =
     nRegressions >= ContendedMin

@@ -224,6 +224,26 @@ class AnnIndexSpec extends SparkSpec {
     } finally spark.conf.unset(graft.ops.Forget.RootConf)
   }
 
+  test("driver-side trigram bucket eval agrees with the executor-side pmod(xxhash64) expression exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.{VectorSearch => VS}
+    // the probe's bucket list is computed by interpreting Spark's own
+    // XxHash64 expression on the driver (no per-serve job); any drift
+    // from the codegen'd writer-side expression would probe EMPTY
+    // partitions and silently return no candidates — pin exact parity
+    // over a mixed sample (ascii, accents, a supplementary-plane char)
+    val tgs = Seq("zzb", "zbb", "abc", "éfg", "𝄞xy", "  a", "0A!")
+    val sparkSide = tgs.toDF("tg")
+      .select(col("tg"), pmod(xxhash64(col("tg")),
+        lit(VS.TrigramBuckets.toLong)).cast("int").as("tb"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    tgs.foreach { t =>
+      assert(VS.trigramBucketsOf(Seq(t)) === Seq(sparkSide(t)),
+        s"driver eval diverged from the executor expression on '$t'")
+    }
+  }
+
   test("trigram posting lifecycle: CAS-published append, tombstone exclusion at read, physical reclaim folds the delete") {
     val spark2 = spark
     import spark2.implicits._
@@ -291,8 +311,14 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("knn_where_metadata_in / nin: list operators compose with k-NN; the full candidate set is pinned") {
-    val in = SparkEntry.queries("knn_where_metadata_in")(spark, sf)
+    val inFrame = SparkEntry.queries("knn_where_metadata_in")(spark, sf)
+    val in = inFrame
       .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    // plan audit: the $in list reaches the documents parquet scan as a
+    // pushed In(source, …) (at 100 TB: dictionary/row-group pruning)
+    val plan = inFrame.queryExecution.executedPlan.toString
+    assert(plan.contains("In(source, [eval_b,eval_c])"),
+      s"the \\$$in list was not pushed into the scan:\n$plan")
     assert(in === (460000L to 460004L),
       s"F2 (lowest passing ids) must own the top-5: $in")
     assert(!in.exists(_ < 460000L),
