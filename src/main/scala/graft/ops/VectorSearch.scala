@@ -274,7 +274,9 @@ object VectorSearch extends QueryModule {
       .withColumn("embedding", embed(col("text")))
     val qv = corpus.filter(col("doc_id") === 300000L)
       .select(col("embedding").as("qvec"))
-    val top = corpus.filter(col("text").contains("zzbb"))
+    val top = corpus
+      .filter(ChromaFilter.whereDocument(
+        Map("$contains" -> "zzbb"), col("text")))
       .crossJoin(broadcast(qv))
       .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
       .orderBy(col("score").desc, col("doc_id").asc).limit(5)
@@ -305,7 +307,9 @@ object VectorSearch extends QueryModule {
     val qv = corpus.filter(col("doc_id") === 300000L)
       .select(col("embedding").as("qvec"))
     val top = corpus
-      .filter(col("text").contains("zzaa") && col("text").contains("zzbb"))
+      .filter(ChromaFilter.whereDocument(
+        Map("$and" -> Seq(Map("$contains" -> "zzaa"),
+          Map("$contains" -> "zzbb"))), col("text")))
       .crossJoin(broadcast(qv))
       .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
       .orderBy(col("score").desc, col("doc_id").asc).limit(5)
@@ -369,7 +373,8 @@ object VectorSearch extends QueryModule {
     val qv = corpus.filter(col("doc_id") === 360000L)
       .select(col("embedding").as("qvec"))
     val top = corpus
-      .filter(col("source") === "eval_b" && col("text").contains("zzmm"))
+      .filter(ChromaFilter.where(Map("source" -> "eval_b")) &&
+        ChromaFilter.whereDocument(Map("$contains" -> "zzmm"), col("text")))
       .crossJoin(broadcast(qv))
       .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
       .orderBy(col("score").desc, col("doc_id").asc).limit(5)
@@ -418,8 +423,7 @@ object VectorSearch extends QueryModule {
   def knnWhereMetadataRange(spark: SparkSession, dir: String): DataFrame = {
     val (naturals, planted, qv) = whereMetadataRangeCorpus(spark, dir)
     rankedTop5(naturals.unionByName(planted)
-      .filter(col("n_chars") >= 300L && col("n_chars") < 10000L &&
-        col("text").contains("zzrr")), qv)
+      .filter(whereMetadataRangeFilter), qv)
   }
 
   /** [[knnWhereMetadataRange]] with the NATURAL side served from a
@@ -451,9 +455,21 @@ object VectorSearch extends QueryModule {
       Embedding.hashingEmbed(t, 256))
     rankedTop5(pruned.withColumn("embedding", embed(col("text")))
       .unionByName(planted)
-      .filter(col("n_chars") >= 300L && col("n_chars") < 10000L &&
-        col("text").contains("zzrr")), qv)
+      .filter(whereMetadataRangeFilter), qv)
   }
+
+  /** The range rows' shared predicate, built from the EXACT filter
+    * dicts a Chroma client would send (`where={"$and": [{"n_chars":
+    * {"$gte": 300}}, {"n_chars": {"$lt": 10000}}]},
+    * where_document={"$contains": "zzrr"}`) through [[ChromaFilter]] —
+    * the translator is thereby oracle-exercised, and the compiled tree
+    * is ordinary Catalyst, so both bounds still push into the parquet
+    * scan (the row's plan audit). */
+  private def whereMetadataRangeFilter: Column =
+    ChromaFilter.where(Map("$and" -> Seq(
+      Map("n_chars" -> Map("$gte" -> 300L)),
+      Map("n_chars" -> Map("$lt" -> 10000L))))) &&
+      ChromaFilter.whereDocument(Map("$contains" -> "zzrr"), col("text"))
 
   /** The stats-sidecar file prune for the n_chars zone map: keep files
     * whose [min,max] window intersects [lo, hi). Returns (frame, kept,
@@ -536,8 +552,10 @@ object VectorSearch extends QueryModule {
   def knnWhereMetadataIn(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, qv) = whereMetadataSourceCorpus(spark, dir)
     rankedTop5(corpus.filter(
-      col("source").isin("eval_b", "eval_c") &&
-        col("text").contains("zznn")), qv)
+      ChromaFilter.where(Map("source" ->
+        Map("$in" -> Seq("eval_b", "eval_c")))) &&
+        ChromaFilter.whereDocument(Map("$contains" -> "zznn"),
+          col("text"))), qv)
   }
 
   /** Chroma's `{"source": {"$nin": [...]}}` — the complement list
@@ -548,8 +566,10 @@ object VectorSearch extends QueryModule {
   def knnWhereMetadataNin(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, qv) = whereMetadataSourceCorpus(spark, dir)
     rankedTop5(corpus.filter(
-      !col("source").isin("eval_a", "src0") &&
-        col("text").contains("zznn")), qv)
+      ChromaFilter.where(Map("source" ->
+        Map("$nin" -> Seq("eval_a", "src0")))) &&
+        ChromaFilter.whereDocument(Map("$contains" -> "zznn"),
+          col("text"))), qv)
   }
 
   private def whereMetadataSourceCorpus(spark: SparkSession,
@@ -709,7 +729,9 @@ object VectorSearch extends QueryModule {
     val qv = corpus.filter(col("doc_id") === 320000L)
       .select(col("embedding").as("qvec"))
     val top = corpus
-      .filter(col("text").contains("zzbb") || col("text").contains("zzcc"))
+      .filter(ChromaFilter.whereDocument(
+        Map("$or" -> Seq(Map("$contains" -> "zzbb"),
+          Map("$contains" -> "zzcc"))), col("text")))
       .crossJoin(broadcast(qv))
       .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
       .orderBy(col("score").desc, col("doc_id").asc).limit(5)
@@ -1080,7 +1102,8 @@ object VectorSearch extends QueryModule {
       .withColumn("embedding", embed(col("text")))
     val qv = corpus.filter(col("doc_id") === 320000L)
       .select(col("embedding").as("qvec"))
-    rankedTop5(corpus.filter(!col("text").contains("zzbb")), qv)
+    rankedTop5(corpus.filter(ChromaFilter.whereDocument(
+      Map("$not_contains" -> "zzbb"), col("text"))), qv)
   }
 
   /** [[knnWhereNotContains]] through the trigram index — with the
