@@ -1046,6 +1046,71 @@ object VectorSearch extends QueryModule {
     rankedTop5(survivors.withColumn("embedding", embed(col("text"))), qv)
   }
 
+  /** EXACTLY-ONCE streaming maintenance for the trigram substring index
+    * — the last lifecycle surface the ANN families have that the text
+    * index lacked: micro-batches of arriving documents stage their
+    * postings into DETERMINISTIC per-batch directories
+    * (`batch=<id>/tb=<bucket>`, overwrite — the
+    * `IndexBuilder.stageLshBatch` discipline), and the batch that
+    * delivered the planted groups is REPLAYED, the at-least-once
+    * delivery every foreachBatch sink sees after a crash. Because the
+    * replay rewrites `batch=1` instead of appending, each posting
+    * exists exactly once — and this serve's gate counts RAW posting
+    * rows (not distinct trigrams: per-doc postings are distinct by
+    * construction, so the counts agree on a correct store), which
+    * makes it the duplicate WITNESS: an append-mode regression doubles
+    * the count past the all-trigrams gate, the candidate set empties,
+    * and the row loses B wholesale against the shared replayed oracle.
+    * Same answer, same oracle as [[knnWhereContains]]. */
+  def knnWhereContainsStreamed(spark: SparkSession,
+      dir: String): DataFrame = {
+    val dim = 256
+    val needle = "zzbb"
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val root = Tables.scratchPath("trigram_postings_stream", dir)
+    ResultCache.buildIfAbsent(spark, docs,
+      "trigram:n=3:lifecycle=stream:v1", root) {
+      stageTrigramBatch(docs, root, 0L)
+      stageTrigramBatch(plantedAll, root, 1L)
+      // crash replay: same rows, same batch id, second delivery
+      stageTrigramBatch(plantedAll, root, 1L)
+    }
+    val tgs = needleTrigrams(needle)
+    val buckets = trigramBucketsOf(tgs)
+    val candidates = spark.read.parquet(root)
+      .filter(col("tb").isin(buckets: _*))   // pruned across batch dirs
+      .filter(col("tg").isin(tgs: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tg")) // raw rows: the witness
+      .filter(col("n_tg") === tgs.size)
+      .select("doc_id")
+    val probe = candidates.limit(WhereContainsPushdownCap + 1)
+      .collect().map(_.getLong(0))
+    val corpus = docs.unionByName(plantedAll)
+    val fetched =
+      if (probe.length <= WhereContainsPushdownCap)
+        corpus.filter(col("doc_id").isin(probe.toSeq: _*))
+      else corpus.join(candidates.hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+    val qv = plantedAll.filter(col("doc_id") === 300000L)
+      .withColumn("embedding", embed(col("text")))
+      .select(col("embedding").as("qvec"))
+    rankedTop5(fetched.filter(col("text").contains(needle))
+      .withColumn("embedding", embed(col("text"))), qv)
+  }
+
+  /** One micro-batch of the streaming trigram index: deterministic
+    * `batch=<id>` directory, overwrite — a replayed delivery rewrites
+    * its own directory instead of duplicating postings. */
+  private[graft] def stageTrigramBatch(docs: DataFrame, root: String,
+      batchId: Long): Unit =
+    trigramPostingsFrame(docs)
+      .withColumn("tb",
+        pmod(xxhash64(col("tg")), lit(TrigramBuckets.toLong)).cast("int"))
+      .repartition(col("tb")).sortWithinPartitions("tg")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(root + s"/batch=$batchId")
+
   /** Replayed delete-lifecycle oracle shared by both routes: rebuild
     * A∪B, apply the contains clause AND the committed delete, rank the
     * four survivors by id. */
@@ -1744,6 +1809,7 @@ object VectorSearch extends QueryModule {
     "knn_where_not_contains_indexed" -> knnWhereNotContainsIndexed,
     "knn_where_contains_deleted" -> knnWhereContainsDeleted,
     "knn_where_contains_deleted_indexed" -> knnWhereContainsDeletedIndexed,
+    "knn_where_contains_streamed" -> knnWhereContainsStreamed,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocument,
     "knn_where_metadata_range" -> knnWhereMetadataRange,
     "knn_where_metadata_range_pruned" -> knnWhereMetadataRangePruned,
@@ -1779,6 +1845,7 @@ object VectorSearch extends QueryModule {
     "knn_where_not_contains_indexed" -> knnWhereNotContainsSql,
     "knn_where_contains_deleted" -> knnWhereContainsDeletedSql,
     "knn_where_contains_deleted_indexed" -> knnWhereContainsDeletedSql,
+    "knn_where_contains_streamed" -> knnWhereContainsSql,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocumentSql,
     "knn_where_metadata_range" -> knnWhereMetadataRangeSql,
     "knn_where_metadata_range_pruned" -> knnWhereMetadataRangeSql,

@@ -282,6 +282,44 @@ class AnnIndexSpec extends SparkSpec {
       "reclaim must consume the folded log lines")
   }
 
+  test("knn_where_contains_streamed: replay is exactly-once, and the raw-count gate WOULD catch a duplicating regression") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.{VectorSearch => VS}
+    val out = SparkEntry.queries("knn_where_contains_streamed")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    val scan = SparkEntry.queries("knn_where_contains")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(out === scan,
+      s"the streamed index must serve the scan route's answer: $out")
+    // the witness claim, demonstrated: stage the SAME doc into TWO
+    // batch directories (what an append-mode replay bug produces) and
+    // the raw-count all-trigrams gate must reject it — the doc's
+    // posting count doubles past the gate instead of silently serving
+    val root = java.nio.file.Files
+      .createTempDirectory("tgstream").toString + "/p"
+    val doc = Seq((9L, "qq zzbb qq")).toDF("doc_id", "text")
+    VS.stageTrigramBatch(doc, root, 0L)
+    VS.stageTrigramBatch(doc, root, 1L) // the bug: a new dir, not a rewrite
+    val tgs = VS.needleTrigrams("zzbb")
+    val gated = spark.read.parquet(root)
+      .filter(col("tg").isin(tgs: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") === tgs.size)
+    assert(gated.count() === 0L,
+      "duplicated postings must overshoot the raw-count gate — the " +
+        "exactly-once witness")
+    // while a correct single staging passes it
+    val root2 = java.nio.file.Files
+      .createTempDirectory("tgstream2").toString + "/p"
+    VS.stageTrigramBatch(doc, root2, 0L)
+    val ok = spark.read.parquet(root2)
+      .filter(col("tg").isin(tgs: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") === tgs.size)
+    assert(ok.count() === 1L)
+  }
+
   test("knn_where_metadata_range: both bounds load-bearing, predicate PUSHED to the scan, zone-map route prunes files and serves identically") {
     val frame = SparkEntry.queries("knn_where_metadata_range")(spark, sf)
     val out = frame.collect().map(_.getAs[Long]("top_doc_id")).toSeq
