@@ -911,11 +911,14 @@ object VectorSearch extends QueryModule {
     * invisible until vacuumed ([[graft.ops.LateInteraction.writePostings]]
     * is the same shape for the window-hash index). */
   private[graft] def writeTrigramPostings(docs: DataFrame, path: String,
-      mode: String): Unit = {
+      mode: String, seq: Long = -1L): Unit = {
     val spark = docs.sparkSession
-    val frame = trigramPostingsFrame(docs)
+    val base = trigramPostingsFrame(docs)
       .withColumn("tb",
         pmod(xxhash64(col("tg")), lit(TrigramBuckets.toLong)).cast("int"))
+    // seq >= 0 stamps the commit generation — the upsert watermark's
+    // target column, exactly as the MaxSim posting writer stamps it
+    val frame = if (seq >= 0L) base.withColumn("seq", lit(seq)) else base
     val md = LateInteraction.tableManifestDir(path)
     val manifested = mode == "append" &&
       LateInteraction.probeTableDir(spark, path).hasManifest &&
@@ -1098,6 +1101,93 @@ object VectorSearch extends QueryModule {
     rankedTop5(fetched.filter(col("text").contains(needle))
       .withColumn("embedding", embed(col("text"))), qv)
   }
+
+  /** UPSERT lifecycle for the trigram substring index — the
+    * re-ingest-a-changed-document flow, under the same WATERMARK
+    * discipline the MaxSim posting index uses: posting files are
+    * immutable, so the replacement's postings APPEND at a higher
+    * commit generation (`seq = 1`) and a `(t_doc_id, upto_seq)`
+    * watermark sidecar kills exactly the STALE generation (`seq <= 0`)
+    * at read — an id-level tombstone would kill the replacement too,
+    * which the spec pins by probing the NEW content's needle. Doc
+    * 320002's text is re-ingested with `zzbb` replaced by `zzdd`: the
+    * `zzbb` serve loses it (four rows), while its new postings serve
+    * `zzdd` — both facts only hold if the watermark semantics are
+    * exact on BOTH the posting and the corpus side. Oracle replays the
+    * replacement route-independently. */
+  def knnWhereContainsUpserted(spark: SparkSession,
+      dir: String): DataFrame = {
+    val dim = 256
+    val needle = "zzbb"
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val replaced = plantedAll.filter(col("doc_id") === 320002L)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "zzbb", "zzdd").as("text"))
+    val path = Tables.scratchPath("trigram_postings_up", dir)
+    import spark.implicits._
+    ResultCache.buildIfAbsent(spark, docs,
+      "trigram:n=3:lifecycle=upsert:v1", path) {
+      writeTrigramPostings(docs.unionByName(plantedAll), path,
+        "overwrite", seq = 0L)
+      // the upsert: new generation appends, watermark kills the old
+      writeTrigramPostings(replaced, path, "append", seq = 1L)
+      Seq((320002L, 0L)).toDF("t_doc_id", "upto_seq")
+        .write.mode("overwrite").parquet(path + "/_tombstones")
+    }
+    val postings = LateInteraction.resolvedPostings(spark, path)
+    val tgs = needleTrigrams(needle)
+    val buckets = trigramBucketsOf(tgs)
+    val candidates = postings
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("tg").isin(tgs: _*))
+      .groupBy("doc_id").agg(countDistinct(col("tg")).as("n_tg"))
+      .filter(col("n_tg") === tgs.size)
+      .select("doc_id")
+    val probe = candidates.limit(WhereContainsPushdownCap + 1)
+      .collect().map(_.getLong(0))
+    // the corpus carries the REPLACEMENT text (the store after upsert)
+    val corpus = docs
+      .unionByName(plantedAll.filter(col("doc_id") =!= 320002L))
+      .unionByName(replaced)
+    val fetched =
+      if (probe.length <= WhereContainsPushdownCap)
+        corpus.filter(col("doc_id").isin(probe.toSeq: _*))
+      else corpus.join(candidates.hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+    val qv = plantedAll.filter(col("doc_id") === 300000L)
+      .withColumn("embedding", embed(col("text")))
+      .select(col("embedding").as("qvec"))
+    rankedTop5(fetched.filter(col("text").contains(needle))
+      .withColumn("embedding", embed(col("text"))), qv)
+  }
+
+  /** Replayed upsert oracle: apply the replacement to the rebuilt
+    * corpus, then the contains clause — route-independent, so a stale
+    * generation leaking through the watermark (or the replacement
+    * dying to an id-level mistake) breaks the compare. */
+  private val knnWhereContainsUpsertedSql =
+    """WITH base AS (SELECT text FROM documents WHERE doc_id = 0),
+      |a AS (SELECT CAST(300000 + r.range AS BIGINT) AS doc_id,
+      |             b.text || ' zzaa' AS text
+      |      FROM range(5) r, base b),
+      |bb AS (SELECT CAST(320000 + r.range AS BIGINT) AS doc_id,
+      |              b.text || ' zzaa zzbb' AS text
+      |       FROM range(5) r, base b),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM a
+      |  UNION ALL SELECT doc_id, text FROM bb),
+      |corpus2 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id = 320002
+      |              THEN replace(text, 'zzbb', 'zzdd') ELSE text END AS text
+      |  FROM corpus),
+      |cand AS (SELECT doc_id FROM corpus2 WHERE contains(text, 'zzbb'))
+      |SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS rank,
+      |       doc_id AS top_doc_id
+      |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
+      |ORDER BY rank""".stripMargin
 
   /** One micro-batch of the streaming trigram index: deterministic
     * `batch=<id>` directory, overwrite — a replayed delivery rewrites
@@ -1810,6 +1900,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_deleted" -> knnWhereContainsDeleted,
     "knn_where_contains_deleted_indexed" -> knnWhereContainsDeletedIndexed,
     "knn_where_contains_streamed" -> knnWhereContainsStreamed,
+    "knn_where_contains_upserted" -> knnWhereContainsUpserted,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocument,
     "knn_where_metadata_range" -> knnWhereMetadataRange,
     "knn_where_metadata_range_pruned" -> knnWhereMetadataRangePruned,
@@ -1846,6 +1937,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_deleted" -> knnWhereContainsDeletedSql,
     "knn_where_contains_deleted_indexed" -> knnWhereContainsDeletedSql,
     "knn_where_contains_streamed" -> knnWhereContainsSql,
+    "knn_where_contains_upserted" -> knnWhereContainsUpsertedSql,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocumentSql,
     "knn_where_metadata_range" -> knnWhereMetadataRangeSql,
     "knn_where_metadata_range_pruned" -> knnWhereMetadataRangeSql,

@@ -320,6 +320,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(ok.count() === 1L)
   }
 
+  test("knn_where_contains_upserted: the stale generation dies at the watermark, the replacement serves its NEW content") {
+    import graft.ops.{LateInteraction => LI, VectorSearch => VS}
+    val out = SparkEntry.queries("knn_where_contains_upserted")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(out === Seq(320000L, 320001L, 320003L, 320004L),
+      s"the re-ingested doc must leave the zzbb serve: $out")
+    // the watermark HALF the row's answer cannot see: the replacement's
+    // postings (seq = 1, ABOVE the upto_seq = 0 mark) must survive and
+    // serve the new content's needle — an id-level tombstone mistake
+    // would kill them and empty this gate
+    val path = Tables.scratchPath("trigram_postings_up", sf)
+    val postings = LI.resolvedPostings(spark, path)
+    val tgs = VS.needleTrigrams("zzdd")
+    val hit = postings.filter(col("tg").isin(tgs: _*))
+      .groupBy("doc_id").agg(countDistinct(col("tg")).as("n"))
+      .filter(col("n") === tgs.size)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit === Seq(320002L),
+      s"the replacement generation must serve its new needle: $hit")
+    // and the stale generation is really gone from the resolved frame
+    assert(postings.filter(col("doc_id") === 320002L &&
+      col("seq") === 0L).count() === 0L,
+      "seq<=0 postings of the upserted doc must die at the watermark")
+  }
+
   test("knn_where_metadata_range: both bounds load-bearing, predicate PUSHED to the scan, zone-map route prunes files and serves identically") {
     val frame = SparkEntry.queries("knn_where_metadata_range")(spark, sf)
     val out = frame.collect().map(_.getAs[Long]("top_doc_id")).toSeq
