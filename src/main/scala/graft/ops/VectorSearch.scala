@@ -695,6 +695,56 @@ object VectorSearch extends QueryModule {
       "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v2")
   }
 
+  /** MEASURED auto-routing between the `$contains` SCAN and TRIGRAM
+    * routes — the `ann_auto_route`/`maxsim_auto_route` discipline on
+    * the substring index: both routes' dominant cost is the documents
+    * whose text must be decoded and verified, so the router compares
+    * the MEASURED candidate count from the (cheap, pushed-In) posting
+    * probe against the corpus count, with an `overhead` factor for the
+    * probe + candidate fetch the indexed route adds. A rare needle
+    * routes trigram (verify a handful of docs); a needle so common its
+    * candidates approach the corpus routes scan — the same inversion
+    * the `$not_contains` cap encodes, here chosen by measurement. Both
+    * arms provably serve the identical answer (the route-independent
+    * oracle), and the choice lands in [[RouteLog]] so bench boards
+    * record it. */
+  def knnWhereContainsAutoRoute(spark: SparkSession,
+      dir: String): DataFrame =
+    knnWhereContainsAutoRouteWith(spark, dir, overhead = 2L)
+
+  /** Overhead-parameterized body — the spec drives a huge factor to
+    * force the scan arm and pin route equality on it. */
+  private[graft] def knnWhereContainsAutoRouteWith(spark: SparkSession,
+      dir: String, overhead: Long): DataFrame = {
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val path = Tables.scratchPath("trigram_postings_wc", dir)
+    ResultCache.buildIfAbsent(spark, docs,
+      "trigram:n=3:planted=wherecontains:v2", path) {
+      trigramPostingsFrame(docs.unionByName(plantedAll))
+        .repartitionByRange(8, col("tg"))
+        .sortWithinPartitions("tg")
+        .write.mode("overwrite").parquet(path)
+    }
+    val tgs = needleTrigrams("zzbb")
+    // pricing: the probe is the pruned cheap stage (posting lists of
+    // |needle| trigrams only); the corpus count is the catalog-stat
+    // cardinality (naturals dominate — the planted groups are noise)
+    val candidateDocs = spark.read.parquet(path)
+      .filter(col("tg").isin(tgs: _*))
+      .groupBy("doc_id").agg(countDistinct(col("tg")).as("n_tg"))
+      .filter(col("n_tg") === tgs.size)
+      .count()
+    val corpusDocs = docs.count()
+    // BigInt: a large overhead factor must price AGAINST the index,
+    // never overflow Long into routing FOR it
+    val indexed = BigInt(candidateDocs) * BigInt(overhead) < BigInt(corpusDocs)
+    RouteLog.record("where_contains", if (indexed) "trigram" else "scan")
+    System.err.println(s"[route] where_contains corpus=$corpusDocs " +
+      s"candidates=$candidateDocs -> ${if (indexed) "trigram" else "scan"}")
+    if (indexed) knnWhereContainsIndexed(spark, dir)
+    else knnWhereContains(spark, dir)
+  }
+
   /** The AND row through the index — the composition its scan sibling's
     * doc promises: each clause's trigrams probe the SAME posting table
     * and the per-needle all-trigrams gates INTERSECT inside one
@@ -1891,6 +1941,7 @@ object VectorSearch extends QueryModule {
     "embed_documents_knn" -> embedDocumentsKnn,
     "knn_where_contains" -> knnWhereContains,
     "knn_where_contains_indexed" -> knnWhereContainsIndexed,
+    "knn_where_contains_auto_route" -> knnWhereContainsAutoRoute,
     "knn_where_contains_and" -> knnWhereContainsAnd,
     "knn_where_contains_and_indexed" -> knnWhereContainsAndIndexed,
     "knn_where_contains_or" -> knnWhereContainsOr,
@@ -1928,6 +1979,7 @@ object VectorSearch extends QueryModule {
     "embed_documents_knn" -> embedDocumentsKnnSql,
     "knn_where_contains" -> knnWhereContainsSql,
     "knn_where_contains_indexed" -> knnWhereContainsSql,
+    "knn_where_contains_auto_route" -> knnWhereContainsSql,
     "knn_where_contains_and" -> knnWhereContainsAndSql,
     "knn_where_contains_and_indexed" -> knnWhereContainsAndSql,
     "knn_where_contains_or" -> knnWhereContainsOrSql,

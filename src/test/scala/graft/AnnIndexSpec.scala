@@ -166,6 +166,26 @@ class AnnIndexSpec extends SparkSpec {
         "not load-bearing")
   }
 
+  test("knn_where_contains_auto_route: rare needle routes trigram, forced overhead routes scan, both arms serve identically") {
+    import graft.ops.{RouteLog, VectorSearch => VS}
+    val scan = SparkEntry.queries("knn_where_contains")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    val auto = SparkEntry.queries("knn_where_contains_auto_route")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(auto === scan, s"the routed serve diverged: $auto")
+    val last = RouteLog.recent.filter(_.site == "where_contains").last
+    assert(last.choice === "trigram",
+      "a 10-candidate needle against a whole corpus must route trigram")
+    // force the inversion: a huge indexed-overhead factor prices the
+    // scan as cheaper — the other arm must serve the identical answer
+    val forced = VS
+      .knnWhereContainsAutoRouteWith(spark, sf, overhead = Long.MaxValue / 4)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(forced === scan, s"the scan arm diverged: $forced")
+    assert(RouteLog.recent.filter(_.site == "where_contains")
+      .last.choice === "scan")
+  }
+
   test("knn_where_not_contains: B's exclusion is load-bearing, A outscores the naturals, and both indexed arms equal the scan") {
     val out = SparkEntry.queries("knn_where_not_contains")(spark, sf)
       .collect().map(_.getAs[Long]("top_doc_id")).toSeq
