@@ -52,6 +52,14 @@ object ChromaFilter {
         throw new IllegalArgumentException(
           s"'$key' is a where_document operator — pass it to " +
             "whereDocument, not where")
+      case op if op.startsWith("$") =>
+        // a typo'd logical operator ($nad) must not silently become a
+        // metadata FIELD named '$nad' — equality against a column that
+        // does not exist, surfacing later as a confusing resolution
+        // error (or a wrong filter if such a column ever existed)
+        throw new IllegalArgumentException(
+          s"unknown where operator '$op' — expected a field name or " +
+            "$and/$or")
       case field =>
         value match {
           case m @ (_: Map[_, _] | _: java.util.Map[_, _]) =>

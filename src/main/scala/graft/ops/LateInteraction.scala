@@ -510,7 +510,7 @@ object LateInteraction extends QueryModule {
     * docs; but a composed FULL delete ([[composeDelete]]'s
     * `upto_seq = Long.MaxValue`) has no surviving replacement above the
     * mark, so the brute corpus must drop it exactly as the postings do. */
-  private def minusIdTombstoned(corpus: DataFrame,
+  private[graft] def minusIdTombstoned(corpus: DataFrame,
       sidecar: Option[(DataFrame, Boolean)]): DataFrame =
     sidecar match {
       case Some((t, false)) =>

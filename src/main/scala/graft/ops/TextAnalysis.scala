@@ -641,7 +641,27 @@ object TextAnalysis extends QueryModule {
     val embed = udf((t: String) =>
       graft.vector.Embedding.hashingEmbed(t, dim))
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    // first three md5-unique docs, deterministically (id order)
+    val bench = semanticBenchItems(spark, dir)
+      .withColumn("bvec", embed(col("text"))).select("bench_id", "bvec")
+    docs.withColumn("dvec", embed(col("text")))
+      .crossJoin(broadcast(bench))
+      .withColumn("score", round(
+        graft.vector.VectorFunctions.cosineUnit(col("dvec"), col("bvec")), 6))
+      .filter(col("score") >= 0.999)
+      .select(col("doc_id"), col("bench_id"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** The semantic-decontamination BENCHMARK, built once for both
+    * routes: items 1..3 are the first three md5-unique corpus docs
+    * (unique => the contaminated set is enumerable), item 4 is the
+    * novel text that must match nothing. The broadcast and ANN routes
+    * share one oracle and a route-equality spec — both rest on this
+    * construction being a single definition that CANNOT drift. */
+  private def semanticBenchItems(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val sources = docs
       .groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"),
@@ -651,18 +671,9 @@ object TextAnalysis extends QueryModule {
       .withColumn("bench_id", row_number().over(
         Window.orderBy(col("doc_id"))).cast("long"))
       .select(col("bench_id"), col("text"))
-    import spark.implicits._
-    val novel = Seq((4L, "zzqx novel benchmark item zzqy never in corpus"))
-      .toDF("bench_id", "text")
-    val bench = sources.unionByName(novel)
-      .withColumn("bvec", embed(col("text"))).select("bench_id", "bvec")
-    docs.withColumn("dvec", embed(col("text")))
-      .crossJoin(broadcast(bench))
-      .withColumn("score", round(
-        graft.vector.VectorFunctions.cosineUnit(col("dvec"), col("bvec")), 6))
-      .filter(col("score") >= 0.999)
-      .select(col("doc_id"), col("bench_id"))
-      .orderBy("doc_id", "bench_id")
+    sources.unionByName(
+      Seq((4L, "zzqx novel benchmark item zzqy never in corpus"))
+        .toDF("bench_id", "text"))
   }
 
   /** [[decontaminateSemantic]] through the ANN route — the
@@ -685,19 +696,7 @@ object TextAnalysis extends QueryModule {
     val embed = udf((t: String) =>
       graft.vector.Embedding.hashingEmbed(t, dim))
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val sources = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"),
-        min(col("text")).as("text"))
-      .filter(col("n") === 1)
-      .orderBy("doc_id").limit(3)
-      .withColumn("bench_id", row_number().over(
-        Window.orderBy(col("doc_id"))).cast("long"))
-      .select(col("bench_id"), col("text"))
-    import spark.implicits._
-    val novel = Seq((4L, "zzqx novel benchmark item zzqy never in corpus"))
-      .toDF("bench_id", "text")
-    val bench = sources.unionByName(novel)
+    val bench = semanticBenchItems(spark, dir)
       .withColumn("qvec", embed(col("text")))
       .select(col("bench_id").as("qid"), col("qvec"))
     val lsh = new graft.vector.IndexBuilder.RandomHyperplaneLsh(dim, nBits = 6, seed = 42L)

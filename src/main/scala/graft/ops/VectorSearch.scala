@@ -274,15 +274,8 @@ object VectorSearch extends QueryModule {
       .withColumn("embedding", embed(col("text")))
     val qv = corpus.filter(col("doc_id") === 300000L)
       .select(col("embedding").as("qvec"))
-    val top = corpus
-      .filter(ChromaFilter.whereDocument(
-        Map("$contains" -> "zzbb"), col("text")))
-      .crossJoin(broadcast(qv))
-      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
-      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
-    top.withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .select(col("rank"), col("doc_id").as("top_doc_id"))
+    rankedTop5(corpus.filter(ChromaFilter.whereDocument(
+      Map("$contains" -> "zzbb"), col("text"))), qv)
   }
 
   /** Chroma's `where_document={"$and": [{"$contains": a}, {"$contains":
@@ -306,16 +299,9 @@ object VectorSearch extends QueryModule {
       .withColumn("embedding", embed(col("text")))
     val qv = corpus.filter(col("doc_id") === 300000L)
       .select(col("embedding").as("qvec"))
-    val top = corpus
-      .filter(ChromaFilter.whereDocument(
-        Map("$and" -> Seq(Map("$contains" -> "zzaa"),
-          Map("$contains" -> "zzbb"))), col("text")))
-      .crossJoin(broadcast(qv))
-      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
-      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
-    top.withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .select(col("rank"), col("doc_id").as("top_doc_id"))
+    rankedTop5(corpus.filter(ChromaFilter.whereDocument(
+      Map("$and" -> Seq(Map("$contains" -> "zzaa"),
+        Map("$contains" -> "zzbb"))), col("text"))), qv)
   }
 
   /** Replayed conjunctive oracle: rebuild A∪B∪D, apply BOTH contains
@@ -372,15 +358,10 @@ object VectorSearch extends QueryModule {
       .withColumn("embedding", embed(col("text")))
     val qv = corpus.filter(col("doc_id") === 360000L)
       .select(col("embedding").as("qvec"))
-    val top = corpus
-      .filter(ChromaFilter.where(Map("source" -> "eval_b")) &&
-        ChromaFilter.whereDocument(Map("$contains" -> "zzmm"), col("text")))
-      .crossJoin(broadcast(qv))
-      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
-      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
-    top.withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .select(col("rank"), col("doc_id").as("top_doc_id"))
+    rankedTop5(corpus.filter(
+      ChromaFilter.where(Map("source" -> "eval_b")) &&
+        ChromaFilter.whereDocument(Map("$contains" -> "zzmm"),
+          col("text"))), qv)
   }
 
   /** Replayed composed oracle: rebuild E∪F, apply BOTH the metadata and
@@ -406,8 +387,9 @@ object VectorSearch extends QueryModule {
 
   /** Chroma's NON-EQUALITY metadata `where` operators composed with
     * k-NN — the retriever filter surface `Auto_query_rag_database.py`
-    * accepts beyond bare equality: `{"n_chars": {"$gte": 300,
-    * "$lt": 10000}}` AND a `$contains` document clause in one query.
+    * accepts beyond bare equality: `{"$and": [{"n_chars":
+    * {"$gte": 300}}, {"n_chars": {"$lt": 10000}}]}` AND a `$contains`
+    * document clause in one query.
     * Three planted groups carry IDENTICAL text (⇒ identical embeddings
     * ⇒ an exact tie the text clauses cannot separate) and differ ONLY
     * in the numeric metadata, making each bound load-bearing on its
@@ -712,37 +694,64 @@ object VectorSearch extends QueryModule {
       dir: String): DataFrame =
     knnWhereContainsAutoRouteWith(spark, dir, overhead = 2L)
 
+  /** Per-dir documents cardinality, counted once per JVM — the value a
+    * production deployment reads from catalog statistics; re-counting
+    * the corpus on every routed serve would make the ROUTER cost what
+    * it exists to avoid. A Long memo, never a cached frame (a
+    * plan-keyed DataFrame cache pins its first caller's session — the
+    * r18 ivf-memo lesson). */
+  private val corpusCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusDocsOf(spark: SparkSession, dir: String): Long =
+    corpusCountMemo.computeIfAbsent(dir,
+      _ => Tables.documents(spark, dir).count()).longValue
+
   /** Overhead-parameterized body — the spec drives a huge factor to
-    * force the scan arm and pin route equality on it. */
+    * force the scan arm and pin route equality on it. The bounded
+    * cap+1 probe serves BOTH purposes in one job: its length is the
+    * candidate-count price, and below the cap its ids ARE the pushed
+    * fetch list — the routed serve never re-runs the posting probe. */
   private[graft] def knnWhereContainsAutoRouteWith(spark: SparkSession,
       dir: String, overhead: Long): DataFrame = {
+    val needle = "zzbb"
+    val dim = 256
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
-    val path = Tables.scratchPath("trigram_postings_wc", dir)
-    ResultCache.buildIfAbsent(spark, docs,
-      "trigram:n=3:planted=wherecontains:v2", path) {
-      trigramPostingsFrame(docs.unionByName(plantedAll))
-        .repartitionByRange(8, col("tg"))
-        .sortWithinPartitions("tg")
-        .write.mode("overwrite").parquet(path)
-    }
-    val tgs = needleTrigrams("zzbb")
-    // pricing: the probe is the pruned cheap stage (posting lists of
-    // |needle| trigrams only); the corpus count is the catalog-stat
-    // cardinality (naturals dominate — the planted groups are noise)
-    val candidateDocs = spark.read.parquet(path)
+    val path = staticTrigramFixture(spark, docs, plantedAll, dir,
+      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v2")
+    val tgs = needleTrigrams(needle)
+    val candidates = spark.read.parquet(path)
       .filter(col("tg").isin(tgs: _*))
       .groupBy("doc_id").agg(countDistinct(col("tg")).as("n_tg"))
       .filter(col("n_tg") === tgs.size)
-      .count()
-    val corpusDocs = docs.count()
+      .select("doc_id")
+    val probe = candidates.limit(WhereContainsPushdownCap + 1)
+      .collect().map(_.getLong(0))
+    // above the cap the exact count is unknown — price with cap+1, a
+    // LOWER bound, which can only bias toward the (semi-join) indexed
+    // route when candidates are genuinely plentiful
+    val corpusDocs = corpusDocsOf(spark, dir)
     // BigInt: a large overhead factor must price AGAINST the index,
     // never overflow Long into routing FOR it
-    val indexed = BigInt(candidateDocs) * BigInt(overhead) < BigInt(corpusDocs)
+    val indexed =
+      BigInt(probe.length) * BigInt(overhead) < BigInt(corpusDocs)
     RouteLog.record("where_contains", if (indexed) "trigram" else "scan")
     System.err.println(s"[route] where_contains corpus=$corpusDocs " +
-      s"candidates=$candidateDocs -> ${if (indexed) "trigram" else "scan"}")
-    if (indexed) knnWhereContainsIndexed(spark, dir)
-    else knnWhereContains(spark, dir)
+      s"candidates>=${probe.length} -> ${if (indexed) "trigram" else "scan"}")
+    if (!indexed) knnWhereContains(spark, dir)
+    else {
+      val corpus = docs.unionByName(plantedAll)
+      val fetched =
+        if (probe.length <= WhereContainsPushdownCap)
+          corpus.filter(col("doc_id").isin(probe.toSeq: _*))
+        else corpus.join(candidates.hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
+      val qv = plantedAll.filter(col("doc_id") === 300000L)
+        .withColumn("embedding", embed(col("text")))
+        .select(col("embedding").as("qvec"))
+      rankedTop5(fetched.filter(col("text").contains(needle))
+        .withColumn("embedding", embed(col("text"))), qv)
+    }
   }
 
   /** The AND row through the index — the composition its scan sibling's
@@ -778,16 +787,9 @@ object VectorSearch extends QueryModule {
       .withColumn("embedding", embed(col("text")))
     val qv = corpus.filter(col("doc_id") === 320000L)
       .select(col("embedding").as("qvec"))
-    val top = corpus
-      .filter(ChromaFilter.whereDocument(
-        Map("$or" -> Seq(Map("$contains" -> "zzbb"),
-          Map("$contains" -> "zzcc"))), col("text")))
-      .crossJoin(broadcast(qv))
-      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
-      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
-    top.withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .select(col("rank"), col("doc_id").as("top_doc_id"))
+    rankedTop5(corpus.filter(ChromaFilter.whereDocument(
+      Map("$or" -> Seq(Map("$contains" -> "zzbb"),
+        Map("$contains" -> "zzcc"))), col("text"))), qv)
   }
 
   /** Replayed disjunctive oracle: rebuild A∪B∪D, take the OR of the
@@ -845,13 +847,8 @@ object VectorSearch extends QueryModule {
     val dim = 256
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val path = Tables.scratchPath(fixtureName, dir)
-    ResultCache.buildIfAbsent(spark, docs, fixtureTag, path) {
-      trigramPostingsFrame(docs.unionByName(plantedAll))
-        .repartitionByRange(8, col("tg"))
-        .sortWithinPartitions("tg")
-        .write.mode("overwrite").parquet(path)
-    }
+    val path = staticTrigramFixture(spark, docs, plantedAll, dir,
+      fixtureName, fixtureTag)
     val tgSets = needles.map(needleTrigrams)
     val allTgs = tgSets.flatten.distinct
     val gates = tgSets.zipWithIndex.map { case (tgs, i) =>
@@ -891,12 +888,25 @@ object VectorSearch extends QueryModule {
     val qv = plantedAll.filter(col("doc_id") === queryId)
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
-    val top = cand.crossJoin(broadcast(qv))
-      .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
-      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
-    top.withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .select(col("rank"), col("doc_id").as("top_doc_id"))
+    rankedTop5(cand, qv)
+  }
+
+  /** Build-once STATIC trigram posting fixture over a planted corpus —
+    * the ONE builder every row serving from it calls, so layout and
+    * ResultCache tag can never drift between call sites (same-tag with
+    * a changed build is undetectable by the cache's own contract).
+    * Returns the fixture path. */
+  private def staticTrigramFixture(spark: SparkSession, docs: DataFrame,
+      plantedAll: DataFrame, dir: String, name: String,
+      tag: String): String = {
+    val path = Tables.scratchPath(name, dir)
+    ResultCache.buildIfAbsent(spark, docs, tag, path) {
+      trigramPostingsFrame(docs.unionByName(plantedAll))
+        .repartitionByRange(8, col("tg"))
+        .sortWithinPartitions("tg")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
   }
 
   /** Needle-side trigram enumeration, matching [[trigramPostingsFrame]]'s
@@ -1067,17 +1077,27 @@ object VectorSearch extends QueryModule {
     // route symmetry: the SAME exclusion (tombstones + forget conf)
     // rides the corpus on both routes and the postings on the indexed
     // one — a route-dependent exclusion would answer differently per
-    // plan, exactly what the shared oracle exists to catch
-    def excluded(f: DataFrame): DataFrame = Forget.defaultExclusion(
-      LateInteraction.minusTombstonedWith(f, sidecar), "doc_id")
-    val corpus = excluded(docs.unionByName(plantedAll))
+    // plan, exactly what the shared oracle exists to catch. The CORPUS
+    // side goes through the corpus-shaped dispatch (minusIdTombstoned):
+    // the posting-shaped anti-join references a `seq` column a corpus
+    // does not carry, so it would throw the moment this table's
+    // sidecar turned watermark-shaped (delete composed onto an
+    // upserted store) — id-level deletes and full composed deletes
+    // drop, finite upsert watermarks keep the doc (whose replacement
+    // text the corpus carries), exactly the brute-arm contract the
+    // MaxSim router pins.
+    val corpus = Forget.defaultExclusion(
+      LateInteraction.minusIdTombstoned(docs.unionByName(plantedAll),
+        sidecar), "doc_id")
     val survivors =
       if (!indexed) corpus.filter(col("text").contains(needle))
       else {
         val tgs = needleTrigrams(needle)
         val buckets = trigramBucketsOf(tgs)
-        val postings = excluded(
-            LateInteraction.tableDataWith(spark, path, st))
+        val postings = Forget.defaultExclusion(
+          LateInteraction.minusTombstonedWith(
+            LateInteraction.tableDataWith(spark, path, st), sidecar),
+          "doc_id")
           .filter(col("tb").isin(buckets: _*))      // partition-pruned
           .filter(col("tg").isin(tgs: _*))          // pushed In(tg, …)
         val candidates = postings
@@ -1338,14 +1358,8 @@ object VectorSearch extends QueryModule {
     val needle = "zzbb"
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
-    val path = Tables.scratchPath("trigram_postings_wc", dir)
-    ResultCache.buildIfAbsent(spark, docs,
-      "trigram:n=3:planted=wherecontains:v2", path) {
-      trigramPostingsFrame(docs.unionByName(plantedAll))
-        .repartitionByRange(8, col("tg"))
-        .sortWithinPartitions("tg")
-        .write.mode("overwrite").parquet(path)
-    }
+    val path = staticTrigramFixture(spark, docs, plantedAll, dir,
+      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v2")
     val tgs = needleTrigrams(needle)
     val candidates = spark.read.parquet(path)
       .filter(col("tg").isin(tgs: _*))
@@ -1364,7 +1378,12 @@ object VectorSearch extends QueryModule {
         val matched = corpus.filter(col("doc_id").isin(ids: _*))
           .filter(col("text").contains(needle))
           .select("doc_id")
-        corpus.join(broadcast(matched), Seq("doc_id"), "left_anti")
+        // null-safe route equality: the scan arm's NOT contains drops
+        // null-text rows (three-valued logic), and a null-text doc has
+        // no postings so the anti-join alone would RETAIN it here —
+        // filter it out to keep both arms (and the oracle) agreeing
+        corpus.filter(col("text").isNotNull)
+          .join(broadcast(matched), Seq("doc_id"), "left_anti")
       } else
         // the inversion: a common needle's candidate set approaches the
         // corpus — verifying it IS a scan, so run the scan route's plan

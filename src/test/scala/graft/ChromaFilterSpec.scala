@@ -85,6 +85,10 @@ class ChromaFilterSpec extends SparkSpec {
       .contains("exactly one"))
     assert(boom(ChromaFilter.where(Map("n" -> Map("$between" -> 5))))
       .contains("$between"))
+    // a typo'd LOGICAL operator must not silently become a metadata
+    // field named '$nad' (equality against a nonexistent column)
+    assert(boom(ChromaFilter.where(Map("$nad" -> Seq(Map("a" -> 1)))))
+      .contains("$nad"))
     assert(boom(ChromaFilter.where(Map("$and" -> Seq.empty[Map[String, Any]])))
       .contains("non-empty"))
     // a document operator in the metadata tree is a caller bug
