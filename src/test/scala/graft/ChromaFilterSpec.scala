@@ -77,6 +77,64 @@ class ChromaFilterSpec extends SparkSpec {
       === Seq(1L, 4L))
   }
 
+  test("property: random where trees agree with an in-memory reference evaluator") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0 until 12).map(i =>
+      (i.toLong, s"s${i % 3}", (i * 17 % 101).toLong))
+    val pdf = rows.toDF("id", "source", "n")
+    val rnd = new scala.util.Random(20260816L)
+    def leaf(): Map[String, Any] = rnd.nextInt(7) match {
+      case 0 => Map("source" -> s"s${rnd.nextInt(4)}")
+      case 1 => Map("n" -> Map("$gte" -> rnd.nextInt(120).toLong))
+      case 2 => Map("n" -> Map("$lt" -> rnd.nextInt(120).toLong))
+      case 3 => Map("n" -> Map("$gt" -> rnd.nextInt(120).toLong))
+      case 4 => Map("source" -> Map("$in" ->
+        Seq(s"s${rnd.nextInt(4)}", s"s${rnd.nextInt(4)}")))
+      case 5 => Map("source" -> Map("$nin" -> Seq(s"s${rnd.nextInt(4)}")))
+      case 6 => Map("n" -> Map("$ne" -> rnd.nextInt(120).toLong))
+    }
+    def tree(depth: Int): Map[String, Any] =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else Map((if (rnd.nextBoolean()) "$and" else "$or") ->
+        Seq(tree(depth - 1), tree(depth - 1)))
+    def eval(t: Map[String, Any], source: String, n: Long): Boolean = {
+      val (k, v) = t.head
+      (k, v) match {
+        case ("$and", xs: Seq[_]) => xs
+          .forall(x => eval(x.asInstanceOf[Map[String, Any]], source, n))
+        case ("$or", xs: Seq[_]) => xs
+          .exists(x => eval(x.asInstanceOf[Map[String, Any]], source, n))
+        case ("source", s: String) => source == s
+        case ("source", m: Map[_, _]) =>
+          m.asInstanceOf[Map[String, Any]].head match {
+            case ("$in", xs: Seq[_]) => xs.contains(source)
+            case ("$nin", xs: Seq[_]) => !xs.contains(source)
+            case other => fail(s"unexpected leaf $other")
+          }
+        case ("n", m: Map[_, _]) =>
+          m.asInstanceOf[Map[String, Any]].head match {
+            case ("$gte", x: Long) => n >= x
+            case ("$gt", x: Long) => n > x
+            case ("$lt", x: Long) => n < x
+            case ("$ne", x: Long) => n != x
+            case other => fail(s"unexpected leaf $other")
+          }
+        case other => fail(s"unexpected node $other")
+      }
+    }
+    // one filter per generated tree, each over a 12-row local relation —
+    // 60 tiny jobs; the reference evaluator is the Chroma semantics in
+    // plain Scala, so any divergence is a translator bug
+    (0 until 60).foreach { _ =>
+      val t = tree(3)
+      val got = pdf.filter(ChromaFilter.where(t))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = rows.filter(r => eval(t, r._2, r._3)).map(_._1).toSet
+      assert(got === want, s"tree $t: spark=$got reference=$want")
+    }
+  }
+
   test("malformed filters refuse loudly instead of widening the result") {
     def boom(f: => Any): String =
       intercept[IllegalArgumentException](f).getMessage
