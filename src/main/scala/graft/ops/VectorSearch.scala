@@ -677,6 +677,63 @@ object VectorSearch extends QueryModule {
       "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v2")
   }
 
+  /** The OPTIMIZER-driven trigram route — the third way to reach the
+    * posting index, after the explicit indexed serve and the measured
+    * router: user code is the NAÏVE scan query (`spark.read.parquet(
+    * corpus).filter(col("text").contains("zzbb"))` — no index API
+    * anywhere), and the opt-in [[org.apache.spark.sql.graft.
+    * ContainsRewriteRule]] injects the posting-gate semi-join during
+    * optimization, with the contains conjunct kept as the verify (an
+    * EXACT rewrite, unlike the ANN one — the gate is a superset of
+    * matches). Same answer, same replayed oracle as the scan route;
+    * the spec audits that the armed plan REALLY carries the semi-join
+    * (a silently non-firing rule would still pass the oracle via the
+    * scan). Conf is localized around a collect (the
+    * annRewriteFilteredTopk discipline — a lazily-served frame would
+    * otherwise optimize after the conf window closed). */
+  def knnWhereContainsRewritten(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{ContainsRewriteRule => R, GraftExtensions}
+    GraftExtensions.register(spark)
+    val dim = 256
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val corpusPath = whereContainsRuleCorpus(spark, dir)
+    val postingsPath = staticTrigramFixture(spark, docs, plantedAll, dir,
+      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v2")
+    val qv = plantedAll.filter(col("doc_id") === 300000L)
+      .withColumn("embedding", embed(col("text")))
+      .select(col("embedding").as("qvec"))
+    Relational.withConfsLocalized(spark, Seq(
+      R.EnabledKey -> "true",
+      R.SourceKey -> corpusPath,
+      R.PostingsKey -> postingsPath)) {
+      rankedTop5(whereContainsRuleUserQuery(spark, corpusPath)
+        .withColumn("embedding", embed(col("text"))), qv)
+    }
+  }
+
+  /** The materialized store the rule row registers as its source —
+    * docs ∪ planted as ONE parquet table (the rule matches bare scans
+    * of a registered path, the MvRewrite source discipline). */
+  private[graft] def whereContainsRuleCorpus(spark: SparkSession,
+      dir: String): String = {
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val corpusPath = Tables.scratchPath("wc_rule_corpus", dir)
+    ResultCache.buildIfAbsent(spark, docs, "wcrule:corpus:v1", corpusPath) {
+      docs.unionByName(plantedAll)
+        .write.mode("overwrite").parquet(corpusPath)
+    }
+    corpusPath
+  }
+
+  /** The exact naïve frame the user writes — exposed so the spec can
+    * audit the very plan the driver row runs. */
+  private[graft] def whereContainsRuleUserQuery(spark: SparkSession,
+      corpusPath: String): DataFrame =
+    spark.read.parquet(corpusPath)
+      .filter(col("text").contains("zzbb"))
+
   /** MEASURED auto-routing between the `$contains` SCAN and TRIGRAM
     * routes — the `ann_auto_route`/`maxsim_auto_route` discipline on
     * the substring index: both routes' dominant cost is the documents
@@ -920,7 +977,7 @@ object VectorSearch extends QueryModule {
     * needle whose LOWERED form is shorter than one trigram yields the
     * empty set — the caller refuses it loudly (no posting list could
     * gate it; short needles belong on the scan route). */
-  private[graft] def needleTrigrams(needle: String): Seq[String] = {
+  def needleTrigrams(needle: String): Seq[String] = {
     val cps = needle.toLowerCase(java.util.Locale.ROOT).codePoints().toArray
     require(cps.length >= 3,
       s"trigram route needs needles of >= 3 code points, got '$needle' — " +
@@ -1961,6 +2018,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains" -> knnWhereContains,
     "knn_where_contains_indexed" -> knnWhereContainsIndexed,
     "knn_where_contains_auto_route" -> knnWhereContainsAutoRoute,
+    "knn_where_contains_rewritten" -> knnWhereContainsRewritten,
     "knn_where_contains_and" -> knnWhereContainsAnd,
     "knn_where_contains_and_indexed" -> knnWhereContainsAndIndexed,
     "knn_where_contains_or" -> knnWhereContainsOr,
@@ -1999,6 +2057,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains" -> knnWhereContainsSql,
     "knn_where_contains_indexed" -> knnWhereContainsSql,
     "knn_where_contains_auto_route" -> knnWhereContainsSql,
+    "knn_where_contains_rewritten" -> knnWhereContainsSql,
     "knn_where_contains_and" -> knnWhereContainsAndSql,
     "knn_where_contains_and_indexed" -> knnWhereContainsAndSql,
     "knn_where_contains_or" -> knnWhereContainsOrSql,

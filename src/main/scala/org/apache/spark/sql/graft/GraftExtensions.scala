@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in MV routing (spark.graft.mv.rewrite=true): grouped COUNT over
     // the registered fact table is answered from its materialized summary.
     ext.injectOptimizerRule(_ => MvRewriteRule)
+    // Opt-in contains routing (spark.graft.contains.rewrite=true): a
+    // substring filter over the registered corpus gains a semi-join
+    // against its trigram posting gate — EXACT (the verify stays).
+    ext.injectOptimizerRule(_ => ContainsRewriteRule)
     // Opt-in PK-FK join elimination (spark.graft.fkelim.enabled=true):
     // an unused dimension join is dropped under DQ-verified constraints.
     ext.injectOptimizerRule(_ => FkJoinEliminationRule)
@@ -88,6 +92,8 @@ object GraftExtensions {
       em.extraOptimizations = em.extraOptimizations :+ AnnRewriteRule
     if (!em.extraOptimizations.contains(MvRewriteRule))
       em.extraOptimizations = em.extraOptimizations :+ MvRewriteRule
+    if (!em.extraOptimizations.contains(ContainsRewriteRule))
+      em.extraOptimizations = em.extraOptimizations :+ ContainsRewriteRule
     if (!em.extraOptimizations.contains(FkJoinEliminationRule))
       em.extraOptimizations = em.extraOptimizations :+ FkJoinEliminationRule
     if (!em.extraOptimizations.contains(PartitionPruneRule))

@@ -129,6 +129,52 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("contains rewrite: the armed plan carries the posting-gate semi-join; off by default; answers match the plain scan") {
+    import org.apache.spark.sql.graft.{ContainsRewriteRule => C}
+    import graft.ops.{VectorSearch => VS}
+    // run the driver row once: it builds BOTH fixtures (corpus parquet +
+    // posting index) and proves the oracle answer end-to-end
+    SparkEntry.queries("knn_where_contains_rewritten")(spark, sf).collect()
+    val corpusPath = VS.whereContainsRuleCorpus(spark, sf)
+    val naive = VS.whereContainsRuleUserQuery(spark, corpusPath)
+    // OFF by default: no join anywhere in the naive plan
+    val coldPlan = naive.queryExecution.optimizedPlan.toString
+    assert(!coldPlan.contains("Join"),
+      s"the rule must be opt-in; disarmed plan grew a join:\n$coldPlan")
+    val want = naive.select("doc_id").collect().map(_.getLong(0)).toSet
+    val postingsPath = Tables.scratchPath("trigram_postings_wc", sf)
+    spark.conf.set(C.EnabledKey, "true")
+    spark.conf.set(C.SourceKey, corpusPath)
+    spark.conf.set(C.PostingsKey, postingsPath)
+    try {
+      val armed = VS.whereContainsRuleUserQuery(spark, corpusPath)
+      val plan = armed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LeftSemi"),
+        s"the armed plan must carry the posting-gate semi-join:\n$plan")
+      assert(plan.contains("tg"),
+        s"the semi-join's right side must be the posting gate:\n$plan")
+      // EXACT rewrite: identical rows to the disarmed scan (the verify
+      // conjunct stays; the gate is a superset of matches)
+      val got = armed.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === want, s"the rewrite changed the answer: $got vs $want")
+      // a needle too short for a trigram gate declines, never throws
+      val short = spark.read.parquet(corpusPath)
+        .filter(col("text").contains("zz"))
+      assert(!short.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "a sub-trigram needle must decline the rewrite")
+      // a scan of a DIFFERENT path never routes (the source contract)
+      val other = Tables.documents(spark, sf)
+        .select("doc_id", "text").filter(col("text").contains("zzbb"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "an unregistered table must not route to a posting index that " +
+          "does not cover it")
+    } finally {
+      spark.conf.unset(C.EnabledKey)
+      spark.conf.unset(C.SourceKey)
+      spark.conf.unset(C.PostingsKey)
+    }
+  }
+
   test("IVF route: cluster_id pruning from the centroid sidecar matches ivfTopK") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
     IndexBuilder.buildIvfIndex(corpus, "embedding", numClusters = 16, seed = 42L, dir)
