@@ -674,7 +674,7 @@ object VectorSearch extends QueryModule {
       dir: String, cap: Int): DataFrame = {
     val (_, plantedAll) = whereContainsCorpus(spark, dir)
     whereContainsIndexedCore(spark, dir, cap, Seq("zzbb"), plantedAll,
-      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v2")
+      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v3")
   }
 
   /** The OPTIMIZER-driven trigram route — the third way to reach the
@@ -700,7 +700,7 @@ object VectorSearch extends QueryModule {
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
     val corpusPath = whereContainsRuleCorpus(spark, dir)
     val postingsPath = staticTrigramFixture(spark, docs, plantedAll, dir,
-      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v2")
+      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v3")
     val qv = plantedAll.filter(col("doc_id") === 300000L)
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
@@ -775,13 +775,9 @@ object VectorSearch extends QueryModule {
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
     val path = staticTrigramFixture(spark, docs, plantedAll, dir,
-      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v2")
-    val tgs = needleTrigrams(needle)
-    val candidates = spark.read.parquet(path)
-      .filter(col("tg").isin(tgs: _*))
-      .groupBy("doc_id").agg(countDistinct(col("tg")).as("n_tg"))
-      .filter(col("n_tg") === tgs.size)
-      .select("doc_id")
+      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v3")
+    val candidates =
+      trigramGateFrame(spark.read.parquet(path), Seq(needle))
     val probe = candidates.limit(WhereContainsPushdownCap + 1)
       .collect().map(_.getLong(0))
     // above the cap the exact count is unknown — price with cap+1, a
@@ -823,7 +819,7 @@ object VectorSearch extends QueryModule {
     val (_, plantedAll) = whereContainsAndCorpus(spark, dir)
     whereContainsIndexedCore(spark, dir, WhereContainsPushdownCap,
       Seq("zzaa", "zzbb"), plantedAll,
-      "trigram_postings_wca", "trigram:n=3:planted=wherecontains_and:v1")
+      "trigram_postings_wca", "trigram:n=3:planted=wherecontains_and:v2")
   }
 
   /** Chroma's `where_document={"$or": [{"$contains": a}, {"$contains":
@@ -886,7 +882,7 @@ object VectorSearch extends QueryModule {
     val (_, plantedAll) = whereContainsAndCorpus(spark, dir)
     whereContainsIndexedCore(spark, dir, WhereContainsPushdownCap,
       Seq("zzbb", "zzcc"), plantedAll,
-      "trigram_postings_wca", "trigram:n=3:planted=wherecontains_and:v1",
+      "trigram_postings_wca", "trigram:n=3:planted=wherecontains_and:v2",
       conjunctive = false, queryId = 320000L)
   }
 
@@ -906,18 +902,8 @@ object VectorSearch extends QueryModule {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val path = staticTrigramFixture(spark, docs, plantedAll, dir,
       fixtureName, fixtureTag)
-    val tgSets = needles.map(needleTrigrams)
-    val allTgs = tgSets.flatten.distinct
-    val gates = tgSets.zipWithIndex.map { case (tgs, i) =>
-      countDistinct(when(col("tg").isin(tgs: _*), col("tg"))).as(s"n_tg$i")
-    }
-    val candidates = spark.read.parquet(path)
-      .filter(col("tg").isin(allTgs: _*))
-      .groupBy("doc_id").agg(gates.head, gates.tail: _*)
-      .filter(tgSets.zipWithIndex.map { case (tgs, i) =>
-        col(s"n_tg$i") === tgs.size }
-        .reduce((a, b) => if (conjunctive) a && b else a || b))
-      .select("doc_id")
+    val candidates =
+      trigramGateFrame(spark.read.parquet(path), needles, conjunctive)
     // bounded probe: take cap+1 — the driver sees at most cap+1 ids,
     // never the full candidate set, whatever the needles' selectivity
     val probe = candidates.limit(cap + 1)
@@ -966,6 +952,35 @@ object VectorSearch extends QueryModule {
     path
   }
 
+  /** The all-trigrams candidate gate over a posting frame, shared by
+    * the indexed serves AND [[org.apache.spark.sql.graft.
+    * ContainsRewriteRule]] (one definition, so index-side and
+    * rule-side gating cannot drift): docs carrying EVERY trigram of
+    * each needle (ALL gates for a conjunction, ANY for a disjunction).
+    * PLANNER-SAFE formulation — an explicit (doc_id, tg) AGGREGATE to
+    * dedup, then plain conditional sums: an optimizer-injected plan is
+    * built AFTER the batches that rewrite distinct aggregates and
+    * replace Deduplicate with Aggregate have already run, so either a
+    * multi-countDistinct or a .distinct() here would reach physical
+    * planning unrewritten and fail with an internal error
+    * (spec-pinned: the rule's multi-needle conjunct must execute). */
+  def trigramGateFrame(postings: DataFrame, needles: Seq[String],
+      conjunctive: Boolean = true): DataFrame = {
+    val tgSets = needles.map(needleTrigrams)
+    val allTgs = tgSets.flatten.distinct
+    val gates = tgSets.zipWithIndex.map { case (tgs, i) =>
+      sum(when(col("tg").isin(tgs: _*), 1).otherwise(0)).as(s"n_tg$i")
+    }
+    postings
+      .filter(col("tg").isin(allTgs: _*))
+      .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("dup_n"))
+      .groupBy("doc_id").agg(gates.head, gates.tail: _*)
+      .filter(tgSets.zipWithIndex.map { case (tgs, i) =>
+        col(s"n_tg$i") === tgs.size }
+        .reduce((a, b) => if (conjunctive) a && b else a || b))
+      .select("doc_id")
+  }
+
   /** Needle-side trigram enumeration, matching [[trigramPostingsFrame]]'s
     * index-side expression symbol-for-symbol: LOCALE-INDEPENDENT
     * lowercase (Locale.ROOT — a Turkish default locale would map I → ı
@@ -978,7 +993,13 @@ object VectorSearch extends QueryModule {
     * empty set — the caller refuses it loudly (no posting list could
     * gate it; short needles belong on the scan route). */
   def needleTrigrams(needle: String): Seq[String] = {
-    val cps = needle.toLowerCase(java.util.Locale.ROOT).codePoints().toArray
+    // SIGMA FOLD after lowering, on BOTH sides (see trigramPostingsFrame):
+    // Java/Spark lowercase applies Unicode Final_Sigma context-sensitively
+    // — "ΡΟΣ" lowers to "ρος" (final ς) as a needle but to "…ροσ…"
+    // (medial σ) inside a longer doc — so unfolded trigrams would break
+    // the gate's SUPERSET property and silently drop true matches
+    val cps = needle.toLowerCase(java.util.Locale.ROOT)
+      .replace('\u03c2', '\u03c3').codePoints().toArray
     require(cps.length >= 3,
       s"trigram route needs needles of >= 3 code points, got '$needle' — " +
         "serve short needles through the contains scan instead")
@@ -994,7 +1015,12 @@ object VectorSearch extends QueryModule {
     * route (regression spec feeds a length-changing doc). */
   private[graft] def trigramPostingsFrame(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), lower(col("text")).as("lt"))
+      // sigma fold after lowering — the needle side folds identically
+      // (see needleTrigrams); without it a Greek needle's final-ς
+      // trigram misses the doc's medial-σ posting and the gate loses
+      // its superset property
+      .select(col("doc_id"),
+        translate(lower(col("text")), "\u03c2", "\u03c3").as("lt"))
       .filter(length(col("lt")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, length(lt) - 2), " +
@@ -1121,7 +1147,7 @@ object VectorSearch extends QueryModule {
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
     val path = Tables.scratchPath("trigram_postings_lc", dir)
     ResultCache.buildIfAbsent(spark, docs,
-      "trigram:n=3:lifecycle=delete:v2", path) {
+      "trigram:n=3:lifecycle=delete:v3", path) {
       writeTrigramPostings(docs, path, "overwrite")
       graft.ingest.ManifestLog.commit(spark,
         LateInteraction.tableManifestDir(path),
@@ -1149,18 +1175,14 @@ object VectorSearch extends QueryModule {
     val survivors =
       if (!indexed) corpus.filter(col("text").contains(needle))
       else {
-        val tgs = needleTrigrams(needle)
-        val buckets = trigramBucketsOf(tgs)
-        val postings = Forget.defaultExclusion(
-          LateInteraction.minusTombstonedWith(
-            LateInteraction.tableDataWith(spark, path, st), sidecar),
-          "doc_id")
-          .filter(col("tb").isin(buckets: _*))      // partition-pruned
-          .filter(col("tg").isin(tgs: _*))          // pushed In(tg, …)
-        val candidates = postings
-          .groupBy("doc_id").agg(countDistinct(col("tg")).as("n_tg"))
-          .filter(col("n_tg") === tgs.size)
-          .select("doc_id")
+        val buckets = trigramBucketsOf(needleTrigrams(needle))
+        val candidates = trigramGateFrame(
+          Forget.defaultExclusion(
+            LateInteraction.minusTombstonedWith(
+              LateInteraction.tableDataWith(spark, path, st), sidecar),
+            "doc_id")
+            .filter(col("tb").isin(buckets: _*)),   // partition-pruned
+          Seq(needle))                              // pushed In(tg, …) gate
         val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
         val fetched =
           if (probe.length <= cap)
@@ -1200,7 +1222,7 @@ object VectorSearch extends QueryModule {
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
     val root = Tables.scratchPath("trigram_postings_stream", dir)
     ResultCache.buildIfAbsent(spark, docs,
-      "trigram:n=3:lifecycle=stream:v1", root) {
+      "trigram:n=3:lifecycle=stream:v2", root) {
       stageTrigramBatch(docs, root, 0L)
       stageTrigramBatch(plantedAll, root, 1L)
       // crash replay: same rows, same batch id, second delivery
@@ -1254,7 +1276,7 @@ object VectorSearch extends QueryModule {
     val path = Tables.scratchPath("trigram_postings_up", dir)
     import spark.implicits._
     ResultCache.buildIfAbsent(spark, docs,
-      "trigram:n=3:lifecycle=upsert:v1", path) {
+      "trigram:n=3:lifecycle=upsert:v2", path) {
       writeTrigramPostings(docs.unionByName(plantedAll), path,
         "overwrite", seq = 0L)
       // the upsert: new generation appends, watermark kills the old
@@ -1262,15 +1284,11 @@ object VectorSearch extends QueryModule {
       Seq((320002L, 0L)).toDF("t_doc_id", "upto_seq")
         .write.mode("overwrite").parquet(path + "/_tombstones")
     }
-    val postings = LateInteraction.resolvedPostings(spark, path)
-    val tgs = needleTrigrams(needle)
-    val buckets = trigramBucketsOf(tgs)
-    val candidates = postings
-      .filter(col("tb").isin(buckets: _*))
-      .filter(col("tg").isin(tgs: _*))
-      .groupBy("doc_id").agg(countDistinct(col("tg")).as("n_tg"))
-      .filter(col("n_tg") === tgs.size)
-      .select("doc_id")
+    val buckets = trigramBucketsOf(needleTrigrams(needle))
+    val candidates = trigramGateFrame(
+      LateInteraction.resolvedPostings(spark, path)
+        .filter(col("tb").isin(buckets: _*)),
+      Seq(needle))
     val probe = candidates.limit(WhereContainsPushdownCap + 1)
       .collect().map(_.getLong(0))
     // the corpus carries the REPLACEMENT text (the store after upsert)
@@ -1416,13 +1434,9 @@ object VectorSearch extends QueryModule {
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
     val path = staticTrigramFixture(spark, docs, plantedAll, dir,
-      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v2")
-    val tgs = needleTrigrams(needle)
-    val candidates = spark.read.parquet(path)
-      .filter(col("tg").isin(tgs: _*))
-      .groupBy("doc_id").agg(countDistinct(col("tg")).as("n_tg"))
-      .filter(col("n_tg") === tgs.size)
-      .select("doc_id")
+      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v3")
+    val candidates =
+      trigramGateFrame(spark.read.parquet(path), Seq(needle))
     val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
     val corpus = docs.unionByName(plantedAll)
     val survivors =

@@ -84,11 +84,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     * very instance this rule is reading its keys from (multi-session
     * apps can have a different `SparkSession.active`).
     */
-  private def resolveSession(): Option[SparkSession] = {
-    val candidates =
-      SparkSession.getActiveSession.toSeq ++ SparkSession.getDefaultSession.toSeq
-    candidates.find(_.sessionState.conf eq conf).orElse(candidates.headOption)
-  }
+  private def resolveSession(): Option[SparkSession] =
+    RewriteSupport.resolveSession(conf)
 
   /** Fresh-output copy of the (cached) analyzed MV relation. A new
     * instance per rewrite keeps exprIds unique even if two aggregates in
@@ -142,18 +139,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     * would route scans of sibling tables (`…/events_archive` when
     * `…/events` is registered) to the wrong MV.
     */
-  private def scansSource(child: LogicalPlan, source: String): Boolean = child match {
-    case Project(projectList, grandchild)
-        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      scansSource(grandchild, source)
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation =>
-        val want = new org.apache.hadoop.fs.Path(source).toUri.getPath
-        fs.location.rootPaths.exists(_.toUri.getPath == want)
-      case _ => false
-    }
-    case _ => false
-  }
+  private def scansSource(child: LogicalPlan, source: String): Boolean =
+    RewriteSupport.scansSource(child, source)
 
   private def isCountAlias(e: NamedExpression): Boolean = e match {
     case Alias(ae: AggregateExpression, _) =>

@@ -122,16 +122,6 @@ object PartitionPruneRule extends Rule[LogicalPlan] with PredicateHelper {
   /** Bare scan (or pruning Project/Filter chain) of the registered path —
     * the MvRewriteRule exact-path discipline.
     */
-  private def scansSource(child: LogicalPlan, source: String): Boolean = child match {
-    case Project(projectList, grandchild)
-        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      scansSource(grandchild, source)
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation =>
-        val want = new org.apache.hadoop.fs.Path(source).toUri.getPath
-        fs.location.rootPaths.exists(_.toUri.getPath == want)
-      case _ => false
-    }
-    case _ => false
-  }
+  private def scansSource(child: LogicalPlan, source: String): Boolean =
+    RewriteSupport.scansSource(child, source)
 }

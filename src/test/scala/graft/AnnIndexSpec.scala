@@ -463,6 +463,22 @@ class AnnIndexSpec extends SparkSpec {
     // length-changing lowercase (İ → i + combining dot): the needle
     // enumeration must see the LOWERED form's trigrams, like the index
     assert(VS.needleTrigrams("xİ zzbb").contains("zbb"))
+    // Unicode Final_Sigma is CONTEXT-SENSITIVE: "ΡΟΣ" lowers to final-ς
+    // as a needle but to medial-σ inside "ΠΕΤΡΟΣΑ" — both sides sigma-
+    // fold after lowering, or the gate loses its superset property and
+    // the indexed route silently drops docs the scan matches
+    val greekDoc = VS.trigramPostingsFrame(
+      Seq((2L, "ΠΕΤΡΟΣΑ")).toDF("doc_id", "text"))
+      .select("tg").as[String].collect().toSet
+    assert(VS.needleTrigrams("ΡΟΣ").toSet.subsetOf(greekDoc),
+      s"final-sigma needle must probe the medial-sigma postings: " +
+        s"${VS.needleTrigrams("ΡΟΣ")} vs $greekDoc")
+    // and the reverse: a word-FINAL sigma in the doc still matches a
+    // needle lowered with a medial sigma context
+    val greekDoc2 = VS.trigramPostingsFrame(
+      Seq((3L, "Ο ΠΕΤΡΟΣ ΗΡΘΕ")).toDF("doc_id", "text"))
+      .select("tg").as[String].collect().toSet
+    assert(VS.needleTrigrams("ΕΤΡΟΣ").toSet.subsetOf(greekDoc2))
     // sub-trigram needles refuse loudly (no posting list could gate them)
     assertThrows[IllegalArgumentException](VS.needleTrigrams("ab"))
   }

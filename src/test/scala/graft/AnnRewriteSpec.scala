@@ -168,6 +168,36 @@ class AnnRewriteSpec extends SparkSpec {
       assert(!other.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
         "an unregistered table must not route to a posting index that " +
           "does not cover it")
+      // MULTI-NEEDLE conjunct: both clauses gate in ONE aggregation and
+      // the injected plan must PLAN AND EXECUTE — a distinct-aggregate
+      // formulation built after the planner's distinct rewrite batch
+      // would fail physical planning with an internal error here
+      val both = spark.read.parquet(corpusPath)
+        .filter(col("text").contains("zzaa") && col("text").contains("zzbb"))
+      val bothPlan = both.queryExecution.optimizedPlan.toString
+      assert(bothPlan.contains("LeftSemi"),
+        s"the conjunct must still route:\n$bothPlan")
+      val bothIds = both.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bothIds === (320000L to 320004L).toSet,
+        s"the gated conjunct changed the answer: $bothIds")
+      // COLUMN GUARD: a contains over a NON-indexed string column of the
+      // registered source must not route — the posting gate covers one
+      // column, and gating a title filter on text trigrams drops rows
+      val spark2 = spark
+      import spark2.implicits._
+      val twoColPath = java.nio.file.Files
+        .createTempDirectory("wcrule_twocol").toString + "/t"
+      Seq((1L, "has zzqq here", "nothing"), (2L, "plain", "zzqq in text"))
+        .toDF("doc_id", "title", "text")
+        .write.mode("overwrite").parquet(twoColPath)
+      spark.conf.set(C.SourceKey, twoColPath)
+      val titleQ = spark.read.parquet(twoColPath)
+        .filter(col("title").contains("zzqq"))
+      assert(!titleQ.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "a filter on a non-indexed column must never gate on the index")
+      assert(titleQ.select("doc_id").collect().map(_.getLong(0)).toSeq
+        === Seq(1L), "the unrouted title filter must serve its own rows")
+      spark.conf.set(C.SourceKey, corpusPath)
     } finally {
       spark.conf.unset(C.EnabledKey)
       spark.conf.unset(C.SourceKey)
