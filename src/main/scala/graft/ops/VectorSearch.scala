@@ -776,8 +776,8 @@ object VectorSearch extends QueryModule {
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
     val path = staticTrigramFixture(spark, docs, plantedAll, dir,
       "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v3")
-    val candidates =
-      trigramGateFrame(spark.read.parquet(path), Seq(needle))
+    val candidates = trigramGateFrame(spark.read.parquet(path),
+      Seq(needle), assumeDistinct = true)
     val probe = candidates.limit(WhereContainsPushdownCap + 1)
       .collect().map(_.getLong(0))
     // above the cap the exact count is unknown — price with cap+1, a
@@ -902,8 +902,8 @@ object VectorSearch extends QueryModule {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val path = staticTrigramFixture(spark, docs, plantedAll, dir,
       fixtureName, fixtureTag)
-    val candidates =
-      trigramGateFrame(spark.read.parquet(path), needles, conjunctive)
+    val candidates = trigramGateFrame(spark.read.parquet(path),
+      needles, conjunctive, assumeDistinct = true)
     // bounded probe: take cap+1 — the driver sees at most cap+1 ids,
     // never the full candidate set, whatever the needles' selectivity
     val probe = candidates.limit(cap + 1)
@@ -965,16 +965,28 @@ object VectorSearch extends QueryModule {
     * planning unrewritten and fail with an internal error
     * (spec-pinned: the rule's multi-needle conjunct must execute). */
   def trigramGateFrame(postings: DataFrame, needles: Seq[String],
-      conjunctive: Boolean = true): DataFrame = {
+      conjunctive: Boolean = true,
+      assumeDistinct: Boolean = false): DataFrame = {
     val tgSets = needles.map(needleTrigrams)
     val allTgs = tgSets.flatten.distinct
     val gates = tgSets.zipWithIndex.map { case (tgs, i) =>
       sum(when(col("tg").isin(tgs: _*), 1).otherwise(0)).as(s"n_tg$i")
     }
-    postings
-      .filter(col("tg").isin(allTgs: _*))
-      .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("dup_n"))
-      .groupBy("doc_id").agg(gates.head, gates.tail: _*)
+    val probed = postings.filter(col("tg").isin(allTgs: _*))
+    // `assumeDistinct = true` skips the dedup aggregate (one exchange,
+    // measured ~0.4 s/serve at sf0.1) — valid for every ENGINE-built
+    // posting table: trigramPostingsFrame array_distincts per doc, each
+    // doc lands in exactly one write (the upsert's stale generation is
+    // excluded before gating), and overwrite/rewrite paths rebuild
+    // whole. The optimizer rule keeps the dedup: an arbitrary
+    // REGISTERED table carries no such guarantee, and duplicate
+    // postings would overshoot the all-trigrams gate and silently drop
+    // true matches.
+    val base =
+      if (assumeDistinct) probed.select("doc_id", "tg")
+      else probed
+        .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("dup_n"))
+    base.groupBy("doc_id").agg(gates.head, gates.tail: _*)
       .filter(tgSets.zipWithIndex.map { case (tgs, i) =>
         col(s"n_tg$i") === tgs.size }
         .reduce((a, b) => if (conjunctive) a && b else a || b))
@@ -1182,7 +1194,7 @@ object VectorSearch extends QueryModule {
               LateInteraction.tableDataWith(spark, path, st), sidecar),
             "doc_id")
             .filter(col("tb").isin(buckets: _*)),   // partition-pruned
-          Seq(needle))                              // pushed In(tg, …) gate
+          Seq(needle), assumeDistinct = true)       // pushed In(tg, …) gate
         val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
         val fetched =
           if (probe.length <= cap)
@@ -1288,7 +1300,7 @@ object VectorSearch extends QueryModule {
     val candidates = trigramGateFrame(
       LateInteraction.resolvedPostings(spark, path)
         .filter(col("tb").isin(buckets: _*)),
-      Seq(needle))
+      Seq(needle), assumeDistinct = true)
     val probe = candidates.limit(WhereContainsPushdownCap + 1)
       .collect().map(_.getLong(0))
     // the corpus carries the REPLACEMENT text (the store after upsert)
@@ -1435,8 +1447,8 @@ object VectorSearch extends QueryModule {
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
     val path = staticTrigramFixture(spark, docs, plantedAll, dir,
       "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v3")
-    val candidates =
-      trigramGateFrame(spark.read.parquet(path), Seq(needle))
+    val candidates = trigramGateFrame(spark.read.parquet(path),
+      Seq(needle), assumeDistinct = true)
     val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
     val corpus = docs.unionByName(plantedAll)
     val survivors =
