@@ -533,10 +533,14 @@ object VectorSearch extends QueryModule {
     * dictionary/partition prune on the metadata column). */
   def knnWhereMetadataIn(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, qv) = whereMetadataSourceCorpus(spark, dir)
+    // built from the LITERAL JSON a Chroma client sends — the whole
+    // translator chain (Jackson parse -> tree walk -> Column) is
+    // thereby oracle-exercised, including java.lang Integer/List
+    // value shapes the map-typed entry never sees
     rankedTop5(corpus.filter(
-      ChromaFilter.where(Map("source" ->
-        Map("$in" -> Seq("eval_b", "eval_c")))) &&
-        ChromaFilter.whereDocument(Map("$contains" -> "zznn"),
+      ChromaFilter.whereJson(
+        """{"source": {"$in": ["eval_b", "eval_c"]}}""") &&
+        ChromaFilter.whereDocumentJson("""{"$contains": "zznn"}""",
           col("text"))), qv)
   }
 
