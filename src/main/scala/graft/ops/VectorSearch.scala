@@ -678,7 +678,7 @@ object VectorSearch extends QueryModule {
       dir: String, cap: Int): DataFrame = {
     val (_, plantedAll) = whereContainsCorpus(spark, dir)
     whereContainsIndexedCore(spark, dir, cap, Seq("zzbb"), plantedAll,
-      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v3")
+      "trigram_postings_wc", WhereContainsPostingsTag)
   }
 
   /** The OPTIMIZER-driven trigram route — the third way to reach the
@@ -703,8 +703,8 @@ object VectorSearch extends QueryModule {
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
     val corpusPath = whereContainsRuleCorpus(spark, dir)
-    val postingsPath = staticTrigramFixture(spark, docs, plantedAll, dir,
-      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v3")
+    val postingsPath = lifecycleTrigramTable(spark, docs, plantedAll, dir,
+      "trigram_postings_wc", WhereContainsPostingsTag)()
     val qv = plantedAll.filter(col("doc_id") === 300000L)
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
@@ -731,6 +731,63 @@ object VectorSearch extends QueryModule {
     corpusPath
   }
 
+  /** The OR row's registered store: the A∪B∪D conjunction corpus as one
+    * parquet table (same discipline as [[whereContainsRuleCorpus]]). */
+  private[graft] def whereContainsAndRuleCorpus(spark: SparkSession,
+      dir: String): String = {
+    val (docs, plantedAll) = whereContainsAndCorpus(spark, dir)
+    val corpusPath = Tables.scratchPath("wca_rule_corpus", dir)
+    ResultCache.buildIfAbsent(spark, docs, "wcarule:corpus:v1", corpusPath) {
+      docs.unionByName(plantedAll)
+        .write.mode("overwrite").parquet(corpusPath)
+    }
+    corpusPath
+  }
+
+  /** The naïve DISJUNCTIVE user query the OR-rewrite row runs — exposed
+    * so the spec can audit the very plan the driver row serves. */
+  private[graft] def whereContainsOrRuleUserQuery(spark: SparkSession,
+      corpusPath: String): DataFrame =
+    spark.read.parquet(corpusPath)
+      .filter(col("text").contains("zzbb") || col("text").contains("zzcc"))
+
+  /** The OPTIMIZER route for a DISJUNCTION of substring clauses — the
+    * r19 gap: ChromaFilter's `$or`-of-`$contains` compiles to
+    * `Or(Contains, Contains)`, which `splitConjunctivePredicates`
+    * never splits, so the r19 rule left disjunctions entirely on the
+    * scan route even though the explicit `_or_indexed` serve computed
+    * the ANY-gate. The rule now matches an OR-of-contains conjunct
+    * (every branch over the registered column and gateable, else
+    * decline) and injects the disjunctive gate — the same
+    * `trigramGateFrame(conjunctive = false)` the explicit serve uses,
+    * original Or kept as the verify (EXACT rewrite). This row also
+    * registers through the REGISTRY conf (a JSON map of many corpora —
+    * the multi-index surface), not the legacy single pair, so the
+    * registry path is oracle-exercised too. Same answer and replayed
+    * oracle as [[knnWhereContainsOr]]; the spec audits the armed plan
+    * really carries the posting-gate semi-join. */
+  def knnWhereContainsOrRewritten(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{ContainsRewriteRule => R, GraftExtensions}
+    GraftExtensions.register(spark)
+    val dim = 256
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsAndCorpus(spark, dir)
+    val corpusPath = whereContainsAndRuleCorpus(spark, dir)
+    val postingsPath = lifecycleTrigramTable(spark, docs, plantedAll, dir,
+      "trigram_postings_wca", WhereContainsAndPostingsTag)()
+    val qv = plantedAll.filter(col("doc_id") === 320000L)
+      .withColumn("embedding", embed(col("text")))
+      .select(col("embedding").as("qvec"))
+    Relational.withConfsLocalized(spark, Seq(
+      R.EnabledKey -> "true",
+      R.RegistryKey ->
+        s"""{"$corpusPath": {"postings": "$postingsPath"}}""")) {
+      rankedTop5(whereContainsOrRuleUserQuery(spark, corpusPath)
+        .withColumn("embedding", embed(col("text"))), qv)
+    }
+  }
+
   /** The exact naïve frame the user writes — exposed so the spec can
     * audit the very plan the driver row runs. */
   private[graft] def whereContainsRuleUserQuery(spark: SparkSession,
@@ -755,17 +812,31 @@ object VectorSearch extends QueryModule {
       dir: String): DataFrame =
     knnWhereContainsAutoRouteWith(spark, dir, overhead = 2L)
 
-  /** Per-dir documents cardinality, counted once per JVM — the value a
-    * production deployment reads from catalog statistics; re-counting
-    * the corpus on every routed serve would make the ROUTER cost what
-    * it exists to avoid. A Long memo, never a cached frame (a
-    * plan-keyed DataFrame cache pins its first caller's session — the
-    * r18 ivf-memo lesson). */
-  private val corpusCountMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def corpusDocsOf(spark: SparkSession, dir: String): Long =
-    corpusCountMemo.computeIfAbsent(dir,
+  /** Per-dir documents cardinality — the value a production deployment
+    * reads from catalog statistics; re-counting the corpus on every
+    * routed serve would make the ROUTER cost what it exists to avoid.
+    * A Long memo, never a cached frame (a plan-keyed DataFrame cache
+    * pins its first caller's session — the r18 ivf-memo lesson), keyed
+    * on the corpus directory's LISTING SIGNATURE, not the dir string
+    * (the ContainsRewriteRule.relCache discipline): a memo keyed on the
+    * path alone would mis-price routes for the JVM's life after any
+    * corpus churn. One `listStatus` per serve buys the invalidation —
+    * namenode RPC, not a Spark job. */
+  private val corpusCountMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long, Long), java.lang.Long]()
+  private def corpusDocsOf(spark: SparkSession, dir: String): Long = {
+    val docsDir = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+    val fs = docsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      try fs.listStatus(docsDir).filter(_.isFile)
+      catch { case _: java.io.IOException => Array.empty[
+        org.apache.hadoop.fs.FileStatus] }
+    val key = (dir, files.length,
+      if (files.isEmpty) 0L else files.map(_.getModificationTime).max,
+      files.map(_.getLen).sum)
+    corpusCountMemo.computeIfAbsent(key,
       _ => Tables.documents(spark, dir).count()).longValue
+  }
 
   /** Overhead-parameterized body — the spec drives a huge factor to
     * force the scan arm and pin route equality on it. The bounded
@@ -778,10 +849,9 @@ object VectorSearch extends QueryModule {
     val dim = 256
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
-    val path = staticTrigramFixture(spark, docs, plantedAll, dir,
-      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v3")
-    val candidates = trigramGateFrame(spark.read.parquet(path),
-      Seq(needle), assumeDistinct = true)
+    val path = lifecycleTrigramTable(spark, docs, plantedAll, dir,
+      "trigram_postings_wc", WhereContainsPostingsTag)()
+    val candidates = lifecycleTrigramCandidates(spark, path, Seq(needle))
     val probe = candidates.limit(WhereContainsPushdownCap + 1)
       .collect().map(_.getLong(0))
     // above the cap the exact count is unknown — price with cap+1, a
@@ -823,7 +893,7 @@ object VectorSearch extends QueryModule {
     val (_, plantedAll) = whereContainsAndCorpus(spark, dir)
     whereContainsIndexedCore(spark, dir, WhereContainsPushdownCap,
       Seq("zzaa", "zzbb"), plantedAll,
-      "trigram_postings_wca", "trigram:n=3:planted=wherecontains_and:v2")
+      "trigram_postings_wca", WhereContainsAndPostingsTag)
   }
 
   /** Chroma's `where_document={"$or": [{"$contains": a}, {"$contains":
@@ -886,7 +956,7 @@ object VectorSearch extends QueryModule {
     val (_, plantedAll) = whereContainsAndCorpus(spark, dir)
     whereContainsIndexedCore(spark, dir, WhereContainsPushdownCap,
       Seq("zzbb", "zzcc"), plantedAll,
-      "trigram_postings_wca", "trigram:n=3:planted=wherecontains_and:v2",
+      "trigram_postings_wca", WhereContainsAndPostingsTag,
       conjunctive = false, queryId = 320000L)
   }
 
@@ -904,10 +974,10 @@ object VectorSearch extends QueryModule {
     val dim = 256
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val path = staticTrigramFixture(spark, docs, plantedAll, dir,
-      fixtureName, fixtureTag)
-    val candidates = trigramGateFrame(spark.read.parquet(path),
-      needles, conjunctive, assumeDistinct = true)
+    val path = lifecycleTrigramTable(spark, docs, plantedAll, dir,
+      fixtureName, fixtureTag)()
+    val candidates = lifecycleTrigramCandidates(spark, path,
+      needles, conjunctive)
     // bounded probe: take cap+1 — the driver sees at most cap+1 ids,
     // never the full candidate set, whatever the needles' selectivity
     val probe = candidates.limit(cap + 1)
@@ -938,23 +1008,13 @@ object VectorSearch extends QueryModule {
     rankedTop5(cand, qv)
   }
 
-  /** Build-once STATIC trigram posting fixture over a planted corpus —
-    * the ONE builder every row serving from it calls, so layout and
-    * ResultCache tag can never drift between call sites (same-tag with
-    * a changed build is undetectable by the cache's own contract).
-    * Returns the fixture path. */
-  private def staticTrigramFixture(spark: SparkSession, docs: DataFrame,
-      plantedAll: DataFrame, dir: String, name: String,
-      tag: String): String = {
-    val path = Tables.scratchPath(name, dir)
-    ResultCache.buildIfAbsent(spark, docs, tag, path) {
-      trigramPostingsFrame(docs.unionByName(plantedAll))
-        .repartitionByRange(8, col("tg"))
-        .sortWithinPartitions("tg")
-        .write.mode("overwrite").parquet(path)
-    }
-    path
-  }
+  /** One ResultCache tag per lifecycle posting table — bumping a tag
+    * rebuilds the table in place (the same-path-new-layout migration
+    * the static fixture's retirement rode). */
+  private val WhereContainsPostingsTag =
+    "trigram:n=3:planted=wherecontains:lc:v1"
+  private val WhereContainsAndPostingsTag =
+    "trigram:n=3:planted=wherecontains_and:lc:v1"
 
   /** The all-trigrams candidate gate over a posting frame, shared by
     * the indexed serves AND [[org.apache.spark.sql.graft.
@@ -971,10 +1031,18 @@ object VectorSearch extends QueryModule {
   def trigramGateFrame(postings: DataFrame, needles: Seq[String],
       conjunctive: Boolean = true,
       assumeDistinct: Boolean = false): DataFrame = {
-    val tgSets = needles.map(needleTrigrams)
-    val allTgs = tgSets.flatten.distinct
-    val gates = tgSets.zipWithIndex.map { case (tgs, i) =>
-      sum(when(col("tg").isin(tgs: _*), 1).otherwise(0)).as(s"n_tg$i")
+    // per-needle VARIANT sets (see needleTrigramVariants): a needle is
+    // "maybe present" when the doc carries EVERY trigram of at least ONE
+    // lowering variant — gating on a single lowering would lose the
+    // superset property on any JVM whose default locale diverges from
+    // the ASCII fast path (tr/az/lt: the scan route matches a doc the
+    // index route silently drops)
+    val variantSets = needles.map(needleTrigramVariants)
+    val allTgs = variantSets.flatten.flatten.distinct
+    val gates = variantSets.zipWithIndex.flatMap { case (vs, i) =>
+      vs.zipWithIndex.map { case (tgs, j) =>
+        sum(when(col("tg").isin(tgs: _*), 1).otherwise(0)).as(s"n_tg${i}_$j")
+      }
     }
     val probed = postings.filter(col("tg").isin(allTgs: _*))
     // `assumeDistinct = true` skips the dedup aggregate (one exchange,
@@ -991,34 +1059,72 @@ object VectorSearch extends QueryModule {
       else probed
         .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("dup_n"))
     base.groupBy("doc_id").agg(gates.head, gates.tail: _*)
-      .filter(tgSets.zipWithIndex.map { case (tgs, i) =>
-        col(s"n_tg$i") === tgs.size }
+      .filter(variantSets.zipWithIndex.map { case (vs, i) =>
+        vs.zipWithIndex.map { case (tgs, j) =>
+          col(s"n_tg${i}_$j") === tgs.size }.reduce(_ || _) }
         .reduce((a, b) => if (conjunctive) a && b else a || b))
       .select("doc_id")
   }
 
-  /** Needle-side trigram enumeration, matching [[trigramPostingsFrame]]'s
-    * index-side expression symbol-for-symbol: LOCALE-INDEPENDENT
-    * lowercase (Locale.ROOT — a Turkish default locale would map I → ı
-    * and probe postings the index never wrote) enumerated over CODE
-    * POINTS (Spark's substr/length count code points, not UTF-16 units —
-    * a supplementary-plane char must be ONE symbol on both sides or the
-    * probe's trigrams misalign with the posting lists and the indexed
-    * route silently under-matches where the scan route matches). A
-    * needle whose LOWERED form is shorter than one trigram yields the
-    * empty set — the caller refuses it loudly (no posting list could
-    * gate it; short needles belong on the scan route). */
-  def needleTrigrams(needle: String): Seq[String] = {
-    // SIGMA FOLD after lowering, on BOTH sides (see trigramPostingsFrame):
-    // Java/Spark lowercase applies Unicode Final_Sigma context-sensitively
-    // — "ΡΟΣ" lowers to "ρος" (final ς) as a needle but to "…ροσ…"
-    // (medial σ) inside a longer doc — so unfolded trigrams would break
-    // the gate's SUPERSET property and silently drop true matches
-    val cps = needle.toLowerCase(java.util.Locale.ROOT)
-      .replace('\u03c2', '\u03c3').codePoints().toArray
-    require(cps.length >= 3,
-      s"trigram route needs needles of >= 3 code points, got '$needle' — " +
-        "serve short needles through the contains scan instead")
+  /** The needle's trigrams under EVERY lowering the probe must cover —
+    * the union of [[needleTrigramVariants]]. This is the PROBE set (the
+    * pushed `In(tg, …)` and the bucket prune); the gate itself counts
+    * per VARIANT (see [[trigramGateFrame]]). */
+  def needleTrigrams(needle: String): Seq[String] =
+    needleTrigramVariants(needle).flatten.distinct
+
+  /** Spark's OWN lowering of a driver-side string — the exact value
+    * `lower(lit(s))` produces, by evaluating the same UTF8String code
+    * the index writer codegens (the [[trigramBucketsOf]] zero-drift
+    * technique applied to lowering). */
+  private[graft] def sparkLower(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      .toLowerCase.toString
+
+  /** One trigram set per LOWERING PATH a containing document can take:
+    * Spark's `lower()` (UTF8String.toLowerCase, 4.1.2) lowers an
+    * ALL-ASCII string through a locale-free fast path but any string
+    * containing a non-ASCII byte through `String.toLowerCase()` with the
+    * JVM DEFAULT locale — so on a tr/az/lt-default JVM the SAME needle
+    * occurrence lowers differently depending on the REST of the doc's
+    * text ('I' → 'i' inside an ASCII doc, 'I' → '\u0131' inside a doc
+    * carrying any non-ASCII char). No single needle lowering matches
+    * both paths, so the needle enumerates a variant per path: Spark's
+    * own lowering of the needle alone (the fast path for ASCII needles;
+    * already the slow path for non-ASCII ones, where the two variants
+    * collapse) plus the default-locale lowering (the slow path an ASCII
+    * needle takes inside a non-ASCII doc). [[trigramGateFrame]] passes a
+    * needle when EITHER variant fully matches, so the gate's SUPERSET
+    * property holds under ANY default locale — deriving one variant
+    * from Locale.ROOT (the previous formulation) would silently drop
+    * docs the scan route matches on a tr-default JVM. A needle any of
+    * whose lowered variants is shorter than one trigram refuses loudly
+    * (an empty variant would gate-match EVERY doc; short needles belong
+    * on the scan route). */
+  private[graft] def needleTrigramVariants(
+      needle: String): Seq[Seq[String]] = {
+    val lowered = Seq(sparkLower(needle),
+      needle.toLowerCase(java.util.Locale.getDefault)).distinct
+    lowered.foreach { l =>
+      require(l.codePoints().count() >= 3,
+        "trigram route needs needles of >= 3 lowered code points, got " +
+          s"'$needle' — serve short needles through the contains scan " +
+          "instead")
+    }
+    lowered.map(trigramsOfLowered).distinct
+  }
+
+  /** Trigram enumeration of an already-lowered string, over CODE POINTS
+    * (Spark's substr/length count code points, not UTF-16 units — a
+    * supplementary-plane char must be ONE symbol on both sides or the
+    * probe's trigrams misalign with the posting lists). SIGMA FOLD
+    * first, on BOTH sides (see [[trigramPostingsFrame]]): Java/Spark
+    * lowercase applies Unicode Final_Sigma context-sensitively —
+    * "ΡΟΣ" lowers to final ς as a needle but to medial σ inside a
+    * longer doc — so unfolded trigrams would break the gate's SUPERSET
+    * property and silently drop true matches. */
+  private def trigramsOfLowered(lowered: String): Seq[String] = {
+    val cps = lowered.replace('\u03c2', '\u03c3').codePoints().toArray
     (0 to cps.length - 3).map(i => new String(cps, i, 3)).distinct
   }
 
@@ -1120,6 +1226,79 @@ object VectorSearch extends QueryModule {
     }.distinct
   }
 
+  /** Build-once LIFECYCLE posting table over a planted corpus — the ONE
+    * builder every trigram route resolves through (r19 served the
+    * explicit/auto/rewritten routes from an immutable range-by-tg
+    * fixture while the manifest-versioned table sat beside it; at
+    * 100 TB there is ONE posting table and it mutates, so a route that
+    * read a frozen layout would serve deleted docs the moment the
+    * corpus churned). The build IS the lifecycle: the naturals'
+    * postings land as the base table, the manifest ADOPTS the current
+    * leaves (v1 — the reclaimTable step-1 shape), the planted groups
+    * arrive through the APPEND path (CAS-published: a reader mid-append
+    * sees the old head, never half a write), then any composed deletes
+    * commit to the `_tombstones_log`. Each driver row's corpus STATE
+    * (pre-delete, post-delete, post-reclaim) is one such table — in
+    * production they are the same table at successive manifest
+    * versions; ResultCache snapshots are immutable, so each state
+    * builds once under its own tag. */
+  private def lifecycleTrigramTable(spark: SparkSession, docs: DataFrame,
+      plantedAll: DataFrame, dir: String, name: String, tag: String,
+      deletes: Seq[Long] = Nil)(afterBuild: String => Unit = _ => ())
+      : String = {
+    val path = Tables.scratchPath(name, dir)
+    ResultCache.buildIfAbsent(spark, docs, tag, path) {
+      writeTrigramPostings(docs, path, "overwrite")
+      graft.ingest.ManifestLog.commit(spark,
+        LateInteraction.tableManifestDir(path),
+        _ => LateInteraction.leafFilesAny(spark, path))
+      writeTrigramPostings(plantedAll, path, "append")
+      if (deletes.nonEmpty)
+        LateInteraction.composeDelete(spark, path, deletes)
+      afterBuild(path)
+    }
+    path
+  }
+
+  /** The tombstone-and-forget-RESOLVED candidate gate over a lifecycle
+    * posting table — the ONE read path every indexed `$contains` route
+    * goes through, so the resolution discipline (manifest head pins the
+    * live file set, composed deletes and upsert watermarks exclude at
+    * read, the forget conf arms by default) cannot drift between the
+    * explicit serve, the measured router, and the `$not_contains`
+    * inversion. ONE directory listing resolves all sidecar/log/manifest
+    * state ([[LateInteraction.probeTableDir]]); the probe prunes to the
+    * needles' hash buckets via driver-side Catalyst `XxHash64` eval
+    * (zero drift from the writer, no per-serve job) and pushes
+    * `In(tg, …)` into the pruned partitions, where postings are sorted
+    * by `tg` so row groups prune off footer stats. */
+  private[graft] def lifecycleTrigramCandidates(spark: SparkSession,
+      path: String, needles: Seq[String],
+      conjunctive: Boolean = true): DataFrame = {
+    val st = LateInteraction.probeTableDir(spark, path)
+    val (sidecar, _) = LateInteraction.tombstoneStateWith(spark, path, st)
+    lifecycleTrigramCandidatesWith(spark, path, st, sidecar,
+      needles, conjunctive)
+  }
+
+  /** [[lifecycleTrigramCandidates]] over a PRE-PAID directory probe —
+    * the hoisted form the delete-lifecycle routes use, so ONE listing
+    * serves both the posting resolution and the corpus-side tombstone
+    * exclusion (FsProbes-spec-pinned). */
+  private[graft] def lifecycleTrigramCandidatesWith(spark: SparkSession,
+      path: String, st: LateInteraction.TableDirState,
+      sidecar: Option[(DataFrame, Boolean)], needles: Seq[String],
+      conjunctive: Boolean = true): DataFrame = {
+    val buckets = trigramBucketsOf(needles.flatMap(needleTrigrams).distinct)
+    trigramGateFrame(
+      Forget.defaultExclusion(
+        LateInteraction.minusTombstonedWith(
+          LateInteraction.tableDataWith(spark, path, st), sidecar),
+        "doc_id")
+        .filter(col("tb").isin(buckets: _*)),   // partition-pruned
+      needles, conjunctive, assumeDistinct = true) // pushed In(tg, …) gate
+  }
+
   private val WhereContainsDeletedId = 320002L
 
   /** The delete-lifecycle serve, SCAN route: the composed delete is
@@ -1161,16 +1340,9 @@ object VectorSearch extends QueryModule {
     val needle = "zzbb"
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
-    val path = Tables.scratchPath("trigram_postings_lc", dir)
-    ResultCache.buildIfAbsent(spark, docs,
-      "trigram:n=3:lifecycle=delete:v3", path) {
-      writeTrigramPostings(docs, path, "overwrite")
-      graft.ingest.ManifestLog.commit(spark,
-        LateInteraction.tableManifestDir(path),
-        _ => LateInteraction.leafFilesAny(spark, path))
-      writeTrigramPostings(plantedAll, path, "append")
-      LateInteraction.composeDelete(spark, path, Seq(WhereContainsDeletedId))
-    }
+    val path = lifecycleTrigramTable(spark, docs, plantedAll, dir,
+      "trigram_postings_lc", "trigram:n=3:lifecycle=delete:v3",
+      deletes = Seq(WhereContainsDeletedId))()
     val st = LateInteraction.probeTableDir(spark, path)
     val (sidecar, _) = LateInteraction.tombstoneStateWith(spark, path, st)
     // route symmetry: the SAME exclusion (tombstones + forget conf)
@@ -1191,14 +1363,8 @@ object VectorSearch extends QueryModule {
     val survivors =
       if (!indexed) corpus.filter(col("text").contains(needle))
       else {
-        val buckets = trigramBucketsOf(needleTrigrams(needle))
-        val candidates = trigramGateFrame(
-          Forget.defaultExclusion(
-            LateInteraction.minusTombstonedWith(
-              LateInteraction.tableDataWith(spark, path, st), sidecar),
-            "doc_id")
-            .filter(col("tb").isin(buckets: _*)),   // partition-pruned
-          Seq(needle), assumeDistinct = true)       // pushed In(tg, …) gate
+        val candidates = lifecycleTrigramCandidatesWith(spark, path, st,
+          sidecar, Seq(needle))
         val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
         val fetched =
           if (probe.length <= cap)
@@ -1212,6 +1378,107 @@ object VectorSearch extends QueryModule {
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
     rankedTop5(survivors.withColumn("embedding", embed(col("text"))), qv)
+  }
+
+  /** The MEASURED ROUTER fronting the post-delete LIFECYCLE table — the
+    * row r19's verdict queued: r19's router priced and served the
+    * immutable fixture, so the moment the corpus churned it would have
+    * kept serving deleted docs. Here the probe, the price, and the
+    * serve all resolve through the SAME tombstone-aware read path
+    * ([[lifecycleTrigramCandidatesWith]]): the composed delete excludes
+    * the doc from the candidate probe AND from both serve arms' corpus,
+    * so whichever arm the measurement picks, the deleted doc cannot
+    * serve. Answer contract: IDENTICAL to [[knnWhereContainsDeleted]] —
+    * all three delete-lifecycle routes (scan, explicit index, measured)
+    * share one replayed oracle. */
+  def knnWhereContainsDeletedAutoRoute(spark: SparkSession,
+      dir: String): DataFrame = {
+    val needle = "zzbb"
+    val dim = 256
+    val cap = WhereContainsPushdownCap
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val path = lifecycleTrigramTable(spark, docs, plantedAll, dir,
+      "trigram_postings_lc", "trigram:n=3:lifecycle=delete:v3",
+      deletes = Seq(WhereContainsDeletedId))()
+    val st = LateInteraction.probeTableDir(spark, path)
+    val (sidecar, _) = LateInteraction.tombstoneStateWith(spark, path, st)
+    val candidates = lifecycleTrigramCandidatesWith(spark, path, st,
+      sidecar, Seq(needle))
+    // bounded cap+1 probe = the price AND (below cap) the fetch list
+    val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
+    val corpusDocs = corpusDocsOf(spark, dir)
+    val indexed = BigInt(probe.length) * BigInt(2) < BigInt(corpusDocs)
+    RouteLog.record("where_contains_deleted",
+      if (indexed) "trigram" else "scan")
+    // BOTH arms serve the post-delete store: the corpus-side exclusion
+    // (id tombstones + forget conf) is route-independent, so the
+    // measured choice can never change the answer
+    val corpus = Forget.defaultExclusion(
+      LateInteraction.minusIdTombstoned(docs.unionByName(plantedAll),
+        sidecar), "doc_id")
+    val survivors =
+      if (!indexed) corpus.filter(col("text").contains(needle))
+      else {
+        val fetched =
+          if (probe.length <= cap)
+            corpus.filter(col("doc_id").isin(probe.toSeq: _*))
+          else corpus.join(candidates.hint("shuffle_hash"),
+            Seq("doc_id"), "left_semi")
+        fetched.filter(col("text").contains(needle))
+      }
+    val qv = plantedAll.filter(col("doc_id") === 320000L)
+      .withColumn("embedding", embed(col("text")))
+      .select(col("embedding").as("qvec"))
+    rankedTop5(survivors.withColumn("embedding", embed(col("text"))), qv)
+  }
+
+  /** PHYSICAL reclamation of the trigram substring index — the
+    * compliance half the delete lifecycle's read-time exclusion
+    * defers: [[graft.ops.Forget.reclaimTable]] folds the composed
+    * delete INTO the posting files (rewrite minus the tombstoned doc,
+    * published as ONE `_table_manifest` CAS commit, folded log lines
+    * consumed, unreferenced files vacuumed) — after it, the deleted
+    * doc's posting BYTES are gone from every live file, not merely
+    * unread (spec-pinned by scanning the raw live files). The serve is
+    * the plain indexed route over the reclaimed table; the answer must
+    * be UNCHANGED by reclamation, so this row shares the delete
+    * lifecycle's replayed oracle. Same reclaim core as the MaxSim
+    * posting index and the export table (`partitionCols = tb` here) —
+    * one crash-recovery matrix for every reclaimed shape. */
+  def knnWhereContainsReclaimed(spark: SparkSession,
+      dir: String): DataFrame = {
+    val needle = "zzbb"
+    val dim = 256
+    val cap = WhereContainsPushdownCap
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val path = lifecycleTrigramTable(spark, docs, plantedAll, dir,
+      "trigram_postings_rc", "trigram:n=3:lifecycle=reclaim:v1",
+      deletes = Seq(WhereContainsDeletedId)) { p =>
+      // the physical fold: an empty forget ledger — the composed
+      // delete alone drives the rewrite, exactly the GDPR-erasure
+      // flow after a store-side delete
+      Forget.reclaimTable(spark,
+        Tables.scratchPath("trigram_rc_ledger", dir), p,
+        partitionCols = Seq("tb"))
+    }
+    val candidates = lifecycleTrigramCandidates(spark, path, Seq(needle))
+    val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
+    // the store text (reclaim rewrote the INDEX; candidate fetch is by
+    // id, and the reclaimed doc can never be a candidate — its postings
+    // are physically absent, not excluded at read)
+    val corpus = docs.unionByName(plantedAll)
+    val fetched =
+      if (probe.length <= cap)
+        corpus.filter(col("doc_id").isin(probe.toSeq: _*))
+      else corpus.join(candidates.hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+    val qv = plantedAll.filter(col("doc_id") === 320000L)
+      .withColumn("embedding", embed(col("text")))
+      .select(col("embedding").as("qvec"))
+    rankedTop5(fetched.filter(col("text").contains(needle))
+      .withColumn("embedding", embed(col("text"))), qv)
   }
 
   /** EXACTLY-ONCE streaming maintenance for the trigram substring index
@@ -1449,12 +1716,15 @@ object VectorSearch extends QueryModule {
     val needle = "zzbb"
     val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
-    val path = staticTrigramFixture(spark, docs, plantedAll, dir,
-      "trigram_postings_wc", "trigram:n=3:planted=wherecontains:v3")
-    val candidates = trigramGateFrame(spark.read.parquet(path),
-      Seq(needle), assumeDistinct = true)
+    val path = lifecycleTrigramTable(spark, docs, plantedAll, dir,
+      "trigram_postings_wc", WhereContainsPostingsTag)()
+    val candidates = lifecycleTrigramCandidates(spark, path, Seq(needle))
     val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
     val corpus = docs.unionByName(plantedAll)
+    // the inversion is a ROUTE choice — record it like every router
+    // (boards carry a `routes` entry, so a silent arm flip is visible)
+    RouteLog.record("where_not_contains",
+      if (probe.length <= cap) "trigram_invert" else "scan")
     val survivors =
       if (probe.length <= cap) {
         // verify the substring on the ≤cap candidates only (pushed
@@ -2053,10 +2323,13 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_and_indexed" -> knnWhereContainsAndIndexed,
     "knn_where_contains_or" -> knnWhereContainsOr,
     "knn_where_contains_or_indexed" -> knnWhereContainsOrIndexed,
+    "knn_where_contains_or_rewritten" -> knnWhereContainsOrRewritten,
     "knn_where_not_contains" -> knnWhereNotContains,
     "knn_where_not_contains_indexed" -> knnWhereNotContainsIndexed,
     "knn_where_contains_deleted" -> knnWhereContainsDeleted,
     "knn_where_contains_deleted_indexed" -> knnWhereContainsDeletedIndexed,
+    "knn_where_contains_deleted_auto_route" -> knnWhereContainsDeletedAutoRoute,
+    "knn_where_contains_reclaimed" -> knnWhereContainsReclaimed,
     "knn_where_contains_streamed" -> knnWhereContainsStreamed,
     "knn_where_contains_upserted" -> knnWhereContainsUpserted,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocument,
@@ -2092,10 +2365,13 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_and_indexed" -> knnWhereContainsAndSql,
     "knn_where_contains_or" -> knnWhereContainsOrSql,
     "knn_where_contains_or_indexed" -> knnWhereContainsOrSql,
+    "knn_where_contains_or_rewritten" -> knnWhereContainsOrSql,
     "knn_where_not_contains" -> knnWhereNotContainsSql,
     "knn_where_not_contains_indexed" -> knnWhereNotContainsSql,
     "knn_where_contains_deleted" -> knnWhereContainsDeletedSql,
     "knn_where_contains_deleted_indexed" -> knnWhereContainsDeletedSql,
+    "knn_where_contains_deleted_auto_route" -> knnWhereContainsDeletedSql,
+    "knn_where_contains_reclaimed" -> knnWhereContainsDeletedSql,
     "knn_where_contains_streamed" -> knnWhereContainsSql,
     "knn_where_contains_upserted" -> knnWhereContainsUpsertedSql,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocumentSql,

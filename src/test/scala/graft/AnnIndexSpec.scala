@@ -365,6 +365,31 @@ class AnnIndexSpec extends SparkSpec {
       "seq<=0 postings of the upserted doc must die at the watermark")
   }
 
+  test("knn_where_contains_reclaimed: delete-equal answer AND the reclaimed doc's posting bytes are GONE from every live file") {
+    import graft.ops.{LateInteraction => LI}
+    val out = SparkEntry.queries("knn_where_contains_reclaimed")(spark, sf)
+      .collect().map(_.getAs[Long]("top_doc_id")).toSeq
+    assert(out === Seq(320000L, 320001L, 320003L, 320004L),
+      s"reclaim must not change the delete-lifecycle answer: $out")
+    val path = Tables.scratchPath("trigram_postings_rc", sf)
+    // PHYSICAL absence (the forget_reclaimed_export discipline): every
+    // live leaf read RAW — not the resolved view, which would also pass
+    // under a mere read-time exclusion
+    val leaves = LI.leafFilesAny(spark, path)
+    assert(leaves.nonEmpty, "reclaimed table must keep live files")
+    val raw = spark.read.option("basePath", path).parquet(leaves: _*)
+    assert(raw.filter(col("doc_id") === 320002L).count() === 0L,
+      "the reclaimed doc's posting BYTES must leave the live file set")
+    // the fold is physical: tombstone state consumed, manifest advanced
+    assert(!LI.hasTombstoneState(spark, path),
+      "reclaim must consume the folded tombstone state")
+    assert(graft.ingest.ManifestLog.currentVersion(spark,
+      LI.tableManifestDir(path)) >= 2L,
+      "the rewrite must publish as a manifest CAS commit")
+    // while surviving docs' postings still serve from the rewrite
+    assert(raw.filter(col("doc_id") === 320000L).count() > 0L)
+  }
+
   test("knn_where_metadata_range: both bounds load-bearing, predicate PUSHED to the scan, zone-map route prunes files and serves identically") {
     val frame = SparkEntry.queries("knn_where_metadata_range")(spark, sf)
     val out = frame.collect().map(_.getAs[Long]("top_doc_id")).toSeq
@@ -446,7 +471,48 @@ class AnnIndexSpec extends SparkSpec {
     assert(tgs.contains("zzb"))
   }
 
-  test("needle trigram enumeration matches the index-side expression: code points, Locale.ROOT lowercase") {
+  test("needle trigram variants cover BOTH lowering paths Spark's lower() can take (locale-drift regression, r19 ADVICE)") {
+    import graft.ops.{VectorSearch => VS}
+    // Spark's lower() = UTF8String.toLowerCase: ASCII-only strings take
+    // a locale-free fast path; anything with a non-ASCII byte takes
+    // String.toLowerCase() with the JVM DEFAULT locale. Under a Turkish
+    // default locale the SAME ASCII needle occurrence lowers differently
+    // depending on the REST of the doc ('I' -> 'i' in an ASCII doc,
+    // 'I' -> U+0131 dotless in a non-ASCII doc) — r19 derived ONE
+    // variant from Locale.ROOT, so the gate lost its superset property
+    // exactly there. Pure driver-side assertions (no Spark job runs
+    // while the default locale is mutated).
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val variants = VS.needleTrigramVariants("IXYZ")
+      // fast-path variant: ascii lowering
+      assert(variants.exists(_.contains("ixy")),
+        s"fast-path (ASCII doc) variant missing: $variants")
+      // slow-path variant: default-locale lowering (dotless i)
+      assert(variants.exists(_.contains("\u0131xy")),
+        s"slow-path (non-ASCII doc, tr locale) variant missing: $variants")
+      // superset property, both doc shapes: SOME variant's full trigram
+      // set is contained in the doc's trigrams under Spark's own
+      // lowering (sparkLower IS what lower() computes for that doc)
+      def docTgs(doc: String): Set[String] = {
+        val lt = VS.sparkLower(doc).replace('\u03c2', '\u03c3')
+        val cps = lt.codePoints().toArray
+        (0 to cps.length - 3).map(i => new String(cps, i, 3)).toSet
+      }
+      val asciiDoc = docTgs("a IXYZ b")          // fast path
+      val mixedDoc = docTgs("\u0130 ok IXYZ b")   // slow path, tr locale
+      assert(variants.exists(_.toSet.subsetOf(asciiDoc)),
+        s"no variant gates the ASCII doc: $variants vs $asciiDoc")
+      assert(variants.exists(_.toSet.subsetOf(mixedDoc)),
+        s"no variant gates the non-ASCII doc under tr: $variants vs $mixedDoc")
+      // and on this JVM's normal locale the variants collapse to one
+    } finally java.util.Locale.setDefault(saved)
+    assert(VS.needleTrigramVariants("zzbb").length === 1,
+      "ASCII needle under a neutral locale must have ONE variant")
+  }
+
+  test("needle trigram enumeration matches the index-side expression: code points, Spark's own lowering") {
     val spark2 = spark
     import spark2.implicits._
     import graft.ops.{VectorSearch => VS}

@@ -205,6 +205,172 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("contains rewrite OR: a disjunction of contains gates through the ANY-gate; a partial disjunction declines; registry conf routes") {
+    import org.apache.spark.sql.graft.{ContainsRewriteRule => C}
+    import graft.ops.{VectorSearch => VS}
+    // run the driver row once: it builds corpus + lifecycle postings and
+    // proves the oracle answer end-to-end (registered via the REGISTRY)
+    SparkEntry.queries("knn_where_contains_or_rewritten")(spark, sf).collect()
+    val corpusPath = VS.whereContainsAndRuleCorpus(spark, sf)
+    val postingsPath = Tables.scratchPath("trigram_postings_wca", sf)
+    val naive = VS.whereContainsOrRuleUserQuery(spark, corpusPath)
+    assert(!naive.queryExecution.optimizedPlan.toString.contains("Join"),
+      "the rule must be opt-in")
+    val want = naive.select("doc_id").collect().map(_.getLong(0)).toSet
+    spark.conf.set(C.EnabledKey, "true")
+    spark.conf.set(C.RegistryKey,
+      s"""{"$corpusPath": {"postings": "$postingsPath"}}""")
+    try {
+      val armed = VS.whereContainsOrRuleUserQuery(spark, corpusPath)
+      val plan = armed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LeftSemi"),
+        s"the armed OR plan must carry the posting-gate semi-join:\n$plan")
+      val got = armed.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === want, s"the OR rewrite changed the answer: $got")
+      // B (zzbb) ∪ D (zzcc) — both clauses load-bearing: a gate that
+      // dropped either branch loses one whole planted group
+      assert((320000L to 320004L).forall(got.contains) &&
+        (340000L to 340004L).forall(got.contains),
+        s"both OR branches must survive the gate: $got")
+      // a disjunction with a NON-gateable branch must decline wholesale:
+      // gating only the gateable branch would drop the other's rows
+      val partial = spark.read.parquet(corpusPath)
+        .filter(col("text").contains("zzbb") || col("text").contains("zz"))
+      assert(!partial.queryExecution.optimizedPlan.toString
+        .contains("LeftSemi"),
+        "a partially-gateable disjunction must stay on the scan route")
+      assert(partial.count() > 0L)
+    } finally {
+      spark.conf.unset(C.EnabledKey)
+      spark.conf.unset(C.RegistryKey)
+    }
+  }
+
+  test("contains rewrite: per-scan idempotency gates BOTH scans of a union of filtered scans") {
+    import org.apache.spark.sql.graft.{ContainsRewriteRule => C}
+    import graft.ops.{VectorSearch => VS}
+    SparkEntry.queries("knn_where_contains_rewritten")(spark, sf).collect()
+    val corpusPath = VS.whereContainsRuleCorpus(spark, sf)
+    val postingsPath = Tables.scratchPath("trigram_postings_wc", sf)
+    spark.conf.set(C.EnabledKey, "true")
+    spark.conf.set(C.SourceKey, corpusPath)
+    spark.conf.set(C.PostingsKey, postingsPath)
+    try {
+      // two INDEPENDENT filtered scans of the registered source — the
+      // r19 whole-plan guard gated only the first and permanently left
+      // the second on the scan route
+      val union = spark.read.parquet(corpusPath)
+        .filter(col("text").contains("zzaa"))
+        .unionByName(spark.read.parquet(corpusPath)
+          .filter(col("text").contains("zzbb")))
+      val plan = union.queryExecution.optimizedPlan.toString
+      val gates = "LeftSemi".r.findAllIn(plan).length
+      assert(gates === 2,
+        s"both union arms must carry their own posting gate, got $gates:\n$plan")
+      // and fixed-point re-entry still cannot stack a second gate on an
+      // already-gated scan: counts per arm stay at one
+      val ids = union.select("doc_id").collect().map(_.getLong(0))
+      // A∪B carry zzaa (10 rows incl. B's 5), B carries zzbb (5 rows)
+      assert(ids.length === 15, s"union answer changed: ${ids.length}")
+    } finally {
+      spark.conf.unset(C.EnabledKey)
+      spark.conf.unset(C.SourceKey)
+      spark.conf.unset(C.PostingsKey)
+    }
+  }
+
+  test("contains rewrite registry: two sources route through their OWN postings; a third unregistered source never routes") {
+    import org.apache.spark.sql.graft.{ContainsRewriteRule => C}
+    import graft.ops.{VectorSearch => VS}
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("wcrule_registry").toString
+    def writeCorpus(path: String, token: String): Unit =
+      (0L until 20L).map(i =>
+          (i, if (i % 4 == 0) s"doc $i with $token marker" else s"doc $i plain"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(path)
+    val (c1, c2, c3) = (s"$base/c1", s"$base/c2", s"$base/c3")
+    writeCorpus(c1, "zzqq"); writeCorpus(c2, "zzrr"); writeCorpus(c3, "zzss")
+    val (p1, p2) = (s"$base/p1", s"$base/p2")
+    VS.trigramPostingsFrame(spark.read.parquet(c1))
+      .write.mode("overwrite").parquet(p1)
+    VS.trigramPostingsFrame(spark.read.parquet(c2))
+      .write.mode("overwrite").parquet(p2)
+    spark.conf.set(C.EnabledKey, "true")
+    spark.conf.set(C.RegistryKey,
+      s"""{"$c1": {"postings": "$p1"}, "$c2": "$p2"}""")
+    try {
+      def armed(c: String, token: String) =
+        spark.read.parquet(c).filter(col("text").contains(token))
+      val q1 = armed(c1, "zzqq"); val q2 = armed(c2, "zzrr")
+      val (pl1, pl2) = (q1.queryExecution.executedPlan.toString,
+        q2.queryExecution.executedPlan.toString)
+      assert(pl1.contains("LeftSemi") && pl1.contains(p1) &&
+        !pl1.contains(p2),
+        s"c1 must gate through ITS posting table p1:\n$pl1")
+      assert(pl2.contains("LeftSemi") && pl2.contains(p2) &&
+        !pl2.contains(p1),
+        s"c2 must gate through ITS posting table p2:\n$pl2")
+      assert(q1.select("doc_id").collect().map(_.getLong(0)).sorted
+        === Array(0L, 4L, 8L, 12L, 16L))
+      assert(q2.select("doc_id").collect().map(_.getLong(0)).sorted
+        === Array(0L, 4L, 8L, 12L, 16L))
+      // the unregistered third source never routes
+      val q3 = armed(c3, "zzss")
+      assert(!q3.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "an unregistered source must not route")
+      assert(q3.count() === 5L)
+      // a malformed registry declines wholesale, queries still run
+      spark.conf.set(C.RegistryKey, "{not json")
+      val q4 = armed(c1, "zzqq")
+      assert(!q4.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      assert(q4.count() === 5L)
+    } finally {
+      spark.conf.unset(C.EnabledKey)
+      spark.conf.unset(C.RegistryKey)
+    }
+  }
+
+  test("contains rewrite cache: a PARTITIONED posting table overwrite invalidates the content-addressed relation cache") {
+    import org.apache.spark.sql.graft.{ContainsRewriteRule => C}
+    import graft.ops.{VectorSearch => VS}
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("wcrule_cache").toString
+    val (c, p) = (s"$base/corpus", s"$base/postings")
+    (0L until 10L).map(i => (i, s"doc $i zzvv marker"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(c)
+    def writePostings(upTo: Long): Unit =
+      VS.trigramPostingsFrame(
+          spark.read.parquet(c).filter(col("doc_id") < upTo))
+        .withColumn("tb", pmod(xxhash64(col("tg")), lit(16L)).cast("int"))
+        .repartition(1).write.mode("overwrite").partitionBy("tb").parquet(p)
+    // v1: postings cover only docs 0-4 — an INCOMPLETE index (the
+    // registration-contract violation this test needs to observe the
+    // cache with: the gate drops the unindexed half)
+    writePostings(5L)
+    spark.conf.set(C.EnabledKey, "true")
+    spark.conf.set(C.SourceKey, c)
+    spark.conf.set(C.PostingsKey, p)
+    try {
+      def q() = spark.read.parquet(c).filter(col("text").contains("zzvv"))
+      assert(q().queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      assert(q().count() === 5L, "v1 postings gate to the indexed half")
+      // v2: overwrite IN PLACE with the complete postings — the r19
+      // TOP-LEVEL listing signature saw only _SUCCESS under a
+      // partitioned layout and would keep serving the v1 relation
+      writePostings(10L)
+      assert(q().count() === 10L,
+        "the partitioned overwrite must invalidate the cached relation")
+    } finally {
+      spark.conf.unset(C.EnabledKey)
+      spark.conf.unset(C.SourceKey)
+      spark.conf.unset(C.PostingsKey)
+    }
+  }
+
   test("IVF route: cluster_id pruning from the centroid sidecar matches ivfTopK") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
     IndexBuilder.buildIvfIndex(corpus, "embedding", numClusters = 16, seed = 42L, dir)
