@@ -777,6 +777,91 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!ascii("\u0080"))
   }
 
+  test("decontaminate_paraphrase: margins, measured multiprobe recall, cap guard, and route equality — all pinned in absolute terms") {
+    import graft.ops.{TextAnalysis => TA}
+    val dim = 256
+    def emb(t: String) = graft.vector.Embedding.hashingEmbed(t, dim)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
+      acc
+    }
+    val lsh = new graft.vector.IndexBuilder.RandomHyperplaneLsh(dim, 6, 42L)
+    val pairs = (0 until 20).map { i =>
+      val full = emb(TA.paraphraseTokens(i).mkString(" "))
+      val pref = emb(TA.paraphraseTokens(i).take(54).mkString(" "))
+      (cos(full, pref), Integer.bitCount(
+        lsh.signature(full.toSeq) ^ lsh.signature(pref.toSeq)))
+    }
+    // the pairs are genuinely NON-identical (below 0.999's regime) but
+    // clear the paraphrase threshold with margin — the construction's
+    // whole point, pinned so a drifting embedder fails here, not as a
+    // silent oracle mismatch
+    assert(pairs.forall { case (c, _) =>
+      c >= TA.ParaphraseThreshold + 0.03 && c <= 0.99 },
+      s"pair cosines out of the paraphrase band: ${pairs.map(_._1)}")
+    // the MEASURED radius covers every pair, and at least one pair
+    // needs radius >= 1 — multiprobe recall is load-bearing, not
+    // decorative (the 0.999 row's structural radius-0 argument does
+    // not apply here)
+    assert(pairs.forall(_._2 <= TA.ParaphraseRadius),
+      s"a pair exceeds the measured radius: ${pairs.map(_._2)}")
+    assert(pairs.exists(_._2 >= 1),
+      "every pair hashed identically — the construction no longer " +
+        "exercises the paraphrase (recall < 1) regime")
+    // no false positive can reach the threshold: cross-pairs and the
+    // natural corpus sit far below (measured 0.21 / 0.29 at all SFs)
+    val benchVecs = (0 until 20).map(i =>
+      emb(TA.paraphraseTokens(i).take(54).mkString(" ")))
+    val fullVecs = (0 until 20).map(i =>
+      emb(TA.paraphraseTokens(i).mkString(" ")))
+    val crossMax = (for {
+      i <- 0 until 20; j <- 0 until 20 if i != j
+    } yield cos(fullVecs(i), benchVecs(j))).max
+    assert(crossMax < TA.ParaphraseThreshold - 0.3,
+      s"cross-pair scores creeping toward the threshold: $crossMax")
+    val spark2 = spark
+    import spark2.implicits._
+    val embUdf = udf((t: String) => emb(t))
+    val naturalMax = Tables.documents(spark, sf)
+      .select(embUdf(col("text")).as("dvec"))
+      .crossJoin(broadcast(benchVecs.zipWithIndex
+        .map { case (v, i) => (i + 1L, v.toSeq) }.toDF("bench_id", "bvec")))
+      .select(graft.vector.VectorFunctions
+        .cosineUnit(col("dvec"), col("bvec")).as("score"))
+      .agg(max("score")).head().getDouble(0)
+    assert(naturalMax < TA.ParaphraseThreshold - 0.3,
+      s"a natural doc scores near the threshold: $naturalMax")
+    // route equality on the planted construction: broadcast == ANN
+    val broadcastRows = SparkEntry.queries("decontaminate_paraphrase")(
+      spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val annRows = SparkEntry.queries("decontaminate_paraphrase_ann")(
+      spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(broadcastRows === annRows, "the two routes diverged")
+    assert(broadcastRows ===
+      (0 until 20).map(i => (750000L + i, i + 1L)),
+      s"the flagged set must be exactly the planted pairs: $broadcastRows")
+    // radius 0 genuinely MISSES pairs here (the regime's signature):
+    // the spec pins the loss so a construction drift that collapses
+    // all pairs into shared buckets fails loudly
+    val radius0 = TA.decontaminateParaphraseAnnWith(spark, sf,
+      k = 10, radius = 0).collect()
+    assert(radius0.length < 20,
+      s"radius 0 found all pairs — multiprobe is no longer load-bearing")
+    assert(radius0.length >= 8,
+      s"radius 0 lost nearly everything — construction drifted: ${radius0.length}")
+    // the top-k cap guard REFUSES loudly instead of silently dropping
+    // above-threshold pairs (r19 ADVICE): k = 1 makes the cap bind iff
+    // any bucket holds a pair plus anything else above threshold — and
+    // k = 0-style truncation is exactly what the guard exists for; at
+    // k = 1 each item returns at most its single pair, so counts == k
+    // and the guard must throw
+    assertThrows[IllegalArgumentException] {
+      TA.decontaminateParaphraseAnnWith(spark, sf, k = 1,
+        radius = TA.ParaphraseRadius).collect()
+    }
+  }
+
   test("dataset_shuffle_shards: a seeded permutation — exhaustive, contiguous ranks, seed-sensitive, replayable") {
     val out = SparkEntry.queries("dataset_shuffle_shards")(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
