@@ -167,7 +167,12 @@ object ContainsRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   /** The registered (source → postings, textCol) map: the JSON registry
     * plus the legacy single pair. A malformed registry declines
     * WHOLESALE with a warning (half-parsing a registry could route some
-    * sources and silently strand others the user believes registered). */
+    * sources and silently strand others the user believes registered).
+    * The parse is memoized on the registry STRING — this runs on every
+    * fixed-point pass of every optimized query while the rule is
+    * enabled, and the conf value only changes when the user re-sets it. */
+  private val registryMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Registration]]()
   private def registrations(): Seq[Registration] = {
     val legacy = {
       val s = conf.getConfString(SourceKey, "")
@@ -178,7 +183,14 @@ object ContainsRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     val json = conf.getConfString(RegistryKey, "")
     val fromRegistry =
       if (json.isEmpty) Nil
-      else try {
+      else registryMemo.computeIfAbsent(json, parseRegistry)
+    // legacy pair wins on a duplicate source (it is the more explicit
+    // registration); distinct by source path
+    (legacy ++ fromRegistry).groupBy(_.source).map(_._2.head).toSeq
+  }
+
+  private def parseRegistry(json: String): Seq[Registration] = {
+    try {
         import org.json4s._
         org.json4s.jackson.JsonMethods.parse(json) match {
           case JObject(fields) => fields.map {
@@ -210,9 +222,6 @@ object ContainsRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
             s"declining all registry routes: $e")
           Nil
       }
-    // legacy pair wins on a duplicate source (it is the more explicit
-    // registration); distinct by source path
-    (legacy ++ fromRegistry).groupBy(_.source).map(_._2.head).toSeq
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
