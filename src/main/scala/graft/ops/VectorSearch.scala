@@ -1617,6 +1617,129 @@ object VectorSearch extends QueryModule {
       |FROM (SELECT doc_id FROM cand ORDER BY doc_id LIMIT 5)
       |ORDER BY rank""".stripMargin
 
+  /** TIME TRAVEL on the trigram substring index — the manifest-pinned
+    * version read the MaxSim index has (`maxsim_time_travel_topk`):
+    * appended postings share the v1 files' `tb=` directories, so ONLY
+    * the manifest separates versions; serving version v reads exactly
+    * v's file list (basePath-resolved, so `tb` partition pruning
+    * survives the explicit file list). Both versions probe the SAME
+    * query (group B's embedding): at v1 group B is not in the index —
+    * the `zzaa` candidates are group A alone and the serve ranks A's
+    * ids — while at v2 B's appended postings admit its 1.0 self-tie.
+    * The answers are DISJOINT id ranges, so a torn read in either
+    * direction (v2 files leaking into v1, or v2 missing the append)
+    * flips whole groups against the enumerable oracle. */
+  def knnWhereContainsTimeTravel(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.ingest.ManifestLog
+    val dim = 256
+    val needle = "zzaa"
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val a = plantedAll.filter(col("doc_id") < 320000L)
+    val b = plantedAll.filter(col("doc_id") >= 320000L)
+    val path = Tables.scratchPath("trigram_postings_tt", dir)
+    val log = LateInteraction.tableManifestDir(path)
+    ResultCache.buildIfAbsent(spark, docs,
+      "trigram:n=3:lifecycle=tt:v1", path) {
+      writeTrigramPostings(docs.unionByName(a), path, "overwrite")
+      ManifestLog.commit(spark, log,
+        _ => LateInteraction.leafFilesAny(spark, path))
+      // the append CAS-publishes v2 itself (writeTrigramPostings'
+      // manifested-append arm) — new files, same tb= dirs
+      writeTrigramPostings(b, path, "append")
+    }
+    val buckets = trigramBucketsOf(needleTrigrams(needle))
+    val qv = b.filter(col("doc_id") === 320000L)
+      .withColumn("embedding", embed(col("text")))
+      .select(col("embedding").as("qvec"))
+    def serveVersion(v: Long, corpusV: DataFrame): DataFrame = {
+      val files = ManifestLog.read(spark, log, v).getOrElse(
+        throw new java.io.IOException(s"missing posting manifest v$v"))
+      val candidates = trigramGateFrame(
+        spark.read.option("basePath", path).parquet(files: _*)
+          .filter(col("tb").isin(buckets: _*)),
+        Seq(needle), assumeDistinct = true)
+      val probe = candidates.limit(WhereContainsPushdownCap + 1)
+        .collect().map(_.getLong(0))
+      val fetched =
+        if (probe.length <= WhereContainsPushdownCap)
+          corpusV.filter(col("doc_id").isin(probe.toSeq: _*))
+        else corpusV.join(candidates.hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
+      rankedTop5(fetched.filter(col("text").contains(needle))
+        .withColumn("embedding", embed(col("text"))), qv)
+        .withColumn("version", lit(v))
+    }
+    serveVersion(1L, docs.unionByName(a))
+      .unionByName(serveVersion(2L, docs.unionByName(plantedAll)))
+      .select("version", "rank", "top_doc_id")
+      .orderBy("version", "rank")
+  }
+
+  /** v1 (B unindexed) serves A's ids against B's own query; v2's
+    * appended postings flip the whole answer to B's self-tie. */
+  private val knnWhereContainsTimeTravelSql =
+    """WITH rows AS (
+      |  SELECT CAST(1 AS BIGINT) AS version,
+      |         CAST(r.range + 1 AS INTEGER) AS rank,
+      |         CAST(300000 + r.range AS BIGINT) AS top_doc_id
+      |  FROM range(5) r
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), CAST(r.range + 1 AS INTEGER),
+      |         CAST(320000 + r.range AS BIGINT)
+      |  FROM range(5) r)
+      |SELECT version, rank, top_doc_id FROM rows
+      |ORDER BY version, rank""".stripMargin
+
+  /** COMPACTION — the small-files half of the trigram lifecycle
+    * (`maxsim_compacted_topk`'s discipline): each append accretes a
+    * file set inside every `tb=` bucket it touches, so a long-lived
+    * substring index degrades to many tiny posting files per bucket
+    * and the probe's footer-stat pruning loses its leverage. The
+    * compactor rewrites the table as ONE distinct-deduped, tg-sorted
+    * file per bucket; the serve is answer-identical because the gate
+    * reads (doc_id, tg) CONTENT, not file layout — the same replayed
+    * oracle as the build-at-once row proves it, and the spec pins the
+    * one-file-per-bucket layout. */
+  def knnWhereContainsCompacted(spark: SparkSession,
+      dir: String): DataFrame = {
+    val dim = 256
+    val needle = "zzbb"
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val path = Tables.scratchPath("trigram_postings_cmp", dir)
+    ResultCache.buildIfAbsent(spark, docs,
+      "trigram:n=3:lifecycle=compact:v1", path) {
+      val staged = path + ".staged"
+      writeTrigramPostings(docs, staged, "overwrite")   // base build
+      writeTrigramPostings(plantedAll, staged, "append") // arrivals
+      // compact: repartition on tb co-locates each bucket in one task
+      // (one file per leaf), tg-sort restores row-group pruning
+      spark.read.parquet(staged)
+        .distinct()
+        .repartition(col("tb")).sortWithinPartitions("tg")
+        .write.mode("overwrite").partitionBy("tb").parquet(path)
+      val sp = new org.apache.hadoop.fs.Path(staged)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(sp, true)
+    }
+    val candidates = lifecycleTrigramCandidates(spark, path, Seq(needle))
+    val probe = candidates.limit(WhereContainsPushdownCap + 1)
+      .collect().map(_.getLong(0))
+    val corpus = docs.unionByName(plantedAll)
+    val fetched =
+      if (probe.length <= WhereContainsPushdownCap)
+        corpus.filter(col("doc_id").isin(probe.toSeq: _*))
+      else corpus.join(candidates.hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+    val qv = plantedAll.filter(col("doc_id") === 300000L)
+      .withColumn("embedding", embed(col("text")))
+      .select(col("embedding").as("qvec"))
+    rankedTop5(fetched.filter(col("text").contains(needle))
+      .withColumn("embedding", embed(col("text"))), qv)
+  }
+
   /** One micro-batch of the streaming trigram index: deterministic
     * `batch=<id>` directory, overwrite — a replayed delivery rewrites
     * its own directory instead of duplicating postings. */
@@ -2332,6 +2455,8 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_reclaimed" -> knnWhereContainsReclaimed,
     "knn_where_contains_streamed" -> knnWhereContainsStreamed,
     "knn_where_contains_upserted" -> knnWhereContainsUpserted,
+    "knn_where_contains_time_travel" -> knnWhereContainsTimeTravel,
+    "knn_where_contains_compacted" -> knnWhereContainsCompacted,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocument,
     "knn_where_metadata_range" -> knnWhereMetadataRange,
     "knn_where_metadata_range_pruned" -> knnWhereMetadataRangePruned,
@@ -2374,6 +2499,8 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_reclaimed" -> knnWhereContainsDeletedSql,
     "knn_where_contains_streamed" -> knnWhereContainsSql,
     "knn_where_contains_upserted" -> knnWhereContainsUpsertedSql,
+    "knn_where_contains_time_travel" -> knnWhereContainsTimeTravelSql,
+    "knn_where_contains_compacted" -> knnWhereContainsSql,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocumentSql,
     "knn_where_metadata_range" -> knnWhereMetadataRangeSql,
     "knn_where_metadata_range_pruned" -> knnWhereMetadataRangeSql,

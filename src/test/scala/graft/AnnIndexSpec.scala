@@ -365,6 +365,47 @@ class AnnIndexSpec extends SparkSpec {
       "seq<=0 postings of the upserted doc must die at the watermark")
   }
 
+  test("knn_where_contains_time_travel: each version serves exactly its manifest's files — disjoint answers, torn reads flip groups") {
+    val out = SparkEntry.queries("knn_where_contains_time_travel")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("version"), r.getAs[Long]("top_doc_id")))
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq ===
+      (300000L to 300004L).toSeq,
+      s"v1 (B unindexed) must serve group A against B's query: $out")
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq ===
+      (320000L to 320004L).toSeq,
+      s"v2 must serve B's appended self-tie: $out")
+    // the append created v2 through the CAS manifest (no directory swap)
+    val path = Tables.scratchPath("trigram_postings_tt", sf)
+    val log = graft.ops.LateInteraction.tableManifestDir(path)
+    assert(graft.ingest.ManifestLog.currentVersion(spark, log) === 2L)
+    // version pinning at the FILE level: v1's list must not reference
+    // any file v1 did not commit (appends only ever ADD files)
+    val v1 = graft.ingest.ManifestLog.read(spark, log, 1L).get.toSet
+    val v2 = graft.ingest.ManifestLog.read(spark, log, 2L).get.toSet
+    assert(v1.subsetOf(v2) && v1.size < v2.size,
+      "v2 must be v1 plus the appended posting files")
+  }
+
+  test("knn_where_contains_compacted: one tg-sorted file per tb bucket after the fold") {
+    SparkEntry.queries("knn_where_contains_compacted")(spark, sf).collect()
+    val path = Tables.scratchPath("trigram_postings_cmp", sf)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
+    assert(buckets.nonEmpty, "compacted table must keep its tb= layout")
+    buckets.foreach { b =>
+      val files = fs.listStatus(b.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"bucket ${b.getPath.getName} must fold to ONE file, " +
+          s"got ${files.length}")
+    }
+    // and the staged pre-compaction directory is gone
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".staged")),
+      "the staged accreted table must be deleted after the fold")
+  }
+
   test("knn_where_contains_reclaimed: delete-equal answer AND the reclaimed doc's posting bytes are GONE from every live file") {
     import graft.ops.{LateInteraction => LI}
     val out = SparkEntry.queries("knn_where_contains_reclaimed")(spark, sf)
