@@ -723,12 +723,8 @@ object VectorSearch extends QueryModule {
   private[graft] def whereContainsRuleCorpus(spark: SparkSession,
       dir: String): String = {
     val (docs, plantedAll) = whereContainsCorpus(spark, dir)
-    val corpusPath = Tables.scratchPath("wc_rule_corpus", dir)
-    ResultCache.buildIfAbsent(spark, docs, "wcrule:corpus:v1", corpusPath) {
-      docs.unionByName(plantedAll)
-        .write.mode("overwrite").parquet(corpusPath)
-    }
-    corpusPath
+    materializedRuleCorpus(spark, dir, "wc_rule_corpus",
+      "wcrule:corpus:v1", docs, plantedAll)
   }
 
   /** The OR row's registered store: the A∪B∪D conjunction corpus as one
@@ -736,8 +732,17 @@ object VectorSearch extends QueryModule {
   private[graft] def whereContainsAndRuleCorpus(spark: SparkSession,
       dir: String): String = {
     val (docs, plantedAll) = whereContainsAndCorpus(spark, dir)
-    val corpusPath = Tables.scratchPath("wca_rule_corpus", dir)
-    ResultCache.buildIfAbsent(spark, docs, "wcarule:corpus:v1", corpusPath) {
+    materializedRuleCorpus(spark, dir, "wca_rule_corpus",
+      "wcarule:corpus:v1", docs, plantedAll)
+  }
+
+  /** One builder for every rule-registered corpus table (name + tag +
+    * planted set are the only degrees of freedom). */
+  private def materializedRuleCorpus(spark: SparkSession, dir: String,
+      name: String, tag: String, docs: DataFrame,
+      plantedAll: DataFrame): String = {
+    val corpusPath = Tables.scratchPath(name, dir)
+    ResultCache.buildIfAbsent(spark, docs, tag, corpusPath) {
       docs.unionByName(plantedAll)
         .write.mode("overwrite").parquet(corpusPath)
     }
@@ -823,19 +828,37 @@ object VectorSearch extends QueryModule {
     * corpus churn. One `listStatus` per serve buys the invalidation —
     * namenode RPC, not a Spark job. */
   private val corpusCountMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Long, Long), java.lang.Long]()
+    String, (String, Long)]() // dir -> (leaf signature, count): one
+                              // REPLACED entry per dir, bounded memory
   private def corpusDocsOf(spark: SparkSession, dir: String): Long = {
+    // leaf-level signature (name, length, mtime of every data file,
+    // flat or one col= level deep — the shapes a documents table
+    // takes): an in-place overwrite or partition-dir churn invalidates
+    // (the ContainsRewriteRule.relCache discipline; a top-level-only
+    // triple goes blind under partition dirs). Unlistable → count
+    // without memoizing, never poison a shared key.
     val docsDir = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
-    val fs = docsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files =
-      try fs.listStatus(docsDir).filter(_.isFile)
-      catch { case _: java.io.IOException => Array.empty[
-        org.apache.hadoop.fs.FileStatus] }
-    val key = (dir, files.length,
-      if (files.isEmpty) 0L else files.map(_.getModificationTime).max,
-      files.map(_.getLen).sum)
-    corpusCountMemo.computeIfAbsent(key,
-      _ => Tables.documents(spark, dir).count()).longValue
+    val sig: String =
+      try {
+        val fs = docsDir.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val (dirs, files) = fs.listStatus(docsDir).partition(_.isDirectory)
+        (files.toSeq ++ dirs.toSeq.flatMap(d =>
+            fs.listStatus(d.getPath).filter(_.isFile).toSeq))
+          .filterNot(st => st.getPath.getName.startsWith("_") ||
+            st.getPath.getName.startsWith("."))
+          .map(st => s"${st.getPath.getName} ${st.getLen} " +
+            s"${st.getModificationTime}")
+          .sorted.mkString("\n")
+      } catch { case _: java.io.IOException => null }
+    if (sig == null) return Tables.documents(spark, dir).count()
+    val cached = corpusCountMemo.get(dir)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      val n = Tables.documents(spark, dir).count()
+      corpusCountMemo.put(dir, (sig, n))
+      n
+    }
   }
 
   /** Overhead-parameterized body — the spec drives a huge factor to
@@ -867,17 +890,12 @@ object VectorSearch extends QueryModule {
       s"candidates>=${probe.length} -> ${if (indexed) "trigram" else "scan"}")
     if (!indexed) knnWhereContains(spark, dir)
     else {
-      val corpus = docs.unionByName(plantedAll)
-      val fetched =
-        if (probe.length <= WhereContainsPushdownCap)
-          corpus.filter(col("doc_id").isin(probe.toSeq: _*))
-        else corpus.join(candidates.hint("shuffle_hash"),
-          Seq("doc_id"), "left_semi")
       val qv = plantedAll.filter(col("doc_id") === 300000L)
         .withColumn("embedding", embed(col("text")))
         .select(col("embedding").as("qvec"))
-      rankedTop5(fetched.filter(col("text").contains(needle))
-        .withColumn("embedding", embed(col("text"))), qv)
+      verifiedTop5(cappedCandidateFetch(docs.unionByName(plantedAll),
+        candidates, probe, WhereContainsPushdownCap),
+        Seq(needle), conjunctive = true, qv)
     }
   }
 
@@ -982,30 +1000,11 @@ object VectorSearch extends QueryModule {
     // never the full candidate set, whatever the needles' selectivity
     val probe = candidates.limit(cap + 1)
       .collect().map(_.getLong(0))
-    val verified =
-      if (probe.length <= cap) {
-        // pushed-id route: the documents scan carries In(doc_id, …) so
-        // text bytes are decoded only from candidate row groups
-        val ids = probe.toSeq
-        docs.filter(col("doc_id").isin(ids: _*))
-          .unionByName(plantedAll.filter(col("doc_id").isin(ids: _*)))
-      } else {
-        // low-selectivity needles: candidates stay distributed. NO
-        // broadcast hint here — above the cap the candidate set is by
-        // definition large, and a broadcast would materialize it all on
-        // the driver (the exact unbounded list the cap exists to
-        // prevent); shuffle_hash keeps the semi-join executor-side
-        docs.unionByName(plantedAll)
-          .join(candidates.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
-      }
-    val cand = verified
-      .filter(needles.map(n => col("text").contains(n))
-        .reduce((a, b) => if (conjunctive) a && b else a || b))
-      .withColumn("embedding", embed(col("text")))
     val qv = plantedAll.filter(col("doc_id") === queryId)
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
-    rankedTop5(cand, qv)
+    verifiedTop5(cappedCandidateFetch(docs.unionByName(plantedAll),
+      candidates, probe, cap), needles, conjunctive, qv)
   }
 
   /** One ResultCache tag per lifecycle posting table — bumping a tag
@@ -1084,27 +1083,41 @@ object VectorSearch extends QueryModule {
   /** One trigram set per LOWERING PATH a containing document can take:
     * Spark's `lower()` (UTF8String.toLowerCase, 4.1.2) lowers an
     * ALL-ASCII string through a locale-free fast path but any string
-    * containing a non-ASCII byte through `String.toLowerCase()` with the
-    * JVM DEFAULT locale — so on a tr/az/lt-default JVM the SAME needle
-    * occurrence lowers differently depending on the REST of the doc's
-    * text ('I' → 'i' inside an ASCII doc, 'I' → '\u0131' inside a doc
-    * carrying any non-ASCII char). No single needle lowering matches
-    * both paths, so the needle enumerates a variant per path: Spark's
-    * own lowering of the needle alone (the fast path for ASCII needles;
-    * already the slow path for non-ASCII ones, where the two variants
-    * collapse) plus the default-locale lowering (the slow path an ASCII
-    * needle takes inside a non-ASCII doc). [[trigramGateFrame]] passes a
-    * needle when EITHER variant fully matches, so the gate's SUPERSET
-    * property holds under ANY default locale — deriving one variant
-    * from Locale.ROOT (the previous formulation) would silently drop
-    * docs the scan route matches on a tr-default JVM. A needle any of
-    * whose lowered variants is shorter than one trigram refuses loudly
-    * (an empty variant would gate-match EVERY doc; short needles belong
-    * on the scan route). */
+    * containing a non-ASCII byte through `String.toLowerCase()` with
+    * the DEFAULT locale of WHICHEVER JVM runs the task — so the SAME
+    * needle occurrence lowers differently depending on the rest of the
+    * doc's text ('I' → 'i' inside an ASCII doc, 'I' → '\u0131' inside
+    * a non-ASCII doc on a tr-default executor), and the index side's
+    * locale is the EXECUTOR's, never reliably the driver's. No single
+    * needle lowering matches every path, so the needle enumerates the
+    * CLOSED set of lowerings a doc can take (see the body: ASCII fast
+    * path + the ROOT/tr/lt slow-path family — Java lowercase
+    * special-cases exactly those locales). [[trigramGateFrame]] passes
+    * a needle when ANY variant fully matches, so the gate's SUPERSET
+    * property holds whatever locale any executor (or the driver) runs
+    * under — deriving one variant from Locale.ROOT (the r19
+    * formulation) silently dropped docs the scan route matches on a
+    * tr-default JVM. A needle any of whose lowered variants is shorter
+    * than one trigram refuses loudly (an empty variant would
+    * gate-match EVERY doc; short needles belong on the scan route). */
   private[graft] def needleTrigramVariants(
       needle: String): Seq[Seq[String]] = {
-    val lowered = Seq(sparkLower(needle),
-      needle.toLowerCase(java.util.Locale.getDefault)).distinct
+    // The CLOSED variant set: a document lowers on whichever EXECUTOR
+    // writes its postings, so the needle cannot assume any particular
+    // default locale — not even the driver's (a cluster does not
+    // propagate it). But `String.toLowerCase(locale)` special-cases
+    // exactly the tr/az pair (dotted/dotless I) and lt (combining dots
+    // over accented I/J); every other locale lowers identically to
+    // Locale.ROOT. Enumerating those three therefore covers the slow
+    // path under EVERY possible executor default locale, and
+    // sparkLower covers the ASCII fast path (for ASCII needles it
+    // equals the ROOT lowering, so the set stays minimal). Extra
+    // variants only widen the gate's OR — superset-safe; a MISSING
+    // variant is the silent-drop hazard.
+    val lowered = (sparkLower(needle) +: Seq(java.util.Locale.ROOT,
+        java.util.Locale.forLanguageTag("tr"),
+        java.util.Locale.forLanguageTag("lt"))
+      .map(needle.toLowerCase)).distinct
     lowered.foreach { l =>
       require(l.codePoints().count() >= 3,
         "trigram route needs needles of >= 3 lowered code points, got " +
@@ -1366,13 +1379,8 @@ object VectorSearch extends QueryModule {
         val candidates = lifecycleTrigramCandidatesWith(spark, path, st,
           sidecar, Seq(needle))
         val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
-        val fetched =
-          if (probe.length <= cap)
-            corpus.filter(col("doc_id").isin(probe.toSeq: _*))
-          else
-            corpus.join(candidates.hint("shuffle_hash"),
-              Seq("doc_id"), "left_semi")
-        fetched.filter(col("text").contains(needle))
+        cappedCandidateFetch(corpus, candidates, probe, cap)
+          .filter(col("text").contains(needle))
       }
     val qv = plantedAll.filter(col("doc_id") === 320000L)
       .withColumn("embedding", embed(col("text")))
@@ -1419,14 +1427,8 @@ object VectorSearch extends QueryModule {
         sidecar), "doc_id")
     val survivors =
       if (!indexed) corpus.filter(col("text").contains(needle))
-      else {
-        val fetched =
-          if (probe.length <= cap)
-            corpus.filter(col("doc_id").isin(probe.toSeq: _*))
-          else corpus.join(candidates.hint("shuffle_hash"),
-            Seq("doc_id"), "left_semi")
-        fetched.filter(col("text").contains(needle))
-      }
+      else cappedCandidateFetch(corpus, candidates, probe, cap)
+        .filter(col("text").contains(needle))
     val qv = plantedAll.filter(col("doc_id") === 320000L)
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
@@ -1468,17 +1470,11 @@ object VectorSearch extends QueryModule {
     // the store text (reclaim rewrote the INDEX; candidate fetch is by
     // id, and the reclaimed doc can never be a candidate — its postings
     // are physically absent, not excluded at read)
-    val corpus = docs.unionByName(plantedAll)
-    val fetched =
-      if (probe.length <= cap)
-        corpus.filter(col("doc_id").isin(probe.toSeq: _*))
-      else corpus.join(candidates.hint("shuffle_hash"),
-        Seq("doc_id"), "left_semi")
     val qv = plantedAll.filter(col("doc_id") === 320000L)
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
-    rankedTop5(fetched.filter(col("text").contains(needle))
-      .withColumn("embedding", embed(col("text"))), qv)
+    verifiedTop5(cappedCandidateFetch(docs.unionByName(plantedAll),
+      candidates, probe, cap), Seq(needle), conjunctive = true, qv)
   }
 
   /** EXACTLY-ONCE streaming maintenance for the trigram substring index
@@ -1511,27 +1507,32 @@ object VectorSearch extends QueryModule {
       // crash replay: same rows, same batch id, second delivery
       stageTrigramBatch(plantedAll, root, 1L)
     }
-    val tgs = needleTrigrams(needle)
-    val buckets = trigramBucketsOf(tgs)
+    // RAW-count witness PER VARIANT (needleTrigrams is the UNION of
+    // lowering variants — demanding the union's size at once would
+    // re-introduce exactly the locale drift the variant gate fixes):
+    // per-doc postings are distinct by construction, so a correct
+    // store matches exactly one variant's full size, while an
+    // append-mode replay DOUBLES every count past every variant gate
+    val variants = needleTrigramVariants(needle)
+    val allTgs = variants.flatten.distinct
+    val buckets = trigramBucketsOf(allTgs)
+    val gates = variants.zipWithIndex.map { case (v, i) =>
+      sum(when(col("tg").isin(v: _*), 1).otherwise(0)).as(s"n_tg$i") }
     val candidates = spark.read.parquet(root)
       .filter(col("tb").isin(buckets: _*))   // pruned across batch dirs
-      .filter(col("tg").isin(tgs: _*))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_tg")) // raw rows: the witness
-      .filter(col("n_tg") === tgs.size)
+      .filter(col("tg").isin(allTgs: _*))
+      .groupBy("doc_id").agg(gates.head, gates.tail: _*) // raw rows
+      .filter(variants.zipWithIndex.map { case (v, i) =>
+        col(s"n_tg$i") === v.size }.reduce(_ || _))
       .select("doc_id")
     val probe = candidates.limit(WhereContainsPushdownCap + 1)
       .collect().map(_.getLong(0))
-    val corpus = docs.unionByName(plantedAll)
-    val fetched =
-      if (probe.length <= WhereContainsPushdownCap)
-        corpus.filter(col("doc_id").isin(probe.toSeq: _*))
-      else corpus.join(candidates.hint("shuffle_hash"),
-        Seq("doc_id"), "left_semi")
     val qv = plantedAll.filter(col("doc_id") === 300000L)
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
-    rankedTop5(fetched.filter(col("text").contains(needle))
-      .withColumn("embedding", embed(col("text"))), qv)
+    verifiedTop5(cappedCandidateFetch(docs.unionByName(plantedAll),
+      candidates, probe, WhereContainsPushdownCap),
+      Seq(needle), conjunctive = true, qv)
   }
 
   /** UPSERT lifecycle for the trigram substring index — the
@@ -1578,16 +1579,11 @@ object VectorSearch extends QueryModule {
     val corpus = docs
       .unionByName(plantedAll.filter(col("doc_id") =!= 320002L))
       .unionByName(replaced)
-    val fetched =
-      if (probe.length <= WhereContainsPushdownCap)
-        corpus.filter(col("doc_id").isin(probe.toSeq: _*))
-      else corpus.join(candidates.hint("shuffle_hash"),
-        Seq("doc_id"), "left_semi")
     val qv = plantedAll.filter(col("doc_id") === 300000L)
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
-    rankedTop5(fetched.filter(col("text").contains(needle))
-      .withColumn("embedding", embed(col("text"))), qv)
+    verifiedTop5(cappedCandidateFetch(corpus, candidates, probe,
+      WhereContainsPushdownCap), Seq(needle), conjunctive = true, qv)
   }
 
   /** Replayed upsert oracle: apply the replacement to the rebuilt
@@ -1662,13 +1658,8 @@ object VectorSearch extends QueryModule {
         Seq(needle), assumeDistinct = true)
       val probe = candidates.limit(WhereContainsPushdownCap + 1)
         .collect().map(_.getLong(0))
-      val fetched =
-        if (probe.length <= WhereContainsPushdownCap)
-          corpusV.filter(col("doc_id").isin(probe.toSeq: _*))
-        else corpusV.join(candidates.hint("shuffle_hash"),
-          Seq("doc_id"), "left_semi")
-      rankedTop5(fetched.filter(col("text").contains(needle))
-        .withColumn("embedding", embed(col("text"))), qv)
+      verifiedTop5(cappedCandidateFetch(corpusV, candidates, probe,
+        WhereContainsPushdownCap), Seq(needle), conjunctive = true, qv)
         .withColumn("version", lit(v))
     }
     serveVersion(1L, docs.unionByName(a))
@@ -1727,17 +1718,12 @@ object VectorSearch extends QueryModule {
     val candidates = lifecycleTrigramCandidates(spark, path, Seq(needle))
     val probe = candidates.limit(WhereContainsPushdownCap + 1)
       .collect().map(_.getLong(0))
-    val corpus = docs.unionByName(plantedAll)
-    val fetched =
-      if (probe.length <= WhereContainsPushdownCap)
-        corpus.filter(col("doc_id").isin(probe.toSeq: _*))
-      else corpus.join(candidates.hint("shuffle_hash"),
-        Seq("doc_id"), "left_semi")
     val qv = plantedAll.filter(col("doc_id") === 300000L)
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
-    rankedTop5(fetched.filter(col("text").contains(needle))
-      .withColumn("embedding", embed(col("text"))), qv)
+    verifiedTop5(cappedCandidateFetch(docs.unionByName(plantedAll),
+      candidates, probe, WhereContainsPushdownCap),
+      Seq(needle), conjunctive = true, qv)
   }
 
   /** One micro-batch of the streaming trigram index: deterministic
@@ -1785,6 +1771,35 @@ object VectorSearch extends QueryModule {
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
       .select(col("rank"), col("doc_id").as("top_doc_id"))
+  }
+
+  /** The capped candidate fetch every trigram-gated serve shares: a
+    * pushed `In(doc_id, …)` into the corpus scan below the cap (text
+    * decodes from candidate row groups only), a distributed
+    * shuffle_hash semi-join above it — NO broadcast: above the cap the
+    * candidate set is by definition large, and broadcasting it would
+    * materialize on the driver the exact unbounded list the cap
+    * exists to prevent. ONE definition (the lifecycleTrigramTable
+    * discipline): the cap arm and the fallback hint changed together
+    * in r19/r20 and had grown eight hand-written copies. */
+  private def cappedCandidateFetch(corpus: DataFrame,
+      candidates: DataFrame, probe: Array[Long], cap: Int): DataFrame =
+    if (probe.length <= cap)
+      corpus.filter(col("doc_id").isin(probe.toSeq: _*))
+    else corpus.join(candidates.hint("shuffle_hash"),
+      Seq("doc_id"), "left_semi")
+
+  /** The shared verify-and-rank tail: the original substring
+    * conjunct(s) verify on the fetched candidates (the gate is a
+    * superset — trigram co-occurrence admits false positives), then
+    * embed + global top-5 against the broadcast query vector. */
+  private def verifiedTop5(fetched: DataFrame, needles: Seq[String],
+      conjunctive: Boolean, qv: DataFrame): DataFrame = {
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, 256))
+    rankedTop5(fetched
+      .filter(needles.map(n => col("text").contains(n))
+        .reduce((a, b) => if (conjunctive) a && b else a || b))
+      .withColumn("embedding", embed(col("text"))), qv)
   }
 
   /** Chroma's `where_document={"$not_contains": t}` — the complement

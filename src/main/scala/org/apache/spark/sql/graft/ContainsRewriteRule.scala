@@ -141,9 +141,12 @@ object ContainsRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     } catch { case _: java.io.IOException => None }
   }
 
-  private def postingsFrame(session: SparkSession,
-      path: String): Option[DataFrame] = {
-    val signature = contentSignature(session, path).getOrElse(return None)
+  /** One analyzed frame per gate spec (fresh exprIds per injected
+    * join), over a signature computed ONCE per rewrite — the recursive
+    * walk is the expensive half; paying it per gate spec would undo
+    * what the cache buys on multi-gate conjuncts. */
+  private def postingsFrame(session: SparkSession, path: String,
+      signature: String): Option[DataFrame] = {
     val cached = relCache.get(path)
     val rel =
       if (cached != null && cached.signature == signature) cached.rel
@@ -311,9 +314,12 @@ object ContainsRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     val gateSpecs: Seq[(Seq[String], Boolean)] =
       (if (andNeedles.nonEmpty) Seq((andNeedles, true)) else Nil) ++
         orGroups.map(g => (g, false))
+    val signature = contentSignature(session, postings)
+      .getOrElse(return None)
     val gatePlans =
       try gateSpecs.map { case (needles, conjunctive) =>
-        val pf = postingsFrame(session, postings).getOrElse(return None)
+        val pf = postingsFrame(session, postings, signature)
+          .getOrElse(return None)
         graft.ops.VectorSearch.trigramGateFrame(pf, needles, conjunctive)
           .queryExecution.analyzed
       } catch {
