@@ -1726,6 +1726,56 @@ object VectorSearch extends QueryModule {
       Seq(needle), conjunctive = true, qv)
   }
 
+  /** SHARDED scatter-gather on the substring index — the fleet shape
+    * every other index family ends its matrix with
+    * (`maxsim_sharded_topk`): each shard owns an id-hash slice of the
+    * corpus with its OWN independently-built posting table; a query
+    * fans out to every shard (gate + capped fetch + substring verify +
+    * local scored top-5 against the shard's slice alone) and the
+    * coordinator re-tops the union of per-shard top-5s. A doc's
+    * postings live only in its own shard, so the union of shard
+    * survivors equals the unsharded survivors, and the global re-top
+    * is exact for any k ≤ per-shard k — the single-table row's
+    * replayed oracle proves route equality. */
+  def knnWhereContainsSharded(spark: SparkSession,
+      dir: String): DataFrame = {
+    val dim = 256
+    val needle = "zzbb"
+    val n = 2
+    val cap = WhereContainsPushdownCap
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
+    val (docs, plantedAll) = whereContainsCorpus(spark, dir)
+    val corpus = docs.unionByName(plantedAll)
+    val qv = plantedAll.filter(col("doc_id") === 300000L)
+      .withColumn("embedding", embed(col("text")))
+      .select(col("embedding").as("qvec"))
+    val shardTops = (0 until n).map { shard =>
+      val slice = corpus.filter(
+        pmod(xxhash64(col("doc_id")), lit(n.toLong)) === shard.toLong)
+      val path = Tables.scratchPath(s"trigram_postings_sh${shard}of$n", dir)
+      ResultCache.buildIfAbsent(spark, docs,
+        s"trigram:n=3:shard=$shard/$n:v1", path) {
+        writeTrigramPostings(slice, path, "overwrite")
+      }
+      val candidates = lifecycleTrigramCandidates(spark, path, Seq(needle))
+      val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
+      cappedCandidateFetch(slice, candidates, probe, cap)
+        .filter(col("text").contains(needle))
+        .withColumn("embedding", embed(col("text")))
+        .crossJoin(broadcast(qv))
+        .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+        .select("doc_id", "score")
+    }
+    // the gather: re-top the union of per-shard top-5s (k rows per
+    // shard cross the coordinator, never a shard's candidate set)
+    shardTops.reduce(_ unionByName _)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id").as("top_doc_id"))
+  }
+
   /** One micro-batch of the streaming trigram index: deterministic
     * `batch=<id>` directory, overwrite — a replayed delivery rewrites
     * its own directory instead of duplicating postings. */
@@ -2472,6 +2522,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_upserted" -> knnWhereContainsUpserted,
     "knn_where_contains_time_travel" -> knnWhereContainsTimeTravel,
     "knn_where_contains_compacted" -> knnWhereContainsCompacted,
+    "knn_where_contains_sharded" -> knnWhereContainsSharded,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocument,
     "knn_where_metadata_range" -> knnWhereMetadataRange,
     "knn_where_metadata_range_pruned" -> knnWhereMetadataRangePruned,
@@ -2516,6 +2567,7 @@ object VectorSearch extends QueryModule {
     "knn_where_contains_upserted" -> knnWhereContainsUpsertedSql,
     "knn_where_contains_time_travel" -> knnWhereContainsTimeTravelSql,
     "knn_where_contains_compacted" -> knnWhereContainsSql,
+    "knn_where_contains_sharded" -> knnWhereContainsSql,
     "knn_where_metadata_document" -> knnWhereMetadataAndDocumentSql,
     "knn_where_metadata_range" -> knnWhereMetadataRangeSql,
     "knn_where_metadata_range_pruned" -> knnWhereMetadataRangeSql,
