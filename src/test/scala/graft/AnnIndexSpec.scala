@@ -365,6 +365,58 @@ class AnnIndexSpec extends SparkSpec {
       "seq<=0 postings of the upserted doc must die at the watermark")
   }
 
+  test("lifecycle trigram probe: tb partition pruning + pushed In(tg), and the driver-side bucket eval covers every posting") {
+    import graft.ops.{VectorSearch => VS}
+    // ensure the lifecycle table exists (built by any indexed row)
+    SparkEntry.queries("knn_where_contains_indexed")(spark, sf).collect()
+    val path = Tables.scratchPath("trigram_postings_wc", sf)
+    val tgs = VS.needleTrigrams("zzbb")
+    val buckets = VS.trigramBucketsOf(tgs)
+    // the probe shape every lifecycle serve runs: partition prune on tb
+    // (file-level, from driver-evaluated XxHash64) + pushed In(tg)
+    val probe = spark.read.parquet(path)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("tg").isin(tgs: _*))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"),
+      s"tb buckets did not reach partition pruning:\n$plan")
+    assert(plan.contains("In(tg"),
+      s"needle trigrams not pushed into the bucketed posting scan:\n$plan")
+    // ZERO-DRIFT pin: no posting of the needle's trigrams lives outside
+    // the driver-computed buckets — a hash/seed/modulo drift between
+    // trigramBucketsOf and the writer would silently empty the probe
+    val missed = spark.read.parquet(path)
+      .filter(col("tg").isin(tgs: _*))
+      .filter(!col("tb").isin(buckets: _*)).count()
+    assert(missed === 0L,
+      s"$missed postings live outside the driver-computed buckets — " +
+        "probe/writer bucketing drifted")
+  }
+
+  test("knn_where_contains_sharded: route-equal with the single-table serve; shard slices partition the corpus") {
+    val out = SparkEntry.queries("knn_where_contains_sharded")(spark, sf)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("top_doc_id")))
+      .toSeq
+    val single = SparkEntry.queries("knn_where_contains")(spark, sf)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("top_doc_id")))
+      .toSeq
+    assert(out === single,
+      s"sharded gather must equal the single-table serve: $out")
+    // the shards' posting tables partition the doc space: no doc id in
+    // both, and together they cover the single table's ids
+    val sh = (0 until 2).map(i => spark.read
+      .parquet(Tables.scratchPath(s"trigram_postings_sh${i}of2", sf))
+      .select("doc_id").distinct())
+    assert(sh(0).join(sh(1), Seq("doc_id")).count() === 0L,
+      "a doc's postings must live in exactly one shard")
+    val union = sh(0).unionByName(sh(1)).count()
+    val whole = spark.read
+      .parquet(Tables.scratchPath("trigram_postings_wc", sf))
+      .select("doc_id").distinct().count()
+    assert(union === whole,
+      s"shards must cover the corpus: $union vs $whole")
+  }
+
   test("knn_where_contains_time_travel: each version serves exactly its manifest's files — disjoint answers, torn reads flip groups") {
     val out = SparkEntry.queries("knn_where_contains_time_travel")(spark, sf)
       .collect().map(r => (r.getAs[Long]("version"), r.getAs[Long]("top_doc_id")))
