@@ -843,10 +843,13 @@ object VectorSearch extends QueryModule {
         val fs = docsDir.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val (dirs, files) = fs.listStatus(docsDir).partition(_.isDirectory)
-        (files.toSeq ++ dirs.toSeq.flatMap(d =>
-            fs.listStatus(d.getPath).filter(_.isFile).toSeq))
-          .filterNot(st => st.getPath.getName.startsWith("_") ||
-            st.getPath.getName.startsWith("."))
+        def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+        // skip hidden DIRS too (an in-flight writer's _temporary tree
+        // would churn the signature on every serve during the write)
+        (files.toSeq ++ dirs.toSeq
+            .filterNot(d => hidden(d.getPath.getName))
+            .flatMap(d => fs.listStatus(d.getPath).filter(_.isFile).toSeq))
+          .filterNot(st => hidden(st.getPath.getName))
           .map(st => s"${st.getPath.getName} ${st.getLen} " +
             s"${st.getModificationTime}")
           .sorted.mkString("\n")
@@ -895,7 +898,7 @@ object VectorSearch extends QueryModule {
         .select(col("embedding").as("qvec"))
       verifiedTop5(cappedCandidateFetch(docs.unionByName(plantedAll),
         candidates, probe, WhereContainsPushdownCap),
-        Seq(needle), conjunctive = true, qv)
+        Seq(needle), conjunctive = true, qv, dim = dim)
     }
   }
 
@@ -1004,7 +1007,7 @@ object VectorSearch extends QueryModule {
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
     verifiedTop5(cappedCandidateFetch(docs.unionByName(plantedAll),
-      candidates, probe, cap), needles, conjunctive, qv)
+      candidates, probe, cap), needles, conjunctive, qv, dim = dim)
   }
 
   /** One ResultCache tag per lifecycle posting table — bumping a tag
@@ -1123,6 +1126,22 @@ object VectorSearch extends QueryModule {
         "trigram route needs needles of >= 3 lowered code points, got " +
           s"'$needle' — serve short needles through the contains scan " +
           "instead")
+      // BOUNDARY GUARD: Java's tr/az After_I context rule DELETES a
+      // combining dot above (U+0307) that follows 'I' — context the
+      // needle cannot see across its own left boundary. A needle whose
+      // lowered form LEADS with U+0307 would enumerate trigrams a
+      // tr-executor doc (where a preceding 'I' consumed the dot) never
+      // wrote, silently breaking the superset property — the one
+      // cross-boundary case the closed variant set cannot cover (the
+      // other context rules either fold here — Final_Sigma — or are
+      // covered by the ROOT variant). Refuse loudly; the scan route
+      // serves such needles exactly.
+      require(l.codePoints().findFirst().getAsInt != 0x307,
+        "trigram route cannot gate a needle whose lowered form leads " +
+          s"with combining dot above (U+0307), got '$needle' — the " +
+          "tr/az After_I rule makes its postings context-dependent " +
+          "across the match boundary; serve it through the contains " +
+          "scan instead")
     }
     lowered.map(trigramsOfLowered).distinct
   }
@@ -1474,7 +1493,7 @@ object VectorSearch extends QueryModule {
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
     verifiedTop5(cappedCandidateFetch(docs.unionByName(plantedAll),
-      candidates, probe, cap), Seq(needle), conjunctive = true, qv)
+      candidates, probe, cap), Seq(needle), conjunctive = true, qv, dim = dim)
   }
 
   /** EXACTLY-ONCE streaming maintenance for the trigram substring index
@@ -1532,7 +1551,7 @@ object VectorSearch extends QueryModule {
       .select(col("embedding").as("qvec"))
     verifiedTop5(cappedCandidateFetch(docs.unionByName(plantedAll),
       candidates, probe, WhereContainsPushdownCap),
-      Seq(needle), conjunctive = true, qv)
+      Seq(needle), conjunctive = true, qv, dim = dim)
   }
 
   /** UPSERT lifecycle for the trigram substring index — the
@@ -1583,7 +1602,7 @@ object VectorSearch extends QueryModule {
       .withColumn("embedding", embed(col("text")))
       .select(col("embedding").as("qvec"))
     verifiedTop5(cappedCandidateFetch(corpus, candidates, probe,
-      WhereContainsPushdownCap), Seq(needle), conjunctive = true, qv)
+      WhereContainsPushdownCap), Seq(needle), conjunctive = true, qv, dim = dim)
   }
 
   /** Replayed upsert oracle: apply the replacement to the rebuilt
@@ -1659,7 +1678,7 @@ object VectorSearch extends QueryModule {
       val probe = candidates.limit(WhereContainsPushdownCap + 1)
         .collect().map(_.getLong(0))
       verifiedTop5(cappedCandidateFetch(corpusV, candidates, probe,
-        WhereContainsPushdownCap), Seq(needle), conjunctive = true, qv)
+        WhereContainsPushdownCap), Seq(needle), conjunctive = true, qv, dim = dim)
         .withColumn("version", lit(v))
     }
     serveVersion(1L, docs.unionByName(a))
@@ -1723,7 +1742,7 @@ object VectorSearch extends QueryModule {
       .select(col("embedding").as("qvec"))
     verifiedTop5(cappedCandidateFetch(docs.unionByName(plantedAll),
       candidates, probe, WhereContainsPushdownCap),
-      Seq(needle), conjunctive = true, qv)
+      Seq(needle), conjunctive = true, qv, dim = dim)
   }
 
   /** SHARDED scatter-gather on the substring index — the fleet shape
@@ -1759,21 +1778,15 @@ object VectorSearch extends QueryModule {
       }
       val candidates = lifecycleTrigramCandidates(spark, path, Seq(needle))
       val probe = candidates.limit(cap + 1).collect().map(_.getLong(0))
-      cappedCandidateFetch(slice, candidates, probe, cap)
+      scoredTop5(cappedCandidateFetch(slice, candidates, probe, cap)
         .filter(col("text").contains(needle))
-        .withColumn("embedding", embed(col("text")))
-        .crossJoin(broadcast(qv))
-        .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
-        .orderBy(col("score").desc, col("doc_id").asc).limit(5)
-        .select("doc_id", "score")
+        .withColumn("embedding", embed(col("text"))), qv)
     }
     // the gather: re-top the union of per-shard top-5s (k rows per
-    // shard cross the coordinator, never a shard's candidate set)
-    shardTops.reduce(_ unionByName _)
-      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .select(col("rank"), col("doc_id").as("top_doc_id"))
+    // shard cross the coordinator, never a shard's candidate set) —
+    // the same (score desc, id asc) ordering as every stage above
+    rankTop5(shardTops.reduce(_ unionByName _)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(5))
   }
 
   /** One micro-batch of the streaming trigram index: deterministic
@@ -1814,14 +1827,24 @@ object VectorSearch extends QueryModule {
     * against the broadcast query vector, keep the global top-5
     * (TakeOrderedAndProject — only k rows cross to the driver), rank
     * the 5 survivors (window over k rows, never the corpus). */
-  private def rankedTop5(cand: DataFrame, qv: DataFrame): DataFrame = {
-    val top = cand.crossJoin(broadcast(qv))
+  private def rankedTop5(cand: DataFrame, qv: DataFrame): DataFrame =
+    rankTop5(scoredTop5(cand, qv))
+
+  /** The scoring half: global top-5 by (score desc, id asc) — ONE
+    * definition of the ordering, shared by the single-table rows and
+    * the sharded row's per-shard AND gather stages (three hand-rolled
+    * copies of the tie-break would drift). */
+  private def scoredTop5(cand: DataFrame, qv: DataFrame): DataFrame =
+    cand.crossJoin(broadcast(qv))
       .withColumn("score", V.cosineUnit(col("embedding"), col("qvec")))
       .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+      .select(col("doc_id"), col("score"))
+
+  /** The ranking half: window over the <= 5 survivors only. */
+  private def rankTop5(top: DataFrame): DataFrame =
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
       .select(col("rank"), col("doc_id").as("top_doc_id"))
-  }
 
   /** The capped candidate fetch every trigram-gated serve shares: a
     * pushed `In(doc_id, …)` into the corpus scan below the cap (text
@@ -1844,8 +1867,10 @@ object VectorSearch extends QueryModule {
     * superset — trigram co-occurrence admits false positives), then
     * embed + global top-5 against the broadcast query vector. */
   private def verifiedTop5(fetched: DataFrame, needles: Seq[String],
-      conjunctive: Boolean, qv: DataFrame): DataFrame = {
-    val embed = udf((t: String) => Embedding.hashingEmbed(t, 256))
+      conjunctive: Boolean, qv: DataFrame, dim: Int = 256): DataFrame = {
+    // `dim` must match the dimension the caller embedded `qv` with —
+    // callers pass their own local dim so the coupling is explicit
+    val embed = udf((t: String) => Embedding.hashingEmbed(t, dim))
     rankedTop5(fetched
       .filter(needles.map(n => col("text").contains(n))
         .reduce((a, b) => if (conjunctive) a && b else a || b))

@@ -394,6 +394,9 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("knn_where_contains_sharded: route-equal with the single-table serve; shard slices partition the corpus") {
+    // build the single-table postings this test compares coverage
+    // against (the sharded and scan rows alone never build it)
+    SparkEntry.queries("knn_where_contains_indexed")(spark, sf).collect()
     val out = SparkEntry.queries("knn_where_contains_sharded")(spark, sf)
       .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("top_doc_id")))
       .toSeq
@@ -601,6 +604,12 @@ class AnnIndexSpec extends SparkSpec {
         s"no variant gates the non-ASCII doc under tr: $variants vs $mixedDoc")
       // and on this JVM's normal locale the variants collapse to one
     } finally java.util.Locale.setDefault(saved)
+    // the one cross-boundary hole the closed set cannot cover refuses
+    // loudly: tr/az After_I deletes a combining dot above following
+    // 'I', so a needle LEADING with U+0307 would probe postings a
+    // tr-executor doc never wrote — it belongs on the scan route
+    assertThrows[IllegalArgumentException](
+      graft.ops.VectorSearch.needleTrigramVariants("\u0307abc"))
     assert(VS.needleTrigramVariants("zzbb").length === 1,
       "ASCII needle under a neutral locale must have ONE variant")
   }
