@@ -46,6 +46,24 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Spread a CPU-BOUND stage across the cluster when the scan's natural
+    * parallelism is below the available slots. A small curated corpus is
+    * often ONE parquet file — one scan split — so an expensive per-row
+    * kernel (MaxSim scoring, fingerprint shingling, surprisal) runs
+    * single-threaded while every other core idles (guide §2.5 "input
+    * skew: one huge unsplittable file — repartition immediately after
+    * the read"). The guard makes it scale-correct: at data scale the
+    * scan already has ≥ slots partitions and this is the identity — the
+    * shuffle is only paid when it buys parallelism, and what it shuffles
+    * is by construction small (fewer partitions than cores).
+    * Result-neutral: callers aggregate or top-k downstream, so row
+    * placement never reaches the answer.
+    */
+  def spreadCpuBound(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Per-(prefix, sfDir) scratch directory under java.io.tmpdir — the ONE
     * place the naming scheme lives (specs reconstruct these paths, and
     * scattered copies of the expression would have to change together).

@@ -37,15 +37,26 @@ object CatalogStats extends QueryModule {
   /** Register `tables` as external parquet catalog tables over the sfDir
     * files (idempotent; DROP of an external table never touches data) and
     * collect full column statistics.
+    *
+    * Stats are REUSED within a session: the table name is dir-keyed, the
+    * sf data is immutable per version, and ANALYZE output is a pure
+    * function of the files — re-ANALYZE per query is exactly the cost
+    * this module's own doc amortizes away ("one scan per refresh,
+    * amortized across every query planned against the table"; in
+    * production the stats live in the metastore). The three CBO rows
+    * previously each re-dropped, re-created and re-scanned ALL COLUMNS of
+    * their tables per serve — pure duplicated ANALYZE scans, never a plan
+    * or answer change (stats over identical files are identical).
     */
   def registerAndAnalyze(spark: SparkSession, dir: String,
       tables: Seq[String]): Unit =
     tables.foreach { t =>
       val name = tableName(t, dir)
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      spark.sql(
-        s"CREATE TABLE $name USING parquet LOCATION '$dir/$t.parquet'")
-      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      if (!spark.catalog.tableExists(name)) {
+        spark.sql(
+          s"CREATE TABLE $name USING parquet LOCATION '$dir/$t.parquet'")
+        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
     }
 
   /** Run `body` with the cost-based optimizer (and stats-based join

@@ -45,30 +45,52 @@ object Graph extends QueryModule {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** The aggregated edge matrix is CATALOG-scale: ≤ |nation|² rows by
+    * construction (both endpoints are nation keys — 25 in this schema at
+    * every SF), however large lineitem grows. A matrix this size iterated
+    * as 10 rounds of Spark joins + per-round localCheckpoints cost ~89
+    * jobs of pure scheduling (measured: 2.2 s at sf0.1 for a 25-node
+    * graph); the guide's "decide with small rows" rule (§8) says run the
+    * DATA-scale work (the lineitem⋈orders⋈customer⋈supplier edge
+    * aggregation) distributed and the rank sweeps on the bounded
+    * aggregate. The loud bound check keeps the collect honest if the
+    * node domain ever stops being catalog-scale. Arithmetic is the same
+    * integer micro-unit recurrence, term for term (Long sums are exact
+    * and order-free), so ranks are bit-identical to the join-chain's and
+    * the unrolled-CTE oracle's. */
+  private val MaxCollectedEdges = 100000
+
   def pagerankNations(spark: SparkSession, dir: String): DataFrame = {
     val edges = tradeEdges(spark, dir)
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("tw"))
-    val edgesW = edges.join(outw, "src")
+    val edgeRows = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("tw"))
-      .localCheckpoint(true)
-    val nodes = edgesW.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
-    val n = nodes.count() // scalar, node-count-bounded
+      .collect() // bounded by |nation|² (see doc comment), never data-scale
+    require(edgeRows.length <= MaxCollectedEdges,
+      s"pagerank_nations: aggregated edge matrix has ${edgeRows.length} " +
+        s"rows (> $MaxCollectedEdges) — node domain is no longer " +
+        "catalog-scale; refuse rather than collect a data-scale frame")
+    val es = edgeRows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nodes = es.map(_._1).distinct
+    val n = nodes.length.toLong
     val initE6 = 1000000L / n
     val baseE6 = 150000L * initE6 / 1000000L
-    var ranks = nodes.withColumn("r", lit(initE6))
+    var ranks: Map[Long, Long] = nodes.map(_ -> initE6).toMap
     for (_ <- 1 to Iters) {
-      val inflow = edgesW.join(ranks, edgesW("src") === ranks("node"))
-        .select(col("dst"), expr("(r * w) DIV tw").as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
-      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-        .select(col("node"),
-          (lit(baseE6) +
-            expr("850000 * COALESCE(inflow, 0L) DIV 1000000")).as("r"))
-        .localCheckpoint(true)
+      // Σ_dst (r_src · w) DIV tw — same truncating integer division and
+      // exact Long sum as the SQL `(r * w) DIV tw` (all terms positive)
+      val inflow = new scala.collection.mutable.HashMap[Long, Long]()
+      es.foreach { case (src, dst, w, tw) =>
+        inflow(dst) = inflow.getOrElse(dst, 0L) + ranks(src) * w / tw
+      }
+      ranks = nodes.map(nd =>
+        nd -> (baseE6 + 850000L * inflow.getOrElse(nd, 0L) / 1000000L)).toMap
     }
+    import spark.implicits._
+    val rankDf = ranks.toSeq.toDF("node", "r")
     val nation = Tables.nation(spark, dir)
-    ranks.join(broadcast(nation), ranks("node") === nation("n_nationkey"))
+    rankDf.join(broadcast(nation), rankDf("node") === nation("n_nationkey"))
       .select(col("n_name").as("nation"), col("r").cast("long").as("rank_e6"))
       .orderBy(col("rank_e6").desc, col("nation"))
   }

@@ -121,12 +121,16 @@ object Lakehouse extends QueryModule {
     */
   def zonemapRead(spark: SparkSession, tmp: String, lo: String, hi: String)
       : (DataFrame, Int, Int) = {
-    val stats = spark.read.parquet(tmp + "/stats")
-    val total = stats.count().toInt
-    val files = stats
-      .filter(col("min_d") <= lit(hi).cast("timestamp") &&
-        col("max_d") >= lit(lo).cast("timestamp"))
-      .select("file").collect().map(_.getString(0))
+    // ONE sidecar pass: the sidecar is file-count-bounded (catalog-scale),
+    // so total + overlap filter fold into a single collect instead of a
+    // count job plus a filter job
+    val statRows = spark.read.parquet(tmp + "/stats")
+      .select(col("file"),
+        (col("min_d") <= lit(hi).cast("timestamp") &&
+          col("max_d") >= lit(lo).cast("timestamp")).as("hit"))
+      .collect()
+    val total = statRows.length
+    val files = statRows.filter(_.getBoolean(1)).map(_.getString(0))
     val pruned =
       if (files.isEmpty) spark.read.parquet(tmp + "/data").limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
@@ -322,10 +326,13 @@ object Lakehouse extends QueryModule {
     */
   def zorderReadByCustkey(spark: SparkSession, tmp: String, lo: Long, hi: Long)
       : (DataFrame, Int, Int) = {
-    val stats = spark.read.parquet(tmp + "/stats")
-    val total = stats.count().toInt
-    val files = stats.filter(col("min_ck") <= hi && col("max_ck") >= lo)
-      .select("file").collect().map(_.getString(0))
+    // ONE sidecar pass (see zonemapRead)
+    val statRows = spark.read.parquet(tmp + "/stats")
+      .select(col("file"),
+        (col("min_ck") <= hi && col("max_ck") >= lo).as("hit"))
+      .collect()
+    val total = statRows.length
+    val files = statRows.filter(_.getBoolean(1)).map(_.getString(0))
     val pruned =
       if (files.isEmpty) spark.read.parquet(tmp + "/data").limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
@@ -644,9 +651,14 @@ object Lakehouse extends QueryModule {
     cdcApply(spark, tmpPath("graft_cdc", dir))
   }
 
-  /** The apply itself, over any base/delta pair (spec-driveable). */
+  /** The apply itself, over any base/delta pair (spec-driveable).
+    * The feed is referenced twice (changed-key anti-join + landed
+    * postimages); localCheckpoint materializes its delta-sized rows once
+    * instead of re-running the whole classification DAG (net aggregate +
+    * preimage broadcast join) per reference.
+    */
   def cdcApply(spark: SparkSession, tmp: String): DataFrame = {
-    val feed = cdcRead(spark, tmp)
+    val feed = cdcRead(spark, tmp).localCheckpoint(true)
     val base = spark.read.parquet(tmp + "/base")
     val changedKeys = feed.select("o_orderkey").distinct()
     val untouched = base.join(broadcast(changedKeys), Seq("o_orderkey"), "left_anti")

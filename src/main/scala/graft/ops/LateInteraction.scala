@@ -67,6 +67,25 @@ object LateInteraction extends QueryModule {
 
   private val windowStringsUdf = udf { text: String => tokenWindows(text) }
 
+  /** Embedded token windows straight from the token slices — BIT-IDENTICAL
+    * to `tokenWindows(text).map(hashingEmbed(_, TokenDim))` (the window
+    * string round-trips through tokenize to exactly its slice, and
+    * `hashingEmbedTokens` is the same accumulation), without building T
+    * window strings and re-tokenizing each with the splitter regex. This
+    * is the scorer-side hot loop: every brute MaxSim row embeds T windows
+    * per corpus doc, so the string-build + re-split was ~half the
+    * embedding cost. Posting-hash paths keep `tokenWindows` — their
+    * xxhash64 probes are defined over the window STRING. */
+  private[graft] def windowVecs(text: String): Array[Array[Float]] = {
+    val t = Embedding.tokenize(text)
+    Array.tabulate(t.length) { i =>
+      val lo = if (i > 0) i - 1 else i
+      val hi = if (i + 1 < t.length) i + 2 else i + 1
+      Embedding.hashingEmbedTokens(
+        java.util.Arrays.copyOfRange(t, lo, hi), TokenDim)
+    }
+  }
+
   /** Corpus with planted exact copies of doc 0 under salted ids — the
     * enumerable construction: every copy's windows equal the query's, so
     * the top-10 is provably {0} ∪ planted by (score desc, id asc), each
@@ -122,14 +141,16 @@ object LateInteraction extends QueryModule {
   private def maxSimTopK(corpus: DataFrame, qvecs: Array[Array[Float]],
       k: Int = K): DataFrame = {
     val scoreUdf = udf { text: String =>
-      maxSimMicro(tokenWindows(text).map(w =>
-        Embedding.hashingEmbed(w, TokenDim)), qvecs)
+      maxSimMicro(windowVecs(text), qvecs)
     }
     // exclusion stays with the CALLERS: the indexed path already
     // excluded its candidate frame, and a second defaultExclusion here
     // would double the per-query ledger reads (and could observe a
     // different ledger version mid-serve)
-    corpus.select(col("doc_id"), scoreUdf(col("text")).as("score_micro"))
+    // spreadCpuBound: the corpus is one scan split at bench scale, and
+    // MaxSim is O(T·|Q|·dim) per row — single-task otherwise
+    Tables.spreadCpuBound(corpus.select("doc_id", "text"))
+      .select(col("doc_id"), scoreUdf(col("text")).as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -146,7 +167,7 @@ object LateInteraction extends QueryModule {
   }
 
   private def queryVecs(srcText: String): Array[Array[Float]] =
-    tokenWindows(srcText).map(w => Embedding.hashingEmbed(w, TokenDim))
+    windowVecs(srcText)
 
   /** The queries' distinct window hashes and their `wb=` buckets — ONE
     * definition shared by every probe and router site (an inline copy
@@ -1372,12 +1393,14 @@ object LateInteraction extends QueryModule {
       srcs.map(s => queryVecs(s._2)).toArray
     val qIds: Array[Long] = srcs.map(_._1).toArray
     val batchScores = udf { text: String =>
-      val tvs = tokenWindows(text).map(w => Embedding.hashingEmbed(w, TokenDim))
+      val tvs = windowVecs(text)
       qvecss.indices.map(i => (qIds(i), maxSimMicro(tvs, qvecss(i))))
     } // embed windows ONCE per doc
     // exclusion-free like maxSimTopK — the conf-keyed exclusion rides
     // the ENTRY points (the brute row, the batch router's brute arm)
-    corpus
+    // spreadCpuBound: one scan split at bench scale, |batch|·T·|Q|·dim
+    // of kernel per row otherwise lands on one task
+    Tables.spreadCpuBound(corpus.select("doc_id", "text"))
       .select(col("doc_id"), explode(batchScores(col("text"))).as("qs"))
       .select(col("doc_id"), col("qs._1").as("q_id"),
         col("qs._2").as("score_micro"))
@@ -1439,7 +1462,7 @@ object LateInteraction extends QueryModule {
     val perDoc = cands.groupBy("doc_id")
       .agg(collect_set(col("q_id")).as("q_ids"))
     val scoreUdf = udf { (text: String, qids: Seq[Long]) =>
-      val tvs = tokenWindows(text).map(w => Embedding.hashingEmbed(w, TokenDim))
+      val tvs = windowVecs(text)
       qids.map(q => (q, maxSimMicro(tvs, qvecsById(q))))
     }
     corpus.join(broadcast(perDoc), Seq("doc_id")) // semi-prune to candidates

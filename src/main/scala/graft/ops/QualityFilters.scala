@@ -37,33 +37,55 @@ object QualityFilters extends QueryModule {
 
   // ---- Gopher repetition metrics ----
 
-  /** Per-document repetition metrics over adjacent token bigrams. The
-    * relational shape (explode → count per (doc, bigram) → max per doc)
-    * keeps per-doc work linear in doc length; a per-row quadratic HOF
-    * (filter+count per distinct bigram) would blow up on long documents.
+  /** Per-document repetition metrics over adjacent token bigrams.
+    *
+    * The top-bigram count is DOC-LOCAL, so it never needs to leave the
+    * row: the max multiplicity of any bigram equals the longest run in
+    * the SORTED bigram array, computed by one O(n log n) `aggregate` HOF
+    * per document. The previous relational shape (explode every bigram →
+    * count per (doc, bigram) → max per doc → join back to the stats
+    * frame) shuffled one row PER BIGRAM — at 100 TB that is a
+    * corpus-token-scale exchange for a quantity each document can
+    * compute about itself (guide §2.3 "aggregate before you shuffle" /
+    * §2.4 "remove shuffles outright"); measured at sf0.1 it was 3 extra
+    * exchanges and a 0.6 s single-task explode stage. (The once-feared
+    * per-row QUADRATIC HOF — filter+count per distinct bigram — remains
+    * avoided: sort + run-length is linearithmic in doc length.)
     */
   def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), toksOf(col("text")).as("tok"))
       .filter(size(col("tok")) > 0) // punctuation-only docs have no words
-    val stats = t.select(
-      col("doc_id"),
-      // long counts: Spark's size() is int32, DuckDB's len() is int64 —
-      // the dumped parquet must agree with the oracle frame dtype-for-dtype
-      size(col("tok")).cast("long").as("n_words"),
-      size(array_distinct(col("tok"))).cast("long").as("n_distinct"))
-    val bigrams = t.select(
-      col("doc_id"),
-      explode(zip_with(
-        slice(col("tok"), lit(1), greatest(size(col("tok")) - 1, lit(0))),
-        slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))).as("bigram"))
-    val top = bigrams
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_bigram_count"))
-    stats.join(top, Seq("doc_id"), "left")
-      .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
+    val bigrams = zip_with(
+      slice(col("tok"), lit(1), greatest(size(col("tok")) - 1, lit(0))),
+      slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    // longest run in the sorted array == max multiplicity; empty bigram
+    // arrays (single-token docs) fold to 0, matching the old left-join's
+    // coalesce(0). Bigrams are built from nonempty tokens, so the ""
+    // initial `prev` can never match a real first element.
+    val topRun = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (s, x) => {
+        val run = when(x === s.getField("prev"), s.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    // sort-early/project-late (see lineFilterC4): the narrow (doc_id, tok)
+    // rows range-sort once; the per-row metrics project after, in parallel
+    t.repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .select(
+        col("doc_id"),
+        // long counts: Spark's size() is int32, DuckDB's len() is int64 —
+        // the dumped parquet must agree with the oracle frame dtype-for-dtype
+        size(col("tok")).cast("long").as("n_words"),
+        size(array_distinct(col("tok"))).cast("long").as("n_distinct"),
+        topRun.as("top_bigram_count"))
       .withColumn("top_bigram_frac_e6",
         expr("(top_bigram_count * 1000000) DIV nullif(n_words - 1, 0)"))
       .withColumn("distinct_word_frac_e6",
@@ -72,7 +94,6 @@ object QualityFilters extends QueryModule {
       .withColumn("keep_repetition", col("top_bigram_frac_e6") <= 200000)
       .select("doc_id", "n_words", "n_distinct", "top_bigram_count",
         "top_bigram_frac_e6", "distinct_word_frac_e6", "keep_repetition")
-      .orderBy("doc_id")
   }
 
   private val repetitionMetricsSql =
@@ -139,18 +160,29 @@ object QualityFilters extends QueryModule {
         .otherwise("kept")
     val buckets = transform(lines, l => bucket(l))
     def n(b: String): Column = size(filter(buckets, x => x === b)).cast("long")
-    docs.select(
-      col("doc_id"),
-      size(lines).cast("long").as("n_lines"),
-      n("kept").as("kept"),
-      n("short").as("dropped_short"),
-      n("brace").as("dropped_brace"),
-      n("lorem").as("dropped_lorem"),
-      n("nopunct").as("dropped_nopunct"),
-      array_join(
-        filter(zip_with(lines, buckets, (l, b) => when(b === "kept", l)),
-          x => x.isNotNull), "\n").as("cleaned_text"))
-      .orderBy("doc_id")
+    // Sort EARLY on the narrow (doc_id, text) rows, project the expensive
+    // line-bucket HOFs LATE: a tail `.orderBy` over the heavy projection
+    // evaluates it TWICE (the range partitioner's sampling pass computes
+    // the child, then the shuffle map tasks compute it again — measured
+    // as two ~0.5 s stages on this row) and its post-AQE sort runs the
+    // projection on coalesced near-single-task partitions. Range-
+    // partitioning the cheap rows first keeps the same total doc_id
+    // order (ordered range partitions + within-partition sort) while the
+    // bucket HOFs run ONCE, spread over cluster-width tasks.
+    docs
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .select(
+        col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        n("kept").as("kept"),
+        n("short").as("dropped_short"),
+        n("brace").as("dropped_brace"),
+        n("lorem").as("dropped_lorem"),
+        n("nopunct").as("dropped_nopunct"),
+        array_join(
+          filter(zip_with(lines, buckets, (l, b) => when(b === "kept", l)),
+            x => x.isNotNull), "\n").as("cleaned_text"))
   }
 
   private def sqlQuote(s: String): String =
@@ -220,15 +252,19 @@ object QualityFilters extends QueryModule {
     val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
     val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
     val redacted = regexp_replace(afterIp, PhoneRe, "<PHONE>")
-    docs.select(
-      col("doc_id"),
-      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-      redacted.as("redacted_text"))
+    // sort-early/project-late (see lineFilterC4): the regex cascade runs
+    // ONCE, parallel, instead of twice around a tail orderBy
+    docs
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        redacted.as("redacted_text"))
       .withColumn("has_pii",
         col("n_emails") + col("n_ips") + col("n_phones") > 0)
-      .orderBy("doc_id")
   }
 
   private val plantedPiiDocsSql = plantedPiiDocs

@@ -292,17 +292,22 @@ object Relational extends QueryModule {
   }
 
   def approxDistinctDocs(spark: SparkSession, dir: String): DataFrame = {
-    // Separate aggregations joined on the 5-row group key: combining
-    // countDistinct with approx_count_distinct in ONE agg forces the HLL
-    // sketch through the distinct-rewrite's per-(lang,hash) pre-aggregate
-    // as hundreds of struct columns (observed: 1640-field codegen, 3.8 s);
-    // split, each plan is a plain two-phase aggregate.
-    val docs = Tables.documents(spark, dir)
-    val exact = docs.groupBy(col("lang"))
-      .agg(countDistinct(md5(col("text"))).as("exact_distinct"))
-    val approx = docs.groupBy(col("lang"))
-      .agg(approx_count_distinct(md5(col("text")), rsd = 0.01).as("approx"))
-    exact.join(approx, "lang")
+    // ONE scan, NO join: pre-aggregate to the distinct (lang, md5) pairs,
+    // then count + HLL-sketch the already-unique hashes. The HLL estimate
+    // is identical to sketching the raw multiset (HLL registers are
+    // max-merged per value — duplicates cannot move them), and the exact
+    // count is a plain count over the deduped keys. This replaces the
+    // previous two full-scan aggregations + 5-row join (which themselves
+    // replaced the single-agg form whose distinct-rewrite exploded to
+    // 1640-field codegen): same answer, one pass, two exchanges, no join.
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), md5(col("text")).as("h")).agg(count(lit(1)))
+      .groupBy(col("lang"))
+      // count(h), not count(*): a null text hashes to a null group that
+      // countDistinct never counted, and approx_count_distinct skips
+      // nulls natively — the null-text semantics stay exactly the old ones
+      .agg(count(col("h")).as("exact_distinct"),
+        approx_count_distinct(col("h"), rsd = 0.01).as("approx"))
       .select(col("lang"), col("exact_distinct"),
         (abs(col("approx") - col("exact_distinct")) <=
           col("exact_distinct") * 0.05).as("approx_within_5pct"))

@@ -43,8 +43,16 @@ object TextAnalysis extends QueryModule {
     val nPunct = size(regexp_extract_all(col("text"), lit("""[.,;:!?'"()\[\]{}-]"""), lit(0)))
     val nDigits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
     val nSpaces = size(regexp_extract_all(col("text"), lit("[ \\t\\n]"), lit(0)))
+    // sort-early/project-late (see QualityFilters.lineFilterC4): the tail
+    // orderBy over this projection would evaluate the tokenizer/regex
+    // battery twice (range sampling + shuffle) on near-single-task
+    // partitions; range-sorting the narrow rows first runs it once,
+    // parallel, in the same total doc_id order
     Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
       .select(
         col("doc_id"),
         // long counts: length()/size() are int32 in Spark, int64 in DuckDB
@@ -57,7 +65,6 @@ object TextAnalysis extends QueryModule {
         round(nDigits / nChars.cast("double"), 6).as("digit_ratio"),
         round(nSpaces / nChars.cast("double"), 6).as("space_ratio"))
       .withColumn("quality_score", qualityScoreCol)
-      .orderBy("doc_id")
   }
 
   /** Composite score over materialized `n_words`/`avg_word_len`/`stop_hits`
@@ -134,8 +141,13 @@ object TextAnalysis extends QueryModule {
     val nWords = size(toks)
     val wordChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
     val stopHits = size(filter(toks, t => array_contains(typedlit(EnglishStopwords), t)))
-    val scored = Tables.documents(spark, dir)
-      .filter(length(trim(col("text"))) > 0)
+    // spreadCpuBound: the token/stopword HOF battery otherwise runs on
+    // the corpus's single scan split — and `scored` is consumed twice
+    // (rank window + keep count), so the single-task stage paid twice
+    val scored = Tables.spreadCpuBound(
+      Tables.documents(spark, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"),
         nWords.as("n_words"),
         round(wordChars / nWords.cast("double"), 6).as("avg_word_len"),
@@ -444,17 +456,28 @@ object TextAnalysis extends QueryModule {
     *    emits a SET; duplicates would double-count containment).
     */
   def docFingerprintsGate(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .filter(length(trim(col("text"))) > 0)
+    // cache + spread: the gate's three base-side branches (digest,
+    // empties, dupes) otherwise EACH re-run the winnow UDF over the whole
+    // corpus on the single scan split — 4 full winnow passes per serve
+    // (incl. the fresh `b` evaluation below, which stays uncached BY
+    // DESIGN: it is the independent recomputation the determinism check
+    // compares against)
+    val base = Tables.spreadCpuBound(
+      Tables.documents(spark, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("text"),
         fingerprintCol(col("text")).as("fingerprints"))
+      .cache()
     def digest(c: Column): Column =
       xxhash64(array_join(transform(c, f => f.cast("string")), ","))
     val a = base.select(col("doc_id"), digest(col("fingerprints")).as("d1"))
     // a SECOND evaluation from the raw text (fresh UDF application, not a
     // reused plan subtree — the reselect forces recomputation)
-    val b = Tables.documents(spark, dir)
-      .filter(length(trim(col("text"))) > 0)
+    val b = Tables.spreadCpuBound(
+      Tables.documents(spark, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         digest(fingerprintCol(reverse(reverse(col("text"))))).as("d2"))
     val nondeterm = a.join(b, Seq("doc_id"))

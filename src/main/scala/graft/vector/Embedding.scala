@@ -24,15 +24,32 @@ object Embedding {
   private val IndexSeed = 0x5bd1e995
   private val SignSeed = 0x9747b28c
 
+  /** Precompiled token splitter: `String.split` with a multi-char pattern
+    * re-runs `Pattern.compile` on EVERY call, and tokenize sits in the
+    * hottest per-row loops (doc embedding, per-window MaxSim embedding —
+    * hundreds of thousands of calls per corpus pass). Same pattern, same
+    * split semantics, compiled once. */
+  private val TokenSplit = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
   def tokenize(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    else TokenSplit.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
 
   /** Unit-norm hashed embedding; all-zeros for empty/null text. */
-  def hashingEmbed(text: String, dim: Int = DefaultDim): Array[Float] = {
+  def hashingEmbed(text: String, dim: Int = DefaultDim): Array[Float] =
+    hashingEmbedTokens(tokenize(text), dim)
+
+  /** The same embedding from pre-tokenized input — BIT-IDENTICAL to
+    * `hashingEmbed(toks.mkString(" "))` when `toks` came out of `tokenize`
+    * (tokens carry no separator chars and are already lowercased, so the
+    * round trip re-splits to the same array): the exact per-feature ±1
+    * accumulation and index-order normalization below are unchanged.
+    * Callers that already hold token arrays (the MaxSim window scorer
+    * embeds T windows per doc) skip the window-string build AND its
+    * re-tokenization. */
+  def hashingEmbedTokens(toks: Array[String], dim: Int = DefaultDim): Array[Float] = {
     require(dim > 0)
     val acc = new Array[Double](dim)
-    val toks = tokenize(text)
     var i = 0
     while (i < toks.length) {
       addFeature(acc, toks(i), dim)

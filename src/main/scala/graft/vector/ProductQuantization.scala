@@ -45,11 +45,19 @@ object ProductQuantization {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    Array.tabulate(m) { s =>
+    // The m subspace fits are INDEPENDENT (each owns its own sample slice
+    // and its own seeded Random stream — seed + s), so they parallelize
+    // across driver cores with bit-identical results to the sequential
+    // loop (kmeansFit is pure compute, no shared state). Sequential, this
+    // was the whole serve cost of the flat-PQ row: m=16 fits × 15 Lloyd
+    // iterations over the sample ran ~1 s single-threaded while every
+    // other core idled.
+    val out = new Array[Array[Array[Double]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
       val slice = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
-      // seed + s: independent per-subspace streams, still deterministic
-      IndexBuilder.kmeansFit(slice, ksub, seed + s, maxIter = 15)
+      out(s) = IndexBuilder.kmeansFit(slice, ksub, seed + s, maxIter = 15)
     }
+    out
   }
 
   /** Encode one vector: nearest centroid id per subspace, one byte each. */

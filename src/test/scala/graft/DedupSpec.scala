@@ -259,6 +259,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fused shingleStrings is bit-identical to the shinglesCol column path") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a b",                      // fewer tokens than shingle width
+      "!!! ...",                  // punctuation only → empty token list
+      "Mixed CASE Text with   runs\tof\nwhitespace and 123 numbers 123",
+      "exactly eight tokens one two three four five")
+    for (n <- Seq(3, 8)) {
+      val both = texts.toDF("text").select(
+        Dedup.shinglesCol(Dedup.tokensCol(col("text")), n).as("col_path"),
+        udf((toks: Seq[String]) => Dedup.shingleStrings(toks, n))
+          .apply(Dedup.tokensCol(col("text"))).as("fused"))
+        .collect()
+      both.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"shingle mismatch for n=$n text: '$t'")
+      }
+    }
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = "spark executes queries as a dag of stages separated by " +
       "shuffle boundaries and each stage runs whole stage generated code " +

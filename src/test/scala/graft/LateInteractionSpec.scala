@@ -14,6 +14,21 @@ class LateInteractionSpec extends SparkSpec {
     assert(LateInteraction.tokenWindows(null).isEmpty)
   }
 
+  test("windowVecs: bit-identical to embedding each window string (the scorer fast path)") {
+    for (t <- Seq("Alpha beta, gamma delta", "one", "", null,
+        "repeat repeat repeat", "Mixed CASE tokens, with 7 digits 42")) {
+      val viaStrings = LateInteraction.tokenWindows(t)
+        .map(w => graft.vector.Embedding.hashingEmbed(w, 64))
+      val direct = LateInteraction.windowVecs(t)
+      assert(direct.length === viaStrings.length)
+      direct.zip(viaStrings).foreach { case (a, b) =>
+        assert(a.toSeq === b.toSeq,
+          "token-slice embedding must reproduce the window-string " +
+            "embedding bit-for-bit (same feature stream, same accumulation)")
+      }
+    }
+  }
+
   test("maxsim_topk: top-10 is exactly doc 0 + the 9 planted copies, each at |Q| micro-units") {
     val out = SparkEntry.queries("maxsim_topk")(spark, sf).collect()
     val qLen = graft.vector.Embedding.tokenize(

@@ -344,13 +344,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("repetition_metrics: both aggregations combine map-side, scan prunes to doc_id+text") {
+  test("repetition_metrics: doc-local metrics, one range exchange, scan prunes to doc_id+text") {
+    // r21: the bigram explode → count → max → join pipeline became ONE
+    // per-row sorted-run-length HOF (the max bigram multiplicity is
+    // doc-local), so the ONLY exchange left is the output range sort —
+    // no corpus-bigram-scale shuffle, no aggregate, no join.
     val df = SparkEntry.queries("repetition_metrics")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    val firstExchange = plan.indexOf("Exchange")
-    assert(firstExchange >= 0)
-    assert(plan.lastIndexOf("HashAggregate") > firstExchange,
-      s"no partial aggregate below the exchange:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length === 1,
+      s"repetition_metrics must shuffle only for the output order:\n$plan")
+    assert(plan.contains("rangepartitioning(doc_id"),
+      s"the one exchange must be the doc_id range sort:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin"),
+      s"bigram stats must stay doc-local (no agg/join):\n$plan")
     val cols = scans(df).map(_.requiredSchema.fieldNames.toSet)
     cols.foreach(c => assert(c.subsetOf(Set("doc_id", "text")),
       s"repetition scan reads more than needed: $c"))
