@@ -467,18 +467,21 @@ object Relational extends QueryModule {
       f.join(d, col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
           col("c_nationkey"))
-    joined(orders.filter(!lateFact), dim0)
-      .withColumn("seq", lit(0L))
-      .write.mode("overwrite").parquet(path + "/commit=0")
-    joined(orders.filter(lateFact), dim0)
-      .withColumn("seq", lit(1L))
-      .write.mode("overwrite").parquet(path + "/commit=1")
+    // The three commits are independent transforms of the immutable input
+    // tables, so they land in ONE partitioned write (`commit=` directory
+    // layout identical to the previous three sequential writes) — one
+    // write job instead of three, each with its own scan+commit round.
+    // `seq` stays a DATA column exactly as before; latest-wins reads it.
     val deltaDim = cust.filter(staleDim)
-    joined(orders.join(
-        broadcast(deltaDim.select(col("c_custkey").as("o_custkey"))),
-        Seq("o_custkey"), "leftsemi"), deltaDim)
-      .withColumn("seq", lit(2L))
-      .write.mode("overwrite").parquet(path + "/commit=2")
+    joined(orders.filter(!lateFact), dim0)
+      .withColumn("seq", lit(0L)).withColumn("commit", lit(0))
+      .unionByName(joined(orders.filter(lateFact), dim0)
+        .withColumn("seq", lit(1L)).withColumn("commit", lit(1)))
+      .unionByName(joined(orders.join(
+          broadcast(deltaDim.select(col("c_custkey").as("o_custkey"))),
+          Seq("o_custkey"), "leftsemi"), deltaDim)
+        .withColumn("seq", lit(2L)).withColumn("commit", lit(2)))
+      .write.mode("overwrite").partitionBy("commit").parquet(path)
     spark.read.parquet(path)
       .groupBy("o_orderkey")
       .agg(max_by(struct(col("o_custkey"), col("c_name"),

@@ -156,8 +156,12 @@ object SessionLogs extends QueryModule {
     *  - TIME ORDER: started_at <= ended_at in the header.
     */
   def sessionLogsGate(spark: SparkSession, dir: String): DataFrame = {
+    // cache: the five violation branches below otherwise EACH re-run the
+    // whole log pipeline (session window + collect_list + to_json +
+    // barrier-UDF + from_json) — five full passes for one frame
     val parsed = sessionLogs(spark, dir)
       .withColumn("p", from_json(jsonBarrier(col("log_json")), LogSchema))
+      .cache()
     val unparseable = parsed
       .filter(col("p").isNull || col("p.session_summary").isNull)
       .select(col("session_id"), lit("unparseable").as("violation"))

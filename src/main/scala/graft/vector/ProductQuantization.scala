@@ -129,8 +129,14 @@ object ProductQuantization {
   def pqKnnWithBooks(corpus: DataFrame, embCol: String, idCol: String,
       books: Array[Array[Array[Double]]], queryVec: Array[Float],
       k: Int, overscan: Int): DataFrame =
-    pqSearchEncoded(withPqCodes(corpus, embCol, books), embCol, idCol,
-      books, queryVec, k, overscan)
+    // spreadCpuBound on the FLAT path only: here encode + the ADC coarse
+    // scan run over the whole corpus — twice (cutoff pass + candidate
+    // filter) — and a one-file corpus is one task each. The persisted
+    // IVF-PQ serve paths call pqSearchEncoded directly with a
+    // partition-pruned index scan and must not pay a repartition.
+    pqSearchEncoded(
+      withPqCodes(graft.Tables.spreadCpuBound(corpus), embCol, books),
+      embCol, idCol, books, queryVec, k, overscan)
 
   /** ADC coarse + exact rescore over rows that ALREADY carry `pq_codes`
     * (the persisted-index path: codes come off disk, never re-encoded).
