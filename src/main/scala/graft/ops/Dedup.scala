@@ -312,14 +312,12 @@ object Dedup extends QueryModule {
     */
   def spanDedupOf(docs: DataFrame): DataFrame = {
     // spreadCpuBound: the tokenize + fused-shingle passes below otherwise
-    // run on the corpus's single scan split (and toksArr feeds pos, sh
-    // AND base — three recomputations of the tokenizer)
+    // run on the corpus's single scan split (toksArr feeds the shingle
+    // lane AND the reassembly join)
     val toksArr = graft.Tables.spreadCpuBound(
       docs.filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokensCol(col("text")).as("tok"))
-    val pos = toksArr.select(col("doc_id"),
-      posexplode(col("tok")).as(Seq("p", "t")))
     // fused shingle UDF (one JVM pass) — bit-identical to the previous
     // interpreted transform(sequence…, array_join(slice…)) form; the
     // short-doc `when` branch is the shingleStrings fallback itself
@@ -333,22 +331,30 @@ object Dedup extends QueryModule {
     val occ = sh.withColumn("n", count(lit(1)).over(wH))
       .withColumn("rk", row_number().over(
         wH.orderBy(col("doc_id"), col("start"))))
-    val removed = occ.filter(col("n") >= 2 && col("rk") > 1)
-      .select("doc_id", "start")
-    val covered = removed.select(col("doc_id"),
-      explode(sequence(col("start"), col("start") + 7)).as("p")).distinct()
-    val kept = pos.join(covered, Seq("doc_id", "p"), "left_anti")
-    val agg = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(sort_array(collect_list(struct(col("p"), col("t"))))
-          .getField("t"), " ").as("cleaned"))
-    val base = toksArr.select(col("doc_id"), size(col("tok")).as("n_tokens"))
-    base.join(agg, Seq("doc_id"), "left")
+    // Reassembly is DOC-LOCAL: the removed starts aggregate per doc
+    // (bounded by that doc's duplicated occurrences) and each document
+    // rebuilds from its OWN token array — a token keeps iff no removed
+    // start covers its position (start ≤ p ≤ start+7). This replaces the
+    // former corpus-token-scale lane (posexplode of every token →
+    // covered-position anti-join → collect_list re-assembly): two
+    // token-scale exchanges and one token-scale explode gone; the only
+    // corpus-scale shuffles left are the span-digest window (the
+    // duplicate detection itself) and the removed-start groupBy, which
+    // is duplicated-occurrence-scale. Row-identical: positions are
+    // unique per doc, so the anti-join's surviving (p, t) set in p-order
+    // IS the filtered token array in array order.
+    val removedStarts = occ.filter(col("n") >= 2 && col("rk") > 1)
+      .groupBy("doc_id").agg(collect_set(col("start")).as("starts"))
+    toksArr.join(removedStarts, Seq("doc_id"), "left")
+      .withColumn("kept", filter(
+        transform(col("tok"), (t, p) => struct(p.as("p"), t.as("t"))),
+        s => !exists(
+          coalesce(col("starts"), array().cast("array<int>")),
+          st => st <= s.getField("p") && s.getField("p") <= st + lit(7))))
       .select(col("doc_id"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long")
-          .as("n_removed"),
-        coalesce(col("cleaned"), lit("")).as("cleaned"))
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("tok")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept").getField("t"), " ").as("cleaned"))
       .orderBy("doc_id")
   }
 
@@ -1587,20 +1593,33 @@ object Dedup extends QueryModule {
     var iter = 0
     while (!converged && iter < maxIter) {
       // The identity row carries the OLD label through the min-aggregate
-      // (old ≥ min by induction: labels only decrease), so convergence is
-      // read off the checkpointed result directly — no per-iteration
-      // labels⋈next diff join, halving the job count per sweep.
+      // (old ≥ min by induction: labels only decrease), and the
+      // convergence probe FOLDS INTO the checkpoint job itself: an
+      // accumulator-bumping UDF evaluates per row while the sweep's
+      // result materializes, so each sweep is ONE job (the former
+      // filter+limit+count probe over the checkpointed rows was a second
+      // scheduling round-trip per sweep). Over-count-safe: a retried or
+      // speculative task can only INFLATE the count, which at worst
+      // forces one extra sweep (that sweep then observes 0 changes) —
+      // never a wrong label. Under-count is impossible: every partition
+      // of the checkpoint job evaluates the projection exactly once or
+      // retries it.
+      val changedAcc = labels.sparkSession.sparkContext.longAccumulator
+      val probe = udf { changed: Boolean =>
+        if (changed) changedAcc.add(1L)
+        changed
+      }.asNondeterministic() // must not be collapsed, split or re-run ad hoc
       val msgs = sym.join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("node"), col("label"), lit(null).cast("long").as("old"))
       val next = labels.select(col("node"), col("label"), col("label").as("old"))
         .union(msgs)
         .groupBy(col("node")).agg(min(col("label")).as("label"),
           max(col("old")).as("old"))
+        .select(col("node"), col("label"),
+          probe(col("label") =!= col("old")).as("chg"))
         .localCheckpoint(true)
-      val changed = next.filter(col("label") =!= col("old"))
-        .limit(1).count() // scalar convergence probe over materialized rows
       labels = next.select(col("node"), col("label"))
-      converged = changed == 0L
+      converged = changedAcc.value == 0L
       iter += 1
     }
     labels

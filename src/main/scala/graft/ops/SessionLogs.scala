@@ -156,31 +156,37 @@ object SessionLogs extends QueryModule {
     *  - TIME ORDER: started_at <= ended_at in the header.
     */
   def sessionLogsGate(spark: SparkSession, dir: String): DataFrame = {
-    // cache: the five violation branches below otherwise EACH re-run the
-    // whole log pipeline (session window + collect_list + to_json +
-    // barrier-UDF + from_json) — five full passes for one frame
+    // single pass: the five violation checks are row-local predicates
+    // over the same parsed struct, so they emit as ONE projected array —
+    // each `when` contributes its violation name or null, nulls filter
+    // out, and the explode yields exactly the rows the previous five
+    // filter branches (plus union) produced, in one evaluation of the
+    // log pipeline instead of five (the former .cache() and its five
+    // sequential branch jobs are gone). The final (session_id, violation)
+    // sort makes branch emission order irrelevant, as before.
     val parsed = sessionLogs(spark, dir)
       .withColumn("p", from_json(jsonBarrier(col("log_json")), LogSchema))
-      .cache()
-    val unparseable = parsed
-      .filter(col("p").isNull || col("p.session_summary").isNull)
-      .select(col("session_id"), lit("unparseable").as("violation"))
-    val header = parsed.filter(col("p.session_summary").isNotNull &&
-        (col("p.session_summary.session_id") =!= col("session_id") ||
-         col("p.session_summary.n_turns") =!= col("n_turns")))
-      .select(col("session_id"), lit("header_mismatch").as("violation"))
-    val turnCount = parsed.filter(col("p").isNotNull &&
-        size(col("p.conversation_turns")) =!= col("n_turns"))
-      .select(col("session_id"), lit("turn_count_mismatch").as("violation"))
-    val numbering = parsed.filter(col("p").isNotNull &&
-        exists(zip_with(col("p.conversation_turns"),
-            sequence(lit(1), greatest(size(col("p.conversation_turns")), lit(1))),
-            (t, i) => t.getField("turn") =!= i), x => x))
-      .select(col("session_id"), lit("turn_numbering").as("violation"))
-    val timeOrder = parsed.filter(col("p.session_summary").isNotNull &&
-        col("p.session_summary.started_at") > col("p.session_summary.ended_at"))
-      .select(col("session_id"), lit("time_order").as("violation"))
-    unparseable.union(header).union(turnCount).union(numbering).union(timeOrder)
+    val flags = array(
+      when(col("p").isNull || col("p.session_summary").isNull,
+        lit("unparseable")),
+      when(col("p.session_summary").isNotNull &&
+          (col("p.session_summary.session_id") =!= col("session_id") ||
+           col("p.session_summary.n_turns") =!= col("n_turns")),
+        lit("header_mismatch")),
+      when(col("p").isNotNull &&
+          size(col("p.conversation_turns")) =!= col("n_turns"),
+        lit("turn_count_mismatch")),
+      when(col("p").isNotNull &&
+          exists(zip_with(col("p.conversation_turns"),
+              sequence(lit(1), greatest(size(col("p.conversation_turns")), lit(1))),
+              (t, i) => t.getField("turn") =!= i), x => x),
+        lit("turn_numbering")),
+      when(col("p.session_summary").isNotNull &&
+          col("p.session_summary.started_at") > col("p.session_summary.ended_at"),
+        lit("time_order")))
+    parsed
+      .select(col("session_id"),
+        explode(filter(flags, f => f.isNotNull)).as("violation"))
       .orderBy("session_id", "violation")
   }
 

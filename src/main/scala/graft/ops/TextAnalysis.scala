@@ -1259,19 +1259,53 @@ object TextAnalysis extends QueryModule {
     * `datasetSplitHashed`'s mega-strata fallback.
     */
   def dsirImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rank = Window.orderBy(col("logw_bits").desc, col("doc_id").asc)
-    dsirLogWeights(spark, dir)
-      .withColumn("rk", row_number().over(rank))
-      .withColumn("total", count(lit(1)).over(
-        Window.partitionBy().rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
-      // rk is row_number's IntegerType: cast before the multiply or the
-      // product wraps negative past ~429M docs (non-ANSI), silently
-      // flagging deep-tail docs selected while the BIGINT oracle doesn't
-      .withColumn("selected", col("rk").cast("long") * 5 <= col("total"))
-      .select("doc_id", "n_tokens", "logw_bits", "selected")
-      .orderBy("doc_id")
+    // Two-phase DISTRIBUTED global rank (the resampling cut) — replaces
+    // the former `Window.orderBy(logw_bits desc, doc_id asc)` with no
+    // partitionBy, which funneled the whole corpus through ONE task
+    // (WindowExec "No Partition Defined"). Phase 1: range-partition +
+    // sort within partitions on the rank key — ordered partitions, rows
+    // ordered within each, i.e. exactly the orderBy execution shape, in
+    // parallel. Phase 2: per-partition row counts (one bounded collect —
+    // #partitions rows) become broadcast offsets, and each row's global
+    // row_number is offset(pid) + its within-partition ordinal. The rank
+    // is INVARIANT to where the sampled range boundaries land (the key
+    // has no ties: doc_id is unique), so the result is deterministic
+    // regardless of partitioning; both localCheckpoints make the counts
+    // probe and the rank projection read the SAME materialized
+    // partitioning (and run the weight pipeline once, not once per
+    // range-sampling pass).
+    val lw = dsirLogWeights(spark, dir).localCheckpoint(true)
+    val sorted = lw
+      .repartitionByRange(col("logw_bits").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("logw_bits").desc, col("doc_id").asc)
+      .localCheckpoint(true)
+    val counts = sorted.groupBy(spark_partition_id().as("pid"))
+      .count().collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    if (counts.isEmpty)
+      // empty corpus: no rows to rank (the map literal below would not
+      // even analyze with zero entries)
+      lw.withColumn("selected", lit(false))
+        .select("doc_id", "n_tokens", "logw_bits", "selected")
+    else {
+      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, c)) =>
+        (p, acc + c) }.init.zip(counts).map { case ((_, off), (p, _)) => (p, off) }
+      val offMap = map(offsets.flatMap { case (p, o) =>
+        Seq(lit(p), lit(o)) }: _*)
+      // monotonically_increasing_id: partition id in the upper bits,
+      // within-partition record number in the LOW 33 bits (documented
+      // layout) — the ordinal over the checkpointed, sorted blocks
+      val ord = monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+      sorted
+        .withColumn("rk",
+          element_at(offMap, spark_partition_id()) + ord + lit(1L))
+        // rk is built in LongType: the ×5 must not wrap past ~429M docs
+        // (non-ANSI), or deep-tail docs would silently flag selected
+        // while the BIGINT oracle doesn't
+        .withColumn("selected", col("rk") * 5 <= lit(total))
+        .select("doc_id", "n_tokens", "logw_bits", "selected")
+        .orderBy("doc_id")
+    }
   }
 
   /** The per-doc DSIR log-weight frame (doc_id, n_tokens, logw_bits) —

