@@ -45,21 +45,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Recommended library confs (AQE under cached plans, listing
+    // threshold) live in GraftSession — ONE home shared with Verify, the
+    // dev profilers, and library users; rationale documented there.
+    val spark = GraftSession.withRecommended(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // Let AQE re-partition under InMemoryRelation: queries that .cache()
-      // an intermediate (LSH sigs, fingerprint explodes, the cached-query
-      // row) otherwise pin every exchange below the cache at the static
-      // shuffle-partition count — AQE cannot coalesce them and each
-      // downstream stage schedules a full width of near-empty tasks
-      // (measured: minhash_near_dupes 3.2 s → 1.2 s, 375 → 34 tasks at
-      // sf0.1). Scale-correct, not a local-mode knob: at any scale AQE
-      // sizes those partitions from observed bytes instead of the static
-      // conf; the cost is only that a cache's output partitioning may
-      // change between runs, which no query here depends on.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -60,8 +60,33 @@ object Tables {
     * placement never reaches the answer.
     */
   def spreadCpuBound(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Scan-split probe WITHOUT materializing .rdd: the previous
+    // `df.rdd.getNumPartitions` forced a full (pre-AQE) physical
+    // planning + RDD lineage build per call just to read a partition
+    // count. `inputFiles` only walks the analyzed plan's file indexes
+    // (already listed). ≥ target files ⇒ the scan has the parallelism
+    // already — identity with zero FS calls. Fewer files ⇒ estimate the
+    // scan's split count as Σ ceil(len / maxPartitionBytes) over those
+    // (< target) files — a handful of driver FS statuses — so a single
+    // LARGE splittable file is still recognized as parallel. Non-file
+    // frames (all-LocalRelation inputs) stay untouched: driver-local
+    // rows are already at the session's default split count.
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= target) return df
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val maxBytes = math.max(1L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")))
+    val splits = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val len =
+        try p.getFileSystem(hconf).getFileStatus(p).getLen
+        catch { case _: java.io.IOException => 0L }
+      math.max(1L, (len + maxBytes - 1) / maxBytes)
+    }.sum
+    if (splits < target) df.repartition(target) else df
   }
 
   /** Per-(prefix, sfDir) scratch directory under java.io.tmpdir — the ONE

@@ -10,12 +10,11 @@ object Verify {
     // only — the driver always calls with two args = full dump).
     val only: Option[Set[String]] = args.drop(2).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // match Bench: the recommended library confs (GraftSession) — Verify
+    // exercises the same query bodies
+    val spark = GraftSession.withRecommended(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // match Bench: AQE may re-partition under cached plans (see the
-      // Bench builder comment) — Verify exercises the same query bodies
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -53,9 +53,16 @@ object CatalogStats extends QueryModule {
     tables.foreach { t =>
       val name = tableName(t, dir)
       if (!spark.catalog.tableExists(name)) {
+        // CREATE+ANALYZE as a unit: if ANALYZE throws (interrupt, FS
+        // hiccup), the table must not survive — a later call would see
+        // tableExists and silently plan CBO rows without column stats
         spark.sql(
           s"CREATE TABLE $name USING parquet LOCATION '$dir/$t.parquet'")
-        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+        try spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+        catch { case e: Throwable =>
+          try spark.sql(s"DROP TABLE IF EXISTS $name") catch { case _: Throwable => () }
+          throw e
+        }
       }
     }
 

@@ -490,6 +490,7 @@ object Forget extends QueryModule {
     val scores = Rag.bm25IndexedScores(spark, path, Seq(Sentinel))
     excludingIds(scores, root)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(K)
+      // unpartitioned window over the LIMIT-K frame only — bounded
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
       .select("rank", "doc_id")
@@ -879,6 +880,7 @@ object Forget extends QueryModule {
     val total = exported.count()
     exported.filter(col("doc_id") >= PlantedBase)
       .orderBy("doc_id").limit(K)
+      // unpartitioned window over the LIMIT-K frame only — bounded
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
       .select(col("rank"), col("doc_id"), lit(total).as("corpus_rows"))

@@ -130,7 +130,11 @@ object Lakehouse extends QueryModule {
           col("max_d") >= lit(lo).cast("timestamp")).as("hit"))
       .collect()
     val total = statRows.length
-    val files = statRows.filter(_.getBoolean(1)).map(_.getString(0))
+    // null-guard: an all-null/empty file group's min/max make `hit` null —
+    // a null predicate means "no overlap proven", same as the previous
+    // filter() semantics that silently dropped it
+    val files = statRows
+      .filter(r => !r.isNullAt(1) && r.getBoolean(1)).map(_.getString(0))
     val pruned =
       if (files.isEmpty) spark.read.parquet(tmp + "/data").limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
@@ -332,7 +336,9 @@ object Lakehouse extends QueryModule {
         (col("min_ck") <= hi && col("max_ck") >= lo).as("hit"))
       .collect()
     val total = statRows.length
-    val files = statRows.filter(_.getBoolean(1)).map(_.getString(0))
+    // null-guard — see zonemapRead
+    val files = statRows
+      .filter(r => !r.isNullAt(1) && r.getBoolean(1)).map(_.getString(0))
     val pruned =
       if (files.isEmpty) spark.read.parquet(tmp + "/data").limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)

@@ -777,6 +777,8 @@ object Rag extends QueryModule {
     */
   def hybridRrfFusion(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // both unpartitioned rank windows below run over LIMIT-100 frames —
+    // bounded, never corpus-scale (the round-22 window audit)
     val lex = bm25Scores(spark, dir)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
       .withColumn("r_lex", row_number().over(
